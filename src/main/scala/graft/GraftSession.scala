@@ -1,0 +1,46 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** Session factory with the engine's standard configuration.
+  *
+  * Mirrors the reference app's session confs (`ecommerce_streaming.py:8-19`:
+  * AQE on, coalesce partitions, Kryo, streaming metrics) re-expressed for
+  * Spark 4.x, plus the confs this repo's data requires (UTC session time
+  * zone for oracle parity, nanos-as-long so the `events` table's
+  * nanosecond parquet timestamps are readable).
+  *
+  * Scale note: `shuffle.partitions` should track cluster parallelism, not
+  * the 200 default — callers pass the core count (local[N]) or leave AQE's
+  * coalescing to trim it on a real cluster.
+  */
+object GraftSession {
+
+  /** Apply graft's standard SQL confs to an existing session (e.g. the
+    * driver-created one in Verify/Bench). Safe to call repeatedly. */
+  def configure(spark: SparkSession): SparkSession = {
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    // events.parquet stores TIMESTAMP(NANOS); Spark has no nanos timestamp
+    // type, so read as long and convert (Tables.events).
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.adaptive.enabled", "true")
+    spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "true")
+    // Deterministic parquet output for the DuckDB oracle compare.
+    spark.conf.set("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
+    spark
+  }
+
+  /** Standalone local session (tests / ad-hoc runs). */
+  def local(cores: Int = Runtime.getRuntime.availableProcessors()): SparkSession = {
+    val spark = SparkSession.builder()
+      .master(s"local[$cores]")
+      .appName("graft")
+      .config("spark.sql.shuffle.partitions", cores.toString)
+      .config("spark.ui.enabled", "false")
+      .config("spark.serializer", "org.apache.spark.serializer.KryoSerializer")
+      .config("spark.sql.streaming.metricsEnabled", "true")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    configure(spark)
+  }
+}

@@ -1,0 +1,73 @@
+#!/usr/bin/env python3
+"""Local stand-in for the driver's correctness gate.
+
+Runs DuckDB on each oracle SQL from Verify's oracle_sql.json (with the
+sf-dir parquet tables registered as views), loads the Spark parquet output
+for the same query, and compares: row count, column names, and a hash of
+the values with columns sorted by name.
+
+Usage: python3 tools/compare.py <verify_out_dir> <sf_dir>
+"""
+import sys, json, glob, hashlib
+import duckdb
+
+def canon(v):
+    if v is None:
+        return "NULL"
+    if isinstance(v, float):
+        return repr(v)  # full precision; bit-exact match required
+    if isinstance(v, bool):
+        return str(v).lower()
+    return str(v)
+
+def table_hash(rows, cols):
+    order = sorted(range(len(cols)), key=lambda i: cols[i])
+    h = hashlib.sha256()
+    for row in rows:
+        h.update(("|".join(canon(row[i]) for i in order) + "\n").encode())
+    return h.hexdigest()
+
+def main(out_dir, sf_dir):
+    con = duckdb.connect()
+    for t in ["region","nation","customer","supplier","part","orders",
+              "lineitem","events","documents","embeddings"]:
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+    oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
+    failed = []
+    for name, sql in sorted(oracle.items()):
+        files = glob.glob(f"{out_dir}/{name}/*.parquet")
+        if not files:
+            print(f"FAIL {name}: no spark output"); failed.append(name); continue
+        try:
+            orc = con.execute(sql)
+            o_cols = [d[0] for d in orc.description]
+            o_rows = orc.fetchall()
+        except Exception as e:
+            print(f"FAIL {name}: oracle error {e}"); failed.append(name); continue
+        sq = con.execute(f"SELECT * FROM read_parquet({files!r})")
+        s_cols = [d[0] for d in sq.description]
+        s_rows = sq.fetchall()
+        if sorted(o_cols) != sorted(s_cols):
+            print(f"FAIL {name}: cols spark={sorted(s_cols)} oracle={sorted(o_cols)}")
+            failed.append(name); continue
+        if len(o_rows) != len(s_rows):
+            print(f"FAIL {name}: rows spark={len(s_rows)} oracle={len(o_rows)}")
+            failed.append(name); continue
+        oh, sh = table_hash(o_rows, o_cols), table_hash(s_rows, s_cols)
+        if oh != sh:
+            print(f"FAIL {name}: hash mismatch ({len(o_rows)} rows)")
+            # print first differing row for debugging
+            order_o = sorted(range(len(o_cols)), key=lambda i: o_cols[i])
+            order_s = sorted(range(len(s_cols)), key=lambda i: s_cols[i])
+            for i, (a, b) in enumerate(zip(o_rows, s_rows)):
+                ca = [canon(a[j]) for j in order_o]; cb = [canon(b[j]) for j in order_s]
+                if ca != cb:
+                    print(f"  row {i}: oracle={ca}\n          spark ={cb}")
+                    break
+            failed.append(name); continue
+        print(f"PASS {name} ({len(o_rows)} rows)")
+    print(f"\n{len(oracle)-len(failed)}/{len(oracle)} passed")
+    return 1 if failed else 0
+
+if __name__ == "__main__":
+    sys.exit(main(sys.argv[1], sys.argv[2]))
