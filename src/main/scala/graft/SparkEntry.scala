@@ -13,7 +13,8 @@ import graft.queries._
 object SparkEntry {
 
   private val groups: Seq[QueryGroup] = Seq(
-    ReferenceQueries)
+    ReferenceQueries,
+    RelationalQueries)
 
   private lazy val all: Seq[QueryDef] = groups.flatMap(_.defs)
 

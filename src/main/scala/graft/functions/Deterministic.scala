@@ -34,6 +34,9 @@ object Deterministic {
     (sum(cents(c)).cast("double") / lit(100d)) / count(lit(1))
 
   /** Timestamp → epoch seconds (verified outputs avoid raw timestamp
-    * columns; epoch seconds compare exactly across engines). */
-  def epochS(c: Column): Column = c.cast("long")
+    * columns; epoch seconds compare exactly across engines). The parquet
+    * tables' unadjusted timestamps arrive as TIMESTAMP_NTZ, which ANSI
+    * mode won't cast straight to long — go through TimestampType (UTC
+    * session ⇒ same instant DuckDB computes for the naive value). */
+  def epochS(c: Column): Column = c.cast("timestamp").cast("long")
 }

@@ -1,0 +1,283 @@
+package graft.queries
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.functions.Deterministic._
+
+/** Relational operator catalog over the TPC-H-style tables: aggregation
+  * pipelines, join shapes (broadcast/shuffle/semi/anti/outer), top-k,
+  * set operations, analytic window functions, rollup.
+  *
+  * The reference itself performs no joins (SURVEY.md §2.4) — this group
+  * rounds out the engine's relational surface and is where the
+  * scale-sensitive plan choices live:
+  *  - dimension tables are `broadcast()` so fact scans never shuffle for
+  *    the join (region/nation/supplier stay tiny at any SF; customer and
+  *    orders grow, so they join shuffle-side)
+  *  - revenue math is exact integer units (1e-4 dollars), summed as longs:
+  *    cheap to combine map-side and order-independent
+  *  - top-k is orderBy+limit → TakeOrderedAndProject (per-partition heap,
+  *    no global sort)
+  */
+object RelationalQueries extends QueryGroup {
+
+  /** Revenue in exact 1e-4-dollar units: cents(price) × (100−cents(disc)).
+    * Fits a long far beyond 100 TB of rows per partition-sum. */
+  private def revenueE4(price: String, disc: String) =
+    cents(col(price)) * (lit(100L) - cents(col(disc)))
+
+  private val revenueSql =
+    "CAST(floor(l_extendedprice*100 + 0.5) AS BIGINT) * (100 - CAST(floor(l_discount*100 + 0.5) AS BIGINT))"
+
+  /** TPC-H Q1 shape: full-scan grouped aggregation with exact sums. */
+  private val q10 = QueryDef(
+    "q10_tpch_q1_pricing_summary",
+    (spark, dir) => {
+      Tables.lineitem(spark, dir)
+        .filter(col("l_shipdate") <= to_timestamp(lit("1998-09-02")))
+        .groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(
+          sum(cents(col("l_quantity"))).cast("double")./(lit(100d)).as("sum_qty"),
+          moneySum(col("l_extendedprice")).as("sum_base_price"),
+          (sum(revenueE4("l_extendedprice", "l_discount")).cast("double") / lit(10000d)).as("sum_disc_price"),
+          moneyAvg(col("l_extendedprice")).as("avg_price"),
+          moneyAvg(col("l_discount")).as("avg_disc"),
+          count(lit(1)).as("count_order"))
+        .orderBy("l_returnflag", "l_linestatus")
+    },
+    Some(s"""
+      SELECT l_returnflag, l_linestatus,
+        CAST(sum(CAST(floor(l_quantity*100 + 0.5) AS BIGINT)) AS DOUBLE)/100 AS sum_qty,
+        CAST(sum(CAST(floor(l_extendedprice*100 + 0.5) AS BIGINT)) AS DOUBLE)/100 AS sum_base_price,
+        CAST(sum($revenueSql) AS DOUBLE)/10000 AS sum_disc_price,
+        (CAST(sum(CAST(floor(l_extendedprice*100 + 0.5) AS BIGINT)) AS DOUBLE)/100)/count(*) AS avg_price,
+        (CAST(sum(CAST(floor(l_discount*100 + 0.5) AS BIGINT)) AS DOUBLE)/100)/count(*) AS avg_disc,
+        count(*) AS count_order
+      FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+      GROUP BY 1, 2 ORDER BY l_returnflag, l_linestatus
+    """))
+
+  /** Star join through 4 dimensions with broadcast hints:
+    * customer⋈nation⋈region filtered to one region, aggregated per nation.
+    * nation/region are broadcast — the customer scan never shuffles for
+    * the join, only for the final per-nation aggregation. */
+  private val q11 = QueryDef(
+    "q11_star_join_broadcast",
+    (spark, dir) => {
+      val customer = Tables.customer(spark, dir)
+      val nation = Tables.nation(spark, dir)
+      val region = Tables.region(spark, dir)
+      customer
+        .join(broadcast(nation), col("c_nationkey") === col("n_nationkey"))
+        .join(broadcast(region), col("n_regionkey") === col("r_regionkey"))
+        .filter(col("r_name").isin("ASIA", "EUROPE"))
+        .groupBy(col("r_name"), col("n_name"))
+        .agg(
+          count(lit(1)).as("n_customers"),
+          moneySum(col("c_acctbal")).as("total_balance"))
+        .orderBy("r_name", "n_name")
+    },
+    Some("""
+      SELECT r_name, n_name, count(*) AS n_customers,
+        CAST(sum(CAST(floor(c_acctbal*100 + 0.5) AS BIGINT)) AS DOUBLE)/100 AS total_balance
+      FROM customer
+      JOIN nation ON c_nationkey = n_nationkey
+      JOIN region ON n_regionkey = r_regionkey
+      WHERE r_name IN ('ASIA','EUROPE')
+      GROUP BY 1, 2 ORDER BY r_name, n_name
+    """))
+
+  /** TPC-H Q3 shape: fact⋈fact join (orders⋈lineitem, both large → shuffle
+    * hash join on orderkey), revenue agg, top-10 — deterministic tie-break
+    * on orderkey. */
+  private val q12 = QueryDef(
+    "q12_tpch_q3_shipping_priority",
+    (spark, dir) => {
+      val orders = Tables.orders(spark, dir).filter(col("o_orderdate") < to_timestamp(lit("1997-01-01")))
+      val lineitem = Tables.lineitem(spark, dir).filter(col("l_shipdate") > to_timestamp(lit("1996-12-15")))
+      lineitem
+        .join(orders, col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("l_orderkey"), epochS(col("o_orderdate")).as("order_epoch"), col("o_orderpriority"))
+        .agg((sum(revenueE4("l_extendedprice", "l_discount")).cast("double") / lit(10000d)).as("revenue"))
+        .orderBy(col("revenue").desc, col("l_orderkey"))
+        .limit(10)
+    },
+    Some(s"""
+      SELECT l_orderkey, CAST(epoch_ms(o_orderdate) // 1000 AS BIGINT) AS order_epoch,
+        o_orderpriority, CAST(sum($revenueSql) AS DOUBLE)/10000 AS revenue
+      FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      WHERE o_orderdate < TIMESTAMP '1997-01-01' AND l_shipdate > TIMESTAMP '1996-12-15'
+      GROUP BY 1, 2, 3 ORDER BY revenue DESC, l_orderkey LIMIT 10
+    """))
+
+  /** Left-semi join (EXISTS): customers that placed a high-value order. */
+  private val q13 = QueryDef(
+    "q13_semi_join_exists",
+    (spark, dir) => {
+      val customer = Tables.customer(spark, dir)
+      val bigOrders = Tables.orders(spark, dir).filter(col("o_totalprice") > 200000)
+      customer
+        .join(bigOrders, col("c_custkey") === col("o_custkey"), "left_semi")
+        .select(col("c_custkey"), col("c_name"), col("c_mktsegment"))
+        .orderBy("c_custkey")
+    },
+    Some("""
+      SELECT c_custkey, c_name, c_mktsegment FROM customer
+      WHERE EXISTS (SELECT 1 FROM orders
+                    WHERE o_custkey = c_custkey AND o_totalprice > 200000)
+      ORDER BY c_custkey
+    """))
+
+  /** Left-anti join (NOT EXISTS): customers that never placed an urgent
+    * order (plain "no orders at all" is empty at every SF). */
+  private val q14 = QueryDef(
+    "q14_anti_join_not_exists",
+    (spark, dir) => {
+      val urgent = Tables.orders(spark, dir).filter(col("o_orderpriority") === "1-URGENT")
+      Tables.customer(spark, dir)
+        .join(urgent, col("c_custkey") === col("o_custkey"), "left_anti")
+        .groupBy(col("c_mktsegment"))
+        .agg(count(lit(1)).as("n_orderless"), moneySum(col("c_acctbal")).as("balance"))
+        .orderBy("c_mktsegment")
+    },
+    Some("""
+      SELECT c_mktsegment, count(*) AS n_orderless,
+        CAST(sum(CAST(floor(c_acctbal*100 + 0.5) AS BIGINT)) AS DOUBLE)/100 AS balance
+      FROM customer
+      WHERE NOT EXISTS (SELECT 1 FROM orders
+                        WHERE o_custkey = c_custkey AND o_orderpriority = '1-URGENT')
+      GROUP BY 1 ORDER BY c_mktsegment
+    """))
+
+  /** Left-outer join with null-compensating aggregation: every order with
+    * its lineitem count (0 when unmatched). */
+  private val q15 = QueryDef(
+    "q15_outer_join",
+    (spark, dir) => {
+      val orders = Tables.orders(spark, dir).filter(col("o_orderkey") % 40 === 0)
+      val lineitem = Tables.lineitem(spark, dir)
+      orders
+        .join(lineitem, col("o_orderkey") === col("l_orderkey"), "left_outer")
+        .groupBy(col("o_orderkey"), col("o_orderstatus"))
+        .agg(
+          count(col("l_linenumber")).as("n_lines"),
+          coalesce(sum(cents(col("l_quantity"))), lit(0L)).cast("double")./(lit(100d)).as("total_qty"))
+        .orderBy("o_orderkey")
+    },
+    Some("""
+      SELECT o_orderkey, o_orderstatus, count(l_linenumber) AS n_lines,
+        CAST(coalesce(sum(CAST(floor(l_quantity*100 + 0.5) AS BIGINT)), 0) AS DOUBLE)/100 AS total_qty
+      FROM orders LEFT JOIN lineitem ON o_orderkey = l_orderkey
+      WHERE o_orderkey % 40 = 0
+      GROUP BY 1, 2 ORDER BY o_orderkey
+    """))
+
+  /** Set operations: UNION / INTERSECT / EXCEPT (distinct semantics) over
+    * nation keys reachable from customers vs suppliers. */
+  private val q16 = QueryDef(
+    "q16_set_operations",
+    (spark, dir) => {
+      val c = Tables.customer(spark, dir).select(col("c_nationkey").as("nationkey"))
+      val s = Tables.supplier(spark, dir).select(col("s_nationkey").as("nationkey"))
+      val union = c.union(s).distinct().select(lit("union").as("op"), col("nationkey"))
+      val inter = c.intersect(s).select(lit("intersect").as("op"), col("nationkey"))
+      val minus = c.except(s).select(lit("except").as("op"), col("nationkey"))
+      union.union(inter).union(minus).orderBy("op", "nationkey")
+    },
+    Some("""
+      WITH c AS (SELECT c_nationkey AS nationkey FROM customer),
+           s AS (SELECT s_nationkey AS nationkey FROM supplier)
+      SELECT 'union' AS op, nationkey FROM (SELECT nationkey FROM c UNION SELECT nationkey FROM s)
+      UNION ALL
+      SELECT 'intersect', nationkey FROM (SELECT nationkey FROM c INTERSECT SELECT nationkey FROM s)
+      UNION ALL
+      SELECT 'except', nationkey FROM (SELECT nationkey FROM c EXCEPT SELECT nationkey FROM s)
+      ORDER BY op, nationkey
+    """))
+
+  /** Analytic window functions: rank / row_number / lag / running sum per
+    * partition. Running sum accumulates exact cents in a deterministic
+    * frame order (total order within partition via custkey tie-break). */
+  private val q17 = QueryDef(
+    "q17_analytic_windows",
+    (spark, dir) => {
+      val w = Window.partitionBy(col("c_nationkey")).orderBy(col("c_acctbal").desc, col("c_custkey"))
+      Tables.customer(spark, dir)
+        .select(
+          col("c_nationkey"), col("c_custkey"), col("c_acctbal"),
+          row_number().over(w).as("rn"),
+          rank().over(w).as("rnk"),
+          lag(col("c_custkey"), 1, -1L).over(w).as("prev_custkey"),
+          sum(cents(col("c_acctbal"))).over(w.rowsBetween(Window.unboundedPreceding, 0))
+            .cast("double")./(lit(100d)).as("running_balance"))
+        .filter(col("rn") <= 3)
+        .orderBy("c_nationkey", "rn")
+    },
+    Some("""
+      SELECT * FROM (
+        SELECT c_nationkey, c_custkey, c_acctbal,
+          row_number() OVER w AS rn,
+          rank() OVER w AS rnk,
+          lag(c_custkey, 1, -1) OVER w AS prev_custkey,
+          CAST(sum(CAST(floor(c_acctbal*100 + 0.5) AS BIGINT))
+               OVER (w ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)/100 AS running_balance
+        FROM customer
+        WINDOW w AS (PARTITION BY c_nationkey ORDER BY c_acctbal DESC, c_custkey)
+      ) WHERE rn <= 3 ORDER BY c_nationkey, rn
+    """))
+
+  /** Top-k: orderBy+limit → TakeOrderedAndProject (no global sort at
+    * scale; per-partition heaps + single merge on the driver/final stage). */
+  private val q18 = QueryDef(
+    "q18_topk",
+    (spark, dir) => {
+      Tables.lineitem(spark, dir)
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_extendedprice"))
+        .orderBy(col("l_extendedprice").desc, col("l_orderkey"), col("l_linenumber"))
+        .limit(25)
+    },
+    Some("""
+      SELECT l_orderkey, l_linenumber, l_extendedprice FROM lineitem
+      ORDER BY l_extendedprice DESC, l_orderkey, l_linenumber LIMIT 25
+    """))
+
+  /** Rollup with GROUPING() indicator — partial-total hierarchy over
+    * region→nation, null keys made explicit for deterministic compare. */
+  private val q19 = QueryDef(
+    "q19_rollup_grouping",
+    (spark, dir) => {
+      val customer = Tables.customer(spark, dir)
+      val nation = Tables.nation(spark, dir)
+      val region = Tables.region(spark, dir)
+      customer
+        .join(broadcast(nation), col("c_nationkey") === col("n_nationkey"))
+        .join(broadcast(region), col("n_regionkey") === col("r_regionkey"))
+        .rollup(col("r_name"), col("n_name"))
+        .agg(
+          grouping(col("r_name")).cast("long").as("g_region"),
+          grouping(col("n_name")).cast("long").as("g_nation"),
+          count(lit(1)).as("n"),
+          sum(cents(col("c_acctbal"))).as("balance_cents"))
+        .select(
+          coalesce(col("r_name"), lit("ALL")).as("region"),
+          coalesce(col("n_name"), lit("ALL")).as("nation"),
+          col("g_region"), col("g_nation"), col("n"), col("balance_cents"))
+        .orderBy("g_region", "g_nation", "region", "nation")
+    },
+    Some("""
+      SELECT coalesce(r_name, 'ALL') AS region, coalesce(n_name, 'ALL') AS nation,
+        CAST(grouping(r_name) AS BIGINT) AS g_region,
+        CAST(grouping(n_name) AS BIGINT) AS g_nation,
+        count(*) AS n,
+        sum(CAST(floor(c_acctbal*100 + 0.5) AS BIGINT)) AS balance_cents
+      FROM customer
+      JOIN nation ON c_nationkey = n_nationkey
+      JOIN region ON n_regionkey = r_regionkey
+      GROUP BY ROLLUP (r_name, n_name)
+      ORDER BY g_region, g_nation, region, nation
+    """))
+
+  def defs: Seq[QueryDef] = Seq(q10, q11, q12, q13, q14, q15, q16, q17, q18, q19)
+}
