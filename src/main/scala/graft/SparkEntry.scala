@@ -14,7 +14,8 @@ object SparkEntry {
 
   private val groups: Seq[QueryGroup] = Seq(
     ReferenceQueries,
-    RelationalQueries)
+    RelationalQueries,
+    ExtensionQueries)
 
   private lazy val all: Seq[QueryDef] = groups.flatMap(_.defs)
 

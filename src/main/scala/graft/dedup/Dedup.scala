@@ -1,0 +1,55 @@
+package graft.dedup
+
+import org.apache.spark.sql.{DataFrame, Column}
+import org.apache.spark.sql.functions._
+
+import graft.text.TextFunctions._
+
+/** Exact and n-gram-Jaccard deduplication.
+  *
+  * Exact dedup at scale groups on a content hash, never on the content
+  * itself — the shuffle carries a 16-byte digest + id instead of the
+  * document body, and the canonical representative (min id) is chosen
+  * deterministically.
+  */
+object Dedup {
+
+  /** One row per distinct content: (content md5, kept id = min id, number
+    * of copies). Input rows with identical `textCol` collapse. */
+  def exactGroups(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    docs
+      .select(col(idCol), col(textCol), md5(col(textCol)).as("content_md5"))
+      .groupBy(col("content_md5"))
+      .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("n_copies"))
+
+  /** The deduplicated corpus: keeps the min-id row of each content group.
+    * Equivalent to dropDuplicates(textCol) but with a deterministic
+    * survivor. */
+  def exactDedup(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val keep = exactGroups(docs, idCol, textCol).select(col("keep_id").as(idCol))
+    docs.join(keep, Seq(idCol), "left_semi")
+  }
+
+  /** Exact n-gram Jaccard similarity between candidate pairs, candidates
+    * blocked on a shared text prefix. Blocking keeps the self-join keyed
+    * (shuffle on the prefix) instead of a cross product; prefix blocking
+    * is the cheapest useful blocker for corpora where near-dups share
+    * their opening (crawl boilerplate, versioned docs). Output:
+    * (doc_a, doc_b, jaccard) for pairs ≥ minJaccard. */
+  def ngramJaccardPairs(docs: DataFrame, idCol: String, textCol: String,
+                        n: Int = 3, prefixLen: Int = 24,
+                        minJaccard: Double = 0.0): DataFrame = {
+    val prepared = docs.select(
+      col(idCol).as("doc"),
+      substring(col(textCol), 1, prefixLen).as("block"),
+      ngramSet(col(textCol), n).as("grams"))
+    val a = prepared.select(col("block"), col("doc").as("doc_a"), col("grams").as("g_a"))
+    val b = prepared.select(col("block"), col("doc").as("doc_b"), col("grams").as("g_b"))
+    val inter = size(array_intersect(col("g_a"), col("g_b")))
+    a.join(b, Seq("block"))
+      .filter(col("doc_a") < col("doc_b"))
+      .select(col("doc_a"), col("doc_b"),
+        (inter.cast("double") / (size(col("g_a")) + size(col("g_b")) - inter)).as("jaccard"))
+      .filter(col("jaccard") >= minJaccard)
+  }
+}

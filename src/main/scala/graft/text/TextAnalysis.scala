@@ -1,0 +1,82 @@
+package graft.text
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import TextFunctions._
+
+/** Text-analysis operators for training-data pipelines: language ID,
+  * quality scoring, token statistics. All pure column expressions —
+  * narrow, codegen-fused, shuffle-free per row — with engine-portable
+  * arithmetic (every division is int→double with identical operand
+  * order, so the oracle matches bitwise).
+  */
+object TextAnalysis {
+
+  /** Stopword lists for the n-gram/stopword language-ID heuristic.
+    * Deliberately tiny: language ID here is a cheap filter, not a model —
+    * the operator shape (per-token membership scoring + argmax) is what a
+    * real lexicon would reuse. */
+  val Stopwords: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "a", "and", "of", "to", "in", "is", "it", "on", "for"),
+    "es" -> Seq("el", "la", "de", "que", "y", "en", "un", "los", "se", "no"),
+    "de" -> Seq("der", "die", "das", "und", "ist", "von", "den", "ein", "zu", "mit"),
+    "fr" -> Seq("le", "la", "de", "et", "un", "est", "les", "des", "en", "une"))
+
+  /** Number of tokens of `toks` found in `words`. Counts occurrences
+    * (not distinct matches). */
+  def stopwordHits(toks: Column, words: Seq[String]): Column =
+    size(filter(toks, t => t.isin(words.map(lit): _*)))
+
+  /** Per-language stopword-hit scores, one column per language. */
+  def languageScores(text: Column): Seq[(String, Column)] = {
+    val toks = tokens(text)
+    Stopwords.map { case (lang, words) => lang -> stopwordHits(toks, words) }
+  }
+
+  /** Argmax language with deterministic first-wins tie-breaking in
+    * Stopwords order; "und" (undetermined) when no stopword hits at all. */
+  def languageId(text: Column): Column = {
+    val scores = languageScores(text)
+    val best = greatest(scores.map(_._2): _*)
+    // foldRight builds the when-chain in Stopwords order → first-wins ties
+    scores.foldRight(lit("und"): Column) { case ((lang, s), rest) =>
+      when(s > 0 && s === best, lit(lang)).otherwise(rest)
+    }
+  }
+
+  /** Quality features + composite score. Returns a struct column with:
+    * n_chars, n_tokens, n_distinct_tokens, avg_token_len, stopword_ratio,
+    * type_token_ratio, quality_score ∈ [0,1]. */
+  def qualityFeatures(text: Column): Column = {
+    val toks = tokens(text)
+    val nChars = length(text).cast("long")
+    val nToks = size(toks).cast("long")
+    val nDistinct = size(array_distinct(toks)).cast("long")
+    val charsInToks = aggregate(transform(toks, t => length(t).cast("long")), lit(0L), _ + _)
+    val avgTokLen = charsInToks.cast("double") / nToks
+    val stopHits = stopwordHits(toks, Stopwords.flatMap(_._2)).cast("long")
+    val stopRatio = stopHits.cast("double") / nToks
+    val ttr = nDistinct.cast("double") / nToks
+    // Composite: reward 3..10-char average tokens, some stopwords, lexical
+    // variety. Pure arithmetic — portable and fully deterministic.
+    val lenOk = when(avgTokLen >= 3 && avgTokLen <= 10, lit(1.0d)).otherwise(lit(0.0d))
+    val score = (lenOk + least(stopRatio * lit(5.0d), lit(1.0d)) + least(ttr * lit(2.0d), lit(1.0d))) / lit(3.0d)
+    struct(
+      nChars.as("n_chars"), nToks.as("n_tokens"), nDistinct.as("n_distinct_tokens"),
+      avgTokLen.as("avg_token_len"), stopRatio.as("stopword_ratio"),
+      ttr.as("type_token_ratio"), score.as("quality_score"))
+  }
+
+  /** Token statistics incl. a BPE-ish subword estimate (≈ chars/4,
+    * the standard planning heuristic when no tokenizer is available). */
+  def tokenStats(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val toks = tokens(col(textCol))
+    docs.select(
+      col(idCol),
+      length(col(textCol)).cast("long").as("n_chars"),
+      size(toks).cast("long").as("n_words"),
+      size(array_distinct(toks)).cast("long").as("n_distinct_words"),
+      floor((length(col(textCol)) + lit(3)) / lit(4)).as("est_bpe_tokens"))
+  }
+}
