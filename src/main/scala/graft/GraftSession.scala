@@ -23,6 +23,10 @@ object GraftSession {
     // events.parquet stores TIMESTAMP(NANOS); Spark has no nanos timestamp
     // type, so read as long and convert (Tables.events).
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    // The reference ran Spark 3.3 defaults (ANSI off): lenient casts,
+    // null-on-malformed to_timestamp (SURVEY.md §1.2 schema-drift
+    // semantics). Spark 4 flips ANSI on; flip it back for parity.
+    spark.conf.set("spark.sql.ansi.enabled", "false")
     spark.conf.set("spark.sql.adaptive.enabled", "true")
     spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "true")
     // Deterministic parquet output for the DuckDB oracle compare.

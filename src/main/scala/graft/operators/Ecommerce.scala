@@ -46,7 +46,7 @@ object Ecommerce {
       .select(from_json(col("json_string"), orderSchema).alias("data"), col("kafka_timestamp"))
       .select(col("data.*"), col("kafka_timestamp"))
       .withColumn("processing_time", current_timestamp())
-      .withColumn("event_timestamp", to_timestamp(col("timestamp")))
+      .withColumn("event_timestamp", try_to_timestamp(col("timestamp")))
       .filter(col("event_timestamp").isNotNull)
 
   /** Flagship query — `create_windowed_aggregations`

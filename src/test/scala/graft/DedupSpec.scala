@@ -1,0 +1,65 @@
+package graft
+
+import graft.dedup.{Dedup, MinHashLSH, SimHash}
+
+/** Behavioral checks for the dedup family on crafted near-duplicates
+  * (the DuckDB oracle checks determinism; these check the *semantics*:
+  * near-dups pair up, unrelated docs don't). */
+class DedupSpec extends SparkSpec {
+
+  private val base = "the quick brown fox jumps over the lazy dog while the cat watches the birds sing in the morning light"
+  private val nearDup = base.replace("morning", "evening")
+  private val unrelated = "completely different words appear here with zero overlap among any shingles of this sentence at all"
+
+  private def docs = {
+    import spark.implicits._
+    Seq((0L, base), (1L, nearDup), (2L, unrelated), (3L, base))
+      .toDF("doc_id", "text")
+  }
+
+  test("minhash LSH pairs near-duplicates, not unrelated docs") {
+    import spark.implicits._
+    val pairs = MinHashLSH.nearDuplicates(docs, "doc_id", "text", minJaccard = 0.3)
+      .select("doc_a", "doc_b", "est_jaccard")
+      .as[(Long, Long, Double)].collect()
+      .map { case (a, b, j) => (a, b) -> j }.toMap
+    assert(pairs.contains((0L, 3L)) && pairs((0L, 3L)) === 1.0) // exact copy
+    assert(pairs.contains((0L, 1L)) && pairs((0L, 1L)) >= 0.3)  // near dup
+    assert(!pairs.keys.exists { case (a, b) => b == 2L || a == 2L }) // unrelated never pairs
+  }
+
+  test("simhash: identical docs hash equal; near-dups within small Hamming distance") {
+    import spark.implicits._
+    val fps = SimHash.fingerprints(docs, "doc_id", "text")
+      .as[(Long, Long)].collect().toMap
+    assert(fps(0L) === fps(3L))
+    val hamming01 = java.lang.Long.bitCount(fps(0L) ^ fps(1L))
+    val hamming02 = java.lang.Long.bitCount(fps(0L) ^ fps(2L))
+    assert(hamming01 < hamming02, s"near-dup $hamming01 should beat unrelated $hamming02")
+    val pairs = SimHash.pairsWithinHamming(
+      SimHash.fingerprints(docs, "doc_id", "text"), "doc_id", maxHamming = hamming01)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    assert(pairs.contains((0L, 3L)) && pairs.contains((0L, 1L)))
+  }
+
+  test("exact dedup keeps the min-id survivor of each content group") {
+    import spark.implicits._
+    val kept = Dedup.exactDedup(docs, "doc_id", "text")
+      .select("doc_id").as[Long].collect().sorted
+    assert(kept.toSeq === Seq(0L, 1L, 2L)) // 3 is the dup of 0
+    val groups = Dedup.exactGroups(docs, "doc_id", "text")
+      .select("keep_id", "n_copies").as[(Long, Long)].collect().toMap
+    assert(groups(0L) === 2L)
+  }
+
+  test("ngram jaccard: identical docs = 1.0, near-dups high, blocking works") {
+    import spark.implicits._
+    val pairs = Dedup.ngramJaccardPairs(docs, "doc_id", "text", n = 3, prefixLen = 24)
+      .select("doc_a", "doc_b", "jaccard").as[(Long, Long, Double)].collect()
+      .map { case (a, b, j) => (a, b) -> j }.toMap
+    assert(pairs((0L, 3L)) === 1.0)
+    assert(pairs((0L, 1L)) > 0.8 && pairs((0L, 1L)) < 1.0)
+    // unrelated doc shares no 24-char prefix → never a candidate
+    assert(!pairs.keys.exists { case (a, b) => b == 2L || a == 2L })
+  }
+}

@@ -1,0 +1,31 @@
+package graft
+
+/** Every registered query runs at sf0.001 and produces a sane result;
+  * the flagship entry produces rows (the driver's smoke check). */
+class QueriesSmokeSpec extends SparkSpec {
+
+  private val sfDir = "/root/testdata/sf0.001"
+
+  // pair-mining queries may legitimately be empty at the smallest SF
+  private val mayBeEmpty = Set(
+    "q14_anti_join_not_exists", "q21_dedup_minhash_lsh",
+    "q23_dedup_ngram_jaccard", "q24_dedup_embedding_cosine")
+
+  test("entry (flagship) returns rows") {
+    assert(SparkEntry.entry(spark).count() > 0)
+  }
+
+  test("every query has oracle SQL or is explicitly rows-only") {
+    val missing = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
+    assert(missing.isEmpty, s"queries without oracle: $missing")
+  }
+
+  for ((name, fn) <- SparkEntry.queries.toSeq.sortBy(_._1)) {
+    test(s"$name runs at sf0.001") {
+      val df = fn(spark, sfDir)
+      assert(df.columns.nonEmpty)
+      val n = df.count()
+      if (!mayBeEmpty(name)) assert(n > 0, s"$name returned 0 rows")
+    }
+  }
+}

@@ -1,0 +1,65 @@
+package graft
+
+import graft.multimodal.Multimodal
+import graft.similarity.Knn
+
+/** Similarity-search semantics: exact ranking, LSH bucket recall on easy
+  * cases, blocked pair mining; multimodal decode/frame plumbing. */
+class SimilaritySpec extends SparkSpec {
+
+  private def vec(xs: Double*): Array[Float] = xs.map(_.toFloat).toArray
+
+  private def embeddings = {
+    import spark.implicits._
+    Seq(
+      (0L, vec(1.0, 0.0, 0.0, 0.0), 0),
+      (1L, vec(0.9, 0.1, 0.0, 0.0), 0),  // nearly parallel to query
+      (2L, vec(0.0, 1.0, 0.0, 0.0), 0),  // orthogonal
+      (3L, vec(-1.0, 0.0, 0.0, 0.0), 1), // opposite
+      (4L, vec(0.5, 0.5, 0.0, 0.0), 0)
+    ).toDF("vec_id", "embedding", "label")
+  }
+
+  test("brute-force top-k ranks by exact cosine with deterministic ties") {
+    import spark.implicits._
+    val top = Knn.bruteForceTopK(embeddings, "vec_id", "embedding", queryId = 0L, k = 4)
+      .as[(Long, Double)].collect()
+    assert(top.map(_._1).toSeq === Seq(1L, 4L, 2L, 3L))
+    assert(top(0)._2 > 0.99 && math.abs(top(1)._2 - math.sqrt(0.5)) < 0.01)
+    assert(math.abs(top(2)._2) < 0.01 && top(3)._2 < -0.99)
+  }
+
+  test("sign-LSH buckets colinear vectors together; probe finds the near neighbor") {
+    import spark.implicits._
+    val top = Knn.lshTopK(embeddings, "vec_id", "embedding", queryId = 0L, k = 4, planes = 6)
+      .as[(Long, Double)].collect()
+    // vec 1 points the same way as the query → identical projection signs →
+    // same bucket → must be found
+    assert(top.map(_._1).contains(1L))
+    // the opposite vector can never share the bucket
+    assert(!top.map(_._1).contains(3L))
+  }
+
+  test("blocked similar-pairs mines within blocks only") {
+    import spark.implicits._
+    val pairs = Knn.similarPairsWithinBlocks(embeddings, "vec_id", "embedding", "label", minCosine = 0.9)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(pairs === Set((0L, 1L))) // only near-parallel pair in label 0
+  }
+
+  test("multimodal: stub decode is deterministic; frame sampling slices payloads") {
+    import spark.implicits._
+    val docs = Seq((1L, "abcdefghij" * 20), (2L, "xyz")).toDF("doc_id", "text")
+    val assets = Multimodal.assetsFromText(docs, "doc_id", "text")
+    val meta = Multimodal.decodeAssets(assets).collect().map(m => m.asset_id -> m).toMap
+    assert(meta(1L).n_bytes === 200 && meta(2L).n_bytes === 3)
+    assert(meta(1L).channels === 3 && meta(1L).width >= 16 && meta(1L).height >= 16)
+    // determinism: same payload → same fake dims
+    val meta2 = Multimodal.decodeAssets(assets).collect().map(m => m.asset_id -> m).toMap
+    assert(meta(1L).width === meta2(1L).width && meta(1L).height === meta2(1L).height)
+
+    val frames = Multimodal.sampleFrames(assets, frameSize = 16, stride = 4)
+    val f1 = frames.filter($"asset_id" === 1L).count()
+    assert(f1 === (200 - 1) / 64 + 1) // every 4th 16-byte frame
+  }
+}
