@@ -42,6 +42,25 @@ object Dedup {
     val prepared = docs.select(
       col(idCol).as("doc"),
       substring(col(textCol), 1, prefixLen).as("block"),
+      col(textCol).as("t"))
+    val a = prepared.select(col("block"), col("doc").as("doc_a"), col("t").as("t_a"))
+    val b = prepared.select(col("block"), col("doc").as("doc_b"), col("t").as("t_b"))
+    a.join(b, Seq("block"))
+      .filter(col("doc_a") < col("doc_b"))
+      .select(col("doc_a"), col("doc_b"),
+        graft.functions.expressions.ngram_jaccard(col("t_a"), col("t_b"), n).as("jaccard"))
+      .filter(col("jaccard") >= minJaccard)
+  }
+
+  /** Reference HOF implementation of ngramJaccardPairs (interpreted
+    * array_intersect over materialized gram arrays) — the executable spec
+    * the NGramJaccard kernel is tested against. */
+  def ngramJaccardPairsHof(docs: DataFrame, idCol: String, textCol: String,
+                           n: Int = 3, prefixLen: Int = 24,
+                           minJaccard: Double = 0.0): DataFrame = {
+    val prepared = docs.select(
+      col(idCol).as("doc"),
+      substring(col(textCol), 1, prefixLen).as("block"),
       ngramSet(col(textCol), n).as("grams"))
     val a = prepared.select(col("block"), col("doc").as("doc_a"), col("grams").as("g_a"))
     val b = prepared.select(col("block"), col("doc").as("doc_b"), col("grams").as("g_b"))

@@ -44,9 +44,23 @@ object MinHashLSH {
     array_min(transform(shingles, h => (h * lit(2L * j + 1) + lit(7919L * j)) % lit(Mod)))
 
   /** doc id + minhash signature (array<long>, length numHashes).
-    * Documents with fewer than shingleK tokens are dropped (no shingles). */
+    * Documents with fewer than shingleK tokens are dropped (no shingles).
+    * Computed by the codegen'd MinHashSignature expression — one fused
+    * pass per document (see graft.functions.GraftHash.minhashSig); the
+    * HOF composition below (signaturesHof) is the executable spec it is
+    * tested against. */
   def signatures(docs: DataFrame, idCol: String, textCol: String,
-                 cfg: Config = Config()): DataFrame = {
+                 cfg: Config = Config()): DataFrame =
+    docs
+      .select(
+        col(idCol),
+        graft.functions.expressions.minhash_signature(col(textCol), cfg.numHashes, cfg.shingleK).as("sig"))
+      .filter(col("sig").isNotNull)
+
+  /** Reference implementation of `signatures` in pure higher-order
+    * functions (slower: interpreted, recomputes shingles per hash). */
+  def signaturesHof(docs: DataFrame, idCol: String, textCol: String,
+                    cfg: Config = Config()): DataFrame = {
     val sh = wordShingleSet(col(textCol), cfg.shingleK)
     docs
       .filter(size(tokens(col(textCol))) >= cfg.shingleK)

@@ -22,8 +22,15 @@ object SimHash {
 
   val Bits = 30
 
-  /** (id, simhash long) per document. */
-  def fingerprints(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+  /** (id, simhash long) per document — one narrow codegen'd pass, no
+    * shuffle (graft.functions.GraftHash.simhash). */
+  def fingerprints(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    docs.select(col(idCol), graft.functions.expressions.simhash64(col(textCol), Bits).as("simhash"))
+
+  /** Reference implementation via explode + two keyed aggregations —
+    * the executable spec `fingerprints` is tested against. Shuffles
+    * O(docs × bits); kept for cross-validation only. */
+  def fingerprintsByAggregation(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
     docs
       .select(col(idCol).as("doc"), explode(tokens(col(textCol))).as("tok"))
       .select(col("doc"), polyHash(col("tok")).as("h"))

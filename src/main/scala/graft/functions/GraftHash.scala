@@ -1,0 +1,175 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Single-pass JVM kernels behind graft's codegen'd hash/similarity
+  * expressions (graft.functions.expressions).
+  *
+  * Each kernel computes EXACTLY the arithmetic of its higher-order-
+  * function reference implementation in graft.text.TextFunctions /
+  * graft.similarity.VectorOps (which the DuckDB oracle mirrors):
+  * byte-wise folds equal the code-point folds for ASCII text — the only
+  * text these pipelines hash before normalization. The HOF forms stay as
+  * the executable spec; KernelParitySpec asserts kernel == HOF.
+  *
+  * Why kernels at all: Spark's higher-order functions (transform /
+  * aggregate / zip_with) evaluate interpreted — per-element closure calls
+  * and boxed allocation — and nested lambdas defeat both whole-stage
+  * codegen and common-subexpression elimination, so a 16-hash minhash
+  * recomputes tokenization 16×. One fused loop per document is 2-3 orders
+  * of magnitude less work, and the expression stays inside codegen via a
+  * static call.
+  */
+object GraftHash {
+
+  val Mod = 1000000007L
+  val Mod2 = 998244353L
+
+  /** fold(chars, 0, (h,c) => (h*base + c) % mod) over the UTF-8 bytes. */
+  def polyHash(s: UTF8String, base: Long, mod: Long): Long = {
+    val n = s.numBytes
+    var h = 0L
+    var i = 0
+    while (i < n) { h = (h * base + (s.getByte(i) & 0xff)) % mod; i += 1 }
+    h
+  }
+
+  /** Dual-modulus fingerprint: h1(base 31, Mod)·Mod2 + h2(base 131, Mod2). */
+  def fingerprint(s: UTF8String): Long = {
+    val n = s.numBytes
+    var h1 = 0L
+    var h2 = 0L
+    var i = 0
+    while (i < n) {
+      val c = s.getByte(i) & 0xff
+      h1 = (h1 * 31 + c) % Mod
+      h2 = (h2 * 131 + c) % Mod2
+      i += 1
+    }
+    h1 * Mod2 + h2
+  }
+
+  /** Hashes of the non-empty single-space-delimited tokens of `s`. */
+  def tokenHashes(s: UTF8String): Array[Long] = {
+    val n = s.numBytes
+    val out = new java.util.ArrayList[java.lang.Long](16)
+    var h = 0L
+    var inTok = false
+    var i = 0
+    while (i < n) {
+      val b = s.getByte(i) & 0xff
+      if (b == ' ') {
+        if (inTok) { out.add(h); h = 0L; inTok = false }
+      } else {
+        h = (h * 31 + b) % Mod
+        inTok = true
+      }
+      i += 1
+    }
+    if (inTok) out.add(h)
+    val arr = new Array[Long](out.size)
+    var j = 0
+    while (j < arr.length) { arr(j) = out.get(j); j += 1 }
+    arr
+  }
+
+  /** MinHash signature over k-word shingles; null when the document has
+    * fewer than k tokens. h_j(x) = ((2j+1)·x + 7919j) % Mod; shingle hash
+    * is the base-31 fold of k consecutive token hashes (single final mod,
+    * matching TextFunctions.wordShingleSet). Distinctness of shingles is
+    * irrelevant under min, so no dedup pass. */
+  def minhashSig(s: UTF8String, numHashes: Int, k: Int): ArrayData = {
+    val th = tokenHashes(s)
+    if (th.length < k) return null
+    val sig = new Array[Long](numHashes)
+    java.util.Arrays.fill(sig, Long.MaxValue)
+    var i = 0
+    val last = th.length - k
+    while (i <= last) {
+      var sh = th(i)
+      var j = 1
+      while (j < k) { sh = sh * 31 + th(i + j); j += 1 }
+      sh %= Mod
+      var q = 0
+      while (q < numHashes) {
+        val v = (sh * (2 * q + 1) + 7919L * q) % Mod
+        if (v < sig(q)) sig(q) = v
+        q += 1
+      }
+      i += 1
+    }
+    new GenericArrayData(sig)
+  }
+
+  /** SimHash: every token votes ±1 per bit of its hash; sign of the vote
+    * total sets the fingerprint bit (ties → 1, matching vote >= 0). */
+  def simhash(s: UTF8String, bits: Int): Long = {
+    val th = tokenHashes(s)
+    val votes = new Array[Int](bits)
+    var i = 0
+    while (i < th.length) {
+      val h = th(i)
+      var b = 0
+      while (b < bits) {
+        if (((h >> b) & 1L) == 1L) votes(b) += 1 else votes(b) -= 1
+        b += 1
+      }
+      i += 1
+    }
+    var fp = 0L
+    var b = 0
+    while (b < bits) { if (votes(b) >= 0) fp |= 1L << b; b += 1 }
+    fp
+  }
+
+  /** Exact n-gram Jaccard of two strings for n ≤ 8: each n-byte gram
+    * packs losslessly into one long (no hash collisions), distinct sets
+    * via a HashSet, |I| / (|A|+|B|−|I|) with the same operand order as
+    * the array_intersect/size reference form. */
+  def ngramJaccard(a: UTF8String, b: UTF8String, n: Int): Double = {
+    require(n <= 8, "n-gram pack supports n <= 8 bytes")
+    def gramSet(s: UTF8String): java.util.HashSet[java.lang.Long] = {
+      val set = new java.util.HashSet[java.lang.Long]()
+      val len = s.numBytes
+      var i = 0
+      while (i + n <= len) {
+        var g = 0L
+        var j = 0
+        while (j < n) { g = (g << 8) | (s.getByte(i + j) & 0xffL); j += 1 }
+        set.add(g)
+        i += 1
+      }
+      set
+    }
+    val sa = gramSet(a)
+    val sb = gramSet(b)
+    val la = sa.size
+    val lb = sb.size
+    var inter = 0
+    val it = (if (la <= lb) sa else sb).iterator()
+    val other = if (la <= lb) sb else sa
+    while (it.hasNext) if (other.contains(it.next())) inter += 1
+    inter.toDouble / (la + lb - inter)
+  }
+
+  /** Quantized cosine of two float vectors: q = floor(x·512 + 0.5) per
+    * element (exact: 512 is a power of two), integer dot/norms, one
+    * double division — bit-identical to VectorOps.cosineQ∘quantize. */
+  def cosineQ(a: ArrayData, b: ArrayData): Double = {
+    val n = a.numElements()
+    var dot = 0L
+    var na = 0L
+    var nb = 0L
+    var i = 0
+    while (i < n) {
+      val x = math.floor(a.getFloat(i) * 512.0d + 0.5d).toLong
+      val y = math.floor(b.getFloat(i) * 512.0d + 0.5d).toLong
+      dot += x * y
+      na += x * x
+      nb += y * y
+      i += 1
+    }
+    dot.toDouble / math.sqrt(na.toDouble * nb.toDouble)
+  }
+}

@@ -1,0 +1,112 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.graftbridge.Bridge
+import org.apache.spark.sql.types._
+
+/** Native Catalyst expressions for graft's hash/similarity hot paths
+  * (preference order (b) of the operator playbook: a codegen'd Expression
+  * beats interpreted higher-order functions, long before a custom
+  * physical operator is warranted).
+  *
+  * Each expression generates a call to a GraftHash static kernel, so the
+  * projection stays inside whole-stage codegen (the pattern of Spark's
+  * own StaticInvoke) and evaluates one fused loop per row instead of
+  * nested interpreted lambdas.
+  */
+object expressions {
+
+  private val G = "graft.functions.GraftHash"
+
+  /** Polynomial rolling hash of a string column (base/mod configurable). */
+  case class PolyHash(child: Expression, base: Long = 31L, mod: Long = GraftHash.Mod)
+      extends UnaryExpression {
+    override def dataType: DataType = LongType
+    override protected def nullSafeEval(v: Any): Any =
+      GraftHash.polyHash(v.asInstanceOf[org.apache.spark.unsafe.types.UTF8String], base, mod)
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      defineCodeGen(ctx, ev, c => s"$G.polyHash($c, ${base}L, ${mod}L)")
+    override protected def withNewChildInternal(c: Expression): PolyHash = copy(child = c)
+  }
+
+  /** Dual-modulus 60-bit content fingerprint. */
+  case class Fingerprint(child: Expression) extends UnaryExpression {
+    override def dataType: DataType = LongType
+    override protected def nullSafeEval(v: Any): Any =
+      GraftHash.fingerprint(v.asInstanceOf[org.apache.spark.unsafe.types.UTF8String])
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      defineCodeGen(ctx, ev, c => s"$G.fingerprint($c)")
+    override protected def withNewChildInternal(c: Expression): Fingerprint = copy(child = c)
+  }
+
+  /** MinHash signature (array<long>, length numHashes) over k-word
+    * shingles; null for documents with fewer than k tokens. */
+  case class MinHashSignature(child: Expression, numHashes: Int, shingleK: Int)
+      extends UnaryExpression {
+    override def dataType: DataType = ArrayType(LongType, containsNull = false)
+    override def nullable: Boolean = true // short docs yield null
+    override protected def nullSafeEval(v: Any): Any =
+      GraftHash.minhashSig(v.asInstanceOf[org.apache.spark.unsafe.types.UTF8String], numHashes, shingleK)
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      val code = nullSafeCodeGen(ctx, ev, c => {
+        s"""
+         ${ev.value} = $G.minhashSig($c, $numHashes, $shingleK);
+         if (${ev.value} == null) { ${ev.isNull} = true; }
+         """
+      })
+      code
+    }
+    override protected def withNewChildInternal(c: Expression): MinHashSignature = copy(child = c)
+  }
+
+  /** SimHash fingerprint (token ±1 votes over `bits` bit positions). */
+  case class SimHash64(child: Expression, bits: Int) extends UnaryExpression {
+    override def dataType: DataType = LongType
+    override protected def nullSafeEval(v: Any): Any =
+      GraftHash.simhash(v.asInstanceOf[org.apache.spark.unsafe.types.UTF8String], bits)
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      defineCodeGen(ctx, ev, c => s"$G.simhash($c, $bits)")
+    override protected def withNewChildInternal(c: Expression): SimHash64 = copy(child = c)
+  }
+
+  /** Quantized cosine similarity of two array<float> columns. */
+  case class QuantizedCosine(left: Expression, right: Expression)
+      extends BinaryExpression {
+    override def dataType: DataType = DoubleType
+    override protected def nullSafeEval(a: Any, b: Any): Any =
+      GraftHash.cosineQ(a.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData],
+        b.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData])
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      defineCodeGen(ctx, ev, (a, b) => s"$G.cosineQ($a, $b)")
+    override protected def withNewChildrenInternal(l: Expression, r: Expression): QuantizedCosine =
+      copy(left = l, right = r)
+  }
+
+  /** Exact n-gram Jaccard similarity of two string columns (n ≤ 8). */
+  case class NGramJaccard(left: Expression, right: Expression, n: Int)
+      extends BinaryExpression {
+    override def dataType: DataType = DoubleType
+    override protected def nullSafeEval(a: Any, b: Any): Any =
+      GraftHash.ngramJaccard(a.asInstanceOf[org.apache.spark.unsafe.types.UTF8String],
+        b.asInstanceOf[org.apache.spark.unsafe.types.UTF8String], n)
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      defineCodeGen(ctx, ev, (a, b) => s"$G.ngramJaccard($a, $b, $n)")
+    override protected def withNewChildrenInternal(l: Expression, r: Expression): NGramJaccard =
+      copy(left = l, right = r)
+  }
+
+  // ---- Column-level API ----
+
+  def poly_hash(c: Column): Column = Bridge.column(PolyHash(Bridge.expression(c)))
+  def text_fingerprint(c: Column): Column = Bridge.column(Fingerprint(Bridge.expression(c)))
+  def minhash_signature(c: Column, numHashes: Int, k: Int): Column =
+    Bridge.column(MinHashSignature(Bridge.expression(c), numHashes, k))
+  def simhash64(c: Column, bits: Int = 30): Column =
+    Bridge.column(SimHash64(Bridge.expression(c), bits))
+  def quantized_cosine(a: Column, b: Column): Column =
+    Bridge.column(QuantizedCosine(Bridge.expression(a), Bridge.expression(b)))
+  def ngram_jaccard(a: Column, b: Column, n: Int): Column =
+    Bridge.column(NGramJaccard(Bridge.expression(a), Bridge.expression(b), n))
+}

@@ -242,7 +242,7 @@ object ExtensionQueries extends QueryGroup {
     "q29_text_fingerprint",
     (spark, dir) => {
       Tables.documents(spark, dir)
-        .select(col("doc_id"), fingerprint(col("text")).as("fp"))
+        .select(col("doc_id"), graft.functions.expressions.text_fingerprint(col("text")).as("fp"))
         .orderBy("doc_id")
     },
     Some("""

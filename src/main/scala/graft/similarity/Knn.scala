@@ -31,13 +31,13 @@ object Knn {
   def bruteForceTopK(embeddings: DataFrame, idCol: String, vecCol: String,
                      queryId: Long, k: Int): DataFrame = {
     val q = embeddings.filter(col(idCol) === queryId)
-      .select(quantize(col(vecCol)).as("q_vec"))
+      .select(col(vecCol).as("q_vec"))
     embeddings
       .filter(col(idCol) =!= queryId)
       .crossJoin(broadcast(q))
       .select(
         col(idCol),
-        cosineQ(quantize(col(vecCol)), col("q_vec")).as("cosine"))
+        graft.functions.expressions.quantized_cosine(col(vecCol), col("q_vec")).as("cosine"))
       .orderBy(col("cosine").desc, col(idCol))
       .limit(k)
   }
@@ -64,11 +64,11 @@ object Knn {
               queryId: Long, k: Int, planes: Int = 8): DataFrame = {
     val bucketed = embeddings.select(col(idCol), col(vecCol), lshBucket(col(vecCol), planes).as("bucket"))
     val q = bucketed.filter(col(idCol) === queryId)
-      .select(quantize(col(vecCol)).as("q_vec"), col("bucket"))
+      .select(col(vecCol).as("q_vec"), col("bucket"))
     bucketed
       .filter(col(idCol) =!= queryId)
       .join(broadcast(q), Seq("bucket"))
-      .select(col(idCol), cosineQ(quantize(col(vecCol)), col("q_vec")).as("cosine"))
+      .select(col(idCol), graft.functions.expressions.quantized_cosine(col(vecCol), col("q_vec")).as("cosine"))
       .orderBy(col("cosine").desc, col(idCol))
       .limit(k)
   }
@@ -79,13 +79,13 @@ object Knn {
   def similarPairsWithinBlocks(embeddings: DataFrame, idCol: String, vecCol: String,
                                blockCol: String, minCosine: Double): DataFrame = {
     val prepared = embeddings.select(
-      col(blockCol).as("block"), col(idCol).as("id"),
-      quantize(col(vecCol)).as("q"))
-    val a = prepared.select(col("block"), col("id").as("id_a"), col("q").as("q_a"))
-    val b = prepared.select(col("block"), col("id").as("id_b"), col("q").as("q_b"))
+      col(blockCol).as("block"), col(idCol).as("id"), col(vecCol).as("v"))
+    val a = prepared.select(col("block"), col("id").as("id_a"), col("v").as("v_a"))
+    val b = prepared.select(col("block"), col("id").as("id_b"), col("v").as("v_b"))
     a.join(b, Seq("block"))
       .filter(col("id_a") < col("id_b"))
-      .select(col("block"), col("id_a"), col("id_b"), cosineQ(col("q_a"), col("q_b")).as("cosine"))
+      .select(col("block"), col("id_a"), col("id_b"),
+        graft.functions.expressions.quantized_cosine(col("v_a"), col("v_b")).as("cosine"))
       .filter(col("cosine") > minCosine)
   }
 }

@@ -1,0 +1,71 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.dedup.{MinHashLSH, SimHash}
+import graft.functions.expressions._
+import graft.similarity.VectorOps
+import graft.text.TextFunctions
+
+/** The codegen'd kernels (graft.functions.GraftHash) must equal their
+  * higher-order-function reference implementations bit-for-bit on real
+  * data — the HOF forms are what the DuckDB oracle mirrors, so this is
+  * the bridge that keeps the fast path inside the correctness gate. */
+class KernelParitySpec extends SparkSpec {
+
+  private val sfDir = "/root/testdata/sf0.001"
+  private def docs = Tables.documents(spark, sfDir)
+
+  test("PolyHash kernel == HOF char fold") {
+    val mismatches = docs
+      .select(TextFunctions.polyHash(col("text")).as("hof"), poly_hash(col("text")).as("fast"))
+      .filter(col("hof") =!= col("fast")).count()
+    assert(mismatches === 0)
+  }
+
+  test("Fingerprint kernel == HOF dual fold") {
+    val mismatches = docs
+      .select(TextFunctions.fingerprint(col("text")).as("hof"), text_fingerprint(col("text")).as("fast"))
+      .filter(col("hof") =!= col("fast")).count()
+    assert(mismatches === 0)
+  }
+
+  test("MinHashSignature kernel == HOF signature pipeline") {
+    val cfg = MinHashLSH.Config()
+    val fast = MinHashLSH.signatures(docs, "doc_id", "text", cfg)
+    val hof = MinHashLSH.signaturesHof(docs, "doc_id", "text", cfg)
+    assert(fast.count() === hof.count())
+    val joined = fast.alias("f").join(hof.alias("h"), "doc_id")
+      .filter(col("f.sig") =!= col("h.sig"))
+    assert(joined.count() === 0)
+  }
+
+  test("SimHash64 kernel == aggregation pipeline") {
+    val fast = SimHash.fingerprints(docs, "doc_id", "text")
+    val agg = SimHash.fingerprintsByAggregation(docs, "doc_id", "text")
+    val diff = fast.alias("f").join(agg.alias("a"), "doc_id")
+      .filter(col("f.simhash") =!= col("a.simhash")).count()
+    assert(diff === 0)
+  }
+
+  test("NGramJaccard kernel == HOF array_intersect form") {
+    import graft.dedup.Dedup
+    val fast = Dedup.ngramJaccardPairs(docs, "doc_id", "text").orderBy("doc_a", "doc_b")
+    val hof = Dedup.ngramJaccardPairsHof(docs, "doc_id", "text").orderBy("doc_a", "doc_b")
+    val f = fast.collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    val h = hof.collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(f === h)
+  }
+
+  test("QuantizedCosine kernel == HOF quantize∘cosine") {
+    val e = Tables.embeddings(spark, sfDir).limit(200)
+    val a = e.select(col("vec_id").as("id_a"), col("embedding").as("v_a"))
+    val b = e.select(col("vec_id").as("id_b"), col("embedding").as("v_b"))
+    val pairs = a.crossJoin(b).filter(col("id_a") < col("id_b")).limit(5000)
+    val diff = pairs.select(
+      VectorOps.cosineQ(VectorOps.quantize(col("v_a")), VectorOps.quantize(col("v_b"))).as("hof"),
+      quantized_cosine(col("v_a"), col("v_b")).as("fast"))
+      .filter(col("hof") =!= col("fast")).count() // bitwise double equality
+    assert(diff === 0)
+  }
+}
