@@ -15,7 +15,8 @@ object SparkEntry {
   private val groups: Seq[QueryGroup] = Seq(
     ReferenceQueries,
     RelationalQueries,
-    ExtensionQueries)
+    ExtensionQueries,
+    AdvancedQueries)
 
   private lazy val all: Seq[QueryDef] = groups.flatMap(_.defs)
 

@@ -1,0 +1,122 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.operators.Skew
+import graft.similarity.Ivf
+
+/** Scale-path operators: the SQL entry point, IVF approximate nearest
+  * neighbor, and explicit skew-salted joins. */
+object AdvancedQueries extends QueryGroup {
+
+  private val revenueSql =
+    "CAST(floor(l_extendedprice*100 + 0.5) AS BIGINT) * (100 - CAST(floor(l_discount*100 + 0.5) AS BIGINT))"
+
+  /** The spark.sql(...) surface: TPC-H Q5 shape (6-way join + agg)
+    * written as SQL over registered views — same text modulo view names
+    * runs on the oracle. */
+  private val q31 = QueryDef(
+    "q31_sql_api_tpch_q5",
+    (spark, dir) => {
+      Seq("customer", "orders", "lineitem", "supplier", "nation", "region")
+        .foreach(n => Tables.table(spark, dir, n).createOrReplaceTempView(s"graft_$n"))
+      spark.sql(s"""
+        SELECT n_name, CAST(sum($revenueSql) AS DOUBLE)/10000 AS revenue
+        FROM graft_customer, graft_orders, graft_lineitem, graft_supplier, graft_nation, graft_region
+        WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey AND l_suppkey = s_suppkey
+          AND c_nationkey = s_nationkey AND s_nationkey = n_nationkey AND n_regionkey = r_regionkey
+          AND r_name = 'ASIA'
+          AND o_orderdate >= TIMESTAMP '1995-01-01' AND o_orderdate < TIMESTAMP '1997-01-01'
+        GROUP BY n_name ORDER BY revenue DESC, n_name
+      """)
+    },
+    Some(s"""
+      SELECT n_name, CAST(sum($revenueSql) AS DOUBLE)/10000 AS revenue
+      FROM customer, orders, lineitem, supplier, nation, region
+      WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey AND l_suppkey = s_suppkey
+        AND c_nationkey = s_nationkey AND s_nationkey = n_nationkey AND n_regionkey = r_regionkey
+        AND r_name = 'ASIA'
+        AND o_orderdate >= TIMESTAMP '1995-01-01' AND o_orderdate < TIMESTAMP '1997-01-01'
+      GROUP BY n_name ORDER BY revenue DESC, n_name
+    """))
+
+  /** IVF approximate top-k: one-Lloyd-step integer k-means index (8
+    * cells), probe the 2 cells nearest the query — the scale path next
+    * to q25's exact scan. Oracle reproduces the full build+probe in SQL.
+    */
+  private val q32 = QueryDef(
+    "q32_ivf_ann_topk",
+    (spark, dir) => {
+      val (assignments, centroids) = Ivf.build(Tables.embeddings(spark, dir), "vec_id", "embedding", k = 8)
+      Ivf.probeTopK(assignments, centroids, queryId = 0L, k = 10, nprobe = 2)
+        .withColumnRenamed("id", "vec_id")
+    },
+    Some("""
+      WITH base AS (
+        SELECT vec_id AS id, list_transform(embedding, x -> CAST(floor(x*512 + 0.5) AS BIGINT)) AS qv
+        FROM embeddings),
+      dims AS (SELECT unnest(range(1, 65)) AS dim),
+      seeded AS (SELECT id, qv, id % 8 AS cluster FROM base),
+      cent0 AS (
+        SELECT cluster, list(m ORDER BY dim) AS centroid FROM (
+          SELECT cluster, d.dim, CAST(floor(sum(qv[d.dim])/count(*)) AS BIGINT) AS m
+          FROM seeded CROSS JOIN dims d GROUP BY cluster, d.dim)
+        GROUP BY cluster),
+      scored AS (
+        SELECT b.id, b.qv, c.cluster,
+          CAST(list_sum(list_transform(range(1, 65), i -> b.qv[i]*c.centroid[i])) AS DOUBLE)
+            / sqrt(CAST(list_sum(list_transform(b.qv, x -> x*x)) AS DOUBLE)
+                 * CAST(list_sum(list_transform(c.centroid, x -> x*x)) AS DOUBLE)) AS cos
+        FROM base b CROSS JOIN cent0 c),
+      assigned AS (
+        SELECT id, qv, cluster FROM scored
+        QUALIFY row_number() OVER (PARTITION BY id ORDER BY cos DESC, cluster) = 1),
+      cent1 AS (
+        SELECT cluster, list(m ORDER BY dim) AS centroid FROM (
+          SELECT cluster, d.dim, CAST(floor(sum(qv[d.dim])/count(*)) AS BIGINT) AS m
+          FROM assigned CROSS JOIN dims d GROUP BY cluster, d.dim)
+        GROUP BY cluster),
+      qrow AS (SELECT qv AS q_qv FROM base WHERE id = 0),
+      cells AS (
+        SELECT c.cluster FROM cent1 c CROSS JOIN qrow
+        ORDER BY
+          CAST(list_sum(list_transform(range(1, 65), i -> q_qv[i]*c.centroid[i])) AS DOUBLE)
+            / sqrt(CAST(list_sum(list_transform(q_qv, x -> x*x)) AS DOUBLE)
+                 * CAST(list_sum(list_transform(c.centroid, x -> x*x)) AS DOUBLE)) DESC,
+          c.cluster
+        LIMIT 2)
+      SELECT a.id AS vec_id,
+        CAST(list_sum(list_transform(range(1, 65), i -> a.qv[i]*q_qv[i])) AS DOUBLE)
+          / sqrt(CAST(list_sum(list_transform(a.qv, x -> x*x)) AS DOUBLE)
+               * CAST(list_sum(list_transform(q_qv, x -> x*x)) AS DOUBLE)) AS cosine
+      FROM assigned a JOIN cells USING (cluster) CROSS JOIN qrow
+      WHERE a.id <> 0
+      ORDER BY cosine DESC, vec_id LIMIT 10
+    """))
+
+  /** Salted fact⋈dim join (8 salts): result identical to the plain join —
+    * salting only changes partitioning, which is the point. */
+  private val q33 = QueryDef(
+    "q33_salted_join",
+    (spark, dir) => {
+      val lineitem = Tables.lineitem(spark, dir)
+      val orders = Tables.orders(spark, dir)
+        .select(col("o_orderkey").as("l_orderkey"), col("o_orderpriority"))
+      Skew.saltedJoin(lineitem, orders, "l_orderkey", salts = 8)
+        .groupBy(col("o_orderpriority"))
+        .agg(
+          count(lit(1)).as("n_lines"),
+          (sum(expr("CAST(floor(l_extendedprice*100 + 0.5) AS BIGINT) * (100 - CAST(floor(l_discount*100 + 0.5) AS BIGINT))"))
+            .cast("double") / lit(10000d)).as("revenue"))
+        .orderBy("o_orderpriority")
+    },
+    Some(s"""
+      SELECT o_orderpriority, count(*) AS n_lines,
+        CAST(sum($revenueSql) AS DOUBLE)/10000 AS revenue
+      FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      GROUP BY 1 ORDER BY o_orderpriority
+    """))
+
+  def defs: Seq[QueryDef] = Seq(q31, q32, q33)
+}

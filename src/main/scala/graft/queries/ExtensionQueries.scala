@@ -233,7 +233,8 @@ object ExtensionQueries extends QueryGroup {
         CAST(len(text) AS BIGINT) AS n_chars,
         CAST(len($duckTokens) AS BIGINT) AS n_words,
         CAST(len(list_distinct($duckTokens)) AS BIGINT) AS n_distinct_words,
-        CAST(floor((len(text)+3)/4) AS BIGINT) AS est_bpe_tokens
+        CAST(floor((len(text)+3)/4) AS BIGINT) AS est_bpe_tokens,
+        CAST(len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]')) AS BIGINT) AS n_regex_tokens
       FROM documents ORDER BY doc_id
     """))
 

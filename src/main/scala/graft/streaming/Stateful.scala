@@ -1,0 +1,69 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Stateful streaming operators beyond the reference's windowed
+  * aggregation (SURVEY.md §2.6 W8 notes these as the available-if-needed
+  * surface): bounded-state streaming dedup and custom session state via
+  * flatMapGroupsWithState.
+  *
+  * Scale: both operators keep per-key state in the state store, shuffled
+  * by key once; watermarks bound state size (dedup entries and idle
+  * sessions are evicted as event time passes), which is what makes them
+  * runnable indefinitely on an unbounded stream.
+  */
+object Stateful {
+
+  /** Streaming exact dedup with watermark-bounded state: drops events
+    * whose `keyCols` were already seen within the watermark horizon.
+    * The streaming member of the dedup family (graft.dedup.*). */
+  def dedupStream(events: DataFrame, keyCols: Seq[String],
+                  eventTimeCol: String, watermarkDelay: String): DataFrame =
+    events
+      .withWatermark(eventTimeCol, watermarkDelay)
+      .dropDuplicatesWithinWatermark(keyCols)
+
+  final case class SessionState(nEvents: Long, totalAmount: Double,
+                                firstTsSec: Long, lastTsSec: Long)
+  final case class SessionSummary(user_id: String, n_events: Long,
+                                  total_amount: Double, duration_s: Long)
+
+  /** Per-user session aggregation with a custom state machine: events
+    * accumulate into open sessions; a session closes (and emits one
+    * summary row) when no event arrives within `gapSeconds` of event
+    * time — enforced by EventTimeTimeout against the stream's watermark.
+    */
+  def userSessions(events: DataFrame, gapSeconds: Long,
+                   watermarkDelay: String = "30 seconds"): Dataset[SessionSummary] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    events
+      .withWatermark("event_timestamp", watermarkDelay)
+      .selectExpr("user_id", "total_amount", "cast(event_timestamp as long) as ts_s",
+        "event_timestamp")
+      .as[(String, Double, Long, java.sql.Timestamp)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(
+        (user: String, rows: Iterator[(String, Double, Long, java.sql.Timestamp)],
+         state: GroupState[SessionState]) => {
+          if (state.hasTimedOut) {
+            // watermark passed last-event + gap: close and emit
+            val s = state.get
+            state.remove()
+            Iterator(SessionSummary(user, s.nEvents, s.totalAmount, s.lastTsSec - s.firstTsSec))
+          } else {
+            val batch = rows.toSeq
+            val prev = state.getOption.getOrElse(SessionState(0L, 0.0, Long.MaxValue, Long.MinValue))
+            val next = batch.foldLeft(prev) { case (st, (_, amount, ts, _)) =>
+              SessionState(st.nEvents + 1, st.totalAmount + amount,
+                math.min(st.firstTsSec, ts), math.max(st.lastTsSec, ts))
+            }
+            state.update(next)
+            state.setTimeoutTimestamp((next.lastTsSec + gapSeconds) * 1000L)
+            Iterator.empty
+          }
+        })
+  }
+}

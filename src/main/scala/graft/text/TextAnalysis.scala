@@ -68,8 +68,10 @@ object TextAnalysis {
       ttr.as("type_token_ratio"), score.as("quality_score"))
   }
 
-  /** Token statistics incl. a BPE-ish subword estimate (≈ chars/4,
-    * the standard planning heuristic when no tokenizer is available). */
+  /** Token statistics incl. two BPE-ish subword estimates: chars/4 (the
+    * standard planning heuristic) and a regex token count (alphabetic
+    * runs + digit runs + individual other non-space chars — the
+    * GPT-2-style pre-tokenizer shape without the merges). */
   def tokenStats(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
     val toks = tokens(col(textCol))
     docs.select(
@@ -77,6 +79,7 @@ object TextAnalysis {
       length(col(textCol)).cast("long").as("n_chars"),
       size(toks).cast("long").as("n_words"),
       size(array_distinct(toks)).cast("long").as("n_distinct_words"),
-      floor((length(col(textCol)) + lit(3)) / lit(4)).as("est_bpe_tokens"))
+      floor((length(col(textCol)) + lit(3)) / lit(4)).as("est_bpe_tokens"),
+      regexp_count(col(textCol), lit("[a-z]+|[0-9]+|[^a-z0-9 ]")).cast("long").as("n_regex_tokens"))
   }
 }
