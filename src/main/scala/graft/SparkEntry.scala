@@ -16,7 +16,8 @@ object SparkEntry {
     ReferenceQueries,
     RelationalQueries,
     ExtensionQueries,
-    AdvancedQueries)
+    AdvancedQueries,
+    SourceQueries)
 
   private lazy val all: Seq[QueryDef] = groups.flatMap(_.defs)
 

@@ -1,0 +1,81 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.functions._
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+
+import graft.operators.Ecommerce
+
+/** Property-based checks (SURVEY.md §5.3): window-assignment invariants,
+  * aggregate algebra against a plain Scala fold, and from_json
+  * schema-drift leniency under fuzzed payloads. */
+class PropertySpec extends SparkSpec {
+
+  private val tsGen: Gen[Long] = Gen.choose(1704067200L, 1704070800L) // one hour of epoch seconds
+
+  /** Deterministic sampler: n draws from g with fixed seeds. */
+  private def forSamples[T](g: Gen[T], n: Int = 5)(f: T => Unit): Unit =
+    (0 until n).foreach(i => f(g.pureApply(Gen.Parameters.default, Seed(42L + i))))
+
+  test("every event lands in exactly ceil(60/30)=2 sliding windows, each covering it") {
+    import spark.implicits._
+    forSamples(Gen.listOfN(50, tsGen)) { epochs =>
+      {
+        val df = epochs.map(e => new Timestamp(e * 1000L)).toDF("ts")
+        val windows = df.select(col("ts"), window(col("ts"), "1 minute", "30 seconds"))
+          .select(col("ts").cast("long").as("t"),
+            col("window.start").cast("long").as("ws"),
+            col("window.end").cast("long").as("we"))
+          .collect()
+        assert(windows.length === epochs.size * 2)
+        windows.foreach { r =>
+          val (t, ws, we) = (r.getLong(0), r.getLong(1), r.getLong(2))
+          assert(ws <= t && t < we && we - ws === 60 && ws % 30 === 0)
+        }
+      }
+    }
+  }
+
+  test("windowed aggregates equal a reference Scala fold per key") {
+    import spark.implicits._
+    val amountGen = Gen.choose(1, 50000).map(_ / 100.0)
+    forSamples(Gen.listOfN(80, Gen.zip(tsGen, amountGen))) { events =>
+      {
+        val df = events.map { case (e, a) =>
+          ("u" + (e % 7), "cat", "US", a, false, new Timestamp(e * 1000L))
+        }.toDF("user_id", "category", "location", "total_amount", "is_fraud_simulation", "event_timestamp")
+        val got = Ecommerce.windowedAggregations(df)
+          .select(col("window_start").cast("long"), col("order_count"), col("max_order_value"), col("min_order_value"))
+          .as[(Long, Long, Double, Double)].collect()
+          .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+        // reference fold: assign each event to its two windows
+        val expected = events
+          .flatMap { case (e, a) => Seq((e / 30 * 30, a), (e / 30 * 30 - 30, a)) }
+          .groupBy(_._1)
+          .map { case (ws, xs) => ws -> ((xs.size.toLong, xs.map(_._2).max, xs.map(_._2).min)) }
+        assert(got === expected)
+      }
+    }
+  }
+
+  test("from_json never throws on drifted/garbage payloads; valid fields survive") {
+    import spark.implicits._
+    val junkGen = Gen.oneOf(
+      Gen.alphaNumStr.map(s => s"""{"order_id":"$s","user_id":"u"}"""),
+      Gen.alphaNumStr.map(s => s"""{"unknown_field":"$s"}"""),
+      Gen.alphaNumStr, // not JSON at all
+      Gen.const("""{"order_id":123}""") // wrong type
+    )
+    forSamples(Gen.listOfN(30, junkGen)) { payloads =>
+      {
+        val df = payloads.toDF("v")
+          .select(encode(col("v"), "utf-8").as("value"), lit(new Timestamp(0)).as("timestamp"))
+        // must not throw; unparseable timestamps are filtered, not fatal
+        val parsed = Ecommerce.parseOrders(df).collect()
+        assert(parsed.length <= payloads.size)
+      }
+    }
+  }
+}
