@@ -60,6 +60,28 @@ object Multimodal {
       }
   }
 
+  /** STUB feature extractor: a deterministic `dim`-float vector derived
+    * from the payload's polynomial hash (a real implementation embeds
+    * with a vision/audio model — same output shape, same plumbing). The
+    * result feeds graft.similarity.* directly (see SimilaritySpec). */
+  def featureExtractStub(assets: DataFrame, dim: Int = 64): DataFrame = {
+    val spark = assets.sparkSession
+    import spark.implicits._
+    assets.select(col("asset_id"), col("kind"), col("bytes")).as[Asset]
+      .mapPartitions { it =>
+        it.map { a =>
+          var h = 0L
+          var i = 0
+          while (i < a.bytes.length) { h = (h * 31 + (a.bytes(i) & 0xff)) % 1000000007L; i += 1 }
+          val vec = Array.tabulate(dim) { d =>
+            (((h * (2 * d + 1) + 7919L * d) % 1000000007L) % 2001L - 1000L).toFloat / 1000f
+          }
+          (a.asset_id, a.kind, vec)
+        }
+      }
+      .toDF("asset_id", "kind", "embedding")
+  }
+
   /** Frame sampling for chunked media: every `stride`-th `frameSize`-byte
     * slice of the payload as its own row — pure column expressions
     * (substr on binary), so it stays in codegen and scales with no

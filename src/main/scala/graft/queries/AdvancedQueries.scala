@@ -118,5 +118,30 @@ object AdvancedQueries extends QueryGroup {
       GROUP BY 1 ORDER BY o_orderpriority
     """))
 
-  def defs: Seq[QueryDef] = Seq(q31, q32, q33)
+  /** Per-group top-k via the native bounded-heap aggregate
+    * (graft.functions.TopKPairs): map-side partials carry ≤k rows per
+    * group into the shuffle — no per-group sort, unlike window rank. */
+  private val q35 = QueryDef(
+    "q35_topk_per_group_aggregate",
+    (spark, dir) => {
+      Tables.customer(spark, dir)
+        .groupBy(col("c_nationkey"))
+        .agg(graft.functions.TopKAggregate.topk_pairs(col("c_acctbal"), col("c_custkey"), 3).as("top"))
+        .select(col("c_nationkey"), posexplode(col("top")).as(Seq("idx", "t")))
+        .select(
+          col("c_nationkey"),
+          (col("idx") + 1).cast("long").as("rank"),
+          col("t").getField("id").as("c_custkey"),
+          col("t").getField("score").as("c_acctbal"))
+        .orderBy("c_nationkey", "rank")
+    },
+    Some("""
+      SELECT c_nationkey, CAST(row_number() OVER w AS BIGINT) AS rank, c_custkey, c_acctbal
+      FROM customer
+      WINDOW w AS (PARTITION BY c_nationkey ORDER BY c_acctbal DESC, c_custkey)
+      QUALIFY row_number() OVER w <= 3
+      ORDER BY c_nationkey, rank
+    """))
+
+  def defs: Seq[QueryDef] = Seq(q31, q32, q33, q35)
 }

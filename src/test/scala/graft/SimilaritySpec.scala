@@ -47,6 +47,18 @@ class SimilaritySpec extends SparkSpec {
     assert(pairs === Set((0L, 1L))) // only near-parallel pair in label 0
   }
 
+  test("multimodal features flow into similarity search end-to-end") {
+    import spark.implicits._
+    val docs = Seq((0L, "alpha beta gamma " * 10), (1L, "alpha beta gamma " * 10),
+      (2L, "totally different payload bytes here")).toDF("doc_id", "text")
+    val feats = Multimodal.featureExtractStub(Multimodal.assetsFromText(docs, "doc_id", "text"))
+    assert(feats.schema("embedding").dataType.typeName === "array")
+    // identical payloads → identical features → cosine 1 with the query
+    val top = Knn.bruteForceTopK(feats, "asset_id", "embedding", queryId = 0L, k = 2)
+      .as[(Long, Double)].collect()
+    assert(top.head._1 === 1L && math.abs(top.head._2 - 1.0) < 1e-9)
+  }
+
   test("multimodal: stub decode is deterministic; frame sampling slices payloads") {
     import spark.implicits._
     val docs = Seq((1L, "abcdefghij" * 20), (2L, "xyz")).toDF("doc_id", "text")
