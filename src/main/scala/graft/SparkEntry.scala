@@ -17,7 +17,8 @@ object SparkEntry {
     RelationalQueries,
     ExtensionQueries,
     AdvancedQueries,
-    SourceQueries)
+    SourceQueries,
+    StatsQueries)
 
   private lazy val all: Seq[QueryDef] = groups.flatMap(_.defs)
 

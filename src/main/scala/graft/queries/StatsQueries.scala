@@ -1,0 +1,121 @@
+package graft.queries
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.functions.Deterministic._
+
+/** Distribution statistics and remaining grouping/windowing shapes:
+  * exact rank-based percentiles, CUBE, and batch session windows. */
+object StatsQueries extends QueryGroup {
+
+  /** Exact lower-quantile percentiles per group via rank selection (the
+    * interpolation-free definition both engines compute identically on
+    * integer cents). Median and p90 of lineitem quantity per returnflag.
+    */
+  private val q36 = QueryDef(
+    "q36_exact_percentiles",
+    (spark, dir) => {
+      val w = Window.partitionBy(col("l_returnflag")).orderBy(col("qc"), col("l_orderkey"), col("l_linenumber"))
+      val ranked = Tables.lineitem(spark, dir)
+        .select(col("l_returnflag"), cents(col("l_quantity")).as("qc"),
+          col("l_orderkey"), col("l_linenumber"))
+        .withColumn("rn", row_number().over(w))
+      val counts = ranked.groupBy(col("l_returnflag")).agg(count(lit(1)).as("n"))
+      ranked.join(counts, "l_returnflag")
+        .filter(col("rn") === floor((col("n") - 1) * lit(0.5)) + 1 ||
+                col("rn") === floor((col("n") - 1) * lit(0.9)) + 1)
+        .groupBy(col("l_returnflag"), col("n"))
+        .agg(
+          min(when(col("rn") === floor((col("n") - 1) * lit(0.5)) + 1, col("qc"))).as("p50_cents"),
+          min(when(col("rn") === floor((col("n") - 1) * lit(0.9)) + 1, col("qc"))).as("p90_cents"))
+        .orderBy("l_returnflag")
+    },
+    Some("""
+      WITH ranked AS (
+        SELECT l_returnflag, CAST(floor(l_quantity*100 + 0.5) AS BIGINT) AS qc,
+          row_number() OVER (PARTITION BY l_returnflag
+                             ORDER BY CAST(floor(l_quantity*100 + 0.5) AS BIGINT), l_orderkey, l_linenumber) AS rn,
+          count(*) OVER (PARTITION BY l_returnflag) AS n
+        FROM lineitem)
+      SELECT l_returnflag, n,
+        CAST(min(CASE WHEN rn = floor((n-1)*0.5) + 1 THEN qc END) AS BIGINT) AS p50_cents,
+        CAST(min(CASE WHEN rn = floor((n-1)*0.9) + 1 THEN qc END) AS BIGINT) AS p90_cents
+      FROM ranked
+      WHERE rn = floor((n-1)*0.5) + 1 OR rn = floor((n-1)*0.9) + 1
+      GROUP BY 1, 2 ORDER BY l_returnflag
+    """))
+
+  /** CUBE over (returnflag, linestatus) with GROUPING indicators — the
+    * full-lattice companion to q19's rollup. */
+  private val q37 = QueryDef(
+    "q37_cube_grouping",
+    (spark, dir) => {
+      Tables.lineitem(spark, dir)
+        .cube(col("l_returnflag"), col("l_linestatus"))
+        .agg(
+          grouping(col("l_returnflag")).cast("long").as("g_rf"),
+          grouping(col("l_linestatus")).cast("long").as("g_ls"),
+          count(lit(1)).as("n"),
+          sum(cents(col("l_quantity"))).as("qty_cents"))
+        .select(
+          coalesce(col("l_returnflag"), lit("ALL")).as("returnflag"),
+          coalesce(col("l_linestatus"), lit("ALL")).as("linestatus"),
+          col("g_rf"), col("g_ls"), col("n"), col("qty_cents"))
+        .orderBy("g_rf", "g_ls", "returnflag", "linestatus")
+    },
+    Some("""
+      SELECT coalesce(l_returnflag, 'ALL') AS returnflag,
+        coalesce(l_linestatus, 'ALL') AS linestatus,
+        CAST(grouping(l_returnflag) AS BIGINT) AS g_rf,
+        CAST(grouping(l_linestatus) AS BIGINT) AS g_ls,
+        count(*) AS n,
+        CAST(sum(CAST(floor(l_quantity*100 + 0.5) AS BIGINT)) AS BIGINT) AS qty_cents
+      FROM lineitem
+      GROUP BY CUBE (l_returnflag, l_linestatus)
+      ORDER BY g_rf, g_ls, returnflag, linestatus
+    """))
+
+  /** Batch session windows: session_window(ts, 10 min gap) per user over
+    * events — sessions merge while gaps stay under 10 minutes; session
+    * end = last event + gap. Oracle reproduces via gaps-and-islands
+    * (lag + running sum). Completes SURVEY §2.6 W8. */
+  private val q38 = QueryDef(
+    "q38_session_window",
+    (spark, dir) => {
+      Tables.events(spark, dir)
+        .filter(col("ts").isNotNull)
+        .groupBy(session_window(col("ts"), "10 minutes"), col("user_id"))
+        .agg(count(lit(1)).as("n_events"), moneySum(col("value")).as("total_value"))
+        .select(
+          col("user_id"),
+          epochS(col("session_window.start")).as("session_start"),
+          epochS(col("session_window.end")).as("session_end"),
+          col("n_events"), col("total_value"))
+        .orderBy("user_id", "session_start")
+    },
+    Some("""
+      WITH e AS (
+        SELECT user_id, ts, value,
+          epoch_us(ts) AS tus,
+          CASE WHEN epoch_us(ts) - lag(epoch_us(ts))
+                 OVER (PARTITION BY user_id ORDER BY ts) >= 600000000
+               OR lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+               THEN 1 ELSE 0 END AS new_session
+        FROM events WHERE ts IS NOT NULL),
+      islands AS (
+        SELECT *, sum(new_session) OVER (PARTITION BY user_id ORDER BY ts
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+        FROM e)
+      SELECT user_id,
+        CAST(min(tus) // 1000000 AS BIGINT) AS session_start,
+        CAST((max(tus) + 600000000) // 1000000 AS BIGINT) AS session_end,
+        count(*) AS n_events,
+        CAST(sum(CAST(floor(value*100 + 0.5) AS BIGINT)) AS DOUBLE)/100 AS total_value
+      FROM islands GROUP BY user_id, session_id
+      ORDER BY user_id, session_start
+    """))
+
+  def defs: Seq[QueryDef] = Seq(q36, q37, q38)
+}
