@@ -117,5 +117,36 @@ object StatsQueries extends QueryGroup {
       ORDER BY user_id, session_start
     """))
 
-  def defs: Seq[QueryDef] = Seq(q36, q37, q38)
+  /** Time-series gap filling: last-observation-carried-forward of each
+    * user's most recent 'purchase' value at every event (the as-of
+    * self-lookup training pipelines use for sparse signals). Narrow
+    * window op — one shuffle on user_id, sorted once per partition. */
+  private val q39 = QueryDef(
+    "q39_locf_asof",
+    (spark, dir) => {
+      val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      Tables.events(spark, dir)
+        .filter(col("ts").isNotNull)
+        .select(
+          col("event_id"), col("user_id"),
+          epochS(col("ts")).as("t"),
+          col("event_type"),
+          last(when(col("event_type") === "purchase", cents(col("value"))), ignoreNulls = true)
+            .over(w).as("last_purchase_cents"))
+        .orderBy("event_id")
+    },
+    Some("""
+      SELECT event_id, user_id,
+        CAST(epoch_us(ts) // 1000000 AS BIGINT) AS t,
+        event_type,
+        last_value(CASE WHEN event_type = 'purchase'
+                        THEN CAST(floor(value*100 + 0.5) AS BIGINT) END IGNORE NULLS)
+          OVER (PARTITION BY user_id ORDER BY ts, event_id
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS last_purchase_cents
+      FROM events WHERE ts IS NOT NULL
+      ORDER BY event_id
+    """))
+
+  def defs: Seq[QueryDef] = Seq(q36, q37, q38, q39)
 }
