@@ -148,5 +148,62 @@ object StatsQueries extends QueryGroup {
       ORDER BY event_id
     """))
 
-  def defs: Seq[QueryDef] = Seq(q36, q37, q38, q39)
+  /** Generator/lateral-view coverage: corpus word count — explode the
+    * token arrays, aggregate, top-20. The map-side partial agg collapses
+    * the exploded stream before the shuffle. */
+  private val q40 = QueryDef(
+    "q40_wordcount_explode",
+    (spark, dir) => {
+      Tables.documents(spark, dir)
+        .select(explode(graft.text.TextFunctions.tokens(col("text"))).as("token"))
+        .groupBy(col("token"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("token"))
+        .limit(20)
+    },
+    Some("""
+      SELECT token, count(*) AS n
+      FROM (SELECT unnest(list_filter(str_split(text, ' '), t -> len(t) > 0)) AS token
+            FROM documents)
+      GROUP BY token ORDER BY n DESC, token LIMIT 20
+    """))
+
+  /** String/conditional scalar-function bundle: upper/lower/trim/
+    * substring/replace/lpad/instr/length + coalesce/nullif/greatest. */
+  private val q41 = QueryDef(
+    "q41_string_functions",
+    (spark, dir) => {
+      Tables.customer(spark, dir)
+        .filter(col("c_custkey") % 25 === 0)
+        .select(
+          col("c_custkey"),
+          upper(col("c_name")).as("name_upper"),
+          lower(col("c_mktsegment")).as("segment_lower"),
+          trim(lit("  padded  ")).as("trimmed"),
+          substring(col("c_name"), 1, 8).as("name_prefix"),
+          regexp_replace(col("c_name"), "Customer", "C").as("name_short"),
+          lpad(col("c_custkey").cast("string"), 10, "0").as("key_padded"),
+          instr(col("c_name"), "#").cast("long").as("hash_pos"),
+          length(col("c_name")).cast("long").as("name_len"),
+          coalesce(nullif(col("c_mktsegment"), lit("BUILDING")), lit("OTHER")).as("segment_or_other"),
+          greatest(col("c_acctbal"), lit(0.0d)).as("balance_floor0"))
+        .orderBy("c_custkey")
+    },
+    Some("""
+      SELECT c_custkey,
+        upper(c_name) AS name_upper,
+        lower(c_mktsegment) AS segment_lower,
+        trim('  padded  ') AS trimmed,
+        substr(c_name, 1, 8) AS name_prefix,
+        regexp_replace(c_name, 'Customer', 'C') AS name_short,
+        lpad(CAST(c_custkey AS VARCHAR), 10, '0') AS key_padded,
+        CAST(strpos(c_name, '#') AS BIGINT) AS hash_pos,
+        CAST(length(c_name) AS BIGINT) AS name_len,
+        coalesce(nullif(c_mktsegment, 'BUILDING'), 'OTHER') AS segment_or_other,
+        greatest(c_acctbal, 0.0) AS balance_floor0
+      FROM customer WHERE c_custkey % 25 = 0
+      ORDER BY c_custkey
+    """))
+
+  def defs: Seq[QueryDef] = Seq(q36, q37, q38, q39, q40, q41)
 }
