@@ -27,7 +27,9 @@ object Tables {
     val raw = table(spark, dir, "events")
     // With nanosAsLong=true the ts column arrives as LongType nanoseconds.
     raw.schema("ts").dataType.typeName match {
-      case "long" => raw.withColumn("ts", timestamp_micros(col("ts") / lit(1000L) cast "long"))
+      // integer division: Column./ is double division, which at 2^60-ns
+      // magnitudes rounds by up to ~128 ns and can floor to the wrong µs
+      case "long" => raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
       case _      => raw // already a timestamp (future-proofing)
     }
   }

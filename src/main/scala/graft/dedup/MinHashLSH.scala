@@ -35,6 +35,7 @@ object MinHashLSH {
     * merely same-domain text. */
   final case class Config(numHashes: Int = 16, rowsPerBand: Int = 4, shingleK: Int = 3) {
     require(numHashes % rowsPerBand == 0, "numHashes must divide into bands")
+    require(shingleK >= 1 && shingleK <= 7, "shingle fold overflows 64-bit beyond k=7")
     def bands: Int = numHashes / rowsPerBand
   }
 

@@ -23,9 +23,13 @@ object SimHash {
   val Bits = 30
 
   /** (id, simhash long) per document — one narrow codegen'd pass, no
-    * shuffle (graft.functions.GraftHash.simhash). */
+    * shuffle (graft.functions.GraftHash.simhash). Token-less documents
+    * (empty / all-space text) are dropped, matching the aggregation spec
+    * where exploding zero tokens yields zero rows. */
   def fingerprints(docs: DataFrame, idCol: String, textCol: String): DataFrame =
-    docs.select(col(idCol), graft.functions.expressions.simhash64(col(textCol), Bits).as("simhash"))
+    docs
+      .filter(length(regexp_replace(col(textCol), " ", "")) > 0)
+      .select(col(idCol), graft.functions.expressions.simhash64(col(textCol), Bits).as("simhash"))
 
   /** Reference implementation via explode + two keyed aggregations —
     * the executable spec `fingerprints` is tested against. Shuffles

@@ -80,6 +80,7 @@ object GraftHash {
     * matching TextFunctions.wordShingleSet). Distinctness of shingles is
     * irrelevant under min, so no dedup pass. */
   def minhashSig(s: UTF8String, numHashes: Int, k: Int): ArrayData = {
+    require(k >= 1 && k <= 7, s"word-shingle k=$k overflows the unmodded base-31 fold beyond 7")
     val th = tokenHashes(s)
     if (th.length < k) return null
     val sig = new Array[Long](numHashes)
@@ -127,7 +128,7 @@ object GraftHash {
     * packs losslessly into one long (no hash collisions), distinct sets
     * via a HashSet, |I| / (|A|+|B|−|I|) with the same operand order as
     * the array_intersect/size reference form. */
-  def ngramJaccard(a: UTF8String, b: UTF8String, n: Int): Double = {
+  def ngramJaccard(a: UTF8String, b: UTF8String, n: Int): java.lang.Double = {
     require(n <= 8, "n-gram pack supports n <= 8 bytes")
     def gramSet(s: UTF8String): java.util.HashSet[java.lang.Long] = {
       val set = new java.util.HashSet[java.lang.Long]()
@@ -150,13 +151,17 @@ object GraftHash {
     val it = (if (la <= lb) sa else sb).iterator()
     val other = if (la <= lb) sb else sa
     while (it.hasNext) if (other.contains(it.next())) inter += 1
-    inter.toDouble / (la + lb - inter)
+    // both strings shorter than n: no grams, division undefined — NULL,
+    // matching DuckDB's x/0 → NULL (Spark IEEE would give NaN, which
+    // would silently PASS >= threshold filters)
+    if (la + lb - inter == 0) null
+    else java.lang.Double.valueOf(inter.toDouble / (la + lb - inter))
   }
 
   /** Quantized cosine of two float vectors: q = floor(x·512 + 0.5) per
     * element (exact: 512 is a power of two), integer dot/norms, one
     * double division — bit-identical to VectorOps.cosineQ∘quantize. */
-  def cosineQ(a: ArrayData, b: ArrayData): Double = {
+  def cosineQ(a: ArrayData, b: ArrayData): java.lang.Double = {
     val n = a.numElements()
     var dot = 0L
     var na = 0L
@@ -170,6 +175,9 @@ object GraftHash {
       nb += y * y
       i += 1
     }
-    dot.toDouble / math.sqrt(na.toDouble * nb.toDouble)
+    // zero-quantized vector ⇒ undefined cosine — NULL (DuckDB x/0
+    // semantics), not NaN, so threshold filters can't pass it
+    if (na == 0L || nb == 0L) null
+    else java.lang.Double.valueOf(dot.toDouble / math.sqrt(na.toDouble * nb.toDouble))
   }
 }

@@ -32,8 +32,9 @@ case class TopKPairs(
 
   require(k > 0, "k must be positive")
 
-  // min-heap on (score asc, id desc): the root is the entry to evict
-  private def ord: java.util.Comparator[(Double, Long)] =
+  // min-heap on (score asc, id desc): the root is the entry to evict.
+  // transient lazy: rebuilt after plan serialization, not allocated per row
+  @transient private lazy val ord: java.util.Comparator[(Double, Long)] =
     (a: (Double, Long), b: (Double, Long)) => {
       val c = java.lang.Double.compare(a._1, b._1)
       if (c != 0) c else java.lang.Long.compare(b._2, a._2)

@@ -71,28 +71,39 @@ object expressions {
     override protected def withNewChildInternal(c: Expression): SimHash64 = copy(child = c)
   }
 
-  /** Quantized cosine similarity of two array<float> columns. */
+  /** Quantized cosine similarity of two array<float> columns; null when
+    * either vector quantizes to zero (undefined cosine — matches the
+    * oracle's x/0 → NULL, and can't leak through threshold filters). */
   case class QuantizedCosine(left: Expression, right: Expression)
       extends BinaryExpression {
     override def dataType: DataType = DoubleType
+    override def nullable: Boolean = true
     override protected def nullSafeEval(a: Any, b: Any): Any =
       GraftHash.cosineQ(a.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData],
         b.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData])
     override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-      defineCodeGen(ctx, ev, (a, b) => s"$G.cosineQ($a, $b)")
+      nullSafeCodeGen(ctx, ev, (a, b) => s"""
+        java.lang.Double r = $G.cosineQ($a, $b);
+        if (r == null) { ${ev.isNull} = true; } else { ${ev.value} = r.doubleValue(); }
+        """)
     override protected def withNewChildrenInternal(l: Expression, r: Expression): QuantizedCosine =
       copy(left = l, right = r)
   }
 
-  /** Exact n-gram Jaccard similarity of two string columns (n ≤ 8). */
+  /** Exact n-gram Jaccard similarity of two string columns (n ≤ 8);
+    * null when neither string has any n-gram (undefined 0/0). */
   case class NGramJaccard(left: Expression, right: Expression, n: Int)
       extends BinaryExpression {
     override def dataType: DataType = DoubleType
+    override def nullable: Boolean = true
     override protected def nullSafeEval(a: Any, b: Any): Any =
       GraftHash.ngramJaccard(a.asInstanceOf[org.apache.spark.unsafe.types.UTF8String],
         b.asInstanceOf[org.apache.spark.unsafe.types.UTF8String], n)
     override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-      defineCodeGen(ctx, ev, (a, b) => s"$G.ngramJaccard($a, $b, $n)")
+      nullSafeCodeGen(ctx, ev, (a, b) => s"""
+        java.lang.Double r = $G.ngramJaccard($a, $b, $n);
+        if (r == null) { ${ev.isNull} = true; } else { ${ev.value} = r.doubleValue(); }
+        """)
     override protected def withNewChildrenInternal(l: Expression, r: Expression): NGramJaccard =
       copy(left = l, right = r)
   }

@@ -76,11 +76,14 @@ object Ecommerce {
       .withColumn("window_end", col("window.end"))
       .drop("window")
 
+  /** Suspicious locations of rule F2/C1 (ecommerce_streaming.py:92,103). */
+  val SuspiciousLocations: Seq[String] = Seq("XX", "YY", "ZZ")
+
   /** Fraud predicate F2 (ecommerce_streaming.py:90-94):
     * amount > 1000 OR suspicious location OR simulated-fraud flag. */
   def fraudFilter(orders: DataFrame,
                   amountCol: String = "total_amount",
-                  locations: Seq[String] = Seq("XX", "YY", "ZZ")): DataFrame =
+                  locations: Seq[String] = SuspiciousLocations): DataFrame =
     orders.filter(
       col(amountCol) > 1000 ||
       col("location").isin(locations: _*) ||
@@ -93,7 +96,7 @@ object Ecommerce {
       col("order_id"), col("user_id"), col("product_name"),
       col("total_amount"), col("location"), col("event_timestamp"),
       when(col("total_amount") > 1000, "HIGH_VALUE_ORDER")
-        .when(col("location").isin("XX", "YY", "ZZ"), "SUSPICIOUS_LOCATION")
+        .when(col("location").isin(SuspiciousLocations: _*), "SUSPICIOUS_LOCATION")
         .when(col("is_fraud_simulation") === true, "FRAUD_SIMULATION")
         .otherwise("UNKNOWN").as("alert_type"),
       current_timestamp().as("alert_timestamp"))

@@ -195,7 +195,7 @@ object StatsQueries extends QueryGroup {
         lower(c_mktsegment) AS segment_lower,
         trim('  padded  ') AS trimmed,
         substr(c_name, 1, 8) AS name_prefix,
-        regexp_replace(c_name, 'Customer', 'C') AS name_short,
+        regexp_replace(c_name, 'Customer', 'C', 'g') AS name_short,
         lpad(CAST(c_custkey AS VARCHAR), 10, '0') AS key_padded,
         CAST(strpos(c_name, '#') AS BIGINT) AS hash_pos,
         CAST(length(c_name) AS BIGINT) AS name_len,

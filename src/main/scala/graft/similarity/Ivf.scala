@@ -28,12 +28,14 @@ object Ivf {
   private def qvec(c: org.apache.spark.sql.Column) =
     transform(c, x => floor(x * lit(512.0d) + lit(0.5d)).cast("long"))
 
-  /** Integer cosine between two long vectors (columns). */
+  /** Integer cosine between two long vectors (columns); null for a zero
+    * vector (matches DuckDB's x/0 → NULL rather than IEEE NaN). */
   private def cosLong(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) = {
     val dot = aggregate(zip_with(a, b, _ * _), lit(0L), _ + _)
     val na = aggregate(transform(a, x => x * x), lit(0L), _ + _)
     val nb = aggregate(transform(b, x => x * x), lit(0L), _ + _)
-    dot.cast("double") / sqrt(na.cast("double") * nb.cast("double"))
+    when(na === 0L || nb === 0L, lit(null).cast("double"))
+      .otherwise(dot.cast("double") / sqrt(na.cast("double") * nb.cast("double")))
   }
 
   /** Elementwise floor-mean centroids of the given assignment.

@@ -33,7 +33,13 @@ object VectorOps {
   def normSqQ(a: Column): Column =
     aggregate(transform(a, x => x * x), lit(0L), _ + _)
 
-  /** Cosine similarity of two quantized vectors (double; deterministic). */
-  def cosineQ(a: Column, b: Column): Column =
-    dotQ(a, b).cast("double") / sqrt(normSqQ(a).cast("double") * normSqQ(b).cast("double"))
+  /** Cosine similarity of two quantized vectors (double; deterministic).
+    * Null when either vector is zero — undefined cosine; matches the
+    * kernel (GraftHash.cosineQ) and the oracle's x/0 → NULL. */
+  def cosineQ(a: Column, b: Column): Column = {
+    val na = normSqQ(a)
+    val nb = normSqQ(b)
+    when(na === 0L || nb === 0L, lit(null).cast("double"))
+      .otherwise(dotQ(a, b).cast("double") / sqrt(na.cast("double") * nb.cast("double")))
+  }
 }

@@ -66,7 +66,7 @@ object TextFunctions {
     * k ≤ 3). Word shingles discriminate much better than char shingles
     * on small-vocabulary corpora. */
   def wordShingleSet(text: Column, k: Int = 3): Column = {
-    require(k >= 1 && k <= 3, s"word-shingle k=$k out of safe fold range 1..3")
+    require(k >= 1 && k <= 7, s"word-shingle k=$k overflows the unmodded base-31 fold beyond 7")
     val th = tokenHashes(text)
     array_distinct(
       transform(sequence(lit(1), size(th) - lit(k - 1)), i => {

@@ -57,6 +57,25 @@ class KernelParitySpec extends SparkSpec {
     assert(f === h)
   }
 
+  test("degenerate inputs: zero vectors, gram-less strings, token-less docs") {
+    import spark.implicits._
+    // zero-quantized vectors → null cosine (kernel, HOF, and oracle agree)
+    val z = Seq((0L, Array(0.0001f, 0.0f), 0), (1L, Array(1.0f, 0.0f), 0))
+      .toDF("vec_id", "embedding", "label")
+    val cos = z.filter(col("vec_id") === 0).crossJoin(z.filter(col("vec_id") === 1).select(col("embedding").as("e2")))
+      .select(quantized_cosine(col("embedding"), col("e2")).as("fast"),
+        VectorOps.cosineQ(VectorOps.quantize(col("embedding")), VectorOps.quantize(col("e2"))).as("hof"))
+      .collect().head
+    assert(cos.isNullAt(0) && cos.isNullAt(1))
+    // strings shorter than n → null jaccard, not NaN
+    val jac = Seq(("ab", "xy")).toDF("a", "b")
+      .select(ngram_jaccard(col("a"), col("b"), 3)).collect().head
+    assert(jac.isNullAt(0))
+    // token-less documents drop out of simhash fingerprints
+    val docs = Seq((1L, "   "), (2L, "real text here")).toDF("doc_id", "text")
+    assert(SimHash.fingerprints(docs, "doc_id", "text").select("doc_id").as[Long].collect().toSeq === Seq(2L))
+  }
+
   test("QuantizedCosine kernel == HOF quantize∘cosine") {
     val e = Tables.embeddings(spark, sfDir).limit(200)
     val a = e.select(col("vec_id").as("id_a"), col("embedding").as("v_a"))
