@@ -205,5 +205,34 @@ object StatsQueries extends QueryGroup {
       ORDER BY c_custkey
     """))
 
-  def defs: Seq[QueryDef] = Seq(q36, q37, q38, q39, q40, q41)
+  /** As-of join (graft.operators.AsofJoin): every 'view' event enriched
+    * with the user's most recent at-or-before 'purchase' value — verified
+    * against DuckDB's native ASOF JOIN. */
+  private val q42 = QueryDef(
+    "q42_asof_join",
+    (spark, dir) => {
+      val events = Tables.events(spark, dir).filter(col("ts").isNotNull)
+      val views = events.filter(col("event_type") === "view")
+        .select(col("event_id"), col("user_id"), col("ts"))
+      val purchases = events.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("ts").as("pts"), cents(col("value")).as("purchase_cents"))
+      graft.operators.AsofJoin.asofJoin(
+        views, purchases, Seq("user_id"), "ts", "pts", Seq("purchase_cents"))
+        .select(col("event_id"), col("user_id"), epochS(col("ts")).as("t"), col("purchase_cents"))
+        .orderBy("event_id")
+    },
+    Some("""
+      SELECT v.event_id, v.user_id,
+        CAST(epoch_us(v.ts) // 1000000 AS BIGINT) AS t,
+        p.purchase_cents
+      FROM (SELECT event_id, user_id, ts FROM events
+            WHERE ts IS NOT NULL AND event_type = 'view') v
+      ASOF LEFT JOIN (SELECT user_id AS pu, ts AS pts,
+                        CAST(floor(value*100 + 0.5) AS BIGINT) AS purchase_cents
+                      FROM events WHERE ts IS NOT NULL AND event_type = 'purchase') p
+        ON v.user_id = p.pu AND v.ts >= p.pts
+      ORDER BY v.event_id
+    """))
+
+  def defs: Seq[QueryDef] = Seq(q36, q37, q38, q39, q40, q41, q42)
 }

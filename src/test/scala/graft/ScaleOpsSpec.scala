@@ -43,6 +43,25 @@ class ScaleOpsSpec extends SparkSpec {
     assert(s === p)
   }
 
+  test("asof join: latest at-or-before match per key, >= tie semantics, null when none") {
+    import spark.implicits._
+    import java.sql.Timestamp
+    def ts(s: String) = Timestamp.valueOf(s)
+    val left = Seq(
+      (1L, "u1", ts("2024-01-01 10:00:30")), // after p1 → 100
+      (2L, "u1", ts("2024-01-01 10:01:00")), // exactly at p2 → 200 (>= semantics)
+      (3L, "u1", ts("2024-01-01 09:59:00")), // before any → null
+      (4L, "u2", ts("2024-01-01 10:05:00"))  // other key, no purchases → null
+    ).toDF("id", "k", "t")
+    val right = Seq(
+      ("u1", ts("2024-01-01 10:00:00"), 100L),
+      ("u1", ts("2024-01-01 10:01:00"), 200L)
+    ).toDF("k", "rt", "v")
+    val got = graft.operators.AsofJoin.asofJoin(left, right, Seq("k"), "t", "rt", Seq("v"))
+      .select("id", "v").collect().map(r => r.getLong(0) -> (if (r.isNullAt(1)) None else Some(r.getLong(1)))).toMap
+    assert(got === Map(1L -> Some(100L), 2L -> Some(200L), 3L -> None, 4L -> None))
+  }
+
   test("key histogram surfaces the heaviest keys") {
     val h = Skew.keyHistogram(Tables.lineitem(spark, sfDir), col("l_returnflag"), topN = 3)
     assert(h.count() === 3)
