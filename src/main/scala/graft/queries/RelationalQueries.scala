@@ -271,7 +271,7 @@ object RelationalQueries extends QueryGroup {
         CAST(grouping(r_name) AS BIGINT) AS g_region,
         CAST(grouping(n_name) AS BIGINT) AS g_nation,
         count(*) AS n,
-        sum(CAST(floor(c_acctbal*100 + 0.5) AS BIGINT)) AS balance_cents
+        CAST(sum(CAST(floor(c_acctbal*100 + 0.5) AS BIGINT)) AS BIGINT) AS balance_cents
       FROM customer
       JOIN nation ON c_nationkey = n_nationkey
       JOIN region ON n_regionkey = r_regionkey
