@@ -31,6 +31,13 @@ object GraftSession {
     spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "true")
     // Deterministic parquet output for the DuckDB oracle compare.
     spark.conf.set("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
+    // Reference pins the HDFS-backed state store provider and streaming
+    // metrics (`ecommerce_streaming.py:13-18`); pin them here so every
+    // entry point (Verify/Bench/tests) runs the reference confs, not just
+    // `local()`. Both are SQL confs, picked up at streaming-query start.
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.HDFSBackedStateStoreProvider")
+    spark.conf.set("spark.sql.streaming.metricsEnabled", "true")
     spark
   }
 
@@ -42,7 +49,6 @@ object GraftSession {
       .config("spark.sql.shuffle.partitions", cores.toString)
       .config("spark.ui.enabled", "false")
       .config("spark.serializer", "org.apache.spark.serializer.KryoSerializer")
-      .config("spark.sql.streaming.metricsEnabled", "true")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     configure(spark)

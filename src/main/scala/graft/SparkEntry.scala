@@ -18,7 +18,8 @@ object SparkEntry {
     ExtensionQueries,
     AdvancedQueries,
     SourceQueries,
-    StatsQueries)
+    StatsQueries,
+    PipelineQueries)
 
   private lazy val all: Seq[QueryDef] = groups.flatMap(_.defs)
 

@@ -34,17 +34,29 @@ object Dedup {
     * blocked on a shared text prefix. Blocking keeps the self-join keyed
     * (shuffle on the prefix) instead of a cross product; prefix blocking
     * is the cheapest useful blocker for corpora where near-dups share
-    * their opening (crawl boilerplate, versioned docs). Output:
+    * their opening (crawl boilerplate, versioned docs). Blocks larger
+    * than `maxBlockSize` are dropped before the quadratic join — on
+    * crawl corpora one shared boilerplate prefix otherwise makes a
+    * single block O(n²); the dropped blocks are exactly the template
+    * clusters a dedup pipeline handles separately. Output:
     * (doc_a, doc_b, jaccard) for pairs ≥ minJaccard. */
   def ngramJaccardPairs(docs: DataFrame, idCol: String, textCol: String,
                         n: Int = 3, prefixLen: Int = 24,
-                        minJaccard: Double = 0.0): DataFrame = {
+                        minJaccard: Double = 0.0,
+                        maxBlockSize: Option[Int] = None): DataFrame = {
     val prepared = docs.select(
       col(idCol).as("doc"),
       substring(col(textCol), 1, prefixLen).as("block"),
       col(textCol).as("t"))
-    val a = prepared.select(col("block"), col("doc").as("doc_a"), col("t").as("t_a"))
-    val b = prepared.select(col("block"), col("doc").as("doc_b"), col("t").as("t_b"))
+    val capped = maxBlockSize match {
+      case Some(cap) =>
+        val hot = prepared.groupBy("block").count().filter(col("count") > cap)
+          .select(col("block"))
+        prepared.join(hot, Seq("block"), "left_anti")
+      case None => prepared
+    }
+    val a = capped.select(col("block"), col("doc").as("doc_a"), col("t").as("t_a"))
+    val b = capped.select(col("block"), col("doc").as("doc_b"), col("t").as("t_b"))
     a.join(b, Seq("block"))
       .filter(col("doc_a") < col("doc_b"))
       .select(col("doc_a"), col("doc_b"),

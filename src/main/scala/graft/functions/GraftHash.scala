@@ -180,4 +180,34 @@ object GraftHash {
     if (na == 0L || nb == 0L) null
     else java.lang.Double.valueOf(dot.toDouble / math.sqrt(na.toDouble * nb.toDouble))
   }
+
+  /** Index (as cluster id) of the centroid nearest a quantized long
+    * vector by integer cosine: one fused loop over centroids×dims per
+    * row, replacing a crossJoin×k + per-id window shuffle with a narrow
+    * projection. Centroids arrive in ascending-cluster-id order, so a
+    * strict `>` reproduces the (cos DESC, cluster ASC) tie-break;
+    * undefined cosines (zero norm) are skipped — the NULLS LAST of the
+    * window form — and an all-undefined row falls to the lowest id. */
+  def nearestCentroid(qv: ArrayData, cents: Array[Array[Long]], ids: Array[Long]): Long = {
+    val n = qv.numElements()
+    var nq = 0L
+    var i = 0
+    while (i < n) { val x = qv.getLong(i); nq += x * x; i += 1 }
+    var bestIdx = -1
+    var bestCos = 0.0d
+    var c = 0
+    while (c < cents.length) {
+      val cent = cents(c)
+      var dot = 0L
+      var nc = 0L
+      var j = 0
+      while (j < n) { val y = cent(j); dot += qv.getLong(j) * y; nc += y * y; j += 1 }
+      if (nq != 0L && nc != 0L) {
+        val cos = dot.toDouble / math.sqrt(nq.toDouble * nc.toDouble)
+        if (bestIdx < 0 || cos > bestCos) { bestIdx = c; bestCos = cos }
+      }
+      c += 1
+    }
+    if (bestIdx < 0) ids(0) else ids(bestIdx)
+  }
 }

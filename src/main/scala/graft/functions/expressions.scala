@@ -108,6 +108,26 @@ object expressions {
       copy(left = l, right = r)
   }
 
+  /** Nearest-centroid assignment for IVF builds: cluster id of the
+    * centroid with the greatest integer cosine to the quantized vector
+    * column. Centroids ride along as a plan-literal reference object
+    * (k·dim longs — model-scale metadata), so assignment is a narrow
+    * codegen'd projection: no join, no shuffle. */
+  case class NearestCentroid(child: Expression,
+                             centroids: Array[Array[Long]], ids: Array[Long])
+      extends UnaryExpression {
+    override def dataType: DataType = LongType
+    override protected def nullSafeEval(v: Any): Any =
+      GraftHash.nearestCentroid(
+        v.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData], centroids, ids)
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      val cRef = ctx.addReferenceObj("centroids", centroids, "long[][]")
+      val iRef = ctx.addReferenceObj("centroidIds", ids, "long[]")
+      defineCodeGen(ctx, ev, c => s"$G.nearestCentroid($c, $cRef, $iRef)")
+    }
+    override protected def withNewChildInternal(c: Expression): NearestCentroid = copy(child = c)
+  }
+
   // ---- Column-level API ----
 
   def poly_hash(c: Column): Column = Bridge.column(PolyHash(Bridge.expression(c)))
@@ -120,4 +140,6 @@ object expressions {
     Bridge.column(QuantizedCosine(Bridge.expression(a), Bridge.expression(b)))
   def ngram_jaccard(a: Column, b: Column, n: Int): Column =
     Bridge.column(NGramJaccard(Bridge.expression(a), Bridge.expression(b), n))
+  def nearest_centroid(c: Column, centroids: Array[Array[Long]], ids: Array[Long]): Column =
+    Bridge.column(NearestCentroid(Bridge.expression(c), centroids, ids))
 }

@@ -95,27 +95,36 @@ object AdvancedQueries extends QueryGroup {
       ORDER BY cosine DESC, vec_id LIMIT 10
     """))
 
-  /** Salted fact⋈dim join (8 salts): result identical to the plain join —
-    * salting only changes partitioning, which is the point. */
+  /** Salted fact⋈dim join on a genuinely hot key: ~90% of events collapse
+    * onto one synthetic power-law key (the skew shape salting exists for —
+    * a plain shuffle join would put 90% of the fact table in one task at
+    * any cluster size). The small distinct-key dim is the replicated ×8
+    * side, per `Skew.saltedJoin`'s contract; results are identical to the
+    * plain join — salting only changes partitioning, which is the point.
+    * `SkewSpec` demonstrates the balance win on the same shape. */
   private val q33 = QueryDef(
     "q33_salted_join",
     (spark, dir) => {
-      val lineitem = Tables.lineitem(spark, dir)
-      val orders = Tables.orders(spark, dir)
-        .select(col("o_orderkey").as("l_orderkey"), col("o_orderpriority"))
-      Skew.saltedJoin(lineitem, orders, "l_orderkey", salts = 8)
-        .groupBy(col("o_orderpriority"))
-        .agg(
-          count(lit(1)).as("n_lines"),
-          (sum(expr("CAST(floor(l_extendedprice*100 + 0.5) AS BIGINT) * (100 - CAST(floor(l_discount*100 + 0.5) AS BIGINT))"))
-            .cast("double") / lit(10000d)).as("revenue"))
-        .orderBy("o_orderpriority")
+      val hotKey = when(pmod(col("user_id"), lit(10L)) < 9, lit(0L)).otherwise(col("user_id"))
+      val facts = Tables.events(spark, dir)
+        .select(hotKey.as("hot_key"), col("value"))
+      val dim = facts.select(col("hot_key")).distinct()
+        .withColumn("tier", pmod(col("hot_key"), lit(7L)))
+      Skew.saltedJoin(facts, dim, "hot_key", salts = 8)
+        .groupBy(col("tier"))
+        .agg(count(lit(1)).as("n_events"),
+          graft.functions.Deterministic.moneySum(col("value")).as("total_value"))
+        .orderBy("tier")
     },
-    Some(s"""
-      SELECT o_orderpriority, count(*) AS n_lines,
-        CAST(sum($revenueSql) AS DOUBLE)/10000 AS revenue
-      FROM lineitem JOIN orders ON l_orderkey = o_orderkey
-      GROUP BY 1 ORDER BY o_orderpriority
+    Some("""
+      WITH e AS (
+        SELECT CASE WHEN user_id % 10 < 9 THEN 0 ELSE user_id END AS hot_key, value
+        FROM events),
+      d AS (SELECT DISTINCT hot_key, hot_key % 7 AS tier FROM e)
+      SELECT tier, count(*) AS n_events,
+        CAST(sum(CAST(floor(value*100 + 0.5) AS BIGINT)) AS DOUBLE)/100 AS total_value
+      FROM e JOIN d USING (hot_key)
+      GROUP BY tier ORDER BY tier
     """))
 
   /** Per-group top-k via the native bounded-heap aggregate

@@ -37,11 +37,15 @@ object ExtensionQueries extends QueryGroup {
     """))
 
   /** MinHash + banded LSH candidate pairs with estimated Jaccard
-    * (16 hashes, 4 bands × 4 rows, 3-word shingles). */
+    * (16 hashes, 4 bands × 4 rows, 3-word shingles). Runs with the
+    * template-bucket cap ON (buckets > 2 docs dropped before the
+    * quadratic join) so the capped scale path is the oracle-verified
+    * one; the cap is deliberately low at test SF so it provably fires. */
   private val q21 = QueryDef(
     "q21_dedup_minhash_lsh",
     (spark, dir) => {
-      MinHashLSH.nearDuplicates(Tables.documents(spark, dir), "doc_id", "text", minJaccard = 0.0)
+      MinHashLSH.nearDuplicates(Tables.documents(spark, dir), "doc_id", "text",
+        minJaccard = 0.0, maxBucketSize = Some(2))
         .orderBy("doc_a", "doc_b")
     },
     Some(s"""
@@ -63,9 +67,14 @@ object ExtensionQueries extends QueryGroup {
           list_reduce(list_prepend(0::BIGINT, list(m ORDER BY j)),
             (a,x) -> ((a*1000000007) % 2147483647 + x) % 2147483647) AS bucket
         FROM sigs GROUP BY doc_id, j//4),
+      ok AS (
+        SELECT band, bucket FROM bands GROUP BY band, bucket HAVING count(*) <= 2),
+      bands_ok AS (
+        SELECT b.* FROM bands b JOIN ok USING (band, bucket)),
       cand AS (
         SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-        FROM bands a JOIN bands b ON a.band=b.band AND a.bucket=b.bucket AND a.doc_id < b.doc_id)
+        FROM bands_ok a JOIN bands_ok b
+          ON a.band=b.band AND a.bucket=b.bucket AND a.doc_id < b.doc_id)
       SELECT doc_a, doc_b,
         CAST(sum(CASE WHEN sa.m = sb.m THEN 1 ELSE 0 END) AS DOUBLE)/16.0 AS est_jaccard
       FROM cand
@@ -95,12 +104,15 @@ object ExtensionQueries extends QueryGroup {
       FROM votes GROUP BY doc_id ORDER BY doc_id
     """))
 
-  /** Exact 3-gram Jaccard over prefix-blocked candidate pairs. */
+  /** Exact 3-gram Jaccard over prefix-blocked candidate pairs, with the
+    * boilerplate-block cap ON (blocks > 2 docs dropped before the
+    * quadratic join — the capped path is the oracle-verified one; the
+    * cap is deliberately low at test SF so it provably fires). */
   private val q23 = QueryDef(
     "q23_dedup_ngram_jaccard",
     (spark, dir) => {
       Dedup.ngramJaccardPairs(Tables.documents(spark, dir), "doc_id", "text",
-        n = 3, prefixLen = 24, minJaccard = 0.0)
+        n = 3, prefixLen = 24, minJaccard = 0.0, maxBlockSize = Some(2))
         .orderBy("doc_a", "doc_b")
     },
     Some("""
@@ -108,21 +120,27 @@ object ExtensionQueries extends QueryGroup {
         SELECT doc_id, substr(text,1,24) AS block,
           list_distinct([substr(text,i,3) for i in range(1, len(text)-1)]) AS grams
         FROM documents),
+      ok AS (
+        SELECT block FROM g GROUP BY block HAVING count(*) <= 2),
+      g_ok AS (
+        SELECT g.* FROM g JOIN ok USING (block)),
       pairs AS (
         SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
           len(list_intersect(a.grams, b.grams)) AS i,
           len(a.grams) AS la, len(b.grams) AS lb
-        FROM g a JOIN g b ON a.block = b.block AND a.doc_id < b.doc_id)
+        FROM g_ok a JOIN g_ok b ON a.block = b.block AND a.doc_id < b.doc_id)
       SELECT doc_a, doc_b, CAST(i AS DOUBLE)/(la + lb - i) AS jaccard
       FROM pairs ORDER BY doc_a, doc_b
     """))
 
-  /** Embedding near-dup pairs: label-blocked quantized-cosine self-join. */
+  /** Embedding near-dup pairs: label-blocked quantized-cosine self-join,
+    * giant-block cap ON (blocks > 55 vectors dropped before the
+    * quadratic join; the cap provably fires at test SF). */
   private val q24 = QueryDef(
     "q24_dedup_embedding_cosine",
     (spark, dir) => {
       Knn.similarPairsWithinBlocks(Tables.embeddings(spark, dir),
-        "vec_id", "embedding", "label", minCosine = 0.35)
+        "vec_id", "embedding", "label", minCosine = 0.35, maxBlockSize = Some(55))
         .orderBy("block", "id_a", "id_b")
     },
     Some("""
@@ -130,9 +148,12 @@ object ExtensionQueries extends QueryGroup {
         SELECT vec_id, label,
           list_transform(embedding, x -> CAST(floor(x*512 + 0.5) AS BIGINT)) AS qv
         FROM embeddings),
+      ok AS (
+        SELECT label FROM q GROUP BY label HAVING count(*) <= 55),
       n AS (
-        SELECT vec_id, label, qv,
-          CAST(list_sum(list_transform(qv, x -> x*x)) AS BIGINT) AS nsq FROM q),
+        SELECT vec_id, q.label, qv,
+          CAST(list_sum(list_transform(qv, x -> x*x)) AS BIGINT) AS nsq
+        FROM q JOIN ok USING (label)),
       p AS (
         SELECT a.label AS block, a.vec_id AS id_a, b.vec_id AS id_b,
           CAST(list_sum(list_transform(range(1, len(a.qv)+1), i -> a.qv[i]*b.qv[i])) AS BIGINT) AS dot,

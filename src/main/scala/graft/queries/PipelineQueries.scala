@@ -1,0 +1,115 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.functions.Deterministic._
+import graft.operators.{RangeJoin, Sampling}
+import graft.text.TfIdf
+
+/** Training-data-pipeline operators, round 2: binned range join,
+  * TF-IDF term extraction, deterministic sampling / splitting. */
+object PipelineQueries extends QueryGroup {
+
+  /** Binned range join (graft.operators.RangeJoin): views attributed to
+    * the 10-minute window after each purchase by the same user. The bin
+    * trick turns the `lo <= t < hi` condition into an equi-join on
+    * (bin, user_id) — hash-planable at any scale, where the naive theta
+    * join is a nested loop. Oracle runs the naive form. */
+  private val q43 = QueryDef(
+    "q43_range_join_binned",
+    (spark, dir) => {
+      val ev = Tables.events(spark, dir).filter(col("ts").isNotNull)
+        .select(col("event_id"), col("user_id"), epochS(col("ts")).as("t"), col("event_type"))
+      val views = ev.filter(col("event_type") === "view")
+        .select(col("user_id"), col("t"))
+      val promos = ev.filter(col("event_type") === "purchase")
+        .select(col("event_id").as("promo_id"), col("user_id"),
+          col("t").as("lo"), (col("t") + 600L).as("hi"))
+      RangeJoin.pointInInterval(views, promos, "t", "lo", "hi",
+        binWidth = 600L, keys = Seq("user_id"))
+        .groupBy(col("promo_id"))
+        .agg(count(lit(1)).as("n_views_10min"))
+        .orderBy("promo_id")
+    },
+    Some("""
+      WITH e AS (
+        SELECT event_id, user_id,
+          CAST(epoch_us(ts) // 1000000 AS BIGINT) AS t, event_type
+        FROM events WHERE ts IS NOT NULL),
+      v AS (SELECT user_id, t FROM e WHERE event_type = 'view'),
+      p AS (SELECT event_id AS promo_id, user_id, t AS lo, t + 600 AS hi
+            FROM e WHERE event_type = 'purchase')
+      SELECT promo_id, count(*) AS n_views_10min
+      FROM v JOIN p ON v.user_id = p.user_id AND v.t >= p.lo AND v.t < p.hi
+      GROUP BY promo_id ORDER BY promo_id
+    """))
+
+  /** TF-IDF top-3 terms per document (graft.text.TfIdf): rational idf
+    * (N+1)/(df+1) for bit-exact cross-engine scores. */
+  private val q44 = QueryDef(
+    "q44_tfidf_top_terms",
+    (spark, dir) => {
+      TfIdf.topTerms(Tables.documents(spark, dir), "doc_id", "text", k = 3)
+        .select(col("doc").as("doc_id"), col("rank"), col("token"),
+          col("tf"), col("df"), col("score"))
+        .orderBy("doc_id", "rank")
+    },
+    Some("""
+      WITH toks AS (
+        SELECT doc_id, unnest(list_filter(str_split(text, ' '), t -> len(t) > 0)) AS token
+        FROM documents),
+      tf AS (SELECT doc_id, token, count(*) AS tf FROM toks GROUP BY 1, 2),
+      df AS (SELECT token, count(*) AS df FROM tf GROUP BY token),
+      n AS (SELECT count(*) AS n FROM documents),
+      scored AS (
+        SELECT doc_id, token, tf, df,
+          CAST(tf * (n + 1) AS DOUBLE) / (df + 1) AS score
+        FROM tf JOIN df USING (token) CROSS JOIN n)
+      SELECT doc_id, CAST(row_number() OVER w AS BIGINT) AS rank, token,
+        CAST(tf AS BIGINT) AS tf, CAST(df AS BIGINT) AS df, score
+      FROM scored
+      WINDOW w AS (PARTITION BY doc_id ORDER BY score DESC, token)
+      QUALIFY row_number() OVER w <= 3
+      ORDER BY doc_id, rank
+    """))
+
+  /** Deterministic stratified sample + key-consistent train/test split
+    * (graft.operators.Sampling): segment-dependent sampling fractions,
+    * then an 80/20 split on the customer key — every surviving row is
+    * decided by integer hash arithmetic any engine reproduces. */
+  private val q45 = QueryDef(
+    "q45_sample_split",
+    (spark, dir) => {
+      val sampled = Sampling.stratifiedSample(
+        Tables.customer(spark, dir), col("c_mktsegment"), col("c_custkey"),
+        Map("BUILDING" -> 0.5, "AUTOMOBILE" -> 0.25, "MACHINERY" -> 0.25,
+            "FURNITURE" -> 1.0, "HOUSEHOLD" -> 0.1))
+      sampled
+        .withColumn("split", Sampling.splitColumn(col("c_custkey"), testFraction = 0.2))
+        .groupBy(col("c_mktsegment"), col("split"))
+        .agg(count(lit(1)).as("n"), sum(cents(col("c_acctbal"))).as("balance_cents"))
+        .orderBy("c_mktsegment", "split")
+    },
+    Some("""
+      WITH h AS (
+        SELECT c_mktsegment, c_acctbal,
+          (c_custkey * 2654435761) % 4294967296 AS hs,
+          (c_custkey * 1779033703) % 4294967296 AS ht
+        FROM customer),
+      sampled AS (
+        SELECT c_mktsegment, c_acctbal, ht FROM h
+        WHERE hs % 10000 < CASE c_mktsegment
+          WHEN 'BUILDING' THEN 5000 WHEN 'AUTOMOBILE' THEN 2500
+          WHEN 'MACHINERY' THEN 2500 WHEN 'FURNITURE' THEN 10000
+          WHEN 'HOUSEHOLD' THEN 1000 ELSE -1 END)
+      SELECT c_mktsegment,
+        CASE WHEN ht % 10000 < 2000 THEN 'test' ELSE 'train' END AS split,
+        count(*) AS n,
+        CAST(sum(CAST(floor(c_acctbal*100 + 0.5) AS BIGINT)) AS BIGINT) AS balance_cents
+      FROM sampled
+      GROUP BY 1, 2 ORDER BY c_mktsegment, split
+    """))
+
+  def defs: Seq[QueryDef] = Seq(q43, q44, q45)
+}

@@ -13,23 +13,33 @@ object StatsQueries extends QueryGroup {
   /** Exact lower-quantile percentiles per group via rank selection (the
     * interpolation-free definition both engines compute identically on
     * integer cents). Median and p90 of lineitem quantity per returnflag.
+    *
+    * Scale design: two passes, no full-table sort. Pass 1 is a fully
+    * parallel hash aggregate to a per-(group, value) histogram — the only
+    * thing that ever shuffles is one row per distinct cents value. Pass 2
+    * runs the cumulative-count window over the histogram alone, so the
+    * per-group window (parallelism = #groups) touches #distinct-values
+    * rows, not the full table: the k-th smallest value is the least value
+    * whose cumulative count reaches k. A naive
+    * `row_number over (partition by group order by value)` on the raw
+    * table sorts 100% of rows in #groups tasks at any cluster size.
     */
   private val q36 = QueryDef(
     "q36_exact_percentiles",
     (spark, dir) => {
-      val w = Window.partitionBy(col("l_returnflag")).orderBy(col("qc"), col("l_orderkey"), col("l_linenumber"))
-      val ranked = Tables.lineitem(spark, dir)
-        .select(col("l_returnflag"), cents(col("l_quantity")).as("qc"),
-          col("l_orderkey"), col("l_linenumber"))
-        .withColumn("rn", row_number().over(w))
-      val counts = ranked.groupBy(col("l_returnflag")).agg(count(lit(1)).as("n"))
-      ranked.join(counts, "l_returnflag")
-        .filter(col("rn") === floor((col("n") - 1) * lit(0.5)) + 1 ||
-                col("rn") === floor((col("n") - 1) * lit(0.9)) + 1)
+      val hist = Tables.lineitem(spark, dir)
+        .select(col("l_returnflag"), cents(col("l_quantity")).as("qc"))
+        .groupBy(col("l_returnflag"), col("qc"))
+        .agg(count(lit(1)).as("cnt"))
+      val wCum = Window.partitionBy(col("l_returnflag")).orderBy(col("qc"))
+      val wAll = Window.partitionBy(col("l_returnflag"))
+      hist
+        .withColumn("cum", sum(col("cnt")).over(wCum))
+        .withColumn("n", sum(col("cnt")).over(wAll))
         .groupBy(col("l_returnflag"), col("n"))
         .agg(
-          min(when(col("rn") === floor((col("n") - 1) * lit(0.5)) + 1, col("qc"))).as("p50_cents"),
-          min(when(col("rn") === floor((col("n") - 1) * lit(0.9)) + 1, col("qc"))).as("p90_cents"))
+          min(when(col("cum") >= floor((col("n") - 1) * lit(0.5)) + 1, col("qc"))).as("p50_cents"),
+          min(when(col("cum") >= floor((col("n") - 1) * lit(0.9)) + 1, col("qc"))).as("p90_cents"))
         .orderBy("l_returnflag")
     },
     Some("""

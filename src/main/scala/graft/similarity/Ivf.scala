@@ -1,7 +1,6 @@
 package graft.similarity
 
 import org.apache.spark.sql.DataFrame
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.functions.expressions.quantized_cosine
@@ -16,10 +15,10 @@ import graft.functions.expressions.quantized_cosine
   * are bit-deterministic and reproducible by the SQL oracle. More Lloyd
   * iterations refine recall but don't change the dataflow shape.
   *
-  * Scale: the centroid table is tiny (k rows) and broadcast everywhere;
-  * assignment is a narrow broadcast-join + per-row argmax (one shuffle
-  * for the mean recompute); a probe touches ~corpus/k · nprobe rows
-  * instead of the whole corpus.
+  * Scale: the centroid table is tiny (k rows — collected/broadcast like
+  * any trained model); assignment is a narrow codegen'd per-row argmax
+  * (no join, no shuffle — only the k-row mean recomputes shuffle); a
+  * probe touches ~corpus/k · nprobe rows instead of the whole corpus.
   */
 object Ivf {
 
@@ -38,33 +37,48 @@ object Ivf {
       .otherwise(dot.cast("double") / sqrt(na.cast("double") * nb.cast("double")))
   }
 
-  /** Elementwise floor-mean centroids of the given assignment.
-    * Output: (cluster, centroid array<long>). */
-  private def meanCentroids(assigned: DataFrame): DataFrame =
+  /** Elementwise floor-mean centroids of the given assignment, computed
+    * as `dim` per-element sum aggregates (map-side partials carry k×dim
+    * longs into the shuffle — the posexplode alternative shuffles
+    * n×dim rows). Output: (cluster, centroid array<long>). */
+  private def meanCentroids(assigned: DataFrame, dim: Int): DataFrame = {
+    val sums = (0 until dim).map(i => sum(col("qv")(i)).as(s"__s$i"))
+    val aggs = count(lit(1)).as("__n") +: sums
     assigned
-      .select(col("cluster"), posexplode(col("qv")).as(Seq("dim", "v")))
-      .groupBy(col("cluster"), col("dim"))
-      .agg(floor(sum(col("v")) / count(lit(1))).as("m")) // floor-mean: exact ints ÷ → identical double → floor
       .groupBy(col("cluster"))
-      .agg(transform(array_sort(collect_list(struct(col("dim"), col("m")))), s => s.getField("m")).as("centroid"))
+      .agg(aggs.head, aggs.tail: _*)
+      // floor-mean: exact int sums, one double ÷ per element → identical
+      // across engines, then floor
+      .select(col("cluster"),
+        array((0 until dim).map(i => floor(col(s"__s$i") / col("__n"))): _*).as("centroid"))
+  }
 
   /** Build the IVF index: returns (assignments, centroids).
     * assignments: (id, vec, qv, cluster); centroids: (cluster, centroid).
-    * Seed cells = id mod k, then one Lloyd step (assign to nearest
-    * centroid by integer cosine, deterministic tie-break on cluster id).
+    * Seed cells = id mod k, then `iterations` Lloyd steps: each step
+    * collects the k current centroids to the driver (k·dim longs —
+    * model-scale metadata) and assigns every row with the codegen'd
+    * `nearest_centroid` argmax, a narrow projection with no join and no
+    * shuffle. The only shuffles in the whole build are the k-row
+    * centroid mean aggregations (one per iteration + one final).
+    * iterations=1 is the oracle-verified configuration; more iterations
+    * improve recall without changing the dataflow shape.
     */
-  def build(embeddings: DataFrame, idCol: String, vecCol: String, k: Int): (DataFrame, DataFrame) = {
+  def build(embeddings: DataFrame, idCol: String, vecCol: String, k: Int,
+            iterations: Int = 1): (DataFrame, DataFrame) = {
     val base = embeddings.select(col(idCol).as("id"), col(vecCol).as("vec"), qvec(col(vecCol)).as("qv"))
-    val seeded = base.withColumn("cluster", pmod(col("id"), lit(k.toLong)))
-    val cent0 = meanCentroids(seeded)
-    val w = Window.partitionBy(col("id")).orderBy(col("cos").desc, col("cluster"))
-    val reassigned = base
-      .crossJoin(broadcast(cent0.select(col("cluster"), col("centroid"))))
-      .withColumn("cos", cosLong(col("qv"), col("centroid")))
-      .withColumn("rn", row_number().over(w))
-      .filter(col("rn") === 1)
-      .select(col("id"), col("vec"), col("qv"), col("cluster"))
-    (reassigned, meanCentroids(reassigned))
+    val dim = base.select(size(col("qv"))).limit(1).collect()(0).getInt(0)
+    var assigned = base.withColumn("cluster", pmod(col("id"), lit(k.toLong)))
+    var i = 0
+    while (i < iterations) {
+      val cents = meanCentroids(assigned, dim).orderBy(col("cluster")).collect()
+      val ids = cents.map(_.getLong(0))
+      val mats = cents.map(_.getSeq[Long](1).toArray)
+      assigned = base.withColumn("cluster",
+        graft.functions.expressions.nearest_centroid(col("qv"), mats, ids))
+      i += 1
+    }
+    (assigned, meanCentroids(assigned, dim))
   }
 
   /** Probe: exact top-k by quantized cosine, restricted to the `nprobe`

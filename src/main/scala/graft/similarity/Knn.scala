@@ -75,13 +75,25 @@ object Knn {
 
   /** All pairs above a cosine threshold, blocked on a partition column
     * (e.g. a cluster/label id): the self-join shuffles once on the block
-    * key; work is Σ_b |b|² instead of n². */
+    * key; work is Σ_b |b|² instead of n². Blocks over `maxBlockSize`
+    * are dropped before the quadratic join — a giant block (one label
+    * covering half the corpus) otherwise degenerates to all-pairs; at
+    * scale such blocks get re-blocked (finer clustering) or handled as
+    * their own corpus. */
   def similarPairsWithinBlocks(embeddings: DataFrame, idCol: String, vecCol: String,
-                               blockCol: String, minCosine: Double): DataFrame = {
+                               blockCol: String, minCosine: Double,
+                               maxBlockSize: Option[Int] = None): DataFrame = {
     val prepared = embeddings.select(
       col(blockCol).as("block"), col(idCol).as("id"), col(vecCol).as("v"))
-    val a = prepared.select(col("block"), col("id").as("id_a"), col("v").as("v_a"))
-    val b = prepared.select(col("block"), col("id").as("id_b"), col("v").as("v_b"))
+    val capped = maxBlockSize match {
+      case Some(cap) =>
+        val hot = prepared.groupBy("block").count().filter(col("count") > cap)
+          .select(col("block"))
+        prepared.join(hot, Seq("block"), "left_anti")
+      case None => prepared
+    }
+    val a = capped.select(col("block"), col("id").as("id_a"), col("v").as("v_a"))
+    val b = capped.select(col("block"), col("id").as("id_b"), col("v").as("v_b"))
     a.join(b, Seq("block"))
       .filter(col("id_a") < col("id_b"))
       .select(col("block"), col("id_a"), col("id_b"),

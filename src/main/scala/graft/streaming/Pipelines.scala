@@ -2,7 +2,7 @@ package graft.streaming
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.{DataStreamWriter, StreamingQuery, Trigger}
+import org.apache.spark.sql.streaming.{DataStreamReader, DataStreamWriter, StreamingQuery, Trigger}
 import org.apache.spark.sql.Row
 
 import graft.operators.Ecommerce
@@ -26,10 +26,14 @@ object Pipelines {
 
   /** S1 — Kafka source with the reference's options
     * (ecommerce_streaming.py:38-52): latest offsets, 1000-records/trigger
-    * intake cap (the back-pressure knob at scale), client keepalives. */
-  def kafkaOrderStream(spark: SparkSession, bootstrapServers: String,
+    * intake cap (the back-pressure knob at scale), client keepalives.
+    * The configured reader is exposed separately from `.load()` so the
+    * option plumbing is assertable without a broker or connector jar
+    * (KafkaPlumbingSpec) — `.load()` is the only step that needs the
+    * spark-sql-kafka package on the classpath. */
+  def kafkaOrderReader(spark: SparkSession, bootstrapServers: String,
                        topic: String = "ecommerce-orders",
-                       maxOffsetsPerTrigger: Long = 1000L): DataFrame =
+                       maxOffsetsPerTrigger: Long = 1000L): DataStreamReader =
     spark.readStream.format("kafka")
       .option("kafka.bootstrap.servers", bootstrapServers)
       .option("subscribe", topic)
@@ -37,7 +41,11 @@ object Pipelines {
       .option("maxOffsetsPerTrigger", maxOffsetsPerTrigger)
       .option("kafka.request.timeout.ms", "60000")
       .option("kafka.session.timeout.ms", "60000")
-      .load()
+
+  def kafkaOrderStream(spark: SparkSession, bootstrapServers: String,
+                       topic: String = "ecommerce-orders",
+                       maxOffsetsPerTrigger: Long = 1000L): DataFrame =
+    kafkaOrderReader(spark, bootstrapServers, topic, maxOffsetsPerTrigger).load()
 
   /** S2 — rate source + deterministic order synthesis
     * (ecommerce_streaming.py:171-184): the executable path. */

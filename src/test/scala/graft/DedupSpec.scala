@@ -62,4 +62,17 @@ class DedupSpec extends SparkSpec {
     // unrelated doc shares no 24-char prefix → never a candidate
     assert(!pairs.keys.exists { case (a, b) => b == 2L || a == 2L })
   }
+
+  test("ngram jaccard block cap drops oversized boilerplate blocks only") {
+    import spark.implicits._
+    // docs 0,1,3 share the 24-char prefix (block of 3); doc 2 is alone.
+    val capped = Dedup.ngramJaccardPairs(docs, "doc_id", "text",
+      n = 3, prefixLen = 24, maxBlockSize = Some(2))
+      .select("doc_a", "doc_b").as[(Long, Long)].collect()
+    assert(capped.isEmpty) // the only candidate block exceeded the cap
+    val roomy = Dedup.ngramJaccardPairs(docs, "doc_id", "text",
+      n = 3, prefixLen = 24, maxBlockSize = Some(3))
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    assert(roomy === Set((0L, 1L), (0L, 3L), (1L, 3L))) // cap ≥ block size: unchanged
+  }
 }

@@ -1,0 +1,81 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.{RangeJoin, Sampling}
+
+/** Semantics of the round-2 pipeline operators: binned range join
+  * (equivalence with the naive theta join + equi-join plan shape) and
+  * deterministic sampling/splitting (key consistency, reproducibility).
+  */
+class PipelineOpsSpec extends SparkSpec {
+
+  test("binned range join == naive theta join, for every binWidth") {
+    import spark.implicits._
+    // points at 0..999, intervals of assorted lengths incl. bin-straddling
+    val points = spark.range(1000).select(col("id").as("pid"), (col("id") * 7 % 997).as("t"))
+    val intervals = spark.range(100).select(
+      col("id").as("iid"),
+      (col("id") * 13 % 800).as("lo"),
+      (col("id") * 13 % 800 + col("id") % 50 * 3).as("hi"))
+    val naive = points.join(intervals, col("t") >= col("lo") && col("t") < col("hi"))
+      .select("pid", "iid").as[(Long, Long)].collect().toSet
+    for (bw <- Seq(1L, 7L, 64L, 1000L)) {
+      val binned = RangeJoin.pointInInterval(points, intervals, "t", "lo", "hi", binWidth = bw)
+        .select("pid", "iid").as[(Long, Long)].collect()
+      assert(binned.length === binned.toSet.size, s"bw=$bw produced duplicate pairs")
+      assert(binned.toSet === naive, s"bw=$bw mismatch")
+    }
+  }
+
+  test("binned range join plans as an equi-join, not a nested loop") {
+    val points = spark.range(1000).select(col("id").as("pid"), col("id").as("t"))
+    val intervals = spark.range(100).select(
+      col("id").as("iid"), (col("id") * 10).as("lo"), (col("id") * 10 + 10).as("hi"))
+    val plan = RangeJoin.pointInInterval(points, intervals, "t", "lo", "hi", binWidth = 10)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("NestedLoop"), s"range join fell back to nested loop:\n$plan")
+    val naivePlan = points.join(intervals, col("t") >= col("lo") && col("t") < col("hi"))
+      .queryExecution.executedPlan.toString
+    assert(naivePlan.contains("NestedLoop"), "control: the naive form IS a nested loop")
+  }
+
+  test("sampleByKey is deterministic, key-consistent, and ~fraction sized") {
+    import spark.implicits._
+    val df = spark.range(10000).toDF("k")
+    val a = Sampling.sampleByKey(df, col("k"), 0.3).as[Long].collect().toSet
+    val b = Sampling.sampleByKey(df, col("k"), 0.3).as[Long].collect().toSet
+    assert(a === b, "same keys every run")
+    assert(math.abs(a.size - 3000) < 300, s"got ${a.size}, expected ~3000")
+    // a smaller fraction selects a subset of the larger one (nested samples)
+    val c = Sampling.sampleByKey(df, col("k"), 0.1).as[Long].collect().toSet
+    assert(c.subsetOf(a), "threshold sampling nests: 10% ⊂ 30%")
+  }
+
+  test("train/test split is key-consistent and exhaustive") {
+    import spark.implicits._
+    // multiple rows per key must all land on the same side
+    val df = spark.range(30000).select((col("id") % 1000).as("k"), col("id").as("v"))
+    val (train, test) = Sampling.trainTestSplit(df, col("k"), testFraction = 0.2)
+    val trainKeys = train.select("k").as[Long].collect().toSet
+    val testKeys = test.select("k").as[Long].collect().toSet
+    assert(trainKeys.intersect(testKeys).isEmpty, "no key on both sides")
+    assert(trainKeys.size + testKeys.size === 1000, "every key lands somewhere")
+    assert(train.count() + test.count() === 30000)
+    assert(math.abs(testKeys.size - 200) < 60, s"test keys ${testKeys.size}, expected ~200")
+  }
+
+  test("stratified sample respects per-stratum fractions") {
+    import spark.implicits._
+    val df = spark.range(20000).select(
+      when(col("id") % 2 === 0, "A").otherwise("B").as("s"), col("id").as("k"))
+    val got = Sampling.stratifiedSample(df, col("s"), col("k"),
+      Map("A" -> 0.5, "B" -> 0.05))
+      .groupBy("s").count().as[(String, Long)].collect().toMap
+    assert(math.abs(got("A") - 5000) < 400, s"A=${got("A")}, expected ~5000")
+    assert(math.abs(got("B") - 500) < 150, s"B=${got("B")}, expected ~500")
+    // a stratum absent from the map is dropped entirely
+    val dropped = Sampling.stratifiedSample(df, col("s"), col("k"), Map("A" -> 0.5))
+    assert(dropped.filter(col("s") === "B").count() === 0)
+  }
+}

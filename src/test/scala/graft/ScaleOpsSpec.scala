@@ -29,18 +29,80 @@ class ScaleOpsSpec extends SparkSpec {
     assert(narrow.map(_._2).toSeq === narrow.map(_._2).sorted(Ordering[Double].reverse).toSeq)
   }
 
-  test("salted join result == plain join result") {
+  test("IVF build assignment is a narrow projection: no join, no shuffle") {
+    val emb = Tables.embeddings(spark, sfDir)
+    val (assignments, _) = Ivf.build(emb, "vec_id", "embedding", k = 8)
+    val plan = assignments.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"assignment plan should not shuffle:\n$plan")
+    assert(!plan.contains("Join"), s"assignment plan should not join:\n$plan")
+  }
+
+  test("salted join result == plain join result on a hot key") {
     import spark.implicits._
-    val lineitem = Tables.lineitem(spark, sfDir)
-    val orders = Tables.orders(spark, sfDir)
-      .select(col("o_orderkey").as("l_orderkey"), col("o_orderpriority"))
-    val salted = Skew.saltedJoin(lineitem, orders, "l_orderkey", salts = 8)
-      .groupBy("o_orderpriority").count()
-    val plain = lineitem.join(orders, "l_orderkey")
-      .groupBy("o_orderpriority").count()
-    val s = salted.as[(String, Long)].collect().toMap
-    val p = plain.as[(String, Long)].collect().toMap
+    val hotKey = when(pmod(col("user_id"), lit(10L)) < 9, lit(0L)).otherwise(col("user_id"))
+    val facts = Tables.events(spark, sfDir).select(hotKey.as("k"), col("event_id").as("v"))
+    val dim = facts.select(col("k")).distinct().withColumn("tier", pmod(col("k"), lit(7L)))
+    val salted = Skew.saltedJoin(facts, dim, "k", salts = 8).groupBy("tier").count()
+    val plain = facts.join(dim, "k").groupBy("tier").count()
+    val s = salted.as[(Long, Long)].collect().toMap
+    val p = plain.as[(Long, Long)].collect().toMap
     assert(s === p)
+  }
+
+  test("salting spreads a hot key's rows across shuffle partitions") {
+    import spark.implicits._
+    // 90% of rows share key 0: a hash repartition on the bare key puts
+    // them all in ONE partition no matter how many there are; adding the
+    // row-hash salt spreads them ~uniformly. Deterministic balance check.
+    val large = spark.range(100000L).select(
+      when(pmod(col("id"), lit(10L)) < 9, lit(0L)).otherwise(col("id")).as("k"),
+      col("id").as("v"))
+    def maxPartRows(df: org.apache.spark.sql.DataFrame): Long =
+      df.groupBy(spark_partition_id()).count().agg(max("count")).as[Long].head()
+    val plainMax = maxPartRows(large.repartition(16, col("k")))
+    val saltedLarge = large.withColumn("__salt",
+      pmod(xxhash64(struct(col("k"), col("v"))), lit(8L)))
+    val saltedMax = maxPartRows(saltedLarge.repartition(16, col("k"), col("__salt")))
+    assert(plainMax >= 90000L)            // hot key concentrated in one task
+    // 8 salt groups hash into 16 partitions, so a partition can collect
+    // 2 of them (birthday collision) — assert a ≥3× spread, not the ideal 8×
+    assert(saltedMax <= plainMax / 3)
+  }
+
+  test("salted join is faster than a plain shuffle join on a hot key") {
+    // Simulates the case salting exists for: both sides too big to
+    // broadcast (threshold off) and AQE's skew splitting unavailable
+    // (disabled here), so the plain sort-merge join sorts the hot key's
+    // 99% of rows in a single task while the salted join spreads it 8-ways.
+    val n = 2000000L
+    val large = spark.range(n).select(
+      when(pmod(col("id"), lit(100L)) < 99, lit(0L)).otherwise(pmod(col("id"), lit(10000L))).as("k"),
+      col("id").as("v"))
+    val dim = spark.range(10000L).select(col("id").as("k"), pmod(col("id"), lit(7L)).as("tier"))
+    def run(df: org.apache.spark.sql.DataFrame): (Long, Double) = {
+      val t0 = System.nanoTime()
+      val s = df.agg(sum(col("v") + col("tier"))).head().getLong(0)
+      (s, (System.nanoTime() - t0) / 1e9)
+    }
+    val prevBroadcast = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    val prevAqe = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      run(large.join(dim, "k"))                       // warm both paths
+      run(Skew.saltedJoin(large, dim, "k", salts = 8))
+      // best-of-2 per variant: JIT/GC noise on the shared test session
+      // shouldn't decide a 99%-hot-key comparison
+      val plainRuns = Seq.fill(2)(run(large.join(dim, "k")))
+      val saltedRuns = Seq.fill(2)(run(Skew.saltedJoin(large, dim, "k", salts = 8)))
+      assert(plainRuns.head._1 === saltedRuns.head._1)
+      val (plainT, saltedT) = (plainRuns.map(_._2).min, saltedRuns.map(_._2).min)
+      assert(saltedT < plainT,
+        s"salted ($saltedT s) should beat plain ($plainT s) on 99%-hot key")
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevBroadcast)
+      spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
+    }
   }
 
   test("asof join: latest at-or-before match per key, >= tie semantics, null when none") {

@@ -1,0 +1,145 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+
+import graft.streaming.Pipelines
+
+/** Reliability surface of the streaming rebuild: Kafka source/sink option
+  * plumbing (assertable without a broker), the approx_count_distinct
+  * accuracy contract behind the reference's `unique_customers` column,
+  * and checkpoint-recovery (stop → restart from the same checkpoint loses
+  * and duplicates nothing — the reference's fault-tolerance claim,
+  * README.md:175).
+  */
+class StreamingReliabilitySpec extends SparkSpec {
+
+  case class OrderEvent(order_id: String, user_id: String, category: String,
+                        location: String, total_amount: Double,
+                        is_fraud_simulation: Boolean, event_timestamp: Timestamp)
+
+  private def ts(s: String) = Timestamp.valueOf(s)
+
+  private def evt(id: Int, at: String, user: String = null, amount: Double = 100.0) =
+    OrderEvent(s"o$id", Option(user).getOrElse(s"u$id"), "Electronics", "US",
+      amount, false, ts(at))
+
+  /** All private field values of `obj` (walking superclasses): the string
+    * fields and every String→String map merged with lower-cased keys.
+    * This is how the spec reads a DataStreamReader/Writer's format and
+    * options without starting the query. */
+  private def reflectConfig(obj: AnyRef): (Set[String], Map[String, String], Seq[Any]) = {
+    def fields(c: Class[_]): List[java.lang.reflect.Field] =
+      if (c == null || c == classOf[Object]) Nil
+      else c.getDeclaredFields.toList ::: fields(c.getSuperclass)
+    val vals = fields(obj.getClass).map { f => f.setAccessible(true); f.get(obj) }
+    val strings = vals.collect { case s: String => s }.toSet
+    val options = vals.collect { case m: scala.collection.Map[_, _] =>
+      m.toSeq.collect { case (k: String, v: String) => k.toLowerCase -> v }
+    }.flatten.toMap
+    (strings, options, vals)
+  }
+
+  test("Kafka source options all reach the stream definition (no broker needed)") {
+    val reader = Pipelines.kafkaOrderReader(spark, "broker1:9092,broker2:9092")
+    val (strings, opts, _) = reflectConfig(reader)
+    assert(strings.contains("kafka"), "format should be kafka")
+    assert(opts("kafka.bootstrap.servers") === "broker1:9092,broker2:9092")
+    assert(opts("subscribe") === "ecommerce-orders")
+    assert(opts("startingoffsets") === "latest")
+    assert(opts("maxoffsetspertrigger") === "1000") // W7 rate limiting
+    assert(opts("kafka.request.timeout.ms") === "60000")
+    assert(opts("kafka.session.timeout.ms") === "60000")
+  }
+
+  test("Kafka sink options + trigger reach the sink definition (no broker needed)") {
+    import spark.implicits._
+    val input = MemoryStream[String](spark)
+    val writer = Pipelines.kafkaSink(input.toDF().toDF("value"),
+      "broker1:9092", "fraud-alerts", "/tmp/cp-kafka-plumbing")
+    val (strings, opts, vals) = reflectConfig(writer)
+    assert(strings.contains("kafka"), "sink format should be kafka")
+    assert(opts("kafka.bootstrap.servers") === "broker1:9092")
+    assert(opts("topic") === "fraud-alerts")
+    assert(opts("checkpointlocation") === "/tmp/cp-kafka-plumbing")
+    assert(vals.exists {
+      case t: Trigger => t == Trigger.ProcessingTime("5 seconds")
+      case _ => false
+    }, "5 s processing-time trigger should be set")
+  }
+
+  test("approx_count_distinct(user_id) lands within rsd of exact — batch") {
+    val events = Tables.events(spark, "/root/testdata/sf0.01")
+    val row = events.agg(
+      approx_count_distinct(col("user_id")).as("approx"),
+      countDistinct(col("user_id")).as("exact")).head()
+    val (approx, exact) = (row.getLong(0), row.getLong(1))
+    // default rsd = 5%; assert within 3 standard deviations
+    assert(math.abs(approx - exact) <= math.max(1L, (exact * 0.15).toLong),
+      s"approx=$approx exact=$exact")
+  }
+
+  test("approx_count_distinct(user_id) lands within rsd of exact — streaming window") {
+    import spark.implicits._
+    val input = MemoryStream[OrderEvent](spark)
+    val query = Pipelines.windowedAggregationStream(input.toDF())
+      .writeStream.format("memory").queryName("acd_out").outputMode("append").start()
+    try {
+      // 120 distinct users inside one window slot
+      input.addData((1 to 120).map(i => evt(i, "2024-01-01 10:00:10")): _*)
+      query.processAllAvailable()
+      input.addData(evt(999, "2024-01-01 10:05:00")) // advance watermark, close windows
+      query.processAllAvailable()
+      val got = spark.table("acd_out")
+        .filter(col("window_start") === ts("2024-01-01 10:00:00"))
+        .select(col("unique_customers"), col("order_count"))
+        .as[(Long, Long)].head()
+      assert(got._2 === 120L)
+      assert(math.abs(got._1 - 120L) <= 18L, s"unique_customers=${got._1}, exact=120")
+    } finally query.stop()
+  }
+
+  test("restart from checkpoint: no lost and no duplicated windows") {
+    import spark.implicits._
+    val out = java.nio.file.Files.createTempDirectory("graft-recover-out").toString
+    val cp = java.nio.file.Files.createTempDirectory("graft-recover-cp").toString
+    val input = MemoryStream[OrderEvent](spark)
+    def start() = Pipelines.windowedAggregationStream(input.toDF())
+      .writeStream.format("parquet")
+      .option("path", out).option("checkpointLocation", cp)
+      .outputMode("append").start()
+
+    // Phase 1: two events + a watermark advancer, then stop.
+    val q1 = start()
+    try {
+      input.addData(evt(1, "2024-01-01 10:00:10"), evt(2, "2024-01-01 10:00:40"))
+      q1.processAllAvailable()
+      input.addData(evt(3, "2024-01-01 10:02:01")) // wm → 10:01:31, closes 3 windows
+      q1.processAllAvailable()
+    } finally q1.stop()
+    val phase1 = spark.read.parquet(out).count()
+    assert(phase1 === 3, s"3 windows should have closed before the stop, got $phase1")
+
+    // Phase 2: restart from the SAME checkpoint, close e3's windows.
+    val q2 = start()
+    try {
+      input.addData(evt(4, "2024-01-01 10:06:00")) // wm → 10:05:30
+      q2.processAllAvailable()
+    } finally q2.stop()
+
+    val rows = spark.read.parquet(out)
+      .select(col("window_start").cast("string"), col("order_count"))
+      .as[(String, Long)].collect()
+    // exactly once per window: nothing lost, nothing replayed after restart
+    assert(rows.length === rows.map(_._1).distinct.length, s"duplicate windows in $rows")
+    assert(rows.toMap === Map(
+      "2024-01-01 09:59:30" -> 1L, // e1
+      "2024-01-01 10:00:00" -> 2L, // e1, e2
+      "2024-01-01 10:00:30" -> 1L, // e2
+      "2024-01-01 10:01:30" -> 1L, // e3 (closed only after restart)
+      "2024-01-01 10:02:00" -> 1L))
+  }
+}
