@@ -64,7 +64,7 @@ object MinHashLSH {
                     cfg: Config = Config()): DataFrame = {
     val sh = wordShingleSet(col(textCol), cfg.shingleK)
     docs
-      .filter(size(tokens(col(textCol))) >= cfg.shingleK)
+      .filter(size(tokensHof(col(textCol))) >= cfg.shingleK)
       .select(
         col(idCol),
         array((0 until cfg.numHashes).map(j => minhashColumn(sh, j)): _*).as("sig"))

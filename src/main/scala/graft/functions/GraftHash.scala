@@ -74,6 +74,84 @@ object GraftHash {
     arr
   }
 
+  /** Non-empty single-space-delimited tokens of `s` — exactly
+    * filter(split(s, ' '), t -> len(t) > 0), one pass, each token copied
+    * out (never aliasing a reusable scan buffer). */
+  def tokensOf(s: UTF8String): ArrayData = {
+    val bytes = s.getBytes
+    val n = bytes.length
+    val out = new java.util.ArrayList[UTF8String](16)
+    var start = 0
+    var i = 0
+    while (i <= n) {
+      if (i == n || bytes(i) == ' ') {
+        if (i > start) out.add(UTF8String.fromBytes(java.util.Arrays.copyOfRange(bytes, start, i)))
+        start = i + 1
+      }
+      i += 1
+    }
+    new GenericArrayData(out.toArray)
+  }
+
+  /** Number of non-empty tokens — size(tokens) without materializing. */
+  def tokenCount(s: UTF8String): Int = {
+    val n = s.numBytes
+    var count = 0
+    var inTok = false
+    var i = 0
+    while (i < n) {
+      if ((s.getByte(i) & 0xff) == ' ') inTok = false
+      else { if (!inTok) count += 1; inTok = true }
+      i += 1
+    }
+    count
+  }
+
+  /** Number of distinct tokens — size(array_distinct(tokens)) fused. */
+  def distinctTokenCount(s: UTF8String): Int = {
+    val bytes = s.getBytes
+    val n = bytes.length
+    val seen = new java.util.HashSet[UTF8String](16)
+    var start = 0
+    var i = 0
+    while (i <= n) {
+      if (i == n || bytes(i) == ' ') {
+        if (i > start) seen.add(UTF8String.fromBytes(bytes, start, i - start))
+        start = i + 1
+      }
+      i += 1
+    }
+    seen.size
+  }
+
+  /** Occurrences of tokens that appear in `words` —
+    * size(filter(tokens, t -> t isin words)) fused; `words` is a small
+    * lexicon (linear scan per token). */
+  def stopwordHits(s: UTF8String, words: Array[UTF8String]): Int = {
+    val bytes = s.getBytes
+    val n = bytes.length
+    var hits = 0
+    var start = 0
+    var i = 0
+    while (i <= n) {
+      if (i == n || bytes(i) == ' ') {
+        if (i > start) {
+          val tok = UTF8String.fromBytes(bytes, start, i - start)
+          var w = 0
+          var found = false
+          while (w < words.length && !found) {
+            if (words(w).equals(tok)) found = true
+            w += 1
+          }
+          if (found) hits += 1
+        }
+        start = i + 1
+      }
+      i += 1
+    }
+    hits
+  }
+
   /** MinHash signature over k-word shingles; null when the document has
     * fewer than k tokens. h_j(x) = ((2j+1)·x + 7919j) % Mod; shingle hash
     * is the base-31 fold of k consecutive token hashes (single final mod,

@@ -108,6 +108,54 @@ object expressions {
       copy(left = l, right = r)
   }
 
+  /** One-pass tokenizer: filter(split(s,' '), len>0) fused into a single
+    * byte scan (the HOF form evaluates interpreted and allocates per
+    * lambda call). */
+  case class Tokens(child: Expression) extends UnaryExpression {
+    override def dataType: DataType = ArrayType(StringType, containsNull = false)
+    override protected def nullSafeEval(v: Any): Any =
+      GraftHash.tokensOf(v.asInstanceOf[org.apache.spark.unsafe.types.UTF8String])
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      defineCodeGen(ctx, ev, c => s"$G.tokensOf($c)")
+    override protected def withNewChildInternal(c: Expression): Tokens = copy(child = c)
+  }
+
+  /** size(tokens) without materializing the token array. */
+  case class TokenCount(child: Expression) extends UnaryExpression {
+    override def dataType: DataType = IntegerType
+    override protected def nullSafeEval(v: Any): Any =
+      GraftHash.tokenCount(v.asInstanceOf[org.apache.spark.unsafe.types.UTF8String])
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      defineCodeGen(ctx, ev, c => s"$G.tokenCount($c)")
+    override protected def withNewChildInternal(c: Expression): TokenCount = copy(child = c)
+  }
+
+  /** size(array_distinct(tokens)) fused. */
+  case class DistinctTokenCount(child: Expression) extends UnaryExpression {
+    override def dataType: DataType = IntegerType
+    override protected def nullSafeEval(v: Any): Any =
+      GraftHash.distinctTokenCount(v.asInstanceOf[org.apache.spark.unsafe.types.UTF8String])
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      defineCodeGen(ctx, ev, c => s"$G.distinctTokenCount($c)")
+    override protected def withNewChildInternal(c: Expression): DistinctTokenCount = copy(child = c)
+  }
+
+  /** size(filter(tokens, isin(lexicon))) fused; the lexicon rides along
+    * as a reference object. */
+  case class StopwordHits(child: Expression, words: Seq[String]) extends UnaryExpression {
+    private lazy val wordArr: Array[org.apache.spark.unsafe.types.UTF8String] =
+      words.map(org.apache.spark.unsafe.types.UTF8String.fromString).toArray
+    override def dataType: DataType = IntegerType
+    override protected def nullSafeEval(v: Any): Any =
+      GraftHash.stopwordHits(v.asInstanceOf[org.apache.spark.unsafe.types.UTF8String], wordArr)
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      val wRef = ctx.addReferenceObj("stopwords", wordArr,
+        "org.apache.spark.unsafe.types.UTF8String[]")
+      defineCodeGen(ctx, ev, c => s"$G.stopwordHits($c, $wRef)")
+    }
+    override protected def withNewChildInternal(c: Expression): StopwordHits = copy(child = c)
+  }
+
   /** Nearest-centroid assignment for IVF builds: cluster id of the
     * centroid with the greatest integer cosine to the quantized vector
     * column. Centroids ride along as a plan-literal reference object
@@ -142,4 +190,10 @@ object expressions {
     Bridge.column(NGramJaccard(Bridge.expression(a), Bridge.expression(b), n))
   def nearest_centroid(c: Column, centroids: Array[Array[Long]], ids: Array[Long]): Column =
     Bridge.column(NearestCentroid(Bridge.expression(c), centroids, ids))
+  def tokens_native(c: Column): Column = Bridge.column(Tokens(Bridge.expression(c)))
+  def token_count(c: Column): Column = Bridge.column(TokenCount(Bridge.expression(c)))
+  def distinct_token_count(c: Column): Column =
+    Bridge.column(DistinctTokenCount(Bridge.expression(c)))
+  def stopword_hits(c: Column, words: Seq[String]): Column =
+    Bridge.column(StopwordHits(Bridge.expression(c), words))
 }

@@ -87,6 +87,40 @@ object Pipelines {
       .outputMode("append")
       .trigger(Trigger.ProcessingTime(trigger))
 
+  /** Stream-stream inner/outer join: orders matched to payments arriving
+    * within `matchWindow` after the order. Both sides carry watermarks
+    * and the join condition bounds event time on both ends, so Spark can
+    * evict join state — without the time bound, stream-stream join state
+    * grows forever (the 100 TB streaming failure mode). Outer rows (an
+    * order with no payment) emit with nulls only once the watermark
+    * passes the match window — i.e. once a payment can no longer arrive.
+    */
+  def ordersWithPayments(orders: DataFrame, payments: DataFrame,
+                         watermark: String = "30 seconds",
+                         matchWindow: String = "10 minutes",
+                         joinType: String = "inner"): DataFrame =
+    orders.withWatermark("event_timestamp", watermark)
+      .join(
+        payments.withWatermark("pay_timestamp", watermark),
+        expr(s"""
+          order_id = pay_order_id AND
+          pay_timestamp >= event_timestamp AND
+          pay_timestamp <= event_timestamp + INTERVAL $matchWindow
+        """),
+        joinType)
+
+  /** foreachBatch sink: each micro-batch handed to arbitrary batch logic
+    * (upserts, multi-table writes, dedup-merge) with exactly-once
+    * batchIds — the production escape hatch when no built-in sink fits. */
+  def foreachBatchSink(df: DataFrame, checkpoint: String,
+                       trigger: String = "5 seconds")(
+                       f: (DataFrame, Long) => Unit): DataStreamWriter[Row] =
+    df.writeStream
+      .foreachBatch(f)
+      .option("checkpointLocation", checkpoint)
+      .outputMode("append")
+      .trigger(Trigger.ProcessingTime(trigger))
+
   /** K3 — console monitoring sink, 30 s trigger (ecommerce_streaming.py:135-142). */
   def consoleSink(df: DataFrame, trigger: String = "30 seconds"): DataStreamWriter[Row] =
     df.writeStream.format("console")

@@ -24,15 +24,18 @@ object TextAnalysis {
     "fr" -> Seq("le", "la", "de", "et", "un", "est", "les", "des", "en", "une"))
 
   /** Number of tokens of `toks` found in `words`. Counts occurrences
-    * (not distinct matches). */
+    * (not distinct matches). HOF reference form — the codegen'd
+    * `expressions.stopword_hits` kernel is what the operators use;
+    * `KernelParitySpec` asserts they agree. */
   def stopwordHits(toks: Column, words: Seq[String]): Column =
     size(filter(toks, t => t.isin(words.map(lit): _*)))
 
-  /** Per-language stopword-hit scores, one column per language. */
-  def languageScores(text: Column): Seq[(String, Column)] = {
-    val toks = tokens(text)
-    Stopwords.map { case (lang, words) => lang -> stopwordHits(toks, words) }
-  }
+  /** Per-language stopword-hit scores, one column per language (fused
+    * one-pass kernels — no token array materialized per language). */
+  def languageScores(text: Column): Seq[(String, Column)] =
+    Stopwords.map { case (lang, words) =>
+      lang -> graft.functions.expressions.stopword_hits(text, words)
+    }
 
   /** Argmax language with deterministic first-wins tie-breaking in
     * Stopwords order; "und" (undetermined) when no stopword hits at all. */
@@ -49,13 +52,15 @@ object TextAnalysis {
     * n_chars, n_tokens, n_distinct_tokens, avg_token_len, stopword_ratio,
     * type_token_ratio, quality_score ∈ [0,1]. */
   def qualityFeatures(text: Column): Column = {
-    val toks = tokens(text)
+    import graft.functions.expressions.{token_count, distinct_token_count, stopword_hits}
     val nChars = length(text).cast("long")
-    val nToks = size(toks).cast("long")
-    val nDistinct = size(array_distinct(toks)).cast("long")
-    val charsInToks = aggregate(transform(toks, t => length(t).cast("long")), lit(0L), _ + _)
+    val nToks = token_count(text).cast("long")
+    val nDistinct = distinct_token_count(text).cast("long")
+    // Σ token lengths == non-space chars: translate+length is codegen'd,
+    // where the aggregate(transform(...)) fold runs interpreted
+    val charsInToks = length(translate(text, " ", "")).cast("long")
     val avgTokLen = charsInToks.cast("double") / nToks
-    val stopHits = stopwordHits(toks, Stopwords.flatMap(_._2)).cast("long")
+    val stopHits = stopword_hits(text, Stopwords.flatMap(_._2)).cast("long")
     val stopRatio = stopHits.cast("double") / nToks
     val ttr = nDistinct.cast("double") / nToks
     // Composite: reward 3..10-char average tokens, some stopwords, lexical
@@ -73,12 +78,12 @@ object TextAnalysis {
     * runs + digit runs + individual other non-space chars — the
     * GPT-2-style pre-tokenizer shape without the merges). */
   def tokenStats(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val toks = tokens(col(textCol))
+    import graft.functions.expressions.{token_count, distinct_token_count}
     docs.select(
       col(idCol),
       length(col(textCol)).cast("long").as("n_chars"),
-      size(toks).cast("long").as("n_words"),
-      size(array_distinct(toks)).cast("long").as("n_distinct_words"),
+      token_count(col(textCol)).cast("long").as("n_words"),
+      distinct_token_count(col(textCol)).cast("long").as("n_distinct_words"),
       floor((length(col(textCol)) + lit(3)) / lit(4)).as("est_bpe_tokens"),
       regexp_count(col(textCol), lit("[a-z]+|[0-9]+|[^a-z0-9 ]")).cast("long").as("n_regex_tokens"))
   }

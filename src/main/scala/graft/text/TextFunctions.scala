@@ -28,8 +28,13 @@ object TextFunctions {
       lit(0L),
       (h, c) => (h * lit(31L) + c) % lit(Mod))
 
-  /** Whitespace tokens with empties dropped (trailing-separator safe). */
+  /** Whitespace tokens with empties dropped (trailing-separator safe).
+    * Codegen'd one-pass kernel; `tokensHof` is the executable spec. */
   def tokens(text: Column): Column =
+    graft.functions.expressions.tokens_native(text)
+
+  /** HOF reference form of `tokens` (interpreted — spec only). */
+  def tokensHof(text: Column): Column =
     filter(split(text, " "), t => length(t) > 0)
 
   /** Number of (non-empty, whitespace-delimited) tokens. */
@@ -53,9 +58,11 @@ object TextFunctions {
   def shingleSet(text: Column, k: Int): Column = array_distinct(shingleHashes(text, k))
 
   /** Polynomial hash of every whitespace token (nested fold: outer
-    * transform over tokens, inner fold over characters). */
+    * transform over tokens, inner fold over characters). Spec path —
+    * built on `tokensHof` so kernel-parity tests stay independent of the
+    * token kernel. */
   def tokenHashes(text: Column): Column =
-    transform(tokens(text), t =>
+    transform(tokensHof(text), t =>
       aggregate(
         transform(sequence(lit(1), length(t)), i => ascii(t.substr(i, lit(1)))),
         lit(0L),

@@ -57,6 +57,29 @@ class KernelParitySpec extends SparkSpec {
     assert(f === h)
   }
 
+  test("token kernels == HOF forms: tokens, counts, distinct, stopword hits") {
+    import spark.implicits._
+    val lexicon = graft.text.TextAnalysis.Stopwords.flatMap(_._2)
+    val edge = Seq("", " ", "  a  b ", "the the the", "x", "a  b", " leading",
+      "trailing ").toDF("text")
+    for (d <- Seq(docs.select("text"), edge)) {
+      val mismatches = d.select(
+        TextFunctions.tokensHof(col("text")).as("t_hof"),
+        tokens_native(col("text")).as("t_fast"),
+        size(TextFunctions.tokensHof(col("text"))).as("n_hof"),
+        token_count(col("text")).as("n_fast"),
+        size(array_distinct(TextFunctions.tokensHof(col("text")))).as("d_hof"),
+        distinct_token_count(col("text")).as("d_fast"),
+        graft.text.TextAnalysis.stopwordHits(
+          TextFunctions.tokensHof(col("text")), lexicon).as("s_hof"),
+        stopword_hits(col("text"), lexicon).as("s_fast"))
+        .filter(col("t_hof") =!= col("t_fast") || col("n_hof") =!= col("n_fast") ||
+          col("d_hof") =!= col("d_fast") || col("s_hof") =!= col("s_fast"))
+        .count()
+      assert(mismatches === 0)
+    }
+  }
+
   test("degenerate inputs: zero vectors, gram-less strings, token-less docs") {
     import spark.implicits._
     // zero-quantized vectors → null cosine (kernel, HOF, and oracle agree)

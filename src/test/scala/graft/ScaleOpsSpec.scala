@@ -29,6 +29,19 @@ class ScaleOpsSpec extends SparkSpec {
     assert(narrow.map(_._2).toSeq === narrow.map(_._2).sorted(Ordering[Double].reverse).toSeq)
   }
 
+  test("IVF recall@10 at nprobe=2 with a second Lloyd iteration") {
+    import spark.implicits._
+    val emb = Tables.embeddings(spark, sfDir)
+    val exact = Knn.bruteForceTopK(emb, "vec_id", "embedding", queryId = 0L, k = 10)
+      .select("vec_id").as[Long].collect().toSet
+    val (a2, c2) = Ivf.build(emb, "vec_id", "embedding", k = 8, iterations = 2)
+    val got = Ivf.probeTopK(a2, c2, queryId = 0L, k = 10, nprobe = 2)
+      .select("id").as[Long].collect().toSet
+    val recall = exact.intersect(got).size / 10.0
+    info(s"recall@10 = $recall")
+    assert(recall >= 0.5, s"recall@10 = $recall")
+  }
+
   test("IVF build assignment is a narrow projection: no join, no shuffle") {
     val emb = Tables.embeddings(spark, sfDir)
     val (assignments, _) = Ivf.build(emb, "vec_id", "embedding", k = 8)

@@ -102,6 +102,59 @@ class StreamingReliabilitySpec extends SparkSpec {
     } finally query.stop()
   }
 
+  case class Payment(pay_order_id: String, pay_amount: Double, pay_timestamp: Timestamp)
+
+  test("stream-stream join: time-bounded match, state-evicting outer emission") {
+    import spark.implicits._
+    val orders = MemoryStream[OrderEvent](spark)
+    val payments = MemoryStream[Payment](spark)
+    val joined = Pipelines.ordersWithPayments(orders.toDF(), payments.toDF(),
+      joinType = "left_outer")
+      .select(col("order_id"), col("pay_amount"))
+    val query = joined.writeStream.format("memory").queryName("ss_join")
+      .outputMode("append").start()
+    try {
+      orders.addData(evt(1, "2024-01-01 10:00:00"), evt(2, "2024-01-01 10:00:00"))
+      payments.addData(
+        Payment("o1", 99.0, ts("2024-01-01 10:05:00")),  // within 10 min → match
+        Payment("o2", 11.0, ts("2024-01-01 10:20:00")))  // beyond window → no match
+      query.processAllAvailable()
+      val matched = spark.table("ss_join")
+        .filter(col("pay_amount").isNotNull)
+        .as[(String, Double)].collect().toMap
+      assert(matched === Map("o1" -> 99.0)) // o2's late payment never matches
+
+      // advance both watermarks far past the match window: o2's state can
+      // no longer match, so the outer side emits it with a null payment
+      orders.addData(evt(9, "2024-01-01 11:00:00"))
+      payments.addData(Payment("o9x", 1.0, ts("2024-01-01 11:00:00")))
+      query.processAllAvailable()
+      val unmatched = spark.table("ss_join")
+        .filter(col("pay_amount").isNull)
+        .select("order_id").as[String].collect().toSet
+      assert(unmatched.contains("o2"), "expired order must emit with null payment")
+    } finally query.stop()
+  }
+
+  test("foreachBatch sink delivers every row exactly once with batch ids") {
+    import spark.implicits._
+    val input = MemoryStream[OrderEvent](spark)
+    val seen = new java.util.concurrent.ConcurrentLinkedQueue[(Long, String)]()
+    val cp = java.nio.file.Files.createTempDirectory("graft-feb-cp").toString
+    val query = Pipelines.foreachBatchSink(input.toDF(), cp) { (batch, id) =>
+      batch.select("order_id").collect().foreach(r => seen.add(id -> r.getString(0)))
+    }.start()
+    try {
+      input.addData(evt(1, "2024-01-01 10:00:00"), evt(2, "2024-01-01 10:00:01"))
+      query.processAllAvailable()
+      input.addData(evt(3, "2024-01-01 10:00:02"))
+      query.processAllAvailable()
+      val rows = seen.toArray(Array.empty[(Long, String)])
+      assert(rows.map(_._2).sorted.toSeq === Seq("o1", "o2", "o3"))
+      assert(rows.map(_._1).distinct.length >= 2, "rows arrived across distinct batch ids")
+    } finally query.stop()
+  }
+
   test("restart from checkpoint: no lost and no duplicated windows") {
     import spark.implicits._
     val out = java.nio.file.Files.createTempDirectory("graft-recover-out").toString
