@@ -259,6 +259,17 @@ object GraftHash {
     else java.lang.Double.valueOf(dot.toDouble / math.sqrt(na.toDouble * nb.toDouble))
   }
 
+  /** Quantize a float vector: floor(x·512 + 0.5) per element (512 is a
+    * power of two, so the scaling is exact) — one fused loop replacing
+    * the interpreted transform(...) HOF. */
+  def quantizeVec(v: ArrayData): ArrayData = {
+    val n = v.numElements()
+    val out = new Array[Long](n)
+    var i = 0
+    while (i < n) { out(i) = math.floor(v.getFloat(i) * 512.0d + 0.5d).toLong; i += 1 }
+    new GenericArrayData(out)
+  }
+
   /** Index (as cluster id) of the centroid nearest a quantized long
     * vector by integer cosine: one fused loop over centroids×dims per
     * row, replacing a crossJoin×k + per-id window shuffle with a narrow

@@ -108,6 +108,18 @@ object expressions {
       copy(left = l, right = r)
   }
 
+  /** Quantized copy of an array<float> column (floor(x·512 + 0.5) per
+    * element) as array<long> — the vector-math entry point shared by
+    * IVF builds and centroid statistics. */
+  case class QuantizeVec(child: Expression) extends UnaryExpression {
+    override def dataType: DataType = ArrayType(LongType, containsNull = false)
+    override protected def nullSafeEval(v: Any): Any =
+      GraftHash.quantizeVec(v.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData])
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      defineCodeGen(ctx, ev, c => s"$G.quantizeVec($c)")
+    override protected def withNewChildInternal(c: Expression): QuantizeVec = copy(child = c)
+  }
+
   /** One-pass tokenizer: filter(split(s,' '), len>0) fused into a single
     * byte scan (the HOF form evaluates interpreted and allocates per
     * lambda call). */
@@ -190,6 +202,7 @@ object expressions {
     Bridge.column(NGramJaccard(Bridge.expression(a), Bridge.expression(b), n))
   def nearest_centroid(c: Column, centroids: Array[Array[Long]], ids: Array[Long]): Column =
     Bridge.column(NearestCentroid(Bridge.expression(c), centroids, ids))
+  def quantize_vec(c: Column): Column = Bridge.column(QuantizeVec(Bridge.expression(c)))
   def tokens_native(c: Column): Column = Bridge.column(Tokens(Bridge.expression(c)))
   def token_count(c: Column): Column = Bridge.column(TokenCount(Bridge.expression(c)))
   def distinct_token_count(c: Column): Column =

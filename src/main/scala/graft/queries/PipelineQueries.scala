@@ -111,5 +111,65 @@ object PipelineQueries extends QueryGroup {
       GROUP BY 1, 2 ORDER BY c_mktsegment, split
     """))
 
-  def defs: Seq[QueryDef] = Seq(q43, q44, q45)
+  /** Text normalization (the canonical pre-dedup cleanup): lowercase,
+    * strip non-alphanumerics to spaces, collapse runs, trim — then the
+    * canonical digest and post-normalization token count. Narrow,
+    * codegen-fused projection. */
+  private val q46 = QueryDef(
+    "q46_text_normalize",
+    (spark, dir) => {
+      val norm = trim(regexp_replace(
+        regexp_replace(lower(col("text")), "[^a-z0-9 ]", " "), " +", " "))
+      Tables.documents(spark, dir)
+        .select(
+          col("doc_id"),
+          norm.as("norm_text"),
+          md5(norm).as("norm_md5"),
+          graft.functions.expressions.token_count(norm).cast("long").as("n_tokens"))
+        .orderBy("doc_id")
+    },
+    Some("""
+      WITH n AS (
+        SELECT doc_id,
+          trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'),
+               ' +', ' ', 'g')) AS norm_text
+        FROM documents)
+      SELECT doc_id, norm_text, md5(norm_text) AS norm_md5,
+        CAST(len(list_filter(str_split(norm_text, ' '), t -> len(t) > 0)) AS BIGINT) AS n_tokens
+      FROM n ORDER BY doc_id
+    """))
+
+  /** Per-label embedding statistics: member count and the per-dimension
+    * floor-mean quantized centroid. The aggregation is column-wise sums
+    * (k×64 values shuffle, map-side partials), unpivoted to (label, dim)
+    * rows only AFTER the reduce — the n×64-row posexplode shuffle never
+    * happens. */
+  private val q47 = QueryDef(
+    "q47_label_centroids",
+    (spark, dir) => {
+      val dim = 64
+      val qv = graft.functions.expressions.quantize_vec(col("embedding"))
+      val sums = (0 until dim).map(i => sum(col("qv")(i)).as(s"__s$i"))
+      val aggs = count(lit(1)).as("n") +: sums
+      Tables.embeddings(spark, dir)
+        .select(col("label"), qv.as("qv"))
+        .groupBy(col("label"))
+        .agg(aggs.head, aggs.tail: _*)
+        .select(col("label"), col("n"),
+          posexplode(array((0 until dim).map(i => col(s"__s$i")): _*)).as(Seq("dim", "s")))
+        .select(col("label"), col("dim").cast("long").as("dim"), col("n"),
+          floor(col("s") / col("n")).as("centroid_q"))
+        .orderBy("label", "dim")
+    },
+    Some("""
+      WITH q AS (
+        SELECT label, list_transform(embedding, x -> CAST(floor(x*512 + 0.5) AS BIGINT)) AS qv
+        FROM embeddings),
+      dims AS (SELECT unnest(range(1, 65)) AS d)
+      SELECT label, CAST(d - 1 AS BIGINT) AS dim, count(*) AS n,
+        CAST(floor(sum(qv[d])/count(*)) AS BIGINT) AS centroid_q
+      FROM q CROSS JOIN dims GROUP BY label, d ORDER BY label, dim
+    """))
+
+  def defs: Seq[QueryDef] = Seq(q43, q44, q45, q46, q47)
 }

@@ -279,5 +279,70 @@ object RelationalQueries extends QueryGroup {
       ORDER BY g_region, g_nation, region, nation
     """))
 
-  def defs: Seq[QueryDef] = Seq(q10, q11, q12, q13, q14, q15, q16, q17, q18, q19)
+  /** Correlated scalar subqueries through the SQL API: customers above
+    * their own nation's average balance. The above-average test is the
+    * integer cross-multiplication `cents·n > sum_cents` — no division,
+    * so both engines compare exactly. Catalyst decorrelates the two
+    * subqueries into aggregated joins (RewriteCorrelatedScalarSubquery);
+    * the executed plan is shuffle-agg + join, not a per-row loop. */
+  private val q48 = QueryDef(
+    "q48_correlated_subquery",
+    (spark, dir) => {
+      Seq("customer", "nation")
+        .foreach(n => Tables.table(spark, dir, n).createOrReplaceTempView(s"graft48_$n"))
+      spark.sql("""
+        SELECT n_name, count(*) AS n_above
+        FROM graft48_customer c JOIN graft48_nation ON c_nationkey = n_nationkey
+        WHERE CAST(floor(c_acctbal*100 + 0.5) AS BIGINT) *
+              (SELECT count(*) FROM graft48_customer c2
+               WHERE c2.c_nationkey = c.c_nationkey)
+            > (SELECT sum(CAST(floor(c2.c_acctbal*100 + 0.5) AS BIGINT))
+               FROM graft48_customer c2 WHERE c2.c_nationkey = c.c_nationkey)
+        GROUP BY n_name ORDER BY n_name
+      """)
+    },
+    Some("""
+      SELECT n_name, count(*) AS n_above
+      FROM customer c JOIN nation ON c_nationkey = n_nationkey
+      WHERE CAST(floor(c_acctbal*100 + 0.5) AS BIGINT) *
+            (SELECT count(*) FROM customer c2
+             WHERE c2.c_nationkey = c.c_nationkey)
+          > (SELECT sum(CAST(floor(c2.c_acctbal*100 + 0.5) AS BIGINT))
+             FROM customer c2 WHERE c2.c_nationkey = c.c_nationkey)
+      GROUP BY n_name ORDER BY n_name
+    """))
+
+  /** RANGE-frame analytic window: 7-day trailing revenue per priority.
+    * The frame ranges over the VALUE of the day column (gaps count), not
+    * row offsets — the remaining window-frame shape q17's ROWS frames
+    * don't cover. Scale: the window runs over the already-aggregated
+    * daily table (days × priorities rows), never the raw orders. */
+  private val q49 = QueryDef(
+    "q49_range_frame_window",
+    (spark, dir) => {
+      val daily = Tables.orders(spark, dir)
+        .groupBy(col("o_orderpriority"),
+          (epochS(col("o_orderdate")) / lit(86400L)).cast("long").as("day"))
+        .agg(sum(cents(col("o_totalprice"))).as("rev_cents"))
+      val w = Window.partitionBy(col("o_orderpriority")).orderBy(col("day"))
+        .rangeBetween(-6, 0)
+      daily
+        .select(col("o_orderpriority"), col("day"), col("rev_cents"),
+          sum(col("rev_cents")).over(w).as("rev_7d_cents"))
+        .orderBy("o_orderpriority", "day")
+    },
+    Some("""
+      WITH daily AS (
+        SELECT o_orderpriority,
+          CAST(epoch_us(o_orderdate) // 1000000 // 86400 AS BIGINT) AS day,
+          CAST(sum(CAST(floor(o_totalprice*100 + 0.5) AS BIGINT)) AS BIGINT) AS rev_cents
+        FROM orders GROUP BY 1, 2)
+      SELECT o_orderpriority, day, rev_cents,
+        CAST(sum(rev_cents) OVER (PARTITION BY o_orderpriority ORDER BY day
+          RANGE BETWEEN 6 PRECEDING AND CURRENT ROW) AS BIGINT) AS rev_7d_cents
+      FROM daily ORDER BY o_orderpriority, day
+    """))
+
+  def defs: Seq[QueryDef] =
+    Seq(q10, q11, q12, q13, q14, q15, q16, q17, q18, q19, q48, q49)
 }

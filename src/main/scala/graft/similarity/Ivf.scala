@@ -23,9 +23,9 @@ import graft.functions.expressions.quantized_cosine
 object Ivf {
 
   /** Float vector → quantized long vector (same arithmetic the oracle
-    * mirrors: floor(x·512 + 0.5) per element). */
+    * mirrors: floor(x·512 + 0.5) per element). Codegen'd kernel. */
   private def qvec(c: org.apache.spark.sql.Column) =
-    transform(c, x => floor(x * lit(512.0d) + lit(0.5d)).cast("long"))
+    graft.functions.expressions.quantize_vec(c)
 
   /** Integer cosine between two long vectors (columns); null for a zero
     * vector (matches DuckDB's x/0 → NULL rather than IEEE NaN). */

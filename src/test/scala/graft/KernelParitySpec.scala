@@ -57,6 +57,15 @@ class KernelParitySpec extends SparkSpec {
     assert(f === h)
   }
 
+  test("QuantizeVec kernel == HOF transform quantize") {
+    val emb = Tables.embeddings(spark, sfDir)
+    val mismatches = emb.select(
+      VectorOps.quantize(col("embedding")).as("hof"),
+      quantize_vec(col("embedding")).as("fast"))
+      .filter(col("hof") =!= col("fast")).count()
+    assert(mismatches === 0)
+  }
+
   test("token kernels == HOF forms: tokens, counts, distinct, stopword hits") {
     import spark.implicits._
     val lexicon = graft.text.TextAnalysis.Stopwords.flatMap(_._2)
