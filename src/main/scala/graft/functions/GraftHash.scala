@@ -259,6 +259,50 @@ object GraftHash {
     else java.lang.Double.valueOf(dot.toDouble / math.sqrt(na.toDouble * nb.toDouble))
   }
 
+  /** Interleave the low 32 bits of two non-negative keys (Morton/Z-order
+    * curve): sorting by the result clusters rows that are close in BOTH
+    * dimensions, so parquet row-group min/max stats prune 2-D range
+    * queries — the data-layout lever for scan-heavy tables. */
+  def zorder2(a: Long, b: Long): Long = {
+    var x = a & 0xffffffffL
+    var y = b & 0xffffffffL
+    x = (x | (x << 16)) & 0x0000ffff0000ffffL
+    x = (x | (x << 8)) & 0x00ff00ff00ff00ffL
+    x = (x | (x << 4)) & 0x0f0f0f0f0f0f0f0fL
+    x = (x | (x << 2)) & 0x3333333333333333L
+    x = (x | (x << 1)) & 0x5555555555555555L
+    y = (y | (y << 16)) & 0x0000ffff0000ffffL
+    y = (y | (y << 8)) & 0x00ff00ff00ff00ffL
+    y = (y | (y << 4)) & 0x0f0f0f0f0f0f0f0fL
+    y = (y | (y << 2)) & 0x3333333333333333L
+    y = (y | (y << 1)) & 0x5555555555555555L
+    x | (y << 1)
+  }
+
+  /** Sign-random-projection LSH bucket (Charikar 2002) of a float
+    * vector: quantize, project onto `planes` deterministic integer
+    * hyperplanes (component(p,i) = (p·2654435761 + i·40503) mod 2001 −
+    * 1000), set bit p when the projection is positive. One fused
+    * planes×dims loop replacing 8 interpreted zip_with/aggregate passes.
+    */
+  def signLshBucket(v: ArrayData, planes: Int): Long = {
+    val n = v.numElements()
+    var bucket = 0L
+    var p = 0
+    while (p < planes) {
+      var proj = 0L
+      var i = 0
+      while (i < n) {
+        val q = math.floor(v.getFloat(i) * 512.0d + 0.5d).toLong
+        proj += q * ((p * 2654435761L + i * 40503L) % 2001L - 1000L)
+        i += 1
+      }
+      if (proj > 0) bucket |= 1L << p
+      p += 1
+    }
+    bucket
+  }
+
   /** Quantize a float vector: floor(x·512 + 0.5) per element (512 is a
     * power of two, so the scaling is exact) — one fused loop replacing
     * the interpreted transform(...) HOF. */

@@ -108,6 +108,28 @@ object expressions {
       copy(left = l, right = r)
   }
 
+  /** Sign-LSH bucket id of an array<float> column. */
+  case class SignLshBucket(child: Expression, planes: Int) extends UnaryExpression {
+    override def dataType: DataType = LongType
+    override protected def nullSafeEval(v: Any): Any =
+      GraftHash.signLshBucket(v.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData], planes)
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      defineCodeGen(ctx, ev, c => s"$G.signLshBucket($c, $planes)")
+    override protected def withNewChildInternal(c: Expression): SignLshBucket = copy(child = c)
+  }
+
+  /** Morton/Z-order key of two long columns (low 32 bits each
+    * interleaved): the sort key for 2-D data layout. */
+  case class ZOrderKey(left: Expression, right: Expression) extends BinaryExpression {
+    override def dataType: DataType = LongType
+    override protected def nullSafeEval(a: Any, b: Any): Any =
+      GraftHash.zorder2(a.asInstanceOf[Long], b.asInstanceOf[Long])
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      defineCodeGen(ctx, ev, (a, b) => s"$G.zorder2($a, $b)")
+    override protected def withNewChildrenInternal(l: Expression, r: Expression): ZOrderKey =
+      copy(left = l, right = r)
+  }
+
   /** Quantized copy of an array<float> column (floor(x·512 + 0.5) per
     * element) as array<long> — the vector-math entry point shared by
     * IVF builds and centroid statistics. */
@@ -203,6 +225,10 @@ object expressions {
   def nearest_centroid(c: Column, centroids: Array[Array[Long]], ids: Array[Long]): Column =
     Bridge.column(NearestCentroid(Bridge.expression(c), centroids, ids))
   def quantize_vec(c: Column): Column = Bridge.column(QuantizeVec(Bridge.expression(c)))
+  def zorder_key(a: Column, b: Column): Column =
+    Bridge.column(ZOrderKey(Bridge.expression(a), Bridge.expression(b)))
+  def sign_lsh_bucket(c: Column, planes: Int): Column =
+    Bridge.column(SignLshBucket(Bridge.expression(c), planes))
   def tokens_native(c: Column): Column = Bridge.column(Tokens(Bridge.expression(c)))
   def token_count(c: Column): Column = Bridge.column(TokenCount(Bridge.expression(c)))
   def distinct_token_count(c: Column): Column =

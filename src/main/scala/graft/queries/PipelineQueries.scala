@@ -171,5 +171,41 @@ object PipelineQueries extends QueryGroup {
       FROM q CROSS JOIN dims GROUP BY label, d ORDER BY label, dim
     """))
 
-  def defs: Seq[QueryDef] = Seq(q43, q44, q45, q46, q47)
+  /** Sign-LSH approximate top-k (graft.similarity.Knn.lshTopK): the
+    * corpus is bucketed by 8 deterministic hyperplane signs (a narrow
+    * codegen'd projection), and only the query's bucket is scored — the
+    * oracle reproduces the full hyperplane arithmetic, so the verified
+    * result covers bucketing AND scoring. */
+  private val q50 = QueryDef(
+    "q50_lsh_ann_topk",
+    (spark, dir) => {
+      graft.similarity.Knn.lshTopK(Tables.embeddings(spark, dir),
+        "vec_id", "embedding", queryId = 0L, k = 10, planes = 8)
+    },
+    Some("""
+      WITH q AS (
+        SELECT vec_id, list_transform(embedding, x -> CAST(floor(x*512 + 0.5) AS BIGINT)) AS qv
+        FROM embeddings),
+      proj AS (
+        SELECT vec_id, t.p,
+          list_sum(list_transform(range(1, len(qv)+1),
+            i -> qv[i] * ((t.p*2654435761 + (i-1)*40503) % 2001 - 1000))) AS pr
+        FROM q CROSS JOIN (SELECT unnest(range(8)) AS p) t),
+      buckets AS (
+        SELECT vec_id, CAST(sum(CASE WHEN pr > 0 THEN (1::BIGINT << p) ELSE 0 END) AS BIGINT) AS bucket
+        FROM proj GROUP BY vec_id),
+      n AS (
+        SELECT q.vec_id, qv, bucket,
+          CAST(list_sum(list_transform(qv, x -> x*x)) AS BIGINT) AS nsq
+        FROM q JOIN buckets USING (vec_id)),
+      qq AS (SELECT qv AS q_qv, nsq AS q_nsq, bucket AS q_bucket FROM n WHERE vec_id = 0)
+      SELECT n.vec_id,
+        CAST(CAST(list_sum(list_transform(range(1, len(qv)+1), i -> qv[i]*q_qv[i])) AS BIGINT) AS DOUBLE)
+          / sqrt(CAST(nsq AS DOUBLE)*CAST(q_nsq AS DOUBLE)) AS cosine
+      FROM n CROSS JOIN qq
+      WHERE n.vec_id <> 0 AND n.bucket = q_bucket
+      ORDER BY cosine DESC, vec_id LIMIT 10
+    """))
+
+  def defs: Seq[QueryDef] = Seq(q43, q44, q45, q46, q47, q50)
 }

@@ -47,8 +47,13 @@ object Knn {
   private def planeComponent(plane: Int, dimCol: org.apache.spark.sql.Column) =
     (lit(plane.toLong * 2654435761L) + dimCol * lit(40503L)) % lit(2001L) - lit(1000L)
 
-  /** Sign-LSH bucket id (one long, `planes` bits) for each embedding. */
-  def lshBucket(vecCol: org.apache.spark.sql.Column, planes: Int): org.apache.spark.sql.Column = {
+  /** Sign-LSH bucket id (one long, `planes` bits) for each embedding.
+    * Codegen'd fused kernel; `lshBucketHof` is the executable spec. */
+  def lshBucket(vecCol: org.apache.spark.sql.Column, planes: Int): org.apache.spark.sql.Column =
+    graft.functions.expressions.sign_lsh_bucket(vecCol, planes)
+
+  /** HOF reference form of `lshBucket` (interpreted — spec only). */
+  def lshBucketHof(vecCol: org.apache.spark.sql.Column, planes: Int): org.apache.spark.sql.Column = {
     val qv = quantize(vecCol)
     (0 until planes).map { p =>
       val proj = aggregate(

@@ -57,6 +57,16 @@ class KernelParitySpec extends SparkSpec {
     assert(f === h)
   }
 
+  test("SignLshBucket kernel == HOF hyperplane pipeline") {
+    import graft.similarity.Knn
+    val emb = Tables.embeddings(spark, sfDir)
+    val mismatches = emb.select(
+      Knn.lshBucketHof(col("embedding"), 8).as("hof"),
+      Knn.lshBucket(col("embedding"), 8).as("fast"))
+      .filter(col("hof") =!= col("fast")).count()
+    assert(mismatches === 0)
+  }
+
   test("QuantizeVec kernel == HOF transform quantize") {
     val emb = Tables.embeddings(spark, sfDir)
     val mismatches = emb.select(
