@@ -119,7 +119,9 @@ object expressions {
   }
 
   /** Morton/Z-order key of two long columns (low 32 bits each
-    * interleaved): the sort key for 2-D data layout. */
+    * interleaved): the sort key for 2-D data layout. Integer inputs are
+    * cast to long by the callers (AbstractDataType — the usual
+    * ImplicitCastInputTypes route — is private[sql] in Spark 4). */
   case class ZOrderKey(left: Expression, right: Expression) extends BinaryExpression {
     override def dataType: DataType = LongType
     override protected def nullSafeEval(a: Any, b: Any): Any =
@@ -226,7 +228,8 @@ object expressions {
     Bridge.column(NearestCentroid(Bridge.expression(c), centroids, ids))
   def quantize_vec(c: Column): Column = Bridge.column(QuantizeVec(Bridge.expression(c)))
   def zorder_key(a: Column, b: Column): Column =
-    Bridge.column(ZOrderKey(Bridge.expression(a), Bridge.expression(b)))
+    Bridge.column(ZOrderKey(
+      Bridge.expression(a.cast("long")), Bridge.expression(b.cast("long"))))
   def sign_lsh_bucket(c: Column, planes: Int): Column =
     Bridge.column(SignLshBucket(Bridge.expression(c), planes))
   def tokens_native(c: Column): Column = Bridge.column(Tokens(Bridge.expression(c)))

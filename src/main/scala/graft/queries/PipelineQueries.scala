@@ -140,23 +140,20 @@ object PipelineQueries extends QueryGroup {
     """))
 
   /** Per-label embedding statistics: member count and the per-dimension
-    * floor-mean quantized centroid. The aggregation is column-wise sums
-    * (k×64 values shuffle, map-side partials), unpivoted to (label, dim)
-    * rows only AFTER the reduce — the n×64-row posexplode shuffle never
-    * happens. */
+    * floor-mean quantized centroid. Reduced by the native `vector_sum`
+    * aggregate (one long[64] buffer, one fused loop per row, map-side
+    * partials), unpivoted to (label, dim) rows only AFTER the reduce —
+    * the n×64-row posexplode shuffle never happens. */
   private val q47 = QueryDef(
     "q47_label_centroids",
     (spark, dir) => {
-      val dim = 64
       val qv = graft.functions.expressions.quantize_vec(col("embedding"))
-      val sums = (0 until dim).map(i => sum(col("qv")(i)).as(s"__s$i"))
-      val aggs = count(lit(1)).as("n") +: sums
       Tables.embeddings(spark, dir)
         .select(col("label"), qv.as("qv"))
         .groupBy(col("label"))
-        .agg(aggs.head, aggs.tail: _*)
-        .select(col("label"), col("n"),
-          posexplode(array((0 until dim).map(i => col(s"__s$i")): _*)).as(Seq("dim", "s")))
+        .agg(count(lit(1)).as("n"),
+          graft.functions.VectorAggregates.vector_sum(col("qv"), 64).as("s"))
+        .select(col("label"), col("n"), posexplode(col("s")).as(Seq("dim", "s")))
         .select(col("label"), col("dim").cast("long").as("dim"), col("n"),
           floor(col("s") / col("n")).as("centroid_q"))
         .orderBy("label", "dim")

@@ -37,21 +37,20 @@ object Ivf {
       .otherwise(dot.cast("double") / sqrt(na.cast("double") * nb.cast("double")))
   }
 
-  /** Elementwise floor-mean centroids of the given assignment, computed
-    * as `dim` per-element sum aggregates (map-side partials carry k×dim
-    * longs into the shuffle — the posexplode alternative shuffles
-    * n×dim rows). Output: (cluster, centroid array<long>). */
-  private def meanCentroids(assigned: DataFrame, dim: Int): DataFrame = {
-    val sums = (0 until dim).map(i => sum(col("qv")(i)).as(s"__s$i"))
-    val aggs = count(lit(1)).as("__n") +: sums
+  /** Elementwise floor-mean centroids of the given assignment, reduced
+    * by the native `vector_sum` aggregate (one long[dim] buffer, one
+    * fused loop per row; map-side partials carry k×dim longs into the
+    * shuffle — the posexplode alternative shuffles n×dim rows).
+    * Output: (cluster, centroid array<long>). */
+  private def meanCentroids(assigned: DataFrame, dim: Int): DataFrame =
     assigned
       .groupBy(col("cluster"))
-      .agg(aggs.head, aggs.tail: _*)
+      .agg(count(lit(1)).as("__n"),
+        graft.functions.VectorAggregates.vector_sum(col("qv"), dim).as("__s"))
       // floor-mean: exact int sums, one double ÷ per element → identical
-      // across engines, then floor
-      .select(col("cluster"),
-        array((0 until dim).map(i => floor(col(s"__s$i") / col("__n"))): _*).as("centroid"))
-  }
+      // across engines, then floor (k rows — the interpreted transform
+      // is off the hot path)
+      .select(col("cluster"), transform(col("__s"), s => floor(s / col("__n"))).as("centroid"))
 
   /** Build the IVF index: returns (assignments, centroids).
     * assignments: (id, vec, qv, cluster); centroids: (cluster, centroid).

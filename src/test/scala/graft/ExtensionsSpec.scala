@@ -1,0 +1,51 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** graft's kernels as SQL functions — programmatic registration and the
+  * spark.sql.extensions session path. */
+class ExtensionsSpec extends SparkSpec {
+
+  test("GraftFunctions.register makes every kernel callable from SQL") {
+    GraftFunctions.register(spark)
+    Tables.documents(spark, "/root/testdata/sf0.001").createOrReplaceTempView("ext_docs")
+    val row = spark.sql("""
+      SELECT graft_poly_hash(text) AS ph,
+             graft_fingerprint(text) AS fp,
+             graft_token_count(text) AS tc,
+             graft_distinct_token_count(text) AS dtc,
+             graft_simhash(text, 30) AS sh,
+             size(graft_minhash(text, 16, 3)) AS mh,
+             graft_ngram_jaccard(text, text, 3) AS jac,
+             graft_token_count('a b  c ') AS lit_tc,
+             graft_zorder(3, 5) AS z
+      FROM ext_docs ORDER BY doc_id LIMIT 1
+    """).head()
+    assert(row.getDouble(row.fieldIndex("jac")) === 1.0) // self-similarity
+    assert(row.getInt(row.fieldIndex("mh")) === 16)
+    assert(row.getInt(row.fieldIndex("lit_tc")) === 3)
+    assert(row.getLong(row.fieldIndex("z")) === 39L)
+    // kernel-vs-column-API agreement on the same data
+    import org.apache.spark.sql.functions._
+    val viaColumns = Tables.documents(spark, "/root/testdata/sf0.001")
+      .orderBy("doc_id").limit(1)
+      .select(graft.functions.expressions.poly_hash(col("text"))).head().getLong(0)
+    assert(row.getLong(row.fieldIndex("ph")) === viaColumns)
+  }
+
+  test("a session built with GraftExtensions has the functions pre-registered") {
+    spark.sparkContext // ensure shared context exists
+    SparkSession.clearActiveSession()
+    SparkSession.clearDefaultSession()
+    try {
+      val s2 = SparkSession.builder().master("local[4]")
+        .withExtensions(new GraftExtensions)
+        .getOrCreate()
+      val got = s2.sql("SELECT graft_token_count('x y z w') AS n").head().getInt(0)
+      assert(got === 4)
+    } finally {
+      SparkSession.setDefaultSession(spark)
+      SparkSession.setActiveSession(spark)
+    }
+  }
+}
