@@ -1,8 +1,9 @@
 package graft.streaming
 
-import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.{DataFrame, Dataset, Encoders}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode,
+  StatefulProcessor, TimeMode, TimerValues, TTLConfig, ValueState}
 
 /** Stateful streaming operators beyond the reference's windowed
   * aggregation (SURVEY.md §2.6 W8 notes these as the available-if-needed
@@ -65,5 +66,38 @@ object Stateful {
             Iterator.empty
           }
         })
+  }
+
+  final case class UserRunningTotal(user_id: String, n_orders: Long, total_amount: Double)
+
+  /** The Spark 4 `transformWithState` form of per-key running state — the
+    * successor API to (flat)mapGroupsWithState, with typed state
+    * variables managed by the operator (and RocksDB-backed stores, the
+    * provider transformWithState requires). Emits the updated per-user
+    * running order count/total on every batch that touches the user. */
+  class RunningTotalProcessor
+      extends StatefulProcessor[String, (String, Double), UserRunningTotal] {
+    @transient private var totals: ValueState[(Long, Double)] = _
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      totals = getHandle.getValueState[(Long, Double)](
+        "totals", Encoders.tuple(Encoders.scalaLong, Encoders.scalaDouble), TTLConfig.NONE)
+    override def handleInputRows(key: String, rows: Iterator[(String, Double)],
+                                 timerValues: TimerValues): Iterator[UserRunningTotal] = {
+      val (n0, sum0) = if (totals.exists()) totals.get() else (0L, 0.0)
+      var n = n0
+      var total = sum0
+      rows.foreach { case (_, amount) => n += 1; total += amount }
+      totals.update((n, total))
+      Iterator.single(UserRunningTotal(key, n, total))
+    }
+  }
+
+  /** Per-user running totals via transformWithState (update mode). */
+  def runningTotals(orders: DataFrame): Dataset[UserRunningTotal] = {
+    val spark = orders.sparkSession
+    import spark.implicits._
+    orders.selectExpr("user_id", "total_amount").as[(String, Double)]
+      .groupByKey(_._1)
+      .transformWithState(new RunningTotalProcessor, TimeMode.None(), OutputMode.Update())
   }
 }

@@ -65,6 +65,21 @@ class PipelineOpsSpec extends SparkSpec {
     assert(math.abs(testKeys.size - 200) < 60, s"test keys ${testKeys.size}, expected ~200")
   }
 
+  test("approx percentile lands within rank tolerance of exact (sketch path)") {
+    import spark.implicits._
+    // percentile_approx is the sketch (KLL/GK-style) scale path next to
+    // q36's exact histogram selection; assert the sketch answer's RANK is
+    // within the documented accuracy bound of the true median rank.
+    val quantities = Tables.lineitem(spark, "/root/testdata/sf0.01")
+      .select(col("l_quantity")).as[Double].collect().sorted
+    val n = quantities.length
+    val approx = Tables.lineitem(spark, "/root/testdata/sf0.01")
+      .agg(percentile_approx(col("l_quantity"), lit(0.5), lit(1000)).as("p"))
+      .as[Double].head()
+    val rank = quantities.count(_ <= approx).toDouble / n
+    assert(math.abs(rank - 0.5) <= 0.05, s"approx median $approx sits at rank $rank")
+  }
+
   test("stratified sample respects per-stratum fractions") {
     import spark.implicits._
     val df = spark.range(20000).select(

@@ -3,6 +3,7 @@ package graft
 import java.sql.Timestamp
 
 import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions.{max, struct}
 
 import graft.streaming.Stateful
 
@@ -60,5 +61,37 @@ class StatefulStreamingSpec extends SparkSpec {
       assert(sessions("u1") === (("u1", 2L, 25.0, 30L)))
       assert(sessions("u2") === (("u2", 1L, 99.0, 0L)))
     } finally q.stop()
+  }
+
+  test("transformWithState keeps per-key running totals across batches") {
+    import spark.implicits._
+    // transformWithState requires the RocksDB state store provider;
+    // graft pins the reference's HDFS-backed provider globally, so
+    // override for this query and restore after.
+    val prev = spark.conf.get("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val input = MemoryStream[Evt](spark)
+    val q = Stateful.runningTotals(input.toDF())
+      .writeStream.format("memory").queryName("running_out").outputMode("update").start()
+    try {
+      input.addData(
+        Evt("o1", "u1", 10.0, ts("2024-01-01 10:00:00")),
+        Evt("o2", "u1", 15.0, ts("2024-01-01 10:00:10")),
+        Evt("o3", "u2", 50.0, ts("2024-01-01 10:00:20")))
+      q.processAllAvailable()
+      input.addData(Evt("o4", "u1", 5.0, ts("2024-01-01 10:01:00")))
+      q.processAllAvailable()
+      // update mode: latest row per (user, batch); final running totals win
+      val latest = spark.table("running_out")
+        .groupBy($"user_id").agg(max(struct($"n_orders", $"total_amount")).as("s"))
+        .select($"user_id", $"s.n_orders", $"s.total_amount")
+        .as[(String, Long, Double)].collect().map(r => r._1 -> ((r._2, r._3))).toMap
+      assert(latest("u1") === ((3L, 30.0))) // state survived across batches
+      assert(latest("u2") === ((1L, 50.0)))
+    } finally {
+      q.stop()
+      spark.conf.set("spark.sql.streaming.stateStore.providerClass", prev)
+    }
   }
 }

@@ -155,6 +155,23 @@ class StreamingReliabilitySpec extends SparkSpec {
     } finally query.stop()
   }
 
+  test("Trigger.AvailableNow drains the backlog and terminates") {
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.Trigger
+    val input = MemoryStream[OrderEvent](spark)
+    input.addData(evt(1, "2024-01-01 10:00:00"), evt(2, "2024-01-01 10:00:01"))
+    input.addData(evt(3, "2024-01-01 10:00:02"))
+    val query = input.toDF().select(col("order_id"))
+      .writeStream.format("memory").queryName("avail_now")
+      .trigger(Trigger.AvailableNow()).outputMode("append").start()
+    try {
+      assert(query.awaitTermination(60000), "AvailableNow query should self-terminate")
+      assert(!query.isActive)
+      val got = spark.table("avail_now").as[String].collect().sorted.toSeq
+      assert(got === Seq("o1", "o2", "o3"), "entire backlog processed before stopping")
+    } finally if (query.isActive) query.stop()
+  }
+
   test("restart from checkpoint: no lost and no duplicated windows") {
     import spark.implicits._
     val out = java.nio.file.Files.createTempDirectory("graft-recover-out").toString
