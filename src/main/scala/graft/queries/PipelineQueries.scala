@@ -1,11 +1,12 @@
 package graft.queries
 
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.Tables
 import graft.functions.Deterministic._
 import graft.operators.{RangeJoin, Sampling}
-import graft.text.TfIdf
+import graft.text.{TextAnalysis, TfIdf}
 
 /** Training-data-pipeline operators, round 2: binned range join,
   * TF-IDF term extraction, deterministic sampling / splitting. */
@@ -204,5 +205,100 @@ object PipelineQueries extends QueryGroup {
       ORDER BY cosine DESC, vec_id LIMIT 10
     """))
 
-  def defs: Seq[QueryDef] = Seq(q43, q44, q45, q46, q47, q50)
+  /** The full LLM-preprocessing funnel as ONE query: normalize → exact
+    * dedup → language filter → quality filter → deterministic sample,
+    * reporting docs/tokens retained at every stage. Composition of the
+    * individually-verified operators (q46/q20/q26/q27/q45) in a single
+    * pass: per-doc flags are computed once (one scan + one md5-window
+    * shuffle for the dedup survivor), the five stage aggregates are
+    * conditional sums in one hash aggregate, and the stage rows are
+    * unpivoted from that single row — the whole funnel never re-scans. */
+  private val q51 = QueryDef(
+    "q51_llm_funnel",
+    (spark, dir) => {
+      import graft.functions.expressions.token_count
+      val norm = trim(regexp_replace(
+        regexp_replace(lower(col("text")), "[^a-z0-9 ]", " "), " +", " "))
+      val wDup = Window.partitionBy(col("m"))
+      val flagged = Tables.documents(spark, dir)
+        .select(col("doc_id"), norm.as("t"))
+        .withColumn("m", md5(col("t")))
+        .withColumn("tc", token_count(col("t")).cast("long"))
+        .withColumn("keep", col("doc_id") === min(col("doc_id")).over(wDup))
+        .withColumn("en", TextAnalysis.languageId(col("t")) === "en")
+        .withColumn("ok", TextAnalysis.qualityFeatures(col("t")).getField("quality_score") >= 0.5)
+        .withColumn("smp", Sampling.keyHash(col("doc_id")) % 10000L < 5000L)
+      val c2 = col("keep")
+      val c3 = c2 && col("en")
+      val c4 = c3 && col("ok")
+      val c5 = c4 && col("smp")
+      val agg = flagged.agg(
+        count(lit(1)).as("n1"), sum(col("tc")).as("t1"),
+        count(when(c2, lit(1))).as("n2"), sum(when(c2, col("tc"))).as("t2"),
+        count(when(c3, lit(1))).as("n3"), sum(when(c3, col("tc"))).as("t3"),
+        count(when(c4, lit(1))).as("n4"), sum(when(c4, col("tc"))).as("t4"),
+        count(when(c5, lit(1))).as("n5"), sum(when(c5, col("tc"))).as("t5"))
+      agg.select(expr(
+        """stack(5,
+           '1_normalized', n1, t1,
+           '2_deduped', n2, t2,
+           '3_english', n3, t3,
+           '4_quality', n4, t4,
+           '5_sampled', n5, t5) AS (stage, n_docs, n_tokens)"""))
+        .orderBy("stage")
+    },
+    Some {
+      val toks = "list_filter(str_split(t, ' '), x -> len(x) > 0)"
+      val hits = TextAnalysis.Stopwords.map { case (l, ws) =>
+        s"len(list_filter($toks, x -> x IN (${ws.map("'" + _ + "'").mkString(",")}))) AS score_$l"
+      }.mkString(", ")
+      val best = s"greatest(${TextAnalysis.Stopwords.map(s => "score_" + s._1).mkString(",")})"
+      val chain = TextAnalysis.Stopwords
+        .map(s => s"WHEN score_${s._1} > 0 AND score_${s._1} = $best THEN '${s._1}'").mkString(" ")
+      val allStops = TextAnalysis.Stopwords.flatMap(_._2).map("'" + _ + "'").mkString(",")
+      s"""
+      WITH n AS (
+        SELECT doc_id,
+          trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'),
+               ' +', ' ', 'g')) AS t
+        FROM documents),
+      f AS (
+        SELECT doc_id, t,
+          CAST(len($toks) AS BIGINT) AS tc,
+          CAST(len(list_distinct($toks)) AS BIGINT) AS dtc,
+          CAST(list_sum(list_prepend(0::BIGINT,
+            list_transform($toks, x -> CAST(len(x) AS BIGINT)))) AS BIGINT) AS cit,
+          CAST(len(list_filter($toks, x -> x IN ($allStops))) AS BIGINT) AS stop_hits,
+          $hits,
+          doc_id = min(doc_id) OVER (PARTITION BY md5(t)) AS keep,
+          (doc_id * 2654435761) % 4294967296 % 10000 < 5000 AS smp
+        FROM n),
+      g AS (
+        SELECT doc_id, tc, keep, smp,
+          (CASE $chain ELSE 'und' END) = 'en' AS en,
+          (CASE WHEN CAST(cit AS DOUBLE)/tc >= 3 AND CAST(cit AS DOUBLE)/tc <= 10
+                THEN 1.0 ELSE 0.0 END
+           + least(CAST(stop_hits AS DOUBLE)/tc * 5.0, 1.0)
+           + least(CAST(dtc AS DOUBLE)/tc * 2.0, 1.0)) / 3.0 >= 0.5 AS ok
+        FROM f)
+      SELECT stage, n_docs, n_tokens FROM (
+        SELECT '1_normalized' AS stage, count(*) AS n_docs,
+          CAST(sum(tc) AS BIGINT) AS n_tokens FROM g
+        UNION ALL
+        SELECT '2_deduped', count(*) FILTER (keep),
+          CAST(sum(tc) FILTER (keep) AS BIGINT) FROM g
+        UNION ALL
+        SELECT '3_english', count(*) FILTER (keep AND en),
+          CAST(sum(tc) FILTER (keep AND en) AS BIGINT) FROM g
+        UNION ALL
+        SELECT '4_quality', count(*) FILTER (keep AND en AND ok),
+          CAST(sum(tc) FILTER (keep AND en AND ok) AS BIGINT) FROM g
+        UNION ALL
+        SELECT '5_sampled', count(*) FILTER (keep AND en AND ok AND smp),
+          CAST(sum(tc) FILTER (keep AND en AND ok AND smp) AS BIGINT) FROM g)
+      ORDER BY stage
+      """
+    })
+
+  def defs: Seq[QueryDef] = Seq(q43, q44, q45, q46, q47, q50, q51)
 }
