@@ -95,8 +95,9 @@ object MinHashLSH {
     a.join(b, Seq("band", "bucket"))
       .filter(col("doc_a") < col("doc_b"))
       .select(col("doc_a"), col("doc_b"),
-        (aggregate(zip_with(col("sig_a"), col("sig_b"),
-          (x, y) => when(x === y, 1L).otherwise(0L)), lit(0L), _ + _)
+        // codegen'd kernel: the interpreted zip_with form would re-run
+        // per band-duplicated pair (KernelParitySpec asserts equality)
+        (graft.functions.expressions.sig_match_count(col("sig_a"), col("sig_b"))
           .cast("double") / lit(cfg.numHashes.toDouble)).as("est_jaccard"))
       .distinct()
   }

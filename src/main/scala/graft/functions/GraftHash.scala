@@ -279,6 +279,16 @@ object GraftHash {
     x | (y << 1)
   }
 
+  /** Number of positions where two equal-length long arrays agree — the
+    * minhash signature-agreement count behind estimated Jaccard. */
+  def sigMatchCount(a: ArrayData, b: ArrayData): Int = {
+    val n = a.numElements()
+    var m = 0
+    var i = 0
+    while (i < n) { if (a.getLong(i) == b.getLong(i)) m += 1; i += 1 }
+    m
+  }
+
   /** Sign-random-projection LSH bucket (Charikar 2002) of a float
     * vector: quantize, project onto `planes` deterministic integer
     * hyperplanes (component(p,i) = (p·2654435761 + i·40503) mod 2001 −

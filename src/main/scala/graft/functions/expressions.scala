@@ -108,6 +108,20 @@ object expressions {
       copy(left = l, right = r)
   }
 
+  /** Positions where two array<long> columns agree (minhash signature
+    * agreement). */
+  case class SigMatchCount(left: Expression, right: Expression) extends BinaryExpression {
+    override def dataType: DataType = IntegerType
+    override protected def nullSafeEval(a: Any, b: Any): Any =
+      GraftHash.sigMatchCount(
+        a.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData],
+        b.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData])
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      defineCodeGen(ctx, ev, (a, b) => s"$G.sigMatchCount($a, $b)")
+    override protected def withNewChildrenInternal(l: Expression, r: Expression): SigMatchCount =
+      copy(left = l, right = r)
+  }
+
   /** Sign-LSH bucket id of an array<float> column. */
   case class SignLshBucket(child: Expression, planes: Int) extends UnaryExpression {
     override def dataType: DataType = LongType
@@ -232,6 +246,8 @@ object expressions {
       Bridge.expression(a.cast("long")), Bridge.expression(b.cast("long"))))
   def sign_lsh_bucket(c: Column, planes: Int): Column =
     Bridge.column(SignLshBucket(Bridge.expression(c), planes))
+  def sig_match_count(a: Column, b: Column): Column =
+    Bridge.column(SigMatchCount(Bridge.expression(a), Bridge.expression(b)))
   def tokens_native(c: Column): Column = Bridge.column(Tokens(Bridge.expression(c)))
   def token_count(c: Column): Column = Bridge.column(TokenCount(Bridge.expression(c)))
   def distinct_token_count(c: Column): Column =

@@ -57,6 +57,20 @@ class KernelParitySpec extends SparkSpec {
     assert(f === h)
   }
 
+  test("SigMatchCount kernel == HOF zip_with agreement count") {
+    val cfg = MinHashLSH.Config()
+    val sigs = MinHashLSH.signatures(docs, "doc_id", "text", cfg)
+    val a = sigs.select(col("doc_id").as("ida"), col("sig").as("sig_a"))
+    val b = sigs.select(col("doc_id").as("idb"), col("sig").as("sig_b"))
+    val mismatches = a.crossJoin(b).filter(col("ida") < col("idb"))
+      .select(
+        aggregate(zip_with(col("sig_a"), col("sig_b"),
+          (x, y) => when(x === y, 1L).otherwise(0L)), lit(0L), _ + _).as("hof"),
+        sig_match_count(col("sig_a"), col("sig_b")).cast("long").as("fast"))
+      .filter(col("hof") =!= col("fast")).count()
+    assert(mismatches === 0)
+  }
+
   test("SignLshBucket kernel == HOF hyperplane pipeline") {
     import graft.similarity.Knn
     val emb = Tables.embeddings(spark, sfDir)
