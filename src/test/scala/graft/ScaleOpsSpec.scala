@@ -82,6 +82,43 @@ class ScaleOpsSpec extends SparkSpec {
     assert(saltedMax <= plainMax / 3)
   }
 
+  test("AQE splits skewed partitions at runtime (the pre-salting defense)") {
+    // Skew.saltedJoin's scaladoc claims AQE's skew splitting handles most
+    // hot keys before explicit salting is warranted — demonstrate it:
+    // with skew-join enabled and a hot key too big for one task, the
+    // final adaptive plan marks the sort-merge join skew=true.
+    val confs = Seq(
+      "spark.sql.adaptive.enabled" -> "true",
+      "spark.sql.adaptive.skewJoin.enabled" -> "true",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes" -> "1MB",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes" -> "256KB",
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor" -> "2",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1",
+      "spark.sql.adaptive.autoBroadcastJoinThreshold" -> "-1")
+    val prev = confs.map { case (k, _) => k -> spark.conf.getOption(k) }
+    confs.foreach { case (k, v) => spark.conf.set(k, v) }
+    try {
+      // left: 90% of 2M rows on key 0 (one oversized shuffle partition);
+      // right: UNIQUE keys (a dim too large to broadcast with the
+      // threshold off) — so the join is 1:N, not an M×N hot-key blowup
+      // the payload must be high-entropy and actually consumed, or the
+      // all-constant hot partition compresses under the skew threshold
+      val hotLeft = spark.range(2000000L).select(
+        when(pmod(col("id"), lit(100L)) < 90, lit(0L)).otherwise(col("id")).as("k"),
+        xxhash64(col("id")).as("v"))
+      val right = spark.range(2000000L).select(
+        col("id").as("k"), xxhash64(col("id"), lit(7)).as("w"))
+      val joined = hotLeft.join(right, "k").agg(sum(col("v") + col("w")))
+      joined.collect() // execute THIS queryExecution so AQE finalizes the plan
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(plan.contains("skew=true"),
+        s"AQE should mark the skewed join:\n${plan.take(2000)}")
+    } finally prev.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
+
   test("salted join shrinks the critical-path task on a hot key") {
     // Simulates the case salting exists for: both sides too big to
     // broadcast (threshold off) and AQE's skew splitting unavailable
