@@ -300,5 +300,32 @@ object PipelineQueries extends QueryGroup {
       """
     })
 
-  def defs: Seq[QueryDef] = Seq(q43, q44, q45, q46, q47, q50, q51)
+  /** DataFrameNaFunctions surface (fill/replace) over a deterministic
+    * null pattern: error events null their value, na.fill sentinels it,
+    * na.replace renames a category — the cleaning idioms of intake
+    * pipelines, all narrow codegen projections. */
+  private val q54 = QueryDef(
+    "q54_na_functions",
+    (spark, dir) => {
+      val ev = Tables.events(spark, dir)
+        .select(col("event_id"), col("event_type"),
+          when(col("event_type") === "error", lit(null))
+            .otherwise(cents(col("value"))).as("vc"))
+      ev.na.fill(Map("vc" -> -1L))
+        .na.replace("event_type", Map("signup" -> "registration"))
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"), sum(col("vc")).as("vc_cents"))
+        .orderBy("event_type")
+    },
+    Some("""
+      WITH e AS (
+        SELECT CASE WHEN event_type = 'signup' THEN 'registration' ELSE event_type END AS event_type,
+          coalesce(CASE WHEN event_type = 'error' THEN NULL
+                        ELSE CAST(floor(value*100 + 0.5) AS BIGINT) END, -1) AS vc
+        FROM events)
+      SELECT event_type, count(*) AS n, CAST(sum(vc) AS BIGINT) AS vc_cents
+      FROM e GROUP BY event_type ORDER BY event_type
+    """))
+
+  def defs: Seq[QueryDef] = Seq(q43, q44, q45, q46, q47, q50, q51, q54)
 }

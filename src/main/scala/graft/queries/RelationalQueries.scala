@@ -343,6 +343,56 @@ object RelationalQueries extends QueryGroup {
       FROM daily ORDER BY o_orderpriority, day
     """))
 
+  /** Pivot (long → wide): per-user event-type counts as columns. The
+    * pivot is a single hash aggregate over (user, type) with the listed
+    * pivot values — no second pass; empty cells coalesced to 0 to match
+    * the oracle's FILTER counts. */
+  private val q52 = QueryDef(
+    "q52_pivot",
+    (spark, dir) => {
+      val types = Seq("view", "click", "purchase", "signup", "error")
+      val wide = Tables.events(spark, dir)
+        .groupBy(col("user_id"))
+        .pivot("event_type", types)
+        .agg(count(lit(1)))
+      wide.select(col("user_id") +: types.map(t => coalesce(col(t), lit(0L)).as(s"n_$t")): _*)
+        .orderBy("user_id")
+    },
+    Some("""
+      SELECT user_id,
+        count(*) FILTER (event_type = 'view') AS n_view,
+        count(*) FILTER (event_type = 'click') AS n_click,
+        count(*) FILTER (event_type = 'purchase') AS n_purchase,
+        count(*) FILTER (event_type = 'signup') AS n_signup,
+        count(*) FILTER (event_type = 'error') AS n_error
+      FROM events GROUP BY user_id ORDER BY user_id
+    """))
+
+  /** Unpivot (wide → long): the inverse reshape, melting two numeric
+    * columns into (metric, value) rows — a narrow Expand, no shuffle. */
+  private val q53 = QueryDef(
+    "q53_unpivot",
+    (spark, dir) => {
+      Tables.customer(spark, dir)
+        .filter(col("c_custkey") % 50 === 0)
+        .select(col("c_custkey"), cents(col("c_acctbal")).as("acctbal_cents"),
+          col("c_nationkey").cast("long").as("nationkey"))
+        .unpivot(Array(col("c_custkey")),
+          Array(col("acctbal_cents"), col("nationkey")), "metric", "value")
+        .orderBy("c_custkey", "metric")
+    },
+    Some("""
+      WITH base AS (
+        SELECT c_custkey, CAST(floor(c_acctbal*100 + 0.5) AS BIGINT) AS acctbal_cents,
+          CAST(c_nationkey AS BIGINT) AS nationkey
+        FROM customer WHERE c_custkey % 50 = 0)
+      SELECT c_custkey, metric, value FROM (
+        SELECT c_custkey, 'acctbal_cents' AS metric, acctbal_cents AS value FROM base
+        UNION ALL
+        SELECT c_custkey, 'nationkey', nationkey FROM base)
+      ORDER BY c_custkey, metric
+    """))
+
   def defs: Seq[QueryDef] =
-    Seq(q10, q11, q12, q13, q14, q15, q16, q17, q18, q19, q48, q49)
+    Seq(q10, q11, q12, q13, q14, q15, q16, q17, q18, q19, q48, q49, q52, q53)
 }
