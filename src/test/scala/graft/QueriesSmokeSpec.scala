@@ -28,4 +28,21 @@ class QueriesSmokeSpec extends SparkSpec {
       if (!mayBeEmpty(name)) assert(n > 0, s"$name returned 0 rows")
     }
   }
+
+  // queries that deliberately crossJoin a BROADCAST one-row/k-row side
+  // (query vectors, centroid tables, corpus-size literals) — the only
+  // sanctioned nested-loop shape
+  private val broadcastCrossJoins = Set(
+    "q25_knn_bruteforce", "q32_ivf_ann_topk", "q50_lsh_ann_topk")
+
+  test("plan hygiene: no cartesian products, no unsanctioned nested loops") {
+    for ((name, fn) <- SparkEntry.queries.toSeq.sortBy(_._1)) {
+      val plan = fn(spark, sfDir).queryExecution.executedPlan.toString
+      assert(!plan.contains("CartesianProduct"),
+        s"$name plans a CartesianProduct — a scale-killer:\n${plan.take(1500)}")
+      if (!broadcastCrossJoins(name))
+        assert(!plan.contains("BroadcastNestedLoopJoin"),
+          s"$name plans an unsanctioned BroadcastNestedLoopJoin:\n${plan.take(1500)}")
+    }
+  }
 }
