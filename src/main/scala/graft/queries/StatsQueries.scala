@@ -244,5 +244,42 @@ object StatsQueries extends QueryGroup {
       ORDER BY v.event_id
     """))
 
-  def defs: Seq[QueryDef] = Seq(q36, q37, q38, q39, q40, q41, q42)
+  /** Exact group variance/stddev from integer moments: Σx and Σx² are
+    * exact 64-bit sums of cents, so the one double evaluation
+    * ss/n − (s/n)² is bit-identical across engines (same IEEE op
+    * sequence). Range note: Σx² of cents fits a long through ~10^12 rows
+    * per group at 2-decimal values; beyond that, per-partition Welford
+    * merging (graft.functions.TypedStats) or decimal moments take over.
+    */
+  private val q55 = QueryDef(
+    "q55_group_variance",
+    (spark, dir) => {
+      Tables.lineitem(spark, dir)
+        .select(col("l_returnflag"), cents(col("l_quantity")).as("qc"))
+        .groupBy(col("l_returnflag"))
+        .agg(count(lit(1)).as("n"), sum(col("qc")).as("s"),
+          sum(col("qc") * col("qc")).as("ss"))
+        .select(col("l_returnflag"), col("n"),
+          (col("ss").cast("double") / col("n") -
+            (col("s").cast("double") / col("n")) * (col("s").cast("double") / col("n")))
+            .as("var_cents2"),
+          sqrt(col("ss").cast("double") / col("n") -
+            (col("s").cast("double") / col("n")) * (col("s").cast("double") / col("n")))
+            .as("stddev_cents"))
+        .orderBy("l_returnflag")
+    },
+    Some("""
+      WITH m AS (
+        SELECT l_returnflag, count(*) AS n,
+          CAST(sum(CAST(floor(l_quantity*100 + 0.5) AS BIGINT)) AS BIGINT) AS s,
+          CAST(sum(CAST(floor(l_quantity*100 + 0.5) AS BIGINT)
+                 * CAST(floor(l_quantity*100 + 0.5) AS BIGINT)) AS BIGINT) AS ss
+        FROM lineitem GROUP BY l_returnflag)
+      SELECT l_returnflag, n,
+        CAST(ss AS DOUBLE)/n - (CAST(s AS DOUBLE)/n)*(CAST(s AS DOUBLE)/n) AS var_cents2,
+        sqrt(CAST(ss AS DOUBLE)/n - (CAST(s AS DOUBLE)/n)*(CAST(s AS DOUBLE)/n)) AS stddev_cents
+      FROM m ORDER BY l_returnflag
+    """))
+
+  def defs: Seq[QueryDef] = Seq(q36, q37, q38, q39, q40, q41, q42, q55)
 }

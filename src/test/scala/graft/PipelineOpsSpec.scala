@@ -65,6 +65,21 @@ class PipelineOpsSpec extends SparkSpec {
     assert(math.abs(testKeys.size - 200) < 60, s"test keys ${testKeys.size}, expected ~200")
   }
 
+  test("typed Welford aggregator matches exact integer-moment variance") {
+    import spark.implicits._
+    import graft.functions.TypedStats
+    val qc = Tables.lineitem(spark, "/root/testdata/sf0.01")
+      .select((col("l_quantity") * 100 + 0.5).cast("long").cast("double").as("q"))
+      .as[Double]
+    val welford = qc.select(TypedStats.WelfordVariance.toColumn).head()
+    val moments = qc.agg(
+      count(lit(1)).cast("double").as("n"), sum(col("q")).as("s"), sum(col("q") * col("q")).as("ss"))
+      .select(col("ss") / col("n") - (col("s") / col("n")) * (col("s") / col("n")))
+      .as[Double].head()
+    assert(math.abs(welford - moments) / moments < 1e-9,
+      s"welford=$welford vs exact=$moments")
+  }
+
   test("approx percentile lands within rank tolerance of exact (sketch path)") {
     import spark.implicits._
     // percentile_approx is the sketch (KLL/GK-style) scale path next to
