@@ -56,6 +56,26 @@ class LayoutSpec extends SparkSpec {
     assert(zrange(0 until 8, 0 until 8) < zrange(0 until 1, 0 until 64))
   }
 
+  test("persist serves later actions from the in-memory relation") {
+    val df = Tables.lineitem(spark, sfDir).groupBy(col("l_returnflag")).count().persist()
+    try {
+      df.count() // materialize the cache
+      val plan = df.queryExecution.executedPlan.toString
+      assert(plan.contains("InMemoryTableScan") || plan.contains("TableCacheQueryStage"),
+        s"cached plan should read the in-memory relation:\n$plan")
+    } finally df.unpersist()
+  }
+
+  test("localCheckpoint truncates lineage for iterative refinement") {
+    // iterative algorithms (Lloyd loops, label propagation) re-derive a
+    // frame each round; checkpointing caps the plan's growth
+    val df = Tables.lineitem(spark, sfDir).groupBy(col("l_returnflag")).count()
+    val cp = df.localCheckpoint(eager = true)
+    assert(cp.count() === df.count())
+    val plan = cp.queryExecution.optimizedPlan.toString
+    assert(!plan.contains("Aggregate"), s"checkpointed lineage should be a bare scan:\n$plan")
+  }
+
   test("join-strategy hints select the physical join") {
     val big = spark.range(100000).select(col("id").as("k"), col("id").as("v"))
     val small = spark.range(100).select(col("id").as("k"), col("id").as("w"))
