@@ -60,6 +60,40 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("binned range join == naive theta join on arbitrary interval sets") {
+    import spark.implicits._
+    import graft.operators.RangeJoin
+    val pointGen = Gen.listOfN(200, Gen.choose(0L, 1000L))
+    val ivGen = Gen.listOfN(40, Gen.zip(Gen.choose(0L, 1000L), Gen.choose(0L, 120L)))
+    forSamples(Gen.zip(pointGen, ivGen)) { case (ps, ivs) =>
+      val points = ps.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("pid", "t")
+      val intervals = ivs.zipWithIndex.map { case ((lo, len), i) => (i.toLong, lo, lo + len) }
+        .toDF("iid", "lo", "hi")
+      val naive = points.join(intervals, col("t") >= col("lo") && col("t") < col("hi"))
+        .select("pid", "iid").as[(Long, Long)].collect().toSet
+      for (bw <- Seq(13L, 100L)) {
+        val binned = RangeJoin.pointInInterval(points, intervals, "t", "lo", "hi", bw)
+          .select("pid", "iid").as[(Long, Long)].collect()
+        assert(binned.length === binned.toSet.size, s"bw=$bw duplicated pairs")
+        assert(binned.toSet === naive, s"bw=$bw mismatch")
+      }
+    }
+  }
+
+  test("sampling invariants: key-consistency and nesting for arbitrary fractions") {
+    import spark.implicits._
+    import graft.operators.Sampling
+    forSamples(Gen.zip(Gen.choose(0.05, 0.95), Gen.choose(0.0, 1.0)), n = 3) {
+      case (f1, scale) =>
+        val f2 = f1 * scale // f2 <= f1
+        val df = spark.range(5000).toDF("k")
+        val big = Sampling.sampleByKey(df, col("k"), f1).as[Long].collect().toSet
+        val small = Sampling.sampleByKey(df, col("k"), f2).as[Long].collect().toSet
+        assert(small.subsetOf(big), s"f2=$f2 sample must nest inside f1=$f1")
+        assert(math.abs(big.size - 5000 * f1) < 5000 * 0.1, s"f1=$f1 got ${big.size}")
+    }
+  }
+
   test("from_json never throws on drifted/garbage payloads; valid fields survive") {
     import spark.implicits._
     val junkGen = Gen.oneOf(
