@@ -280,9 +280,14 @@ object GraftHash {
   }
 
   /** Number of positions where two equal-length long arrays agree — the
-    * minhash signature-agreement count behind estimated Jaccard. */
+    * minhash signature-agreement count behind estimated Jaccard. Lengths
+    * must match: indexing UnsafeArrayData past its end reads arbitrary
+    * memory and returns silently wrong counts, so fail loudly instead. */
   def sigMatchCount(a: ArrayData, b: ArrayData): Int = {
     val n = a.numElements()
+    if (b.numElements() != n)
+      throw new IllegalArgumentException(
+        s"sig_match_count: signature lengths differ (${n} vs ${b.numElements()})")
     var m = 0
     var i = 0
     while (i < n) { if (a.getLong(i) == b.getLong(i)) m += 1; i += 1 }

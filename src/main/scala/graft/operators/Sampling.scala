@@ -12,26 +12,31 @@ import org.apache.spark.sql.functions._
   * side of a split, or leakage corrupts evaluation.
   *
   * Both come from hashing the key with a fixed multiplicative hash:
-  * h(key) = (key · A) mod 2^32, then thresholding h mod 10_000. The
-  * arithmetic is plain 64-bit integer multiply/mod (A ≈ 2^31, so keys
-  * up to ~2^31 cannot overflow 64-bit — no engine-dependent wraparound),
-  * reproducible in any SQL engine. Sampling is a narrow filter: no
-  * shuffle, pushes down past column pruning, and composes with every
-  * downstream operator.
+  * h(key) = ((key mod 2^31) · A) mod 2^32, then thresholding h mod
+  * 10_000. The inner mask keeps the multiply inside 64 bits for EVERY
+  * long key (2^31 · A < 2^63), so there is no silent wraparound and the
+  * same formula evaluates identically in any SQL engine — without the
+  * mask, keys ≥ ~3.5e9 would overflow and diverge across engines. For
+  * keys < 2^31 the mask is the identity, so hash values are unchanged.
+  * Sampling is a narrow filter: no shuffle, pushes down past column
+  * pruning, and composes with every downstream operator.
   */
 object Sampling {
 
   private val TwoPow32 = 4294967296L
+  private val TwoPow31 = 2147483648L
 
-  /** h(key) in [0, 2^32): Knuth multiplicative hash with multiplier A.
+  /** h(key) in [0, 2^32): Knuth multiplicative hash with multiplier A
+    * over the masked key (key mod 2^31 — overflow-free for all longs).
     * Distinct multipliers give independent hash streams (e.g. one for
     * sampling, another for splitting). */
   def keyHash(key: Column, multiplier: Long = 2654435761L): Column =
-    pmod(key * lit(multiplier), lit(TwoPow32))
+    pmod(pmod(key, lit(TwoPow31)) * lit(multiplier), lit(TwoPow32))
 
   /** Deterministic ~`fraction` Bernoulli sample, keyed: every row whose
     * key hashes under the threshold is kept — the SAME keys at any
-    * scale factor, cluster size, or engine. */
+    * scale factor, cluster size, or engine. Null keys hash to null and
+    * are dropped (standard SQL filter semantics). */
   def sampleByKey(df: DataFrame, key: Column, fraction: Double,
                   multiplier: Long = 2654435761L): DataFrame = {
     require(fraction >= 0 && fraction <= 1, "fraction in [0,1]")
@@ -57,10 +62,15 @@ object Sampling {
     when(keyHash(key, multiplier) % 10000L < (testFraction * 10000).round, lit("test"))
       .otherwise(lit("train"))
 
-  /** (train, test) pair of DataFrames split key-consistently. */
+  /** (train, test) pair of DataFrames split key-consistently.
+    * Null keys hash to null; routing them explicitly to the TRAIN side
+    * (matching `splitColumn`'s otherwise-branch) preserves the
+    * train ∪ test = df invariant — a bare `filter(!mark)` would silently
+    * drop null-keyed rows from both sides. */
   def trainTestSplit(df: DataFrame, key: Column, testFraction: Double,
                      multiplier: Long = 1779033703L): (DataFrame, DataFrame) = {
-    val mark = keyHash(key, multiplier) % 10000L < (testFraction * 10000).round
+    val mark = coalesce(
+      keyHash(key, multiplier) % 10000L < (testFraction * 10000).round, lit(false))
     (df.filter(!mark), df.filter(mark))
   }
 }

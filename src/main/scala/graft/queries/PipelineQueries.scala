@@ -95,8 +95,8 @@ object PipelineQueries extends QueryGroup {
     Some("""
       WITH h AS (
         SELECT c_mktsegment, c_acctbal,
-          (c_custkey * 2654435761) % 4294967296 AS hs,
-          (c_custkey * 1779033703) % 4294967296 AS ht
+          ((c_custkey % 2147483648) * 2654435761) % 4294967296 AS hs,
+          ((c_custkey % 2147483648) * 1779033703) % 4294967296 AS ht
         FROM customer),
       sampled AS (
         SELECT c_mktsegment, c_acctbal, ht FROM h
@@ -271,7 +271,7 @@ object PipelineQueries extends QueryGroup {
           CAST(len(list_filter($toks, x -> x IN ($allStops))) AS BIGINT) AS stop_hits,
           $hits,
           doc_id = min(doc_id) OVER (PARTITION BY md5(t)) AS keep,
-          (doc_id * 2654435761) % 4294967296 % 10000 < 5000 AS smp
+          ((doc_id % 2147483648) * 2654435761) % 4294967296 % 10000 < 5000 AS smp
         FROM n),
       g AS (
         SELECT doc_id, tc, keep, smp,

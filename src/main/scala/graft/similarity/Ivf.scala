@@ -66,7 +66,10 @@ object Ivf {
   def build(embeddings: DataFrame, idCol: String, vecCol: String, k: Int,
             iterations: Int = 1): (DataFrame, DataFrame) = {
     val base = embeddings.select(col(idCol).as("id"), col(vecCol).as("vec"), qvec(col(vecCol)).as("qv"))
-    val dim = base.select(size(col("qv"))).limit(1).collect()(0).getInt(0)
+    val dim = base.select(size(col("qv"))).limit(1).collect().headOption
+      .map(_.getInt(0))
+      .getOrElse(throw new IllegalArgumentException(
+        s"Ivf.build: embeddings input is empty — cannot infer vector dimension from '$vecCol'"))
     var assigned = base.withColumn("cluster", pmod(col("id"), lit(k.toLong)))
     var i = 0
     while (i < iterations) {

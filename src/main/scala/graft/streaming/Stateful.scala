@@ -92,10 +92,20 @@ object Stateful {
     }
   }
 
-  /** Per-user running totals via transformWithState (update mode). */
+  /** Per-user running totals via transformWithState (update mode).
+    *
+    * Spark 4 supports transformWithState ONLY on the RocksDB state store
+    * provider, while `GraftSession.configure` pins the HDFS-backed
+    * provider for reference parity (SURVEY §2.12 W6) — so this operator
+    * re-pins RocksDB on the session itself. The conf is read at
+    * streaming-query START, so it covers the query the caller builds from
+    * the returned Dataset; reference-parity pipelines that need the HDFS
+    * provider should (re)`configure(spark)` before starting theirs. */
   def runningTotals(orders: DataFrame): Dataset[UserRunningTotal] = {
     val spark = orders.sparkSession
     import spark.implicits._
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
     orders.selectExpr("user_id", "total_amount").as[(String, Double)]
       .groupByKey(_._1)
       .transformWithState(new RunningTotalProcessor, TimeMode.None(), OutputMode.Update())

@@ -132,6 +132,18 @@ class KernelParitySpec extends SparkSpec {
     assert(SimHash.fingerprints(docs, "doc_id", "text").select("doc_id").as[Long].collect().toSeq === Seq(2L))
   }
 
+  test("sig_match_count fails loudly on mismatched signature lengths") {
+    import spark.implicits._
+    val df = Seq((Seq(1L, 2L, 3L), Seq(1L, 2L))).toDF("a", "b")
+    val thrown = intercept[Throwable] {
+      df.select(graft.functions.expressions.sig_match_count(col("a"), col("b"))).collect()
+    }
+    // unwrap SparkException layers to the kernel's own error
+    val messages = Iterator.iterate(thrown)(_.getCause).takeWhile(_ != null)
+      .map(_.getMessage).mkString(" | ")
+    assert(messages.contains("signature lengths differ"), s"got: $messages")
+  }
+
   test("QuantizedCosine kernel == HOF quantize∘cosine") {
     val e = Tables.embeddings(spark, sfDir).limit(200)
     val a = e.select(col("vec_id").as("id_a"), col("embedding").as("v_a"))

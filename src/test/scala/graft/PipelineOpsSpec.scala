@@ -108,4 +108,34 @@ class PipelineOpsSpec extends SparkSpec {
     val dropped = Sampling.stratifiedSample(df, col("s"), col("k"), Map("A" -> 0.5))
     assert(dropped.filter(col("s") === "B").count() === 0)
   }
+
+  test("train/test split routes null keys to train (train ∪ test = df)") {
+    import spark.implicits._
+    val df = spark.range(100).select(
+      when(col("id") % 10 === 0, lit(null)).otherwise(col("id")).cast("long").as("k"),
+      col("id").as("v"))
+    val (train, test) = Sampling.trainTestSplit(df, col("k"), testFraction = 0.2)
+    assert(train.count() + test.count() === 100, "no row may vanish from both splits")
+    assert(test.filter(col("k").isNull).count() === 0, "null keys never land in test")
+    // splitColumn agrees with trainTestSplit on the null-key side
+    val labels = df.filter(col("k").isNull)
+      .select(Sampling.splitColumn(col("k"), 0.2)).as[String].collect()
+    assert(labels.forall(_ == "train"))
+  }
+
+  test("keyHash is overflow-free across the full long range") {
+    import spark.implicits._
+    val extremes = Seq(Long.MaxValue, 3500000000L, 2147483647L, 0L, -17L, Long.MinValue + 1)
+    val hs = extremes.toDF("k")
+      .select(Sampling.keyHash(col("k")).as("h")).as[Long].collect()
+    assert(hs.forall(h => h >= 0L && h < 4294967296L), s"hash out of [0,2^32): ${hs.toSeq}")
+    // for keys < 2^31 the mask is the identity: hashes match the historic
+    // unmasked formula, so existing samples/splits/oracles are unchanged
+    val df = spark.range(100000).toDF("k")
+    val changed = df.select(
+      Sampling.keyHash(col("k")).as("masked"),
+      pmod(col("k") * lit(2654435761L), lit(4294967296L)).as("unmasked"))
+      .filter(col("masked") =!= col("unmasked")).count()
+    assert(changed === 0)
+  }
 }

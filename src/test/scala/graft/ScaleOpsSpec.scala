@@ -42,6 +42,14 @@ class ScaleOpsSpec extends SparkSpec {
     assert(recall >= 0.5, s"recall@10 = $recall")
   }
 
+  test("IVF build on empty input fails with a clear error, not an index crash") {
+    val empty = Tables.embeddings(spark, sfDir).filter(col("vec_id") < 0)
+    val e = intercept[IllegalArgumentException] {
+      Ivf.build(empty, "vec_id", "embedding", k = 8)
+    }
+    assert(e.getMessage.contains("empty"), e.getMessage)
+  }
+
   test("IVF build assignment is a narrow projection: no join, no shuffle") {
     val emb = Tables.embeddings(spark, sfDir)
     val (assignments, _) = Ivf.build(emb, "vec_id", "embedding", k = 8)

@@ -65,14 +65,16 @@ class StatefulStreamingSpec extends SparkSpec {
 
   test("transformWithState keeps per-key running totals across batches") {
     import spark.implicits._
-    // transformWithState requires the RocksDB state store provider;
-    // graft pins the reference's HDFS-backed provider globally, so
-    // override for this query and restore after.
+    // graft pins the reference's HDFS-backed provider globally;
+    // runningTotals itself must re-pin RocksDB (transformWithState
+    // supports only RocksDB) — start the query with NO manual override
+    // so this test fails if the operator stops doing that.
     val prev = spark.conf.get("spark.sql.streaming.stateStore.providerClass")
-    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
-      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
     val input = MemoryStream[Evt](spark)
-    val q = Stateful.runningTotals(input.toDF())
+    val totals = Stateful.runningTotals(input.toDF())
+    assert(spark.conf.get("spark.sql.streaming.stateStore.providerClass")
+      .contains("RocksDBStateStoreProvider"))
+    val q = totals
       .writeStream.format("memory").queryName("running_out").outputMode("update").start()
     try {
       input.addData(
