@@ -19,7 +19,8 @@ object SparkEntry {
     AdvancedQueries,
     SourceQueries,
     StatsQueries,
-    PipelineQueries)
+    PipelineQueries,
+    CorpusQueries)
 
   private lazy val all: Seq[QueryDef] = groups.flatMap(_.defs)
 

@@ -64,6 +64,58 @@ object Dedup {
       .filter(col("jaccard") >= minJaccard)
   }
 
+  /** Connected components over an undirected pair graph — the step that
+    * turns near-duplicate PAIRS (minhash/simhash/jaccard candidates)
+    * into duplicate CLUSTERS with one canonical survivor per cluster.
+    * Returns (vertex, component) where component = the minimum vertex id
+    * reachable from the vertex; `vertex == component` marks the
+    * deterministic survivor. Vertices appearing in no pair are trivially
+    * their own singleton cluster and are NOT emitted — callers union
+    * them back (left_anti on the pair ids) when materializing a corpus.
+    *
+    * Algorithm: min-label propagation to a fixpoint — every iteration
+    * each vertex takes the min of its own label and its neighbors'
+    * labels. Iterations = graph diameter; dedup graphs are
+    * near-clique-shaped (diameter a few hops), so this converges in a
+    * handful of rounds even at corpus scale. Each round is ONE shuffle
+    * keyed by vertex (the edge list is re-used, cached); labels are
+    * localCheckpoint'ed every round to truncate lineage, and the
+    * convergence probe rides the same materialization. Labels only ever
+    * decrease, so the fixpoint is order- and partitioning-independent —
+    * bit-deterministic on any cluster size.
+    */
+  def connectedComponents(pairs: DataFrame, aCol: String, bCol: String,
+                          maxIterations: Int = 30): DataFrame = {
+    val edges = pairs.select(col(aCol).as("src"), col(bCol).as("dst"))
+      .union(pairs.select(col(bCol).as("src"), col(aCol).as("dst")))
+      .distinct()
+      .localCheckpoint(true)
+    var labels = edges.select(col("src").as("v")).distinct()
+      .withColumn("component", col("v"))
+      .localCheckpoint(true)
+    var converged = false
+    var i = 0
+    while (!converged && i < maxIterations) {
+      // neighbor messages: label(src) offered to dst, then keep the min
+      // of (own label, best offer) per vertex — one keyed shuffle
+      val msgs = edges.join(labels.withColumnRenamed("v", "src"), "src")
+        .select(col("dst").as("v"), col("component"))
+      val next = labels.union(msgs)
+        .groupBy("v").agg(min(col("component")).as("component"))
+        .localCheckpoint(true)
+      converged = next.join(labels.withColumnRenamed("component", "prev"), "v")
+        .filter(col("component") =!= col("prev"))
+        .isEmpty
+      labels = next
+      i += 1
+    }
+    if (!converged)
+      throw new IllegalStateException(
+        s"connectedComponents did not converge in $maxIterations iterations " +
+          "(graph diameter exceeds the bound — raise maxIterations)")
+    labels
+  }
+
   /** Reference HOF implementation of ngramJaccardPairs (interpreted
     * array_intersect over materialized gram arrays) — the executable spec
     * the NGramJaccard kernel is tested against. */

@@ -75,4 +75,31 @@ class DedupSpec extends SparkSpec {
       .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
     assert(roomy === Set((0L, 1L), (0L, 3L), (1L, 3L))) // cap ≥ block size: unchanged
   }
+
+  test("connected components: transitive chains merge, disjoint clusters don't") {
+    import spark.implicits._
+    // chain 1-2, 2-3 merges transitively (1-3 never paired directly);
+    // 10-11 is a separate cluster
+    val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("doc_a", "doc_b")
+    val comps = Dedup.connectedComponents(pairs, "doc_a", "doc_b")
+      .as[(Long, Long)].collect().toMap
+    assert(comps === Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 10L -> 10L, 11L -> 10L))
+    // survivor (vertex == component) is the min id of each cluster
+    assert(comps.count { case (v, c) => v == c } === 2)
+  }
+
+  test("connected components converge on a long path and respect the iteration bound") {
+    import spark.implicits._
+    // path 0-1-...-19: diameter 19, min label must walk the whole chain
+    val path = (0L until 19L).map(i => (i, i + 1)).toDF("doc_a", "doc_b")
+    val comps = Dedup.connectedComponents(path, "doc_a", "doc_b")
+      .as[(Long, Long)].collect().toMap
+    assert(comps.size === 20 && comps.values.forall(_ == 0L))
+    // a bound below the diameter fails loudly instead of returning
+    // half-merged clusters
+    val e = intercept[IllegalStateException] {
+      Dedup.connectedComponents(path, "doc_a", "doc_b", maxIterations = 3)
+    }
+    assert(e.getMessage.contains("converge"))
+  }
 }
