@@ -294,6 +294,49 @@ object GraftHash {
     m
   }
 
+  /** Bit positions of a bloom-filter key via double hashing
+    * (Kirsch–Mitzenmauer): idx_i = (h1 + i·h2) mod m, with h1/h2 the two
+    * multiplicative hash streams used across graft (masked to 2^31 first,
+    * so the multiplies never exceed 64 bits — the same overflow-free
+    * contract as operators.Sampling.keyHash). m = 64·words, taken from
+    * the bitset length, so build and probe agree by construction. */
+  @inline private def bloomH1(key: Long): Long = {
+    val k = ((key % 2147483648L) + 2147483648L) % 2147483648L
+    (k * 2654435761L) % 4294967296L
+  }
+  @inline private def bloomH2(key: Long): Long = {
+    val k = ((key % 2147483648L) + 2147483648L) % 2147483648L
+    ((k * 1779033703L) % 4294967296L) | 1L // odd: cycles through all m positions
+  }
+
+  /** Set the key's bloom bits in a word array (build side). */
+  def bloomSet(words: Array[Long], key: Long, numHashes: Int): Unit = {
+    val m = words.length.toLong * 64L
+    val h1 = bloomH1(key)
+    val h2 = bloomH2(key)
+    var i = 0
+    while (i < numHashes) {
+      val pos = (h1 + i * h2) % m
+      words((pos >> 6).toInt) |= 1L << (pos & 63L)
+      i += 1
+    }
+  }
+
+  /** Probe: true iff every bloom bit of the key is set — no false
+    * negatives ever; false positives at the filter's design rate. */
+  def bloomContains(bits: ArrayData, key: Long, numHashes: Int): Boolean = {
+    val m = bits.numElements().toLong * 64L
+    val h1 = bloomH1(key)
+    val h2 = bloomH2(key)
+    var i = 0
+    while (i < numHashes) {
+      val pos = (h1 + i * h2) % m
+      if ((bits.getLong((pos >> 6).toInt) & (1L << (pos & 63L))) == 0L) return false
+      i += 1
+    }
+    true
+  }
+
   /** Sign-random-projection LSH bucket (Charikar 2002) of a float
     * vector: quantize, project onto `planes` deterministic integer
     * hyperplanes (component(p,i) = (p·2654435761 + i·40503) mod 2001 −

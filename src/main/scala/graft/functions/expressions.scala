@@ -122,6 +122,23 @@ object expressions {
       copy(left = l, right = r)
   }
 
+  /** Bloom membership probe: true iff every double-hashed bit of `right`
+    * (a long key) is set in `left` (the filter's array<long> bitset,
+    * usually a broadcast/literal built by BloomBits). Codegen'd, so the
+    * probe rides scan-time whole-stage codegen as a narrow filter. */
+  case class BloomContains(left: Expression, right: Expression, numHashes: Int)
+      extends BinaryExpression {
+    override def dataType: DataType = BooleanType
+    override protected def nullSafeEval(bits: Any, key: Any): Any =
+      GraftHash.bloomContains(
+        bits.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData],
+        key.asInstanceOf[Long], numHashes)
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      defineCodeGen(ctx, ev, (bits, key) => s"$G.bloomContains($bits, $key, $numHashes)")
+    override protected def withNewChildrenInternal(l: Expression, r: Expression): BloomContains =
+      copy(left = l, right = r)
+  }
+
   /** Sign-LSH bucket id of an array<float> column. */
   case class SignLshBucket(child: Expression, planes: Int) extends UnaryExpression {
     override def dataType: DataType = LongType
@@ -254,4 +271,7 @@ object expressions {
     Bridge.column(DistinctTokenCount(Bridge.expression(c)))
   def stopword_hits(c: Column, words: Seq[String]): Column =
     Bridge.column(StopwordHits(Bridge.expression(c), words))
+  def bloom_contains(bits: Column, key: Column, numHashes: Int): Column =
+    Bridge.column(BloomContains(
+      Bridge.expression(bits), Bridge.expression(key.cast("long")), numHashes))
 }

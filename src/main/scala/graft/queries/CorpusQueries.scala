@@ -4,6 +4,8 @@ import org.apache.spark.sql.functions._
 
 import graft.Tables
 import graft.dedup.{Dedup, MinHashLSH}
+import graft.functions.Deterministic.cents
+import graft.operators.BloomJoin
 
 /** Corpus-level curation operators (round 3): the cluster/select/compact
   * steps that sit between pair generation and corpus materialization in
@@ -82,5 +84,31 @@ object CorpusQueries extends QueryGroup {
       FROM comp ORDER BY doc_id
     """))
 
-  def defs: Seq[QueryDef] = Seq(q56)
+  /** Bloom-pre-filtered semi join (graft.operators.BloomJoin): lineitems
+    * of high-value orders, where the order key set rides a bloom bitset
+    * to the fact scan as a narrow codegen'd pre-filter and the exact
+    * semi join runs on the survivors only. The bloom has no false
+    * negatives and the verify join removes false positives, so the
+    * result — and the oracle — is the plain IN-subquery semi join. */
+  private val q57 = QueryDef(
+    "q57_bloom_semi_join",
+    (spark, dir) => {
+      val highValue = Tables.orders(spark, dir)
+        .filter(col("o_totalprice") > 350000).select(col("o_orderkey"))
+      BloomJoin.preFilteredSemiJoin(
+        Tables.lineitem(spark, dir), "l_orderkey", highValue, "o_orderkey")
+        .groupBy(col("l_returnflag"))
+        .agg(count(lit(1)).as("n_items"),
+          sum(cents(col("l_extendedprice"))).as("revenue_cents"))
+        .orderBy("l_returnflag")
+    },
+    Some("""
+      SELECT l_returnflag, CAST(count(*) AS BIGINT) AS n_items,
+        CAST(sum(CAST(floor(l_extendedprice*100 + 0.5) AS BIGINT)) AS BIGINT) AS revenue_cents
+      FROM lineitem
+      WHERE l_orderkey IN (SELECT o_orderkey FROM orders WHERE o_totalprice > 350000)
+      GROUP BY l_returnflag ORDER BY l_returnflag
+    """))
+
+  def defs: Seq[QueryDef] = Seq(q56, q57)
 }

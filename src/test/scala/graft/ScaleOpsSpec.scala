@@ -58,6 +58,35 @@ class ScaleOpsSpec extends SparkSpec {
     assert(!plan.contains("Join"), s"assignment plan should not join:\n$plan")
   }
 
+  test("bloom semi join == plain semi join; probe is a scan-side pre-filter") {
+    import spark.implicits._
+    import graft.operators.BloomJoin
+    val fact = spark.range(20000).select((col("id") % 5000).as("k"), col("id").as("v"))
+    val dim = spark.range(400).select((col("id") * 13).as("dk")) // 400 keys, some ≥5000 absent
+    val bloomed = BloomJoin.preFilteredSemiJoin(fact, "k", dim, "dk")
+    val plain = fact.join(dim.withColumnRenamed("dk", "k"), Seq("k"), "left_semi")
+    assert(bloomed.as[(Long, Long)].collect().toSet === plain.as[(Long, Long)].collect().toSet)
+    // the bloom probe must appear in the plan as a filter (pre-join, narrow)
+    val plan = bloomed.queryExecution.executedPlan.toString.toLowerCase
+    assert(plan.contains("bloomcontains"), s"bloom pre-filter missing from plan:\n$plan")
+  }
+
+  test("bloom bitset: zero false negatives, false-positive rate near design fpp") {
+    import spark.implicits._
+    import graft.functions.expressions.bloom_contains
+    import graft.operators.BloomJoin
+    val members = spark.range(1000).select((col("id") * 7).as("k"))
+    val (m, h) = BloomJoin.optimalBits(1000, 0.01)
+    val bits = BloomJoin.buildBits(members, "k", m, h)
+    val probe = bloom_contains(typedLit(bits.toSeq), col("k"), h)
+    assert(members.filter(!probe).count() === 0, "bloom produced a false negative")
+    // non-members: 7000..70000 not divisible by 7 — pass rate ≈ fpp
+    val nonMembers = spark.range(7001, 70000).filter(col("id") % 7 =!= 0)
+      .select(col("id").as("k"))
+    val fpRate = nonMembers.filter(probe).count().toDouble / nonMembers.count()
+    assert(fpRate < 0.05, s"false-positive rate $fpRate far above the 1% design point")
+  }
+
   test("salted join result == plain join result on a hot key") {
     import spark.implicits._
     val hotKey = when(pmod(col("user_id"), lit(10L)) < 9, lit(0L)).otherwise(col("user_id"))
