@@ -64,6 +64,40 @@ object Dedup {
       .filter(col("jaccard") >= minJaccard)
   }
 
+  /** Directional n-gram containment over the same prefix-blocked
+    * candidate pairs as ngramJaccardPairs: for each pair, the fraction
+    * of A's grams found in B and vice versa. Containment ≈ 1 in ONE
+    * direction flags quotes/excerpts/supersets that symmetric Jaccard
+    * misses when lengths differ. Same blocking, cap, and kernel
+    * economics as ngramJaccardPairs. */
+  def containmentPairs(docs: DataFrame, idCol: String, textCol: String,
+                       n: Int = 3, prefixLen: Int = 24,
+                       minContainment: Double = 0.0,
+                       maxBlockSize: Option[Int] = None): DataFrame = {
+    val prepared = docs.select(
+      col(idCol).as("doc"),
+      substring(col(textCol), 1, prefixLen).as("block"),
+      col(textCol).as("t"))
+    val capped = maxBlockSize match {
+      case Some(cap) =>
+        val hot = prepared.groupBy("block").count().filter(col("count") > cap)
+          .select(col("block"))
+        prepared.join(hot, Seq("block"), "left_anti")
+      case None => prepared
+    }
+    val a = capped.select(col("block"), col("doc").as("doc_a"), col("t").as("t_a"))
+    val b = capped.select(col("block"), col("doc").as("doc_b"), col("t").as("t_b"))
+    a.join(b, Seq("block"))
+      .filter(col("doc_a") < col("doc_b"))
+      .select(col("doc_a"), col("doc_b"),
+        graft.functions.expressions.ngram_containment(col("t_a"), col("t_b"), n)
+          .as("containment_a_in_b"),
+        graft.functions.expressions.ngram_containment(col("t_b"), col("t_a"), n)
+          .as("containment_b_in_a"))
+      .filter(col("containment_a_in_b") >= minContainment ||
+        col("containment_b_in_a") >= minContainment)
+  }
+
   /** Connected components over an undirected pair graph — the step that
     * turns near-duplicate PAIRS (minhash/simhash/jaccard candidates)
     * into duplicate CLUSTERS with one canonical survivor per cluster.

@@ -236,6 +236,35 @@ object GraftHash {
     else java.lang.Double.valueOf(inter.toDouble / (la + lb - inter))
   }
 
+  /** Asymmetric n-gram containment: |grams(a) ∩ grams(b)| / |grams(a)| —
+    * ≈1 when a is QUOTED/EXCERPTED inside b even if b is much longer
+    * (where symmetric Jaccard would stay low). Same byte-packed gram
+    * sets as ngramJaccard; null when `a` has no grams (x/0 → NULL,
+    * DuckDB semantics). */
+  def ngramContainment(a: UTF8String, b: UTF8String, n: Int): java.lang.Double = {
+    require(n <= 8, "n-gram pack supports n <= 8 bytes")
+    def gramSet(s: UTF8String): java.util.HashSet[java.lang.Long] = {
+      val set = new java.util.HashSet[java.lang.Long]()
+      val len = s.numBytes
+      var i = 0
+      while (i + n <= len) {
+        var g = 0L
+        var j = 0
+        while (j < n) { g = (g << 8) | (s.getByte(i + j) & 0xffL); j += 1 }
+        set.add(g)
+        i += 1
+      }
+      set
+    }
+    val sa = gramSet(a)
+    if (sa.isEmpty) return null
+    val sb = gramSet(b)
+    var inter = 0
+    val it = sa.iterator()
+    while (it.hasNext) if (sb.contains(it.next())) inter += 1
+    java.lang.Double.valueOf(inter.toDouble / sa.size)
+  }
+
   /** Quantized cosine of two float vectors: q = floor(x·512 + 0.5) per
     * element (exact: 512 is a power of two), integer dot/norms, one
     * double division — bit-identical to VectorOps.cosineQ∘quantize. */

@@ -122,6 +122,24 @@ object expressions {
       copy(left = l, right = r)
   }
 
+  /** Asymmetric n-gram containment |grams(a)∩grams(b)| / |grams(a)| —
+    * the quote/excerpt detector (ngram_jaccard's directional sibling). */
+  case class NGramContainment(left: Expression, right: Expression, n: Int)
+      extends BinaryExpression {
+    override def dataType: DataType = DoubleType
+    override def nullable: Boolean = true
+    override protected def nullSafeEval(a: Any, b: Any): Any =
+      GraftHash.ngramContainment(a.asInstanceOf[org.apache.spark.unsafe.types.UTF8String],
+        b.asInstanceOf[org.apache.spark.unsafe.types.UTF8String], n)
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, (a, b) => s"""
+        java.lang.Double r = $G.ngramContainment($a, $b, $n);
+        if (r == null) { ${ev.isNull} = true; } else { ${ev.value} = r.doubleValue(); }
+        """)
+    override protected def withNewChildrenInternal(l: Expression, r: Expression): NGramContainment =
+      copy(left = l, right = r)
+  }
+
   /** Bloom membership probe: true iff every double-hashed bit of `right`
     * (a long key) is set in `left` (the filter's array<long> bitset,
     * usually a broadcast/literal built by BloomBits). Codegen'd, so the
@@ -271,6 +289,8 @@ object expressions {
     Bridge.column(DistinctTokenCount(Bridge.expression(c)))
   def stopword_hits(c: Column, words: Seq[String]): Column =
     Bridge.column(StopwordHits(Bridge.expression(c), words))
+  def ngram_containment(a: Column, b: Column, n: Int): Column =
+    Bridge.column(NGramContainment(Bridge.expression(a), Bridge.expression(b), n))
   def bloom_contains(bits: Column, key: Column, numHashes: Int): Column =
     Bridge.column(BloomContains(
       Bridge.expression(bits), Bridge.expression(key.cast("long")), numHashes))

@@ -132,6 +132,30 @@ class KernelParitySpec extends SparkSpec {
     assert(SimHash.fingerprints(docs, "doc_id", "text").select("doc_id").as[Long].collect().toSeq === Seq(2L))
   }
 
+  test("NGramContainment kernel == HOF intersect/|A| form; directionality") {
+    import spark.implicits._
+    import graft.functions.expressions.ngram_containment
+    import graft.text.TextFunctions.ngramSet
+    // excerpt ⊂ host: full containment one way, partial the other
+    val df = Seq(("the quick brown fox", "we saw the quick brown fox jump today"))
+      .toDF("a", "b")
+    val row = df.select(
+      ngram_containment(col("a"), col("b"), 3).as("ab"),
+      ngram_containment(col("b"), col("a"), 3).as("ba")).collect().head
+    assert(row.getDouble(0) === 1.0)
+    assert(row.getDouble(1) < 1.0 && row.getDouble(1) > 0.0)
+    // bit-parity with the HOF spec on real documents
+    val docs = Tables.documents(spark, sfDir).limit(80)
+    val a = docs.select(col("doc_id").as("id_a"), col("text").as("t_a"))
+    val b = docs.select(col("doc_id").as("id_b"), col("text").as("t_b"))
+    val pairs = a.crossJoin(b).filter(col("id_a") < col("id_b")).limit(2000)
+    val hof = size(array_intersect(ngramSet(col("t_a"), 3), ngramSet(col("t_b"), 3)))
+      .cast("double") / size(ngramSet(col("t_a"), 3))
+    val diff = pairs.select(hof.as("hof"), ngram_containment(col("t_a"), col("t_b"), 3).as("fast"))
+      .filter(col("hof") =!= col("fast")).count()
+    assert(diff === 0)
+  }
+
   test("sig_match_count fails loudly on mismatched signature lengths") {
     import spark.implicits._
     val df = Seq((Seq(1L, 2L, 3L), Seq(1L, 2L))).toDF("a", "b")
