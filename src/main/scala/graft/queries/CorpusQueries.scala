@@ -5,8 +5,11 @@ import org.apache.spark.sql.functions._
 import graft.Tables
 import graft.dedup.{Dedup, MinHashLSH}
 import graft.functions.Deterministic.{cents, epochS}
+import graft.functions.HeavyHitters.heavy_hitters
 import graft.functions.TopKAggregate.topk_pairs
+import graft.functions.expressions.tokens_native
 import graft.operators.{BloomJoin, Sampling}
+import graft.text.TextAnalysis.qualityFeatures
 
 /** Corpus-level curation operators (round 3): the cluster/select/compact
   * steps that sit between pair generation and corpus materialization in
@@ -255,5 +258,114 @@ object CorpusQueries extends QueryGroup {
       ORDER BY user_id
     """))
 
-  def defs: Seq[QueryDef] = Seq(q56, q57, q58, q59, q60, q61)
+  /** Heavy hitters via the Space-Saving aggregate
+    * (graft.functions.HeavyHitters): one pass, bounded buffer, no full
+    * groupBy of the key space. Run in the EXACT regime (capacity far
+    * above the distinct supplier count at any plausible SF), where the
+    * sketch provably equals the plain group-count top-k the oracle
+    * computes; the approximation regime is spec-tested instead (its
+    * result depends on merge order). */
+  private val q62 = QueryDef(
+    "q62_heavy_hitters",
+    (spark, dir) => {
+      Tables.lineitem(spark, dir)
+        .agg(heavy_hitters(col("l_suppkey"), k = 20, capacity = 262144).as("hh"))
+        .select(explode(col("hh")).as("h"))
+        .select(col("h.item").as("l_suppkey"), col("h.cnt").as("cnt"), col("h.err").as("err"))
+        .orderBy(col("cnt").desc, col("l_suppkey"))
+    },
+    Some("""
+      SELECT l_suppkey, CAST(count(*) AS BIGINT) AS cnt, CAST(0 AS BIGINT) AS err
+      FROM lineitem GROUP BY l_suppkey
+      ORDER BY cnt DESC, l_suppkey LIMIT 20
+    """))
+
+  /** Inverted index over the top-df tokens: document frequency + sorted
+    * posting lists. Scale shape: df is a cheap (token → count) hash agg;
+    * the top-50 selection is TakeOrdered; posting lists are collected
+    * ONLY for the selected tokens (broadcast semi-join) — never an
+    * unbounded collect_list over the whole vocabulary. */
+  private val q63 = QueryDef(
+    "q63_inverted_index",
+    (spark, dir) => {
+      val tok = Tables.documents(spark, dir)
+        .select(col("doc_id"), explode(tokens_native(col("text"))).as("token"))
+        .distinct()
+      val dfreq = tok.groupBy(col("token")).agg(count(lit(1)).as("df"))
+      val top = dfreq.orderBy(col("df").desc, col("token")).limit(50)
+      tok.join(broadcast(top), Seq("token"))
+        .groupBy(col("token"), col("df"))
+        .agg(array_join(sort_array(collect_list(col("doc_id"))), ",").as("postings"))
+        .select(col("token"), col("df"), col("postings"))
+        .orderBy(col("df").desc, col("token"))
+    },
+    Some(s"""
+      WITH tok AS (
+        SELECT DISTINCT doc_id, unnest($duckTokens) AS token FROM documents),
+      dfreq AS (
+        SELECT token, CAST(count(*) AS BIGINT) AS df FROM tok GROUP BY token),
+      top AS (
+        SELECT token, df FROM dfreq ORDER BY df DESC, token LIMIT 50)
+      SELECT t.token, t.df,
+        array_to_string(list(tok.doc_id ORDER BY tok.doc_id), ',') AS postings
+      FROM top t JOIN tok USING (token)
+      GROUP BY t.token, t.df
+      ORDER BY df DESC, token
+    """))
+
+  /** Global-percentile threshold filter: keep the top quartile of docs
+    * by quality score. The percentile is computed exactly over the
+    * QUANTIZED score (floor(score·1000 + 0.5) — a ≤1001-bin histogram,
+    * so the cumulative window runs over bins, never over documents: the
+    * same scale-safe rank-selection shape as q36). The whole thing is
+    * one declarative DAG — histogram, cumulative, threshold, filter —
+    * with the threshold broadcast back, no driver collect. */
+  private val q64 = QueryDef(
+    "q64_quality_threshold",
+    (spark, dir) => {
+      val binned = Tables.documents(spark, dir)
+        .select(col("doc_id"),
+          floor(qualityFeatures(col("text")).getField("quality_score") * 1000 + 0.5)
+            .cast("long").as("qs"))
+      val hist = binned.groupBy(col("qs")).agg(count(lit(1)).as("c"))
+      val cum = hist.select(col("qs"),
+        sum(col("c")).over(org.apache.spark.sql.expressions.Window
+          .orderBy(col("qs")).rowsBetween(Long.MinValue, 0)).as("cum"))
+      val tot = binned.agg(count(lit(1)).as("n"))
+      val thr = cum.crossJoin(broadcast(tot))
+        .filter(col("cum") >= ceil(lit(0.75) * col("n")))
+        .agg(min(col("qs")).as("t"))
+      binned.crossJoin(broadcast(thr))
+        .filter(col("qs") >= col("t"))
+        .select(col("doc_id"), col("qs"))
+        .orderBy("doc_id")
+    },
+    Some {
+      val allStops = graft.text.TextAnalysis.Stopwords
+        .flatMap(_._2).map("'" + _ + "'").mkString(",")
+      s"""
+      WITH f AS (
+        SELECT doc_id,
+          CAST(len($duckTokens) AS BIGINT) AS n_tokens,
+          CAST(len(list_distinct($duckTokens)) AS BIGINT) AS n_distinct_tokens,
+          CAST(list_sum(list_transform($duckTokens, t -> CAST(len(t) AS BIGINT))) AS BIGINT) AS chars_in_toks,
+          CAST(len(list_filter($duckTokens, t -> t IN ($allStops))) AS BIGINT) AS stop_hits
+        FROM documents),
+      b AS (
+        SELECT doc_id, CAST(floor(
+          ((CASE WHEN CAST(chars_in_toks AS DOUBLE)/n_tokens >= 3
+                  AND CAST(chars_in_toks AS DOUBLE)/n_tokens <= 10 THEN 1.0 ELSE 0.0 END
+            + least(CAST(stop_hits AS DOUBLE)/n_tokens * 5.0, 1.0)
+            + least(CAST(n_distinct_tokens AS DOUBLE)/n_tokens * 2.0, 1.0)) / 3.0) * 1000 + 0.5)
+          AS BIGINT) AS qs
+        FROM f),
+      h AS (SELECT qs, count(*) AS c FROM b GROUP BY qs),
+      cum AS (SELECT qs, sum(c) OVER (ORDER BY qs) AS cum FROM h),
+      tot AS (SELECT count(*) AS n FROM b),
+      thr AS (SELECT min(qs) AS t FROM cum CROSS JOIN tot WHERE cum >= ceil(0.75*n))
+      SELECT doc_id, qs FROM b CROSS JOIN thr WHERE qs >= t ORDER BY doc_id
+      """
+    })
+
+  def defs: Seq[QueryDef] = Seq(q56, q57, q58, q59, q60, q61, q62, q63, q64)
 }

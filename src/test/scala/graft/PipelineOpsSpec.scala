@@ -109,6 +109,36 @@ class PipelineOpsSpec extends SparkSpec {
     assert(dropped.filter(col("s") === "B").count() === 0)
   }
 
+  test("space-saving heavy hitters: hot items survive a tiny capacity, within error bounds") {
+    import spark.implicits._
+    import graft.functions.HeavyHitters.heavy_hitters
+    val n = 20000
+    // skew: item 1 = 50%, item 2 = 25%, 500-key uniform tail
+    val df = spark.range(n).select(
+      when(col("id") % 2 === 0, 1L)
+        .when(col("id") % 4 === 1, 2L)
+        .otherwise(col("id") % 500 + 100).as("item"))
+    val res = df.agg(heavy_hitters(col("item"), k = 4, capacity = 16).as("hh"))
+      .select(explode(col("hh")).as("h"))
+      .select("h.item", "h.cnt", "h.err").as[(Long, Long, Long)].collect()
+    val m = res.map(r => r._1 -> ((r._2, r._3))).toMap
+    // items above n/capacity are guaranteed present
+    assert(m.contains(1L) && m.contains(2L), s"hot items evicted: $res")
+    // space-saving counts overestimate: true ∈ [cnt - err, cnt]
+    for ((item, truth) <- Seq(1L -> n / 2, 2L -> n / 4)) {
+      val (cnt, err) = m(item)
+      assert(cnt >= truth && cnt - err <= truth,
+        s"item $item: reported $cnt (err $err) vs true $truth")
+    }
+    // exact regime: capacity >= distinct ⇒ sketch == plain group counts
+    val exact = df.groupBy("item").count().orderBy(col("count").desc, col("item"))
+      .limit(4).as[(Long, Long)].collect().toSeq
+    val sketch = df.agg(heavy_hitters(col("item"), k = 4, capacity = 1000).as("hh"))
+      .select(explode(col("hh")).as("h"))
+      .select("h.item", "h.cnt").as[(Long, Long)].collect().toSeq
+    assert(sketch === exact)
+  }
+
   test("train/test split routes null keys to train (train ∪ test = df)") {
     import spark.implicits._
     val df = spark.range(100).select(
