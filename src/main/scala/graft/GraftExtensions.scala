@@ -46,7 +46,14 @@ object GraftFunctions {
     "graft_zorder" -> (args => ZOrderKey(
       org.apache.spark.sql.catalyst.expressions.Cast(args(0), org.apache.spark.sql.types.LongType),
       org.apache.spark.sql.catalyst.expressions.Cast(args(1), org.apache.spark.sql.types.LongType))),
-    "graft_lsh_bucket" -> (args => SignLshBucket(args(0), intOf(args(1), "planes"))))
+    "graft_lsh_bucket" -> (args => SignLshBucket(args(0), intOf(args(1), "planes"))),
+    "graft_ngram_containment" -> (args =>
+      NGramContainment(args(0), args(1), intOf(args(2), "n"))),
+    "graft_sig_match_count" -> (args => SigMatchCount(args(0), args(1))),
+    "graft_bloom_contains" -> (args =>
+      BloomContains(args(0),
+        org.apache.spark.sql.catalyst.expressions.Cast(args(1), org.apache.spark.sql.types.LongType),
+        intOf(args(2), "numHashes"))))
 
   /** Register all graft functions on a live session. */
   def register(spark: SparkSession): Unit =

@@ -8,7 +8,7 @@ import graft.functions.Deterministic.{cents, epochS}
 import graft.functions.HeavyHitters.heavy_hitters
 import graft.functions.TopKAggregate.topk_pairs
 import graft.functions.expressions.tokens_native
-import graft.operators.{BloomJoin, Sampling}
+import graft.operators.{BloomJoin, Sampling, SnapshotDiff}
 import graft.text.TextAnalysis.qualityFeatures
 
 /** Corpus-level curation operators (round 3): the cluster/select/compact
@@ -367,5 +367,100 @@ object CorpusQueries extends QueryGroup {
       """
     })
 
-  def defs: Seq[QueryDef] = Seq(q56, q57, q58, q59, q60, q61, q62, q63, q64)
+  /** Keyed snapshot diff (graft.operators.SnapshotDiff): the changelog
+    * between two table versions, derived here deterministically from
+    * orders — v1 misses keys ≡0 (mod 7), v2 misses keys ≡0 (mod 11) and
+    * reprices keys ≡0 (mod 5). Both sides reduce to (key, digest)
+    * before the full-outer join, so the shuffle never carries payload. */
+  private val q65 = QueryDef(
+    "q65_snapshot_diff",
+    (spark, dir) => {
+      val o = Tables.orders(spark, dir)
+      val v1 = o.filter(col("o_orderkey") % 7 =!= 0)
+        .select(col("o_orderkey"), col("o_custkey"),
+          cents(col("o_totalprice")).as("price_cents"), col("o_orderstatus"))
+      val v2 = o.filter(col("o_orderkey") % 11 =!= 0)
+        .select(col("o_orderkey"), col("o_custkey"),
+          cents(when(col("o_orderkey") % 5 === 0, col("o_totalprice") * 1.1d)
+            .otherwise(col("o_totalprice"))).as("price_cents"), col("o_orderstatus"))
+      SnapshotDiff.diff(v1, v2, "o_orderkey")
+        .orderBy("o_orderkey")
+    },
+    Some("""
+      WITH v1 AS (
+        SELECT o_orderkey, o_custkey,
+          CAST(floor(o_totalprice*100 + 0.5) AS BIGINT) AS price_cents, o_orderstatus
+        FROM orders WHERE o_orderkey % 7 <> 0),
+      v2 AS (
+        SELECT o_orderkey, o_custkey,
+          CAST(floor((CASE WHEN o_orderkey % 5 = 0 THEN o_totalprice*1.1 ELSE o_totalprice END)*100
+            + 0.5) AS BIGINT) AS price_cents, o_orderstatus
+        FROM orders WHERE o_orderkey % 11 <> 0),
+      d1 AS (
+        SELECT o_orderkey AS k,
+          md5(concat_ws('|', CAST(o_custkey AS VARCHAR), CAST(price_cents AS VARCHAR),
+            o_orderstatus)) AS h_old
+        FROM v1),
+      d2 AS (
+        SELECT o_orderkey AS k,
+          md5(concat_ws('|', CAST(o_custkey AS VARCHAR), CAST(price_cents AS VARCHAR),
+            o_orderstatus)) AS h_new
+        FROM v2)
+      SELECT coalesce(d1.k, d2.k) AS o_orderkey,
+        CASE WHEN d1.k IS NULL THEN 'added'
+             WHEN d2.k IS NULL THEN 'removed'
+             WHEN d1.h_old <> d2.h_new THEN 'changed' END AS status
+      FROM d1 FULL JOIN d2 ON d1.k = d2.k
+      WHERE d1.k IS NULL OR d2.k IS NULL OR d1.h_old <> d2.h_new
+      ORDER BY o_orderkey
+    """))
+
+  /** Exact per-group Pearson correlation from integer moment sums:
+    * quantities and whole-dollar prices fold to exact longs (all five
+    * sums provably < 2^53, so their double images are exact), then one
+    * arithmetic identity r = (n·Sxy − Sx·Sy)/√((n·Sxx − Sx²)(n·Syy −
+    * Sy²)) evaluated in the SAME IEEE op order both engines — the
+    * moment-sum determinism pattern of q55 extended to a bivariate
+    * statistic. Built-in corr() folds doubles in partition order and
+    * cannot hash-match; this can. */
+  private val q66 = QueryDef(
+    "q66_group_correlation",
+    (spark, dir) => {
+      val x = floor(col("l_quantity") + 0.5).cast("long")
+      val y = floor(col("l_extendedprice") + 0.5).cast("long")
+      val d = (c: org.apache.spark.sql.Column) => c.cast("double")
+      Tables.lineitem(spark, dir)
+        .select(col("l_returnflag"), x.as("x"), y.as("y"))
+        .groupBy(col("l_returnflag"))
+        .agg(count(lit(1)).as("n"), sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+          sum(col("x") * col("y")).as("sxy"), sum(col("x") * col("x")).as("sxx"),
+          sum(col("y") * col("y")).as("syy"))
+        .select(col("l_returnflag"), col("n"),
+          ((d(col("n")) * d(col("sxy")) - d(col("sx")) * d(col("sy"))) /
+            sqrt((d(col("n")) * d(col("sxx")) - d(col("sx")) * d(col("sx"))) *
+              (d(col("n")) * d(col("syy")) - d(col("sy")) * d(col("sy"))))).as("corr"))
+        .orderBy("l_returnflag")
+    },
+    Some("""
+      WITH m AS (
+        SELECT l_returnflag,
+          CAST(count(*) AS BIGINT) AS n,
+          CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+          CAST(sum(x*y) AS BIGINT) AS sxy,
+          CAST(sum(x*x) AS BIGINT) AS sxx, CAST(sum(y*y) AS BIGINT) AS syy
+        FROM (
+          SELECT l_returnflag,
+            CAST(floor(l_quantity + 0.5) AS BIGINT) AS x,
+            CAST(floor(l_extendedprice + 0.5) AS BIGINT) AS y
+          FROM lineitem)
+        GROUP BY l_returnflag)
+      SELECT l_returnflag, n,
+        (CAST(n AS DOUBLE)*CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE)*CAST(sy AS DOUBLE)) /
+          sqrt((CAST(n AS DOUBLE)*CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE)*CAST(sx AS DOUBLE)) *
+               (CAST(n AS DOUBLE)*CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE)*CAST(sy AS DOUBLE)))
+          AS corr
+      FROM m ORDER BY l_returnflag
+    """))
+
+  def defs: Seq[QueryDef] = Seq(q56, q57, q58, q59, q60, q61, q62, q63, q64, q65, q66)
 }

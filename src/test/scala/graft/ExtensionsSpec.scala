@@ -18,13 +18,19 @@ class ExtensionsSpec extends SparkSpec {
              size(graft_minhash(text, 16, 3)) AS mh,
              graft_ngram_jaccard(text, text, 3) AS jac,
              graft_token_count('a b  c ') AS lit_tc,
-             graft_zorder(3, 5) AS z
+             graft_zorder(3, 5) AS z,
+             graft_ngram_containment(substr(text, 1, 20), text, 3) AS cont,
+             graft_sig_match_count(graft_minhash(text, 16, 3), graft_minhash(text, 16, 3)) AS smc,
+             graft_bloom_contains(array(0L, 0L), doc_id, 3) AS bc
       FROM ext_docs ORDER BY doc_id LIMIT 1
     """).head()
     assert(row.getDouble(row.fieldIndex("jac")) === 1.0) // self-similarity
     assert(row.getInt(row.fieldIndex("mh")) === 16)
     assert(row.getInt(row.fieldIndex("lit_tc")) === 3)
     assert(row.getLong(row.fieldIndex("z")) === 39L)
+    assert(row.getDouble(row.fieldIndex("cont")) === 1.0) // prefix ⊂ full text
+    assert(row.getInt(row.fieldIndex("smc")) === 16) // identical signatures
+    assert(!row.getBoolean(row.fieldIndex("bc"))) // empty bitset contains nothing
     // kernel-vs-column-API agreement on the same data
     import org.apache.spark.sql.functions._
     val viaColumns = Tables.documents(spark, "/root/testdata/sf0.001")

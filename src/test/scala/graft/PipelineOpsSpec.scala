@@ -109,6 +109,18 @@ class PipelineOpsSpec extends SparkSpec {
     assert(dropped.filter(col("s") === "B").count() === 0)
   }
 
+  test("snapshot diff classifies added/removed/changed and drops unchanged") {
+    import spark.implicits._
+    import graft.operators.SnapshotDiff
+    val v1 = Seq((1L, "a", 10L), (2L, "b", 20L), (3L, "c", 30L)).toDF("k", "s", "v")
+    val v2 = Seq((2L, "b", 20L), (3L, "c", 99L), (4L, "d", 40L)).toDF("k", "s", "v")
+    val got = SnapshotDiff.diff(v1, v2, "k").as[(Long, String)].collect().toMap
+    assert(got === Map(1L -> "removed", 3L -> "changed", 4L -> "added")) // 2 unchanged
+    // the join shuffles (key, digest) projections, not the payload
+    val plan = SnapshotDiff.diff(v1, v2, "k").queryExecution.optimizedPlan.toString
+    assert(!plan.contains("'s") || plan.contains("md5"), plan)
+  }
+
   test("space-saving heavy hitters: hot items survive a tiny capacity, within error bounds") {
     import spark.implicits._
     import graft.functions.HeavyHitters.heavy_hitters
