@@ -30,10 +30,11 @@ class QueriesSmokeSpec extends SparkSpec {
   }
 
   // queries that deliberately crossJoin a BROADCAST one-row/k-row side
-  // (query vectors, centroid tables, corpus-size literals) — the only
-  // sanctioned nested-loop shape
+  // (query vectors, centroid tables, corpus-size literals, global
+  // thresholds) — the only sanctioned nested-loop shape
   private val broadcastCrossJoins = Set(
-    "q25_knn_bruteforce", "q32_ivf_ann_topk", "q50_lsh_ann_topk")
+    "q25_knn_bruteforce", "q32_ivf_ann_topk", "q50_lsh_ann_topk",
+    "q64_quality_threshold")
 
   test("plan hygiene: no cartesian products, no unsanctioned nested loops") {
     for ((name, fn) <- SparkEntry.queries.toSeq.sortBy(_._1)) {
