@@ -37,10 +37,18 @@ object Bench {
       System.err.println(f"[bench] $name%-32s $dt%8.2f s")
       name -> dt
     }
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
+    // The driver keeps only the last ~2000 chars of output, so the JSON
+    // line must stay small: qNN-prefix keys (full names are on stderr
+    // above) and millisecond precision.
+    def shortName(n: String): String = {
+      val parts = n.split("_")
+      if (parts.length > 1 && parts(1).length <= 4) parts.take(2).mkString("_")
+      else parts.head
+    }
+    val qs = results.map { case (k, v) => f""""${shortName(k)}":$v%.3f""" }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -20,7 +20,8 @@ object SparkEntry {
     SourceQueries,
     StatsQueries,
     PipelineQueries,
-    CorpusQueries)
+    CorpusQueries,
+    CurationQueries)
 
   private lazy val all: Seq[QueryDef] = groups.flatMap(_.defs)
 

@@ -74,6 +74,21 @@ object GraftHash {
     arr
   }
 
+  /** Injective keys of adjacent token-hash pairs: h(i)·2^31 + h(i+1).
+    * Token hashes are < Mod < 2^30, so the packing cannot collide on
+    * distinct hash pairs and the key stays < 2^61. One byte scan, no
+    * token strings materialized — the repetition-stats hot path. */
+  def bigramHashes(s: UTF8String): ArrayData = {
+    val th = tokenHashes(s)
+    if (th.length < 2) new GenericArrayData(Array.emptyLongArray)
+    else {
+      val out = new Array[Long](th.length - 1)
+      var i = 0
+      while (i < out.length) { out(i) = th(i) * 2147483648L + th(i + 1); i += 1 }
+      new GenericArrayData(out)
+    }
+  }
+
   /** Non-empty single-space-delimited tokens of `s` — exactly
     * filter(split(s, ' '), t -> len(t) > 0), one pass, each token copied
     * out (never aliasing a reusable scan buffer). */

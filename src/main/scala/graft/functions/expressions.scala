@@ -225,6 +225,17 @@ object expressions {
     override protected def withNewChildInternal(c: Expression): DistinctTokenCount = copy(child = c)
   }
 
+  /** Adjacent token-hash pair keys (h_i·2^31 + h_i+1) in one byte scan —
+    * the bigram histogram input without materializing bigram strings. */
+  case class BigramHashes(child: Expression) extends UnaryExpression {
+    override def dataType: DataType = ArrayType(LongType, containsNull = false)
+    override protected def nullSafeEval(v: Any): Any =
+      GraftHash.bigramHashes(v.asInstanceOf[org.apache.spark.unsafe.types.UTF8String])
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      defineCodeGen(ctx, ev, c => s"$G.bigramHashes($c)")
+    override protected def withNewChildInternal(c: Expression): BigramHashes = copy(child = c)
+  }
+
   /** size(filter(tokens, isin(lexicon))) fused; the lexicon rides along
     * as a reference object. */
   case class StopwordHits(child: Expression, words: Seq[String]) extends UnaryExpression {
@@ -285,6 +296,7 @@ object expressions {
     Bridge.column(SigMatchCount(Bridge.expression(a), Bridge.expression(b)))
   def tokens_native(c: Column): Column = Bridge.column(Tokens(Bridge.expression(c)))
   def token_count(c: Column): Column = Bridge.column(TokenCount(Bridge.expression(c)))
+  def bigram_hashes(c: Column): Column = Bridge.column(BigramHashes(Bridge.expression(c)))
   def distinct_token_count(c: Column): Column =
     Bridge.column(DistinctTokenCount(Bridge.expression(c)))
   def stopword_hits(c: Column, words: Seq[String]): Column =

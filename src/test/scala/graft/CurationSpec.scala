@@ -1,0 +1,112 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.dedup.Decontaminate
+import graft.operators.{Mixture, Packing}
+import graft.text.{Redaction, TextAnalysis}
+
+/** Semantics of the round-3 curation operators: PII redaction,
+  * decontamination, sequence packing, mixture sampling, repetition
+  * stats.
+  */
+class CurationSpec extends SparkSpec {
+
+  test("redact removes every email and phone it counted") {
+    import spark.implicits._
+    val df = Seq(
+      ("a", "mail me at jo.doe@site.org or call 12-345-678-9012 thanks"),
+      ("b", "two mails x@ab.cd and y.z@e.fg, one phone 99-999-999-9999"),
+      ("c", "nothing sensitive here"),
+      ("d", "dots.and#hash@sub.domain.com trailing text")
+    ).toDF("id", "t")
+    val byId = df.select(
+      col("id"),
+      Redaction.emailCount(col("t")).as("e"),
+      Redaction.phoneCount(col("t")).as("p"),
+      Redaction.redact(col("t")).as("r"))
+      .collect()
+      .map(r => r.getString(0) -> ((r.getInt(1), r.getInt(2), r.getString(3)))).toMap
+    assert(byId("a") === ((1, 1, "mail me at [EMAIL] or call [PHONE] thanks")))
+    assert(byId("b") === ((2, 1, "two mails [EMAIL] and [EMAIL], one phone [PHONE]")))
+    assert(byId("c") === ((0, 0, "nothing sensitive here")))
+    assert(byId("d") === ((1, 0, "[EMAIL] trailing text")))
+    // post-redaction text never matches either pattern again
+    val residual = df.select(Redaction.redact(col("t")).as("r"))
+      .select(Redaction.emailCount(col("r")) + Redaction.phoneCount(col("r")))
+      .as[Int].collect().sum
+    assert(residual === 0)
+  }
+
+  test("decontamination flags exactly the documents sharing an n-gram") {
+    import spark.implicits._
+    val bench = Seq((0L, "alpha beta gamma delta epsilon")).toDF("doc_id", "text")
+    val train = Seq(
+      (1L, "x alpha beta gamma delta epsilon y"), // contains the 5-gram
+      (2L, "alpha beta gamma delta zeta"),        // only 4 shared tokens
+      (3L, "completely different words here now five")
+    ).toDF("doc_id", "text")
+    val hits = Decontaminate.overlap(train, bench, "doc_id", "text", n = 5)
+      .as[(Long, Long)].collect().toMap
+    assert(hits === Map(1L -> 1L))
+  }
+
+  test("packing: bins cut exactly at the budget, offsets carry over") {
+    import spark.implicits._
+    val df = Seq(
+      ("en", 1L, 300L), ("en", 2L, 300L), ("en", 3L, 500L), ("en", 4L, 100L),
+      ("fr", 1L, 512L), ("fr", 2L, 1L)
+    ).toDF("lang", "doc_id", "n_tokens").withColumn("shard", lit(0))
+    val out = Packing.packByRunningSum(df, Seq("lang", "shard"), "doc_id", "n_tokens", 512)
+      .select("lang", "doc_id", "bin", "bin_offset")
+      .as[(String, Long, Long, Long)].collect().toSet
+    assert(out === Set(
+      ("en", 1L, 0L, 0L),    // starts bin 0 offset 0
+      ("en", 2L, 0L, 300L),  // 300 tokens in, straddles into bin 1
+      ("en", 3L, 1L, 88L),   // starts at 600 = bin 1, offset 88
+      ("en", 4L, 2L, 76L),   // starts at 1100 = bin 2, offset 76
+      ("fr", 1L, 0L, 0L),
+      ("fr", 2L, 1L, 0L)))   // previous doc filled bin 0 exactly
+  }
+
+  test("mixture sampling: targets follow sqrt weights, sample is deterministic") {
+    import spark.implicits._
+    // source a: 900 docs, source b: 100 docs → sqrt weights 30:10, so a
+    // 200-doc draw targets 150/50 — temperature flattening in action:
+    // natural proportions would give 180/20.
+    val docs = spark.range(1000).select(
+      col("id").as("doc_id"),
+      when(col("id") < 900, "a").otherwise("b").as("source"))
+    val t = Mixture.sourceTargets(docs, "source", 200L)
+      .select("source", "target_n").as[(String, Long)].collect().toMap
+    assert(t("a") === 150L && t("b") === 50L)
+    val s1 = Mixture.sample(docs, "source", col("doc_id"), 200L)
+      .select("doc_id").as[Long].collect().toSet
+    val s2 = Mixture.sample(docs, "source", col("doc_id"), 200L)
+      .select("doc_id").as[Long].collect().toSet
+    assert(s1 === s2, "sample must be reproducible")
+    // expected counts hit within ±40% per source (hash threshold is
+    // exact-in-expectation, not exact-count)
+    val bySource = docs.filter(col("doc_id").isin(s1.toSeq: _*))
+      .groupBy("source").count().as[(String, Long)].collect().toMap
+    assert(math.abs(bySource("a") - 150L) <= 60, s"a sampled ${bySource("a")}")
+    assert(math.abs(bySource("b") - 50L) <= 20, s"b sampled ${bySource("b")}")
+  }
+
+  test("repetition stats: degenerate repetition scores high, varied text low") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "spam spam spam spam spam spam"),       // one bigram repeated
+      (2L, "the quick brown fox jumps over dogs"), // all distinct
+      (3L, "one")                                  // < 2 tokens → dropped
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.repetitionStats(df, "doc_id", "text")
+      .select("doc_id", "n_tokens", "dup_token_frac", "top_bigram_frac")
+      .as[(Long, Long, Double, Double)].collect().map(r => r._1 -> r).toMap
+    assert(out.keySet === Set(1L, 2L))
+    assert(out(1L)._3 === 5.0 / 6.0)  // 6 tokens, 1 distinct
+    assert(out(1L)._4 === 1.0)        // every bigram is "spam spam"
+    assert(out(2L)._3 === 0.0)
+    assert(out(2L)._4 === 1.0 / 6.0)  // 6 bigrams, all unique
+  }
+}

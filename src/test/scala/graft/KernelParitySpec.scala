@@ -23,6 +23,17 @@ class KernelParitySpec extends SparkSpec {
     assert(mismatches === 0)
   }
 
+  test("BigramHashes kernel == HOF tokenHashes pairing") {
+    val th = TextFunctions.tokenHashes(col("text"))
+    val hofBigrams = transform(sequence(lit(1), size(th) - 1), i =>
+      element_at(th, i) * lit(2147483648L) + element_at(th, i + lit(1)))
+    val mismatches = docs
+      .filter(TextFunctions.tokenCount(col("text")) >= 2)
+      .select(hofBigrams.as("hof"), bigram_hashes(col("text")).as("fast"))
+      .filter(col("hof") =!= col("fast")).count()
+    assert(mismatches === 0)
+  }
+
   test("Fingerprint kernel == HOF dual fold") {
     val mismatches = docs
       .select(TextFunctions.fingerprint(col("text")).as("hof"), text_fingerprint(col("text")).as("fast"))

@@ -9,7 +9,8 @@ class QueriesSmokeSpec extends SparkSpec {
   // pair-mining queries may legitimately be empty at the smallest SF
   private val mayBeEmpty = Set(
     "q14_anti_join_not_exists", "q21_dedup_minhash_lsh",
-    "q23_dedup_ngram_jaccard", "q24_dedup_embedding_cosine")
+    "q23_dedup_ngram_jaccard", "q24_dedup_embedding_cosine",
+    "q68_decontamination")
 
   test("entry (flagship) returns rows") {
     assert(SparkEntry.entry(spark).count() > 0)
@@ -34,7 +35,7 @@ class QueriesSmokeSpec extends SparkSpec {
   // thresholds) — the only sanctioned nested-loop shape
   private val broadcastCrossJoins = Set(
     "q25_knn_bruteforce", "q32_ivf_ann_topk", "q50_lsh_ann_topk",
-    "q64_quality_threshold")
+    "q64_quality_threshold", "q70_mixture_sampling", "q72_time_decay")
 
   test("plan hygiene: no cartesian products, no unsanctioned nested loops") {
     for ((name, fn) <- SparkEntry.queries.toSeq.sortBy(_._1)) {
