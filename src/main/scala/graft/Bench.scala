@@ -24,11 +24,15 @@ object Bench {
     // first-use class loading and janino compile (measured at 1-4 s per
     // cold query vs ~0.3 s warm — pure one-time driver cost that
     // amortizes to zero in any long-lived deployment).
-    SparkEntry.queries.values.foreach { fn =>
+    // optional args: bench only the named queries (dev loop)
+    val selected =
+      if (args.isEmpty) SparkEntry.queries
+      else SparkEntry.queries.view.filterKeys(args.toSet).toMap
+    selected.values.foreach { fn =>
       try fn(spark, "/root/testdata/sf0.001").write.format("noop").mode("overwrite").save()
       catch { case _: Throwable => () }
     }
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    val results = selected.toSeq.sortBy(_._1).map { case (name, fn) =>
       System.gc() // don't charge query N for query N-1's garbage
       val t0 = System.nanoTime()
       try fn(spark, sfDir).write.format("noop").mode("overwrite").save()

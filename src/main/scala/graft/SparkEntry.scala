@@ -21,7 +21,8 @@ object SparkEntry {
     StatsQueries,
     PipelineQueries,
     CorpusQueries,
-    CurationQueries)
+    CurationQueries,
+    GraphQueries)
 
   private lazy val all: Seq[QueryDef] = groups.flatMap(_.defs)
 

@@ -131,16 +131,20 @@ object Dedup {
     var i = 0
     while (!converged && i < maxIterations) {
       // neighbor messages: label(src) offered to dst, then keep the min
-      // of (own label, best offer) per vertex — one keyed shuffle
+      // of (own label, best offer) per vertex — one keyed shuffle. Each
+      // vertex's own (unique) label is tagged so the aggregation emits
+      // the PREVIOUS label alongside the new min: the convergence check
+      // is then a narrow scan of the already-checkpointed result instead
+      // of a second join job per iteration.
       val msgs = edges.join(labels.withColumnRenamed("v", "src"), "src")
-        .select(col("dst").as("v"), col("component"))
-      val next = labels.union(msgs)
-        .groupBy("v").agg(min(col("component")).as("component"))
+        .select(col("dst").as("v"), col("component"), lit(false).as("own"))
+      val next = labels.withColumn("own", lit(true))
+        .union(msgs)
+        .groupBy("v").agg(min(col("component")).as("component"),
+          min(when(col("own"), col("component"))).as("prev"))
         .localCheckpoint(true)
-      converged = next.join(labels.withColumnRenamed("component", "prev"), "v")
-        .filter(col("component") =!= col("prev"))
-        .isEmpty
-      labels = next
+      converged = next.filter(col("component") =!= col("prev")).isEmpty
+      labels = next.select(col("v"), col("component"))
       i += 1
     }
     if (!converged)

@@ -39,12 +39,17 @@ object Mixture {
       .drop("q_total")
   }
 
-  /** The sampled rows: joins the (broadcast) targets back and keeps rows
-    * whose key hash clears the per-source threshold. */
-  def sample(df: DataFrame, sourceCol: String, keyCol: Column, totalTarget: Long): DataFrame = {
-    val targets = sourceTargets(df, sourceCol, totalTarget)
-      .select(col(sourceCol), col("n_docs"), col("target_n"))
-    df.join(broadcast(targets), Seq(sourceCol))
+  /** The sampled rows given a precomputed census: joins the (broadcast)
+    * targets back and keeps rows whose key hash clears the per-source
+    * threshold. Accepting the census avoids re-scanning the corpus when
+    * the caller already has it. */
+  def sampleWithTargets(df: DataFrame, sourceCol: String, keyCol: Column,
+                        targets: DataFrame): DataFrame =
+    df.join(broadcast(targets.select(col(sourceCol), col("n_docs"), col("target_n"))),
+        Seq(sourceCol))
       .filter(Sampling.keyHash(keyCol) * col("n_docs") < col("target_n") * TwoPow32)
-  }
+
+  /** One-shot convenience: census + sample (two corpus scans total). */
+  def sample(df: DataFrame, sourceCol: String, keyCol: Column, totalTarget: Long): DataFrame =
+    sampleWithTargets(df, sourceCol, keyCol, sourceTargets(df, sourceCol, totalTarget))
 }

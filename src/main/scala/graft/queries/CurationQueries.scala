@@ -132,9 +132,10 @@ object CurationQueries extends QueryGroup {
     "q70_mixture_sampling",
     (spark, dir) => {
       val docs = Tables.documents(spark, dir)
-      val sampled = Mixture.sample(docs, "source", col("doc_id"), totalTarget = 200L)
+      val targets = Mixture.sourceTargets(docs, "source", totalTarget = 200L)
+      val sampled = Mixture.sampleWithTargets(docs, "source", col("doc_id"), targets)
         .groupBy(col("source")).agg(count(lit(1)).as("n_sampled"))
-      Mixture.sourceTargets(docs, "source", totalTarget = 200L)
+      targets
         .join(sampled, Seq("source"), "left")
         .select(col("source"), col("n_docs"), col("q_weight"), col("target_n"),
           coalesce(col("n_sampled"), lit(0L)).as("n_sampled"))
@@ -261,5 +262,66 @@ object CurationQueries extends QueryGroup {
       FROM c GROUP BY doc_id, n_tokens, n_distinct ORDER BY doc_id
     """))
 
-  def defs: Seq[QueryDef] = Seq(q67, q68, q69, q70, q71, q72, q73)
+  /** Per-user inter-event gap statistics: lag-window deltas then one
+    * hash aggregation. The window partitions by user — millions of tiny
+    * sorted partitions, never a global sort; exact integer gaps, the
+    * mean being the single final int→double division. */
+  private val q76 = QueryDef(
+    "q76_user_gap_stats",
+    (spark, dir) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("user_id")).orderBy(col("ts_s"), col("event_id"))
+      Tables.events(spark, dir)
+        .select(col("user_id"), col("event_id"), epochS(col("ts")).as("ts_s"))
+        .withColumn("gap", col("ts_s") - lag(col("ts_s"), 1).over(w))
+        .groupBy(col("user_id"))
+        .agg(count(lit(1)).as("n_events"), count(col("gap")).as("n_gaps"),
+          max(col("gap")).as("max_gap_s"), sum(col("gap")).as("sum_gap_s"))
+        .withColumn("avg_gap_s", col("sum_gap_s").cast("double") / col("n_gaps"))
+        .orderBy("user_id")
+    },
+    Some("""
+      WITH e AS (
+        SELECT user_id, event_id, CAST(epoch_ms(ts) // 1000 AS BIGINT) AS ts_s
+        FROM events),
+      g AS (
+        SELECT user_id,
+          ts_s - lag(ts_s) OVER (PARTITION BY user_id ORDER BY ts_s, event_id) AS gap
+        FROM e)
+      SELECT user_id, CAST(count(*) AS BIGINT) AS n_events,
+        CAST(count(gap) AS BIGINT) AS n_gaps,
+        CAST(max(gap) AS BIGINT) AS max_gap_s,
+        CAST(sum(gap) AS BIGINT) AS sum_gap_s,
+        CAST(CAST(sum(gap) AS BIGINT) AS DOUBLE) / count(gap) AS avg_gap_s
+      FROM g GROUP BY user_id ORDER BY user_id
+    """))
+
+  /** Explicit GROUPING SETS with grouping_id — the general form rollup
+    * and cube (q19/q37) specialize: ((flag,status),(flag),()) in ONE
+    * Expand+aggregate pass instead of three unioned scans. */
+  private val q77 = QueryDef(
+    "q77_grouping_sets",
+    (spark, dir) => {
+      Tables.lineitem(spark, dir).createOrReplaceTempView("graft_li_gs")
+      spark.sql("""
+        SELECT l_returnflag, l_linestatus,
+          CAST(grouping_id(l_returnflag, l_linestatus) AS BIGINT) AS gid,
+          CAST(count(*) AS BIGINT) AS n_rows,
+          sum(CAST(floor(l_extendedprice*100 + 0.5) AS BIGINT)) AS revenue_cents
+        FROM graft_li_gs
+        GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())
+        ORDER BY gid, l_returnflag, l_linestatus
+      """)
+    },
+    Some("""
+      SELECT l_returnflag, l_linestatus,
+        CAST(grouping_id(l_returnflag, l_linestatus) AS BIGINT) AS gid,
+        CAST(count(*) AS BIGINT) AS n_rows,
+        CAST(sum(CAST(floor(l_extendedprice*100 + 0.5) AS BIGINT)) AS BIGINT) AS revenue_cents
+      FROM lineitem
+      GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())
+      ORDER BY gid, l_returnflag, l_linestatus
+    """))
+
+  def defs: Seq[QueryDef] = Seq(q67, q68, q69, q70, q71, q72, q73, q76, q77)
 }

@@ -1,0 +1,133 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.operators.PageRank
+import graft.similarity.{Ivf, Knn}
+
+/** Graph-shaped operators (round 3): semantic dedup over learned
+  * clusters, and iterative graph ranking — both expressed as the keyed
+  * join/aggregate dataflows Spark distributes, never driver loops over
+  * collected data.
+  */
+object GraphQueries extends QueryGroup {
+
+  /** The q32-verified IVF build (quantize → seed id%k → one integer
+    * Lloyd step), as DuckDB CTEs ending in `assigned(id, qv, cluster)`. */
+  private val duckIvfAssigned = """
+      base AS (
+        SELECT vec_id AS id, list_transform(embedding, x -> CAST(floor(x*512 + 0.5) AS BIGINT)) AS qv
+        FROM embeddings),
+      dims AS (SELECT unnest(range(1, 65)) AS dim),
+      seeded AS (SELECT id, qv, id % 8 AS cluster FROM base),
+      cent0 AS (
+        SELECT cluster, list(m ORDER BY dim) AS centroid FROM (
+          SELECT cluster, d.dim, CAST(floor(sum(qv[d.dim])/count(*)) AS BIGINT) AS m
+          FROM seeded CROSS JOIN dims d GROUP BY cluster, d.dim)
+        GROUP BY cluster),
+      scored AS (
+        SELECT b.id, b.qv, c.cluster,
+          CAST(list_sum(list_transform(range(1, 65), i -> b.qv[i]*c.centroid[i])) AS DOUBLE)
+            / sqrt(CAST(list_sum(list_transform(b.qv, x -> x*x)) AS DOUBLE)
+                 * CAST(list_sum(list_transform(c.centroid, x -> x*x)) AS DOUBLE)) AS cos
+        FROM base b CROSS JOIN cent0 c),
+      assigned AS (
+        SELECT id, qv, cluster FROM scored
+        QUALIFY row_number() OVER (PARTITION BY id ORDER BY cos DESC, cluster) = 1)"""
+
+  /** SemDedup-style semantic near-duplicate pairs: cluster the embedding
+    * corpus with the IVF build (k-means cells), then mine cosine pairs
+    * only WITHIN cells — the cluster-then-dedup recipe that turns the
+    * all-pairs O(n²) into O(Σ cell²). Against q24's label blocks, the
+    * blocks here are LEARNED, so the operator works when no label
+    * exists — the usual situation in a crawl corpus. */
+  private val q74 = QueryDef(
+    "q74_semantic_dedup",
+    (spark, dir) => {
+      val (assignments, _) =
+        Ivf.build(Tables.embeddings(spark, dir), "vec_id", "embedding", k = 8)
+      val clustered = assignments
+        .select(col("id").as("vec_id"), col("vec").as("embedding"), col("cluster"))
+      Knn.similarPairsWithinBlocks(clustered, "vec_id", "embedding", "cluster",
+          minCosine = 0.30)
+        .select(col("block").as("cluster"), col("id_a").as("vec_a"),
+          col("id_b").as("vec_b"), col("cosine"))
+        .orderBy("cluster", "vec_a", "vec_b")
+    },
+    Some(s"""
+      WITH $duckIvfAssigned,
+      n AS (
+        SELECT id, cluster, qv,
+          CAST(list_sum(list_transform(qv, x -> x*x)) AS BIGINT) AS nsq
+        FROM assigned),
+      p AS (
+        SELECT a.cluster, a.id AS vec_a, b.id AS vec_b,
+          CAST(list_sum(list_transform(range(1, 65), i -> a.qv[i]*b.qv[i])) AS BIGINT) AS dot,
+          a.nsq AS na, b.nsq AS nb
+        FROM n a JOIN n b ON a.cluster = b.cluster AND a.id < b.id)
+      SELECT cluster, vec_a, vec_b,
+        CAST(dot AS DOUBLE)/sqrt(CAST(na AS DOUBLE)*CAST(nb AS DOUBLE)) AS cosine
+      FROM p
+      WHERE CAST(dot AS DOUBLE)/sqrt(CAST(na AS DOUBLE)*CAST(nb AS DOUBLE)) > 0.30
+      ORDER BY cluster, vec_a, vec_b
+    """))
+
+  /** PageRank over the co-supply graph (suppliers that served the same
+    * order, both directions), 3 damped power iterations in exact
+    * integer arithmetic (graft.operators.PageRank) — bit-identical at
+    * any partitioning. The edge build is a keyed self-join of lineitem
+    * on orderkey (per-order groups are tiny, so no quadratic blowup);
+    * each iteration is one keyed join + one hash aggregation. */
+  private val q75 = QueryDef(
+    "q75_pagerank_cosupply",
+    (spark, dir) => {
+      val li = Tables.lineitem(spark, dir)
+        .select(col("l_orderkey").as("ok"), col("l_suppkey").as("sk"))
+      // dedupe UNDIRECTED pairs (a < b halves the distinct's input),
+      // then mirror — the graph is symmetric by construction
+      val pairs = li
+        .join(li.withColumnRenamed("sk", "sk2"), Seq("ok"))
+        .filter(col("sk") < col("sk2"))
+        .select(col("sk").as("src"), col("sk2").as("dst"))
+        .distinct()
+      val edges = pairs.union(pairs.select(col("dst").as("src"), col("src").as("dst")))
+      val nodes = Tables.supplier(spark, dir).select(col("s_suppkey").as("node"))
+      PageRank.iterate(edges, nodes, iterations = 3)
+        .orderBy(col("rank_q").desc, col("node"))
+        .limit(25)
+    },
+    Some("""
+      WITH e AS (
+        SELECT DISTINCT a.l_suppkey AS src, b.l_suppkey AS dst
+        FROM lineitem a JOIN lineitem b
+          ON a.l_orderkey = b.l_orderkey AND a.l_suppkey <> b.l_suppkey),
+      od AS (SELECT src, count(*) AS outdeg FROM e GROUP BY src),
+      n0 AS (SELECT s_suppkey AS node FROM supplier),
+      r1 AS (
+        SELECT n0.node,
+          150000000 + 85 * coalesce(m.s, 0) // 100 AS rank_q
+        FROM n0 LEFT JOIN (
+          SELECT e.dst AS node, sum(1000000000 // od.outdeg) AS s
+          FROM e JOIN od USING (src)
+          GROUP BY e.dst) m USING (node)),
+      r2 AS (
+        SELECT n0.node,
+          150000000 + 85 * coalesce(m.s, 0) // 100 AS rank_q
+        FROM n0 LEFT JOIN (
+          SELECT e.dst AS node, sum(r1.rank_q // od.outdeg) AS s
+          FROM e JOIN od USING (src) JOIN r1 ON r1.node = e.src
+          GROUP BY e.dst) m USING (node)),
+      r3 AS (
+        SELECT n0.node,
+          150000000 + 85 * coalesce(m.s, 0) // 100 AS rank_q
+        FROM n0 LEFT JOIN (
+          SELECT e.dst AS node, sum(r2.rank_q // od.outdeg) AS s
+          FROM e JOIN od USING (src) JOIN r2 ON r2.node = e.src
+          GROUP BY e.dst) m USING (node))
+      SELECT node, CAST(rank_q AS BIGINT) AS rank_q
+      FROM r3 ORDER BY rank_q DESC, node LIMIT 25
+    """))
+
+  def defs: Seq[QueryDef] = Seq(q74, q75)
+}

@@ -10,7 +10,7 @@ class QueriesSmokeSpec extends SparkSpec {
   private val mayBeEmpty = Set(
     "q14_anti_join_not_exists", "q21_dedup_minhash_lsh",
     "q23_dedup_ngram_jaccard", "q24_dedup_embedding_cosine",
-    "q68_decontamination")
+    "q68_decontamination", "q74_semantic_dedup")
 
   test("entry (flagship) returns rows") {
     assert(SparkEntry.entry(spark).count() > 0)
