@@ -22,7 +22,8 @@ object SparkEntry {
     PipelineQueries,
     CorpusQueries,
     CurationQueries,
-    GraphQueries)
+    GraphQueries,
+    ResolutionQueries)
 
   private lazy val all: Seq[QueryDef] = groups.flatMap(_.defs)
 
