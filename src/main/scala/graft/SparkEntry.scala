@@ -23,7 +23,8 @@ object SparkEntry {
     CorpusQueries,
     CurationQueries,
     GraphQueries,
-    ResolutionQueries)
+    ResolutionQueries,
+    AuditQueries)
 
   private lazy val all: Seq[QueryDef] = groups.flatMap(_.defs)
 

@@ -1,0 +1,126 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** Data-quality audit operators (round 3): exact statistical outlier
+  * detection and referential-integrity census — the checks a pipeline
+  * runs before trusting a new snapshot.
+  */
+object AuditQueries extends QueryGroup {
+
+  /** Exact 3σ outlier detection with NO floating point: x is an outlier
+    * of its group iff (x−μ)² > 9σ², which cross-multiplies to the
+    * all-integer test (n·x − Sx)² > 9·(n·Sxx − Sx²). Both sides are
+    * evaluated in 38-digit decimals (Spark) / HUGEINT (DuckDB) — exact
+    * up to n·x² < 10^38, far past any per-group cardinality here — so
+    * the flagged set is bit-identical across engines and partitionings,
+    * where a double-based z-score would wobble at the boundary.
+    * Dataflow: one grouped moment aggregation (3 integer sums),
+    * broadcast back onto the scan, narrow filter. */
+  private val q81 = QueryDef(
+    "q81_outlier_detection",
+    (spark, dir) => {
+      import graft.functions.Deterministic.cents
+      val d = (c: Column) => c.cast("decimal(19,0)")
+      val base = Tables.events(spark, dir)
+        .select(col("event_type"), col("event_id"), cents(col("value")).as("x"))
+      val moments = base
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"), sum(col("x")).as("sx"),
+          sum(col("x") * col("x")).as("sxx"))
+      val lhs = (d(col("n")) * d(col("x")) - d(col("sx"))) *
+        (d(col("n")) * d(col("x")) - d(col("sx")))
+      val rhs = lit(9) * (d(col("n")) * d(col("sxx")) - d(col("sx")) * d(col("sx")))
+      base
+        .join(broadcast(moments), Seq("event_type"))
+        .filter(lhs > rhs)
+        .select(col("event_type"), col("event_id"), col("x"), col("n"))
+        .orderBy("event_type", "event_id")
+    },
+    Some("""
+      WITH b AS (
+        SELECT event_type, event_id,
+          CAST(floor(value*100 + 0.5) AS BIGINT) AS x
+        FROM events),
+      m AS (
+        SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+          CAST(sum(x) AS BIGINT) AS sx, CAST(sum(x*x) AS BIGINT) AS sxx
+        FROM b GROUP BY 1)
+      SELECT b.event_type, b.event_id, b.x, m.n
+      FROM b JOIN m USING (event_type)
+      WHERE (CAST(m.n AS HUGEINT)*b.x - m.sx) * (CAST(m.n AS HUGEINT)*b.x - m.sx)
+            > 9 * (CAST(m.n AS HUGEINT)*m.sxx - CAST(m.sx AS HUGEINT)*m.sx)
+      ORDER BY event_type, event_id
+    """))
+
+  /** Referential-integrity census: orphan counts for every foreign-key
+    * edge of the schema, in one result. Each edge is a LEFT ANTI join
+    * (parent keys broadcast when dimension-sized) feeding a count — the
+    * audit a pipeline runs on every new snapshot before joining against
+    * it. All-zero counts are the expected healthy result; the query
+    * proves it rather than assuming it. */
+  private val q83 = QueryDef(
+    "q83_fk_audit",
+    (spark, dir) => {
+      // one pass per edge: LEFT join against the (unique) parent key set,
+      // count rows and parent-misses in the same aggregation — no
+      // driver-side count, no second scan of the child
+      def orphans(name: String, child: DataFrame, childKey: String,
+                  parent: DataFrame, parentKey: String): DataFrame =
+        child.select(col(childKey).as("k"))
+          .join(parent.select(col(parentKey).as("k"), lit(1).as("hit")), Seq("k"), "left")
+          .agg(count(lit(1)).as("n_child_rows"),
+            count(when(col("hit").isNull, 1)).as("n_orphans"))
+          .select(lit(name).as("fk_edge"), col("n_child_rows"), col("n_orphans"))
+      val li = Tables.lineitem(spark, dir); val o = Tables.orders(spark, dir)
+      val c = Tables.customer(spark, dir); val su = Tables.supplier(spark, dir)
+      val p = Tables.part(spark, dir); val n = Tables.nation(spark, dir)
+      val r = Tables.region(spark, dir)
+      Seq(
+        orphans("customer.nation", c, "c_nationkey", n, "n_nationkey"),
+        orphans("lineitem.orders", li, "l_orderkey", o, "o_orderkey"),
+        orphans("lineitem.part", li, "l_partkey", p, "p_partkey"),
+        orphans("lineitem.supplier", li, "l_suppkey", su, "s_suppkey"),
+        orphans("nation.region", n, "n_regionkey", r, "r_regionkey"),
+        orphans("orders.customer", o, "o_custkey", c, "c_custkey"),
+        orphans("supplier.nation", su, "s_nationkey", n, "n_nationkey"))
+        .reduce(_ union _)
+        .orderBy("fk_edge")
+    },
+    Some("""
+      SELECT * FROM (
+        SELECT 'customer.nation' AS fk_edge, CAST(count(*) AS BIGINT) AS n_child_rows,
+          CAST(count(*) FILTER (c_nationkey NOT IN (SELECT n_nationkey FROM nation)) AS BIGINT) AS n_orphans
+        FROM customer
+        UNION ALL
+        SELECT 'lineitem.orders', CAST(count(*) AS BIGINT),
+          CAST(count(*) FILTER (l_orderkey NOT IN (SELECT o_orderkey FROM orders)) AS BIGINT)
+        FROM lineitem
+        UNION ALL
+        SELECT 'lineitem.part', CAST(count(*) AS BIGINT),
+          CAST(count(*) FILTER (l_partkey NOT IN (SELECT p_partkey FROM part)) AS BIGINT)
+        FROM lineitem
+        UNION ALL
+        SELECT 'lineitem.supplier', CAST(count(*) AS BIGINT),
+          CAST(count(*) FILTER (l_suppkey NOT IN (SELECT s_suppkey FROM supplier)) AS BIGINT)
+        FROM lineitem
+        UNION ALL
+        SELECT 'nation.region', CAST(count(*) AS BIGINT),
+          CAST(count(*) FILTER (n_regionkey NOT IN (SELECT r_regionkey FROM region)) AS BIGINT)
+        FROM nation
+        UNION ALL
+        SELECT 'orders.customer', CAST(count(*) AS BIGINT),
+          CAST(count(*) FILTER (o_custkey NOT IN (SELECT c_custkey FROM customer)) AS BIGINT)
+        FROM orders
+        UNION ALL
+        SELECT 'supplier.nation', CAST(count(*) AS BIGINT),
+          CAST(count(*) FILTER (s_nationkey NOT IN (SELECT n_nationkey FROM nation)) AS BIGINT)
+        FROM supplier)
+      ORDER BY fk_edge
+    """))
+
+  def defs: Seq[QueryDef] = Seq(q81, q83)
+}

@@ -340,11 +340,21 @@ object CorpusQueries extends QueryGroup {
         .select(col("doc_id"), col("qs"))
         .orderBy("doc_id")
     },
-    Some {
-      val allStops = graft.text.TextAnalysis.Stopwords
-        .flatMap(_._2).map("'" + _ + "'").mkString(",")
-      s"""
-      WITH f AS (
+    Some(s"""
+      WITH $duckQualityBins,
+      h AS (SELECT qs, count(*) AS c FROM b GROUP BY qs),
+      cum AS (SELECT qs, sum(c) OVER (ORDER BY qs) AS cum FROM h),
+      tot AS (SELECT count(*) AS n FROM b),
+      thr AS (SELECT min(qs) AS t FROM cum CROSS JOIN tot WHERE cum >= ceil(0.75*n))
+      SELECT doc_id, qs FROM b CROSS JOIN thr WHERE qs >= t ORDER BY doc_id
+    """))
+
+  /** The quantized quality-score CTE chain shared by q64/q82, ending in
+    * `b(doc_id, qs)` — floor(quality_score·1000 + 0.5), ≤1001 bins. */
+  private lazy val duckQualityBins: String = {
+    val allStops = graft.text.TextAnalysis.Stopwords
+      .flatMap(_._2).map("'" + _ + "'").mkString(",")
+    s"""f AS (
         SELECT doc_id,
           CAST(len($duckTokens) AS BIGINT) AS n_tokens,
           CAST(len(list_distinct($duckTokens)) AS BIGINT) AS n_distinct_tokens,
@@ -358,14 +368,45 @@ object CorpusQueries extends QueryGroup {
             + least(CAST(stop_hits AS DOUBLE)/n_tokens * 5.0, 1.0)
             + least(CAST(n_distinct_tokens AS DOUBLE)/n_tokens * 2.0, 1.0)) / 3.0) * 1000 + 0.5)
           AS BIGINT) AS qs
-        FROM f),
+        FROM f)"""
+  }
+
+  /** Exact equal-frequency decile binning — the feature-transform
+    * counterpart of q64's threshold filter: every document gets the
+    * decile of its quantized quality score, assigned at BIN granularity
+    * (decile = ⌈10·cum/n⌉ over the ≤1001-bin histogram, computed as the
+    * all-integer (10·cum + n − 1) DIV n). The cumulative window runs
+    * over bins, never documents; bin→decile broadcasts back onto the
+    * scan. No global sort, no ntile over the corpus. */
+  private val q82 = QueryDef(
+    "q82_decile_binning",
+    (spark, dir) => {
+      val binned = Tables.documents(spark, dir)
+        .select(col("doc_id"),
+          floor(qualityFeatures(col("text")).getField("quality_score") * 1000 + 0.5)
+            .cast("long").as("qs"))
+      val hist = binned.groupBy(col("qs")).agg(count(lit(1)).as("c"))
+      val cum = hist.select(col("qs"),
+        sum(col("c")).over(org.apache.spark.sql.expressions.Window
+          .orderBy(col("qs")).rowsBetween(Long.MinValue, 0)).as("cum"))
+      val tot = binned.agg(count(lit(1)).as("n"))
+      val binDecile = cum.crossJoin(broadcast(tot))
+        .select(col("qs"), expr("CAST((10 * cum + n - 1) DIV n AS BIGINT)").as("decile"))
+      binned.join(broadcast(binDecile), Seq("qs"))
+        .select(col("doc_id"), col("qs"), col("decile"))
+        .orderBy("doc_id")
+    },
+    Some(s"""
+      WITH $duckQualityBins,
       h AS (SELECT qs, count(*) AS c FROM b GROUP BY qs),
       cum AS (SELECT qs, sum(c) OVER (ORDER BY qs) AS cum FROM h),
       tot AS (SELECT count(*) AS n FROM b),
-      thr AS (SELECT min(qs) AS t FROM cum CROSS JOIN tot WHERE cum >= ceil(0.75*n))
-      SELECT doc_id, qs FROM b CROSS JOIN thr WHERE qs >= t ORDER BY doc_id
-      """
-    })
+      d AS (
+        SELECT qs, CAST((10*cum + n - 1) // n AS BIGINT) AS decile
+        FROM cum CROSS JOIN tot)
+      SELECT b.doc_id, b.qs, d.decile
+      FROM b JOIN d USING (qs) ORDER BY doc_id
+    """))
 
   /** Keyed snapshot diff (graft.operators.SnapshotDiff): the changelog
     * between two table versions, derived here deterministically from
@@ -462,5 +503,5 @@ object CorpusQueries extends QueryGroup {
       FROM m ORDER BY l_returnflag
     """))
 
-  def defs: Seq[QueryDef] = Seq(q56, q57, q58, q59, q60, q61, q62, q63, q64, q65, q66)
+  def defs: Seq[QueryDef] = Seq(q56, q57, q58, q59, q60, q61, q62, q63, q64, q65, q66, q82)
 }
