@@ -122,5 +122,86 @@ object AuditQueries extends QueryGroup {
       ORDER BY fk_edge
     """))
 
-  def defs: Seq[QueryDef] = Seq(q81, q83)
+  /** Incremental view maintenance (graft.operators.Incremental): the
+    * revenue-by-status view is maintained as base (first half of the
+    * month) merged with a delta batch (second half) — and must be
+    * BIT-IDENTICAL to the full recompute, which is exactly what the
+    * oracle computes. The merge cost is O(|groups|): history is never
+    * rescanned. */
+  private val q84 = QueryDef(
+    "q84_incremental_agg",
+    (spark, dir) => {
+      import graft.functions.Deterministic.{cents, epochS}
+      import graft.operators.Incremental
+      val ev = Tables.events(spark, dir)
+        .select(col("event_type"), cents(col("value")).as("vc"),
+          epochS(col("ts")).as("ts_s"))
+      val cut = 1705276800L // 2024-01-15T00:00:00Z
+      val base = Incremental.aggState(ev.filter(col("ts_s") < cut), "event_type", "vc")
+      val delta = Incremental.aggState(ev.filter(col("ts_s") >= cut), "event_type", "vc")
+      Incremental.merge(Seq(base, delta))
+        .select(col("event_type"), col("n"), col("sum_cents"))
+        .orderBy("event_type")
+    },
+    Some("""
+      SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+        CAST(sum(CAST(floor(value*100 + 0.5) AS BIGINT)) AS BIGINT) AS sum_cents
+      FROM events GROUP BY event_type ORDER BY event_type
+    """))
+
+  /** First-touch attribution: each purchase credited to the user's
+    * FIRST 'view' within the preceding hour — min-over exact integer
+    * timestamps via one keyed join bounded by a coarse time bucket
+    * (purchases only join views in their own or previous hour bucket,
+    * never the user's full history) + one hash aggregation. */
+  private val q85 = QueryDef(
+    "q85_first_touch_attribution",
+    (spark, dir) => {
+      import graft.functions.Deterministic.{cents, epochS}
+      val ev = Tables.events(spark, dir)
+        .select(col("user_id"), col("event_id"), col("event_type"),
+          epochS(col("ts")).as("ts_s"), cents(col("value")).as("vc"))
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .withColumn("p_bucket", expr("ts_s div 3600"))
+        .select(col("user_id"), col("event_id").as("purchase_id"),
+          col("ts_s").as("p_ts"), col("vc"),
+          explode(array(col("p_bucket") - 1, col("p_bucket"))).as("bucket"))
+      val views = ev.filter(col("event_type") === "view")
+        .select(col("user_id"), col("event_id").as("view_id"),
+          col("ts_s").as("v_ts"), expr("ts_s div 3600").as("bucket"))
+      purchases
+        .join(views, Seq("user_id", "bucket"))
+        .filter(col("v_ts") <= col("p_ts") && col("v_ts") > col("p_ts") - 3600)
+        .groupBy(col("user_id"), col("purchase_id"), col("p_ts"), col("vc"))
+        .agg(min(struct(col("v_ts"), col("view_id"))).as("first"))
+        .select(col("user_id"), col("purchase_id"), col("vc").as("value_cents"),
+          col("first.view_id").as("attributed_view_id"),
+          (col("p_ts") - col("first.v_ts")).as("lag_s"))
+        .orderBy("user_id", "purchase_id")
+    },
+    Some("""
+      WITH e AS (
+        SELECT user_id, event_id, event_type,
+          CAST(epoch_ms(ts) // 1000 AS BIGINT) AS ts_s,
+          CAST(floor(value*100 + 0.5) AS BIGINT) AS vc
+        FROM events),
+      p AS (
+        SELECT user_id, event_id AS purchase_id, ts_s AS p_ts, vc
+        FROM e WHERE event_type = 'purchase'),
+      v AS (
+        SELECT user_id, event_id AS view_id, ts_s AS v_ts
+        FROM e WHERE event_type = 'view'),
+      j AS (
+        SELECT p.user_id, p.purchase_id, p.p_ts, p.vc, v.v_ts, v.view_id
+        FROM p JOIN v ON p.user_id = v.user_id
+          AND v.v_ts <= p.p_ts AND v.v_ts > p.p_ts - 3600
+        QUALIFY row_number() OVER (
+          PARTITION BY p.purchase_id ORDER BY v.v_ts, v.view_id) = 1)
+      SELECT user_id, purchase_id, vc AS value_cents,
+        view_id AS attributed_view_id,
+        CAST(p_ts - v_ts AS BIGINT) AS lag_s
+      FROM j ORDER BY user_id, purchase_id
+    """))
+
+  def defs: Seq[QueryDef] = Seq(q81, q83, q84, q85)
 }
