@@ -33,6 +33,13 @@ object Bench {
       catch { case _: Throwable => () }
     }
     val results = selected.toSeq.sortBy(_._1).map { case (name, fn) =>
+      // drop query N-1's leftovers before timing query N: materialized
+      // localCheckpoint blocks (CC/PageRank/IVF working sets) are
+      // per-query state that would otherwise accumulate across the
+      // suite and squeeze the whole JVM (measured 2-3x inflation by
+      // the 87th query without this)
+      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = false))
+      spark.catalog.clearCache()
       System.gc() // don't charge query N for query N-1's garbage
       val t0 = System.nanoTime()
       try fn(spark, sfDir).write.format("noop").mode("overwrite").save()

@@ -93,6 +93,41 @@ class CurationSpec extends SparkSpec {
     assert(math.abs(bySource("b") - 50L) <= 20, s"b sampled ${bySource("b")}")
   }
 
+  test("incremental merge: associative, order-insensitive, equals full recompute") {
+    import spark.implicits._
+    import graft.operators.Incremental
+    val rows = (1L to 300L).map(i => (s"g${i % 7}", i))
+    val df = rows.toDF("g", "cents")
+    val full = Incremental.aggState(df, "g", "cents")
+      .as[(String, Long, Long)].collect().toSet
+    // three disjoint batches, merged in two different orders
+    val parts = Seq(df.filter(col("cents") % 3 === 0), df.filter(col("cents") % 3 === 1),
+      df.filter(col("cents") % 3 === 2)).map(Incremental.aggState(_, "g", "cents"))
+    val m1 = Incremental.merge(parts).as[(String, Long, Long)].collect().toSet
+    val m2 = Incremental.merge(parts.reverse).as[(String, Long, Long)].collect().toSet
+    // merging an already-merged state with another state also works
+    val m3 = Incremental.merge(Seq(Incremental.merge(parts.take(2)), parts(2)))
+      .as[(String, Long, Long)].collect().toSet
+    assert(m1 === full); assert(m2 === full); assert(m3 === full)
+  }
+
+  test("integer outlier test agrees with the double z-score form away from ties") {
+    import spark.implicits._
+    // the decimal cross-multiplied test must flag exactly the rows the
+    // textbook |x-mu| > 3*sigma flags on data with a clear outlier
+    val xs = Seq.fill(200)(100L) ++ Seq(1000L, 99L, 101L)
+    val df = xs.zipWithIndex.map { case (x, i) => (i.toLong, x) }.toDF("id", "x")
+    val m = df.agg(count(lit(1)).as("n"), sum(col("x")).as("sx"),
+      sum(col("x") * col("x")).as("sxx"))
+    val d = (c: org.apache.spark.sql.Column) => c.cast("decimal(19,0)")
+    val flagged = df.crossJoin(m)
+      .filter((d(col("n")) * d(col("x")) - d(col("sx"))) *
+        (d(col("n")) * d(col("x")) - d(col("sx"))) >
+        lit(9) * (d(col("n")) * d(col("sxx")) - d(col("sx")) * d(col("sx"))))
+      .select("x").as[Long].collect().toSet
+    assert(flagged === Set(1000L))
+  }
+
   test("repetition stats: degenerate repetition scores high, varied text low") {
     import spark.implicits._
     val df = Seq(

@@ -67,4 +67,28 @@ class StreamingIngestSpec extends SparkSpec {
       assert(kept === Seq(1L, 4L), s"normalize-dedup should drop 2 (dup) and 3 (short), got $kept")
     } finally q.stop()
   }
+
+  test("PII redaction runs on a stream unchanged, batch-identical") {
+    import spark.implicits._
+    import graft.text.Redaction
+    val input = MemoryStream[Doc](spark)
+    val redacted = input.toDF()
+      .select(col("doc_id"),
+        Redaction.redact(col("text")).as("clean"),
+        (Redaction.emailCount(col("text")) + Redaction.phoneCount(col("text")))
+          .as("n_hits"))
+    val q = redacted.writeStream.format("memory").queryName("stream_redact")
+      .outputMode("append").start()
+    try {
+      input.addData(
+        Doc(1L, "contact me jo@site.org or 12-345-678-9012", ts("2024-01-01 10:00:00")),
+        Doc(2L, "no pii here", ts("2024-01-01 10:00:01")))
+      q.processAllAvailable()
+      val rows = spark.table("stream_redact")
+        .as[(Long, String, Int)].collect().sortBy(_._1).toSeq
+      assert(rows === Seq(
+        (1L, "contact me [EMAIL] or [PHONE]", 2),
+        (2L, "no pii here", 0)))
+    } finally q.stop()
+  }
 }
