@@ -152,5 +152,66 @@ object AdvancedQueries extends QueryGroup {
       ORDER BY c_nationkey, rank
     """))
 
-  def defs: Seq[QueryDef] = Seq(q31, q32, q33, q35)
+  /** TPC-H Q8 shape (market share): the deepest join tree in the suite —
+    * lineitem ⋈ part ⋈ supplier ⋈ orders ⋈ customer ⋈ nation×2 ⋈ region,
+    * written declaratively so Catalyst orders the joins; every
+    * dimension side broadcasts, the only big shuffle is
+    * lineitem ⋈ orders. Volume is the exact integer
+    * cents×(100−discount%) of q31, so the final share is one division
+    * of exact longs. */
+  private val q86 = QueryDef(
+    "q86_tpch_q8_market_share",
+    (spark, dir) => {
+      val li = Tables.lineitem(spark, dir)
+      val vol = (graft.functions.Deterministic.cents(col("l_extendedprice")) *
+        (lit(100L) - floor(col("l_discount") * 100 + 0.5).cast("long"))).as("vc")
+      li
+        .join(broadcast(Tables.part(spark, dir).filter(col("p_type") === "PROMO")),
+          col("l_partkey") === col("p_partkey"))
+        .join(broadcast(Tables.supplier(spark, dir)), col("l_suppkey") === col("s_suppkey"))
+        .join(Tables.orders(spark, dir)
+            .filter(col("o_orderdate") >= "1996-01-01" && col("o_orderdate") < "1998-01-01"),
+          col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(Tables.customer(spark, dir)), col("o_custkey") === col("c_custkey"))
+        .join(broadcast(Tables.nation(spark, dir)
+            .select(col("n_nationkey").as("c_nk"), col("n_regionkey"))),
+          col("c_nationkey") === col("c_nk"))
+        .join(broadcast(Tables.region(spark, dir).filter(col("r_name") === "AMERICA")),
+          col("n_regionkey") === col("r_regionkey"))
+        .join(broadcast(Tables.nation(spark, dir)
+            .select(col("n_nationkey").as("s_nk"), col("n_name").as("supp_nation"))),
+          col("s_nationkey") === col("s_nk"))
+        .select(year(col("o_orderdate")).cast("long").as("o_year"),
+          vol, col("supp_nation"))
+        .groupBy(col("o_year"))
+        .agg(sum(when(col("supp_nation") === "NATION_3", col("vc")).otherwise(0L)).as("nation_vol"),
+          sum(col("vc")).as("total_vol"))
+        .select(col("o_year"), col("nation_vol"), col("total_vol"),
+          (col("nation_vol").cast("double") / col("total_vol")).as("mkt_share"))
+        .orderBy("o_year")
+    },
+    Some(s"""
+      WITH flat AS (
+        SELECT CAST(year(o_orderdate) AS BIGINT) AS o_year,
+          $revenueSql AS vc,
+          n2.n_name AS supp_nation
+        FROM lineitem
+        JOIN part ON l_partkey = p_partkey AND p_type = 'PROMO'
+        JOIN supplier ON l_suppkey = s_suppkey
+        JOIN orders ON l_orderkey = o_orderkey
+          AND o_orderdate >= TIMESTAMP '1996-01-01'
+          AND o_orderdate < TIMESTAMP '1998-01-01'
+        JOIN customer ON o_custkey = c_custkey
+        JOIN nation n1 ON c_nationkey = n1.n_nationkey
+        JOIN region ON n1.n_regionkey = r_regionkey AND r_name = 'AMERICA'
+        JOIN nation n2 ON s_nationkey = n2.n_nationkey)
+      SELECT o_year,
+        CAST(sum(CASE WHEN supp_nation = 'NATION_3' THEN vc ELSE 0 END) AS BIGINT) AS nation_vol,
+        CAST(sum(vc) AS BIGINT) AS total_vol,
+        CAST(CAST(sum(CASE WHEN supp_nation = 'NATION_3' THEN vc ELSE 0 END) AS BIGINT) AS DOUBLE)
+          / CAST(sum(vc) AS BIGINT) AS mkt_share
+      FROM flat GROUP BY o_year ORDER BY o_year
+    """))
+
+  def defs: Seq[QueryDef] = Seq(q31, q32, q33, q35, q86)
 }
