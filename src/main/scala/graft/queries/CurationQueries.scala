@@ -323,5 +323,59 @@ object CurationQueries extends QueryGroup {
       ORDER BY gid, l_returnflag, l_linestatus
     """))
 
-  def defs: Seq[QueryDef] = Seq(q67, q68, q69, q70, q71, q72, q73, q76, q77)
+  /** Session path mining: sessionize by 30-min inactivity gaps (lag +
+    * cumulative-flag windows, the per-event-session-id counterpart of
+    * q38's session_window aggregation), then rank the most common
+    * event-type paths. Windows partition by user (never global); the
+    * path build sorts only WITHIN a session (array_sort over its few
+    * events); top-20 is TakeOrdered. */
+  private val q87 = QueryDef(
+    "q87_session_paths",
+    (spark, dir) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("user_id")).orderBy(col("ts_s"), col("event_id"))
+      val ev = Tables.events(spark, dir)
+        .select(col("user_id"), col("event_id"), col("event_type"),
+          epochS(col("ts")).as("ts_s"))
+      val sessions = ev
+        .withColumn("prev_ts", lag(col("ts_s"), 1).over(w))
+        .withColumn("new_s",
+          when(col("prev_ts").isNull || col("ts_s") - col("prev_ts") > 1800, 1L)
+            .otherwise(0L))
+        .withColumn("session_id", sum(col("new_s")).over(w))
+      val paths = sessions
+        .groupBy(col("user_id"), col("session_id"))
+        .agg(array_join(
+          transform(
+            array_sort(collect_list(struct(col("ts_s"), col("event_id"), col("event_type")))),
+            s => s.getField("event_type")), ">").as("path"))
+      paths.groupBy(col("path")).agg(count(lit(1)).as("n_sessions"))
+        .orderBy(col("n_sessions").desc, col("path"))
+        .limit(20)
+    },
+    Some("""
+      WITH e AS (
+        SELECT user_id, event_id, event_type,
+          CAST(epoch_ms(ts) // 1000 AS BIGINT) AS ts_s
+        FROM events),
+      f AS (
+        SELECT user_id, event_id, event_type, ts_s,
+          CASE WHEN lag(ts_s) OVER w IS NULL OR ts_s - lag(ts_s) OVER w > 1800
+               THEN 1 ELSE 0 END AS new_s
+        FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts_s, event_id)),
+      g AS (
+        SELECT *, sum(new_s) OVER (
+          PARTITION BY user_id ORDER BY ts_s, event_id
+          ROWS UNBOUNDED PRECEDING) AS session_id
+        FROM f),
+      p AS (
+        SELECT user_id, session_id,
+          string_agg(event_type, '>' ORDER BY ts_s, event_id) AS path
+        FROM g GROUP BY 1, 2)
+      SELECT path, CAST(count(*) AS BIGINT) AS n_sessions
+      FROM p GROUP BY path
+      ORDER BY n_sessions DESC, path LIMIT 20
+    """))
+
+  def defs: Seq[QueryDef] = Seq(q67, q68, q69, q70, q71, q72, q73, q76, q77, q87)
 }
