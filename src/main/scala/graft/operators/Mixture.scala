@@ -27,13 +27,20 @@ object Mixture {
   private val TwoPow32 = 4294967296L
 
   /** Per-source census with temperature-2 quantized weights and integer
-    * sample targets for a total draw of ~`totalTarget` rows. */
+    * sample targets for a total draw of ~`totalTarget` rows. The weight
+    * total is an unpartitioned window over the census — safe because the
+    * census is vocabulary-sized (one row per source), and it keeps the
+    * census subtree single-use (a crossJoin against its own aggregate
+    * would plan the corpus scan twice). */
   def sourceTargets(df: DataFrame, sourceCol: String, totalTarget: Long): DataFrame = {
     val census = df.groupBy(col(sourceCol))
       .agg(count(lit(1)).as("n_docs"))
       .withColumn("q_weight", floor(sqrt(col("n_docs")) * 1e6 + 0.5).cast("long"))
-    val total = census.agg(sum(col("q_weight")).as("q_total"))
-    census.crossJoin(broadcast(total))
+    val everything = org.apache.spark.sql.expressions.Window
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.unboundedFollowing)
+    census
+      .withColumn("q_total", sum(col("q_weight")).over(everything))
       .withColumn("target_n",
         expr(s"CAST($totalTarget * q_weight DIV q_total AS BIGINT)"))
       .drop("q_total")

@@ -221,6 +221,30 @@ class ScaleOpsSpec extends SparkSpec {
     assert(got === Map(1L -> Some(100L), 2L -> Some(200L), 3L -> None, 4L -> None))
   }
 
+  test("round-3 plan shapes: broadcast decontamination, 2-scan mixture, kernelized repetition") {
+    val docs = Tables.documents(spark, sfDir)
+    // decontamination: the benchmark gram set must be the BROADCAST side
+    // (the corpus side is never sort-merge shuffled against it)
+    val decon = graft.dedup.Decontaminate.overlap(
+      docs.filter(col("doc_id") % 10 =!= 0), docs.filter(col("doc_id") % 10 === 0),
+      "doc_id", "text", n = 5).queryExecution.executedPlan.toString
+    assert(decon.contains("BroadcastHashJoin"), s"benchmark side not broadcast:\n${decon.take(800)}")
+    assert(!decon.contains("SortMergeJoin"), "corpus side must not sort-merge against the benchmark")
+
+    // mixture sampling: census + filter = exactly 2 corpus scans
+    val mix = graft.operators.Mixture.sample(docs, "source", col("doc_id"), 50L)
+      .queryExecution.executedPlan.toString
+    val scans = "Scan parquet".r.findAllIn(mix).length
+    assert(scans === 2, s"expected census + sample = 2 corpus scans, got $scans")
+
+    // repetition stats: the bigram build is the codegen'd kernel, not an
+    // interpreted HOF transform over token arrays
+    val rep = graft.text.TextAnalysis.repetitionStats(docs, "doc_id", "text")
+      .queryExecution.executedPlan.toString.toLowerCase
+    assert(rep.contains("bigramhashes"), "bigram kernel missing from plan")
+    assert(!rep.contains("transform("), "interpreted HOF in the repetition hot path")
+  }
+
   test("key histogram surfaces the heaviest keys") {
     val h = Skew.keyHistogram(Tables.lineitem(spark, sfDir), col("l_returnflag"), topN = 3)
     assert(h.count() === 3)
