@@ -137,5 +137,53 @@ object GraphQueries extends QueryGroup {
       FROM r3 ORDER BY rank_q DESC, node LIMIT 25
     """))
 
-  def defs: Seq[QueryDef] = Seq(q74, q75)
+  /** Market-basket affinity: brand pairs co-purchased in the same order,
+    * scored by lift = P(a,b)/(P(a)·P(b)) computed as the exact integer
+    * cross-product ratio (n_ab·N)/(n_a·n_b) — one final division.
+    * Scale shape: the (order, brand) set is deduplicated BEFORE the
+    * self-join, per-order groups are tiny (no quadratic blowup), brand
+    * marginals are vocabulary-sized broadcasts. N comes from one cheap
+    * count job (a scalar, like TfIdf's corpus size). */
+  private val q88 = QueryDef(
+    "q88_basket_lift",
+    (spark, dir) => {
+      val ob = Tables.lineitem(spark, dir)
+        .join(broadcast(Tables.part(spark, dir).select(col("p_partkey"), col("p_brand"))),
+          col("l_partkey") === col("p_partkey"))
+        .select(col("l_orderkey").as("ok"), col("p_brand").as("brand"))
+        .distinct()
+      val nOrders = ob.select(col("ok")).distinct().count()
+      val marg = ob.groupBy(col("brand")).agg(count(lit(1)).as("n"))
+      ob.join(ob.withColumnRenamed("brand", "brand_b"), Seq("ok"))
+        .filter(col("brand") < col("brand_b"))
+        .groupBy(col("brand").as("brand_a"), col("brand_b"))
+        .agg(count(lit(1)).as("n_ab"))
+        .join(broadcast(marg.select(col("brand").as("brand_a"), col("n").as("n_a"))), Seq("brand_a"))
+        .join(broadcast(marg.select(col("brand").as("brand_b"), col("n").as("n_b"))), Seq("brand_b"))
+        .filter(col("n_ab") >= 3)
+        .select(col("brand_a"), col("brand_b"), col("n_ab"), col("n_a"), col("n_b"),
+          ((col("n_ab") * lit(nOrders)).cast("double") / (col("n_a") * col("n_b"))).as("lift"))
+        .orderBy("brand_a", "brand_b")
+    },
+    Some("""
+      WITH ob AS (
+        SELECT DISTINCT l_orderkey AS ok, p_brand AS brand
+        FROM lineitem JOIN part ON l_partkey = p_partkey),
+      n_orders AS (SELECT count(DISTINCT ok) AS n_tot FROM ob),
+      marg AS (SELECT brand, CAST(count(*) AS BIGINT) AS n FROM ob GROUP BY brand),
+      pairs AS (
+        SELECT a.brand AS brand_a, b.brand AS brand_b, CAST(count(*) AS BIGINT) AS n_ab
+        FROM ob a JOIN ob b ON a.ok = b.ok AND a.brand < b.brand
+        GROUP BY 1, 2)
+      SELECT p.brand_a, p.brand_b, p.n_ab, ma.n AS n_a, mb.n AS n_b,
+        CAST(p.n_ab * n_orders.n_tot AS DOUBLE) / (ma.n * mb.n) AS lift
+      FROM pairs p
+      JOIN marg ma ON p.brand_a = ma.brand
+      JOIN marg mb ON p.brand_b = mb.brand
+      CROSS JOIN n_orders
+      WHERE p.n_ab >= 3
+      ORDER BY brand_a, brand_b
+    """))
+
+  def defs: Seq[QueryDef] = Seq(q74, q75, q88)
 }
