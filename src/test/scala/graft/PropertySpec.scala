@@ -94,6 +94,53 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("packing invariants: offset in [0,budget), bins monotone, position = running sum") {
+    import spark.implicits._
+    val lenGen = Gen.listOfN(60, Gen.choose(1L, 700L))
+    forSamples(lenGen) { lens =>
+      val budget = 512
+      val df = lens.zipWithIndex
+        .map { case (n, i) => (if (i % 2 == 0) "a" else "b", 0, i.toLong, n) }
+        .toDF("lang", "shard", "doc_id", "n_tokens")
+      val packed = graft.operators.Packing
+        .packByRunningSum(df, Seq("lang", "shard"), "doc_id", "n_tokens", budget)
+        .select("lang", "doc_id", "n_tokens", "bin", "bin_offset")
+        .as[(String, Long, Long, Long, Long)].collect()
+        .groupBy(_._1).view.mapValues(_.sortBy(_._2))
+      for ((_, docs) <- packed) {
+        var running = 0L
+        var prevBin = 0L
+        for ((_, _, n, bin, off) <- docs) {
+          assert(off >= 0 && off < budget, s"offset $off out of [0,$budget)")
+          assert(bin >= prevBin, "bins must be monotone in concatenation order")
+          assert(bin * budget + off === running, "start position == running token sum")
+          running += n
+          prevBin = bin
+        }
+      }
+    }
+  }
+
+  test("pagerank invariants: base floor, bounded total mass, in-degree monotonicity") {
+    import spark.implicits._
+    val edgeGen = Gen.listOfN(80,
+      Gen.zip(Gen.choose(0L, 19L), Gen.choose(0L, 19L)).suchThat(e => e._1 != e._2))
+    forSamples(edgeGen) { es =>
+      val edges = es.distinct.toDF("src", "dst")
+      val nodes = (0L to 19L).toDF("node")
+      val ranks = graft.operators.PageRank.iterate(edges, nodes, 3)
+        .as[(Long, Long)].collect().toMap
+      // every node keeps at least the damping base
+      assert(ranks.values.forall(_ >= 150000000L))
+      // floor divisions only ever LOSE mass: total ≤ N·1e9 (plus base slack)
+      assert(ranks.values.sum <= 20L * 1000000000L)
+      // a node with no in-edges sits exactly at the base
+      val dsts = es.map(_._2).toSet
+      for (n <- 0L to 19L if !dsts.contains(n))
+        assert(ranks(n) === 150000000L, s"in-edge-free node $n must hold the base rank")
+    }
+  }
+
   test("from_json never throws on drifted/garbage payloads; valid fields survive") {
     import spark.implicits._
     val junkGen = Gen.oneOf(
