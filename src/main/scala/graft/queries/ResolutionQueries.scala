@@ -132,5 +132,81 @@ object ResolutionQueries extends QueryGroup {
       ORDER BY event_id
     """))
 
-  def defs: Seq[QueryDef] = Seq(q78, q79, q80)
+  /** Time-series similarity search (the distributed-streams shape of
+    * EDBT'19's similarity search): top-10 users whose DAILY activity
+    * series best correlates with user 0's. Series are integer daily
+    * cent-sums on a fixed 30-day index with implicit zeros — so an
+    * inner day-join computes Σx·y exactly (zero days contribute 0),
+    * and Pearson r comes from the q66 integer-moment identity: exact
+    * longs everywhere, one IEEE expression at the end. Scale shape:
+    * the query vector is day-keyed and tiny (broadcast); everything
+    * else is per-user hash aggregation — no pairwise user join ever
+    * happens. */
+  private val q89 = QueryDef(
+    "q89_timeseries_similarity",
+    (spark, dir) => {
+      val d = (c: org.apache.spark.sql.Column) => c.cast("double")
+      val ev = Tables.events(spark, dir)
+        .select(col("user_id"), epochS(col("ts")).as("ts_s"),
+          graft.functions.Deterministic.cents(col("value")).as("vc"))
+        .select(col("user_id"), expr("ts_s div 86400").as("day"), col("vc"))
+      val nDays = ev.agg((max(col("day")) - min(col("day")) + 1).as("n"))
+        .collect()(0).getLong(0) // scalar span — one cheap job, a plan literal
+      val daily = ev.groupBy(col("user_id"), col("day")).agg(sum(col("vc")).as("v"))
+      val mom = daily.groupBy(col("user_id"))
+        .agg(sum(col("v")).as("sx"), sum(col("v") * col("v")).as("sxx"))
+      val qDaily = daily.filter(col("user_id") === 0L).select(col("day"), col("v").as("qv"))
+      val qMom = mom.filter(col("user_id") === 0L)
+        .select(col("sx").as("qsx"), col("sxx").as("qsxx"))
+      val sxy = daily.join(broadcast(qDaily), Seq("day"))
+        .filter(col("user_id") =!= 0L)
+        .groupBy(col("user_id")).agg(sum(col("v") * col("qv")).as("sxy"))
+      mom.filter(col("user_id") =!= 0L)
+        .join(sxy, Seq("user_id"), "left")
+        .crossJoin(broadcast(qMom))
+        .withColumn("sxy0", coalesce(col("sxy"), lit(0L)))
+        .filter(lit(nDays) * col("sxx") - col("sx") * col("sx") > 0)
+        .select(col("user_id"),
+          ((d(lit(nDays)) * d(col("sxy0")) - d(col("qsx")) * d(col("sx"))) /
+            sqrt((d(lit(nDays)) * d(col("qsxx")) - d(col("qsx")) * d(col("qsx"))) *
+              (d(lit(nDays)) * d(col("sxx")) - d(col("sx")) * d(col("sx"))))).as("corr"))
+        .orderBy(col("corr").desc, col("user_id"))
+        .limit(10)
+    },
+    Some("""
+      WITH e AS (
+        SELECT user_id,
+          CAST(epoch_ms(ts) // 1000 // 86400 AS BIGINT) AS day,
+          CAST(floor(value*100 + 0.5) AS BIGINT) AS vc
+        FROM events),
+      span AS (SELECT CAST(max(day) - min(day) + 1 AS BIGINT) AS n FROM e),
+      daily AS (
+        SELECT user_id, day, CAST(sum(vc) AS BIGINT) AS v
+        FROM e GROUP BY 1, 2),
+      mom AS (
+        SELECT user_id, CAST(sum(v) AS BIGINT) AS sx,
+          CAST(sum(v*v) AS BIGINT) AS sxx
+        FROM daily GROUP BY 1),
+      q AS (SELECT day, v AS qv FROM daily WHERE user_id = 0),
+      qm AS (SELECT sx AS qsx, sxx AS qsxx FROM mom WHERE user_id = 0),
+      sxy AS (
+        SELECT d.user_id, CAST(sum(d.v * q.qv) AS BIGINT) AS sxy
+        FROM daily d JOIN q USING (day)
+        WHERE d.user_id <> 0 GROUP BY 1)
+      SELECT m.user_id,
+        (CAST(span.n AS DOUBLE)*CAST(coalesce(sxy.sxy, 0) AS DOUBLE)
+           - CAST(qm.qsx AS DOUBLE)*CAST(m.sx AS DOUBLE)) /
+        sqrt((CAST(span.n AS DOUBLE)*CAST(qm.qsxx AS DOUBLE)
+               - CAST(qm.qsx AS DOUBLE)*CAST(qm.qsx AS DOUBLE)) *
+             (CAST(span.n AS DOUBLE)*CAST(m.sxx AS DOUBLE)
+               - CAST(m.sx AS DOUBLE)*CAST(m.sx AS DOUBLE))) AS corr
+      FROM mom m
+      LEFT JOIN sxy ON m.user_id = sxy.user_id
+      CROSS JOIN qm CROSS JOIN span
+      WHERE m.user_id <> 0
+        AND span.n * m.sxx - m.sx * m.sx > 0
+      ORDER BY corr DESC, m.user_id LIMIT 10
+    """))
+
+  def defs: Seq[QueryDef] = Seq(q78, q79, q80, q89)
 }
