@@ -281,5 +281,42 @@ object StatsQueries extends QueryGroup {
       FROM m ORDER BY l_returnflag
     """))
 
-  def defs: Seq[QueryDef] = Seq(q36, q37, q38, q39, q40, q41, q42, q55)
+  /** Percent-of-total (ratio_to_report) analytics: per-nation supplier
+    * revenue, each nation's share of the grand total, and its revenue
+    * rank. The share window runs over the ALREADY-AGGREGATED nation
+    * table (25 rows) — the corpus aggregates once, keyed; only the tiny
+    * result sees unpartitioned windows. Integer cents end-to-end, one
+    * division for the share. */
+  private val q90 = QueryDef(
+    "q90_revenue_share",
+    (spark, dir) => {
+      val everything = Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+      Tables.lineitem(spark, dir)
+        .join(broadcast(Tables.supplier(spark, dir)), col("l_suppkey") === col("s_suppkey"))
+        .join(broadcast(Tables.nation(spark, dir)), col("s_nationkey") === col("n_nationkey"))
+        .groupBy(col("n_name"))
+        .agg(sum(cents(col("l_extendedprice"))).as("revenue_cents"))
+        .withColumn("total_cents", sum(col("revenue_cents")).over(everything))
+        .withColumn("share", col("revenue_cents").cast("double") / col("total_cents"))
+        .withColumn("rnk", row_number().over(
+          Window.orderBy(col("revenue_cents").desc, col("n_name"))).cast("long"))
+        .select(col("n_name"), col("revenue_cents"), col("share"), col("rnk"))
+        .orderBy("rnk")
+    },
+    Some("""
+      WITH r AS (
+        SELECT n_name,
+          CAST(sum(CAST(floor(l_extendedprice*100 + 0.5) AS BIGINT)) AS BIGINT) AS revenue_cents
+        FROM lineitem
+        JOIN supplier ON l_suppkey = s_suppkey
+        JOIN nation ON s_nationkey = n_nationkey
+        GROUP BY n_name)
+      SELECT n_name, revenue_cents,
+        CAST(revenue_cents AS DOUBLE) /
+          CAST(sum(revenue_cents) OVER () AS BIGINT) AS share,
+        CAST(row_number() OVER (ORDER BY revenue_cents DESC, n_name) AS BIGINT) AS rnk
+      FROM r ORDER BY rnk
+    """))
+
+  def defs: Seq[QueryDef] = Seq(q36, q37, q38, q39, q40, q41, q42, q55, q90)
 }
