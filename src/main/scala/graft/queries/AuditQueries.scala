@@ -203,5 +203,39 @@ object AuditQueries extends QueryGroup {
       FROM j ORDER BY user_id, purchase_id
     """))
 
-  def defs: Seq[QueryDef] = Seq(q81, q83, q84, q85)
+  /** Rolling 7-day active users per day. Scale shape: each (user, day)
+    * fact explodes to the ≤7 window-days it contributes to, then one
+    * keyed distinct-count — an equi-join dataflow that partitions on
+    * the window day. The ORACLE is deliberately the naive range join
+    * (day BETWEEN d−6 AND d): the textbook formulation the explode
+    * form replaces, proving the rewrite exact. */
+  private val q91 = QueryDef(
+    "q91_rolling_active_users",
+    (spark, dir) => {
+      import graft.functions.Deterministic.epochS
+      val ud = Tables.events(spark, dir)
+        .select(col("user_id"), epochS(col("ts")).as("ts_s"))
+        .select(col("user_id"), expr("ts_s div 86400").as("day"))
+        .distinct()
+      val days = ud.select(col("day").as("w_day")).distinct()
+      ud
+        .select(col("user_id"), explode(sequence(col("day"), col("day") + 6)).as("w_day"))
+        .join(broadcast(days), Seq("w_day"), "left_semi")
+        .groupBy(col("w_day"))
+        .agg(countDistinct(col("user_id")).as("wau"))
+        .select(col("w_day").as("day"), col("wau"))
+        .orderBy("day")
+    },
+    Some("""
+      WITH e AS (
+        SELECT DISTINCT user_id,
+          CAST(epoch_ms(ts) // 1000 // 86400 AS BIGINT) AS day
+        FROM events),
+      days AS (SELECT DISTINCT day FROM e)
+      SELECT d.day, CAST(count(DISTINCT e.user_id) AS BIGINT) AS wau
+      FROM days d JOIN e ON e.day BETWEEN d.day - 6 AND d.day
+      GROUP BY d.day ORDER BY d.day
+    """))
+
+  def defs: Seq[QueryDef] = Seq(q81, q83, q84, q85, q91)
 }
