@@ -6,8 +6,49 @@ import org.apache.spark.sql.SparkSession
   * line to stdout. Queries are materialized through the `noop` sink so the
   * full plan (all projected columns, all operators) executes — `.count()`
   * would let Catalyst prune the computed columns away and under-report.
+  *
+  * Honesty guards (round-4):
+  *  - per-query cleanup (unpersist + clearCache + gc) so query N never
+  *    pays for query N-1's working set, with heap / loaded-class /
+  *    storage-memory instrumentation printed per query to catch any
+  *    cross-query accumulation (r3's q88 recorded 26× its isolated time;
+  *    flat heap+storage here is the evidence the suite is steady-state);
+  *  - a self-check pass: any query whose in-suite time exceeds
+  *    max(5 s, 4× suite median) is re-run after a full cleanup and both
+  *    numbers are reported (`recheck`) — a big in-suite/re-run gap means
+  *    the suite number was contaminated and cannot be trusted silently;
+  *  - two scale points: the primary SF (env) plus a full timed pass at
+  *    sf0.01, so scaling slope per query is visible round-over-round.
+  *    Full per-query detail for both passes goes to BENCH_LOCAL.json in
+  *    the repo (the stdout line must stay within the driver's output
+  *    window, so it carries the primary per-query map + both totals).
   */
 object Bench {
+  private def cleanup(spark: SparkSession): Unit = {
+    spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = false))
+    spark.catalog.clearCache()
+    System.gc() // don't charge query N for query N-1's garbage
+  }
+
+  /** One timed pass over `selected` at `sfDir`, with per-query cleanup
+    * and JVM instrumentation on stderr. */
+  private def runPass(spark: SparkSession, selected: Seq[(String, (SparkSession, String) => org.apache.spark.sql.DataFrame)],
+                      sfDir: String, tag: String): Seq[(String, Double)] =
+    selected.map { case (name, fn) =>
+      cleanup(spark)
+      val heapMb = (Runtime.getRuntime.totalMemory - Runtime.getRuntime.freeMemory) / 1048576
+      val classes = java.lang.management.ManagementFactory.getClassLoadingMXBean.getLoadedClassCount
+      val storageMb = spark.sparkContext.getExecutorMemoryStatus.values
+        .map { case (max, rem) => max - rem }.sum / 1048576
+      val t0 = System.nanoTime()
+      try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+      catch { case e: Throwable => System.err.println(s"[bench:$tag] $name failed: ${e.getMessage}") }
+      val dt = (System.nanoTime() - t0) / 1e9
+      System.err.println(
+        f"[bench:$tag] $name%-32s $dt%8.2f s  heap=${heapMb}%5d MB cls=${classes}%6d store=${storageMb}%5d MB")
+      name -> dt
+    }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -19,33 +60,41 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     GraftSession.configure(spark)
+    // optional args: bench only the named queries (dev loop); unknown
+    // names fail loudly — silently benching an empty set would print an
+    // empty-but-valid JSON result for a typo
+    val unknown = args.toSet.diff(SparkEntry.queries.keySet)
+    require(unknown.isEmpty,
+      s"unknown query name(s): ${unknown.toSeq.sorted.mkString(", ")}; " +
+        s"valid: ${SparkEntry.queries.keySet.toSeq.sorted.mkString(", ")}")
+    val selected =
+      (if (args.isEmpty) SparkEntry.queries
+       else SparkEntry.queries.view.filterKeys(args.toSet).toMap).toSeq.sortBy(_._1)
     // JVM/codegen warm-up: run EVERY query once at the smallest SF so the
     // timed numbers measure steady-state execution, not each query's
     // first-use class loading and janino compile (measured at 1-4 s per
     // cold query vs ~0.3 s warm — pure one-time driver cost that
     // amortizes to zero in any long-lived deployment).
-    // optional args: bench only the named queries (dev loop)
-    val selected =
-      if (args.isEmpty) SparkEntry.queries
-      else SparkEntry.queries.view.filterKeys(args.toSet).toMap
-    selected.values.foreach { fn =>
+    selected.foreach { case (_, fn) =>
       try fn(spark, "/root/testdata/sf0.001").write.format("noop").mode("overwrite").save()
       catch { case _: Throwable => () }
     }
-    val results = selected.toSeq.sortBy(_._1).map { case (name, fn) =>
-      // drop query N-1's leftovers before timing query N: materialized
-      // localCheckpoint blocks (CC/PageRank/IVF working sets) are
-      // per-query state that would otherwise accumulate across the
-      // suite and squeeze the whole JVM (measured 2-3x inflation by
-      // the 87th query without this)
-      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = false))
-      spark.catalog.clearCache()
-      System.gc() // don't charge query N for query N-1's garbage
-      val t0 = System.nanoTime()
-      try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-      catch { case e: Throwable => System.err.println(s"[bench] $name failed: ${e.getMessage}") }
-      val dt = (System.nanoTime() - t0) / 1e9
-      System.err.println(f"[bench] $name%-32s $dt%8.2f s")
+    // secondary scale point (skipped when it IS the primary)
+    val secondaryDir = "/root/testdata/sf0.01"
+    val secondary =
+      if (sfDir == secondaryDir) Seq.empty
+      else runPass(spark, selected, secondaryDir, "sf0.01")
+    val results = runPass(spark, selected, sfDir, "primary")
+    // self-check: re-run outliers after a full cleanup; a large
+    // in-suite/re-run gap means the suite number was contaminated
+    val times = results.map(_._2).sorted
+    val median = if (times.isEmpty) 0.0 else times(times.length / 2)
+    val threshold = math.max(5.0, 4.0 * median)
+    val recheck = results.filter(_._2 > threshold).map { case (name, suiteDt) =>
+      val Seq((_, dt)) = runPass(spark, selected.filter(_._1 == name), sfDir, "recheck")
+      if (suiteDt > 3.0 * dt)
+        System.err.println(f"[bench] WARNING: $name in-suite ${suiteDt}%.2f s vs re-run ${dt}%.2f s " +
+          "— suite number contaminated by cross-query state")
       name -> dt
     }
     // The driver keeps only the last ~2000 chars of output, so the JSON
@@ -56,10 +105,23 @@ object Bench {
       if (parts.length > 1 && parts(1).length <= 4) parts.take(2).mkString("_")
       else parts.head
     }
-    val qs = results.map { case (k, v) => f""""${shortName(k)}":$v%.3f""" }
-      .mkString("{", ",", "}")
+    def qmap(rs: Seq[(String, Double)]): String =
+      rs.map { case (k, v) => f""""${shortName(k)}":$v%.3f""" }.mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val secTotal = secondary.map(_._2).sum
+    val secPart = if (secondary.isEmpty) "" else f""","total_sf001":$secTotal%.3f"""
+    val recheckPart =
+      if (recheck.isEmpty) ""
+      else recheck.map { case (k, v) => f""""${shortName(k)}":$v%.3f""" }
+        .mkString(""","recheck":{""", ",", "}")
+    // full two-SF per-query detail for the repo (committed per round)
+    val detail =
+      f"""{"primary_sf":"$sfDir","primary_total":$total%.3f,"primary":${qmap(results)},""" +
+        f""""secondary_sf":"$secondaryDir","secondary_total":$secTotal%.3f,"secondary":${qmap(secondary)},""" +
+        f""""recheck":${if (recheck.isEmpty) "{}" else recheck.map { case (k, v) => f""""$k":$v%.3f""" }.mkString("{", ",", "}")}}"""
+    try java.nio.file.Files.writeString(java.nio.file.Paths.get("BENCH_LOCAL.json"), detail + "\n")
+    catch { case e: Throwable => System.err.println(s"[bench] BENCH_LOCAL.json write failed: ${e.getMessage}") }
+    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":${qmap(results)},"sf":"$sfDir"$secPart$recheckPart}""")
     spark.stop()
   }
 }

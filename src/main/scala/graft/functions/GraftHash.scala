@@ -282,9 +282,15 @@ object GraftHash {
 
   /** Quantized cosine of two float vectors: q = floor(x·512 + 0.5) per
     * element (exact: 512 is a power of two), integer dot/norms, one
-    * double division — bit-identical to VectorOps.cosineQ∘quantize. */
+    * double division — bit-identical to VectorOps.cosineQ∘quantize.
+    * Lengths must match: indexing UnsafeArrayData past its end reads
+    * arbitrary memory and returns silently wrong cosines (same contract
+    * as sigMatchCount), so fail loudly instead. */
   def cosineQ(a: ArrayData, b: ArrayData): java.lang.Double = {
     val n = a.numElements()
+    if (b.numElements() != n)
+      throw new IllegalArgumentException(
+        s"cosine_q: vector lengths differ (${n} vs ${b.numElements()})")
     var dot = 0L
     var na = 0L
     var nb = 0L
@@ -433,6 +439,9 @@ object GraftHash {
     var c = 0
     while (c < cents.length) {
       val cent = cents(c)
+      if (cent.length != n)
+        throw new IllegalArgumentException(
+          s"nearest_centroid: centroid $c has dim ${cent.length}, vector has $n")
       var dot = 0L
       var nc = 0L
       var j = 0

@@ -25,14 +25,24 @@ import org.apache.spark.sql.functions._
 object Mixture {
 
   private val TwoPow32 = 4294967296L
+  private val TwoPow31 = 2147483648L
 
   /** Per-source census with temperature-2 quantized weights and integer
     * sample targets for a total draw of ~`totalTarget` rows. The weight
     * total is an unpartitioned window over the census — safe because the
     * census is vocabulary-sized (one row per source), and it keeps the
     * census subtree single-use (a crossJoin against its own aggregate
-    * would plan the corpus scan twice). */
+    * would plan the corpus scan twice).
+    *
+    * Membership is h(key) < hash_threshold with the threshold
+    * PRECOMPUTED per source as ceil(target_n·2^32 / n_docs): identical
+    * kept set to the h·n_docs < target_n·2^32 form, but the per-row
+    * comparison never multiplies h (< 2^32) by n_docs — which would
+    * silently wrap Long once a single source exceeds ~2^31 documents.
+    * Exact while totalTarget < 2^31 (so target_n·2^32 < 2^63), enforced. */
   def sourceTargets(df: DataFrame, sourceCol: String, totalTarget: Long): DataFrame = {
+    require(totalTarget > 0 && totalTarget < TwoPow31,
+      s"totalTarget must be in (0, 2^31): $totalTarget")
     val census = df.groupBy(col(sourceCol))
       .agg(count(lit(1)).as("n_docs"))
       .withColumn("q_weight", floor(sqrt(col("n_docs")) * 1e6 + 0.5).cast("long"))
@@ -43,6 +53,11 @@ object Mixture {
       .withColumn("q_total", sum(col("q_weight")).over(everything))
       .withColumn("target_n",
         expr(s"CAST($totalTarget * q_weight DIV q_total AS BIGINT)"))
+      // ceil(target_n·2^32 / n_docs) via (x−1) div n + 1 (operands
+      // non-negative, target_n ≥ 1 in the ELSE branch so x−1 ≥ 0)
+      .withColumn("hash_threshold",
+        expr(s"CAST(CASE WHEN target_n = 0 THEN 0 " +
+          s"ELSE (target_n * $TwoPow32 - 1) DIV n_docs + 1 END AS BIGINT)"))
       .drop("q_total")
   }
 
@@ -52,9 +67,10 @@ object Mixture {
     * the caller already has it. */
   def sampleWithTargets(df: DataFrame, sourceCol: String, keyCol: Column,
                         targets: DataFrame): DataFrame =
-    df.join(broadcast(targets.select(col(sourceCol), col("n_docs"), col("target_n"))),
+    df.join(broadcast(targets.select(col(sourceCol), col("hash_threshold"))),
         Seq(sourceCol))
-      .filter(Sampling.keyHash(keyCol) * col("n_docs") < col("target_n") * TwoPow32)
+      .filter(Sampling.keyHash(keyCol) < col("hash_threshold"))
+      .drop("hash_threshold")
 
   /** One-shot convenience: census + sample (two corpus scans total). */
   def sample(df: DataFrame, sourceCol: String, keyCol: Column, totalTarget: Long): DataFrame =

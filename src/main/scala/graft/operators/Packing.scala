@@ -30,7 +30,12 @@ object Packing {
     val w = Window.partitionBy(groupCols.map(col): _*).orderBy(col(orderCol))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val startOffset = sum(col(tokenCol)).over(w) - col(tokenCol)
-    df.withColumn("bin", floor(startOffset / budget).cast("long"))
-      .withColumn("bin_offset", (startOffset % budget).cast("long"))
+    // integer floor division (startOffset is non-negative): Column/Int
+    // would promote to double, which is exact only below 2^53 cumulative
+    // tokens and can disagree with the exact integer `%` near that edge
+    df.withColumn("__start_off", startOffset.cast("long"))
+      .withColumn("bin", expr(s"__start_off div $budget"))
+      .withColumn("bin_offset", expr(s"__start_off % $budget"))
+      .drop("__start_off")
   }
 }

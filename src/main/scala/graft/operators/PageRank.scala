@@ -44,10 +44,15 @@ object PageRank {
         .join(ranks.withColumnRenamed("node", "src"), Seq("src"))
         .select(col("dst").as("node"), expr("rank_q DIV outdeg").as("c"))
         .groupBy(col("node")).agg(sum(col("c")).as("in_mass"))
+      // floor(85·m/100) = 85·(m div 100) + (85·(m mod 100)) div 100 for
+      // m ≥ 0: exact, and never forms 85·m — which would silently wrap
+      // Long for hub vertices once total mass (≈ N·1e9) nears 2^63/85
       ranks = nodes
         .join(contrib, Seq("node"), "left")
         .select(col("node"),
-          (lit(150000000L) + expr("85 * coalesce(in_mass, 0L) DIV 100")).as("rank_q"))
+          (lit(150000000L) + expr(
+            "85 * (coalesce(in_mass, 0L) DIV 100) + (85 * (coalesce(in_mass, 0L) % 100)) DIV 100"
+          )).as("rank_q"))
     }
     ranks
   }

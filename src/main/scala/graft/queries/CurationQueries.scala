@@ -149,13 +149,16 @@ object CurationQueries extends QueryGroup {
       tot AS (SELECT sum(q_weight) AS q_total FROM census),
       tgt AS (
         SELECT source, n_docs, q_weight,
-          CAST(200 * q_weight // q_total AS BIGINT) AS target_n
+          CAST(200 * q_weight // q_total AS BIGINT) AS target_n,
+          CAST(CASE WHEN 200 * q_weight // q_total = 0 THEN 0
+               ELSE (200 * q_weight // q_total * 4294967296 - 1) // n_docs + 1
+               END AS BIGINT) AS hash_threshold
         FROM census CROSS JOIN tot),
       samp AS (
         SELECT d.source, CAST(count(*) AS BIGINT) AS n_sampled
         FROM documents d JOIN tgt USING (source)
-        WHERE ((d.doc_id % 2147483648) * 2654435761) % 4294967296 * tgt.n_docs
-              < tgt.target_n * 4294967296
+        WHERE ((d.doc_id % 2147483648) * 2654435761) % 4294967296
+              < tgt.hash_threshold
         GROUP BY d.source)
       SELECT t.source, t.n_docs, t.q_weight, t.target_n,
         CAST(coalesce(s.n_sampled, 0) AS BIGINT) AS n_sampled

@@ -142,8 +142,10 @@ object GraphQueries extends QueryGroup {
     * cross-product ratio (n_ab·N)/(n_a·n_b) — one final division.
     * Scale shape: the (order, brand) set is deduplicated BEFORE the
     * self-join, per-order groups are tiny (no quadratic blowup), brand
-    * marginals are vocabulary-sized broadcasts. N comes from one cheap
-    * count job (a scalar, like TfIdf's corpus size). */
+    * marginals are vocabulary-sized broadcasts. N is a one-row scalar
+    * aggregate broadcast-cross-joined in (the q64 threshold pattern) —
+    * the constructor launches NO jobs; `ob` feeds four consumers, so it
+    * is persisted (lazily) rather than re-derived from the corpus. */
   private val q88 = QueryDef(
     "q88_basket_lift",
     (spark, dir) => {
@@ -152,7 +154,8 @@ object GraphQueries extends QueryGroup {
           col("l_partkey") === col("p_partkey"))
         .select(col("l_orderkey").as("ok"), col("p_brand").as("brand"))
         .distinct()
-      val nOrders = ob.select(col("ok")).distinct().count()
+        .persist()
+      val nOrders = ob.select(col("ok")).distinct().agg(count(lit(1)).as("n_tot"))
       val marg = ob.groupBy(col("brand")).agg(count(lit(1)).as("n"))
       ob.join(ob.withColumnRenamed("brand", "brand_b"), Seq("ok"))
         .filter(col("brand") < col("brand_b"))
@@ -161,8 +164,9 @@ object GraphQueries extends QueryGroup {
         .join(broadcast(marg.select(col("brand").as("brand_a"), col("n").as("n_a"))), Seq("brand_a"))
         .join(broadcast(marg.select(col("brand").as("brand_b"), col("n").as("n_b"))), Seq("brand_b"))
         .filter(col("n_ab") >= 3)
+        .crossJoin(broadcast(nOrders))
         .select(col("brand_a"), col("brand_b"), col("n_ab"), col("n_a"), col("n_b"),
-          ((col("n_ab") * lit(nOrders)).cast("double") / (col("n_a") * col("n_b"))).as("lift"))
+          ((col("n_ab") * col("n_tot")).cast("double") / (col("n_a") * col("n_b"))).as("lift"))
         .orderBy("brand_a", "brand_b")
     },
     Some("""

@@ -141,7 +141,10 @@ object ResolutionQueries extends QueryGroup {
     * longs everywhere, one IEEE expression at the end. Scale shape:
     * the query vector is day-keyed and tiny (broadcast); everything
     * else is per-user hash aggregation — no pairwise user join ever
-    * happens. */
+    * happens. `daily` feeds three consumers (moments, query vector,
+    * Σx·y) so it is persisted lazily and the corpus is scanned once;
+    * the day-span scalar is a broadcast one-row aggregate, not a
+    * driver collect — the constructor launches NO jobs. */
   private val q89 = QueryDef(
     "q89_timeseries_similarity",
     (spark, dir) => {
@@ -150,9 +153,10 @@ object ResolutionQueries extends QueryGroup {
         .select(col("user_id"), epochS(col("ts")).as("ts_s"),
           graft.functions.Deterministic.cents(col("value")).as("vc"))
         .select(col("user_id"), expr("ts_s div 86400").as("day"), col("vc"))
-      val nDays = ev.agg((max(col("day")) - min(col("day")) + 1).as("n"))
-        .collect()(0).getLong(0) // scalar span — one cheap job, a plan literal
       val daily = ev.groupBy(col("user_id"), col("day")).agg(sum(col("vc")).as("v"))
+        .persist()
+      // day span over daily ≡ span over ev (grouping drops no days)
+      val span = daily.agg((max(col("day")) - min(col("day")) + 1).as("n_days"))
       val mom = daily.groupBy(col("user_id"))
         .agg(sum(col("v")).as("sx"), sum(col("v") * col("v")).as("sxx"))
       val qDaily = daily.filter(col("user_id") === 0L).select(col("day"), col("v").as("qv"))
@@ -164,12 +168,13 @@ object ResolutionQueries extends QueryGroup {
       mom.filter(col("user_id") =!= 0L)
         .join(sxy, Seq("user_id"), "left")
         .crossJoin(broadcast(qMom))
+        .crossJoin(broadcast(span))
         .withColumn("sxy0", coalesce(col("sxy"), lit(0L)))
-        .filter(lit(nDays) * col("sxx") - col("sx") * col("sx") > 0)
+        .filter(col("n_days") * col("sxx") - col("sx") * col("sx") > 0)
         .select(col("user_id"),
-          ((d(lit(nDays)) * d(col("sxy0")) - d(col("qsx")) * d(col("sx"))) /
-            sqrt((d(lit(nDays)) * d(col("qsxx")) - d(col("qsx")) * d(col("qsx"))) *
-              (d(lit(nDays)) * d(col("sxx")) - d(col("sx")) * d(col("sx"))))).as("corr"))
+          ((d(col("n_days")) * d(col("sxy0")) - d(col("qsx")) * d(col("sx"))) /
+            sqrt((d(col("n_days")) * d(col("qsxx")) - d(col("qsx")) * d(col("qsx"))) *
+              (d(col("n_days")) * d(col("sxx")) - d(col("sx")) * d(col("sx"))))).as("corr"))
         .orderBy(col("corr").desc, col("user_id"))
         .limit(10)
     },

@@ -179,6 +179,17 @@ class KernelParitySpec extends SparkSpec {
     assert(messages.contains("signature lengths differ"), s"got: $messages")
   }
 
+  test("quantized_cosine fails loudly on mismatched vector lengths") {
+    import spark.implicits._
+    val df = Seq((Seq(1.0f, 2.0f, 3.0f), Seq(1.0f, 2.0f))).toDF("a", "b")
+    val thrown = intercept[Throwable] {
+      df.select(quantized_cosine(col("a"), col("b"))).collect()
+    }
+    val messages = Iterator.iterate(thrown)(_.getCause).takeWhile(_ != null)
+      .map(_.getMessage).mkString(" | ")
+    assert(messages.contains("vector lengths differ"), s"got: $messages")
+  }
+
   test("QuantizedCosine kernel == HOF quantize∘cosine") {
     val e = Tables.embeddings(spark, sfDir).limit(200)
     val a = e.select(col("vec_id").as("id_a"), col("embedding").as("v_a"))

@@ -161,26 +161,28 @@ class ScaleOpsSpec extends SparkSpec {
     // broadcast (threshold off) and AQE's skew splitting unavailable
     // (disabled here), so the plain sort-merge join processes the hot
     // key's 99% of rows in a single straggler task while the salted join
-    // spreads it 8 ways. Compared on the LONGEST TASK duration (the
-    // metric that actually decides job latency on a cluster) — wall
-    // clock on a shared test box is too noisy to assert on.
+    // spreads it 8 ways. Compared on the LARGEST PER-TASK SHUFFLE READ
+    // (records) in the join stage — the deterministic proxy for the
+    // critical-path task: row routing is fixed by hash partitioning, so
+    // unlike task wall-clock this cannot flake on scheduler luck.
     import org.apache.spark.scheduler.{SparkListener, SparkListenerTaskEnd}
     val n = 2000000L
     val large = spark.range(n).select(
       when(pmod(col("id"), lit(100L)) < 99, lit(0L)).otherwise(pmod(col("id"), lit(10000L))).as("k"),
       col("id").as("v"))
     val dim = spark.range(10000L).select(col("id").as("k"), pmod(col("id"), lit(7L)).as("tier"))
-    def maxTaskMs(df: org.apache.spark.sql.DataFrame): (Long, Long) = {
-      val maxMs = new java.util.concurrent.atomic.AtomicLong(0)
+    def maxTaskShuffleRows(df: org.apache.spark.sql.DataFrame): (Long, Long) = {
+      val maxRows = new java.util.concurrent.atomic.AtomicLong(0)
       val listener = new SparkListener {
         override def onTaskEnd(te: SparkListenerTaskEnd): Unit =
-          maxMs.getAndAccumulate(te.taskInfo.duration, math.max)
+          if (te.taskMetrics != null)
+            maxRows.getAndAccumulate(te.taskMetrics.shuffleReadMetrics.recordsRead, math.max)
       }
       spark.sparkContext.addSparkListener(listener)
       try {
         val s = df.agg(sum(col("v") + col("tier"))).head().getLong(0)
         Thread.sleep(1000) // listener bus is async; let task-end events drain
-        (s, maxMs.get())
+        (s, maxRows.get())
       } finally spark.sparkContext.removeSparkListener(listener)
     }
     val prevBroadcast = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
@@ -188,14 +190,17 @@ class ScaleOpsSpec extends SparkSpec {
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
     spark.conf.set("spark.sql.adaptive.enabled", "false")
     try {
-      maxTaskMs(large.join(dim, "k"))                       // warm both paths
-      maxTaskMs(Skew.saltedJoin(large, dim, "k", salts = 8))
-      val (plainSum, plainMax) = maxTaskMs(large.join(dim, "k"))
-      val (saltedSum, saltedMax) = maxTaskMs(Skew.saltedJoin(large, dim, "k", salts = 8))
-      info(s"longest task: plain ${plainMax} ms vs salted ${saltedMax} ms")
+      val (plainSum, plainMax) = maxTaskShuffleRows(large.join(dim, "k"))
+      val (saltedSum, saltedMax) = maxTaskShuffleRows(Skew.saltedJoin(large, dim, "k", salts = 8))
+      info(s"max task shuffle read: plain ${plainMax} rows vs salted ${saltedMax} rows")
       assert(plainSum === saltedSum)
-      assert(saltedMax < plainMax,
-        s"salted longest task ($saltedMax ms) should beat plain ($plainMax ms) on 99%-hot key")
+      // plain: one task reads the hot key's ~1.98M rows; salted: the hot
+      // key spreads over 8 salt groups. Murmur3 routing packs 3 of the 8
+      // groups into one partition here (observed 2.6× spread) — assert
+      // ≥2×, which the deterministic routing always clears
+      assert(plainMax >= (n * 99 / 100))
+      assert(saltedMax <= plainMax / 2,
+        s"salted max task read ($saltedMax rows) should spread plain's ($plainMax rows) ≥2× on 99%-hot key")
     } finally {
       spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevBroadcast)
       spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
