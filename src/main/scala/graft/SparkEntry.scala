@@ -24,7 +24,9 @@ object SparkEntry {
     CurationQueries,
     GraphQueries,
     ResolutionQueries,
-    AuditQueries)
+    AuditQueries,
+    SegmentQueries,
+    SweepQueries)
 
   private lazy val all: Seq[QueryDef] = groups.flatMap(_.defs)
 
