@@ -26,7 +26,8 @@ object SparkEntry {
     ResolutionQueries,
     AuditQueries,
     SegmentQueries,
-    SweepQueries)
+    SweepQueries,
+    IntervalQueries)
 
   private lazy val all: Seq[QueryDef] = groups.flatMap(_.defs)
 

@@ -1,0 +1,182 @@
+package graft.queries
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** Round-4 temporal/statistical operators: interval-interval overlap
+  * join (the generalization of q43's point-in-interval), calendar-spine
+  * densification (gap filling), and exact-percentile winsorization.
+  */
+object IntervalQueries extends QueryGroup {
+
+  /** Interval-interval overlap self-join: pairs of orders by the SAME
+    * customer whose 7-day fulfillment windows overlap — the temporal
+    * theta join (a.s ≤ b.e AND b.s ≤ a.e) rewritten as an equi-join:
+    * each interval explodes to the ≤2 week-bins it covers, candidates
+    * meet on (customer, bin), the exact predicate filters residually,
+    * and duplicates from intervals sharing two bins are struck. The
+    * ORACLE is deliberately the naive theta self-join the rewrite
+    * replaces. Scale shape: candidate count is bounded by co-bin
+    * occupancy (bin width = interval span), never |orders|²; no
+    * nested-loop join appears in the plan. */
+  private val q98 = QueryDef(
+    "q98_interval_overlap_join",
+    (spark, dir) => {
+      import graft.functions.Deterministic.epochS
+      val o = Tables.orders(spark, dir)
+        .select(col("o_orderkey").as("k"), col("o_custkey").as("c"),
+          (epochS(col("o_orderdate")) / 86400).cast("long").as("s"))
+        .withColumn("e", col("s") + 6)
+      val binned = o.select(col("k"), col("c"), col("s"), col("e"),
+        explode(sequence(expr("s div 7"), expr("e div 7"))).as("bin"))
+      binned
+        .join(binned.select(col("c"), col("bin"), col("k").as("k2"),
+          col("s").as("s2"), col("e").as("e2")), Seq("c", "bin"))
+        .filter(col("k") < col("k2") && col("s") <= col("e2") && col("s2") <= col("e"))
+        .select(col("c").as("custkey"), col("k").as("order_a"), col("k2").as("order_b"),
+          col("s"), col("e"), col("s2"), col("e2"))
+        .distinct()
+        .select(col("custkey"), col("order_a"), col("order_b"),
+          (least(col("e"), col("e2")) - greatest(col("s"), col("s2")) + 1)
+            .as("overlap_days"))
+        .orderBy("custkey", "order_a", "order_b")
+    },
+    Some("""
+      WITH o AS (
+        SELECT o_orderkey AS k, o_custkey AS c,
+          CAST(epoch_ms(o_orderdate) // 1000 // 86400 AS BIGINT) AS s
+        FROM orders),
+      i AS (SELECT k, c, s, s + 6 AS e FROM o)
+      SELECT a.c AS custkey, a.k AS order_a, b.k AS order_b,
+        least(a.e, b.e) - greatest(a.s, b.s) + 1 AS overlap_days
+      FROM i a JOIN i b
+        ON a.c = b.c AND a.k < b.k AND a.s <= b.e AND b.s <= a.e
+      ORDER BY custkey, order_a, order_b
+    """))
+
+  /** Calendar-spine densification: daily 1995 revenue per region with
+    * missing days materialized as zero — the gap-filling pass that
+    * makes downstream window/rolling math see a complete series. The
+    * spine is generated, not scanned: the 25-row region×nation side
+    * explodes a literal day sequence (365 rows each), the fact side is
+    * one grouped aggregation of the date-pruned orders scan, and the
+    * fill is a left join of spine onto facts — never a cross join of
+    * one-row relations, never a scan of days that do not exist.
+    * Revenue folds exact integer cents. */
+  private val q99 = QueryDef(
+    "q99_calendar_densify",
+    (spark, dir) => {
+      import graft.functions.Deterministic.{cents, epochS}
+      val d0 = 9131L // 1995-01-01 as epoch days
+      val d1 = 9495L // 1995-12-31
+      val custRegion = Tables.customer(spark, dir)
+        .select(col("c_custkey"), col("c_nationkey"))
+        .join(broadcast(Tables.nation(spark, dir)
+          .select(col("n_nationkey"), col("n_regionkey"))),
+          col("c_nationkey") === col("n_nationkey"))
+      val daily = Tables.orders(spark, dir)
+        .filter(col("o_orderdate") >= "1995-01-01" && col("o_orderdate") < "1996-01-01")
+        .select(col("o_custkey"), (epochS(col("o_orderdate")) / 86400).cast("long").as("day"),
+          cents(col("o_totalprice")).as("vc"))
+        .join(custRegion, col("o_custkey") === col("c_custkey"))
+        .groupBy(col("n_regionkey").as("r_regionkey"), col("day"))
+        .agg(sum(col("vc")).as("rev_cents"), count(lit(1)).as("n_orders"))
+      Tables.region(spark, dir)
+        .select(col("r_regionkey"), col("r_name"),
+          explode(sequence(lit(d0), lit(d1))).as("day"))
+        .join(daily, Seq("r_regionkey", "day"), "left")
+        .select(col("r_name"), col("day"),
+          coalesce(col("rev_cents"), lit(0L)).as("rev_cents"),
+          coalesce(col("n_orders"), lit(0L)).as("n_orders"))
+        .orderBy("r_name", "day")
+    },
+    Some("""
+      WITH spine AS (
+        SELECT r_regionkey, r_name, CAST(d AS BIGINT) AS day
+        FROM region, LATERAL (SELECT unnest(range(9131, 9496)) AS d) x),
+      daily AS (
+        SELECT n.n_regionkey,
+          CAST(epoch_ms(o.o_orderdate) // 1000 // 86400 AS BIGINT) AS day,
+          CAST(sum(CAST(floor(o.o_totalprice*100 + 0.5) AS BIGINT)) AS BIGINT) AS rev_cents,
+          CAST(count(*) AS BIGINT) AS n_orders
+        FROM orders o
+        JOIN customer c ON o.o_custkey = c.c_custkey
+        JOIN nation n ON c.c_nationkey = n.n_nationkey
+        WHERE o.o_orderdate >= TIMESTAMP '1995-01-01'
+          AND o.o_orderdate < TIMESTAMP '1996-01-01'
+        GROUP BY 1, 2)
+      SELECT s.r_name, s.day,
+        coalesce(d.rev_cents, 0) AS rev_cents,
+        coalesce(d.n_orders, 0) AS n_orders
+      FROM spine s LEFT JOIN daily d
+        ON s.r_regionkey = d.n_regionkey AND s.day = d.day
+      ORDER BY s.r_name, s.day
+    """))
+
+  /** Exact-percentile winsorization: clip each lineitem price to its
+    * return-flag group's [P5, P95], where the percentiles are EXACT and
+    * integer-derived — computed from the (group, cents) histogram under
+    * a cumulative window (the window touches histogram bins, never
+    * rows), with the discrete-percentile test cum·100 ≥ p·n done in
+    * 64-bit integers so both engines flag the same bin. Thresholds
+    * broadcast back onto the scan; the clipped re-aggregation is one
+    * more hash agg. The robust-statistics companion to q81's outlier
+    * flagging: q81 finds the tails, this one caps them. */
+  private val q100 = QueryDef(
+    "q100_winsorize",
+    (spark, dir) => {
+      import graft.functions.Deterministic.cents
+      val base = Tables.lineitem(spark, dir)
+        .select(col("l_returnflag").as("g"), cents(col("l_extendedprice")).as("x"))
+      val hist = base.groupBy(col("g"), col("x")).agg(count(lit(1)).as("cnt"))
+      val wCum = Window.partitionBy(col("g")).orderBy(col("x"))
+      val wAll = Window.partitionBy(col("g"))
+      val marked = hist
+        .withColumn("cum", sum(col("cnt")).over(wCum))
+        .withColumn("n", sum(col("cnt")).over(wAll))
+      val thresholds = marked
+        .groupBy(col("g"))
+        .agg(min(when(col("cum") * 100 >= lit(5) * col("n"), col("x"))).as("p05"),
+          min(when(col("cum") * 100 >= lit(95) * col("n"), col("x"))).as("p95"))
+      base
+        .join(broadcast(thresholds), Seq("g"))
+        .select(col("g"), col("p05"), col("p95"),
+          least(greatest(col("x"), col("p05")), col("p95")).as("clipped"),
+          when(col("x") < col("p05"), 1L).otherwise(0L).as("lo"),
+          when(col("x") > col("p95"), 1L).otherwise(0L).as("hi"))
+        .groupBy(col("g"), col("p05"), col("p95"))
+        .agg(count(lit(1)).as("n"), sum(col("clipped")).as("sum_clipped_cents"),
+          sum(col("lo")).as("n_clipped_low"), sum(col("hi")).as("n_clipped_high"))
+        .select(col("g").as("returnflag"), col("n"), col("p05"), col("p95"),
+          col("sum_clipped_cents"), col("n_clipped_low"), col("n_clipped_high"))
+        .orderBy("returnflag")
+    },
+    Some("""
+      WITH b AS (
+        SELECT l_returnflag AS g,
+          CAST(floor(l_extendedprice*100 + 0.5) AS BIGINT) AS x
+        FROM lineitem),
+      hist AS (SELECT g, x, CAST(count(*) AS BIGINT) AS cnt FROM b GROUP BY g, x),
+      m AS (
+        SELECT g, x, cnt,
+          CAST(sum(cnt) OVER (PARTITION BY g ORDER BY x) AS BIGINT) AS cum,
+          CAST(sum(cnt) OVER (PARTITION BY g) AS BIGINT) AS n
+        FROM hist),
+      t AS (
+        SELECT g,
+          min(CASE WHEN cum * 100 >= 5 * n THEN x END) AS p05,
+          min(CASE WHEN cum * 100 >= 95 * n THEN x END) AS p95
+        FROM m GROUP BY g)
+      SELECT b.g AS returnflag, CAST(count(*) AS BIGINT) AS n, t.p05, t.p95,
+        CAST(sum(least(greatest(b.x, t.p05), t.p95)) AS BIGINT) AS sum_clipped_cents,
+        CAST(count(*) FILTER (b.x < t.p05) AS BIGINT) AS n_clipped_low,
+        CAST(count(*) FILTER (b.x > t.p95) AS BIGINT) AS n_clipped_high
+      FROM b JOIN t ON b.g = t.g
+      GROUP BY b.g, t.p05, t.p95
+      ORDER BY returnflag
+    """))
+
+  def defs: Seq[QueryDef] = Seq(q98, q99, q100)
+}
