@@ -27,7 +27,8 @@ object SparkEntry {
     AuditQueries,
     SegmentQueries,
     SweepQueries,
-    IntervalQueries)
+    IntervalQueries,
+    QuantQueries)
 
   private lazy val all: Seq[QueryDef] = groups.flatMap(_.defs)
 

@@ -178,5 +178,46 @@ object IntervalQueries extends QueryGroup {
       ORDER BY returnflag
     """))
 
-  def defs: Seq[QueryDef] = Seq(q98, q99, q100)
+  /** SCD Type-2 dimension build: a keyed changelog (purchase events per
+    * user) becomes a versioned dimension — each change opens a validity
+    * interval [ts, next-change ts), the latest version stays open
+    * (null valid_to, is_current). One window pass ordered WITHIN each
+    * key (never globally): lead() closes the interval, row_number()
+    * stamps the version — the point-in-time-correct dimension an as-of
+    * join (q42) then queries. Key-pruned to users < 20 and the
+    * predicate reaches the scan. */
+  private val q101 = QueryDef(
+    "q101_scd2_dimension_build",
+    (spark, dir) => {
+      import graft.functions.Deterministic.{cents, epochS}
+      val w = Window.partitionBy(col("key")).orderBy(col("valid_from_s"), col("event_id"))
+      Tables.events(spark, dir)
+        .filter(col("event_type") === "purchase" && col("user_id") < 20)
+        .select(col("user_id").as("key"), epochS(col("ts")).as("valid_from_s"),
+          col("event_id"), cents(col("value")).as("val_cents"))
+        .withColumn("version", row_number().over(w).cast("long"))
+        .withColumn("valid_to_s", lead(col("valid_from_s"), 1).over(w))
+        .select(col("key"), col("version"), col("valid_from_s"), col("valid_to_s"),
+          col("val_cents"), col("valid_to_s").isNull.as("is_current"))
+        .orderBy("key", "version")
+    },
+    Some("""
+      WITH ch AS (
+        SELECT user_id AS key,
+          CAST(epoch_ms(ts) // 1000 AS BIGINT) AS valid_from_s,
+          event_id,
+          CAST(floor(value*100 + 0.5) AS BIGINT) AS val_cents
+        FROM events WHERE event_type = 'purchase' AND user_id < 20)
+      SELECT key,
+        CAST(row_number() OVER w AS BIGINT) AS version,
+        valid_from_s,
+        lead(valid_from_s, 1) OVER w AS valid_to_s,
+        val_cents,
+        lead(valid_from_s, 1) OVER w IS NULL AS is_current
+      FROM ch
+      WINDOW w AS (PARTITION BY key ORDER BY valid_from_s, event_id)
+      ORDER BY key, version
+    """))
+
+  def defs: Seq[QueryDef] = Seq(q98, q99, q100, q101)
 }

@@ -1,0 +1,81 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** Round-4 embedding-compression operator: int8 scalar quantization,
+  * the standard memory-shrink for ANN serving (4× smaller than float32,
+  * distance-preserving enough for recall@k).
+  */
+object QuantQueries extends QueryGroup {
+
+  /** Int8 scalar quantization of the embedding corpus: per-dimension
+    * [min, max] over the corpus define each dimension's affine code
+    * scale; every vector quantizes to codes floor((x−mn)·255/(mx−mn)
+    * + 0.5) ∈ [0, 255]. Output: per-vector code summary (sum, extremes,
+    * saturation counts) — all integers once quantized, so the result is
+    * bit-exact across engines while the per-element math stays the same
+    * IEEE double op sequence on both sides.
+    *
+    * Scale shape: the stats side explodes to (dim, value) but the
+    * per-dimension min/max partial-aggregate collapses it to dim-many
+    * rows per partition BEFORE the shuffle; the one-row (mins, maxs)
+    * arrays then broadcast-cross-join onto the corpus scan (the q64
+    * threshold pattern) and quantization runs as a narrow higher-order
+    * transform — the corpus is scanned once, never exploded, and no
+    * driver collect builds the codebook. Constant dimensions
+    * (mx = mn) quantize to 0 rather than dividing by zero. */
+  private val q102 = QueryDef(
+    "q102_int8_quantization",
+    (spark, dir) => {
+      val emb = Tables.embeddings(spark, dir)
+      val stats = emb
+        .select(posexplode(col("embedding")).as(Seq("dim", "v")))
+        .groupBy(col("dim"))
+        .agg(min(col("v").cast("double")).as("mn"), max(col("v").cast("double")).as("mx"))
+        .agg(sort_array(collect_list(struct(col("dim"), col("mn")))).as("amn"),
+          sort_array(collect_list(struct(col("dim"), col("mx")))).as("amx"))
+        .select(expr("transform(amn, x -> x.mn)").as("mns"),
+          expr("transform(amx, x -> x.mx)").as("mxs"))
+      emb
+        .crossJoin(broadcast(stats))
+        .select(col("vec_id"), expr("""
+          transform(sequence(1, size(embedding)), i ->
+            CASE WHEN mxs[i-1] = mns[i-1] THEN 0L
+                 ELSE CAST(floor((CAST(element_at(embedding, i) AS DOUBLE) - mns[i-1])
+                        * 255.0D / (mxs[i-1] - mns[i-1]) + 0.5D) AS LONG) END)
+          """).as("codes"))
+        .select(col("vec_id"),
+          expr("aggregate(codes, 0L, (a, c) -> a + c)").as("code_sum"),
+          expr("array_min(codes)").as("code_min"),
+          expr("array_max(codes)").as("code_max"),
+          expr("CAST(size(filter(codes, c -> c = 0)) AS LONG)").as("n_lo_sat"),
+          expr("CAST(size(filter(codes, c -> c = 255)) AS LONG)").as("n_hi_sat"))
+        .orderBy("vec_id")
+    },
+    Some("""
+      WITH ex AS (
+        SELECT CAST(d.i AS INTEGER) AS dim, CAST(embedding[d.i] AS DOUBLE) AS v
+        FROM embeddings, LATERAL (SELECT unnest(range(1, len(embedding)+1)) AS i) d),
+      st AS (SELECT dim, min(v) AS mn, max(v) AS mx FROM ex GROUP BY dim),
+      packed AS (
+        SELECT list(mn ORDER BY dim) AS mns, list(mx ORDER BY dim) AS mxs FROM st),
+      codes AS (
+        SELECT e.vec_id,
+          list_transform(range(1, len(e.embedding)+1), i ->
+            CASE WHEN p.mxs[i] = p.mns[i] THEN 0
+                 ELSE CAST(floor((CAST(e.embedding[i] AS DOUBLE) - p.mns[i])
+                        * 255.0 / (p.mxs[i] - p.mns[i]) + 0.5) AS BIGINT) END) AS c
+        FROM embeddings e CROSS JOIN packed p)
+      SELECT vec_id,
+        CAST(list_sum(c) AS BIGINT) AS code_sum,
+        CAST(list_min(c) AS BIGINT) AS code_min,
+        CAST(list_max(c) AS BIGINT) AS code_max,
+        CAST(len(list_filter(c, x -> x = 0)) AS BIGINT) AS n_lo_sat,
+        CAST(len(list_filter(c, x -> x = 255)) AS BIGINT) AS n_hi_sat
+      FROM codes ORDER BY vec_id
+    """))
+
+  def defs: Seq[QueryDef] = Seq(q102)
+}

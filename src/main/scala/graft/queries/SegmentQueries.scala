@@ -135,16 +135,19 @@ object SegmentQueries extends QueryGroup {
 
   /** Padding-minimizing inference batching: bucket documents by token
     * length (width-16 buckets), form fixed-size batches of 8 inside
-    * each bucket in (length, doc_id) order, and report each batch's
-    * padding waste — the tokens burned padding shorter members up to
-    * the batch max. The complement of `operators.Packing` (which
-    * concatenates for training; this groups similar lengths for
+    * each (bucket, shard) cell in (length, doc_id) order, and report
+    * each batch's padding waste — the tokens burned padding shorter
+    * members up to the batch max. The complement of `operators.Packing`
+    * (which concatenates for training; this groups similar lengths for
     * serving).
     *
-    * Scale shape: the only ordered operation is a row_number WITHIN a
-    * length bucket — there are O(maxLen/16) buckets, each fills
-    * independently, and nothing is globally sorted. The per-batch stats
-    * are one hash aggregation. */
+    * Scale shape: batching needs LOCAL order, not global — so like
+    * Packing, each length bucket is split into deterministic hash
+    * shards (`doc_id % nShards`) and the row_number runs within a
+    * (bucket, shard) cell. A popular length bucket holding billions of
+    * documents never lands on one task; the shard count is the
+    * parallelism dial, and padding quality is unaffected because every
+    * member of a cell is already within 16 tokens of its batch-mates. */
   private val q94 = QueryDef(
     "q94_length_bucketed_batching",
     (spark, dir) => {
@@ -152,15 +155,18 @@ object SegmentQueries extends QueryGroup {
         .select(col("doc_id"),
           TextFunctions.tokenCount(col("text")).cast("long").as("n_tok"))
         .withColumn("bucket", expr("n_tok div 16"))
+        .withColumn("shard", expr("doc_id % 4"))
       d.withColumn("rn", row_number().over(
-          Window.partitionBy(col("bucket")).orderBy(col("n_tok"), col("doc_id"))))
+          Window.partitionBy(col("bucket"), col("shard"))
+            .orderBy(col("n_tok"), col("doc_id"))))
         .withColumn("batch", expr("(rn-1) div 8"))
-        .groupBy(col("bucket"), col("batch"))
+        .groupBy(col("bucket"), col("shard"), col("batch"))
         .agg(count(lit(1)).as("n_docs"), max(col("n_tok")).as("max_len"),
           sum(col("n_tok")).as("sum_tok"))
-        .select(col("bucket"), col("batch"), col("n_docs"), col("max_len"),
+        .select(col("bucket"), col("shard"), col("batch"), col("n_docs"),
+          col("max_len"),
           (col("max_len") * col("n_docs") - col("sum_tok")).as("pad_waste"))
-        .orderBy("bucket", "batch")
+        .orderBy("bucket", "shard", "batch")
     },
     Some("""
       WITH d AS (
@@ -168,13 +174,14 @@ object SegmentQueries extends QueryGroup {
           CAST(len(list_filter(str_split(text, ' '), t -> len(t) > 0)) AS BIGINT) AS n_tok
         FROM documents),
       b AS (
-        SELECT doc_id, n_tok, n_tok // 16 AS bucket,
-          (row_number() OVER (PARTITION BY n_tok // 16 ORDER BY n_tok, doc_id) - 1) // 8 AS batch
+        SELECT doc_id, n_tok, n_tok // 16 AS bucket, doc_id % 4 AS shard,
+          (row_number() OVER (PARTITION BY n_tok // 16, doc_id % 4
+             ORDER BY n_tok, doc_id) - 1) // 8 AS batch
         FROM d)
-      SELECT bucket, batch, CAST(count(*) AS BIGINT) AS n_docs,
+      SELECT bucket, shard, batch, CAST(count(*) AS BIGINT) AS n_docs,
         max(n_tok) AS max_len,
         CAST(max(n_tok)*count(*) - sum(n_tok) AS BIGINT) AS pad_waste
-      FROM b GROUP BY bucket, batch ORDER BY bucket, batch
+      FROM b GROUP BY bucket, shard, batch ORDER BY bucket, shard, batch
     """))
 
   def defs: Seq[QueryDef] = Seq(q92, q93, q94)

@@ -96,12 +96,21 @@ object SweepQueries extends QueryGroup {
     * interval; the classic +1/-1 delta stream under a running sum gives
     * the live-interval count at every boundary, and the per-type max is
     * the answer ("how many sessions were open at once"). The RANGE
-    * default frame makes same-instant starts and ends commute, so the
-    * result is tie-order independent — deterministic across engines and
-    * partitionings. Scale shape: the window partitions by event_type
-    * (never a global sort) and the input is two narrow projections of
-    * one scan; the naive alternative — a self-join testing interval
-    * overlap — is quadratic and never built. */
+    * frames make same-instant starts and ends commute, so the result is
+    * tie-order independent — deterministic across engines and
+    * partitionings.
+    *
+    * Scale shape: a single running sum per event_type would funnel each
+    * type through ONE task (there are only a handful of types), so the
+    * prefix sum is computed in the standard two-level distributed form:
+    * (1) running sums WITHIN each (type, day) chunk — thousands of
+    * independent partitions; (2) per-chunk totals prefix-summed across
+    * days, a window over the chunk-count-sized aggregate only; (3) the
+    * day offset added back to every in-day running value. The ORACLE is
+    * deliberately the naive single-partition window the two-level form
+    * replaces, proving the decomposition exact. The naive alternative —
+    * a self-join testing interval overlap — is quadratic and never
+    * built. */
   private val q96 = QueryDef(
     "q96_peak_concurrency",
     (spark, dir) => {
@@ -111,15 +120,37 @@ object SweepQueries extends QueryGroup {
       val deltas = ev.select(col("event_type"), col("t"), lit(1L).as("delta"))
         .union(ev.select(col("event_type"), (col("t") + 300).as("t"),
           lit(-1L).as("delta")))
-      val run = sum(col("delta")).over(
-        Window.partitionBy(col("event_type")).orderBy(col("t")))
-      val withRun = deltas.withColumn("live", run)
-        .withColumn("peak", max(col("live")).over(
+        .withColumn("day", expr("t div 86400"))
+      // (1) intra-chunk running sums — partitioned by (type, day)
+      val intra = deltas.withColumn("run_in_day", sum(col("delta")).over(
+        Window.partitionBy(col("event_type"), col("day")).orderBy(col("t"))))
+      // (2) chunk totals, prefix-summed across days (chunk-sized data)
+      val offsets = deltas
+        .groupBy(col("event_type"), col("day"))
+        .agg(sum(col("delta")).as("day_sum"))
+        .withColumn("day_offset",
+          coalesce(sum(col("day_sum")).over(
+            Window.partitionBy(col("event_type")).orderBy(col("day"))
+              .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+        .select(col("event_type"), col("day"), col("day_offset"))
+      // (3) recombine, reduce to per-(type, day) peaks row-locally, then
+      // resolve the per-type peak over the day-level aggregate only —
+      // no row-level window ever partitions by type alone
+      val live = intra.join(offsets, Seq("event_type", "day"))
+        .withColumn("live", col("day_offset") + col("run_in_day"))
+      val perDay = live
+        .withColumn("day_peak", max(col("live")).over(
+          Window.partitionBy(col("event_type"), col("day"))))
+        .filter(col("live") === col("day_peak"))
+        .groupBy(col("event_type"), col("day"))
+        .agg(max(col("live")).as("day_peak"), min(col("t")).as("first_t"))
+      perDay
+        .withColumn("peak", max(col("day_peak")).over(
           Window.partitionBy(col("event_type"))))
-      withRun
+        .filter(col("day_peak") === col("peak"))
         .groupBy(col("event_type"))
-        .agg(max(col("live")).as("peak_concurrency"),
-          min(when(col("live") === col("peak"), col("t"))).as("first_peak_at_s"))
+        .agg(max(col("day_peak")).as("peak_concurrency"),
+          min(col("first_t")).as("first_peak_at_s"))
         .orderBy("event_type")
     },
     Some("""

@@ -109,6 +109,18 @@ object Pipelines {
         """),
         joinType)
 
+  /** Stream-static enrichment join: every micro-batch of the stream
+    * joins a STATIC dimension on `key`. The static side is re-planned
+    * per micro-batch (so a refreshed dimension snapshot is picked up on
+    * the next trigger) and explicitly broadcast — reference-data
+    * enrichment must never shuffle the stream. Unlike stream-stream
+    * joins this holds NO join state: unmatched stream rows emit
+    * immediately with nulls (left join), so it composes with any
+    * downstream watermarked aggregation. */
+  def enrichedStream(stream: DataFrame, dim: DataFrame,
+                     key: String): DataFrame =
+    stream.join(broadcast(dim), Seq(key), "left")
+
   /** foreachBatch sink: each micro-batch handed to arbitrary batch logic
     * (upserts, multi-table writes, dedup-merge) with exactly-once
     * batchIds — the production escape hatch when no built-in sink fits. */

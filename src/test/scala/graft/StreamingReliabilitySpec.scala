@@ -136,6 +136,44 @@ class StreamingReliabilitySpec extends SparkSpec {
     } finally query.stop()
   }
 
+  test("stream-static enrichment join: broadcast dim, no state, nulls pass through") {
+    import spark.implicits._
+    val input = MemoryStream[OrderEvent](spark)
+    val dim = Seq(("Electronics", "Tech", 0.12), ("Clothing", "Apparel", 0.35))
+      .toDF("category", "department", "margin")
+    val enriched = Pipelines.enrichedStream(input.toDF(), dim, "category")
+      .select(col("order_id"), col("department"), col("margin"))
+    val query = enriched.writeStream.format("memory").queryName("ss_enrich")
+      .outputMode("append").start()
+    try {
+      input.addData(evt(1, "2024-01-01 10:00:00"), evt(2, "2024-01-01 10:00:01"))
+      query.processAllAvailable()
+      val got = spark.table("ss_enrich")
+        .as[(String, String, Double)].collect().sortBy(_._1).toSeq
+      // every Electronics order enriched in the same micro-batch — no
+      // waiting on watermarks, no join state held between batches
+      assert(got === Seq(("o1", "Tech", 0.12), ("o2", "Tech", 0.12)))
+      assert(query.lastProgress == null ||
+        query.lastProgress.stateOperators.isEmpty,
+        "stream-static join must hold no state store")
+    } finally query.stop()
+
+    // unmatched categories flow through with nulls (left join) — the
+    // stream never blocks on incomplete reference data
+    val input2 = MemoryStream[OrderEvent](spark)
+    val enriched2 = Pipelines.enrichedStream(
+      input2.toDF().withColumn("category", lit("Garden")), dim, "category")
+      .select(col("order_id"), col("department"))
+    val q2 = enriched2.writeStream.format("memory").queryName("ss_enrich2")
+      .outputMode("append").start()
+    try {
+      input2.addData(evt(7, "2024-01-01 10:00:00"))
+      q2.processAllAvailable()
+      val row = spark.table("ss_enrich2").collect().head
+      assert(row.getString(0) === "o7" && row.isNullAt(1))
+    } finally q2.stop()
+  }
+
   test("foreachBatch sink delivers every row exactly once with batch ids") {
     import spark.implicits._
     val input = MemoryStream[OrderEvent](spark)
