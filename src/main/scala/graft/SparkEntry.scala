@@ -28,7 +28,9 @@ object SparkEntry {
     SegmentQueries,
     SweepQueries,
     IntervalQueries,
-    QuantQueries)
+    QuantQueries,
+    TrainPrepQueries,
+    FeatureQueries)
 
   private lazy val all: Seq[QueryDef] = groups.flatMap(_.defs)
 
