@@ -30,7 +30,8 @@ object SparkEntry {
     IntervalQueries,
     QuantQueries,
     TrainPrepQueries,
-    FeatureQueries)
+    FeatureQueries,
+    MiningQueries)
 
   private lazy val all: Seq[QueryDef] = groups.flatMap(_.defs)
 

@@ -73,6 +73,60 @@ object GraphQueries extends QueryGroup {
       ORDER BY cluster, vec_a, vec_b
     """))
 
+  /** Hard-negative mining for contrastive training: for every anchor
+    * vector, the 2 most-similar vectors with a DIFFERENT label — the
+    * near-misses a contrastive loss learns the most from. Candidates are
+    * restricted to the anchor's learned IVF cell (q74's cluster-then-
+    * compare recipe), so the search is O(Σ cell²), never corpus².
+    *
+    * Scale shape: one equi-join on the cell key, quantized-cosine
+    * scoring in a codegen'd kernel, per-anchor top-2 via a window
+    * bounded by cell size. At larger corpora the same cell-size caps as
+    * q74 apply (capped cells: deterministic drop, loud in the output
+    * count). */
+  private val q113 = QueryDef(
+    "q113_hard_negative_mining",
+    (spark, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val emb = Tables.embeddings(spark, dir)
+      val (assignments, _) = Ivf.build(emb, "vec_id", "embedding", k = 8)
+      val withLabel = assignments
+        .join(emb.select(col("vec_id").as("id"), col("label")), Seq("id"))
+      val a = withLabel.select(col("cluster"), col("id").as("anchor"),
+        col("vec").as("a_vec"), col("label").as("a_label"))
+      val b = withLabel.select(col("cluster"), col("id").as("neg_id"),
+        col("vec").as("n_vec"), col("label").as("neg_label"))
+      val w = Window.partitionBy(col("anchor"))
+        .orderBy(col("cos_q").desc, col("neg_id"))
+      a.join(b, Seq("cluster"))
+        .filter(col("a_label") =!= col("neg_label"))
+        .withColumn("cos_q",
+          graft.functions.expressions.quantized_cosine(col("a_vec"), col("n_vec")))
+        .withColumn("rk", row_number().over(w).cast("long"))
+        .filter(col("rk") <= 2)
+        .select(col("anchor"), col("rk"), col("neg_id"), col("neg_label"),
+          col("cos_q"))
+        .orderBy("anchor", "rk")
+    },
+    Some(s"""
+      WITH $duckIvfAssigned,
+      lab AS (
+        SELECT a.id, a.qv, a.cluster, e.label,
+          CAST(list_sum(list_transform(a.qv, x -> x*x)) AS BIGINT) AS nsq
+        FROM assigned a JOIN embeddings e ON a.id = e.vec_id),
+      p AS (
+        SELECT a.id AS anchor, b.id AS neg_id, b.label AS neg_label,
+          CAST(list_sum(list_transform(range(1, 65), i -> a.qv[i]*b.qv[i])) AS DOUBLE)
+            / sqrt(CAST(a.nsq AS DOUBLE) * CAST(b.nsq AS DOUBLE)) AS cos_q
+        FROM lab a JOIN lab b ON a.cluster = b.cluster AND a.label <> b.label),
+      sel AS (
+        SELECT anchor, neg_id, neg_label, cos_q,
+          row_number() OVER (PARTITION BY anchor ORDER BY cos_q DESC, neg_id) AS rk
+        FROM p)
+      SELECT anchor, CAST(rk AS BIGINT) AS rk, neg_id, neg_label, cos_q
+      FROM sel WHERE rk <= 2 ORDER BY anchor, rk
+    """))
+
   /** PageRank over the co-supply graph (suppliers that served the same
     * order, both directions), 3 damped power iterations in exact
     * integer arithmetic (graft.operators.PageRank) — bit-identical at
@@ -189,5 +243,5 @@ object GraphQueries extends QueryGroup {
       ORDER BY brand_a, brand_b
     """))
 
-  def defs: Seq[QueryDef] = Seq(q74, q75, q88)
+  def defs: Seq[QueryDef] = Seq(q74, q75, q88, q113)
 }

@@ -37,7 +37,8 @@ class QueriesSmokeSpec extends SparkSpec {
     "q25_knn_bruteforce", "q32_ivf_ann_topk", "q50_lsh_ann_topk",
     "q64_quality_threshold", "q72_time_decay", "q82_decile_binning",
     "q88_basket_lift", "q89_timeseries_similarity", "q102_int8_quantization",
-    "q107_negative_sampling")
+    "q107_negative_sampling", "q111_cooccurrence_lift",
+    "q112_range_partition_plan")
 
   test("plan hygiene: no cartesian products, no unsanctioned nested loops") {
     for ((name, fn) <- SparkEntry.queries.toSeq.sortBy(_._1)) {
