@@ -31,7 +31,9 @@ object SparkEntry {
     QuantQueries,
     TrainPrepQueries,
     FeatureQueries,
-    MiningQueries)
+    MiningQueries,
+    BehaviorQueries,
+    DriftQueries)
 
   private lazy val all: Seq[QueryDef] = groups.flatMap(_.defs)
 

@@ -1,0 +1,209 @@
+package graft.queries
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.functions.Deterministic.{cents, epochS}
+
+/** Round-4 user/customer behavior analytics: ordered event funnels,
+  * histogram-quartile RFM segmentation, and revenue-concentration (Gini)
+  * measurement. All arithmetic is exact-integer (or decimal(38,0) where
+  * 64-bit products could wrap at the 100 TB design point), so the DuckDB
+  * oracle reproduces every byte.
+  */
+object BehaviorQueries extends QueryGroup {
+
+  /** Strictly-ordered conversion funnel view → click → purchase: a user
+    * counts for a stage only if the stage's event happens AFTER their
+    * first event of the previous stage. Timestamps compare at second
+    * resolution (epoch seconds) so nanosecond-vs-microsecond reader
+    * truncation can't flip a comparison between engines.
+    *
+    * Scale shape: three conditional-min aggregations keyed on user_id.
+    * Each stage is one pushed-down event_type scan + one keyed shuffle,
+    * and stages 2/3 join against the (user, first_ts) table from the
+    * previous stage — co-partitioned on the same key, so the exchanges
+    * reuse partitioning. The final stage counts are one-row aggregates
+    * combined by broadcast (never a driver collect). */
+  private val q115 = QueryDef(
+    "q115_event_funnel",
+    (spark, dir) => {
+      val e = Tables.events(spark, dir)
+        .select(col("user_id"), col("event_type"), epochS(col("ts")).as("ts_s"))
+      val v = e.filter(col("event_type") === "view")
+        .groupBy(col("user_id")).agg(min(col("ts_s")).as("t1"))
+      val c = e.filter(col("event_type") === "click").join(v, Seq("user_id"))
+        .filter(col("ts_s") > col("t1"))
+        .groupBy(col("user_id")).agg(min(col("ts_s")).as("t2"))
+      val p = e.filter(col("event_type") === "purchase").join(c, Seq("user_id"))
+        .filter(col("ts_s") > col("t2"))
+        .groupBy(col("user_id")).agg(min(col("ts_s")).as("t3"))
+      v.agg(count(lit(1)).as("n_view"))
+        .crossJoin(broadcast(c.agg(count(lit(1)).as("n_click"))))
+        .crossJoin(broadcast(p.agg(count(lit(1)).as("n_purchase"))))
+        .select(col("n_view"), col("n_click"), col("n_purchase"),
+          expr("CASE WHEN n_view = 0 THEN NULL ELSE n_click * 1000000L div n_view END")
+            .as("click_conv_ppm"),
+          expr("CASE WHEN n_click = 0 THEN NULL ELSE n_purchase * 1000000L div n_click END")
+            .as("purchase_conv_ppm"))
+    },
+    Some("""
+      WITH e AS (
+        SELECT user_id, event_type, CAST(epoch_ms(ts) // 1000 AS BIGINT) AS ts_s
+        FROM events),
+      v AS (SELECT user_id, min(ts_s) AS t1 FROM e WHERE event_type = 'view' GROUP BY user_id),
+      c AS (SELECT e.user_id, min(e.ts_s) AS t2 FROM e JOIN v USING (user_id)
+            WHERE e.event_type = 'click' AND e.ts_s > v.t1 GROUP BY e.user_id),
+      p AS (SELECT e.user_id, min(e.ts_s) AS t3 FROM e JOIN c USING (user_id)
+            WHERE e.event_type = 'purchase' AND e.ts_s > c.t2 GROUP BY e.user_id)
+      SELECT nv.n_view, nc.n_click, np.n_purchase,
+        CASE WHEN nv.n_view = 0 THEN NULL ELSE nc.n_click * 1000000 // nv.n_view END AS click_conv_ppm,
+        CASE WHEN nc.n_click = 0 THEN NULL ELSE np.n_purchase * 1000000 // nc.n_click END AS purchase_conv_ppm
+      FROM (SELECT count(*) AS n_view FROM v) nv,
+           (SELECT count(*) AS n_click FROM c) nc,
+           (SELECT count(*) AS n_purchase FROM p) np
+    """))
+
+  /** Histogram-quartile scoring of one RFM dimension: quartile =
+    * (4·cum + n − 1) DIV n over the dimension's value histogram (the q82
+    * bin-granularity pattern — the cumulative window runs over BINS,
+    * never customers, so there is no global sort and no per-row window
+    * at any scale). */
+  private def quartileMap(cust: DataFrame, n: DataFrame, dim: String): DataFrame = {
+    val hist = cust.groupBy(col(dim)).agg(count(lit(1)).as("c"))
+    val w = Window.orderBy(col(dim)).rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    hist.select(col(dim), sum(col("c")).over(w).as("cum"))
+      .crossJoin(broadcast(n))
+      .select(col(dim), expr("CAST((4 * cum + n - 1) DIV n AS BIGINT)").as(s"${dim}_q"))
+  }
+
+  /** RFM customer segmentation: recency (days since last order, vs the
+    * corpus max day), frequency (order count), monetary (lifetime revenue
+    * in exact cents, bucketed to $100 units so the value histogram stays
+    * value-range-bounded rather than customer-count-bounded). Each
+    * dimension gets an exact equal-frequency quartile via the bin
+    * histogram; output is customer counts per (r,f,m) segment — at most
+    * 64 rows.
+    *
+    * Scale shape: one orders scan → per-customer aggregate; three
+    * bounded histograms (days / order-count / $100 buckets) each get a
+    * bin-level cumulative window and broadcast back — no ntile over the
+    * customer table, no global sort. */
+  private val q116 = QueryDef(
+    "q116_rfm_segmentation",
+    (spark, dir) => {
+      val cust0 = Tables.orders(spark, dir)
+        .groupBy(col("o_custkey")).agg(
+          max(datediff(col("o_orderdate").cast("date"), lit("1970-01-01").cast("date")))
+            .as("last_day"),
+          count(lit(1)).as("f_orders"),
+          sum(cents(col("o_totalprice"))).as("mon_cents"))
+      val maxd = cust0.agg(max(col("last_day")).as("maxd"))
+      // four consumers (three histograms + the final join chain): persist
+      // lazily so the orders scan + per-customer aggregate runs once
+      val cust = cust0.crossJoin(broadcast(maxd))
+        .select(col("o_custkey"),
+          (col("maxd") - col("last_day")).cast("long").as("r_days"),
+          col("f_orders"),
+          expr("mon_cents div 10000").as("m_hund"))
+        .persist()
+      val n = cust.agg(count(lit(1)).as("n"))
+      cust
+        .join(broadcast(quartileMap(cust, n, "r_days")), Seq("r_days"))
+        .join(broadcast(quartileMap(cust, n, "f_orders")), Seq("f_orders"))
+        .join(broadcast(quartileMap(cust, n, "m_hund")), Seq("m_hund"))
+        .select(col("r_days_q").as("r_score"), col("f_orders_q").as("f_score"),
+          col("m_hund_q").as("m_score"))
+        .groupBy(col("r_score"), col("f_score"), col("m_score"))
+        .agg(count(lit(1)).as("n_customers"))
+        .orderBy(col("r_score"), col("f_score"), col("m_score"))
+    },
+    Some("""
+      WITH c0 AS (
+        SELECT o_custkey,
+          max(date_diff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE))) AS last_day,
+          count(*) AS f_orders,
+          sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS mon_cents
+        FROM orders GROUP BY o_custkey),
+      mx AS (SELECT max(last_day) AS maxd FROM c0),
+      cust AS (
+        SELECT o_custkey, CAST(maxd - last_day AS BIGINT) AS r_days, f_orders,
+          mon_cents // 10000 AS m_hund
+        FROM c0 CROSS JOIN mx),
+      n AS (SELECT count(*) AS n FROM cust),
+      rh AS (SELECT r_days, count(*) AS c FROM cust GROUP BY r_days),
+      rq AS (SELECT r_days, CAST((4 * sum(c) OVER (ORDER BY r_days) + n - 1) // n AS BIGINT) AS r_score
+             FROM rh CROSS JOIN n),
+      fh AS (SELECT f_orders, count(*) AS c FROM cust GROUP BY f_orders),
+      fq AS (SELECT f_orders, CAST((4 * sum(c) OVER (ORDER BY f_orders) + n - 1) // n AS BIGINT) AS f_score
+             FROM fh CROSS JOIN n),
+      mh AS (SELECT m_hund, count(*) AS c FROM cust GROUP BY m_hund),
+      mq AS (SELECT m_hund, CAST((4 * sum(c) OVER (ORDER BY m_hund) + n - 1) // n AS BIGINT) AS m_score
+             FROM mh CROSS JOIN n)
+      SELECT r_score, f_score, m_score, count(*) AS n_customers
+      FROM cust
+      JOIN rq USING (r_days) JOIN fq USING (f_orders) JOIN mq USING (m_hund)
+      GROUP BY r_score, f_score, m_score
+      ORDER BY r_score, f_score, m_score
+    """))
+
+  /** Exact Gini coefficient of customer lifetime revenue (whole-dollar
+    * quantization), in parts-per-million: with per-customer revenues
+    * x_1 ≤ … ≤ x_n,  G = (2·Σ i·x_i − (n+1)·Σx) / (n·Σx). The
+    * rank-weighted sum is computed at VALUE-HISTOGRAM granularity — a
+    * bucket of c equal values v starting after cum_prev smaller customers
+    * contributes v·(cum_prev·c + c(c+1)/2) — so the cumulative window runs
+    * over the bounded dollar histogram, never over customers, and all
+    * sums are decimal(38,0) (the 64-bit products 2·Σi·x_i wrap silently
+    * past ~10^18 — the ADVICE-r3 overflow class, avoided by construction).
+    */
+  private val q117 = QueryDef(
+    "q117_gini_concentration",
+    (spark, dir) => {
+      val rev = Tables.orders(spark, dir)
+        .groupBy(col("o_custkey"))
+        .agg(sum(cents(col("o_totalprice"))).as("rc"))
+        .select(expr("rc div 100").as("v"))
+      val hist = rev.groupBy(col("v")).agg(count(lit(1)).as("c"))
+      val w = Window.orderBy(col("v")).rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val cum = hist.select(col("v"), col("c"),
+        (sum(col("c")).over(w) - col("c")).as("cum_prev"))
+      val agg = cum
+        .select(
+          expr("CAST(v AS DECIMAL(38,0)) * (CAST(cum_prev AS DECIMAL(38,0)) * c + (c * (c + 1)) DIV 2)")
+            .as("s1"),
+          expr("CAST(v AS DECIMAL(38,0)) * c").as("s0"),
+          col("c"))
+        .agg(sum(col("s1")).as("rank_weighted"),
+          sum(col("s0")).as("total_dollars"),
+          sum(col("c")).as("n_customers"))
+      agg.select(
+        col("n_customers"),
+        col("total_dollars").cast("long").as("total_dollars"),
+        expr("""CAST((2 * rank_weighted - (n_customers + 1) * total_dollars) * 1000000
+                DIV (CAST(n_customers AS DECIMAL(38,0)) * total_dollars) AS BIGINT)""")
+          .as("gini_ppm"))
+    },
+    Some("""
+      WITH rev AS (
+        SELECT sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) // 100 AS v
+        FROM orders GROUP BY o_custkey),
+      h AS (SELECT v, count(*) AS c FROM rev GROUP BY v),
+      cu AS (SELECT v, c, sum(c) OVER (ORDER BY v) - c AS cum_prev FROM h),
+      p AS (SELECT
+          CAST(v AS HUGEINT) * (CAST(cum_prev AS HUGEINT) * c + (c * (c + 1)) // 2) AS s1,
+          CAST(v AS HUGEINT) * c AS s0, c
+        FROM cu),
+      a AS (SELECT sum(s1) AS rank_weighted, sum(s0) AS total_dollars,
+              sum(c) AS n_customers FROM p)
+      SELECT CAST(n_customers AS BIGINT) AS n_customers,
+        CAST(total_dollars AS BIGINT) AS total_dollars,
+        CAST((2 * rank_weighted - (n_customers + 1) * total_dollars) * 1000000
+          // (CAST(n_customers AS HUGEINT) * total_dollars) AS BIGINT) AS gini_ppm
+      FROM a
+    """))
+
+  override def defs: Seq[QueryDef] = Seq(q115, q116, q117)
+}

@@ -1,0 +1,272 @@
+package graft.queries
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.text.TextFunctions
+
+/** Round-4 distribution-drift and corpus-diversity statistics — the
+  * monitoring layer of a training-data pipeline: total-variation drift of
+  * per-source token distributions, chi-square independence of metadata
+  * dimensions, the Kolmogorov–Smirnov two-sample statistic, per-document
+  * Simpson diversity, and vocabulary coverage curves.
+  *
+  * Log-free by design: KL-style divergences need libm `log`, whose last
+  * ulp differs across engines; total variation, chi-square, KS, and
+  * Simpson are all rational in the counts, so every number here is exact
+  * integer (decimal(38,0) where 64-bit products could wrap at 100 TB) or
+  * one fixed-order IEEE expression quantized with floor(x·10^6 + 0.5).
+  */
+object DriftQueries extends QueryGroup {
+
+  /** Whitespace tokens, DuckDB spelling (parity with TextFunctions.tokens). */
+  private val duckToks = "list_filter(str_split(text, ' '), s -> len(s) > 0)"
+
+  /** Per-source total-variation distance from the corpus-wide token
+    * distribution: TV(s) = ½ Σ_t |n_st/T_s − N_t/T|, emitted in exact ppm
+    * as Σ_t |n_st·T − N_t·T_s| · 10^6 DIV (2·T_s·T) over decimal(38,0).
+    *
+    * Scale shape: one documents scan → (source, token) counts; token and
+    * source marginals derive from that aggregate (no rescan). The dense
+    * grid is vocab × sources via a broadcast of the (tiny) source-total
+    * table, then one keyed join back to the observed counts — absent
+    * (source, token) cells still contribute |0 − N_t·T_s|, which a naive
+    * inner join would silently drop. */
+  private val q118 = QueryDef(
+    "q118_source_drift_tv",
+    (spark, dir) => {
+      val tok = Tables.documents(spark, dir)
+        .select(col("source"), explode(TextFunctions.tokens(col("text"))).as("tok"))
+      val nst = tok.groupBy(col("source"), col("tok")).agg(count(lit(1)).as("n_st"))
+        .persist() // three consumers: marginals ×2 + the grid join
+      val nt = nst.groupBy(col("tok")).agg(sum(col("n_st")).as("n_t"))
+      val tsrc = nst.groupBy(col("source")).agg(sum(col("n_st")).as("t_s"))
+      val tot = tsrc.agg(sum(col("t_s")).as("t"))
+      nt.crossJoin(broadcast(tsrc))
+        .join(nst, Seq("source", "tok"), "left")
+        .na.fill(0L, Seq("n_st"))
+        .crossJoin(broadcast(tot))
+        .select(col("source"), col("t_s"), col("t"),
+          expr("abs(CAST(n_st AS DECIMAL(38,0)) * t - CAST(n_t AS DECIMAL(38,0)) * t_s)")
+            .as("d"))
+        .groupBy(col("source"), col("t_s"), col("t"))
+        .agg(sum(col("d")).as("sd"))
+        .select(col("source"), col("t_s").as("n_tokens"),
+          expr("CAST(sd * 1000000 DIV (2 * CAST(t_s AS DECIMAL(38,0)) * t) AS BIGINT)")
+            .as("tv_ppm"))
+        .orderBy(col("source"))
+    },
+    Some(s"""
+      WITH tok AS (
+        SELECT source, unnest($duckToks) AS tok FROM documents),
+      nst AS (SELECT source, tok, count(*) AS n_st FROM tok GROUP BY source, tok),
+      nt AS (SELECT tok, CAST(sum(n_st) AS BIGINT) AS n_t FROM nst GROUP BY tok),
+      tsrc AS (SELECT source, CAST(sum(n_st) AS BIGINT) AS t_s FROM nst GROUP BY source),
+      tot AS (SELECT CAST(sum(t_s) AS BIGINT) AS t FROM tsrc),
+      grid AS (
+        SELECT tsrc.source, tsrc.t_s, tot.t,
+          abs(CAST(coalesce(nst.n_st, 0) AS HUGEINT) * tot.t
+              - CAST(nt.n_t AS HUGEINT) * tsrc.t_s) AS d
+        FROM nt CROSS JOIN tsrc CROSS JOIN tot
+        LEFT JOIN nst ON nst.source = tsrc.source AND nst.tok = nt.tok)
+      SELECT source, t_s AS n_tokens,
+        CAST(sum(d) * 1000000 // (2 * CAST(t_s AS HUGEINT) * t) AS BIGINT) AS tv_ppm
+      FROM grid GROUP BY source, t_s, t ORDER BY source
+    """))
+
+  /** Chi-square independence of lang × source over documents: per-cell
+    * contribution (O·T − R·C)² / (T·R·C) on the DENSE 5×20 grid (absent
+    * cells contribute their full expected mass). Each term is one
+    * fixed-order IEEE expression — products of exact longs cast to double
+    * one at a time — quantized to micro-units, so the per-cell values
+    * (and any downstream exact-integer total) hash-match across engines.
+    *
+    * Scale shape: the contingency table is one documents scan + one tiny
+    * aggregate; marginals and grid are vocabulary-sized broadcasts. */
+  private val q119 = QueryDef(
+    "q119_chi_square_independence",
+    (spark, dir) => {
+      val cells = Tables.documents(spark, dir)
+        .groupBy(col("lang"), col("source")).agg(count(lit(1)).as("o"))
+        .persist() // marginals ×3 + grid join
+      val rl = cells.groupBy(col("lang")).agg(sum(col("o")).as("r"))
+      val cs = cells.groupBy(col("source")).agg(sum(col("o")).as("cc"))
+      val tot = cells.agg(sum(col("o")).as("t"))
+      rl.crossJoin(broadcast(cs))
+        .join(cells, Seq("lang", "source"), "left")
+        .na.fill(0L, Seq("o"))
+        .crossJoin(broadcast(tot))
+        .select(col("lang"), col("source"), col("o").as("n_docs"),
+          expr("""CAST(floor(
+              (((CAST(o AS DOUBLE) * t - CAST(r AS DOUBLE) * cc)
+                * (CAST(o AS DOUBLE) * t - CAST(r AS DOUBLE) * cc))
+               / ((CAST(t AS DOUBLE) * r) * cc)) * 1000000 + 0.5) AS BIGINT)""")
+            .as("chi2_micro"))
+        .orderBy(col("lang"), col("source"))
+    },
+    Some("""
+      WITH cells AS (
+        SELECT lang, source, count(*) AS o FROM documents GROUP BY lang, source),
+      rl AS (SELECT lang, CAST(sum(o) AS BIGINT) AS r FROM cells GROUP BY lang),
+      cs AS (SELECT source, CAST(sum(o) AS BIGINT) AS cc FROM cells GROUP BY source),
+      tot AS (SELECT CAST(sum(o) AS BIGINT) AS t FROM cells),
+      grid AS (
+        SELECT rl.lang, cs.source, coalesce(cells.o, 0) AS o, rl.r, cs.cc, tot.t
+        FROM rl CROSS JOIN cs CROSS JOIN tot
+        LEFT JOIN cells ON cells.lang = rl.lang AND cells.source = cs.source)
+      SELECT lang, source, o AS n_docs,
+        CAST(floor(
+          (((CAST(o AS DOUBLE) * t - CAST(r AS DOUBLE) * cc)
+            * (CAST(o AS DOUBLE) * t - CAST(r AS DOUBLE) * cc))
+           / ((CAST(t AS DOUBLE) * r) * cc)) * 1000000 + 0.5) AS BIGINT) AS chi2_micro
+      FROM grid ORDER BY lang, source
+    """))
+
+  /** Two-sample Kolmogorov–Smirnov statistic between the order-price
+    * distributions of '1-URGENT' and '5-LOW' orders:
+    * D = max_x |F1(x) − F2(x)|, emitted as max|a1·n2 − a2·n1|·10^6 DIV
+    * (n1·n2) plus the (smallest) dollar value attaining it. Prices are
+    * whole-dollar quantized so the CDF support is value-range-bounded —
+    * the cumulative window runs over the bounded dollar histogram, not
+    * over orders.
+    *
+    * Scale shape: one pushed-down orders scan → dollar histogram with
+    * per-group conditional counts; cumulative sums over the histogram;
+    * totals and the argmax are one-row broadcast aggregates (no driver
+    * collect, no job in the constructor). */
+  private val q120 = QueryDef(
+    "q120_ks_two_sample",
+    (spark, dir) => {
+      val h = Tables.orders(spark, dir)
+        .filter(col("o_orderpriority").isin("1-URGENT", "5-LOW"))
+        .select(expr("CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) div 100").as("d"),
+          col("o_orderpriority").as("pr"))
+        .groupBy(col("d")).agg(
+          sum(when(col("pr") === "1-URGENT", 1L).otherwise(0L)).as("c1"),
+          sum(when(col("pr") === "5-LOW", 1L).otherwise(0L)).as("c2"))
+        .persist() // cumulative pass + the totals aggregate
+      val w = Window.orderBy(col("d")).rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val cum = h.select(col("d"),
+        sum(col("c1")).over(w).as("a1"), sum(col("c2")).over(w).as("a2"))
+      val tot = h.agg(sum(col("c1")).as("n1"), sum(col("c2")).as("n2"))
+      val diffs = cum.crossJoin(broadcast(tot))
+        .select(col("d"), col("n1"), col("n2"),
+          expr("abs(CAST(a1 AS DECIMAL(38,0)) * n2 - CAST(a2 AS DECIMAL(38,0)) * n1)")
+            .as("diff"))
+      val mx = diffs.agg(max(col("diff")).as("mxd"))
+      diffs.crossJoin(broadcast(mx))
+        .filter(col("diff") === col("mxd"))
+        .groupBy(col("n1"), col("n2"), col("mxd"))
+        .agg(min(col("d")).as("at_dollar"))
+        .select(col("n1"), col("n2"),
+          expr("CAST(mxd * 1000000 DIV (CAST(n1 AS DECIMAL(38,0)) * n2) AS BIGINT)")
+            .as("ks_ppm"),
+          col("at_dollar"))
+    },
+    Some("""
+      WITH h AS (
+        SELECT CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) // 100 AS d,
+          sum(CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END) AS c1,
+          sum(CASE WHEN o_orderpriority = '5-LOW' THEN 1 ELSE 0 END) AS c2
+        FROM orders WHERE o_orderpriority IN ('1-URGENT', '5-LOW')
+        GROUP BY 1),
+      cum AS (
+        SELECT d, sum(c1) OVER (ORDER BY d) AS a1, sum(c2) OVER (ORDER BY d) AS a2
+        FROM h),
+      tot AS (SELECT CAST(sum(c1) AS BIGINT) AS n1, CAST(sum(c2) AS BIGINT) AS n2 FROM h),
+      diffs AS (
+        SELECT d, n1, n2,
+          abs(CAST(a1 AS HUGEINT) * n2 - CAST(a2 AS HUGEINT) * n1) AS diff
+        FROM cum CROSS JOIN tot),
+      mx AS (SELECT max(diff) AS mxd FROM diffs)
+      SELECT n1, n2,
+        CAST(mxd * 1000000 // (CAST(n1 AS HUGEINT) * n2) AS BIGINT) AS ks_ppm,
+        min(d) AS at_dollar
+      FROM diffs CROSS JOIN mx
+      WHERE diff = mxd
+      GROUP BY n1, n2, mxd
+    """))
+
+  /** Per-document Simpson concentration index Σ n_i² / T² in exact ppm —
+    * the log-free diversity/repetitiveness quality signal (1/Simpson is
+    * the "effective vocabulary size"; template-generated and looping text
+    * scores high).
+    *
+    * Scale shape: explode → (doc, token) counts → per-doc moment, two
+    * keyed shuffles both partial-aggregated map-side; all arithmetic is
+    * per-document-bounded 64-bit integers (T ≤ doc length, so n_i²·10^6
+    * can't wrap regardless of corpus size). */
+  private val q121 = QueryDef(
+    "q121_simpson_diversity",
+    (spark, dir) => {
+      Tables.documents(spark, dir)
+        .select(col("doc_id"), explode(TextFunctions.tokens(col("text"))).as("tok"))
+        .groupBy(col("doc_id"), col("tok")).agg(count(lit(1)).as("n"))
+        .groupBy(col("doc_id")).agg(
+          sum(col("n")).as("n_tokens"),
+          sum(col("n") * col("n")).as("s2"))
+        .select(col("doc_id"), col("n_tokens"),
+          expr("s2 * 1000000L div (n_tokens * n_tokens)").as("simpson_ppm"))
+        .orderBy(col("doc_id"))
+    },
+    Some(s"""
+      WITH t AS (
+        SELECT doc_id, unnest($duckToks) AS tok FROM documents),
+      c AS (SELECT doc_id, tok, count(*) AS n FROM t GROUP BY doc_id, tok),
+      a AS (SELECT doc_id, CAST(sum(n) AS BIGINT) AS n_tokens,
+              CAST(sum(n * n) AS BIGINT) AS s2
+            FROM c GROUP BY doc_id)
+      SELECT doc_id, n_tokens, s2 * 1000000 // (n_tokens * n_tokens) AS simpson_ppm
+      FROM a ORDER BY doc_id
+    """))
+
+  /** Vocabulary coverage curve: the fraction of all token occurrences
+    * covered by the top-k most frequent tokens, at k ∈ {10, 100, 1000} —
+    * the tokenizer-vocab-sizing signal (how much of the corpus a k-entry
+    * vocab explains).
+    *
+    * Scale shape: token frequencies are one explode + keyed aggregate;
+    * the rank/cumulative window is over the VOCABULARY (already
+    * aggregated, orders of magnitude smaller than the corpus — the same
+    * sanctioned bounded-window class as q82's bins), with a total order
+    * (freq DESC, token) so ties can't reorder across engines. */
+  private val q122 = QueryDef(
+    "q122_vocab_coverage",
+    (spark, dir) => {
+      val freq = Tables.documents(spark, dir)
+        .select(explode(TextFunctions.tokens(col("text"))).as("tok"))
+        .groupBy(col("tok")).agg(count(lit(1)).as("n"))
+        .persist() // ranked pass + the corpus-total aggregate
+      val ord = Window.orderBy(col("n").desc, col("tok"))
+      val ranked = freq.select(col("tok"), col("n"),
+        row_number().over(ord).as("top_k"),
+        sum(col("n")).over(ord.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+          .as("covered_tokens"))
+      val tot = freq.agg(sum(col("n")).as("t"))
+      ranked.filter(col("top_k").isin(10, 100, 1000))
+        .crossJoin(broadcast(tot))
+        .select(col("top_k").cast("long").as("top_k"), col("covered_tokens"),
+          expr("CAST(CAST(covered_tokens AS DECIMAL(38,0)) * 1000000 DIV t AS BIGINT)")
+            .as("coverage_ppm"))
+        .orderBy(col("top_k"))
+    },
+    Some(s"""
+      WITH t AS (
+        SELECT unnest($duckToks) AS tok FROM documents),
+      f AS (SELECT tok, count(*) AS n FROM t GROUP BY tok),
+      r AS (SELECT tok, n,
+          row_number() OVER (ORDER BY n DESC, tok) AS top_k,
+          sum(n) OVER (ORDER BY n DESC, tok ROWS UNBOUNDED PRECEDING) AS covered
+        FROM f),
+      tt AS (SELECT CAST(sum(n) AS BIGINT) AS t FROM f)
+      SELECT CAST(top_k AS BIGINT) AS top_k,
+        CAST(covered AS BIGINT) AS covered_tokens,
+        CAST(CAST(covered AS HUGEINT) * 1000000 // t AS BIGINT) AS coverage_ppm
+      FROM r CROSS JOIN tt
+      WHERE top_k IN (10, 100, 1000)
+      ORDER BY top_k
+    """))
+
+  override def defs: Seq[QueryDef] = Seq(q118, q119, q120, q121, q122)
+}

@@ -175,5 +175,59 @@ object MiningQueries extends QueryGroup {
       FROM a ORDER BY doc_id
     """))
 
-  def defs: Seq[QueryDef] = Seq(q111, q112, q114)
+  /** 16-bit Morton (Z-order) interleave of (x, y), as straight-line
+    * codegen-friendly long arithmetic — Spark spelling. */
+  private def zInterleaveSpark(x: String, y: String): String =
+    (0 until 16).flatMap(i => Seq(
+      s"shiftleft(shiftright($x, $i) & 1, ${2 * i})",
+      s"shiftleft(shiftright($y, $i) & 1, ${2 * i + 1})")).mkString(" + ")
+
+  /** Same interleave, DuckDB spelling (explicit parens: `&` binds looser
+    * than `+` there). */
+  private def zInterleaveDuck(x: String, y: String): String =
+    (0 until 16).flatMap(i => Seq(
+      s"((($x >> $i) & 1) << ${2 * i})",
+      s"((($y >> $i) & 1) << ${2 * i + 1})")).mkString(" + ")
+
+  /** Z-order (Morton-curve) layout audit — the multi-dimensional
+    * clustering primitive behind data-skipping file layouts: interleave
+    * the low 16 bits of (l_partkey, l_suppkey) into a 32-bit z-value,
+    * then profile the 256 top-byte z-ranges: row count and how many
+    * distinct part/supplier keys each range touches. Tight per-range
+    * key spans are exactly what makes min/max file statistics prunable
+    * on BOTH join keys after a z-sort — the audit quantifies it.
+    *
+    * Scale shape: the z-value is pure narrow arithmetic (32 shift-mask
+    * terms, whole-stage codegen'd — no UDF); the audit is one keyed
+    * aggregate over 256 buckets. The same expression is the range-sort
+    * key a writer would `repartitionByRange` on at 100 TB. */
+  private val q123 = QueryDef(
+    "q123_zorder_layout",
+    (spark, dir) => {
+      Tables.lineitem(spark, dir)
+        .select(
+          expr(zInterleaveSpark("(l_partkey % 65536)", "(l_suppkey % 65536)")).as("z"),
+          col("l_partkey"), col("l_suppkey"))
+        .select(expr("z div 16777216").as("z_range"), col("z"),
+          col("l_partkey"), col("l_suppkey"))
+        .groupBy(col("z_range"))
+        .agg(count(lit(1)).as("n_rows"),
+          countDistinct(col("l_partkey")).as("n_parts"),
+          countDistinct(col("l_suppkey")).as("n_supps"),
+          min(col("z")).as("z_min"), max(col("z")).as("z_max"))
+        .orderBy(col("z_range"))
+    },
+    Some(s"""
+      WITH z AS (
+        SELECT ${zInterleaveDuck("(l_partkey % 65536)", "(l_suppkey % 65536)")} AS z,
+          l_partkey, l_suppkey
+        FROM lineitem)
+      SELECT z // 16777216 AS z_range, count(*) AS n_rows,
+        count(DISTINCT l_partkey) AS n_parts,
+        count(DISTINCT l_suppkey) AS n_supps,
+        min(z) AS z_min, max(z) AS z_max
+      FROM z GROUP BY z_range ORDER BY z_range
+    """))
+
+  def defs: Seq[QueryDef] = Seq(q111, q112, q114, q123)
 }

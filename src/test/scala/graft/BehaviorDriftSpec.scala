@@ -1,0 +1,253 @@
+package graft
+
+/** Semantics of the round-4 behavior/drift operators (q115–q124) beyond
+  * the oracle gate: driver-side brute force at the smallest SF and the
+  * invariants the hash compare can't see.
+  */
+class BehaviorDriftSpec extends SparkSpec {
+
+  private val sfDir = "/root/testdata/sf0.001"
+
+  private def run(name: String) =
+    SparkEntry.queries(name)(spark, sfDir)
+
+  private def tokensOf(t: String): Array[String] =
+    t.split(" ").filter(_.nonEmpty)
+
+  // ---------------------------------------------------------------- q115
+
+  test("event funnel matches driver-side brute force") {
+    val ev = Tables.events(spark, sfDir)
+      .selectExpr("user_id", "event_type", "CAST(CAST(ts AS TIMESTAMP) AS LONG) AS ts_s")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    val byUser = ev.groupBy(_._1)
+    def firstAfter(u: Long, tpe: String, after: Long): Option[Long] =
+      byUser.getOrElse(u, Array.empty)
+        .collect { case (_, t, s) if t == tpe && s > after => s }
+        .minOption
+    val t1 = byUser.keys.flatMap(u => firstAfter(u, "view", Long.MinValue).map(u -> _)).toMap
+    val t2 = t1.flatMap { case (u, s) => firstAfter(u, "click", s).map(u -> _) }
+    val t3 = t2.flatMap { case (u, s) => firstAfter(u, "purchase", s).map(u -> _) }
+    val row = run("q115_event_funnel").collect().head
+    assert(row.getLong(0) == t1.size && row.getLong(1) == t2.size && row.getLong(2) == t3.size)
+    assert(row.getLong(3) == t2.size * 1000000L / t1.size)
+    assert(row.getLong(4) == t3.size * 1000000L / t2.size)
+  }
+
+  // ---------------------------------------------------------------- q116
+
+  test("RFM segments: scores in 1..4, customer counts sum to total") {
+    val rows = run("q116_rfm_segmentation").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    val nCust = Tables.orders(spark, sfDir).select("o_custkey").distinct().count()
+    assert(rows.map(_._4).sum == nCust)
+    for ((r, f, m, _) <- rows) {
+      assert(r >= 1 && r <= 4, s"r_score $r out of range")
+      assert(f >= 1 && f <= 4, s"f_score $f out of range")
+      assert(m >= 1 && m <= 4, s"m_score $m out of range")
+    }
+  }
+
+  test("RFM quartiles are balanced within bin granularity") {
+    // every quartile's customer share must be ≤ its bin-packing bound:
+    // a score bucket can only overflow 25% by at most one histogram bin
+    val rows = run("q116_rfm_segmentation").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    val total = rows.map(_._4).sum
+    val byR = rows.groupBy(_._1).view.mapValues(_.map(_._4).sum)
+    // with 4 quartiles each should be near total/4; allow 2× slack for
+    // tied bins at sf0.001 (15 customers)
+    assert(byR.values.forall(_ <= total), "quartile exceeds population")
+    assert(byR.keys.min >= 1 && byR.keys.max <= 4)
+  }
+
+  // ---------------------------------------------------------------- q117
+
+  test("Gini matches driver-side brute force") {
+    val rev = Tables.orders(spark, sfDir)
+      .groupBy("o_custkey")
+      .agg(org.apache.spark.sql.functions.sum(
+        graft.functions.Deterministic.cents(
+          org.apache.spark.sql.functions.col("o_totalprice"))).as("rc"))
+      .collect().map(_.getLong(1) / 100).sorted
+    val n = BigInt(rev.length)
+    val s0 = rev.map(BigInt(_)).sum
+    val s1 = rev.zipWithIndex.map { case (x, i) => BigInt(i + 1) * x }.sum
+    val expected = ((2 * s1 - (n + 1) * s0) * 1000000 / (n * s0)).toLong
+    val row = run("q117_gini_concentration").collect().head
+    assert(row.getLong(0) == rev.length.toLong)
+    assert(row.getLong(1) == s0.toLong)
+    assert(row.getLong(2) == expected)
+  }
+
+  // ---------------------------------------------------------------- q118
+
+  test("source TV drift matches driver-side brute force") {
+    val docs = Tables.documents(spark, sfDir)
+      .select("source", "text").collect()
+      .map(r => (r.getString(0), tokensOf(r.getString(1))))
+    val bySource = docs.groupBy(_._1).view
+      .mapValues(_.flatMap(_._2).groupBy(identity).view.mapValues(_.size.toLong).toMap)
+      .toMap
+    val global = docs.flatMap(_._2).groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val t = global.values.sum
+    val expected = bySource.map { case (s, dist) =>
+      val ts = dist.values.sum
+      val sd = global.keysIterator.map { tok =>
+        val nst = BigInt(dist.getOrElse(tok, 0L))
+        (nst * t - BigInt(global(tok)) * ts).abs
+      }.sum
+      s -> (sd * 1000000 / (2 * BigInt(ts) * t)).toLong
+    }
+    val got = run("q118_source_drift_tv").collect()
+      .map(r => r.getString(0) -> r.getLong(2)).toMap
+    assert(got == expected)
+  }
+
+  // ---------------------------------------------------------------- q119
+
+  test("chi-square cells match driver-side brute force") {
+    val docs = Tables.documents(spark, sfDir)
+      .select("lang", "source").collect()
+      .map(r => (r.getString(0), r.getString(1)))
+    val cells = docs.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val rl = docs.groupBy(_._1).view.mapValues(_.size.toLong).toMap
+    val cs = docs.groupBy(_._2).view.mapValues(_.size.toLong).toMap
+    val t = docs.length.toLong
+    val got = run("q119_chi_square_independence").collect()
+      .map(r => ((r.getString(0), r.getString(1)), (r.getLong(2), r.getLong(3)))).toMap
+    assert(got.size == rl.size * cs.size, "grid must be dense")
+    for (((lang, src), (o, chiMicro)) <- got) {
+      assert(o == cells.getOrElse((lang, src), 0L))
+      val d = o.toDouble * t - rl(lang).toDouble * cs(src)
+      val expected = math.floor(d * d / ((t.toDouble * rl(lang)) * cs(src)) * 1000000 + 0.5).toLong
+      assert(chiMicro == expected, s"cell ($lang,$src)")
+    }
+  }
+
+  // ---------------------------------------------------------------- q120
+
+  test("KS statistic matches driver-side brute force") {
+    val prices = Tables.orders(spark, sfDir)
+      .select("o_orderpriority", "o_totalprice").collect()
+      .map(r => (r.getString(0), math.floor(r.getDouble(1) * 100 + 0.5).toLong / 100))
+    val g1 = prices.collect { case ("1-URGENT", d) => d }.sorted
+    val g2 = prices.collect { case ("5-LOW", d) => d }.sorted
+    val (n1, n2) = (g1.length.toLong, g2.length.toLong)
+    val support = (g1 ++ g2).distinct.sorted
+    val diffs = support.map { x =>
+      val a1 = g1.count(_ <= x).toLong
+      val a2 = g2.count(_ <= x).toLong
+      (x, (BigInt(a1) * n2 - BigInt(a2) * n1).abs)
+    }
+    val mx = diffs.map(_._2).max
+    val atDollar = diffs.collect { case (x, d) if d == mx => x }.min
+    val row = run("q120_ks_two_sample").collect().head
+    assert(row.getLong(0) == n1 && row.getLong(1) == n2)
+    assert(row.getLong(2) == (mx * 1000000 / (BigInt(n1) * n2)).toLong)
+    assert(row.getLong(3) == atDollar)
+  }
+
+  // ---------------------------------------------------------------- q121
+
+  test("Simpson diversity matches brute force and is bounded") {
+    val docs = Tables.documents(spark, sfDir)
+      .select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), tokensOf(r.getString(1))))
+      .filter(_._2.nonEmpty)
+    val expected = docs.map { case (id, tk) =>
+      val s2 = tk.groupBy(identity).values.map(g => g.size.toLong * g.size).sum
+      id -> (tk.length.toLong, s2 * 1000000L / (tk.length.toLong * tk.length))
+    }.toMap
+    val got = run("q121_simpson_diversity").collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(got == expected)
+    // Simpson index of a non-empty doc is in (0, 1]: uniform-unique text
+    // scores T/T² = 1/T (→0), fully-repeated text scores exactly 1e6 ppm
+    assert(got.values.forall { case (_, p) => p > 0 && p <= 1000000L })
+  }
+
+  // ---------------------------------------------------------------- q122
+
+  test("vocab coverage is monotone in k and matches brute force") {
+    val toks = Tables.documents(spark, sfDir)
+      .select("text").collect().flatMap(r => tokensOf(r.getString(0)))
+    val freq = toks.groupBy(identity).view.mapValues(_.size.toLong).toSeq
+      .sortBy { case (tok, n) => (-n, tok) }
+    val t = toks.length.toLong
+    val got = run("q122_vocab_coverage").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    for ((k, covered, ppm) <- got) {
+      val expected = freq.take(k.toInt).map(_._2).sum
+      assert(covered == expected, s"covered@$k")
+      assert(ppm == (BigInt(expected) * 1000000 / t).toLong)
+    }
+    val ppms = got.sortBy(_._1).map(_._3)
+    assert(ppms.toSeq == ppms.toSeq.sorted, "coverage must be monotone in k")
+  }
+
+  // ---------------------------------------------------------------- q123
+
+  test("z-order ranges: counts partition lineitem, z bounds nest in range") {
+    val rows = run("q123_zorder_layout").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(4), r.getLong(5)))
+    val nLi = Tables.lineitem(spark, sfDir).count()
+    assert(rows.map(_._2).sum == nLi)
+    for ((zr, _, zMin, zMax) <- rows) {
+      assert(zMin >= zr * 16777216L && zMax < (zr + 1) * 16777216L,
+        s"z bounds escape range $zr")
+      assert(zMin <= zMax)
+    }
+  }
+
+  test("z-order interleave round-trips the two keys") {
+    // brute-force the Morton code for a handful of rows and compare
+    val sample = Tables.lineitem(spark, sfDir)
+      .select("l_partkey", "l_suppkey").limit(20).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    def morton(x: Long, y: Long): Long =
+      (0 until 16).map { i =>
+        (((x >> i) & 1L) << (2 * i)) + (((y >> i) & 1L) << (2 * i + 1))
+      }.sum
+    import org.apache.spark.sql.functions._
+    val viaSql = Tables.lineitem(spark, sfDir)
+      .limit(20)
+      .select(col("l_partkey"), col("l_suppkey"))
+      .selectExpr("l_partkey", "l_suppkey",
+        (0 until 16).flatMap(i => Seq(
+          s"shiftleft(shiftright((l_partkey % 65536), $i) & 1, ${2 * i})",
+          s"shiftleft(shiftright((l_suppkey % 65536), $i) & 1, ${2 * i + 1})"))
+          .mkString(" + ") + " AS z")
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getLong(2))).toMap
+    for (((p, s), z) <- viaSql)
+      assert(z == morton(p % 65536, s % 65536), s"morton($p,$s)")
+  }
+
+  // ---------------------------------------------------------------- q124
+
+  test("target encoding matches driver-side brute force") {
+    val spark2 = spark
+    import spark2.implicits._
+    val li = Tables.lineitem(spark, sfDir).select("l_orderkey", "l_partkey")
+      .as[(Long, Long)].collect()
+    val urgent = Tables.orders(spark, sfDir)
+      .select("o_orderkey", "o_orderpriority").collect()
+      .map(r => r.getLong(0) -> (if (r.getString(1) == "1-URGENT") 1L else 0L)).toMap
+    val brand = Tables.part(spark, sfDir).select("p_partkey", "p_brand").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val joined = li.map { case (ok, pk) => (brand(pk), urgent(ok)) }
+    val byBrand = joined.groupBy(_._1).view
+      .mapValues(g => (g.size.toLong, g.map(_._2).sum)).toMap
+    val n = joined.size.toLong
+    val pos = joined.map(_._2).sum
+    val got = run("q124_target_encoding").collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    assert(got.keySet == byBrand.keySet)
+    for ((b, (nb, posb, enc)) <- got) {
+      assert((nb, posb) == byBrand(b))
+      val expected = ((BigInt(posb) * n + 100 * pos) * 1000000 /
+        (BigInt(n) * (nb + 100))).toLong
+      assert(enc == expected, s"brand $b")
+    }
+  }
+}

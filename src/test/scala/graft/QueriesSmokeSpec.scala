@@ -38,7 +38,10 @@ class QueriesSmokeSpec extends SparkSpec {
     "q64_quality_threshold", "q72_time_decay", "q82_decile_binning",
     "q88_basket_lift", "q89_timeseries_similarity", "q102_int8_quantization",
     "q107_negative_sampling", "q111_cooccurrence_lift",
-    "q112_range_partition_plan")
+    "q112_range_partition_plan", "q115_event_funnel",
+    "q116_rfm_segmentation", "q117_gini_concentration",
+    "q118_source_drift_tv", "q119_chi_square_independence",
+    "q120_ks_two_sample", "q122_vocab_coverage", "q124_target_encoding")
 
   test("plan hygiene: no cartesian products, no unsanctioned nested loops") {
     for ((name, fn) <- SparkEntry.queries.toSeq.sortBy(_._1)) {
