@@ -33,7 +33,8 @@ object SparkEntry {
     FeatureQueries,
     MiningQueries,
     BehaviorQueries,
-    DriftQueries)
+    DriftQueries,
+    PlanningQueries)
 
   private lazy val all: Seq[QueryDef] = groups.flatMap(_.defs)
 

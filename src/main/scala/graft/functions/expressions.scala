@@ -205,6 +205,18 @@ object expressions {
     override protected def withNewChildInternal(c: Expression): Tokens = copy(child = c)
   }
 
+  /** Distinct char k-gram hash set (first-occurrence order) — fused
+    * one-pass replacement for array_distinct(shingleHashes), whose
+    * per-position substr re-seek is quadratic in document length. */
+  case class CharShingleSet(child: Expression, k: Int) extends UnaryExpression {
+    override def dataType: DataType = ArrayType(LongType, containsNull = false)
+    override protected def nullSafeEval(v: Any): Any =
+      GraftHash.charShingleSet(v.asInstanceOf[org.apache.spark.unsafe.types.UTF8String], k)
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      defineCodeGen(ctx, ev, c => s"$G.charShingleSet($c, $k)")
+    override protected def withNewChildInternal(c: Expression): CharShingleSet = copy(child = c)
+  }
+
   /** size(tokens) without materializing the token array. */
   case class TokenCount(child: Expression) extends UnaryExpression {
     override def dataType: DataType = IntegerType
@@ -295,6 +307,8 @@ object expressions {
   def sig_match_count(a: Column, b: Column): Column =
     Bridge.column(SigMatchCount(Bridge.expression(a), Bridge.expression(b)))
   def tokens_native(c: Column): Column = Bridge.column(Tokens(Bridge.expression(c)))
+  def char_shingle_set(c: Column, k: Int): Column =
+    Bridge.column(CharShingleSet(Bridge.expression(c), k))
   def token_count(c: Column): Column = Bridge.column(TokenCount(Bridge.expression(c)))
   def bigram_hashes(c: Column): Column = Bridge.column(BigramHashes(Bridge.expression(c)))
   def distinct_token_count(c: Column): Column =

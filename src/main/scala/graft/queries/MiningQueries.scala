@@ -144,16 +144,24 @@ object MiningQueries extends QueryGroup {
   private val q114 = QueryDef(
     "q114_ngram_novelty",
     (spark, dir) => {
-      val grams = Tables.documents(spark, dir)
+      // n_novel needs no gram↔owner join: every gram has exactly ONE
+      // owner (min doc_id), so a doc's novel-gram count is its row count
+      // in the first-owner table — the corpus-sized join of grams back
+      // to owners (the sf0.1 bench outlier: ~10M-row shuffle join)
+      // collapses to two partial-agged aggregations + a docs-sized join.
+      // n_grams never shuffles at all: it's size(shingleSet) on the scan.
+      val docs = Tables.documents(spark, dir)
+      val novel = docs
         .select(col("doc_id"),
           explode(TextFunctions.shingleSet(col("text"), 5)).as("g"))
-      val first = grams.groupBy(col("g")).agg(min(col("doc_id")).as("first_doc"))
-      grams
-        .join(first, Seq("g"))
-        .groupBy(col("doc_id"))
-        .agg(count(lit(1)).as("n_grams"),
-          sum(when(col("first_doc") === col("doc_id"), 1L).otherwise(0L))
-            .as("n_novel"))
+        .groupBy(col("g")).agg(min(col("doc_id")).as("doc_id"))
+        .groupBy(col("doc_id")).agg(count(lit(1)).as("n_novel"))
+      docs
+        .select(col("doc_id"),
+          size(TextFunctions.shingleSet(col("text"), 5)).cast("long").as("n_grams"))
+        .filter(col("n_grams") > 0) // sub-5-char docs have no gram rows
+        .join(novel, Seq("doc_id"), "left")
+        .na.fill(0L, Seq("n_novel"))
         .select(col("doc_id"), col("n_grams"), col("n_novel"),
           expr("n_novel * 1000000L div n_grams").as("novelty_ppm"))
         .orderBy("doc_id")
@@ -229,5 +237,57 @@ object MiningQueries extends QueryGroup {
       FROM z GROUP BY z_range ORDER BY z_range
     """))
 
-  def defs: Seq[QueryDef] = Seq(q111, q112, q114, q123)
+  /** Frequent 3-itemset mining over per-order brand baskets — the
+    * A-priori step above q88's pair lift. Baskets are tiny (≤7 lines per
+    * order ⇒ ≤35 triples), so 3-combinations are generated by a narrow
+    * bounded explode over each basket's SORTED distinct-brand array —
+    * never a 3-way self-join of the fact table. Top-20 by support with a
+    * total tiebreak.
+    *
+    * Scale shape: one lineitem⋈part equi-join, one keyed dedup +
+    * basket aggregate, a ≤35× bounded expansion, and one
+    * map-side-combined count; top-k is TakeOrderedAndProject. */
+  private val q129 = QueryDef(
+    "q129_basket_triples",
+    (spark, dir) => {
+      val li = Tables.lineitem(spark, dir).select(col("l_orderkey"), col("l_partkey"))
+      val pt = Tables.part(spark, dir).select(col("p_partkey"), col("p_brand"))
+      val baskets = li.join(pt, li("l_partkey") === pt("p_partkey"))
+        .select(col("l_orderkey").as("okey"), col("p_brand"))
+        .distinct()
+        .groupBy(col("okey")).agg(sort_array(collect_set(col("p_brand"))).as("bs"))
+        .filter(size(col("bs")) >= 3)
+      baskets
+        .select(col("bs"), explode(expr("sequence(1, size(bs) - 2)")).as("i"))
+        .select(col("bs"), col("i"), explode(expr("sequence(i + 1, size(bs) - 1)")).as("j"))
+        .select(col("bs"), col("i"), col("j"), explode(expr("sequence(j + 1, size(bs))")).as("k"))
+        .select(expr("element_at(bs, CAST(i AS INT))").as("a"),
+          expr("element_at(bs, CAST(j AS INT))").as("b"),
+          expr("element_at(bs, CAST(k AS INT))").as("c"))
+        .groupBy(col("a"), col("b"), col("c"))
+        .agg(count(lit(1)).as("support"))
+        .orderBy(col("support").desc, col("a"), col("b"), col("c"))
+        .limit(20)
+    },
+    Some("""
+      WITH ob AS (
+        SELECT DISTINCT l_orderkey AS okey, p_brand
+        FROM lineitem JOIN part ON l_partkey = p_partkey),
+      arrs AS (
+        SELECT okey, list_sort(list(p_brand)) AS bs
+        FROM ob GROUP BY okey),
+      f AS (SELECT bs FROM arrs WHERE len(bs) >= 3),
+      tr AS (
+        SELECT bs[CAST(i.i AS INTEGER)] AS a, bs[CAST(j.j AS INTEGER)] AS b,
+          bs[CAST(k.k AS INTEGER)] AS c
+        FROM f,
+          LATERAL (SELECT unnest(range(1, len(bs) - 1)) AS i) i,
+          LATERAL (SELECT unnest(range(i.i + 1, len(bs))) AS j) j,
+          LATERAL (SELECT unnest(range(j.j + 1, len(bs) + 1)) AS k) k)
+      SELECT a, b, c, count(*) AS support
+      FROM tr GROUP BY a, b, c
+      ORDER BY support DESC, a, b, c LIMIT 20
+    """))
+
+  def defs: Seq[QueryDef] = Seq(q111, q112, q114, q123, q129)
 }

@@ -1,0 +1,189 @@
+package graft.queries
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.functions.Deterministic.epochS
+import graft.operators.Sampling
+
+/** Round-4 pipeline-operations planning: weighted reservoir sampling,
+  * small-file compaction planning, train/test split leakage auditing,
+  * and trailing-window volume anomaly detection — the jobs that keep a
+  * 100 TB ingest healthy rather than compute model features.
+  */
+object PlanningQueries extends QueryGroup {
+
+  /** Deterministic weighted sampling without replacement (priority
+    * sampling): priority = w·2^32 DIV (h(key)+1) makes a row's selection
+    * odds proportional to its weight w (here n_chars — a token-budget
+    * proxy), and the top-200 priorities form the sample. No rand(): the
+    * same sample at any parallelism, scale factor, or engine.
+    *
+    * Scale shape: the priority is a narrow arithmetic column; top-k is
+    * TakeOrderedAndProject (bounded per-partition heaps + one driver
+    * merge of k·partitions rows) — no global sort ever materializes. */
+  private val q125 = QueryDef(
+    "q125_weighted_sampling",
+    (spark, dir) => {
+      Tables.documents(spark, dir)
+        .select(col("doc_id"), col("n_chars"),
+          (Sampling.keyHash(col("doc_id")) + lit(1L)).as("h1"))
+        .select(col("doc_id"), col("n_chars"),
+          expr("(n_chars * 4294967296L) div h1").as("priority"))
+        .orderBy(col("priority").desc, col("doc_id"))
+        .limit(200)
+    },
+    Some("""
+      WITH p AS (
+        SELECT doc_id, n_chars,
+          (n_chars * 4294967296)
+            // (((doc_id % 2147483648) * 2654435761) % 4294967296 + 1) AS priority
+        FROM documents)
+      SELECT doc_id, n_chars, priority FROM p
+      ORDER BY priority DESC, doc_id LIMIT 200
+    """))
+
+  /** Small-file compaction planning — the table-maintenance job every
+    * large lake runs: per source, how many target-size output files its
+    * documents need and how many docs land per file. The 16 KiB target
+    * stands in for the 64–512 MiB production value (same integer plan
+    * math, test-scale-visible file counts).
+    *
+    * Scale shape: one aggregate over the corpus; the plan itself is
+    * source-count-sized. max_doc_chars flags rows that can never pack
+    * (a doc bigger than the target forces a single-doc file). */
+  private val q126 = QueryDef(
+    "q126_compaction_plan",
+    (spark, dir) => {
+      Tables.documents(spark, dir)
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_chars")).as("total_chars"),
+          max(col("n_chars")).as("max_doc_chars"))
+        .select(col("source"), col("n_docs"), col("total_chars"), col("max_doc_chars"),
+          expr("(total_chars + 16383) div 16384").as("n_files"),
+          expr("(n_docs + (total_chars + 16383) div 16384 - 1) div ((total_chars + 16383) div 16384)")
+            .as("docs_per_file"),
+          expr("total_chars div n_docs").as("avg_doc_chars"))
+        .orderBy(col("source"))
+    },
+    Some("""
+      WITH a AS (
+        SELECT source, count(*) AS n_docs,
+          CAST(sum(n_chars) AS BIGINT) AS total_chars,
+          max(n_chars) AS max_doc_chars
+        FROM documents GROUP BY source)
+      SELECT source, n_docs, total_chars, max_doc_chars,
+        (total_chars + 16383) // 16384 AS n_files,
+        (n_docs + (total_chars + 16383) // 16384 - 1)
+          // ((total_chars + 16383) // 16384) AS docs_per_file,
+        total_chars // n_docs AS avg_doc_chars
+      FROM a ORDER BY source
+    """))
+
+  /** Per-mode leaking-user count for the split-leakage audit. */
+  private def leakCounts(ev: org.apache.spark.sql.DataFrame,
+                         split: Column, mode: String) =
+    ev.select(col("user_id"), split.as("side"))
+      .groupBy(col("user_id"))
+      .agg(countDistinct(col("side")).as("n_sides"))
+      .agg(count(lit(1)).as("n_users"),
+        sum(when(col("n_sides") === 2, 1L).otherwise(0L)).as("n_leaking_users"))
+      .select(lit(mode).as("mode"), col("n_users"), col("n_leaking_users"))
+
+  /** Train/test split leakage audit: under a ROW-hash split (by
+    * event_id) a user's events land on both sides — evaluation sees the
+    * training distribution of that user (leakage); under a GROUP-hash
+    * split (by user_id, `Sampling.splitColumn`'s contract) leakage is
+    * structurally zero. The audit counts users spanning both sides in
+    * each mode — the check a training pipeline runs before trusting its
+    * eval numbers.
+    *
+    * Scale shape: both splits are narrow hash arithmetic on the scan;
+    * the audit is one user-keyed aggregate per mode and a two-row
+    * union. */
+  private val q128 = QueryDef(
+    "q128_split_leakage_audit",
+    (spark, dir) => {
+      val ev = Tables.events(spark, dir).select(col("event_id"), col("user_id"))
+      leakCounts(ev, Sampling.splitColumn(col("event_id"), 0.2), "row_hash")
+        .unionAll(leakCounts(ev, Sampling.splitColumn(col("user_id"), 0.2), "group_hash"))
+        .orderBy(col("mode"))
+    },
+    Some("""
+      WITH e AS (
+        SELECT event_id, user_id,
+          CASE WHEN ((event_id % 2147483648) * 1779033703) % 4294967296 % 10000 < 2000
+               THEN 'test' ELSE 'train' END AS row_side,
+          CASE WHEN ((user_id % 2147483648) * 1779033703) % 4294967296 % 10000 < 2000
+               THEN 'test' ELSE 'train' END AS grp_side
+        FROM events),
+      r AS (
+        SELECT user_id, count(DISTINCT row_side) AS n_sides
+        FROM e GROUP BY user_id),
+      g AS (
+        SELECT user_id, count(DISTINCT grp_side) AS n_sides
+        FROM e GROUP BY user_id)
+      SELECT 'group_hash' AS mode, count(*) AS n_users,
+        CAST(sum(CASE WHEN n_sides = 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_leaking_users
+      FROM g
+      UNION ALL
+      SELECT 'row_hash' AS mode, count(*) AS n_users,
+        CAST(sum(CASE WHEN n_sides = 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_leaking_users
+      FROM r
+      ORDER BY mode
+    """))
+
+  /** Trailing-window volume anomaly detection over daily event counts:
+    * a day is anomalous when it departs its OWN trailing 7-day baseline
+    * by more than 2σ — evaluated sqrt-free in exact integers as
+    * (7x − S)² > 4·(7Q − S²) (both sides are 49·the usual quantities).
+    * The ingest-monitoring alarm a pipeline fires before a bad day
+    * contaminates training data. Days without a full 7-day history
+    * emit no verdict.
+    *
+    * Scale shape: the corpus collapses to one row per day before any
+    * window; the trailing window runs over the calendar (bounded), and
+    * the squared sums are decimal(38,0) so 7Q can't wrap at 10^10
+    * events/day. */
+  private val q130 = QueryDef(
+    "q130_volume_anomaly",
+    (spark, dir) => {
+      val daily = Tables.events(spark, dir)
+        .select(epochS(col("ts")).as("ts_s"))
+        .select(expr("ts_s div 86400").as("day"))
+        .groupBy(col("day")).agg(count(lit(1)).as("n_events"))
+      val w = Window.orderBy(col("day")).rowsBetween(-7, -1)
+      daily
+        .select(col("day"), col("n_events"),
+          sum(col("n_events")).over(w).as("s7"),
+          sum(expr("CAST(n_events AS DECIMAL(38,0)) * n_events")).over(w).as("q7"),
+          count(col("n_events")).over(w).as("n7"))
+        .filter(col("n7") === 7)
+        .select(col("day"), col("n_events"), col("s7").as("trailing_sum"),
+          expr("""CASE WHEN CAST(7 * n_events - s7 AS DECIMAL(38,0)) * (7 * n_events - s7)
+                       > 4 * (7 * q7 - CAST(s7 AS DECIMAL(38,0)) * s7)
+                  THEN 1L ELSE 0L END""").as("is_anomaly"))
+        .orderBy(col("day"))
+    },
+    Some("""
+      WITH e AS (
+        SELECT CAST(epoch_ms(ts) // 1000 AS BIGINT) // 86400 AS day FROM events),
+      d AS (SELECT day, count(*) AS n_events FROM e GROUP BY day),
+      f AS (SELECT day, n_events,
+          sum(n_events) OVER w AS s7,
+          sum(CAST(n_events AS HUGEINT) * n_events) OVER w AS q7,
+          count(n_events) OVER w AS n7
+        FROM d
+        WINDOW w AS (ORDER BY day ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING))
+      SELECT day, n_events, CAST(s7 AS BIGINT) AS trailing_sum,
+        CASE WHEN CAST(7 * n_events - s7 AS HUGEINT) * (7 * n_events - s7)
+                  > 4 * (7 * q7 - CAST(s7 AS HUGEINT) * s7)
+             THEN 1 ELSE 0 END AS is_anomaly
+      FROM f WHERE n7 = 7 ORDER BY day
+    """))
+
+  override def defs: Seq[QueryDef] = Seq(q125, q126, q128, q130)
+}

@@ -77,5 +77,48 @@ object QuantQueries extends QueryGroup {
       FROM codes ORDER BY vec_id
     """))
 
-  def defs: Seq[QueryDef] = Seq(q102)
+  /** Per-dimension embedding moments — the standardization (whitening
+    * diagonal) codebook feature stores keep next to every embedding
+    * column: mean and variance per dimension. Elements are quantized to
+    * exact micro-units FIRST (one IEEE floor each — bit-identical across
+    * engines), so the sums are order-independent integers; variance uses
+    * the integer identity (n·Σq² − (Σq)²) DIV n² in decimal(38,0).
+    *
+    * Scale shape: explode → per-dim partial-agged moments (dim-count
+    * rows cross the shuffle, not corpus rows). The resulting ≤dim-sized
+    * codebook is what a `transform`-based normalizer broadcasts (q102's
+    * apply pattern). */
+  private val q127 = QueryDef(
+    "q127_embedding_moments",
+    (spark, dir) => {
+      Tables.embeddings(spark, dir)
+        .select(posexplode(col("embedding")).as(Seq("dim", "v")))
+        .select(col("dim"),
+          expr("CAST(floor(CAST(v AS DOUBLE) * 1000000 + 0.5) AS BIGINT)").as("q"))
+        .groupBy(col("dim")).agg(
+          count(lit(1)).as("n"),
+          sum(col("q")).as("s"),
+          sum(expr("CAST(q AS DECIMAL(38,0)) * q")).as("ss"))
+        .select(col("dim").cast("long").as("dim"), col("n"),
+          expr("s div n").as("mean_micro"),
+          expr("""CAST((n * ss - CAST(s AS DECIMAL(38,0)) * s)
+                  DIV (CAST(n AS DECIMAL(38,0)) * n) AS BIGINT)""").as("var_micro2"))
+        .orderBy(col("dim"))
+    },
+    Some("""
+      WITH ex AS (
+        SELECT CAST(d.i - 1 AS BIGINT) AS dim,
+          CAST(floor(CAST(embedding[d.i] AS DOUBLE) * 1000000 + 0.5) AS BIGINT) AS q
+        FROM embeddings, LATERAL (SELECT unnest(range(1, len(embedding) + 1)) AS i) d),
+      a AS (
+        SELECT dim, count(*) AS n, CAST(sum(q) AS BIGINT) AS s,
+          sum(CAST(q AS HUGEINT) * q) AS ss
+        FROM ex GROUP BY dim)
+      SELECT dim, n, s // n AS mean_micro,
+        CAST((n * ss - CAST(s AS HUGEINT) * s)
+          // (CAST(n AS HUGEINT) * n) AS BIGINT) AS var_micro2
+      FROM a ORDER BY dim
+    """))
+
+  def defs: Seq[QueryDef] = Seq(q102, q127)
 }

@@ -54,8 +54,15 @@ object TextFunctions {
     })
   }
 
-  /** Distinct shingle-hash set of a document (the MinHash input). */
-  def shingleSet(text: Column, k: Int): Column = array_distinct(shingleHashes(text, k))
+  /** Distinct shingle-hash set of a document (the MinHash input).
+    * Codegen'd one-pass kernel; `shingleSetHof` is the executable spec
+    * (the HOF form is quadratic per doc: substr(i, 1) re-seeks UTF-8). */
+  def shingleSet(text: Column, k: Int): Column =
+    graft.functions.expressions.char_shingle_set(text, k)
+
+  /** HOF reference form of `shingleSet` (interpreted — spec only). */
+  def shingleSetHof(text: Column, k: Int): Column =
+    array_distinct(shingleHashes(text, k))
 
   /** Polynomial hash of every whitespace token (nested fold: outer
     * transform over tokens, inner fold over characters). Spec path —

@@ -34,6 +34,16 @@ class KernelParitySpec extends SparkSpec {
     assert(mismatches === 0)
   }
 
+  test("CharShingleSet kernel == HOF array_distinct(shingleHashes)") {
+    for (k <- Seq(2, 5)) {
+      val mismatches = docs
+        .select(TextFunctions.shingleSetHof(col("text"), k).as("hof"),
+          TextFunctions.shingleSet(col("text"), k).as("fast"))
+        .filter(col("hof") =!= col("fast")).count()
+      assert(mismatches === 0, s"k=$k")
+    }
+  }
+
   test("Fingerprint kernel == HOF dual fold") {
     val mismatches = docs
       .select(TextFunctions.fingerprint(col("text")).as("hof"), text_fingerprint(col("text")).as("fast"))

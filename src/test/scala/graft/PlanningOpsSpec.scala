@@ -1,0 +1,129 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Semantics of the round-4 planning/ops operators (q125–q130) beyond
+  * the oracle gate: driver-side brute force at the smallest SF and the
+  * invariants the hash compare can't see.
+  */
+class PlanningOpsSpec extends SparkSpec {
+
+  private val sfDir = "/root/testdata/sf0.001"
+
+  private def run(name: String) =
+    SparkEntry.queries(name)(spark, sfDir)
+
+  // ---------------------------------------------------------------- q125
+
+  test("weighted sampling matches driver-side priority brute force") {
+    val docs = Tables.documents(spark, sfDir)
+      .select("doc_id", "n_chars").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    def keyHash(k: Long): Long = ((k % 2147483648L) * 2654435761L) % 4294967296L
+    val expected = docs
+      .map { case (id, w) => (id, w, w * 4294967296L / (keyHash(id) + 1)) }
+      .sortBy { case (id, _, p) => (-p, id) }
+      .take(200)
+    val got = run("q125_weighted_sampling").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(got.toSeq == expected.toSeq)
+  }
+
+  test("weighted sampling favors heavier docs") {
+    // mean weight of the sample must exceed the corpus mean: selection
+    // odds are ∝ n_chars, so the sample is length-biased by design
+    val all = Tables.documents(spark, sfDir).select("n_chars").collect().map(_.getLong(0))
+    val sample = run("q125_weighted_sampling").collect().map(_.getLong(1))
+    assert(sample.sum.toDouble / sample.length > all.sum.toDouble / all.length)
+  }
+
+  // ---------------------------------------------------------------- q126
+
+  test("compaction plan: files cover chars, docs_per_file covers docs") {
+    val rows = run("q126_compaction_plan").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(4), r.getLong(5)))
+    for ((src, nDocs, totalChars, nFiles, docsPerFile) <- rows) {
+      assert(nFiles == (totalChars + 16383) / 16384, s"$src files")
+      assert(nFiles >= 1)
+      assert(docsPerFile * nFiles >= nDocs, s"$src plan must place every doc")
+      assert((docsPerFile - 1) * nFiles < nDocs, s"$src plan must not over-allocate")
+    }
+  }
+
+  // ---------------------------------------------------------------- q128
+
+  test("split leakage: group split leaks zero users, row split leaks some") {
+    val rows = run("q128_split_leakage_audit").collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val (gUsers, gLeak) = rows("group_hash")
+    val (rUsers, rLeak) = rows("row_hash")
+    assert(gUsers == rUsers, "both modes audit the same population")
+    assert(gLeak == 0L, "group-keyed split must never split a user")
+    // 15 users × ~67 events each at sf0.001: every user all but surely
+    // draws both sides under a per-event split
+    assert(rLeak > 0L, "row split should leak at this event density")
+  }
+
+  // ---------------------------------------------------------------- q130
+
+  test("volume anomaly matches driver-side trailing-window brute force") {
+    val daily = Tables.events(spark, sfDir)
+      .selectExpr("CAST(CAST(ts AS TIMESTAMP) AS LONG) div 86400 AS day")
+      .groupBy("day").agg(count(lit(1)).as("c"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1)
+    val expected = daily.indices.drop(7).map { i =>
+      val (day, x) = daily(i)
+      val win = daily.slice(i - 7, i).map(_._2)
+      val s = win.sum
+      val q = win.map(v => BigInt(v) * v).sum
+      val lhs = BigInt(7 * x - s) * (7 * x - s)
+      val rhs = 4 * (7 * q - BigInt(s) * s)
+      (day, x, s, if (lhs > rhs) 1L else 0L)
+    }
+    val got = run("q130_volume_anomaly").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(got.toSeq == expected)
+  }
+
+  // ---------------------------------------------------------------- q129
+
+  test("basket triples match driver-side brute force") {
+    val brand = Tables.part(spark, sfDir).select("p_partkey", "p_brand").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val baskets = Tables.lineitem(spark, sfDir).select("l_orderkey", "l_partkey")
+      .collect().map(r => (r.getLong(0), brand(r.getLong(1))))
+      .distinct.groupBy(_._1).values
+      .map(_.map(_._2).distinct.sorted.toVector)
+      .filter(_.length >= 3)
+    val support = baskets.toSeq
+      .flatMap(_.combinations(3))
+      .groupBy(identity).view.mapValues(_.size.toLong).toSeq
+      .map { case (t, s) => (t(0), t(1), t(2), s) }
+      .sortBy { case (a, b, c, s) => (-s, a, b, c) }
+      .take(20)
+    val got = run("q129_basket_triples").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getString(2), r.getLong(3)))
+    assert(got.toSeq == support)
+  }
+
+  // ---------------------------------------------------------------- q127
+
+  test("embedding moments match driver-side brute force") {
+    val vecs = Tables.embeddings(spark, sfDir).select("embedding").collect()
+      .map(_.getSeq[Float](0).toArray)
+    val dims = vecs.head.length
+    val got = run("q127_embedding_moments").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(got.length == dims)
+    for ((dim, n, mean, varM) <- got) {
+      val qs = vecs.map(v => math.floor(v(dim.toInt).toDouble * 1000000 + 0.5).toLong)
+      assert(n == qs.length.toLong)
+      assert(mean == qs.sum / qs.length) // Long division truncates toward 0 like div
+      val bn = BigInt(qs.length)
+      val s = qs.map(BigInt(_)).sum
+      val ss = qs.map(q => BigInt(q) * q).sum
+      assert(varM == ((bn * ss - s * s) / (bn * bn)).toLong, s"dim $dim")
+      assert(varM >= 0)
+    }
+  }
+}
