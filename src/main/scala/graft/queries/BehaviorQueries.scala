@@ -205,5 +205,113 @@ object BehaviorQueries extends QueryGroup {
       FROM a
     """))
 
-  override def defs: Seq[QueryDef] = Seq(q115, q116, q117)
+  /** Time-weighted average (TWAP) of event value per user: each
+    * observation holds until the next one, so its weight is the gap to
+    * the successor (the last event has no holding period). Exact
+    * integers end-to-end: cents × gap-seconds summed in decimal(38,0),
+    * one integral division at the end.
+    *
+    * Scale shape: the lead() window is partitioned by user and ordered
+    * by (ts, event_id) — per-user state only, no global sort; the final
+    * aggregate is one map-side-combined pass. */
+  private val q132 = QueryDef(
+    "q132_time_weighted_avg",
+    (spark, dir) => {
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts_s"), col("event_id"))
+      Tables.events(spark, dir)
+        .select(col("user_id"), col("event_id"), epochS(col("ts")).as("ts_s"),
+          cents(col("value")).as("vc"))
+        .select(col("user_id"), col("vc"),
+          (lead(col("ts_s"), 1).over(w) - col("ts_s")).as("gap_s"))
+        .filter(col("gap_s").isNotNull)
+        .groupBy(col("user_id"))
+        .agg(count(lit(1)).as("n_holds"),
+          sum(col("gap_s")).as("span_s"),
+          sum(expr("CAST(vc AS DECIMAL(38,0)) * gap_s")).as("vw"))
+        .select(col("user_id"), col("n_holds"), col("span_s"),
+          expr("CAST(vw DIV span_s AS BIGINT)").as("twap_cents"))
+        .orderBy(col("user_id"))
+    },
+    Some("""
+      WITH e AS (
+        SELECT user_id, event_id, CAST(epoch_ms(ts) // 1000 AS BIGINT) AS ts_s,
+          CAST(floor(value * 100 + 0.5) AS BIGINT) AS vc
+        FROM events),
+      g AS (
+        SELECT user_id, vc,
+          lead(ts_s) OVER (PARTITION BY user_id ORDER BY ts_s, event_id) - ts_s AS gap_s
+        FROM e)
+      SELECT user_id, count(*) AS n_holds,
+        CAST(sum(gap_s) AS BIGINT) AS span_s,
+        CAST(sum(CAST(vc AS HUGEINT) * gap_s) // CAST(sum(gap_s) AS HUGEINT) AS BIGINT)
+          AS twap_cents
+      FROM g WHERE gap_s IS NOT NULL
+      GROUP BY user_id ORDER BY user_id
+    """))
+
+  /** Conversion-latency quartiles: minutes from first view to first
+    * (strictly ordered) purchase across converting users, as exact
+    * bin-granular percentiles — the p-th percentile is the smallest
+    * minute bucket whose cumulative count reaches ceil(p·n/100), so the
+    * cumulative window runs over the bounded minute histogram, never
+    * over users (q82's pattern applied to a latency distribution).
+    *
+    * Scale shape: q115's funnel joins (co-partitioned on user_id) down
+    * to one row per converting user, collapsed to a minute histogram
+    * before any window; output is one row. */
+  private val q134 = QueryDef(
+    "q134_conversion_latency",
+    (spark, dir) => {
+      val e = Tables.events(spark, dir)
+        .select(col("user_id"), col("event_type"), epochS(col("ts")).as("ts_s"))
+      val v = e.filter(col("event_type") === "view")
+        .groupBy(col("user_id")).agg(min(col("ts_s")).as("t1"))
+      val c = e.filter(col("event_type") === "click").join(v, Seq("user_id"))
+        .filter(col("ts_s") > col("t1"))
+        .groupBy(col("user_id")).agg(min(col("ts_s")).as("t2"), min(col("t1")).as("t1m"))
+      val p = e.filter(col("event_type") === "purchase").join(c, Seq("user_id"))
+        .filter(col("ts_s") > col("t2"))
+        .groupBy(col("user_id"))
+        .agg(expr("(min(ts_s) - min(t1m)) div 60").as("lat_min"))
+      val hist = p.groupBy(col("lat_min")).agg(count(lit(1)).as("c")).persist()
+      val w = Window.orderBy(col("lat_min"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val cum = hist.select(col("lat_min"), sum(col("c")).over(w).as("cum"))
+      val tot = hist.agg(sum(col("c")).as("n"))
+      cum.crossJoin(broadcast(tot))
+        .select(col("n"), col("lat_min"), col("cum"),
+          expr("CAST((25 * n + 99) DIV 100 AS BIGINT)").as("k25"),
+          expr("CAST((50 * n + 99) DIV 100 AS BIGINT)").as("k50"),
+          expr("CAST((75 * n + 99) DIV 100 AS BIGINT)").as("k75"))
+        .groupBy(col("n"))
+        .agg(min(when(col("cum") >= col("k25"), col("lat_min"))).as("p25_min"),
+          min(when(col("cum") >= col("k50"), col("lat_min"))).as("p50_min"),
+          min(when(col("cum") >= col("k75"), col("lat_min"))).as("p75_min"))
+        .select(col("n").as("n_converting"), col("p25_min"), col("p50_min"), col("p75_min"))
+    },
+    Some("""
+      WITH e AS (
+        SELECT user_id, event_type, CAST(epoch_ms(ts) // 1000 AS BIGINT) AS ts_s
+        FROM events),
+      v AS (SELECT user_id, min(ts_s) AS t1 FROM e WHERE event_type = 'view' GROUP BY user_id),
+      c AS (SELECT e.user_id, min(e.ts_s) AS t2, min(v.t1) AS t1m
+            FROM e JOIN v USING (user_id)
+            WHERE e.event_type = 'click' AND e.ts_s > v.t1 GROUP BY e.user_id),
+      p AS (SELECT e.user_id,
+              CAST((min(e.ts_s) - min(c.t1m)) // 60 AS BIGINT) AS lat_min
+            FROM e JOIN c USING (user_id)
+            WHERE e.event_type = 'purchase' AND e.ts_s > c.t2 GROUP BY e.user_id),
+      h AS (SELECT lat_min, count(*) AS c FROM p GROUP BY lat_min),
+      cum AS (SELECT lat_min, sum(c) OVER (ORDER BY lat_min) AS cum FROM h),
+      tot AS (SELECT CAST(sum(c) AS BIGINT) AS n FROM h)
+      SELECT n AS n_converting,
+        min(CASE WHEN cum >= (25 * n + 99) // 100 THEN lat_min END) AS p25_min,
+        min(CASE WHEN cum >= (50 * n + 99) // 100 THEN lat_min END) AS p50_min,
+        min(CASE WHEN cum >= (75 * n + 99) // 100 THEN lat_min END) AS p75_min
+      FROM cum CROSS JOIN tot
+      GROUP BY n
+    """))
+
+  override def defs: Seq[QueryDef] = Seq(q115, q116, q117, q132, q134)
 }

@@ -268,5 +268,52 @@ object DriftQueries extends QueryGroup {
       ORDER BY top_k
     """))
 
-  override def defs: Seq[QueryDef] = Seq(q118, q119, q120, q121, q122)
+  /** Pairwise token-set Jaccard between sources — the corpus-level
+    * similarity matrix behind mixture design (two sources with
+    * near-identical vocabularies are redundant; q118 measures distance
+    * from the CORPUS, this measures distance between SLICES).
+    *
+    * Scale shape: the (source, token) distinct table is the only
+    * corpus-sized object; the pair expansion joins it to itself on the
+    * token key, but each token fans out to at most C(sources, 2) pairs —
+    * source count is a fixed small constant (the mixture vocabulary), so
+    * the expansion is bounded ×190 here. Set sizes broadcast onto the
+    * pair counts. */
+  private val q131 = QueryDef(
+    "q131_source_similarity",
+    (spark, dir) => {
+      val st = Tables.documents(spark, dir)
+        .select(col("source"), explode(TextFunctions.tokens(col("text"))).as("tok"))
+        .distinct()
+        .persist() // sizes + both sides of the pair join
+      val sizes = st.groupBy(col("source")).agg(count(lit(1)).as("n"))
+      val inter = st.as("a").join(st.as("b"), Seq("tok"))
+        .filter(col("a.source") < col("b.source"))
+        .groupBy(col("a.source").as("s1"), col("b.source").as("s2"))
+        .agg(count(lit(1)).as("inter"))
+      inter
+        .join(broadcast(sizes.select(col("source").as("s1"), col("n").as("n1"))), Seq("s1"))
+        .join(broadcast(sizes.select(col("source").as("s2"), col("n").as("n2"))), Seq("s2"))
+        .select(col("s1"), col("s2"), col("n1"), col("n2"), col("inter"),
+          expr("inter * 1000000L div (n1 + n2 - inter)").as("jaccard_ppm"))
+        .orderBy(col("s1"), col("s2"))
+    },
+    Some(s"""
+      WITH st AS (
+        SELECT DISTINCT source, tok FROM (
+          SELECT source, unnest($duckToks) AS tok FROM documents)),
+      sizes AS (SELECT source, count(*) AS n FROM st GROUP BY source),
+      inter AS (
+        SELECT a.source AS s1, b.source AS s2, count(*) AS inter
+        FROM st a JOIN st b ON a.tok = b.tok AND a.source < b.source
+        GROUP BY a.source, b.source)
+      SELECT s1, s2, za.n AS n1, zb.n AS n2, inter,
+        inter * 1000000 // (za.n + zb.n - inter) AS jaccard_ppm
+      FROM inter
+      JOIN sizes za ON za.source = s1
+      JOIN sizes zb ON zb.source = s2
+      ORDER BY s1, s2
+    """))
+
+  override def defs: Seq[QueryDef] = Seq(q118, q119, q120, q121, q122, q131)
 }

@@ -185,5 +185,82 @@ object PlanningQueries extends QueryGroup {
       FROM f WHERE n7 = 7 ORDER BY day
     """))
 
-  override def defs: Seq[QueryDef] = Seq(q125, q126, q128, q130)
+  /** Join-blowup audit — the pre-flight check before a self-join or a
+    * fact↔fact join on a hot key: per-key row counts and their squared
+    * contribution to the join's output cardinality, plus each key's
+    * share of the total blowup in ppm. The top key's share is exactly
+    * what decides between a plain shuffle join, q33's salting, or a
+    * q57-style bloom pre-filter.
+    *
+    * Scale shape: one keyed count (map-side combined), a one-row
+    * broadcast total, and a top-20 TakeOrderedAndProject — the audit
+    * never runs the join it is sizing. */
+  private val q133 = QueryDef(
+    "q133_join_blowup_audit",
+    (spark, dir) => {
+      val counts = Tables.events(spark, dir)
+        .groupBy(col("user_id")).agg(count(lit(1)).as("c"))
+        .select(col("user_id"), col("c"),
+          expr("CAST(c AS DECIMAL(38,0)) * c").as("c2"))
+        .persist() // total + top-k
+      val tot = counts.agg(sum(col("c2")).as("total_pairs"))
+      counts.crossJoin(broadcast(tot))
+        .select(col("user_id"), col("c"),
+          col("c2").cast("long").as("self_join_rows"),
+          expr("CAST(c2 * 1000000 DIV total_pairs AS BIGINT)").as("blowup_share_ppm"))
+        .orderBy(col("self_join_rows").desc, col("user_id"))
+        .limit(20)
+    },
+    Some("""
+      WITH k AS (
+        SELECT user_id, count(*) AS c, CAST(count(*) AS HUGEINT) * count(*) AS c2
+        FROM events GROUP BY user_id),
+      t AS (SELECT sum(c2) AS total_pairs FROM k)
+      SELECT user_id, c, CAST(c2 AS BIGINT) AS self_join_rows,
+        CAST(c2 * 1000000 // total_pairs AS BIGINT) AS blowup_share_ppm
+      FROM k CROSS JOIN t
+      ORDER BY self_join_rows DESC, user_id LIMIT 20
+    """))
+
+  /** Duplicate-cluster size histogram — the dedup-monitoring readout:
+    * how many exact-duplicate clusters exist at each size, how many
+    * docs they hold, and what fraction of the corpus deleting all but
+    * one survivor per cluster would remove (ppm). The shape of this
+    * histogram is what tunes MinHash banding and bucket caps upstream.
+    *
+    * Scale shape: digest-keyed count (the body never shuffles — md5
+    * happens on the scan), then a histogram over cluster SIZES (bounded
+    * by the largest cluster, not the corpus); totals broadcast. */
+  private val q135 = QueryDef(
+    "q135_dup_size_histogram",
+    (spark, dir) => {
+      val clusters = Tables.documents(spark, dir)
+        .select(md5(col("text")).as("digest"))
+        .groupBy(col("digest")).agg(count(lit(1)).as("sz"))
+      val hist = clusters.groupBy(col("sz")).agg(count(lit(1)).as("n_clusters"))
+        .select(col("sz"), col("n_clusters"), (col("sz") * col("n_clusters")).as("n_docs"),
+          ((col("sz") - 1) * col("n_clusters")).as("n_removable"))
+        .persist() // total + output
+      val tot = hist.agg(sum(col("n_docs")).as("n_total"))
+      hist.crossJoin(broadcast(tot))
+        .select(col("sz").as("cluster_size"), col("n_clusters"), col("n_docs"),
+          expr("n_removable * 1000000L div n_total").as("removable_ppm"))
+        .orderBy(col("cluster_size"))
+    },
+    Some("""
+      WITH c AS (
+        SELECT md5(text) AS digest, count(*) AS sz
+        FROM documents GROUP BY md5(text)),
+      h AS (
+        SELECT sz, count(*) AS n_clusters, sz * count(*) AS n_docs,
+          (sz - 1) * count(*) AS n_removable
+        FROM c GROUP BY sz),
+      t AS (SELECT CAST(sum(n_docs) AS BIGINT) AS n_total FROM h)
+      SELECT sz AS cluster_size, n_clusters, n_docs,
+        n_removable * 1000000 // n_total AS removable_ppm
+      FROM h CROSS JOIN t
+      ORDER BY cluster_size
+    """))
+
+  override def defs: Seq[QueryDef] = Seq(q125, q126, q128, q130, q133, q135)
 }

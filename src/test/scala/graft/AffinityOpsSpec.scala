@@ -1,0 +1,104 @@
+package graft
+
+/** Semantics of the round-4 affinity/audit operators (q131–q135) beyond
+  * the oracle gate: driver-side brute force at the smallest SF.
+  */
+class AffinityOpsSpec extends SparkSpec {
+
+  private val sfDir = "/root/testdata/sf0.001"
+
+  private def run(name: String) =
+    SparkEntry.queries(name)(spark, sfDir)
+
+  // ---------------------------------------------------------------- q131
+
+  test("source similarity matrix matches driver-side brute force") {
+    val docs = Tables.documents(spark, sfDir)
+      .select("source", "text").collect()
+      .map(r => (r.getString(0), r.getString(1).split(" ").filter(_.nonEmpty).toSet))
+    val vocab = docs.groupBy(_._1).view.mapValues(_.flatMap(_._2).toSet).toMap
+    val sources = vocab.keys.toSeq.sorted
+    val expected = (for {
+      i <- sources.indices; j <- (i + 1) until sources.length
+      (a, b) = (sources(i), sources(j))
+      inter = (vocab(a) & vocab(b)).size.toLong
+    } yield (a, b, vocab(a).size.toLong, vocab(b).size.toLong, inter,
+      inter * 1000000L / (vocab(a).size + vocab(b).size - inter))).toSeq
+    val got = run("q131_source_similarity").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5)))
+    assert(got.toSeq == expected.sortBy(t => (t._1, t._2)))
+  }
+
+  // ---------------------------------------------------------------- q132
+
+  test("time-weighted average matches driver-side brute force") {
+    val ev = Tables.events(spark, sfDir)
+      .selectExpr("user_id", "event_id", "CAST(CAST(ts AS TIMESTAMP) AS LONG) AS ts_s",
+        "CAST(floor(value * 100 + 0.5) AS LONG) AS vc")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    val expected = ev.groupBy(_._1).view.mapValues { rows =>
+      val sorted = rows.sortBy(r => (r._3, r._2))
+      val holds = sorted.zip(sorted.tail).map { case (a, b) => (a._4, b._3 - a._3) }
+      val span = holds.map(_._2).sum
+      val vw = holds.map { case (v, g) => BigInt(v) * g }.sum
+      (holds.length.toLong, span, (vw / span).toLong)
+    }.toMap
+    val got = run("q132_time_weighted_avg").collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    assert(got == expected)
+  }
+
+  // ---------------------------------------------------------------- q134
+
+  test("conversion latency quartiles match driver-side brute force") {
+    val ev = Tables.events(spark, sfDir)
+      .selectExpr("user_id", "event_type", "CAST(CAST(ts AS TIMESTAMP) AS LONG) AS ts_s")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    val byUser = ev.groupBy(_._1)
+    def firstAfter(u: Long, tpe: String, after: Long): Option[Long] =
+      byUser(u).collect { case (_, t, s) if t == tpe && s > after => s }.minOption
+    val lats = byUser.keys.toSeq.flatMap { u =>
+      for {
+        t1 <- firstAfter(u, "view", Long.MinValue)
+        t2 <- firstAfter(u, "click", t1)
+        t3 <- firstAfter(u, "purchase", t2)
+      } yield (t3 - t1) / 60
+    }.sorted
+    val n = lats.length.toLong
+    def pct(p: Long): Long = lats(((p * n + 99) / 100 - 1).toInt)
+    val row = run("q134_conversion_latency").collect().head
+    assert(row.getLong(0) == n)
+    assert((row.getLong(1), row.getLong(2), row.getLong(3)) == (pct(25), pct(50), pct(75)))
+  }
+
+  // ---------------------------------------------------------------- q133
+
+  test("join blowup audit matches driver-side brute force") {
+    val counts = Tables.events(spark, sfDir)
+      .select("user_id").collect().map(_.getLong(0))
+      .groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val total = counts.values.map(c => BigInt(c) * c).sum
+    val expected = counts.toSeq
+      .map { case (u, c) => (u, c, c * c, (BigInt(c) * c * 1000000 / total).toLong) }
+      .sortBy { case (u, _, c2, _) => (-c2, u) }.take(20)
+    val got = run("q133_join_blowup_audit").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(got.toSeq == expected)
+  }
+
+  // ---------------------------------------------------------------- q135
+
+  test("dup size histogram: docs partition the corpus, removable consistent") {
+    val rows = run("q135_dup_size_histogram").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    val nDocs = Tables.documents(spark, sfDir).count()
+    assert(rows.map(_._3).sum == nDocs)
+    val totalRemovable = rows.map { case (sz, nc, _, _) => (sz - 1) * nc }.sum
+    for ((sz, nc, nd, ppm) <- rows) {
+      assert(nd == sz * nc)
+      assert(ppm == (sz - 1) * nc * 1000000L / nDocs)
+    }
+    assert(totalRemovable >= 0 && totalRemovable < nDocs)
+  }
+}

@@ -41,7 +41,9 @@ class QueriesSmokeSpec extends SparkSpec {
     "q112_range_partition_plan", "q115_event_funnel",
     "q116_rfm_segmentation", "q117_gini_concentration",
     "q118_source_drift_tv", "q119_chi_square_independence",
-    "q120_ks_two_sample", "q122_vocab_coverage", "q124_target_encoding")
+    "q120_ks_two_sample", "q122_vocab_coverage", "q124_target_encoding",
+    "q133_join_blowup_audit", "q134_conversion_latency",
+    "q135_dup_size_histogram")
 
   test("plan hygiene: no cartesian products, no unsanctioned nested loops") {
     for ((name, fn) <- SparkEntry.queries.toSeq.sortBy(_._1)) {
