@@ -243,5 +243,104 @@ object GraphQueries extends QueryGroup {
       ORDER BY brand_a, brand_b
     """))
 
-  def defs: Seq[QueryDef] = Seq(q74, q75, q88, q113)
+  /** IVF-cell label purity — the label-noise QC readout for embedding
+    * corpora: per learned cell, the vector count, how many distinct
+    * labels it mixes, the majority label, and its share in ppm. Low
+    * purity marks either mislabeled vectors or cells a label-blocked
+    * dedup (q24) would under-block.
+    *
+    * Scale shape: the IVF build is the narrow broadcast-centroid argmax
+    * (no join/shuffle); purity is one (cell, label)-keyed count, a
+    * cell-keyed rollup, and a deterministic majority pick via a window
+    * partitioned by cell — all cell-count-sized after the first
+    * aggregate. */
+  private val q137 = QueryDef(
+    "q137_cluster_purity",
+    (spark, dir) => {
+      val emb = Tables.embeddings(spark, dir)
+      val (assignments, _) = Ivf.build(emb, "vec_id", "embedding", k = 8)
+      val cells = assignments.select(col("id"), col("cluster"))
+        .join(emb.select(col("vec_id").as("id"), col("label")), Seq("id"))
+        .groupBy(col("cluster"), col("label")).agg(count(lit(1)).as("c"))
+        .persist() // majority pick + per-cell rollup
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("cluster")).orderBy(col("c").desc, col("label"))
+      val maj = cells
+        .select(col("cluster"), col("label"), col("c"), row_number().over(w).as("rn"))
+        .filter(col("rn") === 1)
+        .select(col("cluster"), col("label").as("majority_label"), col("c").as("n_majority"))
+      cells.groupBy(col("cluster"))
+        .agg(sum(col("c")).as("n_vectors"), count(lit(1)).as("n_labels"))
+        .join(maj, Seq("cluster"))
+        .select(col("cluster").cast("long").as("cluster"), col("n_vectors"),
+          col("n_labels"), col("majority_label").cast("long").as("majority_label"),
+          expr("n_majority * 1000000L div n_vectors").as("purity_ppm"))
+        .orderBy(col("cluster"))
+    },
+    Some(s"""
+      WITH $duckIvfAssigned,
+      lab AS (
+        SELECT a.cluster, e.label, count(*) AS c
+        FROM assigned a JOIN embeddings e ON e.vec_id = a.id
+        GROUP BY a.cluster, e.label),
+      maj AS (
+        SELECT cluster, label AS majority_label, c AS n_majority FROM lab
+        QUALIFY row_number() OVER (PARTITION BY cluster ORDER BY c DESC, label) = 1),
+      t AS (
+        SELECT cluster, CAST(sum(c) AS BIGINT) AS n_vectors, count(*) AS n_labels
+        FROM lab GROUP BY cluster)
+      SELECT CAST(t.cluster AS BIGINT) AS cluster, t.n_vectors, t.n_labels,
+        CAST(m.majority_label AS BIGINT) AS majority_label,
+        m.n_majority * 1000000 // t.n_vectors AS purity_ppm
+      FROM t JOIN maj m ON m.cluster = t.cluster
+      ORDER BY cluster
+    """))
+
+  /** Degree-distribution histogram of the co-supply graph (q75's edge
+    * set, same one-ship-year pushed-down window): suppliers per degree,
+    * zero-degree suppliers included — the first thing to read before
+    * running PageRank/CC on a graph (hubs ⇒ salting, isolates ⇒ wasted
+    * iterations).
+    *
+    * Scale shape: the edge build is q75's a<b dedup + mirror; degrees
+    * are one keyed count; the histogram is degree-bounded; isolates
+    * come from an anti-ish left join of the (dimension-sized) supplier
+    * table against degrees. */
+  private val q138 = QueryDef(
+    "q138_degree_histogram",
+    (spark, dir) => {
+      val li = Tables.lineitem(spark, dir)
+        .filter(col("l_shipdate") >= "1995-01-01" && col("l_shipdate") < "1996-01-01")
+        .select(col("l_orderkey").as("ok"), col("l_suppkey").as("sk"))
+      val pairs = li
+        .join(li.withColumnRenamed("sk", "sk2"), Seq("ok"))
+        .filter(col("sk") < col("sk2"))
+        .select(col("sk").as("src"), col("sk2").as("dst"))
+        .distinct()
+      val deg = pairs.union(pairs.select(col("dst").as("src"), col("src").as("dst")))
+        .groupBy(col("src")).agg(count(lit(1)).as("degree"))
+      Tables.supplier(spark, dir).select(col("s_suppkey").as("src"))
+        .join(deg, Seq("src"), "left")
+        .na.fill(0L, Seq("degree"))
+        .groupBy(col("degree")).agg(count(lit(1)).as("n_suppliers"))
+        .orderBy(col("degree"))
+    },
+    Some("""
+      WITH li AS (
+        SELECT l_orderkey, l_suppkey FROM lineitem
+        WHERE l_shipdate >= TIMESTAMP '1995-01-01'
+          AND l_shipdate < TIMESTAMP '1996-01-01'),
+      e AS (
+        SELECT DISTINCT a.l_suppkey AS src, b.l_suppkey AS dst
+        FROM li a JOIN li b
+          ON a.l_orderkey = b.l_orderkey AND a.l_suppkey <> b.l_suppkey),
+      d AS (SELECT src, count(*) AS degree FROM e GROUP BY src),
+      alln AS (
+        SELECT s_suppkey AS src, coalesce(d.degree, 0) AS degree
+        FROM supplier LEFT JOIN d ON d.src = s_suppkey)
+      SELECT degree, count(*) AS n_suppliers
+      FROM alln GROUP BY degree ORDER BY degree
+    """))
+
+  def defs: Seq[QueryDef] = Seq(q74, q75, q88, q113, q137, q138)
 }

@@ -262,5 +262,50 @@ object PlanningQueries extends QueryGroup {
       ORDER BY cluster_size
     """))
 
-  override def defs: Seq[QueryDef] = Seq(q125, q126, q128, q130, q133, q135)
+  /** Temperature-based mixture allocation (τ = 0.5): per-source token
+    * budget shares ∝ √(n_tokens) — the multilingual-corpus sampling
+    * formula that upweights small sources without letting giants drown
+    * them. The integer square root floor(sqrt(x)) is exact across
+    * engines while x < ~2^50 (IEEE sqrt is correctly rounded and the
+    * true root is farther than half an ulp from the next integer), far
+    * above any per-source token count; everything else is integer ppm.
+    *
+    * Scale shape: one corpus scan → per-source token totals (source-
+    * count rows); the weight total is a one-row broadcast. */
+  private val q136 = QueryDef(
+    "q136_temperature_allocation",
+    (spark, dir) => {
+      val src = Tables.documents(spark, dir)
+        .select(col("source"),
+          graft.text.TextFunctions.tokenCount(col("text")).cast("long").as("tc"))
+        .groupBy(col("source")).agg(sum(col("tc")).as("n_tokens"))
+        .select(col("source"), col("n_tokens"),
+          expr("CAST(floor(sqrt(CAST(n_tokens AS DOUBLE))) AS BIGINT)").as("w"))
+        .persist() // totals + output
+      val tot = src.agg(sum(col("n_tokens")).as("t"), sum(col("w")).as("sw"))
+      src.crossJoin(broadcast(tot))
+        .select(col("source"), col("n_tokens"),
+          expr("n_tokens * 1000000L div t").as("natural_ppm"),
+          expr("w * 1000000L div sw").as("temp_alloc_ppm"))
+        .orderBy(col("source"))
+    },
+    Some("""
+      WITH s AS (
+        SELECT source,
+          CAST(sum(len(list_filter(str_split(text, ' '), t -> len(t) > 0))) AS BIGINT)
+            AS n_tokens
+        FROM documents GROUP BY source),
+      ws AS (
+        SELECT source, n_tokens,
+          CAST(floor(sqrt(CAST(n_tokens AS DOUBLE))) AS BIGINT) AS w
+        FROM s),
+      t AS (SELECT CAST(sum(n_tokens) AS BIGINT) AS t, CAST(sum(w) AS BIGINT) AS sw FROM ws)
+      SELECT source, n_tokens,
+        n_tokens * 1000000 // t.t AS natural_ppm,
+        w * 1000000 // t.sw AS temp_alloc_ppm
+      FROM ws CROSS JOIN t
+      ORDER BY source
+    """))
+
+  override def defs: Seq[QueryDef] = Seq(q125, q126, q128, q130, q133, q135, q136)
 }

@@ -87,6 +87,70 @@ class AffinityOpsSpec extends SparkSpec {
     assert(got.toSeq == expected)
   }
 
+  // ---------------------------------------------------------------- q136
+
+  test("temperature allocation: sqrt-weights flatten the distribution") {
+    val rows = run("q136_temperature_allocation").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    // exact weights
+    for ((_, n, _, _) <- rows) assert(n > 0)
+    val totalN = rows.map(_._2).sum
+    val ws = rows.map(t => math.sqrt(t._2.toDouble).toLong)
+    val sw = ws.sum
+    for (((src, n, natPpm, tempPpm), w) <- rows.zip(ws)) {
+      assert(natPpm == n * 1000000L / totalN, src)
+      assert(tempPpm == w * 1000000L / sw, src)
+    }
+    // τ=0.5 compresses: the largest source's share must not grow, the
+    // smallest source's share must not shrink
+    val largest = rows.maxBy(_._2)
+    val smallest = rows.minBy(_._2)
+    assert(largest._4 <= largest._3)
+    assert(smallest._4 >= smallest._3)
+  }
+
+  // ---------------------------------------------------------------- q137
+
+  test("cluster purity: cells partition the corpus, purity bounded") {
+    val rows = run("q137_cluster_purity").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    val nVecs = Tables.embeddings(spark, sfDir).count()
+    assert(rows.map(_._2).sum == nVecs)
+    val labels = Tables.embeddings(spark, sfDir)
+      .select("label").distinct().collect().map(_.getInt(0).toLong).toSet
+    for ((cl, n, nLabels, majLabel, purity) <- rows) {
+      assert(cl >= 0 && cl < 8)
+      assert(nLabels >= 1 && nLabels <= labels.size)
+      assert(labels.contains(majLabel))
+      // majority share is at least 1/n_labels (pigeonhole) and ≤ 1
+      assert(purity <= 1000000L, s"cell $cl")
+      assert(purity >= 1000000L / nLabels - 1, s"cell $cl")
+    }
+  }
+
+  // ---------------------------------------------------------------- q138
+
+  test("degree histogram matches driver-side brute force") {
+    val li = Tables.lineitem(spark, sfDir)
+      .filter("l_shipdate >= '1995-01-01' AND l_shipdate < '1996-01-01'")
+      .select("l_orderkey", "l_suppkey").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val pairs: Set[(Long, Long)] = li.groupBy(_._1).values.toSeq
+      .flatMap { g =>
+        val ss = g.map(_._2).distinct.toSeq
+        for (a <- ss; b <- ss if a < b) yield (a, b)
+      }.toSet
+    val deg = pairs.toSeq.flatMap { case (a, b) => Seq(a, b) }
+      .groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val allSupp = Tables.supplier(spark, sfDir).select("s_suppkey")
+      .collect().map(_.getLong(0))
+    val expected = allSupp.map(s => deg.getOrElse(s, 0L))
+      .groupBy(identity).view.mapValues(_.size.toLong).toSeq.sortBy(_._1)
+    val got = run("q138_degree_histogram").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(got.toSeq == expected)
+  }
+
   // ---------------------------------------------------------------- q135
 
   test("dup size histogram: docs partition the corpus, removable consistent") {
