@@ -250,6 +250,44 @@ class ScaleOpsSpec extends SparkSpec {
     assert(!rep.contains("transform("), "interpreted HOF in the repetition hot path")
   }
 
+  test("round-4 plan shapes: codegen z-order, top-k sampling, kernel shingles, broadcast quartiles") {
+    val queries = SparkEntry.queries
+
+    // q123: the 32-term Morton interleave must be pure shift/add
+    // expression arithmetic projected straight off a PRUNED scan (only
+    // the two key columns read) — no UDF, no extra exchange before the
+    // aggregate. (AQE's plan string doesn't expose codegen spans, so
+    // assert the properties that imply codegen eligibility instead.)
+    val z = queries("q123_zorder_layout")(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    assert(z.contains("shiftleft"), "z expression missing from the plan")
+    assert(z.contains("ReadSchema: struct<l_partkey:bigint,l_suppkey:bigint>"),
+      s"z-order scan must prune to the two key columns:\n${z.takeRight(400)}")
+    assert(!z.toLowerCase.contains("batchevalpython") && !z.contains("UDF"),
+      "z-order must be pure expression arithmetic")
+
+    // q125: weighted top-k must plan as TakeOrderedAndProject (bounded
+    // per-partition heaps), never a global Sort + Limit
+    val wsPlan = queries("q125_weighted_sampling")(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    assert(wsPlan.contains("TakeOrderedAndProject"),
+      s"weighted sampling must plan a bounded top-k:\n${wsPlan.take(800)}")
+
+    // q114: shingles must come from the fused kernel, not the quadratic
+    // HOF pipeline (transform + substr re-seek)
+    val nov = queries("q114_ngram_novelty")(spark, sfDir)
+      .queryExecution.executedPlan.toString.toLowerCase
+    assert(nov.contains("charshingleset"), "novelty must use the fused shingle kernel")
+    assert(!nov.contains("transform("), "interpreted HOF in the novelty hot path")
+
+    // q116: all three quartile maps join back by BROADCAST — the
+    // customer table is never sort-merge shuffled against a histogram
+    val rfm = queries("q116_rfm_segmentation")(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    assert(!rfm.contains("SortMergeJoin"),
+      s"RFM quartile maps must broadcast, not sort-merge:\n${rfm.take(800)}")
+  }
+
   test("key histogram surfaces the heaviest keys") {
     val h = Skew.keyHistogram(Tables.lineitem(spark, sfDir), col("l_returnflag"), topN = 3)
     assert(h.count() === 3)
