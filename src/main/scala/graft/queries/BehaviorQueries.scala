@@ -313,5 +313,46 @@ object BehaviorQueries extends QueryGroup {
       GROUP BY n
     """))
 
-  override def defs: Seq[QueryDef] = Seq(q115, q116, q117, q132, q134)
+  /** Week-over-week revenue growth in signed ppm: weekly exact-cents
+    * revenue and its relative change vs the previous observed week,
+    * (rev − prev)·10^6 DIV prev. Both engines truncate integral
+    * division toward zero — including for negative growth — so the
+    * signed ppm hash-matches.
+    *
+    * Scale shape: the fact table collapses to one row per epoch-week
+    * before the lag window, which therefore runs over the bounded
+    * calendar, not over orders. */
+  private val q140 = QueryDef(
+    "q140_wow_growth",
+    (spark, dir) => {
+      val w = Window.orderBy(col("week"))
+      Tables.orders(spark, dir)
+        .select(
+          expr("CAST(datediff(CAST(o_orderdate AS DATE), DATE '1970-01-01') div 7 AS BIGINT)")
+            .as("week"),
+          cents(col("o_totalprice")).as("vc"))
+        .groupBy(col("week")).agg(sum(col("vc")).as("rev_cents"))
+        .select(col("week"), col("rev_cents"),
+          lag(col("rev_cents"), 1).over(w).as("prev_cents"))
+        .select(col("week"), col("rev_cents"), col("prev_cents"),
+          expr("(rev_cents - prev_cents) * 1000000L div prev_cents").as("growth_ppm"))
+        .orderBy(col("week"))
+    },
+    Some("""
+      WITH o AS (
+        SELECT CAST(date_diff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE)) // 7
+            AS BIGINT) AS week,
+          CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS vc
+        FROM orders),
+      wk AS (SELECT week, sum(vc) AS rev_cents FROM o GROUP BY week),
+      g AS (
+        SELECT week, CAST(rev_cents AS BIGINT) AS rev_cents,
+          CAST(lag(rev_cents) OVER (ORDER BY week) AS BIGINT) AS prev_cents
+        FROM wk)
+      SELECT week, rev_cents, prev_cents,
+        (rev_cents - prev_cents) * 1000000 // prev_cents AS growth_ppm
+      FROM g ORDER BY week
+    """))
+
+  override def defs: Seq[QueryDef] = Seq(q115, q116, q117, q132, q134, q140)
 }

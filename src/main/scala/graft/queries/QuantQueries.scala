@@ -120,5 +120,63 @@ object QuantQueries extends QueryGroup {
       FROM a ORDER BY dim
     """))
 
-  def defs: Seq[QueryDef] = Seq(q102, q127)
+  /** Embedding-norm outlier detection — the broken-vector QC gate (a
+    * misscaled or corrupt embedding shows up as an extreme L2 norm long
+    * before it poisons ANN results): flag vectors whose quantized norm²
+    * lands at or above the exact bucket-granular P99 of the corpus.
+    * Quantization is q102's ·512 grid, so norm² is an exact integer;
+    * the P99 threshold is the smallest norm²-bucket whose cumulative
+    * count reaches ceil(99n/100) (q82's bin-granular percentile). The
+    * histogram key is norm² itself — its value range is bounded by
+    * dims·512² ≈ 1.7e7 regardless of corpus size, and unit-normalized
+    * embeddings concentrate in a few thousand distinct values, so any
+    * coarser bucketing would lump the whole corpus into one bin.
+    *
+    * Scale shape: norm² is a narrow per-row fold (64 bounded elements);
+    * the percentile window runs over the bounded bucket histogram and
+    * the threshold broadcasts back onto the corpus — vectors never
+    * globally sort. */
+  private val q139 = QueryDef(
+    "q139_norm_outliers",
+    (spark, dir) => {
+      val nsqExpr = "aggregate(transform(embedding, x -> " +
+        "CAST(floor(CAST(x AS DOUBLE) * 512 + 0.5) AS BIGINT)), 0L, (a, q) -> a + q * q)"
+      val vecs = Tables.embeddings(spark, dir)
+        .select(col("vec_id"), col("label"), expr(nsqExpr).as("nsq"))
+        .persist() // histogram + flag pass
+      val hist = vecs.select(col("nsq").as("b"))
+        .groupBy(col("b")).agg(count(lit(1)).as("c"))
+      val w = org.apache.spark.sql.expressions.Window.orderBy(col("b"))
+        .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+          org.apache.spark.sql.expressions.Window.currentRow)
+      val cum = hist.select(col("b"), sum(col("c")).over(w).as("cum"))
+      val tot = hist.agg(sum(col("c")).as("n"))
+      val thr = cum.crossJoin(broadcast(tot))
+        .filter(expr("cum >= (99 * n + 99) DIV 100"))
+        .agg(min(col("b")).as("b99"))
+      vecs.crossJoin(broadcast(thr))
+        .filter(expr("nsq >= b99"))
+        .select(col("vec_id"), col("label").cast("long").as("label"), col("nsq"))
+        .orderBy(col("vec_id"))
+    },
+    Some("""
+      WITH v AS (
+        SELECT vec_id, label,
+          CAST(list_sum(list_transform(embedding, x ->
+            CAST(floor(CAST(x AS DOUBLE) * 512 + 0.5) AS BIGINT)
+              * CAST(floor(CAST(x AS DOUBLE) * 512 + 0.5) AS BIGINT))) AS BIGINT) AS nsq
+        FROM embeddings),
+      h AS (SELECT nsq AS b, count(*) AS c FROM v GROUP BY 1),
+      cum AS (SELECT b, sum(c) OVER (ORDER BY b) AS cum FROM h),
+      tot AS (SELECT count(*) AS n FROM v),
+      thr AS (
+        SELECT min(b) AS b99 FROM cum CROSS JOIN tot
+        WHERE cum >= (99 * n + 99) // 100)
+      SELECT vec_id, CAST(label AS BIGINT) AS label, nsq
+      FROM v CROSS JOIN thr
+      WHERE nsq >= b99
+      ORDER BY vec_id
+    """))
+
+  def defs: Seq[QueryDef] = Seq(q102, q127, q139)
 }

@@ -151,6 +151,48 @@ class AffinityOpsSpec extends SparkSpec {
     assert(got.toSeq == expected)
   }
 
+  // ---------------------------------------------------------------- q139
+
+  test("norm outliers match driver-side brute force P99") {
+    val vecs = Tables.embeddings(spark, sfDir)
+      .select("vec_id", "embedding").collect()
+      .map(r => (r.getLong(0),
+        r.getSeq[Float](1).map(x => math.floor(x.toDouble * 512 + 0.5).toLong)
+          .map(q => q * q).sum))
+    val n = vecs.length.toLong
+    val buckets = vecs.map(_._2).sorted
+    val cumTarget = (99 * n + 99) / 100
+    // exactly as the query defines it: smallest bucket whose cumulative
+    // count reaches the target
+    val hist = buckets.groupBy(identity).view.mapValues(_.size.toLong).toSeq.sortBy(_._1)
+    val cums = hist.scanLeft((0L, 0L)) { case ((_, acc), (b, c)) => (b, acc + c) }.drop(1)
+    val thr = cums.collectFirst { case (b, cum) if cum >= cumTarget => b }.get
+    val expected = vecs.filter(_._2 >= thr).map(v => (v._1, v._2)).sortBy(_._1)
+    val got = run("q139_norm_outliers").collect().map(r => (r.getLong(0), r.getLong(2)))
+    assert(got.toSeq == expected.toSeq)
+    assert(got.nonEmpty && got.length <= math.max(1, (vecs.length * 3) / 100 + 1),
+      "P99 gate should flag about 1% of vectors")
+  }
+
+  // ---------------------------------------------------------------- q140
+
+  test("week-over-week growth matches driver-side brute force") {
+    val weekly = Tables.orders(spark, sfDir)
+      .selectExpr("CAST(datediff(CAST(o_orderdate AS DATE), DATE '1970-01-01') div 7 AS LONG) AS w",
+        "CAST(floor(o_totalprice * 100 + 0.5) AS LONG) AS vc")
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+      .groupBy(_._1).view.mapValues(_.map(_._2).sum).toSeq.sortBy(_._1)
+    val expected = weekly.zipWithIndex.map { case ((w, rev), i) =>
+      val prev = if (i == 0) None else Some(weekly(i - 1)._2)
+      (w, rev, prev, prev.map(p => (rev - p) * 1000000L / p))
+    }
+    val got = run("q140_wow_growth").collect().map(r =>
+      (r.getLong(0), r.getLong(1),
+        if (r.isNullAt(2)) None else Some(r.getLong(2)),
+        if (r.isNullAt(3)) None else Some(r.getLong(3))))
+    assert(got.toSeq == expected)
+  }
+
   // ---------------------------------------------------------------- q135
 
   test("dup size histogram: docs partition the corpus, removable consistent") {

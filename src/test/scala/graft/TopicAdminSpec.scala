@@ -117,4 +117,42 @@ class TopicAdminSpec extends AnyFunSuite {
     }
     assert(ops.deleteRequests.isEmpty)
   }
+
+  // ------------------------------------------------------ ConsumerSmoke
+
+  import graft.streaming.ConsumerSmoke
+  import graft.streaming.ConsumerSmoke.Message
+
+  private class FakeConsumer(msgs: Seq[Message],
+                             topics: Seq[String]) extends ConsumerSmoke.ConsumerOps {
+    var listedTopics = 0
+    override def partitionsFor(topic: String): Set[Int] = Set(0, 1, 2)
+    override def poll(topic: String, max: Int, timeoutMs: Long): Seq[Message] =
+      msgs.take(max)
+    override def listTopics(): Seq[String] = { listedTopics += 1; topics }
+  }
+
+  test("consumer smoke reads at most 10 messages and skips the topic listing") {
+    val msgs = (1 to 25).map(i => Message(i % 3, i.toLong, s"order-$i"))
+    val ops = new FakeConsumer(msgs, Seq("ecommerce-orders"))
+    val report = ConsumerSmoke.run(ops)
+    assert(report.succeeded)
+    assert(report.messages.size === 10) // the script's break-at-10
+    assert(report.messages === msgs.take(10))
+    assert(report.partitions === Set(0, 1, 2))
+    assert(report.availableTopics.isEmpty, "listing only runs on empty reads")
+    assert(ops.listedTopics === 0)
+  }
+
+  test("consumer smoke on an empty topic falls back to listing topics") {
+    val ops = new FakeConsumer(Seq.empty,
+      Seq("ecommerce-orders", "ecommerce-alerts", "__consumer_offsets"))
+    val report = ConsumerSmoke.run(ops)
+    assert(!report.succeeded)
+    assert(report.messages.isEmpty)
+    // sorted listing (kafka_consumer_test.py:49-51 prints the topic set)
+    assert(report.availableTopics ===
+      Some(Seq("__consumer_offsets", "ecommerce-alerts", "ecommerce-orders")))
+    assert(ops.listedTopics === 1)
+  }
 }
