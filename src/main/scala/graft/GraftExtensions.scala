@@ -53,7 +53,21 @@ object GraftFunctions {
     "graft_bloom_contains" -> (args =>
       BloomContains(args(0),
         org.apache.spark.sql.catalyst.expressions.Cast(args(1), org.apache.spark.sql.types.LongType),
-        intOf(args(2), "numHashes"))))
+        intOf(args(2), "numHashes"))),
+    "graft_char_shingles" -> (args =>
+      CharShingleSet(args(0), intOf(args(1), "k"))),
+    // mergeable quantile sketch: graft_sketch_quantile(v, p [, k])
+    "graft_sketch_quantile" -> (args =>
+      graft.functions.QuantileSketch(args(0),
+        Seq(args(1) match {
+          case Literal(v: Double, _) => v
+          case Literal(v: org.apache.spark.sql.types.Decimal, _) => v.toDouble
+          case Literal(v: java.math.BigDecimal, _) => v.doubleValue()
+          case other => throw new IllegalArgumentException(
+            s"probability must be a numeric literal, got $other")
+        }),
+        if (args.length > 2) intOf(args(2), "k") else 256)
+        .toAggregateExpression()))
 
   /** Register all graft functions on a live session. */
   def register(spark: SparkSession): Unit =

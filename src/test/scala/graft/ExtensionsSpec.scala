@@ -31,6 +31,15 @@ class ExtensionsSpec extends SparkSpec {
     assert(row.getDouble(row.fieldIndex("cont")) === 1.0) // prefix ⊂ full text
     assert(row.getInt(row.fieldIndex("smc")) === 16) // identical signatures
     assert(!row.getBoolean(row.fieldIndex("bc"))) // empty bitset contains nothing
+    // aggregate + newest scalars registered too
+    val agg = spark.sql("""
+      SELECT graft_sketch_quantile(n_chars, 0.5) AS med,
+             size(graft_char_shingles(first(text), 5)) AS shn
+      FROM ext_docs
+    """).head()
+    assert(agg.getSeq[Long](0).length === 1)
+    assert(agg.getSeq[Long](0).head > 0)
+    assert(agg.getInt(1) > 0)
     // kernel-vs-column-API agreement on the same data
     import org.apache.spark.sql.functions._
     val viaColumns = Tables.documents(spark, "/root/testdata/sf0.001")
