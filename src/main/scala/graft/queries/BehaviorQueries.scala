@@ -354,5 +354,60 @@ object BehaviorQueries extends QueryGroup {
       FROM g ORDER BY week
     """))
 
-  override def defs: Seq[QueryDef] = Seq(q115, q116, q117, q132, q134, q140)
+  /** Shipping-latency quartiles per order priority — q134's exact
+    * bin-granular percentile, GROUPED: the cumulative window is
+    * PARTITIONED by priority and runs over each group's bounded
+    * day-latency histogram, so adding groups never widens any single
+    * window. The SLA readout per service class.
+    *
+    * Scale shape: one fact-to-fact equi-join (lineitem ⋈ orders on the
+    * order key), collapse to (priority, latency-day) bins, partitioned
+    * cumulative window over bins, per-group totals broadcast back. */
+  private val q142 = QueryDef(
+    "q142_ship_latency_quartiles",
+    (spark, dir) => {
+      val hist = Tables.lineitem(spark, dir)
+        .select(col("l_orderkey"), col("l_shipdate"))
+        .join(Tables.orders(spark, dir)
+            .select(col("o_orderkey"), col("o_orderdate"), col("o_orderpriority")),
+          col("l_orderkey") === col("o_orderkey"))
+        .select(col("o_orderpriority").as("pr"),
+          datediff(col("l_shipdate").cast("date"), col("o_orderdate").cast("date"))
+            .cast("long").as("d"))
+        .groupBy(col("pr"), col("d")).agg(count(lit(1)).as("c"))
+        .persist() // cumulative pass + per-group totals
+      val w = Window.partitionBy(col("pr")).orderBy(col("d"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val cum = hist.select(col("pr"), col("d"), sum(col("c")).over(w).as("cum"))
+      val tot = hist.groupBy(col("pr")).agg(sum(col("c")).as("n"))
+      cum.join(broadcast(tot), Seq("pr"))
+        .groupBy(col("pr"), col("n"))
+        .agg(
+          min(when(expr("cum >= (25 * n + 99) DIV 100"), col("d"))).as("p25_days"),
+          min(when(expr("cum >= (50 * n + 99) DIV 100"), col("d"))).as("p50_days"),
+          min(when(expr("cum >= (75 * n + 99) DIV 100"), col("d"))).as("p75_days"))
+        .select(col("pr").as("priority"), col("n").as("n_lines"),
+          col("p25_days"), col("p50_days"), col("p75_days"))
+        .orderBy(col("priority"))
+    },
+    Some("""
+      WITH lat AS (
+        SELECT o_orderpriority AS pr,
+          CAST(date_diff('day', CAST(o_orderdate AS DATE), CAST(l_shipdate AS DATE))
+            AS BIGINT) AS d
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+      h AS (SELECT pr, d, count(*) AS c FROM lat GROUP BY pr, d),
+      cum AS (
+        SELECT pr, d, sum(c) OVER (PARTITION BY pr ORDER BY d) AS cum FROM h),
+      tot AS (SELECT pr, CAST(sum(c) AS BIGINT) AS n FROM h GROUP BY pr)
+      SELECT pr AS priority, n AS n_lines,
+        min(CASE WHEN cum >= (25 * n + 99) // 100 THEN d END) AS p25_days,
+        min(CASE WHEN cum >= (50 * n + 99) // 100 THEN d END) AS p50_days,
+        min(CASE WHEN cum >= (75 * n + 99) // 100 THEN d END) AS p75_days
+      FROM cum JOIN tot USING (pr)
+      GROUP BY pr, n
+      ORDER BY priority
+    """))
+
+  override def defs: Seq[QueryDef] = Seq(q115, q116, q117, q132, q134, q140, q142)
 }

@@ -307,5 +307,48 @@ object PlanningQueries extends QueryGroup {
       ORDER BY source
     """))
 
-  override def defs: Seq[QueryDef] = Seq(q125, q126, q128, q130, q133, q135, q136)
+  /** Exact least-squares trend slope of daily event volume — the
+    * ingest-drift companion to q130's anomaly gate (is volume trending,
+    * not just spiking?): slope = (nΣxy − ΣxΣy)/(nΣx² − (Σx)²) with
+    * x = epoch-day, y = daily count, emitted as signed micro-units
+    * (events/day per day) via one integral division — numerator and
+    * denominator are exact decimal(38,0) sums, so the division is the
+    * only rounding anywhere and both engines truncate toward zero.
+    *
+    * Scale shape: the corpus collapses to day rows; the moments are one
+    * tiny aggregate; no window at all. */
+  private val q141 = QueryDef(
+    "q141_volume_trend_slope",
+    (spark, dir) => {
+      Tables.events(spark, dir)
+        .select(epochS(col("ts")).as("ts_s"))
+        .select(expr("ts_s div 86400").as("x"))
+        .groupBy(col("x")).agg(count(lit(1)).as("y"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("x")).as("sx"),
+          sum(col("y")).as("sy"),
+          sum(expr("CAST(x AS DECIMAL(38,0)) * y")).as("sxy"),
+          sum(expr("CAST(x AS DECIMAL(38,0)) * x")).as("sxx"))
+        .select(col("n").as("n_days"), col("sy").cast("long").as("n_events"),
+          expr("""CAST((n * sxy - CAST(sx AS DECIMAL(38,0)) * sy) * 1000000
+                  DIV (n * sxx - CAST(sx AS DECIMAL(38,0)) * sx) AS BIGINT)""")
+            .as("slope_micro"))
+    },
+    Some("""
+      WITH d AS (
+        SELECT CAST(epoch_ms(ts) // 1000 AS BIGINT) // 86400 AS x, count(*) AS y
+        FROM events GROUP BY 1),
+      m AS (
+        SELECT count(*) AS n, CAST(sum(x) AS BIGINT) AS sx,
+          CAST(sum(y) AS BIGINT) AS sy,
+          sum(CAST(x AS HUGEINT) * y) AS sxy,
+          sum(CAST(x AS HUGEINT) * x) AS sxx
+        FROM d)
+      SELECT n AS n_days, sy AS n_events,
+        CAST((n * sxy - CAST(sx AS HUGEINT) * sy) * 1000000
+          // (n * sxx - CAST(sx AS HUGEINT) * sx) AS BIGINT) AS slope_micro
+      FROM m
+    """))
+
+  override def defs: Seq[QueryDef] = Seq(q125, q126, q128, q130, q133, q135, q136, q141)
 }

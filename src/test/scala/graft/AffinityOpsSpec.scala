@@ -193,6 +193,52 @@ class AffinityOpsSpec extends SparkSpec {
     assert(got.toSeq == expected)
   }
 
+  // ---------------------------------------------------------------- q141
+
+  test("volume trend slope matches driver-side least squares") {
+    val daily = Tables.events(spark, sfDir)
+      .selectExpr("CAST(CAST(ts AS TIMESTAMP) AS LONG) div 86400 AS x")
+      .collect().map(_.getLong(0))
+      .groupBy(identity).view.mapValues(_.size.toLong).toSeq
+    val n = BigInt(daily.length)
+    val sx = daily.map(d => BigInt(d._1)).sum
+    val sy = daily.map(d => BigInt(d._2)).sum
+    val sxy = daily.map { case (x, y) => BigInt(x) * y }.sum
+    val sxx = daily.map { case (x, _) => BigInt(x) * x }.sum
+    val expected = ((n * sxy - sx * sy) * 1000000 / (n * sxx - sx * sx)).toLong
+    val row = run("q141_volume_trend_slope").collect().head
+    assert(row.getLong(0) == daily.length.toLong)
+    assert(row.getLong(1) == sy.toLong)
+    assert(row.getLong(2) == expected)
+  }
+
+  // ---------------------------------------------------------------- q142
+
+  test("ship latency quartiles match driver-side brute force per group") {
+    val orders = Tables.orders(spark, sfDir)
+      .selectExpr("o_orderkey", "o_orderpriority",
+        "CAST(CAST(o_orderdate AS DATE) AS STRING) AS od")
+      .collect().map(r => r.getLong(0) -> (r.getString(1), r.getString(2))).toMap
+    val lats = Tables.lineitem(spark, sfDir)
+      .selectExpr("l_orderkey", "CAST(CAST(l_shipdate AS DATE) AS STRING) AS sd")
+      .collect().map { r =>
+        val (pr, od) = orders(r.getLong(0))
+        val d = java.time.temporal.ChronoUnit.DAYS.between(
+          java.time.LocalDate.parse(od), java.time.LocalDate.parse(r.getString(1)))
+        (pr, d)
+      }
+    val expected = lats.groupBy(_._1).view.mapValues { g =>
+      val ds = g.map(_._2).sorted
+      val n = ds.length.toLong
+      def pct(p: Long) = ds(((p * n + 99) / 100 - 1).toInt)
+      (n, pct(25), pct(50), pct(75))
+    }.toMap
+    val got = run("q142_ship_latency_quartiles").collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+      .toMap
+    assert(got == expected)
+  }
+
   // ---------------------------------------------------------------- q135
 
   test("dup size histogram: docs partition the corpus, removable consistent") {
