@@ -409,5 +409,113 @@ object BehaviorQueries extends QueryGroup {
       ORDER BY priority
     """))
 
-  override def defs: Seq[QueryDef] = Seq(q115, q116, q117, q132, q134, q140, q142)
+  /** Cohort LTV curve — q71's retention matrix upgraded from "is the
+    * user still here" to "what has the cohort spent": per (cohort-day,
+    * day-offset) purchase revenue in exact cents, its running cumulative
+    * within the cohort, and cumulative LTV per cohort user. The curve a
+    * growth model trains against.
+    *
+    * Scale shape: cohort assignment is one user-keyed min; revenue
+    * collapses to (cohort, offset) cells before the cumulative window,
+    * which is PARTITIONED by cohort over the bounded offset calendar;
+    * cohort sizes broadcast back. Offsets with zero purchases emit no
+    * row (the curve is defined at observed points). */
+  private val q143 = QueryDef(
+    "q143_cohort_ltv",
+    (spark, dir) => {
+      val ev = Tables.events(spark, dir)
+        .select(col("user_id"), col("event_type"),
+          expr("CAST(CAST(ts AS TIMESTAMP) AS LONG) div 86400").as("day"),
+          cents(col("value")).as("vc"))
+      val first = ev.groupBy(col("user_id")).agg(min(col("day")).as("cohort_day"))
+        .persist() // sizes + the revenue join
+      val sizes = first.groupBy(col("cohort_day")).agg(count(lit(1)).as("n_users"))
+      val cells = ev.filter(col("event_type") === "purchase")
+        .join(first, Seq("user_id"))
+        .groupBy(col("cohort_day"), (col("day") - col("cohort_day")).as("day_offset"))
+        .agg(sum(col("vc")).as("rev_cents"))
+      val w = Window.partitionBy(col("cohort_day")).orderBy(col("day_offset"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      cells
+        .select(col("cohort_day"), col("day_offset"), col("rev_cents"),
+          sum(col("rev_cents")).over(w).as("cum_rev_cents"))
+        .join(broadcast(sizes), Seq("cohort_day"))
+        .select(col("cohort_day"), col("day_offset"), col("rev_cents"),
+          col("cum_rev_cents"),
+          expr("cum_rev_cents div n_users").as("ltv_per_user_cents"))
+        .orderBy(col("cohort_day"), col("day_offset"))
+    },
+    Some("""
+      WITH e AS (
+        SELECT user_id, event_type,
+          CAST(epoch_ms(ts) // 1000 // 86400 AS BIGINT) AS day,
+          CAST(floor(value * 100 + 0.5) AS BIGINT) AS vc
+        FROM events),
+      f AS (SELECT user_id, min(day) AS cohort_day FROM e GROUP BY user_id),
+      sz AS (SELECT cohort_day, count(*) AS n_users FROM f GROUP BY cohort_day),
+      cells AS (
+        SELECT f.cohort_day, e.day - f.cohort_day AS day_offset,
+          sum(e.vc) AS rev_cents
+        FROM e JOIN f USING (user_id)
+        WHERE e.event_type = 'purchase'
+        GROUP BY 1, 2),
+      cum AS (
+        SELECT cohort_day, day_offset, CAST(rev_cents AS BIGINT) AS rev_cents,
+          CAST(sum(rev_cents) OVER (PARTITION BY cohort_day ORDER BY day_offset)
+            AS BIGINT) AS cum_rev_cents
+        FROM cells)
+      SELECT cohort_day, day_offset, rev_cents, cum_rev_cents,
+        cum_rev_cents // n_users AS ltv_per_user_cents
+      FROM cum JOIN sz USING (cohort_day)
+      ORDER BY cohort_day, day_offset
+    """))
+
+  /** Daily cart abandonment: of the users who clicked on a given day,
+    * how many never purchased that same day — count and rate in ppm.
+    * The conversion-health monitor between q115's lifetime funnel and
+    * q130's volume alarms.
+    *
+    * Scale shape: events collapse to per-(user, day) click/purchase
+    * flags in one conditional aggregate (map-side combined), then one
+    * day-keyed rollup — no window, no join. */
+  private val q144 = QueryDef(
+    "q144_cart_abandonment",
+    (spark, dir) => {
+      Tables.events(spark, dir)
+        .filter(col("event_type").isin("click", "purchase"))
+        .select(col("user_id"), col("event_type"),
+          expr("CAST(CAST(ts AS TIMESTAMP) AS LONG) div 86400").as("day"))
+        .groupBy(col("user_id"), col("day"))
+        .agg(max(when(col("event_type") === "click", 1L).otherwise(0L)).as("clicked"),
+          max(when(col("event_type") === "purchase", 1L).otherwise(0L)).as("purchased"))
+        .filter(col("clicked") === 1L)
+        .groupBy(col("day"))
+        .agg(count(lit(1)).as("n_clickers"),
+          sum(lit(1L) - col("purchased")).as("n_abandoned"))
+        .select(col("day"), col("n_clickers"), col("n_abandoned"),
+          expr("n_abandoned * 1000000L div n_clickers").as("abandon_ppm"))
+        .orderBy(col("day"))
+    },
+    Some("""
+      WITH e AS (
+        SELECT user_id, event_type,
+          CAST(epoch_ms(ts) // 1000 // 86400 AS BIGINT) AS day
+        FROM events
+        WHERE event_type IN ('click', 'purchase')),
+      ud AS (
+        SELECT user_id, day,
+          max(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS clicked,
+          max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS purchased
+        FROM e GROUP BY user_id, day),
+      d AS (
+        SELECT day, count(*) AS n_clickers,
+          CAST(sum(1 - purchased) AS BIGINT) AS n_abandoned
+        FROM ud WHERE clicked = 1 GROUP BY day)
+      SELECT day, n_clickers, n_abandoned,
+        n_abandoned * 1000000 // n_clickers AS abandon_ppm
+      FROM d ORDER BY day
+    """))
+
+  override def defs: Seq[QueryDef] =
+    Seq(q115, q116, q117, q132, q134, q140, q142, q143, q144)
 }

@@ -239,6 +239,54 @@ class AffinityOpsSpec extends SparkSpec {
     assert(got == expected)
   }
 
+  // ---------------------------------------------------------------- q143
+
+  test("cohort LTV matches driver-side brute force") {
+    val ev = Tables.events(spark, sfDir)
+      .selectExpr("user_id", "event_type",
+        "CAST(CAST(ts AS TIMESTAMP) AS LONG) div 86400 AS day",
+        "CAST(floor(value * 100 + 0.5) AS LONG) AS vc")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    val cohort = ev.groupBy(_._1).view.mapValues(_.map(_._3).min).toMap
+    val sizes = cohort.values.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val cells = ev.filter(_._2 == "purchase")
+      .groupBy(e => (cohort(e._1), e._3 - cohort(e._1))).view
+      .mapValues(_.map(_._4).sum).toSeq
+      .sortBy { case ((c, o), _) => (c, o) }
+    val expected = cells.groupBy(_._1._1).toSeq.flatMap { case (c, rows) =>
+      var cum = 0L
+      rows.sortBy(_._1._2).map { case ((_, o), rev) =>
+        cum += rev
+        (c, o, rev, cum, cum / sizes(c))
+      }
+    }.sortBy(t => (t._1, t._2))
+    val got = run("q143_cohort_ltv").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    assert(got.toSeq == expected)
+  }
+
+  // ---------------------------------------------------------------- q144
+
+  test("cart abandonment matches driver-side brute force") {
+    val ev = Tables.events(spark, sfDir)
+      .selectExpr("user_id", "event_type",
+        "CAST(CAST(ts AS TIMESTAMP) AS LONG) div 86400 AS day")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+      .filter(e => e._2 == "click" || e._2 == "purchase")
+    val expected = ev.groupBy(e => (e._1, e._3)).view
+      .mapValues(g => (g.exists(_._2 == "click"), g.exists(_._2 == "purchase")))
+      .toSeq.collect { case ((_, day), (true, purchased)) => (day, purchased) }
+      .groupBy(_._1).view
+      .mapValues { g =>
+        val n = g.size.toLong
+        val ab = g.count(!_._2).toLong
+        (n, ab, ab * 1000000L / n)
+      }.toSeq.map { case (d, (n, ab, ppm)) => (d, n, ab, ppm) }.sortBy(_._1)
+    val got = run("q144_cart_abandonment").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(got.toSeq == expected)
+  }
+
   // ---------------------------------------------------------------- q135
 
   test("dup size histogram: docs partition the corpus, removable consistent") {
