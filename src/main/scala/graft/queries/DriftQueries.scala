@@ -315,5 +315,49 @@ object DriftQueries extends QueryGroup {
       ORDER BY s1, s2
     """))
 
-  override def defs: Seq[QueryDef] = Seq(q118, q119, q120, q121, q122, q131)
+  /** OOV rate by min-count cutoff — the vocabulary-pruning design table
+    * (the complement of q122's coverage curve): for each candidate
+    * min_count c, how many vocabulary entries survive and what fraction
+    * of token OCCURRENCES falls out-of-vocabulary, in exact ppm.
+    *
+    * Scale shape: one token-frequency aggregate; the 4-row cutoff table
+    * broadcasts onto the vocabulary (sanctioned nested-loop: the small
+    * side is a constant), and each cutoff's sums partial-aggregate
+    * map-side. */
+  private val q145 = QueryDef(
+    "q145_oov_rate_by_cutoff",
+    (spark, dir) => {
+      import spark.implicits._
+      val freq = Tables.documents(spark, dir)
+        .select(explode(TextFunctions.tokens(col("text"))).as("tok"))
+        .groupBy(col("tok")).agg(count(lit(1)).as("n"))
+        .persist() // totals + the cutoff grid
+      val tot = freq.agg(sum(col("n")).as("t"))
+      val cuts = Seq(2L, 5L, 10L, 100L).toDF("cutoff")
+      freq.crossJoin(broadcast(cuts))
+        .groupBy(col("cutoff"))
+        .agg(sum(when(col("n") >= col("cutoff"), 1L).otherwise(0L)).as("vocab_kept"),
+          sum(when(col("n") < col("cutoff"), col("n")).otherwise(0L)).as("occ_lost"))
+        .crossJoin(broadcast(tot))
+        .select(col("cutoff"), col("vocab_kept"), col("occ_lost"),
+          expr("occ_lost * 1000000L div t").as("oov_ppm"))
+        .orderBy(col("cutoff"))
+    },
+    Some(s"""
+      WITH t AS (
+        SELECT unnest($duckToks) AS tok FROM documents),
+      f AS (SELECT tok, count(*) AS n FROM t GROUP BY tok),
+      tot AS (SELECT CAST(sum(n) AS BIGINT) AS t FROM f),
+      cuts AS (SELECT unnest([2, 5, 10, 100]) AS cutoff)
+      SELECT CAST(cutoff AS BIGINT) AS cutoff,
+        CAST(sum(CASE WHEN n >= cutoff THEN 1 ELSE 0 END) AS BIGINT) AS vocab_kept,
+        CAST(sum(CASE WHEN n < cutoff THEN n ELSE 0 END) AS BIGINT) AS occ_lost,
+        CAST(sum(CASE WHEN n < cutoff THEN n ELSE 0 END) * 1000000
+          // (SELECT t FROM tot) AS BIGINT) AS oov_ppm
+      FROM f CROSS JOIN cuts
+      GROUP BY cutoff
+      ORDER BY cutoff
+    """))
+
+  override def defs: Seq[QueryDef] = Seq(q118, q119, q120, q121, q122, q131, q145)
 }

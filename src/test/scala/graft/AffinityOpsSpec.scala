@@ -287,6 +287,27 @@ class AffinityOpsSpec extends SparkSpec {
     assert(got.toSeq == expected)
   }
 
+  // ---------------------------------------------------------------- q145
+
+  test("OOV rate by cutoff matches brute force and complements coverage") {
+    val toks = Tables.documents(spark, sfDir)
+      .select("text").collect()
+      .flatMap(_.getString(0).split(" ").filter(_.nonEmpty))
+    val freq = toks.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val t = toks.length.toLong
+    val got = run("q145_oov_rate_by_cutoff").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(got.map(_._1).toSeq == Seq(2L, 5L, 10L, 100L))
+    for ((c, kept, lost, ppm) <- got) {
+      assert(kept == freq.values.count(_ >= c).toLong, s"cutoff $c kept")
+      assert(lost == freq.values.filter(_ < c).sum, s"cutoff $c lost")
+      assert(ppm == lost * 1000000L / t)
+    }
+    // monotone: a stricter cutoff keeps fewer entries, loses more mass
+    assert(got.map(_._2).toSeq == got.map(_._2).toSeq.sorted.reverse)
+    assert(got.map(_._3).toSeq == got.map(_._3).toSeq.sorted)
+  }
+
   // ---------------------------------------------------------------- q135
 
   test("dup size histogram: docs partition the corpus, removable consistent") {
