@@ -350,5 +350,77 @@ object PlanningQueries extends QueryGroup {
       FROM m
     """))
 
-  override def defs: Seq[QueryDef] = Seq(q125, q126, q128, q130, q133, q135, q136, q141)
+  /** Robust (median/MAD) outlier gate — q81's z-score with the
+    * breakdown-resistant location/scale pair: a value is an outlier when
+    * |x − median| > 3·1.4826·MAD, evaluated in EXACT integers as
+    * |x − med|·10000 > 44478·MAD (values are whole dollars). Median and
+    * MAD are both bin-granular percentiles over value-range-bounded
+    * dollar histograms (median of x, then median of |x − med|) — two
+    * window passes over histograms, never over orders.
+    *
+    * Scale shape: two histogram builds (the second keyed on the
+    * deviation, derived from the first scan's histogram by arithmetic —
+    * no second corpus scan), one-row broadcasts for both medians, and a
+    * final summary aggregate. */
+  private val q146 = QueryDef(
+    "q146_robust_outliers",
+    (spark, dir) => {
+      def medianOf(hist: org.apache.spark.sql.DataFrame, vCol: String)
+          : org.apache.spark.sql.DataFrame = {
+        val w = Window.orderBy(col(vCol))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        val cum = hist.select(col(vCol), sum(col("c")).over(w).as("cum"))
+        val tot = hist.agg(sum(col("c")).as("n"))
+        cum.crossJoin(broadcast(tot))
+          .filter(expr(s"cum >= (n + 1) DIV 2"))
+          .agg(min(col(vCol)).as("med"))
+      }
+      val vals = Tables.orders(spark, dir)
+        .select(expr("CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) div 100").as("v"))
+      val hist = vals.groupBy(col("v")).agg(count(lit(1)).as("c")).persist()
+      val med = medianOf(hist, "v")
+      val devHist = hist.crossJoin(broadcast(med))
+        .select(abs(col("v") - col("med")).as("d"), col("c"))
+        .groupBy(col("d")).agg(sum(col("c")).as("c"))
+      val mad = medianOf(devHist, "d").withColumnRenamed("med", "mad")
+      vals.crossJoin(broadcast(med)).crossJoin(broadcast(mad))
+        .select(col("v"), col("med"), col("mad"),
+          (abs(col("v") - col("med")) * 10000 > col("mad") * 44478).as("out"))
+        .agg(count(lit(1)).as("n_orders"),
+          max(col("med")).as("median_dollars"),
+          max(col("mad")).as("mad_dollars"),
+          sum(when(col("out"), 1L).otherwise(0L)).as("n_outliers"),
+          min(when(col("out"), col("v"))).as("min_outlier_dollars"))
+    },
+    Some("""
+      WITH vals AS (
+        SELECT CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) // 100 AS v
+        FROM orders),
+      h AS (SELECT v, count(*) AS c FROM vals GROUP BY v),
+      medt AS (
+        SELECT min(v) AS med FROM (
+          SELECT v, sum(c) OVER (ORDER BY v) AS cum FROM h)
+        CROSS JOIN (SELECT sum(c) AS n FROM h)
+        WHERE cum >= (n + 1) // 2),
+      dh AS (
+        SELECT abs(v - med) AS d, sum(c) AS c
+        FROM h CROSS JOIN medt GROUP BY 1),
+      madt AS (
+        SELECT min(d) AS mad FROM (
+          SELECT d, sum(c) OVER (ORDER BY d) AS cum FROM dh)
+        CROSS JOIN (SELECT sum(c) AS n FROM dh)
+        WHERE cum >= (n + 1) // 2),
+      f AS (
+        SELECT v, med, mad, abs(v - med) * 10000 > mad * 44478 AS out
+        FROM vals CROSS JOIN medt CROSS JOIN madt)
+      SELECT count(*) AS n_orders,
+        max(med) AS median_dollars,
+        max(mad) AS mad_dollars,
+        CAST(sum(CASE WHEN out THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers,
+        min(CASE WHEN out THEN v END) AS min_outlier_dollars
+      FROM f
+    """))
+
+  override def defs: Seq[QueryDef] =
+    Seq(q125, q126, q128, q130, q133, q135, q136, q141, q146)
 }

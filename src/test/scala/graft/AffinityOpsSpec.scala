@@ -308,6 +308,28 @@ class AffinityOpsSpec extends SparkSpec {
     assert(got.map(_._3).toSeq == got.map(_._3).toSeq.sorted)
   }
 
+  // ---------------------------------------------------------------- q146
+
+  test("robust median/MAD outliers match driver-side brute force") {
+    val vals = Tables.orders(spark, sfDir)
+      .selectExpr("CAST(floor(o_totalprice * 100 + 0.5) AS LONG) div 100 AS v")
+      .collect().map(_.getLong(0))
+    def lowerMedian(xs: Array[Long]): Long = {
+      val s = xs.sorted
+      s(((s.length + 1) / 2 - 1).toInt)
+    }
+    val med = lowerMedian(vals)
+    val mad = lowerMedian(vals.map(v => math.abs(v - med)))
+    val outliers = vals.filter(v => math.abs(v - med) * 10000 > mad * 44478)
+    val row = run("q146_robust_outliers").collect().head
+    assert(row.getLong(0) == vals.length.toLong)
+    assert(row.getLong(1) == med)
+    assert(row.getLong(2) == mad)
+    assert(row.getLong(3) == outliers.length.toLong)
+    if (outliers.nonEmpty) assert(row.getLong(4) == outliers.min)
+    else assert(row.isNullAt(4))
+  }
+
   // ---------------------------------------------------------------- q135
 
   test("dup size histogram: docs partition the corpus, removable consistent") {
