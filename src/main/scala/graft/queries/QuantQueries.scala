@@ -178,5 +178,53 @@ object QuantQueries extends QueryGroup {
       ORDER BY vec_id
     """))
 
-  def defs: Seq[QueryDef] = Seq(q102, q127, q139)
+  /** Reference-distribution calibration — scoring NEW data against a
+    * FROZEN reference CDF (how a feature store normalizes today's values
+    * against the training-time distribution, and how drift dashboards
+    * place this week's traffic on last quarter's curve): each post-1998
+    * order price bucket gets the exact ppm share of pre-1998 reference
+    * orders at or below it.
+    *
+    * Scale shape: ONE scan builds both sides' value histograms as
+    * conditional counts; the reference CDF is a cumulative window over
+    * the value-bounded dollar histogram (never an as-of join of rows
+    * against rows); the reference total is a one-row broadcast. */
+  private val q147 = QueryDef(
+    "q147_reference_calibration",
+    (spark, dir) => {
+      val hist = Tables.orders(spark, dir)
+        .select(expr("CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) div 100").as("d"),
+          (col("o_orderdate") < "1998-01-01").as("is_ref"))
+        .groupBy(col("d")).agg(
+          sum(when(col("is_ref"), 1L).otherwise(0L)).as("cr"),
+          sum(when(!col("is_ref"), 1L).otherwise(0L)).as("ct"))
+        .persist() // cumulative pass + the reference total
+      val w = org.apache.spark.sql.expressions.Window.orderBy(col("d"))
+        .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+          org.apache.spark.sql.expressions.Window.currentRow)
+      val cum = hist.select(col("d"), col("ct"), sum(col("cr")).over(w).as("ref_cum"))
+      val tot = hist.agg(sum(col("cr")).as("n_ref"))
+      cum.filter(col("ct") > 0)
+        .crossJoin(broadcast(tot))
+        .select(col("d").as("dollars"), col("ct").as("n_new"), col("ref_cum"),
+          expr("ref_cum * 1000000L div n_ref").as("ref_pct_ppm"))
+        .orderBy(col("dollars"))
+    },
+    Some("""
+      WITH h AS (
+        SELECT CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) // 100 AS d,
+          sum(CASE WHEN o_orderdate < TIMESTAMP '1998-01-01' THEN 1 ELSE 0 END) AS cr,
+          sum(CASE WHEN o_orderdate < TIMESTAMP '1998-01-01' THEN 0 ELSE 1 END) AS ct
+        FROM orders GROUP BY 1),
+      cum AS (
+        SELECT d, ct, CAST(sum(cr) OVER (ORDER BY d) AS BIGINT) AS ref_cum FROM h),
+      tot AS (SELECT CAST(sum(cr) AS BIGINT) AS n_ref FROM h)
+      SELECT d AS dollars, CAST(ct AS BIGINT) AS n_new, ref_cum,
+        ref_cum * 1000000 // n_ref AS ref_pct_ppm
+      FROM cum CROSS JOIN tot
+      WHERE ct > 0
+      ORDER BY dollars
+    """))
+
+  def defs: Seq[QueryDef] = Seq(q102, q127, q139, q147)
 }

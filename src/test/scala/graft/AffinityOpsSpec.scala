@@ -330,6 +330,29 @@ class AffinityOpsSpec extends SparkSpec {
     else assert(row.isNullAt(4))
   }
 
+  // ---------------------------------------------------------------- q147
+
+  test("reference calibration matches driver-side CDF lookup") {
+    val rows = Tables.orders(spark, sfDir)
+      .selectExpr("CAST(floor(o_totalprice * 100 + 0.5) AS LONG) div 100 AS d",
+        "o_orderdate < '1998-01-01' AS is_ref")
+      .collect().map(r => (r.getLong(0), r.getBoolean(1)))
+    val ref = rows.collect { case (d, true) => d }.sorted
+    val nRef = ref.length.toLong
+    val newByBucket = rows.collect { case (d, false) => d }
+      .groupBy(identity).view.mapValues(_.size.toLong).toSeq.sortBy(_._1)
+    val expected = newByBucket.map { case (d, ct) =>
+      val cum = ref.count(_ <= d).toLong
+      (d, ct, cum, cum * 1000000L / nRef)
+    }
+    val got = run("q147_reference_calibration").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(got.toSeq == expected)
+    // calibration is a CDF: monotone in the bucket value
+    val ppms = got.map(_._4)
+    assert(ppms.toSeq == ppms.toSeq.sorted)
+  }
+
   // ---------------------------------------------------------------- q135
 
   test("dup size histogram: docs partition the corpus, removable consistent") {

@@ -44,7 +44,8 @@ class QueriesSmokeSpec extends SparkSpec {
     "q120_ks_two_sample", "q122_vocab_coverage", "q124_target_encoding",
     "q133_join_blowup_audit", "q134_conversion_latency",
     "q135_dup_size_histogram", "q136_temperature_allocation",
-    "q139_norm_outliers", "q145_oov_rate_by_cutoff", "q146_robust_outliers")
+    "q139_norm_outliers", "q145_oov_rate_by_cutoff", "q146_robust_outliers",
+    "q147_reference_calibration")
 
   test("plan hygiene: no cartesian products, no unsanctioned nested loops") {
     for ((name, fn) <- SparkEntry.queries.toSeq.sortBy(_._1)) {
