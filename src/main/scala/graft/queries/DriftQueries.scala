@@ -359,5 +359,69 @@ object DriftQueries extends QueryGroup {
       ORDER BY cutoff
     """))
 
-  override def defs: Seq[QueryDef] = Seq(q118, q119, q120, q121, q122, q131, q145)
+  /** Weekly distribution drift — q118's total-variation distance turned
+    * into a TIME SERIES: each week's order-price distribution vs the
+    * previous week's, in exact ppm. The alarm that catches a slow
+    * distribution slide q130's volume gate can't see (volume can stay
+    * flat while the mix shifts).
+    *
+    * Scale shape: one scan → (week, dollar-bucket) histogram; the
+    * week-over-week comparison is a full-outer self-join on the BUCKET
+    * key between adjacent weeks (either side may miss a bucket — a
+    * dropped bucket is exactly the drift being measured), with
+    * calendar-sized weekly totals broadcast back. */
+  private val q148 = QueryDef(
+    "q148_weekly_drift",
+    (spark, dir) => {
+      val h = Tables.orders(spark, dir)
+        .select(
+          expr("CAST(datediff(CAST(o_orderdate AS DATE), DATE '1970-01-01') div 7 AS BIGINT)")
+            .as("week"),
+          expr("CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) div 100").as("d"))
+        .groupBy(col("week"), col("d")).agg(count(lit(1)).as("c"))
+        .persist() // both join sides + weekly totals
+      val tw = h.groupBy(col("week")).agg(sum(col("c")).as("t"))
+      val cur = h.select(col("week"), col("d"), col("c"))
+      val prev = h.select((col("week") + 1).as("week"), col("d"), col("c").as("cp"))
+      cur.join(prev, Seq("week", "d"), "full_outer")
+        .na.fill(0L, Seq("c", "cp"))
+        .join(broadcast(tw), Seq("week")) // drops week 0's phantom predecessor rows... see filter
+        .join(broadcast(tw.select((col("week") + 1).as("week"), col("t").as("tp"))), Seq("week"))
+        .select(col("week"), col("t"), col("tp"),
+          expr("abs(CAST(c AS DECIMAL(38,0)) * tp - CAST(cp AS DECIMAL(38,0)) * t)").as("dd"))
+        .groupBy(col("week"), col("t"), col("tp"))
+        .agg(sum(col("dd")).as("num"))
+        .select(col("week"), col("t").as("n_cur"), col("tp").as("n_prev"),
+          expr("CAST(num * 1000000 DIV (2 * CAST(t AS DECIMAL(38,0)) * tp) AS BIGINT)")
+            .as("tv_vs_prev_ppm"))
+        .orderBy(col("week"))
+    },
+    Some("""
+      WITH o AS (
+        SELECT CAST(date_diff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE)) // 7
+            AS BIGINT) AS week,
+          CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) // 100 AS d
+        FROM orders),
+      h AS (SELECT week, d, count(*) AS c FROM o GROUP BY week, d),
+      tw AS (SELECT week, CAST(sum(c) AS BIGINT) AS t FROM h GROUP BY week),
+      pairs AS (
+        SELECT coalesce(cur.week, prv.week + 1) AS week,
+          coalesce(cur.c, 0) AS c, coalesce(prv.c, 0) AS cp
+        FROM h cur
+        FULL OUTER JOIN h prv
+          ON prv.week + 1 = cur.week AND prv.d = cur.d),
+      j AS (
+        SELECT p.week, tc.t, tp.t AS tp,
+          abs(CAST(p.c AS HUGEINT) * tp.t - CAST(p.cp AS HUGEINT) * tc.t) AS dd
+        FROM pairs p
+        JOIN tw tc ON tc.week = p.week
+        JOIN tw tp ON tp.week = p.week - 1)
+      SELECT week, t AS n_cur, tp AS n_prev,
+        CAST(sum(dd) * 1000000 // (2 * CAST(t AS HUGEINT) * tp) AS BIGINT)
+          AS tv_vs_prev_ppm
+      FROM j GROUP BY week, t, tp
+      ORDER BY week
+    """))
+
+  override def defs: Seq[QueryDef] = Seq(q118, q119, q120, q121, q122, q131, q145, q148)
 }

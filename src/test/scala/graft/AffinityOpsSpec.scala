@@ -353,6 +353,32 @@ class AffinityOpsSpec extends SparkSpec {
     assert(ppms.toSeq == ppms.toSeq.sorted)
   }
 
+  // ---------------------------------------------------------------- q148
+
+  test("weekly drift matches driver-side TV between consecutive weeks") {
+    val rows = Tables.orders(spark, sfDir)
+      .selectExpr(
+        "CAST(datediff(CAST(o_orderdate AS DATE), DATE '1970-01-01') div 7 AS LONG) AS w",
+        "CAST(floor(o_totalprice * 100 + 0.5) AS LONG) div 100 AS d")
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val byWeek = rows.groupBy(_._1).view
+      .mapValues(_.map(_._2).groupBy(identity).view.mapValues(_.size.toLong).toMap)
+      .toMap
+    val expected = byWeek.keys.toSeq.sorted.flatMap { w =>
+      byWeek.get(w - 1).map { prev =>
+        val cur = byWeek(w)
+        val (t, tp) = (cur.values.sum, prev.values.sum)
+        val num = (cur.keySet ++ prev.keySet).toSeq.map { d =>
+          (BigInt(cur.getOrElse(d, 0L)) * tp - BigInt(prev.getOrElse(d, 0L)) * t).abs
+        }.sum
+        (w, t, tp, (num * 1000000 / (2 * BigInt(t) * tp)).toLong)
+      }
+    }
+    val got = run("q148_weekly_drift").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(got.toSeq == expected)
+  }
+
   // ---------------------------------------------------------------- q135
 
   test("dup size histogram: docs partition the corpus, removable consistent") {
