@@ -237,5 +237,57 @@ object AuditQueries extends QueryGroup {
       GROUP BY d.day ORDER BY d.day
     """))
 
-  def defs: Seq[QueryDef] = Seq(q81, q83, q84, q85, q91)
+  /** k-anonymity audit over quasi-identifiers — the privacy check a
+    * pipeline runs before releasing a table: with QIDs (nation, market
+    * segment, 1000-dollar balance band), how many equivalence classes
+    * fall below k, and how many records they re-identify, for a ladder
+    * of k thresholds. A class of size s < k means each of its s records
+    * is distinguishable among fewer than k peers.
+    *
+    * Scale shape: one grouped count builds the equivalence classes
+    * (cardinality ≤ |QID| combinations — vocabulary-sized, never
+    * corpus-sized), then the 4-row k ladder cross-joins onto the class
+    * table with conditional sums. The corpus is scanned once; rows
+    * never move after the first keyed shuffle. Risk rate in exact ppm
+    * (decimal division, truncating) so the oracle matches bitwise. */
+  private val q149 = QueryDef(
+    "q149_k_anonymity",
+    (spark, dir) => {
+      val classes = Tables.customer(spark, dir)
+        .select(col("c_nationkey"), col("c_mktsegment"),
+          expr("CAST(floor(c_acctbal * 100 + 0.5) AS BIGINT) div 100000").as("bal_band"))
+        .groupBy(col("c_nationkey"), col("c_mktsegment"), col("bal_band"))
+        .agg(count(lit(1)).as("sz"))
+      val ks = spark.range(0, 4).select(
+        expr("element_at(array(2L, 5L, 10L, 25L), CAST(id AS INT) + 1)").as("k"))
+      classes.crossJoin(broadcast(ks))
+        .groupBy(col("k"))
+        .agg(
+          count(lit(1)).as("n_classes"),
+          sum(col("sz")).as("n_records"),
+          sum(when(col("sz") < col("k"), lit(1L)).otherwise(lit(0L))).as("classes_below"),
+          sum(when(col("sz") < col("k"), col("sz")).otherwise(lit(0L))).as("records_at_risk"))
+        .select(col("k"), col("n_classes"), col("classes_below"), col("records_at_risk"),
+          expr("CAST(CAST(records_at_risk AS DECIMAL(38,0)) * 1000000 DIV n_records AS BIGINT)")
+            .as("risk_ppm"))
+        .orderBy(col("k"))
+    },
+    Some("""
+      WITH classes AS (
+        SELECT c_nationkey, c_mktsegment,
+          CAST(floor(c_acctbal * 100 + 0.5) AS BIGINT) // 100000 AS bal_band,
+          CAST(count(*) AS BIGINT) AS sz
+        FROM customer GROUP BY 1, 2, 3),
+      ks AS (SELECT unnest([2, 5, 10, 25]) AS k)
+      SELECT CAST(k AS BIGINT) AS k,
+        CAST(count(*) AS BIGINT) AS n_classes,
+        CAST(sum(CASE WHEN sz < k THEN 1 ELSE 0 END) AS BIGINT) AS classes_below,
+        CAST(sum(CASE WHEN sz < k THEN sz ELSE 0 END) AS BIGINT) AS records_at_risk,
+        CAST(sum(CASE WHEN sz < k THEN sz ELSE 0 END) * 1000000
+          // sum(sz) AS BIGINT) AS risk_ppm
+      FROM classes CROSS JOIN ks
+      GROUP BY k ORDER BY k
+    """))
+
+  def defs: Seq[QueryDef] = Seq(q81, q83, q84, q85, q91, q149)
 }

@@ -516,6 +516,110 @@ object BehaviorQueries extends QueryGroup {
       FROM d ORDER BY day
     """))
 
+  /** First-order Markov transition matrix over per-user event streams:
+    * P(next event type | current event type) in exact ppm, the
+    * session-model companion to q87's literal path mining — this is the
+    * aggregate a recommendation or anomaly model consumes directly.
+    *
+    * Scale shape: one keyed window (lag over user_id — the same
+    * user-partitioned sort sessionization already pays, amortizable
+    * across both), then the transition counts collapse to at most
+    * |event vocabulary|² rows. The per-source totals that normalize the
+    * probabilities are vocabulary-sized and broadcast. Timestamps
+    * compare at epoch-second resolution with event_id tiebreak so the
+    * ordering — and therefore every transition pair — is deterministic
+    * across engines and partitionings. */
+  private val q150 = QueryDef(
+    "q150_markov_transitions",
+    (spark, dir) => {
+      val w = Window.partitionBy(col("user_id")).orderBy(col("ts_s"), col("event_id"))
+      val trans = Tables.events(spark, dir)
+        .select(col("user_id"), col("event_id"), epochS(col("ts")).as("ts_s"),
+          col("event_type"))
+        .withColumn("prev_type", lag(col("event_type"), 1).over(w))
+        .filter(col("prev_type").isNotNull)
+        .groupBy(col("prev_type"), col("event_type").as("next_type"))
+        .agg(count(lit(1)).as("n"))
+      val totals = trans.groupBy(col("prev_type")).agg(sum(col("n")).as("n_from"))
+      trans.join(broadcast(totals), Seq("prev_type"))
+        .select(col("prev_type"), col("next_type"), col("n"), col("n_from"),
+          expr("CAST(CAST(n AS DECIMAL(38,0)) * 1000000 DIV n_from AS BIGINT)")
+            .as("p_ppm"))
+        .orderBy(col("prev_type"), col("next_type"))
+    },
+    Some("""
+      WITH e AS (
+        SELECT user_id, event_id, event_type,
+          CAST(epoch_ms(ts) // 1000 AS BIGINT) AS ts_s
+        FROM events),
+      t AS (
+        SELECT lag(event_type) OVER
+            (PARTITION BY user_id ORDER BY ts_s, event_id) AS prev_type,
+          event_type AS next_type
+        FROM e),
+      m AS (
+        SELECT prev_type, next_type, CAST(count(*) AS BIGINT) AS n
+        FROM t WHERE prev_type IS NOT NULL GROUP BY 1, 2),
+      tot AS (SELECT prev_type, CAST(sum(n) AS BIGINT) AS n_from FROM m GROUP BY 1)
+      SELECT m.prev_type, m.next_type, m.n, tot.n_from,
+        CAST(CAST(m.n AS HUGEINT) * 1000000 // tot.n_from AS BIGINT) AS p_ppm
+      FROM m JOIN tot USING (prev_type)
+      ORDER BY prev_type, next_type
+    """))
+
+  /** Day-of-week seasonality index: each weekday's average daily revenue
+    * relative to the overall average daily revenue, in exact ppm
+    * (1 000 000 = an average day). The multiplicative seasonal profile a
+    * forecaster divides out before fitting trend (q141) — and the
+    * complement of q140's week-over-week growth, which this index
+    * de-noises. Day-of-week is computed from epoch-day arithmetic
+    * ((day+4) mod 7, 0=Sunday) rather than engine date functions, whose
+    * week-start conventions differ across engines.
+    *
+    * Scale shape: one scan → per-day revenue (calendar-sized), then a
+    * 7-row aggregate; the single-row grand total joins back by broadcast
+    * cross join (no driver action). Index arithmetic in decimal(38,0):
+    * cents·days·10^6 can pass 2^63 at the 100 TB design point. */
+  private val q151 = QueryDef(
+    "q151_dow_seasonality",
+    (spark, dir) => {
+      val daily = Tables.orders(spark, dir)
+        .select(
+          expr("CAST(datediff(CAST(o_orderdate AS DATE), DATE '1970-01-01') AS BIGINT)")
+            .as("day"),
+          cents(col("o_totalprice")).as("c"))
+        .groupBy(col("day")).agg(sum(col("c")).as("rev"))
+        .select(((col("day") + 4) % 7).as("dow"), col("rev"))
+      val byDow = daily.groupBy(col("dow"))
+        .agg(count(lit(1)).as("n_days"), sum(col("rev")).as("revenue_cents"))
+      val tot = byDow.select(
+        sum(col("n_days")).as("t_days"), sum(col("revenue_cents")).as("t_rev"))
+      byDow.crossJoin(broadcast(tot))
+        .select(col("dow"), col("n_days"), col("revenue_cents"),
+          expr("""CAST(CAST(revenue_cents AS DECIMAL(38,0)) * t_days * 1000000
+                  DIV (CAST(n_days AS DECIMAL(38,0)) * t_rev) AS BIGINT)""")
+            .as("index_ppm"))
+        .orderBy(col("dow"))
+    },
+    Some("""
+      WITH daily AS (
+        SELECT CAST(date_diff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE))
+            AS BIGINT) AS day,
+          CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS BIGINT) AS rev
+        FROM orders GROUP BY 1),
+      bydow AS (
+        SELECT (day + 4) % 7 AS dow, CAST(count(*) AS BIGINT) AS n_days,
+          CAST(sum(rev) AS BIGINT) AS revenue_cents
+        FROM daily GROUP BY 1),
+      tot AS (SELECT CAST(sum(n_days) AS BIGINT) AS t_days,
+        CAST(sum(revenue_cents) AS HUGEINT) AS t_rev FROM bydow)
+      SELECT dow, n_days, revenue_cents,
+        CAST(CAST(revenue_cents AS HUGEINT) * t_days * 1000000
+          // (CAST(n_days AS HUGEINT) * t_rev) AS BIGINT) AS index_ppm
+      FROM bydow CROSS JOIN tot
+      ORDER BY dow
+    """))
+
   override def defs: Seq[QueryDef] =
-    Seq(q115, q116, q117, q132, q134, q140, q142, q143, q144)
+    Seq(q115, q116, q117, q132, q134, q140, q142, q143, q144, q150, q151)
 }

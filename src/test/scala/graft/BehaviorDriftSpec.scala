@@ -250,4 +250,79 @@ class BehaviorDriftSpec extends SparkSpec {
       assert(enc == expected, s"brand $b")
     }
   }
+
+  // ---------------------------------------------------------------- q149
+
+  test("k-anonymity matches driver-side class census; risk monotone in k") {
+    val sizes = Tables.customer(spark, sfDir)
+      .selectExpr("CAST(c_nationkey AS LONG) AS nk", "c_mktsegment",
+        "CAST(floor(c_acctbal * 100 + 0.5) AS LONG) div 100000 AS band")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+      .groupBy(identity).map(_._2.length.toLong).toSeq
+    val total = sizes.sum
+    val rows = run("q149_k_anonymity").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    assert(rows.map(_._1).toSeq == Seq(2L, 5L, 10L, 25L))
+    for ((k, nc, below, risk, ppm) <- rows) {
+      assert(nc == sizes.length.toLong)
+      assert(below == sizes.count(_ < k).toLong)
+      assert(risk == sizes.filter(_ < k).sum)
+      assert(ppm == (BigInt(risk) * 1000000 / total).toLong)
+    }
+    // more records are at risk as the anonymity bar rises
+    assert(rows.map(_._4).toSeq == rows.map(_._4).toSeq.sorted)
+  }
+
+  // ---------------------------------------------------------------- q150
+
+  test("markov transitions match driver-side lag; rows sum to 1M ppm-ish per source") {
+    val ev = Tables.events(spark, sfDir)
+      .selectExpr("user_id", "event_id", "event_type",
+        "CAST(CAST(ts AS TIMESTAMP) AS LONG) AS ts_s")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getLong(3)))
+    val pairs = ev.groupBy(_._1).values.flatMap { es =>
+      es.sortBy(e => (e._4, e._2)).sliding(2).collect {
+        case Array(a, b) => (a._3, b._3)
+      }
+    }.toSeq
+    val counts = pairs.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val fromTot = pairs.groupBy(_._1).view.mapValues(_.size.toLong).toMap
+    val got = run("q150_markov_transitions").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    assert(got.length == counts.size)
+    for ((p, nx, n, nf, ppm) <- got) {
+      assert(n == counts((p, nx)))
+      assert(nf == fromTot(p))
+      assert(ppm == (BigInt(n) * 1000000 / nf).toLong)
+    }
+    // per-source probability mass closes to within the truncation slack
+    for ((p, rs) <- got.groupBy(_._1)) {
+      val mass = rs.map(_._5).sum
+      assert(mass <= 1000000L && mass > 1000000L - rs.length,
+        s"source $p mass $mass")
+    }
+  }
+
+  // ---------------------------------------------------------------- q151
+
+  test("dow seasonality matches driver-side index; weighted mean is 1M ppm") {
+    val daily = Tables.orders(spark, sfDir)
+      .selectExpr("CAST(CAST(o_orderdate AS DATE) - DATE '1970-01-01' AS LONG) AS day",
+        "CAST(floor(o_totalprice * 100 + 0.5) AS LONG) AS c")
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+      .groupBy(_._1).view.mapValues(_.map(_._2).sum).toMap
+    val byDow = daily.toSeq.map { case (d, rev) => ((d + 4) % 7, rev) }
+      .groupBy(_._1).view.mapValues(v => (v.size.toLong, v.map(_._2).sum)).toMap
+    val (tDays, tRev) = (daily.size.toLong, daily.values.sum)
+    val got = run("q151_dow_seasonality").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(got.map(_._1).toSeq == byDow.keys.toSeq.sorted)
+    for ((dow, nd, rev, ppm) <- got) {
+      assert((nd, rev) == byDow(dow))
+      assert(ppm == (BigInt(rev) * tDays * 1000000 / (BigInt(nd) * tRev)).toLong)
+    }
+    // day-weighted mean of the index is 1.0 up to truncation slack
+    val mean = got.map { case (_, nd, _, ppm) => BigInt(nd) * ppm }.sum / tDays
+    assert((mean - 1000000).abs <= 7)
+  }
 }
