@@ -620,6 +620,60 @@ object BehaviorQueries extends QueryGroup {
       ORDER BY dow
     """))
 
+  /** Churn-overdue scoring: each user's CURRENT silence (time from
+    * their last event to the corpus watermark) as a fraction of their
+    * worst historical inter-event gap, in exact ppm — "overdue"
+    * relative to the user's OWN cadence, not a global cutoff, so a
+    * daily user alarms after days while a monthly user doesn't alarm
+    * for months. ≥ 1 000 000 means the user has already been silent
+    * longer than they ever were while active; the caller thresholds.
+    * Requires ≥3 events (≥2 historical gaps) for a personal baseline.
+    *
+    * Scale shape: the same user-partitioned lag window q76 pays (one
+    * keyed shuffle), collapsed to one row per user; the corpus
+    * watermark is a one-row aggregate broadcast back by cross join —
+    * no driver action. */
+  private val q153 = QueryDef(
+    "q153_churn_overdue",
+    (spark, dir) => {
+      val w = Window.partitionBy(col("user_id")).orderBy(col("ts_s"), col("event_id"))
+      val perUser = Tables.events(spark, dir)
+        .select(col("user_id"), col("event_id"), epochS(col("ts")).as("ts_s"))
+        .withColumn("gap", col("ts_s") - lag(col("ts_s"), 1).over(w))
+        .groupBy(col("user_id"))
+        .agg(count(lit(1)).as("n_events"), max(col("ts_s")).as("last_ts_s"),
+          max(col("gap")).as("max_gap_s"))
+        .filter(col("n_events") >= 3)
+      val wm = perUser.agg(max(col("last_ts_s")).as("watermark_s"))
+      perUser.crossJoin(broadcast(wm))
+        .withColumn("silence_s", col("watermark_s") - col("last_ts_s"))
+        .select(col("user_id"), col("n_events"), col("silence_s"), col("max_gap_s"),
+          expr("CAST(CAST(silence_s AS DECIMAL(38,0)) * 1000000 DIV max_gap_s AS BIGINT)")
+            .as("overdue_ppm"))
+        .orderBy(col("user_id"))
+    },
+    Some("""
+      WITH e AS (
+        SELECT user_id, event_id, CAST(epoch_ms(ts) // 1000 AS BIGINT) AS ts_s
+        FROM events),
+      g AS (
+        SELECT user_id, ts_s,
+          ts_s - lag(ts_s) OVER (PARTITION BY user_id ORDER BY ts_s, event_id) AS gap
+        FROM e),
+      u AS (
+        SELECT user_id, CAST(count(*) AS BIGINT) AS n_events,
+          CAST(max(ts_s) AS BIGINT) AS last_ts_s,
+          CAST(max(gap) AS BIGINT) AS max_gap_s
+        FROM g GROUP BY user_id HAVING count(*) >= 3),
+      wm AS (SELECT max(last_ts_s) AS watermark_s FROM u)
+      SELECT user_id, n_events,
+        CAST(watermark_s - last_ts_s AS BIGINT) AS silence_s, max_gap_s,
+        CAST(CAST(watermark_s - last_ts_s AS HUGEINT) * 1000000 // max_gap_s
+          AS BIGINT) AS overdue_ppm
+      FROM u CROSS JOIN wm
+      ORDER BY user_id
+    """))
+
   override def defs: Seq[QueryDef] =
-    Seq(q115, q116, q117, q132, q134, q140, q142, q143, q144, q150, q151)
+    Seq(q115, q116, q117, q132, q134, q140, q142, q143, q144, q150, q151, q153)
 }

@@ -423,5 +423,48 @@ object DriftQueries extends QueryGroup {
       ORDER BY week
     """))
 
-  override def defs: Seq[QueryDef] = Seq(q118, q119, q120, q121, q122, q131, q145, q148)
+  /** Per-source lexical richness: token count, vocabulary size (types),
+    * hapax legomena (types occurring exactly once in the source),
+    * type-token ratio and hapax share in exact ppm. The
+    * lexical-diversity profile that separates template/boilerplate
+    * sources (low TTR, few hapax) from natural prose — a curation
+    * signal orthogonal to q27's per-document quality score and q131's
+    * cross-source vocabulary overlap.
+    *
+    * Scale shape: explode → one (source, token) grouped count (the only
+    * corpus-sized shuffle, map-side combined), then a vocabulary-sized
+    * per-source rollup. Nothing else moves. */
+  private val q154 = QueryDef(
+    "q154_lexical_richness",
+    (spark, dir) => {
+      Tables.documents(spark, dir)
+        .select(col("source"), explode(TextFunctions.tokens(col("text"))).as("tok"))
+        .groupBy(col("source"), col("tok")).agg(count(lit(1)).as("n"))
+        .groupBy(col("source"))
+        .agg(sum(col("n")).as("n_tokens"), count(lit(1)).as("n_types"),
+          sum(when(col("n") === 1, 1L).otherwise(0L)).as("n_hapax"))
+        .select(col("source"), col("n_tokens"), col("n_types"), col("n_hapax"),
+          expr("CAST(CAST(n_types AS DECIMAL(38,0)) * 1000000 DIV n_tokens AS BIGINT)")
+            .as("ttr_ppm"),
+          expr("CAST(CAST(n_hapax AS DECIMAL(38,0)) * 1000000 DIV n_types AS BIGINT)")
+            .as("hapax_ppm"))
+        .orderBy(col("source"))
+    },
+    Some(s"""
+      WITH t AS (
+        SELECT source, unnest($duckToks) AS tok FROM documents),
+      f AS (SELECT source, tok, count(*) AS n FROM t GROUP BY 1, 2),
+      s AS (
+        SELECT source, CAST(sum(n) AS BIGINT) AS n_tokens,
+          CAST(count(*) AS BIGINT) AS n_types,
+          CAST(sum(CASE WHEN n = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_hapax
+        FROM f GROUP BY source)
+      SELECT source, n_tokens, n_types, n_hapax,
+        CAST(CAST(n_types AS HUGEINT) * 1000000 // n_tokens AS BIGINT) AS ttr_ppm,
+        CAST(CAST(n_hapax AS HUGEINT) * 1000000 // n_types AS BIGINT) AS hapax_ppm
+      FROM s ORDER BY source
+    """))
+
+  override def defs: Seq[QueryDef] =
+    Seq(q118, q119, q120, q121, q122, q131, q145, q148, q154)
 }

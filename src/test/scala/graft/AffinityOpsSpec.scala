@@ -393,4 +393,23 @@ class AffinityOpsSpec extends SparkSpec {
     }
     assert(totalRemovable >= 0 && totalRemovable < nDocs)
   }
+
+  // ---------------------------------------------------------------- q154
+
+  test("lexical richness matches driver-side token census") {
+    val toks = Tables.documents(spark, sfDir)
+      .selectExpr("source", "text").collect()
+      .flatMap(r => r.getString(1).split(" ").filter(_.nonEmpty).map(r.getString(0) -> _))
+    val expected = toks.groupBy(_._1).view.mapValues { ts =>
+      val freq = ts.map(_._2).groupBy(identity).view.mapValues(_.size.toLong)
+      val (nTok, nTyp) = (ts.length.toLong, freq.size.toLong)
+      val hapax = freq.count(_._2 == 1L).toLong
+      (nTok, nTyp, hapax, nTyp * 1000000L / nTok, hapax * 1000000L / nTyp)
+    }.toMap
+    val got = run("q154_lexical_richness").collect()
+      .map(r => (r.getString(0),
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5))))
+    assert(got.map(_._1).toSeq == expected.keys.toSeq.sorted)
+    for ((s, t) <- got) assert(t == expected(s), s"source $s")
+  }
 }

@@ -325,4 +325,62 @@ class BehaviorDriftSpec extends SparkSpec {
     val mean = got.map { case (_, nd, _, ppm) => BigInt(nd) * ppm }.sum / tDays
     assert((mean - 1000000).abs <= 7)
   }
+
+  // ---------------------------------------------------------------- q152
+
+  test("gini split quality matches driver-side impurity; gain nonnegative-ish") {
+    val rows = Tables.orders(spark, sfDir)
+      .selectExpr(
+        "CASE WHEN o_orderpriority = '1-URGENT' THEN 1L ELSE 0L END AS y",
+        "o_orderstatus AS status",
+        "CAST(year(CAST(o_orderdate AS DATE)) AS STRING) AS yr",
+        "CAST(CAST(floor(o_totalprice * 100 + 0.5) AS LONG) div 5000000 AS STRING) AS band")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getString(3)))
+    val n = rows.length.toLong
+    val pos = rows.map(_._1).sum
+    def splitPpm(valueOf: ((Long, String, String, String)) => String): Long =
+      rows.groupBy(valueOf).values.map { b =>
+        val (nv, pv) = (b.length.toLong, b.map(_._1).sum)
+        ((BigInt(nv) * nv - BigInt(pv) * pv - BigInt(nv - pv) * (nv - pv)) * 1000000 /
+          (BigInt(n) * nv)).toLong
+      }.sum
+    val parent = ((BigInt(n) * n - BigInt(pos) * pos - BigInt(n - pos) * (n - pos)) *
+      1000000 / (BigInt(n) * n)).toLong
+    val expected = Map(
+      "status" -> splitPpm(_._2), "year" -> splitPpm(_._3), "band" -> splitPpm(_._4))
+    val got = run("q152_gini_split_quality").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    assert(got.length == 3)
+    for ((f, _, split, par, gain) <- got) {
+      assert(split == expected(f), s"feature $f")
+      assert(par == parent)
+      assert(gain == par - split)
+      // flooring can cost at most one ppm per branch, never more
+      assert(gain >= -rows.map(x => x).length)
+    }
+  }
+
+  // ---------------------------------------------------------------- q153
+
+  test("churn overdue score matches driver-side personal-cadence ratio") {
+    val ev = Tables.events(spark, sfDir)
+      .selectExpr("user_id", "event_id", "CAST(CAST(ts AS TIMESTAMP) AS LONG) AS ts_s")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val perUser = ev.groupBy(_._1).collect { case (u, es) if es.length >= 3 =>
+      val ts = es.sortBy(e => (e._3, e._2)).map(_._3)
+      val gaps = ts.sliding(2).map { case Array(a, b) => b - a }
+      (u, es.length.toLong, ts.last, gaps.max)
+    }.toSeq
+    val wm = perUser.map(_._3).max
+    val expected = perUser.map { case (u, ne, last, mg) =>
+      (u, ne, wm - last, mg, BigInt(wm - last) * 1000000 / mg)
+    }.sortBy(_._1)
+    val got = run("q153_churn_overdue").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        BigInt(r.getLong(4))))
+    assert(got.toSeq == expected)
+    assert(expected.nonEmpty)
+    // at least one user is silent for a meaningful share of their worst gap
+    assert(got.map(_._5).max > 0)
+  }
 }
