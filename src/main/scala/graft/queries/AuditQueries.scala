@@ -289,5 +289,114 @@ object AuditQueries extends QueryGroup {
       GROUP BY k ORDER BY k
     """))
 
-  def defs: Seq[QueryDef] = Seq(q81, q83, q84, q85, q91, q149)
+  /** Benford first-digit audit: the leading-digit distribution of order
+    * totals vs Benford's law, the classic forensic screen for fabricated
+    * or truncated financial data. Digits come from exact integer dollars
+    * (cents div 100 → string), never from double formatting; the Benford
+    * expectation log10(1+1/d) enters as 9 pre-scaled ppm literals, so no
+    * transcendental function runs in either engine and the deviation
+    * column is bit-exact.
+    *
+    * Scale shape: one scan → 9 groups; the grand total re-enters by
+    * broadcast cross join. Nothing but digit counts ever shuffles. */
+  private val q155 = QueryDef(
+    "q155_benford_audit",
+    (spark, dir) => {
+      val benford = "array(301030L, 176091L, 124939L, 96910L, 79181L, " +
+        "66947L, 57992L, 51153L, 45757L)"
+      val d = Tables.orders(spark, dir)
+        .select(expr("CAST(substring(CAST(" +
+          "CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) div 100 AS STRING), 1, 1) " +
+          "AS BIGINT)").as("digit"))
+        .groupBy(col("digit")).agg(count(lit(1)).as("n"))
+      val tot = d.agg(sum(col("n")).as("t"))
+      d.crossJoin(broadcast(tot))
+        .select(col("digit"), col("n"),
+          expr("CAST(CAST(n AS DECIMAL(38,0)) * 1000000 DIV t AS BIGINT)").as("obs_ppm"),
+          expr(s"element_at($benford, CAST(digit AS INT))").as("benford_ppm"))
+        .withColumn("abs_dev_ppm",
+          expr("abs(obs_ppm - benford_ppm)"))
+        .orderBy(col("digit"))
+    },
+    Some("""
+      WITH d AS (
+        SELECT CAST(substring(CAST(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)
+            // 100 AS VARCHAR), 1, 1) AS BIGINT) AS digit,
+          count(*) AS n
+        FROM orders GROUP BY 1),
+      tot AS (SELECT CAST(sum(n) AS BIGINT) AS t FROM d),
+      b AS (SELECT unnest(generate_series(1, 9)) AS digit,
+        unnest([301030, 176091, 124939, 96910, 79181, 66947, 57992, 51153, 45757])
+          AS benford_ppm)
+      SELECT d.digit, CAST(d.n AS BIGINT) AS n,
+        CAST(CAST(d.n AS HUGEINT) * 1000000 // t AS BIGINT) AS obs_ppm,
+        CAST(b.benford_ppm AS BIGINT) AS benford_ppm,
+        CAST(abs(CAST(CAST(d.n AS HUGEINT) * 1000000 // t AS BIGINT)
+          - b.benford_ppm) AS BIGINT) AS abs_dev_ppm
+      FROM d JOIN b ON b.digit = d.digit CROSS JOIN tot
+      ORDER BY d.digit
+    """))
+
+  /** Financial reconciliation audit: does the denormalized
+    * o_totalprice equal the sum of its line items' extended price net
+    * of discount plus tax? Every term stays in exact integers — cents ×
+    * (100−disc%) × (100+tax%) lands in 10⁻⁴-cent units, the recorded
+    * total scales by 10⁴ to meet it — so "exact" means EXACT, and each
+    * mismatched order lands in a magnitude bucket (≤1¢, ≤$1, >$1; plus
+    * orders with no line items). The first query a warehouse runs after
+    * an ETL change touches money columns.
+    *
+    * Scale shape: fact-to-fact equi-join on the order key (the shuffle
+    * both sides already bucket by), one grouped sum, then a 5-row
+    * bucket census. No broadcast needed; nothing wider than
+    * (orderkey, two longs) moves. */
+  private val q156 = QueryDef(
+    "q156_order_reconciliation",
+    (spark, dir) => {
+      import graft.functions.Deterministic.cents
+      val li = Tables.lineitem(spark, dir)
+        .select(col("l_orderkey"),
+          (cents(col("l_extendedprice")) *
+            (lit(100L) - expr("CAST(floor(l_discount * 100 + 0.5) AS BIGINT)")) *
+            (lit(100L) + expr("CAST(floor(l_tax * 100 + 0.5) AS BIGINT)"))).as("e4"))
+        .groupBy(col("l_orderkey")).agg(sum(col("e4")).as("computed_e4"))
+      Tables.orders(spark, dir)
+        .select(col("o_orderkey"), (cents(col("o_totalprice")) * 10000L).as("recorded_e4"))
+        .join(li, col("o_orderkey") === col("l_orderkey"), "left")
+        .select(when(col("computed_e4").isNull, "no_lineitems")
+          .when(col("computed_e4") === col("recorded_e4"), "exact")
+          .when(abs(col("computed_e4") - col("recorded_e4")) <= 10000L, "within_cent")
+          .when(abs(col("computed_e4") - col("recorded_e4")) <= 1000000L, "within_dollar")
+          .otherwise("over_dollar").as("bucket"),
+          coalesce(abs(col("computed_e4") - col("recorded_e4")), lit(0L)).as("diff"))
+        .groupBy(col("bucket"))
+        .agg(count(lit(1)).as("n_orders"), max(col("diff")).as("max_diff_e4"))
+        .orderBy(col("bucket"))
+    },
+    Some("""
+      WITH li AS (
+        SELECT l_orderkey,
+          CAST(sum(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)
+            * (100 - CAST(floor(l_discount * 100 + 0.5) AS BIGINT))
+            * (100 + CAST(floor(l_tax * 100 + 0.5) AS BIGINT))) AS BIGINT)
+            AS computed_e4
+        FROM lineitem GROUP BY 1),
+      j AS (
+        SELECT CASE
+            WHEN computed_e4 IS NULL THEN 'no_lineitems'
+            WHEN computed_e4 = recorded_e4 THEN 'exact'
+            WHEN abs(computed_e4 - recorded_e4) <= 10000 THEN 'within_cent'
+            WHEN abs(computed_e4 - recorded_e4) <= 1000000 THEN 'within_dollar'
+            ELSE 'over_dollar' END AS bucket,
+          coalesce(abs(computed_e4 - recorded_e4), 0) AS diff
+        FROM (SELECT o_orderkey,
+            CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) * 10000 AS recorded_e4
+          FROM orders) o
+        LEFT JOIN li ON l_orderkey = o_orderkey)
+      SELECT bucket, CAST(count(*) AS BIGINT) AS n_orders,
+        CAST(max(diff) AS BIGINT) AS max_diff_e4
+      FROM j GROUP BY bucket ORDER BY bucket
+    """))
+
+  def defs: Seq[QueryDef] = Seq(q81, q83, q84, q85, q91, q149, q155, q156)
 }

@@ -503,5 +503,58 @@ object CorpusQueries extends QueryGroup {
       FROM m ORDER BY l_returnflag
     """))
 
-  def defs: Seq[QueryDef] = Seq(q56, q57, q58, q59, q60, q61, q62, q63, q64, q65, q66, q82)
+  /** Duplicate-downweighting: instead of DROPPING near-duplicates
+    * (q56's clusters), assign every document a training weight
+    * 10⁶ / cluster_size ppm — each duplicate cluster contributes one
+    * document's worth of gradient in aggregate, singletons keep full
+    * weight. The soft-dedup alternative modern LLM data pipelines
+    * prefer when duplicates carry quality signal.
+    *
+    * Scale shape: q56's LSH candidate pairs + label-propagation
+    * components (bounded iterations, one keyed shuffle each), cluster
+    * sizes are a component-keyed count, and the weight joins back to
+    * the corpus id list by a LEFT join on doc_id — the document bodies
+    * never move; unmatched docs coalesce to full weight with no
+    * second pass. */
+  private val q157 = QueryDef(
+    "q157_dup_weight",
+    (spark, dir) => {
+      val pairs = MinHashLSH.nearDuplicates(Tables.documents(spark, dir),
+        "doc_id", "text", minJaccard = 0.0, maxBucketSize = Some(2))
+      val comps = Dedup.connectedComponents(pairs, "doc_a", "doc_b")
+        .select(col("v").as("doc_id"), col("component"))
+      val sized = comps.join(
+        comps.groupBy("component").agg(count(lit(1)).as("cluster_size")), "component")
+      Tables.documents(spark, dir).select(col("doc_id"))
+        .join(sized, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          coalesce(col("cluster_size"), lit(1L)).as("cluster_size"),
+          expr("CAST(1000000 DIV coalesce(cluster_size, 1) AS BIGINT)")
+            .as("weight_ppm"))
+        .orderBy(col("doc_id"))
+    },
+    Some(s"""
+      WITH RECURSIVE $duckMinhashCand,
+      edges AS (
+        SELECT doc_a AS src, doc_b AS dst FROM cand
+        UNION
+        SELECT doc_b, doc_a FROM cand),
+      reach AS (
+        SELECT src AS v, src AS r FROM edges
+        UNION
+        SELECT e.dst AS v, reach.r FROM edges e JOIN reach ON reach.v = e.src),
+      comp AS (
+        SELECT v AS doc_id, min(r) AS component FROM reach GROUP BY v),
+      sized AS (
+        SELECT doc_id, count(*) OVER (PARTITION BY component) AS cluster_size
+        FROM comp)
+      SELECT d.doc_id,
+        CAST(coalesce(s.cluster_size, 1) AS BIGINT) AS cluster_size,
+        CAST(1000000 // coalesce(s.cluster_size, 1) AS BIGINT) AS weight_ppm
+      FROM documents d LEFT JOIN sized s ON s.doc_id = d.doc_id
+      ORDER BY d.doc_id
+    """))
+
+  def defs: Seq[QueryDef] =
+    Seq(q56, q57, q58, q59, q60, q61, q62, q63, q64, q65, q66, q82, q157)
 }

@@ -383,4 +383,58 @@ class BehaviorDriftSpec extends SparkSpec {
     // at least one user is silent for a meaningful share of their worst gap
     assert(got.map(_._5).max > 0)
   }
+
+  // ---------------------------------------------------------------- q155
+
+  test("benford audit matches driver-side digit census; ppm sums close") {
+    val digits = Tables.orders(spark, sfDir)
+      .selectExpr("CAST(floor(o_totalprice * 100 + 0.5) AS LONG) div 100 AS d")
+      .collect().map(r => r.getLong(0).toString.head.asDigit.toLong)
+    val n = digits.length.toLong
+    val benford = Map(1 -> 301030L, 2 -> 176091L, 3 -> 124939L, 4 -> 96910L,
+      5 -> 79181L, 6 -> 66947L, 7 -> 57992L, 8 -> 51153L, 9 -> 45757L)
+    val counts = digits.groupBy(identity).view.mapValues(_.length.toLong).toMap
+    val got = run("q155_benford_audit").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    assert(got.map(_._1).toSeq == counts.keys.toSeq.sorted)
+    for ((d, c, obs, bf, dev) <- got) {
+      assert(c == counts(d))
+      assert(obs == BigInt(c) * 1000000 / n)
+      assert(bf == benford(d.toInt))
+      assert(dev == (obs - bf).abs)
+    }
+    val mass = got.map(_._3).sum
+    assert(mass <= 1000000L && mass > 1000000L - 9)
+  }
+
+  // ---------------------------------------------------------------- q156
+
+  test("order reconciliation matches driver-side exact-cents recompute") {
+    val li = Tables.lineitem(spark, sfDir)
+      .selectExpr("l_orderkey",
+        """CAST(floor(l_extendedprice * 100 + 0.5) AS LONG)
+           * (100 - CAST(floor(l_discount * 100 + 0.5) AS LONG))
+           * (100 + CAST(floor(l_tax * 100 + 0.5) AS LONG)) AS e4""")
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+      .groupBy(_._1).view.mapValues(_.map(_._2).sum).toMap
+    val orders = Tables.orders(spark, sfDir)
+      .selectExpr("o_orderkey", "CAST(floor(o_totalprice * 100 + 0.5) AS LONG) * 10000 AS r4")
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val expected = orders.map { case (k, r4) =>
+      li.get(k) match {
+        case None => ("no_lineitems", 0L)
+        case Some(c4) =>
+          val diff = (c4 - r4).abs
+          val b = if (diff == 0) "exact"
+            else if (diff <= 10000) "within_cent"
+            else if (diff <= 1000000) "within_dollar"
+            else "over_dollar"
+          (b, diff)
+      }
+    }.groupBy(_._1).view
+      .mapValues(v => (v.size.toLong, v.map(_._2).max)).toMap
+    val got = run("q156_order_reconciliation").collect()
+      .map(r => (r.getString(0), (r.getLong(1), r.getLong(2)))).toMap
+    assert(got == expected)
+  }
 }

@@ -102,4 +102,22 @@ class DedupSpec extends SparkSpec {
     }
     assert(e.getMessage.contains("converge"))
   }
+
+  // ---------------------------------------------------------------- q157
+
+  test("dup weights: every doc weighted, clusters sum to ~1 doc, matches q56") {
+    val sfDir = "/root/testdata/sf0.001"
+    val weights = SparkEntry.queries("q157_dup_weight")(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val nDocs = Tables.documents(spark, sfDir).count()
+    assert(weights.length.toLong == nDocs)
+    for ((_, sz, w) <- weights) {
+      assert(sz >= 1 && w == 1000000L / sz && w >= 1 && w <= 1000000L)
+    }
+    // cluster sizes agree with q56's clusters for every clustered doc
+    val q56Sizes = SparkEntry.queries("q56_dup_clusters")(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(2))).toMap
+    for ((doc, sz, _) <- weights)
+      assert(sz == q56Sizes.getOrElse(doc, 1L), s"doc $doc")
+  }
 }

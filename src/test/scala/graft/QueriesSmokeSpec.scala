@@ -45,7 +45,8 @@ class QueriesSmokeSpec extends SparkSpec {
     "q133_join_blowup_audit", "q134_conversion_latency",
     "q135_dup_size_histogram", "q136_temperature_allocation",
     "q139_norm_outliers", "q145_oov_rate_by_cutoff", "q146_robust_outliers",
-    "q147_reference_calibration")
+    "q147_reference_calibration", "q149_k_anonymity", "q151_dow_seasonality",
+    "q152_gini_split_quality", "q153_churn_overdue", "q155_benford_audit")
 
   test("plan hygiene: no cartesian products, no unsanctioned nested loops") {
     for ((name, fn) <- SparkEntry.queries.toSeq.sortBy(_._1)) {
