@@ -327,5 +327,74 @@ object PipelineQueries extends QueryGroup {
       FROM e GROUP BY event_type ORDER BY event_type
     """))
 
-  def defs: Seq[QueryDef] = Seq(q43, q44, q45, q46, q47, q50, q51, q54)
+  /** Centroid-separation matrix: signed squared cosine (exact ppm)
+    * between every pair of q47's label centroids — the
+    * cluster-separation diagnostic behind classifier-margin and
+    * label-confusion analysis. cos² = (a·b)²/(|a|²|b|²) is a RATIONAL
+    * function of the integer centroids, so unlike cosine itself it
+    * needs no square root and reproduces bitwise in both engines; the
+    * sign of the dot product is kept as a factor (antipodal vs
+    * orthogonal centroids differ).
+    *
+    * Scale shape: after q47's one corpus-scan centroid aggregate, every
+    * object is label-vocabulary sized: a k×64 exploded centroid table
+    * self-joins on the dimension key (≤ k² pairs), norms broadcast
+    * back. Products run in decimal(38,0): dot² · 10⁶ reaches ~10²¹. */
+  private val q158 = QueryDef(
+    "q158_centroid_separation",
+    (spark, dir) => {
+      val qv = graft.functions.expressions.quantize_vec(col("embedding"))
+      val cent = Tables.embeddings(spark, dir)
+        .select(col("label"), qv.as("qv"))
+        .groupBy(col("label"))
+        .agg(count(lit(1)).as("n"),
+          graft.functions.VectorAggregates.vector_sum(col("qv"), 64).as("s"))
+        .select(col("label"), col("n"), posexplode(col("s")).as(Seq("dim", "sv")))
+        .select(col("label"), col("dim"),
+          floor(col("sv") / col("n")).cast("long").as("c"))
+      val norms = cent.groupBy(col("label"))
+        .agg(sum(col("c") * col("c")).as("n2"))
+      val a = cent.select(col("label").as("label_a"), col("dim"), col("c").as("ca"))
+      val b = cent.select(col("label").as("label_b"), col("dim"), col("c").as("cb"))
+      a.join(b, Seq("dim"))
+        .filter(col("label_a") < col("label_b"))
+        .groupBy(col("label_a"), col("label_b"))
+        .agg(sum(col("ca") * col("cb")).as("dot"))
+        .join(broadcast(norms.select(col("label").as("label_a"), col("n2").as("n2a"))),
+          Seq("label_a"))
+        .join(broadcast(norms.select(col("label").as("label_b"), col("n2").as("n2b"))),
+          Seq("label_b"))
+        .select(col("label_a"), col("label_b"), col("dot"),
+          expr("""CAST(CASE WHEN dot < 0 THEN -1 ELSE 1 END
+                  * (CAST(dot AS DECIMAL(38,0)) * dot * 1000000)
+                  DIV (CAST(n2a AS DECIMAL(38,0)) * n2b) AS BIGINT)""")
+            .as("signed_cos2_ppm"))
+        .orderBy(col("label_a"), col("label_b"))
+    },
+    Some("""
+      WITH q AS (
+        SELECT label,
+          list_transform(embedding, x -> CAST(floor(x*512 + 0.5) AS BIGINT)) AS qv
+        FROM embeddings),
+      dims AS (SELECT unnest(range(1, 65)) AS d),
+      cent AS (
+        SELECT label, d, CAST(floor(sum(qv[d]) / count(*)) AS BIGINT) AS c
+        FROM q CROSS JOIN dims GROUP BY label, d),
+      norms AS (SELECT label, CAST(sum(c*c) AS BIGINT) AS n2 FROM cent GROUP BY 1),
+      pairs AS (
+        SELECT a.label AS label_a, b.label AS label_b,
+          CAST(sum(a.c * b.c) AS BIGINT) AS dot
+        FROM cent a JOIN cent b ON a.d = b.d AND a.label < b.label
+        GROUP BY 1, 2)
+      SELECT p.label_a, p.label_b, p.dot,
+        CAST((CASE WHEN p.dot < 0 THEN -1 ELSE 1 END)
+          * (CAST(p.dot AS HUGEINT) * p.dot * 1000000)
+          // (CAST(na.n2 AS HUGEINT) * nb.n2) AS BIGINT) AS signed_cos2_ppm
+      FROM pairs p
+      JOIN norms na ON na.label = p.label_a
+      JOIN norms nb ON nb.label = p.label_b
+      ORDER BY p.label_a, p.label_b
+    """))
+
+  def defs: Seq[QueryDef] = Seq(q43, q44, q45, q46, q47, q50, q51, q54, q158)
 }

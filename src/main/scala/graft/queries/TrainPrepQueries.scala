@@ -235,5 +235,56 @@ object TrainPrepQueries extends QueryGroup {
       ORDER BY p_size
     """))
 
-  def defs: Seq[QueryDef] = Seq(q103, q104, q105, q106)
+  /** Token-budget allocation plan: given a training budget of half the
+    * corpus tokens split as an equal per-source quota, how many epochs
+    * of each source does its quota demand (ppm: 1 000 000 = one pass),
+    * how much can actually be served under a 4-epoch repetition cap
+    * (the empirical limit before repeated data degrades an LLM), and
+    * the shortfall that must be re-sourced. The planning table behind
+    * q70's mixture sampler: q70 executes a feasible plan, this query
+    * exposes WHERE the requested mixture is infeasible.
+    *
+    * Scale shape: one scan → per-source token counts (map-side
+    * combined, vocabulary-sized result); the corpus total and source
+    * count come back as a broadcast one-row cross join. All planning
+    * arithmetic is per-source integer math in decimal(38,0). */
+  private val q159 = QueryDef(
+    "q159_token_budget_plan",
+    (spark, dir) => {
+      val bySource = Tables.documents(spark, dir)
+        .select(col("source"),
+          size(TextFunctions.tokens(col("text"))).cast("long").as("tc"))
+        .groupBy(col("source")).agg(sum(col("tc")).as("n_tokens"))
+      val tot = bySource.agg(
+        sum(col("n_tokens")).as("total_tokens"), count(lit(1)).as("n_sources"))
+      bySource.crossJoin(broadcast(tot))
+        .withColumn("quota", expr("(total_tokens div 2) div n_sources"))
+        .select(col("source"), col("n_tokens"), col("quota"),
+          expr("CAST(CAST(quota AS DECIMAL(38,0)) * 1000000 DIV n_tokens AS BIGINT)")
+            .as("epochs_ppm"),
+          least(col("quota"), col("n_tokens") * 4).as("served"),
+          greatest(col("quota") - col("n_tokens") * 4, lit(0L)).as("shortfall"))
+        .orderBy(col("source"))
+    },
+    Some("""
+      WITH s AS (
+        SELECT source,
+          CAST(sum(len(list_filter(str_split(text, ' '), t -> len(t) > 0)))
+            AS BIGINT) AS n_tokens
+        FROM documents GROUP BY source),
+      tot AS (SELECT CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+        CAST(count(*) AS BIGINT) AS n_sources FROM s)
+      SELECT source, n_tokens,
+        CAST((total_tokens // 2) // n_sources AS BIGINT) AS quota,
+        CAST(CAST((total_tokens // 2) // n_sources AS HUGEINT) * 1000000
+          // n_tokens AS BIGINT) AS epochs_ppm,
+        CAST(least((total_tokens // 2) // n_sources, n_tokens * 4) AS BIGINT)
+          AS served,
+        CAST(greatest((total_tokens // 2) // n_sources - n_tokens * 4, 0) AS BIGINT)
+          AS shortfall
+      FROM s CROSS JOIN tot
+      ORDER BY source
+    """))
+
+  def defs: Seq[QueryDef] = Seq(q103, q104, q105, q106, q159)
 }

@@ -46,7 +46,8 @@ class QueriesSmokeSpec extends SparkSpec {
     "q135_dup_size_histogram", "q136_temperature_allocation",
     "q139_norm_outliers", "q145_oov_rate_by_cutoff", "q146_robust_outliers",
     "q147_reference_calibration", "q149_k_anonymity", "q151_dow_seasonality",
-    "q152_gini_split_quality", "q153_churn_overdue", "q155_benford_audit")
+    "q152_gini_split_quality", "q153_churn_overdue", "q155_benford_audit",
+    "q159_token_budget_plan")
 
   test("plan hygiene: no cartesian products, no unsanctioned nested loops") {
     for ((name, fn) <- SparkEntry.queries.toSeq.sortBy(_._1)) {

@@ -189,4 +189,55 @@ class TrainFeatureOpsSpec extends SparkSpec {
         .forall { case (a, b) => a == b })
     }
   }
+
+  // ---------------------------------------------------------------- q158
+
+  test("centroid separation matches driver-side rational cos²") {
+    val vecs = Tables.embeddings(spark, sfDir)
+      .selectExpr("CAST(label AS LONG) AS label",
+        "transform(embedding, x -> CAST(floor(x*512 + 0.5) AS LONG)) AS qv")
+      .collect().map(r => (r.getLong(0), r.getSeq[Long](1).toArray))
+    val cents = vecs.groupBy(_._1).view.mapValues { vs =>
+      val n = vs.length
+      Array.tabulate(64)(d => Math.floorDiv(vs.map(_._2(d)).sum, n.toLong))
+    }.toMap
+    val labels = cents.keys.toSeq.sorted
+    val expected = (for {
+      i <- labels.indices; j <- (i + 1) until labels.length
+      (la, lb) = (labels(i), labels(j))
+      dot = (0 until 64).map(d => cents(la)(d) * cents(lb)(d)).sum
+      n2a = cents(la).map(c => c * c).sum
+      n2b = cents(lb).map(c => c * c).sum
+      sign = if (dot < 0) -1 else 1
+    } yield (la, lb, dot,
+      (BigInt(sign) * (BigInt(dot) * dot * 1000000) / (BigInt(n2a) * n2b)).toLong))
+      .toSeq
+    val got = run("q158_centroid_separation").collect()
+      .map(r => (r.getInt(0).toLong, r.getInt(1).toLong, r.getLong(2), r.getLong(3)))
+    assert(got.toSeq == expected)
+    assert(got.nonEmpty && got.forall(p => p._4.abs <= 1000000L))
+  }
+
+  // ---------------------------------------------------------------- q159
+
+  test("token budget plan matches driver-side allocation arithmetic") {
+    val bySource = Tables.documents(spark, sfDir)
+      .selectExpr("source", "size(filter(split(text, ' '), t -> length(t) > 0)) AS tc")
+      .collect().map(r => (r.getString(0), r.getInt(1).toLong))
+      .groupBy(_._1).view.mapValues(_.map(_._2).sum).toMap
+    val total = bySource.values.sum
+    val quota = (total / 2) / bySource.size
+    val got = run("q159_token_budget_plan").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5)))
+    assert(got.map(_._1).toSeq == bySource.keys.toSeq.sorted)
+    for ((s, nt, q, ep, served, short) <- got) {
+      assert(nt == bySource(s))
+      assert(q == quota)
+      assert(ep == (BigInt(quota) * 1000000 / nt).toLong)
+      assert(served == math.min(quota, nt * 4))
+      assert(short == math.max(quota - nt * 4, 0L))
+      assert(served + short == q)
+    }
+  }
 }
