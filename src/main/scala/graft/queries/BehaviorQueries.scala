@@ -674,6 +674,129 @@ object BehaviorQueries extends QueryGroup {
       ORDER BY user_id
     """))
 
+  /** Daily session KPIs: sessionize by 30-minute inactivity gaps
+    * (q87's lag+cumulative-flag windows), then the web-analytics
+    * headline numbers per day of session start — sessions, bounce rate
+    * (single-event sessions, ppm), events per session (milli-events),
+    * total and mean dwell seconds. Means are integer DIV ratios of
+    * exact sums, so every cell reproduces bitwise.
+    *
+    * Scale shape: one user-partitioned window pass (the sessionization
+    * shuffle q87/q76 already pay), one (user, session) aggregate, one
+    * calendar-sized daily rollup. Nothing global, no broadcast needed. */
+  private val q160 = QueryDef(
+    "q160_session_kpis",
+    (spark, dir) => {
+      val w = Window.partitionBy(col("user_id")).orderBy(col("ts_s"), col("event_id"))
+      val sessions = Tables.events(spark, dir)
+        .select(col("user_id"), col("event_id"), epochS(col("ts")).as("ts_s"))
+        .withColumn("prev_ts", lag(col("ts_s"), 1).over(w))
+        .withColumn("new_s",
+          when(col("prev_ts").isNull || col("ts_s") - col("prev_ts") > 1800, 1L)
+            .otherwise(0L))
+        .withColumn("session_id", sum(col("new_s")).over(w))
+        .groupBy(col("user_id"), col("session_id"))
+        .agg(count(lit(1)).as("n_ev"), min(col("ts_s")).as("t0"), max(col("ts_s")).as("t1"))
+      sessions
+        .select(expr("t0 div 86400").as("day"),
+          col("n_ev"), (col("t1") - col("t0")).as("dwell"))
+        .groupBy(col("day"))
+        .agg(count(lit(1)).as("n_sessions"),
+          sum(when(col("n_ev") === 1, 1L).otherwise(0L)).as("n_bounce"),
+          sum(col("n_ev")).as("n_events"), sum(col("dwell")).as("dwell_s"))
+        .select(col("day"), col("n_sessions"), col("n_bounce"),
+          expr("CAST(CAST(n_bounce AS DECIMAL(38,0)) * 1000000 DIV n_sessions AS BIGINT)")
+            .as("bounce_ppm"),
+          expr("CAST(CAST(n_events AS DECIMAL(38,0)) * 1000 DIV n_sessions AS BIGINT)")
+            .as("events_per_session_milli"),
+          col("dwell_s"),
+          expr("CAST(dwell_s DIV n_sessions AS BIGINT)").as("avg_dwell_s"))
+        .orderBy(col("day"))
+    },
+    Some("""
+      WITH e AS (
+        SELECT user_id, event_id, CAST(epoch_ms(ts) // 1000 AS BIGINT) AS ts_s
+        FROM events),
+      f AS (
+        SELECT user_id, event_id, ts_s,
+          CASE WHEN lag(ts_s) OVER w IS NULL OR ts_s - lag(ts_s) OVER w > 1800
+               THEN 1 ELSE 0 END AS new_s
+        FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts_s, event_id)),
+      g AS (
+        SELECT user_id, ts_s,
+          sum(new_s) OVER (PARTITION BY user_id ORDER BY ts_s, event_id
+            ROWS UNBOUNDED PRECEDING) AS session_id
+        FROM f),
+      s AS (
+        SELECT user_id, session_id, count(*) AS n_ev,
+          min(ts_s) AS t0, max(ts_s) AS t1
+        FROM g GROUP BY 1, 2),
+      d AS (
+        SELECT t0 // 86400 AS day, CAST(count(*) AS BIGINT) AS n_sessions,
+          CAST(sum(CASE WHEN n_ev = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_bounce,
+          CAST(sum(n_ev) AS BIGINT) AS n_events,
+          CAST(sum(t1 - t0) AS BIGINT) AS dwell_s
+        FROM s GROUP BY 1)
+      SELECT day, n_sessions, n_bounce,
+        CAST(CAST(n_bounce AS HUGEINT) * 1000000 // n_sessions AS BIGINT) AS bounce_ppm,
+        CAST(CAST(n_events AS HUGEINT) * 1000 // n_sessions AS BIGINT)
+          AS events_per_session_milli,
+        dwell_s,
+        CAST(dwell_s // n_sessions AS BIGINT) AS avg_dwell_s
+      FROM d ORDER BY day
+    """))
+
+  /** Rapid-repeat suppression (telemetry debounce): flag events of the
+    * same (user, event type) arriving within 60 s of the PREVIOUS such
+    * event — double-clicks, retry storms, bot bursts — and report the
+    * per-type suppression census. The lag form is deliberately
+    * one-pass-deterministic (each event compares to its physical
+    * predecessor, not to the last KEPT event, which would be a
+    * sequential chain no engine can parallelize).
+    *
+    * Scale shape: one (user, type)-partitioned window — a narrower
+    * shuffle than sessionization's — then a vocabulary-sized census.
+    * Suppression rate in exact ppm. */
+  private val q162 = QueryDef(
+    "q162_event_debounce",
+    (spark, dir) => {
+      val w = Window.partitionBy(col("user_id"), col("event_type"))
+        .orderBy(col("ts_s"), col("event_id"))
+      Tables.events(spark, dir)
+        .select(col("user_id"), col("event_id"), col("event_type"),
+          epochS(col("ts")).as("ts_s"))
+        .withColumn("gap", col("ts_s") - lag(col("ts_s"), 1).over(w))
+        .select(col("event_type"),
+          when(col("gap").isNotNull && col("gap") <= 60, 1L).otherwise(0L)
+            .as("suppressed"))
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n_events"), sum(col("suppressed")).as("n_suppressed"))
+        .select(col("event_type"), col("n_events"), col("n_suppressed"),
+          expr("CAST(CAST(n_suppressed AS DECIMAL(38,0)) * 1000000 DIV n_events AS BIGINT)")
+            .as("suppressed_ppm"))
+        .orderBy(col("event_type"))
+    },
+    Some("""
+      WITH e AS (
+        SELECT user_id, event_id, event_type,
+          CAST(epoch_ms(ts) // 1000 AS BIGINT) AS ts_s
+        FROM events),
+      g AS (
+        SELECT event_type,
+          CASE WHEN ts_s - lag(ts_s) OVER (PARTITION BY user_id, event_type
+              ORDER BY ts_s, event_id) <= 60 THEN 1 ELSE 0 END AS suppressed
+        FROM e),
+      c AS (
+        SELECT event_type, CAST(count(*) AS BIGINT) AS n_events,
+          CAST(sum(suppressed) AS BIGINT) AS n_suppressed
+        FROM g GROUP BY 1)
+      SELECT event_type, n_events, n_suppressed,
+        CAST(CAST(n_suppressed AS HUGEINT) * 1000000 // n_events AS BIGINT)
+          AS suppressed_ppm
+      FROM c ORDER BY event_type
+    """))
+
   override def defs: Seq[QueryDef] =
-    Seq(q115, q116, q117, q132, q134, q140, q142, q143, q144, q150, q151, q153)
+    Seq(q115, q116, q117, q132, q134, q140, q142, q143, q144, q150, q151, q153,
+      q160, q162)
 }

@@ -465,6 +465,49 @@ object DriftQueries extends QueryGroup {
       FROM s ORDER BY source
     """))
 
+  /** New-category detection — the categorical half of schema drift
+    * (q148 watches a numeric distribution slide; this watches the
+    * DOMAIN itself grow): per week, how many distinct (clerk-free)
+    * order-priority × status combinations appear for the FIRST time,
+    * plus the running domain size. A new combination in week w is one
+    * whose min-first-week equals w; downstream contracts (enum columns,
+    * one-hot encoders, dashboards) break exactly here.
+    *
+    * Scale shape: one scan → distinct (combo, week) pairs (map-side
+    * combined), a combo-keyed min, then a calendar-sized weekly census
+    * with a running-total window over weeks (bounded by the calendar,
+    * not the corpus). */
+  private val q161 = QueryDef(
+    "q161_new_category_drift",
+    (spark, dir) => {
+      val firstWeek = Tables.orders(spark, dir)
+        .select(
+          concat_ws("|", col("o_orderpriority"), col("o_orderstatus")).as("combo"),
+          expr("CAST(datediff(CAST(o_orderdate AS DATE), DATE '1970-01-01') div 7 AS BIGINT)")
+            .as("week"))
+        .groupBy(col("combo")).agg(min(col("week")).as("first_week"))
+      firstWeek.groupBy(col("first_week").as("week"))
+        .agg(count(lit(1)).as("n_new"))
+        .withColumn("domain_size", sum(col("n_new")).over(
+          Window.orderBy(col("week")).rowsBetween(Window.unboundedPreceding,
+            Window.currentRow)))
+        .orderBy(col("week"))
+    },
+    Some("""
+      WITH f AS (
+        SELECT o_orderpriority || '|' || o_orderstatus AS combo,
+          CAST(min(CAST(date_diff('day', DATE '1970-01-01',
+            CAST(o_orderdate AS DATE)) // 7 AS BIGINT)) AS BIGINT) AS first_week
+        FROM orders GROUP BY 1),
+      w AS (
+        SELECT first_week AS week, CAST(count(*) AS BIGINT) AS n_new
+        FROM f GROUP BY 1)
+      SELECT week, n_new,
+        CAST(sum(n_new) OVER (ORDER BY week ROWS UNBOUNDED PRECEDING) AS BIGINT)
+          AS domain_size
+      FROM w ORDER BY week
+    """))
+
   override def defs: Seq[QueryDef] =
-    Seq(q118, q119, q120, q121, q122, q131, q145, q148, q154)
+    Seq(q118, q119, q120, q121, q122, q131, q145, q148, q154, q161)
 }

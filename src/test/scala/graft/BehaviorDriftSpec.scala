@@ -437,4 +437,72 @@ class BehaviorDriftSpec extends SparkSpec {
       .map(r => (r.getString(0), (r.getLong(1), r.getLong(2)))).toMap
     assert(got == expected)
   }
+
+  // ---------------------------------------------------------------- q160
+
+  test("session KPIs match driver-side sessionization") {
+    val ev = Tables.events(spark, sfDir)
+      .selectExpr("user_id", "event_id", "CAST(CAST(ts AS TIMESTAMP) AS LONG) AS ts_s")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val sessions = ev.groupBy(_._1).values.flatMap { es =>
+      val sorted = es.sortBy(e => (e._3, e._2)).map(_._3)
+      val bounds = scala.collection.mutable.ArrayBuffer((sorted.head, sorted.head, 1L))
+      for (t <- sorted.tail) {
+        val (t0, t1, n) = bounds.last
+        if (t - t1 > 1800) bounds += ((t, t, 1L))
+        else bounds(bounds.length - 1) = (t0, t, n + 1)
+      }
+      bounds
+    }.toSeq
+    val expected = sessions.groupBy(_._1 / 86400).toSeq.sortBy(_._1).map {
+      case (day, ss) =>
+        val (nS, nB) = (ss.length.toLong, ss.count(_._3 == 1L).toLong)
+        val (nE, dw) = (ss.map(_._3).sum, ss.map(s => s._2 - s._1).sum)
+        (day, nS, nB, BigInt(nB) * 1000000 / nS, BigInt(nE) * 1000 / nS, dw, dw / nS)
+    }
+    val got = run("q160_session_kpis").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), BigInt(r.getLong(3)),
+        BigInt(r.getLong(4)), r.getLong(5), r.getLong(6)))
+    assert(got.toSeq == expected)
+  }
+
+  // ---------------------------------------------------------------- q161
+
+  test("new-category drift: first weeks correct, domain size is cumulative") {
+    val combos = Tables.orders(spark, sfDir)
+      .selectExpr("o_orderpriority || '|' || o_orderstatus AS combo",
+        "CAST(CAST(o_orderdate AS DATE) - DATE '1970-01-01' AS LONG) div 7 AS week")
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    val firstWeek = combos.groupBy(_._1).view.mapValues(_.map(_._2).min).toMap
+    val expected = firstWeek.values.groupBy(identity).view
+      .mapValues(_.size.toLong).toSeq.sortBy(_._1)
+    val got = run("q161_new_category_drift").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(got.map(g => (g._1, g._2)).toSeq == expected)
+    assert(got.map(_._3).toSeq == got.map(_._2).scanLeft(0L)(_ + _).tail.toSeq)
+    assert(got.map(_._3).last == firstWeek.size.toLong)
+  }
+
+  // ---------------------------------------------------------------- q162
+
+  test("event debounce matches driver-side lag rule") {
+    val ev = Tables.events(spark, sfDir)
+      .selectExpr("user_id", "event_id", "event_type",
+        "CAST(CAST(ts AS TIMESTAMP) AS LONG) AS ts_s")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getLong(3)))
+    val expected = ev.groupBy(e => (e._1, e._3)).values.flatMap { es =>
+      val ts = es.sortBy(e => (e._4, e._2))
+      ts.zipWithIndex.map { case (e, i) =>
+        (e._3, if (i > 0 && e._4 - ts(i - 1)._4 <= 60) 1L else 0L)
+      }
+    }.toSeq.groupBy(_._1).view
+      .mapValues(v => (v.size.toLong, v.map(_._2).sum)).toMap
+    val got = run("q162_event_debounce").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(got.map(_._1).toSeq == expected.keys.toSeq.sorted)
+    for ((t, n, s, ppm) <- got) {
+      assert((n, s) == expected(t))
+      assert(ppm == (BigInt(s) * 1000000 / n).toLong)
+    }
+  }
 }
