@@ -396,5 +396,65 @@ object PipelineQueries extends QueryGroup {
       ORDER BY p.label_a, p.label_b
     """))
 
-  def defs: Seq[QueryDef] = Seq(q43, q44, q45, q46, q47, q50, q51, q54, q158)
+  /** Deterministic experiment assignment + readout: users hash-split
+    * 50/50 into control/treatment with the same multiplicative key
+    * hash the samplers use (q45) — assignment is a pure function of
+    * user_id, so it reproduces across engines, runs, and days, the
+    * property a real experiment system needs — then the A/B headline
+    * table: users, converters (≥1 purchase), conversion ppm, purchase
+    * revenue, ARPU in cents. q119's chi-square consumes exactly this
+    * contingency shape for significance.
+    *
+    * Scale shape: one conditional per-user aggregate (user-keyed
+    * shuffle), then a 2-row arm rollup. The hash is codegen'd integer
+    * arithmetic on the key — no UDF. */
+  private val q163 = QueryDef(
+    "q163_experiment_readout",
+    (spark, dir) => {
+      val perUser = Tables.events(spark, dir)
+        .select(col("user_id"), col("event_type"), cents(col("value")).as("vc"))
+        .groupBy(col("user_id"))
+        .agg(
+          max(when(col("event_type") === "purchase", 1L).otherwise(0L)).as("converted"),
+          sum(when(col("event_type") === "purchase", col("vc")).otherwise(0L))
+            .as("rev_cents"))
+        .withColumn("arm",
+          when(Sampling.keyHash(col("user_id")) % 2L === 0L, "control")
+            .otherwise("treatment"))
+      perUser.groupBy(col("arm"))
+        .agg(count(lit(1)).as("n_users"), sum(col("converted")).as("n_converted"),
+          sum(col("rev_cents")).as("revenue_cents"))
+        .select(col("arm"), col("n_users"), col("n_converted"),
+          expr("CAST(CAST(n_converted AS DECIMAL(38,0)) * 1000000 DIV n_users AS BIGINT)")
+            .as("conversion_ppm"),
+          col("revenue_cents"),
+          expr("CAST(revenue_cents DIV n_users AS BIGINT)").as("arpu_cents"))
+        .orderBy(col("arm"))
+    },
+    Some("""
+      WITH u AS (
+        SELECT user_id,
+          max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS converted,
+          sum(CASE WHEN event_type = 'purchase'
+            THEN CAST(floor(value * 100 + 0.5) AS BIGINT) ELSE 0 END) AS rev_cents
+        FROM events GROUP BY 1),
+      a AS (
+        SELECT CASE WHEN (((user_id % 2147483648) * 2654435761) % 4294967296) % 2 = 0
+            THEN 'control' ELSE 'treatment' END AS arm,
+          converted, rev_cents
+        FROM u),
+      g AS (
+        SELECT arm, CAST(count(*) AS BIGINT) AS n_users,
+          CAST(sum(converted) AS BIGINT) AS n_converted,
+          CAST(sum(rev_cents) AS BIGINT) AS revenue_cents
+        FROM a GROUP BY 1)
+      SELECT arm, n_users, n_converted,
+        CAST(CAST(n_converted AS HUGEINT) * 1000000 // n_users AS BIGINT)
+          AS conversion_ppm,
+        revenue_cents,
+        CAST(revenue_cents // n_users AS BIGINT) AS arpu_cents
+      FROM g ORDER BY arm
+    """))
+
+  def defs: Seq[QueryDef] = Seq(q43, q44, q45, q46, q47, q50, q51, q54, q158, q163)
 }

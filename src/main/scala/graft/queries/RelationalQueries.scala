@@ -393,6 +393,50 @@ object RelationalQueries extends QueryGroup {
       ORDER BY c_custkey, metric
     """))
 
+  /** Brand-month running shipment position: cumulative quantity shipped
+    * per brand over the month calendar — the running-balance query
+    * behind inventory/commitment dashboards, and the canonical
+    * PARTITIONED cumulative window (contrast q122's sanctioned global
+    * window: here the frame is per-brand, so it scales out).
+    *
+    * Scale shape: fact scan → equi-join to part on partkey (broadcast
+    * when the dim fits, shuffle-hash otherwise — either is fine, the
+    * planner chooses), one (brand, month) aggregate collapses the
+    * corpus to brand×calendar cells, and the running sum windows over
+    * those cells partitioned by brand. Month index is pure Gregorian
+    * arithmetic ((year−1970)·12 + month−1), identical in both engines. */
+  private val q164 = QueryDef(
+    "q164_brand_month_position",
+    (spark, dir) => {
+      val li = Tables.lineitem(spark, dir)
+        .select(col("l_partkey"),
+          expr("""CAST((year(CAST(l_shipdate AS DATE)) - 1970) * 12
+                  + month(CAST(l_shipdate AS DATE)) - 1 AS BIGINT)""").as("month"),
+          expr("CAST(floor(l_quantity + 0.5) AS BIGINT)").as("qty"))
+      val pt = Tables.part(spark, dir).select(col("p_partkey"), col("p_brand"))
+      val cells = li.join(pt, li("l_partkey") === pt("p_partkey"))
+        .groupBy(col("p_brand"), col("month"))
+        .agg(sum(col("qty")).as("qty_shipped"))
+      val w = Window.partitionBy(col("p_brand")).orderBy(col("month"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      cells
+        .withColumn("cum_qty", sum(col("qty_shipped")).over(w))
+        .orderBy(col("p_brand"), col("month"))
+    },
+    Some("""
+      WITH cells AS (
+        SELECT p_brand,
+          CAST((year(CAST(l_shipdate AS DATE)) - 1970) * 12
+            + month(CAST(l_shipdate AS DATE)) - 1 AS BIGINT) AS month,
+          CAST(sum(CAST(floor(l_quantity + 0.5) AS BIGINT)) AS BIGINT) AS qty_shipped
+        FROM lineitem JOIN part ON l_partkey = p_partkey
+        GROUP BY 1, 2)
+      SELECT p_brand, month, qty_shipped,
+        CAST(sum(qty_shipped) OVER (PARTITION BY p_brand ORDER BY month
+          ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_qty
+      FROM cells ORDER BY p_brand, month
+    """))
+
   def defs: Seq[QueryDef] =
-    Seq(q10, q11, q12, q13, q14, q15, q16, q17, q18, q19, q48, q49, q52, q53)
+    Seq(q10, q11, q12, q13, q14, q15, q16, q17, q18, q19, q48, q49, q52, q53, q164)
 }

@@ -505,4 +505,60 @@ class BehaviorDriftSpec extends SparkSpec {
       assert(ppm == (BigInt(s) * 1000000 / n).toLong)
     }
   }
+
+  // ---------------------------------------------------------------- q163
+
+  test("experiment readout: assignment deterministic, census matches brute force") {
+    val ev = Tables.events(spark, sfDir)
+      .selectExpr("user_id", "event_type",
+        "CAST(floor(value * 100 + 0.5) AS LONG) AS vc")
+      .collect().map(r => (r.getLong(0), r.getString(1),
+        if (r.isNullAt(2)) None else Some(r.getLong(2))))
+    def arm(u: Long): String =
+      if ((((u % 2147483648L) * 2654435761L) % 4294967296L) % 2 == 0) "control"
+      else "treatment"
+    val perUser = ev.groupBy(_._1).map { case (u, es) =>
+      (arm(u),
+        if (es.exists(_._2 == "purchase")) 1L else 0L,
+        es.filter(_._2 == "purchase").flatMap(_._3).sum)
+    }.toSeq
+    val expected = perUser.groupBy(_._1).view.mapValues { us =>
+      val (n, c, r) = (us.size.toLong, us.map(_._2).sum, us.map(_._3).sum)
+      (n, c, BigInt(c) * 1000000 / n, r, r / n)
+    }.toMap
+    val got = run("q163_experiment_readout").collect()
+      .map(r => (r.getString(0),
+        (r.getLong(1), r.getLong(2), BigInt(r.getLong(3)), r.getLong(4), r.getLong(5))))
+    assert(got.map(_._1).toSeq == Seq("control", "treatment"))
+    for ((a, t) <- got) assert(t == expected(a), s"arm $a")
+    // both arms populated — the hash actually splits
+    assert(expected.values.forall(_._1 > 0))
+  }
+
+  // ---------------------------------------------------------------- q164
+
+  test("brand-month position: cumulative sums telescope per brand") {
+    val got = run("q164_brand_month_position").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(got.nonEmpty)
+    for ((_, rs) <- got.groupBy(_._1)) {
+      val ordered = rs.sortBy(_._2)
+      assert(ordered.map(_._3).scanLeft(0L)(_ + _).tail.toSeq ==
+        ordered.map(_._4).toSeq)
+    }
+    // spot-check one brand against a direct aggregate
+    val brand = got.head._1
+    val direct = Tables.lineitem(spark, sfDir)
+      .join(Tables.part(spark, sfDir),
+        org.apache.spark.sql.functions.col("l_partkey") ===
+          org.apache.spark.sql.functions.col("p_partkey"))
+      .filter(org.apache.spark.sql.functions.col("p_brand") === brand)
+      .selectExpr(
+        """CAST((year(CAST(l_shipdate AS DATE)) - 1970) * 12
+           + month(CAST(l_shipdate AS DATE)) - 1 AS LONG) AS m""",
+        "CAST(floor(l_quantity + 0.5) AS LONG) AS q")
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+      .groupBy(_._1).view.mapValues(_.map(_._2).sum).toMap
+    for ((b, m, q, _) <- got if b == brand) assert(q == direct(m), s"month $m")
+  }
 }
