@@ -555,6 +555,78 @@ object CorpusQueries extends QueryGroup {
       ORDER BY d.doc_id
     """))
 
+  /** MinHash estimator-fidelity audit: for every LSH candidate pair,
+    * the signature-estimated Jaccard (matches/16, exact in 62 500 ppm
+    * steps) against the TRUE shingle-set Jaccard (exact rational), and
+    * the error census bucketed in hash-resolution units. The
+    * approximation-quality measurement that justifies the 16-hash
+    * configuration — run it on a sample before trusting q21's
+    * candidates at full scale.
+    *
+    * Scale shape: the candidate set is already bucket-capped (bounded
+    * fan-out), so the deliberate join-back to the corpus for exact
+    * shingle sets — the very thing the production LSH path avoids —
+    * touches only candidate docs; set algebra is per-row array
+    * intersection, and the output is a 4-row census. */
+  private val q165 = QueryDef(
+    "q165_minhash_fidelity",
+    (spark, dir) => {
+      import graft.text.TextFunctions.wordShingleSet
+      val cand = MinHashLSH.nearDuplicates(Tables.documents(spark, dir),
+        "doc_id", "text", minJaccard = 0.0, maxBucketSize = Some(2))
+        .select(col("doc_a"), col("doc_b"),
+          (expr("CAST(est_jaccard * 16 AS BIGINT)") * 62500L).as("est_ppm"))
+      val sh = Tables.documents(spark, dir)
+        .select(col("doc_id"), wordShingleSet(col("text"), 3).as("sh"))
+      val errs = cand
+        .join(sh.select(col("doc_id").as("doc_a"), col("sh").as("sh_a")), Seq("doc_a"))
+        .join(sh.select(col("doc_id").as("doc_b"), col("sh").as("sh_b")), Seq("doc_b"))
+        .select(
+          expr("size(array_intersect(sh_a, sh_b))").cast("long").as("i"),
+          expr("size(sh_a) + size(sh_b) - size(array_intersect(sh_a, sh_b))")
+            .cast("long").as("u"),
+          col("est_ppm"))
+        .select(expr("abs(est_ppm - CAST(i * 1000000 AS BIGINT) DIV u)").as("err"))
+      errs
+        .select(when(col("err") <= 62500L, "a_le_1_hash")
+          .when(col("err") <= 125000L, "b_le_2_hash")
+          .when(col("err") <= 250000L, "c_le_4_hash")
+          .otherwise("d_gt_4_hash").as("bucket"), col("err"))
+        .groupBy(col("bucket"))
+        .agg(count(lit(1)).as("n_pairs"), max(col("err")).as("max_err_ppm"))
+        .orderBy(col("bucket"))
+    },
+    Some(s"""
+      WITH $duckMinhashCand,
+      m AS (
+        SELECT ca.doc_a, ca.doc_b,
+          CAST(sum(CASE WHEN sa.m = sb.m THEN 1 ELSE 0 END) AS BIGINT) AS mt
+        FROM cand ca
+        JOIN sigs sa ON sa.doc_id = ca.doc_a
+        JOIN sigs sb ON sb.doc_id = ca.doc_b AND sb.j = sa.j
+        GROUP BY 1, 2),
+      t AS (
+        SELECT c.doc_a, c.doc_b,
+          CAST(len(list_intersect(da.sh, db.sh)) AS BIGINT) AS i,
+          CAST(len(da.sh) + len(db.sh) - len(list_intersect(da.sh, db.sh))
+            AS BIGINT) AS u
+        FROM cand c
+        JOIN docs da ON da.doc_id = c.doc_a
+        JOIN docs db ON db.doc_id = c.doc_b),
+      e AS (
+        SELECT abs(m.mt * 62500 - i * 1000000 // u) AS err
+        FROM m JOIN t ON t.doc_a = m.doc_a AND t.doc_b = m.doc_b),
+      b AS (
+        SELECT CASE WHEN err <= 62500 THEN 'a_le_1_hash'
+            WHEN err <= 125000 THEN 'b_le_2_hash'
+            WHEN err <= 250000 THEN 'c_le_4_hash'
+            ELSE 'd_gt_4_hash' END AS bucket, err
+        FROM e)
+      SELECT bucket, CAST(count(*) AS BIGINT) AS n_pairs,
+        CAST(max(err) AS BIGINT) AS max_err_ppm
+      FROM b GROUP BY bucket ORDER BY bucket
+    """))
+
   def defs: Seq[QueryDef] =
-    Seq(q56, q57, q58, q59, q60, q61, q62, q63, q64, q65, q66, q82, q157)
+    Seq(q56, q57, q58, q59, q60, q61, q62, q63, q64, q65, q66, q82, q157, q165)
 }

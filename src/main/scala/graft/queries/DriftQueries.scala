@@ -508,6 +508,72 @@ object DriftQueries extends QueryGroup {
       FROM w ORDER BY week
     """))
 
+  /** Class-discriminative terms (keyness): for each source, the 5
+    * tokens whose in-source relative frequency most exceeds their
+    * corpus-wide relative frequency — lift in exact ppm
+    * (cnt_src·tot_corpus·10⁶ DIV (cnt_corpus·tot_src)), min support 5
+    * so hapax noise can't dominate. The corpus-linguistics counterpart
+    * of q44's per-document TF-IDF: WHAT vocabulary makes a source
+    * different, the labeling aid for mixture design and contamination
+    * triage.
+    *
+    * Scale shape: one (source, token) grouped count (the corpus-sized
+    * shuffle, map-side combined); global token counts derive from it by
+    * a second vocabulary-sized aggregate; totals broadcast; top-5 is a
+    * rank window partitioned by source over the vocabulary-sized lift
+    * table. Ties break on token for determinism. */
+  private val q166 = QueryDef(
+    "q166_source_keyness",
+    (spark, dir) => {
+      val st = Tables.documents(spark, dir)
+        .select(col("source"), explode(TextFunctions.tokens(col("text"))).as("tok"))
+        .groupBy(col("source"), col("tok")).agg(count(lit(1)).as("c_src"))
+        .persist() // global counts + per-source totals derive from it
+      val glob = st.groupBy(col("tok")).agg(sum(col("c_src")).as("c_all"))
+      val srcTot = st.groupBy(col("source")).agg(sum(col("c_src")).as("t_src"))
+      val allTot = srcTot.agg(sum(col("t_src")).as("t_all"))
+      val lifts = st.filter(col("c_src") >= 5)
+        .join(glob, Seq("tok"))
+        .join(broadcast(srcTot), Seq("source"))
+        .crossJoin(broadcast(allTot))
+        .select(col("source"), col("tok"), col("c_src"),
+          expr("""CAST(CAST(c_src AS DECIMAL(38,0)) * t_all * 1000000
+                  DIV (CAST(c_all AS DECIMAL(38,0)) * t_src) AS BIGINT)""")
+            .as("lift_ppm"))
+      val w = Window.partitionBy(col("source"))
+        .orderBy(col("lift_ppm").desc, col("tok"))
+      lifts.withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= 5)
+        .select(col("source"), col("rank").cast("long").as("rank"),
+          col("tok"), col("c_src"), col("lift_ppm"))
+        .orderBy(col("source"), col("rank"))
+    },
+    Some(s"""
+      WITH t AS (
+        SELECT source, unnest($duckToks) AS tok FROM documents),
+      st AS (SELECT source, tok, CAST(count(*) AS BIGINT) AS c_src
+        FROM t GROUP BY 1, 2),
+      gcount AS (SELECT tok, CAST(sum(c_src) AS BIGINT) AS c_all FROM st GROUP BY 1),
+      srctot AS (SELECT source, CAST(sum(c_src) AS BIGINT) AS t_src
+        FROM st GROUP BY 1),
+      alltot AS (SELECT CAST(sum(t_src) AS BIGINT) AS t_all FROM srctot),
+      lifts AS (
+        SELECT st.source, st.tok, st.c_src,
+          CAST(CAST(st.c_src AS HUGEINT) * t_all * 1000000
+            // (CAST(gcount.c_all AS HUGEINT) * t_src) AS BIGINT) AS lift_ppm
+        FROM st
+        JOIN gcount USING (tok) JOIN srctot USING (source) CROSS JOIN alltot
+        WHERE st.c_src >= 5),
+      ranked AS (
+        SELECT source, tok, c_src, lift_ppm,
+          row_number() OVER (PARTITION BY source
+            ORDER BY lift_ppm DESC, tok) AS rank
+        FROM lifts)
+      SELECT source, CAST(rank AS BIGINT) AS rank, tok, c_src, lift_ppm
+      FROM ranked WHERE rank <= 5
+      ORDER BY source, rank
+    """))
+
   override def defs: Seq[QueryDef] =
-    Seq(q118, q119, q120, q121, q122, q131, q145, q148, q154, q161)
+    Seq(q118, q119, q120, q121, q122, q131, q145, q148, q154, q161, q166)
 }

@@ -412,4 +412,27 @@ class AffinityOpsSpec extends SparkSpec {
     assert(got.map(_._1).toSeq == expected.keys.toSeq.sorted)
     for ((s, t) <- got) assert(t == expected(s), s"source $s")
   }
+
+  // ---------------------------------------------------------------- q166
+
+  test("source keyness matches driver-side lift ranking") {
+    val toks = Tables.documents(spark, sfDir)
+      .selectExpr("source", "text").collect()
+      .flatMap(r => r.getString(1).split(" ").filter(_.nonEmpty).map(r.getString(0) -> _))
+    val st = toks.groupBy(identity).view.mapValues(_.length.toLong).toMap
+    val glob = toks.groupBy(_._2).view.mapValues(_.length.toLong).toMap
+    val srcTot = toks.groupBy(_._1).view.mapValues(_.length.toLong).toMap
+    val tAll = toks.length.toLong
+    val expected = st.toSeq.collect {
+      case ((s, tok), c) if c >= 5 =>
+        (s, tok, c, (BigInt(c) * tAll * 1000000 / (BigInt(glob(tok)) * srcTot(s))).toLong)
+    }.groupBy(_._1).toSeq.sortBy(_._1).flatMap { case (s, rows) =>
+      rows.sortBy(r => (-r._4, r._2)).take(5).zipWithIndex.map {
+        case ((src, tok, c, lift), i) => (src, i + 1L, tok, c, lift)
+      }
+    }
+    val got = run("q166_source_keyness").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getString(2), r.getLong(3), r.getLong(4)))
+    assert(got.toSeq == expected)
+  }
 }

@@ -120,4 +120,33 @@ class DedupSpec extends SparkSpec {
     for ((doc, sz, _) <- weights)
       assert(sz == q56Sizes.getOrElse(doc, 1L), s"doc $doc")
   }
+
+  // ---------------------------------------------------------------- q165
+
+  test("minhash fidelity census matches per-pair est-vs-true errors") {
+    import org.apache.spark.sql.functions._
+    val sfDir01 = "/root/testdata/sf0.01" // candidates exist at this SF
+    val docs = Tables.documents(spark, sfDir01)
+    val cand = MinHashLSH.nearDuplicates(docs, "doc_id", "text",
+      minJaccard = 0.0, maxBucketSize = Some(2))
+      .select("doc_a", "doc_b", "est_jaccard").collect()
+      .map(r => (r.getLong(0), r.getLong(1), (r.getDouble(2) * 16).round * 62500L))
+    assert(cand.nonEmpty)
+    val sh = docs.select(col("doc_id"),
+        graft.text.TextFunctions.wordShingleSet(col("text"), 3).as("sh"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1).toSet).toMap
+    val errs = cand.map { case (a, b, est) =>
+      val (sa, sb) = (sh(a), sh(b))
+      val i = (sa & sb).size.toLong
+      val u = sa.size + sb.size - i
+      (est - i * 1000000L / u).abs
+    }
+    def bucket(e: Long) = if (e <= 62500) "a_le_1_hash" else if (e <= 125000) "b_le_2_hash"
+      else if (e <= 250000) "c_le_4_hash" else "d_gt_4_hash"
+    val expected = errs.groupBy(bucket).view
+      .mapValues(v => (v.length.toLong, v.max)).toMap
+    val got = SparkEntry.queries("q165_minhash_fidelity")(spark, sfDir01).collect()
+      .map(r => (r.getString(0), (r.getLong(1), r.getLong(2)))).toMap
+    assert(got == expected)
+  }
 }

@@ -10,7 +10,7 @@ class QueriesSmokeSpec extends SparkSpec {
   private val mayBeEmpty = Set(
     "q14_anti_join_not_exists", "q21_dedup_minhash_lsh",
     "q23_dedup_ngram_jaccard", "q24_dedup_embedding_cosine",
-    "q68_decontamination", "q74_semantic_dedup")
+    "q68_decontamination", "q74_semantic_dedup", "q165_minhash_fidelity")
 
   test("entry (flagship) returns rows") {
     assert(SparkEntry.entry(spark).count() > 0)
@@ -47,7 +47,7 @@ class QueriesSmokeSpec extends SparkSpec {
     "q139_norm_outliers", "q145_oov_rate_by_cutoff", "q146_robust_outliers",
     "q147_reference_calibration", "q149_k_anonymity", "q151_dow_seasonality",
     "q152_gini_split_quality", "q153_churn_overdue", "q155_benford_audit",
-    "q159_token_budget_plan")
+    "q159_token_budget_plan", "q166_source_keyness")
 
   test("plan hygiene: no cartesian products, no unsanctioned nested loops") {
     for ((name, fn) <- SparkEntry.queries.toSeq.sortBy(_._1)) {
