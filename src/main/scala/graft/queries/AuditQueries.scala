@@ -398,5 +398,111 @@ object AuditQueries extends QueryGroup {
       FROM j GROUP BY bucket ORDER BY bucket
     """))
 
-  def defs: Seq[QueryDef] = Seq(q81, q83, q84, q85, q91, q149, q155, q156)
+  /** Functional-dependency discovery: for candidate column pairs
+    * key → dependent across the schema, how many key values map to
+    * MORE than one dependent value (FD violations) and how many rows
+    * sit under those violating keys. A clean FD (0 violations) is a
+    * normalization/compression opportunity; a near-FD with a few
+    * violations is usually a data bug. The profiling query behind
+    * schema-inference tools.
+    *
+    * Scale shape: each candidate is one (key, dependent) distinct
+    * aggregate (map-side combined) + a key-sized rollup; candidates
+    * union into one result. Nothing joins, nothing broadcasts. */
+  private val q167 = QueryDef(
+    "q167_fd_discovery",
+    (spark, dir) => {
+      def audit(df: DataFrame, fd: String, key: Column, dep: Column): DataFrame = {
+        val keys = df.select(key.as("k"), dep.as("d"))
+          .groupBy(col("k"))
+          .agg(countDistinct(col("d")).as("nd"), count(lit(1)).as("nrows"))
+        keys.agg(
+          lit(fd).as("fd"),
+          count(lit(1)).as("n_keys"),
+          sum(when(col("nd") > 1, 1L).otherwise(0L)).as("n_violating"),
+          sum(when(col("nd") > 1, col("nrows")).otherwise(0L)).as("rows_affected"))
+      }
+      val part = Tables.part(spark, dir)
+      val cust = Tables.customer(spark, dir)
+      val ord = Tables.orders(spark, dir)
+      audit(part, "p_brand->p_type", col("p_brand"), col("p_type"))
+        .unionAll(audit(part, "p_name->p_brand", col("p_name"), col("p_brand")))
+        .unionAll(audit(cust, "c_nationkey->c_mktsegment",
+          col("c_nationkey"), col("c_mktsegment")))
+        .unionAll(audit(ord, "o_custkey->o_orderpriority",
+          col("o_custkey"), col("o_orderpriority")))
+        .select(col("fd"), col("n_keys"), col("n_violating"), col("rows_affected"),
+          expr("CAST(CAST(n_violating AS DECIMAL(38,0)) * 1000000 DIV n_keys AS BIGINT)")
+            .as("violation_ppm"))
+        .orderBy(col("fd"))
+    },
+    Some("""
+      WITH a1 AS (
+        SELECT 'p_brand->p_type' AS fd, p_brand AS k,
+          count(DISTINCT p_type) AS nd, count(*) AS nrows
+        FROM part GROUP BY 2),
+      a2 AS (
+        SELECT 'p_name->p_brand' AS fd, p_name AS k,
+          count(DISTINCT p_brand) AS nd, count(*) AS nrows
+        FROM part GROUP BY 2),
+      a3 AS (
+        SELECT 'c_nationkey->c_mktsegment' AS fd, CAST(c_nationkey AS VARCHAR) AS k,
+          count(DISTINCT c_mktsegment) AS nd, count(*) AS nrows
+        FROM customer GROUP BY 2),
+      a4 AS (
+        SELECT 'o_custkey->o_orderpriority' AS fd, CAST(o_custkey AS VARCHAR) AS k,
+          count(DISTINCT o_orderpriority) AS nd, count(*) AS nrows
+        FROM orders GROUP BY 2),
+      u AS (SELECT * FROM a1 UNION ALL SELECT * FROM a2
+        UNION ALL SELECT * FROM a3 UNION ALL SELECT * FROM a4)
+      SELECT fd, CAST(count(*) AS BIGINT) AS n_keys,
+        CAST(sum(CASE WHEN nd > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_violating,
+        CAST(sum(CASE WHEN nd > 1 THEN nrows ELSE 0 END) AS BIGINT) AS rows_affected,
+        CAST(sum(CASE WHEN nd > 1 THEN 1 ELSE 0 END) * 1000000
+          // count(*) AS BIGINT) AS violation_ppm
+      FROM u GROUP BY fd ORDER BY fd
+    """))
+
+  /** Late-shipment SLA census: line items shipped more than 90 days
+    * after their order date, by order priority — the compliance table
+    * an ops dashboard leads with. Date arithmetic in epoch days
+    * (engine-neutral), rate in exact ppm.
+    *
+    * Scale shape: fact-to-fact equi-join on the order key (same
+    * bucketing as q156), then a 5-row priority census. Only
+    * (orderkey, two days) survive the scan. */
+  private val q169 = QueryDef(
+    "q169_late_shipment_sla",
+    (spark, dir) => {
+      val li = Tables.lineitem(spark, dir).select(col("l_orderkey"),
+        expr("CAST(datediff(CAST(l_shipdate AS DATE), DATE '1970-01-01') AS BIGINT)")
+          .as("ship_day"))
+      val ord = Tables.orders(spark, dir).select(col("o_orderkey"),
+        col("o_orderpriority"),
+        expr("CAST(datediff(CAST(o_orderdate AS DATE), DATE '1970-01-01') AS BIGINT)")
+          .as("order_day"))
+      li.join(ord, col("l_orderkey") === col("o_orderkey"))
+        .select(col("o_orderpriority"),
+          when(col("ship_day") - col("order_day") > 90, 1L).otherwise(0L).as("late"))
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("n_lineitems"), sum(col("late")).as("n_late"))
+        .select(col("o_orderpriority"), col("n_lineitems"), col("n_late"),
+          expr("CAST(CAST(n_late AS DECIMAL(38,0)) * 1000000 DIV n_lineitems AS BIGINT)")
+            .as("late_ppm"))
+        .orderBy(col("o_orderpriority"))
+    },
+    Some("""
+      WITH j AS (
+        SELECT o_orderpriority,
+          CASE WHEN date_diff('day', CAST(o_orderdate AS DATE),
+              CAST(l_shipdate AS DATE)) > 90 THEN 1 ELSE 0 END AS late
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey)
+      SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n_lineitems,
+        CAST(sum(late) AS BIGINT) AS n_late,
+        CAST(sum(late) * 1000000 // count(*) AS BIGINT) AS late_ppm
+      FROM j GROUP BY 1 ORDER BY 1
+    """))
+
+  def defs: Seq[QueryDef] =
+    Seq(q81, q83, q84, q85, q91, q149, q155, q156, q167, q169)
 }

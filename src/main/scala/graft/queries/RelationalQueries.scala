@@ -437,6 +437,64 @@ object RelationalQueries extends QueryGroup {
       FROM cells ORDER BY p_brand, month
     """))
 
+  /** Hierarchical revenue shares (percent-of-parent at two levels):
+    * each nation's share of its region's revenue and each region's
+    * share of the total, in exact ppm — the drill-down ratio table
+    * every BI hierarchy renders, done as ONE pass instead of three
+    * correlated subqueries.
+    *
+    * Scale shape: orders → customer equi-join carries only
+    * (custkey, cents); the nation/region dims broadcast; the nation
+    * grid is vocabulary-sized (25), so region totals and the grand
+    * total derive from it with window sums over nothing-sized data.
+    * decimal(38,0) guards cents·10⁶ at the 100 TB point. */
+  private val q168 = QueryDef(
+    "q168_revenue_hierarchy",
+    (spark, dir) => {
+      val rev = Tables.orders(spark, dir)
+        .select(col("o_custkey"), cents(col("o_totalprice")).as("c"))
+        .join(Tables.customer(spark, dir).select(col("c_custkey"), col("c_nationkey")),
+          col("o_custkey") === col("c_custkey"))
+        .groupBy(col("c_nationkey")).agg(sum(col("c")).as("rev"))
+      val dims = broadcast(Tables.nation(spark, dir)
+        .join(Tables.region(spark, dir),
+          col("n_regionkey") === col("r_regionkey"))
+        .select(col("n_nationkey"), col("n_name"), col("r_name")))
+      val w = Window.partitionBy(col("r_name"))
+      val wAll = Window.partitionBy()
+      rev.join(dims, col("c_nationkey") === col("n_nationkey"))
+        .select(col("r_name"), col("n_name"), col("rev"))
+        .withColumn("region_rev", sum(col("rev")).over(w))
+        .withColumn("total_rev", sum(col("rev")).over(wAll))
+        .select(col("r_name"), col("n_name"), col("rev").as("revenue_cents"),
+          expr("CAST(CAST(rev AS DECIMAL(38,0)) * 1000000 DIV region_rev AS BIGINT)")
+            .as("share_of_region_ppm"),
+          expr("CAST(CAST(region_rev AS DECIMAL(38,0)) * 1000000 DIV total_rev AS BIGINT)")
+            .as("region_share_ppm"))
+        .orderBy(col("r_name"), col("n_name"))
+    },
+    Some("""
+      WITH rev AS (
+        SELECT c_nationkey, CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))
+          AS BIGINT) AS rev
+        FROM orders JOIN customer ON o_custkey = c_custkey
+        GROUP BY 1),
+      g AS (
+        SELECT r_name, n_name, rev,
+          sum(rev) OVER (PARTITION BY r_name) AS region_rev,
+          sum(rev) OVER () AS total_rev
+        FROM rev
+        JOIN nation ON n_nationkey = c_nationkey
+        JOIN region ON r_regionkey = n_regionkey)
+      SELECT r_name, n_name, rev AS revenue_cents,
+        CAST(CAST(rev AS HUGEINT) * 1000000 // region_rev AS BIGINT)
+          AS share_of_region_ppm,
+        CAST(CAST(region_rev AS HUGEINT) * 1000000 // total_rev AS BIGINT)
+          AS region_share_ppm
+      FROM g ORDER BY r_name, n_name
+    """))
+
   def defs: Seq[QueryDef] =
-    Seq(q10, q11, q12, q13, q14, q15, q16, q17, q18, q19, q48, q49, q52, q53, q164)
+    Seq(q10, q11, q12, q13, q14, q15, q16, q17, q18, q19, q48, q49, q52, q53,
+      q164, q168)
 }

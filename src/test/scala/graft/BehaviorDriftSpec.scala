@@ -561,4 +561,90 @@ class BehaviorDriftSpec extends SparkSpec {
       .groupBy(_._1).view.mapValues(_.map(_._2).sum).toMap
     for ((b, m, q, _) <- got if b == brand) assert(q == direct(m), s"month $m")
   }
+
+  // ---------------------------------------------------------------- q167
+
+  test("FD discovery matches driver-side violation census") {
+    def census(pairs: Seq[(String, String)]): (Long, Long, Long) = {
+      val byKey = pairs.groupBy(_._1)
+      val nKeys = byKey.size.toLong
+      val viol = byKey.values.filter(_.map(_._2).distinct.length > 1)
+      (nKeys, viol.size.toLong, viol.map(_.size.toLong).sum)
+    }
+    val part = Tables.part(spark, sfDir)
+      .selectExpr("p_brand", "p_type", "p_name").collect()
+    val cust = Tables.customer(spark, sfDir)
+      .selectExpr("CAST(c_nationkey AS STRING) AS k", "c_mktsegment").collect()
+    val ord = Tables.orders(spark, sfDir)
+      .selectExpr("CAST(o_custkey AS STRING) AS k", "o_orderpriority").collect()
+    val expected = Map(
+      "p_brand->p_type" -> census(part.map(r => (r.getString(0), r.getString(1)))),
+      "p_name->p_brand" -> census(part.map(r => (r.getString(2), r.getString(0)))),
+      "c_nationkey->c_mktsegment" -> census(cust.map(r => (r.getString(0), r.getString(1)))),
+      "o_custkey->o_orderpriority" -> census(ord.map(r => (r.getString(0), r.getString(1)))))
+    val got = run("q167_fd_discovery").collect()
+      .map(r => (r.getString(0), (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))))
+    assert(got.map(_._1).toSeq == expected.keys.toSeq.sorted)
+    for ((fd, (nk, nv, ra, ppm)) <- got) {
+      assert((nk, nv, ra) == expected(fd), s"fd $fd")
+      assert(ppm == (BigInt(nv) * 1000000 / nk).toLong)
+    }
+  }
+
+  // ---------------------------------------------------------------- q168
+
+  test("revenue hierarchy: shares match brute force, regions close to 1M") {
+    val rev = Tables.orders(spark, sfDir)
+      .join(Tables.customer(spark, sfDir),
+        org.apache.spark.sql.functions.col("o_custkey") ===
+          org.apache.spark.sql.functions.col("c_custkey"))
+      .join(Tables.nation(spark, sfDir),
+        org.apache.spark.sql.functions.col("c_nationkey") ===
+          org.apache.spark.sql.functions.col("n_nationkey"))
+      .join(Tables.region(spark, sfDir),
+        org.apache.spark.sql.functions.col("n_regionkey") ===
+          org.apache.spark.sql.functions.col("r_regionkey"))
+      .selectExpr("r_name", "n_name", "CAST(floor(o_totalprice * 100 + 0.5) AS LONG) AS c")
+      .collect().map(r => ((r.getString(0), r.getString(1)), r.getLong(2)))
+      .groupBy(_._1).view.mapValues(_.map(_._2).sum).toMap
+    val regionRev = rev.groupBy(_._1._1).view.mapValues(_.values.sum).toMap
+    val totalRev = rev.values.sum
+    val got = run("q168_revenue_hierarchy").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    assert(got.length == rev.size)
+    for ((rn, nn, c, sr, rs) <- got) {
+      assert(c == rev((rn, nn)))
+      assert(sr == (BigInt(c) * 1000000 / regionRev(rn)).toLong)
+      assert(rs == (BigInt(regionRev(rn)) * 1000000 / totalRev).toLong)
+    }
+    // nation shares within each region close to 1M up to truncation
+    for ((rn, rs) <- got.groupBy(_._1)) {
+      val mass = rs.map(_._4).sum
+      assert(mass <= 1000000L && mass > 1000000L - rs.length, s"region $rn")
+    }
+  }
+
+  // ---------------------------------------------------------------- q169
+
+  test("late shipment SLA matches driver-side day arithmetic") {
+    val ord = Tables.orders(spark, sfDir)
+      .selectExpr("o_orderkey", "o_orderpriority",
+        "CAST(CAST(o_orderdate AS DATE) - DATE '1970-01-01' AS LONG) AS od")
+      .collect().map(r => r.getLong(0) -> (r.getString(1), r.getLong(2))).toMap
+    val li = Tables.lineitem(spark, sfDir)
+      .selectExpr("l_orderkey",
+        "CAST(CAST(l_shipdate AS DATE) - DATE '1970-01-01' AS LONG) AS sd")
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val expected = li.map { case (k, sd) =>
+      val (pr, od) = ord(k)
+      (pr, if (sd - od > 90) 1L else 0L)
+    }.groupBy(_._1).view.mapValues(v => (v.size.toLong, v.map(_._2).sum)).toMap
+    val got = run("q169_late_shipment_sla").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(got.map(_._1).toSeq == expected.keys.toSeq.sorted)
+    for ((pr, n, l, ppm) <- got) {
+      assert((n, l) == expected(pr))
+      assert(ppm == (BigInt(l) * 1000000 / n).toLong)
+    }
+  }
 }
