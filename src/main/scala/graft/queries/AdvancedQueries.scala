@@ -4,7 +4,7 @@ import org.apache.spark.sql.functions._
 
 import graft.Tables
 import graft.operators.Skew
-import graft.similarity.Ivf
+import graft.similarity.{Ivf, Knn}
 
 /** Scale-path operators: the SQL entry point, IVF approximate nearest
   * neighbor, and explicit skew-salted joins. */
@@ -213,5 +213,108 @@ object AdvancedQueries extends QueryGroup {
       FROM flat GROUP BY o_year ORDER BY o_year
     """))
 
-  def defs: Seq[QueryDef] = Seq(q31, q32, q33, q35, q86)
+  /** IVF recall sweep: recall@10 of the IVF index (q32) against the
+    * brute-force truth (q25) for nprobe ∈ {1, 2, 4, 8} — the
+    * accuracy-vs-cost curve an ANN deployment tunes against. nprobe=8
+    * probes every cell, so its row doubles as a self-check: recall must
+    * be 10/10 (the q32 "nprobe=all ≡ exact" identity, now measured
+    * rather than assumed).
+    *
+    * Scale shape: one IVF build (narrow argmax assignment, persisted and
+    * shared by all four probes), each probe touching only its cells'
+    * vectors with the query broadcast; the brute-force truth is one
+    * TakeOrdered over the corpus. The recall join compares two 10-row
+    * sets per probe — nothing. Counts are integers; recall in exact
+    * ppm. */
+  private val q170 = QueryDef(
+    "q170_ivf_recall_sweep",
+    (spark, dir) => {
+      val emb = Tables.embeddings(spark, dir)
+      val (assignments, centroids) = Ivf.build(emb, "vec_id", "embedding", k = 8)
+      val a = assignments.persist() // four probes share the assignment pass
+      val brute = Knn.bruteForceTopK(emb, "vec_id", "embedding", queryId = 0L, k = 10)
+        .select(col("vec_id"))
+      val per = Seq(1, 2, 4, 8).map { p =>
+        Ivf.probeTopK(a, centroids, queryId = 0L, k = 10, nprobe = p)
+          .select(lit(p.toLong).as("nprobe"), col("id").as("vec_id"))
+      }.reduce(_ unionAll _)
+      val hits = per.join(brute, Seq("vec_id"), "left_semi")
+        .groupBy(col("nprobe")).agg(count(lit(1)).as("n_hits"))
+      spark.range(0, 4)
+        .select(expr("element_at(array(1L, 2L, 4L, 8L), CAST(id AS INT) + 1)")
+          .as("nprobe"))
+        .join(hits, Seq("nprobe"), "left")
+        .na.fill(0L, Seq("n_hits"))
+        .select(col("nprobe"), col("n_hits"),
+          (col("n_hits") * 100000L).as("recall_ppm"))
+        .orderBy(col("nprobe"))
+    },
+    Some("""
+      WITH base AS (
+        SELECT vec_id AS id,
+          list_transform(embedding, x -> CAST(floor(x*512 + 0.5) AS BIGINT)) AS qv
+        FROM embeddings),
+      dims AS (SELECT unnest(range(1, 65)) AS dim),
+      seeded AS (SELECT id, qv, id % 8 AS cluster FROM base),
+      cent0 AS (
+        SELECT cluster, list(m ORDER BY dim) AS centroid FROM (
+          SELECT cluster, d.dim, CAST(floor(sum(qv[d.dim])/count(*)) AS BIGINT) AS m
+          FROM seeded CROSS JOIN dims d GROUP BY cluster, d.dim)
+        GROUP BY cluster),
+      scored AS (
+        SELECT b.id, b.qv, c.cluster,
+          CAST(list_sum(list_transform(range(1, 65), i -> b.qv[i]*c.centroid[i])) AS DOUBLE)
+            / sqrt(CAST(list_sum(list_transform(b.qv, x -> x*x)) AS DOUBLE)
+                 * CAST(list_sum(list_transform(c.centroid, x -> x*x)) AS DOUBLE)) AS cos
+        FROM base b CROSS JOIN cent0 c),
+      assigned AS (
+        SELECT id, qv, cluster FROM scored
+        QUALIFY row_number() OVER (PARTITION BY id ORDER BY cos DESC, cluster) = 1),
+      cent1 AS (
+        SELECT cluster, list(m ORDER BY dim) AS centroid FROM (
+          SELECT cluster, d.dim, CAST(floor(sum(qv[d.dim])/count(*)) AS BIGINT) AS m
+          FROM assigned CROSS JOIN dims d GROUP BY cluster, d.dim)
+        GROUP BY cluster),
+      qrow AS (SELECT qv AS q_qv FROM base WHERE id = 0),
+      cellrank AS (
+        SELECT c.cluster, row_number() OVER (ORDER BY
+          CAST(list_sum(list_transform(range(1, 65), i -> q_qv[i]*c.centroid[i])) AS DOUBLE)
+            / sqrt(CAST(list_sum(list_transform(q_qv, x -> x*x)) AS DOUBLE)
+                 * CAST(list_sum(list_transform(c.centroid, x -> x*x)) AS DOUBLE)) DESC,
+          c.cluster) AS rc
+        FROM cent1 c CROSS JOIN qrow),
+      probes AS (SELECT unnest([1, 2, 4, 8]) AS nprobe),
+      cand AS (
+        SELECT p.nprobe, a.id,
+          CAST(list_sum(list_transform(range(1, 65), i -> a.qv[i]*q_qv[i])) AS DOUBLE)
+            / sqrt(CAST(list_sum(list_transform(a.qv, x -> x*x)) AS DOUBLE)
+                 * CAST(list_sum(list_transform(q_qv, x -> x*x)) AS DOUBLE)) AS cosine
+        FROM assigned a
+        JOIN cellrank cr USING (cluster)
+        CROSS JOIN probes p CROSS JOIN qrow
+        WHERE cr.rc <= p.nprobe AND a.id <> 0),
+      topk AS (
+        SELECT nprobe, id FROM cand
+        QUALIFY row_number() OVER (PARTITION BY nprobe
+          ORDER BY cosine DESC, id) <= 10),
+      brute AS (
+        SELECT b.id FROM base b CROSS JOIN qrow
+        WHERE b.id <> 0
+        ORDER BY
+          CAST(list_sum(list_transform(range(1, 65), i -> b.qv[i]*q_qv[i])) AS DOUBLE)
+            / sqrt(CAST(list_sum(list_transform(b.qv, x -> x*x)) AS DOUBLE)
+                 * CAST(list_sum(list_transform(q_qv, x -> x*x)) AS DOUBLE)) DESC,
+          b.id
+        LIMIT 10),
+      hits AS (
+        SELECT nprobe, CAST(count(*) AS BIGINT) AS n_hits
+        FROM topk JOIN brute USING (id) GROUP BY 1)
+      SELECT CAST(p.nprobe AS BIGINT) AS nprobe,
+        coalesce(h.n_hits, 0) AS n_hits,
+        coalesce(h.n_hits, 0) * 100000 AS recall_ppm
+      FROM probes p LEFT JOIN hits h USING (nprobe)
+      ORDER BY nprobe
+    """))
+
+  def defs: Seq[QueryDef] = Seq(q31, q32, q33, q35, q86, q170)
 }

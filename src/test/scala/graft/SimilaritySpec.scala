@@ -74,4 +74,26 @@ class SimilaritySpec extends SparkSpec {
     val f1 = frames.filter($"asset_id" === 1L).count()
     assert(f1 === (200 - 1) / 64 + 1) // every 4th 16-byte frame
   }
+
+  // ---------------------------------------------------------------- q170
+
+  test("IVF recall sweep: monotone in nprobe, exact at nprobe=all") {
+    val sfDir = "/root/testdata/sf0.001"
+    val got = SparkEntry.queries("q170_ivf_recall_sweep")(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(got.map(_._1).toSeq == Seq(1L, 2L, 4L, 8L))
+    // recall never decreases as more cells are probed
+    assert(got.map(_._2).toSeq == got.map(_._2).toSeq.sorted)
+    for ((_, h, ppm) <- got) assert(h >= 0 && h <= 10 && ppm == h * 100000L)
+    // probing every cell IS brute force: the q32 identity, measured
+    assert(got.last._2 == 10L && got.last._3 == 1000000L)
+    // cross-check one point against the library calls directly
+    val emb = Tables.embeddings(spark, sfDir)
+    val (a, c) = graft.similarity.Ivf.build(emb, "vec_id", "embedding", k = 8)
+    val brute = Knn.bruteForceTopK(emb, "vec_id", "embedding", 0L, 10)
+      .collect().map(_.getLong(0)).toSet
+    val p2 = graft.similarity.Ivf.probeTopK(a, c, 0L, 10, 2)
+      .collect().map(_.getLong(0)).toSet
+    assert(got(1)._2 == (p2 & brute).size.toLong)
+  }
 }
