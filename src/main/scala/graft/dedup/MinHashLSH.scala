@@ -62,7 +62,7 @@ object MinHashLSH {
     * functions (slower: interpreted, recomputes shingles per hash). */
   def signaturesHof(docs: DataFrame, idCol: String, textCol: String,
                     cfg: Config = Config()): DataFrame = {
-    val sh = wordShingleSet(col(textCol), cfg.shingleK)
+    val sh = wordShingleSetHof(col(textCol), cfg.shingleK)
     docs
       .filter(size(tokensHof(col(textCol))) >= cfg.shingleK)
       .select(

@@ -335,6 +335,36 @@ object GraftHash {
     new GenericArrayData(out)
   }
 
+  /** Distinct k-word shingle hashes in first-occurrence order — the
+    * fused form of TextFunctions.wordShingleSetHof (base-31 fold of k
+    * consecutive token hashes, single trailing modulo, then
+    * array_distinct). The HOF spec path tokenizes with per-character
+    * `substr(i, 1)` (quadratic UTF-8 re-seek per token) and evaluates
+    * interpreted; this kernel is one byte scan plus an O(tokens·k)
+    * fold. Documents with fewer than k tokens yield an empty set (the
+    * HOF form is undefined there — its descending `sequence` indexes
+    * out of range — so callers filter short docs first either way). */
+  def wordShingleSet(s: UTF8String, k: Int): ArrayData = {
+    require(k >= 1 && k <= 7, s"word-shingle k=$k overflows the unmodded base-31 fold beyond 7")
+    val th = tokenHashes(s)
+    if (th.length < k) return new GenericArrayData(Array.emptyLongArray)
+    val seen = new java.util.LinkedHashSet[java.lang.Long]()
+    var i = 0
+    val last = th.length - k
+    while (i <= last) {
+      var sh = th(i)
+      var j = 1
+      while (j < k) { sh = sh * 31 + th(i + j); j += 1 }
+      seen.add(sh % Mod)
+      i += 1
+    }
+    val out = new Array[Long](seen.size)
+    val it = seen.iterator()
+    var m = 0
+    while (it.hasNext) { out(m) = it.next(); m += 1 }
+    new GenericArrayData(out)
+  }
+
   /** Interleave the low 32 bits of two non-negative keys (Morton/Z-order
     * curve): sorting by the result clusters rows that are close in BOTH
     * dimensions, so parquet row-group min/max stats prune 2-D range

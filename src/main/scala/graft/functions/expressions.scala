@@ -217,6 +217,18 @@ object expressions {
     override protected def withNewChildInternal(c: Expression): CharShingleSet = copy(child = c)
   }
 
+  /** Distinct k-word shingle hash set (first-occurrence order) — fused
+    * one-pass replacement for the interpreted wordShingleSetHof, whose
+    * per-character substr tokenization is quadratic per token. */
+  case class WordShingleSet(child: Expression, k: Int) extends UnaryExpression {
+    override def dataType: DataType = ArrayType(LongType, containsNull = false)
+    override protected def nullSafeEval(v: Any): Any =
+      GraftHash.wordShingleSet(v.asInstanceOf[org.apache.spark.unsafe.types.UTF8String], k)
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      defineCodeGen(ctx, ev, c => s"$G.wordShingleSet($c, $k)")
+    override protected def withNewChildInternal(c: Expression): WordShingleSet = copy(child = c)
+  }
+
   /** size(tokens) without materializing the token array. */
   case class TokenCount(child: Expression) extends UnaryExpression {
     override def dataType: DataType = IntegerType
@@ -309,6 +321,8 @@ object expressions {
   def tokens_native(c: Column): Column = Bridge.column(Tokens(Bridge.expression(c)))
   def char_shingle_set(c: Column, k: Int): Column =
     Bridge.column(CharShingleSet(Bridge.expression(c), k))
+  def word_shingle_set(c: Column, k: Int): Column =
+    Bridge.column(WordShingleSet(Bridge.expression(c), k))
   def token_count(c: Column): Column = Bridge.column(TokenCount(Bridge.expression(c)))
   def bigram_hashes(c: Column): Column = Bridge.column(BigramHashes(Bridge.expression(c)))
   def distinct_token_count(c: Column): Column =

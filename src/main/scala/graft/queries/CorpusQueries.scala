@@ -564,10 +564,12 @@ object CorpusQueries extends QueryGroup {
     * candidates at full scale.
     *
     * Scale shape: the candidate set is already bucket-capped (bounded
-    * fan-out), so the deliberate join-back to the corpus for exact
-    * shingle sets — the very thing the production LSH path avoids —
-    * touches only candidate docs; set algebra is per-row array
-    * intersection, and the output is a 4-row census. */
+    * fan-out) and persisted (three consumers: the pair rows + both id
+    * sides of the semi-join), so the deliberate join-back to the corpus
+    * for exact shingle sets — the very thing the production LSH path
+    * avoids — computes and shuffles shingle arrays ONLY for candidate
+    * docs (left-semi first); set algebra is per-row array intersection,
+    * and the output is a 4-row census. */
   private val q165 = QueryDef(
     "q165_minhash_fidelity",
     (spark, dir) => {
@@ -576,7 +578,11 @@ object CorpusQueries extends QueryGroup {
         "doc_id", "text", minJaccard = 0.0, maxBucketSize = Some(2))
         .select(col("doc_a"), col("doc_b"),
           (expr("CAST(est_jaccard * 16 AS BIGINT)") * 62500L).as("est_ppm"))
+        .persist()
+      val candIds = cand.select(col("doc_a").as("doc_id"))
+        .union(cand.select(col("doc_b").as("doc_id"))).distinct()
       val sh = Tables.documents(spark, dir)
+        .join(candIds, Seq("doc_id"), "left_semi")
         .select(col("doc_id"), wordShingleSet(col("text"), 3).as("sh"))
       val errs = cand
         .join(sh.select(col("doc_id").as("doc_a"), col("sh").as("sh_a")), Seq("doc_a"))

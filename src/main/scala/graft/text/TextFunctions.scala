@@ -75,11 +75,18 @@ object TextFunctions {
         lit(0L),
         (h, c) => (h * lit(31L) + c) % lit(Mod)))
 
-  /** Hashes of all k-word shingles, combined from token hashes by a
-    * base-31 fold (token hashes < Mod keep every intermediate < 2^63 for
-    * k ≤ 3). Word shingles discriminate much better than char shingles
-    * on small-vocabulary corpora. */
-  def wordShingleSet(text: Column, k: Int = 3): Column = {
+  /** Distinct hashes of all k-word shingles, combined from token hashes
+    * by a base-31 fold. Word shingles discriminate much better than char
+    * shingles on small-vocabulary corpora. Codegen'd one-pass kernel
+    * (see GraftHash.wordShingleSet); `wordShingleSetHof` below is the
+    * interpreted spec it is parity-tested against. */
+  def wordShingleSet(text: Column, k: Int = 3): Column =
+    graft.functions.expressions.word_shingle_set(text, k)
+
+  /** HOF reference form of `wordShingleSet` (interpreted — spec only;
+    * token hashes < Mod keep every intermediate < 2^63 for k ≤ 7).
+    * Undefined for documents with fewer than k tokens. */
+  def wordShingleSetHof(text: Column, k: Int = 3): Column = {
     require(k >= 1 && k <= 7, s"word-shingle k=$k overflows the unmodded base-31 fold beyond 7")
     val th = tokenHashes(text)
     array_distinct(

@@ -44,6 +44,25 @@ class KernelParitySpec extends SparkSpec {
     }
   }
 
+  test("WordShingleSet kernel == HOF array_distinct(word shingles)") {
+    for (k <- Seq(2, 3)) {
+      val mismatches = docs
+        .filter(TextFunctions.tokenCount(col("text")) >= k)
+        .select(TextFunctions.wordShingleSetHof(col("text"), k).as("hof"),
+          TextFunctions.wordShingleSet(col("text"), k).as("fast"))
+        .filter(col("hof") =!= col("fast")).count()
+      assert(mismatches === 0, s"k=$k")
+    }
+  }
+
+  test("WordShingleSet kernel yields empty set below k tokens") {
+    import spark.implicits._
+    val rows = Seq("one two", "a", "").toDF("text")
+      .select(TextFunctions.wordShingleSet(col("text"), 3).as("sh"))
+      .collect()
+    assert(rows.forall(_.getSeq[Long](0).isEmpty))
+  }
+
   test("Fingerprint kernel == HOF dual fold") {
     val mismatches = docs
       .select(TextFunctions.fingerprint(col("text")).as("hof"), text_fingerprint(col("text")).as("fast"))
