@@ -56,6 +56,8 @@ object GraftFunctions {
         intOf(args(2), "numHashes"))),
     "graft_char_shingles" -> (args =>
       CharShingleSet(args(0), intOf(args(1), "k"))),
+    "graft_word_shingles" -> (args =>
+      WordShingleSet(args(0), intOf(args(1), "k"))),
     // mergeable quantile sketch: graft_sketch_quantile(v, p [, k])
     "graft_sketch_quantile" -> (args =>
       graft.functions.QuantileSketch(args(0),

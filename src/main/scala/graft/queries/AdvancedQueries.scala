@@ -316,5 +316,77 @@ object AdvancedQueries extends QueryGroup {
       ORDER BY nprobe
     """))
 
-  def defs: Seq[QueryDef] = Seq(q31, q32, q33, q35, q86, q170)
+  /** Matryoshka-style dimension-truncation recall: top-10 by quantized
+    * cosine using only the FIRST d dims (d ∈ {8, 16, 32, 64}) against
+    * the full-width truth — the measurement behind shipping truncated
+    * embeddings (d/8 of the storage, bandwidth, and dot-product cost)
+    * when the recall curve says the tail dims don't pay their way. The
+    * d=64 row is a self-check: recall must be 10/10.
+    *
+    * Scale shape: the (id, vector) base is persisted once and shared by
+    * all five rankings; each ranking is a narrow sliced-dot projection
+    * with the one-row query broadcast, collapsing to
+    * TakeOrderedAndProject (per-partition top-10 heaps — no global
+    * sort, no pairwise join). The recall join compares 10-row sets. */
+  private val q173 = QueryDef(
+    "q173_dim_truncation_recall",
+    (spark, dir) => {
+      val base = Tables.embeddings(spark, dir)
+        .select(col("vec_id"), col("embedding")).persist()
+      val dims = Seq(8, 16, 32, 64)
+      def topk(d: Int) = {
+        val q = base.filter(col("vec_id") === 0L)
+          .select(slice(col("embedding"), 1, d).as("q_emb"))
+        base.filter(col("vec_id") =!= 0L)
+          .crossJoin(broadcast(q))
+          .select(col("vec_id"),
+            graft.functions.expressions.quantized_cosine(
+              slice(col("embedding"), 1, d), col("q_emb")).as("cos"))
+          .orderBy(col("cos").desc, col("vec_id"))
+          .limit(10)
+          .select(col("vec_id"))
+      }
+      val truth = topk(64)
+      val per = dims.map(d => topk(d).select(lit(d.toLong).as("dims"), col("vec_id")))
+        .reduce(_ unionAll _)
+      val hits = per.join(truth, Seq("vec_id"), "left_semi")
+        .groupBy(col("dims")).agg(count(lit(1)).as("n_hits"))
+      spark.range(0, dims.length)
+        .select(expr("element_at(array(8L, 16L, 32L, 64L), CAST(id AS INT) + 1)")
+          .as("dims"))
+        .join(hits, Seq("dims"), "left")
+        .na.fill(0L, Seq("n_hits"))
+        .select(col("dims"), col("n_hits"),
+          (col("n_hits") * 100000L).as("recall_ppm"))
+        .orderBy(col("dims"))
+    },
+    Some("""
+      WITH base AS (
+        SELECT vec_id AS id,
+          list_transform(embedding, x -> CAST(floor(x*512 + 0.5) AS BIGINT)) AS qv
+        FROM embeddings),
+      dims AS (SELECT unnest([8, 16, 32, 64]) AS d),
+      qrow AS (SELECT qv AS q_qv FROM base WHERE id = 0),
+      scored AS (
+        SELECT d.d, b.id,
+          CAST(list_sum(list_transform(range(1, d.d + 1), i -> b.qv[i]*q_qv[i])) AS DOUBLE)
+            / sqrt(CAST(list_sum(list_transform(range(1, d.d + 1), i -> b.qv[i]*b.qv[i])) AS DOUBLE)
+                 * CAST(list_sum(list_transform(range(1, d.d + 1), i -> q_qv[i]*q_qv[i])) AS DOUBLE)) AS cos
+        FROM base b CROSS JOIN dims d CROSS JOIN qrow
+        WHERE b.id <> 0),
+      topk AS (
+        SELECT d, id FROM scored
+        QUALIFY row_number() OVER (PARTITION BY d ORDER BY cos DESC, id) <= 10),
+      truth AS (SELECT id FROM topk WHERE d = 64),
+      hits AS (
+        SELECT d, CAST(count(*) AS BIGINT) AS n_hits
+        FROM topk JOIN truth USING (id) GROUP BY d)
+      SELECT CAST(d.d AS BIGINT) AS dims,
+        coalesce(h.n_hits, 0) AS n_hits,
+        coalesce(h.n_hits, 0) * 100000 AS recall_ppm
+      FROM dims d LEFT JOIN hits h USING (d)
+      ORDER BY dims
+    """))
+
+  def defs: Seq[QueryDef] = Seq(q31, q32, q33, q35, q86, q170, q173)
 }

@@ -633,6 +633,100 @@ object CorpusQueries extends QueryGroup {
       FROM b GROUP BY bucket ORDER BY bucket
     """))
 
+  /** Near-dup-aware split-leakage audit: q128 showed ROW-hash splits
+    * leak users across train/test; the LLM-corpus version of the same
+    * mistake is splitting by doc_id — a document trains while its
+    * near-duplicate sits in eval, and benchmark numbers inflate.
+    * Splitting by DUP-CLUSTER key (CC component of the LSH candidate
+    * graph, singletons keyed by their own id) drives cross-split
+    * candidate pairs structurally to zero. The audit measures both
+    * modes: split sizes plus the number of leaking candidate pairs —
+    * the gate a training pipeline runs before trusting held-out loss.
+    *
+    * Scale shape: candidate pairs are the bucket-capped LSH set
+    * (persisted — CC plus both leak probes reuse them); components are
+    * bounded label propagation; each mode is a narrow hash split on a
+    * doc-id-sized table, one aggregate for sizes, and two broadcast-
+    * sized joins of the pair list against (doc_id, side). The corpus
+    * text is scanned once, inside the signature pass. */
+  private val q172 = QueryDef(
+    "q172_dup_split_leakage",
+    (spark, dir) => {
+      val pairs = MinHashLSH.nearDuplicates(Tables.documents(spark, dir),
+        "doc_id", "text", minJaccard = 0.0, maxBucketSize = Some(2))
+        .select(col("doc_a"), col("doc_b"))
+        .persist()
+      val comps = Dedup.connectedComponents(pairs, "doc_a", "doc_b")
+        .select(col("v").as("doc_id"), col("component"))
+      val keyed = Tables.documents(spark, dir).select(col("doc_id"))
+        .join(comps, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          coalesce(col("component"), col("doc_id")).as("cluster_key"))
+        .persist()
+      def audit(mode: String, key: org.apache.spark.sql.Column) = {
+        val sides = keyed
+          .select(col("doc_id"), Sampling.splitColumn(key, 0.2).as("side"))
+        val sizes = sides.agg(
+          sum(when(col("side") === "train", 1L).otherwise(0L)).as("n_train"),
+          sum(when(col("side") === "test", 1L).otherwise(0L)).as("n_test"))
+        val leaks = pairs
+          .join(sides.select(col("doc_id").as("doc_a"), col("side").as("side_a")), Seq("doc_a"))
+          .join(sides.select(col("doc_id").as("doc_b"), col("side").as("side_b")), Seq("doc_b"))
+          .agg(sum(when(col("side_a") =!= col("side_b"), 1L).otherwise(0L))
+            .as("leaking_pairs"))
+        sizes.crossJoin(broadcast(leaks))
+          .select(lit(mode).as("mode"), col("n_train"), col("n_test"),
+            col("leaking_pairs"))
+      }
+      audit("cluster_hash", col("cluster_key"))
+        .unionAll(audit("doc_hash", col("doc_id")))
+        .orderBy(col("mode"))
+    },
+    Some(s"""
+      WITH RECURSIVE $duckMinhashCand,
+      edges AS (
+        SELECT doc_a AS src, doc_b AS dst FROM cand
+        UNION
+        SELECT doc_b, doc_a FROM cand),
+      reach AS (
+        SELECT src AS v, src AS r FROM edges
+        UNION
+        SELECT e.dst AS v, reach.r FROM edges e JOIN reach ON reach.v = e.src),
+      comp AS (
+        SELECT v AS doc_id, min(r) AS component FROM reach GROUP BY v),
+      keyed AS (
+        SELECT d.doc_id, coalesce(c.component, d.doc_id) AS cluster_key
+        FROM documents d LEFT JOIN comp c ON c.doc_id = d.doc_id),
+      sides AS (
+        SELECT doc_id,
+          CASE WHEN ((doc_id % 2147483648) * 1779033703) % 4294967296 % 10000 < 2000
+               THEN 'test' ELSE 'train' END AS doc_side,
+          CASE WHEN ((cluster_key % 2147483648) * 1779033703) % 4294967296 % 10000 < 2000
+               THEN 'test' ELSE 'train' END AS cl_side
+        FROM keyed),
+      leak AS (
+        SELECT
+          CAST(sum(CASE WHEN a.doc_side <> b.doc_side THEN 1 ELSE 0 END) AS BIGINT) AS doc_leaks,
+          CAST(sum(CASE WHEN a.cl_side <> b.cl_side THEN 1 ELSE 0 END) AS BIGINT) AS cl_leaks
+        FROM cand c
+        JOIN sides a ON a.doc_id = c.doc_a
+        JOIN sides b ON b.doc_id = c.doc_b),
+      sz AS (
+        SELECT
+          CAST(sum(CASE WHEN doc_side = 'train' THEN 1 ELSE 0 END) AS BIGINT) AS doc_train,
+          CAST(sum(CASE WHEN doc_side = 'test' THEN 1 ELSE 0 END) AS BIGINT) AS doc_test,
+          CAST(sum(CASE WHEN cl_side = 'train' THEN 1 ELSE 0 END) AS BIGINT) AS cl_train,
+          CAST(sum(CASE WHEN cl_side = 'test' THEN 1 ELSE 0 END) AS BIGINT) AS cl_test
+        FROM sides)
+      SELECT 'cluster_hash' AS mode, cl_train AS n_train, cl_test AS n_test,
+        cl_leaks AS leaking_pairs
+      FROM sz CROSS JOIN leak
+      UNION ALL
+      SELECT 'doc_hash', doc_train, doc_test, doc_leaks
+      FROM sz CROSS JOIN leak
+      ORDER BY mode
+    """))
+
   def defs: Seq[QueryDef] =
-    Seq(q56, q57, q58, q59, q60, q61, q62, q63, q64, q65, q66, q82, q157, q165)
+    Seq(q56, q57, q58, q59, q60, q61, q62, q63, q64, q65, q66, q82, q157, q165, q172)
 }

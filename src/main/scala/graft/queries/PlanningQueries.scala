@@ -421,6 +421,73 @@ object PlanningQueries extends QueryGroup {
       FROM f
     """))
 
+  /** One-scan table profile of `orders` — per column: row count, null
+    * count, exact distinct count, and canonical min/max — the statistics
+    * a cost-based optimizer (join reorder, broadcast thresholds) and a
+    * data-quality gate both feed on. Values are canonicalized before
+    * profiling (money → integer cents, timestamps → epoch seconds) so
+    * the reprs are engine-portable strings.
+    *
+    * Scale shape: ONE scan of the fact table; the multi-column exact
+    * NDVs plan as a single Expand (×6 of a narrow projection) feeding
+    * one partial+final aggregate — no per-column jobs, no second scan.
+    * At petabyte row counts production would swap countDistinct for
+    * approx_count_distinct per column (same single-Expand plan, sketch
+    * partials instead of exact sets); the exact form is what the oracle
+    * can hash. The 6×4-field single row unpivots via stack into the
+    * 6-row profile — driver-sized from the first shuffle on. */
+  private val q171 = {
+    val profiled = Seq("o_orderkey", "o_custkey", "o_orderstatus",
+      "price_cents", "date_s", "o_orderpriority")
+    QueryDef(
+      "q171_column_profile",
+      (spark, dir) => {
+        val o = Tables.orders(spark, dir).select(
+          col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
+          graft.functions.Deterministic.cents(col("o_totalprice")).as("price_cents"),
+          epochS(col("o_orderdate")).as("date_s"),
+          col("o_orderpriority"))
+        val aggs = count(lit(1)).as("n_rows") +: profiled.flatMap(c => Seq(
+          count(col(c)).as(s"cnt_$c"),
+          countDistinct(col(c)).as(s"ndv_$c"),
+          min(col(c)).cast("string").as(s"min_$c"),
+          max(col(c)).cast("string").as(s"max_$c")))
+        o.agg(aggs.head, aggs.tail: _*)
+          .select(expr(
+            s"stack(${profiled.length}, " +
+              profiled.map(c =>
+                s"'$c', n_rows, n_rows - cnt_$c, ndv_$c, min_$c, max_$c")
+                .mkString(", ") +
+              ") AS (column_name, n_rows, n_nulls, ndv, min_repr, max_repr)"))
+          .orderBy(col("column_name"))
+      },
+      Some {
+        val per = Seq(
+          ("o_orderkey", "o_orderkey"), ("o_custkey", "o_custkey"),
+          ("o_orderstatus", "o_orderstatus"),
+          ("price_cents", "price_cents"), ("date_s", "date_s"),
+          ("o_orderpriority", "o_orderpriority")).map { case (name, c) =>
+          s"""SELECT '$name' AS column_name,
+            CAST(count(*) AS BIGINT) AS n_rows,
+            CAST(count(*) - count($c) AS BIGINT) AS n_nulls,
+            CAST(count(DISTINCT $c) AS BIGINT) AS ndv,
+            CAST(min($c) AS VARCHAR) AS min_repr,
+            CAST(max($c) AS VARCHAR) AS max_repr
+          FROM o"""
+        }
+        s"""
+        WITH o AS (
+          SELECT o_orderkey, o_custkey, o_orderstatus,
+            CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS price_cents,
+            CAST(epoch_ms(o_orderdate) // 1000 AS BIGINT) AS date_s,
+            o_orderpriority
+          FROM orders)
+        ${per.mkString(" UNION ALL ")}
+        ORDER BY column_name
+        """
+      })
+  }
+
   override def defs: Seq[QueryDef] =
-    Seq(q125, q126, q128, q130, q133, q135, q136, q141, q146)
+    Seq(q125, q126, q128, q130, q133, q135, q136, q141, q146, q171)
 }

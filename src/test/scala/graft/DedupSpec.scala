@@ -149,4 +149,26 @@ class DedupSpec extends SparkSpec {
       .map(r => (r.getString(0), (r.getLong(1), r.getLong(2)))).toMap
     assert(got == expected)
   }
+
+  // ---------------------------------------------------------------- q172
+
+  test("dup-cluster split leaks zero candidate pairs; doc split matches brute force") {
+    val sfDir01 = "/root/testdata/sf0.01" // candidates exist at this SF
+    val corpus = Tables.documents(spark, sfDir01)
+    val nDocs = corpus.count()
+    val got = SparkEntry.queries("q172_dup_split_leakage")(spark, sfDir01).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    for ((mode, (train, test, _)) <- got)
+      assert(train + test == nDocs, s"$mode covers the corpus")
+    assert(got("cluster_hash")._3 == 0L, "cluster-keyed split must never split a cluster")
+    // doc-hash leak count equals the driver-side brute force over the pairs
+    def side(k: Long): Boolean = // true = test
+      ((k % 2147483648L) * 1779033703L) % 4294967296L % 10000L < 2000L
+    val pairs = MinHashLSH.nearDuplicates(corpus, "doc_id", "text",
+      minJaccard = 0.0, maxBucketSize = Some(2))
+      .select("doc_a", "doc_b").collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(pairs.nonEmpty)
+    val expLeaks = pairs.count { case (a, b) => side(a) != side(b) }.toLong
+    assert(got("doc_hash")._3 == expLeaks)
+  }
 }

@@ -126,4 +126,40 @@ class PlanningOpsSpec extends SparkSpec {
       assert(varM >= 0)
     }
   }
+
+  // ---------------------------------------------------------------- q171
+
+  test("column profile matches driver-side per-column stats") {
+    val rows = Tables.orders(spark, sfDir).select(
+      col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
+      graft.functions.Deterministic.cents(col("o_totalprice")).as("price_cents"),
+      graft.functions.Deterministic.epochS(col("o_orderdate")).as("date_s"),
+      col("o_orderpriority")).collect()
+    val byCol: Map[String, Array[Option[Any]]] =
+      Seq("o_orderkey", "o_custkey", "o_orderstatus", "price_cents",
+        "date_s", "o_orderpriority").zipWithIndex.map { case (c, i) =>
+        c -> rows.map(r => if (r.isNullAt(i)) None else Some(r.get(i)))
+      }.toMap
+    val got = run("q171_column_profile").collect()
+      .map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getString(4), r.getString(5)))
+      .toMap
+    assert(got.keySet == byCol.keySet)
+    for ((c, vals) <- byCol) {
+      val present = vals.flatten
+      val (nRows, nNulls, ndv, minR, maxR) = got(c)
+      assert(nRows == rows.length.toLong, c)
+      assert(nNulls == (vals.length - present.length).toLong, c)
+      assert(ndv == present.distinct.length.toLong, c)
+      val (expMin, expMax) = present.head match {
+        case _: String =>
+          val s = present.map(_.asInstanceOf[String]); (s.min, s.max)
+        case _: Long =>
+          val l = present.map(_.asInstanceOf[Long])
+          (l.min.toString, l.max.toString)
+      }
+      assert(minR == expMin, c)
+      assert(maxR == expMax, c)
+    }
+  }
 }

@@ -96,4 +96,34 @@ class SimilaritySpec extends SparkSpec {
       .collect().map(_.getLong(0)).toSet
     assert(got(1)._2 == (p2 & brute).size.toLong)
   }
+
+  // ---------------------------------------------------------------- q173
+
+  test("dim-truncation recall matches driver-side brute force; exact at full width") {
+    val sfDir = "/root/testdata/sf0.001"
+    val vecs = Tables.embeddings(spark, sfDir).select("vec_id", "embedding").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray).toMap
+    def q(x: Float): Long = math.floor(x.toDouble * 512 + 0.5).toLong
+    def topk(d: Int): Set[Long] = {
+      val qv = vecs(0L).take(d).map(q)
+      vecs.toSeq.filter(_._1 != 0L)
+        .flatMap { case (id, v) =>
+          val xs = v.take(d).map(q)
+          val dot = xs.zip(qv).map { case (a, b) => a * b }.sum
+          val (na, nb) = (xs.map(x => x * x).sum, qv.map(x => x * x).sum)
+          if (na == 0L || nb == 0L) None
+          else Some(id -> dot.toDouble / math.sqrt(na.toDouble * nb.toDouble))
+        }
+        .sortBy { case (id, cos) => (-cos, id) }.take(10).map(_._1).toSet
+    }
+    val truth = topk(64)
+    val got = SparkEntry.queries("q173_dim_truncation_recall")(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(got.map(_._1).toSeq == Seq(8L, 16L, 32L, 64L))
+    for ((d, hits, ppm) <- got) {
+      assert(hits == (topk(d.toInt) & truth).size.toLong, s"d=$d")
+      assert(ppm == hits * 100000L)
+    }
+    assert(got.last._2 == 10L, "full width IS the truth")
+  }
 }
