@@ -727,6 +727,89 @@ object CorpusQueries extends QueryGroup {
       ORDER BY mode
     """))
 
+  /** Hybrid retrieval with reciprocal-rank fusion: the vector ranking
+    * (quantized cosine vs doc 0's embedding) and the lexical ranking
+    * (distinct-token-set overlap with doc 0's text) each nominate their
+    * top-20; RRF fuses them — score = Σ 10⁶ div (60 + rank) over the
+    * lists a doc appears in — and the top-10 fused rows ship. The
+    * standard RAG-retrieval shape: dense recall for paraphrase, sparse
+    * recall for exact terms, rank fusion instead of score calibration.
+    *
+    * Scale shape: each ranking is a narrow projection with the one-row
+    * query broadcast, collapsing to TakeOrderedAndProject (per-partition
+    * top-20 heaps — no global sort); rank assignment windows run over
+    * the 20-row finalists only. The fusion is a full outer join of two
+    * 20-row sets. Integer div keeps RRF scores engine-exact. */
+  private val q174 = QueryDef(
+    "q174_hybrid_rrf",
+    (spark, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      import graft.functions.expressions.quantized_cosine
+      import graft.text.TextFunctions.wordShingleSet
+      val emb = Tables.embeddings(spark, dir)
+      val qe = emb.filter(col("vec_id") === 0L).select(col("embedding").as("q_emb"))
+      val vec20 = emb.filter(col("vec_id") =!= 0L)
+        .crossJoin(broadcast(qe))
+        .select(col("vec_id").as("doc_id"),
+          quantized_cosine(col("embedding"), col("q_emb")).as("cos"))
+        .orderBy(col("cos").desc, col("doc_id")).limit(20)
+        .select(col("doc_id"), row_number().over(
+          Window.orderBy(col("cos").desc, col("doc_id"))).cast("long").as("vec_rank"))
+      // k=1 word shingles ARE the distinct token-hash set
+      val tsets = Tables.documents(spark, dir)
+        .select(col("doc_id"), wordShingleSet(col("text"), 1).as("ts"))
+      val qt = tsets.filter(col("doc_id") === 0L).select(col("ts").as("q_ts"))
+      val lex20 = tsets.filter(col("doc_id") =!= 0L)
+        .crossJoin(broadcast(qt))
+        .select(col("doc_id"),
+          size(array_intersect(col("ts"), col("q_ts"))).cast("long").as("ov"))
+        .orderBy(col("ov").desc, col("doc_id")).limit(20)
+        .select(col("doc_id"), row_number().over(
+          Window.orderBy(col("ov").desc, col("doc_id"))).cast("long").as("lex_rank"))
+      vec20.join(lex20, Seq("doc_id"), "full_outer")
+        .select(col("doc_id"),
+          coalesce(col("vec_rank"), lit(0L)).as("vr"),
+          coalesce(col("lex_rank"), lit(0L)).as("lr"))
+        .select(col("doc_id"), col("vr").as("vec_rank"), col("lr").as("lex_rank"),
+          (when(col("vr") > 0, expr("1000000 div (60 + vr)")).otherwise(lit(0L)) +
+            when(col("lr") > 0, expr("1000000 div (60 + lr)")).otherwise(lit(0L)))
+            .as("rrf_ppm"))
+        .orderBy(col("rrf_ppm").desc, col("doc_id")).limit(10)
+    },
+    Some(s"""
+      WITH base AS (
+        SELECT vec_id AS id,
+          list_transform(embedding, x -> CAST(floor(x*512 + 0.5) AS BIGINT)) AS qv
+        FROM embeddings),
+      qe AS (SELECT qv AS q_qv FROM base WHERE id = 0),
+      vec20 AS (
+        SELECT id AS doc_id, CAST(row_number() OVER (ORDER BY
+          CAST(list_sum(list_transform(range(1, 65), i -> qv[i]*q_qv[i])) AS DOUBLE)
+            / sqrt(CAST(list_sum(list_transform(qv, x -> x*x)) AS DOUBLE)
+                 * CAST(list_sum(list_transform(q_qv, x -> x*x)) AS DOUBLE)) DESC, id)
+          AS BIGINT) AS vec_rank
+        FROM base CROSS JOIN qe WHERE id <> 0
+        QUALIFY vec_rank <= 20),
+      toks AS (
+        SELECT doc_id, list_transform($duckTokens,
+          tok -> $duckPolyHash) AS th
+        FROM documents),
+      tsets AS (SELECT doc_id, list_distinct(th) AS ts FROM toks),
+      qt AS (SELECT ts AS q_ts FROM tsets WHERE doc_id = 0),
+      lex20 AS (
+        SELECT doc_id, CAST(row_number() OVER (ORDER BY
+          len(list_intersect(ts, q_ts)) DESC, doc_id) AS BIGINT) AS lex_rank
+        FROM tsets CROSS JOIN qt WHERE doc_id <> 0
+        QUALIFY lex_rank <= 20)
+      SELECT coalesce(v.doc_id, l.doc_id) AS doc_id,
+        coalesce(v.vec_rank, 0) AS vec_rank,
+        coalesce(l.lex_rank, 0) AS lex_rank,
+        CAST(coalesce(1000000 // (60 + v.vec_rank), 0)
+           + coalesce(1000000 // (60 + l.lex_rank), 0) AS BIGINT) AS rrf_ppm
+      FROM vec20 v FULL JOIN lex20 l ON v.doc_id = l.doc_id
+      ORDER BY rrf_ppm DESC, doc_id LIMIT 10
+    """))
+
   def defs: Seq[QueryDef] =
-    Seq(q56, q57, q58, q59, q60, q61, q62, q63, q64, q65, q66, q82, q157, q165, q172)
+    Seq(q56, q57, q58, q59, q60, q61, q62, q63, q64, q65, q66, q82, q157, q165, q172, q174)
 }

@@ -574,6 +574,78 @@ object DriftQueries extends QueryGroup {
       ORDER BY source, rank
     """))
 
+  /** CUSUM change detection over daily event volume: the classic
+    * sequential drift alarm s_d = max(0, s_{d-1} + (x_d − μ − slack))
+    * evaluated in closed form — s_d = cum_d − min(0, min_{j≤d} cum_j)
+    * where cum is the running sum of deviations — so no recursion, just
+    * two ordered windows. Deviations are scaled by n_days (dev = x·n −
+    * total − total/10) to stay in exact integers: slack is 10 % of the
+    * mean, the alarm threshold one full mean day of cumulative excess
+    * (h = total). The monitor that catches a slow upward drift q130's
+    * per-day 2σ gate never fires on.
+    *
+    * Scale shape: the corpus collapses to one row per day before any
+    * window; both windows (running sum, running min) run over the
+    * bounded calendar — the same sanctioned single-partition shape as
+    * q130. decimal(38,0) keeps x·n and the cumulative sums exact out to
+    * 10^10 events/day × centuries. */
+  private val q176 = QueryDef(
+    "q176_cusum_drift",
+    (spark, dir) => {
+      import graft.functions.Deterministic.epochS
+      val daily = Tables.events(spark, dir)
+        .select(epochS(col("ts")).as("ts_s"))
+        .select(expr("ts_s div 86400").as("day"))
+        .groupBy(col("day")).agg(count(lit(1)).as("n_events"))
+      val all = Window.partitionBy()
+      val ord = Window.orderBy(col("day")).rowsBetween(Window.unboundedPreceding, 0)
+      daily
+        .select(col("day"), col("n_events"),
+          count(lit(1)).over(all).as("n_days"),
+          sum(col("n_events")).over(all).as("total"))
+        .select(col("day"), col("n_events"),
+          (expr("CAST(n_events AS DECIMAL(38,0)) * n_days") - col("total")
+            - expr("total div 10")).as("dev"),
+          col("total"))
+        .select(col("day"), col("n_events"),
+          sum(col("dev")).over(ord).as("cum"), col("total"))
+        .select(col("day"), col("n_events"), col("cum"),
+          min(col("cum")).over(ord).as("runmin"), col("total"))
+        .select(col("day"), col("n_events"),
+          (col("cum") - least(col("runmin"), lit(0L))).as("cusum_scaled"),
+          when(col("cum") - least(col("runmin"), lit(0L)) > col("total"), lit(1L))
+            .otherwise(lit(0L)).as("is_alarm"))
+        .orderBy(col("day"))
+    },
+    Some("""
+      WITH daily AS (
+        SELECT CAST(epoch_ms(ts) // 1000 // 86400 AS BIGINT) AS day,
+          CAST(count(*) AS BIGINT) AS n_events
+        FROM events GROUP BY 1),
+      t AS (
+        SELECT day, n_events,
+          CAST(count(*) OVER () AS BIGINT) AS n_days,
+          CAST(sum(n_events) OVER () AS BIGINT) AS total
+        FROM daily),
+      d AS (
+        SELECT day, n_events, total,
+          CAST(n_events AS HUGEINT) * n_days - total - total // 10 AS dev
+        FROM t),
+      c1 AS (
+        SELECT day, n_events, total,
+          sum(dev) OVER (ORDER BY day ROWS UNBOUNDED PRECEDING) AS cum
+        FROM d),
+      c AS (
+        SELECT day, n_events, total, cum,
+          min(cum) OVER (ORDER BY day ROWS UNBOUNDED PRECEDING) AS runmin
+        FROM c1)
+      SELECT day, n_events,
+        CAST(cum - least(runmin, 0) AS DECIMAL(38,0)) AS cusum_scaled,
+        CAST(CASE WHEN cum - least(runmin, 0) > total THEN 1 ELSE 0 END AS BIGINT)
+          AS is_alarm
+      FROM c ORDER BY day
+    """))
+
   override def defs: Seq[QueryDef] =
-    Seq(q118, q119, q120, q121, q122, q131, q145, q148, q154, q161, q166)
+    Seq(q118, q119, q120, q121, q122, q131, q145, q148, q154, q161, q166, q176)
 }

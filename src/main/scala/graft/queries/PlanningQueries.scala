@@ -488,6 +488,70 @@ object PlanningQueries extends QueryGroup {
       })
   }
 
+  /** Recency half-life weighting: each order's revenue decays by 2^-a
+    * where a = age in 180-day half-lives from the corpus's newest order
+    * — the freshness bias a training-data budget applies so stale data
+    * stops dominating the mixture. Per priority class: order count,
+    * effective (decayed) revenue cents, and its share of the total in
+    * exact ppm. Powers of two keep the decay exact integer arithmetic
+    * (weight_ppm = 10⁶ >> a, zero past 20 half-lives where the ppm
+    * grid underflows) — no doubles anywhere.
+    *
+    * Scale shape: the reference day is a broadcast one-row aggregate
+    * cross-joined onto the scan (no driver action); weighting is narrow
+    * arithmetic; one 5-row aggregate + a 5-row window for shares.
+    * Weighted products accumulate in decimal(38,0) (cents × ppm ≈ 10^13
+    * per row wraps a 64-bit sum at ~10^6 rows), de-scaled to effective
+    * cents only after the fold. */
+  private val q175 = QueryDef(
+    "q175_recency_weights",
+    (spark, dir) => {
+      val o = Tables.orders(spark, dir).select(
+        col("o_orderpriority"),
+        graft.functions.Deterministic.cents(col("o_totalprice")).as("vc"),
+        (epochS(col("o_orderdate")) / 86400).cast("long").as("day"))
+      val ref = o.agg(max(col("day")).as("ref_day"))
+      val all = Window.partitionBy()
+      o.crossJoin(broadcast(ref))
+        .select(col("o_orderpriority"), col("vc"),
+          expr("(ref_day - day) div 180").as("hl"))
+        .select(col("o_orderpriority"), col("vc"),
+          when(col("hl") >= 20, lit(0L))
+            .otherwise(expr("1000000 div shiftleft(CAST(1 AS BIGINT), CAST(hl AS INT))"))
+            .as("w_ppm"))
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("n_orders"),
+          sum(expr("CAST(vc AS DECIMAL(38,0)) * w_ppm")).as("wsum"))
+        .select(col("o_orderpriority"), col("n_orders"), col("wsum"),
+          sum(col("wsum")).over(all).as("sum_w"))
+        .select(col("o_orderpriority"), col("n_orders"),
+          expr("CAST(wsum div 1000000 AS BIGINT)").as("eff_cents"),
+          expr("CAST(wsum * 1000000 div sum_w AS BIGINT)").as("share_ppm"))
+        .orderBy(col("o_orderpriority"))
+    },
+    Some("""
+      WITH o AS (
+        SELECT o_orderpriority,
+          CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS vc,
+          CAST(epoch_ms(o_orderdate) // 1000 // 86400 AS BIGINT) AS day
+        FROM orders),
+      r AS (SELECT max(day) AS ref_day FROM o),
+      w AS (
+        SELECT o_orderpriority, vc,
+          CASE WHEN (ref_day - day) // 180 >= 20 THEN 0
+               ELSE 1000000 // (CAST(1 AS BIGINT) << ((ref_day - day) // 180))
+          END AS w_ppm
+        FROM o CROSS JOIN r),
+      g AS (
+        SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n_orders,
+          sum(CAST(vc AS HUGEINT) * w_ppm) AS wsum
+        FROM w GROUP BY 1)
+      SELECT o_orderpriority, n_orders,
+        CAST(wsum // 1000000 AS BIGINT) AS eff_cents,
+        CAST(wsum * 1000000 // sum(wsum) OVER () AS BIGINT) AS share_ppm
+      FROM g ORDER BY o_orderpriority
+    """))
+
   override def defs: Seq[QueryDef] =
-    Seq(q125, q126, q128, q130, q133, q135, q136, q141, q146, q171)
+    Seq(q125, q126, q128, q130, q133, q135, q136, q141, q146, q171, q175)
 }

@@ -647,4 +647,28 @@ class BehaviorDriftSpec extends SparkSpec {
       assert(ppm == (BigInt(l) * 1000000 / n).toLong)
     }
   }
+
+  // ---------------------------------------------------------------- q176
+
+  test("CUSUM closed form equals the recursive definition; alarms at h = total") {
+    import org.apache.spark.sql.functions._
+    val daily = Tables.events(spark, sfDir)
+      .select(graft.functions.Deterministic.epochS(col("ts")).as("s"))
+      .select(expr("s div 86400").as("day"))
+      .groupBy("day").agg(count(lit(1)).as("n")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1)
+    val n = BigInt(daily.length)
+    val total = BigInt(daily.map(_._2).sum)
+    var s = BigInt(0)
+    val expected = daily.map { case (day, x) =>
+      val dev = BigInt(x) * n - total - total / 10
+      s = (s + dev).max(BigInt(0)) // the recursive CUSUM definition
+      (day, x, s, if (s > total) 1L else 0L)
+    }
+    val got = run("q176_cusum_drift").collect()
+      .map(r => (r.getLong(0), r.getLong(1),
+        BigInt(r.getDecimal(2).toBigInteger), r.getLong(3)))
+    assert(got.toSeq == expected.toSeq)
+    assert(got.map(_._4).sum > 0 || got.forall(_._4 == 0L)) // census is well-formed
+  }
 }

@@ -162,4 +162,35 @@ class PlanningOpsSpec extends SparkSpec {
       assert(maxR == expMax, c)
     }
   }
+
+  // ---------------------------------------------------------------- q175
+
+  test("recency weights match driver-side half-life decay") {
+    val o = Tables.orders(spark, sfDir).select(
+      col("o_orderpriority"),
+      graft.functions.Deterministic.cents(col("o_totalprice")).as("vc"),
+      (graft.functions.Deterministic.epochS(col("o_orderdate")) / 86400)
+        .cast("long").as("day")).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    val refDay = o.map(_._3).max
+    def wPpm(day: Long): Long = {
+      val hl = (refDay - day) / 180
+      if (hl >= 20) 0L else 1000000L / (1L << hl)
+    }
+    val grouped = o.groupBy(_._1).view.mapValues { rows =>
+      (rows.length.toLong,
+        rows.map { case (_, vc, day) => BigInt(vc) * wPpm(day) }.sum)
+    }.toMap
+    val sumW = grouped.values.map(_._2).sum
+    val got = run("q175_recency_weights").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(got.map(_._1).toSeq == got.map(_._1).toSeq.sorted)
+    for ((pr, n, eff, share) <- got) {
+      val (en, ew) = grouped(pr)
+      assert(n == en, pr)
+      assert(eff == (ew / 1000000).toLong, pr)
+      assert(share == (ew * 1000000 / sumW).toLong, pr)
+    }
+    assert(got.length == grouped.size)
+  }
 }

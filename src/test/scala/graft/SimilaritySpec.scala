@@ -126,4 +126,47 @@ class SimilaritySpec extends SparkSpec {
     }
     assert(got.last._2 == 10L, "full width IS the truth")
   }
+
+  // ---------------------------------------------------------------- q174
+
+  test("hybrid RRF matches driver-side fusion of vector and lexical rankings") {
+    val sfDir = "/root/testdata/sf0.001"
+    val vecs = Tables.embeddings(spark, sfDir).select("vec_id", "embedding").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray).toMap
+    def qz(x: Float): Long = math.floor(x.toDouble * 512 + 0.5).toLong
+    val qv = vecs(0L).map(qz)
+    val vecRank: Map[Long, Long] = vecs.toSeq.filter(_._1 != 0L)
+      .flatMap { case (id, v) =>
+        val xs = v.map(qz)
+        val dot = xs.zip(qv).map { case (a, b) => a * b }.sum
+        val (na, nb) = (xs.map(x => x * x).sum, qv.map(x => x * x).sum)
+        if (na == 0L || nb == 0L) None
+        else Some(id -> dot.toDouble / math.sqrt(na.toDouble * nb.toDouble))
+      }
+      .sortBy { case (id, c) => (-c, id) }.take(20).map(_._1)
+      .zipWithIndex.map { case (id, i) => id -> (i + 1).toLong }.toMap
+    val mod = 1000000007L
+    def tokHashes(t: String): Set[Long] =
+      t.split(' ').filter(_.nonEmpty)
+        .map(_.getBytes("UTF-8").foldLeft(0L)((h, b) => (h * 31 + (b & 0xff)) % mod))
+        .toSet
+    val texts = Tables.documents(spark, sfDir).select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val qt = tokHashes(texts(0L))
+    val lexRank: Map[Long, Long] = texts.toSeq.filter(_._1 != 0L)
+      .map { case (id, t) => id -> (tokHashes(t) & qt).size.toLong }
+      .sortBy { case (id, ov) => (-ov, id) }.take(20).map(_._1)
+      .zipWithIndex.map { case (id, i) => id -> (i + 1).toLong }.toMap
+    val expected = (vecRank.keySet ++ lexRank.keySet).toSeq
+      .map { id =>
+        val (rv, rl) = (vecRank.getOrElse(id, 0L), lexRank.getOrElse(id, 0L))
+        val score = (if (rv > 0) 1000000L / (60 + rv) else 0L) +
+          (if (rl > 0) 1000000L / (60 + rl) else 0L)
+        (id, rv, rl, score)
+      }
+      .sortBy { case (id, _, _, s) => (-s, id) }.take(10)
+    val got = SparkEntry.queries("q174_hybrid_rrf")(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(got.toSeq == expected)
+  }
 }
