@@ -456,5 +456,42 @@ object PipelineQueries extends QueryGroup {
       FROM g ORDER BY arm
     """))
 
-  def defs: Seq[QueryDef] = Seq(q43, q44, q45, q46, q47, q50, q51, q54, q158, q163)
+  /** Boilerplate-template detection by shared prefix: documents opening
+    * with the same 64 characters are near-certainly instances of one
+    * template (scraped nav headers, license stanzas, form letters); the
+    * census buckets prefix-clusters by size — the planning input for a
+    * template-strip pass, and the cheap complement to MinHash (which
+    * q21 caps away exactly these). One row per cluster size: how many
+    * templates, how many docs they cover.
+    *
+    * Scale shape: the prefix is hashed by the codegen'd polynomial
+    * kernel on the scan, so only (hash, 1) pairs shuffle — never text;
+    * two keyed aggregates take it to a ≤ max-cluster-size census. */
+  private val q177 = QueryDef(
+    "q177_boilerplate_prefixes",
+    (spark, dir) => {
+      val sizes = Tables.documents(spark, dir)
+        .select(graft.functions.expressions.poly_hash(
+          substring(col("text"), 1, 64)).as("pfx"))
+        .groupBy(col("pfx")).agg(count(lit(1)).as("cluster_size"))
+      sizes.groupBy(col("cluster_size"))
+        .agg(count(lit(1)).as("n_clusters"),
+          sum(col("cluster_size")).as("n_docs"))
+        .orderBy(col("cluster_size"))
+    },
+    Some("""
+      WITH p AS (
+        SELECT list_reduce(list_prepend(0::BIGINT,
+            [ord(c)::BIGINT for c in str_split(substr(text, 1, 64), '')]),
+          (h, c) -> (h*31 + c) % 1000000007) AS pfx
+        FROM documents),
+      s AS (
+        SELECT pfx, CAST(count(*) AS BIGINT) AS cluster_size
+        FROM p GROUP BY pfx)
+      SELECT cluster_size, CAST(count(*) AS BIGINT) AS n_clusters,
+        CAST(sum(cluster_size) AS BIGINT) AS n_docs
+      FROM s GROUP BY cluster_size ORDER BY cluster_size
+    """))
+
+  def defs: Seq[QueryDef] = Seq(q43, q44, q45, q46, q47, q50, q51, q54, q158, q163, q177)
 }

@@ -184,5 +184,45 @@ object SegmentQueries extends QueryGroup {
       FROM b GROUP BY bucket, shard, batch ORDER BY bucket, shard, batch
     """))
 
-  def defs: Seq[QueryDef] = Seq(q92, q93, q94)
+  /** Ordered string aggregation (the string_agg / group_concat SQL
+    * surface): per source, its top-5 longest documents as a
+    * comma-joined id list in rank order. Spark has no ordered
+    * string_agg, so the deterministic form is collect_list of (rank,
+    * id) structs → array_sort (sorts by the leading rank field) →
+    * transform → concat_ws — exactly equivalent to DuckDB's
+    * `string_agg(... ORDER BY ...)`.
+    *
+    * Scale shape: the per-source rank window runs on (source, id,
+    * n_chars) triples — never text; the top-5 filter bounds the
+    * collect_list buffers at 5 structs per group, so the "collect"
+    * is vocabulary-sized by construction. */
+  private val q179 = QueryDef(
+    "q179_source_top_docs_csv",
+    (spark, dir) => {
+      val ranked = Tables.documents(spark, dir)
+        .select(col("source"), col("doc_id"), col("n_chars"))
+        .withColumn("rnk", row_number().over(
+          Window.partitionBy(col("source"))
+            .orderBy(col("n_chars").desc, col("doc_id"))))
+        .filter(col("rnk") <= 5)
+      ranked.groupBy(col("source"))
+        .agg(collect_list(struct(col("rnk"), col("doc_id"))).as("xs"))
+        .select(col("source"),
+          concat_ws(",",
+            transform(array_sort(col("xs")), x =>
+              x.getField("doc_id").cast("string"))).as("top_docs"))
+        .orderBy(col("source"))
+    },
+    Some("""
+      WITH ranked AS (
+        SELECT source, doc_id,
+          row_number() OVER (PARTITION BY source
+            ORDER BY n_chars DESC, doc_id) AS rnk
+        FROM documents)
+      SELECT source, string_agg(doc_id, ',' ORDER BY rnk) AS top_docs
+      FROM ranked WHERE rnk <= 5
+      GROUP BY source ORDER BY source
+    """))
+
+  def defs: Seq[QueryDef] = Seq(q92, q93, q94, q179)
 }

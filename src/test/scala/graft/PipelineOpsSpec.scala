@@ -180,4 +180,39 @@ class PipelineOpsSpec extends SparkSpec {
       .filter(col("masked") =!= col("unmasked")).count()
     assert(changed === 0)
   }
+
+  // ---------------------------------------------------------------- q177
+
+  test("boilerplate prefix census matches driver-side prefix grouping") {
+    val sfDir = "/root/testdata/sf0.001"
+    val texts = Tables.documents(spark, sfDir).select("text").collect()
+      .map(_.getString(0))
+    // group by the RAW 64-char prefix: collision-free ground truth the
+    // hashed query must reproduce exactly (any kernel collision would
+    // merge clusters and break this)
+    val sizes = texts.groupBy(_.take(64)).map(_._2.length.toLong)
+    val expected = sizes.groupBy(identity).map { case (sz, xs) =>
+      (sz, xs.size.toLong, sz * xs.size)
+    }.toSeq.sortBy(_._1)
+    val got = SparkEntry.queries("q177_boilerplate_prefixes")(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(got.toSeq == expected)
+  }
+
+  // ---------------------------------------------------------------- q179
+
+  test("ordered string_agg: top-5 ids per source in rank order") {
+    val sfDir = "/root/testdata/sf0.001"
+    val rows = Tables.documents(spark, sfDir)
+      .select("source", "doc_id", "n_chars").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    val expected = rows.groupBy(_._1).view.mapValues { xs =>
+      xs.sortBy { case (_, id, n) => (-n, id) }.take(5)
+        .map(_._2).mkString(",")
+    }.toMap
+    val got = SparkEntry.queries("q179_source_top_docs_csv")(spark, sfDir)
+      .collect().map(r => r.getString(0) -> r.getString(1))
+    assert(got.map(_._1).toSeq == got.map(_._1).toSeq.sorted)
+    assert(got.toMap == expected)
+  }
 }

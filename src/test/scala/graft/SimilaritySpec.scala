@@ -169,4 +169,31 @@ class SimilaritySpec extends SparkSpec {
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
     assert(got.toSeq == expected)
   }
+
+  // ---------------------------------------------------------------- q178
+
+  test("adjacent cosine histogram matches driver-side binning") {
+    val sfDir = "/root/testdata/sf0.001"
+    val vecs = Tables.embeddings(spark, sfDir).select("vec_id", "embedding").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray).toMap
+    def qz(x: Float): Long = math.floor(x.toDouble * 512 + 0.5).toLong
+    val bins = vecs.keys.toSeq.sorted.flatMap { i =>
+      vecs.get(i + 1).flatMap { w =>
+        val (a, b) = (vecs(i).map(qz), w.map(qz))
+        val dot = a.zip(b).map { case (x, y) => x * y }.sum
+        val (na, nb) = (a.map(x => x * x).sum, b.map(x => x * x).sum)
+        if (na == 0L || nb == 0L) None
+        else {
+          val cos = dot.toDouble / math.sqrt(na.toDouble * nb.toDouble)
+          Some(math.min(math.floor((cos + 1) * 8).toLong, 15L))
+        }
+      }
+    }
+    val expected = bins.groupBy(identity).view
+      .mapValues(_.size.toLong).toMap.toSeq.sortBy(_._1)
+    val got = SparkEntry.queries("q178_adjacent_cosine_histogram")(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(got.toSeq == expected)
+    assert(got.map(_._2).sum == bins.size.toLong)
+  }
 }
