@@ -810,6 +810,63 @@ object CorpusQueries extends QueryGroup {
       ORDER BY rrf_ppm DESC, doc_id LIMIT 10
     """))
 
+  /** Cross-document repetition mass: per source, the share of its
+    * distinct (doc, word-3-shingle) pairs whose shingle occurs in ≥ 2
+    * documents corpus-wide — the planning statistic for exact substring
+    * dedup (Lee et al.'s "deduplicating training data" motivation):
+    * sources dominated by corpus-duplicated shingles are boilerplate
+    * farms. Complements q73 (within-doc repetition) with the
+    * ACROSS-doc axis.
+    *
+    * Scale shape: the codegen'd fused shingle kernel emits distinct
+    * hashes per doc on the scan, so the explode ships (long, source)
+    * pairs — never text; a keyed (shingle, source) count, a window over
+    * shingle groups (≤ n_sources rows each) for the corpus doc-
+    * frequency, and a vocabulary-sized per-source rollup. Two long-only
+    * shuffles on the shingle hash — the inverted-index cost, the
+    * minimum for any cross-doc statistic. */
+  private val q182 = QueryDef(
+    "q182_crossdoc_shingle_mass",
+    (spark, dir) => {
+      import graft.functions.expressions.word_shingle_set
+      val pairs = Tables.documents(spark, dir)
+        .select(col("source"), explode(word_shingle_set(col("text"), 3)).as("s"))
+      val bySrc = pairs.groupBy(col("s"), col("source")).agg(count(lit(1)).as("c"))
+      val wS = org.apache.spark.sql.expressions.Window.partitionBy(col("s"))
+      bySrc
+        .withColumn("docfreq", sum(col("c")).over(wS))
+        .groupBy(col("source"))
+        .agg(sum(col("c")).as("n_pairs"),
+          sum(when(col("docfreq") >= 2, col("c")).otherwise(0L)).as("dup_pairs"))
+        .select(col("source"), col("n_pairs"), col("dup_pairs"),
+          expr("dup_pairs * 1000000 div n_pairs").as("dup_share_ppm"))
+        .orderBy("source")
+    },
+    Some(s"""
+      WITH toks AS (
+        SELECT doc_id, source, list_transform($duckTokens,
+          tok -> $duckPolyHash) AS th
+        FROM documents),
+      d AS (
+        SELECT doc_id, source, list_distinct([
+            ((th[i]*31 + th[i+1])*31 + th[i+2]) % 1000000007
+            for i in range(1, len(th)-1)]) AS sh
+        FROM toks WHERE len(th) >= 3),
+      p AS (SELECT source, unnest(sh) AS s FROM d),
+      bs AS (
+        SELECT s, source, CAST(count(*) AS BIGINT) AS c
+        FROM p GROUP BY s, source),
+      df AS (
+        SELECT source, c, sum(c) OVER (PARTITION BY s) AS docfreq
+        FROM bs)
+      SELECT source, CAST(sum(c) AS BIGINT) AS n_pairs,
+        CAST(sum(CASE WHEN docfreq >= 2 THEN c ELSE 0 END) AS BIGINT) AS dup_pairs,
+        CAST(sum(CASE WHEN docfreq >= 2 THEN c ELSE 0 END) * 1000000 // sum(c)
+          AS BIGINT) AS dup_share_ppm
+      FROM df GROUP BY source ORDER BY source
+    """))
+
   def defs: Seq[QueryDef] =
-    Seq(q56, q57, q58, q59, q60, q61, q62, q63, q64, q65, q66, q82, q157, q165, q172, q174)
+    Seq(q56, q57, q58, q59, q60, q61, q62, q63, q64, q65, q66, q82, q157, q165, q172,
+      q174, q182)
 }

@@ -318,5 +318,135 @@ object StatsQueries extends QueryGroup {
       FROM r ORDER BY rnk
     """))
 
-  def defs: Seq[QueryDef] = Seq(q36, q37, q38, q39, q40, q41, q42, q55, q90)
+  /** One-scan feature correlation matrix: exact Pearson r for all 6
+    * pairs of 4 lineitem numerics (quantity, whole-dollar price,
+    * discount bp, tax bp) — the feature-redundancy screen a training
+    * pipeline runs before model fitting, and the multi-pair extension
+    * of q66's single-statistic pattern. A naive build scans the table
+    * once per pair; this plans ONE scan: `stack` (Expand) emits the 6
+    * (pair, x, y) projections per row, partial aggregation collapses
+    * them map-side, so 6 moment-sum rows per partition shuffle — never
+    * the table. All five sums stay below 2^53 at verification scale
+    * (dollar prices, not cents — the q66 bound argument), so their
+    * double images are exact and the final r is the same IEEE op
+    * sequence in both engines. */
+  private val q180 = QueryDef(
+    "q180_correlation_matrix",
+    (spark, dir) => {
+      val base = Tables.lineitem(spark, dir).select(
+        floor(col("l_quantity") + 0.5).cast("long").as("qty"),
+        floor(col("l_extendedprice") + 0.5).cast("long").as("price"),
+        floor(col("l_discount") * 10000 + 0.5).cast("long").as("disc"),
+        floor(col("l_tax") * 10000 + 0.5).cast("long").as("tax"))
+      val pairs = base.select(expr(
+        """stack(6,
+             'disc_tax',  disc,  tax,
+             'qty_disc',  qty,   disc,
+             'qty_price', qty,   price,
+             'qty_tax',   qty,   tax,
+             'price_disc', price, disc,
+             'price_tax', price, tax) AS (pair, x, y)"""))
+      val d = (c: org.apache.spark.sql.Column) => c.cast("double")
+      pairs.groupBy(col("pair"))
+        .agg(count(lit(1)).as("n"), sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+          sum(col("x") * col("y")).as("sxy"), sum(col("x") * col("x")).as("sxx"),
+          sum(col("y") * col("y")).as("syy"))
+        .select(col("pair"), col("n"),
+          ((d(col("n")) * d(col("sxy")) - d(col("sx")) * d(col("sy"))) /
+            sqrt((d(col("n")) * d(col("sxx")) - d(col("sx")) * d(col("sx"))) *
+              (d(col("n")) * d(col("syy")) - d(col("sy")) * d(col("sy"))))).as("corr"))
+        .orderBy("pair")
+    },
+    Some("""
+      WITH base AS (
+        SELECT CAST(floor(l_quantity + 0.5) AS BIGINT) AS qty,
+          CAST(floor(l_extendedprice + 0.5) AS BIGINT) AS price,
+          CAST(floor(l_discount*10000 + 0.5) AS BIGINT) AS disc,
+          CAST(floor(l_tax*10000 + 0.5) AS BIGINT) AS tax
+        FROM lineitem),
+      p AS (
+        SELECT 'disc_tax' AS pair, disc AS x, tax AS y FROM base UNION ALL
+        SELECT 'qty_disc', qty, disc FROM base UNION ALL
+        SELECT 'qty_price', qty, price FROM base UNION ALL
+        SELECT 'qty_tax', qty, tax FROM base UNION ALL
+        SELECT 'price_disc', price, disc FROM base UNION ALL
+        SELECT 'price_tax', price, tax FROM base),
+      m AS (
+        SELECT pair, CAST(count(*) AS BIGINT) AS n,
+          CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+          CAST(sum(x*y) AS BIGINT) AS sxy,
+          CAST(sum(x*x) AS BIGINT) AS sxx, CAST(sum(y*y) AS BIGINT) AS syy
+        FROM p GROUP BY pair)
+      SELECT pair, n,
+        (CAST(n AS DOUBLE)*CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE)*CAST(sy AS DOUBLE)) /
+          sqrt((CAST(n AS DOUBLE)*CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE)*CAST(sx AS DOUBLE)) *
+               (CAST(n AS DOUBLE)*CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE)*CAST(sy AS DOUBLE)))
+          AS corr
+      FROM m ORDER BY pair
+    """))
+
+  /** Mann-Whitney rank test as AUC: per order status, does the
+    * URGENT+HIGH priority class pay more than LOW? U is computed by the
+    * histogram identity (Σ over value bins of n_hi·(2·cum_lo_below +
+    * lo_here), doubled so midrank ties stay integer), and AUC =
+    * U/(n_hi·n_lo) is the probability a random high-priority order
+    * outranks a random low one — the nonparametric A/B readout that
+    * needs no normality assumption, complementing q163's mean-based
+    * readout and q120's KS distance.
+    *
+    * Scale shape: the corpus collapses to a (status, k$-bin) histogram
+    * first (bin-granular rank recipe, as q36), so the cumulative window
+    * runs over ≤ a few hundred bounded-value rows per status — the raw
+    * table is never sorted. */
+  private val q181 = QueryDef(
+    "q181_mann_whitney_auc",
+    (spark, dir) => {
+      val f = Tables.orders(spark, dir)
+        .filter(col("o_orderpriority").isin("1-URGENT", "2-HIGH", "5-LOW"))
+        .select(col("o_orderstatus").as("status"),
+          when(col("o_orderpriority") === "5-LOW", lit(0L)).otherwise(lit(1L)).as("hi"),
+          expr("CAST(floor(o_totalprice*100 + 0.5) AS BIGINT) div 100000").as("bin"))
+      val hist = f.groupBy(col("status"), col("bin"))
+        .agg(sum(col("hi")).as("na"), sum(lit(1L) - col("hi")).as("nb"))
+      val w = Window.partitionBy(col("status")).orderBy(col("bin"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      hist
+        .withColumn("cum_b", coalesce(sum(col("nb")).over(w), lit(0L)))
+        .groupBy(col("status"))
+        .agg(sum(col("na")).as("n_hi"), sum(col("nb")).as("n_lo"),
+          sum(col("na") * (lit(2L) * col("cum_b") + col("nb"))).as("u2"))
+        .filter(col("n_hi") > 0 && col("n_lo") > 0)
+        .select(col("status"), col("n_hi"), col("n_lo"), col("u2"),
+          (col("u2").cast("double") /
+            (lit(2.0) * col("n_hi").cast("double") * col("n_lo").cast("double"))).as("auc"))
+        .orderBy("status")
+    },
+    Some("""
+      WITH f AS (
+        SELECT o_orderstatus AS status,
+          CASE WHEN o_orderpriority = '5-LOW' THEN 0 ELSE 1 END AS hi,
+          CAST(floor(o_totalprice*100 + 0.5) AS BIGINT) // 100000 AS bin
+        FROM orders
+        WHERE o_orderpriority IN ('1-URGENT', '2-HIGH', '5-LOW')),
+      h AS (
+        SELECT status, bin,
+          CAST(sum(hi) AS BIGINT) AS na, CAST(sum(1 - hi) AS BIGINT) AS nb
+        FROM f GROUP BY status, bin),
+      c AS (
+        SELECT status, na, nb,
+          coalesce(sum(nb) OVER (PARTITION BY status ORDER BY bin
+            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_b
+        FROM h),
+      g AS (
+        SELECT status, CAST(sum(na) AS BIGINT) AS n_hi, CAST(sum(nb) AS BIGINT) AS n_lo,
+          CAST(sum(na * (2*cum_b + nb)) AS BIGINT) AS u2
+        FROM c GROUP BY status)
+      SELECT status, n_hi, n_lo, u2,
+        CAST(u2 AS DOUBLE) / (2.0 * CAST(n_hi AS DOUBLE) * CAST(n_lo AS DOUBLE)) AS auc
+      FROM g WHERE n_hi > 0 AND n_lo > 0
+      ORDER BY status
+    """))
+
+  def defs: Seq[QueryDef] =
+    Seq(q36, q37, q38, q39, q40, q41, q42, q55, q90, q180, q181)
 }

@@ -671,4 +671,62 @@ class BehaviorDriftSpec extends SparkSpec {
     assert(got.toSeq == expected.toSeq)
     assert(got.map(_._4).sum > 0 || got.forall(_._4 == 0L)) // census is well-formed
   }
+
+  // ---------------------------------------------------------------- q180
+
+  test("correlation matrix matches driver-side moment brute force") {
+    val quad = Tables.lineitem(spark, sfDir)
+      .select("l_quantity", "l_extendedprice", "l_discount", "l_tax").collect()
+      .map(r => Map(
+        "qty" -> math.floor(r.getDouble(0) + 0.5).toLong,
+        "price" -> math.floor(r.getDouble(1) + 0.5).toLong,
+        "disc" -> math.floor(r.getDouble(2) * 10000 + 0.5).toLong,
+        "tax" -> math.floor(r.getDouble(3) * 10000 + 0.5).toLong))
+    def corr(a: String, b: String): Double = {
+      val n = quad.length.toDouble
+      val sx = quad.map(_(a)).sum.toDouble; val sy = quad.map(_(b)).sum.toDouble
+      val sxy = quad.map(m => m(a) * m(b)).sum.toDouble
+      val sxx = quad.map(m => m(a) * m(a)).sum.toDouble
+      val syy = quad.map(m => m(b) * m(b)).sum.toDouble
+      (n * sxy - sx * sy) / math.sqrt((n * sxx - sx * sx) * (n * syy - sy * sy))
+    }
+    val expected = Seq(
+      "disc_tax" -> corr("disc", "tax"), "price_disc" -> corr("price", "disc"),
+      "price_tax" -> corr("price", "tax"), "qty_disc" -> corr("qty", "disc"),
+      "qty_price" -> corr("qty", "price"), "qty_tax" -> corr("qty", "tax"))
+    val got = run("q180_correlation_matrix").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
+    assert(got.map(_._1).toSeq == expected.map(_._1))
+    assert(got.forall(_._2 == quad.length.toLong))
+    got.zip(expected).foreach { case ((p, _, c), (_, e)) =>
+      assert(c == e, s"pair $p: got $c expected $e")
+    }
+  }
+
+  // ---------------------------------------------------------------- q181
+
+  test("Mann-Whitney AUC matches driver-side pairwise brute force") {
+    val orders = Tables.orders(spark, sfDir)
+      .select("o_orderstatus", "o_orderpriority", "o_totalprice").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getDouble(2)))
+      .filter(t => Set("1-URGENT", "2-HIGH", "5-LOW")(t._2))
+      .map { case (st, pr, p) =>
+        (st, pr != "5-LOW", math.floor(p * 100 + 0.5).toLong / 100000L)
+      }
+    val expected = orders.groupBy(_._1).view.mapValues { xs =>
+      val hi = xs.filter(_._2).map(_._3)
+      val lo = xs.filterNot(_._2).map(_._3)
+      val u2 = (for (a <- hi; b <- lo) yield {
+        if (a > b) 2L else if (a == b) 1L else 0L
+      }).sum
+      (hi.length.toLong, lo.length.toLong, u2,
+        u2.toDouble / (2.0 * hi.length.toDouble * lo.length.toDouble))
+    }.toMap.filter { case (_, (n1, n2, _, _)) => n1 > 0 && n2 > 0 }
+    val got = run("q181_mann_whitney_auc").collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4)))
+    assert(got.map(_._1).toSeq == got.map(_._1).toSeq.sorted)
+    assert(got.toMap == expected)
+    // AUC is a probability
+    got.foreach { case (_, (_, _, _, auc)) => assert(auc >= 0.0 && auc <= 1.0) }
+  }
 }

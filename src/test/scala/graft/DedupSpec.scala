@@ -171,4 +171,32 @@ class DedupSpec extends SparkSpec {
     val expLeaks = pairs.count { case (a, b) => side(a) != side(b) }.toLong
     assert(got("doc_hash")._3 == expLeaks)
   }
+
+  // ---------------------------------------------------------------- q182
+
+  test("cross-doc shingle mass matches driver-side shingle brute force") {
+    val sfDir = "/root/testdata/sf0.001"
+    val mod = 1000000007L
+    def tokHash(t: String): Long =
+      t.getBytes("UTF-8").foldLeft(0L)((h, b) => (h * 31 + (b & 0xff)) % mod)
+    def shingles(text: String): Set[Long] = {
+      val th = text.split(" ").filter(_.nonEmpty).map(tokHash)
+      if (th.length < 3) Set.empty
+      else th.sliding(3).map(w => ((w(0) * 31 + w(1)) * 31 + w(2)) % mod).toSet
+    }
+    val docs = Tables.documents(spark, sfDir).select("source", "text").collect()
+      .map(r => (r.getString(0), shingles(r.getString(1))))
+    val docfreq = docs.flatMap(_._2).groupBy(identity).view.mapValues(_.length).toMap
+    val expected = docs.groupBy(_._1).view.mapValues { xs =>
+      val nPairs = xs.map(_._2.size.toLong).sum
+      val dupPairs = xs.map(_._2.count(s => docfreq(s) >= 2).toLong).sum
+      (nPairs, dupPairs, dupPairs * 1000000L / nPairs)
+    }.toMap
+    val got = SparkEntry.queries("q182_crossdoc_shingle_mass")(spark, sfDir)
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(got.map(_._1).toSeq == got.map(_._1).toSeq.sorted)
+    assert(got.toMap == expected)
+    // every source has some cross-doc repetition mass to audit
+    assert(got.exists(_._2._2 > 0))
+  }
 }

@@ -47,7 +47,9 @@ class QueriesSmokeSpec extends SparkSpec {
     "q139_norm_outliers", "q145_oov_rate_by_cutoff", "q146_robust_outliers",
     "q147_reference_calibration", "q149_k_anonymity", "q151_dow_seasonality",
     "q152_gini_split_quality", "q153_churn_overdue", "q155_benford_audit",
-    "q159_token_budget_plan", "q166_source_keyness", "q170_ivf_recall_sweep")
+    "q159_token_budget_plan", "q166_source_keyness", "q170_ivf_recall_sweep",
+    "q172_dup_split_leakage", "q173_dim_truncation_recall",
+    "q174_hybrid_rrf", "q175_recency_weights")
 
   test("plan hygiene: no cartesian products, no unsanctioned nested loops") {
     for ((name, fn) <- SparkEntry.queries.toSeq.sortBy(_._1)) {
