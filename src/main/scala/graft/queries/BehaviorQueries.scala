@@ -796,7 +796,64 @@ object BehaviorQueries extends QueryGroup {
       FROM c ORDER BY event_type
     """))
 
+  /** Marker-segmented cumulative sums: per user, event history is cut
+    * into segments at purchase events (the marker), and each closed
+    * segment reports its basket build-up — pre-purchase event count,
+    * accumulated browse value, and the closing purchase value. This is
+    * the "cumulative sum with resets" pattern no single window frame
+    * expresses: a prefix-count of markers assigns the segment id, then
+    * an ordinary keyed aggregation collapses each segment.
+    *
+    * Scale shape: one shuffle to (user) for the window, one to
+    * (user, seg) for the rollup — both on the same key prefix, so AQE
+    * coalesces them; nothing driver-side, no self-join. Output is one
+    * row per purchase. */
+  private val q184 = QueryDef(
+    "q184_marker_segments",
+    (spark, dir) => {
+      val w = Window.partitionBy(col("user_id")).orderBy(col("ts_s"), col("event_id"))
+      Tables.events(spark, dir)
+        .select(col("user_id"), col("event_id"), col("event_type"),
+          epochS(col("ts")).as("ts_s"), cents(col("value")).as("v"))
+        .withColumn("seg", coalesce(
+          sum(when(col("event_type") === "purchase", 1L).otherwise(0L))
+            .over(w.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+        .groupBy(col("user_id"), col("seg"))
+        .agg(count(lit(1)).as("n_events"),
+          sum(when(col("event_type") =!= "purchase", col("v")).otherwise(0L))
+            .as("build_cents"),
+          sum(when(col("event_type") === "purchase", col("v")).otherwise(0L))
+            .as("purchase_cents"),
+          max(when(col("event_type") === "purchase", 1L).otherwise(0L)).as("closed"))
+        .filter(col("closed") === 1L)
+        .select(col("user_id"), col("seg"), col("n_events"),
+          col("build_cents"), col("purchase_cents"))
+        .orderBy(col("user_id"), col("seg"))
+    },
+    Some("""
+      WITH e AS (
+        SELECT user_id, event_id, event_type,
+          CAST(epoch_ms(ts) // 1000 AS BIGINT) AS ts_s,
+          CAST(floor(value*100 + 0.5) AS BIGINT) AS v
+        FROM events),
+      s AS (
+        SELECT *, coalesce(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+          OVER (PARTITION BY user_id ORDER BY ts_s, event_id
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS seg
+        FROM e),
+      g AS (
+        SELECT user_id, seg, CAST(count(*) AS BIGINT) AS n_events,
+          CAST(sum(CASE WHEN event_type <> 'purchase' THEN v ELSE 0 END) AS BIGINT)
+            AS build_cents,
+          CAST(sum(CASE WHEN event_type = 'purchase' THEN v ELSE 0 END) AS BIGINT)
+            AS purchase_cents,
+          max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS closed
+        FROM s GROUP BY 1, 2)
+      SELECT user_id, seg, n_events, build_cents, purchase_cents
+      FROM g WHERE closed = 1 ORDER BY user_id, seg
+    """))
+
   override def defs: Seq[QueryDef] =
     Seq(q115, q116, q117, q132, q134, q140, q142, q143, q144, q150, q151, q153,
-      q160, q162)
+      q160, q162, q184)
 }

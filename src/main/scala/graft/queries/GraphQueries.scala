@@ -342,5 +342,79 @@ object GraphQueries extends QueryGroup {
       FROM alln GROUP BY degree ORDER BY degree
     """))
 
-  def defs: Seq[QueryDef] = Seq(q74, q75, q88, q113, q137, q138)
+  /** Seeded two-hop BFS reach over the 1995 co-supply graph: for each
+    * seed supplier, how many distinct suppliers are within ≤ 2 hops
+    * (and how many are direct neighbors) — the blast-radius question
+    * (vendor risk, influence estimation) answered by frontier
+    * expansion, the BFS shape that scales: each hop is one equi-join
+    * of the current frontier against the edge list with a set-valued
+    * dedup, never an all-pairs product or a driver loop. The min-hop
+    * aggregation keeps a node counted once at its first hop.
+    *
+    * Seeds are a fixed bounded set (suppkey ≤ 10), so the frontier side
+    * broadcasts; at corpus scale the same plan runs with the frontier
+    * shuffled instead — the join keys don't change. */
+  private val q185 = QueryDef(
+    "q185_two_hop_reach",
+    (spark, dir) => {
+      val li = Tables.lineitem(spark, dir)
+        .filter(col("l_shipdate") >= "1995-01-01" && col("l_shipdate") < "1996-01-01")
+        .select(col("l_orderkey").as("ok"), col("l_suppkey").as("sk"))
+      val pairs = li
+        .join(li.withColumnRenamed("sk", "sk2"), Seq("ok"))
+        .filter(col("sk") < col("sk2"))
+        .select(col("sk").as("src"), col("sk2").as("dst"))
+        .distinct()
+      val edges = pairs
+        .union(pairs.select(col("dst").as("src"), col("src").as("dst")))
+        .persist()
+      val seeds = Tables.supplier(spark, dir)
+        .filter(col("s_suppkey") <= 10)
+        .select(col("s_suppkey").as("seed"))
+      val hop1 = edges.join(broadcast(seeds), col("src") === col("seed"))
+        .select(col("seed"), col("dst").as("v")).distinct()
+      val hop2 = hop1.select(col("seed"), col("v").as("mid"))
+        .join(edges, col("mid") === col("src"))
+        .select(col("seed"), col("dst").as("v")).distinct()
+      val reach = hop1.select(col("seed"), col("v"), lit(1L).as("h"))
+        .union(hop2.select(col("seed"), col("v"), lit(2L).as("h")))
+        .filter(col("v") =!= col("seed"))
+        .groupBy(col("seed"), col("v")).agg(min(col("h")).as("h"))
+      seeds.join(reach, Seq("seed"), "left")
+        .groupBy(col("seed"))
+        .agg(sum(when(col("h") === 1L, 1L).otherwise(0L)).as("n_hop1"),
+          sum(when(col("h").isNotNull, 1L).otherwise(0L)).as("n_reach2"))
+        .orderBy(col("seed"))
+    },
+    Some("""
+      WITH li AS (
+        SELECT l_orderkey, l_suppkey FROM lineitem
+        WHERE l_shipdate >= TIMESTAMP '1995-01-01'
+          AND l_shipdate < TIMESTAMP '1996-01-01'),
+      e AS (
+        SELECT DISTINCT a.l_suppkey AS src, b.l_suppkey AS dst
+        FROM li a JOIN li b
+          ON a.l_orderkey = b.l_orderkey AND a.l_suppkey <> b.l_suppkey),
+      seeds AS (SELECT s_suppkey AS seed FROM supplier WHERE s_suppkey <= 10),
+      h1 AS (
+        SELECT DISTINCT s.seed, e.dst AS v
+        FROM seeds s JOIN e ON e.src = s.seed),
+      h2 AS (
+        SELECT DISTINCT h1.seed, e.dst AS v
+        FROM h1 JOIN e ON e.src = h1.v),
+      r AS (
+        SELECT seed, v, min(h) AS h FROM (
+          SELECT seed, v, 1 AS h FROM h1
+          UNION ALL SELECT seed, v, 2 AS h FROM h2)
+        WHERE v <> seed GROUP BY seed, v)
+      SELECT s.seed,
+        CAST(coalesce(sum(CASE WHEN r.h = 1 THEN 1 ELSE 0 END), 0) AS BIGINT)
+          AS n_hop1,
+        CAST(coalesce(sum(CASE WHEN r.h IS NOT NULL THEN 1 ELSE 0 END), 0) AS BIGINT)
+          AS n_reach2
+      FROM seeds s LEFT JOIN r ON r.seed = s.seed
+      GROUP BY s.seed ORDER BY s.seed
+    """))
+
+  def defs: Seq[QueryDef] = Seq(q74, q75, q88, q113, q137, q138, q185)
 }

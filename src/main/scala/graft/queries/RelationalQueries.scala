@@ -494,7 +494,55 @@ object RelationalQueries extends QueryGroup {
       FROM g ORDER BY r_name, n_name
     """))
 
+  /** Rank-distribution surfaces: `ntile` / `percent_rank` / `cume_dist`
+    * — the three relative-rank window functions q17 left uncovered —
+    * exercised per nation over customer balances, rolled up to a
+    * 25×10 decile census (count, balance mass, rank-fraction bounds
+    * per tile).
+    *
+    * Determinism: the window order (`c_acctbal DESC, c_custkey`) is a
+    * total order, so ntile's bucket boundaries, percent_rank's
+    * (rank−1)/(n−1) and cume_dist's rank/n are all tie-free; the two
+    * fractions are single double divisions from exact integers —
+    * the same IEEE op in both engines (n=1 partitions yield 0.0 in
+    * both).
+    *
+    * Scale shape: the window shards by the partition key (nation); at
+    * corpus scale a production run keys by a finer stratum, but the
+    * per-key plan — one shuffle to the key, one sorted pass, map-side
+    * rollup — is the right one at any width. */
+  private val q183 = QueryDef(
+    "q183_rank_surfaces",
+    (spark, dir) => {
+      val w = Window.partitionBy(col("c_nationkey"))
+        .orderBy(col("c_acctbal").desc, col("c_custkey"))
+      Tables.customer(spark, dir)
+        .select(col("c_nationkey"), cents(col("c_acctbal")).as("bal_c"),
+          ntile(10).over(w).cast("long").as("tile"),
+          percent_rank().over(w).as("pr"),
+          cume_dist().over(w).as("cd"))
+        .groupBy(col("c_nationkey"), col("tile"))
+        .agg(count(lit(1)).as("n_cust"), sum(col("bal_c")).as("bal_cents"),
+          min(col("pr")).as("min_pr"), max(col("cd")).as("max_cd"))
+        .orderBy(col("c_nationkey"), col("tile"))
+    },
+    Some("""
+      WITH r AS (
+        SELECT c_nationkey,
+          CAST(floor(c_acctbal*100 + 0.5) AS BIGINT) AS bal_c,
+          CAST(ntile(10) OVER w AS BIGINT) AS tile,
+          percent_rank() OVER w AS pr,
+          cume_dist() OVER w AS cd
+        FROM customer
+        WINDOW w AS (PARTITION BY c_nationkey
+                     ORDER BY c_acctbal DESC, c_custkey))
+      SELECT c_nationkey, tile, CAST(count(*) AS BIGINT) AS n_cust,
+        CAST(sum(bal_c) AS BIGINT) AS bal_cents,
+        min(pr) AS min_pr, max(cd) AS max_cd
+      FROM r GROUP BY 1, 2 ORDER BY 1, 2
+    """))
+
   def defs: Seq[QueryDef] =
     Seq(q10, q11, q12, q13, q14, q15, q16, q17, q18, q19, q48, q49, q52, q53,
-      q164, q168)
+      q164, q168, q183)
 }

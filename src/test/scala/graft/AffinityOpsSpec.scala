@@ -1,5 +1,7 @@
 package graft
 
+import org.apache.spark.sql.functions._
+
 /** Semantics of the round-4 affinity/audit operators (q131–q135) beyond
   * the oracle gate: driver-side brute force at the smallest SF.
   */
@@ -434,5 +436,62 @@ class AffinityOpsSpec extends SparkSpec {
     val got = run("q166_source_keyness").collect()
       .map(r => (r.getString(0), r.getLong(1), r.getString(2), r.getLong(3), r.getLong(4)))
     assert(got.toSeq == expected)
+  }
+
+  // ---------------------------------------------------------------- q184
+
+  test("marker-segmented cumsum matches driver-side brute force") {
+    val ev = Tables.events(spark, sfDir)
+      .selectExpr("user_id", "event_id", "event_type",
+        "CAST(CAST(ts AS TIMESTAMP) AS LONG) AS ts_s",
+        "CAST(floor(value * 100 + 0.5) AS LONG) AS vc")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getLong(3), r.getLong(4)))
+    val expected = ev.groupBy(_._1).toSeq.flatMap { case (u, rows) =>
+      val sorted = rows.sortBy(r => (r._4, r._2))
+      // segment id = number of purchases strictly before this row
+      val segIds = sorted.scanLeft(0L)((s, r) => if (r._3 == "purchase") s + 1 else s).init
+      sorted.zip(segIds).groupBy(_._2).toSeq.collect {
+        case (seg, seg_rows) if seg_rows.exists(_._1._3 == "purchase") =>
+          (u, seg, seg_rows.length.toLong,
+            seg_rows.collect { case ((_, _, t, _, v), _) if t != "purchase" => v }.sum,
+            seg_rows.collect { case ((_, _, "purchase", _, v), _) => v }.sum)
+      }
+    }.sortBy(t => (t._1, t._2))
+    val got = run("q184_marker_segments").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    assert(got.toSeq == expected)
+    // every closed segment ends with exactly one purchase: purchase value
+    // equals that event's value, and the count of output rows is the
+    // corpus-wide purchase count
+    val nPurchases = ev.count(_._3 == "purchase").toLong
+    assert(got.length.toLong == nPurchases)
+  }
+
+  // ---------------------------------------------------------------- q185
+
+  test("two-hop reach matches driver-side BFS brute force") {
+    val li = Tables.lineitem(spark, sfDir)
+      .filter(col("l_shipdate") >= "1995-01-01" && col("l_shipdate") < "1996-01-01")
+      .select("l_orderkey", "l_suppkey")
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val adj = li.groupBy(_._1).values.toSeq
+      .flatMap { g =>
+        val sks = g.map(_._2).distinct.toSeq
+        for (a <- sks; b <- sks if a != b) yield (a, b)
+      }.distinct.groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val seeds = Tables.supplier(spark, sfDir)
+      .filter(col("s_suppkey") <= 10).select("s_suppkey")
+      .collect().map(_.getLong(0)).sorted
+    val expected = seeds.map { s =>
+      val h1 = adj.getOrElse(s, Set.empty)
+      val h2 = h1.flatMap(v => adj.getOrElse(v, Set.empty))
+      val reach = (h1 ++ h2) - s
+      (s, (h1 - s).size.toLong, reach.size.toLong)
+    }
+    val got = run("q185_two_hop_reach").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(got.toSeq == expected.toSeq)
+    // reach is monotone: two-hop set contains the one-hop set
+    got.foreach { case (s, n1, n2) => assert(n2 >= n1, s"seed $s") }
   }
 }

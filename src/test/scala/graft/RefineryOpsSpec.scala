@@ -185,4 +185,42 @@ class RefineryOpsSpec extends SparkSpec {
     // length bucket of the max, so waste < 16 * n_docs
     assert(out.filter($"pad_waste" >= $"n_docs" * 16L).count() === 0)
   }
+
+  // ---------------------------------------------------------------- q183
+
+  test("rank surfaces (ntile/percent_rank/cume_dist) match brute force") {
+    val sfDir = "/root/testdata/sf0.001"
+    val cust = Tables.customer(spark, sfDir)
+      .select("c_nationkey", "c_custkey", "c_acctbal").collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getDouble(2)))
+    val expected = cust.groupBy(_._1).toSeq.flatMap { case (nk, rows) =>
+      val sorted = rows.sortBy(r => (-r._3, r._2))
+      val n = sorted.length
+      // ntile: first (n % 10) buckets get one extra row
+      val base = n / 10; val extra = n % 10
+      def tileOf(idx: Int): Long = {
+        var i = 0; var acc = 0
+        while (i < 10) {
+          val sz = base + (if (i < extra) 1 else 0)
+          if (idx < acc + sz) return (i + 1).toLong
+          acc += sz; i += 1
+        }
+        10L
+      }
+      sorted.zipWithIndex.map { case ((_, _, bal), idx) =>
+        val pr = if (n == 1) 0.0 else idx.toDouble / (n - 1).toDouble
+        val cd = (idx + 1).toDouble / n.toDouble
+        (nk, tileOf(idx), math.floor(bal * 100 + 0.5).toLong, pr, cd)
+      }.groupBy(_._2).toSeq.map { case (tile, xs) =>
+        (nk, tile, xs.length.toLong, xs.map(_._3).sum,
+          xs.map(_._4).min, xs.map(_._5).max)
+      }
+    }.sortBy(t => (t._1, t._2))
+    val got = SparkEntry.queries("q183_rank_surfaces")(spark, sfDir).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getDouble(4), r.getDouble(5)))
+    assert(got.toSeq == expected)
+    // the top tile's max cume_dist is exactly 1.0 in every nation
+    got.groupBy(_._1).values.foreach(rs => assert(rs.maxBy(_._2)._6 == 1.0))
+  }
 }
