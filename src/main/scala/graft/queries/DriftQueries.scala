@@ -646,6 +646,67 @@ object DriftQueries extends QueryGroup {
       FROM c ORDER BY day
     """))
 
+  /** Dyadic-weight EWMA: per order priority, the exponentially-weighted
+    * trailing average of daily revenue with α = 1/2 truncated to an
+    * 8-day horizon — smoothing weights 128,64,…,1 are exact powers of
+    * two, so every weighted sum is pure integer arithmetic (the reason
+    * classic double-recursion EWMA can't hash-match across engines and
+    * this one can). Missing days self-renormalize: the denominator sums
+    * only the weights of days present in the window.
+    *
+    * Scale shape: the corpus collapses to a (priority, day) census
+    * first; the window is then an 8-way explode of that bounded census
+    * (calendar-span × 5 priorities rows, SF-invariant) re-aggregated by
+    * target day — an equi-join rewrite of the range frame, no sort-
+    * based window over the raw table, no driver loop. */
+  private val q188 = QueryDef(
+    "q188_dyadic_ewma",
+    (spark, dir) => {
+      val daily = Tables.orders(spark, dir)
+        .select(col("o_orderpriority").as("prio"),
+          expr("CAST(CAST(o_orderdate AS TIMESTAMP) AS BIGINT) div 86400").as("day"),
+          graft.functions.Deterministic.cents(col("o_totalprice")).as("c"))
+        .groupBy(col("prio"), col("day")).agg(sum(col("c")).as("v"))
+        .persist()
+      val contrib = daily
+        .select(col("prio"), col("day"), col("v"),
+          explode(expr("sequence(0, 7)")).as("k"))
+        .select(col("prio"), (col("day") + col("k")).as("day"),
+          expr("v * shiftleft(1L, CAST(7 - k AS INT))").as("wv"),
+          expr("shiftleft(1L, CAST(7 - k AS INT))").as("w"))
+      contrib
+        .join(daily.select(col("prio"), col("day")), Seq("prio", "day"), "left_semi")
+        .groupBy(col("prio"), col("day"))
+        .agg(sum(col("wv")).as("num"), sum(col("w")).as("den"))
+        .select(col("prio"), col("day"), col("den").as("w_mass"),
+          expr("CAST(CAST(num AS DECIMAL(38,0)) * 1000 DIV den AS BIGINT)")
+            .as("ewma_milli"))
+        .orderBy(col("prio"), col("day"))
+    },
+    Some("""
+      WITH daily AS (
+        SELECT o_orderpriority AS prio,
+          CAST(epoch_ms(o_orderdate) // 1000 // 86400 AS BIGINT) AS day,
+          CAST(sum(CAST(floor(o_totalprice*100 + 0.5) AS BIGINT)) AS BIGINT) AS v
+        FROM orders GROUP BY 1, 2),
+      c AS (
+        SELECT d.prio, d.day + k.k AS day,
+          d.v * (1 << (7 - k.k)) AS wv,
+          CAST(1 << (7 - k.k) AS BIGINT) AS w
+        FROM daily d, (SELECT unnest(range(0, 8)) AS k) k),
+      g AS (
+        SELECT c.prio, c.day,
+          CAST(sum(c.wv) AS BIGINT) AS num, CAST(sum(c.w) AS BIGINT) AS den
+        FROM c
+        WHERE EXISTS (SELECT 1 FROM daily x
+                      WHERE x.prio = c.prio AND x.day = c.day)
+        GROUP BY 1, 2)
+      SELECT prio, day, den AS w_mass,
+        CAST(CAST(num AS HUGEINT) * 1000 // den AS BIGINT) AS ewma_milli
+      FROM g ORDER BY prio, day
+    """))
+
   override def defs: Seq[QueryDef] =
-    Seq(q118, q119, q120, q121, q122, q131, q145, q148, q154, q161, q166, q176)
+    Seq(q118, q119, q120, q121, q122, q131, q145, q148, q154, q161, q166, q176,
+      q188)
 }

@@ -542,7 +542,53 @@ object RelationalQueries extends QueryGroup {
       FROM r GROUP BY 1, 2 ORDER BY 1, 2
     """))
 
+  /** LATERAL correlated-subquery surface: the two most recent orders of
+    * each of the ten richest customers, phrased as `FROM top, LATERAL
+    * (SELECT ... WHERE o_custkey = top.key ORDER BY ... LIMIT 2)` — the
+    * per-row-subquery API both engines expose.
+    *
+    * Scale shape: Spark decorrelates the lateral LIMIT into
+    * WindowGroupLimit (partial per-partition top-k heaps map-side,
+    * final after one shuffle) + an equi hash join against the 10-row
+    * outer — NOT a nested loop per outer row; the same plan a
+    * hand-written window rank would get, which is exactly why the
+    * surface is safe to expose at corpus scale. */
+  private val q187 = QueryDef(
+    "q187_lateral_topk",
+    (spark, dir) => {
+      Seq("customer", "orders")
+        .foreach(n => Tables.table(spark, dir, n).createOrReplaceTempView(s"graft_$n"))
+      spark.sql("""
+        WITH top_cust AS (
+          SELECT c_custkey, CAST(floor(c_acctbal*100 + 0.5) AS BIGINT) AS bal_c
+          FROM graft_customer ORDER BY c_acctbal DESC, c_custkey LIMIT 10)
+        SELECT c.c_custkey, c.bal_c, l.o_orderkey, l.price_cents, l.od_s
+        FROM top_cust c,
+        LATERAL (
+          SELECT o_orderkey,
+            CAST(floor(o_totalprice*100 + 0.5) AS BIGINT) AS price_cents,
+            CAST(CAST(o_orderdate AS TIMESTAMP) AS BIGINT) AS od_s
+          FROM graft_orders WHERE o_custkey = c.c_custkey
+          ORDER BY o_orderdate DESC, o_orderkey LIMIT 2) l
+        ORDER BY c.c_custkey, l.o_orderkey
+      """)
+    },
+    Some("""
+      WITH top_cust AS (
+        SELECT c_custkey, CAST(floor(c_acctbal*100 + 0.5) AS BIGINT) AS bal_c
+        FROM customer ORDER BY c_acctbal DESC, c_custkey LIMIT 10)
+      SELECT c.c_custkey, c.bal_c, l.o_orderkey, l.price_cents, l.od_s
+      FROM top_cust c,
+      LATERAL (
+        SELECT o_orderkey,
+          CAST(floor(o_totalprice*100 + 0.5) AS BIGINT) AS price_cents,
+          CAST(epoch_ms(o_orderdate) // 1000 AS BIGINT) AS od_s
+        FROM orders WHERE o_custkey = c.c_custkey
+        ORDER BY o_orderdate DESC, o_orderkey LIMIT 2) l
+      ORDER BY c.c_custkey, l.o_orderkey
+    """))
+
   def defs: Seq[QueryDef] =
     Seq(q10, q11, q12, q13, q14, q15, q16, q17, q18, q19, q48, q49, q52, q53,
-      q164, q168, q183)
+      q164, q168, q183, q187)
 }

@@ -447,6 +447,62 @@ object StatsQueries extends QueryGroup {
       ORDER BY status
     """))
 
+  /** Theil-Sen robust trend: per order-year, the median of all pairwise
+    * monthly-revenue slopes — the estimator that shrugs off the outlier
+    * months OLS (q141) chases. Slopes are quantized to milli-cents per
+    * month BEFORE the median (both engines apply the same truncating
+    * integer division, so the order statistic is over identical
+    * integers), and the lower median is picked by a deterministic
+    * (slope, m1, m2) rank — no doubles anywhere.
+    *
+    * Scale shape: the corpus collapses to a (year, month) census first,
+    * so the pairwise join is over ≤ 12 rows per year — C(12,2) = 66
+    * slope rows per year regardless of corpus size. The DECIMAL(38,0)
+    * image of the revenue delta keeps the ×1000 from wrapping at any
+    * scale. */
+  private val q186 = QueryDef(
+    "q186_theil_sen_trend",
+    (spark, dir) => {
+      val monthly = Tables.orders(spark, dir)
+        .select(year(col("o_orderdate")).cast("long").as("yr"),
+          month(col("o_orderdate")).cast("long").as("mo"),
+          cents(col("o_totalprice")).as("c"))
+        .groupBy(col("yr"), col("mo")).agg(sum(col("c")).as("rev"))
+      val slopes = monthly.select(col("yr"), col("mo").as("m1"), col("rev").as("r1"))
+        .join(monthly.select(col("yr"), col("mo").as("m2"), col("rev").as("r2")),
+          Seq("yr"))
+        .filter(col("m1") < col("m2"))
+        .select(col("yr"), col("m1"), col("m2"),
+          expr("CAST(CAST(r2 - r1 AS DECIMAL(38,0)) * 1000 DIV (m2 - m1) AS BIGINT)")
+            .as("s"))
+      val wR = Window.partitionBy(col("yr")).orderBy(col("s"), col("m1"), col("m2"))
+      val wN = Window.partitionBy(col("yr"))
+      slopes
+        .withColumn("rn", row_number().over(wR).cast("long"))
+        .withColumn("n_pairs", count(lit(1)).over(wN))
+        .filter(col("rn") === expr("(n_pairs + 1) div 2"))
+        .select(col("yr"), col("n_pairs"), col("s").as("slope_milli"))
+        .orderBy(col("yr"))
+    },
+    Some("""
+      WITH m AS (
+        SELECT CAST(year(o_orderdate) AS BIGINT) AS yr,
+          CAST(month(o_orderdate) AS BIGINT) AS mo,
+          CAST(sum(CAST(floor(o_totalprice*100 + 0.5) AS BIGINT)) AS BIGINT) AS rev
+        FROM orders GROUP BY 1, 2),
+      p AS (
+        SELECT a.yr, a.mo AS m1, b.mo AS m2,
+          CAST(CAST(b.rev - a.rev AS HUGEINT) * 1000 // (b.mo - a.mo) AS BIGINT) AS s
+        FROM m a JOIN m b ON a.yr = b.yr AND a.mo < b.mo),
+      r AS (
+        SELECT yr, s, m1, m2,
+          CAST(row_number() OVER (PARTITION BY yr ORDER BY s, m1, m2) AS BIGINT) AS rn,
+          CAST(count(*) OVER (PARTITION BY yr) AS BIGINT) AS n_pairs
+        FROM p)
+      SELECT yr, n_pairs, s AS slope_milli
+      FROM r WHERE rn = (n_pairs + 1) // 2 ORDER BY yr
+    """))
+
   def defs: Seq[QueryDef] =
-    Seq(q36, q37, q38, q39, q40, q41, q42, q55, q90, q180, q181)
+    Seq(q36, q37, q38, q39, q40, q41, q42, q55, q90, q180, q181, q186)
 }

@@ -729,4 +729,52 @@ class BehaviorDriftSpec extends SparkSpec {
     // AUC is a probability
     got.foreach { case (_, (_, _, _, auc)) => assert(auc >= 0.0 && auc <= 1.0) }
   }
+
+  // ---------------------------------------------------------------- q186
+
+  test("Theil-Sen trend matches driver-side pairwise-slope brute force") {
+    val orders = Tables.orders(spark, sfDir)
+      .selectExpr("CAST(year(o_orderdate) AS LONG) AS yr",
+        "CAST(month(o_orderdate) AS LONG) AS mo",
+        "CAST(floor(o_totalprice*100 + 0.5) AS LONG) AS c")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val monthly = orders.groupBy(t => (t._1, t._2)).view
+      .mapValues(_.map(_._3).sum).toMap
+    val expected = monthly.keys.map(_._1).toSeq.distinct.sorted.map { yr =>
+      val months = monthly.collect { case ((y, m), v) if y == yr => (m, v) }.toSeq
+      val slopes = (for {
+        (m1, r1) <- months; (m2, r2) <- months if m1 < m2
+      } yield (((BigInt(r2 - r1) * 1000) / BigInt(m2 - m1)).toLong, m1, m2))
+        .sortBy(identity)
+      val median = slopes((slopes.length + 1) / 2 - 1)
+      (yr, slopes.length.toLong, median._1)
+    }
+    val got = run("q186_theil_sen_trend").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(got.toSeq == expected)
+  }
+
+  // ---------------------------------------------------------------- q188
+
+  test("dyadic EWMA matches driver-side 8-day weighted brute force") {
+    val daily = Tables.orders(spark, sfDir)
+      .selectExpr("o_orderpriority AS prio",
+        "CAST(CAST(o_orderdate AS TIMESTAMP) AS LONG) div 86400 AS day",
+        "CAST(floor(o_totalprice*100 + 0.5) AS LONG) AS c")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+      .groupBy(t => (t._1, t._2)).view.mapValues(_.map(_._3).sum).toMap
+    val expected = daily.keys.toSeq.sorted.map { case (prio, day) =>
+      val window = (0 to 7).flatMap { k =>
+        daily.get((prio, day - k)).map(v => (v, 1L << (7 - k)))
+      }
+      val num = window.map { case (v, w) => BigInt(v) * w }.sum
+      val den = window.map(_._2).sum
+      (prio, day, den, (num * 1000 / den).toLong)
+    }
+    val got = run("q188_dyadic_ewma").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(got.toSeq == expected)
+    // the current day always contributes weight 128; total mass <= 255
+    assert(got.forall(t => t._3 >= 128L && t._3 <= 255L))
+  }
 }

@@ -223,4 +223,28 @@ class RefineryOpsSpec extends SparkSpec {
     // the top tile's max cume_dist is exactly 1.0 in every nation
     got.groupBy(_._1).values.foreach(rs => assert(rs.maxBy(_._2)._6 == 1.0))
   }
+
+  // ---------------------------------------------------------------- q187
+
+  test("lateral top-k matches driver-side per-customer brute force") {
+    val sfDir = "/root/testdata/sf0.001"
+    val cust = Tables.customer(spark, sfDir)
+      .select("c_custkey", "c_acctbal").collect()
+      .map(r => (r.getLong(0), r.getDouble(1)))
+      .sortBy(t => (-t._2, t._1)).take(10)
+    val orders = Tables.orders(spark, sfDir)
+      .selectExpr("o_custkey", "o_orderkey",
+        "CAST(floor(o_totalprice*100 + 0.5) AS LONG) AS pc",
+        "CAST(CAST(o_orderdate AS TIMESTAMP) AS LONG) AS od_s")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .groupBy(_._1)
+    val expected = cust.flatMap { case (ck, bal) =>
+      orders.getOrElse(ck, Array.empty[(Long, Long, Long, Long)]).toSeq
+        .sortBy(o => (-o._4, o._2)).take(2)
+        .map(o => (ck, math.floor(bal * 100 + 0.5).toLong, o._2, o._3, o._4))
+    }.sortBy(t => (t._1, t._3))
+    val got = SparkEntry.queries("q187_lateral_topk")(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    assert(got.toSeq == expected.toSeq)
+  }
 }
