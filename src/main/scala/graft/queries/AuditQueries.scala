@@ -503,6 +503,48 @@ object AuditQueries extends QueryGroup {
       FROM j GROUP BY 1 ORDER BY 1
     """))
 
+  /** Subsample-stability audit: 32 deterministic half-samples of the
+    * document corpus (membership = bit b of a Knuth multiplicative hash
+    * of doc_id), each reporting its mean document length — the spread
+    * across the 32 means is a bootstrap-free confidence readout on any
+    * corpus-mean statistic: wide spread ⇒ the mean is driven by a few
+    * outliers and a sampled pipeline stage would be unstable. Hash
+    * bits replace RNG so both engines (and reruns) agree bit-for-bit.
+    *
+    * Scale shape: one scan, a 32-way explode of (len, bucket) longs —
+    * never text — and a 32-group aggregate; the hash is one integer
+    * multiply in DECIMAL(38,0) so it cannot wrap at any doc_id. */
+  private val q191 = QueryDef(
+    "q191_subsample_stability",
+    (spark, dir) => {
+      Tables.documents(spark, dir)
+        .select(length(col("text")).cast("long").as("len"),
+          expr("CAST(CAST(doc_id AS DECIMAL(38,0)) * 2654435761 % 4294967296 AS BIGINT)")
+            .as("bucket"))
+        .select(col("len"), col("bucket"), explode(expr("sequence(0, 31)")).as("b"))
+        .filter(expr("(bucket div shiftleft(1L, b)) % 2 = 1"))
+        .groupBy(col("b").cast("long").as("b"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("len")).as("s"))
+        .select(col("b"), col("n_docs"),
+          expr("CAST(CAST(s AS DECIMAL(38,0)) * 1000 DIV n_docs AS BIGINT)")
+            .as("mean_len_milli"))
+        .orderBy(col("b"))
+    },
+    Some("""
+      WITH d AS (
+        SELECT CAST(len(text) AS BIGINT) AS l,
+          CAST(CAST(doc_id AS HUGEINT) * 2654435761 % 4294967296 AS BIGINT)
+            AS bucket
+        FROM documents),
+      e AS (
+        SELECT d.l, b.b FROM d, (SELECT unnest(range(0, 32)) AS b) b
+        WHERE (d.bucket // (CAST(1 AS BIGINT) << b.b)) % 2 = 1)
+      SELECT b, CAST(count(*) AS BIGINT) AS n_docs,
+        CAST(CAST(sum(l) AS HUGEINT) * 1000 // count(*) AS BIGINT)
+          AS mean_len_milli
+      FROM e GROUP BY b ORDER BY b
+    """))
+
   def defs: Seq[QueryDef] =
-    Seq(q81, q83, q84, q85, q91, q149, q155, q156, q167, q169)
+    Seq(q81, q83, q84, q85, q91, q149, q155, q156, q167, q169, q191)
 }

@@ -866,7 +866,101 @@ object CorpusQueries extends QueryGroup {
       FROM df GROUP BY source ORDER BY source
     """))
 
+  /** Rank-biased overlap (RBO, Webber et al.) between the vector and
+    * lexical top-20 rankings of q174 — the retrieval-agreement readout:
+    * RBO = (1−p)·Σ_d p^(d−1)·|A_d ∩ B_d|/d with persistence p = 1/2.
+    * The dyadic p makes every term an exact rational over
+    * D = lcm(1..20)·2^19: a common doc entering both rankings at depth
+    * m = max(rank_A, rank_B) contributes W(m) = Σ_{d≥m} D/(2^(d−1)·d)
+    * — an integer, so the whole statistic is integer until one final
+    * ppm division. Top-weightedness (unlike recall@k or RRF's flat
+    * reciprocal) is the point: agreement at rank 1 counts ~20× rank 20.
+    *
+    * Scale shape: both rankings are TakeOrderedAndProject over broadcast
+    * one-row queries (q174's shape); the RBO combine is a 20×20-bounded
+    * join against a generated 20-row weight table. */
+  private val q189 = QueryDef(
+    "q189_rbo_rank_agreement",
+    (spark, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      import graft.functions.expressions.quantized_cosine
+      import graft.text.TextFunctions.wordShingleSet
+      val D = 122050345697280L // lcm(1..20) * 2^19
+      val emb = Tables.embeddings(spark, dir)
+      val qe = emb.filter(col("vec_id") === 0L).select(col("embedding").as("q_emb"))
+      val vec20 = emb.filter(col("vec_id") =!= 0L)
+        .crossJoin(broadcast(qe))
+        .select(col("vec_id").as("doc_id"),
+          quantized_cosine(col("embedding"), col("q_emb")).as("cos"))
+        .orderBy(col("cos").desc, col("doc_id")).limit(20)
+        .select(col("doc_id"), row_number().over(
+          Window.orderBy(col("cos").desc, col("doc_id"))).cast("long").as("vr"))
+      val tsets = Tables.documents(spark, dir)
+        .select(col("doc_id"), wordShingleSet(col("text"), 1).as("ts"))
+      val qt = tsets.filter(col("doc_id") === 0L).select(col("ts").as("q_ts"))
+      val lex20 = tsets.filter(col("doc_id") =!= 0L)
+        .crossJoin(broadcast(qt))
+        .select(col("doc_id"),
+          size(array_intersect(col("ts"), col("q_ts"))).cast("long").as("ov"))
+        .orderBy(col("ov").desc, col("doc_id")).limit(20)
+        .select(col("doc_id"), row_number().over(
+          Window.orderBy(col("ov").desc, col("doc_id"))).cast("long").as("lr"))
+      val m = vec20.join(lex20, Seq("doc_id"))
+        .select(greatest(col("vr"), col("lr")).as("m"))
+      val weights = spark.range(1, 21)
+        .select(col("id").as("d"),
+          expr(s"$D div (shiftleft(1L, CAST(id - 1 AS INT)) * id)").as("term"))
+        .withColumn("wm", sum(col("term")).over(
+          Window.orderBy(col("d"))
+            .rowsBetween(Window.currentRow, Window.unboundedFollowing)))
+      m.join(broadcast(weights), col("m") === col("d"))
+        .agg(count(lit(1)).as("n_common"), sum(col("wm")).as("s"))
+        .select(col("n_common"),
+          expr(s"CAST(coalesce(CAST(s AS DECIMAL(38,0)), 0) * 1000000 DIV ${2 * D} AS BIGINT)")
+            .as("rbo_ppm"))
+    },
+    Some(s"""
+      WITH base AS (
+        SELECT vec_id AS id,
+          list_transform(embedding, x -> CAST(floor(x*512 + 0.5) AS BIGINT)) AS qv
+        FROM embeddings),
+      qe AS (SELECT qv AS q_qv FROM base WHERE id = 0),
+      vec20 AS (
+        SELECT id AS doc_id, CAST(row_number() OVER (ORDER BY
+          CAST(list_sum(list_transform(range(1, 65), i -> qv[i]*q_qv[i])) AS DOUBLE)
+            / sqrt(CAST(list_sum(list_transform(qv, x -> x*x)) AS DOUBLE)
+                 * CAST(list_sum(list_transform(q_qv, x -> x*x)) AS DOUBLE)) DESC, id)
+          AS BIGINT) AS vr
+        FROM base CROSS JOIN qe WHERE id <> 0
+        QUALIFY vr <= 20),
+      toks AS (
+        SELECT doc_id, list_transform($duckTokens,
+          tok -> $duckPolyHash) AS th
+        FROM documents),
+      tsets AS (SELECT doc_id, list_distinct(th) AS ts FROM toks),
+      qt AS (SELECT ts AS q_ts FROM tsets WHERE doc_id = 0),
+      lex20 AS (
+        SELECT doc_id, CAST(row_number() OVER (ORDER BY
+          len(list_intersect(ts, q_ts)) DESC, doc_id) AS BIGINT) AS lr
+        FROM tsets CROSS JOIN qt WHERE doc_id <> 0
+        QUALIFY lr <= 20),
+      j AS (
+        SELECT greatest(v.vr, l.lr) AS m
+        FROM vec20 v JOIN lex20 l USING (doc_id)),
+      t AS (
+        SELECT d, 122050345697280 // ((1 << (d - 1)) * d) AS term
+        FROM (SELECT unnest(range(1, 21)) AS d)),
+      w AS (
+        SELECT d, sum(term) OVER (ORDER BY d
+          ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS wm
+        FROM t)
+      SELECT CAST(count(*) AS BIGINT) AS n_common,
+        CAST(coalesce(CAST(sum(wm) AS HUGEINT), 0) * 1000000
+             // 244100691394560 AS BIGINT) AS rbo_ppm
+      FROM j JOIN w ON j.m = w.d
+    """))
+
   def defs: Seq[QueryDef] =
     Seq(q56, q57, q58, q59, q60, q61, q62, q63, q64, q65, q66, q82, q157, q165, q172,
-      q174, q182)
+      q174, q182, q189)
 }

@@ -588,7 +588,57 @@ object RelationalQueries extends QueryGroup {
       ORDER BY c.c_custkey, l.o_orderkey
     """))
 
+  /** NOT IN three-valued-logic surface: the classic null trap, asserted
+    * as behavior. One urgent-order custkey is nulled (`nullif`), and the
+    * same "customers with no urgent order" question is asked three ways:
+    * `NOT IN` against the null-bearing set (UNKNOWN poisons every row —
+    * count 0), `NOT IN` with nulls filtered, and `NOT EXISTS` (null-
+    * immune). The last two must agree; the first must be zero. Both
+    * engines implement the same SQL-standard semantics, which is the
+    * point of pinning it with an oracle.
+    *
+    * Scale shape: Spark plans the null-aware NOT IN as a single-column
+    * null-aware anti join (optimizeNullAwareAntiJoin) — a broadcast
+    * hash anti join with a null-check fast path, not a nested loop;
+    * the NOT EXISTS variant is an ordinary left-anti hash join. */
+  private val q190 = QueryDef(
+    "q190_not_in_null_trap",
+    (spark, dir) => {
+      Seq("customer", "orders")
+        .foreach(n => Tables.table(spark, dir, n).createOrReplaceTempView(s"graft_$n"))
+      spark.sql("""
+        WITH urgent AS (
+          SELECT nullif(o_custkey, (SELECT min(o_custkey) FROM graft_orders
+                                    WHERE o_orderpriority = '1-URGENT')) AS k
+          FROM graft_orders WHERE o_orderpriority = '1-URGENT')
+        SELECT
+          (SELECT count(*) FROM graft_customer
+           WHERE c_custkey NOT IN (SELECT k FROM urgent)) AS n_not_in_with_null,
+          (SELECT count(*) FROM graft_customer
+           WHERE c_custkey NOT IN (SELECT k FROM urgent WHERE k IS NOT NULL))
+            AS n_not_in_filtered,
+          (SELECT count(*) FROM graft_customer c
+           WHERE NOT EXISTS (SELECT 1 FROM urgent u WHERE u.k = c.c_custkey))
+            AS n_not_exists
+      """)
+    },
+    Some("""
+      WITH urgent AS (
+        SELECT nullif(o_custkey, (SELECT min(o_custkey) FROM orders
+                                  WHERE o_orderpriority = '1-URGENT')) AS k
+        FROM orders WHERE o_orderpriority = '1-URGENT')
+      SELECT
+        (SELECT count(*) FROM customer
+         WHERE c_custkey NOT IN (SELECT k FROM urgent)) AS n_not_in_with_null,
+        (SELECT count(*) FROM customer
+         WHERE c_custkey NOT IN (SELECT k FROM urgent WHERE k IS NOT NULL))
+          AS n_not_in_filtered,
+        (SELECT count(*) FROM customer c
+         WHERE NOT EXISTS (SELECT 1 FROM urgent u WHERE u.k = c.c_custkey))
+          AS n_not_exists
+    """))
+
   def defs: Seq[QueryDef] =
     Seq(q10, q11, q12, q13, q14, q15, q16, q17, q18, q19, q48, q49, q52, q53,
-      q164, q168, q183, q187)
+      q164, q168, q183, q187, q190)
 }

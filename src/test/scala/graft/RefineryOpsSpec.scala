@@ -247,4 +247,49 @@ class RefineryOpsSpec extends SparkSpec {
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
     assert(got.toSeq == expected.toSeq)
   }
+
+  // ---------------------------------------------------------------- q190
+
+  test("NOT IN null trap: poisoned set yields 0, filtered agrees with NOT EXISTS") {
+    val sfDir = "/root/testdata/sf0.001"
+    val urgentKeys = Tables.orders(spark, sfDir)
+      .filter($"o_orderpriority" === "1-URGENT")
+      .select("o_custkey").collect().map(_.getLong(0))
+    val minKey = urgentKeys.min
+    val effective = urgentKeys.filter(_ != minKey).toSet
+    val nCust = Tables.customer(spark, sfDir).count()
+    val expectedFiltered = Tables.customer(spark, sfDir)
+      .select("c_custkey").collect().map(_.getLong(0))
+      .count(k => !effective(k)).toLong
+    val row = SparkEntry.queries("q190_not_in_null_trap")(spark, sfDir).collect().head
+    assert(row.getLong(0) == 0L, "NOT IN against a null-bearing set is UNKNOWN-poisoned")
+    assert(row.getLong(1) == expectedFiltered)
+    assert(row.getLong(2) == expectedFiltered, "NOT EXISTS is null-immune")
+    assert(expectedFiltered > 0L && expectedFiltered < nCust)
+  }
+
+  // ---------------------------------------------------------------- q191
+
+  test("subsample stability matches driver-side hash-bit brute force") {
+    val sfDir = "/root/testdata/sf0.001"
+    val docs = Tables.documents(spark, sfDir)
+      .selectExpr("doc_id", "CAST(length(text) AS LONG) AS l")
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val expected = (0 until 32).map { b =>
+      val members = docs.filter { case (id, _) =>
+        val bucket = ((BigInt(id) * 2654435761L) % BigInt(4294967296L)).toLong
+        ((bucket >> b) & 1L) == 1L
+      }
+      val n = members.length.toLong
+      (b.toLong, n, (BigInt(members.map(_._2).sum) * 1000 / n).toLong)
+    }
+    val got = SparkEntry.queries("q191_subsample_stability")(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(got.toSeq == expected)
+    // half-samples: every bucket holds roughly half the corpus
+    val total = docs.length.toLong
+    got.foreach { case (b, n, _) =>
+      assert(n > total / 4 && n < 3 * total / 4, s"bucket $b size $n of $total")
+    }
+  }
 }

@@ -170,6 +170,49 @@ class SimilaritySpec extends SparkSpec {
     assert(got.toSeq == expected)
   }
 
+  // ---------------------------------------------------------------- q189
+
+  test("RBO rank agreement matches driver-side exact-rational brute force") {
+    val sfDir = "/root/testdata/sf0.001"
+    val vecs = Tables.embeddings(spark, sfDir).select("vec_id", "embedding").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray).toMap
+    def qz(x: Float): Long = math.floor(x.toDouble * 512 + 0.5).toLong
+    val qv = vecs(0L).map(qz)
+    val vecRank: Map[Long, Long] = vecs.toSeq.filter(_._1 != 0L)
+      .flatMap { case (id, v) =>
+        val xs = v.map(qz)
+        val dot = xs.zip(qv).map { case (a, b) => a * b }.sum
+        val (na, nb) = (xs.map(x => x * x).sum, qv.map(x => x * x).sum)
+        if (na == 0L || nb == 0L) None
+        else Some(id -> dot.toDouble / math.sqrt(na.toDouble * nb.toDouble))
+      }
+      .sortBy { case (id, c) => (-c, id) }.take(20).map(_._1)
+      .zipWithIndex.map { case (id, i) => id -> (i + 1).toLong }.toMap
+    val mod = 1000000007L
+    def tokHashes(t: String): Set[Long] =
+      t.split(' ').filter(_.nonEmpty)
+        .map(_.getBytes("UTF-8").foldLeft(0L)((h, b) => (h * 31 + (b & 0xff)) % mod))
+        .toSet
+    val texts = Tables.documents(spark, sfDir).select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val qt = tokHashes(texts(0L))
+    val lexRank: Map[Long, Long] = texts.toSeq.filter(_._1 != 0L)
+      .map { case (id, t) => id -> (tokHashes(t) & qt).size.toLong }
+      .sortBy { case (id, ov) => (-ov, id) }.take(20).map(_._1)
+      .zipWithIndex.map { case (id, i) => id -> (i + 1).toLong }.toMap
+    val D = BigInt(122050345697280L)
+    def term(d: Int): BigInt = D / (BigInt(1) << (d - 1)) / d
+    def w(m: Int): BigInt = (m to 20).map(term).sum
+    val common = vecRank.keySet & lexRank.keySet
+    val s = common.toSeq.map(id => w(math.max(vecRank(id), lexRank(id)).toInt)).sum
+    val expectedPpm = (s * 1000000 / (2 * D)).toLong
+    val row = SparkEntry.queries("q189_rbo_rank_agreement")(spark, sfDir).collect().head
+    assert(row.getLong(0) == common.size.toLong)
+    assert(row.getLong(1) == expectedPpm)
+    // RBO is a fraction of the full-agreement mass
+    assert(row.getLong(1) >= 0L && row.getLong(1) <= 1000000L)
+  }
+
   // ---------------------------------------------------------------- q178
 
   test("adjacent cosine histogram matches driver-side binning") {
