@@ -853,7 +853,52 @@ object BehaviorQueries extends QueryGroup {
       FROM g WHERE closed = 1 ORDER BY user_id, seg
     """))
 
+  /** Gaps-and-islands longest streak: per user, the longest run of
+    * consecutive active days — the classic `day − row_number()` island
+    * trick: within a user, consecutive days share a constant difference
+    * between the day number and its rank, so each maximal run collapses
+    * to one (user, island) group. The engagement feature behind
+    * "N-day streak" product metrics.
+    *
+    * Scale shape: distinct (user, day) first (one shuffle), then two
+    * keyed aggregations on the same user prefix — the window and both
+    * group-bys share the user key, so AQE plans one exchange. One
+    * output row per user. */
+  private val q192 = QueryDef(
+    "q192_longest_streak",
+    (spark, dir) => {
+      val w = Window.partitionBy(col("user_id")).orderBy(col("day"))
+      Tables.events(spark, dir)
+        .select(col("user_id"), expr("CAST(ts AS BIGINT) div 86400").as("day"))
+        .distinct()
+        .withColumn("island", col("day") - row_number().over(w))
+        .groupBy(col("user_id"), col("island"))
+        .agg(count(lit(1)).as("run"))
+        .groupBy(col("user_id"))
+        .agg(sum(col("run")).as("n_active_days"),
+          max(col("run")).as("longest_streak"),
+          count(lit(1)).as("n_islands"))
+        .orderBy(col("user_id"))
+    },
+    Some("""
+      WITH d AS (
+        SELECT DISTINCT user_id,
+          CAST(epoch_ms(ts) // 1000 // 86400 AS BIGINT) AS day
+        FROM events),
+      i AS (
+        SELECT user_id, day,
+          day - row_number() OVER (PARTITION BY user_id ORDER BY day) AS island
+        FROM d),
+      runs AS (
+        SELECT user_id, island, CAST(count(*) AS BIGINT) AS run
+        FROM i GROUP BY 1, 2)
+      SELECT user_id, CAST(sum(run) AS BIGINT) AS n_active_days,
+        CAST(max(run) AS BIGINT) AS longest_streak,
+        CAST(count(*) AS BIGINT) AS n_islands
+      FROM runs GROUP BY user_id ORDER BY user_id
+    """))
+
   override def defs: Seq[QueryDef] =
     Seq(q115, q116, q117, q132, q134, q140, q142, q143, q144, q150, q151, q153,
-      q160, q162, q184)
+      q160, q162, q184, q192)
 }

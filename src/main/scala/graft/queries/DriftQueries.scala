@@ -706,7 +706,87 @@ object DriftQueries extends QueryGroup {
       FROM g ORDER BY prio, day
     """))
 
+  /** Offline changepoint by binary segmentation: per order priority,
+    * the month split that maximizes the two-segment fit of the monthly
+    * revenue series — argmax_k S1²/k + S2²/(n−k), the exact-SSE form —
+    * reported with its explained-variance share (the "R² of the best
+    * split"). The offline complement to q176's sequential CUSUM: CUSUM
+    * answers "has it drifted yet?", this answers "where did it break?".
+    *
+    * Determinism: all moments (S1, S, Q) are exact integers from the
+    * bounded monthly census; the score and split_r2 are the same
+    * fixed-order IEEE expressions in both engines, and the argmax is
+    * tie-broken by the earliest month.
+    *
+    * Scale shape: corpus → (priority, month) census (one shuffle); the
+    * cumulative window and argmax run over ≤ 84 rows per priority. */
+  private val q194 = QueryDef(
+    "q194_changepoint_binseg",
+    (spark, dir) => {
+      val monthly = Tables.orders(spark, dir)
+        .select(col("o_orderpriority").as("prio"),
+          expr("(year(o_orderdate) - 1992) * 12 + month(o_orderdate)").cast("long")
+            .as("t"),
+          graft.functions.Deterministic.cents(col("o_totalprice")).as("c"))
+        .groupBy(col("prio"), col("t")).agg(sum(col("c")).as("y"))
+      val wC = Window.partitionBy(col("prio")).orderBy(col("t"))
+      val wA = Window.partitionBy(col("prio"))
+      val scored = monthly
+        .withColumn("k", row_number().over(wC).cast("long"))
+        .withColumn("s1", sum(col("y")).over(
+          wC.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .withColumn("n", count(lit(1)).over(wA))
+        .withColumn("stot", sum(col("y")).over(wA))
+        .withColumn("q", sum(expr("CAST(y AS DECIMAL(38,0)) * y")).over(wA))
+        .filter(col("k") < col("n"))
+        .withColumn("score", expr(
+          """CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE) / CAST(k AS DOUBLE)
+             + CAST(stot - s1 AS DOUBLE) * CAST(stot - s1 AS DOUBLE)
+               / CAST(n - k AS DOUBLE)"""))
+      scored
+        .withColumn("rn", row_number().over(
+          Window.partitionBy(col("prio")).orderBy(col("score").desc, col("t"))))
+        .filter(col("rn") === 1)
+        .select(col("prio"), col("n").as("n_months"), col("t").as("split_t"),
+          expr("""(score - CAST(stot AS DOUBLE) * CAST(stot AS DOUBLE) / CAST(n AS DOUBLE))
+                  / (CAST(q AS DOUBLE) - CAST(stot AS DOUBLE) * CAST(stot AS DOUBLE) / CAST(n AS DOUBLE))""")
+            .as("split_r2"))
+        .orderBy(col("prio"))
+    },
+    Some("""
+      WITH m AS (
+        SELECT o_orderpriority AS prio,
+          CAST((year(o_orderdate) - 1992) * 12 + month(o_orderdate) AS BIGINT) AS t,
+          CAST(sum(CAST(floor(o_totalprice*100 + 0.5) AS BIGINT)) AS BIGINT) AS y
+        FROM orders GROUP BY 1, 2),
+      s AS (
+        SELECT prio, t, y,
+          CAST(row_number() OVER w AS BIGINT) AS k,
+          CAST(sum(y) OVER (PARTITION BY prio ORDER BY t
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS s1,
+          CAST(count(*) OVER (PARTITION BY prio) AS BIGINT) AS n,
+          CAST(sum(y) OVER (PARTITION BY prio) AS BIGINT) AS stot,
+          sum(CAST(y AS HUGEINT) * y) OVER (PARTITION BY prio) AS q
+        FROM m
+        WINDOW w AS (PARTITION BY prio ORDER BY t)),
+      sc AS (
+        SELECT *,
+          CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE) / CAST(k AS DOUBLE)
+            + CAST(stot - s1 AS DOUBLE) * CAST(stot - s1 AS DOUBLE)
+              / CAST(n - k AS DOUBLE) AS score
+        FROM s WHERE k < n),
+      best AS (
+        SELECT *, row_number() OVER (PARTITION BY prio
+          ORDER BY score DESC, t) AS rn
+        FROM sc)
+      SELECT prio, n AS n_months, t AS split_t,
+        (score - CAST(stot AS DOUBLE) * CAST(stot AS DOUBLE) / CAST(n AS DOUBLE))
+          / (CAST(q AS DOUBLE) - CAST(stot AS DOUBLE) * CAST(stot AS DOUBLE) / CAST(n AS DOUBLE))
+          AS split_r2
+      FROM best WHERE rn = 1 ORDER BY prio
+    """))
+
   override def defs: Seq[QueryDef] =
     Seq(q118, q119, q120, q121, q122, q131, q145, q148, q154, q161, q166, q176,
-      q188)
+      q188, q194)
 }

@@ -638,7 +638,44 @@ object RelationalQueries extends QueryGroup {
           AS n_not_exists
     """))
 
+  /** Bag-semantics set operations — the ALL variants q16's distinct set
+    * ops leave out. Over the nationkey MULTISETS of customers and
+    * suppliers: EXCEPT ALL keeps max(c−s, 0) copies per key, INTERSECT
+    * ALL keeps min(c, s) — multiplicity arithmetic, not membership.
+    * Spark: `exceptAll` / `intersectAll`; the result is re-aggregated
+    * to (op, key, multiplicity) so the output stays vocabulary-sized.
+    *
+    * Scale shape: Spark plans both ALL variants as a count-aggregate +
+    * generate(replicate) — two keyed shuffles, never a sort of the raw
+    * union; multiplicities travel as longs. */
+  private val q193 = QueryDef(
+    "q193_bag_set_ops",
+    (spark, dir) => {
+      val c = Tables.customer(spark, dir).select(col("c_nationkey").as("nationkey"))
+      val s = Tables.supplier(spark, dir).select(col("s_nationkey").as("nationkey"))
+      val exAll = c.exceptAll(s)
+        .groupBy(col("nationkey")).agg(count(lit(1)).as("multiplicity"))
+        .select(lit("except_all").as("op"), col("nationkey"), col("multiplicity"))
+      val inAll = c.intersectAll(s)
+        .groupBy(col("nationkey")).agg(count(lit(1)).as("multiplicity"))
+        .select(lit("intersect_all").as("op"), col("nationkey"), col("multiplicity"))
+      exAll.union(inAll).orderBy(col("op"), col("nationkey"))
+    },
+    Some("""
+      WITH c AS (SELECT c_nationkey AS nationkey FROM customer),
+           s AS (SELECT s_nationkey AS nationkey FROM supplier),
+      ex AS (SELECT nationkey FROM c EXCEPT ALL SELECT nationkey FROM s),
+      ia AS (SELECT nationkey FROM c INTERSECT ALL SELECT nationkey FROM s)
+      SELECT 'except_all' AS op, nationkey,
+        CAST(count(*) AS BIGINT) AS multiplicity
+      FROM ex GROUP BY 2
+      UNION ALL
+      SELECT 'intersect_all', nationkey, CAST(count(*) AS BIGINT)
+      FROM ia GROUP BY 2
+      ORDER BY op, nationkey
+    """))
+
   def defs: Seq[QueryDef] =
     Seq(q10, q11, q12, q13, q14, q15, q16, q17, q18, q19, q48, q49, q52, q53,
-      q164, q168, q183, q187, q190)
+      q164, q168, q183, q187, q190, q193)
 }

@@ -467,6 +467,30 @@ class AffinityOpsSpec extends SparkSpec {
     assert(got.length.toLong == nPurchases)
   }
 
+  // ---------------------------------------------------------------- q192
+
+  test("longest streak matches driver-side gaps-and-islands brute force") {
+    val ev = Tables.events(spark, sfDir)
+      .selectExpr("user_id", "CAST(ts AS LONG) div 86400 AS day")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).distinct
+    val expected = ev.groupBy(_._1).toSeq.map { case (u, rows) =>
+      val days = rows.map(_._2).distinct.sorted
+      val runs = days.foldLeft(List.empty[(Long, Long)]) {
+        case (Nil, d)                               => List((d, 1L))
+        case ((last, len) :: tl, d) if d == last + 1 => (d, len + 1) :: tl
+        case (acc, d)                               => (d, 1L) :: acc
+      }.map(_._2)
+      (u, days.length.toLong, runs.max, runs.length.toLong)
+    }.sortBy(_._1)
+    val got = run("q192_longest_streak").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(got.toSeq == expected)
+    // islands partition active days: streak <= active days, islands >= 1
+    got.foreach { case (u, nd, ls, ni) =>
+      assert(ls <= nd && ni >= 1 && ls >= 1, s"user $u")
+    }
+  }
+
   // ---------------------------------------------------------------- q185
 
   test("two-hop reach matches driver-side BFS brute force") {

@@ -777,4 +777,36 @@ class BehaviorDriftSpec extends SparkSpec {
     // the current day always contributes weight 128; total mass <= 255
     assert(got.forall(t => t._3 >= 128L && t._3 <= 255L))
   }
+
+  // ---------------------------------------------------------------- q194
+
+  test("binseg changepoint matches driver-side exhaustive split search") {
+    val monthly = Tables.orders(spark, sfDir)
+      .selectExpr("o_orderpriority AS prio",
+        "CAST((year(o_orderdate) - 1992) * 12 + month(o_orderdate) AS LONG) AS t",
+        "CAST(floor(o_totalprice*100 + 0.5) AS LONG) AS c")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+      .groupBy(t => (t._1, t._2)).view.mapValues(_.map(_._3).sum).toMap
+    val expected = monthly.keys.map(_._1).toSeq.distinct.sorted.map { prio =>
+      val series = monthly.collect { case ((p, t), y) if p == prio => (t, y) }
+        .toSeq.sortBy(_._1)
+      val n = series.length
+      val stot = series.map(_._2).sum
+      val q = series.map(x => BigInt(x._2) * x._2).sum
+      val scores = (1 until n).map { k =>
+        val s1 = series.take(k).map(_._2).sum
+        val score = s1.toDouble * s1.toDouble / k.toDouble +
+          (stot - s1).toDouble * (stot - s1).toDouble / (n - k).toDouble
+        (score, series(k - 1)._1) // split after the k-th point
+      }
+      val (bestScore, bestT) = scores.maxBy { case (sc, t) => (sc, -t) }
+      val base = stot.toDouble * stot.toDouble / n.toDouble
+      val r2 = (bestScore - base) / (q.toDouble - base)
+      (prio, n.toLong, bestT, r2)
+    }
+    val got = run("q194_changepoint_binseg").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(got.toSeq == expected)
+    got.foreach { case (p, _, _, r2) => assert(r2 >= 0.0 && r2 <= 1.0, s"$p r2=$r2") }
+  }
 }

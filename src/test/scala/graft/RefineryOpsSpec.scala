@@ -292,4 +292,25 @@ class RefineryOpsSpec extends SparkSpec {
       assert(n > total / 4 && n < 3 * total / 4, s"bucket $b size $n of $total")
     }
   }
+
+  // ---------------------------------------------------------------- q193
+
+  test("bag set ops match driver-side multiset arithmetic") {
+    val sfDir = "/root/testdata/sf0.001"
+    val c = Tables.customer(spark, sfDir).select("c_nationkey")
+      .collect().map(_.getInt(0)).groupBy(identity).view.mapValues(_.length.toLong).toMap
+    val s = Tables.supplier(spark, sfDir).select("s_nationkey")
+      .collect().map(_.getInt(0)).groupBy(identity).view.mapValues(_.length.toLong).toMap
+    val exAll = c.flatMap { case (k, n) =>
+      val m = n - s.getOrElse(k, 0L); if (m > 0) Some((("except_all", k), m)) else None
+    }
+    val inAll = c.flatMap { case (k, n) =>
+      val m = math.min(n, s.getOrElse(k, 0L)); if (m > 0) Some((("intersect_all", k), m)) else None
+    }
+    val expected = (exAll ++ inAll).toSeq
+      .map { case ((op, k), m) => (op, k, m) }.sortBy(t => (t._1, t._2))
+    val got = SparkEntry.queries("q193_bag_set_ops")(spark, sfDir).collect()
+      .map(r => (r.getString(0), r.getInt(1), r.getLong(2)))
+    assert(got.toSeq == expected)
+  }
 }
