@@ -545,6 +545,41 @@ object AuditQueries extends QueryGroup {
       FROM e GROUP BY b ORDER BY b
     """))
 
+  /** l-diversity census — the release-audit companion to q149's
+    * k-anonymity: k bounds re-identification, but a class whose
+    * SENSITIVE attribute is uniform still leaks it ("everyone in this
+    * bucket ordered 1-URGENT"). Per quasi-identifier class
+    * (status, 100$-price band) over orders, l = distinct sensitive
+    * priorities; the census reports, per l, how many classes and
+    * records sit at that diversity level — min l is the release gate.
+    *
+    * Scale shape: one scan → (QI, priority) distinct-ish aggregate →
+    * class rollup → ≤5-row census; all keyed, nothing driver-side. */
+  private val q197 = QueryDef(
+    "q197_l_diversity",
+    (spark, dir) => {
+      val classes = Tables.orders(spark, dir)
+        .select(col("o_orderstatus").as("status"),
+          expr("CAST(floor(o_totalprice*100 + 0.5) AS BIGINT) div 10000").as("band"),
+          col("o_orderpriority").as("sensitive"))
+        .groupBy(col("status"), col("band"))
+        .agg(countDistinct(col("sensitive")).as("l"), count(lit(1)).as("sz"))
+      classes.groupBy(col("l"))
+        .agg(count(lit(1)).as("n_classes"), sum(col("sz")).as("n_records"))
+        .orderBy(col("l"))
+    },
+    Some("""
+      WITH c AS (
+        SELECT o_orderstatus AS status,
+          CAST(floor(o_totalprice*100 + 0.5) AS BIGINT) // 10000 AS band,
+          CAST(count(DISTINCT o_orderpriority) AS BIGINT) AS l,
+          CAST(count(*) AS BIGINT) AS sz
+        FROM orders GROUP BY 1, 2)
+      SELECT l, CAST(count(*) AS BIGINT) AS n_classes,
+        CAST(sum(sz) AS BIGINT) AS n_records
+      FROM c GROUP BY l ORDER BY l
+    """))
+
   def defs: Seq[QueryDef] =
-    Seq(q81, q83, q84, q85, q91, q149, q155, q156, q167, q169, q191)
+    Seq(q81, q83, q84, q85, q91, q149, q155, q156, q167, q169, q191, q197)
 }

@@ -552,6 +552,58 @@ object PlanningQueries extends QueryGroup {
       FROM g ORDER BY o_orderpriority
     """))
 
+  /** Token-WEIGHTED length percentiles: per source, the 64-char doc-
+    * length bin below which 50% / 90% of the corpus TOKENS (not docs)
+    * live — the statistic that sizes packing buffers and truncation
+    * cutoffs, where q36's unweighted percentiles would be skewed by
+    * swarms of short docs carrying almost no token mass.
+    *
+    * Determinism: bin-granular cumulative weights with integer cross-
+    * multiplied thresholds (2·cum ≥ tot, 10·cum ≥ 9·tot) — no division,
+    * no interpolation, so the picked bins are exact in both engines.
+    *
+    * Scale shape: one scan emits (source, bin, tokens); the cumulative
+    * window runs over the value-bounded length histogram (≤ a few
+    * hundred bins per source), never the raw table. */
+  private val q195 = QueryDef(
+    "q195_weighted_percentiles",
+    (spark, dir) => {
+      val h = Tables.documents(spark, dir)
+        .select(col("source"),
+          expr("CAST(length(text) AS BIGINT) div 64").as("bin"),
+          graft.text.TextFunctions.tokenCount(col("text")).cast("long").as("w"))
+        .groupBy(col("source"), col("bin")).agg(sum(col("w")).as("w"))
+      val wC = Window.partitionBy(col("source")).orderBy(col("bin"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val wA = Window.partitionBy(col("source"))
+      h.withColumn("cum", sum(col("w")).over(wC))
+        .withColumn("tot", sum(col("w")).over(wA))
+        .groupBy(col("source"))
+        .agg(max(col("tot")).as("total_tokens"),
+          min(when(col("cum") * 2 >= col("tot"), col("bin"))).as("p50_bin"),
+          min(when(col("cum") * 10 >= col("tot") * 9, col("bin"))).as("p90_bin"))
+        .select(col("source"), col("total_tokens"),
+          (col("p50_bin") * 64).as("p50_len_lo"), (col("p90_bin") * 64).as("p90_len_lo"))
+        .orderBy(col("source"))
+    },
+    Some("""
+      WITH h AS (
+        SELECT source, CAST(len(text) AS BIGINT) // 64 AS bin,
+          CAST(sum(len(list_filter(str_split(text, ' '), t -> len(t) > 0)))
+            AS BIGINT) AS w
+        FROM documents GROUP BY 1, 2),
+      c AS (
+        SELECT source, bin, w,
+          CAST(sum(w) OVER (PARTITION BY source ORDER BY bin
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum,
+          CAST(sum(w) OVER (PARTITION BY source) AS BIGINT) AS tot
+        FROM h)
+      SELECT source, max(tot) AS total_tokens,
+        min(CASE WHEN cum * 2 >= tot THEN bin END) * 64 AS p50_len_lo,
+        min(CASE WHEN cum * 10 >= tot * 9 THEN bin END) * 64 AS p90_len_lo
+      FROM c GROUP BY source ORDER BY source
+    """))
+
   override def defs: Seq[QueryDef] =
-    Seq(q125, q126, q128, q130, q133, q135, q136, q141, q146, q171, q175)
+    Seq(q125, q126, q128, q130, q133, q135, q136, q141, q146, q171, q175, q195)
 }

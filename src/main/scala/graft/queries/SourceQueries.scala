@@ -63,5 +63,51 @@ object SourceQueries extends QueryGroup {
     },
     Some(oracleAgg))
 
-  def defs: Seq[QueryDef] = Seq(roundtrip("csv"), roundtrip("json"), roundtrip("orc"))
+  /** Schema-evolution union surface: a v1 event feed (no channel column)
+    * and a v2 feed (adds `channel`) merged with
+    * `unionByName(allowMissingColumns = true)` — positional `union`
+    * would misalign or reject; BY NAME pads the missing column with
+    * null, and the null bucket IS the legacy cohort. The everyday
+    * schema-drift merge every long-lived pipeline hits.
+    *
+    * Scale shape: the union is a zero-shuffle concatenation of two
+    * filtered projections of one scan; only the final channel rollup
+    * shuffles. */
+  private val q196 = QueryDef(
+    "q196_union_by_name",
+    (spark, dir) => {
+      val e = Tables.events(spark, dir)
+        .select(col("user_id"), col("event_id"),
+          expr("CAST(ts AS BIGINT)").as("ts_s"),
+          expr("CAST(floor(value*100 + 0.5) AS BIGINT)").as("vc"),
+          col("event_type"))
+      val v1 = e.filter(col("event_id") % 2 === 0)
+        .select(col("user_id"), col("ts_s"), col("vc"))
+      val v2 = e.filter(col("event_id") % 2 === 1)
+        .select(col("user_id"), col("ts_s"), col("vc"),
+          col("event_type").as("channel"))
+      v1.unionByName(v2, allowMissingColumns = true)
+        .groupBy(coalesce(col("channel"), lit("legacy")).as("channel"))
+        .agg(count(lit(1)).as("n_events"), sum(col("vc")).as("value_cents"))
+        .orderBy(col("channel"))
+    },
+    Some("""
+      WITH e AS (
+        SELECT user_id, event_id,
+          CAST(epoch_ms(ts) // 1000 AS BIGINT) AS ts_s,
+          CAST(floor(value*100 + 0.5) AS BIGINT) AS vc,
+          event_type
+        FROM events),
+      v1 AS (SELECT user_id, ts_s, vc FROM e WHERE event_id % 2 = 0),
+      v2 AS (SELECT user_id, ts_s, vc, event_type AS channel
+             FROM e WHERE event_id % 2 = 1),
+      u AS (SELECT * FROM v1 UNION ALL BY NAME SELECT * FROM v2)
+      SELECT coalesce(channel, 'legacy') AS channel,
+        CAST(count(*) AS BIGINT) AS n_events,
+        CAST(sum(vc) AS BIGINT) AS value_cents
+      FROM u GROUP BY 1 ORDER BY channel
+    """))
+
+  def defs: Seq[QueryDef] =
+    Seq(roundtrip("csv"), roundtrip("json"), roundtrip("orc"), q196)
 }

@@ -491,6 +491,24 @@ class AffinityOpsSpec extends SparkSpec {
     }
   }
 
+  // ---------------------------------------------------------------- q196
+
+  test("union-by-name schema evolution matches driver-side merge") {
+    val ev = Tables.events(spark, sfDir)
+      .selectExpr("event_id", "event_type",
+        "CAST(floor(value*100 + 0.5) AS LONG) AS vc")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    val expected = ev.groupBy { case (id, tpe, _) =>
+      if (id % 2 == 0) "legacy" else tpe
+    }.view.mapValues(rows => (rows.length.toLong, rows.map(_._3).sum))
+      .toSeq.map { case (ch, (n, s)) => (ch, n, s) }.sortBy(_._1)
+    val got = run("q196_union_by_name").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    assert(got.toSeq == expected)
+    // the legacy (pre-channel) cohort survives the merge as its own bucket
+    assert(got.exists(_._1 == "legacy"))
+  }
+
   // ---------------------------------------------------------------- q185
 
   test("two-hop reach matches driver-side BFS brute force") {

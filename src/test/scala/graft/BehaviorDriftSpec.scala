@@ -778,6 +778,26 @@ class BehaviorDriftSpec extends SparkSpec {
     assert(got.forall(t => t._3 >= 128L && t._3 <= 255L))
   }
 
+  // ---------------------------------------------------------------- q197
+
+  test("l-diversity census matches driver-side class brute force") {
+    val orders = Tables.orders(spark, sfDir)
+      .selectExpr("o_orderstatus",
+        "CAST(floor(o_totalprice*100 + 0.5) AS LONG) div 10000 AS band",
+        "o_orderpriority")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getString(2)))
+    val classes = orders.groupBy(t => (t._1, t._2)).values.toSeq
+      .map(rows => (rows.map(_._3).distinct.length.toLong, rows.length.toLong))
+    val expected = classes.groupBy(_._1).toSeq
+      .map { case (l, cs) => (l, cs.length.toLong, cs.map(_._2).sum) }
+      .sortBy(_._1)
+    val got = run("q197_l_diversity").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(got.toSeq == expected)
+    // diversity is bounded by the 5 priority values
+    assert(got.forall(t => t._1 >= 1L && t._1 <= 5L))
+  }
+
   // ---------------------------------------------------------------- q194
 
   test("binseg changepoint matches driver-side exhaustive split search") {

@@ -193,4 +193,27 @@ class PlanningOpsSpec extends SparkSpec {
     }
     assert(got.length == grouped.size)
   }
+
+  // ---------------------------------------------------------------- q195
+
+  test("weighted percentiles match driver-side cumulative brute force") {
+    val sfDir = "/root/testdata/sf0.001"
+    val docs = Tables.documents(spark, sfDir)
+      .selectExpr("source", "CAST(length(text) AS LONG) div 64 AS bin",
+        "CAST(size(filter(split(text, ' '), t -> length(t) > 0)) AS LONG) AS w")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    val expected = docs.groupBy(_._1).toSeq.map { case (src, rows) =>
+      val hist = rows.groupBy(_._2).view.mapValues(_.map(_._3).sum).toSeq.sortBy(_._1)
+      val tot = hist.map(_._2).sum
+      val cums = hist.scanLeft((0L, 0L)) { case ((_, c), (b, w)) => (b, c + w) }.tail
+      def pick(num: Long, den: Long) =
+        cums.collectFirst { case (b, c) if c * den >= tot * num => b }.get
+      (src, tot, pick(1, 2) * 64, pick(9, 10) * 64)
+    }.sortBy(_._1)
+    val got = SparkEntry.queries("q195_weighted_percentiles")(spark, sfDir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(got.toSeq == expected)
+    // p90 is at or above p50
+    got.foreach { case (s, _, p50, p90) => assert(p90 >= p50, s) }
+  }
 }
