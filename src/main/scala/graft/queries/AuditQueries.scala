@@ -580,6 +580,59 @@ object AuditQueries extends QueryGroup {
       FROM c GROUP BY l ORDER BY l
     """))
 
+  /** Benford first-digit audit — the fraud/fabrication smoke test over
+    * a monetary column: naturally-grown amounts follow
+    * P(d) = log10(1+1/d); fabricated or capped ones don't. Observed
+    * first-significant-digit shares (ppm, integer cross-division) sit
+    * next to the Benford expectation as FIXED ppm literals
+    * (floor(log10(1+1/d)·10^6 + 0.5), summing to exactly 10^6) — no
+    * runtime logarithm, so both engines emit bit-identical deviations.
+    *
+    * Scale shape: digit extraction is a narrow map over the scan; the
+    * aggregate is 9 rows, and the total comes from a window over those
+    * 9 rows — nothing global ever exceeds digit cardinality. */
+  private val q198 = QueryDef(
+    "q198_benford_audit",
+    (spark, dir) => {
+      import graft.functions.Deterministic.cents
+      val benford = "CASE digit WHEN 1 THEN 301030 WHEN 2 THEN 176091 " +
+        "WHEN 3 THEN 124939 WHEN 4 THEN 96910 WHEN 5 THEN 79181 " +
+        "WHEN 6 THEN 66947 WHEN 7 THEN 57992 WHEN 8 THEN 51153 " +
+        "ELSE 45757 END"
+      val everything = org.apache.spark.sql.expressions.Window
+        .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+          org.apache.spark.sql.expressions.Window.unboundedFollowing)
+      Tables.orders(spark, dir)
+        .select(cents(col("o_totalprice")).as("vc"))
+        .withColumn("digit", expr("CAST(substring(CAST(vc AS STRING), 1, 1) AS BIGINT)"))
+        .groupBy(col("digit")).agg(count(lit(1)).as("n"))
+        .withColumn("tot", sum(col("n")).over(everything))
+        .withColumn("share_ppm", expr("n * 1000000 div tot"))
+        .withColumn("benford_ppm", expr(s"CAST($benford AS BIGINT)"))
+        .select(col("digit"), col("n"), col("share_ppm"), col("benford_ppm"),
+          abs(col("share_ppm") - col("benford_ppm")).as("dev_ppm"))
+        .orderBy(col("digit"))
+    },
+    Some("""
+      WITH v AS (
+        SELECT CAST(floor(o_totalprice*100 + 0.5) AS BIGINT) AS vc FROM orders),
+      d AS (
+        SELECT CAST(substring(CAST(vc AS VARCHAR), 1, 1) AS BIGINT) AS digit,
+          CAST(count(*) AS BIGINT) AS n
+        FROM v GROUP BY 1),
+      t AS (SELECT digit, n, CAST(sum(n) OVER () AS BIGINT) AS tot FROM d),
+      s AS (
+        SELECT digit, n, CAST(n * 1000000 // tot AS BIGINT) AS share_ppm,
+          CAST(CASE digit WHEN 1 THEN 301030 WHEN 2 THEN 176091
+            WHEN 3 THEN 124939 WHEN 4 THEN 96910 WHEN 5 THEN 79181
+            WHEN 6 THEN 66947 WHEN 7 THEN 57992 WHEN 8 THEN 51153
+            ELSE 45757 END AS BIGINT) AS benford_ppm
+        FROM t)
+      SELECT digit, n, share_ppm, benford_ppm,
+        abs(share_ppm - benford_ppm) AS dev_ppm
+      FROM s ORDER BY digit
+    """))
+
   def defs: Seq[QueryDef] =
-    Seq(q81, q83, q84, q85, q91, q149, q155, q156, q167, q169, q191, q197)
+    Seq(q81, q83, q84, q85, q91, q149, q155, q156, q167, q169, q191, q197, q198)
 }

@@ -219,5 +219,145 @@ object IntervalQueries extends QueryGroup {
       ORDER BY key, version
     """))
 
-  def defs: Seq[QueryDef] = Seq(q98, q99, q100, q101)
+  /** Linear-interpolation gap fill — the series-repair step between
+    * q99's zero-fill (wrong for level metrics) and a model-based
+    * imputer: missing days in a per-priority daily revenue series get
+    * the straight line between their nearest observed neighbors,
+    * computed exactly in integer cents via cross multiplication
+    * v_lo + (v_hi−v_lo)·(d−d_lo) div (d_hi−d_lo) — no doubles, so both
+    * engines land on the same cent. Leading/trailing gaps extrapolate
+    * flat (nearest observation); IGNORE NULLS window carries give each
+    * row its bracketing neighbors in two passes over the spine, never a
+    * self-join. The interior product is bounded by gap·Δcents (≤365·
+    * daily-sum) — far under 2^63 even at 100 TB daily volumes.
+    *
+    * Scale shape: the fact side is one grouped aggregation of the
+    * date-pruned scan; everything after runs on the 5×365-row spine. */
+  private val q199 = QueryDef(
+    "q199_linear_interpolation",
+    (spark, dir) => {
+      import graft.functions.Deterministic.{cents, epochS}
+      val daily = Tables.orders(spark, dir)
+        .filter(col("o_orderdate") >= "1995-01-01" && col("o_orderdate") < "1996-01-01")
+        .select(col("o_orderpriority").as("pri"),
+          (epochS(col("o_orderdate")) / 86400).cast("long").as("day"),
+          cents(col("o_totalprice")).as("vc"))
+        .groupBy(col("pri"), col("day")).agg(sum(col("vc")).as("vc"))
+      val spine = Tables.orders(spark, dir)
+        .select(col("o_orderpriority").as("pri")).distinct()
+        .select(col("pri"), explode(sequence(lit(9131L), lit(9495L))).as("day"))
+      val base = Window.partitionBy(col("pri")).orderBy(col("day"))
+      val prevW = base.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val nextW = base.rowsBetween(Window.currentRow, Window.unboundedFollowing)
+      spine.join(daily, Seq("pri", "day"), "left")
+        .withColumn("v_lo", last(col("vc"), ignoreNulls = true).over(prevW))
+        .withColumn("d_lo", max(when(col("vc").isNotNull, col("day"))).over(prevW))
+        .withColumn("v_hi", first(col("vc"), ignoreNulls = true).over(nextW))
+        .withColumn("d_hi", min(when(col("vc").isNotNull, col("day"))).over(nextW))
+        .select(col("pri"), col("day"),
+          coalesce(col("vc"),
+            expr("v_lo + (v_hi - v_lo) * (day - d_lo) div (d_hi - d_lo)"),
+            col("v_lo"), col("v_hi"), lit(0L)).as("rev_cents"),
+          col("vc").isNull.as("filled"))
+        .orderBy("pri", "day")
+    },
+    Some("""
+      WITH daily AS (
+        SELECT o_orderpriority AS pri,
+          CAST(epoch_ms(o_orderdate) // 1000 // 86400 AS BIGINT) AS day,
+          CAST(sum(CAST(floor(o_totalprice*100 + 0.5) AS BIGINT)) AS BIGINT) AS vc
+        FROM orders
+        WHERE o_orderdate >= TIMESTAMP '1995-01-01'
+          AND o_orderdate < TIMESTAMP '1996-01-01'
+        GROUP BY 1, 2),
+      spine AS (
+        SELECT pri, CAST(d AS BIGINT) AS day
+        FROM (SELECT DISTINCT o_orderpriority AS pri FROM orders),
+          LATERAL (SELECT unnest(range(9131, 9496)) AS d) x),
+      j AS (
+        SELECT s.pri, s.day, daily.vc,
+          last_value(vc IGNORE NULLS) OVER wp AS v_lo,
+          max(CASE WHEN vc IS NOT NULL THEN s.day END) OVER wp AS d_lo,
+          first_value(vc IGNORE NULLS) OVER wn AS v_hi,
+          min(CASE WHEN vc IS NOT NULL THEN s.day END) OVER wn AS d_hi
+        FROM spine s LEFT JOIN daily ON s.pri = daily.pri AND s.day = daily.day
+        WINDOW
+          wp AS (PARTITION BY s.pri ORDER BY s.day
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+          wn AS (PARTITION BY s.pri ORDER BY s.day
+                 ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING))
+      SELECT pri, day,
+        CAST(coalesce(vc,
+          v_lo + (v_hi - v_lo) * (day - d_lo) // (d_hi - d_lo),
+          v_lo, v_hi, 0) AS BIGINT) AS rev_cents,
+        vc IS NULL AS filled
+      FROM j ORDER BY pri, day
+    """))
+
+  /** Merged-interval coverage — the interval-union aggregate: each
+    * event opens a 30-minute activity interval; overlapping intervals
+    * per user merge into islands (new island iff the start clears the
+    * running max of all previous ends — the classic sweep), and the
+    * census reports, per island count, how many users and how much
+    * merged coverage. The per-user complement to q100-style global
+    * sweep-line concurrency: THIS is "how long was each user actually
+    * active", immune to double-counting bursts.
+    *
+    * Determinism: epoch-second arithmetic; ties at equal start are
+    * harmless (same-start rows can never open a second island).
+    * Scale shape: both windows and both rollups share the user key —
+    * one shuffle, then AQE-coalesced key-local passes; nothing global. */
+  private val q200 = QueryDef(
+    "q200_interval_union",
+    (spark, dir) => {
+      import graft.functions.Deterministic.epochS
+      val w = Window.partitionBy(col("u")).orderBy(col("s"))
+      val prevEnds = w.rowsBetween(Window.unboundedPreceding, -1)
+      val runW = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      Tables.events(spark, dir)
+        .select(col("user_id").as("u"), epochS(col("ts")).as("s"))
+        .withColumn("e", col("s") + 1800L)
+        .withColumn("pmax", max(col("e")).over(prevEnds))
+        .withColumn("brk", when(col("pmax").isNull || col("s") >= col("pmax"), 1L).otherwise(0L))
+        .withColumn("island", sum(col("brk")).over(runW))
+        .groupBy(col("u"), col("island"))
+        .agg(min(col("s")).as("st"), max(col("e")).as("en"))
+        .groupBy(col("u"))
+        .agg(count(lit(1)).as("n_islands"), sum(col("en") - col("st")).as("covered_s"))
+        .groupBy(col("n_islands"))
+        .agg(count(lit(1)).as("n_users"),
+          sum(col("covered_s")).as("total_covered_s"),
+          max(col("covered_s")).as("max_covered_s"))
+        .orderBy(col("n_islands"))
+    },
+    Some("""
+      WITH iv AS (
+        SELECT user_id AS u, CAST(epoch_ms(ts) // 1000 AS BIGINT) AS s,
+          CAST(epoch_ms(ts) // 1000 + 1800 AS BIGINT) AS e
+        FROM events),
+      m AS (
+        SELECT u, s, e,
+          max(e) OVER (PARTITION BY u ORDER BY s
+            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pmax
+        FROM iv),
+      b AS (
+        SELECT u, s, e,
+          CAST(sum(CASE WHEN pmax IS NULL OR s >= pmax THEN 1 ELSE 0 END)
+            OVER (PARTITION BY u ORDER BY s
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS island
+        FROM m),
+      isl AS (
+        SELECT u, island, min(s) AS st, max(e) AS en
+        FROM b GROUP BY u, island),
+      per_user AS (
+        SELECT u, CAST(count(*) AS BIGINT) AS n_islands,
+          CAST(sum(en - st) AS BIGINT) AS covered_s
+        FROM isl GROUP BY u)
+      SELECT n_islands, CAST(count(*) AS BIGINT) AS n_users,
+        CAST(sum(covered_s) AS BIGINT) AS total_covered_s,
+        CAST(max(covered_s) AS BIGINT) AS max_covered_s
+      FROM per_user GROUP BY n_islands ORDER BY n_islands
+    """))
+
+  def defs: Seq[QueryDef] = Seq(q98, q99, q100, q101, q199, q200)
 }

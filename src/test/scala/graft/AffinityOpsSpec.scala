@@ -509,6 +509,32 @@ class AffinityOpsSpec extends SparkSpec {
     assert(got.exists(_._1 == "legacy"))
   }
 
+  // ---------------------------------------------------------------- q200
+
+  test("interval-union coverage matches driver-side sweep merge") {
+    val ev = Tables.events(spark, sfDir)
+      .selectExpr("user_id", "CAST(ts AS LONG) AS s")
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val perUser = ev.groupBy(_._1).view.mapValues { rows =>
+      val iv = rows.map(_._2).sorted.map(s => (s, s + 1800L))
+      val islands = iv.tail.foldLeft(List(iv.head)) { case (acc @ (st, en) :: rest, (s, e)) =>
+        if (s >= en) (s, e) :: acc
+        else (st, math.max(en, e)) :: rest
+      }
+      (islands.length.toLong, islands.map { case (st, en) => en - st }.sum)
+    }.toMap
+    val expected = perUser.values.groupBy(_._1).toSeq
+      .map { case (n, us) =>
+        (n, us.size.toLong, us.map(_._2).sum, us.map(_._2).max)
+      }.sortBy(_._1)
+    val got = run("q200_interval_union").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(got.toSeq == expected)
+    // merging actually happened: some user has fewer islands than events
+    val eventsPerUser = ev.groupBy(_._1).view.mapValues(_.length.toLong)
+    assert(perUser.exists { case (u, (n, _)) => n < eventsPerUser(u) })
+  }
+
   // ---------------------------------------------------------------- q185
 
   test("two-hop reach matches driver-side BFS brute force") {

@@ -798,6 +798,28 @@ class BehaviorDriftSpec extends SparkSpec {
     assert(got.forall(t => t._1 >= 1L && t._1 <= 5L))
   }
 
+  // ---------------------------------------------------------------- q198
+
+  test("benford audit matches driver-side digit census") {
+    val benford = Map(1L -> 301030L, 2L -> 176091L, 3L -> 124939L,
+      4L -> 96910L, 5L -> 79181L, 6L -> 66947L, 7L -> 57992L,
+      8L -> 51153L, 9L -> 45757L)
+    val cents = Tables.orders(spark, sfDir)
+      .selectExpr("CAST(floor(o_totalprice*100 + 0.5) AS LONG) AS vc")
+      .collect().map(_.getLong(0))
+    val tot = cents.length.toLong
+    val expected = cents.groupBy(v => v.toString.head.asDigit.toLong).toSeq
+      .map { case (d, vs) =>
+        val share = vs.length * 1000000L / tot
+        (d, vs.length.toLong, share, benford(d), math.abs(share - benford(d)))
+      }.sortBy(_._1)
+    val got = run("q198_benford_audit").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    assert(got.toSeq == expected)
+    // the expectation column is a proper distribution (ppm sums to 1e6)
+    assert(benford.values.sum == 1000000L)
+  }
+
   // ---------------------------------------------------------------- q194
 
   test("binseg changepoint matches driver-side exhaustive split search") {

@@ -216,4 +216,40 @@ class PlanningOpsSpec extends SparkSpec {
     // p90 is at or above p50
     got.foreach { case (s, _, p50, p90) => assert(p90 >= p50, s) }
   }
+
+  // ---------------------------------------------------------------- q199
+
+  test("linear interpolation matches driver-side neighbor fill") {
+    val sfDir = "/root/testdata/sf0.001"
+    val daily = Tables.orders(spark, sfDir)
+      .filter(col("o_orderdate") >= "1995-01-01" && col("o_orderdate") < "1996-01-01")
+      .selectExpr("o_orderpriority AS pri",
+        "CAST(CAST(o_orderdate AS TIMESTAMP) AS LONG) div 86400 AS day",
+        "CAST(floor(o_totalprice*100 + 0.5) AS LONG) AS vc")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+      .groupBy(t => (t._1, t._2)).view.mapValues(_.map(_._3).sum).toMap
+    val pris = Tables.orders(spark, sfDir)
+      .select("o_orderpriority").distinct().collect().map(_.getString(0)).sorted
+    def truncDiv(a: Long, b: Long) = a / b // JVM / truncates toward zero, like div
+    val expected = for {
+      pri <- pris.toSeq; day <- 9131L to 9495L
+      obs = daily.get((pri, day))
+      lo = (9131L to day).reverse.collectFirst { case d if daily.contains((pri, d)) => d }
+      hi = (day to 9495L).collectFirst { case d if daily.contains((pri, d)) => d }
+    } yield {
+      val v = obs.getOrElse((lo, hi) match {
+        case (Some(l), Some(h)) =>
+          daily((pri, l)) + truncDiv((daily((pri, h)) - daily((pri, l))) * (day - l), h - l)
+        case (Some(l), None) => daily((pri, l))
+        case (None, Some(h)) => daily((pri, h))
+        case _ => 0L
+      })
+      (pri, day, v, obs.isEmpty)
+    }
+    val got = SparkEntry.queries("q199_linear_interpolation")(spark, sfDir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getBoolean(3)))
+    assert(got.toSeq == expected)
+    // gaps actually exist at this SF (the interpolation path is exercised)
+    assert(got.count(_._4) > 0)
+  }
 }
