@@ -786,7 +786,87 @@ object DriftQueries extends QueryGroup {
       FROM best WHERE rn = 1 ORDER BY prio
     """))
 
+  /** Lag-7 autocorrelation — the seasonality DETECTOR feeding q201's
+    * model choice: per priority, Pearson r² (ppm) and sign between the
+    * zero-filled 1995 daily series and itself shifted one week. All
+    * moments are exact integers in hecto-dollar units (cents div 10^4 —
+    * the rescaling that keeps every product, including cov²·10^6,
+    * inside 38 digits even at 10^9-dollar daily volumes), evaluated in
+    * decimal(38,0) / HUGEINT; no sqrt — r² cross-multiplies instead.
+    * Constant series ⇒ zero variance ⇒ NULL r² (÷0) in both engines.
+    *
+    * Scale shape: one date-pruned grouped aggregation; lag + moment
+    * rollup run on the 5×365-row spine, keyed by priority. */
+  private val q203 = QueryDef(
+    "q203_lag7_autocorrelation",
+    (spark, dir) => {
+      import graft.functions.Deterministic.{cents, epochS}
+      val daily = Tables.orders(spark, dir)
+        .filter(col("o_orderdate") >= "1995-01-01" && col("o_orderdate") < "1996-01-01")
+        .select(col("o_orderpriority").as("pri"),
+          (epochS(col("o_orderdate")) / 86400).cast("long").as("day"),
+          cents(col("o_totalprice")).as("vc"))
+        .groupBy(col("pri"), col("day")).agg(sum(col("vc")).as("vc"))
+      val spine = Tables.orders(spark, dir)
+        .select(col("o_orderpriority")).distinct()
+        .select(col("o_orderpriority").as("pri"),
+          explode(sequence(lit(9131L), lit(9495L))).as("day"))
+      val w = Window.partitionBy(col("pri")).orderBy(col("day"))
+      val d = (c: org.apache.spark.sql.Column) => c.cast("decimal(38,0)")
+      spine.join(daily, Seq("pri", "day"), "left")
+        .withColumn("x", expr("coalesce(vc, 0L) div 10000"))
+        .withColumn("y", lag(col("x"), 7).over(w))
+        .filter(col("y").isNotNull)
+        .groupBy(col("pri"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+          sum(d(col("x")) * d(col("y"))).as("sxy"),
+          sum(d(col("x")) * d(col("x"))).as("sxx"),
+          sum(d(col("y")) * d(col("y"))).as("syy"))
+        .withColumn("cov", d(col("n")) * col("sxy") - d(col("sx")) * d(col("sy")))
+        .withColumn("varx", d(col("n")) * col("sxx") - d(col("sx")) * d(col("sx")))
+        .withColumn("vary", d(col("n")) * col("syy") - d(col("sy")) * d(col("sy")))
+        .select(col("pri"), col("n").as("n_pairs"),
+          signum(col("cov")).cast("long").as("cov_sign"),
+          expr("CAST((cov * cov * 1000000) div (varx * vary) AS BIGINT)").as("r2_ppm"))
+        .orderBy(col("pri"))
+    },
+    Some("""
+      WITH daily AS (
+        SELECT o_orderpriority AS pri,
+          CAST(epoch_ms(o_orderdate) // 1000 // 86400 AS BIGINT) AS day,
+          CAST(sum(CAST(floor(o_totalprice*100 + 0.5) AS BIGINT)) AS BIGINT) AS vc
+        FROM orders
+        WHERE o_orderdate >= TIMESTAMP '1995-01-01'
+          AND o_orderdate < TIMESTAMP '1996-01-01'
+        GROUP BY 1, 2),
+      spine AS (
+        SELECT pri, CAST(d AS BIGINT) AS day
+        FROM (SELECT DISTINCT o_orderpriority AS pri FROM orders),
+          LATERAL (SELECT unnest(range(9131, 9496)) AS d) t),
+      s AS (
+        SELECT s.pri, s.day, coalesce(daily.vc, 0) // 10000 AS x,
+          lag(coalesce(daily.vc, 0) // 10000, 7)
+            OVER (PARTITION BY s.pri ORDER BY s.day) AS y
+        FROM spine s LEFT JOIN daily ON s.pri = daily.pri AND s.day = daily.day),
+      m AS (
+        SELECT pri, CAST(count(*) AS BIGINT) AS n,
+          CAST(sum(x) AS HUGEINT) AS sx, CAST(sum(y) AS HUGEINT) AS sy,
+          CAST(sum(CAST(x AS HUGEINT) * y) AS HUGEINT) AS sxy,
+          CAST(sum(CAST(x AS HUGEINT) * x) AS HUGEINT) AS sxx,
+          CAST(sum(CAST(y AS HUGEINT) * y) AS HUGEINT) AS syy
+        FROM s WHERE y IS NOT NULL GROUP BY pri),
+      c AS (
+        SELECT pri, n, n*sxy - sx*sy AS cov,
+          n*sxx - sx*sx AS varx, n*syy - sy*sy AS vary
+        FROM m)
+      SELECT pri, n AS n_pairs,
+        CAST(CASE WHEN cov < 0 THEN -1 WHEN cov > 0 THEN 1 ELSE 0 END AS BIGINT) AS cov_sign,
+        CAST((cov * cov * 1000000) // (varx * vary) AS BIGINT) AS r2_ppm
+      FROM c ORDER BY pri
+    """))
+
   override def defs: Seq[QueryDef] =
     Seq(q118, q119, q120, q121, q122, q131, q145, q148, q154, q161, q166, q176,
-      q188, q194)
+      q188, q194, q203)
 }

@@ -604,6 +604,80 @@ object PlanningQueries extends QueryGroup {
       FROM c GROUP BY source ORDER BY source
     """))
 
+  /** One-step-ahead forecast backtest — naive (yesterday) vs
+    * seasonal-naive (same weekday last week) over the zero-filled 1995
+    * daily revenue series, scored by MAE in exact integer cents. The
+    * model-selection primitive behind capacity planning: before fitting
+    * anything fancier, know which trivial baseline the series already
+    * beats. Zero-fill (not interpolation — q199) is the right prep here
+    * because a missing day IS zero demand for forecasting purposes.
+    *
+    * Scale shape: one date-pruned grouped aggregation; the lag windows
+    * and the scoring rollup run on the 5×365-row spine, keyed by
+    * priority throughout — nothing global, nothing row-scale. */
+  private val q201 = QueryDef(
+    "q201_forecast_backtest",
+    (spark, dir) => {
+      import graft.functions.Deterministic.{cents, epochS}
+      val daily = Tables.orders(spark, dir)
+        .filter(col("o_orderdate") >= "1995-01-01" && col("o_orderdate") < "1996-01-01")
+        .select(col("o_orderpriority").as("pri"),
+          (epochS(col("o_orderdate")) / 86400).cast("long").as("day"),
+          cents(col("o_totalprice")).as("vc"))
+        .groupBy(col("pri"), col("day")).agg(sum(col("vc")).as("vc"))
+      val spine = Tables.orders(spark, dir)
+        .select(col("o_orderpriority").as("pri")).distinct()
+        .select(col("pri"), explode(sequence(lit(9131L), lit(9495L))).as("day"))
+      val w = Window.partitionBy(col("pri")).orderBy(col("day"))
+      spine.join(daily, Seq("pri", "day"), "left")
+        .withColumn("v", coalesce(col("vc"), lit(0L)))
+        .withColumn("f1", lag(col("v"), 1).over(w))
+        .withColumn("f7", lag(col("v"), 7).over(w))
+        .filter(col("day") >= 9138L)
+        .groupBy(col("pri"))
+        .agg(count(lit(1)).as("n_days"),
+          sum(abs(col("v") - col("f1"))).as("sae1"),
+          sum(abs(col("v") - col("f7"))).as("sae7"))
+        .select(col("pri"), col("n_days"),
+          expr("sae1 div n_days").as("mae_naive_cents"),
+          expr("sae7 div n_days").as("mae_seasonal_cents"),
+          when(col("sae7") < col("sae1"), "seasonal")
+            .when(col("sae1") < col("sae7"), "naive")
+            .otherwise("tie").as("winner"))
+        .orderBy(col("pri"))
+    },
+    Some("""
+      WITH daily AS (
+        SELECT o_orderpriority AS pri,
+          CAST(epoch_ms(o_orderdate) // 1000 // 86400 AS BIGINT) AS day,
+          CAST(sum(CAST(floor(o_totalprice*100 + 0.5) AS BIGINT)) AS BIGINT) AS vc
+        FROM orders
+        WHERE o_orderdate >= TIMESTAMP '1995-01-01'
+          AND o_orderdate < TIMESTAMP '1996-01-01'
+        GROUP BY 1, 2),
+      spine AS (
+        SELECT pri, CAST(d AS BIGINT) AS day
+        FROM (SELECT DISTINCT o_orderpriority AS pri FROM orders),
+          LATERAL (SELECT unnest(range(9131, 9496)) AS d) x),
+      s AS (
+        SELECT s.pri, s.day, coalesce(daily.vc, 0) AS v,
+          lag(coalesce(daily.vc, 0), 1) OVER w AS f1,
+          lag(coalesce(daily.vc, 0), 7) OVER w AS f7
+        FROM spine s LEFT JOIN daily ON s.pri = daily.pri AND s.day = daily.day
+        WINDOW w AS (PARTITION BY s.pri ORDER BY s.day)),
+      g AS (
+        SELECT pri, CAST(count(*) AS BIGINT) AS n_days,
+          CAST(sum(abs(v - f1)) AS BIGINT) AS sae1,
+          CAST(sum(abs(v - f7)) AS BIGINT) AS sae7
+        FROM s WHERE day >= 9138 GROUP BY pri)
+      SELECT pri, n_days,
+        CAST(sae1 // n_days AS BIGINT) AS mae_naive_cents,
+        CAST(sae7 // n_days AS BIGINT) AS mae_seasonal_cents,
+        CASE WHEN sae7 < sae1 THEN 'seasonal'
+             WHEN sae1 < sae7 THEN 'naive' ELSE 'tie' END AS winner
+      FROM g ORDER BY pri
+    """))
+
   override def defs: Seq[QueryDef] =
-    Seq(q125, q126, q128, q130, q133, q135, q136, q141, q146, q171, q175, q195)
+    Seq(q125, q126, q128, q130, q133, q135, q136, q141, q146, q171, q175, q195, q201)
 }

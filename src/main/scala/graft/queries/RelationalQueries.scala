@@ -675,7 +675,53 @@ object RelationalQueries extends QueryGroup {
       ORDER BY op, nationkey
     """))
 
+  /** Null-safe equi-join (`<=>` / IS NOT DISTINCT FROM): enrichment
+    * where the join key is legitimately nullable and NULL must match
+    * NULL — here a nullable "campaign" key (event_type with 'view'
+    * nulled out, the organic-traffic cohort) joined back to its own
+    * per-key dimension. A plain equi-join silently drops every organic
+    * row (NULL = NULL is NULL); the null-safe form keeps them, and the
+    * output proves it by asserting n_fact == dim_n per key.
+    *
+    * Scale shape: EqualNullSafe is still an EQUI-join predicate —
+    * Spark plans a hash/sort-merge join on the null-coalesced key, not
+    * a nested loop (`AffinityOpsSpec` pins the plan), so this costs
+    * the same one shuffle as `=`. */
+  private val q202 = QueryDef(
+    "q202_null_safe_join",
+    (spark, dir) => {
+      val e = Tables.events(spark, dir)
+        .select(expr("NULLIF(event_type, 'view')").as("k"),
+          cents(col("value")).as("vc"))
+      val dim = e.groupBy(col("k"))
+        .agg(count(lit(1)).as("dim_n"), sum(col("vc")).as("dim_cents"))
+        .withColumnRenamed("k", "dk")
+      e.join(dim, col("k") <=> col("dk"))
+        .groupBy(coalesce(col("k"), lit("organic")).as("key"))
+        .agg(count(lit(1)).as("n_fact"), max(col("dim_n")).as("dim_n"),
+          sum(col("vc")).as("fact_cents"))
+        .withColumn("no_rows_lost", col("n_fact") === col("dim_n"))
+        .orderBy(col("key"))
+    },
+    Some("""
+      WITH e AS (
+        SELECT NULLIF(event_type, 'view') AS k,
+          CAST(floor(value*100 + 0.5) AS BIGINT) AS vc
+        FROM events),
+      dim AS (
+        SELECT k AS dk, CAST(count(*) AS BIGINT) AS dim_n,
+          CAST(sum(vc) AS BIGINT) AS dim_cents
+        FROM e GROUP BY 1)
+      SELECT coalesce(e.k, 'organic') AS key,
+        CAST(count(*) AS BIGINT) AS n_fact,
+        CAST(max(dim_n) AS BIGINT) AS dim_n,
+        CAST(sum(vc) AS BIGINT) AS fact_cents,
+        count(*) = max(dim_n) AS no_rows_lost
+      FROM e JOIN dim ON e.k IS NOT DISTINCT FROM dim.dk
+      GROUP BY 1 ORDER BY key
+    """))
+
   def defs: Seq[QueryDef] =
     Seq(q10, q11, q12, q13, q14, q15, q16, q17, q18, q19, q48, q49, q52, q53,
-      q164, q168, q183, q187, q190, q193)
+      q164, q168, q183, q187, q190, q193, q202)
 }

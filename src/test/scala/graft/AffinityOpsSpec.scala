@@ -535,6 +535,29 @@ class AffinityOpsSpec extends SparkSpec {
     assert(perUser.exists { case (u, (n, _)) => n < eventsPerUser(u) })
   }
 
+  // ---------------------------------------------------------------- q202
+
+  test("null-safe join keeps the NULL-key cohort and stays an equi-join") {
+    val ev = Tables.events(spark, sfDir)
+      .selectExpr("NULLIF(event_type, 'view') AS k",
+        "CAST(floor(value*100 + 0.5) AS LONG) AS vc")
+      .collect().map(r => (Option(r.get(0)).map(_.toString), r.getLong(1)))
+    val expected = ev.groupBy(_._1).toSeq
+      .map { case (k, rows) =>
+        (k.getOrElse("organic"), rows.length.toLong, rows.length.toLong,
+          rows.map(_._2).sum, true)
+      }.sortBy(_._1)
+    val df = run("q202_null_safe_join")
+    val got = df.collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getBoolean(4)))
+    assert(got.toSeq == expected)
+    // the organic (NULL-key) cohort survived — a plain equi-join drops it
+    assert(got.exists(_._1 == "organic"))
+    // EqualNullSafe still plans as an equi-join, never a nested loop
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"), plan)
+  }
+
   // ---------------------------------------------------------------- q185
 
   test("two-hop reach matches driver-side BFS brute force") {

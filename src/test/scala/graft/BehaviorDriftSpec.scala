@@ -820,6 +820,40 @@ class BehaviorDriftSpec extends SparkSpec {
     assert(benford.values.sum == 1000000L)
   }
 
+  // ---------------------------------------------------------------- q203
+
+  test("lag-7 autocorrelation matches driver-side exact moments") {
+    val daily = Tables.orders(spark, sfDir)
+      .filter("o_orderdate >= '1995-01-01' AND o_orderdate < '1996-01-01'")
+      .selectExpr("o_orderpriority AS pri",
+        "CAST(CAST(o_orderdate AS TIMESTAMP) AS LONG) div 86400 AS day",
+        "CAST(floor(o_totalprice*100 + 0.5) AS LONG) AS vc")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+      .groupBy(t => (t._1, t._2)).view.mapValues(_.map(_._3).sum).toMap
+    val pris = Tables.orders(spark, sfDir)
+      .select("o_orderpriority").distinct().collect().map(_.getString(0)).sorted
+    val expected = pris.toSeq.map { pri =>
+      def v(d: Long) = daily.getOrElse((pri, d), 0L) / 10000L
+      val pairs = (9138L to 9495L).map(d => (BigInt(v(d)), BigInt(v(d - 7))))
+      val n = BigInt(pairs.length)
+      val (sx, sy) = (pairs.map(_._1).sum, pairs.map(_._2).sum)
+      val sxy = pairs.map(p => p._1 * p._2).sum
+      val sxx = pairs.map(p => p._1 * p._1).sum
+      val syy = pairs.map(p => p._2 * p._2).sum
+      val cov = n * sxy - sx * sy
+      val (varx, vary) = (n * sxx - sx * sx, n * syy - sy * sy)
+      val r2 = if (varx * vary == 0) None
+        else Some((cov * cov * 1000000 / (varx * vary)).toLong)
+      (pri, pairs.length.toLong, cov.signum.toLong, r2)
+    }
+    val got = run("q203_lag7_autocorrelation").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        if (r.isNullAt(3)) None else Some(r.getLong(3))))
+    assert(got.toSeq == expected)
+    // r² is a proper fraction of one million
+    got.flatMap(_._4).foreach(r2 => assert(r2 >= 0L && r2 <= 1000000L))
+  }
+
   // ---------------------------------------------------------------- q194
 
   test("binseg changepoint matches driver-side exhaustive split search") {

@@ -252,4 +252,31 @@ class PlanningOpsSpec extends SparkSpec {
     // gaps actually exist at this SF (the interpolation path is exercised)
     assert(got.count(_._4) > 0)
   }
+
+  // ---------------------------------------------------------------- q201
+
+  test("forecast backtest matches driver-side lag scoring") {
+    val sfDir = "/root/testdata/sf0.001"
+    val daily = Tables.orders(spark, sfDir)
+      .filter(col("o_orderdate") >= "1995-01-01" && col("o_orderdate") < "1996-01-01")
+      .selectExpr("o_orderpriority AS pri",
+        "CAST(CAST(o_orderdate AS TIMESTAMP) AS LONG) div 86400 AS day",
+        "CAST(floor(o_totalprice*100 + 0.5) AS LONG) AS vc")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+      .groupBy(t => (t._1, t._2)).view.mapValues(_.map(_._3).sum).toMap
+    val pris = Tables.orders(spark, sfDir)
+      .select("o_orderpriority").distinct().collect().map(_.getString(0)).sorted
+    val expected = pris.toSeq.map { pri =>
+      def v(d: Long) = daily.getOrElse((pri, d), 0L)
+      val days = 9138L to 9495L
+      val sae1 = days.map(d => math.abs(v(d) - v(d - 1))).sum
+      val sae7 = days.map(d => math.abs(v(d) - v(d - 7))).sum
+      val n = days.length.toLong
+      val winner = if (sae7 < sae1) "seasonal" else if (sae1 < sae7) "naive" else "tie"
+      (pri, n, sae1 / n, sae7 / n, winner)
+    }
+    val got = SparkEntry.queries("q201_forecast_backtest")(spark, sfDir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getString(4)))
+    assert(got.toSeq == expected)
+  }
 }
