@@ -898,7 +898,131 @@ object BehaviorQueries extends QueryGroup {
       FROM runs GROUP BY user_id ORDER BY user_id
     """))
 
+  /** Purchase-activity bitmap census: each user's January purchase days
+    * packed into one 30-bit Long (bit d−1 = bought on day d), then a
+    * histogram over popcount with a contiguous-run subcount via pure bit
+    * tricks — `mask & -mask` isolates the lowest bit, and a mask is one
+    * contiguous run iff shifting it down to bit 0 yields 2^k−1 (x&(x+1)=0).
+    * The roaring-bitmap idea in miniature: a month of per-user presence is
+    * ONE integer, so set algebra (popcount, runs, day membership) costs one
+    * ALU op instead of a per-day row scan.
+    *
+    * Scale shape: one filtered scan → hash aggregate keyed by user (bit_or
+    * partials combine map-side, one Long per user shuffles — never the
+    * events), then a ≤31-row histogram. At 100 TB the per-user masks are
+    * the compression: 30 day-rows collapse into 8 bytes before the wire. */
+  private val q204 = QueryDef(
+    "q204_activity_bitmap",
+    (spark, dir) => {
+      Tables.events(spark, dir)
+        .filter(col("event_type") === "purchase")
+        .select(col("user_id"), dayofmonth(col("ts")).as("d"))
+        .groupBy(col("user_id"))
+        .agg(expr("bit_or(shiftleft(CAST(1 AS BIGINT), d - 1))").as("mask"),
+          count(lit(1)).as("n_ev"))
+        .select(expr("CAST(bit_count(mask) AS BIGINT)").as("n_active_days"),
+          expr("CASE WHEN ((mask DIV (mask & -mask)) & ((mask DIV (mask & -mask)) + 1)) = 0 " +
+            "THEN 1L ELSE 0L END").as("contig"),
+          col("n_ev"))
+        .groupBy(col("n_active_days"))
+        .agg(count(lit(1)).as("n_users"), sum(col("contig")).as("n_contiguous"),
+          sum(col("n_ev")).as("n_purchases"))
+        .orderBy(col("n_active_days"))
+    },
+    Some("""
+      WITH m AS (
+        SELECT user_id,
+          bit_or(1::BIGINT << (CAST(extract(day FROM ts) AS INTEGER) - 1)) AS mask,
+          CAST(count(*) AS BIGINT) AS n_ev
+        FROM events WHERE event_type = 'purchase' GROUP BY user_id),
+      f AS (
+        SELECT CAST(bit_count(mask) AS BIGINT) AS n_active_days,
+          CASE WHEN ((mask // (mask & -mask)) & ((mask // (mask & -mask)) + 1)) = 0
+               THEN 1 ELSE 0 END AS contig,
+          n_ev
+        FROM m)
+      SELECT n_active_days, CAST(count(*) AS BIGINT) AS n_users,
+        CAST(sum(contig) AS BIGINT) AS n_contiguous,
+        CAST(sum(n_ev) AS BIGINT) AS n_purchases
+      FROM f GROUP BY n_active_days ORDER BY n_active_days
+    """))
+
+  /** Markov next-event backtest: transition counts learned on events
+    * before Jan 25 predict each state's most-likely successor (ties break
+    * alphabetically), scored top-1 on the held-out tail. The honest
+    * companion to q150's transition matrix — a model is only as good as
+    * its out-of-sample hit rate, and the time-based split (never random)
+    * keeps both engines and every rerun on the same test set. A pair
+    * belongs to train iff its LATER event predates the cutoff, so no
+    * pair straddles into both sets.
+    *
+    * Scale shape: the lag window shuffles once by user; transition counts
+    * collapse to |states|² rows, so the argmax window and the broadcast
+    * join against test pairs are free. Nothing global ever sorts. */
+  private val q206 = QueryDef(
+    "q206_markov_backtest",
+    (spark, dir) => {
+      val cutoff = 1706140800L // 2024-01-25 00:00:00 UTC
+      val w = Window.partitionBy(col("user_id")).orderBy(col("ts_s"), col("event_id"))
+      val pairs = Tables.events(spark, dir)
+        .select(col("user_id"), col("event_id"), epochS(col("ts")).as("ts_s"),
+          col("event_type"))
+        .withColumn("prev_type", lag(col("event_type"), 1).over(w))
+        .filter(col("prev_type").isNotNull)
+        .select(col("prev_type"), col("event_type").as("next_type"), col("ts_s"))
+      val pred = pairs.filter(col("ts_s") < cutoff)
+        .groupBy(col("prev_type"), col("next_type")).agg(count(lit(1)).as("n"))
+        .withColumn("rk", row_number().over(
+          Window.partitionBy(col("prev_type"))
+            .orderBy(col("n").desc, col("next_type"))))
+        .filter(col("rk") === 1)
+        .select(col("prev_type"), col("next_type").as("predicted"))
+      pairs.filter(col("ts_s") >= cutoff)
+        .join(broadcast(pred), Seq("prev_type"), "left")
+        .withColumn("predicted", coalesce(col("predicted"), lit("(none)")))
+        .groupBy(col("prev_type"), col("predicted"))
+        .agg(count(lit(1)).as("n_test"),
+          sum(when(col("next_type") === col("predicted"), 1L).otherwise(0L))
+            .as("n_correct"))
+        .select(col("prev_type"), col("predicted"), col("n_test"), col("n_correct"),
+          expr("n_correct * 1000000L div n_test").as("acc_ppm"))
+        .orderBy(col("prev_type"))
+    },
+    Some("""
+      WITH e AS (
+        SELECT user_id, event_id, event_type,
+          CAST(epoch_ms(ts) // 1000 AS BIGINT) AS ts_s
+        FROM events),
+      p AS (
+        SELECT lag(event_type) OVER
+            (PARTITION BY user_id ORDER BY ts_s, event_id) AS prev_type,
+          event_type AS next_type, ts_s
+        FROM e),
+      pairs AS (SELECT * FROM p WHERE prev_type IS NOT NULL),
+      cnt AS (
+        SELECT prev_type, next_type, count(*) AS n
+        FROM pairs WHERE ts_s < 1706140800 GROUP BY 1, 2),
+      pred AS (
+        SELECT prev_type, next_type AS predicted
+        FROM (SELECT prev_type, next_type,
+                row_number() OVER (PARTITION BY prev_type
+                  ORDER BY n DESC, next_type) AS rk
+              FROM cnt)
+        WHERE rk = 1)
+      SELECT t.prev_type, coalesce(pred.predicted, '(none)') AS predicted,
+        CAST(count(*) AS BIGINT) AS n_test,
+        CAST(sum(CASE WHEN t.next_type = coalesce(pred.predicted, '(none)')
+                 THEN 1 ELSE 0 END) AS BIGINT) AS n_correct,
+        CAST(sum(CASE WHEN t.next_type = coalesce(pred.predicted, '(none)')
+                 THEN 1 ELSE 0 END) * 1000000
+          // count(*) AS BIGINT) AS acc_ppm
+      FROM (SELECT * FROM pairs WHERE ts_s >= 1706140800) t
+      LEFT JOIN pred ON t.prev_type = pred.prev_type
+      GROUP BY t.prev_type, coalesce(pred.predicted, '(none)')
+      ORDER BY t.prev_type
+    """))
+
   override def defs: Seq[QueryDef] =
     Seq(q115, q116, q117, q132, q134, q140, q142, q143, q144, q150, q151, q153,
-      q160, q162, q184, q192)
+      q160, q162, q184, q192, q204, q206)
 }

@@ -503,6 +503,73 @@ object StatsQueries extends QueryGroup {
       FROM r WHERE rn = (n_pairs + 1) // 2 ORDER BY yr
     """))
 
+  /** Herfindahl–Hirschman supplier-concentration index per nation: each
+    * supplier's revenue share of its nation in exact ppm, HHI = Σ share²
+    * rescaled back to ppm (1 000 000 = monopoly), banded at the antitrust
+    * thresholds (0.25 / 0.15 of the 0–1 scale). Complements q90 (share of
+    * grand total) and q117 (Gini): HHI is the concentration statistic
+    * that detects ONE dominant supplier even when the rest are equal.
+    *
+    * Scale shape: one lineitem scan → hash aggregate keyed by supplier
+    * (broadcast nation lookup), then windows over the supplier-count-sized
+    * table only. Share numerators run in decimal(38,0) — cents·10^6
+    * passes 2^63 near the 100 TB design point — but each share is ≤10^6,
+    * so the Σ share² accumulator stays a cheap Long (≤10^12·n). */
+  private val q205 = QueryDef(
+    "q205_hhi_concentration",
+    (spark, dir) => {
+      val bySupp = Tables.lineitem(spark, dir)
+        .join(broadcast(Tables.supplier(spark, dir)),
+          col("l_suppkey") === col("s_suppkey"))
+        .join(broadcast(Tables.nation(spark, dir)),
+          col("s_nationkey") === col("n_nationkey"))
+        .groupBy(col("n_name"), col("s_suppkey"))
+        .agg(sum(cents(col("l_extendedprice"))).as("rev"))
+      val w = Window.partitionBy(col("n_name"))
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+      bySupp
+        .withColumn("nat_rev", sum(col("rev")).over(w))
+        .withColumn("share_ppm",
+          expr("CAST(CAST(rev AS DECIMAL(38,0)) * 1000000 DIV nat_rev AS BIGINT)"))
+        .groupBy(col("n_name"))
+        .agg(count(lit(1)).as("n_suppliers"),
+          max(col("nat_rev")).as("nation_rev_cents"),
+          expr("CAST(sum(share_ppm * share_ppm) DIV 1000000 AS BIGINT)")
+            .as("hhi_ppm"))
+        .withColumn("band",
+          when(col("hhi_ppm") >= 250000L, "concentrated")
+            .when(col("hhi_ppm") >= 150000L, "moderate")
+            .otherwise("unconcentrated"))
+        .select(col("n_name"), col("n_suppliers"), col("nation_rev_cents"),
+          col("hhi_ppm"), col("band"))
+        .orderBy(col("hhi_ppm").desc, col("n_name"))
+    },
+    Some("""
+      WITH s AS (
+        SELECT n_name, s_suppkey,
+          CAST(sum(CAST(floor(l_extendedprice*100 + 0.5) AS BIGINT)) AS BIGINT) AS rev
+        FROM lineitem
+        JOIN supplier ON l_suppkey = s_suppkey
+        JOIN nation ON s_nationkey = n_nationkey
+        GROUP BY 1, 2),
+      sh AS (
+        SELECT n_name, rev,
+          CAST(sum(rev) OVER (PARTITION BY n_name) AS BIGINT) AS nat_rev,
+          CAST(CAST(rev AS HUGEINT) * 1000000
+            // sum(rev) OVER (PARTITION BY n_name) AS BIGINT) AS share_ppm
+        FROM s),
+      h AS (
+        SELECT n_name, CAST(count(*) AS BIGINT) AS n_suppliers,
+          CAST(max(nat_rev) AS BIGINT) AS nation_rev_cents,
+          CAST(sum(share_ppm * share_ppm) // 1000000 AS BIGINT) AS hhi_ppm
+        FROM sh GROUP BY n_name)
+      SELECT n_name, n_suppliers, nation_rev_cents, hhi_ppm,
+        CASE WHEN hhi_ppm >= 250000 THEN 'concentrated'
+             WHEN hhi_ppm >= 150000 THEN 'moderate'
+             ELSE 'unconcentrated' END AS band
+      FROM h ORDER BY hhi_ppm DESC, n_name
+    """))
+
   def defs: Seq[QueryDef] =
-    Seq(q36, q37, q38, q39, q40, q41, q42, q55, q90, q180, q181, q186)
+    Seq(q36, q37, q38, q39, q40, q41, q42, q55, q90, q180, q181, q186, q205)
 }

@@ -885,4 +885,91 @@ class BehaviorDriftSpec extends SparkSpec {
     assert(got.toSeq == expected)
     got.foreach { case (p, _, _, r2) => assert(r2 >= 0.0 && r2 <= 1.0, s"$p r2=$r2") }
   }
+
+  // ---------------------------------------------------------------- q204
+
+  test("activity bitmap census matches driver-side day-set brute force") {
+    val ev = Tables.events(spark, sfDir)
+      .filter("event_type = 'purchase'")
+      .selectExpr("user_id", "CAST(day(ts) AS INT) AS d")
+      .collect().map(r => (r.getLong(0), r.getInt(1)))
+    val expected = ev.groupBy(_._1).values.toSeq
+      .map { rows =>
+        val days = rows.map(_._2).toSet
+        val contiguous = days.max - days.min + 1 == days.size
+        (days.size.toLong, if (contiguous) 1L else 0L, rows.length.toLong)
+      }
+      .groupBy(_._1).toSeq
+      .map { case (nd, us) => (nd, us.length.toLong, us.map(_._2).sum, us.map(_._3).sum) }
+      .sortBy(_._1)
+    val got = run("q204_activity_bitmap").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(got.toSeq == expected)
+    // every user appears exactly once across the histogram
+    val nUsers = ev.map(_._1).distinct.length.toLong
+    assert(got.map(_._2).sum == nUsers)
+  }
+
+  // ---------------------------------------------------------------- q206
+
+  test("markov backtest matches driver-side argmax scoring") {
+    val cutoff = 1706140800L
+    val ev = Tables.events(spark, sfDir)
+      .selectExpr("user_id", "event_id", "CAST(CAST(ts AS TIMESTAMP) AS LONG) AS ts_s",
+        "event_type")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+    val pairs = ev.groupBy(_._1).values.flatMap { rows =>
+      val sorted = rows.sortBy(r => (r._3, r._2))
+      sorted.zip(sorted.tail).map { case (a, b) => (a._4, b._4, b._3) }
+    }.toSeq
+    val pred = pairs.filter(_._3 < cutoff)
+      .groupBy(p => (p._1, p._2)).view.mapValues(_.size).toSeq
+      .groupBy(_._1._1).view
+      .mapValues(_.maxBy { case ((_, nxt), n) => (n, nxt) }(
+        Ordering.Tuple2(Ordering.Int, Ordering.String.reverse))._1._2)
+      .toMap
+    val expected = pairs.filter(_._3 >= cutoff)
+      .groupBy(_._1).toSeq
+      .map { case (prev, ps) =>
+        val p = pred.getOrElse(prev, "(none)")
+        val correct = ps.count(_._2 == p).toLong
+        (prev, p, ps.length.toLong, correct, correct * 1000000L / ps.length)
+      }
+      .sortBy(_._1)
+    val got = run("q206_markov_backtest").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    assert(got.toSeq == expected)
+  }
+
+  // ---------------------------------------------------------------- q205
+
+  test("HHI concentration matches driver-side share arithmetic") {
+    val supp = Tables.supplier(spark, sfDir)
+      .selectExpr("CAST(s_suppkey AS LONG)", "CAST(s_nationkey AS LONG)").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val natName = Tables.nation(spark, sfDir)
+      .selectExpr("CAST(n_nationkey AS LONG)", "n_name").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val rev = Tables.lineitem(spark, sfDir)
+      .selectExpr("CAST(l_suppkey AS LONG)", "CAST(floor(l_extendedprice*100 + 0.5) AS LONG) AS c")
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+      .groupBy(_._1).view.mapValues(_.map(_._2).sum).toMap
+    val expected = rev.toSeq
+      .map { case (sk, r) => (natName(supp(sk)), r) }
+      .groupBy(_._1).toSeq
+      .map { case (nat, rs) =>
+        val tot = rs.map(_._2).sum
+        val shares = rs.map(r => (BigInt(r._2) * 1000000 / tot).toLong)
+        val hhi = shares.map(s => s * s).sum / 1000000L
+        val band = if (hhi >= 250000L) "concentrated"
+          else if (hhi >= 150000L) "moderate" else "unconcentrated"
+        (nat, rs.length.toLong, tot, hhi, band)
+      }
+      .sortBy { case (nat, _, _, hhi, _) => (-hhi, nat) }
+    val got = run("q205_hhi_concentration").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getString(4)))
+    assert(got.toSeq == expected)
+    // shares of a nation sum to ~1e6, so HHI can never exceed monopoly
+    got.foreach { case (n, _, _, hhi, _) => assert(hhi >= 0L && hhi <= 1000000L, n) }
+  }
 }
