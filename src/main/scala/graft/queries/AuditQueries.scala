@@ -633,6 +633,85 @@ object AuditQueries extends QueryGroup {
       FROM s ORDER BY digit
     """))
 
+  /** Simpson's-paradox audit: BUILDING vs MACHINERY average order value
+    * compared overall AND within every nation, flagging nations whose
+    * direction reverses the aggregate's. Mean comparison never divides —
+    * avg₁ > avg₂ ⟺ s₁·n₂ > s₂·n₁ on exact integer cents, so the verdict
+    * is pure sign algebra and bit-identical across engines. The audit a
+    * metrics team runs before shipping "segment A spends more": if most
+    * nations disagree with the pooled number, the pooled number is the
+    * confounded one.
+    *
+    * Scale shape: one orders scan with broadcast customer-segment and
+    * nation lookups → a 25-row per-nation conditional aggregate; the
+    * pooled comparison is a window over those 25 rows. Cross-products
+    * s·n run in decimal(38,0) — cents·rowcount clears 2^63 at the
+    * 100 TB design point. */
+  private val q209 = QueryDef(
+    "q209_simpson_audit",
+    (spark, dir) => {
+      import graft.functions.Deterministic.cents
+      import org.apache.spark.sql.expressions.Window
+      val everything = Window.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing)
+      Tables.orders(spark, dir)
+        .join(broadcast(Tables.customer(spark, dir)
+          .filter(col("c_mktsegment").isin("BUILDING", "MACHINERY"))
+          .select(col("c_custkey"), col("c_mktsegment"), col("c_nationkey"))),
+          col("o_custkey") === col("c_custkey"))
+        .join(broadcast(Tables.nation(spark, dir)),
+          col("c_nationkey") === col("n_nationkey"))
+        .select(col("n_name"), col("c_mktsegment").as("seg"),
+          cents(col("o_totalprice")).as("c"))
+        .groupBy(col("n_name"))
+        .agg(
+          sum(when(col("seg") === "BUILDING", col("c")).otherwise(0L)).as("s1"),
+          sum(when(col("seg") === "BUILDING", 1L).otherwise(0L)).as("n1"),
+          sum(when(col("seg") === "MACHINERY", col("c")).otherwise(0L)).as("s2"),
+          sum(when(col("seg") === "MACHINERY", 1L).otherwise(0L)).as("n2"))
+        .withColumn("dir", expr(
+          "CAST(sign(CAST(s1 AS DECIMAL(38,0)) * n2 - CAST(s2 AS DECIMAL(38,0)) * n1) AS BIGINT)"))
+        .withColumn("t1", sum(col("s1")).over(everything))
+        .withColumn("m1", sum(col("n1")).over(everything))
+        .withColumn("t2", sum(col("s2")).over(everything))
+        .withColumn("m2", sum(col("n2")).over(everything))
+        .withColumn("overall_dir", expr(
+          "CAST(sign(CAST(t1 AS DECIMAL(38,0)) * m2 - CAST(t2 AS DECIMAL(38,0)) * m1) AS BIGINT)"))
+        .select(col("n_name"), col("n1"), col("n2"), col("dir"), col("overall_dir"),
+          when(col("dir") === 0L || col("overall_dir") === 0L, "tie")
+            .when(col("dir") === col("overall_dir"), "consistent")
+            .otherwise("reversed").as("verdict"))
+        .orderBy(col("n_name"))
+    },
+    Some("""
+      WITH o AS (
+        SELECT n_name, c_mktsegment AS seg,
+          CAST(floor(o_totalprice*100 + 0.5) AS BIGINT) AS c
+        FROM orders
+        JOIN customer ON o_custkey = c_custkey
+        JOIN nation ON c_nationkey = n_nationkey
+        WHERE c_mktsegment IN ('BUILDING', 'MACHINERY')),
+      g AS (
+        SELECT n_name,
+          CAST(sum(CASE WHEN seg = 'BUILDING' THEN c ELSE 0 END) AS BIGINT) AS s1,
+          CAST(sum(CASE WHEN seg = 'BUILDING' THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+          CAST(sum(CASE WHEN seg = 'MACHINERY' THEN c ELSE 0 END) AS BIGINT) AS s2,
+          CAST(sum(CASE WHEN seg = 'MACHINERY' THEN 1 ELSE 0 END) AS BIGINT) AS n2
+        FROM o GROUP BY n_name),
+      d AS (
+        SELECT n_name, n1, n2,
+          CAST(sign(CAST(s1 AS HUGEINT) * n2 - CAST(s2 AS HUGEINT) * n1) AS BIGINT) AS dir,
+          CAST(sign(CAST(sum(s1) OVER () AS HUGEINT) * sum(n2) OVER ()
+            - CAST(sum(s2) OVER () AS HUGEINT) * sum(n1) OVER ()) AS BIGINT) AS overall_dir
+        FROM g)
+      SELECT n_name, n1, n2, dir, overall_dir,
+        CASE WHEN dir = 0 OR overall_dir = 0 THEN 'tie'
+             WHEN dir = overall_dir THEN 'consistent'
+             ELSE 'reversed' END AS verdict
+      FROM d ORDER BY n_name
+    """))
+
   def defs: Seq[QueryDef] =
-    Seq(q81, q83, q84, q85, q91, q149, q155, q156, q167, q169, q191, q197, q198)
+    Seq(q81, q83, q84, q85, q91, q149, q155, q156, q167, q169, q191, q197, q198,
+      q209)
 }

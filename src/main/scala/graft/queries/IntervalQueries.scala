@@ -359,5 +359,60 @@ object IntervalQueries extends QueryGroup {
       FROM per_user GROUP BY n_islands ORDER BY n_islands
     """))
 
-  def defs: Seq[QueryDef] = Seq(q98, q99, q100, q101, q199, q200)
+  /** Forward as-of join with tolerance: for every error event, the FIRST
+    * purchase by the same user strictly after it (in (ts, event_id) total
+    * order), kept only when it lands within the 1-hour tolerance — the
+    * error-recovery-time question, and the mirror of q42's backward
+    * as-of. No pair join ever forms: a descending-order running `min`
+    * over the purchase timestamps ("smallest purchase ts among rows later
+    * than me") resolves every error's successor in one window pass, and
+    * the 1-PRECEDING frame end is what makes the match strict. Results
+    * roll up to a 10-minute-bucket recovery histogram with bucket −1 for
+    * errors that never recover in tolerance.
+    *
+    * Scale shape: one filtered scan (two event types only), one shuffle
+    * by user for the window, then a ≤8-row histogram. The union-window
+    * trick is THE scalable as-of form: tolerance checks happen after
+    * matching, so the plan is identical whatever the tolerance. */
+  private val q208 = QueryDef(
+    "q208_recovery_asof",
+    (spark, dir) => {
+      import graft.functions.Deterministic.epochS
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts_s").desc, col("event_id").desc)
+        .rowsBetween(Window.unboundedPreceding, -1)
+      Tables.events(spark, dir)
+        .filter(col("event_type").isin("error", "purchase"))
+        .select(col("user_id"), col("event_id"), epochS(col("ts")).as("ts_s"),
+          col("event_type"))
+        .withColumn("next_p",
+          min(when(col("event_type") === "purchase", col("ts_s"))).over(w))
+        .filter(col("event_type") === "error")
+        .select(
+          when(col("next_p").isNull || col("next_p") - col("ts_s") > 3600L, -1L)
+            .otherwise(expr("(next_p - ts_s) div 600")).as("bucket"))
+        .groupBy(col("bucket"))
+        .agg(count(lit(1)).as("n_errors"))
+        .orderBy(col("bucket"))
+    },
+    Some("""
+      WITH e AS (
+        SELECT user_id, event_id, event_type,
+          CAST(epoch_ms(ts) // 1000 AS BIGINT) AS ts_s
+        FROM events WHERE event_type IN ('error', 'purchase')),
+      nx AS (
+        SELECT event_type, ts_s,
+          min(CASE WHEN event_type = 'purchase' THEN ts_s END) OVER
+            (PARTITION BY user_id ORDER BY ts_s DESC, event_id DESC
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS next_p
+        FROM e),
+      r AS (
+        SELECT CASE WHEN next_p IS NULL OR next_p - ts_s > 3600 THEN -1
+                    ELSE (next_p - ts_s) // 600 END AS bucket
+        FROM nx WHERE event_type = 'error')
+      SELECT bucket, CAST(count(*) AS BIGINT) AS n_errors
+      FROM r GROUP BY bucket ORDER BY bucket
+    """))
+
+  def defs: Seq[QueryDef] = Seq(q98, q99, q100, q101, q199, q200, q208)
 }

@@ -678,6 +678,90 @@ object PlanningQueries extends QueryGroup {
       FROM g ORDER BY pri
     """))
 
+  /** ABC–XYZ inventory classification over 1995 part demand: ABC from
+    * cumulative revenue share (A = parts covering the first 80 % of
+    * revenue, B to 95 %, C the tail), XYZ from demand variability
+    * (coefficient of variation of the 12 monthly quantities — months
+    * with no sales count as zero demand, which the moment algebra gets
+    * for free since zero months add nothing to ΣQ or ΣQ²; with n pinned
+    * at 12 no calendar spine is ever built). CV thresholds compare cv²
+    * (≤0.25 → X, ≤1 → Y, else Z) so no square root enters the plan.
+    * The nine-cell census is the classic stocking-policy screen: AX =
+    * automate, CZ = forget.
+    *
+    * Scale shape: one date-pruned scan → per-(part, month) quantities →
+    * per-part moments; the cumulative-share window runs over the part
+    * aggregate only (dimension-sized, ~lineitem/7500 — at the 100 TB
+    * design point that global sort is the one stage worth
+    * range-partitioning, and the note here is the reminder). Products
+    * S² and 12·ΣQ² run in decimal(38,0): monthly quantities near 10^9
+    * push S² past 2^63 long before the census misbehaves. */
+  private val q207 = QueryDef(
+    "q207_abc_xyz_classes",
+    (spark, dir) => {
+      import graft.functions.Deterministic.cents
+      val perMonth = Tables.lineitem(spark, dir)
+        .filter(col("l_shipdate") >= "1995-01-01" && col("l_shipdate") < "1996-01-01")
+        .select(col("l_partkey").as("part"), month(col("l_shipdate")).as("m"),
+          cents(col("l_extendedprice")).as("c"),
+          floor(col("l_quantity") + lit(0.5d)).cast("long").as("q"))
+        .groupBy(col("part"), col("m"))
+        .agg(sum(col("c")).as("cm"), sum(col("q")).as("qm"))
+      val perPart = perMonth.groupBy(col("part"))
+        .agg(sum(col("cm")).as("rev"), sum(col("qm")).as("s"),
+          sum(col("qm") * col("qm")).as("qq"))
+      perPart
+        .withColumn("cum_ppm", expr(
+          "CAST(CAST(sum(rev) OVER (ORDER BY rev DESC, part " +
+            "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DECIMAL(38,0)) " +
+            "* 1000000 DIV sum(rev) OVER () AS BIGINT)"))
+        .withColumn("cv2_ppm", expr(
+          "CAST((CAST(12 AS DECIMAL(38,0)) * qq - CAST(s AS DECIMAL(38,0)) * s) " +
+            "* 1000000 DIV (CAST(s AS DECIMAL(38,0)) * s) AS BIGINT)"))
+        .select(
+          when(col("cum_ppm") <= 800000L, "A")
+            .when(col("cum_ppm") <= 950000L, "B").otherwise("C").as("abc"),
+          when(col("cv2_ppm") <= 250000L, "X")
+            .when(col("cv2_ppm") <= 1000000L, "Y").otherwise("Z").as("xyz"),
+          col("rev"))
+        .groupBy(col("abc"), col("xyz"))
+        .agg(count(lit(1)).as("n_parts"), sum(col("rev")).as("revenue_cents"))
+        .orderBy(col("abc"), col("xyz"))
+    },
+    Some("""
+      WITH pm AS (
+        SELECT l_partkey AS part, CAST(month(l_shipdate) AS BIGINT) AS m,
+          CAST(sum(CAST(floor(l_extendedprice*100 + 0.5) AS BIGINT)) AS BIGINT) AS cm,
+          CAST(sum(CAST(floor(l_quantity + 0.5) AS BIGINT)) AS BIGINT) AS qm
+        FROM lineitem
+        WHERE l_shipdate >= TIMESTAMP '1995-01-01'
+          AND l_shipdate < TIMESTAMP '1996-01-01'
+        GROUP BY 1, 2),
+      pp AS (
+        SELECT part, CAST(sum(cm) AS BIGINT) AS rev, CAST(sum(qm) AS BIGINT) AS s,
+          CAST(sum(qm * qm) AS BIGINT) AS qq
+        FROM pm GROUP BY part),
+      cl AS (
+        SELECT rev,
+          CAST(CAST(sum(rev) OVER (ORDER BY rev DESC, part
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS HUGEINT)
+            * 1000000 // sum(rev) OVER () AS BIGINT) AS cum_ppm,
+          CAST((12 * CAST(qq AS HUGEINT) - CAST(s AS HUGEINT) * s)
+            * 1000000 // (CAST(s AS HUGEINT) * s) AS BIGINT) AS cv2_ppm
+        FROM pp),
+      lab AS (
+        SELECT rev,
+          CASE WHEN cum_ppm <= 800000 THEN 'A'
+               WHEN cum_ppm <= 950000 THEN 'B' ELSE 'C' END AS abc,
+          CASE WHEN cv2_ppm <= 250000 THEN 'X'
+               WHEN cv2_ppm <= 1000000 THEN 'Y' ELSE 'Z' END AS xyz
+        FROM cl)
+      SELECT abc, xyz, CAST(count(*) AS BIGINT) AS n_parts,
+        CAST(sum(rev) AS BIGINT) AS revenue_cents
+      FROM lab GROUP BY abc, xyz ORDER BY abc, xyz
+    """))
+
   override def defs: Seq[QueryDef] =
-    Seq(q125, q126, q128, q130, q133, q135, q136, q141, q146, q171, q175, q195, q201)
+    Seq(q125, q126, q128, q130, q133, q135, q136, q141, q146, q171, q175, q195,
+      q201, q207)
 }

@@ -585,4 +585,67 @@ class AffinityOpsSpec extends SparkSpec {
     // reach is monotone: two-hop set contains the one-hop set
     got.foreach { case (s, n1, n2) => assert(n2 >= n1, s"seed $s") }
   }
+
+  // ---------------------------------------------------------------- q208
+
+  test("recovery as-of histogram matches driver-side forward scan") {
+    val ev = Tables.events(spark, sfDir)
+      .filter("event_type IN ('error', 'purchase')")
+      .selectExpr("user_id", "event_id", "CAST(CAST(ts AS TIMESTAMP) AS LONG) AS ts_s",
+        "event_type")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+    val buckets = ev.groupBy(_._1).values.toSeq.flatMap { rows =>
+      val sorted = rows.sortBy(r => (r._3, r._2))
+      sorted.zipWithIndex.collect { case ((_, _, ts, "error"), i) =>
+        val nextP = sorted.drop(i + 1).collectFirst { case (_, _, p, "purchase") => p }
+        nextP match {
+          case Some(p) if p - ts <= 3600L => (p - ts) / 600L
+          case _ => -1L
+        }
+      }
+    }
+    val expected = buckets.groupBy(identity).toSeq
+      .map { case (b, bs) => (b, bs.length.toLong) }.sortBy(_._1)
+    val got = run("q208_recovery_asof").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(got.toSeq == expected)
+    // histogram accounts for every error event exactly once
+    assert(got.map(_._2).sum == ev.count(_._4 == "error").toLong)
+  }
+
+  // ---------------------------------------------------------------- q209
+
+  test("simpson audit matches driver-side sign algebra") {
+    val cust = Tables.customer(spark, sfDir)
+      .filter("c_mktsegment IN ('BUILDING', 'MACHINERY')")
+      .selectExpr("CAST(c_custkey AS LONG)", "c_mktsegment", "CAST(c_nationkey AS LONG)")
+      .collect().map(r => r.getLong(0) -> (r.getString(1), r.getLong(2))).toMap
+    val natName = Tables.nation(spark, sfDir)
+      .selectExpr("CAST(n_nationkey AS LONG)", "n_name").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val orders = Tables.orders(spark, sfDir)
+      .selectExpr("CAST(o_custkey AS LONG)", "CAST(floor(o_totalprice*100 + 0.5) AS LONG)")
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+      .flatMap { case (ck, c) => cust.get(ck).map { case (seg, nk) => (natName(nk), seg, c) } }
+    val byNation = orders.groupBy(_._1)
+    val (tS1, tN1) = (orders.filter(_._2 == "BUILDING").map(_._3).sum,
+      orders.count(_._2 == "BUILDING").toLong)
+    val (tS2, tN2) = (orders.filter(_._2 == "MACHINERY").map(_._3).sum,
+      orders.count(_._2 == "MACHINERY").toLong)
+    val odir = (BigInt(tS1) * tN2 - BigInt(tS2) * tN1).signum.toLong
+    val expected = byNation.toSeq.map { case (nat, rows) =>
+      val s1 = rows.filter(_._2 == "BUILDING").map(_._3).sum
+      val n1 = rows.count(_._2 == "BUILDING").toLong
+      val s2 = rows.filter(_._2 == "MACHINERY").map(_._3).sum
+      val n2 = rows.count(_._2 == "MACHINERY").toLong
+      val dir = (BigInt(s1) * n2 - BigInt(s2) * n1).signum.toLong
+      val verdict = if (dir == 0L || odir == 0L) "tie"
+        else if (dir == odir) "consistent" else "reversed"
+      (nat, n1, n2, dir, odir, verdict)
+    }.sortBy(_._1)
+    val got = run("q209_simpson_audit").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getString(5)))
+    assert(got.toSeq == expected)
+  }
 }

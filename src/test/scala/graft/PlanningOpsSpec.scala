@@ -279,4 +279,38 @@ class PlanningOpsSpec extends SparkSpec {
       .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getString(4)))
     assert(got.toSeq == expected)
   }
+
+  // ---------------------------------------------------------------- q207
+
+  test("ABC-XYZ census matches driver-side cumulative-share + CV labels") {
+    val li = Tables.lineitem(spark, sfDir)
+      .filter("l_shipdate >= '1995-01-01' AND l_shipdate < '1996-01-01'")
+      .selectExpr("CAST(l_partkey AS LONG) AS part", "CAST(month(l_shipdate) AS INT) AS m",
+        "CAST(floor(l_extendedprice*100 + 0.5) AS LONG) AS c",
+        "CAST(floor(l_quantity + 0.5) AS LONG) AS q")
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getLong(3)))
+    val perPart = li.groupBy(_._1).toSeq.map { case (part, rows) =>
+      val monthly = rows.groupBy(_._2).view.mapValues(_.map(_._4).sum).values.toSeq
+      val s = monthly.sum
+      val qq = monthly.map(q => q * q).sum
+      val cv2 = ((BigInt(12) * qq - BigInt(s) * s) * 1000000 / (BigInt(s) * s)).toLong
+      (part, rows.map(_._3).sum, cv2)
+    }
+    val tot = perPart.map(_._2).sum
+    val ordered = perPart.sortBy { case (part, rev, _) => (-rev, part) }
+    val cums = ordered.scanLeft(0L)(_ + _._2).tail
+    val expected = ordered.zip(cums).map { case ((_, rev, cv2), cum) =>
+      val cumPpm = (BigInt(cum) * 1000000 / tot).toLong
+      val abc = if (cumPpm <= 800000L) "A" else if (cumPpm <= 950000L) "B" else "C"
+      val xyz = if (cv2 <= 250000L) "X" else if (cv2 <= 1000000L) "Y" else "Z"
+      (abc, xyz, rev)
+    }.groupBy(t => (t._1, t._2)).toSeq
+      .map { case ((abc, xyz), rs) => (abc, xyz, rs.length.toLong, rs.map(_._3).sum) }
+      .sortBy(t => (t._1, t._2))
+    val got = run("q207_abc_xyz_classes").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    assert(got.toSeq == expected)
+    // the census partitions all parts: counts sum to the part universe
+    assert(got.map(_._3).sum == perPart.length.toLong)
+  }
 }
