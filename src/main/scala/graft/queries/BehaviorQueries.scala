@@ -1022,7 +1022,74 @@ object BehaviorQueries extends QueryGroup {
       ORDER BY t.prev_type
     """))
 
+  /** Revenue-decile mobility matrix: every 1994 customer's spend decile
+    * versus their 1995 decile (decile 0 = no 1995 orders — the churn
+    * row), counted into the 10×11 transition census. Rank mobility is
+    * the year-over-year loyalty question RFM (q116) can't answer: how
+    * sticky is being a top-decile customer? Deciles come from
+    * `(row_number−1)·10 div n`, NOT ntile — the formula is pure integer
+    * arithmetic over an explicit total order, so both engines and every
+    * rerun agree on boundary rows.
+    *
+    * Scale shape: two date-pruned grouped aggregations (customer-sized),
+    * one left join on customer key, and a ≤110-row census. The
+    * row_number windows are global but run over the customer aggregate —
+    * dimension-sized; at the 100 TB design point that rank is the stage
+    * to range-partition. */
+  private val q210 = QueryDef(
+    "q210_decile_mobility",
+    (spark, dir) => {
+      def yearRev(y: Int): DataFrame = Tables.orders(spark, dir)
+        .filter(col("o_orderdate") >= s"$y-01-01" && col("o_orderdate") < s"${y + 1}-01-01")
+        .groupBy(col("o_custkey").as("cust"))
+        .agg(sum(cents(col("o_totalprice"))).as("rev"))
+      def deciled(df: DataFrame, out: String): DataFrame = {
+        val w = Window.orderBy(col("rev").desc, col("cust"))
+        val n = Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+        df.withColumn("rn", row_number().over(w).cast("long"))
+          .withColumn("n", count(lit(1)).over(n))
+          .select(col("cust"), expr("(rn - 1) * 10 div n + 1").as(out))
+      }
+      deciled(yearRev(1994), "d_from")
+        .join(deciled(yearRev(1995), "d_to"), Seq("cust"), "left")
+        .withColumn("d_to", coalesce(col("d_to"), lit(0L)))
+        .groupBy(col("d_from"), col("d_to"))
+        .agg(count(lit(1)).as("n_customers"))
+        .orderBy(col("d_from"), col("d_to"))
+    },
+    Some("""
+      WITH r94 AS (
+        SELECT o_custkey AS cust,
+          CAST(sum(CAST(floor(o_totalprice*100 + 0.5) AS BIGINT)) AS BIGINT) AS rev
+        FROM orders
+        WHERE o_orderdate >= TIMESTAMP '1994-01-01'
+          AND o_orderdate < TIMESTAMP '1995-01-01'
+        GROUP BY 1),
+      r95 AS (
+        SELECT o_custkey AS cust,
+          CAST(sum(CAST(floor(o_totalprice*100 + 0.5) AS BIGINT)) AS BIGINT) AS rev
+        FROM orders
+        WHERE o_orderdate >= TIMESTAMP '1995-01-01'
+          AND o_orderdate < TIMESTAMP '1996-01-01'
+        GROUP BY 1),
+      d94 AS (
+        SELECT cust,
+          (row_number() OVER (ORDER BY rev DESC, cust) - 1) * 10
+            // count(*) OVER () + 1 AS d_from
+        FROM r94),
+      d95 AS (
+        SELECT cust,
+          (row_number() OVER (ORDER BY rev DESC, cust) - 1) * 10
+            // count(*) OVER () + 1 AS d_to
+        FROM r95)
+      SELECT CAST(d_from AS BIGINT) AS d_from,
+        CAST(coalesce(d_to, 0) AS BIGINT) AS d_to,
+        CAST(count(*) AS BIGINT) AS n_customers
+      FROM d94 LEFT JOIN d95 USING (cust)
+      GROUP BY 1, 2 ORDER BY d_from, d_to
+    """))
+
   override def defs: Seq[QueryDef] =
     Seq(q115, q116, q117, q132, q134, q140, q142, q143, q144, q150, q151, q153,
-      q160, q162, q184, q192, q204, q206)
+      q160, q162, q184, q192, q204, q206, q210)
 }

@@ -866,7 +866,71 @@ object DriftQueries extends QueryGroup {
       FROM c ORDER BY pri
     """))
 
+  /** Revenue peak detection over the zero-filled 1995 daily series: a
+    * day is a peak iff it strictly beats both neighbors AND clears a
+    * prominence floor — 5·v ≥ 3·(prev+next), i.e. ≥20 % above the
+    * neighbor average — so single-day blips over a flat series surface
+    * but ordinary day-to-day wiggle doesn't. The spike-finding
+    * complement of q194's changepoints (level shifts) and q176's CUSUM
+    * (slow drifts): all three read the same daily spine, each catches a
+    * different anomaly shape. Lift is reported in exact ppm of the
+    * neighbor average; an isolated spike (both neighbors zero) keeps
+    * its NULL lift — infinite prominence, and both engines agree that
+    * integer ÷0 is NULL under the session's non-ANSI config.
+    *
+    * Scale shape: one date-pruned aggregation to the 365-row spine; the
+    * lag/lead window and the peak predicate run on that calendar-sized
+    * series only. Lift numerators in decimal(38,0) — cents·2·10^6
+    * clears 2^63 at the 100 TB design point. */
+  private val q212 = QueryDef(
+    "q212_revenue_peaks",
+    (spark, dir) => {
+      import graft.functions.Deterministic.{cents, epochS}
+      val daily = Tables.orders(spark, dir)
+        .filter(col("o_orderdate") >= "1995-01-01" && col("o_orderdate") < "1996-01-01")
+        .select((epochS(col("o_orderdate")) / 86400).cast("long").as("day"),
+          cents(col("o_totalprice")).as("c"))
+        .groupBy(col("day")).agg(sum(col("c")).as("v"))
+      val spine = spark.range(9131L, 9496L).select(col("id").as("day"))
+      val w = Window.orderBy(col("day"))
+      spine.join(daily, Seq("day"), "left")
+        .withColumn("v", coalesce(col("v"), lit(0L)))
+        .withColumn("vm", lag(col("v"), 1).over(w))
+        .withColumn("vp", lead(col("v"), 1).over(w))
+        .filter(col("vm").isNotNull && col("vp").isNotNull &&
+          col("v") > col("vm") && col("v") > col("vp") &&
+          col("v") * 5L >= (col("vm") + col("vp")) * 3L)
+        .select(col("day"), col("v").as("revenue_cents"),
+          expr("CAST(CAST(v AS DECIMAL(38,0)) * 2000000 DIV (vm + vp) AS BIGINT)")
+            .as("lift_ppm"))
+        .orderBy(col("day"))
+    },
+    Some("""
+      WITH daily AS (
+        SELECT CAST(epoch_ms(o_orderdate) // 1000 // 86400 AS BIGINT) AS day,
+          CAST(sum(CAST(floor(o_totalprice*100 + 0.5) AS BIGINT)) AS BIGINT) AS v
+        FROM orders
+        WHERE o_orderdate >= TIMESTAMP '1995-01-01'
+          AND o_orderdate < TIMESTAMP '1996-01-01'
+        GROUP BY 1),
+      s AS (
+        SELECT CAST(d AS BIGINT) AS day, coalesce(daily.v, 0) AS v
+        FROM (SELECT unnest(range(9131, 9496)) AS d) x
+        LEFT JOIN daily ON daily.day = d),
+      n AS (
+        SELECT day, v,
+          lag(v) OVER (ORDER BY day) AS vm,
+          lead(v) OVER (ORDER BY day) AS vp
+        FROM s)
+      SELECT day, CAST(v AS BIGINT) AS revenue_cents,
+        CAST(CAST(v AS HUGEINT) * 2000000 // (vm + vp) AS BIGINT) AS lift_ppm
+      FROM n
+      WHERE vm IS NOT NULL AND vp IS NOT NULL
+        AND v > vm AND v > vp AND 5*v >= 3*(vm + vp)
+      ORDER BY day
+    """))
+
   override def defs: Seq[QueryDef] =
     Seq(q118, q119, q120, q121, q122, q131, q145, q148, q154, q161, q166, q176,
-      q188, q194, q203)
+      q188, q194, q203, q212)
 }

@@ -761,7 +761,73 @@ object PlanningQueries extends QueryGroup {
       FROM lab GROUP BY abc, xyz ORDER BY abc, xyz
     """))
 
+  /** Price–volume growth bridge: each brand's 1994→1995 revenue growth
+    * decomposed into the volume effect (quantity growth at constant
+    * revenue-per-unit) and the price/mix residual — the waterfall chart
+    * behind every "why did revenue move" review. All three terms are
+    * exact ppm via integer cross-ratios; the residual is defined as
+    * growth − volume so the bridge closes by construction (no
+    * interaction term leaks).
+    *
+    * Scale shape: one date-pruned lineitem scan with a broadcast part
+    * lookup → a brand-sized conditional aggregate; the ppm ratios run on
+    * the ~25-row result. Numerators in decimal(38,0): Δcents·10^6 clears
+    * 2^63 at the 100 TB design point. */
+  private val q211 = QueryDef(
+    "q211_growth_bridge",
+    (spark, dir) => {
+      import graft.functions.Deterministic.cents
+      Tables.lineitem(spark, dir)
+        .filter(col("l_shipdate") >= "1994-01-01" && col("l_shipdate") < "1996-01-01")
+        .join(broadcast(Tables.part(spark, dir)
+          .select(col("p_partkey"), col("p_brand"))),
+          col("l_partkey") === col("p_partkey"))
+        .select(col("p_brand").as("brand"),
+          (col("l_shipdate") < "1995-01-01").as("base"),
+          cents(col("l_extendedprice")).as("c"),
+          floor(col("l_quantity") + lit(0.5d)).cast("long").as("q"))
+        .groupBy(col("brand"))
+        .agg(
+          sum(when(col("base"), col("c")).otherwise(0L)).as("rev94"),
+          sum(when(col("base"), col("q")).otherwise(0L)).as("qty94"),
+          sum(when(!col("base"), col("c")).otherwise(0L)).as("rev95"),
+          sum(when(!col("base"), col("q")).otherwise(0L)).as("qty95"))
+        .filter(col("rev94") > 0L && col("qty94") > 0L)
+        .withColumn("growth_ppm", expr(
+          "CAST(CAST(rev95 - rev94 AS DECIMAL(38,0)) * 1000000 DIV rev94 AS BIGINT)"))
+        .withColumn("volume_ppm", expr(
+          "CAST(CAST(qty95 - qty94 AS DECIMAL(38,0)) * 1000000 DIV qty94 AS BIGINT)"))
+        .withColumn("price_mix_ppm", col("growth_ppm") - col("volume_ppm"))
+        .select(col("brand"), col("rev94"), col("rev95"), col("growth_ppm"),
+          col("volume_ppm"), col("price_mix_ppm"))
+        .orderBy(col("brand"))
+    },
+    Some("""
+      WITH li AS (
+        SELECT p_brand AS brand, l_shipdate < TIMESTAMP '1995-01-01' AS base,
+          CAST(floor(l_extendedprice*100 + 0.5) AS BIGINT) AS c,
+          CAST(floor(l_quantity + 0.5) AS BIGINT) AS q
+        FROM lineitem JOIN part ON l_partkey = p_partkey
+        WHERE l_shipdate >= TIMESTAMP '1994-01-01'
+          AND l_shipdate < TIMESTAMP '1996-01-01'),
+      g AS (
+        SELECT brand,
+          CAST(sum(CASE WHEN base THEN c ELSE 0 END) AS BIGINT) AS rev94,
+          CAST(sum(CASE WHEN base THEN q ELSE 0 END) AS BIGINT) AS qty94,
+          CAST(sum(CASE WHEN NOT base THEN c ELSE 0 END) AS BIGINT) AS rev95,
+          CAST(sum(CASE WHEN NOT base THEN q ELSE 0 END) AS BIGINT) AS qty95
+        FROM li GROUP BY brand),
+      b AS (
+        SELECT brand, rev94, rev95,
+          CAST(CAST(rev95 - rev94 AS HUGEINT) * 1000000 // rev94 AS BIGINT) AS growth_ppm,
+          CAST(CAST(qty95 - qty94 AS HUGEINT) * 1000000 // qty94 AS BIGINT) AS volume_ppm
+        FROM g WHERE rev94 > 0 AND qty94 > 0)
+      SELECT brand, rev94, rev95, growth_ppm, volume_ppm,
+        growth_ppm - volume_ppm AS price_mix_ppm
+      FROM b ORDER BY brand
+    """))
+
   override def defs: Seq[QueryDef] =
     Seq(q125, q126, q128, q130, q133, q135, q136, q141, q146, q171, q175, q195,
-      q201, q207)
+      q201, q207, q211)
 }

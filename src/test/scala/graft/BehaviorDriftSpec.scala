@@ -972,4 +972,57 @@ class BehaviorDriftSpec extends SparkSpec {
     // shares of a nation sum to ~1e6, so HHI can never exceed monopoly
     got.foreach { case (n, _, _, hhi, _) => assert(hhi >= 0L && hhi <= 1000000L, n) }
   }
+
+  // ---------------------------------------------------------------- q210
+
+  test("decile mobility matches driver-side rank arithmetic") {
+    def yearRev(y: Int): Map[Long, Long] = Tables.orders(spark, sfDir)
+      .filter(s"o_orderdate >= '$y-01-01' AND o_orderdate < '${y + 1}-01-01'")
+      .selectExpr("CAST(o_custkey AS LONG)", "CAST(floor(o_totalprice*100 + 0.5) AS LONG)")
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+      .groupBy(_._1).view.mapValues(_.map(_._2).sum).toMap
+    def deciles(rev: Map[Long, Long]): Map[Long, Long] = {
+      val n = rev.size.toLong
+      rev.toSeq.sortBy { case (c, r) => (-r, c) }.zipWithIndex
+        .map { case ((c, _), i) => c -> (i.toLong * 10 / n + 1) }.toMap
+    }
+    val (d94, d95) = (deciles(yearRev(1994)), deciles(yearRev(1995)))
+    val expected = d94.toSeq
+      .map { case (c, from) => (from, d95.getOrElse(c, 0L)) }
+      .groupBy(identity).toSeq
+      .map { case ((f, t), xs) => (f, t, xs.length.toLong) }
+      .sortBy(t => (t._1, t._2))
+    val got = run("q210_decile_mobility").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(got.toSeq == expected)
+    // the matrix accounts for every 1994 customer exactly once
+    assert(got.map(_._3).sum == d94.size.toLong)
+  }
+
+  // ---------------------------------------------------------------- q212
+
+  test("revenue peaks match driver-side neighbor comparison") {
+    val daily = Tables.orders(spark, sfDir)
+      .filter("o_orderdate >= '1995-01-01' AND o_orderdate < '1996-01-01'")
+      .selectExpr("CAST(CAST(o_orderdate AS TIMESTAMP) AS LONG) div 86400 AS day",
+        "CAST(floor(o_totalprice*100 + 0.5) AS LONG) AS c")
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+      .groupBy(_._1).view.mapValues(_.map(_._2).sum).toMap
+    def v(d: Long) = daily.getOrElse(d, 0L)
+    val expected = (9132L to 9494L).flatMap { d =>
+      val (vm, vv, vp) = (v(d - 1), v(d), v(d + 1))
+      if (vv > vm && vv > vp && 5 * vv >= 3 * (vm + vp))
+        // lift is NULL for an isolated spike (both neighbors zero)
+        Some((d, vv, if (vm + vp == 0) None
+          else Some((BigInt(vv) * 2000000 / (vm + vp)).toLong)))
+      else None
+    }
+    val got = run("q212_revenue_peaks").collect()
+      .map(r => (r.getLong(0), r.getLong(1),
+        if (r.isNullAt(2)) None else Some(r.getLong(2))))
+    assert(got.toSeq == expected)
+    // every reported peak beats its neighbor average by >= 20%
+    got.foreach { case (d, _, lift) =>
+      lift.foreach(l => assert(l >= 1200000L, s"day $d")) }
+  }
 }

@@ -313,4 +313,37 @@ class PlanningOpsSpec extends SparkSpec {
     // the census partitions all parts: counts sum to the part universe
     assert(got.map(_._3).sum == perPart.length.toLong)
   }
+
+  // ---------------------------------------------------------------- q211
+
+  test("growth bridge matches driver-side cross-ratio decomposition") {
+    val brandOf = Tables.part(spark, sfDir)
+      .selectExpr("CAST(p_partkey AS LONG)", "p_brand").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val li = Tables.lineitem(spark, sfDir)
+      .filter("l_shipdate >= '1994-01-01' AND l_shipdate < '1996-01-01'")
+      .selectExpr("CAST(l_partkey AS LONG)", "l_shipdate < '1995-01-01'",
+        "CAST(floor(l_extendedprice*100 + 0.5) AS LONG)",
+        "CAST(floor(l_quantity + 0.5) AS LONG)")
+      .collect()
+      .map(r => (brandOf(r.getLong(0)), r.getBoolean(1), r.getLong(2), r.getLong(3)))
+    val expected = li.groupBy(_._1).toSeq.flatMap { case (brand, rows) =>
+      val rev94 = rows.filter(_._2).map(_._3).sum
+      val qty94 = rows.filter(_._2).map(_._4).sum
+      val rev95 = rows.filterNot(_._2).map(_._3).sum
+      val qty95 = rows.filterNot(_._2).map(_._4).sum
+      if (rev94 > 0 && qty94 > 0) {
+        def ppm(num: Long, den: Long) = (BigInt(num) * 1000000 / den).toLong
+        val g = ppm(rev95 - rev94, rev94)
+        val vl = ppm(qty95 - qty94, qty94)
+        Some((brand, rev94, rev95, g, vl, g - vl))
+      } else None
+    }.sortBy(_._1)
+    val got = run("q211_growth_bridge").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5)))
+    assert(got.toSeq == expected)
+    // the bridge closes: growth = volume + price/mix for every brand
+    got.foreach { case (b, _, _, g, vl, pm) => assert(g == vl + pm, b) }
+  }
 }
