@@ -960,7 +960,38 @@ object CorpusQueries extends QueryGroup {
       FROM j JOIN w ON j.m = w.d
     """))
 
+  /** Exponential (log₂) document-length histogram per source: bucket =
+    * ⌊log₂ n_chars⌋ computed as `length(bin(x)) − 1` — the bit-length of
+    * the integer, a pure string-of-bits measure both engines produce
+    * identically, with no libm `log2` whose final-ulp rounding differs
+    * near powers of two. Log-scale histograms are the right shape for
+    * heavy-tailed length distributions where linear bins (q135) put
+    * everything in one bucket; the doubling buckets here feed padding
+    * and chunk-size planning (q94, q103).
+    *
+    * Scale shape: one narrow scan (source, n_chars — text never read) →
+    * hash aggregate on (source, bucket), output ≤ sources × 64 rows. */
+  private val q215 = QueryDef(
+    "q215_log2_length_histogram",
+    (spark, dir) => {
+      Tables.documents(spark, dir)
+        .select(col("source"),
+          (length(bin(col("n_chars"))) - 1).cast("long").as("bucket"),
+          col("n_chars"))
+        .groupBy(col("source"), col("bucket"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("total_chars"))
+        .orderBy(col("source"), col("bucket"))
+    },
+    Some("""
+      SELECT source, CAST(length(bin(n_chars)) - 1 AS BIGINT) AS bucket,
+        CAST(count(*) AS BIGINT) AS n_docs,
+        CAST(sum(n_chars) AS BIGINT) AS total_chars
+      FROM documents
+      GROUP BY source, bucket
+      ORDER BY source, bucket
+    """))
+
   def defs: Seq[QueryDef] =
     Seq(q56, q57, q58, q59, q60, q61, q62, q63, q64, q65, q66, q82, q157, q165, q172,
-      q174, q182, q189)
+      q174, q182, q189, q215)
 }

@@ -301,5 +301,67 @@ object ExtensionQueries extends QueryGroup {
       FROM h ORDER BY asset_id
     """))
 
-  def defs: Seq[QueryDef] = Seq(q20, q21, q22, q23, q24, q25, q26, q27, q28, q29, q30)
+  /** Classifier evaluation in-engine: q26's stopword language-ID scored
+    * against the declared `lang` label as a per-class precision/recall/F1
+    * table — tp/fp/fn derived from the (declared, predicted) confusion
+    * matrix, PRF in exact ppm (F1 = 2tp/(2tp+fp+fn), so no float mean of
+    * ratios). Classes the predictor can't emit (zh here) show recall 0
+    * and NULL precision — the honest blind-spot signal; spurious 'und'
+    * predictions cost recall but no class's precision.
+    *
+    * Scale shape: one documents scan → a |langs|²-bounded confusion
+    * matrix; tp/fn and fp come from two aggregations OF THAT MATRIX
+    * (never the corpus), joined class-to-class. Counts·10^6 stay in
+    * Long out to 9·10^12 docs per class. */
+  private val q214 = QueryDef(
+    "q214_langid_confusion",
+    (spark, dir) => {
+      val conf = Tables.documents(spark, dir)
+        .select(col("lang"), languageId(col("text")).as("pred"))
+        .groupBy(col("lang"), col("pred")).agg(count(lit(1)).as("n"))
+      val tpfn = conf.groupBy(col("lang"))
+        .agg(sum(when(col("pred") === col("lang"), col("n")).otherwise(0L)).as("tp"),
+          sum(when(col("pred") =!= col("lang"), col("n")).otherwise(0L)).as("fn"))
+      val fps = conf.filter(col("pred") =!= col("lang"))
+        .groupBy(col("pred")).agg(sum(col("n")).as("fp"))
+      tpfn.join(fps, col("lang") === col("pred"), "left")
+        .withColumn("fp", coalesce(col("fp"), lit(0L)))
+        .select(col("lang"), col("tp"), col("fp"), col("fn"),
+          expr("tp * 1000000L div (tp + fp)").as("precision_ppm"),
+          expr("tp * 1000000L div (tp + fn)").as("recall_ppm"),
+          expr("2 * tp * 1000000L div (2 * tp + fp + fn)").as("f1_ppm"))
+        .orderBy(col("lang"))
+    },
+    Some {
+      val hits = Stopwords.map { case (l, ws) =>
+        s"len(list_filter($duckTokens, t -> t IN (${ws.map("'" + _ + "'").mkString(",")}))) AS score_$l"
+      }.mkString(",\n          ")
+      val best = s"greatest(${Stopwords.map(s => "score_" + s._1).mkString(",")})"
+      val chain = Stopwords.map(s => s"WHEN score_${s._1} > 0 AND score_${s._1} = $best THEN '${s._1}'").mkString(" ")
+      s"""
+      WITH s AS (
+        SELECT lang,
+          $hits
+        FROM documents),
+      p AS (SELECT lang, CASE $chain ELSE 'und' END AS pred FROM s),
+      conf AS (SELECT lang, pred, CAST(count(*) AS BIGINT) AS n FROM p GROUP BY 1, 2),
+      tpfn AS (
+        SELECT lang,
+          CAST(sum(CASE WHEN pred = lang THEN n ELSE 0 END) AS BIGINT) AS tp,
+          CAST(sum(CASE WHEN pred <> lang THEN n ELSE 0 END) AS BIGINT) AS fn
+        FROM conf GROUP BY lang),
+      fps AS (
+        SELECT pred, CAST(sum(n) AS BIGINT) AS fp
+        FROM conf WHERE pred <> lang GROUP BY pred)
+      SELECT lang, tp, coalesce(fp, 0) AS fp, fn,
+        CAST(tp * 1000000 // (tp + coalesce(fp, 0)) AS BIGINT) AS precision_ppm,
+        CAST(tp * 1000000 // (tp + fn) AS BIGINT) AS recall_ppm,
+        CAST(2 * tp * 1000000 // (2 * tp + coalesce(fp, 0) + fn) AS BIGINT) AS f1_ppm
+      FROM tpfn LEFT JOIN fps ON lang = pred
+      ORDER BY lang
+      """
+    })
+
+  def defs: Seq[QueryDef] =
+    Seq(q20, q21, q22, q23, q24, q25, q26, q27, q28, q29, q30, q214)
 }

@@ -827,7 +827,64 @@ object PlanningQueries extends QueryGroup {
       FROM b ORDER BY brand
     """))
 
+  /** Largest-remainder apportionment: 1 000 sampling slots split across
+    * sources proportionally to token mass — floor quotas first, then the
+    * leftover seats go to the largest fractional remainders (ties by
+    * source name). The Hamilton method electoral systems use, and the
+    * exact-integer way to turn mixture weights (q136's ppm shares) into
+    * whole sample counts that provably sum to the budget — no
+    * float rounding drift, no over/under-allocation.
+    *
+    * Scale shape: corpus collapses to one row per source, every window
+    * runs on that source-sized table. Quota products in decimal(38,0):
+    * token-mass·1000 clears 2^63 at the 100 TB design point. */
+  private val q213 = QueryDef(
+    "q213_seat_apportionment",
+    (spark, dir) => {
+      val everything = Window.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing)
+      Tables.documents(spark, dir)
+        .select(col("source"),
+          graft.text.TextFunctions.tokenCount(col("text")).cast("long").as("tc"))
+        .groupBy(col("source")).agg(sum(col("tc")).as("n_tokens"))
+        .withColumn("total", sum(col("n_tokens")).over(everything))
+        .withColumn("base_seats", expr(
+          "CAST(CAST(n_tokens AS DECIMAL(38,0)) * 1000 DIV total AS BIGINT)"))
+        .withColumn("rem", expr(
+          "CAST(CAST(n_tokens AS DECIMAL(38,0)) * 1000 % total AS BIGINT)"))
+        .withColumn("deficit", lit(1000L) - sum(col("base_seats")).over(everything))
+        .withColumn("rk", row_number().over(
+          Window.orderBy(col("rem").desc, col("source"))).cast("long"))
+        .withColumn("extra", when(col("rk") <= col("deficit"), 1L).otherwise(0L))
+        .select(col("source"), col("n_tokens"), col("base_seats"), col("extra"),
+          (col("base_seats") + col("extra")).as("seats"))
+        .orderBy(col("source"))
+    },
+    Some("""
+      WITH s AS (
+        SELECT source,
+          CAST(sum(len(list_filter(str_split(text, ' '), t -> len(t) > 0))) AS BIGINT)
+            AS n_tokens
+        FROM documents GROUP BY source),
+      q AS (
+        SELECT source, n_tokens,
+          CAST(CAST(n_tokens AS HUGEINT) * 1000 // sum(n_tokens) OVER () AS BIGINT)
+            AS base_seats,
+          CAST(CAST(n_tokens AS HUGEINT) * 1000 % sum(n_tokens) OVER () AS BIGINT)
+            AS rem
+        FROM s),
+      r AS (
+        SELECT source, n_tokens, base_seats,
+          1000 - sum(base_seats) OVER () AS deficit,
+          row_number() OVER (ORDER BY rem DESC, source) AS rk
+        FROM q)
+      SELECT source, n_tokens, base_seats,
+        CAST(CASE WHEN rk <= deficit THEN 1 ELSE 0 END AS BIGINT) AS extra,
+        CAST(base_seats + CASE WHEN rk <= deficit THEN 1 ELSE 0 END AS BIGINT) AS seats
+      FROM r ORDER BY source
+    """))
+
   override def defs: Seq[QueryDef] =
     Seq(q125, q126, q128, q130, q133, q135, q136, q141, q146, q171, q175, q195,
-      q201, q207, q211)
+      q201, q207, q211, q213)
 }

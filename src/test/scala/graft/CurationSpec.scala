@@ -144,4 +144,48 @@ class CurationSpec extends SparkSpec {
     assert(out(2L)._3 === 0.0)
     assert(out(2L)._4 === 1.0 / 6.0)  // 6 bigrams, all unique
   }
+
+  // ---------------------------------------------------------------- q214
+
+  test("langid confusion PRF matches driver-side confusion-matrix algebra") {
+    val sfDir = "/root/testdata/sf0.001"
+    val preds = SparkEntry.queries("q26_text_langid")(spark, sfDir)
+      .selectExpr("doc_id", "predicted_lang").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val declared = Tables.documents(spark, sfDir)
+      .selectExpr("doc_id", "lang").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    val expected = declared.map(_._2).distinct.sorted.toSeq.map { c =>
+      val tp = declared.count { case (id, l) => l == c && preds(id) == c }.toLong
+      val fp = declared.count { case (id, l) => l != c && preds(id) == c }.toLong
+      val fn = declared.count { case (id, l) => l == c && preds(id) != c }.toLong
+      def ppm(num: Long, den: Long) = if (den == 0) None else Some(num * 1000000L / den)
+      (c, tp, fp, fn, ppm(tp, tp + fp), ppm(tp, tp + fn), ppm(2 * tp, 2 * tp + fp + fn))
+    }
+    val got = SparkEntry.queries("q214_langid_confusion")(spark, sfDir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        if (r.isNullAt(4)) None else Some(r.getLong(4)),
+        if (r.isNullAt(5)) None else Some(r.getLong(5)),
+        if (r.isNullAt(6)) None else Some(r.getLong(6))))
+    assert(got.toSeq == expected)
+  }
+
+  // ---------------------------------------------------------------- q215
+
+  test("log2 length histogram matches driver-side bit-length buckets") {
+    val sfDir = "/root/testdata/sf0.001"
+    val docs = Tables.documents(spark, sfDir)
+      .selectExpr("source", "n_chars").collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+    val expected = docs
+      .map { case (s, n) => (s, (63 - java.lang.Long.numberOfLeadingZeros(n)).toLong, n) }
+      .groupBy(t => (t._1, t._2)).toSeq
+      .map { case ((s, b), xs) => (s, b, xs.length.toLong, xs.map(_._3).sum) }
+      .sortBy(t => (t._1, t._2))
+    val got = SparkEntry.queries("q215_log2_length_histogram")(spark, sfDir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(got.toSeq == expected)
+    // doubling buckets: every doc length satisfies 2^b <= n < 2^(b+1)
+    got.foreach { case (_, b, _, _) => assert(b >= 0 && b < 63) }
+  }
 }

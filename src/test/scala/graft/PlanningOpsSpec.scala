@@ -346,4 +346,29 @@ class PlanningOpsSpec extends SparkSpec {
     // the bridge closes: growth = volume + price/mix for every brand
     got.foreach { case (b, _, _, g, vl, pm) => assert(g == vl + pm, b) }
   }
+
+  // ---------------------------------------------------------------- q213
+
+  test("seat apportionment matches driver-side largest-remainder method") {
+    val masses = Tables.documents(spark, sfDir)
+      .selectExpr("source", "CAST(size(filter(split(text, ' '), t -> length(t) > 0)) AS LONG)")
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+      .groupBy(_._1).view.mapValues(_.map(_._2).sum).toSeq.sortBy(_._1)
+    val total = masses.map(_._2).sum
+    val base = masses.map { case (s, m) =>
+      (s, m, (BigInt(m) * 1000 / total).toLong, (BigInt(m) * 1000 % total).toLong)
+    }
+    val deficit = 1000L - base.map(_._3).sum
+    val extras = base.sortBy { case (s, _, _, rem) => (-rem, s) }
+      .take(deficit.toInt).map(_._1).toSet
+    val expected = base.map { case (s, m, b, _) =>
+      val e = if (extras(s)) 1L else 0L
+      (s, m, b, e, b + e)
+    }
+    val got = run("q213_seat_apportionment").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    assert(got.toSeq == expected)
+    // apportionment is exact: seats sum to precisely the 1000 budget
+    assert(got.map(_._5).sum == 1000L)
+  }
 }
