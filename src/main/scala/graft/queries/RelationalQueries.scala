@@ -721,7 +721,65 @@ object RelationalQueries extends QueryGroup {
       GROUP BY 1 ORDER BY key
     """))
 
+  /** Diversity-capped top-k: the 10 highest-revenue parts of 1995 under
+    * an at-most-2-per-brand constraint — the result-diversification rule
+    * every retrieval/recommendation surface applies so one dominant
+    * group can't monopolize the page. Two ranks compose: a per-brand
+    * window keeps each brand's best 2, then a global rank takes 10 of
+    * the survivors; both orders are total (revenue desc, partkey) so the
+    * cut is engine-invariant.
+    *
+    * Scale shape: one date-pruned scan → part-sized aggregate; the
+    * per-brand rank partitions by brand (parallel), and only the
+    * ≤2-per-brand survivors reach the global top-10 — at the 100 TB
+    * design point that final rank sees 2·|brands| rows, not |parts|. */
+  private val q217 = QueryDef(
+    "q217_diversified_topk",
+    (spark, dir) => {
+      val byPart = Tables.lineitem(spark, dir)
+        .filter(col("l_shipdate") >= "1995-01-01" && col("l_shipdate") < "1996-01-01")
+        .join(broadcast(Tables.part(spark, dir)
+          .select(col("p_partkey"), col("p_brand"))),
+          col("l_partkey") === col("p_partkey"))
+        .groupBy(col("p_partkey").as("partkey"), col("p_brand").as("brand"))
+        .agg(sum(cents(col("l_extendedprice"))).as("revenue_cents"))
+      byPart
+        .withColumn("brand_rank", row_number().over(
+          Window.partitionBy(col("brand"))
+            .orderBy(col("revenue_cents").desc, col("partkey"))))
+        .filter(col("brand_rank") <= 2)
+        .withColumn("rank", row_number().over(
+          Window.orderBy(col("revenue_cents").desc, col("partkey"))).cast("long"))
+        .filter(col("rank") <= 10)
+        .select(col("rank"), col("partkey").cast("long").as("partkey"),
+          col("brand"), col("brand_rank").cast("long").as("brand_rank"),
+          col("revenue_cents"))
+        .orderBy(col("rank"))
+    },
+    Some("""
+      WITH bp AS (
+        SELECT l_partkey AS partkey, p_brand AS brand,
+          CAST(sum(CAST(floor(l_extendedprice*100 + 0.5) AS BIGINT)) AS BIGINT)
+            AS revenue_cents
+        FROM lineitem JOIN part ON l_partkey = p_partkey
+        WHERE l_shipdate >= TIMESTAMP '1995-01-01'
+          AND l_shipdate < TIMESTAMP '1996-01-01'
+        GROUP BY 1, 2),
+      br AS (
+        SELECT partkey, brand, revenue_cents,
+          row_number() OVER (PARTITION BY brand
+            ORDER BY revenue_cents DESC, partkey) AS brand_rank
+        FROM bp),
+      g AS (
+        SELECT partkey, brand, brand_rank, revenue_cents,
+          row_number() OVER (ORDER BY revenue_cents DESC, partkey) AS rank
+        FROM br WHERE brand_rank <= 2)
+      SELECT CAST(rank AS BIGINT) AS rank, CAST(partkey AS BIGINT) AS partkey,
+        brand, CAST(brand_rank AS BIGINT) AS brand_rank, revenue_cents
+      FROM g WHERE rank <= 10 ORDER BY rank
+    """))
+
   def defs: Seq[QueryDef] =
     Seq(q10, q11, q12, q13, q14, q15, q16, q17, q18, q19, q48, q49, q52, q53,
-      q164, q168, q183, q187, q190, q193, q202)
+      q164, q168, q183, q187, q190, q193, q202, q217)
 }

@@ -570,6 +570,127 @@ object StatsQueries extends QueryGroup {
       FROM h ORDER BY hhi_ppm DESC, n_name
     """))
 
+  /** Right-censored survival life table for repeat purchase: per
+    * customer, the days from first to second order (event) or from
+    * first order to the dataset's last date (censored — still "alive"
+    * without a repeat when observation stopped), bucketed into 30-day
+    * intervals. The table reports each interval's risk set (customers
+    * still unresolved entering it, the suffix-sum of later exits),
+    * events, censorings, and the discrete hazard d/n in exact ppm —
+    * the Kaplan–Meier life table WITHOUT the cumulative product, whose
+    * float chain the integer contract forbids; hazard-per-bucket is
+    * the estimator's sufficient statistic anyway. Censoring cutoff is
+    * data-derived (max order date), so every scale factor is
+    * self-consistent.
+    *
+    * Scale shape: one orders scan → per-customer first/second dates via
+    * one partitioned window; the life table and its suffix-sum window
+    * run over ≤80 bucket rows. Never a global sort of customers. */
+  private val q216 = QueryDef(
+    "q216_survival_life_table",
+    (spark, dir) => {
+      val w = Window.partitionBy(col("cust")).orderBy(col("day"), col("okey"))
+      val firsts = Tables.orders(spark, dir)
+        .select(col("o_custkey").as("cust"), col("o_orderkey").as("okey"),
+          (epochS(col("o_orderdate")) / 86400).cast("long").as("day"))
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= 2)
+        .groupBy(col("cust"))
+        .agg(min(when(col("rn") === 1, col("day"))).as("d1"),
+          min(when(col("rn") === 2, col("day"))).as("d2"))
+      val cutoff = Tables.orders(spark, dir)
+        .agg(max((epochS(col("o_orderdate")) / 86400).cast("long")).as("cens"))
+      val exits = firsts.crossJoin(broadcast(cutoff))
+        .select(
+          expr("coalesce(d2 - d1, cens - d1) div 30").as("bucket"),
+          when(col("d2").isNotNull, 1L).otherwise(0L).as("ev"))
+        .groupBy(col("bucket"))
+        .agg(sum(col("ev")).as("n_events"),
+          sum(lit(1L) - col("ev")).as("n_censored"))
+      val atRisk = Window.orderBy(col("bucket").desc)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      exits
+        .withColumn("n_at_risk", sum(col("n_events") + col("n_censored")).over(atRisk))
+        .select(col("bucket"), col("n_at_risk"), col("n_events"), col("n_censored"),
+          expr("n_events * 1000000L div n_at_risk").as("hazard_ppm"))
+        .orderBy(col("bucket"))
+    },
+    Some("""
+      WITH o AS (
+        SELECT o_custkey AS cust, o_orderkey AS okey,
+          CAST(epoch_ms(o_orderdate) // 1000 // 86400 AS BIGINT) AS day
+        FROM orders),
+      r AS (
+        SELECT cust, day,
+          row_number() OVER (PARTITION BY cust ORDER BY day, okey) AS rn
+        FROM o),
+      f AS (
+        SELECT cust,
+          min(CASE WHEN rn = 1 THEN day END) AS d1,
+          min(CASE WHEN rn = 2 THEN day END) AS d2
+        FROM r WHERE rn <= 2 GROUP BY cust),
+      c AS (SELECT max(day) AS cens FROM o),
+      e AS (
+        SELECT coalesce(d2 - d1, cens - d1) // 30 AS bucket,
+          CASE WHEN d2 IS NOT NULL THEN 1 ELSE 0 END AS ev
+        FROM f CROSS JOIN c),
+      x AS (
+        SELECT bucket, CAST(sum(ev) AS BIGINT) AS n_events,
+          CAST(sum(1 - ev) AS BIGINT) AS n_censored
+        FROM e GROUP BY bucket),
+      t AS (
+        SELECT bucket, n_events, n_censored,
+          CAST(sum(n_events + n_censored) OVER (ORDER BY bucket DESC
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS n_at_risk
+        FROM x)
+      SELECT bucket, n_at_risk, n_events, n_censored,
+        CAST(n_events * 1000000 // n_at_risk AS BIGINT) AS hazard_ppm
+      FROM t ORDER BY bucket
+    """))
+
+  /** Exact grouped mode with tie census: per return flag, the most
+    * frequent lineitem quantity (ties resolved to the smallest value —
+    * stated, not accidental), its frequency, and HOW MANY values tie at
+    * that frequency. The tie count is the honest part: a mode reported
+    * without it reads as "the typical value" even when 12 values share
+    * the crown. Heavy hitters (q62) answer this approximately with a
+    * sketch; this is the exact form for when the group×value universe
+    * fits a shuffle.
+    *
+    * Scale shape: hash aggregate to (flag, quantity) counts — the only
+    * thing that shuffles — then windows over that histogram. */
+  private val q218 = QueryDef(
+    "q218_grouped_mode",
+    (spark, dir) => {
+      val counts = Tables.lineitem(spark, dir)
+        .select(col("l_returnflag").as("flag"),
+          floor(col("l_quantity") + lit(0.5d)).cast("long").as("qty"))
+        .groupBy(col("flag"), col("qty")).agg(count(lit(1)).as("n"))
+      val w = Window.partitionBy(col("flag"))
+      counts
+        .withColumn("mx", max(col("n")).over(w))
+        .filter(col("n") === col("mx"))
+        .groupBy(col("flag"))
+        .agg(min(col("qty")).as("mode_qty"), max(col("n")).as("mode_count"),
+          count(lit(1)).as("n_tied"))
+        .orderBy(col("flag"))
+    },
+    Some("""
+      WITH c AS (
+        SELECT l_returnflag AS flag,
+          CAST(floor(l_quantity + 0.5) AS BIGINT) AS qty,
+          CAST(count(*) AS BIGINT) AS n
+        FROM lineitem GROUP BY 1, 2),
+      m AS (
+        SELECT flag, qty, n, max(n) OVER (PARTITION BY flag) AS mx
+        FROM c)
+      SELECT flag, CAST(min(qty) AS BIGINT) AS mode_qty,
+        CAST(max(n) AS BIGINT) AS mode_count,
+        CAST(count(*) AS BIGINT) AS n_tied
+      FROM m WHERE n = mx GROUP BY flag ORDER BY flag
+    """))
+
   def defs: Seq[QueryDef] =
-    Seq(q36, q37, q38, q39, q40, q41, q42, q55, q90, q180, q181, q186, q205)
+    Seq(q36, q37, q38, q39, q40, q41, q42, q55, q90, q180, q181, q186, q205,
+      q216, q218)
 }

@@ -1025,4 +1025,76 @@ class BehaviorDriftSpec extends SparkSpec {
     got.foreach { case (d, _, lift) =>
       lift.foreach(l => assert(l >= 1200000L, s"day $d")) }
   }
+
+  // ---------------------------------------------------------------- q216
+
+  test("survival life table matches driver-side risk-set accounting") {
+    val orders = Tables.orders(spark, sfDir)
+      .selectExpr("CAST(o_custkey AS LONG)", "CAST(o_orderkey AS LONG)",
+        "CAST(CAST(o_orderdate AS TIMESTAMP) AS LONG) div 86400")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val cens = orders.map(_._3).max
+    val exits = orders.groupBy(_._1).values.toSeq.map { rows =>
+      val sorted = rows.sortBy(r => (r._3, r._2)).map(_._3)
+      val d1 = sorted.head
+      val obs = if (sorted.length >= 2) sorted(1) - d1 else cens - d1
+      (obs / 30, sorted.length >= 2)
+    }
+    val byBucket = exits.groupBy(_._1).view
+      .mapValues(xs => (xs.count(_._2).toLong, xs.count(!_._2).toLong)).toMap
+    val buckets = byBucket.keys.toSeq.sorted
+    val expected = buckets.map { b =>
+      val (ev, cz) = byBucket(b)
+      val atRisk = buckets.filter(_ >= b).map(x => byBucket(x)._1 + byBucket(x)._2).sum
+      (b, atRisk, ev, cz, ev * 1000000L / atRisk)
+    }
+    val got = run("q216_survival_life_table").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    assert(got.toSeq == expected)
+    // the first risk set is the whole customer universe
+    assert(got.head._2 == orders.map(_._1).distinct.length.toLong)
+  }
+
+  // ---------------------------------------------------------------- q217
+
+  test("diversified topk honors the per-brand cap and global order") {
+    val brandOf = Tables.part(spark, sfDir)
+      .selectExpr("CAST(p_partkey AS LONG)", "p_brand").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val rev = Tables.lineitem(spark, sfDir)
+      .filter("l_shipdate >= '1995-01-01' AND l_shipdate < '1996-01-01'")
+      .selectExpr("CAST(l_partkey AS LONG)", "CAST(floor(l_extendedprice*100 + 0.5) AS LONG)")
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+      .groupBy(_._1).view.mapValues(_.map(_._2).sum).toSeq
+    val withBrandRank = rev.map { case (pk, rv) => (pk, brandOf(pk), rv) }
+      .groupBy(_._2).values.flatMap { parts =>
+        parts.toSeq.sortBy(p => (-p._3, p._1)).zipWithIndex
+          .map { case ((pk, b, rv), i) => (pk, b, rv, i.toLong + 1) }
+      }.toSeq
+    val expected = withBrandRank.filter(_._4 <= 2)
+      .sortBy(p => (-p._3, p._1)).take(10).zipWithIndex
+      .map { case ((pk, b, rv, br), i) => (i.toLong + 1, pk, b, br, rv) }
+    val got = run("q217_diversified_topk").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getLong(3), r.getLong(4)))
+    assert(got.toSeq == expected)
+    // no brand appears more than twice
+    got.groupBy(_._3).foreach { case (b, xs) => assert(xs.length <= 2, b) }
+  }
+
+  // ---------------------------------------------------------------- q218
+
+  test("grouped mode matches driver-side frequency census") {
+    val li = Tables.lineitem(spark, sfDir)
+      .selectExpr("l_returnflag", "CAST(floor(l_quantity + 0.5) AS LONG)")
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    val expected = li.groupBy(_._1).toSeq.map { case (flag, rows) =>
+      val counts = rows.groupBy(_._2).view.mapValues(_.size.toLong).toMap
+      val mx = counts.values.max
+      val tied = counts.filter(_._2 == mx).keys
+      (flag, tied.min, mx, tied.size.toLong)
+    }.sortBy(_._1)
+    val got = run("q218_grouped_mode").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(got.toSeq == expected)
+  }
 }
