@@ -1089,7 +1089,75 @@ object BehaviorQueries extends QueryGroup {
       GROUP BY 1, 2 ORDER BY d_from, d_to
     """))
 
+  /** Purchase-regularity census: coefficient of variation of each
+    * repeat customer's inter-order gaps, banded into clockwork
+    * (cv² ≤ 0.25), regular (≤ 1), and erratic — plus a degenerate band
+    * for all-same-day customers whose gap sum is zero (cv² is 0/0
+    * there; the NULL that falls out of integer ÷0 is routed to its own
+    * band instead of silently joining a numeric one). The behavioral
+    * complement of q76's gap moments: not how long between orders, but
+    * how predictable. Customers need ≥ 3 orders (≥ 2 gaps) to have a
+    * variance at all.
+    *
+    * Scale shape: one orders scan → per-customer gap moments via one
+    * partitioned window + hash aggregate, then a 4-row census. Gap sums
+    * are calendar-bounded (≤ ~10⁴ days), so n·ΣG² and S² sit far below
+    * 2^63 in plain Long at any corpus size — no decimal needed, and the
+    * scaladoc says why. */
+  private val q219 = QueryDef(
+    "q219_purchase_regularity",
+    (spark, dir) => {
+      val w = Window.partitionBy(col("cust")).orderBy(col("day"), col("okey"))
+      Tables.orders(spark, dir)
+        .select(col("o_custkey").as("cust"), col("o_orderkey").as("okey"),
+          (epochS(col("o_orderdate")) / 86400).cast("long").as("day"))
+        .withColumn("gap", col("day") - lag(col("day"), 1).over(w))
+        .filter(col("gap").isNotNull)
+        .groupBy(col("cust"))
+        .agg(count(lit(1)).as("n"), sum(col("gap")).as("s"),
+          sum(col("gap") * col("gap")).as("q"))
+        .filter(col("n") >= 2L)
+        .withColumn("cv2_ppm", expr("(n * q - s * s) * 1000000L div (s * s)"))
+        .select(
+          when(col("cv2_ppm").isNull, "degenerate")
+            .when(col("cv2_ppm") <= 250000L, "clockwork")
+            .when(col("cv2_ppm") <= 1000000L, "regular")
+            .otherwise("erratic").as("band"),
+          col("n"), col("s"))
+        .groupBy(col("band"))
+        .agg(count(lit(1)).as("n_customers"),
+          expr("sum(s) div sum(n)").as("avg_gap_days"))
+        .orderBy(col("band"))
+    },
+    Some("""
+      WITH o AS (
+        SELECT o_custkey AS cust,
+          CAST(epoch_ms(o_orderdate) // 1000 // 86400 AS BIGINT) AS day,
+          o_orderkey AS okey
+        FROM orders),
+      g AS (
+        SELECT cust,
+          day - lag(day) OVER (PARTITION BY cust ORDER BY day, okey) AS gap
+        FROM o),
+      m AS (
+        SELECT cust, CAST(count(*) AS BIGINT) AS n, CAST(sum(gap) AS BIGINT) AS s,
+          CAST(sum(gap * gap) AS BIGINT) AS q
+        FROM g WHERE gap IS NOT NULL GROUP BY cust),
+      c AS (
+        SELECT n, s, (n * q - s * s) * 1000000 // (s * s) AS cv2_ppm
+        FROM m WHERE n >= 2),
+      b AS (
+        SELECT CASE WHEN cv2_ppm IS NULL THEN 'degenerate'
+                    WHEN cv2_ppm <= 250000 THEN 'clockwork'
+                    WHEN cv2_ppm <= 1000000 THEN 'regular'
+                    ELSE 'erratic' END AS band, n, s
+        FROM c)
+      SELECT band, CAST(count(*) AS BIGINT) AS n_customers,
+        CAST(sum(s) // sum(n) AS BIGINT) AS avg_gap_days
+      FROM b GROUP BY band ORDER BY band
+    """))
+
   override def defs: Seq[QueryDef] =
     Seq(q115, q116, q117, q132, q134, q140, q142, q143, q144, q150, q151, q153,
-      q160, q162, q184, q192, q204, q206, q210)
+      q160, q162, q184, q192, q204, q206, q210, q219)
 }

@@ -414,5 +414,85 @@ object IntervalQueries extends QueryGroup {
       FROM r GROUP BY bucket ORDER BY bucket
     """))
 
-  def defs: Seq[QueryDef] = Seq(q98, q99, q100, q101, q199, q200, q208)
+  /** DAU/MAU stickiness via difference arrays: daily active users,
+    * trailing-30-day active users, and their ratio in exact ppm for
+    * every day of the observed range. The trailing distinct count —
+    * normally the expensive part — never materializes a 30-day window:
+    * each user's consecutive activity days become half-open "counts as
+    * monthly-active" intervals [a, min(a+29, next−1)], the intervals
+    * become ±1 deltas at their endpoints, and MAU(d) is one running sum
+    * over the per-day delta aggregate. O(user-days) work total, versus
+    * O(user-days × 30) for the explode-a-window form.
+    *
+    * Scale shape: distinct user-days (one shuffle), a per-user lead
+    * window, a per-day delta aggregate (calendar-sized), and cumsum +
+    * ratio over the day spine. The spine bounds are data-derived so
+    * every scale factor is self-consistent. */
+  private val q221 = QueryDef(
+    "q221_dau_mau_stickiness",
+    (spark, dir) => {
+      import graft.functions.Deterministic.epochS
+      val ud = Tables.events(spark, dir)
+        .select(col("user_id").as("u"),
+          (epochS(col("ts")) / 86400).cast("long").as("day"))
+        .distinct()
+      val w = Window.partitionBy(col("u")).orderBy(col("day"))
+      val deltas = ud
+        .withColumn("nxt", lead(col("day"), 1).over(w))
+        .select(col("day").as("start"),
+          when(col("nxt").isNotNull && col("nxt") <= col("day") + 29L,
+            col("nxt") - 1L).otherwise(col("day") + 29L).as("end"))
+        .select(explode(array(
+          struct(col("start").as("d"), lit(1L).as("delta")),
+          struct((col("end") + 1L).as("d"), lit(-1L).as("delta")))).as("x"))
+        .select(col("x.d"), col("x.delta"))
+        .groupBy(col("d")).agg(sum(col("delta")).as("delta"))
+      val dau = ud.groupBy(col("day")).agg(count(lit(1)).as("dau"))
+      val bounds = ud.agg(min(col("day")).as("mn"), max(col("day")).as("mx"))
+      val spine = bounds.select(
+        explode(sequence(col("mn"), col("mx"))).as("day"))
+      val cum = Window.orderBy(col("day"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      spine
+        .join(deltas.withColumnRenamed("d", "day"), Seq("day"), "left")
+        .join(dau, Seq("day"), "left")
+        .withColumn("mau", sum(coalesce(col("delta"), lit(0L))).over(cum))
+        .withColumn("dau", coalesce(col("dau"), lit(0L)))
+        .select(col("day"), col("dau"), col("mau"),
+          expr("dau * 1000000L div mau").as("stickiness_ppm"))
+        .orderBy(col("day"))
+    },
+    Some("""
+      WITH ud AS (
+        SELECT DISTINCT user_id AS u,
+          CAST(epoch_ms(ts) // 1000 // 86400 AS BIGINT) AS day
+        FROM events),
+      iv AS (
+        SELECT day AS s,
+          CASE WHEN lead(day) OVER (PARTITION BY u ORDER BY day) <= day + 29
+               THEN lead(day) OVER (PARTITION BY u ORDER BY day) - 1
+               ELSE day + 29 END AS e
+        FROM ud),
+      deltas AS (
+        SELECT d, CAST(sum(delta) AS BIGINT) AS delta FROM (
+          SELECT s AS d, 1 AS delta FROM iv
+          UNION ALL
+          SELECT e + 1 AS d, -1 AS delta FROM iv)
+        GROUP BY d),
+      dau AS (SELECT day, CAST(count(*) AS BIGINT) AS dau FROM ud GROUP BY day),
+      spine AS (
+        SELECT CAST(unnest(range((SELECT min(day) FROM ud),
+                                 (SELECT max(day) FROM ud) + 1)) AS BIGINT) AS day),
+      t AS (
+        SELECT s.day, coalesce(dau.dau, 0) AS dau,
+          CAST(sum(coalesce(deltas.delta, 0)) OVER (ORDER BY s.day
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS mau
+        FROM spine s
+        LEFT JOIN deltas ON deltas.d = s.day
+        LEFT JOIN dau ON dau.day = s.day)
+      SELECT day, dau, mau, dau * 1000000 // mau AS stickiness_ppm
+      FROM t ORDER BY day
+    """))
+
+  def defs: Seq[QueryDef] = Seq(q98, q99, q100, q101, q199, q200, q208, q221)
 }

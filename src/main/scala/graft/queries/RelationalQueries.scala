@@ -779,7 +779,48 @@ object RelationalQueries extends QueryGroup {
       FROM g WHERE rank <= 10 ORDER BY rank
     """))
 
+  /** Single-pass grouped argmin via struct ordering: the cheapest
+    * lineitem offer per part — price AND the supplier who made it — from
+    * `min(struct(price, suppkey))`, whose lexicographic comparison makes
+    * the tie policy (lowest supplier key at equal price) part of the
+    * aggregate itself. The Spark-first answer to "which row attains the
+    * group minimum": one codegen'd hash aggregate with map-side partial
+    * combine, where the window form (row_number = 1) pays a full
+    * per-group sort and the join-back form scans twice. This is the
+    * argmin companion to q35's aggregate top-k.
+    *
+    * Scale shape: one scan, one hash aggregate keyed by part; an
+    * 8-byte-pair struct is all that shuffles per group. The oracle
+    * reproduces the same lexicographic min with DuckDB's struct
+    * ordering — tie semantics verified, not assumed. */
+  private val q220 = QueryDef(
+    "q220_argmin_struct",
+    (spark, dir) => {
+      import graft.functions.Deterministic.cents
+      Tables.lineitem(spark, dir)
+        .select(col("l_partkey").cast("long").as("partkey"),
+          cents(col("l_extendedprice")).as("c"),
+          col("l_suppkey").cast("long").as("sk"))
+        .groupBy(col("partkey"))
+        .agg(min(struct(col("c"), col("sk"))).as("m"),
+          count(lit(1)).as("n_offers"))
+        .select(col("partkey"), col("m.sk").as("best_suppkey"),
+          col("m.c").as("best_price_cents"), col("n_offers"))
+        .orderBy(col("partkey"))
+    },
+    Some("""
+      SELECT l_partkey AS partkey, m.sk AS best_suppkey,
+        m.c AS best_price_cents, n_offers
+      FROM (
+        SELECT l_partkey,
+          min({'c': CAST(floor(l_extendedprice*100 + 0.5) AS BIGINT),
+               'sk': CAST(l_suppkey AS BIGINT)}) AS m,
+          CAST(count(*) AS BIGINT) AS n_offers
+        FROM lineitem GROUP BY l_partkey)
+      ORDER BY partkey
+    """))
+
   def defs: Seq[QueryDef] =
     Seq(q10, q11, q12, q13, q14, q15, q16, q17, q18, q19, q48, q49, q52, q53,
-      q164, q168, q183, q187, q190, q193, q202, q217)
+      q164, q168, q183, q187, q190, q193, q202, q217, q220)
 }

@@ -1097,4 +1097,70 @@ class BehaviorDriftSpec extends SparkSpec {
       .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
     assert(got.toSeq == expected)
   }
+
+  // ---------------------------------------------------------------- q219
+
+  test("purchase regularity census matches driver-side gap moments") {
+    val orders = Tables.orders(spark, sfDir)
+      .selectExpr("CAST(o_custkey AS LONG)", "CAST(o_orderkey AS LONG)",
+        "CAST(CAST(o_orderdate AS TIMESTAMP) AS LONG) div 86400")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val perCust = orders.groupBy(_._1).values.toSeq.flatMap { rows =>
+      val days = rows.sortBy(r => (r._3, r._2)).map(_._3)
+      val gaps = days.zip(days.tail).map { case (a, b) => b - a }
+      if (gaps.length >= 2) {
+        val (n, s, q) = (gaps.length.toLong, gaps.sum, gaps.map(g => g * g).sum)
+        val band = if (s == 0) "degenerate" else {
+          val cv2 = (n * q - s * s) * 1000000L / (s * s)
+          if (cv2 <= 250000L) "clockwork"
+          else if (cv2 <= 1000000L) "regular" else "erratic"
+        }
+        Some((band, n, s))
+      } else None
+    }
+    val expected = perCust.groupBy(_._1).toSeq.map { case (band, xs) =>
+      (band, xs.length.toLong, xs.map(_._3).sum / xs.map(_._2).sum)
+    }.sortBy(_._1)
+    val got = run("q219_purchase_regularity").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    assert(got.toSeq == expected)
+  }
+
+  // ---------------------------------------------------------------- q220
+
+  test("struct argmin matches driver-side lexicographic minimum") {
+    val li = Tables.lineitem(spark, sfDir)
+      .selectExpr("CAST(l_partkey AS LONG)",
+        "CAST(floor(l_extendedprice*100 + 0.5) AS LONG)", "CAST(l_suppkey AS LONG)")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val expected = li.groupBy(_._1).toSeq.map { case (pk, rows) =>
+      val (c, sk) = rows.map(r => (r._2, r._3)).min
+      (pk, sk, c, rows.length.toLong)
+    }.sortBy(_._1)
+    val got = run("q220_argmin_struct").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(got.toSeq == expected)
+  }
+
+  // ---------------------------------------------------------------- q221
+
+  test("DAU/MAU stickiness matches driver-side trailing-window distinct") {
+    val ud = Tables.events(spark, sfDir)
+      .selectExpr("user_id", "CAST(CAST(ts AS TIMESTAMP) AS LONG) div 86400 AS day")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).distinct
+    val (mn, mx) = (ud.map(_._2).min, ud.map(_._2).max)
+    val byUser = ud.groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val expected = (mn to mx).map { d =>
+      val dau = ud.count(_._2 == d).toLong
+      val mau = byUser.values.count(days =>
+        days.exists(a => a <= d && d <= a + 29)).toLong
+      (d, dau, mau, if (mau == 0) None else Some(dau * 1000000L / mau))
+    }
+    val got = run("q221_dau_mau_stickiness").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        if (r.isNullAt(3)) None else Some(r.getLong(3))))
+    assert(got.toSeq == expected)
+    // MAU dominates DAU everywhere
+    got.foreach { case (d, dau, mau, _) => assert(mau >= dau, s"day $d") }
+  }
 }
