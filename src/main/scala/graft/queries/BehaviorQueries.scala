@@ -1022,8 +1022,8 @@ object BehaviorQueries extends QueryGroup {
       ORDER BY t.prev_type
     """))
 
-  /** Revenue-decile mobility matrix: every 1994 customer's spend decile
-    * versus their 1995 decile (decile 0 = no 1995 orders — the churn
+  /** Revenue-decile mobility matrix: every 1995 customer's spend decile
+    * versus their 1996 decile (decile 0 = no 1996 orders — the churn
     * row), counted into the 10×11 transition census. Rank mobility is
     * the year-over-year loyalty question RFM (q116) can't answer: how
     * sticky is being a top-decile customer? Deciles come from
@@ -1050,8 +1050,8 @@ object BehaviorQueries extends QueryGroup {
           .withColumn("n", count(lit(1)).over(n))
           .select(col("cust"), expr("(rn - 1) * 10 div n + 1").as(out))
       }
-      deciled(yearRev(1994), "d_from")
-        .join(deciled(yearRev(1995), "d_to"), Seq("cust"), "left")
+      deciled(yearRev(1995), "d_from")
+        .join(deciled(yearRev(1996), "d_to"), Seq("cust"), "left")
         .withColumn("d_to", coalesce(col("d_to"), lit(0L)))
         .groupBy(col("d_from"), col("d_to"))
         .agg(count(lit(1)).as("n_customers"))
@@ -1062,15 +1062,15 @@ object BehaviorQueries extends QueryGroup {
         SELECT o_custkey AS cust,
           CAST(sum(CAST(floor(o_totalprice*100 + 0.5) AS BIGINT)) AS BIGINT) AS rev
         FROM orders
-        WHERE o_orderdate >= TIMESTAMP '1994-01-01'
-          AND o_orderdate < TIMESTAMP '1995-01-01'
+        WHERE o_orderdate >= TIMESTAMP '1995-01-01'
+          AND o_orderdate < TIMESTAMP '1996-01-01'
         GROUP BY 1),
       r95 AS (
         SELECT o_custkey AS cust,
           CAST(sum(CAST(floor(o_totalprice*100 + 0.5) AS BIGINT)) AS BIGINT) AS rev
         FROM orders
-        WHERE o_orderdate >= TIMESTAMP '1995-01-01'
-          AND o_orderdate < TIMESTAMP '1996-01-01'
+        WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+          AND o_orderdate < TIMESTAMP '1997-01-01'
         GROUP BY 1),
       d94 AS (
         SELECT cust,

@@ -761,7 +761,7 @@ object PlanningQueries extends QueryGroup {
       FROM lab GROUP BY abc, xyz ORDER BY abc, xyz
     """))
 
-  /** Price–volume growth bridge: each brand's 1994→1995 revenue growth
+  /** Price–volume growth bridge: each brand's 1995→1996 revenue growth
     * decomposed into the volume effect (quantity growth at constant
     * revenue-per-unit) and the price/mix residual — the waterfall chart
     * behind every "why did revenue move" review. All three terms are
@@ -778,51 +778,51 @@ object PlanningQueries extends QueryGroup {
     (spark, dir) => {
       import graft.functions.Deterministic.cents
       Tables.lineitem(spark, dir)
-        .filter(col("l_shipdate") >= "1994-01-01" && col("l_shipdate") < "1996-01-01")
+        .filter(col("l_shipdate") >= "1995-01-01" && col("l_shipdate") < "1997-01-01")
         .join(broadcast(Tables.part(spark, dir)
           .select(col("p_partkey"), col("p_brand"))),
           col("l_partkey") === col("p_partkey"))
         .select(col("p_brand").as("brand"),
-          (col("l_shipdate") < "1995-01-01").as("base"),
+          (col("l_shipdate") < "1996-01-01").as("base"),
           cents(col("l_extendedprice")).as("c"),
           floor(col("l_quantity") + lit(0.5d)).cast("long").as("q"))
         .groupBy(col("brand"))
         .agg(
-          sum(when(col("base"), col("c")).otherwise(0L)).as("rev94"),
-          sum(when(col("base"), col("q")).otherwise(0L)).as("qty94"),
-          sum(when(!col("base"), col("c")).otherwise(0L)).as("rev95"),
-          sum(when(!col("base"), col("q")).otherwise(0L)).as("qty95"))
-        .filter(col("rev94") > 0L && col("qty94") > 0L)
+          sum(when(col("base"), col("c")).otherwise(0L)).as("rev_base"),
+          sum(when(col("base"), col("q")).otherwise(0L)).as("qty_base"),
+          sum(when(!col("base"), col("c")).otherwise(0L)).as("rev_next"),
+          sum(when(!col("base"), col("q")).otherwise(0L)).as("qty_next"))
+        .filter(col("rev_base") > 0L && col("qty_base") > 0L)
         .withColumn("growth_ppm", expr(
-          "CAST(CAST(rev95 - rev94 AS DECIMAL(38,0)) * 1000000 DIV rev94 AS BIGINT)"))
+          "CAST(CAST(rev_next - rev_base AS DECIMAL(38,0)) * 1000000 DIV rev_base AS BIGINT)"))
         .withColumn("volume_ppm", expr(
-          "CAST(CAST(qty95 - qty94 AS DECIMAL(38,0)) * 1000000 DIV qty94 AS BIGINT)"))
+          "CAST(CAST(qty_next - qty_base AS DECIMAL(38,0)) * 1000000 DIV qty_base AS BIGINT)"))
         .withColumn("price_mix_ppm", col("growth_ppm") - col("volume_ppm"))
-        .select(col("brand"), col("rev94"), col("rev95"), col("growth_ppm"),
+        .select(col("brand"), col("rev_base"), col("rev_next"), col("growth_ppm"),
           col("volume_ppm"), col("price_mix_ppm"))
         .orderBy(col("brand"))
     },
     Some("""
       WITH li AS (
-        SELECT p_brand AS brand, l_shipdate < TIMESTAMP '1995-01-01' AS base,
+        SELECT p_brand AS brand, l_shipdate < TIMESTAMP '1996-01-01' AS base,
           CAST(floor(l_extendedprice*100 + 0.5) AS BIGINT) AS c,
           CAST(floor(l_quantity + 0.5) AS BIGINT) AS q
         FROM lineitem JOIN part ON l_partkey = p_partkey
-        WHERE l_shipdate >= TIMESTAMP '1994-01-01'
-          AND l_shipdate < TIMESTAMP '1996-01-01'),
+        WHERE l_shipdate >= TIMESTAMP '1995-01-01'
+          AND l_shipdate < TIMESTAMP '1997-01-01'),
       g AS (
         SELECT brand,
-          CAST(sum(CASE WHEN base THEN c ELSE 0 END) AS BIGINT) AS rev94,
-          CAST(sum(CASE WHEN base THEN q ELSE 0 END) AS BIGINT) AS qty94,
-          CAST(sum(CASE WHEN NOT base THEN c ELSE 0 END) AS BIGINT) AS rev95,
-          CAST(sum(CASE WHEN NOT base THEN q ELSE 0 END) AS BIGINT) AS qty95
+          CAST(sum(CASE WHEN base THEN c ELSE 0 END) AS BIGINT) AS rev_base,
+          CAST(sum(CASE WHEN base THEN q ELSE 0 END) AS BIGINT) AS qty_base,
+          CAST(sum(CASE WHEN NOT base THEN c ELSE 0 END) AS BIGINT) AS rev_next,
+          CAST(sum(CASE WHEN NOT base THEN q ELSE 0 END) AS BIGINT) AS qty_next
         FROM li GROUP BY brand),
       b AS (
-        SELECT brand, rev94, rev95,
-          CAST(CAST(rev95 - rev94 AS HUGEINT) * 1000000 // rev94 AS BIGINT) AS growth_ppm,
-          CAST(CAST(qty95 - qty94 AS HUGEINT) * 1000000 // qty94 AS BIGINT) AS volume_ppm
-        FROM g WHERE rev94 > 0 AND qty94 > 0)
-      SELECT brand, rev94, rev95, growth_ppm, volume_ppm,
+        SELECT brand, rev_base, rev_next,
+          CAST(CAST(rev_next - rev_base AS HUGEINT) * 1000000 // rev_base AS BIGINT) AS growth_ppm,
+          CAST(CAST(qty_next - qty_base AS HUGEINT) * 1000000 // qty_base AS BIGINT) AS volume_ppm
+        FROM g WHERE rev_base > 0 AND qty_base > 0)
+      SELECT brand, rev_base, rev_next, growth_ppm, volume_ppm,
         growth_ppm - volume_ppm AS price_mix_ppm
       FROM b ORDER BY brand
     """))

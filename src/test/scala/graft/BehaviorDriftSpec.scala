@@ -986,7 +986,7 @@ class BehaviorDriftSpec extends SparkSpec {
       rev.toSeq.sortBy { case (c, r) => (-r, c) }.zipWithIndex
         .map { case ((c, _), i) => c -> (i.toLong * 10 / n + 1) }.toMap
     }
-    val (d94, d95) = (deciles(yearRev(1994)), deciles(yearRev(1995)))
+    val (d94, d95) = (deciles(yearRev(1995)), deciles(yearRev(1996)))
     val expected = d94.toSeq
       .map { case (c, from) => (from, d95.getOrElse(c, 0L)) }
       .groupBy(identity).toSeq

@@ -321,8 +321,8 @@ class PlanningOpsSpec extends SparkSpec {
       .selectExpr("CAST(p_partkey AS LONG)", "p_brand").collect()
       .map(r => r.getLong(0) -> r.getString(1)).toMap
     val li = Tables.lineitem(spark, sfDir)
-      .filter("l_shipdate >= '1994-01-01' AND l_shipdate < '1996-01-01'")
-      .selectExpr("CAST(l_partkey AS LONG)", "l_shipdate < '1995-01-01'",
+      .filter("l_shipdate >= '1995-01-01' AND l_shipdate < '1997-01-01'")
+      .selectExpr("CAST(l_partkey AS LONG)", "l_shipdate < '1996-01-01'",
         "CAST(floor(l_extendedprice*100 + 0.5) AS LONG)",
         "CAST(floor(l_quantity + 0.5) AS LONG)")
       .collect()

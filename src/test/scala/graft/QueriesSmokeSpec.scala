@@ -34,6 +34,7 @@ class QueriesSmokeSpec extends SparkSpec {
   // (query vectors, centroid tables, corpus-size literals, global
   // thresholds) — the only sanctioned nested-loop shape
   private val broadcastCrossJoins = Set(
+    "q216_survival_life_table",
     "q25_knn_bruteforce", "q32_ivf_ann_topk", "q50_lsh_ann_topk",
     "q64_quality_threshold", "q72_time_decay", "q82_decile_binning",
     "q88_basket_lift", "q89_timeseries_similarity", "q102_int8_quantization",
