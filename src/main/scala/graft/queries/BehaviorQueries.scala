@@ -869,7 +869,7 @@ object BehaviorQueries extends QueryGroup {
     (spark, dir) => {
       val w = Window.partitionBy(col("user_id")).orderBy(col("day"))
       Tables.events(spark, dir)
-        .select(col("user_id"), expr("CAST(ts AS BIGINT) div 86400").as("day"))
+        .select(col("user_id"), (epochS(col("ts")) / 86400).cast("long").as("day"))
         .distinct()
         .withColumn("island", col("day") - row_number().over(w))
         .groupBy(col("user_id"), col("island"))

@@ -991,7 +991,68 @@ object CorpusQueries extends QueryGroup {
       ORDER BY source, bucket
     """))
 
+  /** Good-Turing frequency-of-frequencies table over corpus bigrams —
+    * the count-of-counts census (how many distinct bigrams occur exactly
+    * r times) plus the Good-Turing adjusted count
+    * r* = (r+1)·n_{r+1}/n_r in ppm, the quantity every smoothed
+    * language model (Katz, simple GT) starts from, and the standard
+    * diagnostic for corpus duplication (a bump in high-r mass means
+    * boilerplate). Where n_{r+1} is absent the estimate is 0 by
+    * convention. Bigrams, not unigrams: the n-gram tail is where the
+    * unseen-mass estimate actually matters.
+    *
+    * Scale shape: bigrams come from an in-row array transform (no
+    * positional self-join), so the only corpus-sized shuffle is the
+    * (bigram → count) hash agg; the count-of-counts table is at most
+    * O(√total_bigrams) rows (distinct frequencies), so the
+    * unpartitioned LEAD window over it is vocabulary-sized —
+    * sanctioned, same argument as q135's histogram. The r·n_{r+1}
+    * product runs in decimal(38,0): at the 100 TB design point r can
+    * reach ~1e11 and n_{r+1} ~1e9, past 2^63. */
+  private val q222 = QueryDef(
+    "q222_good_turing_counts",
+    (spark, dir) => {
+      val everything = org.apache.spark.sql.expressions.Window.orderBy(col("r"))
+      Tables.documents(spark, dir)
+        .select(tokens_native(col("text")).as("toks"))
+        .filter(size(col("toks")) >= 2)
+        .select(explode(expr(
+          "transform(slice(toks, 1, size(toks) - 1), (t, i) -> concat(t, ' ', toks[i + 1]))"))
+          .as("bigram"))
+        .groupBy(col("bigram")).agg(count(lit(1)).as("r"))
+        .groupBy(col("r")).agg(count(lit(1)).as("n_r"))
+        .withColumn("next_r", lead(col("r"), 1).over(everything))
+        .withColumn("next_n", lead(col("n_r"), 1).over(everything))
+        .select(col("r"), col("n_r"),
+          (col("r") * col("n_r")).as("mass"),
+          expr("""CAST(CASE WHEN next_r = r + 1 THEN
+                    CAST(r + 1 AS DECIMAL(38,0)) * next_n * 1000000 DIV n_r
+                  ELSE 0 END AS BIGINT)""").as("gt_r_ppm"))
+        .orderBy(col("r"))
+    },
+    Some(s"""
+      WITH tk AS (
+        SELECT $duckTokens AS tk FROM documents),
+      tok AS (
+        SELECT unnest([tk[i] || ' ' || tk[i + 1] for i in range(1, len(tk))]) AS bigram
+        FROM tk WHERE len(tk) >= 2),
+      freq AS (
+        SELECT bigram, CAST(count(*) AS BIGINT) AS r FROM tok GROUP BY bigram),
+      cc AS (
+        SELECT r, CAST(count(*) AS BIGINT) AS n_r FROM freq GROUP BY r),
+      w AS (
+        SELECT r, n_r,
+          lead(r) OVER (ORDER BY r) AS next_r,
+          lead(n_r) OVER (ORDER BY r) AS next_n
+        FROM cc)
+      SELECT r, n_r, CAST(r * n_r AS BIGINT) AS mass,
+        CAST(CASE WHEN next_r = r + 1 THEN
+               CAST(r + 1 AS HUGEINT) * next_n * 1000000 // n_r
+             ELSE 0 END AS BIGINT) AS gt_r_ppm
+      FROM w ORDER BY r
+    """))
+
   def defs: Seq[QueryDef] =
     Seq(q56, q57, q58, q59, q60, q61, q62, q63, q64, q65, q66, q82, q157, q165, q172,
-      q174, q182, q189, q215)
+      q174, q182, q189, q215, q222)
 }

@@ -78,7 +78,7 @@ object SourceQueries extends QueryGroup {
     (spark, dir) => {
       val e = Tables.events(spark, dir)
         .select(col("user_id"), col("event_id"),
-          expr("CAST(ts AS BIGINT)").as("ts_s"),
+          expr("CAST(CAST(ts AS TIMESTAMP) AS BIGINT)").as("ts_s"),
           expr("CAST(floor(value*100 + 0.5) AS BIGINT)").as("vc"),
           col("event_type"))
       val v1 = e.filter(col("event_id") % 2 === 0)

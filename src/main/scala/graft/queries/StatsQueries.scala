@@ -690,7 +690,83 @@ object StatsQueries extends QueryGroup {
       FROM m WHERE n = mx GROUP BY flag ORDER BY flag
     """))
 
+  /** Rank concordance between two brand orderings — does revenue rank
+    * agree with volume rank? Counts concordant / discordant / tied pairs
+    * over all brand pairs and reports Kendall-style agreement as
+    * Goodman-Kruskal gamma = (C−D)/(C+D) in ppm — the tie-robust
+    * integer-exact member of the Kendall family (tau-b needs a sqrt).
+    * Complements q180 (linear correlation on row-level values) and q189
+    * (RBO on top-k lists) with a whole-ranking, outlier-immune measure.
+    *
+    * Scale shape: the corpus collapses to one row per brand (~25) before
+    * any pairing; the `<` self-join is over that vocabulary-sized
+    * aggregate — the sanctioned broadcast nested-loop shape, O(brands²)
+    * = hundreds of rows, independent of corpus size. The gamma division
+    * keeps both operands non-negative (sign split out) so Spark DIV and
+    * DuckDB // cannot disagree on negative truncation. */
+  private val q224 = QueryDef(
+    "q224_rank_concordance",
+    (spark, dir) => {
+      val byBrand = Tables.lineitem(spark, dir)
+        .join(Tables.part(spark, dir),
+          col("l_partkey") === col("p_partkey"))
+        .groupBy(col("p_brand").as("brand"))
+        .agg(sum(cents(col("l_extendedprice") * (lit(1d) - col("l_discount"))))
+            .as("rev_c"),
+          sum(floor(col("l_quantity") + lit(0.5d)).cast("long")).as("qty"))
+      val a = byBrand.select(col("brand").as("brand_a"),
+        col("rev_c").as("rev_a"), col("qty").as("qty_a"))
+      val b = byBrand.select(col("brand").as("brand_b"),
+        col("rev_c").as("rev_b"), col("qty").as("qty_b"))
+      a.join(broadcast(b), col("brand_a") < col("brand_b"))
+        .select(
+          when((col("rev_a") - col("rev_b")) * (col("qty_a") - col("qty_b")) > 0, 1L)
+            .otherwise(0L).as("c"),
+          when((col("rev_a") - col("rev_b")) * (col("qty_a") - col("qty_b")) < 0, 1L)
+            .otherwise(0L).as("d"))
+        .agg(count(lit(1)).as("n_pairs"), sum(col("c")).as("concordant"),
+          sum(col("d")).as("discordant"))
+        .select(col("n_pairs"), col("concordant"), col("discordant"),
+          (col("n_pairs") - col("concordant") - col("discordant")).as("ties"),
+          expr("""CAST(CASE
+                    WHEN concordant + discordant = 0 THEN 0
+                    WHEN concordant >= discordant THEN
+                      (concordant - discordant) * 1000000 DIV (concordant + discordant)
+                    ELSE
+                      -((discordant - concordant) * 1000000 DIV (concordant + discordant))
+                  END AS BIGINT)""").as("gamma_ppm"))
+    },
+    Some("""
+      WITH m AS (
+        SELECT p_brand AS brand,
+          CAST(sum(floor(l_extendedprice * (1 - l_discount) * 100 + 0.5)) AS BIGINT)
+            AS rev_c,
+          CAST(sum(floor(l_quantity + 0.5)) AS BIGINT) AS qty
+        FROM lineitem JOIN part ON l_partkey = p_partkey
+        GROUP BY p_brand),
+      p AS (
+        SELECT
+          CASE WHEN (a.rev_c - b.rev_c) * (a.qty - b.qty) > 0 THEN 1 ELSE 0 END AS c,
+          CASE WHEN (a.rev_c - b.rev_c) * (a.qty - b.qty) < 0 THEN 1 ELSE 0 END AS d
+        FROM m a JOIN m b ON a.brand < b.brand),
+      s AS (
+        SELECT CAST(count(*) AS BIGINT) AS n_pairs,
+          CAST(sum(c) AS BIGINT) AS concordant,
+          CAST(sum(d) AS BIGINT) AS discordant
+        FROM p)
+      SELECT n_pairs, concordant, discordant,
+        n_pairs - concordant - discordant AS ties,
+        CAST(CASE
+          WHEN concordant + discordant = 0 THEN 0
+          WHEN concordant >= discordant THEN
+            (concordant - discordant) * 1000000 // (concordant + discordant)
+          ELSE
+            -((discordant - concordant) * 1000000 // (concordant + discordant))
+        END AS BIGINT) AS gamma_ppm
+      FROM s
+    """))
+
   def defs: Seq[QueryDef] =
     Seq(q36, q37, q38, q39, q40, q41, q42, q55, q90, q180, q181, q186, q205,
-      q216, q218)
+      q216, q218, q224)
 }

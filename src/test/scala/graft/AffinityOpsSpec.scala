@@ -471,7 +471,7 @@ class AffinityOpsSpec extends SparkSpec {
 
   test("longest streak matches driver-side gaps-and-islands brute force") {
     val ev = Tables.events(spark, sfDir)
-      .selectExpr("user_id", "CAST(ts AS LONG) div 86400 AS day")
+      .selectExpr("user_id", "CAST(CAST(ts AS TIMESTAMP) AS LONG) div 86400 AS day")
       .collect().map(r => (r.getLong(0), r.getLong(1))).distinct
     val expected = ev.groupBy(_._1).toSeq.map { case (u, rows) =>
       val days = rows.map(_._2).distinct.sorted
@@ -513,7 +513,7 @@ class AffinityOpsSpec extends SparkSpec {
 
   test("interval-union coverage matches driver-side sweep merge") {
     val ev = Tables.events(spark, sfDir)
-      .selectExpr("user_id", "CAST(ts AS LONG) AS s")
+      .selectExpr("user_id", "CAST(CAST(ts AS TIMESTAMP) AS LONG) AS s")
       .collect().map(r => (r.getLong(0), r.getLong(1)))
     val perUser = ev.groupBy(_._1).view.mapValues { rows =>
       val iv = rows.map(_._2).sorted.map(s => (s, s + 1800L))

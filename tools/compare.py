@@ -34,9 +34,12 @@ def main(out_dir, sf_dir):
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
     oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
     failed = []
+    present_only = "--present-only" in sys.argv
     for name, sql in sorted(oracle.items()):
         files = glob.glob(f"{out_dir}/{name}/*.parquet")
         if not files:
+            if present_only:
+                continue  # partial dev dump (Verify with query-name args)
             print(f"FAIL {name}: no spark output"); failed.append(name); continue
         try:
             orc = con.execute(sql)
