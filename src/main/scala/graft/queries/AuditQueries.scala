@@ -711,7 +711,54 @@ object AuditQueries extends QueryGroup {
       FROM d ORDER BY n_name
     """))
 
+  /** Sample-ratio-mismatch (SRM) audit — the first thing to check on any
+    * A/B experiment: does the daily split between the two arms actually
+    * look 50/50? Users land in arms by the deterministic key hash (the
+    * q45 split convention), and each day gets the two-cell chi-square
+    * statistic, which for a 50/50 design collapses to (n₀−n₁)²/n —
+    * exact integer arithmetic, no expected-count fractions. A day is
+    * flagged when chi exceeds the χ²₁ 95% critical value 3.841459
+    * (ppm-scaled). Persistent flags mean assignment or logging is
+    * biased and every downstream readout (q163) is invalid.
+    *
+    * Scale shape: a narrow scan projecting (day, arm) and one hash agg
+    * on day — nothing else. The squared difference runs in
+    * decimal(38,0): (n₀−n₁)²·10⁶ clears 2^63 once a day sees ~10⁹
+    * events at the 100 TB design point. */
+  private val q225 = QueryDef(
+    "q225_srm_audit",
+    (spark, dir) => {
+      import graft.functions.Deterministic.epochS
+      Tables.events(spark, dir)
+        .select((epochS(col("ts")) / 86400).cast("long").as("day"),
+          (graft.operators.Sampling.keyHash(col("user_id")) % 2).as("arm"))
+        .groupBy(col("day"))
+        .agg(count(lit(1)).as("n"), sum(col("arm")).as("arm1"))
+        .select(col("day"), col("n"), (col("n") - col("arm1")).as("arm0"), col("arm1"),
+          expr("""CAST(CAST(n - 2 * arm1 AS DECIMAL(38,0)) *
+                       CAST(n - 2 * arm1 AS DECIMAL(38,0)) * 1000000 DIV n
+                  AS BIGINT)""").as("chi_ppm"))
+        .withColumn("srm_flag",
+          when(col("chi_ppm") > 3841459L, 1L).otherwise(0L))
+        .orderBy(col("day"))
+    },
+    Some("""
+      WITH e AS (
+        SELECT CAST(epoch_ms(ts) // 1000 // 86400 AS BIGINT) AS day,
+          ((user_id % 2147483648) * 2654435761) % 4294967296 % 2 AS arm
+        FROM events),
+      d AS (
+        SELECT day, CAST(count(*) AS BIGINT) AS n, CAST(sum(arm) AS BIGINT) AS arm1
+        FROM e GROUP BY day)
+      SELECT day, n, n - arm1 AS arm0, arm1,
+        CAST(CAST(n - 2 * arm1 AS HUGEINT) * (n - 2 * arm1) * 1000000 // n
+          AS BIGINT) AS chi_ppm,
+        CAST(CASE WHEN CAST(n - 2 * arm1 AS HUGEINT) * (n - 2 * arm1) * 1000000 // n
+               > 3841459 THEN 1 ELSE 0 END AS BIGINT) AS srm_flag
+      FROM d ORDER BY day
+    """))
+
   def defs: Seq[QueryDef] =
     Seq(q81, q83, q84, q85, q91, q149, q155, q156, q167, q169, q191, q197, q198,
-      q209)
+      q209, q225)
 }

@@ -1052,7 +1052,50 @@ object CorpusQueries extends QueryGroup {
       FROM w ORDER BY r
     """))
 
+  /** Per-source exact-duplication census: how much of each source is
+    * copies, and how many characters those copies waste. The go/no-go
+    * number for scheduling dedup (q20 lists the winners; this prices
+    * the problem): dup_ppm = duplicate docs per million, wasted_chars =
+    * characters that vanish if each text keeps one representative.
+    *
+    * Scale shape: digests group on (source, md5) — the text column
+    * itself never shuffles, only the 16-byte digest — then one
+    * source-sized rollup. Same two-level agg as q20, plus the
+    * per-source census. */
+  private val q227 = QueryDef(
+    "q227_dup_rate_by_source",
+    (spark, dir) => {
+      Tables.documents(spark, dir)
+        .select(col("source"), md5(col("text")).as("digest"), col("n_chars"))
+        .groupBy(col("source"), col("digest"))
+        .agg(count(lit(1)).as("c"), max(col("n_chars")).as("chars"))
+        .groupBy(col("source"))
+        .agg(sum(col("c")).as("n_docs"), count(lit(1)).as("n_unique"),
+          sum((col("c") - 1) * col("chars")).as("wasted_chars"))
+        .select(col("source"), col("n_docs"), col("n_unique"),
+          expr("CAST(CAST(n_docs - n_unique AS DECIMAL(38,0)) * 1000000 DIV n_docs AS BIGINT)")
+            .as("dup_ppm"),
+          col("wasted_chars"))
+        .orderBy(col("source"))
+    },
+    Some("""
+      WITH g AS (
+        SELECT source, md5(text) AS digest, CAST(count(*) AS BIGINT) AS c,
+          CAST(max(n_chars) AS BIGINT) AS chars
+        FROM documents GROUP BY source, md5(text)),
+      s AS (
+        SELECT source, CAST(sum(c) AS BIGINT) AS n_docs,
+          CAST(count(*) AS BIGINT) AS n_unique,
+          CAST(sum((c - 1) * chars) AS BIGINT) AS wasted_chars
+        FROM g GROUP BY source)
+      SELECT source, n_docs, n_unique,
+        CAST(CAST(n_docs - n_unique AS HUGEINT) * 1000000 // n_docs AS BIGINT)
+          AS dup_ppm,
+        wasted_chars
+      FROM s ORDER BY source
+    """))
+
   def defs: Seq[QueryDef] =
     Seq(q56, q57, q58, q59, q60, q61, q62, q63, q64, q65, q66, q82, q157, q165, q172,
-      q174, q182, q189, q215, q222)
+      q174, q182, q189, q215, q222, q227)
 }

@@ -226,5 +226,63 @@ object QuantQueries extends QueryGroup {
       ORDER BY dollars
     """))
 
-  def defs: Seq[QueryDef] = Seq(q102, q127, q139, q147)
+  /** Effective dimensionality of the embedding space per label, as the
+    * participation ratio PR = (Σ_d v_d)² / Σ_d v_d² over per-dimension
+    * variances — PR ≈ k means "the cluster really lives in k of the 64
+    * dimensions". The standard check before dimension truncation
+    * (q173) or IVF cell sizing: a source whose PR collapses is
+    * anisotropic and will bucket badly. Variances are exact integers
+    * over the house 512-step quantization (v_d = n·Σq² − (Σq)², the
+    * n²-scaled variance — the PR ratio cancels the scaling), so the
+    * result is bit-deterministic.
+    *
+    * Scale shape: posexplode fans each vector into 64 (label, dim)
+    * cells — a narrow generator, then ONE hash agg to labels×64 cells
+    * and a second to labels. All squaring runs in decimal(38,0): v_d
+    * can reach ~1e13 at test scale and its square 1e26, far past 2^63
+    * but inside 38 digits. */
+  private val q226 = QueryDef(
+    "q226_effective_dim",
+    (spark, dir) => {
+      Tables.embeddings(spark, dir)
+        .select(col("label").cast("long").as("label"),
+          posexplode(expr(
+            "transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 512 + 0.5) AS BIGINT))"))
+            .as(Seq("dim", "q")))
+        .groupBy(col("label"), col("dim"))
+        .agg(count(lit(1)).as("n"), sum(col("q")).as("sx"),
+          sum(col("q") * col("q")).as("sxx"))
+        .select(col("label"), col("n"),
+          expr("CAST(n AS DECIMAL(38,0)) * sxx - CAST(sx AS DECIMAL(38,0)) * sx")
+            .as("v"))
+        .groupBy(col("label"))
+        .agg(max(col("n")).as("n_vecs"), sum(col("v")).as("s1"),
+          sum(expr("v * v")).as("s2"))
+        .select(col("label"), col("n_vecs"),
+          expr("CAST(CASE WHEN s2 = 0 THEN 0 ELSE s1 * s1 * 1000000 DIV s2 END AS BIGINT)")
+            .as("pr_ppm"))
+        .orderBy(col("label"))
+    },
+    Some("""
+      WITH ex AS (
+        SELECT CAST(label AS BIGINT) AS label, CAST(d.i - 1 AS INTEGER) AS dim,
+          CAST(floor(CAST(embedding[d.i] AS DOUBLE) * 512 + 0.5) AS BIGINT) AS q
+        FROM embeddings, LATERAL (SELECT unnest(range(1, len(embedding)+1)) AS i) d),
+      cell AS (
+        SELECT label, dim, CAST(count(*) AS BIGINT) AS n,
+          CAST(sum(q) AS BIGINT) AS sx, CAST(sum(q*q) AS BIGINT) AS sxx
+        FROM ex GROUP BY label, dim),
+      v AS (
+        SELECT label, n, CAST(n AS HUGEINT) * sxx - CAST(sx AS HUGEINT) * sx AS v
+        FROM cell),
+      s AS (
+        SELECT label, max(n) AS n_vecs, sum(v) AS s1, sum(v*v) AS s2
+        FROM v GROUP BY label)
+      SELECT label, CAST(n_vecs AS BIGINT) AS n_vecs,
+        CAST(CASE WHEN s2 = 0 THEN 0 ELSE s1 * s1 * 1000000 // s2 END AS BIGINT)
+          AS pr_ppm
+      FROM s ORDER BY label
+    """))
+
+  def defs: Seq[QueryDef] = Seq(q102, q127, q139, q147, q226)
 }
