@@ -884,7 +884,126 @@ object PlanningQueries extends QueryGroup {
       FROM r ORDER BY source
     """))
 
+  /** Session-timeout census — the table that picks a sessionization gap
+    * (the reference hardcodes 30 min; this derives it from data). Every
+    * consecutive same-user gap lands in a log₂ bucket (bit-length of
+    * seconds, the q215 portable-log₂ trick); reading cum_ppm top-down
+    * IS the timeout decision: the bucket where the cumulative share
+    * plateaus separates intra-session rhythm from between-session
+    * returns. Complements q76 (per-user gap moments) with the global
+    * distribution the timeout constant actually comes from.
+    *
+    * Scale shape: one keyed window (user, time order) — the same
+    * shuffle any sessionization pays — then a ≤64-bucket hash agg. The
+    * cumulative window runs over buckets, never events. */
+  private val q228 = QueryDef(
+    "q228_session_timeout_census",
+    (spark, dir) => {
+      val byTime = Window.partitionBy(col("user_id"))
+        .orderBy(col("s"), col("event_id"))
+      Tables.events(spark, dir)
+        .select(col("user_id"), col("event_id"), epochS(col("ts")).as("s"))
+        .withColumn("gap", col("s") - lag(col("s"), 1).over(byTime))
+        .filter(col("gap").isNotNull)
+        .select((length(bin(col("gap") + 1)) - 1).cast("long").as("bucket"))
+        .groupBy(col("bucket")).agg(count(lit(1)).as("n_gaps"))
+        .withColumn("cum_ppm", expr(
+          "CAST(CAST(sum(n_gaps) OVER (ORDER BY bucket" +
+            " ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DECIMAL(38,0))" +
+            " * 1000000 DIV sum(n_gaps) OVER () AS BIGINT)"))
+        .orderBy(col("bucket"))
+    },
+    Some("""
+      WITH e AS (
+        SELECT user_id, event_id, CAST(epoch_ms(ts) // 1000 AS BIGINT) AS s
+        FROM events),
+      g AS (
+        SELECT s - lag(s) OVER (PARTITION BY user_id ORDER BY s, event_id) AS gap
+        FROM e),
+      b AS (
+        SELECT CAST(length(bin(gap + 1)) - 1 AS BIGINT) AS bucket
+        FROM g WHERE gap IS NOT NULL),
+      c AS (
+        SELECT bucket, CAST(count(*) AS BIGINT) AS n_gaps FROM b GROUP BY bucket)
+      SELECT bucket, n_gaps,
+        CAST(CAST(sum(n_gaps) OVER (ORDER BY bucket
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS HUGEINT)
+          * 1000000 // sum(n_gaps) OVER () AS BIGINT) AS cum_ppm
+      FROM c ORDER BY bucket
+    """))
+
+  /** Bloom-filter sizing plan per source — the m = −n·ln p /(ln 2)²
+    * formula (Bloom 1970) at 1% FPR, evaluated in exact integer ppm
+    * arithmetic (9.585059 bits/key → the 9585059 micro-bits constant)
+    * over the EXACT distinct-key count, with k = 7 hashes
+    * (⌈m/n·ln 2⌉). Feeds BloomJoin provisioning: how many bits each
+    * source's pre-filter needs before a 100 TB anti-join.
+    *
+    * Scale shape: distinct counting groups 16-byte digests, never
+    * text; everything after is a per-source scalar row. */
+  private val q229 = QueryDef(
+    "q229_bloom_size_plan",
+    (spark, dir) => {
+      Tables.documents(spark, dir)
+        .select(col("source"), md5(col("text")).as("digest"))
+        .groupBy(col("source"))
+        .agg(countDistinct(col("digest")).as("n_keys"))
+        .select(col("source"), col("n_keys"),
+          expr("CAST((CAST(n_keys AS DECIMAL(38,0)) * 9585059 + 999999) DIV 1000000 AS BIGINT)")
+            .as("bloom_bits"))
+        .withColumn("bloom_bytes", expr("(bloom_bits + 7) DIV 8"))
+        .withColumn("n_hashes", lit(7L))
+        .orderBy(col("source"))
+    },
+    Some("""
+      WITH d AS (
+        SELECT source, CAST(count(DISTINCT md5(text)) AS BIGINT) AS n_keys
+        FROM documents GROUP BY source),
+      b AS (
+        SELECT source, n_keys,
+          CAST((CAST(n_keys AS HUGEINT) * 9585059 + 999999) // 1000000 AS BIGINT)
+            AS bloom_bits
+        FROM d)
+      SELECT source, n_keys, bloom_bits,
+        (bloom_bits + 7) // 8 AS bloom_bytes,
+        CAST(7 AS BIGINT) AS n_hashes
+      FROM b ORDER BY source
+    """))
+
+  /** Cross-source boilerplate leakage: near-dup clusters keyed by a
+    * shared 64-char prefix (the q177 boilerplate signal — this corpus,
+    * like most crawls, has no byte-exact dups but plenty of shared
+    * openings), histogrammed by how many SOURCES each cluster spans.
+    * Span 1 = within-source templates (per-source dedup catches them);
+    * span ≥ 2 = cross-source contamination that survives per-source
+    * dedup and double-counts in any per-source statistic.
+    *
+    * Scale shape: prefix-digest group then span-group — two hash aggs
+    * over 16-byte digests, never full text. */
+  private val q230 = QueryDef(
+    "q230_cross_source_dup_leakage",
+    (spark, dir) => {
+      Tables.documents(spark, dir)
+        .select(md5(substring(col("text"), 1, 64)).as("digest"), col("source"))
+        .groupBy(col("digest"))
+        .agg(count(lit(1)).as("c"), countDistinct(col("source")).as("span"))
+        .filter(col("c") > 1)
+        .groupBy(col("span"))
+        .agg(count(lit(1)).as("n_clusters"), sum(col("c")).as("n_docs"))
+        .orderBy(col("span"))
+    },
+    Some("""
+      WITH g AS (
+        SELECT md5(substr(text, 1, 64)) AS digest, CAST(count(*) AS BIGINT) AS c,
+          CAST(count(DISTINCT source) AS BIGINT) AS span
+        FROM documents GROUP BY 1),
+      f AS (SELECT * FROM g WHERE c > 1)
+      SELECT span, CAST(count(*) AS BIGINT) AS n_clusters,
+        CAST(sum(c) AS BIGINT) AS n_docs
+      FROM f GROUP BY span ORDER BY span
+    """))
+
   override def defs: Seq[QueryDef] =
     Seq(q125, q126, q128, q130, q133, q135, q136, q141, q146, q171, q175, q195,
-      q201, q207, q211, q213)
+      q201, q207, q211, q213, q228, q229, q230)
 }
