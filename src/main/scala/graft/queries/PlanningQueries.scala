@@ -1003,7 +1003,130 @@ object PlanningQueries extends QueryGroup {
       FROM f GROUP BY span ORDER BY span
     """))
 
+  /** Temporal split leakage: carve the order history into
+    * train / val / test by day terciles (the time-based split every
+    * behavioral model needs — q45's hash split would leak future into
+    * past) and census which customers appear in which split
+    * COMBINATION. Any customer in more than one split is cross-split
+    * signal leakage for user-level models; the combo census prices it
+    * exactly.
+    *
+    * Scale shape: the day terciles come from one min/max scalar
+    * aggregate broadcast back (q64's threshold pattern — no driver
+    * action); then one customer-keyed agg with three conditional flags
+    * and a ≤7-row combo rollup. */
+  private val q231 = QueryDef(
+    "q231_temporal_split_leakage",
+    (spark, dir) => {
+      val days = Tables.orders(spark, dir)
+        .select((epochS(col("o_orderdate")) / 86400).cast("long").as("day"))
+      val bounds = days.agg(min(col("day")).as("lo"), max(col("day")).as("hi"))
+      Tables.orders(spark, dir)
+        .select(col("o_custkey").as("user_id"),
+          (epochS(col("o_orderdate")) / 86400).cast("long").as("day"))
+        .crossJoin(broadcast(bounds))
+        .select(col("user_id"),
+          expr("""CASE WHEN day < lo + (hi - lo + 1) DIV 3 THEN 'train'
+                       WHEN day < lo + (hi - lo + 1) * 2 DIV 3 THEN 'val'
+                       ELSE 'test' END""").as("split"))
+        .groupBy(col("user_id"))
+        .agg(max(when(col("split") === "train", 1L).otherwise(0L)).as("in_train"),
+          max(when(col("split") === "val", 1L).otherwise(0L)).as("in_val"),
+          max(when(col("split") === "test", 1L).otherwise(0L)).as("in_test"))
+        .groupBy(col("in_train"), col("in_val"), col("in_test"))
+        .agg(count(lit(1)).as("n_users"))
+        .select(
+          concat_ws("+",
+            when(col("in_train") === 1, lit("train")),
+            when(col("in_val") === 1, lit("val")),
+            when(col("in_test") === 1, lit("test"))).as("splits"),
+          (col("in_train") + col("in_val") + col("in_test")).as("n_splits"),
+          col("n_users"))
+        .orderBy(col("splits"))
+    },
+    Some("""
+      WITH d AS (
+        SELECT o_custkey AS user_id,
+          CAST(epoch_ms(o_orderdate) // 1000 // 86400 AS BIGINT) AS day
+        FROM orders),
+      b AS (SELECT min(day) AS lo, max(day) AS hi FROM d),
+      s AS (
+        SELECT user_id,
+          CASE WHEN day < lo + (hi - lo + 1) // 3 THEN 'train'
+               WHEN day < lo + (hi - lo + 1) * 2 // 3 THEN 'val'
+               ELSE 'test' END AS split
+        FROM d, b),
+      u AS (
+        SELECT user_id,
+          max(CASE WHEN split = 'train' THEN 1 ELSE 0 END) AS in_train,
+          max(CASE WHEN split = 'val' THEN 1 ELSE 0 END) AS in_val,
+          max(CASE WHEN split = 'test' THEN 1 ELSE 0 END) AS in_test
+        FROM s GROUP BY user_id),
+      c AS (
+        SELECT in_train, in_val, in_test, CAST(count(*) AS BIGINT) AS n_users
+        FROM u GROUP BY in_train, in_val, in_test)
+      SELECT concat_ws('+',
+          CASE WHEN in_train = 1 THEN 'train' END,
+          CASE WHEN in_val = 1 THEN 'val' END,
+          CASE WHEN in_test = 1 THEN 'test' END) AS splits,
+        CAST(in_train + in_val + in_test AS BIGINT) AS n_splits, n_users
+      FROM c ORDER BY splits
+    """))
+
+  /** Join-key skew census — the decision table for
+    * `operators.Skew.saltedJoin`: for each candidate join key, how
+    * unbalanced is its heaviest value? imbalance_ppm = max·n_keys·10⁶
+    * / total (10⁶ = perfectly uniform), and the salt factor that would
+    * flatten the heaviest key back under 4× the mean,
+    * ⌈max·n_keys / (4·total)⌉ — 1 means "don't salt". All integer
+    * cross-multiplication against the per-key mean, never a fractional
+    * mean.
+    *
+    * Scale shape: per candidate, one (key → count) agg collapsing
+    * straight into a one-row census — three scans, three tiny
+    * censuses, one union. Products run in decimal(38,0): max·n_keys
+    * crosses 2^63 when both reach ~10⁹ at the 100 TB design point. */
+  private val q232 = QueryDef(
+    "q232_join_key_skew_census",
+    (spark, dir) => {
+      def census(df: org.apache.spark.sql.DataFrame, key: String, name: String) =
+        df.groupBy(col(key)).agg(count(lit(1)).as("cnt"))
+          .agg(count(lit(1)).as("n_keys"), sum(col("cnt")).as("total"),
+            max(col("cnt")).as("max_cnt"))
+          .select(lit(name).as("key_name"), col("n_keys"), col("total"), col("max_cnt"),
+            expr("CAST(CAST(max_cnt AS DECIMAL(38,0)) * n_keys * 1000000 DIV total AS BIGINT)")
+              .as("imbalance_ppm"),
+            expr("""CAST((CAST(max_cnt AS DECIMAL(38,0)) * n_keys + 4 * total - 1)
+                         DIV (CAST(4 AS DECIMAL(38,0)) * total) AS BIGINT)""")
+              .as("salt_factor"))
+      census(Tables.events(spark, dir), "user_id", "events.user_id")
+        .unionAll(census(Tables.events(spark, dir), "event_type", "events.event_type"))
+        .unionAll(census(Tables.lineitem(spark, dir), "l_partkey", "lineitem.l_partkey"))
+        .orderBy(col("key_name"))
+    },
+    Some("""
+      WITH ck AS (
+        SELECT 'events.user_id' AS key_name, CAST(count(*) AS BIGINT) AS cnt
+        FROM events GROUP BY user_id
+        UNION ALL
+        SELECT 'events.event_type', CAST(count(*) AS BIGINT)
+        FROM events GROUP BY event_type
+        UNION ALL
+        SELECT 'lineitem.l_partkey', CAST(count(*) AS BIGINT)
+        FROM lineitem GROUP BY l_partkey),
+      s AS (
+        SELECT key_name, CAST(count(*) AS BIGINT) AS n_keys,
+          CAST(sum(cnt) AS BIGINT) AS total, CAST(max(cnt) AS BIGINT) AS max_cnt
+        FROM ck GROUP BY key_name)
+      SELECT key_name, n_keys, total, max_cnt,
+        CAST(CAST(max_cnt AS HUGEINT) * n_keys * 1000000 // total AS BIGINT)
+          AS imbalance_ppm,
+        CAST((CAST(max_cnt AS HUGEINT) * n_keys + 4 * total - 1)
+             // (CAST(4 AS HUGEINT) * total) AS BIGINT) AS salt_factor
+      FROM s ORDER BY key_name
+    """))
+
   override def defs: Seq[QueryDef] =
     Seq(q125, q126, q128, q130, q133, q135, q136, q141, q146, q171, q175, q195,
-      q201, q207, q211, q213, q228, q229, q230)
+      q201, q207, q211, q213, q228, q229, q230, q231, q232)
 }

@@ -51,7 +51,8 @@ class QueriesSmokeSpec extends SparkSpec {
     "q159_token_budget_plan", "q166_source_keyness", "q170_ivf_recall_sweep",
     "q172_dup_split_leakage", "q173_dim_truncation_recall",
     "q174_hybrid_rrf", "q175_recency_weights", "q189_rbo_rank_agreement",
-    "q190_not_in_null_trap", "q224_rank_concordance")
+    "q190_not_in_null_trap", "q224_rank_concordance",
+    "q231_temporal_split_leakage")
 
   test("plan hygiene: no cartesian products, no unsanctioned nested loops") {
     for ((name, fn) <- SparkEntry.queries.toSeq.sortBy(_._1)) {
