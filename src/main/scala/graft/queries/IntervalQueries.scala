@@ -117,29 +117,61 @@ object IntervalQueries extends QueryGroup {
 
   /** Exact-percentile winsorization: clip each lineitem price to its
     * return-flag group's [P5, P95], where the percentiles are EXACT and
-    * integer-derived — computed from the (group, cents) histogram under
-    * a cumulative window (the window touches histogram bins, never
-    * rows), with the discrete-percentile test cum·100 ≥ p·n done in
-    * 64-bit integers so both engines flag the same bin. Thresholds
-    * broadcast back onto the scan; the clipped re-aggregation is one
-    * more hash agg. The robust-statistics companion to q81's outlier
-    * flagging: q81 finds the tails, this one caps them. */
+    * integer-derived, with the discrete-percentile test cum·100 ≥ p·n
+    * done in 64-bit integers so both engines flag the same bin.
+    *
+    * The thresholds use TWO-LEVEL rank selection: a $100-coarse
+    * histogram locates the bin holding each percentile (cumulative
+    * window over ≤ ~1100 bins per group), then only the rows inside the
+    * two selected bins get the exact per-cent refinement (a window over
+    * ~0.2% of the data, partitioned by (group, bin)). A single-level
+    * exact pass would sort the full (group, cents) histogram inside
+    * |groups| window partitions — 3 tasks each sorting a third of the
+    * corpus at 100 TB. Thresholds broadcast back onto the scan; the
+    * clipped re-aggregation is one more hash agg. The
+    * robust-statistics companion to q81's outlier flagging: q81 finds
+    * the tails, this one caps them. */
   private val q100 = QueryDef(
     "q100_winsorize",
     (spark, dir) => {
       import graft.functions.Deterministic.cents
       val base = Tables.lineitem(spark, dir)
         .select(col("l_returnflag").as("g"), cents(col("l_extendedprice")).as("x"))
-      val hist = base.groupBy(col("g"), col("x")).agg(count(lit(1)).as("cnt"))
-      val wCum = Window.partitionBy(col("g")).orderBy(col("x"))
+      // level 1: coarse $100 bins — which bin holds P5 / P95, and how
+      // many rows precede it
+      val coarse = base.groupBy(col("g"), expr("x DIV 10000").as("xb"))
+        .agg(count(lit(1)).as("cnt"))
+      val wCum = Window.partitionBy(col("g")).orderBy(col("xb"))
       val wAll = Window.partitionBy(col("g"))
-      val marked = hist
+      val cum1 = coarse
         .withColumn("cum", sum(col("cnt")).over(wCum))
         .withColumn("n", sum(col("cnt")).over(wAll))
-      val thresholds = marked
+      val binsel = cum1.groupBy(col("g"))
+        .agg(min(when(col("cum") * 100 >= lit(5) * col("n"), col("xb"))).as("bin05"),
+          min(when(col("cum") * 100 >= lit(95) * col("n"), col("xb"))).as("bin95"),
+          max(col("n")).as("n"))
+      val pre = cum1.join(broadcast(binsel.drop("n")), Seq("g"))
         .groupBy(col("g"))
-        .agg(min(when(col("cum") * 100 >= lit(5) * col("n"), col("x"))).as("p05"),
-          min(when(col("cum") * 100 >= lit(95) * col("n"), col("x"))).as("p95"))
+        .agg(max(when(col("xb") === col("bin05"), col("cum") - col("cnt"))).as("before05"),
+          max(when(col("xb") === col("bin95"), col("cum") - col("cnt"))).as("before95"),
+          max(col("bin05")).as("bin05"), max(col("bin95")).as("bin95"),
+          max(col("n")).as("n"))
+      // level 2: exact cent-level refinement inside the two selected
+      // bins only (cumin resets per bin; global rank = before + cumin)
+      val wBin = Window.partitionBy(col("g"), col("xb")).orderBy(col("x"))
+      val thresholds = base
+        .join(broadcast(pre), Seq("g"))
+        .withColumn("xb", expr("x DIV 10000"))
+        .filter(col("xb") === col("bin05") || col("xb") === col("bin95"))
+        .groupBy(col("g"), col("xb"), col("x"), col("bin05"), col("bin95"),
+          col("before05"), col("before95"), col("n"))
+        .agg(count(lit(1)).as("c2"))
+        .withColumn("cumin", sum(col("c2")).over(wBin))
+        .groupBy(col("g"))
+        .agg(min(when(col("xb") === col("bin05") &&
+            (col("before05") + col("cumin")) * 100 >= lit(5) * col("n"), col("x"))).as("p05"),
+          min(when(col("xb") === col("bin95") &&
+            (col("before95") + col("cumin")) * 100 >= lit(95) * col("n"), col("x"))).as("p95"))
       base
         .join(broadcast(thresholds), Seq("g"))
         .select(col("g"), col("p05"), col("p95"),
