@@ -14,9 +14,20 @@ object Tables {
     "region", "nation", "customer", "supplier", "part",
     "orders", "lineitem", "events", "documents", "embeddings")
 
+  // One relation per (session, path): repeated `spark.read.parquet` calls
+  // each fire a footer/listing job at CONSTRUCTION time, so 230+ query
+  // builders over 10 tables would pay ~2 driver jobs apiece before any
+  // action runs. Caching the DataFrame (plans are immutable) makes every
+  // builder after the first a pure plan-graph construction — asserted by
+  // the laziness gate in QueriesSmokeSpec.
+  private val cache =
+    new java.util.concurrent.ConcurrentHashMap[(Int, String), DataFrame]()
+
   def table(spark: SparkSession, dir: String, name: String): DataFrame = {
     GraftSession.configure(spark)
-    spark.read.parquet(s"$dir/$name.parquet")
+    cache.computeIfAbsent(
+      (System.identityHashCode(spark), s"$dir/$name.parquet"),
+      key => spark.read.parquet(key._2))
   }
 
   /** `events` with its TIMESTAMP(NANOS) column converted to a proper

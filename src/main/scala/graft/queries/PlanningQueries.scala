@@ -1126,7 +1126,110 @@ object PlanningQueries extends QueryGroup {
       FROM s ORDER BY key_name
     """))
 
+  /** Streaming state-store sizing plan: for each stateful operator in
+    * the reference topology (sliding-window agg, session windows,
+    * stream dedup — SURVEY §2 W2/W8), how many state rows and bytes the
+    * store holds over the trailing-day horizon. Row counts are exact
+    * distinct-key censuses of the live data; widths are the documented
+    * per-row state estimates (window-agg row ≈ 64 B of packed
+    * aggregates, session ≈ 96 B with timers, dedup key ≈ 32 B). The
+    * table RocksDB capacity planning starts from.
+    *
+    * Scale shape: one max-timestamp scalar broadcast (q64 threshold
+    * pattern), one filtered scan per operator census, a 3-row union. */
+  private val q233 = QueryDef(
+    "q233_state_size_plan",
+    (spark, dir) => {
+      val ev = Tables.events(spark, dir)
+        .select(col("event_type"), col("user_id"), col("event_id"),
+          epochS(col("ts")).as("s"))
+      val horizon = ev.agg(max(col("s")).as("hi"))
+      val recent = ev.crossJoin(broadcast(horizon))
+        .filter(col("s") >= col("hi") - 86400L)
+      def census(op: String, keyRows: org.apache.spark.sql.DataFrame,
+                 multiplier: Long, width: Long) =
+        keyRows.agg(countDistinct(col("k")).as("n_keys"))
+          .select(lit(op).as("operator"), col("n_keys"),
+            (col("n_keys") * multiplier).as("state_rows"),
+            (col("n_keys") * multiplier * width).as("state_bytes"))
+      // sliding 60s/30s window ⇒ 2 windows open per key at any instant
+      census("windowed_agg_sliding", recent.select(col("event_type").as("k")), 2L, 64L)
+        .unionAll(census("session_window", recent.select(col("user_id").as("k")), 1L, 96L))
+        .unionAll(census("stream_dedup", recent.select(col("event_id").as("k")), 1L, 32L))
+        .orderBy(col("operator"))
+    },
+    Some("""
+      WITH e AS (
+        SELECT event_type, user_id, event_id,
+          CAST(epoch_ms(ts) // 1000 AS BIGINT) AS s
+        FROM events),
+      h AS (SELECT max(s) AS hi FROM e),
+      r AS (SELECT * FROM e, h WHERE s >= hi - 86400),
+      c AS (
+        SELECT 'windowed_agg_sliding' AS operator,
+          CAST(count(DISTINCT event_type) AS BIGINT) AS n_keys,
+          CAST(2 AS BIGINT) AS mult, CAST(64 AS BIGINT) AS width FROM r
+        UNION ALL
+        SELECT 'session_window', CAST(count(DISTINCT user_id) AS BIGINT), 1, 96 FROM r
+        UNION ALL
+        SELECT 'stream_dedup', CAST(count(DISTINCT event_id) AS BIGINT), 1, 32 FROM r)
+      SELECT operator, n_keys, n_keys * mult AS state_rows,
+        n_keys * mult * width AS state_bytes
+      FROM c ORDER BY operator
+    """))
+
+  /** Stratification audit of the deterministic hash split (q45): per
+    * event type, are train and test shares actually 80/20? Reports the
+    * exact per-label shares in ppm and the two-cell chi-square against
+    * the 80/20 design, flagged at the χ²₁ 95% critical value — the
+    * label-balance companion to q225's SRM (which audits arm totals,
+    * not per-label composition). chi = (o_test·4 − o_train)² · 10⁶ /
+    * (16·o_train + 4·o_test)... kept exact-integer by
+    * cross-multiplying: for design p=0.2, chi = (o1 − p·n)²/(p·n) +
+    * (o0 − (1−p)·n)²/((1−p)·n) = (4·o1 − o0+... — evaluated as
+    * (5·o1 − n)² · 10⁶ / (4·n) with n = o0+o1, all in decimal(38,0).
+    *
+    * Scale shape: narrow scan, one (label) hash agg, vocabulary-sized
+    * output. */
+  private val q234 = QueryDef(
+    "q234_split_stratification_audit",
+    (spark, dir) => {
+      Tables.events(spark, dir)
+        .select(col("event_type"),
+          when(Sampling.keyHash(col("event_id"), 1779033703L) % 10000L < 2000L, 1L)
+            .otherwise(0L).as("is_test"))
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"), sum(col("is_test")).as("n_test"))
+        .select(col("event_type"), col("n"), (col("n") - col("n_test")).as("n_train"),
+          col("n_test"),
+          expr("CAST(CAST(n_test AS DECIMAL(38,0)) * 1000000 DIV n AS BIGINT)")
+            .as("test_ppm"),
+          expr("""CAST(CAST(5 * n_test - n AS DECIMAL(38,0)) *
+                       (5 * n_test - n) * 1000000 DIV (4 * n) AS BIGINT)""")
+            .as("chi_ppm"))
+        .withColumn("srm_flag", when(col("chi_ppm") > 3841459L, 1L).otherwise(0L))
+        .orderBy(col("event_type"))
+    },
+    Some("""
+      WITH e AS (
+        SELECT event_type,
+          CASE WHEN ((event_id % 2147483648) * 1779033703) % 4294967296 % 10000 < 2000
+               THEN 1 ELSE 0 END AS is_test
+        FROM events),
+      g AS (
+        SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+          CAST(sum(is_test) AS BIGINT) AS n_test
+        FROM e GROUP BY event_type)
+      SELECT event_type, n, n - n_test AS n_train, n_test,
+        CAST(CAST(n_test AS HUGEINT) * 1000000 // n AS BIGINT) AS test_ppm,
+        CAST(CAST(5 * n_test - n AS HUGEINT) * (5 * n_test - n) * 1000000
+             // (4 * n) AS BIGINT) AS chi_ppm,
+        CAST(CASE WHEN CAST(5 * n_test - n AS HUGEINT) * (5 * n_test - n) * 1000000
+               // (4 * n) > 3841459 THEN 1 ELSE 0 END AS BIGINT) AS srm_flag
+      FROM g ORDER BY event_type
+    """))
+
   override def defs: Seq[QueryDef] =
     Seq(q125, q126, q128, q130, q133, q135, q136, q141, q146, q171, q175, q195,
-      q201, q207, q211, q213, q228, q229, q230, q231, q232)
+      q201, q207, q211, q213, q228, q229, q230, q231, q232, q233, q234)
 }

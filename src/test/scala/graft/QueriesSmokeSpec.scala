@@ -52,7 +52,50 @@ class QueriesSmokeSpec extends SparkSpec {
     "q172_dup_split_leakage", "q173_dim_truncation_recall",
     "q174_hybrid_rrf", "q175_recency_weights", "q189_rbo_rank_agreement",
     "q190_not_in_null_trap", "q224_rank_concordance",
-    "q231_temporal_split_leakage")
+    "q231_temporal_split_leakage", "q233_state_size_plan")
+
+  test("query constructors are lazy: warm construction launches zero jobs") {
+    import org.apache.spark.scheduler.{SparkListener, SparkListenerJobStart}
+    // warm pass: first touch of each parquet path fires a footer/listing
+    // job (cached in Tables thereafter) — that's IO setup, not eagerness
+    for ((_, fn) <- SparkEntry.queries.toSeq.sortBy(_._1)) fn(spark, sfDir)
+    val jobs = new java.util.concurrent.atomic.AtomicInteger(0)
+    val listener = new SparkListener {
+      override def onJobStart(js: SparkListenerJobStart): Unit = jobs.incrementAndGet()
+    }
+    // Builders whose construction-time jobs are BOUNDED sketch/index/
+    // fixpoint materializations, not per-row eagerness: the IVF family
+    // collects k centroids (q32/q74/q113/q137/q170), connected-components
+    // and PageRank run iterate-to-fixpoint with localCheckpoint
+    // (q56/q75/q157/q172), bloom build aggregates a filter (q57), TF-IDF
+    // takes the one-row corpus size (q44), and the q34 round-trips write
+    // the source file they then read. Anything NOT listed here must
+    // construct without launching a single job.
+    val sanctionedEagerBuilders = Set(
+      "q32_ivf_ann_topk", "q74_semantic_dedup", "q113_hard_negative_mining",
+      "q137_cluster_purity", "q170_ivf_recall_sweep",
+      "q56_dup_clusters", "q75_pagerank_cosupply", "q157_dup_weight",
+      "q172_dup_split_leakage", "q57_bloom_semi_join", "q44_tfidf_top_terms",
+      "q34_csv_source_roundtrip", "q34_json_source_roundtrip",
+      "q34_orc_source_roundtrip")
+    // the bus delivers only events posted after registration, so earlier
+    // tests' jobs cannot leak into the count
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
+        val before = jobs.get()
+        fn(spark, sfDir)
+        Thread.sleep(5) // listener bus is async; give job-starts a beat
+        val after = jobs.get()
+        if (after > before) Some(name) else None
+      }
+      Thread.sleep(1500) // drain stragglers before judging
+      val unsanctioned = offenders.filterNot(sanctionedEagerBuilders)
+      assert(unsanctioned.isEmpty,
+        s"Spark jobs launched while merely CONSTRUCTING queries (an eager " +
+          s"collect()/count() hides in these builders): ${unsanctioned.mkString(", ")}")
+    } finally spark.sparkContext.removeSparkListener(listener)
+  }
 
   test("plan hygiene: no cartesian products, no unsanctioned nested loops") {
     for ((name, fn) <- SparkEntry.queries.toSeq.sortBy(_._1)) {
