@@ -284,5 +284,96 @@ object QuantQueries extends QueryGroup {
       FROM s ORDER BY label
     """))
 
-  def defs: Seq[QueryDef] = Seq(q102, q127, q139, q147, q226)
+  /** Retrieval-quality audit: mean-average-precision@10 of label-match
+    * retrieval over a deterministic ~4% hash sample of query vectors.
+    * For each sampled query, the corpus ranks by quantized cosine
+    * (q25's kernel arithmetic), relevance = same label, and
+    * AP = (Σ_{k rel} P@k) / hits with every P@k an exact integer ppm
+    * division — the ranking-metric companion to q170/q173 (recall) and
+    * q174 (fusion): recall says how many neighbors survive, MAP says
+    * whether they surface at the top.
+    *
+    * Scale shape: the sampled queries broadcast onto ONE corpus scan
+    * (q89's pattern — no pairwise corpus join); ranking windows
+    * partition per query over its own top candidates. Eval cost scales
+    * with sample × corpus, the knob being the hash threshold. */
+  private val q235 = QueryDef(
+    "q235_map_at_10",
+    (spark, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val vecs = Tables.embeddings(spark, dir)
+        .select(col("vec_id"), col("label").cast("long").as("label"),
+          expr("transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 512 + 0.5) AS BIGINT))")
+            .as("qv"))
+        .withColumn("nsq", expr("aggregate(qv, 0L, (a, x) -> a + x * x)"))
+        .filter(col("nsq") > 0L)
+      val queries = vecs
+        .filter(graft.operators.Sampling.keyHash(col("vec_id")) % 10000L < 400L)
+        .select(col("vec_id").as("q_id"), col("label").as("q_label"),
+          col("qv").as("q_qv"), col("nsq").as("q_nsq"))
+      val byQ = Window.partitionBy(col("q_id"))
+        .orderBy(col("cosine").desc, col("vec_id"))
+      val cumRel = Window.partitionBy(col("q_id")).orderBy(col("rk"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      vecs.join(broadcast(queries), col("vec_id") =!= col("q_id"))
+        .withColumn("dot",
+          expr("aggregate(zip_with(qv, q_qv, (a, b) -> a * b), 0L, (a, x) -> a + x)"))
+        .withColumn("cosine", col("dot").cast("double") /
+          sqrt(col("nsq").cast("double") * col("q_nsq").cast("double")))
+        .withColumn("rk", row_number().over(byQ).cast("long"))
+        .filter(col("rk") <= 10L)
+        .withColumn("rel", when(col("label") === col("q_label"), 1L).otherwise(0L))
+        .withColumn("hits_k", sum(col("rel")).over(cumRel))
+        .groupBy(col("q_id"), col("q_label"))
+        .agg(sum(col("rel")).as("hits"),
+          sum(when(col("rel") === 1L, expr("hits_k * 1000000 DIV rk"))
+            .otherwise(0L)).as("sum_prec"))
+        .select(col("q_id"), col("q_label"), col("hits"),
+          expr("CAST(CASE WHEN hits = 0 THEN 0 ELSE sum_prec DIV hits END AS BIGINT)")
+            .as("ap_ppm"))
+        .orderBy(col("q_id"))
+    },
+    Some("""
+      WITH v AS (
+        SELECT vec_id, CAST(label AS BIGINT) AS label,
+          list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 512 + 0.5) AS BIGINT)) AS qv
+        FROM embeddings),
+      n AS (
+        SELECT vec_id, label, qv,
+          CAST(list_sum(list_transform(qv, x -> x * x)) AS BIGINT) AS nsq
+        FROM v),
+      nn AS (SELECT * FROM n WHERE nsq > 0),
+      q AS (
+        SELECT vec_id AS q_id, label AS q_label, qv AS q_qv, nsq AS q_nsq
+        FROM nn
+        WHERE ((vec_id % 2147483648) * 2654435761) % 4294967296 % 10000 < 400),
+      s AS (
+        SELECT q.q_id, q.q_label, nn.vec_id, nn.label,
+          CAST(CAST(list_sum(list_transform(range(1, len(nn.qv) + 1),
+                 i -> nn.qv[i] * q.q_qv[i])) AS BIGINT) AS DOUBLE)
+            / sqrt(CAST(nn.nsq AS DOUBLE) * CAST(q.q_nsq AS DOUBLE)) AS cosine
+        FROM nn CROSS JOIN q WHERE nn.vec_id <> q.q_id),
+      r AS (
+        SELECT q_id, q_label, vec_id, label, cosine,
+          CAST(row_number() OVER (PARTITION BY q_id ORDER BY cosine DESC, vec_id)
+            AS BIGINT) AS rk
+        FROM s QUALIFY rk <= 10),
+      h AS (
+        SELECT q_id, q_label, rk,
+          CASE WHEN label = q_label THEN 1 ELSE 0 END AS rel,
+          CAST(sum(CASE WHEN label = q_label THEN 1 ELSE 0 END) OVER (
+            PARTITION BY q_id ORDER BY rk
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS hits_k
+        FROM r),
+      a AS (
+        SELECT q_id, q_label, CAST(sum(rel) AS BIGINT) AS hits,
+          CAST(sum(CASE WHEN rel = 1 THEN hits_k * 1000000 // rk ELSE 0 END) AS BIGINT)
+            AS sum_prec
+        FROM h GROUP BY q_id, q_label)
+      SELECT q_id, q_label, hits,
+        CAST(CASE WHEN hits = 0 THEN 0 ELSE sum_prec // hits END AS BIGINT) AS ap_ppm
+      FROM a ORDER BY q_id
+    """))
+
+  def defs: Seq[QueryDef] = Seq(q102, q127, q139, q147, q226, q235)
 }
