@@ -1157,7 +1157,76 @@ object BehaviorQueries extends QueryGroup {
       FROM b GROUP BY band ORDER BY band
     """))
 
+  /** Arc price elasticity of demand across adjacent discount levels:
+    * for each step d_i → d_{i+1} in the discrete discount ladder, the
+    * midpoint-formula elasticity of quantity with respect to average
+    * net unit price, fully cross-multiplied into integers — with
+    * p_i = R_i/Q_i (net revenue over quantity), the arc formula
+    * (ΔQ/Q̄)/(Δp/p̄) collapses to
+    * (Q₂−Q₁)(R₂Q₁+R₁Q₂) / ((Q₂+Q₁)(R₂Q₁−R₁Q₂)) — no fractional
+    * averages anywhere. Sign split out of the division so Spark DIV
+    * and DuckDB // agree; a zero price step reports NULL elasticity.
+    *
+    * Scale shape: one hash agg to the ≤11-level discount ladder, then
+    * a LAG window over the ladder (vocabulary-sized, sanctioned). The
+    * quad products run in decimal(38,0): R·Q reaches ~10³⁰ at the
+    * 100 TB design point. */
+  private val q236 = QueryDef(
+    "q236_discount_elasticity",
+    (spark, dir) => {
+      val lvl = Window.orderBy(col("d"))
+      Tables.lineitem(spark, dir)
+        .select(floor(col("l_discount") * 10000 + lit(0.5d)).cast("long").as("d"),
+          floor(col("l_quantity") + lit(0.5d)).cast("long").as("q"),
+          cents(col("l_extendedprice") * (lit(1d) - col("l_discount"))).as("r"))
+        .groupBy(col("d"))
+        .agg(sum(col("q")).as("qty"), sum(col("r")).as("rev"))
+        .withColumn("d_prev", lag(col("d"), 1).over(lvl))
+        .withColumn("q1", lag(col("qty"), 1).over(lvl))
+        .withColumn("r1", lag(col("rev"), 1).over(lvl))
+        .filter(col("d_prev").isNotNull)
+        .select(col("d_prev").as("d_lo"), col("d").as("d_hi"),
+          col("q1"), col("qty").as("q2"),
+          expr("""CAST(CASE
+              WHEN CAST(rev AS DECIMAL(38,0)) * q1 - CAST(r1 AS DECIMAL(38,0)) * qty = 0
+                THEN NULL
+              ELSE (CASE WHEN (qty - q1) * (CAST(rev AS DECIMAL(38,0)) * q1 + CAST(r1 AS DECIMAL(38,0)) * qty)
+                              * (CAST(rev AS DECIMAL(38,0)) * q1 - CAST(r1 AS DECIMAL(38,0)) * qty) < 0
+                         THEN -1 ELSE 1 END) *
+                (abs((qty - q1) * (CAST(rev AS DECIMAL(38,0)) * q1 + CAST(r1 AS DECIMAL(38,0)) * qty)) * 1000000
+                 DIV abs((qty + q1) * (CAST(rev AS DECIMAL(38,0)) * q1 - CAST(r1 AS DECIMAL(38,0)) * qty)))
+            END AS BIGINT)""").as("elasticity_ppm"))
+        .orderBy(col("d_lo"))
+    },
+    Some("""
+      WITH b AS (
+        SELECT CAST(floor(l_discount * 10000 + 0.5) AS BIGINT) AS d,
+          CAST(floor(l_quantity + 0.5) AS BIGINT) AS q,
+          CAST(floor(l_extendedprice * (1 - l_discount) * 100 + 0.5) AS BIGINT) AS r
+        FROM lineitem),
+      g AS (
+        SELECT d, CAST(sum(q) AS BIGINT) AS qty, CAST(sum(r) AS BIGINT) AS rev
+        FROM b GROUP BY d),
+      w AS (
+        SELECT d, qty, rev,
+          lag(d) OVER (ORDER BY d) AS d_prev,
+          lag(qty) OVER (ORDER BY d) AS q1,
+          lag(rev) OVER (ORDER BY d) AS r1
+        FROM g)
+      SELECT d_prev AS d_lo, d AS d_hi, q1, qty AS q2,
+        CAST(CASE
+          WHEN CAST(rev AS HUGEINT) * q1 - CAST(r1 AS HUGEINT) * qty = 0 THEN NULL
+          ELSE (CASE WHEN (qty - q1) * (CAST(rev AS HUGEINT) * q1 + CAST(r1 AS HUGEINT) * qty)
+                          * (CAST(rev AS HUGEINT) * q1 - CAST(r1 AS HUGEINT) * qty) < 0
+                     THEN -1 ELSE 1 END) *
+            (abs((qty - q1) * (CAST(rev AS HUGEINT) * q1 + CAST(r1 AS HUGEINT) * qty)) * 1000000
+             // abs((qty + q1) * (CAST(rev AS HUGEINT) * q1 - CAST(r1 AS HUGEINT) * qty)))
+        END AS BIGINT) AS elasticity_ppm
+      FROM w WHERE d_prev IS NOT NULL
+      ORDER BY d_lo
+    """))
+
   override def defs: Seq[QueryDef] =
     Seq(q115, q116, q117, q132, q134, q140, q142, q143, q144, q150, q151, q153,
-      q160, q162, q184, q192, q204, q206, q210, q219)
+      q160, q162, q184, q192, q204, q206, q210, q219, q236)
 }
