@@ -1095,7 +1095,70 @@ object CorpusQueries extends QueryGroup {
       FROM s ORDER BY source
     """))
 
+  /** KMV (bottom-64) distinct sketch vs exact truth, per source AND
+    * rolled up to the whole corpus ([[graft.functions.KmvSketch]]): the
+    * estimate (k−1)·2³²/h_k, its exact distinct count, and the error in
+    * ppm. Because the KMV buffer is a deterministic function of the
+    * value set (the k smallest hashes), the ORACLE reproduces the
+    * sketch itself — rank the distinct hashes, take the 64th — so this
+    * verifies the mergeable aggregate's exact semantics, not "close
+    * enough": map-side partials, shuffle merges, and the rollup's
+    * group-to-global merge all must land on byte-identical sketches.
+    *
+    * Scale shape: the aggregate carries ≤64 longs per group through
+    * the shuffle regardless of corpus size — the distinct-count
+    * summary you can afford per (source × day × shard) cell at 100 TB,
+    * with set-union algebra for free (merge = union-trim). The
+    * countDistinct column is the audit's truth side, priced one
+    * (source, h) shuffle. */
+  private val q238 = QueryDef(
+    "q238_kmv_distinct_sketch",
+    (spark, dir) => {
+      import graft.functions.KmvSketch.{kmv_bottom_k, kmv_estimate}
+      import graft.functions.expressions.poly_hash
+      Tables.documents(spark, dir)
+        .select(col("source"),
+          graft.operators.Sampling.keyHash(poly_hash(col("text"))).as("h"))
+        .rollup(col("source"))
+        .agg(kmv_bottom_k(col("h"), 64).as("sketch"),
+          countDistinct(col("h")).as("n_exact"))
+        .select(coalesce(col("source"), lit("ALL")).as("scope"), col("n_exact"),
+          kmv_estimate("sketch", 64).as("est"))
+        .withColumn("err_ppm",
+          expr("CAST(abs(est - n_exact) * 1000000 DIV n_exact AS BIGINT)"))
+        .orderBy(col("scope"))
+    },
+    Some("""
+      WITH ph AS (
+        SELECT source,
+          list_reduce(list_prepend(0::BIGINT, [ord(c)::BIGINT for c in str_split(text, '')]),
+                      (h, c) -> (h * 31 + c) % 1000000007) AS p
+        FROM documents),
+      h AS (
+        SELECT source, ((p % 2147483648) * 2654435761) % 4294967296 AS h FROM ph),
+      d AS (
+        SELECT source, h FROM h GROUP BY source, h
+        UNION ALL
+        SELECT 'ALL', h FROM (SELECT DISTINCT h FROM h)),
+      r AS (
+        SELECT source, h,
+          CAST(row_number() OVER (PARTITION BY source ORDER BY h) AS BIGINT) AS rk
+        FROM d),
+      s AS (
+        SELECT source AS scope, CAST(count(*) AS BIGINT) AS n_exact,
+          max(CASE WHEN rk = 64 THEN h END) AS h64
+        FROM r GROUP BY source),
+      e AS (
+        SELECT scope, n_exact,
+          CAST(CASE WHEN n_exact < 64 THEN n_exact
+                    ELSE 63 * 4294967296 // h64 END AS BIGINT) AS est
+        FROM s)
+      SELECT scope, n_exact, est,
+        CAST(abs(est - n_exact) * 1000000 // n_exact AS BIGINT) AS err_ppm
+      FROM e ORDER BY scope
+    """))
+
   def defs: Seq[QueryDef] =
     Seq(q56, q57, q58, q59, q60, q61, q62, q63, q64, q65, q66, q82, q157, q165, q172,
-      q174, q182, q189, q215, q222, q227)
+      q174, q182, q189, q215, q222, q227, q238)
 }
