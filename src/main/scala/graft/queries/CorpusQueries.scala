@@ -1158,7 +1158,109 @@ object CorpusQueries extends QueryGroup {
       FROM e ORDER BY scope
     """))
 
+  /** Theta-sketch-style set algebra on the KMV sketches: estimated
+    * bigram-vocabulary intersection between every source pair via
+    * inclusion-exclusion over merged sketches, audited against the
+    * exact intersection. The pair merge needs NO second corpus pass —
+    * union-trim of two bottom-k arrays is pure array SQL
+    * (slice(sort(distinct(concat)))) on the 20-row sketch table; only
+    * the truth side re-touches (source, hash) pairs. This is how
+    * cross-cell distinct overlap gets priced at 100 TB: sketch once
+    * per cell, answer O(cells²) overlap questions from the sketches.
+    *
+    * Scale shape: one (source, bigram-hash) distinct shuffle feeds both
+    * the per-source sketches and the exact-truth self-join (equi-join
+    * on hash); the pair table is the sanctioned vocabulary-sized
+    * broadcast shape. */
+  private val q239 = QueryDef(
+    "q239_kmv_intersection",
+    (spark, dir) => {
+      import graft.functions.KmvSketch.{kmv_bottom_k, kmv_estimate}
+      val dh = Tables.documents(spark, dir)
+        .select(col("source"), tokens_native(col("text")).as("toks"))
+        .filter(size(col("toks")) >= 2)
+        .select(col("source"), explode(expr(
+          "transform(slice(toks, 1, size(toks) - 1), (t, i) -> concat(t, ' ', toks[i + 1]))"))
+          .as("bg"))
+        .select(col("source"),
+          graft.operators.Sampling.keyHash(
+            graft.functions.expressions.poly_hash(col("bg"))).as("h"))
+        .distinct()
+      val sk = dh.groupBy(col("source"))
+        .agg(kmv_bottom_k(col("h"), 64).as("sketch"))
+      val a = sk.select(col("source").as("src_a"), col("sketch").as("ska"))
+      val b = sk.select(col("source").as("src_b"), col("sketch").as("skb"))
+      val pairs = a.join(broadcast(b), col("src_a") < col("src_b"))
+        .withColumn("sku", expr("slice(array_sort(array_distinct(concat(ska, skb))), 1, 64)"))
+        .withColumn("est_a", kmv_estimate("ska", 64))
+        .withColumn("est_b", kmv_estimate("skb", 64))
+        .withColumn("est_u", kmv_estimate("sku", 64))
+        .select(col("src_a"), col("src_b"),
+          greatest(lit(0L), col("est_a") + col("est_b") - col("est_u")).as("est_inter"))
+      val exact = dh.select(col("source").as("src_a"), col("h"))
+        .join(dh.select(col("source").as("src_b"), col("h")), Seq("h"))
+        .filter(col("src_a") < col("src_b"))
+        .groupBy(col("src_a"), col("src_b"))
+        .agg(count(lit(1)).as("exact_inter"))
+      pairs.join(exact, Seq("src_a", "src_b"), "left")
+        .select(col("src_a"), col("src_b"),
+          coalesce(col("exact_inter"), lit(0L)).as("exact_inter"), col("est_inter"),
+          expr("""CAST(abs(est_inter - coalesce(exact_inter, 0)) * 1000000
+                  DIV greatest(coalesce(exact_inter, 0), 1) AS BIGINT)""").as("err_ppm"))
+        .orderBy(col("src_a"), col("src_b"))
+    },
+    Some("""
+      WITH tk AS (
+        SELECT source, list_filter(str_split(text, ' '), t -> len(t) > 0) AS tk
+        FROM documents),
+      bg AS (
+        SELECT source,
+          unnest([tk[i] || ' ' || tk[i + 1] for i in range(1, len(tk))]) AS bg
+        FROM tk WHERE len(tk) >= 2),
+      ph AS (
+        SELECT source,
+          list_reduce(list_prepend(0::BIGINT, [ord(c)::BIGINT for c in str_split(bg, '')]),
+                      (h, c) -> (h * 31 + c) % 1000000007) AS p
+        FROM bg),
+      dh AS (
+        SELECT DISTINCT source, ((p % 2147483648) * 2654435761) % 4294967296 AS h
+        FROM ph),
+      r AS (
+        SELECT source, h,
+          CAST(row_number() OVER (PARTITION BY source ORDER BY h) AS BIGINT) AS rk
+        FROM dh),
+      sk AS (
+        SELECT source, list_sort(list(h ORDER BY h)) AS sketch
+        FROM r WHERE rk <= 64 GROUP BY source),
+      est1 AS (
+        SELECT source, sketch,
+          CAST(CASE WHEN len(sketch) < 64 THEN len(sketch)
+                    ELSE 63 * 4294967296 // sketch[64] END AS BIGINT) AS est
+        FROM sk),
+      p2 AS (
+        SELECT a.source AS src_a, b.source AS src_b, a.est AS est_a, b.est AS est_b,
+          list_slice(list_sort(list_distinct(list_concat(a.sketch, b.sketch))), 1, 64)
+            AS sku
+        FROM est1 a JOIN est1 b ON a.source < b.source),
+      pe AS (
+        SELECT src_a, src_b,
+          greatest(0, est_a + est_b -
+            CAST(CASE WHEN len(sku) < 64 THEN len(sku)
+                      ELSE 63 * 4294967296 // sku[64] END AS BIGINT)) AS est_inter
+        FROM p2),
+      ex AS (
+        SELECT a.source AS src_a, b.source AS src_b, CAST(count(*) AS BIGINT) AS exact_inter
+        FROM dh a JOIN dh b ON a.h = b.h AND a.source < b.source
+        GROUP BY 1, 2)
+      SELECT p.src_a, p.src_b,
+        coalesce(ex.exact_inter, 0) AS exact_inter, p.est_inter,
+        CAST(abs(p.est_inter - coalesce(ex.exact_inter, 0)) * 1000000
+             // greatest(coalesce(ex.exact_inter, 0), 1) AS BIGINT) AS err_ppm
+      FROM pe p LEFT JOIN ex ON p.src_a = ex.src_a AND p.src_b = ex.src_b
+      ORDER BY p.src_a, p.src_b
+    """))
+
   def defs: Seq[QueryDef] =
     Seq(q56, q57, q58, q59, q60, q61, q62, q63, q64, q65, q66, q82, q157, q165, q172,
-      q174, q182, q189, q215, q222, q227, q238)
+      q174, q182, q189, q215, q222, q227, q238, q239)
 }
