@@ -758,7 +758,82 @@ object AuditQueries extends QueryGroup {
       FROM d ORDER BY day
     """))
 
+  /** Difference-in-differences readout: split customers into hash arms
+    * (q225's assignment), split the order span into pre/post halves,
+    * and report each cell's per-customer average revenue (micro-cents,
+    * one exact integer division per cell) plus the DiD estimate —
+    * (T_post − T_pre) − (C_post − C_pre) — the causal-analytics
+    * workhorse when only the treated arm changed. Averages divide
+    * once per cell and subtract after, so every number is a
+    * deterministic integer both engines produce bit-identically.
+    *
+    * Scale shape: one narrow scan, one (arm, period, custkey) agg for
+    * distinct customers folded into a 4-cell rollup, single-row
+    * output. The day midpoint comes from a broadcast min/max scalar
+    * (q64 pattern). */
+  private val q240 = QueryDef(
+    "q240_did_analysis",
+    (spark, dir) => {
+      import graft.functions.Deterministic.{cents, epochS}
+      val o = Tables.orders(spark, dir)
+        .select(col("o_custkey").as("cust"),
+          (epochS(col("o_orderdate")) / 86400).cast("long").as("day"),
+          cents(col("o_totalprice")).as("rc"))
+      val bounds = o.agg(min(col("day")).as("lo"), max(col("day")).as("hi"))
+      val cells = o.crossJoin(broadcast(bounds))
+        .select(
+          (graft.operators.Sampling.keyHash(col("cust")) % 2).as("arm"),
+          expr("CASE WHEN day < lo + (hi - lo + 1) DIV 2 THEN 0 ELSE 1 END").as("post"),
+          col("cust"), col("rc"))
+        .groupBy(col("arm"), col("post"), col("cust"))
+        .agg(sum(col("rc")).as("rc"))
+        .groupBy(col("arm"), col("post"))
+        .agg(count(lit(1)).as("n_cust"), sum(col("rc")).as("rev_cents"))
+        .select(col("arm"), col("post"), col("n_cust"), col("rev_cents"),
+          expr("CAST(CAST(rev_cents AS DECIMAL(38,0)) * 1000000 DIV n_cust AS BIGINT)")
+            .as("avg_micro"))
+      cells.groupBy()
+        .agg(
+          max(when(col("arm") === 1 && col("post") === 1, col("avg_micro"))).as("t_post"),
+          max(when(col("arm") === 1 && col("post") === 0, col("avg_micro"))).as("t_pre"),
+          max(when(col("arm") === 0 && col("post") === 1, col("avg_micro"))).as("c_post"),
+          max(when(col("arm") === 0 && col("post") === 0, col("avg_micro"))).as("c_pre"),
+          sum(col("n_cust")).as("n_cells_cust"))
+        .select(col("t_pre"), col("t_post"), col("c_pre"), col("c_post"),
+          col("n_cells_cust"),
+          ((col("t_post") - col("t_pre")) - (col("c_post") - col("c_pre"))).as("did_micro"))
+    },
+    Some("""
+      WITH o AS (
+        SELECT o_custkey AS cust,
+          CAST(epoch_ms(o_orderdate) // 1000 // 86400 AS BIGINT) AS day,
+          CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS rc
+        FROM orders),
+      b AS (SELECT min(day) AS lo, max(day) AS hi FROM o),
+      pc AS (
+        SELECT ((cust % 2147483648) * 2654435761) % 4294967296 % 2 AS arm,
+          CASE WHEN day < lo + (hi - lo + 1) // 2 THEN 0 ELSE 1 END AS post,
+          cust, CAST(sum(rc) AS BIGINT) AS rc
+        FROM o, b GROUP BY 1, 2, cust),
+      cell AS (
+        SELECT arm, post, CAST(count(*) AS BIGINT) AS n_cust,
+          CAST(sum(rc) AS BIGINT) AS rev_cents,
+          CAST(CAST(sum(rc) AS HUGEINT) * 1000000 // count(*) AS BIGINT) AS avg_micro
+        FROM pc GROUP BY arm, post)
+      SELECT
+        max(CASE WHEN arm = 1 AND post = 0 THEN avg_micro END) AS t_pre,
+        max(CASE WHEN arm = 1 AND post = 1 THEN avg_micro END) AS t_post,
+        max(CASE WHEN arm = 0 AND post = 0 THEN avg_micro END) AS c_pre,
+        max(CASE WHEN arm = 0 AND post = 1 THEN avg_micro END) AS c_post,
+        CAST(sum(n_cust) AS BIGINT) AS n_cells_cust,
+        (max(CASE WHEN arm = 1 AND post = 1 THEN avg_micro END)
+         - max(CASE WHEN arm = 1 AND post = 0 THEN avg_micro END))
+        - (max(CASE WHEN arm = 0 AND post = 1 THEN avg_micro END)
+           - max(CASE WHEN arm = 0 AND post = 0 THEN avg_micro END)) AS did_micro
+      FROM cell
+    """))
+
   def defs: Seq[QueryDef] =
     Seq(q81, q83, q84, q85, q91, q149, q155, q156, q167, q169, q191, q197, q198,
-      q209, q225)
+      q209, q225, q240)
 }

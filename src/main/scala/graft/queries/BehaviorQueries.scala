@@ -1226,7 +1226,54 @@ object BehaviorQueries extends QueryGroup {
       ORDER BY d_lo
     """))
 
+  /** Effective catalog breadth per month: the inverse-Simpson
+    * "effective number of parts" (Σn)²/Σn² — how many parts demand
+    * BEHAVES like it's spread over, versus how many it merely touched.
+    * n_parts counts every part with ≥1 sale; eff_milli discounts the
+    * long tail (uniform demand ⇒ eff = n_parts; one-hit-dominated ⇒
+    * eff → 1). The trend pair (n_parts, eff) is the assortment-health
+    * readout: a growing catalog with flat eff means new items don't
+    * sell. Complements q205 (HHI = the same Σp² as a concentration
+    * index, globally) with the per-month effective-count form.
+    *
+    * Scale shape: (month, part) hash agg, then a month-sized rollup;
+    * squares in decimal(38,0) — Σn² crosses 2^63 once a single part
+    * sells ~3×10⁹ units in a month at the 100 TB design point. */
+  private val q241 = QueryDef(
+    "q241_effective_breadth",
+    (spark, dir) => {
+      val m = Tables.lineitem(spark, dir)
+        .select((year(col("l_shipdate")) * 100 + month(col("l_shipdate")))
+            .cast("long").as("month"),
+          col("l_partkey").as("part"),
+          floor(col("l_quantity") + lit(0.5d)).cast("long").as("q"))
+        .groupBy(col("month"), col("part"))
+        .agg(sum(col("q")).as("n"))
+      m.groupBy(col("month"))
+        .agg(count(lit(1)).as("n_parts"), sum(col("n")).as("units"),
+          sum(expr("CAST(n AS DECIMAL(38,0)) * n")).as("ssq"))
+        .select(col("month"), col("n_parts"), col("units"),
+          expr("CAST(CAST(units AS DECIMAL(38,0)) * units * 1000 DIV ssq AS BIGINT)")
+            .as("eff_milli"))
+        .orderBy(col("month"))
+    },
+    Some("""
+      WITH mp AS (
+        SELECT CAST(year(l_shipdate) * 100 + month(l_shipdate) AS BIGINT) AS month,
+          l_partkey AS part,
+          CAST(sum(floor(l_quantity + 0.5)) AS BIGINT) AS n
+        FROM lineitem GROUP BY 1, 2),
+      g AS (
+        SELECT month, CAST(count(*) AS BIGINT) AS n_parts,
+          CAST(sum(n) AS BIGINT) AS units,
+          sum(CAST(n AS HUGEINT) * n) AS ssq
+        FROM mp GROUP BY month)
+      SELECT month, n_parts, units,
+        CAST(CAST(units AS HUGEINT) * units * 1000 // ssq AS BIGINT) AS eff_milli
+      FROM g ORDER BY month
+    """))
+
   override def defs: Seq[QueryDef] =
     Seq(q115, q116, q117, q132, q134, q140, q142, q143, q144, q150, q151, q153,
-      q160, q162, q184, q192, q204, q206, q210, q219, q236)
+      q160, q162, q184, q192, q204, q206, q210, q219, q236, q241)
 }
