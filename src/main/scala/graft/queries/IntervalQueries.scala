@@ -137,41 +137,11 @@ object IntervalQueries extends QueryGroup {
       import graft.functions.Deterministic.cents
       val base = Tables.lineitem(spark, dir)
         .select(col("l_returnflag").as("g"), cents(col("l_extendedprice")).as("x"))
-      // level 1: coarse $100 bins — which bin holds P5 / P95, and how
-      // many rows precede it
-      val coarse = base.groupBy(col("g"), expr("x DIV 10000").as("xb"))
-        .agg(count(lit(1)).as("cnt"))
-      val wCum = Window.partitionBy(col("g")).orderBy(col("xb"))
-      val wAll = Window.partitionBy(col("g"))
-      val cum1 = coarse
-        .withColumn("cum", sum(col("cnt")).over(wCum))
-        .withColumn("n", sum(col("cnt")).over(wAll))
-      val binsel = cum1.groupBy(col("g"))
-        .agg(min(when(col("cum") * 100 >= lit(5) * col("n"), col("xb"))).as("bin05"),
-          min(when(col("cum") * 100 >= lit(95) * col("n"), col("xb"))).as("bin95"),
-          max(col("n")).as("n"))
-      val pre = cum1.join(broadcast(binsel.drop("n")), Seq("g"))
-        .groupBy(col("g"))
-        .agg(max(when(col("xb") === col("bin05"), col("cum") - col("cnt"))).as("before05"),
-          max(when(col("xb") === col("bin95"), col("cum") - col("cnt"))).as("before95"),
-          max(col("bin05")).as("bin05"), max(col("bin95")).as("bin95"),
-          max(col("n")).as("n"))
-      // level 2: exact cent-level refinement inside the two selected
-      // bins only (cumin resets per bin; global rank = before + cumin)
-      val wBin = Window.partitionBy(col("g"), col("xb")).orderBy(col("x"))
-      val thresholds = base
-        .join(broadcast(pre), Seq("g"))
-        .withColumn("xb", expr("x DIV 10000"))
-        .filter(col("xb") === col("bin05") || col("xb") === col("bin95"))
-        .groupBy(col("g"), col("xb"), col("x"), col("bin05"), col("bin95"),
-          col("before05"), col("before95"), col("n"))
-        .agg(count(lit(1)).as("c2"))
-        .withColumn("cumin", sum(col("c2")).over(wBin))
-        .groupBy(col("g"))
-        .agg(min(when(col("xb") === col("bin05") &&
-            (col("before05") + col("cumin")) * 100 >= lit(5) * col("n"), col("x"))).as("p05"),
-          min(when(col("xb") === col("bin95") &&
-            (col("before95") + col("cumin")) * 100 >= lit(95) * col("n"), col("x"))).as("p95"))
+      // two-level selection lives in operators.RankSelect (coarse $100
+      // bins locate P5/P95, exact refinement only inside those bins)
+      val thresholds = graft.operators.RankSelect
+        .percentiles(base, "g", "x", Seq(500, 9500), binWidth = 10000)
+        .select(col("g"), col("p_500").as("p05"), col("p_9500").as("p95"))
       base
         .join(broadcast(thresholds), Seq("g"))
         .select(col("g"), col("p05"), col("p95"),

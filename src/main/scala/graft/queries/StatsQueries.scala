@@ -766,7 +766,50 @@ object StatsQueries extends QueryGroup {
       FROM s
     """))
 
+  /** Per-brand price bands — exact P10/P50/P90 of net unit price over a
+    * near-continuous cents domain, via [[graft.operators.RankSelect]]'s
+    * two-level selection (coarse $100 bins locate each percentile's
+    * bin; only those bins get cent-exact refinement). The pricing-page
+    * summary (floor / typical / premium) that q36 cannot produce
+    * scale-safely when the value domain is unbounded: its
+    * histogram-window form is exactly what RankSelect replaces.
+    *
+    * Scale shape: windows touch the ~1100-bin coarse histogram and the
+    * ~0.3% of rows inside selected bins, partitioned by (brand, bin) —
+    * parallelism |brands|·|selected bins|, never |brands|. */
+  private val q242 = QueryDef(
+    "q242_brand_price_bands",
+    (spark, dir) => {
+      val base = Tables.lineitem(spark, dir)
+        .join(Tables.part(spark, dir), col("l_partkey") === col("p_partkey"))
+        .select(col("p_brand").as("brand"),
+          cents(col("l_extendedprice") * (lit(1d) - col("l_discount"))).as("pc"))
+      graft.operators.RankSelect
+        .percentiles(base, "brand", "pc", Seq(1000, 5000, 9000), binWidth = 10000)
+        .select(col("brand"), col("n"), col("p_1000").as("p10_cents"),
+          col("p_5000").as("p50_cents"), col("p_9000").as("p90_cents"))
+        .orderBy(col("brand"))
+    },
+    Some("""
+      WITH b AS (
+        SELECT p_brand AS brand,
+          CAST(floor(l_extendedprice * (1 - l_discount) * 100 + 0.5) AS BIGINT) AS pc
+        FROM lineitem JOIN part ON l_partkey = p_partkey),
+      m AS (
+        SELECT brand, pc, CAST(count(*) AS BIGINT) AS cnt FROM b GROUP BY brand, pc),
+      w AS (
+        SELECT brand, pc,
+          CAST(sum(cnt) OVER (PARTITION BY brand ORDER BY pc) AS BIGINT) AS cum,
+          CAST(sum(cnt) OVER (PARTITION BY brand) AS BIGINT) AS n
+        FROM m)
+      SELECT brand, max(n) AS n,
+        min(CASE WHEN cum * 10000 >= 1000 * n THEN pc END) AS p10_cents,
+        min(CASE WHEN cum * 10000 >= 5000 * n THEN pc END) AS p50_cents,
+        min(CASE WHEN cum * 10000 >= 9000 * n THEN pc END) AS p90_cents
+      FROM w GROUP BY brand ORDER BY brand
+    """))
+
   def defs: Seq[QueryDef] =
     Seq(q36, q37, q38, q39, q40, q41, q42, q55, q90, q180, q181, q186, q205,
-      q216, q218, q224)
+      q216, q218, q224, q242)
 }
