@@ -833,7 +833,90 @@ object AuditQueries extends QueryGroup {
       FROM cell
     """))
 
+  /** Uplift by prior-spend decile — the heterogeneous-treatment-effect
+    * readout behind targeting decisions: does the (hash-assigned)
+    * treatment arm lift low-value or high-value customers? Customers
+    * rank into pre-period spend deciles by the q210 integer formula
+    * ((rn−1)·10 div n — no ntile), then each decile reports both arms'
+    * post-period per-customer average (one exact division per cell)
+    * and their difference. Constant uplift across deciles ⇒ treat
+    * everyone; concentrated uplift ⇒ target that decile.
+    *
+    * Scale shape: customer-sized aggregates; the decile rank is a
+    * global window over the customer aggregate (dimension-sized, the
+    * stage to range-partition at 100 TB — q210's documented shape);
+    * final census is 10×2 cells wide. */
+  private val q244 = QueryDef(
+    "q244_uplift_by_decile",
+    (spark, dir) => {
+      import graft.functions.Deterministic.{cents, epochS}
+      import org.apache.spark.sql.expressions.Window
+      val o = Tables.orders(spark, dir)
+        .select(col("o_custkey").as("cust"),
+          (epochS(col("o_orderdate")) / 86400).cast("long").as("day"),
+          cents(col("o_totalprice")).as("rc"))
+      val bounds = o.agg(min(col("day")).as("lo"), max(col("day")).as("hi"))
+      val perCust = o.crossJoin(broadcast(bounds))
+        .select(col("cust"), col("rc"),
+          expr("CASE WHEN day < lo + (hi - lo + 1) DIV 2 THEN 0 ELSE 1 END").as("post"))
+        .groupBy(col("cust"))
+        .agg(sum(when(col("post") === 0, col("rc")).otherwise(0L)).as("pre_rc"),
+          sum(when(col("post") === 1, col("rc")).otherwise(0L)).as("post_rc"))
+        .withColumn("arm", graft.operators.Sampling.keyHash(col("cust")) % 2)
+      val w = Window.orderBy(col("pre_rc").desc, col("cust"))
+      val all = Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+      perCust
+        .withColumn("rn", row_number().over(w).cast("long"))
+        .withColumn("n", count(lit(1)).over(all))
+        .select(expr("(rn - 1) * 10 div n + 1").as("decile"), col("arm"),
+          col("post_rc"))
+        .groupBy(col("decile"))
+        .agg(sum(when(col("arm") === 1, 1L).otherwise(0L)).as("n_treat"),
+          sum(when(col("arm") === 0, 1L).otherwise(0L)).as("n_ctrl"),
+          sum(when(col("arm") === 1, col("post_rc")).otherwise(0L)).as("rc_treat"),
+          sum(when(col("arm") === 0, col("post_rc")).otherwise(0L)).as("rc_ctrl"))
+        .select(col("decile"), col("n_treat"), col("n_ctrl"),
+          expr("CAST(CAST(rc_treat AS DECIMAL(38,0)) * 1000000 DIV n_treat AS BIGINT)")
+            .as("treat_avg_micro"),
+          expr("CAST(CAST(rc_ctrl AS DECIMAL(38,0)) * 1000000 DIV n_ctrl AS BIGINT)")
+            .as("ctrl_avg_micro"))
+        .withColumn("uplift_micro", col("treat_avg_micro") - col("ctrl_avg_micro"))
+        .orderBy(col("decile"))
+    },
+    Some("""
+      WITH o AS (
+        SELECT o_custkey AS cust,
+          CAST(epoch_ms(o_orderdate) // 1000 // 86400 AS BIGINT) AS day,
+          CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS rc
+        FROM orders),
+      b AS (SELECT min(day) AS lo, max(day) AS hi FROM o),
+      pc AS (
+        SELECT cust,
+          CAST(sum(CASE WHEN day < lo + (hi - lo + 1) // 2 THEN rc ELSE 0 END) AS BIGINT) AS pre_rc,
+          CAST(sum(CASE WHEN day >= lo + (hi - lo + 1) // 2 THEN rc ELSE 0 END) AS BIGINT) AS post_rc
+        FROM o, b GROUP BY cust),
+      d AS (
+        SELECT cust, pre_rc, post_rc,
+          ((cust % 2147483648) * 2654435761) % 4294967296 % 2 AS arm,
+          (row_number() OVER (ORDER BY pre_rc DESC, cust) - 1) * 10
+            // count(*) OVER () + 1 AS decile
+        FROM pc),
+      g AS (
+        SELECT decile,
+          CAST(sum(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_treat,
+          CAST(sum(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_ctrl,
+          CAST(sum(CASE WHEN arm = 1 THEN post_rc ELSE 0 END) AS BIGINT) AS rc_treat,
+          CAST(sum(CASE WHEN arm = 0 THEN post_rc ELSE 0 END) AS BIGINT) AS rc_ctrl
+        FROM d GROUP BY decile)
+      SELECT decile, n_treat, n_ctrl,
+        CAST(CAST(rc_treat AS HUGEINT) * 1000000 // n_treat AS BIGINT) AS treat_avg_micro,
+        CAST(CAST(rc_ctrl AS HUGEINT) * 1000000 // n_ctrl AS BIGINT) AS ctrl_avg_micro,
+        CAST(CAST(rc_treat AS HUGEINT) * 1000000 // n_treat
+             - CAST(rc_ctrl AS HUGEINT) * 1000000 // n_ctrl AS BIGINT) AS uplift_micro
+      FROM g ORDER BY decile
+    """))
+
   def defs: Seq[QueryDef] =
     Seq(q81, q83, q84, q85, q91, q149, q155, q156, q167, q169, q191, q197, q198,
-      q209, q225, q240)
+      q209, q225, q240, q244)
 }

@@ -380,5 +380,65 @@ object CurationQueries extends QueryGroup {
       ORDER BY n_sessions DESC, path LIMIT 20
     """))
 
-  def defs: Seq[QueryDef] = Seq(q67, q68, q69, q70, q71, q72, q73, q76, q77, q87)
+  /** Packing-efficiency census over q69's bins: how full do the
+    * 512-token context windows actually get? Each (lang, shard, bin)
+    * sums the tokens of docs STARTING in it; fill buckets at 10%
+    * resolution (overfull bins — a doc straddling the boundary — land
+    * in the top bucket), and each cell's LAST bin is counted apart
+    * because its underfill is the inherent stream tail, not packing
+    * waste. The padding-waste number that decides whether plain
+    * running-sum packing suffices or first-fit-decreasing is worth a
+    * sort at 100 TB.
+    *
+    * Scale shape: q69's keyed window, one (cell, bin) agg, a ≤12-row
+    * bucket census. */
+  private val q245 = QueryDef(
+    "q245_packing_waste",
+    (spark, dir) => {
+      val withTokens = Tables.documents(spark, dir)
+        .select(col("doc_id"), col("lang"), (col("doc_id") % 4).as("shard"),
+          TextFunctions.tokenCount(col("text")).cast("long").as("n_tokens"))
+      val packed = Packing.packByRunningSum(withTokens, Seq("lang", "shard"),
+        "doc_id", "n_tokens", budget = 512)
+      packed
+        .groupBy(col("lang"), col("shard"), col("bin"))
+        .agg(sum(col("n_tokens")).as("toks"))
+        .withColumn("last_bin",
+          (col("bin") === max(col("bin")).over(
+            org.apache.spark.sql.expressions.Window.partitionBy(col("lang"), col("shard"))))
+            .cast("long"))
+        .select(least(lit(10L), expr("toks * 10 DIV 512")).as("fill_bucket"),
+          col("last_bin"), col("toks"))
+        .groupBy(col("fill_bucket"))
+        .agg(count(lit(1)).as("n_bins"), sum(col("last_bin")).as("n_tail_bins"),
+          sum(col("toks")).as("tokens"))
+        .orderBy(col("fill_bucket"))
+    },
+    Some(s"""
+      WITH t AS (
+        SELECT doc_id, lang, doc_id % 4 AS shard,
+          CAST(len($duckTokens) AS BIGINT) AS n_tokens
+        FROM documents),
+      r AS (
+        SELECT *, sum(n_tokens) OVER (
+            PARTITION BY lang, shard ORDER BY doc_id
+            ROWS UNBOUNDED PRECEDING) - n_tokens AS start_off
+        FROM t),
+      pb AS (
+        SELECT lang, shard, CAST(start_off // 512 AS BIGINT) AS bin,
+          CAST(sum(n_tokens) AS BIGINT) AS toks
+        FROM r GROUP BY lang, shard, bin),
+      lb AS (
+        SELECT lang, shard, bin, toks,
+          CASE WHEN bin = max(bin) OVER (PARTITION BY lang, shard) THEN 1 ELSE 0 END
+            AS last_bin
+        FROM pb)
+      SELECT least(10, toks * 10 // 512) AS fill_bucket,
+        CAST(count(*) AS BIGINT) AS n_bins,
+        CAST(sum(last_bin) AS BIGINT) AS n_tail_bins,
+        CAST(sum(toks) AS BIGINT) AS tokens
+      FROM lb GROUP BY 1 ORDER BY fill_bucket
+    """))
+
+  def defs: Seq[QueryDef] = Seq(q67, q68, q69, q70, q71, q72, q73, q76, q77, q87, q245)
 }

@@ -375,5 +375,66 @@ object QuantQueries extends QueryGroup {
       FROM a ORDER BY q_id
     """))
 
-  def defs: Seq[QueryDef] = Seq(q102, q127, q139, q147, q226, q235)
+  /** Embedding-pipeline drift check: split each label's vectors into
+    * two deterministic hash halves and report the cosine between the
+    * halves' centroids. A healthy static corpus scores ≈ 1; a drop
+    * flags ingestion drift or a label whose cluster is too diffuse for
+    * centroid-based blocking (IVF, SemDedup). Centroid cosine is
+    * computed on the per-dimension SUM vectors — cosine is invariant
+    * to the positive 1/n scaling, so no fractional centroid ever
+    * exists and the integer dot/norms are exact (q25's arithmetic).
+    *
+    * Scale shape: posexplode to (label, half, dim) cells — labels×2×64
+    * rows out of the only corpus-sized shuffle — then a cell-level
+    * pivot join and one cosine per label. */
+  private val q243 = QueryDef(
+    "q243_embedding_half_drift",
+    (spark, dir) => {
+      val e = Tables.embeddings(spark, dir)
+        .select(col("label").cast("long").as("label"),
+          (graft.operators.Sampling.keyHash(col("vec_id")) % 2).as("half"),
+          posexplode(expr(
+            "transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 512 + 0.5) AS BIGINT))"))
+            .as(Seq("dim", "q")))
+      val cells = e.groupBy(col("label"), col("half"), col("dim"))
+        .agg(sum(col("q")).as("sx"), count(lit(1)).as("n"))
+      val a = cells.filter(col("half") === 0)
+        .select(col("label"), col("dim"), col("sx").as("xa"), col("n").as("n_a"))
+      val b = cells.filter(col("half") === 1)
+        .select(col("label"), col("dim"), col("sx").as("xb"), col("n").as("n_b"))
+      a.join(b, Seq("label", "dim"))
+        .groupBy(col("label"))
+        .agg(max(col("n_a")).as("n_a"), max(col("n_b")).as("n_b"),
+          sum(col("xa") * col("xb")).as("dot"),
+          sum(col("xa") * col("xa")).as("na"),
+          sum(col("xb") * col("xb")).as("nb"))
+        .select(col("label"), col("n_a"), col("n_b"),
+          (col("dot").cast("double") /
+            sqrt(col("na").cast("double") * col("nb").cast("double")))
+            .as("centroid_cos"))
+        .orderBy(col("label"))
+    },
+    Some("""
+      WITH ex AS (
+        SELECT CAST(label AS BIGINT) AS label,
+          ((vec_id % 2147483648) * 2654435761) % 4294967296 % 2 AS half,
+          CAST(d.i AS INTEGER) - 1 AS dim,
+          CAST(floor(CAST(embedding[d.i] AS DOUBLE) * 512 + 0.5) AS BIGINT) AS q
+        FROM embeddings, LATERAL (SELECT unnest(range(1, len(embedding)+1)) AS i) d),
+      cells AS (
+        SELECT label, half, dim, CAST(sum(q) AS BIGINT) AS sx,
+          CAST(count(*) AS BIGINT) AS n
+        FROM ex GROUP BY label, half, dim),
+      j AS (
+        SELECT a.label, a.n AS n_a, b.n AS n_b, a.sx AS xa, b.sx AS xb
+        FROM cells a JOIN cells b ON a.label = b.label AND a.dim = b.dim
+        WHERE a.half = 0 AND b.half = 1)
+      SELECT label, CAST(max(n_a) AS BIGINT) AS n_a, CAST(max(n_b) AS BIGINT) AS n_b,
+        CAST(CAST(sum(xa * xb) AS BIGINT) AS DOUBLE)
+          / sqrt(CAST(sum(xa * xa) AS DOUBLE) * CAST(sum(xb * xb) AS DOUBLE))
+          AS centroid_cos
+      FROM j GROUP BY label ORDER BY label
+    """))
+
+  def defs: Seq[QueryDef] = Seq(q102, q127, q139, q147, q226, q235, q243)
 }

@@ -53,7 +53,8 @@ class QueriesSmokeSpec extends SparkSpec {
     "q174_hybrid_rrf", "q175_recency_weights", "q189_rbo_rank_agreement",
     "q190_not_in_null_trap", "q224_rank_concordance",
     "q231_temporal_split_leakage", "q233_state_size_plan",
-    "q235_map_at_10", "q239_kmv_intersection", "q240_did_analysis")
+    "q235_map_at_10", "q239_kmv_intersection", "q240_did_analysis",
+    "q244_uplift_by_decile")
 
   test("query constructors are lazy: warm construction launches zero jobs") {
     import org.apache.spark.scheduler.{SparkListener, SparkListenerJobStart}
