@@ -916,7 +916,90 @@ object AuditQueries extends QueryGroup {
       FROM g ORDER BY decile
     """))
 
+  /** Rolling 7-day distinct users from MERGED daily KMV sketches,
+    * audited against q91's exact computation. Each day stores one
+    * bottom-64 sketch; the trailing window unions 7 sketches with pure
+    * array SQL (flatten → distinct → sort → slice — KMV merge needs no
+    * custom code once the daily sketches exist) and estimates. This is
+    * THE scale play for rolling distinct: q91's exact form explodes
+    * every (user, day) into 7 window rows; the sketch form carries
+    * 64 longs per day regardless of user count, and the window cost is
+    * O(days·k), not O(user-days·7).
+    *
+    * Scale shape: one (day, hash) distinct shuffle → day-sized sketch
+    * table → a days-ordered RANGE window over ≤64-long arrays. The
+    * exact audit side is q91 verbatim (its cost is the point). */
+  private val q246 = QueryDef(
+    "q246_kmv_rolling_distinct",
+    (spark, dir) => {
+      import graft.functions.Deterministic.epochS
+      import graft.functions.KmvSketch.{kmv_bottom_k, kmv_estimate}
+      import org.apache.spark.sql.expressions.Window
+      val ud = Tables.events(spark, dir)
+        .select(col("user_id"), (epochS(col("ts")) / 86400).cast("long").as("day"))
+        .distinct()
+      val daily = ud
+        .select(col("day"), graft.operators.Sampling.keyHash(col("user_id")).as("h"))
+        .groupBy(col("day"))
+        .agg(kmv_bottom_k(col("h"), 64).as("sketch"))
+      val trailing = Window.orderBy(col("day")).rangeBetween(-6, 0)
+      val est2 = daily
+        .withColumn("win_sketches", collect_list(col("sketch")).over(trailing))
+        .withColumn("merged", expr(
+          "slice(array_sort(array_distinct(flatten(win_sketches))), 1, 64)"))
+        .select(col("day"), kmv_estimate("merged", 64).as("wau_est"))
+      val exact = ud
+        .select(col("user_id"), explode(sequence(col("day"), col("day") + 6)).as("w_day"))
+        .join(broadcast(ud.select(col("day").as("w_day")).distinct()), Seq("w_day"), "left_semi")
+        .groupBy(col("w_day"))
+        .agg(countDistinct(col("user_id")).as("wau_exact"))
+        .select(col("w_day").as("day"), col("wau_exact"))
+      est2.join(exact, Seq("day"))
+        .select(col("day"), col("wau_exact"), col("wau_est"),
+          expr("CAST(abs(wau_est - wau_exact) * 1000000 DIV wau_exact AS BIGINT)")
+            .as("err_ppm"))
+        .orderBy(col("day"))
+    },
+    Some("""
+      WITH ud AS (
+        SELECT DISTINCT user_id,
+          CAST(epoch_ms(ts) // 1000 // 86400 AS BIGINT) AS day
+        FROM events),
+      dh AS (
+        SELECT DISTINCT day,
+          ((user_id % 2147483648) * 2654435761) % 4294967296 AS h
+        FROM ud),
+      rk AS (
+        SELECT day, h,
+          CAST(row_number() OVER (PARTITION BY day ORDER BY h) AS BIGINT) AS rk
+        FROM dh),
+      daily AS (
+        SELECT day, list_sort(list(h ORDER BY h)) AS sketch
+        FROM rk WHERE rk <= 64 GROUP BY day),
+      win AS (
+        SELECT day,
+          list_slice(list_sort(list_distinct(flatten(
+            list(sketch) OVER (ORDER BY day RANGE BETWEEN 6 PRECEDING AND CURRENT ROW)
+          ))), 1, 64) AS merged
+        FROM daily),
+      est AS (
+        SELECT day,
+          CAST(CASE WHEN len(merged) < 64 THEN len(merged)
+                    ELSE 63 * 4294967296 // merged[64] END AS BIGINT) AS wau_est
+        FROM win),
+      ex AS (
+        SELECT w.w_day AS day, CAST(count(DISTINCT u.user_id) AS BIGINT) AS wau_exact
+        FROM ud u
+        JOIN (SELECT DISTINCT day AS w_day FROM ud) w
+          ON w.w_day BETWEEN u.day AND u.day + 6
+        GROUP BY 1)
+      SELECT e.day, x.wau_exact, e.wau_est,
+        CAST(abs(e.wau_est - x.wau_exact) * 1000000 // x.wau_exact AS BIGINT) AS err_ppm
+      FROM est e JOIN ex x ON e.day = x.day
+      ORDER BY e.day
+    """))
+
   def defs: Seq[QueryDef] =
     Seq(q81, q83, q84, q85, q91, q149, q155, q156, q167, q169, q191, q197, q198,
-      q209, q225, q240, q244)
+      q209, q225, q240, q244, q246)
 }
