@@ -930,7 +930,78 @@ object DriftQueries extends QueryGroup {
       ORDER BY day
     """))
 
+  /** Exact Wasserstein-1 (earth-mover) distance between the returned
+    * and non-returned quantity distributions — the drift metric that
+    * SEES how far mass moved, where TV (q118) only sees that it moved
+    * and KS (q120) only the worst single gap. W₁ = ∫|F_A − F_B| dx
+    * evaluated exactly on the merged value ladder: cross-multiplied
+    * CDFs (cumA·n_B − cumB·n_A — no fractions), each step weighted by
+    * its value gap Δx, normalized to milli-cents of quantity per unit
+    * mass.
+    *
+    * Scale shape: one (group, value) histogram agg over a bounded
+    * cents domain, a cumulative window over the merged value ladder
+    * (vocabulary-sized), one scalar rollup. Cross-products run in
+    * decimal(38,0). */
+  private val q247 = QueryDef(
+    "q247_wasserstein_drift",
+    (spark, dir) => {
+      import graft.functions.Deterministic.cents
+      val w = Window.orderBy(col("x"))
+      val hist = Tables.lineitem(spark, dir)
+        .filter(col("l_returnflag").isin("R", "N"))
+        .select(col("l_returnflag").as("g"), cents(col("l_quantity")).as("x"))
+        .groupBy(col("x"))
+        .agg(sum(when(col("g") === "R", 1L).otherwise(0L)).as("ca"),
+          sum(when(col("g") === "N", 1L).otherwise(0L)).as("cb"))
+      val everything = Window.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing)
+      hist
+        .withColumn("cum_a", sum(col("ca")).over(
+          w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .withColumn("cum_b", sum(col("cb")).over(
+          w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .withColumn("n_a", sum(col("ca")).over(everything))
+        .withColumn("n_b", sum(col("cb")).over(everything))
+        .withColumn("dx", lead(col("x"), 1).over(w) - col("x"))
+        .filter(col("dx").isNotNull)
+        .withColumn("term", expr(
+          "abs(CAST(cum_a AS DECIMAL(38,0)) * n_b - CAST(cum_b AS DECIMAL(38,0)) * n_a) * dx"))
+        .groupBy()
+        .agg(max(col("n_a")).as("n_a"), max(col("n_b")).as("n_b"),
+          sum(col("term")).as("tsum"))
+        .select(col("n_a"), col("n_b"),
+          expr("CAST(tsum * 1000 DIV (CAST(n_a AS DECIMAL(38,0)) * n_b) AS BIGINT)")
+            .as("w1_milli_cents"))
+    },
+    Some("""
+      WITH h AS (
+        SELECT CAST(floor(l_quantity * 100 + 0.5) AS BIGINT) AS x,
+          CAST(sum(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END) AS BIGINT) AS ca,
+          CAST(sum(CASE WHEN l_returnflag = 'N' THEN 1 ELSE 0 END) AS BIGINT) AS cb
+        FROM lineitem WHERE l_returnflag IN ('R', 'N')
+        GROUP BY 1),
+      c AS (
+        SELECT x, ca, cb,
+          CAST(sum(ca) OVER (ORDER BY x
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_a,
+          CAST(sum(cb) OVER (ORDER BY x
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_b,
+          CAST(sum(ca) OVER () AS BIGINT) AS n_a,
+          CAST(sum(cb) OVER () AS BIGINT) AS n_b,
+          lead(x) OVER (ORDER BY x) - x AS dx
+        FROM h),
+      t AS (
+        SELECT n_a, n_b,
+          abs(CAST(cum_a AS HUGEINT) * n_b - CAST(cum_b AS HUGEINT) * n_a) * dx AS term
+        FROM c WHERE dx IS NOT NULL)
+      SELECT CAST(max(n_a) AS BIGINT) AS n_a, CAST(max(n_b) AS BIGINT) AS n_b,
+        CAST(sum(term) * 1000 // (CAST(max(n_a) AS HUGEINT) * max(n_b)) AS BIGINT)
+          AS w1_milli_cents
+      FROM t
+    """))
+
   override def defs: Seq[QueryDef] =
     Seq(q118, q119, q120, q121, q122, q131, q145, q148, q154, q161, q166, q176,
-      q188, q194, q203, q212)
+      q188, q194, q203, q212, q247)
 }

@@ -41,6 +41,29 @@ class KmvSketchSpec extends SparkSpec {
     assert(sketchWith(32) == one)
   }
 
+  test("streaming groupBy sketch == batch sketch (complete mode)") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val k = 8
+    val data = (1L to 500L).map(i => (s"g${i % 3}", i * 2654435761L % 4294967296L))
+    val input = MemoryStream[(String, Long)](spark)
+    val q = input.toDF().toDF("g", "h")
+      .groupBy(col("g")).agg(kmv_bottom_k(col("h"), k).as("sketch"))
+      .writeStream.format("memory").queryName("kmv_out").outputMode("complete").start()
+    try {
+      input.addData(data.take(200): _*)
+      q.processAllAvailable()
+      input.addData(data.drop(200): _*)
+      q.processAllAvailable()
+      val streamed = spark.table("kmv_out")
+        .collect().map(r => r.getString(0) -> r.getSeq[Long](1).toList).toMap
+      val batch = data.toDF("g", "h")
+        .groupBy(col("g")).agg(kmv_bottom_k(col("h"), k).as("sketch"))
+        .collect().map(r => r.getString(0) -> r.getSeq[Long](1).toList).toMap
+      assert(streamed == batch)
+    } finally q.stop()
+  }
+
   test("estimator: exact below capacity, bounded error above it") {
     val k = 64
     val rows = hashed
