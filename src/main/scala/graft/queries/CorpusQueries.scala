@@ -1260,7 +1260,76 @@ object CorpusQueries extends QueryGroup {
       ORDER BY p.src_a, p.src_b
     """))
 
+  /** Per-source OLS slope of quality on length — does this source's
+    * quality decay as documents grow? The closed-form least-squares
+    * slope (nΣxy − ΣxΣy)/(nΣx² − (Σx)²) over x = chars, y = quantized
+    * quality (q64's 1000-step bins) is EXACT integer arithmetic:
+    * quality change in ppm-of-milli-score per 1000 characters, sign
+    * split out of the division. The parametric companion to q186's
+    * Theil-Sen (robust, rank-based): OLS is what monitoring dashboards
+    * actually plot, and on sums it costs one hash agg — no pairs, no
+    * medians.
+    *
+    * Scale shape: one narrow scan → per-source sums → scalar algebra
+    * on the source census. Products in decimal(38,0). */
+  private val q248 = QueryDef(
+    "q248_quality_length_slope",
+    (spark, dir) => {
+      val base = Tables.documents(spark, dir)
+        .select(col("source"), col("n_chars").as("x"),
+          floor(qualityFeatures(col("text")).getField("quality_score") * 1000 + 0.5)
+            .cast("long").as("y"))
+      base.groupBy(col("source"))
+        .agg(count(lit(1)).as("n"), sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+          sum(expr("CAST(x AS DECIMAL(38,0)) * y")).as("sxy"),
+          sum(expr("CAST(x AS DECIMAL(38,0)) * x")).as("sxx"))
+        .select(col("source"), col("n").as("n_docs"),
+          expr("CAST(CAST(sy AS DECIMAL(38,0)) * 1000 DIV n AS BIGINT)").as("mean_y_milli"),
+          expr("""CAST(CASE
+              WHEN n * sxx - CAST(sx AS DECIMAL(38,0)) * sx = 0 THEN NULL
+              ELSE (CASE WHEN (n * sxy - CAST(sx AS DECIMAL(38,0)) * sy) < 0 THEN -1 ELSE 1 END) *
+                (abs(n * sxy - CAST(sx AS DECIMAL(38,0)) * sy) * 1000000000
+                 DIV (n * sxx - CAST(sx AS DECIMAL(38,0)) * sx))
+            END AS BIGINT)""").as("slope_ppm_per_kchar"))
+        .orderBy(col("source"))
+    },
+    Some {
+      val allStops = graft.text.TextAnalysis.Stopwords
+        .flatMap(_._2).map("'" + _ + "'").mkString(",")
+      s"""
+      WITH f AS (
+        SELECT source, CAST(n_chars AS BIGINT) AS x,
+          CAST(len($duckTokens) AS BIGINT) AS n_tokens,
+          CAST(len(list_distinct($duckTokens)) AS BIGINT) AS n_distinct_tokens,
+          CAST(list_sum(list_transform($duckTokens, t -> CAST(len(t) AS BIGINT))) AS BIGINT) AS chars_in_toks,
+          CAST(len(list_filter($duckTokens, t -> t IN ($allStops))) AS BIGINT) AS stop_hits
+        FROM documents),
+      b AS (
+        SELECT source, x, CAST(floor(
+          ((CASE WHEN CAST(chars_in_toks AS DOUBLE)/n_tokens >= 3
+                  AND CAST(chars_in_toks AS DOUBLE)/n_tokens <= 10 THEN 1.0 ELSE 0.0 END
+            + least(CAST(stop_hits AS DOUBLE)/n_tokens * 5.0, 1.0)
+            + least(CAST(n_distinct_tokens AS DOUBLE)/n_tokens * 2.0, 1.0)) / 3.0)
+          * 1000 + 0.5) AS BIGINT) AS y
+        FROM f),
+      g AS (
+        SELECT source, CAST(count(*) AS BIGINT) AS n,
+          CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+          sum(CAST(x AS HUGEINT) * y) AS sxy, sum(CAST(x AS HUGEINT) * x) AS sxx
+        FROM b GROUP BY source)
+      SELECT source, n AS n_docs,
+        CAST(CAST(sy AS HUGEINT) * 1000 // n AS BIGINT) AS mean_y_milli,
+        CAST(CASE
+          WHEN n * sxx - CAST(sx AS HUGEINT) * sx = 0 THEN NULL
+          ELSE (CASE WHEN (n * sxy - CAST(sx AS HUGEINT) * sy) < 0 THEN -1 ELSE 1 END) *
+            (abs(n * sxy - CAST(sx AS HUGEINT) * sy) * 1000000000
+             // (n * sxx - CAST(sx AS HUGEINT) * sx))
+        END AS BIGINT) AS slope_ppm_per_kchar
+      FROM g ORDER BY source
+      """
+    })
+
   def defs: Seq[QueryDef] =
     Seq(q56, q57, q58, q59, q60, q61, q62, q63, q64, q65, q66, q82, q157, q165, q172,
-      q174, q182, q189, q215, q222, q227, q238, q239)
+      q174, q182, q189, q215, q222, q227, q238, q239, q248)
 }
