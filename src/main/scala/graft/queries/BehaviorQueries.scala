@@ -1273,7 +1273,71 @@ object BehaviorQueries extends QueryGroup {
       FROM g ORDER BY month
     """))
 
+  /** Time-bounded funnel sweep: q115's view→click→purchase funnel with
+    * a CONVERSION WINDOW — click must land within w of the first view,
+    * purchase within w of that click — swept over w ∈ {1h, 6h, 24h,
+    * 7d}. The window column is what turns a funnel into an SLA: the
+    * w where conversion stops growing is how long intent survives,
+    * and unbounded q115 is the w→∞ asymptote of this table.
+    *
+    * Scale shape: per window, the same user-co-partitioned min-join
+    * chain as q115 (AQE plans one exchange for the shared user key);
+    * four window variants union into a 4-row census. */
+  private val q249 = QueryDef(
+    "q249_funnel_conversion_windows",
+    (spark, dir) => {
+      val e = Tables.events(spark, dir)
+        .select(col("user_id"), col("event_type"), epochS(col("ts")).as("ts_s"))
+      val v = e.filter(col("event_type") === "view")
+        .groupBy(col("user_id")).agg(min(col("ts_s")).as("t1"))
+      def tier(w: Long): DataFrame = {
+        val c = e.filter(col("event_type") === "click").join(v, Seq("user_id"))
+          .filter(col("ts_s") > col("t1") && col("ts_s") <= col("t1") + w)
+          .groupBy(col("user_id")).agg(min(col("ts_s")).as("t2"))
+        val p = e.filter(col("event_type") === "purchase").join(c, Seq("user_id"))
+          .filter(col("ts_s") > col("t2") && col("ts_s") <= col("t2") + w)
+          .groupBy(col("user_id")).agg(min(col("ts_s")).as("t3"))
+        v.agg(count(lit(1)).as("n_view"))
+          .crossJoin(broadcast(c.agg(count(lit(1)).as("n_click"))))
+          .crossJoin(broadcast(p.agg(count(lit(1)).as("n_purchase"))))
+          .select(lit(w).as("window_s"), col("n_view"), col("n_click"),
+            col("n_purchase"),
+            expr("CASE WHEN n_view = 0 THEN NULL ELSE n_click * 1000000L div n_view END")
+              .as("click_conv_ppm"),
+            expr("CASE WHEN n_click = 0 THEN NULL ELSE n_purchase * 1000000L div n_click END")
+              .as("purchase_conv_ppm"))
+      }
+      Seq(3600L, 21600L, 86400L, 604800L).map(tier).reduce(_.unionAll(_))
+        .orderBy(col("window_s"))
+    },
+    Some {
+      def block(w: Long) = s"""
+        SELECT $w AS window_s, nv.n_view, nc.n_click, np.n_purchase,
+          CASE WHEN nv.n_view = 0 THEN NULL ELSE nc.n_click * 1000000 // nv.n_view END AS click_conv_ppm,
+          CASE WHEN nc.n_click = 0 THEN NULL ELSE np.n_purchase * 1000000 // nc.n_click END AS purchase_conv_ppm
+        FROM (SELECT count(*) AS n_view FROM v) nv,
+             (SELECT count(*) AS n_click FROM
+                (SELECT e.user_id, min(e.ts_s) AS t2 FROM e JOIN v USING (user_id)
+                 WHERE e.event_type = 'click' AND e.ts_s > v.t1 AND e.ts_s <= v.t1 + $w
+                 GROUP BY e.user_id)) nc,
+             (SELECT count(*) AS n_purchase FROM
+                (SELECT e2.user_id FROM e e2 JOIN
+                   (SELECT e.user_id, min(e.ts_s) AS t2 FROM e JOIN v USING (user_id)
+                    WHERE e.event_type = 'click' AND e.ts_s > v.t1 AND e.ts_s <= v.t1 + $w
+                    GROUP BY e.user_id) c2 USING (user_id)
+                 WHERE e2.event_type = 'purchase' AND e2.ts_s > c2.t2 AND e2.ts_s <= c2.t2 + $w
+                 GROUP BY e2.user_id)) np"""
+      s"""
+      WITH e AS (
+        SELECT user_id, event_type, CAST(epoch_ms(ts) // 1000 AS BIGINT) AS ts_s
+        FROM events),
+      v AS (SELECT user_id, min(ts_s) AS t1 FROM e WHERE event_type = 'view' GROUP BY user_id)
+      ${Seq(3600L, 21600L, 86400L, 604800L).map(block).mkString(" UNION ALL ")}
+      ORDER BY window_s
+      """
+    })
+
   override def defs: Seq[QueryDef] =
     Seq(q115, q116, q117, q132, q134, q140, q142, q143, q144, q150, q151, q153,
-      q160, q162, q184, q192, q204, q206, q210, q219, q236, q241)
+      q160, q162, q184, q192, q204, q206, q210, q219, q236, q241, q249)
 }
