@@ -436,5 +436,89 @@ object QuantQueries extends QueryGroup {
       FROM j GROUP BY label ORDER BY label
     """))
 
-  def defs: Seq[QueryDef] = Seq(q102, q127, q139, q147, q226, q235, q243)
+  /** Precision/recall of sign-LSH candidate generation against exact
+    * cosine ground truth, within labels: of the pairs sharing an
+    * 8-plane bucket (the q50 candidate rule), how many are REAL
+    * neighbors (cosine > 0.85), and how many real neighbors does the
+    * bucket rule find at all? The missing half of q170's recall story:
+    * recall says what survives, precision says what the candidate join
+    * wastes — together they price the planes-per-band knob before a
+    * 100 TB pairing run.
+    *
+    * Scale shape: truth needs pairwise cosines, so the universe is
+    * label-blocked (the q24 bound) — O(Σ block²), never corpus² — and
+    * both the candidate flag and the truth flag come from the same
+    * pair scan. Kernels are the codegen'd quantized-cosine and
+    * sign-LSH expressions. */
+  private val q250 = QueryDef(
+    "q250_lsh_pr_eval",
+    (spark, dir) => {
+      import graft.functions.expressions.{quantized_cosine, sign_lsh_bucket}
+      val v = Tables.embeddings(spark, dir)
+        .select(col("label").cast("long").as("label"), col("vec_id"),
+          col("embedding"), sign_lsh_bucket(col("embedding"), 8).as("bucket"))
+        // zero-quantized vectors have undefined cosine (kernel yields
+        // NULL); drop them from the pair universe like the oracle does
+        .filter(expr("aggregate(transform(embedding," +
+          " x -> CAST(floor(CAST(x AS DOUBLE) * 512 + 0.5) AS BIGINT))," +
+          " 0L, (a, x) -> a + x * x)") > 0L)
+      val a = v.select(col("label"), col("vec_id").as("id_a"),
+        col("embedding").as("emb_a"), col("bucket").as("b_a"))
+      val b = v.select(col("label"), col("vec_id").as("id_b"),
+        col("embedding").as("emb_b"), col("bucket").as("b_b"))
+      a.join(b, Seq("label"))
+        .filter(col("id_a") < col("id_b"))
+        .select(col("label"),
+          (quantized_cosine(col("emb_a"), col("emb_b")) > 0.85d).cast("long").as("t"),
+          (col("b_a") === col("b_b")).cast("long").as("c"))
+        .groupBy(col("label"))
+        .agg(count(lit(1)).as("n_pairs"), sum(col("t")).as("n_true"),
+          sum(col("c")).as("n_cand"), sum(col("t") * col("c")).as("tp"))
+        .select(col("label"), col("n_pairs"), col("n_true"), col("n_cand"), col("tp"),
+          expr("CASE WHEN n_cand = 0 THEN NULL ELSE CAST(tp * 1000000 DIV n_cand AS BIGINT) END")
+            .as("precision_ppm"),
+          expr("CASE WHEN n_true = 0 THEN NULL ELSE CAST(tp * 1000000 DIV n_true AS BIGINT) END")
+            .as("recall_ppm"))
+        .orderBy(col("label"))
+    },
+    Some("""
+      WITH q AS (
+        SELECT CAST(label AS BIGINT) AS label, vec_id,
+          list_transform(embedding, x -> CAST(floor(x*512 + 0.5) AS BIGINT)) AS qv
+        FROM embeddings),
+      proj AS (
+        SELECT vec_id, t.p,
+          list_sum(list_transform(range(1, len(qv)+1),
+            i -> qv[i] * ((t.p*2654435761 + (i-1)*40503) % 2001 - 1000))) AS pr
+        FROM q CROSS JOIN (SELECT unnest(range(8)) AS p) t),
+      bk AS (
+        SELECT vec_id, CAST(sum(CASE WHEN pr > 0 THEN (1::BIGINT << p) ELSE 0 END) AS BIGINT) AS bucket
+        FROM proj GROUP BY vec_id),
+      n AS (
+        SELECT q.label, q.vec_id, qv, bucket,
+          CAST(list_sum(list_transform(qv, x -> x*x)) AS BIGINT) AS nsq
+        FROM q JOIN bk USING (vec_id)),
+      pr AS (
+        SELECT a.label,
+          CASE WHEN CAST(CAST(list_sum(list_transform(range(1, len(a.qv)+1),
+                 i -> a.qv[i] * b.qv[i])) AS BIGINT) AS DOUBLE)
+               / sqrt(CAST(a.nsq AS DOUBLE) * CAST(b.nsq AS DOUBLE)) > 0.85
+               THEN 1 ELSE 0 END AS t,
+          CASE WHEN a.bucket = b.bucket THEN 1 ELSE 0 END AS c
+        FROM n a JOIN n b ON a.label = b.label AND a.vec_id < b.vec_id
+        WHERE a.nsq > 0 AND b.nsq > 0),
+      g AS (
+        SELECT label, CAST(count(*) AS BIGINT) AS n_pairs,
+          CAST(sum(t) AS BIGINT) AS n_true, CAST(sum(c) AS BIGINT) AS n_cand,
+          CAST(sum(t * c) AS BIGINT) AS tp
+        FROM pr GROUP BY label)
+      SELECT label, n_pairs, n_true, n_cand, tp,
+        CASE WHEN n_cand = 0 THEN NULL ELSE CAST(tp * 1000000 // n_cand AS BIGINT) END
+          AS precision_ppm,
+        CASE WHEN n_true = 0 THEN NULL ELSE CAST(tp * 1000000 // n_true AS BIGINT) END
+          AS recall_ppm
+      FROM g ORDER BY label
+    """))
+
+  def defs: Seq[QueryDef] = Seq(q102, q127, q139, q147, q226, q235, q243, q250)
 }
