@@ -447,18 +447,21 @@ object PlanningQueries extends QueryGroup {
           graft.functions.Deterministic.cents(col("o_totalprice")).as("price_cents"),
           epochS(col("o_orderdate")).as("date_s"),
           col("o_orderpriority"))
-        val aggs = count(lit(1)).as("n_rows") +: profiled.flatMap(c => Seq(
-          count(col(c)).as(s"cnt_$c"),
-          countDistinct(col(c)).as(s"ndv_$c"),
-          min(col(c)).cast("string").as(s"min_$c"),
-          max(col(c)).cast("string").as(s"max_$c")))
-        o.agg(aggs.head, aggs.tail: _*)
-          .select(expr(
-            s"stack(${profiled.length}, " +
-              profiled.map(c =>
-                s"'$c', n_rows, n_rows - cnt_$c, ndv_$c, min_$c, max_$c")
-                .mkString(", ") +
-              ") AS (column_name, n_rows, n_nulls, ndv, min_repr, max_repr)"))
+        // one branch per column, NOT one agg with 6 countDistincts: the
+        // multi-distinct form plans an Expand that multiplies every row
+        // 6× before the shuffle; per-column branches each scan exactly
+        // one pruned parquet column and shuffle only its distinct values
+        profiled.map { c =>
+            o.select(col(c)).agg(
+              count(lit(1)).as("n_rows"),
+              (count(lit(1)) - count(col(c))).as("n_nulls"),
+              countDistinct(col(c)).as("ndv"),
+              min(col(c)).cast("string").as("min_repr"),
+              max(col(c)).cast("string").as("max_repr"))
+              .select(lit(c).as("column_name"), col("n_rows"), col("n_nulls"),
+                col("ndv"), col("min_repr"), col("max_repr"))
+          }
+          .reduce(_.unionAll(_))
           .orderBy(col("column_name"))
       },
       Some {
