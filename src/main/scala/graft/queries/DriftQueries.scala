@@ -1001,7 +1001,89 @@ object DriftQueries extends QueryGroup {
       FROM t
     """))
 
+  /** Autocorrelation function sweep — q203's single lag-7 point
+    * extended to the full ACF table at lags 1..14 over 1995 daily
+    * revenue (zero-filled dense spine, so lags are calendar-true). The
+    * standard seasonality diagnostic read as a table: a weekly cycle
+    * shows as peaks at 7 and 14; the same exact-integer moment
+    * algebra as q203 (signed r² in ppm, decimal(38,0) cross-products).
+    *
+    * Scale shape: one day-level aggregate, a 14-way explode of the
+    * day-sized spine (≤ 365·14 rows), one equi-join back to the spine,
+    * and a 14-row rollup. */
+  private val q255 = QueryDef(
+    "q255_acf_sweep",
+    (spark, dir) => {
+      import graft.functions.Deterministic.{cents, epochS}
+      val daily = Tables.orders(spark, dir)
+        .filter(col("o_orderdate") >= "1995-01-01" && col("o_orderdate") < "1996-01-01")
+        .select((epochS(col("o_orderdate")) / 86400).cast("long").as("day"),
+          cents(col("o_totalprice")).as("vc"))
+        .groupBy(col("day")).agg(sum(col("vc")).as("vc"))
+      val spine = spark.range(1)
+        .select(explode(sequence(lit(9131L), lit(9495L))).as("day"))
+      val dense = spine.join(daily, Seq("day"), "left")
+        .select(col("day"), expr("coalesce(vc, 0L) div 10000").as("x"))
+      val d = (c: org.apache.spark.sql.Column) => c.cast("decimal(38,0)")
+      val expanded = dense
+        .select(col("day"), col("x").as("xa"),
+          explode(expr("sequence(1L, 14L)")).as("k"))
+        .select(col("k"), col("xa"), (col("day") - col("k")).as("pday"))
+      expanded
+        .join(dense.select(col("day").as("pday"), col("x").as("xb")), Seq("pday"))
+        .groupBy(col("k"))
+        .agg(count(lit(1)).as("n_pairs"),
+          sum(col("xa")).as("sx"), sum(col("xb")).as("sy"),
+          sum(d(col("xa")) * d(col("xb"))).as("sxy"),
+          sum(d(col("xa")) * d(col("xa"))).as("sxx"),
+          sum(d(col("xb")) * d(col("xb"))).as("syy"))
+        .withColumn("cov", d(col("n_pairs")) * col("sxy") - d(col("sx")) * d(col("sy")))
+        .withColumn("varx", d(col("n_pairs")) * col("sxx") - d(col("sx")) * d(col("sx")))
+        .withColumn("vary", d(col("n_pairs")) * col("syy") - d(col("sy")) * d(col("sy")))
+        .select(col("k").as("lag"), col("n_pairs"),
+          signum(col("cov")).cast("long").as("cov_sign"),
+          expr("CAST((cov * cov * 1000000) div (varx * vary) AS BIGINT)").as("r2_ppm"))
+        .orderBy(col("lag"))
+    },
+    Some("""
+      WITH daily AS (
+        SELECT CAST(epoch_ms(o_orderdate) // 1000 // 86400 AS BIGINT) AS day,
+          CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS BIGINT) AS vc
+        FROM orders
+        WHERE o_orderdate >= TIMESTAMP '1995-01-01'
+          AND o_orderdate < TIMESTAMP '1996-01-01'
+        GROUP BY 1),
+      dense AS (
+        SELECT s.day, coalesce(d.vc, 0) // 10000 AS x
+        FROM (SELECT unnest(range(9131, 9496)) AS day) s
+        LEFT JOIN daily d ON s.day = d.day),
+      ex AS (
+        SELECT k.k, a.x AS xa, a.day - k.k AS pday
+        FROM dense a CROSS JOIN (SELECT unnest(range(1, 15)) AS k) k),
+      j AS (
+        SELECT ex.k, ex.xa, b.x AS xb
+        FROM ex JOIN dense b ON ex.pday = b.day),
+      m AS (
+        SELECT k, CAST(count(*) AS BIGINT) AS n_pairs,
+          CAST(sum(xa) AS BIGINT) AS sx, CAST(sum(xb) AS BIGINT) AS sy,
+          sum(CAST(xa AS HUGEINT) * xb) AS sxy,
+          sum(CAST(xa AS HUGEINT) * xa) AS sxx,
+          sum(CAST(xb AS HUGEINT) * xb) AS syy
+        FROM j GROUP BY k),
+      c AS (
+        SELECT k, n_pairs,
+          CAST(n_pairs AS HUGEINT) * sxy - CAST(sx AS HUGEINT) * sy AS cov,
+          CAST(n_pairs AS HUGEINT) * sxx - CAST(sx AS HUGEINT) * sx AS varx,
+          CAST(n_pairs AS HUGEINT) * syy - CAST(sy AS HUGEINT) * sy AS vary
+        FROM m)
+      SELECT CAST(k AS BIGINT) AS lag, n_pairs,
+        CAST(CASE WHEN cov > 0 THEN 1 WHEN cov < 0 THEN -1 ELSE 0 END AS BIGINT)
+          AS cov_sign,
+        CAST((cov * cov * 1000000) // (varx * vary) AS BIGINT) AS r2_ppm
+      FROM c ORDER BY lag
+    """))
+
   override def defs: Seq[QueryDef] =
     Seq(q118, q119, q120, q121, q122, q131, q145, q148, q154, q161, q166, q176,
-      q188, q194, q203, q212, q247)
+      q188, q194, q203, q212, q247, q255)
 }
