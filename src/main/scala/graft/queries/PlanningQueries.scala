@@ -1232,7 +1232,83 @@ object PlanningQueries extends QueryGroup {
       FROM g ORDER BY event_type
     """))
 
+  /** Sampling-error audit: the deterministic hash sample's mean revenue
+    * at 1% / 10% / 20% rates versus the full-scan truth, error in ppm.
+    * The empirical answer to "can the dashboard run on a sample" — and
+    * because the sample is the keyed-hash kind (q45), the numbers are
+    * reproducible to the bit, so the error table is itself regression-
+    * testable. Key = orderkey·8 + linenumber (linenumber ≤ 7), unique
+    * per row.
+    *
+    * Scale shape: ONE scan with three conditional sums (a sampled mean
+    * costs nothing extra to audit), one-row census unpivoted to 3
+    * rows. */
+  private val q257 = QueryDef(
+    "q257_sampling_error_audit",
+    (spark, dir) => {
+      import graft.functions.Deterministic.cents
+      val base = Tables.lineitem(spark, dir)
+        .select(cents(col("l_extendedprice")).as("rc"),
+          (graft.operators.Sampling.keyHash(
+            col("l_orderkey") * 8 + col("l_linenumber")) % 10000L).as("h"))
+      base.agg(
+          count(lit(1)).as("n_all"), sum(col("rc")).as("rc_all"),
+          sum(when(col("h") < 100L, 1L).otherwise(0L)).as("n_1"),
+          sum(when(col("h") < 100L, col("rc")).otherwise(0L)).as("rc_1"),
+          sum(when(col("h") < 1000L, 1L).otherwise(0L)).as("n_10"),
+          sum(when(col("h") < 1000L, col("rc")).otherwise(0L)).as("rc_10"),
+          sum(when(col("h") < 2000L, 1L).otherwise(0L)).as("n_20"),
+          sum(when(col("h") < 2000L, col("rc")).otherwise(0L)).as("rc_20"))
+        .select(expr(
+          """stack(3,
+               100,  n_1,  rc_1,
+               1000, n_10, rc_10,
+               2000, n_20, rc_20) AS (rate_bp, n_kept, rc_kept)"""),
+          col("n_all"), col("rc_all"))
+        .select(col("rate_bp").cast("long").as("rate_bp"), col("n_kept"),
+          expr("CAST(CASE WHEN n_kept = 0 THEN NULL" +
+            " ELSE CAST(rc_kept AS DECIMAL(38,0)) * 1000000 DIV n_kept END AS BIGINT)")
+            .as("est_mean_micro"),
+          expr("CAST(CAST(rc_all AS DECIMAL(38,0)) * 1000000 DIV n_all AS BIGINT)")
+            .as("true_mean_micro"))
+        .withColumn("err_ppm", expr(
+          "CAST(abs(est_mean_micro - true_mean_micro) * 1000000 DIV true_mean_micro AS BIGINT)"))
+        .orderBy(col("rate_bp"))
+    },
+    Some("""
+      WITH b AS (
+        SELECT CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT) AS rc,
+          ((l_orderkey * 8 + l_linenumber) % 2147483648) * 2654435761 % 4294967296
+            % 10000 AS h
+        FROM lineitem),
+      s AS (
+        SELECT CAST(count(*) AS BIGINT) AS n_all, CAST(sum(rc) AS BIGINT) AS rc_all,
+          CAST(sum(CASE WHEN h < 100 THEN 1 ELSE 0 END) AS BIGINT) AS n_1,
+          CAST(sum(CASE WHEN h < 100 THEN rc ELSE 0 END) AS BIGINT) AS rc_1,
+          CAST(sum(CASE WHEN h < 1000 THEN 1 ELSE 0 END) AS BIGINT) AS n_10,
+          CAST(sum(CASE WHEN h < 1000 THEN rc ELSE 0 END) AS BIGINT) AS rc_10,
+          CAST(sum(CASE WHEN h < 2000 THEN 1 ELSE 0 END) AS BIGINT) AS n_20,
+          CAST(sum(CASE WHEN h < 2000 THEN rc ELSE 0 END) AS BIGINT) AS rc_20
+        FROM b),
+      u AS (
+        SELECT CAST(100 AS BIGINT) AS rate_bp, n_1 AS n_kept, rc_1 AS rc_kept,
+          n_all, rc_all FROM s
+        UNION ALL SELECT 1000, n_10, rc_10, n_all, rc_all FROM s
+        UNION ALL SELECT 2000, n_20, rc_20, n_all, rc_all FROM s),
+      e AS (
+        SELECT rate_bp, n_kept,
+          CAST(CASE WHEN n_kept = 0 THEN NULL
+               ELSE CAST(rc_kept AS HUGEINT) * 1000000 // n_kept END AS BIGINT)
+            AS est_mean_micro,
+          CAST(CAST(rc_all AS HUGEINT) * 1000000 // n_all AS BIGINT) AS true_mean_micro
+        FROM u)
+      SELECT rate_bp, n_kept, est_mean_micro, true_mean_micro,
+        CAST(abs(est_mean_micro - true_mean_micro) * 1000000 // true_mean_micro AS BIGINT)
+          AS err_ppm
+      FROM e ORDER BY rate_bp
+    """))
+
   override def defs: Seq[QueryDef] =
     Seq(q125, q126, q128, q130, q133, q135, q136, q141, q146, q171, q175, q195,
-      q201, q207, q211, q213, q228, q229, q230, q231, q232, q233, q234)
+      q201, q207, q211, q213, q228, q229, q230, q231, q232, q233, q234, q257)
 }

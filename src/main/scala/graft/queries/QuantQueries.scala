@@ -520,5 +520,61 @@ object QuantQueries extends QueryGroup {
       FROM g ORDER BY label
     """))
 
-  def defs: Seq[QueryDef] = Seq(q102, q127, q139, q147, q226, q235, q243, q250)
+  /** Int8 reconstruction-error histogram — closes q102's loop: decode
+    * every code back to v̂ = mn + c·(mx−mn)/255 and histogram the error
+    * RELATIVE TO THE QUANTIZATION STEP (rel_milli = |v̂−v|·255·1000 /
+    * (mx−mn), range [0, 500] — 500 = half a step, the round-trip
+    * worst case). A healthy affine quantizer puts all mass ≤ 500; any
+    * spill past it means the codebook ranges drifted from the data.
+    * Degenerate dimensions (mx = mn) reconstruct exactly and are
+    * counted apart.
+    *
+    * Scale shape: the 64-dim min/max codebook broadcasts back onto one
+    * scan (q102's pattern); the histogram is a ≤12-cell hash agg. */
+  private val q256 = QueryDef(
+    "q256_int8_roundtrip_error",
+    (spark, dir) => {
+      val emb = Tables.embeddings(spark, dir)
+      val stats = emb
+        .select(posexplode(col("embedding")).as(Seq("dim", "v")))
+        .groupBy(col("dim"))
+        .agg(min(col("v").cast("double")).as("mn"), max(col("v").cast("double")).as("mx"))
+        .agg(sort_array(collect_list(struct(col("dim"), col("mn")))).as("amn"),
+          sort_array(collect_list(struct(col("dim"), col("mx")))).as("amx"))
+        .select(expr("transform(amn, x -> x.mn)").as("mns"),
+          expr("transform(amx, x -> x.mx)").as("mxs"))
+      emb.crossJoin(broadcast(stats))
+        .select(posexplode(col("embedding")).as(Seq("d", "v")),
+          col("mns"), col("mxs"))
+        .select(col("v").cast("double").as("v"),
+          expr("mns[d]").as("mn"), expr("mxs[d]").as("mx"))
+        .select(
+          when(col("mx") === col("mn"), -1L)
+            .otherwise(expr(
+              """least(CAST(floor(
+                   abs(mn + CAST(floor((v - mn) * 255.0D / (mx - mn) + 0.5D) AS DOUBLE)
+                       * (mx - mn) / 255.0D - v)
+                   * 255.0D * 1000.0D / (mx - mn) + 0.5D) AS BIGINT) DIV 50, 10)"""))
+            .as("bucket"))
+        .groupBy(col("bucket"))
+        .agg(count(lit(1)).as("n_elements"))
+        .orderBy(col("bucket"))
+    },
+    Some("""
+      WITH ex AS (
+        SELECT CAST(d.i AS INTEGER) AS dim, CAST(embedding[d.i] AS DOUBLE) AS v
+        FROM embeddings, LATERAL (SELECT unnest(range(1, len(embedding)+1)) AS i) d),
+      st AS (SELECT dim, min(v) AS mn, max(v) AS mx FROM ex GROUP BY dim),
+      e AS (
+        SELECT CASE WHEN s.mx = s.mn THEN -1
+          ELSE least(CAST(floor(
+            abs(s.mn + CAST(floor((x.v - s.mn) * 255.0 / (s.mx - s.mn) + 0.5) AS DOUBLE)
+                * (s.mx - s.mn) / 255.0 - x.v)
+            * 255.0 * 1000.0 / (s.mx - s.mn) + 0.5) AS BIGINT) // 50, 10) END AS bucket
+        FROM ex x JOIN st s ON x.dim = s.dim)
+      SELECT CAST(bucket AS BIGINT) AS bucket, CAST(count(*) AS BIGINT) AS n_elements
+      FROM e GROUP BY bucket ORDER BY bucket
+    """))
+
+  def defs: Seq[QueryDef] = Seq(q102, q127, q139, q147, q226, q235, q243, q250, q256)
 }
