@@ -1337,7 +1337,86 @@ object BehaviorQueries extends QueryGroup {
       """
     })
 
+  /** Day-of-week effect size on daily revenue — one-way ANOVA η² =
+    * SSB/SST plus the F statistic, answering what q151's per-DOW means
+    * table can't: is the weekly pattern SIGNAL or noise, and how much
+    * of daily variance does it explain? Means are micro-quantized
+    * (exact integer division — both engines round identically) and the
+    * sums of squares run in decimal(38,0), so the ratio is
+    * bit-deterministic. DOW from epoch days ((d+4) mod 7, q80's
+    * portable convention).
+    *
+    * Scale shape: day-level aggregate (≤365 rows/year), a 7-row group
+    * census, scalar algebra — nothing row-sized past the first agg. */
+  private val q259 = QueryDef(
+    "q259_dow_effect_size",
+    (spark, dir) => {
+      import graft.functions.Deterministic.{cents, epochS}
+      val daily = Tables.orders(spark, dir)
+        .filter(col("o_orderdate") >= "1995-01-01" && col("o_orderdate") < "1996-01-01")
+        .select((epochS(col("o_orderdate")) / 86400).cast("long").as("day"),
+          cents(col("o_totalprice")).as("vc"))
+        .groupBy(col("day")).agg(sum(col("vc")).as("x"))
+        .withColumn("dow", expr("(day + 4) % 7"))
+      val mean = daily.agg(count(lit(1)).as("n"), sum(col("x")).as("s"))
+        .select(col("n"), expr("CAST(CAST(s AS DECIMAL(38,0)) * 1000000 DIV n AS BIGINT)")
+          .as("mean_micro"))
+      val groups = daily.groupBy(col("dow"))
+        .agg(count(lit(1)).as("n_g"), sum(col("x")).as("s_g"))
+        .select(col("dow"), col("n_g"),
+          expr("CAST(CAST(s_g AS DECIMAL(38,0)) * 1000000 DIV n_g AS BIGINT)")
+            .as("mean_g_micro"))
+      val ssb = groups.crossJoin(broadcast(mean))
+        .agg(count(lit(1)).as("k"),
+          sum(expr("CAST(n_g AS DECIMAL(38,0)) * (mean_g_micro - mean_micro)" +
+            " * (mean_g_micro - mean_micro)")).as("ssb"))
+      val sst = daily.crossJoin(broadcast(mean))
+        .agg(sum(expr("CAST(x AS DECIMAL(38,0)) * 1000000 * 1000000" +
+          " - 2 * CAST(x AS DECIMAL(38,0)) * 1000000 * mean_micro" +
+          " + CAST(mean_micro AS DECIMAL(38,0)) * mean_micro")).as("sst_raw"))
+      ssb.crossJoin(broadcast(sst)).crossJoin(broadcast(mean.select(col("n"))))
+        .select(col("n").as("n_days"), col("k").as("k_groups"),
+          expr("CAST(ssb * 1000000 DIV sst_raw AS BIGINT)").as("eta2_ppm"),
+          expr("""CAST(CASE WHEN sst_raw - ssb = 0 THEN NULL
+                  ELSE ssb * (n - k) * 1000 DIV ((sst_raw - ssb) * (k - 1)) END
+                AS BIGINT)""").as("f_milli"))
+    },
+    Some("""
+      WITH daily AS (
+        SELECT CAST(epoch_ms(o_orderdate) // 1000 // 86400 AS BIGINT) AS day,
+          CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS BIGINT) AS x
+        FROM orders
+        WHERE o_orderdate >= TIMESTAMP '1995-01-01'
+          AND o_orderdate < TIMESTAMP '1996-01-01'
+        GROUP BY 1),
+      d2 AS (SELECT day, x, (day + 4) % 7 AS dow FROM daily),
+      m AS (
+        SELECT CAST(count(*) AS BIGINT) AS n,
+          CAST(CAST(sum(x) AS HUGEINT) * 1000000 // count(*) AS BIGINT) AS mean_micro
+        FROM d2),
+      g AS (
+        SELECT dow, CAST(count(*) AS BIGINT) AS n_g,
+          CAST(CAST(sum(x) AS HUGEINT) * 1000000 // count(*) AS BIGINT) AS mean_g_micro
+        FROM d2 GROUP BY dow),
+      ssb AS (
+        SELECT CAST(count(*) AS BIGINT) AS k,
+          sum(CAST(n_g AS HUGEINT) * (mean_g_micro - m.mean_micro)
+              * (mean_g_micro - m.mean_micro)) AS ssb
+        FROM g, m),
+      sst AS (
+        SELECT sum(CAST(x AS HUGEINT) * 1000000 * 1000000
+          - 2 * CAST(x AS HUGEINT) * 1000000 * m.mean_micro
+          + CAST(m.mean_micro AS HUGEINT) * m.mean_micro) AS sst_raw
+        FROM d2, m)
+      SELECT m.n AS n_days, ssb.k AS k_groups,
+        CAST(ssb.ssb * 1000000 // sst.sst_raw AS BIGINT) AS eta2_ppm,
+        CAST(CASE WHEN sst.sst_raw - ssb.ssb = 0 THEN NULL
+             ELSE ssb.ssb * (m.n - ssb.k) * 1000 // ((sst.sst_raw - ssb.ssb) * (ssb.k - 1)) END
+          AS BIGINT) AS f_milli
+      FROM m, ssb, sst
+    """))
+
   override def defs: Seq[QueryDef] =
     Seq(q115, q116, q117, q132, q134, q140, q142, q143, q144, q150, q151, q153,
-      q160, q162, q184, q192, q204, q206, q210, q219, q236, q241, q249)
+      q160, q162, q184, q192, q204, q206, q210, q219, q236, q241, q249, q259)
 }

@@ -362,6 +362,87 @@ object ExtensionQueries extends QueryGroup {
       """
     })
 
+  /** Transitivity audit of the LSH candidate graph (q21's edges): the
+    * global clustering coefficient 3·triangles/wedges. Dedup pipelines
+    * that treat LSH buckets as clusters silently assume near-dup is
+    * transitive; this measures how true that is — low transitivity
+    * means bucket-merging (q56's connected components) is chaining
+    * unrelated docs through hubs and the threshold needs raising.
+    *
+    * Scale shape: the candidate edge list is already bucket-capped
+    * (O(docs·bands)); wedges are Σ deg·(deg−1)/2 from one degree agg,
+    * triangles are the q95 sorted-edge double-equi-join + semi-join —
+    * no shape here exceeds the candidate graph's own size. */
+  private val q258 = QueryDef(
+    "q258_lsh_transitivity",
+    (spark, dir) => {
+      val e = MinHashLSH.nearDuplicates(Tables.documents(spark, dir),
+          "doc_id", "text", minJaccard = 0.0, maxBucketSize = Some(2))
+        .select(col("doc_a").as("a"), col("doc_b").as("b"))
+      val deg = e.select(col("a").as("v")).unionAll(e.select(col("b").as("v")))
+        .groupBy(col("v")).agg(count(lit(1)).as("d"))
+      val wedges = deg.agg(
+        sum(expr("d * (d - 1) DIV 2")).as("n_wedges"),
+        count(lit(1)).as("n_vertices"))
+      val tri = e.select(col("a"), col("b").as("m"))
+        .join(e.select(col("a").as("m"), col("b").as("c")), Seq("m"))
+        .join(e.select(col("a"), col("b").as("c")), Seq("a", "c"), "left_semi")
+        .agg(count(lit(1)).as("n_triangles"))
+      e.agg(count(lit(1)).as("n_edges"))
+        .crossJoin(broadcast(wedges))
+        .crossJoin(broadcast(tri))
+        .select(col("n_edges"), col("n_vertices"), col("n_wedges"),
+          col("n_triangles"),
+          expr("CAST(CASE WHEN n_wedges = 0 THEN NULL" +
+            " ELSE 3 * n_triangles * 1000000 DIV n_wedges END AS BIGINT)")
+            .as("transitivity_ppm"))
+    },
+    Some(s"""
+      WITH toks AS (
+        SELECT doc_id, list_transform($duckTokens,
+          tok -> $duckPolyHash) AS th
+        FROM documents),
+      docs AS (
+        SELECT doc_id, list_distinct([
+            ((th[i]*31 + th[i+1])*31 + th[i+2]) % 1000000007
+            for i in range(1, len(th)-1)]) AS sh
+        FROM toks WHERE len(th) >= 3),
+      sigs AS (
+        SELECT doc_id, t.j,
+          list_min(list_transform(sh, h -> (h*(2*t.j+1) + 7919*t.j) % 1000000007)) AS m
+        FROM docs CROSS JOIN (SELECT unnest(range(16)) AS j) t),
+      bands AS (
+        SELECT doc_id, j//4 AS band,
+          list_reduce(list_prepend(0::BIGINT, list(m ORDER BY j)),
+            (a,x) -> ((a*1000000007) % 2147483647 + x) % 2147483647) AS bucket
+        FROM sigs GROUP BY doc_id, j//4),
+      ok AS (
+        SELECT band, bucket FROM bands GROUP BY band, bucket HAVING count(*) <= 2),
+      bands_ok AS (
+        SELECT b.* FROM bands b JOIN ok USING (band, bucket)),
+      e AS (
+        SELECT DISTINCT a.doc_id AS a, b.doc_id AS b
+        FROM bands_ok a JOIN bands_ok b
+          ON a.band=b.band AND a.bucket=b.bucket AND a.doc_id < b.doc_id),
+      deg AS (
+        SELECT v, CAST(count(*) AS BIGINT) AS d FROM (
+          SELECT a AS v FROM e UNION ALL SELECT b FROM e) GROUP BY v),
+      w AS (
+        SELECT CAST(sum(d * (d - 1) // 2) AS BIGINT) AS n_wedges,
+          CAST(count(*) AS BIGINT) AS n_vertices
+        FROM deg),
+      tri AS (
+        SELECT CAST(count(*) AS BIGINT) AS n_triangles
+        FROM e e1 JOIN e e2 ON e1.b = e2.a
+        WHERE EXISTS (SELECT 1 FROM e e3 WHERE e3.a = e1.a AND e3.b = e2.b)),
+      ne AS (SELECT CAST(count(*) AS BIGINT) AS n_edges FROM e)
+      SELECT ne.n_edges, w.n_vertices, w.n_wedges, tri.n_triangles,
+        CAST(CASE WHEN w.n_wedges = 0 THEN NULL
+             ELSE 3 * tri.n_triangles * 1000000 // w.n_wedges END AS BIGINT)
+          AS transitivity_ppm
+      FROM ne, w, tri
+    """))
+
   def defs: Seq[QueryDef] =
-    Seq(q20, q21, q22, q23, q24, q25, q26, q27, q28, q29, q30, q214)
+    Seq(q20, q21, q22, q23, q24, q25, q26, q27, q28, q29, q30, q214, q258)
 }

@@ -1308,7 +1308,67 @@ object PlanningQueries extends QueryGroup {
       FROM e ORDER BY rate_bp
     """))
 
+  /** Session count versus timeout — the downstream consequence table
+    * for q228's gap census: at candidate timeouts 5 min / 30 min / 2 h,
+    * how many sessions does the event stream split into, and how many
+    * events does an average session hold? sessions(t) = users +
+    * |gaps > t| — a pure conditional sum over the same lag pass, no
+    * re-sessionization per candidate. The reference hardcodes 30 min
+    * (`SURVEY §2` W8); this prices the alternatives.
+    *
+    * Scale shape: one keyed lag window (the q228 shuffle), one
+    * conditional aggregate, 3-row output. */
+  private val q260 = QueryDef(
+    "q260_sessions_by_timeout",
+    (spark, dir) => {
+      val byTime = Window.partitionBy(col("user_id"))
+        .orderBy(col("s"), col("event_id"))
+      val g = Tables.events(spark, dir)
+        .select(col("user_id"), col("event_id"), epochS(col("ts")).as("s"))
+        .withColumn("gap", col("s") - lag(col("s"), 1).over(byTime))
+      val agg = g.agg(
+        count(lit(1)).as("n_events"),
+        countDistinct(col("user_id")).as("n_users"),
+        sum(when(col("gap") > 300L, 1L).otherwise(0L)).as("brk_5m"),
+        sum(when(col("gap") > 1800L, 1L).otherwise(0L)).as("brk_30m"),
+        sum(when(col("gap") > 7200L, 1L).otherwise(0L)).as("brk_2h"))
+      agg.select(expr(
+          """stack(3,
+               300,  n_users + brk_5m,
+               1800, n_users + brk_30m,
+               7200, n_users + brk_2h) AS (timeout_s, n_sessions)"""),
+          col("n_events"))
+        .select(col("timeout_s").cast("long").as("timeout_s"), col("n_sessions"),
+          expr("CAST(n_events * 1000 DIV n_sessions AS BIGINT)")
+            .as("events_per_session_milli"))
+        .orderBy(col("timeout_s"))
+    },
+    Some("""
+      WITH e AS (
+        SELECT user_id, event_id, CAST(epoch_ms(ts) // 1000 AS BIGINT) AS s
+        FROM events),
+      g AS (
+        SELECT user_id,
+          s - lag(s) OVER (PARTITION BY user_id ORDER BY s, event_id) AS gap
+        FROM e),
+      a AS (
+        SELECT CAST(count(*) AS BIGINT) AS n_events,
+          CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
+          CAST(sum(CASE WHEN gap > 300 THEN 1 ELSE 0 END) AS BIGINT) AS brk_5m,
+          CAST(sum(CASE WHEN gap > 1800 THEN 1 ELSE 0 END) AS BIGINT) AS brk_30m,
+          CAST(sum(CASE WHEN gap > 7200 THEN 1 ELSE 0 END) AS BIGINT) AS brk_2h
+        FROM g),
+      u AS (
+        SELECT CAST(300 AS BIGINT) AS timeout_s, n_users + brk_5m AS n_sessions,
+          n_events FROM a
+        UNION ALL SELECT 1800, n_users + brk_30m, n_events FROM a
+        UNION ALL SELECT 7200, n_users + brk_2h, n_events FROM a)
+      SELECT timeout_s, n_sessions,
+        CAST(n_events * 1000 // n_sessions AS BIGINT) AS events_per_session_milli
+      FROM u ORDER BY timeout_s
+    """))
+
   override def defs: Seq[QueryDef] =
     Seq(q125, q126, q128, q130, q133, q135, q136, q141, q146, q171, q175, q195,
-      q201, q207, q211, q213, q228, q229, q230, q231, q232, q233, q234, q257)
+      q201, q207, q211, q213, q228, q229, q230, q231, q232, q233, q234, q257, q260)
 }

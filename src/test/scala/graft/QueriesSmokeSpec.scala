@@ -55,7 +55,8 @@ class QueriesSmokeSpec extends SparkSpec {
     "q231_temporal_split_leakage", "q233_state_size_plan",
     "q235_map_at_10", "q239_kmv_intersection", "q240_did_analysis",
     "q244_uplift_by_decile", "q249_funnel_conversion_windows",
-    "q256_int8_roundtrip_error")
+    "q256_int8_roundtrip_error", "q258_lsh_transitivity",
+    "q259_dow_effect_size")
 
   test("query constructors are lazy: warm construction launches zero jobs") {
     import org.apache.spark.scheduler.{SparkListener, SparkListenerJobStart}
