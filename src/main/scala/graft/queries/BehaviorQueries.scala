@@ -1416,7 +1416,57 @@ object BehaviorQueries extends QueryGroup {
       FROM m, ssb, sst
     """))
 
+  /** Co-engagement matrix: for every event-type pair, how many users do
+    * BOTH, and the Jaccard of their user sets in ppm — the audience-
+    * overlap table behind "users who click also purchase". Complements
+    * q111 (co-occurrence lift on baskets) with set overlap on user
+    * audiences; all counts exact, union by inclusion-exclusion.
+    *
+    * Scale shape: one (user, type) distinct shuffle; the pair join is
+    * user-keyed equi (types are the tiny side of each row); per-type
+    * totals broadcast onto the 10-row pair census. */
+  private val q262 = QueryDef(
+    "q262_co_engagement",
+    (spark, dir) => {
+      val ut = Tables.events(spark, dir)
+        .select(col("user_id"), col("event_type")).distinct()
+      val totals = ut.groupBy(col("event_type")).agg(count(lit(1)).as("n"))
+      val inter = ut.select(col("user_id"), col("event_type").as("type_a"))
+        .join(ut.select(col("user_id"), col("event_type").as("type_b")), Seq("user_id"))
+        .filter(col("type_a") < col("type_b"))
+        .groupBy(col("type_a"), col("type_b"))
+        .agg(count(lit(1)).as("n_both"))
+      inter
+        .join(broadcast(totals.select(col("event_type").as("type_a"), col("n").as("n_a"))),
+          Seq("type_a"))
+        .join(broadcast(totals.select(col("event_type").as("type_b"), col("n").as("n_b"))),
+          Seq("type_b"))
+        .select(col("type_a"), col("type_b"), col("n_a"), col("n_b"), col("n_both"),
+          expr("CAST(CAST(n_both AS DECIMAL(38,0)) * 1000000" +
+            " DIV (n_a + n_b - n_both) AS BIGINT)").as("jaccard_ppm"))
+        .orderBy(col("type_a"), col("type_b"))
+    },
+    Some("""
+      WITH ut AS (
+        SELECT DISTINCT user_id, event_type FROM events),
+      t AS (
+        SELECT event_type, CAST(count(*) AS BIGINT) AS n FROM ut GROUP BY event_type),
+      i AS (
+        SELECT a.event_type AS type_a, b.event_type AS type_b,
+          CAST(count(*) AS BIGINT) AS n_both
+        FROM ut a JOIN ut b
+          ON a.user_id = b.user_id AND a.event_type < b.event_type
+        GROUP BY 1, 2)
+      SELECT type_a, type_b, ta.n AS n_a, tb.n AS n_b, n_both,
+        CAST(CAST(n_both AS HUGEINT) * 1000000 // (ta.n + tb.n - n_both) AS BIGINT)
+          AS jaccard_ppm
+      FROM i JOIN t ta ON i.type_a = ta.event_type
+             JOIN t tb ON i.type_b = tb.event_type
+      ORDER BY type_a, type_b
+    """))
+
   override def defs: Seq[QueryDef] =
     Seq(q115, q116, q117, q132, q134, q140, q142, q143, q144, q150, q151, q153,
-      q160, q162, q184, q192, q204, q206, q210, q219, q236, q241, q249, q259)
+      q160, q162, q184, q192, q204, q206, q210, q219, q236, q241, q249, q259,
+      q262)
 }

@@ -443,6 +443,85 @@ object ExtensionQueries extends QueryGroup {
       FROM ne, w, tri
     """))
 
+  /** LSH band-shape sweep: the same 16 minhashes banded as 8×2 / 4×4 /
+    * 2×8 (bands × rows), reporting candidate volume, mean estimated
+    * Jaccard, and how many candidates clear 0.5 — the
+    * precision/recall dial of banding read as one table (more rows per
+    * band ⇒ fewer, better candidates). Signatures are computed ONCE
+    * and re-banded per shape: banding is pure arithmetic over the
+    * signature array, so the sweep costs three cheap passes over the
+    * signature table, not three corpus scans. Means stay integer:
+    * Σ match-counts · 10⁶ DIV (16 · pairs).
+    *
+    * Scale shape: per shape, the capped-bucket equi-join of q21 —
+    * O(docs × bands) shuffle, template buckets dropped pre-join. */
+  private val q261 = QueryDef(
+    "q261_lsh_band_sweep",
+    (spark, dir) => {
+      val sigs = MinHashLSH.signatures(
+        Tables.documents(spark, dir), "doc_id", "text")
+      def shape(rpb: Int) = {
+        val cfg = MinHashLSH.Config(numHashes = 16, rowsPerBand = rpb)
+        MinHashLSH.candidatePairs(sigs, "doc_id", cfg, maxBucketSize = Some(2))
+          .select(expr("CAST(floor(est_jaccard * 16 + 0.5) AS BIGINT)").as("m"))
+          .agg(count(lit(1)).as("n_cand_pairs"), sum(col("m")).as("msum"),
+            sum(when(col("m") >= 8L, 1L).otherwise(0L)).as("n_ge_50"))
+          .select(lit(rpb.toLong).as("rows_per_band"),
+            lit((16 / rpb).toLong).as("n_bands"),
+            col("n_cand_pairs"),
+            expr("CAST(CASE WHEN n_cand_pairs = 0 THEN NULL" +
+              " ELSE CAST(msum AS DECIMAL(38,0)) * 1000000 DIV (16 * n_cand_pairs)" +
+              " END AS BIGINT)").as("mean_est_ppm"),
+            col("n_ge_50"))
+      }
+      shape(2).unionAll(shape(4)).unionAll(shape(8)).orderBy(col("rows_per_band"))
+    },
+    Some {
+      def block(rpb: Int) = s"""
+        SELECT CAST($rpb AS BIGINT) AS rows_per_band,
+          CAST(${16 / rpb} AS BIGINT) AS n_bands,
+          CAST(count(*) AS BIGINT) AS n_cand_pairs,
+          CAST(CASE WHEN count(*) = 0 THEN NULL
+               ELSE CAST(sum(m) AS HUGEINT) * 1000000 // (16 * count(*)) END AS BIGINT)
+            AS mean_est_ppm,
+          CAST(sum(CASE WHEN m >= 8 THEN 1 ELSE 0 END) AS BIGINT) AS n_ge_50
+        FROM (
+          WITH bands AS (
+            SELECT doc_id, j//$rpb AS band,
+              list_reduce(list_prepend(0::BIGINT, list(m ORDER BY j)),
+                (a,x) -> ((a*1000000007) % 2147483647 + x) % 2147483647) AS bucket
+            FROM sigs GROUP BY doc_id, j//$rpb),
+          ok AS (
+            SELECT band, bucket FROM bands GROUP BY band, bucket HAVING count(*) <= 2),
+          bands_ok AS (SELECT b.* FROM bands b JOIN ok USING (band, bucket)),
+          cand AS (
+            SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+            FROM bands_ok a JOIN bands_ok b
+              ON a.band=b.band AND a.bucket=b.bucket AND a.doc_id < b.doc_id)
+          SELECT CAST(sum(CASE WHEN sa.m = sb.m THEN 1 ELSE 0 END) AS BIGINT) AS m
+          FROM cand
+          JOIN sigs sa ON sa.doc_id = doc_a
+          JOIN sigs sb ON sb.doc_id = doc_b AND sa.j = sb.j
+          GROUP BY doc_a, doc_b)"""
+      s"""
+      WITH toks AS (
+        SELECT doc_id, list_transform($duckTokens,
+          tok -> $duckPolyHash) AS th
+        FROM documents),
+      docs AS (
+        SELECT doc_id, list_distinct([
+            ((th[i]*31 + th[i+1])*31 + th[i+2]) % 1000000007
+            for i in range(1, len(th)-1)]) AS sh
+        FROM toks WHERE len(th) >= 3),
+      sigs AS (
+        SELECT doc_id, t.j,
+          list_min(list_transform(sh, h -> (h*(2*t.j+1) + 7919*t.j) % 1000000007)) AS m
+        FROM docs CROSS JOIN (SELECT unnest(range(16)) AS j) t)
+      ${Seq(2, 4, 8).map(block).mkString(" UNION ALL ")}
+      ORDER BY rows_per_band
+      """
+    })
+
   def defs: Seq[QueryDef] =
-    Seq(q20, q21, q22, q23, q24, q25, q26, q27, q28, q29, q30, q214, q258)
+    Seq(q20, q21, q22, q23, q24, q25, q26, q27, q28, q29, q30, q214, q258, q261)
 }
