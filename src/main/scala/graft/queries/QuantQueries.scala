@@ -576,5 +576,84 @@ object QuantQueries extends QueryGroup {
       FROM e GROUP BY bucket ORDER BY bucket
     """))
 
-  def defs: Seq[QueryDef] = Seq(q102, q127, q139, q147, q226, q235, q243, q250, q256)
+  /** kNN-graph reciprocity — the hubness diagnostic for embedding
+    * spaces: in the directed kNN@5 graph (within label blocks), what
+    * fraction of edges point BOTH ways? Low reciprocity means hub
+    * vectors sit in everyone's neighbor list while their own lists
+    * ignore the crowd — the classic high-dimensional failure that
+    * poisons kNN classification and graph-based ANN. Per label:
+    * directed edges, mutual edges, reciprocity ppm.
+    *
+    * Scale shape: the label-blocked pair universe (q24's bound) ranks
+    * per source vector — a (label, src)-keyed window over block-sized
+    * candidate lists; mutuality is one self-join on the reversed edge
+    * key. */
+  private val q263 = QueryDef(
+    "q263_knn_reciprocity",
+    (spark, dir) => {
+      import graft.functions.expressions.quantized_cosine
+      import org.apache.spark.sql.expressions.Window
+      val v = Tables.embeddings(spark, dir)
+        .select(col("label").cast("long").as("label"), col("vec_id"),
+          col("embedding"))
+        .filter(expr("aggregate(transform(embedding," +
+          " x -> CAST(floor(CAST(x AS DOUBLE) * 512 + 0.5) AS BIGINT))," +
+          " 0L, (a, x) -> a + x * x)") > 0L)
+      val a = v.select(col("label"), col("vec_id").as("src"), col("embedding").as("ea"))
+      val b = v.select(col("label"), col("vec_id").as("dst"), col("embedding").as("eb"))
+      val w = Window.partitionBy(col("label"), col("src"))
+        .orderBy(col("cos").desc, col("dst"))
+      val edges = a.join(b, Seq("label"))
+        .filter(col("src") =!= col("dst"))
+        .withColumn("cos", quantized_cosine(col("ea"), col("eb")))
+        .withColumn("rk", row_number().over(w))
+        .filter(col("rk") <= 5)
+        .select(col("label"), col("src"), col("dst"))
+      val mutual = edges
+        .join(edges.select(col("label"), col("dst").as("src"), col("src").as("dst")),
+          Seq("label", "src", "dst"), "left_semi")
+      edges.groupBy(col("label")).agg(count(lit(1)).as("n_edges"))
+        .join(mutual.groupBy(col("label")).agg(count(lit(1)).as("n_mutual")),
+          Seq("label"))
+        .select(col("label"), col("n_edges"), col("n_mutual"),
+          expr("CAST(CAST(n_mutual AS DECIMAL(38,0)) * 1000000 DIV n_edges AS BIGINT)")
+            .as("reciprocity_ppm"))
+        .orderBy(col("label"))
+    },
+    Some("""
+      WITH q AS (
+        SELECT CAST(label AS BIGINT) AS label, vec_id,
+          list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 512 + 0.5) AS BIGINT)) AS qv
+        FROM embeddings),
+      n AS (
+        SELECT label, vec_id, qv,
+          CAST(list_sum(list_transform(qv, x -> x * x)) AS BIGINT) AS nsq
+        FROM q),
+      nn AS (SELECT * FROM n WHERE nsq > 0),
+      s AS (
+        SELECT a.label, a.vec_id AS src, b.vec_id AS dst,
+          CAST(CAST(list_sum(list_transform(range(1, len(a.qv) + 1),
+                 i -> a.qv[i] * b.qv[i])) AS BIGINT) AS DOUBLE)
+            / sqrt(CAST(a.nsq AS DOUBLE) * CAST(b.nsq AS DOUBLE)) AS cos
+        FROM nn a JOIN nn b ON a.label = b.label AND a.vec_id <> b.vec_id),
+      e AS (
+        SELECT label, src, dst,
+          row_number() OVER (PARTITION BY label, src ORDER BY cos DESC, dst) AS rk
+        FROM s QUALIFY rk <= 5),
+      m AS (
+        SELECT e1.label, CAST(count(*) AS BIGINT) AS n_mutual
+        FROM e e1 JOIN e e2
+          ON e1.label = e2.label AND e1.src = e2.dst AND e1.dst = e2.src
+        GROUP BY e1.label),
+      t AS (
+        SELECT label, CAST(count(*) AS BIGINT) AS n_edges FROM e GROUP BY label)
+      SELECT t.label, t.n_edges, m.n_mutual,
+        CAST(CAST(m.n_mutual AS HUGEINT) * 1000000 // t.n_edges AS BIGINT)
+          AS reciprocity_ppm
+      FROM t JOIN m ON t.label = m.label
+      ORDER BY t.label
+    """))
+
+  def defs: Seq[QueryDef] = Seq(q102, q127, q139, q147, q226, q235, q243, q250, q256,
+    q263)
 }

@@ -809,7 +809,50 @@ object StatsQueries extends QueryGroup {
       FROM w GROUP BY brand ORDER BY brand
     """))
 
+  /** Monthly percentile ribbon — exact P25/P50/P90 of order value per
+    * month via [[graft.operators.RankSelect]] over the near-continuous
+    * cents domain: the time-series spread chart (median line inside a
+    * quantile band) every revenue dashboard draws. Third RankSelect
+    * consumer, this time with ~80 month groups: the coarse window runs
+    * over months × $100-bins, refinement touches only the three
+    * selected bins per month.
+    *
+    * Scale shape: RankSelect's two-level selection — no per-month full
+    * sort; parallelism months × selected bins. */
+  private val q264 = QueryDef(
+    "q264_monthly_value_ribbon",
+    (spark, dir) => {
+      import graft.functions.Deterministic.cents
+      val base = Tables.orders(spark, dir)
+        .select((year(col("o_orderdate")) * 100 + month(col("o_orderdate")))
+            .cast("long").as("month"),
+          cents(col("o_totalprice")).as("pc"))
+      graft.operators.RankSelect
+        .percentiles(base, "month", "pc", Seq(2500, 5000, 9000), binWidth = 10000)
+        .select(col("month"), col("n"), col("p_2500").as("p25_cents"),
+          col("p_5000").as("p50_cents"), col("p_9000").as("p90_cents"))
+        .orderBy(col("month"))
+    },
+    Some("""
+      WITH b AS (
+        SELECT CAST(year(o_orderdate) * 100 + month(o_orderdate) AS BIGINT) AS month,
+          CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS pc
+        FROM orders),
+      m AS (
+        SELECT month, pc, CAST(count(*) AS BIGINT) AS cnt FROM b GROUP BY month, pc),
+      w AS (
+        SELECT month, pc,
+          CAST(sum(cnt) OVER (PARTITION BY month ORDER BY pc) AS BIGINT) AS cum,
+          CAST(sum(cnt) OVER (PARTITION BY month) AS BIGINT) AS n
+        FROM m)
+      SELECT month, max(n) AS n,
+        min(CASE WHEN cum * 10000 >= 2500 * n THEN pc END) AS p25_cents,
+        min(CASE WHEN cum * 10000 >= 5000 * n THEN pc END) AS p50_cents,
+        min(CASE WHEN cum * 10000 >= 9000 * n THEN pc END) AS p90_cents
+      FROM w GROUP BY month ORDER BY month
+    """))
+
   def defs: Seq[QueryDef] =
     Seq(q36, q37, q38, q39, q40, q41, q42, q55, q90, q180, q181, q186, q205,
-      q216, q218, q224, q242)
+      q216, q218, q224, q242, q264)
 }
