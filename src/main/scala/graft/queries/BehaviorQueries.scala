@@ -1465,8 +1465,57 @@ object BehaviorQueries extends QueryGroup {
       ORDER BY type_a, type_b
     """))
 
+  /** Additively-smoothed brand return rates — the small-sample fix for
+    * league tables: raw return ppm per brand PLUS the Laplace-smoothed
+    * rate that pulls low-volume brands toward the global rate with 50
+    * pseudo-observations (shrunk = (returns·10⁶ + 50·global_ppm) /
+    * (n + 50), all integer). Ranking by the raw column crowns noisy
+    * small brands; the shrunk column is the one a dashboard should
+    * sort by.
+    *
+    * Scale shape: one (brand) hash agg after the part join; the global
+    * rate is a one-row broadcast (q64 pattern). */
+  private val q266 = QueryDef(
+    "q266_shrunk_return_rates",
+    (spark, dir) => {
+      val base = Tables.lineitem(spark, dir)
+        .join(Tables.part(spark, dir), col("l_partkey") === col("p_partkey"))
+        .select(col("p_brand").as("brand"),
+          when(col("l_returnflag") === "R", 1L).otherwise(0L).as("r"))
+      val global = base.agg(
+        expr("CAST(CAST(sum(r) AS DECIMAL(38,0)) * 1000000 DIV count(1) AS BIGINT)")
+          .as("global_ppm"))
+      base.groupBy(col("brand"))
+        .agg(count(lit(1)).as("n"), sum(col("r")).as("returns"))
+        .crossJoin(broadcast(global))
+        .select(col("brand"), col("n"), col("returns"), col("global_ppm"),
+          expr("CAST(CAST(returns AS DECIMAL(38,0)) * 1000000 DIV n AS BIGINT)")
+            .as("raw_ppm"),
+          expr("""CAST((CAST(returns AS DECIMAL(38,0)) * 1000000 + 50 * global_ppm)
+                  DIV (n + 50) AS BIGINT)""").as("shrunk_ppm"))
+        .orderBy(col("brand"))
+    },
+    Some("""
+      WITH b AS (
+        SELECT p_brand AS brand,
+          CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END AS r
+        FROM lineitem JOIN part ON l_partkey = p_partkey),
+      g AS (
+        SELECT CAST(CAST(sum(r) AS HUGEINT) * 1000000 // count(*) AS BIGINT)
+          AS global_ppm
+        FROM b),
+      t AS (
+        SELECT brand, CAST(count(*) AS BIGINT) AS n, CAST(sum(r) AS BIGINT) AS returns
+        FROM b GROUP BY brand)
+      SELECT brand, n, returns, g.global_ppm,
+        CAST(CAST(returns AS HUGEINT) * 1000000 // n AS BIGINT) AS raw_ppm,
+        CAST((CAST(returns AS HUGEINT) * 1000000 + 50 * g.global_ppm) // (n + 50)
+          AS BIGINT) AS shrunk_ppm
+      FROM t, g ORDER BY brand
+    """))
+
   override def defs: Seq[QueryDef] =
     Seq(q115, q116, q117, q132, q134, q140, q142, q143, q144, q150, q151, q153,
       q160, q162, q184, q192, q204, q206, q210, q219, q236, q241, q249, q259,
-      q262)
+      q262, q266)
 }

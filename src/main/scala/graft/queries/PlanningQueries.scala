@@ -1368,7 +1368,48 @@ object PlanningQueries extends QueryGroup {
       FROM u ORDER BY timeout_s
     """))
 
+  /** Single-sourcing risk census: parts histogrammed by their distinct
+    * supplier count, with each tier's revenue and its share of total —
+    * the supply-chain fragility table (revenue flowing through
+    * single-sourced parts is revenue one supplier outage stops).
+    *
+    * Scale shape: (part → supplier set size, revenue) hash agg, then a
+    * ≤10-row tier census; the share denominator is an unpartitioned
+    * window over that census (vocabulary-sized, sanctioned). */
+  private val q265 = QueryDef(
+    "q265_single_source_risk",
+    (spark, dir) => {
+      import graft.functions.Deterministic.cents
+      Tables.lineitem(spark, dir)
+        .groupBy(col("l_partkey"))
+        .agg(countDistinct(col("l_suppkey")).as("n_suppliers"),
+          sum(cents(col("l_extendedprice") * (lit(1d) - col("l_discount"))))
+            .as("rev"))
+        .groupBy(col("n_suppliers"))
+        .agg(count(lit(1)).as("n_parts"), sum(col("rev")).as("revenue_cents"))
+        .withColumn("revenue_share_ppm", expr(
+          "CAST(CAST(revenue_cents AS DECIMAL(38,0)) * 1000000 DIV " +
+            "sum(revenue_cents) OVER () AS BIGINT)"))
+        .orderBy(col("n_suppliers"))
+    },
+    Some("""
+      WITH p AS (
+        SELECT l_partkey, CAST(count(DISTINCT l_suppkey) AS BIGINT) AS n_suppliers,
+          CAST(sum(CAST(floor(l_extendedprice * (1 - l_discount) * 100 + 0.5) AS BIGINT))
+            AS BIGINT) AS rev
+        FROM lineitem GROUP BY l_partkey),
+      t AS (
+        SELECT n_suppliers, CAST(count(*) AS BIGINT) AS n_parts,
+          CAST(sum(rev) AS BIGINT) AS revenue_cents
+        FROM p GROUP BY n_suppliers)
+      SELECT n_suppliers, n_parts, revenue_cents,
+        CAST(CAST(revenue_cents AS HUGEINT) * 1000000 // sum(revenue_cents) OVER ()
+          AS BIGINT) AS revenue_share_ppm
+      FROM t ORDER BY n_suppliers
+    """))
+
   override def defs: Seq[QueryDef] =
     Seq(q125, q126, q128, q130, q133, q135, q136, q141, q146, q171, q175, q195,
-      q201, q207, q211, q213, q228, q229, q230, q231, q232, q233, q234, q257, q260)
+      q201, q207, q211, q213, q228, q229, q230, q231, q232, q233, q234, q257,
+      q260, q265)
 }

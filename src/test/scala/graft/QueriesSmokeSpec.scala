@@ -56,7 +56,7 @@ class QueriesSmokeSpec extends SparkSpec {
     "q235_map_at_10", "q239_kmv_intersection", "q240_did_analysis",
     "q244_uplift_by_decile", "q249_funnel_conversion_windows",
     "q256_int8_roundtrip_error", "q258_lsh_transitivity",
-    "q259_dow_effect_size")
+    "q259_dow_effect_size", "q266_shrunk_return_rates")
 
   test("query constructors are lazy: warm construction launches zero jobs") {
     import org.apache.spark.scheduler.{SparkListener, SparkListenerJobStart}
