@@ -1083,7 +1083,96 @@ object DriftQueries extends QueryGroup {
       FROM c ORDER BY lag
     """))
 
+  /** Language evenness per source — inverse-Simpson effective language
+    * count normalized by the observed language count: evenness 10⁶
+    * means the source speaks its languages in equal measure, → 0 means
+    * one language dominates. The balance check a multilingual corpus
+    * mix needs per source (the per-source drill-down of q121's global
+    * diversity). Exact integers: eff = (Σn)²/Σn², evenness = eff/k.
+    *
+    * Scale shape: one (source, lang) hash agg, then a source-sized
+    * rollup; squares in decimal(38,0). */
+  private val q267 = QueryDef(
+    "q267_lang_evenness",
+    (spark, dir) => {
+      Tables.documents(spark, dir)
+        .groupBy(col("source"), col("lang"))
+        .agg(count(lit(1)).as("n"))
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("k_langs"), sum(col("n")).as("n_docs"),
+          sum(expr("CAST(n AS DECIMAL(38,0)) * n")).as("ssq"))
+        .select(col("source"), col("k_langs"), col("n_docs"),
+          expr("CAST(CAST(n_docs AS DECIMAL(38,0)) * n_docs * 1000 DIV ssq AS BIGINT)")
+            .as("eff_langs_milli"),
+          expr("""CAST(CAST(n_docs AS DECIMAL(38,0)) * n_docs * 1000000
+                  DIV (ssq * k_langs) AS BIGINT)""").as("evenness_ppm"))
+        .orderBy(col("source"))
+    },
+    Some("""
+      WITH c AS (
+        SELECT source, lang, CAST(count(*) AS BIGINT) AS n
+        FROM documents GROUP BY source, lang),
+      g AS (
+        SELECT source, CAST(count(*) AS BIGINT) AS k_langs,
+          CAST(sum(n) AS BIGINT) AS n_docs,
+          sum(CAST(n AS HUGEINT) * n) AS ssq
+        FROM c GROUP BY source)
+      SELECT source, k_langs, n_docs,
+        CAST(CAST(n_docs AS HUGEINT) * n_docs * 1000 // ssq AS BIGINT)
+          AS eff_langs_milli,
+        CAST(CAST(n_docs AS HUGEINT) * n_docs * 1000000 // (ssq * k_langs) AS BIGINT)
+          AS evenness_ppm
+      FROM g ORDER BY source
+    """))
+
+  /** Monthly brand-concentration trend — q205's HHI computed per ship
+    * month, in exact ppm (HHI = Σ share² = Σrev² / (Σrev)²): rising
+    * HHI means revenue is consolidating into fewer brands, the drift
+    * signal assortment planning watches quarter over quarter.
+    *
+    * Scale shape: (month, brand) hash agg → month-sized rollup;
+    * squares of cent sums need decimal(38,0) well before 100 TB. */
+  private val q268 = QueryDef(
+    "q268_monthly_hhi_trend",
+    (spark, dir) => {
+      import graft.functions.Deterministic.cents
+      Tables.lineitem(spark, dir)
+        .join(Tables.part(spark, dir), col("l_partkey") === col("p_partkey"))
+        .select((year(col("l_shipdate")) * 100 + month(col("l_shipdate")))
+            .cast("long").as("month"),
+          col("p_brand").as("brand"),
+          cents(col("l_extendedprice") * (lit(1d) - col("l_discount"))).as("rc"))
+        .groupBy(col("month"), col("brand"))
+        .agg(sum(col("rc")).as("rev"))
+        .groupBy(col("month"))
+        .agg(count(lit(1)).as("n_brands"), sum(col("rev")).as("total_rev"),
+          sum(expr("CAST(rev AS DECIMAL(38,0)) * rev")).as("ssq"))
+        .select(col("month"), col("n_brands"),
+          expr("""CAST(ssq * 1000000 DIV
+                  (CAST(total_rev AS DECIMAL(38,0)) * total_rev) AS BIGINT)""")
+            .as("hhi_ppm"))
+        .orderBy(col("month"))
+    },
+    Some("""
+      WITH mb AS (
+        SELECT CAST(year(l_shipdate) * 100 + month(l_shipdate) AS BIGINT) AS month,
+          p_brand AS brand,
+          CAST(sum(CAST(floor(l_extendedprice * (1 - l_discount) * 100 + 0.5) AS BIGINT))
+            AS BIGINT) AS rev
+        FROM lineitem JOIN part ON l_partkey = p_partkey
+        GROUP BY 1, 2),
+      g AS (
+        SELECT month, CAST(count(*) AS BIGINT) AS n_brands,
+          CAST(sum(rev) AS BIGINT) AS total_rev,
+          sum(CAST(rev AS HUGEINT) * rev) AS ssq
+        FROM mb GROUP BY month)
+      SELECT month, n_brands,
+        CAST(ssq * 1000000 // (CAST(total_rev AS HUGEINT) * total_rev) AS BIGINT)
+          AS hhi_ppm
+      FROM g ORDER BY month
+    """))
+
   override def defs: Seq[QueryDef] =
     Seq(q118, q119, q120, q121, q122, q131, q145, q148, q154, q161, q166, q176,
-      q188, q194, q203, q212, q247, q255)
+      q188, q194, q203, q212, q247, q255, q267, q268)
 }
