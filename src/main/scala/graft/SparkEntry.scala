@@ -34,7 +34,8 @@ object SparkEntry {
     MiningQueries,
     BehaviorQueries,
     DriftQueries,
-    PlanningQueries)
+    PlanningQueries,
+    ModelQueries)
 
   private lazy val all: Seq[QueryDef] = groups.flatMap(_.defs)
 

@@ -1,0 +1,412 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.functions.expressions.{quantized_cosine, tokens_native}
+import graft.text.TextAnalysis.languageId
+
+/** Round-5 model-quality and graph-structure operators: LM-based corpus
+  * filtering (the CCNet recipe), classifier-agreement statistics,
+  * k-core decomposition, embedding-based benchmark decontamination,
+  * tokenizer planning, PMI collocations, and degree assortativity.
+  *
+  * All arithmetic is engine-portable: integer scores (ppm/per-mille
+  * quantization), and the only doubles are images of exact integers
+  * under the identical IEEE expression on both engines.
+  */
+object ModelQueries extends QueryGroup {
+
+  private val duckTokens = "list_filter(str_split(text, ' '), t -> len(t) > 0)"
+
+  /** Adjacent word pairs per document: posexplode → positional
+    * self-equi-join on (doc, pos) — the narrow distributed form of a
+    * per-doc sliding window (no per-doc sort, no UDF). */
+  private def bigrams(spark: SparkSession, dir: String): DataFrame = {
+    val tok = Tables.documents(spark, dir)
+      .select(col("doc_id"), posexplode(tokens_native(col("text"))).as(Seq("pos", "token")))
+    tok.select(col("doc_id"), col("pos"), col("token").as("w1"))
+      .join(tok.select(col("doc_id"), (col("pos") - 1).as("pos"), col("token").as("w2")),
+        Seq("doc_id", "pos"))
+      .select(col("doc_id"), col("w1"), col("w2"))
+  }
+
+  private val duckBigrams = s"""
+      tk AS (SELECT doc_id, $duckTokens AS tk FROM documents),
+      bb AS (
+        SELECT doc_id, s.w1 AS w1, s.w2 AS w2 FROM (
+          SELECT doc_id, unnest([struct_pack(w1 := tk[i], w2 := tk[i+1])
+                                 for i in range(1, len(tk))]) AS s
+          FROM tk WHERE len(tk) >= 2))"""
+
+  /** Symmetric, deduplicated co-supply edges for one ship-year (suppliers
+    * sharing an order). The year filter reaches the parquet scan and the
+    * a<b dedup halves the distinct's input before mirroring. */
+  private def cosupplyEdges(spark: SparkSession, dir: String, year: Int): DataFrame = {
+    val li = Tables.lineitem(spark, dir)
+      .filter(col("l_shipdate") >= s"$year-01-01" && col("l_shipdate") < s"${year + 1}-01-01")
+      .select(col("l_orderkey").as("ok"), col("l_suppkey").as("sk"))
+    val pairs = li
+      .join(li.withColumnRenamed("sk", "sk2"), Seq("ok"))
+      .filter(col("sk") < col("sk2"))
+      .select(col("sk").as("src"), col("sk2").as("dst"))
+      .distinct()
+    pairs.union(pairs.select(col("dst").as("src"), col("src").as("dst")))
+  }
+
+  private def duckCosupply(year: Int) = s"""
+      li AS (
+        SELECT l_orderkey, l_suppkey FROM lineitem
+        WHERE l_shipdate >= TIMESTAMP '$year-01-01'
+          AND l_shipdate < TIMESTAMP '${year + 1}-01-01'),
+      e0 AS (
+        SELECT DISTINCT a.l_suppkey AS src, b.l_suppkey AS dst
+        FROM li a JOIN li b
+          ON a.l_orderkey = b.l_orderkey AND a.l_suppkey <> b.l_suppkey)"""
+
+  /** LM-based quality filtering (the CCNet recipe, log-free): score each
+    * document by the mean conditional frequency of its word bigrams under
+    * the corpus's own bigram model — boilerplate-dense documents score
+    * high, incoherent/rare-sequence documents score low, and the bottom
+    * tail is what a perplexity filter would cut. The score is
+    * mean(c(w1,w2)·10^6 div c(w1·)) — every term an exact long, sums
+    * order-independent, no logs (rank-equivalent to mean inverse
+    * surprisal; a log-based mean would hash-diverge on partition order).
+    *
+    * Scale shape: the bigram count table is vocabulary²-bounded and
+    * aggregated with map-side partials; the per-doc score is one
+    * equi-join of doc bigrams against it plus one doc-keyed aggregate;
+    * bottom-k is TakeOrderedAndProject. Nothing quadratic in docs. */
+  private val q269 = QueryDef(
+    "q269_bigram_surprisal_filter",
+    (spark, dir) => {
+      val bb = bigrams(spark, dir)
+      val cnt = bb.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("cnt"))
+      val head = cnt.groupBy(col("w1")).agg(sum(col("cnt")).as("head_total"))
+      bb.join(cnt, Seq("w1", "w2")).join(head, Seq("w1"))
+        .select(col("doc_id"), expr("cnt * 1000000L div head_total").as("term"))
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_bigrams"), sum(col("term")).as("sum_ppm"))
+        .select(col("doc_id"), col("n_bigrams"),
+          expr("sum_ppm div n_bigrams").as("score_ppm"))
+        .orderBy(col("score_ppm"), col("doc_id"))
+        .limit(20)
+    },
+    Some(s"""
+      WITH $duckBigrams,
+      c AS (SELECT w1, w2, CAST(count(*) AS BIGINT) AS cnt FROM bb GROUP BY 1, 2),
+      h AS (SELECT w1, CAST(sum(cnt) AS BIGINT) AS head_total FROM c GROUP BY 1),
+      d AS (
+        SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+          CAST(sum(cnt * 1000000 // head_total) AS BIGINT) AS sum_ppm
+        FROM bb JOIN c USING (w1, w2) JOIN h USING (w1)
+        GROUP BY doc_id)
+      SELECT doc_id, n_bigrams,
+        CAST(sum_ppm // n_bigrams AS BIGINT) AS score_ppm
+      FROM d ORDER BY score_ppm, doc_id LIMIT 20
+    """))
+
+  /** Cohen's kappa between the declared language label and the stopword
+    * language classifier — chance-corrected agreement, the right
+    * statistic when classes are imbalanced (raw accuracy is inflated by
+    * the majority class). kappa = (N·agree − Σ_k row_k·col_k) /
+    * (N² − Σ_k row_k·col_k), emitted ppm-quantized from exact integer
+    * numerator/denominator (exact while N < ~3·10^6 — kappa audits run
+    * on bounded eval samples; larger audits move the product to
+    * decimal(38,0)).
+    *
+    * Scale shape: the corpus collapses to a class-count confusion matrix
+    * (vocabulary-sized) in one hash aggregate; everything after is
+    * arithmetic over ≤ |classes|² rows. */
+  private val q270 = QueryDef(
+    "q270_langid_kappa",
+    (spark, dir) => {
+      val conf = Tables.documents(spark, dir)
+        .select(col("lang"), languageId(col("text")).as("pred"))
+        .groupBy(col("lang"), col("pred")).agg(count(lit(1)).as("n"))
+      val totals = conf.agg(sum(col("n")).as("n_total"),
+        sum(when(col("lang") === col("pred"), col("n")).otherwise(0L)).as("n_agree"))
+      val rows = conf.groupBy(col("lang")).agg(sum(col("n")).as("row_n"))
+      val cols = conf.groupBy(col("pred")).agg(sum(col("n")).as("col_n"))
+      val pe = rows.join(cols, col("lang") === col("pred"))
+        .agg(coalesce(sum(col("row_n") * col("col_n")), lit(0L)).as("pe_cross"))
+      totals.crossJoin(pe)
+        .select(col("n_total"), col("n_agree"), col("pe_cross"),
+          expr("(n_total * n_agree - pe_cross) * 1000000L div (n_total * n_total - pe_cross)")
+            .as("kappa_ppm"))
+    },
+    Some {
+      import graft.text.TextAnalysis.Stopwords
+      val hits = Stopwords.map { case (l, ws) =>
+        s"len(list_filter($duckTokens, t -> t IN (${ws.map("'" + _ + "'").mkString(",")}))) AS score_$l"
+      }.mkString(",\n          ")
+      val best = s"greatest(${Stopwords.map(s => "score_" + s._1).mkString(",")})"
+      val chain = Stopwords.map(s =>
+        s"WHEN score_${s._1} > 0 AND score_${s._1} = $best THEN '${s._1}'").mkString(" ")
+      s"""
+      WITH s AS (
+        SELECT lang,
+          $hits
+        FROM documents),
+      p AS (SELECT lang, CASE $chain ELSE 'und' END AS pred FROM s),
+      conf AS (SELECT lang, pred, CAST(count(*) AS BIGINT) AS n FROM p GROUP BY 1, 2),
+      t AS (
+        SELECT CAST(sum(n) AS BIGINT) AS n_total,
+          CAST(sum(CASE WHEN lang = pred THEN n ELSE 0 END) AS BIGINT) AS n_agree
+        FROM conf),
+      r AS (SELECT lang, CAST(sum(n) AS BIGINT) AS row_n FROM conf GROUP BY lang),
+      c AS (SELECT pred, CAST(sum(n) AS BIGINT) AS col_n FROM conf GROUP BY pred),
+      pe AS (
+        SELECT CAST(coalesce(sum(row_n * col_n), 0) AS BIGINT) AS pe_cross
+        FROM r JOIN c ON lang = pred)
+      SELECT n_total, n_agree, pe_cross,
+        CAST((n_total * n_agree - pe_cross) * 1000000
+          // (n_total * n_total - pe_cross) AS BIGINT) AS kappa_ppm
+      FROM t CROSS JOIN pe
+      """
+    })
+
+  /** k-core decomposition by iterative peeling: drop nodes of degree < k,
+    * recompute degrees, repeat — after 3 rounds the surviving subgraph
+    * approximates the k-core (exact once peeling reaches fixpoint; the
+    * round count is the caller's convergence dial, as in q56/q75). The
+    * core is the standard dense-backbone extractor for co-occurrence
+    * graphs — peripheral pairings peel away. k is data-relative
+    * (min_deg + span/4 of the INITIAL degree distribution) so the query
+    * peels meaningfully at any scale factor instead of hard-coding a
+    * density assumption.
+    *
+    * Scale shape per round: one hash aggregate (degrees) + two semi-join
+    * shaped equi-joins to restrict both endpoints — the degree table is
+    * node-sized and broadcastable, k a broadcast one-row aggregate (never
+    * a driver collect); edges shuffle on their keys, nothing quadratic,
+    * nothing driver-side. */
+  private val q271 = QueryDef(
+    "q271_kcore_decomposition",
+    (spark, dir) => {
+      val e0 = cosupplyEdges(spark, dir, 1996)
+      val kv = e0.groupBy(col("src")).agg(count(lit(1)).as("deg"))
+        .agg(expr("min(deg) + (max(deg) - min(deg)) div 4").as("k"))
+      var e = e0
+      for (_ <- 1 to 3) {
+        val keep = e.groupBy(col("src")).agg(count(lit(1)).as("deg"))
+          .crossJoin(broadcast(kv))
+          .filter(col("deg") >= col("k")).select(col("src"))
+        e = e.join(keep, Seq("src"))
+          .join(keep.withColumnRenamed("src", "dst"), Seq("dst"))
+          .select(col("src"), col("dst"))
+      }
+      e.groupBy(col("src")).agg(count(lit(1)).as("degree"))
+        .select(col("src").as("node"), col("degree"))
+        .orderBy(col("node"))
+    },
+    Some(s"""
+      WITH ${duckCosupply(1996)},
+      d0 AS (SELECT src, CAST(count(*) AS BIGINT) AS deg FROM e0 GROUP BY src),
+      kv AS (
+        SELECT CAST(min(deg) + (max(deg) - min(deg)) // 4 AS BIGINT) AS k FROM d0),
+      n1 AS (SELECT src FROM e0, kv GROUP BY src, k HAVING count(*) >= k),
+      e1 AS (
+        SELECT src, dst FROM e0
+        WHERE src IN (SELECT src FROM n1) AND dst IN (SELECT src FROM n1)),
+      n2 AS (SELECT src FROM e1, kv GROUP BY src, k HAVING count(*) >= k),
+      e2 AS (
+        SELECT src, dst FROM e1
+        WHERE src IN (SELECT src FROM n2) AND dst IN (SELECT src FROM n2)),
+      n3 AS (SELECT src FROM e2, kv GROUP BY src, k HAVING count(*) >= k),
+      e3 AS (
+        SELECT src, dst FROM e2
+        WHERE src IN (SELECT src FROM n3) AND dst IN (SELECT src FROM n3))
+      SELECT src AS node, CAST(count(*) AS BIGINT) AS degree
+      FROM e3 GROUP BY src ORDER BY node
+    """))
+
+  /** Embedding-based benchmark decontamination (the semantic complement
+    * of q68's n-gram overlap): corpus vectors whose cosine against ANY
+    * held-out benchmark vector clears 0.30 are contamination candidates;
+    * each reports its closest benchmark neighbor. Benchmark membership
+    * here is the deterministic vec_id % 25 split.
+    *
+    * Scale shape: the benchmark side is small by definition → broadcast;
+    * the corpus is scanned once, scored per partition against the
+    * broadcast set (the quantized-cosine kernel is codegen'd), and only
+    * candidates reach the per-vector argmax window. No corpus×corpus
+    * join anywhere. */
+  private val q272 = QueryDef(
+    "q272_semantic_decontamination",
+    (spark, dir) => {
+      val emb = Tables.embeddings(spark, dir)
+      val bench = emb.filter(col("vec_id") % 25 === 0)
+        .select(col("vec_id").as("bench_id"), col("embedding").as("b_vec"))
+      emb.filter(col("vec_id") % 25 =!= 0)
+        .crossJoin(broadcast(bench))
+        .select(col("vec_id"), col("bench_id"),
+          quantized_cosine(col("embedding"), col("b_vec")).as("cosine"))
+        .filter(col("cosine") >= 0.30)
+        .withColumn("rn", row_number().over(
+          Window.partitionBy(col("vec_id")).orderBy(col("cosine").desc, col("bench_id"))))
+        .filter(col("rn") === 1)
+        .select(col("vec_id"), col("bench_id"), col("cosine"))
+        .orderBy(col("vec_id"))
+    },
+    Some("""
+      WITH q AS (
+        SELECT vec_id,
+          list_transform(embedding, x -> CAST(floor(x*512 + 0.5) AS BIGINT)) AS qv
+        FROM embeddings),
+      n AS (
+        SELECT vec_id, qv,
+          CAST(list_sum(list_transform(qv, x -> x*x)) AS BIGINT) AS nsq
+        FROM q),
+      b AS (SELECT vec_id AS bench_id, qv AS bqv, nsq AS bnsq FROM n WHERE vec_id % 25 = 0),
+      c AS (SELECT vec_id, qv, nsq FROM n WHERE vec_id % 25 <> 0),
+      s AS (
+        SELECT c.vec_id, b.bench_id,
+          CAST(CAST(list_sum(list_transform(range(1, len(c.qv)+1),
+                 i -> c.qv[i]*b.bqv[i])) AS BIGINT) AS DOUBLE)
+            / sqrt(CAST(c.nsq AS DOUBLE)*CAST(b.bnsq AS DOUBLE)) AS cosine
+        FROM c CROSS JOIN b)
+      SELECT vec_id, bench_id, cosine FROM s
+      WHERE cosine >= 0.30
+      QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY cosine DESC, bench_id) = 1
+      ORDER BY vec_id
+    """))
+
+  /** Tokenizer planning census per language: word counts, characters per
+    * word (centi-quantized), the chars/4 BPE-token estimate (per-doc
+    * floor, summed — matching how budget planners round), and fertility
+    * (estimated BPE tokens per whitespace word, ppm). The numbers that
+    * size a tokenizer's per-language budget before an expensive real
+    * tokenization pass.
+    *
+    * Scale shape: one hash aggregate over the corpus; token counts are
+    * computed by the codegen'd tokenizer kernel on the scan, no explode —
+    * the aggregate's input is one row per document, its output one row
+    * per language. */
+  private val q273 = QueryDef(
+    "q273_tokenizer_fertility",
+    (spark, dir) => {
+      Tables.documents(spark, dir)
+        .select(col("lang"), col("n_chars"),
+          size(tokens_native(col("text"))).cast("long").as("n_words"),
+          expr("(n_chars + 3) div 4").as("est_bpe"))
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_words")).as("n_words"),
+          sum(col("n_chars")).as("total_chars"),
+          sum(col("est_bpe")).as("est_bpe_tokens"))
+        .select(col("lang"), col("n_docs"), col("n_words"), col("est_bpe_tokens"),
+          expr("total_chars * 100L div n_words").as("chars_per_word_cq"),
+          expr("est_bpe_tokens * 1000000L div n_words").as("fertility_ppm"))
+        .orderBy(col("lang"))
+    },
+    Some(s"""
+      WITH d AS (
+        SELECT lang, n_chars,
+          CAST(len($duckTokens) AS BIGINT) AS n_words,
+          (n_chars + 3) // 4 AS est_bpe
+        FROM documents),
+      a AS (
+        SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+          CAST(sum(n_words) AS BIGINT) AS n_words,
+          CAST(sum(n_chars) AS BIGINT) AS total_chars,
+          CAST(sum(est_bpe) AS BIGINT) AS est_bpe_tokens
+        FROM d GROUP BY lang)
+      SELECT lang, n_docs, n_words, est_bpe_tokens,
+        CAST(total_chars * 100 // n_words AS BIGINT) AS chars_per_word_cq,
+        CAST(est_bpe_tokens * 1000000 // n_words AS BIGINT) AS fertility_ppm
+      FROM a ORDER BY lang
+    """))
+
+  /** PMI collocations: word pairs that co-occur adjacently far more than
+    * their marginal rates predict — the standard collocation extractor
+    * (Church & Hanks 1990). Ranking uses the exact integer ratio
+    * c_ab·N·1000 div (c_a·c_b), monotone in PMI (log of the same ratio),
+    * with a min-count floor of 5 so rare-pair noise can't dominate.
+    * Exact while c_ab·N·1000 < 2^63 (N < ~10^9 bigrams; beyond that the
+    * product moves to decimal(38,0)).
+    *
+    * Scale shape: everything after the bigram count is arithmetic over
+    * vocabulary-sized tables; the N scalar joins in as a broadcast
+    * one-row aggregate, never a driver collect. */
+  private val q274 = QueryDef(
+    "q274_pmi_collocations",
+    (spark, dir) => {
+      val cnt = bigrams(spark, dir)
+        .groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("n_ab"))
+      val heads = cnt.groupBy(col("w1")).agg(sum(col("n_ab")).as("n_a"))
+      val nexts = cnt.groupBy(col("w2")).agg(sum(col("n_ab")).as("n_b"))
+      val total = cnt.agg(sum(col("n_ab")).as("n_total"))
+      cnt.filter(col("n_ab") >= 5)
+        .join(heads, Seq("w1")).join(nexts, Seq("w2"))
+        .crossJoin(broadcast(total))
+        .select(col("w1"), col("w2"), col("n_ab"), col("n_a"), col("n_b"),
+          expr("n_ab * n_total * 1000L div (n_a * n_b)").as("pmi_ratio_pm"))
+        .orderBy(col("pmi_ratio_pm").desc, col("w1"), col("w2"))
+        .limit(20)
+    },
+    Some(s"""
+      WITH $duckBigrams,
+      c AS (SELECT w1, w2, CAST(count(*) AS BIGINT) AS n_ab FROM bb GROUP BY 1, 2),
+      h AS (SELECT w1, CAST(sum(n_ab) AS BIGINT) AS n_a FROM c GROUP BY 1),
+      x AS (SELECT w2, CAST(sum(n_ab) AS BIGINT) AS n_b FROM c GROUP BY 1),
+      t AS (SELECT CAST(sum(n_ab) AS BIGINT) AS n_total FROM c)
+      SELECT w1, w2, n_ab, n_a, n_b,
+        CAST(n_ab * n_total * 1000 // (n_a * n_b) AS BIGINT) AS pmi_ratio_pm
+      FROM c JOIN h USING (w1) JOIN x USING (w2) CROSS JOIN t
+      WHERE n_ab >= 5
+      ORDER BY pmi_ratio_pm DESC, w1, w2 LIMIT 20
+    """))
+
+  /** Degree assortativity of the co-supply graph: Pearson correlation
+    * between the endpoint degrees of each edge — positive means hubs
+    * link to hubs (core-periphery), negative means hubs link to leaves
+    * (star-like). Computed from exact integer moment sums via the q66
+    * identity; the final r is the image of those integers under the
+    * identical IEEE expression on both engines.
+    *
+    * Scale shape: the degree table is node-sized (broadcastable onto the
+    * edge list twice), and the six moments reduce in one hash aggregate
+    * with map-side partials. Exact while n·Sxy < 2^63 — degrees are
+    * bounded by max co-order fan-out, so this holds far past 10^9 edges;
+    * beyond, the moments move to decimal(38,0). */
+  private val q275 = QueryDef(
+    "q275_degree_assortativity",
+    (spark, dir) => {
+      val e = cosupplyEdges(spark, dir, 1995)
+      val deg = e.groupBy(col("src")).agg(count(lit(1)).as("deg"))
+      e.join(deg, Seq("src"))
+        .withColumnRenamed("deg", "dx")
+        .join(deg.withColumnRenamed("src", "dst").withColumnRenamed("deg", "dy"), Seq("dst"))
+        .agg(count(lit(1)).as("n_edges"),
+          sum(col("dx")).as("sx"), sum(col("dy")).as("sy"),
+          sum(col("dx") * col("dx")).as("sxx"),
+          sum(col("dy") * col("dy")).as("syy"),
+          sum(col("dx") * col("dy")).as("sxy"))
+        .select(col("n_edges"), col("sx"), col("sy"), col("sxx"), col("syy"), col("sxy"),
+          (expr("CAST(n_edges * sxy - sx * sy AS DOUBLE)") /
+            (sqrt(expr("CAST(n_edges * sxx - sx * sx AS DOUBLE)")) *
+              sqrt(expr("CAST(n_edges * syy - sy * sy AS DOUBLE)")))).as("assortativity"))
+    },
+    Some(s"""
+      WITH ${duckCosupply(1995)},
+      deg AS (SELECT src, CAST(count(*) AS BIGINT) AS deg FROM e0 GROUP BY src),
+      m AS (
+        SELECT CAST(count(*) AS BIGINT) AS n_edges,
+          CAST(sum(a.deg) AS BIGINT) AS sx, CAST(sum(b.deg) AS BIGINT) AS sy,
+          CAST(sum(a.deg * a.deg) AS BIGINT) AS sxx,
+          CAST(sum(b.deg * b.deg) AS BIGINT) AS syy,
+          CAST(sum(a.deg * b.deg) AS BIGINT) AS sxy
+        FROM e0 JOIN deg a ON e0.src = a.src JOIN deg b ON e0.dst = b.src)
+      SELECT n_edges, sx, sy, sxx, syy, sxy,
+        CAST(n_edges * sxy - sx * sy AS DOUBLE)
+          / (sqrt(CAST(n_edges * sxx - sx * sx AS DOUBLE))
+             * sqrt(CAST(n_edges * syy - sy * sy AS DOUBLE))) AS assortativity
+      FROM m
+    """))
+
+  override def defs: Seq[QueryDef] =
+    Seq(q269, q270, q271, q272, q273, q274, q275)
+}
