@@ -407,6 +407,253 @@ object ModelQueries extends QueryGroup {
       FROM m
     """))
 
+  /** Weekly growth accounting: every active (user, week) classified as
+    * new / retained / resurrected by the user's previous active week,
+    * plus churned(w+1) for users active in w with no activity in w+1 —
+    * the standard DAU/WAU decomposition (identity: active(w) = new +
+    * retained + resurrected; churned closes the balance). The horizon
+    * cap (no churn verdict past the last observed week) comes from a
+    * broadcast one-row max, never a driver scalar.
+    *
+    * Scale shape: the corpus collapses to distinct (user, week) first;
+    * the lag/lead window partitions by user (bounded rows per user);
+    * final counts are two keyed hash aggregates over week-sized keys. */
+  private val q276 = QueryDef(
+    "q276_growth_accounting",
+    (spark, dir) => {
+      import graft.functions.Deterministic.epochS
+      val aw = Tables.events(spark, dir)
+        .select(col("user_id"), (epochS(col("ts")) / 604800L).cast("long").as("wk"))
+        .distinct()
+      val w = Window.partitionBy(col("user_id")).orderBy(col("wk"))
+      val s = aw.withColumn("prevw", lag(col("wk"), 1).over(w))
+        .withColumn("nextw", lead(col("wk"), 1).over(w))
+      val states = s.select(col("wk").as("week_idx"),
+          when(col("prevw").isNull, "new")
+            .when(col("prevw") === col("wk") - 1, "retained")
+            .otherwise("resurrected").as("state"))
+      val maxw = aw.agg(max(col("wk")).as("max_wk"))
+      val churn = s.crossJoin(broadcast(maxw))
+        .filter((col("nextw").isNull || col("nextw") > col("wk") + 1) &&
+          col("wk") + 1 <= col("max_wk"))
+        .select((col("wk") + 1).as("week_idx"), lit("churned").as("state"))
+      states.unionAll(churn)
+        .groupBy(col("week_idx"), col("state")).agg(count(lit(1)).as("n_users"))
+        .orderBy(col("week_idx"), col("state"))
+    },
+    Some("""
+      WITH e AS (
+        SELECT DISTINCT user_id,
+          CAST(epoch_ms(ts) // 1000 // 604800 AS BIGINT) AS wk
+        FROM events),
+      s AS (
+        SELECT user_id, wk,
+          lag(wk) OVER (PARTITION BY user_id ORDER BY wk) AS prevw,
+          lead(wk) OVER (PARTITION BY user_id ORDER BY wk) AS nextw
+        FROM e),
+      m AS (SELECT max(wk) AS max_wk FROM e),
+      st AS (
+        SELECT wk AS week_idx,
+          CASE WHEN prevw IS NULL THEN 'new'
+               WHEN prevw = wk - 1 THEN 'retained'
+               ELSE 'resurrected' END AS state
+        FROM s),
+      ch AS (
+        SELECT wk + 1 AS week_idx, 'churned' AS state
+        FROM s, m
+        WHERE (nextw IS NULL OR nextw > wk + 1) AND wk + 1 <= max_wk)
+      SELECT week_idx, state, CAST(count(*) AS BIGINT) AS n_users
+      FROM (SELECT * FROM st UNION ALL SELECT * FROM ch)
+      GROUP BY week_idx, state ORDER BY week_idx, state
+    """))
+
+  /** Join-strategy advisor: per-table size census (exact row count +
+    * estimated serialized bytes: 8 per 64-bit/double/timestamp column,
+    * 4 per 32-bit, actual string lengths) driving the broadcast-vs-
+    * shuffle decision at Spark's 10 MiB autoBroadcastJoinThreshold —
+    * the planning query behind every `broadcast()` hint in this library.
+    *
+    * Scale shape: one narrow aggregate per table (string-length sums
+    * fold map-side); the advisor output is table-count-sized. */
+  private val q277 = QueryDef(
+    "q277_join_strategy_advisor",
+    (spark, dir) => {
+      def census(df: DataFrame, tbl: String, fixedBytes: Int, strCols: Seq[String]) =
+        df.agg(count(lit(1)).as("n_rows"),
+            strCols.map(c => sum(length(col(c)).cast("long"))).reduce(_ + _).as("str_bytes"))
+          .select(lit(tbl).as("tbl"), col("n_rows"),
+            (col("n_rows") * fixedBytes + col("str_bytes")).as("est_bytes"))
+      census(Tables.region(spark, dir), "region", 4, Seq("r_name"))
+        .unionAll(census(Tables.nation(spark, dir), "nation", 8, Seq("n_name")))
+        .unionAll(census(Tables.customer(spark, dir), "customer", 20, Seq("c_name", "c_mktsegment")))
+        .unionAll(census(Tables.supplier(spark, dir), "supplier", 20, Seq("s_name")))
+        .unionAll(census(Tables.part(spark, dir), "part", 20, Seq("p_name", "p_brand", "p_type")))
+        .unionAll(census(Tables.lineitem(spark, dir), "lineitem", 68, Seq("l_returnflag", "l_linestatus")))
+        .withColumn("strategy",
+          when(col("est_bytes") <= 10485760L, "broadcast").otherwise("shuffle"))
+        .orderBy(col("tbl"))
+    },
+    Some("""
+      SELECT tbl, n_rows, est_bytes,
+        CASE WHEN est_bytes <= 10485760 THEN 'broadcast' ELSE 'shuffle' END AS strategy
+      FROM (
+        SELECT 'region' AS tbl, CAST(count(*) AS BIGINT) AS n_rows,
+          CAST(count(*) * 4 + sum(len(r_name)) AS BIGINT) AS est_bytes FROM region
+        UNION ALL
+        SELECT 'nation', count(*), count(*) * 8 + sum(len(n_name)) FROM nation
+        UNION ALL
+        SELECT 'customer', count(*),
+          count(*) * 20 + sum(len(c_name) + len(c_mktsegment)) FROM customer
+        UNION ALL
+        SELECT 'supplier', count(*), count(*) * 20 + sum(len(s_name)) FROM supplier
+        UNION ALL
+        SELECT 'part', count(*),
+          count(*) * 20 + sum(len(p_name) + len(p_brand) + len(p_type)) FROM part
+        UNION ALL
+        SELECT 'lineitem', count(*),
+          count(*) * 68 + sum(len(l_returnflag) + len(l_linestatus)) FROM lineitem)
+      ORDER BY tbl
+    """))
+
+  /** Linear (equal-split) multi-touch attribution: each purchase's cents
+    * divided equally across ALL views in the preceding hour — integer
+    * floor share per touch, remainder to the first touch so credit is
+    * conserved exactly (the q85 first-touch / q105 U-shape family's
+    * third member). Same hour-bucket equi-join shape as q85: a purchase
+    * joins at most two buckets of the user's views, never full history. */
+  private val q278 = QueryDef(
+    "q278_linear_attribution",
+    (spark, dir) => {
+      import graft.functions.Deterministic.{cents, epochS}
+      val ev = Tables.events(spark, dir)
+        .select(col("user_id"), col("event_id"), col("event_type"),
+          epochS(col("ts")).as("ts_s"), cents(col("value")).as("vc"))
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .withColumn("p_bucket", expr("ts_s div 3600"))
+        .select(col("user_id"), col("event_id").as("purchase_id"),
+          col("ts_s").as("p_ts"), col("vc"),
+          explode(array(col("p_bucket") - 1, col("p_bucket"))).as("bucket"))
+      val views = ev.filter(col("event_type") === "view")
+        .select(col("user_id"), col("event_id").as("view_id"),
+          col("ts_s").as("v_ts"), expr("ts_s div 3600").as("bucket"))
+      purchases
+        .join(views, Seq("user_id", "bucket"))
+        .filter(col("v_ts") <= col("p_ts") && col("v_ts") > col("p_ts") - 3600)
+        .groupBy(col("user_id"), col("purchase_id"), col("vc"))
+        .agg(count(lit(1)).as("n_touches"),
+          min(struct(col("v_ts"), col("view_id"))).as("first"))
+        .select(col("user_id"), col("purchase_id"), col("vc").as("value_cents"),
+          col("n_touches"),
+          expr("vc div n_touches").as("credit_per_touch_c"),
+          expr("vc % n_touches").as("first_touch_extra_c"),
+          col("first.view_id").as("first_view_id"))
+        .orderBy(col("user_id"), col("purchase_id"))
+    },
+    Some("""
+      WITH e AS (
+        SELECT user_id, event_id, event_type,
+          CAST(epoch_ms(ts) // 1000 AS BIGINT) AS ts_s,
+          CAST(floor(value*100 + 0.5) AS BIGINT) AS vc
+        FROM events),
+      p AS (
+        SELECT user_id, event_id AS purchase_id, ts_s AS p_ts, vc
+        FROM e WHERE event_type = 'purchase'),
+      v AS (
+        SELECT user_id, event_id AS view_id, ts_s AS v_ts
+        FROM e WHERE event_type = 'view'),
+      j AS (
+        SELECT p.user_id, p.purchase_id, p.vc, v.v_ts, v.view_id
+        FROM p JOIN v ON p.user_id = v.user_id
+          AND v.v_ts <= p.p_ts AND v.v_ts > p.p_ts - 3600),
+      r AS (
+        SELECT *, row_number() OVER (
+          PARTITION BY purchase_id ORDER BY v_ts, view_id) AS rn
+        FROM j),
+      a AS (
+        SELECT user_id, purchase_id, vc,
+          CAST(count(*) AS BIGINT) AS n_touches,
+          max(CASE WHEN rn = 1 THEN view_id END) AS first_view_id
+        FROM r GROUP BY user_id, purchase_id, vc)
+      SELECT user_id, purchase_id, vc AS value_cents, n_touches,
+        CAST(vc // n_touches AS BIGINT) AS credit_per_touch_c,
+        CAST(vc % n_touches AS BIGINT) AS first_touch_extra_c,
+        first_view_id
+      FROM a ORDER BY user_id, purchase_id
+    """))
+
+  /** Dataset card: the per-source summary table a corpus release ships —
+    * doc/char volume, language spread (count + plurality language with
+    * deterministic tie-break), corpus-wide exact-duplicate participation
+    * (ppm), and stopword density (ppm). One row per source, assembled
+    * from three source-keyed subtrees joined on the tiny source key.
+    *
+    * Scale shape: each subtree is one hash aggregate over a single
+    * corpus scan pattern (counts, (source, lang) counts, digest groups);
+    * nothing wider than (source × lang) ever crosses a shuffle. */
+  private val q279 = QueryDef(
+    "q279_dataset_card",
+    (spark, dir) => {
+      import graft.functions.expressions.stopword_hits
+      import graft.text.TextAnalysis.Stopwords
+      val d = Tables.documents(spark, dir)
+      val base = d
+        .select(col("source"), col("lang"), col("n_chars"),
+          size(tokens_native(col("text"))).cast("long").as("n_tokens"),
+          stopword_hits(col("text"), Stopwords.flatMap(_._2)).cast("long").as("stop_hits"))
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("total_chars"),
+          countDistinct(col("lang")).as("n_langs"),
+          sum(col("n_tokens")).as("n_tokens"), sum(col("stop_hits")).as("stop_hits"))
+      val topLang = d.groupBy(col("source"), col("lang")).agg(count(lit(1)).as("ln"))
+        .withColumn("rn", row_number().over(
+          Window.partitionBy(col("source")).orderBy(col("ln").desc, col("lang"))))
+        .filter(col("rn") === 1)
+        .select(col("source"), col("lang").as("top_lang"))
+      val dups = d.withColumn("digest", md5(col("text")))
+        .withColumn("n_copies", count(lit(1)).over(Window.partitionBy(col("digest"))))
+        .filter(col("n_copies") > 1)
+        .groupBy(col("source")).agg(count(lit(1)).as("dup_docs"))
+      base.join(topLang, Seq("source"))
+        .join(dups, Seq("source"), "left")
+        .withColumn("dup_docs", coalesce(col("dup_docs"), lit(0L)))
+        .select(col("source"), col("n_docs"), col("total_chars"), col("n_langs"),
+          col("top_lang"),
+          expr("dup_docs * 1000000L div n_docs").as("dup_ppm"),
+          expr("stop_hits * 1000000L div n_tokens").as("stop_ppm"))
+        .orderBy(col("source"))
+    },
+    Some {
+      import graft.text.TextAnalysis.Stopwords
+      val allStops = Stopwords.flatMap(_._2).map("'" + _ + "'").mkString(",")
+      s"""
+      WITH base AS (
+        SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+          CAST(sum(n_chars) AS BIGINT) AS total_chars,
+          CAST(count(DISTINCT lang) AS BIGINT) AS n_langs,
+          CAST(sum(len($duckTokens)) AS BIGINT) AS n_tokens,
+          CAST(sum(len(list_filter($duckTokens, t -> t IN ($allStops)))) AS BIGINT)
+            AS stop_hits
+        FROM documents GROUP BY source),
+      tl AS (
+        SELECT source, lang AS top_lang FROM (
+          SELECT source, lang, count(*) AS ln,
+            row_number() OVER (PARTITION BY source ORDER BY count(*) DESC, lang) AS rn
+          FROM documents GROUP BY source, lang)
+        WHERE rn = 1),
+      dg AS (
+        SELECT source, CAST(count(*) AS BIGINT) AS dup_docs FROM (
+          SELECT source, count(*) OVER (PARTITION BY md5(text)) AS n_copies
+          FROM documents)
+        WHERE n_copies > 1 GROUP BY source)
+      SELECT b.source, n_docs, total_chars, n_langs, top_lang,
+        CAST(coalesce(dup_docs, 0) * 1000000 // n_docs AS BIGINT) AS dup_ppm,
+        CAST(stop_hits * 1000000 // n_tokens AS BIGINT) AS stop_ppm
+      FROM base b JOIN tl USING (source) LEFT JOIN dg USING (source)
+      ORDER BY source
+    """
+    })
+
   override def defs: Seq[QueryDef] =
-    Seq(q269, q270, q271, q272, q273, q274, q275)
+    Seq(q269, q270, q271, q272, q273, q274, q275,
+      q276, q277, q278, q279)
 }
