@@ -1187,11 +1187,16 @@ object BehaviorQueries extends QueryGroup {
         .filter(col("d_prev").isNotNull)
         .select(col("d_prev").as("d_lo"), col("d").as("d_hi"),
           col("q1"), col("qty").as("q2"),
+          // sign of the a·b·c product via sign(a)·sign(b)·sign(c): the
+          // literal triple product overflows 128-bit integers at sf0.1
+          // magnitudes (~10^39), and overflow here means a silent null
+          // on Spark and a hard error on the oracle
           expr("""CAST(CASE
               WHEN CAST(rev AS DECIMAL(38,0)) * q1 - CAST(r1 AS DECIMAL(38,0)) * qty = 0
                 THEN NULL
-              ELSE (CASE WHEN (qty - q1) * (CAST(rev AS DECIMAL(38,0)) * q1 + CAST(r1 AS DECIMAL(38,0)) * qty)
-                              * (CAST(rev AS DECIMAL(38,0)) * q1 - CAST(r1 AS DECIMAL(38,0)) * qty) < 0
+              ELSE (CASE WHEN sign(qty - q1)
+                              * sign(CAST(rev AS DECIMAL(38,0)) * q1 + CAST(r1 AS DECIMAL(38,0)) * qty)
+                              * sign(CAST(rev AS DECIMAL(38,0)) * q1 - CAST(r1 AS DECIMAL(38,0)) * qty) < 0
                          THEN -1 ELSE 1 END) *
                 (abs((qty - q1) * (CAST(rev AS DECIMAL(38,0)) * q1 + CAST(r1 AS DECIMAL(38,0)) * qty)) * 1000000
                  DIV abs((qty + q1) * (CAST(rev AS DECIMAL(38,0)) * q1 - CAST(r1 AS DECIMAL(38,0)) * qty)))
@@ -1216,8 +1221,9 @@ object BehaviorQueries extends QueryGroup {
       SELECT d_prev AS d_lo, d AS d_hi, q1, qty AS q2,
         CAST(CASE
           WHEN CAST(rev AS HUGEINT) * q1 - CAST(r1 AS HUGEINT) * qty = 0 THEN NULL
-          ELSE (CASE WHEN (qty - q1) * (CAST(rev AS HUGEINT) * q1 + CAST(r1 AS HUGEINT) * qty)
-                          * (CAST(rev AS HUGEINT) * q1 - CAST(r1 AS HUGEINT) * qty) < 0
+          ELSE (CASE WHEN sign(qty - q1)
+                          * sign(CAST(rev AS HUGEINT) * q1 + CAST(r1 AS HUGEINT) * qty)
+                          * sign(CAST(rev AS HUGEINT) * q1 - CAST(r1 AS HUGEINT) * qty) < 0
                      THEN -1 ELSE 1 END) *
             (abs((qty - q1) * (CAST(rev AS HUGEINT) * q1 + CAST(r1 AS HUGEINT) * qty)) * 1000000
              // abs((qty + q1) * (CAST(rev AS HUGEINT) * q1 - CAST(r1 AS HUGEINT) * qty)))
