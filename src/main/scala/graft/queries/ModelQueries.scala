@@ -653,7 +653,247 @@ object ModelQueries extends QueryGroup {
     """
     })
 
+  /** Kneser–Ney continuation statistics: for each word, in how many
+    * DISTINCT contexts it appears (preceder count = the KN continuation
+    * numerator), its fan-out, and the continuation probability
+    * cont·10^6 div |bigram types| — the statistic that makes KN beat
+    * raw-frequency backoff ("Francisco" is frequent but occurs after
+    * almost nothing). Complements q222's Good–Turing counts.
+    *
+    * Scale shape: distinct bigram types are vocabulary²-bounded; both
+    * direction counts and the unigram table are keyed hash aggregates
+    * over them; the type total is a broadcast one-row aggregate. */
+  private val q280 = QueryDef(
+    "q280_kneser_ney_continuation",
+    (spark, dir) => {
+      val types = bigrams(spark, dir).select(col("w1"), col("w2")).distinct()
+      val uni = Tables.documents(spark, dir)
+        .select(explode(tokens_native(col("text"))).as("token"))
+        .groupBy(col("token")).agg(count(lit(1)).as("c_unigram"))
+      val preceders = types.groupBy(col("w2").as("token"))
+        .agg(count(lit(1)).as("n_preceders"))
+      val followers = types.groupBy(col("w1").as("token"))
+        .agg(count(lit(1)).as("n_followers"))
+      val total = types.agg(count(lit(1)).as("n_types"))
+      uni.join(preceders, Seq("token")).join(followers, Seq("token"))
+        .crossJoin(broadcast(total))
+        .select(col("token"), col("c_unigram"), col("n_preceders"), col("n_followers"),
+          expr("n_preceders * 1000000L div n_types").as("p_cont_ppm"))
+        .orderBy(col("n_preceders").desc, col("token"))
+        .limit(30)
+    },
+    Some(s"""
+      WITH $duckBigrams,
+      ty AS (SELECT DISTINCT w1, w2 FROM bb),
+      uni AS (
+        SELECT unnest($duckTokens) AS token FROM documents),
+      u AS (SELECT token, CAST(count(*) AS BIGINT) AS c_unigram FROM uni GROUP BY token),
+      pr AS (SELECT w2 AS token, CAST(count(*) AS BIGINT) AS n_preceders FROM ty GROUP BY w2),
+      fo AS (SELECT w1 AS token, CAST(count(*) AS BIGINT) AS n_followers FROM ty GROUP BY w1),
+      t AS (SELECT CAST(count(*) AS BIGINT) AS n_types FROM ty)
+      SELECT token, c_unigram, n_preceders, n_followers,
+        CAST(n_preceders * 1000000 // n_types AS BIGINT) AS p_cont_ppm
+      FROM u JOIN pr USING (token) JOIN fo USING (token) CROSS JOIN t
+      ORDER BY n_preceders DESC, token LIMIT 30
+    """))
+
+  /** Term burstiness (Church–Gale): mean occurrences per CONTAINING
+    * document, milli-quantized — cf·1000 div df. Bursty terms (high
+    * cf/df) concentrate in few docs and carry topical signal; evenly
+    * spread terms behave like function words. The df ≥ 20 floor keeps
+    * rare-term noise out. Complements q166 (cross-source keyness) with
+    * the within-document concentration axis.
+    *
+    * Scale shape: cf and df come from one (doc, token) aggregate —
+    * df as the group count, cf as its sum — so the corpus is scanned
+    * once and only vocabulary-sized tables shuffle afterwards. */
+  private val q281 = QueryDef(
+    "q281_term_burstiness",
+    (spark, dir) => {
+      Tables.documents(spark, dir)
+        .select(col("doc_id"), explode(tokens_native(col("text"))).as("token"))
+        .groupBy(col("doc_id"), col("token")).agg(count(lit(1)).as("n"))
+        .groupBy(col("token"))
+        .agg(sum(col("n")).as("cf"), count(lit(1)).as("df"))
+        .filter(col("df") >= 20)
+        .select(col("token"), col("cf"), col("df"),
+          expr("cf * 1000L div df").as("burst_mq"))
+        .orderBy(col("burst_mq").desc, col("token"))
+        .limit(30)
+    },
+    Some(s"""
+      WITH tok AS (
+        SELECT doc_id, unnest($duckTokens) AS token FROM documents),
+      dt AS (
+        SELECT doc_id, token, CAST(count(*) AS BIGINT) AS n
+        FROM tok GROUP BY doc_id, token),
+      s AS (
+        SELECT token, CAST(sum(n) AS BIGINT) AS cf, CAST(count(*) AS BIGINT) AS df
+        FROM dt GROUP BY token)
+      SELECT token, cf, df, CAST(cf * 1000 // df AS BIGINT) AS burst_mq
+      FROM s WHERE df >= 20
+      ORDER BY burst_mq DESC, token LIMIT 30
+    """))
+
+  /** Provenance-aware dedup survivor selection: within each template
+    * cluster (documents sharing their first 6 words — the boilerplate
+    * key q177 censuses), keep the LONGEST copy, then the copy from the
+    * largest source (trusted-provenance proxy), then min doc id — the
+    * curation refinement of q20's keep-min-id rule (which copy survives
+    * matters downstream: source mixture weights, licensing, audits).
+    *
+    * Scale shape: clusters shuffle (prefix digest, id, source, length)
+    * only — the body never moves; the source census is a broadcast
+    * one-row-per-source aggregate; survivor choice is one min(struct)
+    * hash agg over cluster keys. */
+  private val q282 = QueryDef(
+    "q282_canonical_selection",
+    (spark, dir) => {
+      val d = Tables.documents(spark, dir)
+        .select(col("doc_id"), col("source"), col("n_chars"),
+          md5(concat_ws(" ", slice(tokens_native(col("text")), 1, 6))).as("digest"))
+      val census = d.groupBy(col("source")).agg(count(lit(1)).as("source_docs"))
+      d.withColumn("n_copies", count(lit(1)).over(Window.partitionBy(col("digest"))))
+        .filter(col("n_copies") > 1)
+        .join(broadcast(census), Seq("source"))
+        .groupBy(col("digest"), col("n_copies"))
+        .agg(min(struct((-col("n_chars")).as("neg_chars"),
+          (-col("source_docs")).as("neg_docs"), col("source"),
+          col("doc_id"))).as("best"))
+        .select(col("digest"), col("n_copies").cast("long").as("n_copies"),
+          col("best.doc_id").as("keep_id"), col("best.source").as("kept_source"))
+        .orderBy(col("keep_id"))
+    },
+    Some(s"""
+      WITH census AS (
+        SELECT source, CAST(count(*) AS BIGINT) AS source_docs
+        FROM documents GROUP BY source),
+      d AS (
+        SELECT doc_id, source, n_chars,
+          md5(array_to_string(list_slice($duckTokens, 1, 6), ' ')) AS digest
+        FROM documents),
+      w AS (
+        SELECT *, count(*) OVER (PARTITION BY digest) AS n_copies FROM d),
+      ranked AS (
+        SELECT digest, CAST(n_copies AS BIGINT) AS n_copies, doc_id, source,
+          row_number() OVER (PARTITION BY digest
+            ORDER BY n_chars DESC, source_docs DESC, source, doc_id) AS rn
+        FROM w JOIN census USING (source)
+        WHERE n_copies > 1)
+      SELECT digest, n_copies, doc_id AS keep_id, source AS kept_source
+      FROM ranked WHERE rn = 1 ORDER BY keep_id
+    """))
+
+  /** Log-free BM25-style retrieval: tf-saturation ranking with k1 = 1.2
+    * and length normalization b = 0.75, every term score the exact
+    * integer rational 44·S·tf·10^6 div (20·S·tf + 6·S + 18·dl·N)
+    * (the BM25 tf component with the fractions cleared; S = corpus
+    * tokens, N = docs, dl = doc length). The idf log is deliberately
+    * omitted — equal-idf query terms rank identically, and logs would
+    * break cross-engine bit-exactness. Top-20 docs for a 3-term query.
+    * Exact while 44·S·tf·10^6 < 2^63 (S < ~2·10^10 tokens; beyond, the
+    * products move to decimal(38,0)).
+    *
+    * Scale shape: tf rows exist only for (doc, query-term) matches — the
+    * inverted-index probe pattern; S and N ride one broadcast one-row
+    * aggregate; top-k is TakeOrderedAndProject. */
+  private val q283 = QueryDef(
+    "q283_tf_saturation_ranking",
+    (spark, dir) => {
+      val qTerms = Seq("table", "spark", "data")
+      val tok = Tables.documents(spark, dir)
+        .select(col("doc_id"), explode(tokens_native(col("text"))).as("token"))
+      val dl = tok.groupBy(col("doc_id")).agg(count(lit(1)).as("dl"))
+      val corpus = dl.agg(sum(col("dl")).as("s_tokens"), count(lit(1)).as("n_docs"))
+      val tf = tok.filter(col("token").isin(qTerms: _*))
+        .groupBy(col("doc_id"), col("token")).agg(count(lit(1)).as("tf"))
+      tf.join(dl, Seq("doc_id"))
+        .crossJoin(broadcast(corpus))
+        .select(col("doc_id"),
+          expr("44 * s_tokens * tf * 1000000L div (20 * s_tokens * tf + 6 * s_tokens + 18 * dl * n_docs)")
+            .as("term_score"))
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_terms_hit"), sum(col("term_score")).as("score_ppm"))
+        .orderBy(col("score_ppm").desc, col("doc_id"))
+        .limit(20)
+    },
+    Some(s"""
+      WITH tok AS (
+        SELECT doc_id, unnest($duckTokens) AS token FROM documents),
+      dl AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS dl FROM tok GROUP BY doc_id),
+      corpus AS (
+        SELECT CAST(sum(dl) AS BIGINT) AS s_tokens,
+          CAST(count(*) AS BIGINT) AS n_docs
+        FROM dl),
+      tf AS (
+        SELECT doc_id, token, CAST(count(*) AS BIGINT) AS tf
+        FROM tok WHERE token IN ('table', 'spark', 'data')
+        GROUP BY doc_id, token),
+      t AS (
+        SELECT tf.doc_id,
+          44 * s_tokens * tf * 1000000
+            // (20 * s_tokens * tf + 6 * s_tokens + 18 * dl.dl * n_docs) AS term_score
+        FROM tf JOIN dl ON tf.doc_id = dl.doc_id CROSS JOIN corpus)
+      SELECT doc_id, CAST(count(*) AS BIGINT) AS n_terms_hit,
+        CAST(sum(term_score) AS BIGINT) AS score_ppm
+      FROM t GROUP BY doc_id
+      ORDER BY score_ppm DESC, doc_id LIMIT 20
+    """))
+
+  /** Bot-rate census: per-user peak events-per-minute against a
+    * threshold sweep (3/5/10) — how many users exceed each rate and
+    * what share of total events they carry (ppm). The abuse-filtering
+    * triage table a pipeline consults before user-level data enters
+    * training.
+    *
+    * Scale shape: (user, minute) then user aggregates — both keyed
+    * hash aggs with map-side partials; the sweep explodes the 3-row
+    * threshold list against the user-sized table, never the events. */
+  private val q284 = QueryDef(
+    "q284_bot_rate_census",
+    (spark, dir) => {
+      import graft.functions.Deterministic.epochS
+      val perUser = Tables.events(spark, dir)
+        .select(col("user_id"), (epochS(col("ts")) / 60L).cast("long").as("minute"))
+        .groupBy(col("user_id"), col("minute")).agg(count(lit(1)).as("n"))
+        .groupBy(col("user_id"))
+        .agg(sum(col("n")).as("n_events"), max(col("n")).as("peak_per_min"))
+      perUser
+        .select(col("n_events"), col("peak_per_min"),
+          explode(array(lit(3L), lit(5L), lit(10L))).as("threshold"))
+        .groupBy(col("threshold"))
+        .agg(count(lit(1)).as("n_users"),
+          sum(when(col("peak_per_min") >= col("threshold"), 1L).otherwise(0L)).as("n_bots"),
+          sum(col("n_events")).as("total_events"),
+          sum(when(col("peak_per_min") >= col("threshold"), col("n_events"))
+            .otherwise(0L)).as("bot_events"))
+        .select(col("threshold"), col("n_users"), col("n_bots"),
+          expr("bot_events * 1000000L div total_events").as("bot_event_ppm"))
+        .orderBy(col("threshold"))
+    },
+    Some("""
+      WITH um AS (
+        SELECT user_id, CAST(epoch_ms(ts) // 1000 // 60 AS BIGINT) AS minute,
+          CAST(count(*) AS BIGINT) AS n
+        FROM events GROUP BY user_id, minute),
+      u AS (
+        SELECT user_id, CAST(sum(n) AS BIGINT) AS n_events,
+          CAST(max(n) AS BIGINT) AS peak_per_min
+        FROM um GROUP BY user_id),
+      sweep AS (
+        SELECT threshold, n_events, peak_per_min
+        FROM u CROSS JOIN (VALUES (3), (5), (10)) AS t(threshold))
+      SELECT CAST(threshold AS BIGINT) AS threshold,
+        CAST(count(*) AS BIGINT) AS n_users,
+        CAST(sum(CASE WHEN peak_per_min >= threshold THEN 1 ELSE 0 END) AS BIGINT)
+          AS n_bots,
+        CAST(sum(CASE WHEN peak_per_min >= threshold THEN n_events ELSE 0 END)
+          * 1000000 // sum(n_events) AS BIGINT) AS bot_event_ppm
+      FROM sweep GROUP BY threshold ORDER BY threshold
+    """))
+
   override def defs: Seq[QueryDef] =
     Seq(q269, q270, q271, q272, q273, q274, q275,
-      q276, q277, q278, q279)
+      q276, q277, q278, q279,
+      q280, q281, q282, q283, q284)
 }
