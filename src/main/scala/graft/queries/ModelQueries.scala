@@ -5,7 +5,9 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.Tables
+import graft.functions.Deterministic.cents
 import graft.functions.expressions.{quantized_cosine, tokens_native}
+import graft.operators.Sampling
 import graft.text.TextAnalysis.languageId
 
 /** Round-5 model-quality and graph-structure operators: LM-based corpus
@@ -20,6 +22,12 @@ import graft.text.TextAnalysis.languageId
 object ModelQueries extends QueryGroup {
 
   private val duckTokens = "list_filter(str_split(text, ' '), t -> len(t) > 0)"
+
+  /** The shared polynomial-hash fold (graft.functions PolyHash) as DuckDB
+    * SQL over column `c` — base 31, mod 1e9+7, folded from 0. */
+  private def duckPolyHashOf(c: String): String =
+    s"list_reduce(list_prepend(0::BIGINT, [ord(ch)::BIGINT for ch in str_split($c, '')]), " +
+      "(h, ch) -> (h*31 + ch) % 1000000007)"
 
   /** Adjacent word pairs per document: posexplode → positional
     * self-equi-join on (doc, pos) — the narrow distributed form of a
@@ -892,8 +900,218 @@ object ModelQueries extends QueryGroup {
       FROM sweep GROUP BY threshold ORDER BY threshold
     """))
 
+  /** LM holdout evaluation protocol: split the corpus 80/20 by document
+    * key hash (q45's reproducible split), build the training vocabulary
+    * from the train side only, and score each TEST document's
+    * out-of-vocabulary token rate per language — the leakage-free eval
+    * loop for any count-based LM (q93 scores against the FULL corpus
+    * vocabulary; this is its honest train/test form).
+    *
+    * Scale shape: the vocabulary is a distinct over (token) from the
+    * train scan; test tokens left-join it on the token key (shuffle
+    * join — the vocab may exceed broadcast size at corpus scale), and
+    * the verdict is two keyed hash aggregates. */
+  private val q285 = QueryDef(
+    "q285_lm_holdout_eval",
+    (spark, dir) => {
+      val d = Tables.documents(spark, dir)
+        .withColumn("split", Sampling.splitColumn(col("doc_id"), testFraction = 0.2))
+      val tok = d.select(col("doc_id"), col("lang"), col("split"),
+        explode(tokens_native(col("text"))).as("token"))
+      val vocab = tok.filter(col("split") === "train")
+        .select(col("token")).distinct().withColumn("known", lit(1L))
+      tok.filter(col("split") === "test")
+        .join(vocab, Seq("token"), "left")
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_tokens"),
+          sum(when(col("known").isNull, 1L).otherwise(0L)).as("n_oov"))
+        .select(col("lang"), col("n_tokens"), col("n_oov"),
+          expr("n_oov * 1000000L div n_tokens").as("oov_ppm"))
+        .orderBy(col("lang"))
+    },
+    Some(s"""
+      WITH d AS (
+        SELECT doc_id, lang, text,
+          CASE WHEN ((doc_id % 2147483648) * 1779033703) % 4294967296 % 10000 < 2000
+               THEN 'test' ELSE 'train' END AS split
+        FROM documents),
+      tok AS (
+        SELECT doc_id, lang, split, unnest($duckTokens) AS token FROM d),
+      vocab AS (
+        SELECT DISTINCT token FROM tok WHERE split = 'train'),
+      t AS (
+        SELECT lang, CAST(count(*) AS BIGINT) AS n_tokens,
+          CAST(sum(CASE WHEN v.token IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_oov
+        FROM (SELECT * FROM tok WHERE split = 'test') s
+        LEFT JOIN vocab v USING (token)
+        GROUP BY lang)
+      SELECT lang, n_tokens, n_oov,
+        CAST(n_oov * 1000000 // n_tokens AS BIGINT) AS oov_ppm
+      FROM t ORDER BY lang
+    """))
+
+  /** Count–min sketch frequency estimation: 3 hash rows × 64 counters
+    * built in one aggregate over the token stream, point-queried for 5
+    * probe tokens against their exact counts. The estimate is
+    * min over rows of counter[h_row(token)] — always ≥ exact, the CMS
+    * one-sided guarantee (asserted as overestimate ≥ 0 in the output).
+    * Completes the mergeable-sketch family: KMV (distinct, q238),
+    * Space-Saving (top-k, q62), Bloom (membership, q57) — CMS is the
+    * frequency axis. Hashing rides the shared polynomial fold, so the
+    * oracle reproduces the sketch bit-for-bit.
+    *
+    * Scale shape: the sketch build is a (row, bucket) hash aggregate —
+    * 192 cells regardless of corpus size, the textbook mergeable-
+    * summary shape; probes join the 192-cell table. */
+  private val q286 = QueryDef(
+    "q286_count_min_frequency",
+    (spark, dir) => {
+      import graft.functions.expressions.poly_hash
+      val probes = Seq("table", "spark", "data", "query", "vector")
+      val tok = Tables.documents(spark, dir)
+        .select(explode(tokens_native(col("text"))).as("token"))
+        .select(col("token"), poly_hash(col("token")).as("ph"))
+      val cells = tok
+        .select(col("ph"), explode(array(lit(0L), lit(1L), lit(2L))).as("row"))
+        .select(col("row"),
+          expr("((ph * (row * 2654435761L + 40503L)) % 4294967296L) % 64").as("bucket"))
+        .groupBy(col("row"), col("bucket")).agg(count(lit(1)).as("counter"))
+      val exact = tok.filter(col("token").isin(probes: _*))
+        .groupBy(col("token"), col("ph")).agg(count(lit(1)).as("exact"))
+      exact
+        .select(col("token"), col("ph"), col("exact"),
+          explode(array(lit(0L), lit(1L), lit(2L))).as("row"))
+        .withColumn("bucket",
+          expr("((ph * (row * 2654435761L + 40503L)) % 4294967296L) % 64"))
+        .join(cells, Seq("row", "bucket"))
+        .groupBy(col("token"), col("exact"))
+        .agg(min(col("counter")).as("estimate"))
+        .select(col("token"), col("exact"), col("estimate"),
+          (col("estimate") - col("exact")).as("overestimate"))
+        .orderBy(col("token"))
+    },
+    Some {
+      val ph = duckPolyHashOf("token")
+      s"""
+      WITH tok AS (
+        SELECT unnest($duckTokens) AS token FROM documents),
+      tp AS (SELECT token, $ph AS ph FROM tok),
+      rows3 AS (SELECT unnest([0, 1, 2]) AS row),
+      cells AS (
+        SELECT row, ((ph * (row * 2654435761 + 40503)) % 4294967296) % 64 AS bucket,
+          CAST(count(*) AS BIGINT) AS counter
+        FROM tp CROSS JOIN rows3
+        GROUP BY 1, 2),
+      exact AS (
+        SELECT token, ph, CAST(count(*) AS BIGINT) AS exact
+        FROM tp WHERE token IN ('table', 'spark', 'data', 'query', 'vector')
+        GROUP BY token, ph),
+      probes AS (
+        SELECT token, exact, row,
+          ((ph * (row * 2654435761 + 40503)) % 4294967296) % 64 AS bucket
+        FROM exact CROSS JOIN rows3),
+      est AS (
+        SELECT token, exact, CAST(min(counter) AS BIGINT) AS estimate
+        FROM probes JOIN cells USING (row, bucket)
+        GROUP BY token, exact)
+      SELECT token, exact, estimate, estimate - exact AS overestimate
+      FROM est ORDER BY token
+    """
+    })
+
+  /** Laspeyres price index: monthly basket cost at current unit prices
+    * over base-month (1995-01) quantities, ppm-relative to the base
+    * basket — the standard fixed-basket inflation readout. Unit prices
+    * are floor(revenue cents / quantity) per (month, part): the floor
+    * is part of the metric definition, so both engines agree exactly;
+    * only parts present in both the base and the current month enter
+    * (the matched-basket rule).
+    *
+    * Scale shape: one (month, part) hash aggregate over the fact scan;
+    * the base-month slice joins back vocabulary-sized; index arithmetic
+    * is exact integers on month-sized rows. */
+  private val q287 = QueryDef(
+    "q287_price_index",
+    (spark, dir) => {
+      val mp = Tables.lineitem(spark, dir)
+        .select((year(col("l_shipdate")) * 100 + month(col("l_shipdate")))
+            .cast("long").as("month"),
+          col("l_partkey").as("part"),
+          floor(col("l_quantity") + lit(0.5d)).cast("long").as("q"),
+          cents(col("l_extendedprice") * (lit(1d) - col("l_discount"))).as("r"))
+        .groupBy(col("month"), col("part"))
+        .agg(sum(col("q")).as("qty"), sum(col("r")).as("rev"))
+        .select(col("month"), col("part"), col("qty"),
+          expr("rev div qty").as("unit_c"))
+      val base = mp.filter(col("month") === 199501L)
+        .select(col("part"), col("qty").as("q0"), col("unit_c").as("u0"))
+      mp.join(base, Seq("part"))
+        .groupBy(col("month"))
+        .agg(count(lit(1)).as("n_parts"),
+          sum(col("unit_c") * col("q0")).as("cost_t"),
+          sum(col("u0") * col("q0")).as("cost_0"))
+        .select(col("month"), col("n_parts"),
+          expr("cost_t * 1000000L div cost_0").as("index_ppm"))
+        .orderBy(col("month"))
+    },
+    Some("""
+      WITH mp AS (
+        SELECT CAST(year(l_shipdate) * 100 + month(l_shipdate) AS BIGINT) AS month,
+          l_partkey AS part,
+          CAST(sum(CAST(floor(l_quantity + 0.5) AS BIGINT)) AS BIGINT) AS qty,
+          CAST(sum(CAST(floor(l_extendedprice * (1 - l_discount) * 100 + 0.5) AS BIGINT))
+            AS BIGINT) AS rev
+        FROM lineitem GROUP BY 1, 2),
+      up AS (SELECT month, part, qty, rev // qty AS unit_c FROM mp),
+      base AS (
+        SELECT part, qty AS q0, unit_c AS u0 FROM up WHERE month = 199501)
+      SELECT up.month, CAST(count(*) AS BIGINT) AS n_parts,
+        CAST(sum(up.unit_c * base.q0) * 1000000 // sum(base.u0 * base.q0) AS BIGINT)
+          AS index_ppm
+      FROM up JOIN base USING (part)
+      GROUP BY up.month ORDER BY up.month
+    """))
+
+  /** Hub-capping census (GNN neighbor-sampling planning): if each user's
+    * event history is truncated to its N earliest events (the
+    * deterministic per-key cap that bounds state, window memory, and
+    * neighbor fan-out), what share of events survives at N ∈ {8, 32,
+    * 128}? The table that picks the cap before an expensive sampled
+    * materialization.
+    *
+    * Scale shape: per-user counts in one hash aggregate; the sweep
+    * explodes the 3-row cap list against the user-sized table —
+    * min(n, cap) sums replace actually materializing any truncation. */
+  private val q288 = QueryDef(
+    "q288_hub_capping_census",
+    (spark, dir) => {
+      Tables.events(spark, dir)
+        .groupBy(col("user_id")).agg(count(lit(1)).as("n"))
+        .select(col("n"), explode(array(lit(8L), lit(32L), lit(128L))).as("cap"))
+        .groupBy(col("cap"))
+        .agg(count(lit(1)).as("n_users"),
+          sum(col("n")).as("total_events"),
+          sum(least(col("n"), col("cap"))).as("kept_events"),
+          sum(when(col("n") > col("cap"), 1L).otherwise(0L)).as("n_capped_users"))
+        .select(col("cap"), col("n_users"), col("n_capped_users"),
+          expr("kept_events * 1000000L div total_events").as("kept_ppm"))
+        .orderBy(col("cap"))
+    },
+    Some("""
+      WITH u AS (
+        SELECT user_id, CAST(count(*) AS BIGINT) AS n FROM events GROUP BY user_id),
+      sweep AS (
+        SELECT CAST(cap AS BIGINT) AS cap, n
+        FROM u CROSS JOIN (VALUES (8), (32), (128)) AS t(cap))
+      SELECT cap, CAST(count(*) AS BIGINT) AS n_users,
+        CAST(sum(CASE WHEN n > cap THEN 1 ELSE 0 END) AS BIGINT) AS n_capped_users,
+        CAST(sum(least(n, cap)) * 1000000 // sum(n) AS BIGINT) AS kept_ppm
+      FROM sweep GROUP BY cap ORDER BY cap
+    """))
+
   override def defs: Seq[QueryDef] =
     Seq(q269, q270, q271, q272, q273, q274, q275,
       q276, q277, q278, q279,
-      q280, q281, q282, q283, q284)
+      q280, q281, q282, q283, q284,
+      q285, q286, q287, q288)
 }
