@@ -1,0 +1,270 @@
+package graft
+
+/** Semantics of the round-5 model-quality operators (q269–q288) beyond
+  * the oracle gate: the invariants a hash compare can't see — bounds,
+  * conservation laws, guarantee directions — checked at the smallest SF.
+  */
+class ModelOpsSpec extends SparkSpec {
+
+  private val sfDir = "/root/testdata/sf0.001"
+
+  private def run(name: String) =
+    SparkEntry.queries(name)(spark, sfDir)
+
+  // ---------------------------------------------------------------- q269
+
+  test("bigram surprisal scores are valid ppm means over >=1 bigrams") {
+    val rows = run("q269_bigram_surprisal_filter").collect()
+    assert(rows.nonEmpty)
+    for (r <- rows) {
+      assert(r.getAs[Long]("n_bigrams") >= 1)
+      val score = r.getAs[Long]("score_ppm")
+      assert(score >= 0 && score <= 1000000L, s"score_ppm $score out of [0, 1e6]")
+    }
+    // ascending output: the BOTTOM tail of the corpus
+    val scores = rows.map(_.getAs[Long]("score_ppm")).toSeq
+    assert(scores == scores.sorted)
+  }
+
+  // ---------------------------------------------------------------- q270
+
+  test("kappa is bounded by 1e6 ppm and agreement never exceeds total") {
+    val r = run("q270_langid_kappa").collect().head
+    val (n, agree, pe, kappa) = (r.getAs[Long]("n_total"), r.getAs[Long]("n_agree"),
+      r.getAs[Long]("pe_cross"), r.getAs[Long]("kappa_ppm"))
+    assert(agree <= n)
+    assert(pe <= n * n)
+    assert(kappa <= 1000000L, s"kappa_ppm $kappa > 1e6")
+    // kappa = 1e6 exactly iff perfect agreement
+    if (agree == n) assert(kappa == 1000000L)
+  }
+
+  // ---------------------------------------------------------------- q271
+
+  test("k-core survivors keep degree >= k within the surviving subgraph") {
+    // the output IS the 3-peel subgraph's degree table; after reaching
+    // fixpoint every degree must be >= k. At sf0.001 the co-supply graph
+    // is complete (K10), so k = min+span/4 = min and NOTHING peels —
+    // fixpoint in round 1, all 10 nodes retained.
+    val rows = run("q271_kcore_decomposition").collect()
+    assert(rows.length == 10)
+    assert(rows.forall(_.getAs[Long]("degree") == 9L))
+  }
+
+  // ---------------------------------------------------------------- q272
+
+  test("semantic decontamination flags only corpus vectors, cosine >= 0.30") {
+    val rows = run("q272_semantic_decontamination").collect()
+    for (r <- rows) {
+      assert(r.getAs[Long]("vec_id") % 25 != 0, "benchmark vector flagged as corpus")
+      assert(r.getAs[Long]("bench_id") % 25 == 0, "non-benchmark named as neighbor")
+      assert(r.getAs[Double]("cosine") >= 0.30)
+    }
+    // one row per flagged vector (argmax collapsed)
+    val ids = rows.map(_.getAs[Long]("vec_id"))
+    assert(ids.distinct.length == ids.length)
+  }
+
+  // ---------------------------------------------------------------- q273
+
+  test("tokenizer fertility: words <= chars, est tokens consistent") {
+    val rows = run("q273_tokenizer_fertility").collect()
+    assert(rows.nonEmpty)
+    for (r <- rows) {
+      assert(r.getAs[Long]("n_words") >= 1)
+      assert(r.getAs[Long]("fertility_ppm") > 0)
+      // whitespace words are >= 2 chars apart on average in this corpus
+      assert(r.getAs[Long]("chars_per_word_cq") >= 100L)
+    }
+  }
+
+  // ---------------------------------------------------------------- q274
+
+  test("PMI collocations respect the min-count floor") {
+    val rows = run("q274_pmi_collocations").collect()
+    for (r <- rows) {
+      assert(r.getAs[Long]("n_ab") >= 5)
+      assert(r.getAs[Long]("n_a") >= r.getAs[Long]("n_ab"))
+      assert(r.getAs[Long]("n_b") >= r.getAs[Long]("n_ab"))
+    }
+  }
+
+  // ---------------------------------------------------------------- q275
+
+  test("degree assortativity is a correlation in [-1, 1]") {
+    val r = run("q275_degree_assortativity").collect().head
+    val a = r.getAs[Double]("assortativity")
+    assert(a >= -1.0 - 1e-9 && a <= 1.0 + 1e-9, s"assortativity $a out of range")
+    // symmetric edge set: the two marginal moment sums must coincide
+    assert(r.getAs[Long]("sx") == r.getAs[Long]("sy"))
+    assert(r.getAs[Long]("sxx") == r.getAs[Long]("syy"))
+  }
+
+  // ---------------------------------------------------------------- q276
+
+  test("growth accounting balances: new+retained+resurrected = weekly actives") {
+    val rows = run("q276_growth_accounting").collect()
+      .map(r => (r.getAs[Long]("week_idx"), r.getAs[String]("state"), r.getAs[Long]("n_users")))
+    val byWeek = rows.groupBy(_._1)
+    // recompute weekly actives directly
+    val actives = Tables.events(spark, sfDir)
+      .selectExpr("user_id", "CAST(CAST(ts AS TIMESTAMP) AS LONG) div 604800 AS wk")
+      .distinct().collect().map(r => (r.getLong(0), r.getLong(1)))
+      .groupBy(_._2).view.mapValues(_.length.toLong).toMap
+    for ((wk, entries) <- byWeek) {
+      val active = entries.filter(_._2 != "churned").map(_._3).sum
+      assert(active == actives.getOrElse(wk, 0L),
+        s"week $wk: states sum to $active, actives ${actives.getOrElse(wk, 0L)}")
+    }
+  }
+
+  // ---------------------------------------------------------------- q277
+
+  test("join advisor: every test-scale table is broadcast-sized") {
+    val rows = run("q277_join_strategy_advisor").collect()
+    assert(rows.length == 6)
+    for (r <- rows) {
+      val est = r.getAs[Long]("est_bytes")
+      assert(est > 0)
+      assert(r.getAs[String]("strategy") ==
+        (if (est <= 10485760L) "broadcast" else "shuffle"))
+    }
+  }
+
+  // ---------------------------------------------------------------- q278
+
+  test("linear attribution conserves credit exactly") {
+    val rows = run("q278_linear_attribution").collect()
+    assert(rows.nonEmpty)
+    for (r <- rows) {
+      val (vc, n, per, extra) = (r.getAs[Long]("value_cents"), r.getAs[Long]("n_touches"),
+        r.getAs[Long]("credit_per_touch_c"), r.getAs[Long]("first_touch_extra_c"))
+      assert(per * n + extra == vc, s"credit leak: $per*$n+$extra != $vc")
+      assert(extra >= 0 && extra < n)
+    }
+  }
+
+  // ---------------------------------------------------------------- q279
+
+  test("dataset card rates are valid ppm and top_lang is a real language") {
+    val langs = Tables.documents(spark, sfDir).select("lang").distinct()
+      .collect().map(_.getString(0)).toSet
+    val rows = run("q279_dataset_card").collect()
+    assert(rows.nonEmpty)
+    for (r <- rows) {
+      assert(langs.contains(r.getAs[String]("top_lang")))
+      assert(r.getAs[Long]("dup_ppm") <= 1000000L)
+      assert(r.getAs[Long]("stop_ppm") <= 1000000L)
+      assert(r.getAs[Long]("n_langs") >= 1)
+    }
+  }
+
+  // ---------------------------------------------------------------- q280
+
+  test("KN continuation: preceder counts bounded by unigram presence") {
+    val rows = run("q280_kneser_ney_continuation").collect()
+    assert(rows.nonEmpty)
+    for (r <- rows) {
+      assert(r.getAs[Long]("n_preceders") >= 1)
+      assert(r.getAs[Long]("c_unigram") >= 1)
+      assert(r.getAs[Long]("p_cont_ppm") <= 1000000L)
+    }
+  }
+
+  // ---------------------------------------------------------------- q281
+
+  test("burstiness: cf >= df and burst_mq >= 1000 (cf/df >= 1)") {
+    val rows = run("q281_term_burstiness").collect()
+    for (r <- rows) {
+      assert(r.getAs[Long]("cf") >= r.getAs[Long]("df"))
+      assert(r.getAs[Long]("burst_mq") >= 1000L)
+      assert(r.getAs[Long]("df") >= 20L)
+    }
+  }
+
+  // ---------------------------------------------------------------- q282
+
+  test("canonical selection: keep_id belongs to its cluster, clusters >= 2") {
+    val rows = run("q282_canonical_selection").collect()
+    for (r <- rows) assert(r.getAs[Long]("n_copies") >= 2)
+    // survivors are distinct documents
+    val keeps = rows.map(_.getAs[Long]("keep_id"))
+    assert(keeps.distinct.length == keeps.length)
+  }
+
+  // ---------------------------------------------------------------- q283
+
+  test("tf-saturation scores: bounded terms, saturation below k1+1 ceiling") {
+    val rows = run("q283_tf_saturation_ranking").collect()
+    assert(rows.nonEmpty)
+    for (r <- rows) {
+      val hits = r.getAs[Long]("n_terms_hit")
+      assert(hits >= 1 && hits <= 3)
+      // each term score < (k1+1)/1 · 1e6 = 2.2e6: score < hits · 2.2e6
+      assert(r.getAs[Long]("score_ppm") < hits * 2200000L)
+    }
+  }
+
+  // ---------------------------------------------------------------- q284
+
+  test("bot census: monotone in threshold, shares valid ppm") {
+    val rows = run("q284_bot_rate_census").collect()
+      .sortBy(_.getAs[Long]("threshold"))
+    assert(rows.length == 3)
+    val bots = rows.map(_.getAs[Long]("n_bots"))
+    assert(bots.zip(bots.tail).forall { case (a, b) => a >= b },
+      "bot count must not increase with threshold")
+    for (r <- rows) {
+      assert(r.getAs[Long]("n_bots") <= r.getAs[Long]("n_users"))
+      assert(r.getAs[Long]("bot_event_ppm") <= 1000000L)
+    }
+  }
+
+  // ---------------------------------------------------------------- q285
+
+  test("LM holdout eval: OOV bounded by token count, ppm valid") {
+    val rows = run("q285_lm_holdout_eval").collect()
+    assert(rows.nonEmpty)
+    for (r <- rows) {
+      assert(r.getAs[Long]("n_oov") <= r.getAs[Long]("n_tokens"))
+      assert(r.getAs[Long]("oov_ppm") <= 1000000L)
+    }
+  }
+
+  // ---------------------------------------------------------------- q286
+
+  test("count-min estimates are one-sided: estimate >= exact, always") {
+    val rows = run("q286_count_min_frequency").collect()
+    assert(rows.nonEmpty)
+    for (r <- rows) {
+      assert(r.getAs[Long]("overestimate") >= 0L,
+        s"CMS underestimated ${r.getAs[String]("token")}")
+      assert(r.getAs[Long]("estimate") >= r.getAs[Long]("exact"))
+    }
+  }
+
+  // ---------------------------------------------------------------- q287
+
+  test("price index: base month is exactly 1e6 ppm") {
+    val rows = run("q287_price_index").collect()
+    val base = rows.find(_.getAs[Long]("month") == 199501L)
+    assert(base.isDefined, "base month missing from index")
+    assert(base.get.getAs[Long]("index_ppm") == 1000000L,
+      "Laspeyres index at the base month must be exactly 1")
+    assert(rows.forall(_.getAs[Long]("n_parts") >= 1))
+  }
+
+  // ---------------------------------------------------------------- q288
+
+  test("hub capping: kept share is monotone in cap and <= 1e6") {
+    val rows = run("q288_hub_capping_census").collect()
+      .sortBy(_.getAs[Long]("cap"))
+    assert(rows.length == 3)
+    val kept = rows.map(_.getAs[Long]("kept_ppm"))
+    assert(kept.zip(kept.tail).forall { case (a, b) => a <= b },
+      "kept share must not decrease with cap")
+    assert(kept.forall(_ <= 1000000L))
+    for (r <- rows)
+      assert(r.getAs[Long]("n_capped_users") <= r.getAs[Long]("n_users"))
+  }
+}
