@@ -1109,9 +1109,231 @@ object ModelQueries extends QueryGroup {
       FROM sweep GROUP BY cap ORDER BY cap
     """))
 
+  /** Optimizer cardinality-estimation audit: for each FK join edge,
+    * the flat-frequency estimate |A|·|B| div max(d_A, d_B) (the formula
+    * every System-R descendant, Spark CBO included, starts from)
+    * against the EXACT join size Σ_k n_A(k)·n_B(k) — the signed ppm
+    * error is how wrong the planner would be before histograms. Skewed
+    * edges (q232's census) are exactly where this error explodes.
+    *
+    * Scale shape per edge: two keyed count aggregates joined on the key
+    * (the exact size needs no actual join materialization), censuses as
+    * broadcast one-row aggregates. Products stay < 2^63 through ~10^9
+    * rows per side; beyond, decimal(38,0). */
+  private val q289 = QueryDef(
+    "q289_cardinality_estimation_audit",
+    (spark, dir) => {
+      def edge(a: DataFrame, aKey: String, b: DataFrame, bKey: String, name: String) = {
+        val ka = a.groupBy(col(aKey).as("k")).agg(count(lit(1)).as("na"))
+        val kb = b.groupBy(col(bKey).as("k")).agg(count(lit(1)).as("nb"))
+        val actual = ka.join(kb, Seq("k"))
+          .agg(coalesce(sum(col("na") * col("nb")), lit(0L)).as("actual"))
+        val ca = ka.agg(sum(col("na")).as("rows_a"), count(lit(1)).as("d_a"))
+        val cb = kb.agg(sum(col("nb")).as("rows_b"), count(lit(1)).as("d_b"))
+        actual.crossJoin(ca).crossJoin(cb)
+          .select(lit(name).as("edge"), col("rows_a"), col("rows_b"), col("actual"),
+            expr("rows_a * rows_b div greatest(d_a, d_b)").as("estimate"))
+          .select(col("edge"), col("rows_a"), col("rows_b"), col("actual"), col("estimate"),
+            expr("(estimate - actual) * 1000000L div actual").as("err_ppm"))
+      }
+      val li = Tables.lineitem(spark, dir)
+      edge(Tables.customer(spark, dir), "c_custkey", Tables.orders(spark, dir), "o_custkey",
+          "customer_orders")
+        .unionAll(edge(Tables.orders(spark, dir), "o_orderkey", li, "l_orderkey",
+          "orders_lineitem"))
+        .unionAll(edge(Tables.part(spark, dir), "p_partkey", li, "l_partkey",
+          "part_lineitem"))
+        .unionAll(edge(Tables.supplier(spark, dir), "s_suppkey", li, "l_suppkey",
+          "supplier_lineitem"))
+        .orderBy(col("edge"))
+    },
+    Some {
+      def duckEdge(a: String, ak: String, b: String, bk: String, name: String) = s"""
+        SELECT '$name' AS edge, rows_a, rows_b, actual,
+          rows_a * rows_b // greatest(d_a, d_b) AS estimate,
+          (rows_a * rows_b // greatest(d_a, d_b) - actual) * 1000000 // actual AS err_ppm
+        FROM
+          (SELECT CAST(coalesce(sum(na * nb), 0) AS BIGINT) AS actual FROM
+            (SELECT $ak AS k, count(*) AS na FROM $a GROUP BY 1) ka
+            JOIN (SELECT $bk AS k, count(*) AS nb FROM $b GROUP BY 1) kb USING (k)),
+          (SELECT CAST(count(*) AS BIGINT) AS rows_a,
+             CAST(count(DISTINCT $ak) AS BIGINT) AS d_a FROM $a),
+          (SELECT CAST(count(*) AS BIGINT) AS rows_b,
+             CAST(count(DISTINCT $bk) AS BIGINT) AS d_b FROM $b)"""
+      Seq(
+        duckEdge("customer", "c_custkey", "orders", "o_custkey", "customer_orders"),
+        duckEdge("orders", "o_orderkey", "lineitem", "l_orderkey", "orders_lineitem"),
+        duckEdge("part", "p_partkey", "lineitem", "l_partkey", "part_lineitem"),
+        duckEdge("supplier", "s_suppkey", "lineitem", "l_suppkey", "supplier_lineitem"))
+        .mkString("", "\nUNION ALL", "\nORDER BY edge")
+    })
+
+  /** 1-D k-means codebook (Lloyd, k = 4, 3 iterations) over order value
+    * cents — the scalar-quantization codebook build (per-dimension
+    * product quantization is exactly this, once per dim). Centroids are
+    * exact integers: init on the min/max grid, assignment by nearest
+    * centroid with lower-index tie-break, update = sum div count — the
+    * same floor both engines take, so the codebook is bit-identical
+    * (the multi-dim IVF sibling is similarity.Ivf; this is the exact
+    * 1-D form an int8 quantizer calibrates with).
+    *
+    * Scale shape per iteration: one broadcast 4-value codebook onto the
+    * scan + one 4-group hash aggregate — no joins, no shuffles beyond
+    * the aggregate; iterations compose lazily like q75/q271. */
+  private val q290 = QueryDef(
+    "q290_scalar_kmeans_codebook",
+    (spark, dir) => {
+      val v = Tables.orders(spark, dir).select(cents(col("o_totalprice")).as("x"))
+      val init = v.agg(min(col("x")).as("lo"), max(col("x")).as("hi"))
+        .select((0 until 4).map(i =>
+          expr(s"lo + $i * ((hi - lo) div 4)").as(s"c$i")): _*)
+      def assign(cb: DataFrame) = v.crossJoin(broadcast(cb))
+        .withColumn("idx", expr(
+          """CASE WHEN abs(x - c0) <= abs(x - c1) AND abs(x - c0) <= abs(x - c2)
+                   AND abs(x - c0) <= abs(x - c3) THEN 0
+                  WHEN abs(x - c1) <= abs(x - c2) AND abs(x - c1) <= abs(x - c3) THEN 1
+                  WHEN abs(x - c2) <= abs(x - c3) THEN 2
+                  ELSE 3 END"""))
+      def update(cb: DataFrame) = assign(cb)
+        .groupBy(col("idx")).agg(sum(col("x")).as("s"), count(lit(1)).as("n"))
+        .select(col("idx"), expr("s div n").as("c"))
+        .groupBy().pivot("idx", Seq(0, 1, 2, 3)).agg(first(col("c")))
+        .select(col("0").as("c0"), col("1").as("c1"), col("2").as("c2"), col("3").as("c3"))
+      val finalCb = update(update(update(init)))
+      assign(finalCb)
+        .groupBy(col("idx")).agg(count(lit(1)).as("n_orders"))
+        .crossJoin(broadcast(finalCb))
+        .select(col("idx").cast("long").as("centroid_idx"),
+          expr("CASE idx WHEN 0 THEN c0 WHEN 1 THEN c1 WHEN 2 THEN c2 ELSE c3 END")
+            .as("centroid_c"),
+          col("n_orders"))
+        .orderBy(col("centroid_idx"))
+    },
+    Some {
+      val assignIdx = """CASE WHEN abs(x - c0) <= abs(x - c1) AND abs(x - c0) <= abs(x - c2)
+                   AND abs(x - c0) <= abs(x - c3) THEN 0
+                  WHEN abs(x - c1) <= abs(x - c2) AND abs(x - c1) <= abs(x - c3) THEN 1
+                  WHEN abs(x - c2) <= abs(x - c3) THEN 2
+                  ELSE 3 END"""
+      def iter(prev: String, cur: String) = s"""
+      $cur AS (
+        SELECT
+          max(CASE WHEN idx = 0 THEN c END) AS c0,
+          max(CASE WHEN idx = 1 THEN c END) AS c1,
+          max(CASE WHEN idx = 2 THEN c END) AS c2,
+          max(CASE WHEN idx = 3 THEN c END) AS c3
+        FROM (
+          SELECT idx, sum(x) // count(*) AS c FROM (
+            SELECT x, $assignIdx AS idx FROM v, $prev)
+          GROUP BY idx))"""
+      s"""
+      WITH v AS (
+        SELECT CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS x FROM orders),
+      cb0 AS (
+        SELECT min(x) + 0 * ((max(x) - min(x)) // 4) AS c0,
+          min(x) + 1 * ((max(x) - min(x)) // 4) AS c1,
+          min(x) + 2 * ((max(x) - min(x)) // 4) AS c2,
+          min(x) + 3 * ((max(x) - min(x)) // 4) AS c3
+        FROM v),
+      ${iter("cb0", "cb1")},
+      ${iter("cb1", "cb2")},
+      ${iter("cb2", "cb3")}
+      SELECT CAST(idx AS BIGINT) AS centroid_idx,
+        CAST(CASE idx WHEN 0 THEN c0 WHEN 1 THEN c1 WHEN 2 THEN c2 ELSE c3 END AS BIGINT)
+          AS centroid_c,
+        CAST(count(*) AS BIGINT) AS n_orders
+      FROM (SELECT x, $assignIdx AS idx FROM v, cb3), cb3
+      GROUP BY idx, c0, c1, c2, c3
+      ORDER BY centroid_idx
+    """
+    })
+
+  /** ANOVA effect size (eta-squared): how much of document-length
+    * variance each metadata column explains — eta² = SS_between/SS_total
+    * in ppm from integer sums (per-group S_g² div n_g floors are part of
+    * the metric definition, identical both engines). Near-zero eta²
+    * means the column is useless for stratification; the check before
+    * stratified sampling (q45) or per-group budgets (q159) lean on a
+    * grouping.
+    *
+    * Scale shape: one (group) hash aggregate per grouping over narrow
+    * projections; everything after is arithmetic on group-sized rows. */
+  private val q291 = QueryDef(
+    "q291_anova_eta_squared",
+    (spark, dir) => {
+      def eta(groupCol: String) = {
+        val g = Tables.documents(spark, dir)
+          .select(col(groupCol).as("g"), col("n_chars").as("x"))
+          .groupBy(col("g"))
+          .agg(count(lit(1)).as("ng"), sum(col("x")).as("sg"),
+            sum(col("x") * col("x")).as("qg"))
+        g.agg(count(lit(1)).as("n_groups"), sum(col("ng")).as("n"),
+            sum(col("sg")).as("s"), sum(col("qg")).as("q"),
+            sum(expr("(sg * sg) div ng")).as("ssb_scaled"))
+          .select(lit(groupCol).as("grouping"), col("n_groups"),
+            expr("(n * ssb_scaled - s * s) * 1000000L div (n * q - s * s)").as("eta2_ppm"))
+      }
+      eta("lang").unionAll(eta("source")).orderBy(col("grouping"))
+    },
+    Some {
+      def duckEta(c: String) = s"""
+        SELECT '$c' AS grouping, CAST(count(*) AS BIGINT) AS n_groups,
+          CAST((sum(ng) * sum((sg * sg) // ng) - sum(sg) * sum(sg)) * 1000000
+            // (sum(ng) * sum(qg) - sum(sg) * sum(sg)) AS BIGINT) AS eta2_ppm
+        FROM (
+          SELECT $c AS g, CAST(count(*) AS BIGINT) AS ng,
+            CAST(sum(n_chars) AS BIGINT) AS sg,
+            CAST(sum(n_chars * n_chars) AS BIGINT) AS qg
+          FROM documents GROUP BY $c)"""
+      duckEta("lang") + "\nUNION ALL" + duckEta("source") + "\nORDER BY grouping"
+    })
+
+  /** Cascade-delete planning (the GDPR erasure dry-run): for a 5%
+    * hash-sampled customer cohort, how many orders and lineitems the
+    * cascade reaches and how much revenue is erased — the impact
+    * census a lake runs BEFORE a destructive delete.
+    *
+    * Scale shape: the cohort is a narrow hash filter on the customer
+    * scan; each hop is one keyed semi-join-shaped equi-join + aggregate
+    * along the FK chain, never a full-table anti pattern. */
+  private val q292 = QueryDef(
+    "q292_cascade_delete_plan",
+    (spark, dir) => {
+      val cohort = Tables.customer(spark, dir)
+        .filter(Sampling.keyHash(col("c_custkey")) % 10000 < 500)
+        .select(col("c_custkey"))
+      val orders = Tables.orders(spark, dir)
+        .join(cohort, col("o_custkey") === col("c_custkey"))
+        .select(col("o_orderkey"))
+      val li = Tables.lineitem(spark, dir)
+        .join(orders, col("l_orderkey") === col("o_orderkey"))
+        .select(cents(col("l_extendedprice") * (lit(1d) - col("l_discount"))).as("rc"))
+      val nCust = cohort.agg(count(lit(1)).as("n_customers"))
+      val nOrd = orders.agg(count(lit(1)).as("n_orders"))
+      val nLi = li.agg(count(lit(1)).as("n_lineitems"),
+        coalesce(sum(col("rc")), lit(0L)).as("revenue_cents"))
+      nCust.crossJoin(nOrd).crossJoin(nLi)
+    },
+    Some("""
+      WITH cohort AS (
+        SELECT c_custkey FROM customer
+        WHERE ((c_custkey % 2147483648) * 2654435761) % 4294967296 % 10000 < 500),
+      o AS (
+        SELECT o_orderkey FROM orders JOIN cohort ON o_custkey = c_custkey),
+      l AS (
+        SELECT CAST(floor(l_extendedprice * (1 - l_discount) * 100 + 0.5) AS BIGINT) AS rc
+        FROM lineitem JOIN o ON l_orderkey = o_orderkey)
+      SELECT
+        (SELECT CAST(count(*) AS BIGINT) FROM cohort) AS n_customers,
+        (SELECT CAST(count(*) AS BIGINT) FROM o) AS n_orders,
+        (SELECT CAST(count(*) AS BIGINT) FROM l) AS n_lineitems,
+        (SELECT CAST(coalesce(sum(rc), 0) AS BIGINT) FROM l) AS revenue_cents
+    """))
+
   override def defs: Seq[QueryDef] =
     Seq(q269, q270, q271, q272, q273, q274, q275,
       q276, q277, q278, q279,
       q280, q281, q282, q283, q284,
-      q285, q286, q287, q288)
+      q285, q286, q287, q288,
+      q289, q290, q291, q292)
 }
