@@ -194,7 +194,10 @@ object ModelQueries extends QueryGroup {
   private val q271 = QueryDef(
     "q271_kcore_decomposition",
     (spark, dir) => {
-      val e0 = cosupplyEdges(spark, dir, 1996)
+      // materialize the edge list ONCE (q75's pattern): it appears in
+      // every peel round of the unrolled plan, and without the checkpoint
+      // each round would re-run the co-supply self-join + distinct
+      val e0 = cosupplyEdges(spark, dir, 1996).localCheckpoint(true)
       val kv = e0.groupBy(col("src")).agg(count(lit(1)).as("deg"))
         .agg(expr("min(deg) + (max(deg) - min(deg)) div 4").as("k"))
       var e = e0
