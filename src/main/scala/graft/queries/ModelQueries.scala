@@ -1333,10 +1333,245 @@ object ModelQueries extends QueryGroup {
         (SELECT CAST(coalesce(sum(rc), 0) AS BIGINT) FROM l) AS revenue_cents
     """))
 
+  /** Distributed PCA by power iteration: the top eigenvector of the
+    * embedding Gram matrix (uncentered covariance — centering would
+    * break integer exactness; the dominant direction is what per-dim
+    * quantizers and whitening passes calibrate against). Three matvec
+    * iterations in exact integers: the 64×64 Gram aggregate is built
+    * once from a positional self-join, each iteration is one 64-row
+    * join + aggregate, and normalization divides by the broadcast
+    * max-abs component with explicit sign handling (Spark `div`
+    * truncates, DuckDB `//` floors — they only agree on non-negative
+    * operands, so the CASE keeps every division non-negative).
+    *
+    * Scale shape: the Gram build is Σ_vec qv_i·qv_j — d² cells
+    * regardless of corpus size (the classic outer-product aggregate);
+    * iterations touch only d-sized vectors. */
+  private val q293 = QueryDef(
+    "q293_pca_power_iteration",
+    (spark, dir) => {
+      import graft.functions.expressions.quantize_vec
+      val comp = Tables.embeddings(spark, dir)
+        .select(col("vec_id"), posexplode(quantize_vec(col("embedding"))).as(Seq("i", "x")))
+      val cov = comp
+        .join(comp.withColumnRenamed("i", "j").withColumnRenamed("x", "y"), Seq("vec_id"))
+        .groupBy(col("i"), col("j")).agg(sum(col("x") * col("y")).as("c"))
+      def step(v: DataFrame): DataFrame = {
+        val w = cov.join(v, Seq("j")).groupBy(col("i"))
+          .agg(sum(col("c") * col("v")).as("w"))
+        val mx = w.agg(max(abs(col("w"))).as("mx"))
+        w.crossJoin(broadcast(mx))
+          .select(col("i").as("j"),
+            expr("CASE WHEN w < 0 THEN -((-w) * 1024 div mx) ELSE (w * 1024 div mx) END")
+              .as("v"))
+      }
+      val v0 = cov.select(col("j")).distinct().select(col("j"), lit(1024L).as("v"))
+      step(step(step(v0)))
+        .select(col("j").cast("long").as("dim"), col("v").as("component_q"))
+        .orderBy(col("dim"))
+    },
+    Some("""
+      WITH q AS (
+        SELECT vec_id,
+          list_transform(embedding, x -> CAST(floor(x*512 + 0.5) AS BIGINT)) AS qv
+        FROM embeddings),
+      comp AS (
+        SELECT vec_id, i - 1 AS i, qv[i] AS x
+        FROM q, unnest(range(1, len(qv) + 1)) AS t(i)),
+      cov AS (
+        SELECT a.i AS i, b.i AS j, CAST(sum(a.x * b.x) AS BIGINT) AS c
+        FROM comp a JOIN comp b USING (vec_id)
+        GROUP BY a.i, b.i),
+      v0 AS (SELECT DISTINCT j, CAST(1024 AS BIGINT) AS v FROM cov),
+      w1 AS (SELECT i, CAST(sum(c * v) AS BIGINT) AS w FROM cov JOIN v0 USING (j) GROUP BY i),
+      v1 AS (
+        SELECT i AS j,
+          CASE WHEN w < 0 THEN -((-w) * 1024 // mx) ELSE (w * 1024 // mx) END AS v
+        FROM w1, (SELECT max(abs(w)) AS mx FROM w1)),
+      w2 AS (SELECT i, CAST(sum(c * v) AS BIGINT) AS w FROM cov JOIN v1 USING (j) GROUP BY i),
+      v2 AS (
+        SELECT i AS j,
+          CASE WHEN w < 0 THEN -((-w) * 1024 // mx) ELSE (w * 1024 // mx) END AS v
+        FROM w2, (SELECT max(abs(w)) AS mx FROM w2)),
+      w3 AS (SELECT i, CAST(sum(c * v) AS BIGINT) AS w FROM cov JOIN v2 USING (j) GROUP BY i),
+      v3 AS (
+        SELECT i AS j,
+          CASE WHEN w < 0 THEN -((-w) * 1024 // mx) ELSE (w * 1024 // mx) END AS v
+        FROM w3, (SELECT max(abs(w)) AS mx FROM w3))
+      SELECT CAST(j AS BIGINT) AS dim, CAST(v AS BIGINT) AS component_q
+      FROM v3 ORDER BY dim
+    """))
+
+  /** Catalog freshness census: parts bucketed by age since first sale
+    * (months, at the corpus horizon), with each bucket's lifetime
+    * revenue share — the cold-start readout: how much demand rides on
+    * young catalog. Month index is (year−1995)·12 + month so bucket
+    * arithmetic never crosses a year boundary wrong.
+    *
+    * Scale shape: one (part) aggregate for first-sale month + revenue,
+    * the horizon a broadcast one-row max, then a 4-row bucket rollup. */
+  private val q294 = QueryDef(
+    "q294_catalog_freshness",
+    (spark, dir) => {
+      val parts = Tables.lineitem(spark, dir)
+        .select(col("l_partkey").as("part"),
+          ((year(col("l_shipdate")) - 1995) * 12 + month(col("l_shipdate")))
+            .cast("long").as("mi"),
+          cents(col("l_extendedprice") * (lit(1d) - col("l_discount"))).as("rc"))
+        .groupBy(col("part"))
+        .agg(min(col("mi")).as("first_mi"), sum(col("rc")).as("rev"))
+      val horizon = parts.agg(max(col("first_mi")).as("max_mi"))
+      parts.crossJoin(broadcast(horizon))
+        .withColumn("age", col("max_mi") - col("first_mi"))
+        .withColumn("bucket",
+          when(col("age") <= 2, "a_0_2m").when(col("age") <= 5, "b_3_5m")
+            .when(col("age") <= 11, "c_6_11m").otherwise("d_12m_plus"))
+        .groupBy(col("bucket"))
+        .agg(count(lit(1)).as("n_parts"), sum(col("rev")).as("revenue_cents"))
+        .withColumn("share_ppm", expr(
+          "revenue_cents * 1000000L div sum(revenue_cents) OVER ()"))
+        .orderBy(col("bucket"))
+    },
+    Some("""
+      WITH p AS (
+        SELECT l_partkey AS part,
+          min((year(l_shipdate) - 1995) * 12 + month(l_shipdate)) AS first_mi,
+          CAST(sum(CAST(floor(l_extendedprice * (1 - l_discount) * 100 + 0.5) AS BIGINT))
+            AS BIGINT) AS rev
+        FROM lineitem GROUP BY 1),
+      h AS (SELECT max(first_mi) AS max_mi FROM p),
+      b AS (
+        SELECT CASE WHEN max_mi - first_mi <= 2 THEN 'a_0_2m'
+                    WHEN max_mi - first_mi <= 5 THEN 'b_3_5m'
+                    WHEN max_mi - first_mi <= 11 THEN 'c_6_11m'
+                    ELSE 'd_12m_plus' END AS bucket, rev
+        FROM p, h)
+      SELECT bucket, CAST(count(*) AS BIGINT) AS n_parts,
+        CAST(sum(rev) AS BIGINT) AS revenue_cents,
+        CAST(sum(rev) * 1000000 // (SELECT sum(rev) FROM b) AS BIGINT) AS share_ppm
+      FROM b GROUP BY bucket ORDER BY bucket
+    """))
+
+  /** Shingle-width dial: for k ∈ {2, 3, 5}, how discriminative word
+    * k-shingles are — instance count, distinct count, uniqueness ppm,
+    * and repeated-shingle types. Too-narrow shingles collide on common
+    * phrases (LSH candidate explosion), too-wide ones make every doc
+    * unique (near-dups missed); this is the width complement of q261's
+    * band-shape sweep. Shingles are built by per-doc lead() windows —
+    * partitioned by doc, never global.
+    *
+    * Scale shape: one posexplode + three per-doc window passes (cheap,
+    * doc-bounded), then vocabulary-sized shingle aggregates. */
+  private val q295 = QueryDef(
+    "q295_shingle_width_sweep",
+    (spark, dir) => {
+      val tok = Tables.documents(spark, dir)
+        .select(col("doc_id"), posexplode(tokens_native(col("text"))).as(Seq("pos", "token")))
+      val w = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+      def sweep(k: Int) = tok
+        .withColumn("shingle",
+          concat_ws(" ", (0 until k).map(o =>
+            if (o == 0) col("token") else lead(col("token"), o).over(w)): _*))
+        // lead past the doc end is null; concat_ws drops nulls, so the
+        // tail would emit short shingles — require full width
+        .filter(size(split(col("shingle"), " ")) === k)
+        .groupBy(col("shingle")).agg(count(lit(1)).as("n"))
+        .agg(count(lit(1)).as("n_distinct"), sum(col("n")).as("n_instances"),
+          sum(when(col("n") > 1, 1L).otherwise(0L)).as("n_repeated_types"))
+        .select(lit(k.toLong).as("k"), col("n_instances"), col("n_distinct"),
+          col("n_repeated_types"),
+          expr("n_distinct * 1000000L div n_instances").as("uniqueness_ppm"))
+      sweep(2).unionAll(sweep(3)).unionAll(sweep(5)).orderBy(col("k"))
+    },
+    Some(s"""
+      WITH tk AS (SELECT doc_id, $duckTokens AS tk FROM documents),
+      sweep AS (
+        SELECT k, shingle, CAST(count(*) AS BIGINT) AS n FROM (
+          SELECT 2 AS k, array_to_string(list_slice(tk, i, i + 1), ' ') AS shingle
+          FROM tk, unnest(range(1, len(tk))) AS t(i)
+          UNION ALL
+          SELECT 3 AS k, array_to_string(list_slice(tk, i, i + 2), ' ') AS shingle
+          FROM tk, unnest(range(1, len(tk) - 1)) AS t(i)
+          UNION ALL
+          SELECT 5 AS k, array_to_string(list_slice(tk, i, i + 4), ' ') AS shingle
+          FROM tk, unnest(range(1, len(tk) - 3)) AS t(i))
+        GROUP BY k, shingle)
+      SELECT CAST(k AS BIGINT) AS k,
+        CAST(sum(n) AS BIGINT) AS n_instances,
+        CAST(count(*) AS BIGINT) AS n_distinct,
+        CAST(sum(CASE WHEN n > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_repeated_types,
+        CAST(count(*) * 1000000 // sum(n) AS BIGINT) AS uniqueness_ppm
+      FROM sweep GROUP BY k ORDER BY k
+    """))
+
+  /** Reciprocal-best-match entity resolution: q78's blocked Levenshtein
+    * candidates refined to MUTUAL best pairs — the dirty record's best
+    * clean match must also claim that dirty record as ITS best — the
+    * standard auto-merge safety gate (one-directional best matches
+    * produce chains; mutual ones are the safe set). Distances ≤ 2,
+    * deterministic (distance, key) tie-breaks both directions.
+    *
+    * Scale shape: candidates exist only inside last-3-char blocks
+    * (never all-pairs); the two argmin passes are keyed window ranks
+    * over the candidate set. */
+  private val q296 = QueryDef(
+    "q296_reciprocal_best_match",
+    (spark, dir) => {
+      val sup = Tables.supplier(spark, dir)
+      val dirty = sup
+        .withColumn("p", (lit(6) + col("s_suppkey") % 8).cast("int"))
+        .select(col("s_suppkey").as("d_key"),
+          expr("concat(substr(s_name, 1, p - 1), substr(s_name, p + 1))").as("d_name"))
+      val cand = sup.select(col("s_suppkey"), col("s_name"))
+        .join(dirty, substring(col("s_name"), -3, 3) === substring(col("d_name"), -3, 3))
+        .withColumn("distance", levenshtein(col("s_name"), col("d_name")).cast("long"))
+        .filter(col("distance") <= 2)
+      val bestForDirty = cand.withColumn("rn", row_number().over(
+          Window.partitionBy(col("d_key"))
+            .orderBy(col("distance"), col("s_suppkey"))))
+        .filter(col("rn") === 1)
+        .select(col("d_key"), col("s_suppkey"), col("distance"))
+      val bestForClean = cand.withColumn("rn", row_number().over(
+          Window.partitionBy(col("s_suppkey"))
+            .orderBy(col("distance"), col("d_key"))))
+        .filter(col("rn") === 1)
+        .select(col("d_key").as("b_d_key"), col("s_suppkey").as("b_s_suppkey"))
+      bestForDirty
+        .join(bestForClean,
+          col("d_key") === col("b_d_key") && col("s_suppkey") === col("b_s_suppkey"))
+        .select(col("d_key"), col("s_suppkey").as("match_key"), col("distance"))
+        .orderBy(col("d_key"))
+    },
+    Some("""
+      WITH dirty AS (
+        SELECT s_suppkey AS d_key,
+          concat(substr(s_name, 1, CAST(6 + s_suppkey % 8 AS INT) - 1),
+                 substr(s_name, CAST(6 + s_suppkey % 8 AS INT) + 1)) AS d_name
+        FROM supplier),
+      cand AS (
+        SELECT d.d_key, c.s_suppkey,
+          CAST(levenshtein(c.s_name, d.d_name) AS BIGINT) AS distance
+        FROM supplier c JOIN dirty d
+          ON substr(c.s_name, -3) = substr(d.d_name, -3)
+        WHERE levenshtein(c.s_name, d.d_name) <= 2),
+      bd AS (
+        SELECT d_key, s_suppkey, distance FROM cand
+        QUALIFY row_number() OVER (
+          PARTITION BY d_key ORDER BY distance, s_suppkey) = 1),
+      bc AS (
+        SELECT d_key, s_suppkey FROM cand
+        QUALIFY row_number() OVER (
+          PARTITION BY s_suppkey ORDER BY distance, d_key) = 1)
+      SELECT bd.d_key, bd.s_suppkey AS match_key, bd.distance
+      FROM bd JOIN bc ON bd.d_key = bc.d_key AND bd.s_suppkey = bc.s_suppkey
+      ORDER BY bd.d_key
+    """))
+
   override def defs: Seq[QueryDef] =
     Seq(q269, q270, q271, q272, q273, q274, q275,
       q276, q277, q278, q279,
       q280, q281, q282, q283, q284,
       q285, q286, q287, q288,
-      q289, q290, q291, q292)
+      q289, q290, q291, q292,
+      q293, q294, q295, q296)
 }
