@@ -1140,6 +1140,10 @@ object ModelQueries extends QueryGroup {
             expr("(estimate - actual) * 1000000L div actual").as("err_ppm"))
       }
       val li = Tables.lineitem(spark, dir)
+      // the four PK–FK edges come out err = 0 — the classic result that
+      // the flat estimate is EXACT for key joins; the self-join edge on
+      // a non-key column is where the variance penalty (Σn² > n²/d for
+      // skewed keys) shows up, and what the audit exists to expose
       edge(Tables.customer(spark, dir), "c_custkey", Tables.orders(spark, dir), "o_custkey",
           "customer_orders")
         .unionAll(edge(Tables.orders(spark, dir), "o_orderkey", li, "l_orderkey",
@@ -1148,6 +1152,8 @@ object ModelQueries extends QueryGroup {
           "part_lineitem"))
         .unionAll(edge(Tables.supplier(spark, dir), "s_suppkey", li, "l_suppkey",
           "supplier_lineitem"))
+        .unionAll(edge(Tables.orders(spark, dir), "o_custkey", Tables.orders(spark, dir),
+          "o_custkey", "orders_selfjoin_custkey"))
         .orderBy(col("edge"))
     },
     Some {
@@ -1167,7 +1173,8 @@ object ModelQueries extends QueryGroup {
         duckEdge("customer", "c_custkey", "orders", "o_custkey", "customer_orders"),
         duckEdge("orders", "o_orderkey", "lineitem", "l_orderkey", "orders_lineitem"),
         duckEdge("part", "p_partkey", "lineitem", "l_partkey", "part_lineitem"),
-        duckEdge("supplier", "s_suppkey", "lineitem", "l_suppkey", "supplier_lineitem"))
+        duckEdge("supplier", "s_suppkey", "lineitem", "l_suppkey", "supplier_lineitem"),
+        duckEdge("orders", "o_custkey", "orders", "o_custkey", "orders_selfjoin_custkey"))
         .mkString("", "\nUNION ALL", "\nORDER BY edge")
     })
 

@@ -254,6 +254,101 @@ class ModelOpsSpec extends SparkSpec {
     assert(rows.forall(_.getAs[Long]("n_parts") >= 1))
   }
 
+  // ---------------------------------------------------------------- q289
+
+  test("cardinality audit: flat estimate exact on PK-FK edges, low on skewed self-join") {
+    val rows = run("q289_cardinality_estimation_audit").collect()
+    assert(rows.length == 5)
+    for (r <- rows) {
+      val (edge, err) = (r.getAs[String]("edge"), r.getAs[Long]("err_ppm"))
+      if (edge == "orders_selfjoin_custkey")
+        assert(err < 0, s"skewed self-join should be underestimated, err=$err")
+      else assert(err == 0L, s"PK-FK edge $edge must estimate exactly, err=$err")
+    }
+  }
+
+  // ---------------------------------------------------------------- q290
+
+  test("scalar k-means: centroids ordered, counts conserve the corpus") {
+    val rows = run("q290_scalar_kmeans_codebook").collect()
+      .sortBy(_.getAs[Long]("centroid_idx"))
+    val cents = rows.map(_.getAs[Long]("centroid_c"))
+    assert(cents.zip(cents.tail).forall { case (a, b) => a < b },
+      s"centroids must be strictly increasing: ${cents.mkString(",")}")
+    val total = Tables.orders(spark, sfDir).count()
+    assert(rows.map(_.getAs[Long]("n_orders")).sum == total)
+  }
+
+  // ---------------------------------------------------------------- q291
+
+  test("eta-squared is a valid share of variance") {
+    val rows = run("q291_anova_eta_squared").collect()
+    assert(rows.length == 2)
+    for (r <- rows) {
+      val e = r.getAs[Long]("eta2_ppm")
+      assert(e >= 0 && e <= 1000000L, s"eta2_ppm $e out of [0, 1e6]")
+    }
+  }
+
+  // ---------------------------------------------------------------- q292
+
+  test("cascade-delete plan: cohort near 5%, non-negative reach") {
+    val r = run("q292_cascade_delete_plan").collect().head
+    val nCust = Tables.customer(spark, sfDir).count()
+    val cohort = r.getAs[Long]("n_customers")
+    assert(cohort > 0 && cohort < nCust / 5, s"cohort $cohort of $nCust not ~5%")
+    assert(r.getAs[Long]("n_lineitems") >= r.getAs[Long]("n_orders"))
+    assert(r.getAs[Long]("revenue_cents") >= 0)
+  }
+
+  // ---------------------------------------------------------------- q293
+
+  test("PCA power iteration: 64 dims, normalized to max-abs 1024") {
+    val rows = run("q293_pca_power_iteration").collect()
+    assert(rows.length == 64)
+    val comps = rows.map(_.getAs[Long]("component_q"))
+    assert(comps.forall(c => math.abs(c) <= 1024L))
+    assert(comps.map(math.abs).max == 1024L,
+      "normalization must pin the max-abs component to exactly 1024")
+  }
+
+  // ---------------------------------------------------------------- q294
+
+  test("catalog freshness: shares sum to ~1e6 (floor rounding only)") {
+    val rows = run("q294_catalog_freshness").collect()
+    val shareSum = rows.map(_.getAs[Long]("share_ppm")).sum
+    assert(shareSum <= 1000000L && shareSum >= 1000000L - rows.length,
+      s"share_ppm sums to $shareSum")
+    val buckets = rows.map(_.getAs[String]("bucket")).toSet
+    assert(buckets.subsetOf(Set("a_0_2m", "b_3_5m", "c_6_11m", "d_12m_plus")))
+  }
+
+  // ---------------------------------------------------------------- q295
+
+  test("shingle sweep: uniqueness rises and volume falls with width") {
+    val rows = run("q295_shingle_width_sweep").collect().sortBy(_.getAs[Long]("k"))
+    assert(rows.length == 3)
+    val uniq = rows.map(_.getAs[Long]("uniqueness_ppm"))
+    assert(uniq.zip(uniq.tail).forall { case (a, b) => a <= b },
+      s"uniqueness must not fall as k grows: ${uniq.mkString(",")}")
+    val inst = rows.map(_.getAs[Long]("n_instances"))
+    assert(inst.zip(inst.tail).forall { case (a, b) => a >= b })
+    for (r <- rows)
+      assert(r.getAs[Long]("n_distinct") <= r.getAs[Long]("n_instances"))
+  }
+
+  // ---------------------------------------------------------------- q296
+
+  test("reciprocal best match: mutual pairs are injective both ways") {
+    val rows = run("q296_reciprocal_best_match").collect()
+    assert(rows.nonEmpty)
+    val dks = rows.map(_.getAs[Long]("d_key"))
+    val mks = rows.map(_.getAs[Long]("match_key"))
+    assert(dks.distinct.length == dks.length, "a dirty record matched twice")
+    assert(mks.distinct.length == mks.length, "a clean record claimed twice")
+    assert(rows.forall(_.getAs[Long]("distance") <= 2))
+  }
+
   // ---------------------------------------------------------------- q288
 
   test("hub capping: kept share is monotone in cap and <= 1e6") {
