@@ -1574,11 +1574,248 @@ object ModelQueries extends QueryGroup {
       ORDER BY bd.d_key
     """))
 
+  /** Delta-varint encoding planner: if each user's event timestamps are
+    * delta-encoded (first value full-width, then per-gap varint bytes at
+    * the 7-bit-per-byte thresholds), how many bytes does the column need
+    * vs raw int64 — the layout decision behind every timestamp column's
+    * encoding choice, answered without writing a single encoded byte.
+    * Gap byte widths are exact integer CASEs, so the plan is
+    * bit-deterministic.
+    *
+    * Scale shape: one lag window per user (user-bounded partitions,
+    * never global) + one corpus aggregate. */
+  private val q297 = QueryDef(
+    "q297_delta_varint_plan",
+    (spark, dir) => {
+      import graft.functions.Deterministic.epochS
+      val w = Window.partitionBy(col("user_id")).orderBy(col("ts_s"), col("event_id"))
+      Tables.events(spark, dir)
+        .select(col("user_id"), col("event_id"), epochS(col("ts")).as("ts_s"))
+        .withColumn("gap", col("ts_s") - lag(col("ts_s"), 1).over(w))
+        .withColumn("vbytes", expr(
+          """CASE WHEN gap IS NULL THEN 8
+                  WHEN gap < 128 THEN 1
+                  WHEN gap < 16384 THEN 2
+                  WHEN gap < 2097152 THEN 3
+                  WHEN gap < 268435456 THEN 4
+                  ELSE 5 END"""))
+        .agg(count(lit(1)).as("n_values"),
+          (count(lit(1)) * 8).as("raw_bytes"),
+          sum(col("vbytes")).as("varint_bytes"))
+        .select(col("n_values"), col("raw_bytes"), col("varint_bytes"),
+          expr("(raw_bytes - varint_bytes) * 1000000L div raw_bytes").as("savings_ppm"))
+    },
+    Some("""
+      WITH e AS (
+        SELECT user_id, event_id, CAST(epoch_ms(ts) // 1000 AS BIGINT) AS ts_s
+        FROM events),
+      g AS (
+        SELECT ts_s - lag(ts_s) OVER (
+            PARTITION BY user_id ORDER BY ts_s, event_id) AS gap
+        FROM e),
+      b AS (
+        SELECT CASE WHEN gap IS NULL THEN 8
+                    WHEN gap < 128 THEN 1
+                    WHEN gap < 16384 THEN 2
+                    WHEN gap < 2097152 THEN 3
+                    WHEN gap < 268435456 THEN 4
+                    ELSE 5 END AS vbytes
+        FROM g)
+      SELECT CAST(count(*) AS BIGINT) AS n_values,
+        CAST(count(*) * 8 AS BIGINT) AS raw_bytes,
+        CAST(sum(vbytes) AS BIGINT) AS varint_bytes,
+        CAST((count(*) * 8 - sum(vbytes)) * 1000000 // (count(*) * 8) AS BIGINT)
+          AS savings_ppm
+      FROM b
+    """))
+
+  /** Watermark-lateness sweep: per-key event lateness (arrival order
+    * proxied by event id, as a Kafka per-partition stream would see it)
+    * against candidate watermark delays 1 min / 5 min / 15 min — how
+    * many events each delay would drop. The batch dry-run behind the
+    * reference's hardcoded withWatermark("1 minute") (W1): measure
+    * before committing a delay to production state eviction.
+    *
+    * Scale shape: one running-max window per user (user-bounded), then
+    * the 3-row sweep joins the user-sized lateness census — the events
+    * table is scanned once. */
+  private val q298 = QueryDef(
+    "q298_watermark_lateness_sweep",
+    (spark, dir) => {
+      import graft.functions.Deterministic.epochS
+      val w = Window.partitionBy(col("user_id")).orderBy(col("event_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      Tables.events(spark, dir)
+        .select(col("user_id"), col("event_id"), epochS(col("ts")).as("ts_s"))
+        .withColumn("lateness", max(col("ts_s")).over(w) - col("ts_s"))
+        .select(col("lateness"),
+          explode(array(lit(60L), lit(300L), lit(900L))).as("delay_s"))
+        .groupBy(col("delay_s"))
+        .agg(count(lit(1)).as("n_events"),
+          sum(when(col("lateness") > col("delay_s"), 1L).otherwise(0L)).as("n_dropped"))
+        .select(col("delay_s"), col("n_events"), col("n_dropped"),
+          expr("n_dropped * 1000000L div n_events").as("dropped_ppm"))
+        .orderBy(col("delay_s"))
+    },
+    Some("""
+      WITH e AS (
+        SELECT user_id, event_id, CAST(epoch_ms(ts) // 1000 AS BIGINT) AS ts_s
+        FROM events),
+      l AS (
+        SELECT max(ts_s) OVER (PARTITION BY user_id ORDER BY event_id
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - ts_s AS lateness
+        FROM e),
+      sweep AS (
+        SELECT CAST(delay_s AS BIGINT) AS delay_s, lateness
+        FROM l CROSS JOIN (VALUES (60), (300), (900)) AS t(delay_s))
+      SELECT delay_s, CAST(count(*) AS BIGINT) AS n_events,
+        CAST(sum(CASE WHEN lateness > delay_s THEN 1 ELSE 0 END) AS BIGINT)
+          AS n_dropped,
+        CAST(sum(CASE WHEN lateness > delay_s THEN 1 ELSE 0 END) * 1000000
+          // count(*) AS BIGINT) AS dropped_ppm
+      FROM sweep GROUP BY delay_s ORDER BY delay_s
+    """))
+
+  /** Rare-level collapse planning: per categorical column, how many
+    * levels fall under 1% mass (the "other"-bucket candidates) and how
+    * much row mass the kept levels retain — the cardinality-reduction
+    * decision before one-hot/target encoding (q254/q124 consume the
+    * result). The 1% cut is computed against the column's own total via
+    * a window over the LEVEL table (vocabulary-sized, sanctioned).
+    *
+    * Scale shape: one (column, level) hash aggregate per column over
+    * narrow projections; everything downstream is level-sized. */
+  private val q299 = QueryDef(
+    "q299_rare_level_collapse_plan",
+    (spark, dir) => {
+      def plan(df: DataFrame, colName: String, tag: String) = {
+        val lv = df.select(col(colName).as("level"))
+          .groupBy(col("level")).agg(count(lit(1)).as("n"))
+        lv.withColumn("total", sum(col("n")).over(Window.rowsBetween(
+            Window.unboundedPreceding, Window.unboundedFollowing)))
+          .withColumn("rare", col("n") * 100 < col("total"))
+          .agg(count(lit(1)).as("n_levels"),
+            sum(when(col("rare"), 1L).otherwise(0L)).as("n_rare_levels"),
+            sum(when(!col("rare"), col("n")).otherwise(0L)).as("kept_rows"),
+            sum(col("n")).as("total_rows"))
+          .select(lit(tag).as("column_name"), col("n_levels"), col("n_rare_levels"),
+            expr("kept_rows * 1000000L div total_rows").as("kept_ppm"))
+      }
+      plan(Tables.part(spark, dir), "p_brand", "part_brand")
+        .unionAll(plan(Tables.part(spark, dir), "p_type", "part_type"))
+        .unionAll(plan(Tables.events(spark, dir), "event_type", "event_type"))
+        .unionAll(plan(Tables.orders(spark, dir), "o_orderpriority", "order_priority"))
+        .orderBy(col("column_name"))
+    },
+    Some {
+      def duckPlan(tbl: String, c: String, tag: String) = s"""
+        SELECT '$tag' AS column_name, CAST(count(*) AS BIGINT) AS n_levels,
+          CAST(sum(CASE WHEN n * 100 < total THEN 1 ELSE 0 END) AS BIGINT)
+            AS n_rare_levels,
+          CAST(sum(CASE WHEN n * 100 >= total THEN n ELSE 0 END) * 1000000
+            // sum(n) AS BIGINT) AS kept_ppm
+        FROM (
+          SELECT n, sum(n) OVER () AS total FROM (
+            SELECT $c AS level, CAST(count(*) AS BIGINT) AS n FROM $tbl GROUP BY 1))"""
+      Seq(duckPlan("part", "p_brand", "part_brand"),
+        duckPlan("part", "p_type", "part_type"),
+        duckPlan("events", "event_type", "event_type"),
+        duckPlan("orders", "o_orderpriority", "order_priority"))
+        .mkString("", "\nUNION ALL", "\nORDER BY column_name")
+    })
+
+  /** Five-stage curation funnel composing the round-5 operators: exact
+    * dedup on normalized text → template-cluster strike (first-6-words
+    * clusters > 3 struck, q282's key) → LM filter (q269's bigram score
+    * ≥ the corpus mean) → 50% reproducible hash sample. Each stage
+    * reports surviving docs + chars — the end-to-end yield curve a
+    * curation run publishes (q51's funnel, upgraded to the model-based
+    * stages).
+    *
+    * Scale shape: every stage is a narrow filter or digest-keyed
+    * aggregate; the LM score reuses the vocabulary²-bounded bigram
+    * model; the mean threshold is a broadcast one-row aggregate. */
+  private val q300 = QueryDef(
+    "q300_curation_funnel_v2",
+    (spark, dir) => {
+      val d = Tables.documents(spark, dir)
+        .select(col("doc_id"), col("n_chars"), col("text"),
+          md5(trim(regexp_replace(lower(col("text")), "\\s+", " "))).as("norm_digest"),
+          md5(concat_ws(" ", slice(tokens_native(col("text")), 1, 6))).as("tmpl_digest"))
+      val s1 = d.withColumn("rn", row_number().over(
+          Window.partitionBy(col("norm_digest")).orderBy(col("doc_id"))))
+        .filter(col("rn") === 1).drop("rn")
+      val s2 = s1.withColumn("tn", count(lit(1)).over(
+          Window.partitionBy(col("tmpl_digest"))))
+        .filter(col("tn") <= 3).drop("tn")
+      // q269's per-doc LM score over the full corpus model
+      val bb = bigrams(spark, dir)
+      val cnt = bb.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("cnt"))
+      val head = cnt.groupBy(col("w1")).agg(sum(col("cnt")).as("head_total"))
+      val scores = bb.join(cnt, Seq("w1", "w2")).join(head, Seq("w1"))
+        .select(col("doc_id"), expr("cnt * 1000000L div head_total").as("term"))
+        .groupBy(col("doc_id"))
+        .agg(sum(col("term")).as("s"), count(lit(1)).as("nb"))
+        .select(col("doc_id"), expr("s div nb").as("score_ppm"))
+      val meanScore = scores.agg(sum(col("score_ppm")).as("ss"), count(lit(1)).as("nn"))
+        .select(expr("ss div nn").as("mean_score"))
+      val s3 = s2.join(scores, Seq("doc_id")).crossJoin(broadcast(meanScore))
+        .filter(col("score_ppm") >= col("mean_score"))
+      val s4 = s3.filter(Sampling.keyHash(col("doc_id")) % 10000 < 5000)
+      def stage(df: DataFrame, tag: String) =
+        df.agg(count(lit(1)).as("n_docs"),
+            coalesce(sum(col("n_chars")), lit(0L)).as("total_chars"))
+          .select(lit(tag).as("stage"), col("n_docs"), col("total_chars"))
+      stage(d, "s0_all")
+        .unionAll(stage(s1, "s1_exact_norm"))
+        .unionAll(stage(s2, "s2_template"))
+        .unionAll(stage(s3, "s3_lm_filter"))
+        .unionAll(stage(s4, "s4_sample"))
+        .orderBy(col("stage"))
+    },
+    Some(s"""
+      WITH $duckBigrams,
+      c AS (SELECT w1, w2, CAST(count(*) AS BIGINT) AS cnt FROM bb GROUP BY 1, 2),
+      h AS (SELECT w1, CAST(sum(cnt) AS BIGINT) AS head_total FROM c GROUP BY 1),
+      sc AS (
+        SELECT doc_id,
+          CAST(sum(cnt * 1000000 // head_total) // count(*) AS BIGINT) AS score_ppm
+        FROM bb JOIN c USING (w1, w2) JOIN h USING (w1)
+        GROUP BY doc_id),
+      ms AS (SELECT CAST(sum(score_ppm) // count(*) AS BIGINT) AS mean_score FROM sc),
+      d AS (
+        SELECT doc_id, n_chars,
+          md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS norm_digest,
+          md5(array_to_string(list_slice($duckTokens, 1, 6), ' ')) AS tmpl_digest
+        FROM documents),
+      s1 AS (
+        SELECT * FROM d
+        QUALIFY row_number() OVER (PARTITION BY norm_digest ORDER BY doc_id) = 1),
+      s2 AS (
+        SELECT * FROM (
+          SELECT *, count(*) OVER (PARTITION BY tmpl_digest) AS tn FROM s1)
+        WHERE tn <= 3),
+      s3 AS (
+        SELECT s2.doc_id, s2.n_chars FROM s2 JOIN sc USING (doc_id), ms
+        WHERE sc.score_ppm >= ms.mean_score),
+      s4 AS (
+        SELECT * FROM s3
+        WHERE ((doc_id % 2147483648) * 2654435761) % 4294967296 % 10000 < 5000)
+      SELECT 's0_all' AS stage, CAST(count(*) AS BIGINT) AS n_docs,
+        CAST(coalesce(sum(n_chars), 0) AS BIGINT) AS total_chars FROM d
+      UNION ALL SELECT 's1_exact_norm', count(*), coalesce(sum(n_chars), 0) FROM s1
+      UNION ALL SELECT 's2_template', count(*), coalesce(sum(n_chars), 0) FROM s2
+      UNION ALL SELECT 's3_lm_filter', count(*), coalesce(sum(n_chars), 0) FROM s3
+      UNION ALL SELECT 's4_sample', count(*), coalesce(sum(n_chars), 0) FROM s4
+      ORDER BY stage
+    """))
+
   override def defs: Seq[QueryDef] =
     Seq(q269, q270, q271, q272, q273, q274, q275,
       q276, q277, q278, q279,
       q280, q281, q282, q283, q284,
       q285, q286, q287, q288,
       q289, q290, q291, q292,
-      q293, q294, q295, q296)
+      q293, q294, q295, q296,
+      q297, q298, q299, q300)
 }
