@@ -1810,6 +1810,402 @@ object ModelQueries extends QueryGroup {
       ORDER BY stage
     """))
 
+  /** Integer floor-log2 as a CASE chain (engine-portable: libm log2 of
+    * a power of two may land a hair under the integer in either engine;
+    * threshold comparisons cannot). Valid for 1 ≤ x < 2^20. */
+  private def log2Case(x: String): String =
+    (1 to 20).map(k => s"WHEN $x < ${1L << k} THEN ${k - 1}")
+      .mkString("CASE ", " ", " ELSE 20 END")
+
+  /** Zipf rank–frequency slope: OLS over (⌊log2 rank⌋, ⌊log2 freq⌋) of
+    * the token frequency table — natural text lands near −1; synthetic
+    * or templated corpora drift toward 0 (flat) — a one-number corpus
+    * naturalness fingerprint. Integer-exact: floor-log2 via threshold
+    * CASEs, the slope as a sign-safe cross-multiplied rational in
+    * milli-units (negative division is truncation-vs-floor territory,
+    * so the CASE keeps operands non-negative, like q293).
+    *
+    * Scale shape: the rank window runs over the vocabulary table only
+    * (q122's sanction); the OLS moments are one aggregate over it. */
+  private val q301 = QueryDef(
+    "q301_zipf_slope",
+    (spark, dir) => {
+      val freq = Tables.documents(spark, dir)
+        .select(explode(tokens_native(col("text"))).as("token"))
+        .groupBy(col("token")).agg(count(lit(1)).as("f"))
+      freq
+        .withColumn("rnk", row_number().over(
+          Window.orderBy(col("f").desc, col("token"))).cast("long"))
+        .select(expr(log2Case("rnk")).as("x"), expr(log2Case("f")).as("y"))
+        .agg(count(lit(1)).as("n"), sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+          sum(col("x") * col("x")).as("sxx"), sum(col("x") * col("y")).as("sxy"))
+        .select(col("n").as("n_points"),
+          expr("""CASE WHEN n * sxy - sx * sy < 0
+                  THEN -((-(n * sxy - sx * sy)) * 1000 div (n * sxx - sx * sx))
+                  ELSE (n * sxy - sx * sy) * 1000 div (n * sxx - sx * sx) END""")
+            .as("slope_mq"))
+    },
+    Some(s"""
+      WITH freq AS (
+        SELECT token, CAST(count(*) AS BIGINT) AS f FROM (
+          SELECT unnest($duckTokens) AS token FROM documents)
+        GROUP BY token),
+      r AS (
+        SELECT ${log2Case("rnk")} AS x, ${log2Case("f")} AS y FROM (
+          SELECT f, CAST(row_number() OVER (ORDER BY f DESC, token) AS BIGINT) AS rnk
+          FROM freq)),
+      m AS (
+        SELECT CAST(count(*) AS BIGINT) AS n, CAST(sum(x) AS BIGINT) AS sx,
+          CAST(sum(y) AS BIGINT) AS sy, CAST(sum(x * x) AS BIGINT) AS sxx,
+          CAST(sum(x * y) AS BIGINT) AS sxy
+        FROM r)
+      SELECT n AS n_points,
+        CASE WHEN n * sxy - sx * sy < 0
+             THEN -((-(n * sxy - sx * sy)) * 1000 // (n * sxx - sx * sx))
+             ELSE (n * sxy - sx * sy) * 1000 // (n * sxx - sx * sx) END AS slope_mq
+      FROM m
+    """))
+
+  /** Stratified minibatch scheduling audit: documents dealt round-robin
+    * into 16 batches WITHIN each language (batch = (per-lang rank − 1)
+    * mod 16) — the deterministic data-loader schedule that keeps every
+    * batch's language mix within ±1 doc of every other. The audit
+    * proves the bound: per-language min/max batch occupancy spread ≤ 1
+    * by construction, visible in the output.
+    *
+    * Scale shape: one per-lang rank window (lang-bounded partitions) +
+    * two keyed hash aggregates; nothing global. */
+  private val q302 = QueryDef(
+    "q302_minibatch_mix_evenness",
+    (spark, dir) => {
+      Tables.documents(spark, dir)
+        .withColumn("rn", row_number().over(
+          Window.partitionBy(col("lang")).orderBy(col("doc_id"))))
+        .withColumn("batch", (col("rn") - 1) % 16)
+        .groupBy(col("lang"), col("batch")).agg(count(lit(1)).as("n"))
+        .groupBy(col("lang"))
+        .agg(sum(col("n")).as("n_docs"), min(col("n")).as("min_per_batch"),
+          max(col("n")).as("max_per_batch"))
+        .select(col("lang"), col("n_docs"), col("min_per_batch"), col("max_per_batch"),
+          (col("max_per_batch") - col("min_per_batch")).as("spread"))
+        .orderBy(col("lang"))
+    },
+    Some("""
+      WITH r AS (
+        SELECT lang,
+          (row_number() OVER (PARTITION BY lang ORDER BY doc_id) - 1) % 16 AS batch
+        FROM documents),
+      b AS (
+        SELECT lang, batch, CAST(count(*) AS BIGINT) AS n
+        FROM r GROUP BY lang, batch)
+      SELECT lang, CAST(sum(n) AS BIGINT) AS n_docs,
+        CAST(min(n) AS BIGINT) AS min_per_batch,
+        CAST(max(n) AS BIGINT) AS max_per_batch,
+        CAST(max(n) - min(n) AS BIGINT) AS spread
+      FROM b GROUP BY lang ORDER BY lang
+    """))
+
+  /** Ratio-to-moving-average seasonal adjustment: monthly revenue
+    * against its centered 12-month moving average (sum div 12 — exact
+    * integer), emitted as ppm of trend. The deseasonalized readout
+    * planners consume instead of raw monthlies; months without a full
+    * 12-month window emit no verdict (honest edges, like q130).
+    *
+    * Scale shape: the corpus collapses to one row per month before the
+    * window; the centered frame runs over the month table only. */
+  private val q303 = QueryDef(
+    "q303_seasonal_adjustment",
+    (spark, dir) => {
+      val monthly = Tables.lineitem(spark, dir)
+        .select(((year(col("l_shipdate")) - 1995) * 12 + month(col("l_shipdate")) - 1)
+            .cast("long").as("mi"),
+          cents(col("l_extendedprice") * (lit(1d) - col("l_discount"))).as("rc"))
+        .groupBy(col("mi")).agg(sum(col("rc")).as("revenue_cents"))
+      val w = Window.orderBy(col("mi")).rowsBetween(-6, 5)
+      monthly
+        .withColumn("win_n", count(lit(1)).over(w))
+        .withColumn("win_sum", sum(col("revenue_cents")).over(w))
+        .filter(col("win_n") === 12)
+        .select(col("mi"), col("revenue_cents"),
+          expr("win_sum div 12").as("ma_cents"),
+          expr("revenue_cents * 1000000L div (win_sum div 12)").as("sa_ppm"))
+        .orderBy(col("mi"))
+    },
+    Some("""
+      WITH m AS (
+        SELECT CAST((year(l_shipdate) - 1995) * 12 + month(l_shipdate) - 1 AS BIGINT)
+            AS mi,
+          CAST(sum(CAST(floor(l_extendedprice * (1 - l_discount) * 100 + 0.5) AS BIGINT))
+            AS BIGINT) AS revenue_cents
+        FROM lineitem GROUP BY 1),
+      w AS (
+        SELECT mi, revenue_cents,
+          count(*) OVER win AS win_n,
+          sum(revenue_cents) OVER win AS win_sum
+        FROM m
+        WINDOW win AS (ORDER BY mi ROWS BETWEEN 6 PRECEDING AND 5 FOLLOWING))
+      SELECT mi, revenue_cents,
+        CAST(win_sum // 12 AS BIGINT) AS ma_cents,
+        CAST(revenue_cents * 1000000 // (win_sum // 12) AS BIGINT) AS sa_ppm
+      FROM w WHERE win_n = 12 ORDER BY mi
+    """))
+
+  /** Dispersion census: variance-to-mean ratio (ppm) of the three core
+    * count distributions — lineitems per order, orders per customer,
+    * events per user. VMR ≈ 1e6 means Poisson-like arrivals; well above
+    * means burstiness/heavy keys (shuffle-skew early warning, the
+    * statistical root of what q232 measures structurally). Exact:
+    * VMR = (g·Σn² − S²)·10^6 div (g·S) from integer moments.
+    *
+    * Scale shape: one keyed count aggregate + one moment rollup per
+    * distribution; three narrow scans total. */
+  private val q304 = QueryDef(
+    "q304_dispersion_census",
+    (spark, dir) => {
+      def vmr(df: DataFrame, key: String, tag: String) =
+        df.groupBy(col(key)).agg(count(lit(1)).as("n"))
+          .agg(count(lit(1)).as("g"), sum(col("n")).as("s"),
+            sum(col("n") * col("n")).as("q"))
+          .select(lit(tag).as("distribution"), col("g").as("n_groups"),
+            expr("s * 1000L div g").as("mean_mq"),
+            expr("(g * q - s * s) * 1000000L div (g * s)").as("vmr_ppm"))
+      vmr(Tables.lineitem(spark, dir), "l_orderkey", "lineitems_per_order")
+        .unionAll(vmr(Tables.orders(spark, dir), "o_custkey", "orders_per_customer"))
+        .unionAll(vmr(Tables.events(spark, dir), "user_id", "events_per_user"))
+        .orderBy(col("distribution"))
+    },
+    Some {
+      def duckVmr(tbl: String, k: String, tag: String) = s"""
+        SELECT '$tag' AS distribution, CAST(count(*) AS BIGINT) AS n_groups,
+          CAST(sum(n) * 1000 // count(*) AS BIGINT) AS mean_mq,
+          CAST((count(*) * sum(n * n) - sum(n) * sum(n)) * 1000000
+            // (count(*) * sum(n)) AS BIGINT) AS vmr_ppm
+        FROM (SELECT $k, CAST(count(*) AS BIGINT) AS n FROM $tbl GROUP BY $k)"""
+      Seq(duckVmr("lineitem", "l_orderkey", "lineitems_per_order"),
+        duckVmr("orders", "o_custkey", "orders_per_customer"),
+        duckVmr("events", "user_id", "events_per_user"))
+        .mkString("", "\nUNION ALL", "\nORDER BY distribution")
+    })
+
+  /** Repeat-purchase cadence: median days between consecutive orders
+    * per market segment, computed at day-histogram granularity (the
+    * cumulative window runs over distinct gap values per segment, never
+    * over customers — q36's rank-selection discipline). The
+    * replenishment-cycle number segment marketing calendars against.
+    *
+    * Scale shape: per-customer lag windows (customer-bounded), one
+    * (segment, gap) histogram aggregate, and a gap-value-sized
+    * cumulative pass. */
+  private val q305 = QueryDef(
+    "q305_repeat_purchase_interval",
+    (spark, dir) => {
+      import graft.functions.Deterministic.epochS
+      val w = Window.partitionBy(col("o_custkey")).orderBy(col("day"), col("o_orderkey"))
+      val gaps = Tables.orders(spark, dir)
+        .select(col("o_custkey"), col("o_orderkey"),
+          (epochS(col("o_orderdate")) / 86400L).cast("long").as("day"))
+        .withColumn("gap_days", col("day") - lag(col("day"), 1).over(w))
+        .filter(col("gap_days").isNotNull)
+        .join(Tables.customer(spark, dir).select(col("c_custkey"), col("c_mktsegment")),
+          col("o_custkey") === col("c_custkey"))
+      val hist = gaps.groupBy(col("c_mktsegment"), col("gap_days"))
+        .agg(count(lit(1)).as("cnt"))
+      val wc = Window.partitionBy(col("c_mktsegment")).orderBy(col("gap_days"))
+      val wa = Window.partitionBy(col("c_mktsegment"))
+      hist
+        .withColumn("cum", sum(col("cnt")).over(wc))
+        .withColumn("n", sum(col("cnt")).over(wa))
+        .filter(col("cum") * 2 >= col("n"))
+        .groupBy(col("c_mktsegment"))
+        .agg(min(col("gap_days")).as("median_gap_days"), max(col("n")).as("n_intervals"))
+        .select(col("c_mktsegment").as("segment"), col("n_intervals"),
+          col("median_gap_days"))
+        .orderBy(col("segment"))
+    },
+    Some("""
+      WITH o AS (
+        SELECT o_custkey, o_orderkey,
+          CAST(epoch_ms(o_orderdate) // 1000 // 86400 AS BIGINT) AS day
+        FROM orders),
+      g AS (
+        SELECT o_custkey,
+          day - lag(day) OVER (
+            PARTITION BY o_custkey ORDER BY day, o_orderkey) AS gap_days
+        FROM o),
+      j AS (
+        SELECT c_mktsegment, gap_days
+        FROM g JOIN customer ON o_custkey = c_custkey
+        WHERE gap_days IS NOT NULL),
+      h AS (
+        SELECT c_mktsegment, gap_days, CAST(count(*) AS BIGINT) AS cnt
+        FROM j GROUP BY 1, 2),
+      c AS (
+        SELECT c_mktsegment, gap_days,
+          sum(cnt) OVER (PARTITION BY c_mktsegment ORDER BY gap_days) AS cum,
+          sum(cnt) OVER (PARTITION BY c_mktsegment) AS n
+        FROM h)
+      SELECT c_mktsegment AS segment, CAST(max(n) AS BIGINT) AS n_intervals,
+        CAST(min(gap_days) AS BIGINT) AS median_gap_days
+      FROM c WHERE cum * 2 >= n
+      GROUP BY c_mktsegment ORDER BY segment
+    """))
+
+  /** Brand cannibalization screen: Pearson correlation of monthly
+    * revenue between every brand pair (integer moments, q66's identity,
+    * the one IEEE division shared verbatim) over months both brands
+    * sold — the five most NEGATIVE pairs are substitution candidates
+    * (one brand's good month is the other's bad one). ≥ 24 common
+    * months required so noise can't fake a signal.
+    *
+    * Scale shape: the corpus collapses to (brand, month) first; the
+    * pair join runs brand-vocabulary-sized (25 brands → 300 pairs),
+    * never over facts. */
+  private val q306 = QueryDef(
+    "q306_brand_cannibalization",
+    (spark, dir) => {
+      // monthly revenue quantized to kilodollars (cents div 100000): every
+      // moment product then stays below 2^53, so the integer→double images
+      // are exact and the IEEE correlation is bit-identical cross-engine
+      // (raw cents would push sx·sy to ~10^21 — silent long wrap territory)
+      val bm = Tables.lineitem(spark, dir)
+        .join(Tables.part(spark, dir).select(col("p_partkey"), col("p_brand")),
+          col("l_partkey") === col("p_partkey"))
+        .select(col("p_brand").as("brand"),
+          ((year(col("l_shipdate")) - 1995) * 12 + month(col("l_shipdate")) - 1)
+            .cast("long").as("mi"),
+          cents(col("l_extendedprice") * (lit(1d) - col("l_discount"))).as("rc"))
+        .groupBy(col("brand"), col("mi"))
+        .agg(expr("sum(rc) div 100000").as("r"))
+      val pairs = bm.select(col("brand").as("brand_a"), col("mi"), col("r").as("x"))
+        .join(bm.select(col("brand").as("brand_b"), col("mi"), col("r").as("y")), Seq("mi"))
+        .filter(col("brand_a") < col("brand_b"))
+      pairs.groupBy(col("brand_a"), col("brand_b"))
+        .agg(count(lit(1)).as("n"), sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+          sum(col("x") * col("x")).as("sxx"), sum(col("y") * col("y")).as("syy"),
+          sum(col("x") * col("y")).as("sxy"))
+        .filter(col("n") >= 24)
+        .select(col("brand_a"), col("brand_b"), col("n").as("n_months"),
+          (expr("CAST(n * sxy - sx * sy AS DOUBLE)") /
+            (sqrt(expr("CAST(n * sxx - sx * sx AS DOUBLE)")) *
+              sqrt(expr("CAST(n * syy - sy * sy AS DOUBLE)")))).as("pearson_r"))
+        .orderBy(col("pearson_r"), col("brand_a"), col("brand_b"))
+        .limit(5)
+    },
+    Some("""
+      WITH bm AS (
+        SELECT p_brand AS brand,
+          CAST((year(l_shipdate) - 1995) * 12 + month(l_shipdate) - 1 AS BIGINT) AS mi,
+          CAST(sum(CAST(floor(l_extendedprice * (1 - l_discount) * 100 + 0.5) AS BIGINT))
+            // 100000 AS BIGINT) AS r
+        FROM lineitem JOIN part ON l_partkey = p_partkey
+        GROUP BY 1, 2),
+      p AS (
+        SELECT a.brand AS brand_a, b.brand AS brand_b,
+          CAST(count(*) AS BIGINT) AS n,
+          CAST(sum(a.r) AS BIGINT) AS sx, CAST(sum(b.r) AS BIGINT) AS sy,
+          CAST(sum(a.r * a.r) AS BIGINT) AS sxx,
+          CAST(sum(b.r * b.r) AS BIGINT) AS syy,
+          CAST(sum(a.r * b.r) AS BIGINT) AS sxy
+        FROM bm a JOIN bm b ON a.mi = b.mi AND a.brand < b.brand
+        GROUP BY 1, 2
+        HAVING count(*) >= 24)
+      SELECT brand_a, brand_b, n AS n_months,
+        CAST(n * sxy - sx * sy AS DOUBLE)
+          / (sqrt(CAST(n * sxx - sx * sx AS DOUBLE))
+             * sqrt(CAST(n * syy - sy * sy AS DOUBLE))) AS pearson_r
+      FROM p ORDER BY pearson_r, brand_a, brand_b LIMIT 5
+    """))
+
+  /** Worst revenue drawdown days: each day against the running peak of
+    * daily revenue — the five deepest declines from any prior peak
+    * (cents and ppm-of-peak). The health-monitoring readout ops charts;
+    * q212 finds local peaks, this quantifies falls from them.
+    *
+    * Scale shape: the corpus collapses to one row per day; the running
+    * max and top-k run over the day table only (sanctioned, calendar-
+    * sized). */
+  private val q307 = QueryDef(
+    "q307_revenue_drawdown",
+    (spark, dir) => {
+      import graft.functions.Deterministic.epochS
+      val daily = Tables.orders(spark, dir)
+        .select((epochS(col("o_orderdate")) / 86400L).cast("long").as("day"),
+          cents(col("o_totalprice")).as("rc"))
+        .groupBy(col("day")).agg(sum(col("rc")).as("revenue_cents"))
+      val w = Window.orderBy(col("day"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      daily
+        .withColumn("peak_cents", max(col("revenue_cents")).over(w))
+        .withColumn("drawdown_cents", col("peak_cents") - col("revenue_cents"))
+        .select(col("day"), col("revenue_cents"), col("peak_cents"),
+          col("drawdown_cents"),
+          expr("drawdown_cents * 1000000L div peak_cents").as("drawdown_ppm"))
+        .orderBy(col("drawdown_ppm").desc, col("day"))
+        .limit(5)
+    },
+    Some("""
+      WITH d AS (
+        SELECT CAST(epoch_ms(o_orderdate) // 1000 // 86400 AS BIGINT) AS day,
+          CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS BIGINT)
+            AS revenue_cents
+        FROM orders GROUP BY 1),
+      p AS (
+        SELECT day, revenue_cents,
+          max(revenue_cents) OVER (ORDER BY day
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS peak_cents
+        FROM d)
+      SELECT day, revenue_cents, peak_cents,
+        peak_cents - revenue_cents AS drawdown_cents,
+        CAST((peak_cents - revenue_cents) * 1000000 // peak_cents AS BIGINT)
+          AS drawdown_ppm
+      FROM p ORDER BY drawdown_ppm DESC, day LIMIT 5
+    """))
+
+  /** Exact pairwise language vocabulary overlap: distinct-token Jaccard
+    * for every language pair by inclusion–exclusion — the exact
+    * complement of q239's KMV sketch intersections (there: estimated,
+    * source-keyed; here: exact, language-keyed). High overlap between
+    * languages signals code-switching or mislabeled documents.
+    *
+    * Scale shape: one (lang, token) distinct, self-joined on the token
+    * key for intersections; per-language sizes broadcast back onto the
+    * 10-row pair table. */
+  private val q308 = QueryDef(
+    "q308_lang_vocab_overlap",
+    (spark, dir) => {
+      val lt = Tables.documents(spark, dir)
+        .select(col("lang"), explode(tokens_native(col("text"))).as("token"))
+        .distinct()
+      val sizes = lt.groupBy(col("lang")).agg(count(lit(1)).as("v"))
+      val inter = lt.select(col("lang").as("lang_a"), col("token"))
+        .join(lt.select(col("lang").as("lang_b"), col("token")), Seq("token"))
+        .filter(col("lang_a") < col("lang_b"))
+        .groupBy(col("lang_a"), col("lang_b")).agg(count(lit(1)).as("inter"))
+      inter
+        .join(broadcast(sizes.select(col("lang").as("lang_a"), col("v").as("va"))),
+          Seq("lang_a"))
+        .join(broadcast(sizes.select(col("lang").as("lang_b"), col("v").as("vb"))),
+          Seq("lang_b"))
+        .select(col("lang_a"), col("lang_b"), col("va"), col("vb"), col("inter"),
+          expr("inter * 1000000L div (va + vb - inter)").as("jaccard_ppm"))
+        .orderBy(col("lang_a"), col("lang_b"))
+    },
+    Some(s"""
+      WITH lt AS (
+        SELECT DISTINCT lang, token FROM (
+          SELECT lang, unnest($duckTokens) AS token FROM documents)),
+      sizes AS (SELECT lang, CAST(count(*) AS BIGINT) AS v FROM lt GROUP BY lang),
+      i AS (
+        SELECT a.lang AS lang_a, b.lang AS lang_b, CAST(count(*) AS BIGINT) AS inter
+        FROM lt a JOIN lt b ON a.token = b.token AND a.lang < b.lang
+        GROUP BY 1, 2)
+      SELECT lang_a, lang_b, sa.v AS va, sb.v AS vb, inter,
+        CAST(inter * 1000000 // (sa.v + sb.v - inter) AS BIGINT) AS jaccard_ppm
+      FROM i JOIN sizes sa ON i.lang_a = sa.lang
+        JOIN sizes sb ON i.lang_b = sb.lang
+      ORDER BY lang_a, lang_b
+    """))
+
   override def defs: Seq[QueryDef] =
     Seq(q269, q270, q271, q272, q273, q274, q275,
       q276, q277, q278, q279,
@@ -1817,5 +2213,7 @@ object ModelQueries extends QueryGroup {
       q285, q286, q287, q288,
       q289, q290, q291, q292,
       q293, q294, q295, q296,
-      q297, q298, q299, q300)
+      q297, q298, q299, q300,
+      q301, q302, q303, q304,
+      q305, q306, q307, q308)
 }

@@ -56,7 +56,16 @@ class QueriesSmokeSpec extends SparkSpec {
     "q235_map_at_10", "q239_kmv_intersection", "q240_did_analysis",
     "q244_uplift_by_decile", "q249_funnel_conversion_windows",
     "q256_int8_roundtrip_error", "q258_lsh_transitivity",
-    "q259_dow_effect_size", "q266_shrunk_return_rates")
+    "q259_dow_effect_size", "q266_shrunk_return_rates",
+    // round-5: one-row broadcast scalar aggregates (thresholds, totals,
+    // codebooks, horizons) and q272's broadcast benchmark side
+    "q270_langid_kappa", "q271_kcore_decomposition",
+    "q272_semantic_decontamination", "q274_pmi_collocations",
+    "q276_growth_accounting", "q280_kneser_ney_continuation",
+    "q283_tf_saturation_ranking", "q289_cardinality_estimation_audit",
+    "q290_scalar_kmeans_codebook", "q292_cascade_delete_plan",
+    "q293_pca_power_iteration", "q294_catalog_freshness",
+    "q300_curation_funnel_v2")
 
   test("query constructors are lazy: warm construction launches zero jobs") {
     import org.apache.spark.scheduler.{SparkListener, SparkListenerJobStart}
