@@ -349,6 +349,151 @@ class ModelOpsSpec extends SparkSpec {
     assert(rows.forall(_.getAs[Long]("distance") <= 2))
   }
 
+  // ---------------------------------------------------------------- q297
+
+  test("varint plan: encoded never exceeds raw, count matches events") {
+    val r = run("q297_delta_varint_plan").collect().head
+    assert(r.getAs[Long]("varint_bytes") <= r.getAs[Long]("raw_bytes"))
+    assert(r.getAs[Long]("savings_ppm") >= 0 && r.getAs[Long]("savings_ppm") <= 1000000L)
+    assert(r.getAs[Long]("n_values") == Tables.events(spark, sfDir).count())
+  }
+
+  // ---------------------------------------------------------------- q298
+
+  test("watermark sweep: drops shrink as the delay grows") {
+    val rows = run("q298_watermark_lateness_sweep").collect()
+      .sortBy(_.getAs[Long]("delay_s"))
+    assert(rows.length == 3)
+    val drops = rows.map(_.getAs[Long]("n_dropped"))
+    assert(drops.zip(drops.tail).forall { case (a, b) => a >= b },
+      s"drops must not grow with delay: ${drops.mkString(",")}")
+    for (r <- rows) assert(r.getAs[Long]("dropped_ppm") <= 1000000L)
+  }
+
+  // ---------------------------------------------------------------- q299
+
+  test("rare-level plan: kept mass valid, balanced columns keep everything") {
+    val rows = run("q299_rare_level_collapse_plan").collect()
+    assert(rows.length == 4)
+    for (r <- rows) {
+      assert(r.getAs[Long]("n_rare_levels") <= r.getAs[Long]("n_levels"))
+      assert(r.getAs[Long]("kept_ppm") <= 1000000L)
+    }
+    // event_type has 5 roughly even levels — nothing below 1%
+    val et = rows.find(_.getAs[String]("column_name") == "event_type").get
+    assert(et.getAs[Long]("n_rare_levels") == 0L)
+    assert(et.getAs[Long]("kept_ppm") == 1000000L)
+  }
+
+  // ---------------------------------------------------------------- q300
+
+  test("curation funnel only ever shrinks") {
+    val byStage = run("q300_curation_funnel_v2").collect()
+      .map(r => r.getAs[String]("stage") ->
+        (r.getAs[Long]("n_docs"), r.getAs[Long]("total_chars"))).toMap
+    val order = Seq("s0_all", "s1_exact_norm", "s2_template", "s3_lm_filter", "s4_sample")
+    assert(byStage.keySet == order.toSet)
+    for (Seq(a, b) <- order.sliding(2)) {
+      assert(byStage(b)._1 <= byStage(a)._1, s"$b grew docs vs $a")
+      assert(byStage(b)._2 <= byStage(a)._2, s"$b grew chars vs $a")
+    }
+  }
+
+  // ---------------------------------------------------------------- q301
+
+  test("Zipf slope: covers the vocabulary, slope in a sane band") {
+    val r = run("q301_zipf_slope").collect().head
+    val vocab = Tables.documents(spark, sfDir)
+      .select(org.apache.spark.sql.functions.explode(
+        graft.functions.expressions.tokens_native(
+          org.apache.spark.sql.functions.col("text"))).as("t"))
+      .distinct().count()
+    assert(r.getAs[Long]("n_points") == vocab)
+    val s = r.getAs[Long]("slope_mq")
+    assert(s <= 0 && s >= -5000, s"slope_mq $s outside [-5000, 0]")
+  }
+
+  // ---------------------------------------------------------------- q302
+
+  test("minibatch schedule: spread <= 1 everywhere, corpus conserved") {
+    val rows = run("q302_minibatch_mix_evenness").collect()
+    assert(rows.map(_.getAs[Long]("n_docs")).sum ==
+      Tables.documents(spark, sfDir).count())
+    for (r <- rows)
+      assert(r.getAs[Long]("spread") <= 1L,
+        s"${r.getAs[String]("lang")} spread ${r.getAs[Long]("spread")} > 1")
+  }
+
+  // ---------------------------------------------------------------- q303
+
+  test("seasonal adjustment: only full windows, positive trend ratio") {
+    val rows = run("q303_seasonal_adjustment").collect()
+    assert(rows.nonEmpty)
+    for (r <- rows) {
+      assert(r.getAs[Long]("ma_cents") > 0)
+      assert(r.getAs[Long]("sa_ppm") > 0)
+    }
+  }
+
+  // ---------------------------------------------------------------- q304
+
+  test("dispersion census: three distributions, non-negative VMR") {
+    val rows = run("q304_dispersion_census").collect()
+    assert(rows.length == 3)
+    for (r <- rows) {
+      assert(r.getAs[Long]("vmr_ppm") >= 0)
+      assert(r.getAs[Long]("mean_mq") > 0)
+    }
+  }
+
+  // ---------------------------------------------------------------- q305
+
+  test("purchase cadence: every segment reports a positive median") {
+    val rows = run("q305_repeat_purchase_interval").collect()
+    assert(rows.length == 5)
+    for (r <- rows) {
+      assert(r.getAs[Long]("median_gap_days") >= 1)
+      assert(r.getAs[Long]("n_intervals") > 0)
+    }
+  }
+
+  // ---------------------------------------------------------------- q306
+
+  test("cannibalization screen: correlations valid, months floor holds") {
+    val rows = run("q306_brand_cannibalization").collect()
+    assert(rows.nonEmpty)
+    for (r <- rows) {
+      val p = r.getAs[Double]("pearson_r")
+      assert(p >= -1.0 - 1e-9 && p <= 1.0 + 1e-9)
+      assert(r.getAs[Long]("n_months") >= 24)
+    }
+  }
+
+  // ---------------------------------------------------------------- q307
+
+  test("drawdown: never negative, peak dominates revenue") {
+    val rows = run("q307_revenue_drawdown").collect()
+    assert(rows.length == 5)
+    for (r <- rows) {
+      assert(r.getAs[Long]("peak_cents") >= r.getAs[Long]("revenue_cents"))
+      assert(r.getAs[Long]("drawdown_cents") >= 0)
+      assert(r.getAs[Long]("drawdown_ppm") <= 1000000L)
+    }
+  }
+
+  // ---------------------------------------------------------------- q308
+
+  test("vocab overlap: all 10 language pairs, intersection bounded") {
+    val rows = run("q308_lang_vocab_overlap").collect()
+    assert(rows.length == 10)
+    for (r <- rows) {
+      val (va, vb, inter) = (r.getAs[Long]("va"), r.getAs[Long]("vb"),
+        r.getAs[Long]("inter"))
+      assert(inter <= math.min(va, vb))
+      assert(r.getAs[Long]("jaccard_ppm") <= 1000000L)
+    }
+  }
+
   // ---------------------------------------------------------------- q288
 
   test("hub capping: kept share is monotone in cap and <= 1e6") {
