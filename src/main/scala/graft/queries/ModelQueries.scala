@@ -2206,6 +2206,111 @@ object ModelQueries extends QueryGroup {
       ORDER BY lang_a, lang_b
     """))
 
+  /** A/B sample-size planner (minimum detectable effect): from the
+    * observed view→purchase user conversion rate, the users-per-arm an
+    * experiment needs at ~80% power / α=0.05 for relative effects of
+    * 1%, 5%, 10% — the rule-of-thumb n = 16·p(1−p)/δ², evaluated in
+    * exact ppm integers (n = 16·p_ppm·(10^6−p_ppm) div δ_ppm²).
+    * Completes the experimentation family: q225 SRM, q163 readout,
+    * q240 DiD, q244 uplift — this is the query you run BEFORE those.
+    *
+    * Scale shape: the baseline is one user-keyed aggregate; the sweep
+    * is arithmetic on a 3-row broadcast. */
+  private val q309 = QueryDef(
+    "q309_mde_sample_size",
+    (spark, dir) => {
+      val base = Tables.events(spark, dir)
+        .filter(col("event_type").isin("view", "purchase"))
+        .groupBy(col("user_id"))
+        .agg(max(when(col("event_type") === "purchase", 1L).otherwise(0L)).as("conv"))
+        .agg(count(lit(1)).as("n_users"), sum(col("conv")).as("n_converted"))
+        .select(col("n_users"), col("n_converted"),
+          expr("n_converted * 1000000L div n_users").as("p_ppm"))
+      base
+        .select(col("n_users"), col("n_converted"), col("p_ppm"),
+          explode(array(lit(10L), lit(50L), lit(100L))).as("rel_effect_pm"))
+        .withColumn("delta_ppm", expr("p_ppm * rel_effect_pm div 1000"))
+        .select(col("rel_effect_pm"), col("p_ppm"), col("delta_ppm"),
+          expr("16 * p_ppm * (1000000 - p_ppm) div (delta_ppm * delta_ppm)")
+            .as("n_per_arm"))
+        .orderBy(col("rel_effect_pm"))
+    },
+    Some("""
+      WITH u AS (
+        SELECT user_id,
+          max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS conv
+        FROM events WHERE event_type IN ('view', 'purchase')
+        GROUP BY user_id),
+      b AS (
+        SELECT CAST(count(*) AS BIGINT) AS n_users,
+          CAST(sum(conv) AS BIGINT) AS n_converted,
+          CAST(sum(conv) * 1000000 // count(*) AS BIGINT) AS p_ppm
+        FROM u),
+      s AS (
+        SELECT CAST(rel AS BIGINT) AS rel_effect_pm, p_ppm,
+          p_ppm * rel // 1000 AS delta_ppm
+        FROM b CROSS JOIN (VALUES (10), (50), (100)) AS t(rel))
+      SELECT rel_effect_pm, p_ppm, CAST(delta_ppm AS BIGINT) AS delta_ppm,
+        CAST(16 * p_ppm * (1000000 - p_ppm) // (delta_ppm * delta_ppm) AS BIGINT)
+          AS n_per_arm
+      FROM s ORDER BY rel_effect_pm
+    """))
+
+  /** Density-based embedding outliers: each vector's 5th-nearest-
+    * neighbor cosine WITHIN its label block — the ten most isolated
+    * vectors (lowest kNN@5 similarity) are label-noise / out-of-
+    * distribution candidates, the curation complement of q139's norm
+    * outliers (a vector can have a normal norm and still sit nowhere
+    * near its class). Label blocks bound the pair set exactly as q24
+    * does — never all-pairs.
+    *
+    * Scale shape: O(Σ block²) pairs, two window ranks (per-vector kth
+    * neighbor, then global top-k over the vector-sized result). */
+  private val q310 = QueryDef(
+    "q310_knn_distance_outliers",
+    (spark, dir) => {
+      val e = Tables.embeddings(spark, dir)
+        .select(col("vec_id"), col("label"), col("embedding"))
+      val pairs = e
+        .join(e.select(col("vec_id").as("nb_id"), col("label"),
+          col("embedding").as("nb_vec")), Seq("label"))
+        .filter(col("vec_id") =!= col("nb_id"))
+        .select(col("vec_id"), col("label"),
+          quantized_cosine(col("embedding"), col("nb_vec")).as("cosine"), col("nb_id"))
+      pairs
+        .withColumn("rn", row_number().over(
+          Window.partitionBy(col("vec_id"))
+            .orderBy(col("cosine").desc, col("nb_id"))))
+        .filter(col("rn") === 5)
+        .select(col("vec_id"), col("label").cast("long").as("label"),
+          col("cosine").as("knn5_cosine"))
+        .orderBy(col("knn5_cosine"), col("vec_id"))
+        .limit(10)
+    },
+    Some("""
+      WITH q AS (
+        SELECT vec_id, label,
+          list_transform(embedding, x -> CAST(floor(x*512 + 0.5) AS BIGINT)) AS qv
+        FROM embeddings),
+      n AS (
+        SELECT vec_id, label, qv,
+          CAST(list_sum(list_transform(qv, x -> x*x)) AS BIGINT) AS nsq
+        FROM q),
+      p AS (
+        SELECT a.vec_id, a.label, b.vec_id AS nb_id,
+          CAST(CAST(list_sum(list_transform(range(1, len(a.qv)+1),
+                 i -> a.qv[i]*b.qv[i])) AS BIGINT) AS DOUBLE)
+            / sqrt(CAST(a.nsq AS DOUBLE)*CAST(b.nsq AS DOUBLE)) AS cosine
+        FROM n a JOIN n b ON a.label = b.label AND a.vec_id <> b.vec_id),
+      r AS (
+        SELECT vec_id, label, cosine,
+          row_number() OVER (PARTITION BY vec_id ORDER BY cosine DESC, nb_id) AS rn
+        FROM p)
+      SELECT vec_id, CAST(label AS BIGINT) AS label, cosine AS knn5_cosine
+      FROM r WHERE rn = 5
+      ORDER BY knn5_cosine, vec_id LIMIT 10
+    """))
+
   override def defs: Seq[QueryDef] =
     Seq(q269, q270, q271, q272, q273, q274, q275,
       q276, q277, q278, q279,
@@ -2215,5 +2320,6 @@ object ModelQueries extends QueryGroup {
       q293, q294, q295, q296,
       q297, q298, q299, q300,
       q301, q302, q303, q304,
-      q305, q306, q307, q308)
+      q305, q306, q307, q308,
+      q309, q310)
 }

@@ -32,6 +32,32 @@ object FileSources {
   def writeOrc(df: DataFrame, path: String): Unit =
     df.write.mode("overwrite").orc(path)
 
+  /** Raw text-lines source: one row per line, single `value` column —
+    * the ingest path for raw corpora before any parsing. `wholetext`
+    * (one row per FILE) is the document-per-file variant. */
+  def readTextLines(spark: SparkSession, path: String): DataFrame =
+    spark.read.text(path)
+
+  def readWholeTextFiles(spark: SparkSession, path: String): DataFrame =
+    spark.read.option("wholetext", "true").text(path)
+
+  /** Binary-asset source for the multimodal path: one row per file with
+    * (path, modificationTime, length, content) — `content` feeds
+    * graft.multimodal decode/feature stages as the opaque payload
+    * column. `pathGlobFilter` selects by extension WITHOUT opening
+    * files; `maxBytesPerFile` guards the driver against a stray huge
+    * asset in the listing (oversize files are excluded by filter, never
+    * read). */
+  def readBinaryAssets(spark: SparkSession, path: String,
+                       globFilter: Option[String] = None,
+                       maxBytes: Option[Long] = None): DataFrame = {
+    val base = globFilter.foldLeft(spark.read.format("binaryFile")) {
+      (r, g) => r.option("pathGlobFilter", g)
+    }.load(path)
+    maxBytes.foldLeft(base)((df, mb) =>
+      df.filter(org.apache.spark.sql.functions.col("length") <= mb))
+  }
+
   /** Streaming file source: picks up files dropped into `path` (the
     * no-broker substitute for the Kafka source in offline environments). */
   def streamJsonLines(spark: SparkSession, path: String, schema: StructType): DataFrame =
