@@ -2311,6 +2311,208 @@ object ModelQueries extends QueryGroup {
       ORDER BY knn5_cosine, vec_id LIMIT 10
     """))
 
+  /** Wilson-lower-bound ranking: brand return rates ranked by the 95%
+    * Wilson score LOWER bound — the ranking fix that beats both raw
+    * rates (small-n noise wins) and Laplace smoothing (q266) when
+    * confidence, not shrinkage, is the question. Counts are exact
+    * longs; the bound is ONE shared IEEE expression over their exact
+    * double images (z² = 3.8416 and its halves as literal constants),
+    * so both engines emit identical doubles.
+    *
+    * Scale shape: one (brand) hash aggregate; the formula runs on 25
+    * rows. */
+  private val q311 = QueryDef(
+    "q311_wilson_return_rates",
+    (spark, dir) => {
+      val wilson =
+        "(p + 1.9208/n - 1.96 * sqrt((p*(1.0-p) + 0.9604/n)/n)) / (1.0 + 3.8416/n)"
+      Tables.lineitem(spark, dir)
+        .join(Tables.part(spark, dir).select(col("p_partkey"), col("p_brand")),
+          col("l_partkey") === col("p_partkey"))
+        .groupBy(col("p_brand"))
+        .agg(count(lit(1)).as("n"),
+          sum(when(col("l_returnflag") === "R", 1L).otherwise(0L)).as("r"))
+        .withColumn("p", expr("CAST(r AS DOUBLE)/n"))
+        .select(col("p_brand").as("brand"), col("n"), col("r"),
+          expr(wilson).as("wilson_lb"))
+        .orderBy(col("wilson_lb").desc, col("brand"))
+        .limit(10)
+    },
+    Some("""
+      WITH b AS (
+        SELECT p_brand AS brand, CAST(count(*) AS BIGINT) AS n,
+          CAST(sum(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END) AS BIGINT) AS r
+        FROM lineitem JOIN part ON l_partkey = p_partkey
+        GROUP BY 1),
+      w AS (SELECT brand, n, r, CAST(r AS DOUBLE)/n AS p FROM b)
+      SELECT brand, n, r,
+        (p + 1.9208/n - 1.96 * sqrt((p*(1.0-p) + 0.9604/n)/n)) / (1.0 + 3.8416/n)
+          AS wilson_lb
+      FROM w ORDER BY wilson_lb DESC, brand LIMIT 10
+    """))
+
+  /** Consistent-hash ring balance: 8 shards × 32 virtual nodes on an
+    * injective ring (pos = h·512 + i, so vnode and key positions can
+    * never collide), event keys assigned to the first vnode clockwise —
+    * the shard-assignment scheme that survives shard add/remove with
+    * 1/n movement, audited for balance (per-shard share ppm). Few
+    * vnodes per shard = high imbalance; this census is how you pick 32.
+    *
+    * Scale shape: the 256-row ring broadcasts; each key evaluates
+    * against ring segments in place (at production scale the same
+    * segments feed a range-bin equi-join, q43's shape). */
+  private val q312 = QueryDef(
+    "q312_consistent_hash_balance",
+    (spark, dir) => {
+      val ring = spark.range(256).toDF("i")
+        .select(col("i"),
+          expr("i div 32").as("shard"),
+          expr("(((i * 2654435761L) % 4294967296L) * 512 + i)").as("pos"))
+      val seg = ring
+        .withColumn("prev_pos", lag(col("pos"), 1).over(Window.orderBy(col("pos"))))
+        .withColumn("min_pos", min(col("pos")).over(
+          Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)))
+        .withColumn("max_pos", max(col("pos")).over(
+          Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)))
+      val keys = Tables.events(spark, dir)
+        .select(expr(
+          "(((event_id % 2147483648L) * 2654435761L) % 4294967296L) * 512 + 300")
+          .as("kpos"))
+      keys.crossJoin(broadcast(seg))
+        .filter(
+          (col("prev_pos").isNotNull && col("kpos") > col("prev_pos") &&
+            col("kpos") <= col("pos")) ||
+          (col("prev_pos").isNull &&
+            (col("kpos") <= col("min_pos") || col("kpos") > col("max_pos"))))
+        .groupBy(col("shard")).agg(count(lit(1)).as("n_keys"))
+        .withColumn("total", sum(col("n_keys")).over(
+          Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)))
+        .select(col("shard"), col("n_keys"),
+          expr("n_keys * 1000000L div total").as("share_ppm"))
+        .orderBy(col("shard"))
+    },
+    Some("""
+      WITH ring AS (
+        SELECT i, i // 32 AS shard,
+          ((i * 2654435761) % 4294967296) * 512 + i AS pos
+        FROM range(256) AS t(i)),
+      seg AS (
+        SELECT shard, pos,
+          lag(pos) OVER (ORDER BY pos) AS prev_pos,
+          min(pos) OVER () AS min_pos,
+          max(pos) OVER () AS max_pos
+        FROM ring),
+      keys AS (
+        SELECT ((event_id % 2147483648) * 2654435761) % 4294967296 * 512 + 300
+          AS kpos
+        FROM events),
+      assigned AS (
+        SELECT shard FROM keys JOIN seg ON
+          (prev_pos IS NOT NULL AND kpos > prev_pos AND kpos <= pos)
+          OR (prev_pos IS NULL AND (kpos <= min_pos OR kpos > max_pos))),
+      s AS (SELECT shard, CAST(count(*) AS BIGINT) AS n_keys FROM assigned GROUP BY shard)
+      SELECT CAST(shard AS BIGINT) AS shard, n_keys,
+        CAST(n_keys * 1000000 // (SELECT sum(n_keys) FROM s) AS BIGINT) AS share_ppm
+      FROM s ORDER BY shard
+    """))
+
+  /** Panel balance census: users histogrammed by number of active DAYS
+    * — longitudinal analyses (q210 mobility, q240 DiD) silently assume
+    * a balanced panel; this is the check. Each row marks whether that
+    * attendance level is the full panel ("balanced") against a
+    * broadcast one-row day count.
+    *
+    * Scale shape: distinct (user, day) → user-keyed count → day-count-
+    * sized histogram; the day total is a one-row aggregate. */
+  private val q313 = QueryDef(
+    "q313_panel_balance",
+    (spark, dir) => {
+      import graft.functions.Deterministic.epochS
+      val ud = Tables.events(spark, dir)
+        .select(col("user_id"), (epochS(col("ts")) / 86400L).cast("long").as("day"))
+        .distinct()
+      val perUser = ud.groupBy(col("user_id")).agg(count(lit(1)).as("days_active"))
+      val nDays = ud.select(col("day")).distinct().agg(count(lit(1)).as("n_days"))
+      perUser.crossJoin(broadcast(nDays))
+        .groupBy(col("days_active"), col("n_days"))
+        .agg(count(lit(1)).as("n_users"))
+        .select(col("days_active"), col("n_users"),
+          when(col("days_active") === col("n_days"), lit("balanced"))
+            .otherwise(lit("partial")).as("panel_status"))
+        .orderBy(col("days_active"))
+    },
+    Some("""
+      WITH ud AS (
+        SELECT DISTINCT user_id,
+          CAST(epoch_ms(ts) // 1000 // 86400 AS BIGINT) AS day
+        FROM events),
+      pu AS (
+        SELECT user_id, CAST(count(*) AS BIGINT) AS days_active
+        FROM ud GROUP BY user_id),
+      nd AS (SELECT CAST(count(DISTINCT day) AS BIGINT) AS n_days FROM ud)
+      SELECT days_active, CAST(count(*) AS BIGINT) AS n_users,
+        CASE WHEN days_active = n_days THEN 'balanced' ELSE 'partial' END
+          AS panel_status
+      FROM pu CROSS JOIN nd
+      GROUP BY days_active, n_days ORDER BY days_active
+    """))
+
+  /** Keyspace density audit: how densely o_orderkey fills its [min,
+    * max] range and the largest gap — the partial-load / deletion-scar
+    * detector. The gap scan is the scale-safe two-level form: keys
+    * bucket into 1024 cells, gaps are found WITHIN buckets (bucket-
+    * bounded windows) and BETWEEN consecutive non-empty buckets
+    * (1024-row window) — no global per-key window ever runs.
+    *
+    * Scale shape: one bucketed aggregate + bounded windows; the bucket
+    * width derives from a broadcast one-row min/max. */
+  private val q314 = QueryDef(
+    "q314_keyspace_density",
+    (spark, dir) => {
+      val keys = Tables.orders(spark, dir).select(col("o_orderkey").as("k"))
+      val bounds = keys.agg(min(col("k")).as("lo"), max(col("k")).as("hi"),
+          count(lit(1)).as("n"))
+        .select(col("lo"), col("hi"), col("n"),
+          expr("(hi - lo + 1024) div 1024").as("width"))
+      val bucketed = keys.crossJoin(broadcast(bounds))
+        .withColumn("bucket", expr("(k - lo) div width"))
+      val intra = bucketed
+        .withColumn("gap", col("k") - lag(col("k"), 1).over(
+          Window.partitionBy(col("bucket")).orderBy(col("k"))))
+        .agg(coalesce(max(col("gap")), lit(0L)).as("max_intra_gap"))
+      val inter = bucketed
+        .groupBy(col("bucket")).agg(min(col("k")).as("bmin"), max(col("k")).as("bmax"))
+        .withColumn("gap", col("bmin") - lag(col("bmax"), 1).over(
+          Window.orderBy(col("bucket"))))
+        .agg(coalesce(max(col("gap")), lit(0L)).as("max_inter_gap"))
+      bounds.crossJoin(intra).crossJoin(inter)
+        .select(col("n").as("n_keys"), col("lo").as("min_key"), col("hi").as("max_key"),
+          expr("n * 1000000L div (hi - lo + 1)").as("fill_ppm"),
+          greatest(col("max_intra_gap"), col("max_inter_gap")).as("max_gap"))
+    },
+    Some("""
+      WITH b AS (
+        SELECT min(o_orderkey) AS lo, max(o_orderkey) AS hi,
+          CAST(count(*) AS BIGINT) AS n,
+          (max(o_orderkey) - min(o_orderkey) + 1024) // 1024 AS width
+        FROM orders),
+      bk AS (
+        SELECT o_orderkey AS k, (o_orderkey - lo) // width AS bucket
+        FROM orders, b),
+      intra AS (
+        SELECT CAST(coalesce(max(gap), 0) AS BIGINT) AS max_intra_gap FROM (
+          SELECT k - lag(k) OVER (PARTITION BY bucket ORDER BY k) AS gap FROM bk)),
+      agg AS (
+        SELECT bucket, min(k) AS bmin, max(k) AS bmax FROM bk GROUP BY bucket),
+      inter AS (
+        SELECT CAST(coalesce(max(gap), 0) AS BIGINT) AS max_inter_gap FROM (
+          SELECT bmin - lag(bmax) OVER (ORDER BY bucket) AS gap FROM agg))
+      SELECT n AS n_keys, CAST(lo AS BIGINT) AS min_key, CAST(hi AS BIGINT) AS max_key,
+        CAST(n * 1000000 // (hi - lo + 1) AS BIGINT) AS fill_ppm,
+        CAST(greatest(max_intra_gap, max_inter_gap) AS BIGINT) AS max_gap
+      FROM b, intra, inter
+    """))
+
   override def defs: Seq[QueryDef] =
     Seq(q269, q270, q271, q272, q273, q274, q275,
       q276, q277, q278, q279,
@@ -2321,5 +2523,5 @@ object ModelQueries extends QueryGroup {
       q297, q298, q299, q300,
       q301, q302, q303, q304,
       q305, q306, q307, q308,
-      q309, q310)
+      q309, q310, q311, q312, q313, q314)
 }

@@ -65,7 +65,8 @@ class QueriesSmokeSpec extends SparkSpec {
     "q283_tf_saturation_ranking", "q289_cardinality_estimation_audit",
     "q290_scalar_kmeans_codebook", "q292_cascade_delete_plan",
     "q293_pca_power_iteration", "q294_catalog_freshness",
-    "q300_curation_funnel_v2")
+    "q300_curation_funnel_v2", "q312_consistent_hash_balance",
+    "q313_panel_balance", "q314_keyspace_density")
 
   test("query constructors are lazy: warm construction launches zero jobs") {
     import org.apache.spark.scheduler.{SparkListener, SparkListenerJobStart}
