@@ -2513,6 +2513,202 @@ object ModelQueries extends QueryGroup {
       FROM b, intra, inter
     """))
 
+  /** Incremental-ingest dedup triage: a 20% hash-designated "new batch"
+    * classified against the standing corpus — exact duplicate (same
+    * content digest exists in history), template duplicate (same
+    * first-6-words cluster, q282's key), or novel. The content-based
+    * complement of q65's keyed snapshot diff: this is the decision a
+    * daily crawl lands on before anything enters the lake.
+    *
+    * Scale shape: history collapses to two digest sets (digest-keyed
+    * shuffles of hashes only — text never moves); the new batch
+    * left-joins both and one 3-row census comes out. */
+  private val q315 = QueryDef(
+    "q315_incremental_ingest_dedup",
+    (spark, dir) => {
+      val d = Tables.documents(spark, dir)
+        .select(col("doc_id"), col("n_chars"),
+          md5(col("text")).as("digest"),
+          md5(concat_ws(" ", slice(tokens_native(col("text")), 1, 6))).as("tmpl"),
+          (Sampling.keyHash(col("doc_id")) % 10000 < 2000).as("is_new"))
+      val histDigests = d.filter(!col("is_new")).select(col("digest")).distinct()
+        .withColumn("d_hit", lit(1L))
+      val histTmpl = d.filter(!col("is_new")).select(col("tmpl")).distinct()
+        .withColumn("t_hit", lit(1L))
+      d.filter(col("is_new"))
+        .join(histDigests, Seq("digest"), "left")
+        .join(histTmpl, Seq("tmpl"), "left")
+        .withColumn("class",
+          when(col("d_hit").isNotNull, "exact_dup")
+            .when(col("t_hit").isNotNull, "template_dup")
+            .otherwise("novel"))
+        .groupBy(col("class"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("total_chars"))
+        .orderBy(col("class"))
+    },
+    Some(s"""
+      WITH d AS (
+        SELECT doc_id, n_chars, md5(text) AS digest,
+          md5(array_to_string(list_slice($duckTokens, 1, 6), ' ')) AS tmpl,
+          ((doc_id % 2147483648) * 2654435761) % 4294967296 % 10000 < 2000 AS is_new
+        FROM documents),
+      hd AS (SELECT DISTINCT digest FROM d WHERE NOT is_new),
+      ht AS (SELECT DISTINCT tmpl FROM d WHERE NOT is_new)
+      SELECT CASE WHEN hd.digest IS NOT NULL THEN 'exact_dup'
+                  WHEN ht.tmpl IS NOT NULL THEN 'template_dup'
+                  ELSE 'novel' END AS class,
+        CAST(count(*) AS BIGINT) AS n_docs,
+        CAST(sum(n_chars) AS BIGINT) AS total_chars
+      FROM (SELECT * FROM d WHERE is_new) n
+      LEFT JOIN hd ON n.digest = hd.digest
+      LEFT JOIN ht ON n.tmpl = ht.tmpl
+      GROUP BY class ORDER BY class
+    """))
+
+  /** Shuffle-partition sizing advisor: for each of the three hot
+    * shuffle keys, estimated shuffled bytes (rows × fixed width, q277's
+    * arithmetic) against the 128 MiB partition target → recommended
+    * partition count, plus a skew verdict (would the heaviest key alone
+    * overflow one target partition?) — the spark.sql.shuffle.partitions
+    * number this library pins at session setup, derived instead of
+    * guessed.
+    *
+    * Scale shape: one keyed count + one max per shuffle; advice rows
+    * are shuffle-count-sized. */
+  private val q316 = QueryDef(
+    "q316_shuffle_sizing_advisor",
+    (spark, dir) => {
+      def advise(df: DataFrame, key: String, rowBytes: Int, tag: String) =
+        df.groupBy(col(key)).agg(count(lit(1)).as("kn"))
+          .agg(sum(col("kn")).as("n_rows"), max(col("kn")).as("max_key_rows"))
+          .select(lit(tag).as("shuffle"),
+            (col("n_rows") * rowBytes).as("est_bytes"),
+            expr(s"(n_rows * $rowBytes + 134217727) div 134217728").as("rec_partitions"),
+            col("max_key_rows"),
+            (col("max_key_rows") * rowBytes > 134217728L).as("skewed"))
+      advise(Tables.lineitem(spark, dir), "l_orderkey", 70, "lineitem_by_orderkey")
+        .unionAll(advise(Tables.events(spark, dir), "user_id", 60, "events_by_user"))
+        .unionAll(advise(Tables.orders(spark, dir), "o_custkey", 50, "orders_by_custkey"))
+        .orderBy(col("shuffle"))
+    },
+    Some {
+      def duckAdvise(tbl: String, k: String, w: Int, tag: String) = s"""
+        SELECT '$tag' AS shuffle,
+          CAST(sum(kn) * $w AS BIGINT) AS est_bytes,
+          CAST((sum(kn) * $w + 134217727) // 134217728 AS BIGINT) AS rec_partitions,
+          CAST(max(kn) AS BIGINT) AS max_key_rows,
+          max(kn) * $w > 134217728 AS skewed
+        FROM (SELECT $k, CAST(count(*) AS BIGINT) AS kn FROM $tbl GROUP BY $k)"""
+      Seq(duckAdvise("lineitem", "l_orderkey", 70, "lineitem_by_orderkey"),
+        duckAdvise("events", "user_id", 60, "events_by_user"),
+        duckAdvise("orders", "o_custkey", 50, "orders_by_custkey"))
+        .mkString("", "\nUNION ALL", "\nORDER BY shuffle")
+    })
+
+  /** Primary-key uniqueness audit: declared keys of all eight tables
+    * (lineitem's is composite) checked in one census — rows vs distinct
+    * keys vs violation count. The constraint check a lake runs on every
+    * load; complements q83 (referential integrity) with entity
+    * integrity.
+    *
+    * Scale shape: one distinct-count aggregate per table over the key
+    * columns only. */
+  private val q317 = QueryDef(
+    "q317_pk_uniqueness_audit",
+    (spark, dir) => {
+      def audit(df: DataFrame, keyCols: Seq[String], tag: String) =
+        df.select(keyCols.map(col): _*)
+          .agg(count(lit(1)).as("n_rows"),
+            countDistinct(keyCols.head, keyCols.tail: _*).as("n_distinct"))
+          .select(lit(tag).as("table_key"), col("n_rows"), col("n_distinct"),
+            (col("n_rows") - col("n_distinct")).as("violations"))
+      audit(Tables.region(spark, dir), Seq("r_regionkey"), "region_pk")
+        .unionAll(audit(Tables.nation(spark, dir), Seq("n_nationkey"), "nation_pk"))
+        .unionAll(audit(Tables.customer(spark, dir), Seq("c_custkey"), "customer_pk"))
+        .unionAll(audit(Tables.supplier(spark, dir), Seq("s_suppkey"), "supplier_pk"))
+        .unionAll(audit(Tables.part(spark, dir), Seq("p_partkey"), "part_pk"))
+        .unionAll(audit(Tables.orders(spark, dir), Seq("o_orderkey"), "orders_pk"))
+        .unionAll(audit(Tables.lineitem(spark, dir),
+          Seq("l_orderkey", "l_linenumber"), "lineitem_pk"))
+        .unionAll(audit(Tables.events(spark, dir), Seq("event_id"), "events_pk"))
+        .orderBy(col("table_key"))
+    },
+    Some {
+      def duckAudit(tbl: String, keys: String, tag: String) = s"""
+        SELECT '$tag' AS table_key, CAST(count(*) AS BIGINT) AS n_rows,
+          CAST(count(DISTINCT ($keys)) AS BIGINT) AS n_distinct,
+          CAST(count(*) - count(DISTINCT ($keys)) AS BIGINT) AS violations
+        FROM $tbl"""
+      Seq(duckAudit("region", "r_regionkey", "region_pk"),
+        duckAudit("nation", "n_nationkey", "nation_pk"),
+        duckAudit("customer", "c_custkey", "customer_pk"),
+        duckAudit("supplier", "s_suppkey", "supplier_pk"),
+        duckAudit("part", "p_partkey", "part_pk"),
+        duckAudit("orders", "o_orderkey", "orders_pk"),
+        duckAudit("lineitem", "l_orderkey, l_linenumber", "lineitem_pk"),
+        duckAudit("events", "event_id", "events_pk"))
+        .mkString("", "\nUNION ALL", "\nORDER BY table_key")
+    })
+
+  /** Nearest-touch alignment: each purchase paired with its NEAREST
+    * view within ±1 hour in either direction (argmin |Δt|, earlier
+    * view on ties) — the symmetric completion of the as-of family
+    * (q42 backward, q208 forward, q85 windowed-backward). Sensor and
+    * clickstream alignment is exactly this shape. The join is bounded
+    * by THREE hour buckets per purchase, never a user's history.
+    *
+    * Scale shape: q85's bucket equi-join widened to {b−1, b, b+1} +
+    * one per-purchase argmin window. */
+  private val q318 = QueryDef(
+    "q318_nearest_touch_align",
+    (spark, dir) => {
+      import graft.functions.Deterministic.epochS
+      val ev = Tables.events(spark, dir)
+        .select(col("user_id"), col("event_id"), col("event_type"),
+          epochS(col("ts")).as("ts_s"))
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .withColumn("pb", expr("ts_s div 3600"))
+        .select(col("user_id"), col("event_id").as("purchase_id"),
+          col("ts_s").as("p_ts"),
+          explode(array(col("pb") - 1, col("pb"), col("pb") + 1)).as("bucket"))
+      val views = ev.filter(col("event_type") === "view")
+        .select(col("user_id"), col("event_id").as("view_id"),
+          col("ts_s").as("v_ts"), expr("ts_s div 3600").as("bucket"))
+      purchases
+        .join(views, Seq("user_id", "bucket"))
+        .filter(abs(col("v_ts") - col("p_ts")) <= 3600)
+        .select(col("user_id"), col("purchase_id"),
+          col("view_id"), (col("v_ts") - col("p_ts")).as("delta_s"))
+        .withColumn("rn", row_number().over(
+          Window.partitionBy(col("purchase_id"))
+            .orderBy(abs(col("delta_s")), col("delta_s"), col("view_id"))))
+        .filter(col("rn") === 1)
+        .select(col("user_id"), col("purchase_id"), col("view_id"), col("delta_s"))
+        .orderBy(col("purchase_id"))
+    },
+    Some("""
+      WITH e AS (
+        SELECT user_id, event_id, event_type,
+          CAST(epoch_ms(ts) // 1000 AS BIGINT) AS ts_s
+        FROM events),
+      p AS (
+        SELECT user_id, event_id AS purchase_id, ts_s AS p_ts
+        FROM e WHERE event_type = 'purchase'),
+      v AS (
+        SELECT user_id, event_id AS view_id, ts_s AS v_ts
+        FROM e WHERE event_type = 'view'),
+      j AS (
+        SELECT p.user_id, p.purchase_id, v.view_id,
+          v.v_ts - p.p_ts AS delta_s
+        FROM p JOIN v ON p.user_id = v.user_id
+          AND abs(v.v_ts - p.p_ts) <= 3600)
+      SELECT user_id, purchase_id, view_id, CAST(delta_s AS BIGINT) AS delta_s
+      FROM j
+      QUALIFY row_number() OVER (PARTITION BY purchase_id
+        ORDER BY abs(delta_s), delta_s, view_id) = 1
+      ORDER BY purchase_id
+    """))
+
   override def defs: Seq[QueryDef] =
     Seq(q269, q270, q271, q272, q273, q274, q275,
       q276, q277, q278, q279,
@@ -2523,5 +2719,6 @@ object ModelQueries extends QueryGroup {
       q297, q298, q299, q300,
       q301, q302, q303, q304,
       q305, q306, q307, q308,
-      q309, q310, q311, q312, q313, q314)
+      q309, q310, q311, q312, q313, q314,
+      q315, q316, q317, q318)
 }
