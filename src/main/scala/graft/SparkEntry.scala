@@ -35,7 +35,8 @@ object SparkEntry {
     BehaviorQueries,
     DriftQueries,
     PlanningQueries,
-    ModelQueries)
+    ModelQueries,
+    OlapQueries)
 
   private lazy val all: Seq[QueryDef] = groups.flatMap(_.defs)
 

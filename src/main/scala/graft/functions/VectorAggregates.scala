@@ -83,9 +83,105 @@ case class VectorSum(
   override def prettyName: String = "vector_sum"
 }
 
+/** Poisson-bootstrap sufficient statistics as ONE native aggregate:
+  * for B replicates, Σw_b and Σw_b·v per group, where w_b is the
+  * Poisson(1) inverse-CDF of the keyed hash stream b (multiplier
+  * 2654435761 + 2b over key mod 2^31 — Sampling.keyHash's family, so
+  * the DuckDB oracle reproduces every weight bit-for-bit).
+  *
+  * The declarative alternative materializes three B-long arrays per row
+  * through interpreted higher-order-function lambdas (measured ~4× the
+  * whole-query cost at B=200); here the weights live only inside the
+  * fused update loop and the buffer is one long[2B] — B Σw then B Σwv —
+  * combined map-side. Per-row hash cost is unavoidable; per-row
+  * allocation is zero.
+  */
+case class BootstrapMoments(
+    key: Expression,
+    value: Expression,
+    b: Int,
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0)
+  extends TypedImperativeAggregate[Array[Long]] {
+
+  require(b > 0, "replicate count must be positive")
+
+  // cumulative Poisson(1) CDF at 2^32 scale: floor(P(X<=k)·2^32); the
+  // tail past k=5 (mass 6e-4) truncates to w=6 — identically in the
+  // oracle SQL, so the bias (if one cares) is shared, not a divergence
+  private val T = Array(1580030168L, 3160060337L, 3950075421L,
+    4213413783L, 4279248373L, 4292415291L)
+
+  override def createAggregationBuffer(): Array[Long] = new Array[Long](2 * b)
+
+  override def update(buf: Array[Long], input: InternalRow): Array[Long] = {
+    val k = key.eval(input)
+    val v = value.eval(input)
+    if (k != null && v != null) {
+      val kl = k.asInstanceOf[Long]
+      val vl = v.asInstanceOf[Long]
+      val masked = { val m = kl % 2147483648L; if (m < 0) m + 2147483648L else m }
+      var i = 0
+      while (i < b) {
+        // masked < 2^31 and multiplier < 2^32 → product < 2^63, no overflow
+        val h = (masked * (2654435761L + 2L * (i + 1))) % 4294967296L
+        var w = 0L
+        while (w < 6 && h >= T(w.toInt)) w += 1
+        buf(i) += w
+        buf(b + i) += w * vl
+        i += 1
+      }
+    }
+    buf
+  }
+
+  override def merge(a: Array[Long], o: Array[Long]): Array[Long] = {
+    var i = 0
+    while (i < 2 * b) { a(i) += o(i); i += 1 }
+    a
+  }
+
+  override def eval(buf: Array[Long]): Any = new GenericArrayData(buf.clone())
+
+  override def serialize(buf: Array[Long]): Array[Byte] = {
+    val bos = new ByteArrayOutputStream(2 * b * 8)
+    val out = new DataOutputStream(bos)
+    var i = 0
+    while (i < 2 * b) { out.writeLong(buf(i)); i += 1 }
+    out.flush()
+    bos.toByteArray
+  }
+
+  override def deserialize(bytes: Array[Byte]): Array[Long] = {
+    val in = new DataInputStream(new ByteArrayInputStream(bytes))
+    val buf = new Array[Long](2 * b)
+    var i = 0
+    while (i < 2 * b) { buf(i) = in.readLong(); i += 1 }
+    buf
+  }
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullable: Boolean = false
+  override def children: Seq[Expression] = Seq(key, value)
+  override protected def withNewChildrenInternal(c: IndexedSeq[Expression]): BootstrapMoments =
+    copy(key = c(0), value = c(1))
+  override def withNewMutableAggBufferOffset(offset: Int): BootstrapMoments =
+    copy(mutableAggBufferOffset = offset)
+  override def withNewInputAggBufferOffset(offset: Int): BootstrapMoments =
+    copy(inputAggBufferOffset = offset)
+  override def prettyName: String = "bootstrap_moments"
+}
+
 object VectorAggregates {
   /** Column API: element-wise sum of an array<long> column of fixed
     * length `dim`, as array<long>. */
   def vector_sum(v: Column, dim: Int): Column =
     Bridge.column(VectorSum(Bridge.expression(v), dim).toAggregateExpression())
+
+  /** Column API: Poisson-bootstrap Σw / Σwv over B replicates, as one
+    * array<long> of length 2B (first B = Σw, last B = Σw·v). */
+  def bootstrap_moments(key: Column, value: Column, b: Int): Column =
+    Bridge.column(
+      BootstrapMoments(Bridge.expression(key), Bridge.expression(value), b)
+        .toAggregateExpression())
 }

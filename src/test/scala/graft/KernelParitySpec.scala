@@ -230,4 +230,45 @@ class KernelParitySpec extends SparkSpec {
       .filter(col("hof") =!= col("fast")).count() // bitwise double equality
     assert(diff === 0)
   }
+
+  test("BootstrapMoments aggregate == HOF weight-vector reference") {
+    // the declarative reference: per-row B-long Poisson weight vectors
+    // (the form the DuckDB oracle mirrors via generate_series), reduced
+    // by vector_sum — must equal the fused native aggregate exactly
+    val B = 16
+    val rows = Tables.orders(spark, sfDir)
+      .select(col("o_orderkey"),
+        graft.functions.Deterministic.cents(col("o_totalprice")).as("v"))
+    val wCase = s"""transform(
+        transform(sequence(1, $B),
+          b -> pmod(pmod(o_orderkey, 2147483648) * (2654435761 + 2*b), 4294967296)),
+        h -> CASE WHEN h < 1580030168 THEN 0L WHEN h < 3160060337 THEN 1L
+                  WHEN h < 3950075421 THEN 2L WHEN h < 4213413783 THEN 3L
+                  WHEN h < 4279248373 THEN 4L WHEN h < 4292415291 THEN 5L
+                  ELSE 6L END)"""
+    val hof = rows
+      .withColumn("w", expr(wCase))
+      .withColumn("wx", expr("transform(w, x -> x * v)"))
+      .agg(graft.functions.VectorAggregates.vector_sum(col("w"), B).as("sw"),
+        graft.functions.VectorAggregates.vector_sum(col("wx"), B).as("swx"))
+      .select(expr("concat(sw, swx)").as("ref"))
+    val fast = rows
+      .agg(graft.functions.VectorAggregates
+        .bootstrap_moments(col("o_orderkey"), col("v"), B).as("bm"))
+    assert(hof.head().getSeq[Long](0) === fast.head().getSeq[Long](0))
+  }
+
+  test("BootstrapMoments skips null keys and values") {
+    import spark.implicits._
+    val df = Seq((Some(1L), Some(10L)), (None, Some(5L)), (Some(2L), None))
+      .toDF("k", "v")
+    val bm = df.agg(graft.functions.VectorAggregates
+      .bootstrap_moments(col("k"), col("v"), 4).as("bm"))
+      .head().getSeq[Long](0)
+    val only = df.filter(col("k").isNotNull && col("v").isNotNull)
+      .agg(graft.functions.VectorAggregates
+        .bootstrap_moments(col("k"), col("v"), 4).as("bm"))
+      .head().getSeq[Long](0)
+    assert(bm === only)
+  }
 }
