@@ -271,5 +271,233 @@ object OlapQueries extends QueryGroup {
       ORDER BY base.segment
     """))
 
-  override def defs: Seq[QueryDef] = Seq(q319, q320, q321, q322)
+  /** Exact distributed multiple regression (two predictors + intercept)
+    * via sufficient statistics: per brand, OLS of line quantity on
+    * discount (bps) and part retail price (cents) — demand elasticity
+    * as one keyed aggregate. The normal-equations solve (Cramer 3×3)
+    * runs on the aggregated sums only, with IDENTICAL double-arithmetic
+    * expression text on both engines (sums stay exact integers —
+    * decimal(38,0)/HUGEINT for the squares so the 100 TB row counts
+    * can't wrap — then one shared IEEE solve).
+    *
+    * Scale shape: one keyed lineitem↔part join + one hash aggregate to
+    * 9 sums per brand; the regression itself touches vocabulary-sized
+    * data. This is how distributed OLS is actually done — no gradient
+    * loop, no per-row weight vector. */
+  private val q323 = QueryDef(
+    "q323_ols_two_factor_demand",
+    (spark, dir) => {
+      val rows = Tables.lineitem(spark, dir)
+        .select(col("l_partkey"),
+          floor(col("l_quantity") + 0.5).cast("long").as("y"),
+          floor(col("l_discount") * 10000 + 0.5).cast("long").as("x1"))
+        .join(Tables.part(spark, dir)
+          .select(col("p_partkey"), col("p_brand"),
+            cents(col("p_retailprice")).as("x2")),
+          col("l_partkey") === col("p_partkey"))
+      val dec = (c: org.apache.spark.sql.Column) => c.cast("decimal(38,0)")
+      val sums = rows.groupBy(col("p_brand"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("x1")).as("sx1"), sum(col("x2")).as("sx2"), sum(col("y")).as("sy"),
+          sum(dec(col("x1") * col("x1"))).as("sx11"),
+          sum(dec(col("x1") * col("x2"))).as("sx12"),
+          sum(dec(col("x2") * col("x2"))).as("sx22"),
+          sum(dec(col("x1") * col("y"))).as("sx1y"),
+          sum(dec(col("x2") * col("y"))).as("sx2y"),
+          sum(dec(col("y") * col("y"))).as("syy"))
+      sums.selectExpr(Seq("p_brand", "n") ++ olsCastExprs: _*)
+        .selectExpr(Seq("p_brand", "n") ++ olsDetExprs: _*)
+        .selectExpr(Seq("p_brand", "n") ++ olsOutExprs: _*)
+        .orderBy(col("p_brand"))
+    },
+    Some(s"""
+      WITH rows_r AS (
+        SELECT p_brand,
+          CAST(floor(l_quantity + 0.5) AS BIGINT) AS y,
+          CAST(floor(l_discount*10000 + 0.5) AS BIGINT) AS x1,
+          CAST(floor(p_retailprice*100 + 0.5) AS BIGINT) AS x2
+        FROM lineitem JOIN part ON l_partkey = p_partkey),
+      sums AS (
+        SELECT p_brand, CAST(count(*) AS BIGINT) AS n,
+          CAST(sum(x1) AS BIGINT) AS sx1, CAST(sum(x2) AS BIGINT) AS sx2,
+          CAST(sum(y) AS BIGINT) AS sy,
+          sum(CAST(x1*x1 AS HUGEINT)) AS sx11,
+          sum(CAST(x1*x2 AS HUGEINT)) AS sx12,
+          sum(CAST(x2*x2 AS HUGEINT)) AS sx22,
+          sum(CAST(x1*y AS HUGEINT)) AS sx1y,
+          sum(CAST(x2*y AS HUGEINT)) AS sx2y,
+          sum(CAST(y*y AS HUGEINT)) AS syy
+        FROM rows_r GROUP BY p_brand),
+      casted AS (SELECT p_brand, n, ${olsCastExprs.mkString(", ")} FROM sums),
+      dets AS (SELECT p_brand, n, ${olsDetExprs.mkString(", ")} FROM casted)
+      SELECT p_brand, n, ${olsOutExprs.mkString(", ")}
+      FROM dets ORDER BY p_brand
+    """))
+
+  // the OLS solve — ONE expression text evaluated by both engines so
+  // every IEEE operation matches bit-for-bit
+  private def olsCastExprs: Seq[String] = Seq(
+    "CAST(n AS DOUBLE) AS fn",
+    "CAST(sx1 AS DOUBLE) AS fx1", "CAST(sx2 AS DOUBLE) AS fx2",
+    "CAST(sy AS DOUBLE) AS fy",
+    "CAST(sx11 AS DOUBLE) AS f11", "CAST(sx12 AS DOUBLE) AS f12",
+    "CAST(sx22 AS DOUBLE) AS f22",
+    "CAST(sx1y AS DOUBLE) AS f1y", "CAST(sx2y AS DOUBLE) AS f2y",
+    "CAST(syy AS DOUBLE) AS fyy")
+  private def olsDetExprs: Seq[String] = Seq(
+    "fy", "f1y", "f2y", "fyy", "fn",
+    "fn*(f11*f22 - f12*f12) - fx1*(fx1*f22 - f12*fx2) + fx2*(fx1*f12 - f11*fx2) AS dd",
+    "fy*(f11*f22 - f12*f12) - fx1*(f1y*f22 - f12*f2y) + fx2*(f1y*f12 - f11*f2y) AS d0",
+    "fn*(f1y*f22 - f12*f2y) - fy*(fx1*f22 - f12*fx2) + fx2*(fx1*f2y - f1y*fx2) AS d1",
+    "fn*(f11*f2y - f1y*f12) - fx1*(fx1*f2y - f1y*fx2) + fy*(fx1*f12 - f11*fx2) AS d2")
+  private def olsOutExprs: Seq[String] = Seq(
+    "d0/dd AS b0", "d1/dd AS b1", "d2/dd AS b2",
+    "1 - (fyy - (d0/dd)*fy - (d1/dd)*f1y - (d2/dd)*f2y) / (fyy - fy*fy/fn) AS r2")
+
+  /** Spearman rank correlation (tie-averaged) between line quantity and
+    * discount, per return flag — the monotonic complement of q180's
+    * Pearson matrix and q224's concordance. The defining trick at
+    * scale: tie-averaged ranks are a pure function of the VALUE
+    * HISTOGRAM (rank(v) = count below v + (count at v + 1)/2), so no
+    * per-row sort ever happens — ranks come from a vocabulary-sized
+    * cumulative sum broadcast back onto the joint histogram, and the
+    * correlation's moments reduce over histogram CELLS, not rows.
+    * Doubled ranks (2·rank) keep everything integer; moments accumulate
+    * in decimal(38,0)/HUGEINT; the final Pearson-on-ranks is one shared
+    * IEEE expression.
+    *
+    * Scale shape: one groupBy to the (flag, qty, bps) joint histogram
+    * (the only row-scale shuffle, map-side combined), then
+    * vocabulary-sized windows and joins. */
+  private val q324 = QueryDef(
+    "q324_spearman_rank_corr",
+    (spark, dir) => {
+      val vals = Tables.lineitem(spark, dir)
+        .select(col("l_returnflag").as("flag"),
+          floor(col("l_quantity") + 0.5).cast("long").as("x"),
+          floor(col("l_discount") * 10000 + 0.5).cast("long").as("y"))
+      val jh = vals.groupBy(col("flag"), col("x"), col("y")).agg(count(lit(1)).as("cnt"))
+      def doubledRanks(grain: String) = {
+        val w = Window.partitionBy(col("flag")).orderBy(col(grain))
+        jh.groupBy(col("flag"), col(grain)).agg(sum(col("cnt")).as("c"))
+          .select(col("flag"), col(grain),
+            (lit(2) * (sum(col("c")).over(w) - col("c")) + col("c") + 1)
+              .as(s"r2$grain"))
+      }
+      val dec = (c: org.apache.spark.sql.Column) => c.cast("decimal(38,0)")
+      jh.join(broadcast(doubledRanks("x")), Seq("flag", "x"))
+        .join(broadcast(doubledRanks("y")), Seq("flag", "y"))
+        .groupBy(col("flag"))
+        .agg(sum(col("cnt")).as("n"),
+          sum(dec(col("cnt")) * col("r2x")).as("sx"),
+          sum(dec(col("cnt")) * col("r2y")).as("sy"),
+          sum(dec(col("cnt")) * col("r2x") * col("r2x")).as("sxx"),
+          sum(dec(col("cnt")) * col("r2y") * col("r2y")).as("syy"),
+          sum(dec(col("cnt")) * col("r2x") * col("r2y")).as("sxy"))
+        .selectExpr(Seq("flag", "n") ++ spearmanCastExprs: _*)
+        .selectExpr("flag", "n", spearmanRhoExpr)
+        .orderBy(col("flag"))
+    },
+    Some(s"""
+      WITH vals AS (
+        SELECT l_returnflag AS flag,
+          CAST(floor(l_quantity + 0.5) AS BIGINT) AS x,
+          CAST(floor(l_discount*10000 + 0.5) AS BIGINT) AS y
+        FROM lineitem),
+      jh AS (SELECT flag, x, y, CAST(count(*) AS BIGINT) AS cnt
+             FROM vals GROUP BY flag, x, y),
+      hx AS (
+        SELECT flag, x,
+          2*(sum(c) OVER (PARTITION BY flag ORDER BY x) - c) + c + 1 AS r2x
+        FROM (SELECT flag, x, CAST(sum(cnt) AS BIGINT) AS c FROM jh GROUP BY flag, x)),
+      hy AS (
+        SELECT flag, y,
+          2*(sum(c) OVER (PARTITION BY flag ORDER BY y) - c) + c + 1 AS r2y
+        FROM (SELECT flag, y, CAST(sum(cnt) AS BIGINT) AS c FROM jh GROUP BY flag, y)),
+      sums AS (
+        SELECT jh.flag, CAST(sum(cnt) AS BIGINT) AS n,
+          sum(CAST(cnt AS HUGEINT) * r2x) AS sx,
+          sum(CAST(cnt AS HUGEINT) * r2y) AS sy,
+          sum(CAST(cnt AS HUGEINT) * r2x * r2x) AS sxx,
+          sum(CAST(cnt AS HUGEINT) * r2y * r2y) AS syy,
+          sum(CAST(cnt AS HUGEINT) * r2x * r2y) AS sxy
+        FROM jh JOIN hx ON jh.flag = hx.flag AND jh.x = hx.x
+                JOIN hy ON jh.flag = hy.flag AND jh.y = hy.y
+        GROUP BY jh.flag),
+      casted AS (SELECT flag, n, ${spearmanCastExprs.mkString(", ")} FROM sums)
+      SELECT flag, n, $spearmanRhoExpr
+      FROM casted ORDER BY flag
+    """))
+
+  private def spearmanCastExprs: Seq[String] = Seq(
+    "CAST(n AS DOUBLE) AS fn",
+    "CAST(sx AS DOUBLE) AS fx", "CAST(sy AS DOUBLE) AS fy",
+    "CAST(sxx AS DOUBLE) AS fxx", "CAST(syy AS DOUBLE) AS fyy",
+    "CAST(sxy AS DOUBLE) AS fxy")
+  private def spearmanRhoExpr: String =
+    "(fn*fxy - fx*fy) / sqrt((fn*fxx - fx*fx) * (fn*fyy - fy*fy)) AS rho"
+
+  /** Dictionary-encoding plan: for each low-cardinality string column
+    * across the schema, would dictionary encoding shrink it — rows,
+    * distinct values, raw bytes, dict bytes (distinct-value bytes +
+    * rows × code width chosen from the cardinality), savings in ppm.
+    * The storage-layout decision a columnar lake makes per column;
+    * complements q126 (file compaction) and q297 (varint planning).
+    *
+    * Scale shape: one value-grain aggregate per column (map-side
+    * combined to the vocabulary), then a vocabulary-sized reduction —
+    * the raw strings are never shuffled, only (value, count) pairs. */
+  private val q325 = QueryDef(
+    "q325_dictionary_encoding_plan",
+    (spark, dir) => {
+      def plan(df: DataFrame, c: String, tag: String) =
+        df.select(col(c).as("v"))
+          .groupBy(col("v")).agg(count(lit(1)).as("cnt"))
+          .agg(sum(col("cnt")).as("n_rows"), count(lit(1)).as("n_distinct"),
+            sum(col("cnt") * length(col("v"))).as("raw_bytes"),
+            sum(length(col("v"))).as("dict_value_bytes"))
+          .select(lit(tag).as("column_name"), col("n_rows"), col("n_distinct"),
+            col("raw_bytes"),
+            (col("dict_value_bytes") +
+              col("n_rows") * when(col("n_distinct") <= 256, 1L)
+                .when(col("n_distinct") <= 65536, 2L).otherwise(4L)).as("dict_bytes"))
+          .withColumn("saved_ppm",
+            expr("(raw_bytes - dict_bytes) * 1000000 div raw_bytes"))
+          .withColumn("use_dict", col("dict_bytes") < col("raw_bytes"))
+      plan(Tables.orders(spark, dir), "o_orderpriority", "orders.o_orderpriority")
+        .unionAll(plan(Tables.orders(spark, dir), "o_orderstatus", "orders.o_orderstatus"))
+        .unionAll(plan(Tables.customer(spark, dir), "c_mktsegment", "customer.c_mktsegment"))
+        .unionAll(plan(Tables.part(spark, dir), "p_brand", "part.p_brand"))
+        .unionAll(plan(Tables.part(spark, dir), "p_type", "part.p_type"))
+        .unionAll(plan(Tables.lineitem(spark, dir), "l_returnflag", "lineitem.l_returnflag"))
+        .unionAll(plan(Tables.events(spark, dir), "event_type", "events.event_type"))
+        .unionAll(plan(Tables.documents(spark, dir), "lang", "documents.lang"))
+        .orderBy(col("column_name"))
+    },
+    Some {
+      def duckPlan(tbl: String, c: String, tag: String) = s"""
+        SELECT '$tag' AS column_name,
+          CAST(sum(cnt) AS BIGINT) AS n_rows,
+          CAST(count(*) AS BIGINT) AS n_distinct,
+          CAST(sum(cnt * len(v)) AS BIGINT) AS raw_bytes,
+          CAST(sum(len(v)) + sum(cnt) * (CASE WHEN count(*) <= 256 THEN 1
+            WHEN count(*) <= 65536 THEN 2 ELSE 4 END) AS BIGINT) AS dict_bytes,
+          CAST((sum(cnt * len(v)) - (sum(len(v)) + sum(cnt) * (CASE WHEN count(*) <= 256 THEN 1
+            WHEN count(*) <= 65536 THEN 2 ELSE 4 END))) * 1000000
+            // sum(cnt * len(v)) AS BIGINT) AS saved_ppm,
+          (sum(len(v)) + sum(cnt) * (CASE WHEN count(*) <= 256 THEN 1
+            WHEN count(*) <= 65536 THEN 2 ELSE 4 END)) < sum(cnt * len(v)) AS use_dict
+        FROM (SELECT $c AS v, CAST(count(*) AS BIGINT) AS cnt FROM $tbl GROUP BY $c)"""
+      Seq(duckPlan("orders", "o_orderpriority", "orders.o_orderpriority"),
+        duckPlan("orders", "o_orderstatus", "orders.o_orderstatus"),
+        duckPlan("customer", "c_mktsegment", "customer.c_mktsegment"),
+        duckPlan("part", "p_brand", "part.p_brand"),
+        duckPlan("part", "p_type", "part.p_type"),
+        duckPlan("lineitem", "l_returnflag", "lineitem.l_returnflag"),
+        duckPlan("events", "event_type", "events.event_type"),
+        duckPlan("documents", "lang", "documents.lang"))
+        .mkString("", "\nUNION ALL", "\nORDER BY column_name")
+    })
+
+  override def defs: Seq[QueryDef] = Seq(q319, q320, q321, q322, q323, q324, q325)
 }
