@@ -100,6 +100,7 @@ case class BootstrapMoments(
     key: Expression,
     value: Expression,
     b: Int,
+    bernoulli: Boolean = false,
     mutableAggBufferOffset: Int = 0,
     inputAggBufferOffset: Int = 0)
   extends TypedImperativeAggregate[Array[Long]] {
@@ -125,8 +126,15 @@ case class BootstrapMoments(
       while (i < b) {
         // masked < 2^31 and multiplier < 2^32 → product < 2^63, no overflow
         val h = (masked * (2654435761L + 2L * (i + 1))) % 4294967296L
-        var w = 0L
-        while (w < 6 && h >= T(w.toInt)) w += 1
+        // bernoulli: a fair coin per stream (randomization tests);
+        // otherwise the Poisson(1) inverse CDF (bootstrap resampling)
+        val w =
+          if (bernoulli) { if (h < 2147483648L) 1L else 0L }
+          else {
+            var k = 0L
+            while (k < 6 && h >= T(k.toInt)) k += 1
+            k
+          }
         buf(i) += w
         buf(b + i) += w * vl
         i += 1
@@ -184,4 +192,12 @@ object VectorAggregates {
     Bridge.column(
       BootstrapMoments(Bridge.expression(key), Bridge.expression(value), b)
         .toAggregateExpression())
+
+  /** Column API: B fair-coin reassignments (w ∈ {0,1}) of the keyed
+    * units — Σw / Σwv per replicate, the sufficient statistics of a
+    * randomization test. Same layout as bootstrap_moments. */
+  def randomization_moments(key: Column, value: Column, b: Int): Column =
+    Bridge.column(
+      BootstrapMoments(Bridge.expression(key), Bridge.expression(value), b,
+        bernoulli = true).toAggregateExpression())
 }

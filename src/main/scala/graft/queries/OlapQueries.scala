@@ -499,5 +499,235 @@ object OlapQueries extends QueryGroup {
         .mkString("", "\nUNION ALL", "\nORDER BY column_name")
     })
 
-  override def defs: Seq[QueryDef] = Seq(q319, q320, q321, q322, q323, q324, q325)
+  /** Feature ranking by Goodman–Kruskal lambda: proportional reduction
+    * in error predicting the line return flag from each candidate
+    * categorical feature (customer segment, order priority, part brand,
+    * ship month). λ = (errors guessing the modal class − errors
+    * guessing the per-feature-level modal class) / (errors guessing the
+    * modal class). Pure integer counts — the log-free association
+    * measure (this codebase deliberately avoids ln: unlike sqrt, libm
+    * logs are not correctly-rounded, so they can't be bit-identical
+    * across engines); complements q119 (chi²), q152 (Gini), q291 (η²).
+    *
+    * Scale shape: per feature, one (level, class) joint-histogram
+    * aggregate (map-side combined), then vocabulary-sized maxima. */
+  private val q326 = QueryDef(
+    "q326_lambda_feature_ranking",
+    (spark, dir) => {
+      def lambda(df: DataFrame, tag: String) = {
+        val jh = df.groupBy(col("x"), col("y")).agg(count(lit(1)).as("c"))
+        val perX = jh.groupBy(col("x")).agg(max(col("c")).as("mx"))
+          .agg(sum(col("mx")).as("sum_modal"))
+        val perY = jh.groupBy(col("y")).agg(sum(col("c")).as("cy"))
+          .agg(max(col("cy")).as("base_modal"), sum(col("cy")).as("n"))
+        perY.crossJoin(broadcast(perX))
+          .select(lit(tag).as("feature"), col("n"),
+            (col("n") - col("base_modal")).as("base_err"),
+            (col("n") - col("sum_modal")).as("model_err"))
+          .withColumn("lambda_ppm",
+            expr("(base_err - model_err) * 1000000 div base_err"))
+      }
+      val li = Tables.lineitem(spark, dir)
+      val withOrders = li.select(col("l_orderkey"), col("l_returnflag"))
+        .join(Tables.orders(spark, dir)
+          .select(col("o_orderkey"), col("o_custkey"), col("o_orderpriority")),
+          col("l_orderkey") === col("o_orderkey"))
+      lambda(withOrders
+          .join(Tables.customer(spark, dir).select(col("c_custkey"), col("c_mktsegment")),
+            col("o_custkey") === col("c_custkey"))
+          .select(col("c_mktsegment").as("x"), col("l_returnflag").as("y")), "c_mktsegment")
+        .unionAll(lambda(withOrders
+          .select(col("o_orderpriority").as("x"), col("l_returnflag").as("y")), "o_orderpriority"))
+        .unionAll(lambda(li
+          .join(Tables.part(spark, dir).select(col("p_partkey"), col("p_brand")),
+            col("l_partkey") === col("p_partkey"))
+          .select(col("p_brand").as("x"), col("l_returnflag").as("y")), "p_brand"))
+        .unionAll(lambda(li
+          .select(month(col("l_shipdate")).cast("long").as("x"),
+            col("l_returnflag").as("y")), "ship_month"))
+        .orderBy(col("feature"))
+    },
+    Some {
+      def duck(srcSql: String, tag: String) = s"""
+        SELECT '$tag' AS feature,
+          CAST(n AS BIGINT) AS n,
+          CAST(n - base_modal AS BIGINT) AS base_err,
+          CAST(n - sum_modal AS BIGINT) AS model_err,
+          CAST((sum_modal - base_modal) * 1000000 // (n - base_modal) AS BIGINT)
+            AS lambda_ppm
+        FROM (
+          SELECT (SELECT sum(c) FROM (SELECT x, y, count(*) AS c FROM ($srcSql) GROUP BY x, y)) AS n,
+            (SELECT max(cy) FROM (SELECT y, count(*) AS cy FROM ($srcSql) GROUP BY y)) AS base_modal,
+            (SELECT sum(mx) FROM (
+              SELECT x, max(c) AS mx FROM (SELECT x, y, count(*) AS c FROM ($srcSql) GROUP BY x, y)
+              GROUP BY x)) AS sum_modal)"""
+      Seq(
+        duck("""SELECT c_mktsegment AS x, l_returnflag AS y
+                FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+                JOIN customer ON o_custkey = c_custkey""", "c_mktsegment"),
+        duck("""SELECT o_orderpriority AS x, l_returnflag AS y
+                FROM lineitem JOIN orders ON l_orderkey = o_orderkey""", "o_orderpriority"),
+        duck("""SELECT p_brand AS x, l_returnflag AS y
+                FROM lineitem JOIN part ON l_partkey = p_partkey""", "p_brand"),
+        duck("""SELECT CAST(month(l_shipdate) AS BIGINT) AS x, l_returnflag AS y
+                FROM lineitem""", "ship_month"))
+        .mkString("", "\nUNION ALL", "\nORDER BY feature")
+    })
+
+  /** Randomization (permutation) test for an A/B difference in mean
+    * per-user purchase value: the observed hash-assigned split vs 200
+    * deterministic fair-coin reassignments of users (independent hash
+    * streams via the randomization_moments native aggregate), p-value
+    * = (1 + #replicates at least as extreme) / (B + 1). The
+    * assumption-free significance readout behind q163/q225/q240 — and
+    * under a hash assignment the null is true by construction, so this
+    * doubles as an end-to-end calibration check of the A/B machinery.
+    *
+    * Scale shape: users reduce to one metric row each (one keyed
+    * aggregate over events), then ONE global aggregate carries every
+    * replicate's Σw/Σwv in a single long[2B] buffer — users are never
+    * replicated B times. */
+  private val q327 = QueryDef(
+    "q327_randomization_test",
+    (spark, dir) => {
+      val B = 200
+      val um = Tables.events(spark, dir)
+        .filter(col("event_type") === "purchase")
+        .groupBy(col("user_id"))
+        .agg(sum(cents(col("value"))).as("m"))
+        .withColumn("t",
+          expr("CASE WHEN pmod(pmod(user_id, 2147483648) * 2654435761, 4294967296) < 2147483648 THEN 1L ELSE 0L END"))
+      val agg = um.agg(
+        count(lit(1)).as("n"), sum(col("m")).as("s"),
+        sum(col("t")).as("nt"), sum(col("t") * col("m")).as("st"),
+        graft.functions.VectorAggregates
+          .randomization_moments(col("user_id"), col("m"), B).as("bm"))
+      val reps = agg
+        .select(col("n"), col("s"), col("nt"), col("st"),
+          posexplode(expr(
+            s"zip_with(slice(bm, 1, $B), slice(bm, ${B + 1}, $B), (a, b) -> struct(a AS sw, b AS swx))"))
+            .as(Seq("b0", "p")))
+        .selectExpr("n", "s", "nt", "st",
+          "CAST(st AS DOUBLE)/CAST(nt AS DOUBLE) - CAST(s - st AS DOUBLE)/CAST(n - nt AS DOUBLE) AS obs_diff",
+          "CAST(p.swx AS DOUBLE)/CAST(p.sw AS DOUBLE) - CAST(s - p.swx AS DOUBLE)/CAST(n - p.sw AS DOUBLE) AS rep_diff")
+      reps.groupBy(col("n"), col("obs_diff"))
+        .agg(sum(when(abs(col("rep_diff")) >= abs(col("obs_diff")), 1L).otherwise(0L))
+          .as("n_extreme"))
+        .select(col("n").as("n_users"), col("obs_diff").as("obs_diff_cents"),
+          col("n_extreme"),
+          expr(s"(1 + n_extreme) * 1000000 div ${B + 1}").as("p_ppm"))
+    },
+    Some("""
+      WITH um AS (
+        SELECT user_id, CAST(sum(CAST(floor(value*100 + 0.5) AS BIGINT)) AS BIGINT) AS m,
+          CASE WHEN ((user_id % 2147483648) * 2654435761) % 4294967296 < 2147483648
+               THEN 1 ELSE 0 END AS t
+        FROM events WHERE event_type = 'purchase' GROUP BY user_id),
+      base AS (
+        SELECT CAST(count(*) AS BIGINT) AS n, CAST(sum(m) AS BIGINT) AS s,
+          CAST(sum(t) AS BIGINT) AS nt, CAST(sum(t*m) AS BIGINT) AS st
+        FROM um),
+      reps AS (
+        SELECT b, CAST(sum(w) AS BIGINT) AS sw, CAST(sum(w*m) AS BIGINT) AS swx
+        FROM (
+          SELECT m, b,
+            CASE WHEN ((user_id % 2147483648) * (2654435761 + 2*b)) % 4294967296
+                      < 2147483648 THEN 1 ELSE 0 END AS w
+          FROM um, generate_series(1, 200) g(b))
+        GROUP BY b),
+      diffs AS (
+        SELECT n,
+          CAST(st AS DOUBLE)/CAST(nt AS DOUBLE) - CAST(s - st AS DOUBLE)/CAST(n - nt AS DOUBLE) AS obs_diff,
+          CAST(swx AS DOUBLE)/CAST(sw AS DOUBLE) - CAST(s - swx AS DOUBLE)/CAST(n - sw AS DOUBLE) AS rep_diff
+        FROM base, reps)
+      SELECT n AS n_users, obs_diff AS obs_diff_cents,
+        CAST(sum(CASE WHEN abs(rep_diff) >= abs(obs_diff) THEN 1 ELSE 0 END) AS BIGINT)
+          AS n_extreme,
+        CAST((1 + sum(CASE WHEN abs(rep_diff) >= abs(obs_diff) THEN 1 ELSE 0 END)) * 1000000
+          // 201 AS BIGINT) AS p_ppm
+      FROM diffs GROUP BY n, obs_diff
+    """))
+
+  /** Local Outlier Factor (k = 5) over embeddings within label blocks —
+    * density-RELATIVE outliers (a point sparse only compared to its own
+    * neighborhood), where q310's raw kNN distance misses outliers
+    * sitting next to tight clusters. All in exact integers: quantized
+    * cosine distance (2^20 grid), integer reachability sums, and
+    * LOF = mean of lrd ratios computed as ppm integer divisions —
+    * no order-dependent double summation anywhere.
+    *
+    * Scale shape: q310's label-blocked pairwise kernel join (the
+    * block structure bounds the quadratic term), then three keyed
+    * joins over the k·n kNN edge list only. */
+  private val q328 = QueryDef(
+    "q328_lof_outliers",
+    (spark, dir) => {
+      import graft.functions.expressions.quantized_cosine
+      val e = Tables.embeddings(spark, dir)
+        .select(col("vec_id"), col("label"), col("embedding"))
+      val pairs = e
+        .join(e.select(col("vec_id").as("nb_id"), col("label"),
+          col("embedding").as("nb_vec")), Seq("label"))
+        .filter(col("vec_id") =!= col("nb_id"))
+        .select(col("vec_id"), col("label"), col("nb_id"),
+          floor((lit(1d) - quantized_cosine(col("embedding"), col("nb_vec"))) * 1048576 + 0.5)
+            .cast("long").as("dq"))
+      val knn = pairs
+        .withColumn("rn", row_number().over(
+          Window.partitionBy(col("vec_id")).orderBy(col("dq"), col("nb_id"))))
+        .filter(col("rn") <= 5)
+      val kdist = knn.filter(col("rn") === 5)
+        .select(col("vec_id").as("nb_id"), col("dq").as("kdist_nb"))
+      val sr = knn.join(kdist, Seq("nb_id"))
+        .groupBy(col("vec_id"), col("label"))
+        .agg(sum(greatest(col("dq"), col("kdist_nb"))).as("sr"))
+      knn.select(col("vec_id"), col("nb_id"))
+        .join(sr.select(col("vec_id"), col("label"), col("sr")), Seq("vec_id"))
+        .join(sr.select(col("vec_id").as("nb_id"), col("sr").as("sr_nb")), Seq("nb_id"))
+        .groupBy(col("vec_id"), col("label"))
+        .agg(sum(expr("sr * 1000000 div greatest(sr_nb, 1)")).as("term_sum"))
+        .select(col("vec_id"), col("label").cast("long").as("label"),
+          expr("term_sum div 5").as("lof_ppm"))
+        .orderBy(col("lof_ppm").desc, col("vec_id"))
+        .limit(10)
+    },
+    Some("""
+      WITH q AS (
+        SELECT vec_id, label,
+          list_transform(embedding, x -> CAST(floor(x*512 + 0.5) AS BIGINT)) AS qv
+        FROM embeddings),
+      n AS (
+        SELECT vec_id, label, qv,
+          CAST(list_sum(list_transform(qv, x -> x*x)) AS BIGINT) AS nsq
+        FROM q),
+      p AS (
+        SELECT a.vec_id, a.label, b.vec_id AS nb_id,
+          CAST(floor((1 - CAST(CAST(list_sum(list_transform(range(1, len(a.qv)+1),
+                 i -> a.qv[i]*b.qv[i])) AS BIGINT) AS DOUBLE)
+            / sqrt(CAST(a.nsq AS DOUBLE)*CAST(b.nsq AS DOUBLE))) * 1048576 + 0.5) AS BIGINT) AS dq
+        FROM n a JOIN n b ON a.label = b.label AND a.vec_id <> b.vec_id),
+      knn AS (
+        SELECT vec_id, label, nb_id, dq,
+          row_number() OVER (PARTITION BY vec_id ORDER BY dq, nb_id) AS rn
+        FROM p QUALIFY rn <= 5),
+      kdist AS (
+        SELECT vec_id AS nb_id, dq AS kdist_nb FROM knn WHERE rn = 5),
+      sr AS (
+        SELECT knn.vec_id, knn.label,
+          CAST(sum(greatest(dq, kdist_nb)) AS BIGINT) AS sr
+        FROM knn JOIN kdist ON knn.nb_id = kdist.nb_id
+        GROUP BY knn.vec_id, knn.label),
+      terms AS (
+        SELECT knn.vec_id, sp.label, sp.sr, so.sr AS sr_nb
+        FROM knn
+        JOIN sr sp ON knn.vec_id = sp.vec_id
+        JOIN sr so ON knn.nb_id = so.vec_id)
+      SELECT vec_id, CAST(label AS BIGINT) AS label,
+        CAST(sum(sr * 1000000 // greatest(sr_nb, 1)) // 5 AS BIGINT) AS lof_ppm
+      FROM terms GROUP BY vec_id, label
+      ORDER BY lof_ppm DESC, vec_id LIMIT 10
+    """))
+
+  override def defs: Seq[QueryDef] =
+    Seq(q319, q320, q321, q322, q323, q324, q325, q326, q327, q328)
 }
