@@ -728,6 +728,243 @@ object OlapQueries extends QueryGroup {
       ORDER BY lof_ppm DESC, vec_id LIMIT 10
     """))
 
+  /** Graph modularity of sign-LSH buckets over the kNN graph: do the
+    * 3-bit hyperplane buckets (q50's family, here the signs of the
+    * first three quantized dims) respect local neighborhood structure?
+    * Directed modularity per bucket c: (m·e_c − in_c·out_c)/m², in
+    * exact integers (decimal(38,0) products, ppm out) — the structural
+    * LSH-quality audit beside q258 (transitivity) and q261 (band
+    * shape). Positive contributions = buckets denser than chance.
+    *
+    * Scale shape: q310's label-blocked 5-NN edge list (at 100 TB the
+    * pairwise step swaps for q32's IVF-probed candidates — modularity
+    * itself only ever touches the k·n edge list and 8 bucket rows). */
+  private val q329 = QueryDef(
+    "q329_knn_modularity",
+    (spark, dir) => {
+      import graft.functions.expressions.quantized_cosine
+      val signBits =
+        """4*(CASE WHEN CAST(floor(CAST(embedding[0] AS DOUBLE)*512 + 0.5) AS BIGINT) > 0 THEN 1 ELSE 0 END)
+         + 2*(CASE WHEN CAST(floor(CAST(embedding[1] AS DOUBLE)*512 + 0.5) AS BIGINT) > 0 THEN 1 ELSE 0 END)
+         +   (CASE WHEN CAST(floor(CAST(embedding[2] AS DOUBLE)*512 + 0.5) AS BIGINT) > 0 THEN 1 ELSE 0 END)"""
+      val e = Tables.embeddings(spark, dir)
+        .select(col("vec_id"), col("label"), col("embedding"),
+          expr(signBits).cast("long").as("bucket"))
+      val edges = e.select(col("label"), col("vec_id").as("src"),
+          col("embedding").as("ea"), col("bucket").as("src_b"))
+        .join(e.select(col("label"), col("vec_id").as("dst"),
+          col("embedding").as("eb"), col("bucket").as("dst_b")), Seq("label"))
+        .filter(col("src") =!= col("dst"))
+        .withColumn("cos", quantized_cosine(col("ea"), col("eb")))
+        .withColumn("rk", row_number().over(
+          Window.partitionBy(col("src")).orderBy(col("cos").desc, col("dst"))))
+        .filter(col("rk") <= 5)
+        .select(col("src_b"), col("dst_b"))
+      val m = edges.agg(count(lit(1)).as("m"))
+      val perB = edges.groupBy(col("src_b").as("bucket"))
+        .agg(count(lit(1)).as("out_c"),
+          sum(when(col("src_b") === col("dst_b"), 1L).otherwise(0L)).as("e_c"))
+        .join(edges.groupBy(col("dst_b").as("bucket")).agg(count(lit(1)).as("in_c")),
+          Seq("bucket"), "full_outer")
+        .na.fill(0L, Seq("out_c", "e_c", "in_c"))
+      perB.crossJoin(broadcast(m))
+        .select(col("bucket"), col("e_c").as("n_intra"), col("in_c"), col("out_c"),
+          expr("""CAST((CAST(m AS DECIMAL(38,0)) * e_c - CAST(in_c AS DECIMAL(38,0)) * out_c)
+                  * 1000000 DIV (CAST(m AS DECIMAL(38,0)) * m) AS BIGINT)""").as("contrib_ppm"))
+        .orderBy(col("bucket"))
+    },
+    Some("""
+      WITH q AS (
+        SELECT vec_id, label,
+          list_transform(embedding, x -> CAST(floor(x*512 + 0.5) AS BIGINT)) AS qv
+        FROM embeddings),
+      b AS (
+        SELECT vec_id, label, qv,
+          4*(CASE WHEN qv[1] > 0 THEN 1 ELSE 0 END)
+          + 2*(CASE WHEN qv[2] > 0 THEN 1 ELSE 0 END)
+          + (CASE WHEN qv[3] > 0 THEN 1 ELSE 0 END) AS bucket,
+          CAST(list_sum(list_transform(qv, x -> x*x)) AS BIGINT) AS nsq
+        FROM q),
+      p AS (
+        SELECT a.vec_id AS src, a.bucket AS src_b, c.vec_id AS dst, c.bucket AS dst_b,
+          CAST(CAST(list_sum(list_transform(range(1, len(a.qv)+1),
+                 i -> a.qv[i]*c.qv[i])) AS BIGINT) AS DOUBLE)
+            / sqrt(CAST(a.nsq AS DOUBLE)*CAST(c.nsq AS DOUBLE)) AS cos
+        FROM b a JOIN b c ON a.label = c.label AND a.vec_id <> c.vec_id),
+      edges AS (
+        SELECT src_b, dst_b,
+          row_number() OVER (PARTITION BY src ORDER BY cos DESC, dst) AS rk
+        FROM p QUALIFY rk <= 5),
+      m AS (SELECT CAST(count(*) AS BIGINT) AS m FROM edges),
+      outs AS (SELECT src_b AS bucket, CAST(count(*) AS BIGINT) AS out_c,
+          CAST(sum(CASE WHEN src_b = dst_b THEN 1 ELSE 0 END) AS BIGINT) AS e_c
+        FROM edges GROUP BY src_b),
+      ins AS (SELECT dst_b AS bucket, CAST(count(*) AS BIGINT) AS in_c
+        FROM edges GROUP BY dst_b),
+      per_b AS (
+        SELECT coalesce(outs.bucket, ins.bucket) AS bucket,
+          coalesce(out_c, 0) AS out_c, coalesce(e_c, 0) AS e_c, coalesce(in_c, 0) AS in_c
+        FROM outs FULL OUTER JOIN ins ON outs.bucket = ins.bucket)
+      SELECT CAST(bucket AS BIGINT) AS bucket, e_c AS n_intra, in_c, out_c,
+        CAST((CAST(m AS HUGEINT) * e_c - CAST(in_c AS HUGEINT) * out_c)
+             * 1000000 // (CAST(m AS HUGEINT) * m) AS BIGINT) AS contrib_ppm
+      FROM per_b, m ORDER BY bucket
+    """))
+
+  /** Poisson-bootstrap CI for a RATIO metric — revenue per event, where
+    * the unit of resampling (the user) differs from the denominator
+    * unit, so the naive per-row variance is simply wrong. Two
+    * bootstrap_moments aggregates over the SAME key share every weight
+    * stream by construction, so replicate b's ratio is Σw·x / Σw·y with
+    * consistent w — the delta-method-free way to get ratio CIs at
+    * cluster scale.
+    *
+    * Scale shape: one keyed per-user aggregate, then one global
+    * aggregate carrying two long[2B] buffers; rank-5 / rank-196 order
+    * statistics of 200 replicate ratios. */
+  private val q330 = QueryDef(
+    "q330_bootstrap_ratio_ci",
+    (spark, dir) => {
+      val B = 200
+      val um = Tables.events(spark, dir)
+        .groupBy(col("user_id"))
+        .agg(sum(when(col("event_type") === "purchase", cents(col("value")))
+          .otherwise(0L)).as("x"),
+          count(lit(1)).as("y"))
+      val agg = um.agg(
+        count(lit(1)).as("n_users"), sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+        graft.functions.VectorAggregates.bootstrap_moments(col("user_id"), col("x"), B).as("bx"),
+        graft.functions.VectorAggregates.bootstrap_moments(col("user_id"), col("y"), B).as("by"))
+      val reps = agg
+        .select(col("n_users"), col("sx"), col("sy"),
+          posexplode(expr(
+            s"zip_with(slice(bx, ${B + 1}, $B), slice(by, ${B + 1}, $B), (a, b) -> struct(a AS wx, b AS wy))"))
+            .as(Seq("b0", "p")))
+        .selectExpr("n_users", "sx", "sy", "b0 + 1 AS b",
+          "CAST(p.wx AS DOUBLE)/CAST(p.wy AS DOUBLE) AS rep_ratio")
+        .withColumn("rk", row_number().over(
+          Window.partitionBy(col("n_users")).orderBy(col("rep_ratio"), col("b"))))
+      reps.filter(col("rk") === 5 || col("rk") === 196)
+        .groupBy(col("n_users"), col("sx"), col("sy"))
+        .agg(min(when(col("rk") === 5, col("rep_ratio"))).as("ci_lo"),
+          min(when(col("rk") === 196, col("rep_ratio"))).as("ci_hi"))
+        .selectExpr("n_users",
+          "CAST(sx AS DOUBLE)/CAST(sy AS DOUBLE) AS ratio_cents_per_event",
+          "ci_lo", "ci_hi")
+    },
+    Some("""
+      WITH um AS (
+        SELECT user_id,
+          CAST(sum(CASE WHEN event_type = 'purchase'
+            THEN CAST(floor(value*100 + 0.5) AS BIGINT) ELSE 0 END) AS BIGINT) AS x,
+          CAST(count(*) AS BIGINT) AS y
+        FROM events GROUP BY user_id),
+      base AS (
+        SELECT CAST(count(*) AS BIGINT) AS n_users,
+          CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy
+        FROM um),
+      weighted AS (
+        SELECT x, y, b,
+          CASE
+            WHEN h < 1580030168 THEN 0
+            WHEN h < 3160060337 THEN 1
+            WHEN h < 3950075421 THEN 2
+            WHEN h < 4213413783 THEN 3
+            WHEN h < 4279248373 THEN 4
+            WHEN h < 4292415291 THEN 5
+            ELSE 6 END AS w
+        FROM (
+          SELECT x, y, b,
+            ((user_id % 2147483648) * (2654435761 + 2*b)) % 4294967296 AS h
+          FROM um, generate_series(1, 200) g(b))),
+      reps AS (
+        SELECT b, CAST(sum(w*x) AS DOUBLE)/CAST(sum(w*y) AS DOUBLE) AS rep_ratio
+        FROM weighted GROUP BY b),
+      ranked AS (
+        SELECT rep_ratio, row_number() OVER (ORDER BY rep_ratio, b) AS rk FROM reps)
+      SELECT n_users, CAST(sx AS DOUBLE)/CAST(sy AS DOUBLE) AS ratio_cents_per_event,
+        min(CASE WHEN rk = 5 THEN rep_ratio END) AS ci_lo,
+        min(CASE WHEN rk = 196 THEN rep_ratio END) AS ci_hi
+      FROM base, ranked WHERE rk = 5 OR rk = 196
+      GROUP BY n_users, sx, sy
+    """))
+
+  /** Zone-map (min/max block statistics) skip-rate audit for a
+    * recent-shipments predicate, under two physical layouts: blocks
+    * formed in orderkey order (ingest order — ship dates scattered, few
+    * blocks skippable) vs blocks formed in shipdate order (time-
+    * clustered — nearly every cold block skips). The measurement
+    * behind q123's z-order recommendation: same data, same predicate,
+    * skip rate decided purely by layout.
+    *
+    * Scale shape: per layout, one block-grain aggregate (block id is
+    * arithmetic on the row, map-side combined) + a one-row broadcast
+    * cutoff; never a sort — the shipdate layout is SIMULATED by value
+    * bucketing, which is exactly what range-partitioned writes produce. */
+  private val q331 = QueryDef(
+    "q331_zonemap_skip_audit",
+    (spark, dir) => {
+      val li = Tables.lineitem(spark, dir)
+        .select(col("l_orderkey").as("k"), epochS(col("l_shipdate")).as("ship_s"))
+      val bounds = li.agg(min(col("k")).as("k_lo"), max(col("k")).as("k_hi"),
+        min(col("ship_s")).as("s_lo"), max(col("ship_s")).as("s_hi"),
+        (max(col("ship_s")) - 90L * 86400L).as("cut_s"))
+      def audit(bucketExpr: String, tag: String) =
+        li.crossJoin(broadcast(bounds))
+          .withColumn("blk", expr(bucketExpr))
+          .groupBy(col("blk"))
+          .agg(max(col("ship_s")).as("blk_max"), count(lit(1)).as("rows_blk"),
+            sum(when(col("ship_s") >= col("cut_s"), 1L).otherwise(0L)).as("rows_match_blk"),
+            max(col("cut_s")).as("cut_s"))
+          .agg(count(lit(1)).as("n_blocks"),
+            sum(when(col("blk_max") < col("cut_s"), 1L).otherwise(0L)).as("skippable"),
+            sum(col("rows_blk")).as("rows_total"),
+            sum(col("rows_match_blk")).as("rows_match"),
+            sum(when(col("blk_max") >= col("cut_s"), col("rows_blk")).otherwise(0L))
+              .as("rows_scanned"))
+          .select(lit(tag).as("layout"), col("n_blocks"), col("skippable"),
+            expr("skippable * 1000000 div n_blocks").as("skip_ppm"),
+            col("rows_total"), col("rows_match"), col("rows_scanned"),
+            expr("(rows_total - rows_scanned) * 1000000 div rows_total").as("scan_saving_ppm"))
+      audit("(k - k_lo) div ((k_hi - k_lo) div 128 + 1)", "by_orderkey")
+        .unionAll(audit("(ship_s - s_lo) div ((s_hi - s_lo) div 128 + 1)", "by_shipdate"))
+        .orderBy(col("layout"))
+    },
+    Some {
+      def duckAudit(bucketExpr: String, tag: String) = s"""
+        SELECT '$tag' AS layout,
+          CAST(count(*) AS BIGINT) AS n_blocks,
+          CAST(sum(CASE WHEN blk_max < cut_s THEN 1 ELSE 0 END) AS BIGINT) AS skippable,
+          CAST(sum(CASE WHEN blk_max < cut_s THEN 1 ELSE 0 END) * 1000000
+            // count(*) AS BIGINT) AS skip_ppm,
+          CAST(sum(rows_blk) AS BIGINT) AS rows_total,
+          CAST(sum(rows_match_blk) AS BIGINT) AS rows_match,
+          CAST(sum(CASE WHEN blk_max >= cut_s THEN rows_blk ELSE 0 END) AS BIGINT)
+            AS rows_scanned,
+          CAST((sum(rows_blk) - sum(CASE WHEN blk_max >= cut_s THEN rows_blk ELSE 0 END))
+            * 1000000 // sum(rows_blk) AS BIGINT) AS scan_saving_ppm
+        FROM (
+          SELECT $bucketExpr AS blk, max(ship_s) AS blk_max,
+            CAST(count(*) AS BIGINT) AS rows_blk,
+            CAST(sum(CASE WHEN ship_s >= cut_s THEN 1 ELSE 0 END) AS BIGINT)
+              AS rows_match_blk,
+            max(cut_s) AS cut_s
+          FROM li, bounds GROUP BY blk)"""
+      s"""
+      WITH li AS (
+        SELECT l_orderkey AS k, epoch_ms(l_shipdate) // 1000 AS ship_s FROM lineitem),
+      bounds AS (
+        SELECT min(k) AS k_lo, max(k) AS k_hi, min(ship_s) AS s_lo, max(ship_s) AS s_hi,
+          max(ship_s) - 90*86400 AS cut_s
+        FROM li)
+      ${duckAudit("(k - k_lo) // ((k_hi - k_lo) // 128 + 1)", "by_orderkey")}
+      UNION ALL
+      ${duckAudit("(ship_s - s_lo) // ((s_hi - s_lo) // 128 + 1)", "by_shipdate")}
+      ORDER BY layout
+      """
+    })
+
   override def defs: Seq[QueryDef] =
-    Seq(q319, q320, q321, q322, q323, q324, q325, q326, q327, q328)
+    Seq(q319, q320, q321, q322, q323, q324, q325, q326, q327, q328,
+      q329, q330, q331)
 }
