@@ -964,7 +964,213 @@ object OlapQueries extends QueryGroup {
       """
     })
 
+  /** CUPED variance reduction readout: regression-adjust each user's
+    * post-period metric by their pre-period metric (θ = cov/var from
+    * exact integer sufficient statistics) and report the variance
+    * reduction the adjustment buys (ρ², the whole point of CUPED). The
+    * power multiplier for every experiment readout in the catalog
+    * (q163/q225/q240/q309/q327): 1/(1−ρ²) more sensitivity for free.
+    *
+    * Scale shape: one keyed per-user aggregate (pre/post split by a
+    * broadcast one-row midpoint), one global 6-sum aggregate, shared-
+    * text IEEE finish. */
+  private val q332 = QueryDef(
+    "q332_cuped_variance_reduction",
+    (spark, dir) => {
+      val ev = Tables.events(spark, dir)
+        .select(col("user_id"), epochS(col("ts")).as("ts_s"),
+          cents(col("value")).as("v"))
+      val mid = ev.agg(((min(col("ts_s")) + max(col("ts_s"))) / 2).cast("long").as("mid_s"))
+      val um = ev.crossJoin(broadcast(mid))
+        .groupBy(col("user_id"))
+        .agg(sum(when(col("ts_s") < col("mid_s"), col("v")).otherwise(0L)).as("x"),
+          sum(when(col("ts_s") >= col("mid_s"), col("v")).otherwise(0L)).as("y"))
+      val dec = (c: org.apache.spark.sql.Column) => c.cast("decimal(38,0)")
+      um.agg(count(lit(1)).as("n"), sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+          sum(dec(col("x")) * col("x")).as("sxx"),
+          sum(dec(col("x")) * col("y")).as("sxy"),
+          sum(dec(col("y")) * col("y")).as("syy"))
+        .selectExpr(Seq("n") ++ spearmanCastExprs: _*)
+        .selectExpr("n AS n_users",
+          "(fn*fxy - fx*fy) / (fn*fxx - fx*fx) AS theta",
+          "(fn*fxy - fx*fy) * (fn*fxy - fx*fy) / ((fn*fxx - fx*fx) * (fn*fyy - fy*fy)) AS var_reduction")
+    },
+    Some(s"""
+      WITH ev AS (
+        SELECT user_id, epoch_ms(ts) // 1000 AS ts_s,
+          CAST(floor(value*100 + 0.5) AS BIGINT) AS v
+        FROM events),
+      mid AS (SELECT (min(ts_s) + max(ts_s)) // 2 AS mid_s FROM ev),
+      um AS (
+        SELECT user_id,
+          CAST(sum(CASE WHEN ts_s < mid_s THEN v ELSE 0 END) AS BIGINT) AS x,
+          CAST(sum(CASE WHEN ts_s >= mid_s THEN v ELSE 0 END) AS BIGINT) AS y
+        FROM ev, mid GROUP BY user_id),
+      sums AS (
+        SELECT CAST(count(*) AS BIGINT) AS n,
+          CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+          sum(CAST(x AS HUGEINT) * x) AS sxx,
+          sum(CAST(x AS HUGEINT) * y) AS sxy,
+          sum(CAST(y AS HUGEINT) * y) AS syy
+        FROM um),
+      casted AS (SELECT n, ${spearmanCastExprs.mkString(", ")} FROM sums)
+      SELECT n AS n_users,
+        (fn*fxy - fx*fy) / (fn*fxx - fx*fx) AS theta,
+        (fn*fxy - fx*fy) * (fn*fxy - fx*fy) / ((fn*fxx - fx*fx) * (fn*fyy - fy*fy)) AS var_reduction
+      FROM casted
+    """))
+
+  /** Group-aware K-fold audit: assign events to 5 CV folds two ways —
+    * by user hash (group-aware: a user's rows land in ONE fold) and by
+    * row hash (the naive leak: the same user trains AND validates) —
+    * and measure what matters: groups straddling folds, and fold-size
+    * spread. The empirical argument for group K-fold that q231
+    * (temporal leakage) and q172 (dup-cluster leakage) make for their
+    * leak classes.
+    *
+    * Scale shape: per scheme, one keyed per-user aggregate (distinct
+    * fold count via bitmask OR — folds ≤ 5, so a 5-bit mask beats
+    * countDistinct) and one fold-size census. */
+  private val q333 = QueryDef(
+    "q333_group_kfold_audit",
+    (spark, dir) => {
+      def audit(foldCol: String, tag: String) = {
+        val ev = Tables.events(spark, dir)
+          .select(col("user_id"), col("event_id"))
+          .withColumn("fold", expr(foldCol))
+        val spread = ev.groupBy(col("fold")).agg(count(lit(1)).as("fr"))
+          .agg(count(lit(1)).as("n_folds"), min(col("fr")).as("min_fold_rows"),
+            max(col("fr")).as("max_fold_rows"))
+        val split = ev
+          .groupBy(col("user_id"))
+          .agg(expr("bit_or(shiftleft(1L, CAST(fold AS INT)))").as("mask"))
+          .agg(count(lit(1)).as("n_groups"),
+            sum(when(expr("bit_count(mask)") > 1, 1L).otherwise(0L)).as("groups_split"))
+        split.crossJoin(broadcast(spread))
+          .select(lit(tag).as("scheme"), col("n_groups"), col("groups_split"),
+            col("n_folds"), col("min_fold_rows"), col("max_fold_rows"),
+            expr("(max_fold_rows - min_fold_rows) * 1000000 div max_fold_rows")
+              .as("imbalance_ppm"))
+      }
+      audit("pmod(pmod(user_id, 2147483648) * 2654435761, 4294967296) % 5", "by_group_hash")
+        .unionAll(
+          audit("pmod(pmod(event_id, 2147483648) * 2654435761, 4294967296) % 5", "by_row_hash"))
+        .orderBy(col("scheme"))
+    },
+    Some {
+      def duck(foldExpr: String, tag: String) = s"""
+        SELECT '$tag' AS scheme, n_groups, groups_split,
+          n_folds, min_fold_rows, max_fold_rows,
+          (max_fold_rows - min_fold_rows) * 1000000 // max_fold_rows AS imbalance_ppm
+        FROM (
+          SELECT CAST(count(*) AS BIGINT) AS n_groups,
+            CAST(sum(CASE WHEN nf > 1 THEN 1 ELSE 0 END) AS BIGINT) AS groups_split
+          FROM (SELECT user_id, count(DISTINCT fold) AS nf
+                FROM (SELECT user_id, $foldExpr AS fold FROM events) GROUP BY user_id)),
+          (SELECT CAST(count(*) AS BIGINT) AS n_folds,
+            CAST(min(fr) AS BIGINT) AS min_fold_rows,
+            CAST(max(fr) AS BIGINT) AS max_fold_rows
+          FROM (SELECT fold, count(*) AS fr
+                FROM (SELECT $foldExpr AS fold FROM events) GROUP BY fold))"""
+      Seq(duck("((user_id % 2147483648) * 2654435761) % 4294967296 % 5", "by_group_hash"),
+        duck("((event_id % 2147483648) * 2654435761) % 4294967296 % 5", "by_row_hash"))
+        .mkString("", "\nUNION ALL", "\nORDER BY scheme")
+    })
+
+  /** Kaplan–Meier survival for time-to-second-purchase, with censoring
+    * (single-purchase users censor at the dataset horizon). The
+    * product-limit curve Π(1 − d/n) is a running product of doubles —
+    * the one shape exact integers can't carry — so it's computed as a
+    * LEFT FOLD over the ascending-day factor array on BOTH engines
+    * (Spark `aggregate`, DuckDB `list_reduce`): identical factors in
+    * identical order means identical IEEE products, no libm calls.
+    * Extends q216's discrete life table with proper censoring.
+    *
+    * Scale shape: users reduce to one (duration, event) row each, then
+    * everything runs on the day-grain histogram (vocabulary-sized —
+    * the factor array, the cumulative at-risk window, the fold). */
+  private val q334 = QueryDef(
+    "q334_kaplan_meier",
+    (spark, dir) => {
+      val ev = Tables.events(spark, dir)
+        .filter(col("event_type") === "purchase")
+        .select(col("user_id"), epochS(col("ts")).as("ts_s"))
+      val horizon = Tables.events(spark, dir)
+        .agg(max(epochS(col("ts"))).as("h_s"))
+      val perUser = ev
+        .withColumn("rn", row_number().over(
+          Window.partitionBy(col("user_id")).orderBy(col("ts_s"), col("user_id"))))
+        .filter(col("rn") <= 2)
+        .groupBy(col("user_id"))
+        .agg(min(col("ts_s")).as("p1"),
+          max(when(col("rn") === 2, col("ts_s"))).as("p2"))
+        .crossJoin(broadcast(horizon))
+        .select(
+          when(col("p2").isNotNull, (col("p2") - col("p1")).cast("long"))
+            .otherwise(col("h_s") - col("p1")).as("dur_s"),
+          when(col("p2").isNotNull, 1L).otherwise(0L).as("event"))
+        .select(expr("dur_s div 86400").as("t"), col("event"))
+      val days = perUser.groupBy(col("t"))
+        .agg(sum(col("event")).as("d"), sum(lit(1L) - col("event")).as("c"))
+      val w = Window.orderBy(col("t")).rowsBetween(Window.unboundedPreceding, -1)
+      val atRisk = days
+        .crossJoin(broadcast(perUser.agg(count(lit(1)).as("n_total"))))
+        .withColumn("ended_before", coalesce(sum(col("d") + col("c")).over(w), lit(0L)))
+        .withColumn("n_risk", col("n_total") - col("ended_before"))
+        .filter(col("d") > 0)
+        .select(col("t"), col("n_risk"), col("d"),
+          ((col("n_risk") - col("d")).cast("double") / col("n_risk").cast("double"))
+            .as("f"))
+      val factors = atRisk
+        .agg(sort_array(collect_list(struct(col("t"), col("f")))).as("arr"))
+      atRisk.crossJoin(broadcast(factors))
+        .withColumn("surv", expr(
+          "aggregate(filter(arr, e -> e.t <= t), CAST(1.0 AS DOUBLE), (a, e) -> a * e.f)"))
+        .select(col("t").as("t_days"), col("n_risk"), col("d").as("d_events"),
+          col("surv"))
+        .orderBy(col("t_days"))
+    },
+    Some("""
+      WITH ev AS (
+        SELECT user_id, epoch_ms(ts) // 1000 AS ts_s
+        FROM events WHERE event_type = 'purchase'),
+      horizon AS (SELECT max(epoch_ms(ts) // 1000) AS h_s FROM events),
+      ranked AS (
+        SELECT user_id, ts_s,
+          row_number() OVER (PARTITION BY user_id ORDER BY ts_s, user_id) AS rn
+        FROM ev QUALIFY rn <= 2),
+      per_user AS (
+        SELECT (CASE WHEN p2 IS NOT NULL THEN p2 - p1 ELSE h_s - p1 END) // 86400 AS t,
+          CASE WHEN p2 IS NOT NULL THEN 1 ELSE 0 END AS event
+        FROM (
+          SELECT user_id, min(ts_s) AS p1,
+            max(CASE WHEN rn = 2 THEN ts_s END) AS p2
+          FROM ranked GROUP BY user_id), horizon),
+      days AS (
+        SELECT t, CAST(sum(event) AS BIGINT) AS d,
+          CAST(sum(1 - event) AS BIGINT) AS c
+        FROM per_user GROUP BY t),
+      at_risk AS (
+        SELECT t, d,
+          (SELECT count(*) FROM per_user)
+            - coalesce(sum(d + c) OVER (ORDER BY t
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS n_risk
+        FROM days),
+      fs AS (
+        SELECT t, d, CAST(n_risk AS BIGINT) AS n_risk,
+          CAST(n_risk - d AS DOUBLE) / CAST(n_risk AS DOUBLE) AS f
+        FROM at_risk WHERE d > 0),
+      arr AS (
+        SELECT list(struct_pack(t := t, f := f) ORDER BY t) AS a FROM fs)
+      SELECT fs.t AS t_days, n_risk, d AS d_events,
+        list_reduce(
+          list_prepend(CAST(1.0 AS DOUBLE),
+            list_transform(list_filter(a, e -> e.t <= fs.t), e -> e.f)),
+          (acc, x) -> acc * x) AS surv
+      FROM fs, arr ORDER BY t_days
+    """))
+
   override def defs: Seq[QueryDef] =
     Seq(q319, q320, q321, q322, q323, q324, q325, q326, q327, q328,
-      q329, q330, q331)
+      q329, q330, q331, q332, q333, q334)
 }
