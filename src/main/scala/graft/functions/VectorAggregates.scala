@@ -85,9 +85,14 @@ case class VectorSum(
 
 /** Poisson-bootstrap sufficient statistics as ONE native aggregate:
   * for B replicates, Σw_b and Σw_b·v per group, where w_b is the
-  * Poisson(1) inverse-CDF of the keyed hash stream b (multiplier
-  * 2654435761 + 2b over key mod 2^31 — Sampling.keyHash's family, so
-  * the DuckDB oracle reproduces every weight bit-for-bit).
+  * Poisson(1) inverse-CDF of hash stream b. Stream b shifts the masked
+  * key by b·1103515245 mod 2^31 BEFORE the Knuth multiply — varying
+  * the multiplier instead (the first cut) only perturbs the hash by
+  * 2bk, which for keys ≪ 2^32 leaves all B streams nearly identical
+  * and collapses the bootstrap distribution to a point (caught by the
+  * CI-brackets-the-mean invariant in OlapOpsSpec). b = 0 degenerates
+  * to Sampling.keyHash exactly; the DuckDB oracle reproduces every
+  * weight bit-for-bit.
   *
   * The declarative alternative materializes three B-long arrays per row
   * through interpreted higher-order-function lambdas (measured ~4× the
@@ -124,8 +129,9 @@ case class BootstrapMoments(
       val masked = { val m = kl % 2147483648L; if (m < 0) m + 2147483648L else m }
       var i = 0
       while (i < b) {
-        // masked < 2^31 and multiplier < 2^32 → product < 2^63, no overflow
-        val h = (masked * (2654435761L + 2L * (i + 1))) % 4294967296L
+        // shifted key < 2^31 and multiplier < 2^32 → product < 2^63
+        val keyB = (masked + 1103515245L * (i + 1)) % 2147483648L
+        val h = (keyB * 2654435761L) % 4294967296L
         // bernoulli: a fair coin per stream (randomization tests);
         // otherwise the Poisson(1) inverse CDF (bootstrap resampling)
         val w =

