@@ -21,6 +21,8 @@ import graft.operators.Sampling
   */
 object OlapQueries extends QueryGroup {
 
+  private val duckTokens = "list_filter(str_split(text, ' '), t -> len(t) > 0)"
+
   /** TPC-H Q21's shape (suppliers who kept waiting multi-supplier
     * orders): for finished orders touched by ≥2 suppliers where EXACTLY
     * ONE supplier shipped late (> 365 days after the order date —
@@ -1173,7 +1175,209 @@ object OlapQueries extends QueryGroup {
       FROM fs, arr ORDER BY t_days
     """))
 
+  /** Split-conformal prediction calibration: a hash-designated 50%
+    * calibration half fits the (trivial but honest) per-segment mean
+    * predictor and the conformal quantile q̂ = the ceil(0.95·(n+1))-th
+    * smallest absolute residual; the held-out half then measures
+    * empirical coverage of μ ± q̂ — distribution-free, and the finite-
+    * sample guarantee (coverage ≥ 95%) is testable. The calibration
+    * layer any point predictor in this catalog (q323's OLS, q124's
+    * target encoding) needs before its outputs are shipped.
+    *
+    * Scale shape: two keyed aggregates for the predictor; the residual
+    * quantile here is a per-segment cumulative histogram window — at
+    * 100 TB swap it for RankSelect's two-level selection (same
+    * thresholds bit-for-bit, documented there). */
+  private val q335 = QueryDef(
+    "q335_conformal_calibration",
+    (spark, dir) => {
+      val rows = Tables.orders(spark, dir)
+        .join(Tables.customer(spark, dir).select(col("c_custkey"), col("c_mktsegment")),
+          col("o_custkey") === col("c_custkey"))
+        .select(col("c_mktsegment").as("segment"), col("o_orderkey"),
+          cents(col("o_totalprice")).as("y"),
+          (Sampling.keyHash(col("o_orderkey")) % 10000 < 5000).as("is_cal"))
+      val mu = rows.filter(col("is_cal")).groupBy(col("segment"))
+        .agg(expr("sum(y) div count(1)").as("mu"))
+      val scored = rows.join(broadcast(mu), Seq("segment"))
+        .withColumn("s", abs(col("y") - col("mu")))
+      val calHist = scored.filter(col("is_cal"))
+        .groupBy(col("segment"), col("s")).agg(count(lit(1)).as("c"))
+      val wCum = Window.partitionBy(col("segment")).orderBy(col("s"))
+      val qhat = calHist
+        .withColumn("cum", sum(col("c")).over(wCum))
+        .withColumn("n_cal", sum(col("c")).over(Window.partitionBy(col("segment"))))
+        .groupBy(col("segment"))
+        .agg(max(col("n_cal")).as("n_cal"),
+          min(when(col("cum") * 100 >= (col("n_cal") + 1) * 95, col("s"))).as("q_hat"))
+      scored.filter(!col("is_cal"))
+        .join(broadcast(qhat), Seq("segment"))
+        .groupBy(col("segment"), col("n_cal"), col("q_hat"))
+        .agg(count(lit(1)).as("n_test"),
+          sum(when(col("s") <= col("q_hat"), 1L).otherwise(0L)).as("covered"))
+        .select(col("segment"), col("n_cal"), col("q_hat"), col("n_test"),
+          expr("covered * 1000000 div n_test").as("coverage_ppm"))
+        .orderBy(col("segment"))
+    },
+    Some("""
+      WITH rows_c AS (
+        SELECT c_mktsegment AS segment, o_orderkey,
+          CAST(floor(o_totalprice*100 + 0.5) AS BIGINT) AS y,
+          ((o_orderkey % 2147483648) * 2654435761) % 4294967296 % 10000 < 5000 AS is_cal
+        FROM orders JOIN customer ON o_custkey = c_custkey),
+      mu AS (
+        SELECT segment, sum(y) // count(*) AS mu
+        FROM rows_c WHERE is_cal GROUP BY segment),
+      scored AS (
+        SELECT rows_c.segment, is_cal, abs(y - mu) AS s
+        FROM rows_c JOIN mu ON rows_c.segment = mu.segment),
+      cal_hist AS (
+        SELECT segment, s, CAST(count(*) AS BIGINT) AS c
+        FROM scored WHERE is_cal GROUP BY segment, s),
+      qhat AS (
+        SELECT segment, CAST(max(n_cal) AS BIGINT) AS n_cal,
+          CAST(min(CASE WHEN cum * 100 >= (n_cal + 1) * 95 THEN s END) AS BIGINT) AS q_hat
+        FROM (
+          SELECT segment, s, c,
+            sum(c) OVER (PARTITION BY segment ORDER BY s) AS cum,
+            sum(c) OVER (PARTITION BY segment) AS n_cal
+          FROM cal_hist)
+        GROUP BY segment)
+      SELECT scored.segment, n_cal, q_hat,
+        CAST(count(*) AS BIGINT) AS n_test,
+        CAST(sum(CASE WHEN s <= q_hat THEN 1 ELSE 0 END) * 1000000
+          // count(*) AS BIGINT) AS coverage_ppm
+      FROM scored JOIN qhat ON scored.segment = qhat.segment
+      WHERE NOT is_cal
+      GROUP BY scored.segment, n_cal, q_hat
+      ORDER BY scored.segment
+    """))
+
+  /** Median-of-means robust estimator for mean per-user purchase value:
+    * users hash into 32 buckets, each bucket contributes its mean, and
+    * the estimate is the (lower) median of the 32 — the estimator with
+    * sub-Gaussian deviation bounds under heavy tails, and the natural
+    * distributed one (each bucket is a shard-local aggregate; only 32
+    * numbers meet). Reported beside the plain mean so the gap itself
+    * is the heavy-tail diagnostic (complements q146's MAD gate).
+    *
+    * Scale shape: one keyed per-user aggregate, one 32-ary keyed
+    * aggregate, a 32-row sort. */
+  private val q336 = QueryDef(
+    "q336_median_of_means",
+    (spark, dir) => {
+      val um = Tables.events(spark, dir)
+        .filter(col("event_type") === "purchase")
+        .groupBy(col("user_id"))
+        .agg(sum(cents(col("value"))).as("m"))
+        .withColumn("bkt", Sampling.keyHash(col("user_id")) % 32)
+      val buckets = um.groupBy(col("bkt"))
+        .agg(sum(col("m")).as("sm"), count(lit(1)).as("nm"))
+        .select(col("bkt"),
+          (col("sm").cast("double") / col("nm").cast("double")).as("bmean"))
+        .withColumn("rk", row_number().over(Window.orderBy(col("bmean"), col("bkt"))))
+        .withColumn("nb", count(lit(1)).over(Window.partitionBy()))
+      // lower median, robust to sparse buckets at tiny SFs
+      val mom = buckets.filter(col("rk") === expr("(nb + 1) div 2"))
+        .select(col("bmean").as("mom_cents"))
+      um.agg(count(lit(1)).as("n_users"), sum(col("m")).as("sv"))
+        .crossJoin(broadcast(mom))
+        .selectExpr("n_users",
+          "CAST(sv AS DOUBLE)/CAST(n_users AS DOUBLE) AS mean_cents",
+          "mom_cents")
+    },
+    Some("""
+      WITH um AS (
+        SELECT user_id, CAST(sum(CAST(floor(value*100 + 0.5) AS BIGINT)) AS BIGINT) AS m,
+          ((user_id % 2147483648) * 2654435761) % 4294967296 % 32 AS bkt
+        FROM events WHERE event_type = 'purchase' GROUP BY user_id),
+      buckets AS (
+        SELECT bkt, CAST(sum(m) AS DOUBLE)/CAST(count(*) AS DOUBLE) AS bmean
+        FROM um GROUP BY bkt),
+      ranked AS (
+        SELECT bmean, row_number() OVER (ORDER BY bmean, bkt) AS rk,
+          count(*) OVER () AS nb
+        FROM buckets),
+      mom AS (SELECT bmean AS mom_cents FROM ranked WHERE rk = (nb + 1) // 2)
+      SELECT CAST(count(*) AS BIGINT) AS n_users,
+        CAST(sum(m) AS DOUBLE)/CAST(count(*) AS DOUBLE) AS mean_cents,
+        mom_cents
+      FROM um, mom GROUP BY mom_cents
+    """))
+
+  /** Vocabulary growth curve over NESTED hash samples (25% ⊂ 50% ⊂
+    * 100% of documents — the keyed-sample nesting property q45/q257
+    * rely on): distinct tokens, token totals, type-token ratio, and
+    * level-over-level vocabulary growth. The log-free empirical Heaps
+    * curve: sub-linear growth ratios are the evidence a tokenizer
+    * budget (q159/q273) extrapolates from.
+    *
+    * Scale shape: tokens explode once; ONE token-grain aggregate
+    * carries (first-level-seen, per-level counts); the three levels
+    * unfold from a single row. */
+  private val q337 = QueryDef(
+    "q337_vocab_growth_curve",
+    (spark, dir) => {
+      import graft.functions.expressions.tokens_native
+      val tok = Tables.documents(spark, dir)
+        .select((Sampling.keyHash(col("doc_id")) % 10000).as("s"), col("text"))
+        .withColumn("lv", when(col("s") < 2500, 0).when(col("s") < 5000, 1).otherwise(2))
+        .select(col("lv"), explode(tokens_native(col("text"))).as("token"))
+      val perTok = tok.groupBy(col("token"))
+        .agg(min(col("lv")).as("minlv"),
+          sum(when(col("lv") === 0, 1L).otherwise(0L)).as("c0"),
+          sum(when(col("lv") === 1, 1L).otherwise(0L)).as("c1"),
+          sum(when(col("lv") === 2, 1L).otherwise(0L)).as("c2"))
+      val one = perTok.agg(
+        sum(col("c0")).as("t25"),
+        (sum(col("c0")) + sum(col("c1"))).as("t50"),
+        (sum(col("c0")) + sum(col("c1")) + sum(col("c2"))).as("t100"),
+        sum(when(col("minlv") === 0, 1L).otherwise(0L)).as("v25"),
+        sum(when(col("minlv") <= 1, 1L).otherwise(0L)).as("v50"),
+        count(lit(1)).as("v100"))
+      one.selectExpr(
+        """stack(3,
+             25,  t25,  v25,  CAST(NULL AS BIGINT),
+             50,  t50,  v50,  v50 * 1000000 div v25,
+             100, t100, v100, v100 * 1000000 div v50)
+           AS (level_pct, n_tokens, vocab, vocab_growth_ppm)""")
+        .selectExpr("level_pct", "n_tokens", "vocab",
+          "vocab * 1000000 div n_tokens AS ttr_ppm", "vocab_growth_ppm")
+        .orderBy(col("level_pct"))
+    },
+    Some(s"""
+      WITH tok AS (
+        SELECT CASE WHEN s < 2500 THEN 0 WHEN s < 5000 THEN 1 ELSE 2 END AS lv,
+          unnest($duckTokens) AS token
+        FROM (
+          SELECT ((doc_id % 2147483648) * 2654435761) % 4294967296 % 10000 AS s, text
+          FROM documents)),
+      per_tok AS (
+        SELECT token, min(lv) AS minlv,
+          CAST(sum(CASE WHEN lv = 0 THEN 1 ELSE 0 END) AS BIGINT) AS c0,
+          CAST(sum(CASE WHEN lv = 1 THEN 1 ELSE 0 END) AS BIGINT) AS c1,
+          CAST(sum(CASE WHEN lv = 2 THEN 1 ELSE 0 END) AS BIGINT) AS c2
+        FROM tok GROUP BY token),
+      one AS (
+        SELECT CAST(sum(c0) AS BIGINT) AS t25,
+          CAST(sum(c0) + sum(c1) AS BIGINT) AS t50,
+          CAST(sum(c0) + sum(c1) + sum(c2) AS BIGINT) AS t100,
+          CAST(sum(CASE WHEN minlv = 0 THEN 1 ELSE 0 END) AS BIGINT) AS v25,
+          CAST(sum(CASE WHEN minlv <= 1 THEN 1 ELSE 0 END) AS BIGINT) AS v50,
+          CAST(count(*) AS BIGINT) AS v100
+        FROM per_tok)
+      SELECT * FROM (
+        SELECT 25 AS level_pct, t25 AS n_tokens, v25 AS vocab,
+          v25 * 1000000 // t25 AS ttr_ppm, CAST(NULL AS BIGINT) AS vocab_growth_ppm
+        FROM one
+        UNION ALL
+        SELECT 50, t50, v50, v50 * 1000000 // t50, v50 * 1000000 // v25 FROM one
+        UNION ALL
+        SELECT 100, t100, v100, v100 * 1000000 // t100, v100 * 1000000 // v50 FROM one)
+      ORDER BY level_pct
+    """))
+
   override def defs: Seq[QueryDef] =
     Seq(q319, q320, q321, q322, q323, q324, q325, q326, q327, q328,
-      q329, q330, q331, q332, q333, q334)
+      q329, q330, q331, q332, q333, q334, q335, q336, q337)
 }

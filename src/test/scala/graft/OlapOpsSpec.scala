@@ -204,6 +204,50 @@ class OlapOpsSpec extends SparkSpec {
 
   // ---------------------------------------------------------------- q334
 
+  // ---------------------------------------------------------------- q335
+
+  test("conformal coverage meets the finite-sample 95% guarantee") {
+    val rows = run("q335_conformal_calibration", sfMid).collect()
+    assert(rows.nonEmpty)
+    for (r <- rows) {
+      val cov = r.getAs[Long]("coverage_ppm")
+      // the split-conformal guarantee is >= 95% in expectation over
+      // splits; allow binomial noise on the test half (n_test ~ 1500)
+      assert(cov >= 920000L, s"${r.getAs[String]("segment")} coverage $cov ppm")
+      assert(r.getAs[Long]("q_hat") >= 0)
+    }
+  }
+
+  // ---------------------------------------------------------------- q336
+
+  test("median-of-means sits inside the bucket-mean range") {
+    val r = run("q336_median_of_means", sfMid).collect().head
+    val (mean, mom) = (r.getAs[Double]("mean_cents"), r.getAs[Double]("mom_cents"))
+    assert(mom > 0 && mean > 0)
+    // MoM can't stray beyond 2x the plain mean on this data; the point
+    // is that both are finite and comparable, the gap is the diagnostic
+    assert(mom < 2 * mean && mean < 2 * mom)
+  }
+
+  // ---------------------------------------------------------------- q337
+
+  test("vocab growth: nested samples give monotone tokens and sub-linear vocab") {
+    val rows = run("q337_vocab_growth_curve", sfMid).collect()
+      .sortBy(_.getAs[Int]("level_pct"))
+    assert(rows.length == 3)
+    val toks = rows.map(_.getAs[Long]("n_tokens"))
+    val vocab = rows.map(_.getAs[Long]("vocab"))
+    assert(toks(0) < toks(1) && toks(1) < toks(2))
+    assert(vocab(0) <= vocab(1) && vocab(1) <= vocab(2))
+    // Heaps: vocabulary grows slower than tokens level-over-level
+    assert(vocab(2).toDouble / vocab(1) <= toks(2).toDouble / toks(1))
+    // TTR falls as the corpus grows
+    val ttr = rows.map(_.getAs[Long]("ttr_ppm"))
+    assert(ttr(0) >= ttr(1) && ttr(1) >= ttr(2))
+  }
+
+  // ---------------------------------------------------------------- q334
+
   test("Kaplan-Meier survival is non-increasing from at most 1") {
     val rows = run("q334_kaplan_meier", sfMid).collect()
     assert(rows.nonEmpty)
