@@ -1377,7 +1377,230 @@ object OlapQueries extends QueryGroup {
       ORDER BY level_pct
     """))
 
+  /** Product-quantization codebook: the 64-dim embedding splits into 8
+    * subspaces of 8 dims; each subspace trains k = 4 centroids with 2
+    * Lloyd iterations — hash-selected seeds, integer L2 assignment
+    * (argmin needs no sqrt), floor-mean centroid updates — ALL in the
+    * 2^9-quantized integer grid, so both engines walk the identical
+    * k-means trajectory. The missing member of the ANN family: IVF
+    * (q32) partitions coarsely, PQ compresses residuals — 64 floats
+    * become 8 2-bit codes. Output: per (subspace, cluster) membership
+    * and distortion after the final assignment.
+    *
+    * Scale shape: centroids are vocabulary-sized (8×4) and broadcast
+    * every iteration; each Lloyd step is one narrow keyed aggregate
+    * over (vector, subspace) rows. Iteration count is FIXED (2), the
+    * cluster-scale contract for iterative algorithms (q75/q271/q293). */
+  private val q338 = QueryDef(
+    "q338_pq_codebook",
+    (spark, dir) => {
+      val qv = Tables.embeddings(spark, dir)
+        .select(col("vec_id"),
+          expr("transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE)*512 + 0.5) AS BIGINT))")
+            .as("qv"),
+          Sampling.keyHash(col("vec_id")).as("h"))
+      val seeds = qv.orderBy(col("h"), col("vec_id")).limit(4)
+        .withColumn("j", row_number().over(Window.orderBy(col("h"), col("vec_id"))))
+      def subspaces(df: DataFrame, vecCol: String, out: String) = df
+        .select(col("*"), explode(sequence(lit(0), lit(7))).as("s"))
+        .withColumn(out, expr(s"slice($vecCol, s*8 + 1, 8)"))
+      val sub = subspaces(qv, "qv", "x").select(col("vec_id"), col("s"), col("x"))
+      val dist = "aggregate(zip_with(x, c, (a, b) -> (a-b)*(a-b)), 0L, (p, q) -> p + q)"
+      def assign(cents: DataFrame) = sub
+        .join(broadcast(cents), Seq("s"))
+        .withColumn("dist", expr(dist))
+        .withColumn("rn", row_number().over(
+          Window.partitionBy(col("vec_id"), col("s")).orderBy(col("dist"), col("j"))))
+        .filter(col("rn") === 1)
+      def update(best: DataFrame) = best
+        .groupBy(col("s"), col("j"))
+        .agg(graft.functions.VectorAggregates.vector_sum(col("x"), 8).as("sv"),
+          count(lit(1)).as("cnt"))
+        .select(col("s"), col("j"), expr("transform(sv, e -> e div cnt)").as("c"))
+      val cents0 = subspaces(seeds, "qv", "c").select(col("s"), col("j"), col("c"))
+      val best2 = assign(update(assign(cents0)))
+      best2.groupBy(col("s"), col("j"))
+        .agg(count(lit(1)).as("n_members"), sum(col("dist")).as("distortion"))
+        .orderBy(col("s"), col("j"))
+    },
+    Some("""
+      WITH q AS (
+        SELECT vec_id,
+          list_transform(embedding, x -> CAST(floor(x*512 + 0.5) AS BIGINT)) AS qv,
+          ((vec_id % 2147483648) * 2654435761) % 4294967296 AS h
+        FROM embeddings),
+      seeds AS (
+        SELECT qv, row_number() OVER (ORDER BY h, vec_id) AS j
+        FROM q QUALIFY j <= 4),
+      sub AS (
+        SELECT vec_id, s, list_slice(qv, s*8 + 1, s*8 + 8) AS x
+        FROM q, generate_series(0, 7) g(s)),
+      cents0 AS (
+        SELECT s, j, list_slice(qv, s*8 + 1, s*8 + 8) AS c
+        FROM seeds, generate_series(0, 7) g(s)),
+      a1 AS (
+        SELECT vec_id, s, x, j,
+          CAST(list_sum(list_transform(range(1, 9),
+            i -> (x[i]-c[i])*(x[i]-c[i]))) AS BIGINT) AS dist,
+          row_number() OVER (PARTITION BY vec_id, s ORDER BY
+            list_sum(list_transform(range(1, 9), i -> (x[i]-c[i])*(x[i]-c[i]))), j) AS rn
+        FROM sub JOIN cents0 USING (s) QUALIFY rn = 1),
+      c1e AS (
+        SELECT s, j, i,
+          CAST(CAST(sum(x[i]) AS HUGEINT) // count(*) AS BIGINT) AS el
+        FROM a1, generate_series(1, 8) g(i)
+        GROUP BY s, j, i),
+      cents1 AS (
+        SELECT s, j, list(el ORDER BY i) AS c FROM c1e GROUP BY s, j),
+      a2 AS (
+        SELECT vec_id, s, x, j,
+          CAST(list_sum(list_transform(range(1, 9),
+            i -> (x[i]-c[i])*(x[i]-c[i]))) AS BIGINT) AS dist,
+          row_number() OVER (PARTITION BY vec_id, s ORDER BY
+            list_sum(list_transform(range(1, 9), i -> (x[i]-c[i])*(x[i]-c[i]))), j) AS rn
+        FROM sub JOIN cents1 USING (s) QUALIFY rn = 1)
+      SELECT s, j, CAST(count(*) AS BIGINT) AS n_members,
+        CAST(sum(dist) AS BIGINT) AS distortion
+      FROM a2 GROUP BY s, j ORDER BY s, j
+    """))
+
+  /** Chi-square cell diagnosis: Haberman adjusted residuals for the
+    * (market segment × order priority) contingency table — q119 says
+    * WHETHER the table deviates from independence; this says WHICH
+    * cells drive it, in ±z units. Counts stay exact integers; the
+    * residual is one shared IEEE expression (sqrt only — correctly
+    * rounded, unlike logs).
+    *
+    * Scale shape: one cell-grain aggregate, marginals re-aggregated
+    * from the 25 cells, one-row total broadcast. */
+  private val q339 = QueryDef(
+    "q339_chisq_residuals",
+    (spark, dir) => {
+      val cells = Tables.orders(spark, dir)
+        .join(Tables.customer(spark, dir).select(col("c_custkey"), col("c_mktsegment")),
+          col("o_custkey") === col("c_custkey"))
+        .groupBy(col("c_mktsegment").as("seg"), col("o_orderpriority").as("prio"))
+        .agg(count(lit(1)).as("o"))
+      val mx = cells.groupBy(col("seg")).agg(sum(col("o")).as("nx"))
+      val my = cells.groupBy(col("prio")).agg(sum(col("o")).as("ny"))
+      val n = cells.agg(sum(col("o")).as("n"))
+      cells.join(broadcast(mx), Seq("seg")).join(broadcast(my), Seq("prio"))
+        .crossJoin(broadcast(n))
+        .selectExpr("seg", "prio", "o", "nx", "ny", "n",
+          chisqResidualExpr)
+        .select(col("seg"), col("prio"), col("o"), col("adj_residual"))
+        .orderBy(col("seg"), col("prio"))
+    },
+    Some(s"""
+      WITH cells AS (
+        SELECT c_mktsegment AS seg, o_orderpriority AS prio,
+          CAST(count(*) AS BIGINT) AS o
+        FROM orders JOIN customer ON o_custkey = c_custkey
+        GROUP BY seg, prio),
+      mx AS (SELECT seg, CAST(sum(o) AS BIGINT) AS nx FROM cells GROUP BY seg),
+      my AS (SELECT prio, CAST(sum(o) AS BIGINT) AS ny FROM cells GROUP BY prio),
+      t AS (SELECT CAST(sum(o) AS BIGINT) AS n FROM cells)
+      SELECT seg, prio, o, $chisqResidualExpr
+      FROM cells JOIN mx USING (seg) JOIN my USING (prio), t
+      ORDER BY seg, prio
+    """))
+
+  private def chisqResidualExpr: String =
+    """(CAST(o AS DOUBLE) - CAST(nx AS DOUBLE)*CAST(ny AS DOUBLE)/CAST(n AS DOUBLE))
+       / sqrt(CAST(nx AS DOUBLE)*CAST(ny AS DOUBLE)/CAST(n AS DOUBLE)
+              * (1 - CAST(nx AS DOUBLE)/CAST(n AS DOUBLE))
+              * (1 - CAST(ny AS DOUBLE)/CAST(n AS DOUBLE))) AS adj_residual"""
+
+  /** Data-contract expectation suite: eight heterogeneous checks —
+    * value ranges, enum domains, internal consistency (n_chars vs the
+    * text itself), span/freshness, referential closure, key uniqueness
+    * — evaluated in one run, each emitting (check, observed violations,
+    * threshold, pass). The consolidated load-gate pattern (dbt tests /
+    * Great Expectations) that q83 (FK edges) and q317 (PK census) feed;
+    * a lake admits the batch only when every row passes.
+    *
+    * Scale shape: each check is one aggregate over only the columns it
+    * reads; the suite is their union — nothing joins except the
+    * referential check's anti-join of key sets. */
+  private val q340 = QueryDef(
+    "q340_expectation_suite",
+    (spark, dir) => {
+      def check(df: DataFrame, tag: String, threshold: Long = 0L) =
+        df.select(lit(tag).as("check_name"), col("observed"),
+          lit(threshold).as("threshold"), (col("observed") <= threshold).as("pass"))
+      val li = Tables.lineitem(spark, dir)
+      val od = Tables.orders(spark, dir)
+      check(od.agg(sum(when(col("o_totalprice") <= 0, 1L).otherwise(0L)).as("observed")),
+          "orders_totalprice_positive")
+        .unionAll(check(li.agg(sum(when(col("l_discount") < 0 || col("l_discount") > 1, 1L)
+          .otherwise(0L)).as("observed")), "lineitem_discount_in_unit_range"))
+        .unionAll(check(od.agg(sum(when(!col("o_orderstatus").isin("O", "F", "P"), 1L)
+          .otherwise(0L)).as("observed")), "orders_status_enum"))
+        .unionAll(check(Tables.customer(spark, dir)
+          .agg(sum(when(col("c_name").isNull || length(col("c_name")) === 0, 1L)
+            .otherwise(0L)).as("observed")), "customer_name_present"))
+        .unionAll(check(Tables.documents(spark, dir)
+          .agg(sum(when(col("n_chars") =!= length(col("text")), 1L).otherwise(0L))
+            .as("observed")), "documents_nchars_consistent"))
+        .unionAll(check(Tables.events(spark, dir)
+          .agg((max(epochS(col("ts"))) - min(epochS(col("ts")))).as("span_s"))
+          .select(expr("7 - span_s div 86400").cast("long").as("observed")),
+          "events_span_at_least_7_days"))
+        .unionAll(check(li.select(col("l_orderkey"))
+          .join(od.select(col("o_orderkey")), col("l_orderkey") === col("o_orderkey"),
+            "left_anti")
+          .agg(count(lit(1)).as("observed")), "lineitem_orderkey_referential"))
+        .unionAll(check(od.groupBy(col("o_orderkey")).agg(count(lit(1)).as("c"))
+          .agg(sum(col("c") - 1).as("observed")), "orders_orderkey_unique"))
+        .orderBy(col("check_name"))
+    },
+    Some("""
+      SELECT * FROM (
+        SELECT 'orders_totalprice_positive' AS check_name,
+          CAST(sum(CASE WHEN o_totalprice <= 0 THEN 1 ELSE 0 END) AS BIGINT) AS observed,
+          CAST(0 AS BIGINT) AS threshold,
+          sum(CASE WHEN o_totalprice <= 0 THEN 1 ELSE 0 END) <= 0 AS pass
+        FROM orders
+        UNION ALL
+        SELECT 'lineitem_discount_in_unit_range',
+          CAST(sum(CASE WHEN l_discount < 0 OR l_discount > 1 THEN 1 ELSE 0 END) AS BIGINT),
+          0, sum(CASE WHEN l_discount < 0 OR l_discount > 1 THEN 1 ELSE 0 END) <= 0
+        FROM lineitem
+        UNION ALL
+        SELECT 'orders_status_enum',
+          CAST(sum(CASE WHEN o_orderstatus NOT IN ('O','F','P') THEN 1 ELSE 0 END) AS BIGINT),
+          0, sum(CASE WHEN o_orderstatus NOT IN ('O','F','P') THEN 1 ELSE 0 END) <= 0
+        FROM orders
+        UNION ALL
+        SELECT 'customer_name_present',
+          CAST(sum(CASE WHEN c_name IS NULL OR len(c_name) = 0 THEN 1 ELSE 0 END) AS BIGINT),
+          0, sum(CASE WHEN c_name IS NULL OR len(c_name) = 0 THEN 1 ELSE 0 END) <= 0
+        FROM customer
+        UNION ALL
+        SELECT 'documents_nchars_consistent',
+          CAST(sum(CASE WHEN n_chars <> len(text) THEN 1 ELSE 0 END) AS BIGINT),
+          0, sum(CASE WHEN n_chars <> len(text) THEN 1 ELSE 0 END) <= 0
+        FROM documents
+        UNION ALL
+        SELECT 'events_span_at_least_7_days',
+          CAST(7 - (max(epoch_ms(ts) // 1000) - min(epoch_ms(ts) // 1000)) // 86400
+            AS BIGINT),
+          0,
+          7 - (max(epoch_ms(ts) // 1000) - min(epoch_ms(ts) // 1000)) // 86400 <= 0
+        FROM events
+        UNION ALL
+        SELECT 'lineitem_orderkey_referential',
+          CAST(count(*) AS BIGINT), 0, count(*) <= 0
+        FROM lineitem WHERE l_orderkey NOT IN (SELECT o_orderkey FROM orders)
+        UNION ALL
+        SELECT 'orders_orderkey_unique',
+          CAST(sum(c - 1) AS BIGINT), 0, sum(c - 1) <= 0
+        FROM (SELECT o_orderkey, count(*) AS c FROM orders GROUP BY o_orderkey))
+      ORDER BY check_name
+    """))
+
   override def defs: Seq[QueryDef] =
     Seq(q319, q320, q321, q322, q323, q324, q325, q326, q327, q328,
-      q329, q330, q331, q332, q333, q334, q335, q336, q337)
+      q329, q330, q331, q332, q333, q334, q335, q336, q337, q338,
+      q339, q340)
 }

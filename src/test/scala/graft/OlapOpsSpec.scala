@@ -246,6 +246,75 @@ class OlapOpsSpec extends SparkSpec {
     assert(ttr(0) >= ttr(1) && ttr(1) >= ttr(2))
   }
 
+  // ---------------------------------------------------------------- q338
+
+  test("PQ codebook: every (vector, subspace) is assigned exactly once") {
+    val rows = run("q338_pq_codebook", sfMid).collect()
+    assert(rows.nonEmpty)
+    val nVecs = Tables.embeddings(spark, sfMid).count()
+    // conservation: members across clusters = vectors, per subspace
+    val bySub = rows.groupBy(_.getAs[Int]("s")).view
+      .mapValues(_.map(_.getAs[Long]("n_members")).sum).toMap
+    assert(bySub.size == 8)
+    assert(bySub.values.forall(_ == nVecs), s"$bySub vs $nVecs")
+    assert(rows.forall(_.getAs[Long]("distortion") >= 0))
+  }
+
+  test("PQ second Lloyd iteration never increases total distortion") {
+    import org.apache.spark.sql.functions._
+    // re-run the pipeline stopped after ONE assignment and compare:
+    // k-means' monotonicity is the semantic guarantee the oracle hash
+    // can't express
+    val full = run("q338_pq_codebook", sfMid)
+      .agg(sum("distortion")).collect().head.getLong(0)
+    // distortion after the seed assignment (iteration 0): recompute by
+    // assigning against seed centroids only
+    val qv = Tables.embeddings(spark, sfMid)
+      .select(col("vec_id"),
+        expr("transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE)*512 + 0.5) AS BIGINT))")
+          .as("qv"),
+        graft.operators.Sampling.keyHash(col("vec_id")).as("h"))
+    val seeds = qv.orderBy(col("h"), col("vec_id")).limit(4)
+      .withColumn("j", org.apache.spark.sql.functions.row_number().over(
+        org.apache.spark.sql.expressions.Window.orderBy(col("h"), col("vec_id"))))
+    def subs(df: org.apache.spark.sql.DataFrame, vc: String, out: String) = df
+      .select(col("*"), explode(sequence(lit(0), lit(7))).as("s"))
+      .withColumn(out, expr(s"slice($vc, s*8 + 1, 8)"))
+    val sub = subs(qv, "qv", "x").select(col("vec_id"), col("s"), col("x"))
+    val c0 = subs(seeds, "qv", "c").select(col("s"), col("j"), col("c"))
+    val iter0 = sub.join(broadcast(c0), Seq("s"))
+      .withColumn("dist",
+        expr("aggregate(zip_with(x, c, (a, b) -> (a-b)*(a-b)), 0L, (p, q) -> p + q)"))
+      .groupBy(col("vec_id"), col("s")).agg(min(col("dist")).as("d"))
+      .agg(sum("d")).collect().head.getLong(0)
+    assert(full <= iter0, s"distortion rose: iter2 $full > iter0 $iter0")
+  }
+
+  // ---------------------------------------------------------------- q339
+
+  test("chi-square residuals cover all cells and are mean-centered-ish") {
+    val rows = run("q339_chisq_residuals", sfMid).collect()
+    assert(rows.length == 25) // 5 segments x 5 priorities
+    val rs = rows.map(_.getAs[Double]("adj_residual"))
+    assert(rs.forall(r => !r.isNaN && !r.isInfinite))
+    // residuals of a contingency table sum to ~0 across each margin's
+    // weighted combination; globally they stay small on null-ish data
+    assert(math.abs(rs.sum) < 25 * 4.0)
+  }
+
+  // ---------------------------------------------------------------- q340
+
+  test("expectation suite: pass flag is consistent and contracts hold") {
+    val rows = run("q340_expectation_suite", sfMid).collect()
+    assert(rows.length == 8)
+    for (r <- rows)
+      assert(r.getAs[Boolean]("pass") ==
+        (r.getAs[Long]("observed") <= r.getAs[Long]("threshold")),
+        s"${r.getAs[String]("check_name")} pass flag inconsistent")
+    // the synthetic data actually satisfies every contract
+    assert(rows.forall(_.getAs[Boolean]("pass")))
+  }
+
   // ---------------------------------------------------------------- q334
 
   test("Kaplan-Meier survival is non-increasing from at most 1") {
