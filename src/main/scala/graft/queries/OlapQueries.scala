@@ -1394,37 +1394,53 @@ object OlapQueries extends QueryGroup {
   private val q338 = QueryDef(
     "q338_pq_codebook",
     (spark, dir) => {
-      val qv = Tables.embeddings(spark, dir)
-        .select(col("vec_id"),
-          expr("transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE)*512 + 0.5) AS BIGINT))")
-            .as("qv"),
-          Sampling.keyHash(col("vec_id")).as("h"))
-      val seeds = qv.orderBy(col("h"), col("vec_id")).limit(4)
-        .withColumn("j", row_number().over(Window.orderBy(col("h"), col("vec_id"))))
-      def subspaces(df: DataFrame, vecCol: String, out: String) = df
-        .select(col("*"), explode(sequence(lit(0), lit(7))).as("s"))
-        .withColumn(out, expr(s"slice($vecCol, s*8 + 1, 8)"))
-      val sub = subspaces(qv, "qv", "x").select(col("vec_id"), col("s"), col("x"))
-      val dist = "aggregate(zip_with(x, c, (a, b) -> (a-b)*(a-b)), 0L, (p, q) -> p + q)"
-      def assign(cents: DataFrame) = sub
-        .join(broadcast(cents), Seq("s"))
-        .withColumn("dist", expr(dist))
-        .withColumn("rn", row_number().over(
-          Window.partitionBy(col("vec_id"), col("s")).orderBy(col("dist"), col("j"))))
-        .filter(col("rn") === 1)
-      def update(best: DataFrame) = best
-        .groupBy(col("s"), col("j"))
-        .agg(graft.functions.VectorAggregates.vector_sum(col("x"), 8).as("sv"),
-          count(lit(1)).as("cnt"))
-        .select(col("s"), col("j"), expr("transform(sv, e -> e div cnt)").as("c"))
-      val cents0 = subspaces(seeds, "qv", "c").select(col("s"), col("j"), col("c"))
-      val best2 = assign(update(assign(cents0)))
+      val (_, _, best2) = pqParts(spark, dir)
       best2.groupBy(col("s"), col("j"))
         .agg(count(lit(1)).as("n_members"), sum(col("dist")).as("distortion"))
         .orderBy(col("s"), col("j"))
     },
-    Some("""
-      WITH q AS (
+    Some(s"""
+      WITH $pqCtes
+      SELECT s, j, CAST(count(*) AS BIGINT) AS n_members,
+        CAST(sum(dist) AS BIGINT) AS distortion
+      FROM a2 GROUP BY s, j ORDER BY s, j
+    """))
+
+  /** The PQ training chain shared by q338/q341: quantized vectors split
+    * into 8×8 subspaces, hash seeds, two Lloyd iterations. Returns
+    * (subvector rows, trained centroids, final assignment). */
+  private def pqParts(spark: SparkSession, dir: String): (DataFrame, DataFrame, DataFrame) = {
+    val qv = Tables.embeddings(spark, dir)
+      .select(col("vec_id"),
+        expr("transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE)*512 + 0.5) AS BIGINT))")
+          .as("qv"),
+        Sampling.keyHash(col("vec_id")).as("h"))
+    val seeds = qv.orderBy(col("h"), col("vec_id")).limit(4)
+      .withColumn("j", row_number().over(Window.orderBy(col("h"), col("vec_id"))))
+    def subspaces(df: DataFrame, vecCol: String, out: String) = df
+      .select(col("*"), explode(sequence(lit(0), lit(7))).as("s"))
+      .withColumn(out, expr(s"slice($vecCol, s*8 + 1, 8)"))
+    val sub = subspaces(qv, "qv", "x").select(col("vec_id"), col("s"), col("x"))
+    val dist = "aggregate(zip_with(x, c, (a, b) -> (a-b)*(a-b)), 0L, (p, q) -> p + q)"
+    def assign(cents: DataFrame) = sub
+      .join(broadcast(cents), Seq("s"))
+      .withColumn("dist", expr(dist))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("vec_id"), col("s")).orderBy(col("dist"), col("j"))))
+      .filter(col("rn") === 1)
+    def update(best: DataFrame) = best
+      .groupBy(col("s"), col("j"))
+      .agg(graft.functions.VectorAggregates.vector_sum(col("x"), 8).as("sv"),
+        count(lit(1)).as("cnt"))
+      .select(col("s"), col("j"), expr("transform(sv, e -> e div cnt)").as("c"))
+    val cents0 = subspaces(seeds, "qv", "c").select(col("s"), col("j"), col("c"))
+    val cents1 = update(assign(cents0))
+    (sub, cents1, assign(cents1))
+  }
+
+  /** The PQ training chain (q338) as shared DuckDB CTE text, so the ADC
+    * recall audit (q341) reproduces the identical codebook. */
+  private def pqCtes: String = """q AS (
         SELECT vec_id,
           list_transform(embedding, x -> CAST(floor(x*512 + 0.5) AS BIGINT)) AS qv,
           ((vec_id % 2147483648) * 2654435761) % 4294967296 AS h
@@ -1458,11 +1474,7 @@ object OlapQueries extends QueryGroup {
             i -> (x[i]-c[i])*(x[i]-c[i]))) AS BIGINT) AS dist,
           row_number() OVER (PARTITION BY vec_id, s ORDER BY
             list_sum(list_transform(range(1, 9), i -> (x[i]-c[i])*(x[i]-c[i]))), j) AS rn
-        FROM sub JOIN cents1 USING (s) QUALIFY rn = 1)
-      SELECT s, j, CAST(count(*) AS BIGINT) AS n_members,
-        CAST(sum(dist) AS BIGINT) AS distortion
-      FROM a2 GROUP BY s, j ORDER BY s, j
-    """))
+        FROM sub JOIN cents1 USING (s) QUALIFY rn = 1)"""
 
   /** Chi-square cell diagnosis: Haberman adjusted residuals for the
     * (market segment × order priority) contingency table — q119 says
@@ -1599,8 +1611,204 @@ object OlapQueries extends QueryGroup {
       ORDER BY check_name
     """))
 
+  /** PQ asymmetric-distance recall: encode the corpus with q338's
+    * codebook (8 codes per vector), then answer 5 hash-chosen queries
+    * by ADC — distance = Σ_s LUT[s][code] where the 8×4 lookup table
+    * is built per query — and measure recall@10 against the exact
+    * integer-L2 top-10. The end-to-end PQ story: how much of the
+    * neighborhood survives 64 floats → 8 codes.
+    *
+    * Scale shape: the LUT is queries×8×4 rows broadcast; ADC touches
+    * each (vector, subspace) code exactly once per query; the exact
+    * side is the audit's ground truth (at 100 TB it would be sampled,
+    * as q250/q170 do). */
+  private val q341 = QueryDef(
+    "q341_pq_adc_recall",
+    (spark, dir) => {
+      val (sub, cents1, codes) = pqParts(spark, dir)
+      val qids = Tables.embeddings(spark, dir)
+        .select(col("vec_id"), Sampling.keyHash(col("vec_id"), 2654435741L).as("h2"))
+        .orderBy(col("h2"), col("vec_id")).limit(5)
+        .select(col("vec_id").as("qid"))
+      val qsub = sub.join(broadcast(qids), col("vec_id") === col("qid"))
+        .select(col("qid"), col("s"), col("x").as("qx"))
+      val sq = "aggregate(zip_with(qx, %s, (a, b) -> (a-b)*(a-b)), 0L, (p, q) -> p + q)"
+      val exact = qsub.join(sub, Seq("s"))
+        .filter(col("vec_id") =!= col("qid"))
+        .withColumn("d8", expr(sq.format("x")))
+        .groupBy(col("qid"), col("vec_id")).agg(sum(col("d8")).as("dtot"))
+        .withColumn("rn", row_number().over(
+          Window.partitionBy(col("qid")).orderBy(col("dtot"), col("vec_id"))))
+        .filter(col("rn") <= 10)
+      val lut = qsub.join(broadcast(cents1), Seq("s"))
+        .withColumn("lutd", expr(sq.format("c")))
+        .select(col("qid"), col("s"), col("j"), col("lutd"))
+      val adc = codes.select(col("vec_id"), col("s"), col("j"))
+        .join(broadcast(lut), Seq("s", "j"))
+        .filter(col("vec_id") =!= col("qid"))
+        .groupBy(col("qid"), col("vec_id")).agg(sum(col("lutd")).as("dadc"))
+        .withColumn("rn", row_number().over(
+          Window.partitionBy(col("qid")).orderBy(col("dadc"), col("vec_id"))))
+        .filter(col("rn") <= 10)
+      exact.select(col("qid"), col("vec_id"))
+        .join(adc.select(col("qid"), col("vec_id")), Seq("qid", "vec_id"), "left_semi")
+        .groupBy(col("qid")).agg(count(lit(1)).as("n_hits"))
+        .select(col("qid"), col("n_hits"),
+          expr("n_hits * 1000000 div 10").as("recall_ppm"))
+        .orderBy(col("qid"))
+    },
+    Some(s"""
+      WITH $pqCtes,
+      qids AS (
+        SELECT vec_id AS qid,
+          ((vec_id % 2147483648) * 2654435741) % 4294967296 AS h2
+        FROM embeddings QUALIFY row_number() OVER (ORDER BY h2, vec_id) <= 5),
+      qsub AS (
+        SELECT qid, s, x AS qx FROM sub JOIN qids ON sub.vec_id = qids.qid),
+      exact AS (
+        SELECT qid, vec_id,
+          row_number() OVER (PARTITION BY qid ORDER BY dtot, vec_id) AS rn
+        FROM (
+          SELECT qid, sub.vec_id, CAST(sum(list_sum(list_transform(range(1, 9),
+            i -> (qx[i]-x[i])*(qx[i]-x[i])))) AS BIGINT) AS dtot
+          FROM qsub JOIN sub USING (s)
+          WHERE sub.vec_id <> qsub.qid
+          GROUP BY qid, sub.vec_id)
+        QUALIFY rn <= 10),
+      lut AS (
+        SELECT qid, s, j, CAST(list_sum(list_transform(range(1, 9),
+          i -> (qx[i]-c[i])*(qx[i]-c[i]))) AS BIGINT) AS lutd
+        FROM qsub JOIN cents1 USING (s)),
+      adc AS (
+        SELECT qid, vec_id,
+          row_number() OVER (PARTITION BY qid ORDER BY dadc, vec_id) AS rn
+        FROM (
+          SELECT qid, a2.vec_id, CAST(sum(lutd) AS BIGINT) AS dadc
+          FROM a2 JOIN lut USING (s, j)
+          WHERE a2.vec_id <> lut.qid
+          GROUP BY qid, a2.vec_id)
+        QUALIFY rn <= 10)
+      SELECT exact.qid, CAST(count(*) AS BIGINT) AS n_hits,
+        CAST(count(*) * 1000000 // 10 AS BIGINT) AS recall_ppm
+      FROM exact JOIN adc ON exact.qid = adc.qid AND exact.vec_id = adc.vec_id
+      GROUP BY exact.qid ORDER BY exact.qid
+    """))
+
+  /** Mean-excess (mean residual life) tail diagnostic for order values:
+    * e(u) = E[X − u | X > u] at the p50/p75/p90 thresholds. Exponential
+    * tails give a flat curve, heavy tails an increasing one — the
+    * log-free alternative to a Hill estimator (whose log-spacings this
+    * codebase can't make bit-identical). Thresholds come from
+    * RankSelect's two-level exact selection; excesses are exact integer
+    * sums.
+    *
+    * Scale shape: one two-level rank selection + ONE conditional-sum
+    * pass over orders with the three thresholds broadcast. */
+  private val q342 = QueryDef(
+    "q342_mean_excess_tail",
+    (spark, dir) => {
+      val v = Tables.orders(spark, dir)
+        .select(lit(1).as("g"), cents(col("o_totalprice")).as("v"))
+      val thr = graft.operators.RankSelect
+        .percentiles(v, "g", "v", Seq(5000, 7500, 9000), binWidth = 100000L)
+      val agg = v.crossJoin(broadcast(thr))
+        .agg(
+          sum(when(col("v") > col("p_5000"), 1L).otherwise(0L)).as("c50"),
+          sum(when(col("v") > col("p_5000"), col("v")).otherwise(0L)).as("s50"),
+          sum(when(col("v") > col("p_7500"), 1L).otherwise(0L)).as("c75"),
+          sum(when(col("v") > col("p_7500"), col("v")).otherwise(0L)).as("s75"),
+          sum(when(col("v") > col("p_9000"), 1L).otherwise(0L)).as("c90"),
+          sum(when(col("v") > col("p_9000"), col("v")).otherwise(0L)).as("s90"),
+          max(col("p_5000")).as("u50"), max(col("p_7500")).as("u75"),
+          max(col("p_9000")).as("u90"))
+      agg.selectExpr(
+        """stack(3,
+             5000, u50, c50, (s50 - u50 * c50) div c50,
+             7500, u75, c75, (s75 - u75 * c75) div c75,
+             9000, u90, c90, (s90 - u90 * c90) div c90)
+           AS (threshold_bp, u_cents, n_exceed, mean_excess_cents)""")
+        .orderBy(col("threshold_bp"))
+    },
+    Some("""
+      WITH v AS (
+        SELECT CAST(floor(o_totalprice*100 + 0.5) AS BIGINT) AS v FROM orders),
+      hist AS (SELECT v, count(*) AS c FROM v GROUP BY v),
+      cum AS (
+        SELECT v, sum(c) OVER (ORDER BY v) AS cum, sum(c) OVER () AS n FROM hist),
+      thr AS (
+        SELECT
+          min(CASE WHEN cum * 10000 >= 5000 * n THEN v END) AS u50,
+          min(CASE WHEN cum * 10000 >= 7500 * n THEN v END) AS u75,
+          min(CASE WHEN cum * 10000 >= 9000 * n THEN v END) AS u90
+        FROM cum),
+      agg AS (
+        SELECT
+          CAST(sum(CASE WHEN v > u50 THEN 1 ELSE 0 END) AS BIGINT) AS c50,
+          CAST(sum(CASE WHEN v > u50 THEN v ELSE 0 END) AS BIGINT) AS s50,
+          CAST(sum(CASE WHEN v > u75 THEN 1 ELSE 0 END) AS BIGINT) AS c75,
+          CAST(sum(CASE WHEN v > u75 THEN v ELSE 0 END) AS BIGINT) AS s75,
+          CAST(sum(CASE WHEN v > u90 THEN 1 ELSE 0 END) AS BIGINT) AS c90,
+          CAST(sum(CASE WHEN v > u90 THEN v ELSE 0 END) AS BIGINT) AS s90,
+          max(u50) AS u50m, max(u75) AS u75m, max(u90) AS u90m
+        FROM v, thr)
+      SELECT * FROM (
+        SELECT 5000 AS threshold_bp, u50m AS u_cents, c50 AS n_exceed,
+          (s50 - u50m * c50) // c50 AS mean_excess_cents FROM agg
+        UNION ALL
+        SELECT 7500, u75m, c75, (s75 - u75m * c75) // c75 FROM agg
+        UNION ALL
+        SELECT 9000, u90m, c90, (s90 - u90m * c90) // c90 FROM agg)
+      ORDER BY threshold_bp
+    """))
+
+  /** Leave-one-source-out corpus ablation: for each source, the stats
+    * of the corpus WITHOUT it — documents, mean chars, mean tokens —
+    * computed as complement aggregates (global one-row totals minus the
+    * per-source row), so N ablations cost ONE corpus scan, not N. The
+    * cheap first read on "which source is dragging the corpus" before
+    * an expensive retrain; pairs with q70's mixture weights.
+    *
+    * Scale shape: one source-grain aggregate + a broadcast one-row
+    * total; the N-scan naive form never happens. */
+  private val q343 = QueryDef(
+    "q343_loo_source_ablation",
+    (spark, dir) => {
+      import graft.text.TextFunctions
+      val perSource = Tables.documents(spark, dir)
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("docs"), sum(col("n_chars")).as("chars"),
+          sum(TextFunctions.tokenCount(col("text")).cast("long")).as("toks"))
+      val tot = perSource.agg(sum(col("docs")).as("g_docs"),
+        sum(col("chars")).as("g_chars"), sum(col("toks")).as("g_toks"))
+      perSource.crossJoin(broadcast(tot))
+        .select(col("source"),
+          (col("g_docs") - col("docs")).as("docs_left"),
+          expr("(g_chars - chars) div (g_docs - docs)").as("mean_chars_left"),
+          expr("(g_toks - toks) * 1000 div (g_docs - docs)").as("mean_tokens_milli_left"))
+        .orderBy(col("source"))
+    },
+    Some(s"""
+      WITH per_source AS (
+        SELECT source, CAST(count(*) AS BIGINT) AS docs,
+          CAST(sum(n_chars) AS BIGINT) AS chars,
+          CAST(sum(len($duckTokens)) AS BIGINT) AS toks
+        FROM documents GROUP BY source),
+      tot AS (
+        SELECT CAST(sum(docs) AS BIGINT) AS g_docs,
+          CAST(sum(chars) AS BIGINT) AS g_chars,
+          CAST(sum(toks) AS BIGINT) AS g_toks
+        FROM per_source)
+      SELECT source,
+        CAST(g_docs - docs AS BIGINT) AS docs_left,
+        CAST((g_chars - chars) // (g_docs - docs) AS BIGINT) AS mean_chars_left,
+        CAST((g_toks - toks) * 1000 // (g_docs - docs) AS BIGINT)
+          AS mean_tokens_milli_left
+      FROM per_source, tot
+      ORDER BY source
+    """))
+
   override def defs: Seq[QueryDef] =
     Seq(q319, q320, q321, q322, q323, q324, q325, q326, q327, q328,
       q329, q330, q331, q332, q333, q334, q335, q336, q337, q338,
-      q339, q340)
+      q339, q340, q341, q342, q343)
 }

@@ -290,6 +290,53 @@ class OlapOpsSpec extends SparkSpec {
     assert(full <= iter0, s"distortion rose: iter2 $full > iter0 $iter0")
   }
 
+  // ---------------------------------------------------------------- q341
+
+  test("PQ ADC recall is a valid fraction and beats random guessing") {
+    val rows = run("q341_pq_adc_recall", sfMid).collect()
+    assert(rows.length == 5)
+    for (r <- rows) {
+      val hits = r.getAs[Long]("n_hits")
+      assert(hits >= 0 && hits <= 10)
+      assert(r.getAs[Long]("recall_ppm") == hits * 100000L)
+    }
+    // random top-10 of ~500 vectors would hit ~0.2; the codebook must
+    // do materially better on average
+    assert(rows.map(_.getAs[Long]("n_hits")).sum >= 10,
+      "ADC recall not better than chance")
+  }
+
+  // ---------------------------------------------------------------- q342
+
+  test("mean excess: thresholds ascend and exceed-counts shrink") {
+    val rows = run("q342_mean_excess_tail", sfMid).collect()
+      .sortBy(_.getAs[Int]("threshold_bp"))
+    assert(rows.length == 3)
+    val us = rows.map(_.getAs[Long]("u_cents"))
+    val cs = rows.map(_.getAs[Long]("n_exceed"))
+    assert(us(0) < us(1) && us(1) < us(2))
+    assert(cs(0) > cs(1) && cs(1) > cs(2))
+    assert(rows.forall(_.getAs[Long]("mean_excess_cents") >= 0))
+  }
+
+  // ---------------------------------------------------------------- q343
+
+  test("LOO ablation: complements conserve the corpus totals") {
+    import org.apache.spark.sql.functions._
+    val rows = run("q343_loo_source_ablation", sfMid).collect()
+    val nDocs = Tables.documents(spark, sfMid).count()
+    val nSources = Tables.documents(spark, sfMid)
+      .select(countDistinct(col("source"))).collect().head.getLong(0)
+    assert(rows.length == nSources)
+    // each ablation drops exactly that source's docs
+    val perSource = Tables.documents(spark, sfMid)
+      .groupBy(col("source")).count().collect()
+      .map(r => r.getAs[String]("source") -> r.getAs[Long]("count")).toMap
+    for (r <- rows)
+      assert(r.getAs[Long]("docs_left") ==
+        nDocs - perSource(r.getAs[String]("source")))
+  }
+
   // ---------------------------------------------------------------- q339
 
   test("chi-square residuals cover all cells and are mean-centered-ish") {
