@@ -1807,8 +1807,208 @@ object OlapQueries extends QueryGroup {
       ORDER BY source
     """))
 
+  /** Block bootstrap CI for mean DAILY revenue: the resampling unit is
+    * the day, not the row — autocorrelated series invalidate the iid
+    * bootstrap (q322), and day blocks are the streaming-friendly block
+    * scheme (Künsch's idea at block = natural period). Same native
+    * aggregate, keyed on the day number; CI = rank-5/196 of 200
+    * replicate means of the day totals.
+    *
+    * Scale shape: one day-grain aggregate (vocabulary-sized), one
+    * global long[2B] aggregate. */
+  private val q344 = QueryDef(
+    "q344_block_bootstrap_ci",
+    (spark, dir) => {
+      val B = 200
+      val daily = Tables.events(spark, dir)
+        .filter(col("event_type") === "purchase")
+        .groupBy((epochS(col("ts")) / 86400L).cast("long").as("day"))
+        .agg(sum(cents(col("value"))).as("dv"))
+      val agg = daily.agg(count(lit(1)).as("n_days"), sum(col("dv")).as("sv"),
+        graft.functions.VectorAggregates.bootstrap_moments(col("day"), col("dv"), B).as("bm"))
+      val reps = agg
+        .select(col("n_days"), col("sv"),
+          posexplode(expr(
+            s"zip_with(slice(bm, 1, $B), slice(bm, ${B + 1}, $B), (a, b) -> struct(a AS sw, b AS swx))"))
+            .as(Seq("b0", "p")))
+        .selectExpr("n_days", "sv", "b0 + 1 AS b",
+          "CAST(p.swx AS DOUBLE)/CAST(p.sw AS DOUBLE) AS rep_mean")
+        .withColumn("rk", row_number().over(
+          Window.partitionBy(col("n_days")).orderBy(col("rep_mean"), col("b"))))
+      reps.filter(col("rk") === 5 || col("rk") === 196)
+        .groupBy(col("n_days"), col("sv"))
+        .agg(min(when(col("rk") === 5, col("rep_mean"))).as("ci_lo_cents"),
+          min(when(col("rk") === 196, col("rep_mean"))).as("ci_hi_cents"))
+        .selectExpr("n_days",
+          "CAST(sv AS DOUBLE)/CAST(n_days AS DOUBLE) AS mean_daily_cents",
+          "ci_lo_cents", "ci_hi_cents")
+    },
+    Some("""
+      WITH daily AS (
+        SELECT epoch_ms(ts) // 1000 // 86400 AS day,
+          CAST(sum(CAST(floor(value*100 + 0.5) AS BIGINT)) AS BIGINT) AS dv
+        FROM events WHERE event_type = 'purchase' GROUP BY day),
+      base AS (
+        SELECT CAST(count(*) AS BIGINT) AS n_days, CAST(sum(dv) AS BIGINT) AS sv
+        FROM daily),
+      weighted AS (
+        SELECT dv, b,
+          CASE
+            WHEN h < 1580030168 THEN 0
+            WHEN h < 3160060337 THEN 1
+            WHEN h < 3950075421 THEN 2
+            WHEN h < 4213413783 THEN 3
+            WHEN h < 4279248373 THEN 4
+            WHEN h < 4292415291 THEN 5
+            ELSE 6 END AS w
+        FROM (
+          SELECT dv, b,
+            (((day % 2147483648) + 1103515245*b) % 2147483648 * 2654435761)
+              % 4294967296 AS h
+          FROM daily, generate_series(1, 200) g(b))),
+      reps AS (
+        SELECT b, CAST(sum(w*dv) AS DOUBLE)/CAST(sum(w) AS DOUBLE) AS rep_mean
+        FROM weighted GROUP BY b),
+      ranked AS (
+        SELECT rep_mean, row_number() OVER (ORDER BY rep_mean, b) AS rk FROM reps)
+      SELECT n_days, CAST(sv AS DOUBLE)/CAST(n_days AS DOUBLE) AS mean_daily_cents,
+        min(CASE WHEN rk = 5 THEN rep_mean END) AS ci_lo_cents,
+        min(CASE WHEN rk = 196 THEN rep_mean END) AS ci_hi_cents
+      FROM base, ranked WHERE rk = 5 OR rk = 196
+      GROUP BY n_days, sv
+    """))
+
+  /** Capture–recapture (Chapman) estimate of the active-user
+    * population from two overlapping observation windows — users seen
+    * on odd days vs even days; N̂ = (n1+1)(n2+1)/(m+1) − 1 from the
+    * overlap m. The estimator behind "how many distinct X exist that
+    * we haven't seen" questions (total dup clusters, total entities) —
+    * validated here against the known truth, with the error as ppm.
+    *
+    * Scale shape: one keyed per-user aggregate (two booleans), one
+    * 4-sum reduction. */
+  private val q345 = QueryDef(
+    "q345_capture_recapture",
+    (spark, dir) => {
+      val users = Tables.events(spark, dir)
+        .select(col("user_id"),
+          ((epochS(col("ts")) / 86400L).cast("long") % 2).as("par"))
+        .groupBy(col("user_id"))
+        .agg(max(when(col("par") === 1, 1L).otherwise(0L)).as("in_odd"),
+          max(when(col("par") === 0, 1L).otherwise(0L)).as("in_even"))
+      users.agg(count(lit(1)).as("n_true"),
+          sum(col("in_odd")).as("n1"), sum(col("in_even")).as("n2"),
+          sum(col("in_odd") * col("in_even")).as("m"))
+        .select(col("n_true"), col("n1"), col("n2"), col("m"),
+          expr("(n1 + 1) * (n2 + 1) div (m + 1) - 1").as("n_hat"))
+        .withColumn("err_ppm",
+          expr("abs(n_hat - n_true) * 1000000 div n_true"))
+    },
+    Some("""
+      WITH users AS (
+        SELECT user_id,
+          max(CASE WHEN (epoch_ms(ts) // 1000 // 86400) % 2 = 1 THEN 1 ELSE 0 END)
+            AS in_odd,
+          max(CASE WHEN (epoch_ms(ts) // 1000 // 86400) % 2 = 0 THEN 1 ELSE 0 END)
+            AS in_even
+        FROM events GROUP BY user_id),
+      agg AS (
+        SELECT CAST(count(*) AS BIGINT) AS n_true,
+          CAST(sum(in_odd) AS BIGINT) AS n1,
+          CAST(sum(in_even) AS BIGINT) AS n2,
+          CAST(sum(in_odd * in_even) AS BIGINT) AS m
+        FROM users)
+      SELECT n_true, n1, n2, m,
+        CAST((n1 + 1) * (n2 + 1) // (m + 1) - 1 AS BIGINT) AS n_hat,
+        CAST(abs((n1 + 1) * (n2 + 1) // (m + 1) - 1 - n_true) * 1000000
+          // n_true AS BIGINT) AS err_ppm
+      FROM agg
+    """))
+
+  /** k-center coreset selection (greedy, k = 3) per label: the
+    * farthest-point heuristic that 2-approximates the k-center
+    * objective — hash-seeded start, then twice "add the point farthest
+    * from the chosen set". Output: the three exemplar ids and the
+    * coverage radius (max distance of any point to its nearest
+    * exemplar). The diverse-exemplar selector for curation and
+    * few-shot prompt pools; integer L2 on the quantized grid
+    * throughout.
+    *
+    * Scale shape: k fixed rounds, each ONE broadcast-join + argmax per
+    * label (q75's iterative contract); no pairwise join ever forms. */
+  private val q346 = QueryDef(
+    "q346_kcenter_coreset",
+    (spark, dir) => {
+      val l2 = "aggregate(zip_with(qv, %s, (a, b) -> (a-b)*(a-b)), 0L, (p, q) -> p + q)"
+      val qv = Tables.embeddings(spark, dir)
+        .select(col("vec_id"), col("label"),
+          expr("transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE)*512 + 0.5) AS BIGINT))")
+            .as("qv"),
+          Sampling.keyHash(col("vec_id")).as("h"))
+      val c1 = qv.withColumn("rn", row_number().over(
+          Window.partitionBy(col("label")).orderBy(col("h"), col("vec_id"))))
+        .filter(col("rn") === 1)
+        .select(col("label"), col("vec_id").as("c1_id"), col("qv").as("c1v"))
+      val d1 = qv.join(broadcast(c1), Seq("label"))
+        .withColumn("d1", expr(l2.format("c1v")))
+        .select(col("label"), col("vec_id"), col("qv"), col("c1_id"), col("d1"))
+      val c2 = d1.withColumn("rn", row_number().over(
+          Window.partitionBy(col("label")).orderBy(col("d1").desc, col("vec_id"))))
+        .filter(col("rn") === 1)
+        .select(col("label"), col("vec_id").as("c2_id"), col("qv").as("c2v"))
+      val d2 = d1.join(broadcast(c2), Seq("label"))
+        .withColumn("dmin", least(col("d1"), expr(l2.format("c2v"))))
+        .select(col("label"), col("vec_id"), col("qv"), col("c1_id"), col("c2_id"),
+          col("dmin"))
+      val c3 = d2.withColumn("rn", row_number().over(
+          Window.partitionBy(col("label")).orderBy(col("dmin").desc, col("vec_id"))))
+        .filter(col("rn") === 1)
+        .select(col("label"), col("vec_id").as("c3_id"), col("qv").as("c3v"))
+      d2.join(broadcast(c3), Seq("label"))
+        .withColumn("dcov", least(col("dmin"), expr(l2.format("c3v"))))
+        .groupBy(col("label").cast("long").as("label"), col("c1_id"), col("c2_id"),
+          col("c3_id"))
+        .agg(max(col("dcov")).as("radius_q"))
+        .orderBy(col("label"))
+    },
+    Some("""
+      WITH q AS (
+        SELECT vec_id, label,
+          list_transform(embedding, x -> CAST(floor(x*512 + 0.5) AS BIGINT)) AS qv,
+          ((vec_id % 2147483648) * 2654435761) % 4294967296 AS h
+        FROM embeddings),
+      c1 AS (
+        SELECT label, vec_id AS c1_id, qv AS c1v,
+          row_number() OVER (PARTITION BY label ORDER BY h, vec_id) AS rn
+        FROM q QUALIFY rn = 1),
+      d1 AS (
+        SELECT q.label, q.vec_id, q.qv, c1_id,
+          CAST(list_sum(list_transform(range(1, len(q.qv)+1),
+            i -> (q.qv[i]-c1v[i])*(q.qv[i]-c1v[i]))) AS BIGINT) AS d1
+        FROM q JOIN c1 ON q.label = c1.label),
+      c2 AS (
+        SELECT label, vec_id AS c2_id, qv AS c2v,
+          row_number() OVER (PARTITION BY label ORDER BY d1 DESC, vec_id) AS rn
+        FROM d1 QUALIFY rn = 1),
+      d2 AS (
+        SELECT d1.label, d1.vec_id, d1.qv, c1_id, c2_id,
+          least(d1, CAST(list_sum(list_transform(range(1, len(d1.qv)+1),
+            i -> (d1.qv[i]-c2v[i])*(d1.qv[i]-c2v[i]))) AS BIGINT)) AS dmin
+        FROM d1 JOIN c2 ON d1.label = c2.label),
+      c3 AS (
+        SELECT label, vec_id AS c3_id, qv AS c3v,
+          row_number() OVER (PARTITION BY label ORDER BY dmin DESC, vec_id) AS rn
+        FROM d2 QUALIFY rn = 1)
+      SELECT CAST(d2.label AS BIGINT) AS label, c1_id, c2_id, c3_id,
+        CAST(max(least(dmin, CAST(list_sum(list_transform(range(1, len(d2.qv)+1),
+          i -> (d2.qv[i]-c3v[i])*(d2.qv[i]-c3v[i]))) AS BIGINT))) AS BIGINT) AS radius_q
+      FROM d2 JOIN c3 ON d2.label = c3.label
+      GROUP BY d2.label, c1_id, c2_id, c3_id
+      ORDER BY label
+    """))
+
   override def defs: Seq[QueryDef] =
     Seq(q319, q320, q321, q322, q323, q324, q325, q326, q327, q328,
       q329, q330, q331, q332, q333, q334, q335, q336, q337, q338,
-      q339, q340, q341, q342, q343)
+      q339, q340, q341, q342, q343, q344, q345, q346)
 }

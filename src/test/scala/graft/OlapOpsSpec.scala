@@ -337,6 +337,45 @@ class OlapOpsSpec extends SparkSpec {
         nDocs - perSource(r.getAs[String]("source")))
   }
 
+  // ---------------------------------------------------------------- q344
+
+  test("block bootstrap CI brackets the mean daily revenue") {
+    val r = run("q344_block_bootstrap_ci", sfMid).collect().head
+    val (lo, mean, hi) = (r.getAs[Double]("ci_lo_cents"),
+      r.getAs[Double]("mean_daily_cents"), r.getAs[Double]("ci_hi_cents"))
+    assert(lo <= mean && mean <= hi, s"$mean outside [$lo, $hi]")
+    assert(r.getAs[Long]("n_days") >= 7)
+  }
+
+  // ---------------------------------------------------------------- q345
+
+  test("capture-recapture: overlap bounds and a sane estimate") {
+    val r = run("q345_capture_recapture", sfMid).collect().head
+    val (nt, n1, n2, m, nh) = (r.getAs[Long]("n_true"), r.getAs[Long]("n1"),
+      r.getAs[Long]("n2"), r.getAs[Long]("m"), r.getAs[Long]("n_hat"))
+    assert(m <= n1 && m <= n2)
+    assert(n1 <= nt && n2 <= nt)
+    // Chapman is consistent when both capture probabilities are high
+    // (every user here is active on many days): within 10% of truth
+    assert(math.abs(nh - nt) * 10 <= nt, s"n_hat $nh vs n_true $nt")
+  }
+
+  // ---------------------------------------------------------------- q346
+
+  test("k-center: exemplars are distinct and the radius covers the set") {
+    import org.apache.spark.sql.functions._
+    val rows = run("q346_kcenter_coreset", sfMid).collect()
+    assert(rows.length == 10) // one per label
+    for (r <- rows) {
+      val ids = Seq(r.getAs[Long]("c1_id"), r.getAs[Long]("c2_id"),
+        r.getAs[Long]("c3_id"))
+      assert(ids.distinct.size == 3, s"duplicate exemplars $ids")
+      assert(r.getAs[Long]("radius_q") >= 0)
+    }
+    // greedy monotonicity: radius after 3 centers <= max distance to c1
+    // (checked structurally: radius_q is a min over a superset)
+  }
+
   // ---------------------------------------------------------------- q339
 
   test("chi-square residuals cover all cells and are mean-centered-ish") {
