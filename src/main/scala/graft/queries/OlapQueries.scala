@@ -2007,8 +2007,217 @@ object OlapQueries extends QueryGroup {
       ORDER BY label
     """))
 
+  /** Post-stratification: a deliberately BIASED sample (BUILDING
+    * customers oversampled 4×) estimates the mean order value three
+    * ways — naive sample mean (biased), post-stratified mean (sample
+    * strata means reweighted by the KNOWN population strata shares),
+    * and the truth. The survey-correction operator every
+    * convenience-sampled readout needs; the output shows the naive
+    * estimator's bias and the reweighted one's recovery.
+    *
+    * Scale shape: one keyed aggregate over the population for strata
+    * counts + truth, one over the sample; the estimator combines 5
+    * strata rows. */
+  private val q347 = QueryDef(
+    "q347_post_stratification",
+    (spark, dir) => {
+      val pop = Tables.orders(spark, dir)
+        .join(Tables.customer(spark, dir).select(col("c_custkey"), col("c_mktsegment")),
+          col("o_custkey") === col("c_custkey"))
+        .select(col("c_mktsegment").as("seg"), col("o_orderkey"),
+          cents(col("o_totalprice")).as("y"))
+      val sample = pop.filter(
+        Sampling.keyHash(col("o_orderkey")) % 10000 <
+          when(col("seg") === "BUILDING", 4000).otherwise(1000))
+      val strata = pop.groupBy(col("seg"))
+        .agg(count(lit(1)).as("n_pop"), sum(col("y")).as("s_pop"))
+      val sampStrata = sample.groupBy(col("seg"))
+        .agg(count(lit(1)).as("n_s"), sum(col("y")).as("s_s"))
+      strata.join(sampStrata, Seq("seg"))
+        // Σ_seg N_seg·mean_sample_seg as EXACT integer floor terms
+        // (decimal product, integer div) — a double sum over strata
+        // would be addition-order-dependent across engines
+        .withColumn("term", expr(
+          "CAST(CAST(n_pop AS DECIMAL(38,0)) * s_s DIV n_s AS BIGINT)"))
+        .agg(sum(col("n_pop")).as("n_pop"), sum(col("s_pop")).as("s_pop"),
+          sum(col("n_s")).as("n_s"), sum(col("s_s")).as("s_s"),
+          sum(col("term")).as("ps_num"))
+        .selectExpr("n_s AS n_sample",
+          "CAST(s_s AS DOUBLE)/CAST(n_s AS DOUBLE) AS naive_mean",
+          "CAST(ps_num AS DOUBLE)/CAST(n_pop AS DOUBLE) AS poststrat_mean",
+          "CAST(s_pop AS DOUBLE)/CAST(n_pop AS DOUBLE) AS true_mean")
+    },
+    Some("""
+      WITH pop AS (
+        SELECT c_mktsegment AS seg, o_orderkey,
+          CAST(floor(o_totalprice*100 + 0.5) AS BIGINT) AS y
+        FROM orders JOIN customer ON o_custkey = c_custkey),
+      sample AS (
+        SELECT * FROM pop
+        WHERE ((o_orderkey % 2147483648) * 2654435761) % 4294967296 % 10000
+              < CASE WHEN seg = 'BUILDING' THEN 4000 ELSE 1000 END),
+      strata AS (
+        SELECT seg, CAST(count(*) AS BIGINT) AS n_pop,
+          CAST(sum(y) AS BIGINT) AS s_pop
+        FROM pop GROUP BY seg),
+      samp AS (
+        SELECT seg, CAST(count(*) AS BIGINT) AS n_s, CAST(sum(y) AS BIGINT) AS s_s
+        FROM sample GROUP BY seg)
+      SELECT CAST(sum(n_s) AS BIGINT) AS n_sample,
+        CAST(sum(s_s) AS DOUBLE)/CAST(sum(n_s) AS DOUBLE) AS naive_mean,
+        CAST(sum(CAST(CAST(n_pop AS HUGEINT) * s_s // n_s AS BIGINT)) AS DOUBLE)
+          /CAST(sum(n_pop) AS DOUBLE) AS poststrat_mean,
+        CAST(sum(s_pop) AS DOUBLE)/CAST(sum(n_pop) AS DOUBLE) AS true_mean
+      FROM strata JOIN samp USING (seg)
+    """))
+
+  /** Greedy max-coverage document selection (k = 3) over word BIGRAMS:
+    * pick the document covering the most distinct bigrams, then twice
+    * the one adding the most NEW ones — the submodular-coverage
+    * complement to q346's k-center (lexical space, not embedding
+    * space), with the classic (1−1/e) guarantee. Few-shot pool and
+    * seed-corpus selection is exactly this objective. (Unigrams are
+    * useless here: this synthetic corpus has a 31-word vocabulary and
+    * one document covers it — bigrams give a real coverage frontier.)
+    *
+    * Scale shape: k fixed rounds; each is one broadcast anti-join of
+    * the covered set + one per-doc count + one argmax. The covered set
+    * stays bounded by 3 documents' bigrams. */
+  private val q348 = QueryDef(
+    "q348_max_coverage_greedy",
+    (spark, dir) => {
+      import graft.functions.expressions.tokens_native
+      val tokset = Tables.documents(spark, dir)
+        .select(col("doc_id"), tokens_native(col("text")).as("tk"))
+        .filter(size(col("tk")) >= 2)
+        .select(col("doc_id"), explode(expr(
+          """transform(sequence(1, size(tk) - 1),
+               i -> concat(element_at(tk, i), ' ', element_at(tk, i + 1)))"""))
+          .as("token"))
+        .distinct()
+        .persist() // all three greedy rounds re-read the bigram set
+      def argmaxDoc(ts: DataFrame) = ts.groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("gain"))
+        .orderBy(col("gain").desc, col("doc_id")).limit(1)
+      val d1 = argmaxDoc(tokset)
+      val cov1 = tokset.join(broadcast(d1), Seq("doc_id")).select(col("token"))
+      val rest2 = tokset.join(broadcast(cov1), Seq("token"), "left_anti")
+      val d2 = argmaxDoc(rest2)
+      val cov2 = cov1.unionAll(
+        rest2.join(broadcast(d2), Seq("doc_id")).select(col("token")))
+      val rest3 = tokset.join(broadcast(cov2), Seq("token"), "left_anti")
+      val d3 = argmaxDoc(rest3)
+      val rounds = d1.withColumn("round", lit(1))
+        .unionAll(d2.withColumn("round", lit(2)))
+        .unionAll(d3.withColumn("round", lit(3)))
+      rounds
+        .withColumn("cum_covered",
+          sum(col("gain")).over(Window.orderBy(col("round"))
+            .rowsBetween(Window.unboundedPreceding, 0)))
+        .select(col("round"), col("doc_id"), col("gain"), col("cum_covered"))
+        .orderBy(col("round"))
+    },
+    Some(s"""
+      WITH tk AS (SELECT doc_id, $duckTokens AS tk FROM documents),
+      tokset AS (
+        SELECT DISTINCT doc_id,
+          unnest([tk[i] || ' ' || tk[i+1] for i in range(1, len(tk))]) AS token
+        FROM tk WHERE len(tk) >= 2),
+      d1 AS (
+        SELECT doc_id, CAST(count(*) AS BIGINT) AS gain FROM tokset
+        GROUP BY doc_id ORDER BY gain DESC, doc_id LIMIT 1),
+      cov1 AS (SELECT token FROM tokset JOIN d1 USING (doc_id)),
+      rest2 AS (
+        SELECT * FROM tokset WHERE token NOT IN (SELECT token FROM cov1)),
+      d2 AS (
+        SELECT doc_id, CAST(count(*) AS BIGINT) AS gain FROM rest2
+        GROUP BY doc_id ORDER BY gain DESC, doc_id LIMIT 1),
+      cov2 AS (
+        SELECT token FROM cov1
+        UNION ALL SELECT token FROM rest2 JOIN d2 USING (doc_id)),
+      rest3 AS (
+        SELECT * FROM tokset WHERE token NOT IN (SELECT token FROM cov2)),
+      d3 AS (
+        SELECT doc_id, CAST(count(*) AS BIGINT) AS gain FROM rest3
+        GROUP BY doc_id ORDER BY gain DESC, doc_id LIMIT 1),
+      rounds AS (
+        SELECT 1 AS round, doc_id, gain FROM d1
+        UNION ALL SELECT 2, doc_id, gain FROM d2
+        UNION ALL SELECT 3, doc_id, gain FROM d3)
+      SELECT round, doc_id, gain,
+        CAST(sum(gain) OVER (ORDER BY round) AS BIGINT) AS cum_covered
+      FROM rounds ORDER BY round
+    """))
+
+  /** Raking (iterative proportional fitting, 2 sweeps) of a 15% hash
+    * sample's (segment × priority) table to the FULL population's
+    * margins — the census/survey calibration that makes a sample's
+    * joint distribution respect known totals. Weights live on the ppm
+    * grid; each sweep is exact integer scaling (decimal(38,0) products
+    * — ppm × margin exceeds 2^63), so after the final column sweep the
+    * column margins match EXACTLY and the row error is the honest
+    * convergence readout.
+    *
+    * Scale shape: the sample collapses to 25 cells immediately; both
+    * sweeps are vocabulary-sized joins. */
+  private val q349 = QueryDef(
+    "q349_raking_ipf",
+    (spark, dir) => {
+      val pop = Tables.orders(spark, dir)
+        .join(Tables.customer(spark, dir).select(col("c_custkey"), col("c_mktsegment")),
+          col("o_custkey") === col("c_custkey"))
+        .select(col("c_mktsegment").as("seg"), col("o_orderpriority").as("prio"),
+          col("o_orderkey"))
+      val cells = pop
+        .filter(Sampling.keyHash(col("o_orderkey")) % 10000 < 1500)
+        .groupBy(col("seg"), col("prio")).agg(count(lit(1)).as("s"))
+        .withColumn("w0", col("s") * 1000000L)
+      val rx = pop.groupBy(col("seg")).agg(count(lit(1)).as("rx"))
+      val cy = pop.groupBy(col("prio")).agg(count(lit(1)).as("cy"))
+      val rowPass = cells
+        .withColumn("rowsum", sum(col("w0")).over(Window.partitionBy(col("seg"))))
+        .join(broadcast(rx), Seq("seg"))
+        .withColumn("w1", expr(
+          "CAST(CAST(w0 AS DECIMAL(38,0)) * (rx * 1000000) DIV rowsum AS BIGINT)"))
+      val colPass = rowPass
+        .withColumn("colsum", sum(col("w1")).over(Window.partitionBy(col("prio"))))
+        .join(broadcast(cy), Seq("prio"))
+        .withColumn("w2", expr(
+          "CAST(CAST(w1 AS DECIMAL(38,0)) * (cy * 1000000) DIV colsum AS BIGINT)"))
+      colPass
+        .select(col("seg"), col("prio"), col("s").as("n_sample"),
+          col("w2").as("raked_weight_ppm"))
+        .orderBy(col("seg"), col("prio"))
+    },
+    Some("""
+      WITH pop AS (
+        SELECT c_mktsegment AS seg, o_orderpriority AS prio, o_orderkey
+        FROM orders JOIN customer ON o_custkey = c_custkey),
+      cells AS (
+        SELECT seg, prio, CAST(count(*) AS BIGINT) AS s,
+          CAST(count(*) * 1000000 AS BIGINT) AS w0
+        FROM pop
+        WHERE ((o_orderkey % 2147483648) * 2654435761) % 4294967296 % 10000 < 1500
+        GROUP BY seg, prio),
+      rx AS (SELECT seg, CAST(count(*) AS BIGINT) AS rx FROM pop GROUP BY seg),
+      cy AS (SELECT prio, CAST(count(*) AS BIGINT) AS cy FROM pop GROUP BY prio),
+      row_pass AS (
+        SELECT seg, prio, s, w0,
+          CAST(CAST(w0 AS HUGEINT) * (rx * 1000000)
+            // sum(w0) OVER (PARTITION BY seg) AS BIGINT) AS w1
+        FROM cells JOIN rx USING (seg)),
+      col_pass AS (
+        SELECT seg, prio, s,
+          CAST(CAST(w1 AS HUGEINT) * (cy * 1000000)
+            // sum(w1) OVER (PARTITION BY prio) AS BIGINT) AS w2
+        FROM row_pass JOIN cy USING (prio))
+      SELECT seg, prio, s AS n_sample, w2 AS raked_weight_ppm
+      FROM col_pass ORDER BY seg, prio
+    """))
+
   override def defs: Seq[QueryDef] =
     Seq(q319, q320, q321, q322, q323, q324, q325, q326, q327, q328,
       q329, q330, q331, q332, q333, q334, q335, q336, q337, q338,
-      q339, q340, q341, q342, q343, q344, q345, q346)
+      q339, q340, q341, q342, q343, q344, q345, q346, q347, q348,
+      q349)
 }

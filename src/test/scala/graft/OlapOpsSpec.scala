@@ -376,6 +376,50 @@ class OlapOpsSpec extends SparkSpec {
     // (checked structurally: radius_q is a min over a superset)
   }
 
+  // ---------------------------------------------------------------- q347
+
+  test("post-stratification recovers the truth better than the naive mean") {
+    val r = run("q347_post_stratification", sfMid).collect().head
+    val (naive, ps, truth) = (r.getAs[Double]("naive_mean"),
+      r.getAs[Double]("poststrat_mean"), r.getAs[Double]("true_mean"))
+    // with a 4x oversample of one stratum, reweighting must land closer
+    assert(math.abs(ps - truth) <= math.abs(naive - truth),
+      s"poststrat $ps vs naive $naive vs truth $truth")
+  }
+
+  // ---------------------------------------------------------------- q348
+
+  test("greedy coverage: diminishing gains and distinct picks") {
+    val rows = run("q348_max_coverage_greedy", sfMid).collect()
+      .sortBy(_.getAs[Int]("round"))
+    assert(rows.length == 3)
+    val gains = rows.map(_.getAs[Long]("gain"))
+    // submodularity: marginal gains never increase
+    assert(gains(0) >= gains(1) && gains(1) >= gains(2), gains.toSeq.toString)
+    assert(rows.map(_.getAs[Long]("doc_id")).distinct.length == 3)
+    val cums = rows.map(_.getAs[Long]("cum_covered"))
+    assert(cums(2) == gains.sum)
+  }
+
+  // ---------------------------------------------------------------- q349
+
+  test("raking: column margins match the population exactly after the col sweep") {
+    import org.apache.spark.sql.functions._
+    val rows = run("q349_raking_ipf", sfMid)
+    val colSums = rows.groupBy(col("prio"))
+      .agg(sum(col("raked_weight_ppm")).as("w")).collect()
+      .map(r => r.getAs[String]("prio") -> r.getAs[Long]("w")).toMap
+    val popCols = Tables.orders(spark, sfMid)
+      .groupBy(col("o_orderpriority")).count().collect()
+      .map(r => r.getAs[String]("o_orderpriority") -> r.getAs[Long]("count")).toMap
+    for ((prio, w) <- colSums) {
+      val target = popCols(prio) * 1000000L
+      // integer-div truncation loses at most 1 ppm per contributing cell
+      assert(math.abs(w - target) <= 5L,
+        s"$prio raked col margin $w vs target $target")
+    }
+  }
+
   // ---------------------------------------------------------------- q339
 
   test("chi-square residuals cover all cells and are mean-centered-ish") {
