@@ -2215,9 +2215,197 @@ object OlapQueries extends QueryGroup {
       FROM col_pass ORDER BY seg, prio
     """))
 
+  /** Design-based estimation from an unequal-probability sample:
+    * Horvitz–Thompson (inverse-inclusion-probability weights, known
+    * N) vs Hájek (self-normalized — divides by the ESTIMATED
+    * population size) on q347's deliberately biased sample. The
+    * textbook pair behind every weighted readout: HT is unbiased for
+    * the TOTAL, Hájek is usually tighter for the MEAN. All weighting
+    * is exact integer arithmetic on the known ppm inclusion rates.
+    *
+    * Scale shape: one strata-grain aggregate over the sample; the
+    * estimators combine 5 rows. */
+  private val q350 = QueryDef(
+    "q350_horvitz_thompson",
+    (spark, dir) => {
+      val pop = Tables.orders(spark, dir)
+        .join(Tables.customer(spark, dir).select(col("c_custkey"), col("c_mktsegment")),
+          col("o_custkey") === col("c_custkey"))
+        .select(col("c_mktsegment").as("seg"), col("o_orderkey"),
+          cents(col("o_totalprice")).as("y"))
+        .withColumn("p_bp", when(col("seg") === "BUILDING", 4000L).otherwise(1000L))
+      val truth = pop.agg(count(lit(1)).as("n_true"), sum(col("y")).as("s_true"))
+      pop.filter(Sampling.keyHash(col("o_orderkey")) % 10000 < col("p_bp"))
+        .groupBy(col("seg"), col("p_bp"))
+        .agg(count(lit(1)).as("n_s"), sum(col("y")).as("s_s"))
+        // exact HT terms: Σ y/π and Σ 1/π, scaled by 10^4 inclusion bp
+        .select(expr("s_s * 10000 div p_bp").as("ht_total_term"),
+          expr("n_s * 10000 div p_bp").as("ht_n_term"), col("n_s"))
+        .agg(sum(col("ht_total_term")).as("ht_total"),
+          sum(col("ht_n_term")).as("n_hat"), sum(col("n_s")).as("n_sample"))
+        .crossJoin(broadcast(truth))
+        .selectExpr("n_sample", "n_hat", "n_true", "ht_total",
+          "CAST(ht_total AS DOUBLE)/CAST(n_true AS DOUBLE) AS ht_mean",
+          "CAST(ht_total AS DOUBLE)/CAST(n_hat AS DOUBLE) AS hajek_mean",
+          "CAST(s_true AS DOUBLE)/CAST(n_true AS DOUBLE) AS true_mean")
+    },
+    Some("""
+      WITH pop AS (
+        SELECT c_mktsegment AS seg, o_orderkey,
+          CAST(floor(o_totalprice*100 + 0.5) AS BIGINT) AS y,
+          CASE WHEN c_mktsegment = 'BUILDING' THEN 4000 ELSE 1000 END AS p_bp
+        FROM orders JOIN customer ON o_custkey = c_custkey),
+      truth AS (
+        SELECT CAST(count(*) AS BIGINT) AS n_true, CAST(sum(y) AS BIGINT) AS s_true
+        FROM pop),
+      strata AS (
+        SELECT seg, p_bp, CAST(count(*) AS BIGINT) AS n_s, CAST(sum(y) AS BIGINT) AS s_s
+        FROM pop
+        WHERE ((o_orderkey % 2147483648) * 2654435761) % 4294967296 % 10000 < p_bp
+        GROUP BY seg, p_bp),
+      est AS (
+        SELECT CAST(sum(s_s * 10000 // p_bp) AS BIGINT) AS ht_total,
+          CAST(sum(n_s * 10000 // p_bp) AS BIGINT) AS n_hat,
+          CAST(sum(n_s) AS BIGINT) AS n_sample
+        FROM strata)
+      SELECT n_sample, n_hat, n_true, ht_total,
+        CAST(ht_total AS DOUBLE)/CAST(n_true AS DOUBLE) AS ht_mean,
+        CAST(ht_total AS DOUBLE)/CAST(n_hat AS DOUBLE) AS hajek_mean,
+        CAST(s_true AS DOUBLE)/CAST(n_true AS DOUBLE) AS true_mean
+      FROM est, truth
+    """))
+
+  /** Newsvendor stocking level per brand: the critical-fractile
+    * quantile of DAILY demand at τ = 2/3 (underage twice as costly as
+    * overage — τ = cu/(cu+co)), via RankSelect's exact two-level
+    * selection. The canonical inventory decision expressed as a
+    * percentile query; mean demand rides along to show how far
+    * "stock the average" under-serves.
+    *
+    * Scale shape: one (brand, day) aggregate, then the two-level rank
+    * selection over the day-grain demand table. */
+  private val q351 = QueryDef(
+    "q351_newsvendor_stock",
+    (spark, dir) => {
+      val daily = Tables.lineitem(spark, dir)
+        .join(Tables.part(spark, dir).select(col("p_partkey"), col("p_brand")),
+          col("l_partkey") === col("p_partkey"))
+        .groupBy(col("p_brand"), (epochS(col("l_shipdate")) / 86400L).cast("long").as("day"))
+        .agg(sum(floor(col("l_quantity") + 0.5).cast("long")).as("d"))
+      val stock = graft.operators.RankSelect
+        .percentiles(daily, "p_brand", "d", Seq(6667), binWidth = 16L)
+      val mean = daily.groupBy(col("p_brand"))
+        .agg(expr("sum(d) div count(1)").as("mean_demand"))
+      stock.join(mean, Seq("p_brand"))
+        .select(col("p_brand"), col("n").as("n_days"),
+          col("p_6667").as("stock_units"), col("mean_demand"))
+        .orderBy(col("p_brand"))
+    },
+    Some("""
+      WITH daily AS (
+        SELECT p_brand, epoch_ms(l_shipdate) // 1000 // 86400 AS day,
+          CAST(sum(CAST(floor(l_quantity + 0.5) AS BIGINT)) AS BIGINT) AS d
+        FROM lineitem JOIN part ON l_partkey = p_partkey
+        GROUP BY p_brand, day),
+      cum AS (
+        SELECT p_brand, d, c,
+          sum(c) OVER (PARTITION BY p_brand ORDER BY d) AS cum,
+          sum(c) OVER (PARTITION BY p_brand) AS n
+        FROM (SELECT p_brand, d, count(*) AS c FROM daily GROUP BY p_brand, d)),
+      stock AS (
+        SELECT p_brand, CAST(max(n) AS BIGINT) AS n_days,
+          CAST(min(CASE WHEN cum * 10000 >= 6667 * n THEN d END) AS BIGINT)
+            AS stock_units
+        FROM cum GROUP BY p_brand)
+      SELECT stock.p_brand, n_days, stock_units,
+        CAST(sum(d) // count(*) AS BIGINT) AS mean_demand
+      FROM stock JOIN daily ON stock.p_brand = daily.p_brand
+      GROUP BY stock.p_brand, n_days, stock_units
+      ORDER BY stock.p_brand
+    """))
+
+  /** Quantile-forecast evaluation by pinball loss: freeze the p50/p90
+    * of daily revenue on the FIRST half of the days, score them on the
+    * second half with the asymmetric pinball loss (in exact bp·cents
+    * integers). The proper scoring rule for quantile forecasts — how
+    * q201's backtests should be graded once the target is a quantile,
+    * not the mean.
+    *
+    * Scale shape: day-grain table throughout; the train quantiles are
+    * a vocabulary-sized cumulative window, the test loss one
+    * conditional sum. */
+  private val q352 = QueryDef(
+    "q352_pinball_eval",
+    (spark, dir) => {
+      val daily = Tables.events(spark, dir)
+        .filter(col("event_type") === "purchase")
+        .groupBy((epochS(col("ts")) / 86400L).cast("long").as("day"))
+        .agg(sum(cents(col("value"))).as("y"))
+      val split = daily.agg(((min(col("day")) + max(col("day"))) / 2).cast("long")
+        .as("mid_day"))
+      val marked = daily.crossJoin(broadcast(split))
+        .withColumn("is_train", col("day") <= col("mid_day"))
+      val wCum = Window.orderBy(col("y"))
+      val train = marked.filter(col("is_train"))
+        .withColumn("cum", count(lit(1)).over(
+          wCum.rowsBetween(Window.unboundedPreceding, 0)))
+        .withColumn("n", count(lit(1)).over(Window.partitionBy()))
+      val qs = train.agg(
+        min(when(col("cum") * 10000 >= lit(5000) * col("n"), col("y"))).as("q50"),
+        min(when(col("cum") * 10000 >= lit(9000) * col("n"), col("y"))).as("q90"))
+      val test = marked.filter(!col("is_train")).crossJoin(broadcast(qs))
+      def pinball(tau: Int, q: String) =
+        sum(when(col("y") >= col(q), lit(tau.toLong) * (col("y") - col(q)))
+          .otherwise(lit(10000L - tau) * (col(q) - col("y"))))
+      test.agg(count(lit(1)).as("n_test"), max(col("q50")).as("q50"),
+          max(col("q90")).as("q90"),
+          pinball(5000, "q50").as("loss50"), pinball(9000, "q90").as("loss90"))
+        .selectExpr("*")
+        .select(explode(expr(
+          """array(named_struct('tau_bp', 5000L, 'forecast_cents', q50,
+                     'n_test', n_test, 'pinball_bp_cents', loss50),
+                   named_struct('tau_bp', 9000L, 'forecast_cents', q90,
+                     'n_test', n_test, 'pinball_bp_cents', loss90))""")).as("r"))
+        .select(col("r.tau_bp"), col("r.forecast_cents"), col("r.n_test"),
+          col("r.pinball_bp_cents"))
+        .orderBy(col("tau_bp"))
+    },
+    Some("""
+      WITH daily AS (
+        SELECT epoch_ms(ts) // 1000 // 86400 AS day,
+          CAST(sum(CAST(floor(value*100 + 0.5) AS BIGINT)) AS BIGINT) AS y
+        FROM events WHERE event_type = 'purchase' GROUP BY day),
+      split AS (SELECT (min(day) + max(day)) // 2 AS mid_day FROM daily),
+      marked AS (SELECT day, y, day <= mid_day AS is_train FROM daily, split),
+      train AS (
+        SELECT y,
+          count(*) OVER (ORDER BY y ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+            AS cum,
+          count(*) OVER () AS n
+        FROM marked WHERE is_train),
+      qs AS (
+        SELECT CAST(min(CASE WHEN cum * 10000 >= 5000 * n THEN y END) AS BIGINT) AS q50,
+          CAST(min(CASE WHEN cum * 10000 >= 9000 * n THEN y END) AS BIGINT) AS q90
+        FROM train),
+      test AS (SELECT y FROM marked WHERE NOT is_train),
+      agg AS (
+        SELECT CAST(count(*) AS BIGINT) AS n_test,
+          max(q50) AS q50, max(q90) AS q90,
+          CAST(sum(CASE WHEN y >= q50 THEN 5000 * (y - q50)
+                        ELSE 5000 * (q50 - y) END) AS BIGINT) AS loss50,
+          CAST(sum(CASE WHEN y >= q90 THEN 9000 * (y - q90)
+                        ELSE 1000 * (q90 - y) END) AS BIGINT) AS loss90
+        FROM test, qs)
+      SELECT 5000 AS tau_bp, q50 AS forecast_cents, n_test,
+        loss50 AS pinball_bp_cents FROM agg
+      UNION ALL
+      SELECT 9000, q90, n_test, loss90 FROM agg
+      ORDER BY tau_bp
+    """))
+
   override def defs: Seq[QueryDef] =
     Seq(q319, q320, q321, q322, q323, q324, q325, q326, q327, q328,
       q329, q330, q331, q332, q333, q334, q335, q336, q337, q338,
       q339, q340, q341, q342, q343, q344, q345, q346, q347, q348,
-      q349)
+      q349, q350, q351, q352)
 }

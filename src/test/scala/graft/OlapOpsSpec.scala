@@ -420,6 +420,45 @@ class OlapOpsSpec extends SparkSpec {
     }
   }
 
+  // ---------------------------------------------------------------- q350
+
+  test("HT and Hajek both recover the biased sample's true mean") {
+    val r = run("q350_horvitz_thompson", sfMid).collect().head
+    val (ht, hajek, truth) = (r.getAs[Double]("ht_mean"),
+      r.getAs[Double]("hajek_mean"), r.getAs[Double]("true_mean"))
+    // both design-based estimators must beat the raw biased mean;
+    // with ~15% sampling they land within a few percent of truth
+    assert(math.abs(ht - truth) / truth < 0.10, s"HT $ht vs $truth")
+    assert(math.abs(hajek - truth) / truth < 0.10, s"Hajek $hajek vs $truth")
+    assert(r.getAs[Long]("n_hat") > 0)
+  }
+
+  // ---------------------------------------------------------------- q351
+
+  test("newsvendor stock covers at least the mean demand") {
+    val rows = run("q351_newsvendor_stock", sfMid).collect()
+    assert(rows.length == 25)
+    for (r <- rows) {
+      // the 2/3 fractile sits at or above the median; for the roughly
+      // symmetric daily demand here it should not be below ~80% of mean
+      assert(r.getAs[Long]("stock_units") * 5 >= r.getAs[Long]("mean_demand") * 4,
+        s"${r.getAs[String]("p_brand")}: stock ${r.getAs[Long]("stock_units")} " +
+          s"vs mean ${r.getAs[Long]("mean_demand")}")
+      assert(r.getAs[Long]("n_days") > 0)
+    }
+  }
+
+  // ---------------------------------------------------------------- q352
+
+  test("pinball loss is non-negative and p90 forecast sits above p50") {
+    val rows = run("q352_pinball_eval", sfMid).collect()
+      .sortBy(_.getAs[Long]("tau_bp"))
+    assert(rows.length == 2)
+    assert(rows.forall(_.getAs[Long]("pinball_bp_cents") >= 0))
+    assert(rows(0).getAs[Long]("forecast_cents") <=
+      rows(1).getAs[Long]("forecast_cents"))
+  }
+
   // ---------------------------------------------------------------- q339
 
   test("chi-square residuals cover all cells and are mean-centered-ish") {
