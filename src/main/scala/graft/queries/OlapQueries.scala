@@ -2403,9 +2403,315 @@ object OlapQueries extends QueryGroup {
       ORDER BY tau_bp
     """))
 
+  /** James–Stein shrinkage of per-brand mean line prices toward the
+    * grand mean: λ = max(0, 1 − (k−3)·σ²_w/(n̄·SSB)) under the
+    * equal-n approximation — the frequentist shrinkage that dominates
+    * raw group means for k ≥ 4, completing the q266 (Laplace) / q311
+    * (Wilson) small-sample-ranking family for CONTINUOUS metrics. SSB
+    * and the pooled variance are computed on the exact ppm/cents
+    * integer grid (a double sum over 25 brand deviations would be
+    * addition-order-dependent); only the final λ and shrunk means are
+    * shared-text doubles.
+    *
+    * Scale shape: one brand-grain aggregate; the shrinkage runs on 25
+    * rows with a one-row broadcast. */
+  private val q353 = QueryDef(
+    "q353_james_stein_shrinkage",
+    (spark, dir) => {
+      val dec = (c: org.apache.spark.sql.Column) => c.cast("decimal(38,0)")
+      val perBrand = Tables.lineitem(spark, dir)
+        .join(Tables.part(spark, dir).select(col("p_partkey"), col("p_brand")),
+          col("l_partkey") === col("p_partkey"))
+        .select(col("p_brand"), cents(col("l_extendedprice")).as("y"))
+        .groupBy(col("p_brand"))
+        .agg(count(lit(1)).as("n_i"), sum(col("y")).as("s_i"),
+          sum(dec(col("y")) * col("y")).as("ss_i"))
+        .withColumn("theta_ppk", expr("CAST(CAST(s_i AS DECIMAL(38,0)) * 1000 DIV n_i AS BIGINT)"))
+        .withColumn("within_num",
+          expr("CAST(ss_i - CAST(s_i AS DECIMAL(38,0)) * s_i DIV n_i AS DECIMAL(38,0))"))
+      val glob = perBrand.agg(
+          count(lit(1)).as("k"), sum(col("n_i")).as("n_tot"), sum(col("s_i")).as("s_tot"),
+          sum(col("within_num")).as("ssw"))
+        .withColumn("theta_bar_ppk",
+          expr("CAST(CAST(s_tot AS DECIMAL(38,0)) * 1000 DIV n_tot AS BIGINT)"))
+      val ssb = perBrand.crossJoin(broadcast(glob))
+        // square in decimal: the long square of a ppk deviation can
+        // brush 2^63 at large price scales
+        .agg(sum(expr(
+          "CAST(theta_ppk - theta_bar_ppk AS DECIMAL(38,0)) * (theta_ppk - theta_bar_ppk)"))
+          .as("ssb_ppk2"))
+      perBrand.crossJoin(broadcast(glob)).crossJoin(broadcast(ssb))
+        // λ from exact integers: σ²_w = ssw/(N−k) in cents², n̄ = N/k,
+        // SSB in (cents/1000)² → align units via the 10^6 ppk² factor
+        .selectExpr("p_brand", "n_i", "theta_ppk", "theta_bar_ppk",
+          """greatest(0.0, 1.0 -
+               (CAST(k AS DOUBLE) - 3.0)
+                 * (CAST(ssw AS DOUBLE) / (CAST(n_tot AS DOUBLE) - CAST(k AS DOUBLE)))
+                 / ((CAST(n_tot AS DOUBLE) / CAST(k AS DOUBLE))
+                    * (CAST(ssb_ppk2 AS DOUBLE) / 1000000.0))) AS lambda""")
+        .selectExpr("p_brand", "n_i",
+          "CAST(theta_ppk AS DOUBLE) / 1000.0 AS raw_mean_cents",
+          """(CAST(theta_bar_ppk AS DOUBLE)
+              + lambda * (CAST(theta_ppk AS DOUBLE) - CAST(theta_bar_ppk AS DOUBLE)))
+             / 1000.0 AS shrunk_mean_cents""",
+          "lambda")
+        .orderBy(col("p_brand"))
+    },
+    Some("""
+      WITH per_brand AS (
+        SELECT p_brand, CAST(count(*) AS BIGINT) AS n_i,
+          CAST(sum(y) AS BIGINT) AS s_i,
+          sum(CAST(y AS HUGEINT) * y) AS ss_i
+        FROM (
+          SELECT p_brand, CAST(floor(l_extendedprice*100 + 0.5) AS BIGINT) AS y
+          FROM lineitem JOIN part ON l_partkey = p_partkey)
+        GROUP BY p_brand),
+      pb2 AS (
+        SELECT p_brand, n_i, s_i,
+          CAST(CAST(s_i AS HUGEINT) * 1000 // n_i AS BIGINT) AS theta_ppk,
+          ss_i - CAST(s_i AS HUGEINT) * s_i // n_i AS within_num
+        FROM per_brand),
+      gstat AS (
+        SELECT CAST(count(*) AS BIGINT) AS k, CAST(sum(n_i) AS BIGINT) AS n_tot,
+          CAST(sum(s_i) AS BIGINT) AS s_tot, sum(within_num) AS ssw,
+          CAST(CAST(sum(s_i) AS HUGEINT) * 1000 // sum(n_i) AS BIGINT) AS theta_bar_ppk
+        FROM pb2),
+      ssb AS (
+        SELECT sum(CAST((theta_ppk - theta_bar_ppk) AS HUGEINT)
+                   * (theta_ppk - theta_bar_ppk)) AS ssb_ppk2
+        FROM pb2, gstat),
+      lam AS (
+        SELECT greatest(0.0, 1.0 -
+          (CAST(k AS DOUBLE) - 3.0)
+            * (CAST(ssw AS DOUBLE) / (CAST(n_tot AS DOUBLE) - CAST(k AS DOUBLE)))
+            / ((CAST(n_tot AS DOUBLE) / CAST(k AS DOUBLE))
+               * (CAST(ssb_ppk2 AS DOUBLE) / 1000000.0))) AS lambda
+        FROM gstat, ssb)
+      SELECT p_brand, n_i,
+        CAST(theta_ppk AS DOUBLE) / 1000.0 AS raw_mean_cents,
+        (CAST(theta_bar_ppk AS DOUBLE)
+         + lambda * (CAST(theta_ppk AS DOUBLE) - CAST(theta_bar_ppk AS DOUBLE)))
+        / 1000.0 AS shrunk_mean_cents,
+        lambda
+      FROM pb2, gstat, lam
+      ORDER BY p_brand
+    """))
+
+  /** t-closeness audit: for each nation (the quasi-identifier group),
+    * the 1-D earth-mover distance between the group's distribution of
+    * the ordered sensitive attribute (account-balance decile) and the
+    * global one — EMD over ordered classes = Σ|cumulative share
+    * differences|, exact on the ppm grid. Completes the privacy family
+    * (q149 k-anonymity, q197 l-diversity): k and l bound re-
+    * identification, t bounds attribute INFERENCE.
+    *
+    * Scale shape: decile cuts via RankSelect (broadcast one row),
+    * class assignment by 9 comparisons, then vocabulary-sized
+    * (nation × class) cumulative windows. */
+  private val q354 = QueryDef(
+    "q354_t_closeness",
+    (spark, dir) => {
+      val cust = Tables.customer(spark, dir)
+        .select(lit(1).as("g"), col("c_nationkey").cast("long").as("nation"),
+          cents(col("c_acctbal")).as("bal"))
+      val cuts = graft.operators.RankSelect
+        .percentiles(cust, "g", "bal", (1 to 9).map(_ * 1000), binWidth = 10000L)
+      val classed = cust.crossJoin(broadcast(cuts))
+        .withColumn("cls", (1 to 9).map(i =>
+          when(col("bal") > col(s"p_${i * 1000}"), 1L).otherwise(0L)).reduce(_ + _))
+        .persist() // group and global distributions share the class pass
+      val byNation = classed.groupBy(col("nation"), col("cls"))
+        .agg(count(lit(1)).as("c"))
+      // densify: every (nation, class) cell, zero-filled, so the
+      // cumulative shares line up position-by-position
+      val nations = byNation.select(col("nation")).distinct()
+      val grid = nations.crossJoin(
+        broadcast(spark.range(0, 10).select(col("id").as("cls"))))
+      val dense = grid.join(byNation, Seq("nation", "cls"), "left")
+        .na.fill(0L, Seq("c"))
+        .withColumn("n_g", sum(col("c")).over(Window.partitionBy(col("nation"))))
+        .withColumn("cum_g", sum(col("c")).over(
+          Window.partitionBy(col("nation")).orderBy(col("cls"))))
+      val globalCum = classed.groupBy(col("cls")).agg(count(lit(1)).as("cg"))
+        .withColumn("n_all", sum(col("cg")).over(Window.partitionBy()))
+        .withColumn("cum_all", sum(col("cg")).over(Window.orderBy(col("cls"))))
+        .select(col("cls"), col("n_all"), col("cum_all"))
+      dense.join(broadcast(globalCum), Seq("cls"))
+        .filter(col("cls") < 9) // the last prefix point is always equal
+        .withColumn("d", abs(
+          expr("cum_g * 1000000 div n_g") - expr("cum_all * 1000000 div n_all")))
+        .groupBy(col("nation"))
+        .agg(max(col("n_g")).as("n_customers"), sum(col("d")).as("emd_sum_ppm"))
+        .select(col("nation"), col("n_customers"),
+          expr("emd_sum_ppm div 9").as("t_ppm"))
+        .orderBy(col("nation"))
+    },
+    Some("""
+      WITH cust AS (
+        SELECT CAST(c_nationkey AS BIGINT) AS nation,
+          CAST(floor(c_acctbal*100 + 0.5) AS BIGINT) AS bal
+        FROM customer),
+      cum0 AS (
+        SELECT bal, c, sum(c) OVER (ORDER BY bal) AS cum, sum(c) OVER () AS n
+        FROM (SELECT bal, count(*) AS c FROM cust GROUP BY bal)),
+      cuts AS (
+        SELECT
+          min(CASE WHEN cum * 10000 >= 1000 * n THEN bal END) AS p1,
+          min(CASE WHEN cum * 10000 >= 2000 * n THEN bal END) AS p2,
+          min(CASE WHEN cum * 10000 >= 3000 * n THEN bal END) AS p3,
+          min(CASE WHEN cum * 10000 >= 4000 * n THEN bal END) AS p4,
+          min(CASE WHEN cum * 10000 >= 5000 * n THEN bal END) AS p5,
+          min(CASE WHEN cum * 10000 >= 6000 * n THEN bal END) AS p6,
+          min(CASE WHEN cum * 10000 >= 7000 * n THEN bal END) AS p7,
+          min(CASE WHEN cum * 10000 >= 8000 * n THEN bal END) AS p8,
+          min(CASE WHEN cum * 10000 >= 9000 * n THEN bal END) AS p9
+        FROM cum0),
+      classed AS (
+        SELECT nation,
+          (CASE WHEN bal > p1 THEN 1 ELSE 0 END) + (CASE WHEN bal > p2 THEN 1 ELSE 0 END)
+          + (CASE WHEN bal > p3 THEN 1 ELSE 0 END) + (CASE WHEN bal > p4 THEN 1 ELSE 0 END)
+          + (CASE WHEN bal > p5 THEN 1 ELSE 0 END) + (CASE WHEN bal > p6 THEN 1 ELSE 0 END)
+          + (CASE WHEN bal > p7 THEN 1 ELSE 0 END) + (CASE WHEN bal > p8 THEN 1 ELSE 0 END)
+          + (CASE WHEN bal > p9 THEN 1 ELSE 0 END) AS cls
+        FROM cust, cuts),
+      dense AS (
+        SELECT n.nation, g.cls, coalesce(b.c, 0) AS c
+        FROM (SELECT DISTINCT nation FROM classed) n
+        CROSS JOIN generate_series(0, 9) g(cls)
+        LEFT JOIN (SELECT nation, cls, CAST(count(*) AS BIGINT) AS c
+                   FROM classed GROUP BY nation, cls) b
+          ON n.nation = b.nation AND g.cls = b.cls),
+      cums AS (
+        SELECT nation, cls, c,
+          sum(c) OVER (PARTITION BY nation) AS n_g,
+          sum(c) OVER (PARTITION BY nation ORDER BY cls) AS cum_g
+        FROM dense),
+      gall AS (
+        SELECT cls, sum(cg) OVER () AS n_all,
+          sum(cg) OVER (ORDER BY cls) AS cum_all
+        FROM (SELECT cls, CAST(count(*) AS BIGINT) AS cg FROM classed GROUP BY cls))
+      SELECT nation, CAST(max(n_g) AS BIGINT) AS n_customers,
+        CAST(sum(abs(cum_g * 1000000 // n_g - cum_all * 1000000 // n_all)) // 9
+          AS BIGINT) AS t_ppm
+      FROM cums JOIN gall USING (cls)
+      WHERE cls < 9
+      GROUP BY nation ORDER BY nation
+    """))
+
+  /** LM learning curve without logs: the q269 corpus-LM metric (mean
+    * conditional bigram frequency, ppm) of a FIXED 10% heldout set
+    * under bigram models trained on nested 22.5%/45%/90% document
+    * samples — the scaling-law measurement (more data → better score,
+    * with visibly diminishing returns) every data-buying decision
+    * rests on. Heldout docs come from an independent hash stream and
+    * never enter any training level.
+    *
+    * Scale shape: bigrams explode once with a nesting level; ONE
+    * (w1, w2)-grain and one w1-grain aggregate carry per-level counts;
+    * the heldout set joins those two tables and reduces. */
+  private val q355 = QueryDef(
+    "q355_lm_learning_curve",
+    (spark, dir) => {
+      import graft.functions.expressions.tokens_native
+      val docs = Tables.documents(spark, dir)
+        .select(col("doc_id"), col("text"),
+          (Sampling.keyHash(col("doc_id"), 2654435741L) % 10 === 0).as("held"),
+          (Sampling.keyHash(col("doc_id")) % 10000).as("s"))
+        .withColumn("lv", when(col("s") < 2500, 0).when(col("s") < 5000, 1).otherwise(2))
+      val tok = docs
+        .select(col("doc_id"), col("held"), col("lv"),
+          posexplode(tokens_native(col("text"))).as(Seq("pos", "token")))
+      val bigrams = tok.select(col("doc_id"), col("held"), col("lv"),
+          col("pos"), col("token").as("w1"))
+        .join(tok.select(col("doc_id"), (col("pos") - 1).as("pos"),
+          col("token").as("w2")), Seq("doc_id", "pos"))
+      val trainB = bigrams.filter(!col("held"))
+        .groupBy(col("w1"), col("w2"))
+        .agg(sum(when(col("lv") === 0, 1L).otherwise(0L)).as("b0"),
+          sum(when(col("lv") <= 1, 1L).otherwise(0L)).as("b1"),
+          count(lit(1)).as("b2"))
+      val trainU = bigrams.filter(!col("held"))
+        .groupBy(col("w1"))
+        .agg(sum(when(col("lv") === 0, 1L).otherwise(0L)).as("u0"),
+          sum(when(col("lv") <= 1, 1L).otherwise(0L)).as("u1"),
+          count(lit(1)).as("u2"))
+      val trainDocs = docs.filter(!col("held"))
+        .agg(sum(when(col("lv") === 0, 1L).otherwise(0L)).as("d0"),
+          sum(when(col("lv") <= 1, 1L).otherwise(0L)).as("d1"),
+          count(lit(1)).as("d2"))
+      val held = bigrams.filter(col("held")).select(col("w1"), col("w2"))
+        .join(trainB, Seq("w1", "w2"), "left").na.fill(0L, Seq("b0", "b1", "b2"))
+        .join(trainU, Seq("w1"), "left").na.fill(0L, Seq("u0", "u1", "u2"))
+      def term(b: String, u: String) =
+        expr(s"CASE WHEN $u > 0 THEN $b * 1000000 div $u ELSE 0 END")
+      held.agg(count(lit(1)).as("n_held"),
+          sum(term("b0", "u0")).as("t0"), sum(term("b1", "u1")).as("t1"),
+          sum(term("b2", "u2")).as("t2"))
+        .crossJoin(broadcast(trainDocs))
+        .selectExpr(
+          """stack(3,
+               25,  d0, t0 div n_held,
+               50,  d1, t1 div n_held,
+               100, d2, t2 div n_held)
+             AS (train_frac_pct, train_docs, heldout_score_ppm)""")
+        .orderBy(col("train_frac_pct"))
+    },
+    Some(s"""
+      WITH docs AS (
+        SELECT doc_id, text,
+          ((doc_id % 2147483648) * 2654435741) % 4294967296 % 10 = 0 AS held,
+          CASE WHEN ((doc_id % 2147483648) * 2654435761) % 4294967296 % 10000 < 2500
+                 THEN 0
+               WHEN ((doc_id % 2147483648) * 2654435761) % 4294967296 % 10000 < 5000
+                 THEN 1 ELSE 2 END AS lv
+        FROM documents),
+      tk AS (SELECT doc_id, held, lv, $duckTokens AS tk FROM docs),
+      bb AS (
+        SELECT doc_id, held, lv, s.w1 AS w1, s.w2 AS w2 FROM (
+          SELECT doc_id, held, lv,
+            unnest([struct_pack(w1 := tk[i], w2 := tk[i+1])
+                    for i in range(1, len(tk))]) AS s
+          FROM tk WHERE len(tk) >= 2)),
+      train_b AS (
+        SELECT w1, w2,
+          CAST(sum(CASE WHEN lv = 0 THEN 1 ELSE 0 END) AS BIGINT) AS b0,
+          CAST(sum(CASE WHEN lv <= 1 THEN 1 ELSE 0 END) AS BIGINT) AS b1,
+          CAST(count(*) AS BIGINT) AS b2
+        FROM bb WHERE NOT held GROUP BY w1, w2),
+      train_u AS (
+        SELECT w1,
+          CAST(sum(CASE WHEN lv = 0 THEN 1 ELSE 0 END) AS BIGINT) AS u0,
+          CAST(sum(CASE WHEN lv <= 1 THEN 1 ELSE 0 END) AS BIGINT) AS u1,
+          CAST(count(*) AS BIGINT) AS u2
+        FROM bb WHERE NOT held GROUP BY w1),
+      train_docs AS (
+        SELECT CAST(sum(CASE WHEN lv = 0 THEN 1 ELSE 0 END) AS BIGINT) AS d0,
+          CAST(sum(CASE WHEN lv <= 1 THEN 1 ELSE 0 END) AS BIGINT) AS d1,
+          CAST(count(*) AS BIGINT) AS d2
+        FROM docs WHERE NOT held),
+      held_b AS (
+        SELECT coalesce(b0, 0) AS b0, coalesce(b1, 0) AS b1, coalesce(b2, 0) AS b2,
+          coalesce(u0, 0) AS u0, coalesce(u1, 0) AS u1, coalesce(u2, 0) AS u2
+        FROM (SELECT w1, w2 FROM bb WHERE held) h
+        LEFT JOIN train_b USING (w1, w2)
+        LEFT JOIN train_u USING (w1)),
+      agg AS (
+        SELECT CAST(count(*) AS BIGINT) AS n_held,
+          CAST(sum(CASE WHEN u0 > 0 THEN b0 * 1000000 // u0 ELSE 0 END) AS BIGINT) AS t0,
+          CAST(sum(CASE WHEN u1 > 0 THEN b1 * 1000000 // u1 ELSE 0 END) AS BIGINT) AS t1,
+          CAST(sum(CASE WHEN u2 > 0 THEN b2 * 1000000 // u2 ELSE 0 END) AS BIGINT) AS t2
+        FROM held_b)
+      SELECT * FROM (
+        SELECT 25 AS train_frac_pct, d0 AS train_docs, t0 // n_held AS heldout_score_ppm
+        FROM agg, train_docs
+        UNION ALL SELECT 50, d1, t1 // n_held FROM agg, train_docs
+        UNION ALL SELECT 100, d2, t2 // n_held FROM agg, train_docs)
+      ORDER BY train_frac_pct
+    """))
+
   override def defs: Seq[QueryDef] =
     Seq(q319, q320, q321, q322, q323, q324, q325, q326, q327, q328,
       q329, q330, q331, q332, q333, q334, q335, q336, q337, q338,
       q339, q340, q341, q342, q343, q344, q345, q346, q347, q348,
-      q349, q350, q351, q352)
+      q349, q350, q351, q352, q353, q354, q355)
 }

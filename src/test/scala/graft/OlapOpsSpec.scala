@@ -459,6 +459,55 @@ class OlapOpsSpec extends SparkSpec {
       rows(1).getAs[Long]("forecast_cents"))
   }
 
+  // ---------------------------------------------------------------- q353
+
+  test("James-Stein pulls every brand mean toward the grand mean") {
+    val rows = run("q353_james_stein_shrinkage", sfMid).collect()
+    assert(rows.length == 25)
+    val lambda = rows.head.getAs[Double]("lambda")
+    assert(lambda >= 0.0 && lambda <= 1.0)
+    assert(rows.forall(_.getAs[Double]("lambda") == lambda)) // global scalar
+    // |shrunk - grand| <= |raw - grand| for every brand, i.e. shrunk
+    // lies between raw and the (implied) grand mean
+    for (r <- rows) {
+      val (raw, shrunk) = (r.getAs[Double]("raw_mean_cents"),
+        r.getAs[Double]("shrunk_mean_cents"))
+      val grand = (shrunk - lambda * raw) / (1.0 - lambda + 1e-300)
+      assert(math.abs(shrunk - grand) <= math.abs(raw - grand) + 1e-6)
+    }
+  }
+
+  // ---------------------------------------------------------------- q354
+
+  test("t-closeness values are valid ppm distances") {
+    val rows = run("q354_t_closeness", sfMid).collect()
+    assert(rows.nonEmpty)
+    for (r <- rows) {
+      val t = r.getAs[Long]("t_ppm")
+      assert(t >= 0 && t <= 1000000L, s"nation ${r.getAs[Long]("nation")}: $t")
+    }
+    // small nation groups must show larger distances than the global
+    // distribution against itself (t of the whole population is 0) —
+    // at least one nation deviates measurably
+    assert(rows.map(_.getAs[Long]("t_ppm")).max > 0)
+  }
+
+  // ---------------------------------------------------------------- q355
+
+  test("LM learning curve: more training data never hurts the score") {
+    val rows = run("q355_lm_learning_curve", sfMid).collect()
+      .sortBy(_.getAs[Int]("train_frac_pct"))
+    assert(rows.length == 3)
+    val docs = rows.map(_.getAs[Long]("train_docs"))
+    assert(docs(0) < docs(1) && docs(1) < docs(2))
+    val scores = rows.map(_.getAs[Long]("heldout_score_ppm"))
+    // the conditional-frequency score rises with data (better LM);
+    // allow tiny non-monotonicity from ppm flooring
+    assert(scores(2) + 1000 >= scores(0),
+      s"full-data score ${scores(2)} below quarter-data ${scores(0)}")
+    assert(scores.forall(s => s >= 0 && s <= 1000000L))
+  }
+
   // ---------------------------------------------------------------- q339
 
   test("chi-square residuals cover all cells and are mean-centered-ish") {
