@@ -2709,9 +2709,247 @@ object OlapQueries extends QueryGroup {
       ORDER BY train_frac_pct
     """))
 
+  /** Doubly-robust (AIPW) estimation under misspecification: the mean
+    * order value from q347's biased sample, estimated four ways —
+    * naive sample mean; Hájek IPW; DR with a WRONG (constant) outcome
+    * model but correct weights; DR with a correct (stratum) model but
+    * WRONG (uniform) weights. The defining property on display: DR
+    * stays near the truth when EITHER ingredient is right, the naive
+    * estimator doesn't. Strata sums are exact integers; estimators
+    * are shared-text doubles; errors are floored to ppm.
+    *
+    * Scale shape: two strata-grain aggregates (population + sample);
+    * everything else runs on 5 rows. */
+  private val q356 = QueryDef(
+    "q356_doubly_robust",
+    (spark, dir) => {
+      val pop = Tables.orders(spark, dir)
+        .join(Tables.customer(spark, dir).select(col("c_custkey"), col("c_mktsegment")),
+          col("o_custkey") === col("c_custkey"))
+        .select(col("c_mktsegment").as("seg"), col("o_orderkey"),
+          cents(col("o_totalprice")).as("y"))
+        .withColumn("p_bp", when(col("seg") === "BUILDING", 4000L).otherwise(1000L))
+      val popStrata = pop.groupBy(col("seg"))
+        .agg(count(lit(1)).as("n_pop"), sum(col("y")).as("s_pop"))
+      val samp = pop.filter(Sampling.keyHash(col("o_orderkey")) % 10000 < col("p_bp"))
+        .groupBy(col("seg"), col("p_bp"))
+        .agg(count(lit(1)).as("n_s"), sum(col("y")).as("s_s"))
+      val joined = popStrata.join(samp, Seq("seg"))
+      val est = joined.agg(
+          sum(col("n_pop")).as("n_pop"), sum(col("s_pop")).as("s_pop"),
+          sum(col("n_s")).as("n_s"), sum(col("s_s")).as("s_s"),
+          // Hájek numerator/denominator (exact inverse-π terms)
+          sum(expr("s_s * 10000 div p_bp")).as("ht_y"),
+          sum(expr("n_s * 10000 div p_bp")).as("ht_n"),
+          // Σ_pop m̂(x) for the CORRECT stratum model (exact floor terms)
+          sum(expr("CAST(CAST(n_pop AS DECIMAL(38,0)) * s_s DIV n_s AS BIGINT)"))
+            .as("om_pop_sum"))
+        .selectExpr("n_pop", "n_s",
+          "CAST(s_pop AS DOUBLE)/CAST(n_pop AS DOUBLE) AS truth",
+          "CAST(s_s AS DOUBLE)/CAST(n_s AS DOUBLE) AS naive",
+          "CAST(ht_y AS DOUBLE)/CAST(ht_n AS DOUBLE) AS hajek",
+          // DR, wrong model m̄ = sample mean, correct weights:
+          // m̄ + Σ_s (y−m̄)/π / N̂  (self-normalized correction)
+          """CAST(s_s AS DOUBLE)/CAST(n_s AS DOUBLE)
+             + (CAST(ht_y AS DOUBLE)
+                - (CAST(s_s AS DOUBLE)/CAST(n_s AS DOUBLE)) * CAST(ht_n AS DOUBLE))
+               / CAST(ht_n AS DOUBLE) AS dr_wrong_model""",
+          // DR, correct stratum model, wrong (uniform) weights:
+          // (1/N)Σ_pop m̂ + (1/n)Σ_s (y − m̂)  — the stratum residual
+          // sum is 0 up to the floor in m̂, so this is the model term
+          """CAST(om_pop_sum AS DOUBLE)/CAST(n_pop AS DOUBLE)
+             + 0.0 AS dr_wrong_weights""")
+      est.select(explode(expr(
+          """array(named_struct('estimator', 'a_naive',        'estimate_cents', naive),
+                   named_struct('estimator', 'b_hajek_ipw',    'estimate_cents', hajek),
+                   named_struct('estimator', 'c_dr_wrong_model',   'estimate_cents', dr_wrong_model),
+                   named_struct('estimator', 'd_dr_wrong_weights', 'estimate_cents', dr_wrong_weights),
+                   named_struct('estimator', 'e_truth',        'estimate_cents', truth))"""))
+          .as("r"), col("truth"))
+        .select(col("r.estimator").as("estimator"),
+          col("r.estimate_cents").as("estimate_cents"),
+          expr("CAST(floor(abs(r.estimate_cents - truth) * 1000000 / truth) AS BIGINT)")
+            .as("err_ppm"))
+        .orderBy(col("estimator"))
+    },
+    Some("""
+      WITH pop AS (
+        SELECT c_mktsegment AS seg, o_orderkey,
+          CAST(floor(o_totalprice*100 + 0.5) AS BIGINT) AS y,
+          CASE WHEN c_mktsegment = 'BUILDING' THEN 4000 ELSE 1000 END AS p_bp
+        FROM orders JOIN customer ON o_custkey = c_custkey),
+      ps AS (
+        SELECT seg, CAST(count(*) AS BIGINT) AS n_pop, CAST(sum(y) AS BIGINT) AS s_pop
+        FROM pop GROUP BY seg),
+      ss AS (
+        SELECT seg, p_bp, CAST(count(*) AS BIGINT) AS n_s, CAST(sum(y) AS BIGINT) AS s_s
+        FROM pop
+        WHERE ((o_orderkey % 2147483648) * 2654435761) % 4294967296 % 10000 < p_bp
+        GROUP BY seg, p_bp),
+      est AS (
+        SELECT CAST(sum(n_pop) AS BIGINT) AS n_pop, CAST(sum(s_pop) AS BIGINT) AS s_pop,
+          CAST(sum(n_s) AS BIGINT) AS n_s, CAST(sum(s_s) AS BIGINT) AS s_s,
+          CAST(sum(s_s * 10000 // p_bp) AS BIGINT) AS ht_y,
+          CAST(sum(n_s * 10000 // p_bp) AS BIGINT) AS ht_n,
+          CAST(sum(CAST(CAST(n_pop AS HUGEINT) * s_s // n_s AS BIGINT)) AS BIGINT)
+            AS om_pop_sum
+        FROM ps JOIN ss USING (seg)),
+      vals AS (
+        SELECT CAST(s_pop AS DOUBLE)/CAST(n_pop AS DOUBLE) AS truth,
+          CAST(s_s AS DOUBLE)/CAST(n_s AS DOUBLE) AS naive,
+          CAST(ht_y AS DOUBLE)/CAST(ht_n AS DOUBLE) AS hajek,
+          CAST(s_s AS DOUBLE)/CAST(n_s AS DOUBLE)
+            + (CAST(ht_y AS DOUBLE)
+               - (CAST(s_s AS DOUBLE)/CAST(n_s AS DOUBLE)) * CAST(ht_n AS DOUBLE))
+              / CAST(ht_n AS DOUBLE) AS dr_wrong_model,
+          CAST(om_pop_sum AS DOUBLE)/CAST(n_pop AS DOUBLE) + 0.0 AS dr_wrong_weights
+        FROM est)
+      SELECT estimator, estimate_cents,
+        CAST(floor(abs(estimate_cents - truth) * 1000000 / truth) AS BIGINT) AS err_ppm
+      FROM (
+        SELECT 'a_naive' AS estimator, naive AS estimate_cents, truth FROM vals
+        UNION ALL SELECT 'b_hajek_ipw', hajek, truth FROM vals
+        UNION ALL SELECT 'c_dr_wrong_model', dr_wrong_model, truth FROM vals
+        UNION ALL SELECT 'd_dr_wrong_weights', dr_wrong_weights, truth FROM vals
+        UNION ALL SELECT 'e_truth', truth, truth FROM vals)
+      ORDER BY estimator
+    """))
+
+  /** Ratio-tree (DuPont) decomposition of revenue per user, first half
+    * vs second half of the data: Δ(R/U) splits exactly into a purchase-
+    * frequency contribution Δf·b₀ and a basket-size contribution f₁·Δb
+    * (chain substitution — the log-free LMDI alternative). The BI
+    * decomposition that answers "did we lose orders or order value?".
+    *
+    * Scale shape: two period-grain aggregates; the algebra runs on one
+    * row. */
+  private val q357 = QueryDef(
+    "q357_ratio_tree_decomposition",
+    (spark, dir) => {
+      val ev = Tables.events(spark, dir)
+        .filter(col("event_type") === "purchase")
+        .select(col("user_id"), (epochS(col("ts")) / 86400L).cast("long").as("day"),
+          cents(col("value")).as("v"))
+      val split = ev.agg(((min(col("day")) + max(col("day"))) / 2).cast("long").as("mid"))
+      val per = ev.crossJoin(broadcast(split))
+        .withColumn("period", when(col("day") <= col("mid"), 0).otherwise(1))
+        .groupBy(col("period"))
+        .agg(countDistinct(col("user_id")).as("u"), count(lit(1)).as("o"),
+          sum(col("v")).as("r"))
+      val wide = per.agg(
+        max(when(col("period") === 0, col("u"))).as("u0"),
+        max(when(col("period") === 0, col("o"))).as("o0"),
+        max(when(col("period") === 0, col("r"))).as("r0"),
+        max(when(col("period") === 1, col("u"))).as("u1"),
+        max(when(col("period") === 1, col("o"))).as("o1"),
+        max(when(col("period") === 1, col("r"))).as("r1"))
+      wide.selectExpr(
+        "CAST(r0 AS DOUBLE)/CAST(u0 AS DOUBLE) AS rpu0",
+        "CAST(r1 AS DOUBLE)/CAST(u1 AS DOUBLE) AS rpu1",
+        "CAST(o0 AS DOUBLE)/CAST(u0 AS DOUBLE) AS f0",
+        "CAST(o1 AS DOUBLE)/CAST(u1 AS DOUBLE) AS f1",
+        "CAST(r0 AS DOUBLE)/CAST(o0 AS DOUBLE) AS b0",
+        "CAST(r1 AS DOUBLE)/CAST(o1 AS DOUBLE) AS b1")
+        .selectExpr("rpu0", "rpu1", "rpu1 - rpu0 AS delta",
+          "(f1 - f0) * b0 AS contrib_frequency",
+          "f1 * (b1 - b0) AS contrib_basket")
+    },
+    Some("""
+      WITH ev AS (
+        SELECT user_id, epoch_ms(ts) // 1000 // 86400 AS day,
+          CAST(floor(value*100 + 0.5) AS BIGINT) AS v
+        FROM events WHERE event_type = 'purchase'),
+      split AS (SELECT (min(day) + max(day)) // 2 AS mid FROM ev),
+      per AS (
+        SELECT CASE WHEN day <= mid THEN 0 ELSE 1 END AS period,
+          CAST(count(DISTINCT user_id) AS BIGINT) AS u,
+          CAST(count(*) AS BIGINT) AS o, CAST(sum(v) AS BIGINT) AS r
+        FROM ev, split GROUP BY period),
+      wide AS (
+        SELECT max(CASE WHEN period = 0 THEN u END) AS u0,
+          max(CASE WHEN period = 0 THEN o END) AS o0,
+          max(CASE WHEN period = 0 THEN r END) AS r0,
+          max(CASE WHEN period = 1 THEN u END) AS u1,
+          max(CASE WHEN period = 1 THEN o END) AS o1,
+          max(CASE WHEN period = 1 THEN r END) AS r1
+        FROM per),
+      ratios AS (
+        SELECT CAST(r0 AS DOUBLE)/CAST(u0 AS DOUBLE) AS rpu0,
+          CAST(r1 AS DOUBLE)/CAST(u1 AS DOUBLE) AS rpu1,
+          CAST(o0 AS DOUBLE)/CAST(u0 AS DOUBLE) AS f0,
+          CAST(o1 AS DOUBLE)/CAST(u1 AS DOUBLE) AS f1,
+          CAST(r0 AS DOUBLE)/CAST(o0 AS DOUBLE) AS b0,
+          CAST(r1 AS DOUBLE)/CAST(o1 AS DOUBLE) AS b1
+        FROM wide)
+      SELECT rpu0, rpu1, rpu1 - rpu0 AS delta,
+        (f1 - f0) * b0 AS contrib_frequency,
+        f1 * (b1 - b0) AS contrib_basket
+      FROM ratios
+    """))
+
+  /** Local clustering coefficient on the co-supply graph (one ship
+    * year): per supplier, 2·triangles/(deg·(deg−1)) in exact ppm — the
+    * node-level version of q95's global triangle count, surfacing the
+    * ten suppliers whose partners most often also partner each other.
+    *
+    * Scale shape: the supplier graph is vocabulary-sized; triangles
+    * come from one wedge join checked against the (broadcastable) edge
+    * list — the same bounded shape as q95. */
+  private val q358 = QueryDef(
+    "q358_local_clustering",
+    (spark, dir) => {
+      val li = Tables.lineitem(spark, dir)
+        .filter(col("l_shipdate") >= "1995-01-01" && col("l_shipdate") < "1996-01-01")
+        .select(col("l_orderkey").as("ok"), col("l_suppkey").as("sk"))
+      val und = li.join(li.withColumnRenamed("sk", "sk2"), Seq("ok"))
+        .filter(col("sk") < col("sk2"))
+        .select(col("sk").as("a"), col("sk2").as("b"))
+        .distinct().persist() // degree pass + two wedge legs
+      val edges = und.unionAll(und.select(col("b").as("a"), col("a").as("b")))
+      val deg = edges.groupBy(col("a").as("node")).agg(count(lit(1)).as("deg"))
+      // wedges centered at v: (v,x),(v,y) with x<y; closed if (x,y) edge
+      val tri = edges.select(col("a").as("v"), col("b").as("x"))
+        .join(edges.select(col("a").as("v"), col("b").as("y")), Seq("v"))
+        .filter(col("x") < col("y"))
+        .join(und.select(col("a").as("x"), col("b").as("y")), Seq("x", "y"), "left_semi")
+        .groupBy(col("v").as("node")).agg(count(lit(1)).as("tri"))
+      deg.join(tri, Seq("node"), "left").na.fill(0L, Seq("tri"))
+        .filter(col("deg") >= 2)
+        .select(col("node"), col("deg"), col("tri"),
+          expr("tri * 2000000 div (deg * (deg - 1))").as("lcc_ppm"))
+        .orderBy(col("lcc_ppm").desc, col("node"))
+        .limit(10)
+    },
+    Some("""
+      WITH li AS (
+        SELECT l_orderkey AS ok, l_suppkey AS sk FROM lineitem
+        WHERE l_shipdate >= TIMESTAMP '1995-01-01'
+          AND l_shipdate < TIMESTAMP '1996-01-01'),
+      und AS (
+        SELECT DISTINCT a.sk AS a, b.sk AS b
+        FROM li a JOIN li b ON a.ok = b.ok AND a.sk < b.sk),
+      edges AS (
+        SELECT a, b FROM und UNION ALL SELECT b, a FROM und),
+      deg AS (SELECT a AS node, CAST(count(*) AS BIGINT) AS deg FROM edges GROUP BY a),
+      tri AS (
+        SELECT v AS node, CAST(count(*) AS BIGINT) AS tri
+        FROM (
+          SELECT e1.a AS v, e1.b AS x, e2.b AS y
+          FROM edges e1 JOIN edges e2 ON e1.a = e2.a AND e1.b < e2.b
+          WHERE EXISTS (SELECT 1 FROM und WHERE und.a = e1.b AND und.b = e2.b))
+        GROUP BY v),
+      lcc AS (
+        SELECT deg.node, deg, coalesce(tri, 0) AS tri
+        FROM deg LEFT JOIN tri ON deg.node = tri.node
+        WHERE deg >= 2)
+      SELECT node, deg, tri,
+        CAST(tri * 2000000 // (deg * (deg - 1)) AS BIGINT) AS lcc_ppm
+      FROM lcc ORDER BY lcc_ppm DESC, node LIMIT 10
+    """))
+
   override def defs: Seq[QueryDef] =
     Seq(q319, q320, q321, q322, q323, q324, q325, q326, q327, q328,
       q329, q330, q331, q332, q333, q334, q335, q336, q337, q338,
       q339, q340, q341, q342, q343, q344, q345, q346, q347, q348,
-      q349, q350, q351, q352, q353, q354, q355)
+      q349, q350, q351, q352, q353, q354, q355, q356, q357, q358)
 }

@@ -508,6 +508,45 @@ class OlapOpsSpec extends SparkSpec {
     assert(scores.forall(s => s >= 0 && s <= 1000000L))
   }
 
+  // ---------------------------------------------------------------- q356
+
+  test("doubly-robust survives either misspecification; naive does not") {
+    val rows = run("q356_doubly_robust", sfMid).collect()
+      .map(r => r.getAs[String]("estimator") -> r.getAs[Long]("err_ppm")).toMap
+    assert(rows("e_truth") == 0L)
+    // with a 4x oversample the naive mean is visibly biased while the
+    // corrected estimators stay near truth
+    assert(rows("b_hajek_ipw") < rows("a_naive"))
+    assert(rows("c_dr_wrong_model") < rows("a_naive"))
+    assert(rows("d_dr_wrong_weights") < rows("a_naive"))
+  }
+
+  // ---------------------------------------------------------------- q357
+
+  test("ratio decomposition: contributions reconstruct the delta exactly") {
+    val r = run("q357_ratio_tree_decomposition", sfMid).collect().head
+    val delta = r.getAs[Double]("delta")
+    val sum = r.getAs[Double]("contrib_frequency") + r.getAs[Double]("contrib_basket")
+    // chain substitution is an exact identity up to float rounding
+    assert(math.abs(delta - sum) < math.abs(delta) * 1e-9 + 1e-6,
+      s"delta $delta vs contributions $sum")
+  }
+
+  // ---------------------------------------------------------------- q358
+
+  test("local clustering coefficients are valid ppm with consistent triangles") {
+    val rows = run("q358_local_clustering", sfMid).collect()
+    assert(rows.nonEmpty)
+    for (r <- rows) {
+      val (deg, tri, lcc) = (r.getAs[Long]("deg"), r.getAs[Long]("tri"),
+        r.getAs[Long]("lcc_ppm"))
+      assert(deg >= 2)
+      assert(tri <= deg * (deg - 1) / 2, s"node ${r.getAs[Long]("node")}")
+      assert(lcc >= 0 && lcc <= 1000000L)
+      assert(lcc == tri * 2000000L / (deg * (deg - 1)))
+    }
+  }
+
   // ---------------------------------------------------------------- q339
 
   test("chi-square residuals cover all cells and are mean-centered-ish") {
