@@ -36,7 +36,8 @@ object SparkEntry {
     DriftQueries,
     PlanningQueries,
     ModelQueries,
-    OlapQueries)
+    OlapQueries,
+    TpchQueries)
 
   private lazy val all: Seq[QueryDef] = groups.flatMap(_.defs)
 
