@@ -539,6 +539,146 @@ object TpchQueries extends QueryGroup {
       WHERE qty * 5 * n < sum_qty
     """))
 
+  // ---------------------------------------------------------------- q369
+
+  /** TPC-H Q18's shape (large-volume orders): orders whose total line
+    * quantity exceeds 250 units, with the buying customer — the
+    * HAVING-on-sum semi-join against a detail aggregate.
+    *
+    * Scale shape: the quantity HAVING runs as ONE orderkey-keyed agg
+    * (map-side partial combine shrinks 7 lines/order before the
+    * shuffle); the surviving ~0.3% of orders then join orders/customer.
+    * TakeOrderedAndProject caps the result at 100. */
+  private val q369 = QueryDef(
+    "q369_tpch_q18_large_orders",
+    (spark, dir) => {
+      val big = Tables.lineitem(spark, dir)
+        .select(col("l_orderkey"), qtyL.as("qty"))
+        .groupBy(col("l_orderkey"))
+        .agg(sum(col("qty")).as("sum_qty"))
+        .filter(col("sum_qty") > 250L)
+      big
+        .join(Tables.orders(spark, dir)
+          .select(col("o_orderkey"), col("o_custkey"),
+            epochS(col("o_orderdate")).as("od_s"), cents(col("o_totalprice")).as("price_c")),
+          col("l_orderkey") === col("o_orderkey"))
+        .join(Tables.customer(spark, dir).select(col("c_custkey"), col("c_name")),
+          col("o_custkey") === col("c_custkey"))
+        .select(col("c_name"), col("c_custkey"), col("o_orderkey"),
+          col("od_s"), col("price_c"), col("sum_qty"))
+        .orderBy(col("price_c").desc, col("o_orderkey"))
+        .limit(100)
+    },
+    Some("""
+      SELECT c_name, c_custkey, o_orderkey,
+        epoch_ms(o_orderdate) // 1000 AS od_s,
+        CAST(floor(o_totalprice*100 + 0.5) AS BIGINT) AS price_c, sum_qty
+      FROM (
+        SELECT l_orderkey, sum(CAST(floor(l_quantity + 0.5) AS BIGINT)) AS sum_qty
+        FROM lineitem GROUP BY 1 HAVING sum_qty > 250)
+      JOIN orders ON l_orderkey = o_orderkey
+      JOIN customer ON o_custkey = c_custkey
+      ORDER BY price_c DESC, o_orderkey
+      LIMIT 100
+    """))
+
+  // ---------------------------------------------------------------- q370
+
+  /** TPC-H Q19's shape (discounted revenue under disjunctive
+    * brand/size/quantity predicates): three conjunctive blocks OR'd
+    * together — the classic test that an engine keeps an OR-of-ANDs in
+    * ONE scan instead of three passes, and pushes the part predicates
+    * into the broadcast build side.
+    *
+    * Scale shape: part's (key, brand, size) projection broadcasts; the
+    * disjunction evaluates codegen'd post-join; one conditional
+    * aggregate row out. */
+  private val q370 = QueryDef(
+    "q370_tpch_q19_disjunct_revenue",
+    (spark, dir) => {
+      val p = Tables.part(spark, dir)
+        .filter(col("p_brand").isin("Brand#1", "Brand#2", "Brand#3"))
+        .select(col("p_partkey"), col("p_brand"), col("p_size"))
+      Tables.lineitem(spark, dir)
+        .select(col("l_partkey"), qtyL.as("qty"),
+          revE4("l_extendedprice", "l_discount").as("rev_e4"))
+        .join(broadcast(p), col("l_partkey") === col("p_partkey"))
+        .filter(
+          (col("p_brand") === "Brand#1" && col("p_size").between(1, 10) &&
+            col("qty").between(1L, 15L)) ||
+            (col("p_brand") === "Brand#2" && col("p_size").between(11, 25) &&
+              col("qty").between(10L, 25L)) ||
+            (col("p_brand") === "Brand#3" && col("p_size").between(26, 50) &&
+              col("qty").between(20L, 35L)))
+        .agg(count(lit(1)).as("n_lines"),
+          (sum(col("rev_e4")).cast("double") / lit(10000d)).as("revenue"))
+    },
+    Some(s"""
+      SELECT CAST(count(*) AS BIGINT) AS n_lines,
+        CAST(sum($revE4Sql) AS DOUBLE)/10000 AS revenue
+      FROM lineitem JOIN part ON l_partkey = p_partkey
+      WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 10
+             AND CAST(floor(l_quantity + 0.5) AS BIGINT) BETWEEN 1 AND 15)
+         OR (p_brand = 'Brand#2' AND p_size BETWEEN 11 AND 25
+             AND CAST(floor(l_quantity + 0.5) AS BIGINT) BETWEEN 10 AND 25)
+         OR (p_brand = 'Brand#3' AND p_size BETWEEN 26 AND 50
+             AND CAST(floor(l_quantity + 0.5) AS BIGINT) BETWEEN 20 AND 35)
+    """))
+
+  // ---------------------------------------------------------------- q371
+
+  /** TPC-H Q20's shape (dominant suppliers): suppliers who, for some
+    * 'bolt' part, shipped MORE THAN HALF of that part's total 1997
+    * quantity — the nested-aggregate EXISTS chain (partsupp availqty vs
+    * half the shipped total in the original), flattened into
+    * per-(part, supplier) vs per-part aggregates with an exact
+    * 2·q > total comparison, then a distinct-supplier projection.
+    *
+    * Scale shape: the part-name filter broadcasts into the fact scan;
+    * both aggregates key on l_partkey (the second reuses the first's
+    * partitioning — no extra wide shuffle); dominance is an equi
+    * join-back, and the final distinct runs over an already
+    * supplier-sized set. */
+  private val q371 = QueryDef(
+    "q371_tpch_q20_dominant_suppliers",
+    (spark, dir) => {
+      val bolts = Tables.part(spark, dir)
+        .filter(col("p_name").contains("bolt")).select(col("p_partkey"))
+      val ps = Tables.lineitem(spark, dir)
+        .filter(col("l_shipdate") >= "1997-01-01" && col("l_shipdate") < "1998-01-01")
+        .join(broadcast(bolts), col("l_partkey") === col("p_partkey"))
+        .select(col("l_partkey"), col("l_suppkey"), qtyL.as("qty"))
+        .groupBy(col("l_partkey"), col("l_suppkey"))
+        .agg(sum(col("qty")).as("ps_qty"))
+      val tot = ps.groupBy(col("l_partkey").as("tp"))
+        .agg(sum(col("ps_qty")).as("total_qty"))
+      ps.join(tot, col("l_partkey") === col("tp"))
+        .filter(col("ps_qty") * lit(2L) > col("total_qty"))
+        .select(col("l_suppkey")).distinct()
+        .join(broadcast(Tables.supplier(spark, dir).select(col("s_suppkey"), col("s_name"))),
+          col("l_suppkey") === col("s_suppkey"))
+        .select(col("s_suppkey"), col("s_name"))
+        .orderBy(col("s_suppkey"))
+    },
+    Some("""
+      WITH ps AS (
+        SELECT l_partkey, l_suppkey,
+          sum(CAST(floor(l_quantity + 0.5) AS BIGINT)) AS ps_qty
+        FROM lineitem JOIN part ON l_partkey = p_partkey
+        WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+          AND l_shipdate < TIMESTAMP '1998-01-01'
+          AND p_name LIKE '%bolt%'
+        GROUP BY 1, 2),
+      tot AS (SELECT l_partkey AS tp, sum(ps_qty) AS total_qty FROM ps GROUP BY 1)
+      SELECT DISTINCT s_suppkey, s_name
+      FROM ps
+      JOIN tot ON l_partkey = tp
+      JOIN supplier ON l_suppkey = s_suppkey
+      WHERE ps_qty * 2 > total_qty
+      ORDER BY s_suppkey
+    """))
+
   override def defs: Seq[QueryDef] =
-    Seq(q359, q360, q361, q362, q363, q364, q365, q366, q367, q368)
+    Seq(q359, q360, q361, q362, q363, q364, q365, q366, q367, q368,
+      q369, q370, q371)
 }

@@ -78,4 +78,46 @@ class TpchOpsSpec extends SparkSpec {
     assert(revs == revs.sorted.reverse)
     assert(revs.forall(_ > 0d), "returned lines always carry positive revenue")
   }
+
+  // ---------------------------------------------------------------- q369
+
+  test("q18 shape: every large order's quantity clears the HAVING bar") {
+    val rows = run("q369_tpch_q18_large_orders").collect()
+    assert(rows.nonEmpty && rows.length <= 100)
+    assert(rows.forall(_.getAs[Long]("sum_qty") > 250L))
+    val prices = rows.map(_.getAs[Long]("price_c")).toSeq
+    assert(prices == prices.sorted.reverse)
+  }
+
+  // ---------------------------------------------------------------- q370
+
+  test("q19 shape: disjunctive revenue is a subset of the brands' total") {
+    import org.apache.spark.sql.functions._
+    val r = run("q370_tpch_q19_disjunct_revenue").collect().head
+    val n = r.getAs[Long]("n_lines")
+    assert(n > 0)
+    // every counted line belongs to one of the three brands
+    val brandLines = Tables.lineitem(spark, sfMid)
+      .join(Tables.part(spark, sfMid)
+        .filter(col("p_brand").isin("Brand#1", "Brand#2", "Brand#3")),
+        col("l_partkey") === col("p_partkey"))
+      .count()
+    assert(n <= brandLines)
+    assert(r.getAs[Double]("revenue") > 0d)
+  }
+
+  // ---------------------------------------------------------------- q371
+
+  test("q20 shape: dominance is exclusive — at most one dominant supplier per part") {
+    import org.apache.spark.sql.functions._
+    val rows = run("q371_tpch_q20_dominant_suppliers").collect()
+    assert(rows.nonEmpty)
+    val keys = rows.map(_.getAs[Long]("s_suppkey")).toSeq
+    assert(keys == keys.sorted && keys.distinct.length == keys.length)
+    // 2·q > total admits at most one supplier per part, so the supplier
+    // count is bounded by the number of qualifying bolt parts
+    val boltParts = Tables.part(spark, sfMid)
+      .filter(col("p_name").contains("bolt")).count()
+    assert(rows.length <= boltParts)
+  }
 }
