@@ -37,7 +37,8 @@ object SparkEntry {
     PlanningQueries,
     ModelQueries,
     OlapQueries,
-    TpchQueries)
+    TpchQueries,
+    EvalQueries)
 
   private lazy val all: Seq[QueryDef] = groups.flatMap(_.defs)
 

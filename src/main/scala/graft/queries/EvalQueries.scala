@@ -1,0 +1,395 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** Round-4 layout/eval/attribution operators: run-length-encoding layout
+  * planning, graded-relevance retrieval evaluation, and Markov
+  * removal-effect attribution — the storage-, search-, and
+  * marketing-science corners of a training-data platform.
+  *
+  * Everything is integer-exact (scaled rationals, floor division) so the
+  * DuckDB hash compare is byte-identical; see Deterministic.
+  */
+object EvalQueries extends QueryGroup {
+
+  // ---------------------------------------------------------------- q372
+
+  /** Run-length-encoding layout plan: for two candidate lineitem columns
+    * (low-cardinality l_returnflag, high-cardinality l_suppkey), the
+    * exact number of RLE runs the column would produce in primary-key
+    * order (l_orderkey, l_linenumber), its distinct-value floor (= runs
+    * if the table were re-sorted by that column), and the RLE
+    * compression ratio in percent — the evidence for choosing a sort
+    * key before a big parquet rewrite.
+    *
+    * Scale shape: a global adjacency scan is NOT one giant window — rows
+    * bucket by `l_orderkey div 64` and adjacency is counted with a
+    * window WITHIN each bucket (64-order slices, embarrassingly
+    * parallel), plus one boundary pass over the bucket-summary table
+    * (first/last row per bucket via asc/desc row_number under the full
+    * layout order);
+    * the summary is ~450× smaller than the fact, and the construction
+    * recurses if even that is too big. Both adjacency counts and the
+    * distinct floors come out of ONE scan each. */
+  private val q372 = QueryDef(
+    "q372_rle_layout_plan",
+    (spark, dir) => {
+      // Layout order: (orderkey, linenumber, suppkey, price-cents,
+      // returnflag). (orderkey, linenumber) is NOT unique in this data,
+      // so both measured columns ride at the end of the sort key — any
+      // remaining tie is between rows equal in BOTH measured columns,
+      // making the run counts independent of how an engine breaks it.
+      val li = Tables.lineitem(spark, dir)
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_returnflag"),
+          col("l_suppkey"),
+          graft.functions.Deterministic.cents(col("l_extendedprice")).as("price_c"))
+        .withColumn("bkt", expr("l_orderkey div 64"))
+      val ord = Seq(col("l_orderkey"), col("l_linenumber"), col("l_suppkey"),
+        col("price_c"), col("l_returnflag"))
+      val w = Window.partitionBy(col("bkt")).orderBy(ord: _*)
+      val wAsc = Window.partitionBy(col("bkt")).orderBy(ord: _*)
+      val wDesc = Window.partitionBy(col("bkt")).orderBy(ord.map(_.desc): _*)
+      val within = li
+        .withColumn("p_rf", lag(col("l_returnflag"), 1).over(w))
+        .withColumn("p_sk", lag(col("l_suppkey"), 1).over(w))
+        .agg(
+          count(lit(1)).as("n_rows"),
+          sum(when(col("p_rf").isNotNull && col("p_rf") =!= col("l_returnflag"), 1L)
+            .otherwise(0L)).as("rf_chg_w"),
+          sum(when(col("p_sk").isNotNull && col("p_sk") =!= col("l_suppkey"), 1L)
+            .otherwise(0L)).as("sk_chg_w"),
+          countDistinct(col("l_returnflag")).as("rf_distinct"),
+          countDistinct(col("l_suppkey")).as("sk_distinct"))
+      val bounds = li
+        .withColumn("rn_a", row_number().over(wAsc))
+        .withColumn("rn_d", row_number().over(wDesc))
+        .filter(col("rn_a") === 1 || col("rn_d") === 1)
+        .groupBy(col("bkt"))
+        .agg(max(when(col("rn_a") === 1, col("l_returnflag"))).as("first_rf"),
+          max(when(col("rn_d") === 1, col("l_returnflag"))).as("last_rf"),
+          max(when(col("rn_a") === 1, col("l_suppkey"))).as("first_sk"),
+          max(when(col("rn_d") === 1, col("l_suppkey"))).as("last_sk"))
+      val wb = Window.orderBy(col("bkt"))
+      val boundary = bounds
+        .withColumn("p_rf", lag(col("last_rf"), 1).over(wb))
+        .withColumn("p_sk", lag(col("last_sk"), 1).over(wb))
+        .agg(
+          sum(when(col("p_rf").isNotNull && col("p_rf") =!= col("first_rf"), 1L)
+            .otherwise(0L)).as("rf_chg_b"),
+          sum(when(col("p_sk").isNotNull && col("p_sk") =!= col("first_sk"), 1L)
+            .otherwise(0L)).as("sk_chg_b"))
+      val one = within.crossJoin(broadcast(boundary))
+        .select(col("n_rows"),
+          (col("rf_chg_w") + col("rf_chg_b") + lit(1L)).as("rf_runs"),
+          (col("sk_chg_w") + col("sk_chg_b") + lit(1L)).as("sk_runs"),
+          col("rf_distinct"), col("sk_distinct"))
+      one.select(lit("l_returnflag").as("column_name"), col("n_rows"),
+          col("rf_runs").as("n_runs"), col("rf_distinct").as("n_distinct"),
+          expr("n_rows * 100 div rf_runs").as("rle_ratio_pct"))
+        .union(one.select(lit("l_suppkey").as("column_name"), col("n_rows"),
+          col("sk_runs").as("n_runs"), col("sk_distinct").as("n_distinct"),
+          expr("n_rows * 100 div sk_runs").as("rle_ratio_pct")))
+        .orderBy(col("column_name"))
+    },
+    Some("""
+      WITH li AS (
+        SELECT l_orderkey // 64 AS bkt, l_orderkey, l_linenumber,
+          l_returnflag, l_suppkey,
+          CAST(floor(l_extendedprice*100 + 0.5) AS BIGINT) AS price_c
+        FROM lineitem),
+      adj AS (
+        SELECT l_returnflag, l_suppkey,
+          lag(l_returnflag) OVER wa AS p_rf,
+          lag(l_suppkey) OVER wa AS p_sk
+        FROM li
+        WINDOW wa AS (PARTITION BY bkt
+          ORDER BY l_orderkey, l_linenumber, l_suppkey, price_c, l_returnflag)),
+      w AS (
+        SELECT CAST(count(*) AS BIGINT) AS n_rows,
+          CAST(count(*) FILTER (p_rf IS NOT NULL AND p_rf <> l_returnflag) AS BIGINT) AS rf_chg_w,
+          CAST(count(*) FILTER (p_sk IS NOT NULL AND p_sk <> l_suppkey) AS BIGINT) AS sk_chg_w,
+          CAST(count(DISTINCT l_returnflag) AS BIGINT) AS rf_distinct,
+          CAST(count(DISTINCT l_suppkey) AS BIGINT) AS sk_distinct
+        FROM adj),
+      rns AS (
+        SELECT bkt, l_returnflag, l_suppkey,
+          row_number() OVER (PARTITION BY bkt
+            ORDER BY l_orderkey, l_linenumber, l_suppkey, price_c, l_returnflag) AS rn_a,
+          row_number() OVER (PARTITION BY bkt
+            ORDER BY l_orderkey DESC, l_linenumber DESC, l_suppkey DESC,
+              price_c DESC, l_returnflag DESC) AS rn_d
+        FROM li),
+      bounds AS (
+        SELECT bkt,
+          max(CASE WHEN rn_a = 1 THEN l_returnflag END) AS first_rf,
+          max(CASE WHEN rn_d = 1 THEN l_returnflag END) AS last_rf,
+          max(CASE WHEN rn_a = 1 THEN l_suppkey END) AS first_sk,
+          max(CASE WHEN rn_d = 1 THEN l_suppkey END) AS last_sk
+        FROM rns WHERE rn_a = 1 OR rn_d = 1 GROUP BY bkt),
+      badj AS (
+        SELECT first_rf, first_sk,
+          lag(last_rf) OVER (ORDER BY bkt) AS p_rf,
+          lag(last_sk) OVER (ORDER BY bkt) AS p_sk
+        FROM bounds),
+      b AS (
+        SELECT
+          CAST(count(*) FILTER (p_rf IS NOT NULL AND p_rf <> first_rf) AS BIGINT) AS rf_chg_b,
+          CAST(count(*) FILTER (p_sk IS NOT NULL AND p_sk <> first_sk) AS BIGINT) AS sk_chg_b
+        FROM badj),
+      one AS (
+        SELECT n_rows, rf_chg_w + rf_chg_b + 1 AS rf_runs,
+          sk_chg_w + sk_chg_b + 1 AS sk_runs, rf_distinct, sk_distinct
+        FROM w CROSS JOIN b)
+      SELECT 'l_returnflag' AS column_name, n_rows, rf_runs AS n_runs,
+        rf_distinct AS n_distinct, n_rows * 100 // rf_runs AS rle_ratio_pct
+      FROM one
+      UNION ALL
+      SELECT 'l_suppkey', n_rows, sk_runs, sk_distinct, n_rows * 100 // sk_runs
+      FROM one
+      ORDER BY column_name
+    """))
+
+  // ---------------------------------------------------------------- q373
+
+  /** Graded-relevance retrieval evaluation: DCG@10 with HARMONIC
+    * discount (gain/rank instead of gain/log₂(rank+1) — scaled by
+    * LCM(1..10) = 2520 it stays in exact integers, where the log form
+    * would hash-diverge between engines). Queries are a ~2% hash sample
+    * of the embedding table; a candidate is relevant iff it shares the
+    * query's label; ndcg_ppm normalizes by the ideal DCG for the
+    * query's actual relevant-candidate count.
+    *
+    * Scale shape: q235's eval harness — broadcast quantized query
+    * vectors, codegen'd integer dot products on one corpus scan, ONE
+    * window partitioned per query for both the rank and the
+    * relevant-count (same partitioning, no extra shuffle). Eval cost is
+    * sample × corpus; the sample rate is the dial. */
+  private val q373 = QueryDef(
+    "q373_dcg_retrieval_eval",
+    (spark, dir) => {
+      // Σ_{r=1..m} 2520 div r, m = min(10, n_rel): the ideal DCG lookup
+      val idealCase =
+        """CASE WHEN m >= 10 THEN 7381 WHEN m = 9 THEN 7129 WHEN m = 8 THEN 6849
+                WHEN m = 7 THEN 6534 WHEN m = 6 THEN 6174 WHEN m = 5 THEN 5754
+                WHEN m = 4 THEN 5250 WHEN m = 3 THEN 4620 WHEN m = 2 THEN 3780
+                WHEN m = 1 THEN 2520 ELSE 0 END"""
+      val vecs = Tables.embeddings(spark, dir)
+        .select(col("vec_id"), col("label").cast("long").as("label"),
+          expr("transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 512 + 0.5) AS BIGINT))")
+            .as("qv"))
+        .withColumn("nsq", expr("aggregate(qv, 0L, (a, x) -> a + x * x)"))
+        .filter(col("nsq") > 0L)
+      val queries = vecs
+        .filter(graft.operators.Sampling.keyHash(col("vec_id")) % 10000L < 200L)
+        .select(col("vec_id").as("q_id"), col("label").as("q_label"),
+          col("qv").as("q_qv"), col("nsq").as("q_nsq"))
+      val byQ = Window.partitionBy(col("q_id"))
+        .orderBy(col("cosine").desc, col("vec_id"))
+      val allQ = Window.partitionBy(col("q_id"))
+      vecs.join(broadcast(queries), col("vec_id") =!= col("q_id"))
+        .withColumn("dot",
+          expr("aggregate(zip_with(qv, q_qv, (a, b) -> a * b), 0L, (a, x) -> a + x)"))
+        .withColumn("cosine", col("dot").cast("double") /
+          sqrt(col("nsq").cast("double") * col("q_nsq").cast("double")))
+        .withColumn("rel", when(col("label") === col("q_label"), 1L).otherwise(0L))
+        .withColumn("n_rel", sum(col("rel")).over(allQ))
+        .withColumn("rk", row_number().over(byQ).cast("long"))
+        .filter(col("rk") <= 10L)
+        .groupBy(col("q_id"), col("q_label"), col("n_rel"))
+        .agg(sum(when(col("rel") === 1L, expr("2520 DIV rk")).otherwise(0L))
+          .as("dcg_mu"))
+        .withColumn("m", least(col("n_rel"), lit(10L)))
+        .select(col("q_id"), col("q_label"), col("n_rel"), col("dcg_mu"),
+          expr(s"CASE WHEN ($idealCase) = 0 THEN 0 " +
+            s"ELSE dcg_mu * 1000000 DIV ($idealCase) END").as("ndcg_ppm"))
+        .orderBy(col("q_id"))
+    },
+    Some("""
+      WITH v AS (
+        SELECT vec_id, CAST(label AS BIGINT) AS label,
+          list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 512 + 0.5) AS BIGINT)) AS qv
+        FROM embeddings),
+      n AS (
+        SELECT vec_id, label, qv,
+          CAST(list_sum(list_transform(qv, x -> x * x)) AS BIGINT) AS nsq
+        FROM v),
+      nn AS (SELECT * FROM n WHERE nsq > 0),
+      q AS (
+        SELECT vec_id AS q_id, label AS q_label, qv AS q_qv, nsq AS q_nsq
+        FROM nn
+        WHERE ((vec_id % 2147483648) * 2654435761) % 4294967296 % 10000 < 200),
+      scored AS (
+        SELECT nn.vec_id, q_id, q_label,
+          CASE WHEN nn.label = q_label THEN 1 ELSE 0 END AS rel,
+          CAST(CAST(list_sum(list_transform(range(1, len(qv)+1), i -> qv[i]*q_qv[i])) AS BIGINT) AS DOUBLE)
+            / sqrt(CAST(nsq AS DOUBLE)*CAST(q_nsq AS DOUBLE)) AS cosine
+        FROM nn CROSS JOIN q WHERE nn.vec_id <> q_id),
+      ranked AS (
+        SELECT q_id, q_label, rel,
+          CAST(sum(rel) OVER (PARTITION BY q_id) AS BIGINT) AS n_rel,
+          CAST(row_number() OVER (PARTITION BY q_id ORDER BY cosine DESC, vec_id) AS BIGINT) AS rk
+        FROM scored),
+      dcg AS (
+        SELECT q_id, q_label, n_rel,
+          sum(CASE WHEN rel = 1 THEN 2520 // rk ELSE CAST(0 AS BIGINT) END) AS dcg_mu,
+          least(n_rel, 10) AS m
+        FROM ranked WHERE rk <= 10
+        GROUP BY q_id, q_label, n_rel)
+      SELECT q_id, q_label, n_rel, dcg_mu,
+        CASE WHEN (CASE WHEN m >= 10 THEN 7381 WHEN m = 9 THEN 7129 WHEN m = 8 THEN 6849
+                        WHEN m = 7 THEN 6534 WHEN m = 6 THEN 6174 WHEN m = 5 THEN 5754
+                        WHEN m = 4 THEN 5250 WHEN m = 3 THEN 4620 WHEN m = 2 THEN 3780
+                        WHEN m = 1 THEN 2520 ELSE 0 END) = 0 THEN CAST(0 AS BIGINT)
+             ELSE dcg_mu * 1000000 // (CASE WHEN m >= 10 THEN 7381 WHEN m = 9 THEN 7129
+                        WHEN m = 8 THEN 6849 WHEN m = 7 THEN 6534 WHEN m = 6 THEN 6174
+                        WHEN m = 5 THEN 5754 WHEN m = 4 THEN 5250 WHEN m = 3 THEN 4620
+                        WHEN m = 2 THEN 3780 WHEN m = 1 THEN 2520 ELSE 0 END) END AS ndcg_ppm
+      FROM dcg
+      ORDER BY q_id
+    """))
+
+  // ---------------------------------------------------------------- q374
+
+  /** Markov removal-effect attribution: build the first-order
+    * click-stream chain over event types (consecutive events per user,
+    * purchase absorbing, journey start as a synthetic START state), then
+    * for each non-absorbing channel ask "what fraction of conversions
+    * disappears if this channel vanishes?" — conversion probability from
+    * START under 8 power steps, computed on the base chain and on each
+    * channel-removed chain, all in exact ppm integers.
+    *
+    * Scale shape: the transition table is vocabulary-sized (≤ 7×7
+    * states) but its BUILD scans the events table — so it is
+    * localCheckpoint'ed once and the 8-step unrolled iteration (one
+    * join + one keyed agg per step, PageRank's dataflow) runs over tiny
+    * keyed tables for all 5 chain variants AT ONCE (variant is just
+    * another key — removing a channel is a filter, not a new job).
+    * Nothing driver-side, nothing quadratic; the events scan happens
+    * exactly once. */
+  private val q374 = QueryDef(
+    "q374_markov_removal_attribution",
+    (spark, dir) => {
+      val ev = Tables.events(spark, dir)
+        .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+      val wU = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      // consecutive pairs; purchase absorbs (no outgoing edge); the
+      // journey start contributes a START → first-event edge
+      val nxt = ev
+        .withColumn("nxt", lead(col("event_type"), 1).over(wU))
+        .withColumn("rk", row_number().over(wU))
+      val steps = nxt
+        .filter(col("nxt").isNotNull && col("event_type") =!= "purchase")
+        .select(col("event_type").as("src"), col("nxt").as("dst"))
+        .union(nxt.filter(col("rk") === 1)
+          .select(lit("START").as("src"), col("event_type").as("dst")))
+      val counts = steps.groupBy(col("src"), col("dst")).agg(count(lit(1)).as("n"))
+      val outs = counts.groupBy(col("src")).agg(sum(col("n")).as("tot"))
+      // materialize the transition table ONCE (it embeds the events
+      // scan and appears in all 8 unrolled iterations × 5 variants)
+      val baseT = counts.join(outs, Seq("src"))
+        .select(col("src"), col("dst"), expr("n * 1000000 div tot").as("t_ppm"))
+        .localCheckpoint(true)
+      // 5 variants keyed by the removed channel ('none' = base chain);
+      // removal drops every edge touching the channel — a filter over
+      // the checkpointed table, not a new scan
+      val variants = Seq("none", "click", "view", "signup", "error")
+      val trans = variants.map { rm =>
+        val t = if (rm == "none") baseT
+        else baseT.filter(col("src") =!= rm && col("dst") =!= rm)
+        t.withColumn("variant", lit(rm))
+      }.reduce(_ union _)
+      val states = Seq("START", "click", "view", "signup", "error")
+      val init = {
+        import spark.implicits._
+        variants.flatMap(v => states.map(s => (v, s)))
+          .toDF("variant", "state")
+          .withColumn("v_ppm", lit(0L))
+      }
+      var vec: DataFrame = init
+      for (_ <- 1 to 8) {
+        // v'(s) = Σ_t T(s→t)·v(t) div 1e6, plus the absorbed mass of a
+        // direct purchase edge (v(purchase) ≡ 1e6 ⇒ T(s→purchase) itself)
+        vec = trans
+          .join(vec.select(col("variant"), col("state").as("dst"), col("v_ppm")),
+            Seq("variant", "dst"), "left")
+          .select(col("variant"), col("src"),
+            (col("t_ppm") * when(col("dst") === "purchase", lit(1000000L))
+              .otherwise(coalesce(col("v_ppm"), lit(0L)))).as("m"))
+          .groupBy(col("variant"), col("src").as("state"))
+          .agg(expr("sum(m) div 1000000").as("v_ppm"))
+          .join(init.select(col("variant"), col("state")), Seq("variant", "state"), "right")
+          .na.fill(0L, Seq("v_ppm"))
+      }
+      val conv = vec.filter(col("state") === "START")
+        .select(col("variant"), col("v_ppm").as("conv_ppm"))
+      val base = conv.filter(col("variant") === "none")
+        .select(col("conv_ppm").as("base_ppm"))
+      conv.crossJoin(broadcast(base))
+        .select(col("variant").as("removed_channel"), col("conv_ppm"),
+          expr("CASE WHEN base_ppm = 0 THEN 0 " +
+            "ELSE (base_ppm - conv_ppm) * 1000000 div base_ppm END")
+            .as("removal_effect_ppm"))
+        .orderBy(col("removed_channel"))
+    },
+    Some {
+      val states = Seq("START", "click", "view", "signup", "error")
+      val statesSql = states.map(s => s"('$s')").mkString(", ")
+      // unrolled fixed-point: v0 = 0 everywhere; each step joins the
+      // transition CTE with the previous vector (chained CTEs — DuckDB
+      // recursive CTEs can't aggregate over the recursive reference)
+      val stepCtes = (1 to 8).map { i =>
+        val prev = if (i == 1) "v0" else s"v${i - 1}"
+        s"""v$i AS (
+          SELECT t.variant, t.src AS state,
+            sum(t.t_ppm * (CASE WHEN t.dst = 'purchase' THEN 1000000
+                                ELSE coalesce(p.v_ppm, 0) END)) // 1000000 AS v_ppm
+          FROM trans t
+          LEFT JOIN $prev p ON p.variant = t.variant AND p.state = t.dst
+          GROUP BY 1, 2)"""
+      }.mkString(",\n")
+      s"""
+      WITH ev AS (
+        SELECT user_id, event_type,
+          lead(event_type) OVER w AS nxt,
+          row_number() OVER w AS rk
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+      steps AS (
+        SELECT event_type AS src, nxt AS dst FROM ev
+        WHERE nxt IS NOT NULL AND event_type <> 'purchase'
+        UNION ALL
+        SELECT 'START', event_type FROM ev WHERE rk = 1),
+      counts AS (SELECT src, dst, CAST(count(*) AS BIGINT) AS n FROM steps GROUP BY 1, 2),
+      outs AS (SELECT src, sum(n) AS tot FROM counts GROUP BY 1),
+      base_t AS (
+        SELECT counts.src, dst, n * 1000000 // tot AS t_ppm
+        FROM counts JOIN outs ON counts.src = outs.src),
+      variants(variant) AS (VALUES ('none'), ('click'), ('view'), ('signup'), ('error')),
+      trans AS (
+        SELECT variant, src, dst, t_ppm FROM variants CROSS JOIN base_t
+        WHERE variant = 'none' OR (src <> variant AND dst <> variant)),
+      states(state) AS (VALUES $statesSql),
+      v0 AS (
+        SELECT variant, state, CAST(0 AS BIGINT) AS v_ppm
+        FROM variants CROSS JOIN states),
+      $stepCtes,
+      conv AS (
+        SELECT variant, coalesce(v_ppm, 0) AS conv_ppm
+        FROM variants
+        LEFT JOIN v8 USING (variant)
+        WHERE v8.state = 'START' OR v8.state IS NULL),
+      base AS (SELECT conv_ppm AS base_ppm FROM conv WHERE variant = 'none')
+      SELECT variant AS removed_channel, conv_ppm,
+        CASE WHEN base_ppm = 0 THEN CAST(0 AS BIGINT)
+             ELSE (base_ppm - conv_ppm) * 1000000 // base_ppm END AS removal_effect_ppm
+      FROM conv CROSS JOIN base
+      ORDER BY removed_channel
+      """
+    })
+
+  override def defs: Seq[QueryDef] = Seq(q372, q373, q374)
+}

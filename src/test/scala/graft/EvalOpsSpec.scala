@@ -1,0 +1,81 @@
+package graft
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Semantics of the layout/eval/attribution operators (q372–q374) beyond
+  * the oracle gate: the two-level RLE decomposition against a one-window
+  * reference, DCG bounds, and removal-effect direction. */
+class EvalOpsSpec extends SparkSpec {
+
+  private val sfMid = "/root/testdata/sf0.01"
+
+  private def run(name: String) = SparkEntry.queries(name)(spark, sfMid)
+
+  // ---------------------------------------------------------------- q372
+
+  test("rle plan: bucketed adjacency == single global window (decomposition is exact)") {
+    val rows = run("q372_rle_layout_plan").collect()
+      .map(r => r.getAs[String]("column_name") -> r.getAs[Long]("n_runs")).toMap
+    // reference: ONE global window (fine at test scale, the thing the
+    // bucketed form avoids at 100 TB)
+    val li = Tables.lineitem(spark, sfMid)
+      .select(col("l_orderkey"), col("l_linenumber"), col("l_returnflag"),
+        col("l_suppkey"),
+        graft.functions.Deterministic.cents(col("l_extendedprice")).as("price_c"))
+    val g = Window.orderBy(col("l_orderkey"), col("l_linenumber"),
+      col("l_suppkey"), col("price_c"), col("l_returnflag"))
+    val truth = li
+      .withColumn("p_rf", lag(col("l_returnflag"), 1).over(g))
+      .withColumn("p_sk", lag(col("l_suppkey"), 1).over(g))
+      .agg(
+        (sum(when(col("p_rf").isNotNull && col("p_rf") =!= col("l_returnflag"), 1L)
+          .otherwise(0L)) + lit(1L)).as("rf_runs"),
+        (sum(when(col("p_sk").isNotNull && col("p_sk") =!= col("l_suppkey"), 1L)
+          .otherwise(0L)) + lit(1L)).as("sk_runs"))
+      .collect().head
+    assert(rows("l_returnflag") == truth.getAs[Long]("rf_runs"))
+    assert(rows("l_suppkey") == truth.getAs[Long]("sk_runs"))
+  }
+
+  test("rle plan: runs bounded by distinct floor and row ceiling") {
+    for (r <- run("q372_rle_layout_plan").collect()) {
+      assert(r.getAs[Long]("n_runs") >= r.getAs[Long]("n_distinct"))
+      assert(r.getAs[Long]("n_runs") <= r.getAs[Long]("n_rows"))
+      assert(r.getAs[Long]("rle_ratio_pct") >= 100L)
+    }
+  }
+
+  // ---------------------------------------------------------------- q373
+
+  test("dcg eval: scores within the harmonic-ideal envelope") {
+    val rows = run("q373_dcg_retrieval_eval").collect()
+    assert(rows.nonEmpty)
+    for (r <- rows) {
+      val dcg = r.getAs[Long]("dcg_mu")
+      assert(dcg >= 0L && dcg <= 7381L, "DCG can't exceed the perfect-10 ideal")
+      val ndcg = r.getAs[Long]("ndcg_ppm")
+      assert(ndcg >= 0L && ndcg <= 1000000L)
+      assert(r.getAs[Long]("n_rel") >= 0L)
+    }
+  }
+
+  // ---------------------------------------------------------------- q374
+
+  test("markov removal: base effect is zero, removals never help conversion") {
+    val rows = run("q374_markov_removal_attribution").collect()
+    assert(rows.map(_.getAs[String]("removed_channel")).toSet ==
+      Set("none", "click", "view", "signup", "error"))
+    val base = rows.find(_.getAs[String]("removed_channel") == "none").get
+    assert(base.getAs[Long]("removal_effect_ppm") == 0L)
+    for (r <- rows) {
+      val conv = r.getAs[Long]("conv_ppm")
+      assert(conv >= 0L && conv <= 1000000L)
+      // removal only deletes conversion paths (no renormalization), so
+      // the effect is non-negative and bounded by 100%
+      val eff = r.getAs[Long]("removal_effect_ppm")
+      assert(eff >= 0L && eff <= 1000000L)
+      assert(conv <= base.getAs[Long]("conv_ppm"))
+    }
+  }
+}

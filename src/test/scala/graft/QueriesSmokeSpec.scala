@@ -81,7 +81,9 @@ class QueriesSmokeSpec extends SparkSpec {
     "q350_horvitz_thompson", "q352_pinball_eval",
     "q353_james_stein_shrinkage", "q354_t_closeness",
     "q355_lm_learning_curve", "q357_ratio_tree_decomposition",
-    "q364_tpch_q11_important_stock", "q367_tpch_q15_top_supplier")
+    "q364_tpch_q11_important_stock", "q367_tpch_q15_top_supplier",
+    "q372_rle_layout_plan", "q373_dcg_retrieval_eval",
+    "q374_markov_removal_attribution")
 
   test("query constructors are lazy: warm construction launches zero jobs") {
     import org.apache.spark.scheduler.{SparkListener, SparkListenerJobStart}
@@ -107,7 +109,10 @@ class QueriesSmokeSpec extends SparkSpec {
       "q172_dup_split_leakage", "q271_kcore_decomposition",
       "q57_bloom_semi_join", "q44_tfidf_top_terms",
       "q34_csv_source_roundtrip", "q34_json_source_roundtrip",
-      "q34_orc_source_roundtrip")
+      "q34_orc_source_roundtrip",
+      // q374 localCheckpoints the (bounded, ≤ 7×7-row) transition table
+      // so the 8-step unrolled iteration scans events exactly once
+      "q374_markov_removal_attribution")
     // the bus delivers only events posted after registration, so earlier
     // tests' jobs cannot leak into the count
     spark.sparkContext.addSparkListener(listener)
