@@ -16,6 +16,14 @@ import graft.Tables
   */
 object EvalQueries extends QueryGroup {
 
+  /** lineitem revenue in 1e-4-dollar units as a Column (q375). */
+  private def revE4Col =
+    floor(col("l_extendedprice") * lit(100d) + lit(0.5d)).cast("long") *
+      (lit(100L) - floor(col("l_discount") * lit(100d) + lit(0.5d)).cast("long"))
+
+  private val revE4Sql =
+    "CAST(floor(l_extendedprice*100 + 0.5) AS BIGINT) * (100 - CAST(floor(l_discount*100 + 0.5) AS BIGINT))"
+
   // ---------------------------------------------------------------- q372
 
   /** Run-length-encoding layout plan: for two candidate lineitem columns
@@ -391,5 +399,193 @@ object EvalQueries extends QueryGroup {
       """
     })
 
-  override def defs: Seq[QueryDef] = Seq(q372, q373, q374)
+  // ---------------------------------------------------------------- q375
+
+  /** Incremental view maintenance of a JOIN view: the revenue-by-segment
+    * view V = Σ rev over (lineitem ⋈ orders ⋈ customer), maintained from
+    * a base snapshot (orders placed AND lines shipped before 1998) to
+    * the next (before Feb 1998) via the join delta algebra
+    * Δ(L ⋈ O) = ΔL⋈O_old ∪ L_old⋈ΔO ∪ ΔL⋈ΔO — never re-aggregating the
+    * base quadrant from scratch.
+    *
+    * Scale shape: the whole point of IVM at 100 TB — the three delta
+    * terms touch ONE month of lines/orders; ΔO broadcasts into the
+    * L_old term so old lines are filtered at the join, not re-scanned
+    * into a full view rebuild. All four quadrants union row-wise into a
+    * single segment-keyed aggregate (one shuffle). Output carries base,
+    * delta, and maintained totals — the maintained total is what a
+    * production system would write back. */
+  private val q375 = QueryDef(
+    "q375_ivm_join_delta",
+    (spark, dir) => {
+      val cust = Tables.customer(spark, dir).select(col("c_custkey"), col("c_mktsegment"))
+      val oAll = Tables.orders(spark, dir)
+        .filter(col("o_orderdate") < "1998-02-01")
+        .select(col("o_orderkey"), col("o_custkey"),
+          (col("o_orderdate") < "1998-01-01").as("o_old"))
+        .join(cust, col("o_custkey") === col("c_custkey"))
+        .select(col("o_orderkey"), col("c_mktsegment"), col("o_old"))
+      val oOld = oAll.filter(col("o_old"))
+      val oDelta = oAll.filter(!col("o_old"))
+      val lAll = Tables.lineitem(spark, dir)
+        .filter(col("l_shipdate") < "1998-02-01")
+        .select(col("l_orderkey"), revE4Col.as("rev_e4"),
+          (col("l_shipdate") < "1998-01-01").as("l_old"))
+      val lOld = lAll.filter(col("l_old"))
+      val lDelta = lAll.filter(!col("l_old"))
+      def term(l: DataFrame, o: DataFrame, phase: String, bcast: Boolean) = {
+        val os = if (bcast) broadcast(o) else o
+        l.join(os, col("l_orderkey") === col("o_orderkey"))
+          .select(col("c_mktsegment"), col("rev_e4"), lit(phase).as("phase"))
+      }
+      term(lOld, oOld, "base", bcast = false)
+        .union(term(lDelta, oOld, "delta", bcast = false))
+        .union(term(lOld, oDelta, "delta", bcast = true))
+        .union(term(lDelta, oDelta, "delta", bcast = true))
+        .groupBy(col("c_mktsegment"))
+        .agg(
+          sum(when(col("phase") === "base", col("rev_e4")).otherwise(0L)).as("base_e4"),
+          sum(when(col("phase") === "delta", col("rev_e4")).otherwise(0L)).as("delta_e4"),
+          sum(when(col("phase") === "base", 1L).otherwise(0L)).as("n_base"),
+          sum(when(col("phase") === "delta", 1L).otherwise(0L)).as("n_delta"))
+        .select(col("c_mktsegment"), col("n_base"), col("n_delta"),
+          (col("base_e4").cast("double") / lit(10000d)).as("rev_base"),
+          (col("delta_e4").cast("double") / lit(10000d)).as("rev_delta"),
+          ((col("base_e4") + col("delta_e4")).cast("double") / lit(10000d)).as("rev_maintained"))
+        .orderBy(col("c_mktsegment"))
+    },
+    Some(s"""
+      SELECT c_mktsegment,
+        CAST(count(*) FILTER (o_old AND l_old) AS BIGINT) AS n_base,
+        CAST(count(*) FILTER (NOT (o_old AND l_old)) AS BIGINT) AS n_delta,
+        CAST(coalesce(sum(rev_e4) FILTER (o_old AND l_old), 0) AS DOUBLE)/10000 AS rev_base,
+        CAST(coalesce(sum(rev_e4) FILTER (NOT (o_old AND l_old)), 0) AS DOUBLE)/10000 AS rev_delta,
+        CAST(sum(rev_e4) AS DOUBLE)/10000 AS rev_maintained
+      FROM (
+        SELECT c_mktsegment, $revE4Sql AS rev_e4,
+          o_orderdate < TIMESTAMP '1998-01-01' AS o_old,
+          l_shipdate < TIMESTAMP '1998-01-01' AS l_old
+        FROM lineitem
+        JOIN orders ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        WHERE o_orderdate < TIMESTAMP '1998-02-01'
+          AND l_shipdate < TIMESTAMP '1998-02-01')
+      GROUP BY c_mktsegment
+      ORDER BY c_mktsegment
+    """))
+
+  // ---------------------------------------------------------------- q376
+
+  /** Partitioned-write layout forecast: before a
+    * `partitionBy(lang, source)` rewrite of the documents table, the
+    * per-directory row count, payload bytes (text chars + a 64-byte
+    * per-row metadata overhead), resulting file count at a 64 KiB
+    * target, and a small-file flag (dir payload < ¼ target) — the
+    * pre-flight check that catches the small-file explosion BEFORE the
+    * job writes 50 k tiny objects.
+    *
+    * Scale shape: one hash aggregate over (lang, source) — the
+    * partition-dir cardinality itself. Everything integer. */
+  private val q376 = QueryDef(
+    "q376_partitioned_write_plan",
+    (spark, dir) => {
+      val target = 65536L
+      Tables.documents(spark, dir)
+        .groupBy(col("lang"), col("source"))
+        .agg(count(lit(1)).as("n_rows"),
+          (sum(col("n_chars")) + count(lit(1)) * lit(64L)).as("est_bytes"))
+        .select(col("lang"), col("source"), col("n_rows"), col("est_bytes"),
+          expr(s"(est_bytes + ${target - 1}) div $target").as("n_files"),
+          (col("est_bytes") < lit(target / 4)).as("small_file_risk"))
+        .orderBy(col("lang"), col("source"))
+    },
+    Some("""
+      SELECT lang, source, CAST(count(*) AS BIGINT) AS n_rows,
+        sum(n_chars) + count(*) * 64 AS est_bytes,
+        (sum(n_chars) + count(*) * 64 + 65535) // 65536 AS n_files,
+        (sum(n_chars) + count(*) * 64) < 16384 AS small_file_risk
+      FROM documents
+      GROUP BY lang, source
+      ORDER BY lang, source
+    """))
+
+  // ---------------------------------------------------------------- q377
+
+  /** Cluster-sampling design effect: when sampling by CUSTOMER instead
+    * of by order, how much estimation power is lost to within-customer
+    * correlation? One-way ANOVA over whole-dollar order totals keyed by
+    * customer → intra-class correlation and Kish's design effect
+    * deff = 1 + (m̄−1)·ICC, plus the effective sample size — the number
+    * that decides cluster- vs row-level sampling for a 100 TB pipeline.
+    *
+    * All moments are exact integer sums (dollars, dollars²); the ANOVA
+    * ratios use floor division on the ppm grid — identical op order in
+    * both engines. (Beyond ~10⁹ orders the squared sums need
+    * decimal(38,0); noted, same convention as q353/q291.) */
+  private val q377 = QueryDef(
+    "q377_cluster_design_effect",
+    (spark, dir) => {
+      val d = Tables.orders(spark, dir)
+        .select(col("o_custkey"), floor(col("o_totalprice")).cast("long").as("d"))
+      val per = d.groupBy(col("o_custkey"))
+        .agg(count(lit(1)).as("n_i"), sum(col("d")).as("s_i"),
+          sum(col("d") * col("d")).as("q_i"))
+      per.agg(
+          count(lit(1)).as("k"), sum(col("n_i")).as("n"),
+          sum(col("s_i")).as("s"), sum(col("q_i")).as("q"),
+          sum(expr("(s_i * s_i) div n_i")).as("cm"))
+        .select(col("k"), col("n"),
+          // SSW = Σq_i − Σ s_i²/n_i ; SSB = Σ s_i²/n_i − S²/N.
+          // S² exceeds 2^63 already at sf0.01 (S ≈ 3.8e9) — the global
+          // square goes through decimal(38,0) where DuckDB's sum is
+          // HUGEINT natively; per-cluster squares stay comfortably long
+          (col("q") - col("cm")).as("ssw"),
+          (col("cm") -
+            expr("CAST((CAST(s AS DECIMAL(38,0)) * CAST(s AS DECIMAL(38,0))) div n AS BIGINT)"))
+            .as("ssb"))
+        .select(col("k"), col("n"), col("ssw"), col("ssb"),
+          expr("ssb div (k - 1)").as("msb"),
+          expr("ssw div (n - k)").as("msw"),
+          expr("n div k").as("m_bar"))
+        .select(col("k"), col("n"), col("m_bar"),
+          // ICC_ppm = (MSB − MSW)·1e6 / (MSB + (m̄−1)·MSW), clamped ≥ 0
+          expr("""CASE WHEN msb <= msw THEN 0
+                  ELSE (msb - msw) * 1000000 div (msb + (m_bar - 1) * msw) END""")
+            .as("icc_ppm"))
+        .select(col("k"), col("n"), col("m_bar"), col("icc_ppm"),
+          expr("1000000 + (m_bar - 1) * icc_ppm").as("deff_ppm"))
+        .select(col("k"), col("n"), col("m_bar"), col("icc_ppm"), col("deff_ppm"),
+          expr("n * 1000000 div deff_ppm").as("n_effective"))
+    },
+    Some("""
+      WITH per AS (
+        SELECT o_custkey, CAST(count(*) AS BIGINT) AS n_i,
+          sum(CAST(floor(o_totalprice) AS BIGINT)) AS s_i,
+          sum(CAST(floor(o_totalprice) AS BIGINT) * CAST(floor(o_totalprice) AS BIGINT)) AS q_i
+        FROM orders GROUP BY 1),
+      m AS (
+        SELECT CAST(count(*) AS BIGINT) AS k, sum(n_i) AS n, sum(s_i) AS s,
+          sum(q_i) AS q, sum((s_i * s_i) // n_i) AS cm
+        FROM per),
+      ss AS (
+        SELECT k, n, q - cm AS ssw, cm - (s * s) // n AS ssb FROM m),
+      ms AS (
+        SELECT k, n, ssb // (k - 1) AS msb, ssw // (n - k) AS msw,
+          n // k AS m_bar
+        FROM ss),
+      icc AS (
+        SELECT k, n, m_bar,
+          CASE WHEN msb <= msw THEN CAST(0 AS BIGINT)
+               ELSE (msb - msw) * 1000000 // (msb + (m_bar - 1) * msw) END AS icc_ppm
+        FROM ms),
+      de AS (
+        SELECT k, n, m_bar, icc_ppm,
+          1000000 + (m_bar - 1) * icc_ppm AS deff_ppm
+        FROM icc)
+      SELECT k, n, m_bar, icc_ppm, deff_ppm,
+        n * 1000000 // deff_ppm AS n_effective
+      FROM de
+    """))
+
+  override def defs: Seq[QueryDef] = Seq(q372, q373, q374, q375, q376, q377)
 }

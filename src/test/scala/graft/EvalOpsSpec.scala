@@ -78,4 +78,57 @@ class EvalOpsSpec extends SparkSpec {
       assert(conv <= base.getAs[Long]("conv_ppm"))
     }
   }
+
+  // ---------------------------------------------------------------- q375
+
+  test("ivm join delta: maintained view equals the full recompute") {
+    val rows = run("q375_ivm_join_delta").collect()
+    assert(rows.nonEmpty)
+    // independent full recompute of the T1 snapshot view
+    val direct = Tables.lineitem(spark, sfMid)
+      .filter(col("l_shipdate") < "1998-02-01")
+      .select(col("l_orderkey"),
+        (floor(col("l_extendedprice") * 100d + 0.5d).cast("long") *
+          (lit(100L) - floor(col("l_discount") * 100d + 0.5d).cast("long"))).as("rev_e4"))
+      .join(Tables.orders(spark, sfMid).filter(col("o_orderdate") < "1998-02-01")
+        .select(col("o_orderkey"), col("o_custkey")),
+        col("l_orderkey") === col("o_orderkey"))
+      .join(Tables.customer(spark, sfMid).select(col("c_custkey"), col("c_mktsegment")),
+        col("o_custkey") === col("c_custkey"))
+      .groupBy(col("c_mktsegment"))
+      .agg((sum(col("rev_e4")).cast("double") / 10000d).as("rev"))
+      .collect().map(r => r.getAs[String]("c_mktsegment") -> r.getAs[Double]("rev")).toMap
+    for (r <- rows) {
+      val seg = r.getAs[String]("c_mktsegment")
+      assert(r.getAs[Double]("rev_maintained") == direct(seg),
+        s"IVM drifted from recompute for $seg")
+      assert(math.abs(r.getAs[Double]("rev_base") + r.getAs[Double]("rev_delta") -
+        r.getAs[Double]("rev_maintained")) < 1e-4)
+    }
+  }
+
+  // ---------------------------------------------------------------- q376
+
+  test("write plan: file counts and small-file flags are self-consistent") {
+    val rows = run("q376_partitioned_write_plan").collect()
+    assert(rows.nonEmpty)
+    for (r <- rows) {
+      val bytes = r.getAs[Long]("est_bytes")
+      assert(bytes >= r.getAs[Long]("n_rows") * 64L)
+      assert(r.getAs[Long]("n_files") == (bytes + 65535L) / 65536L)
+      assert(r.getAs[Boolean]("small_file_risk") == (bytes < 16384L))
+    }
+  }
+
+  // ---------------------------------------------------------------- q377
+
+  test("design effect: deff identity holds and effective n never exceeds n") {
+    val r = run("q377_cluster_design_effect").collect().head
+    val icc = r.getAs[Long]("icc_ppm")
+    assert(icc >= 0L && icc <= 1000000L)
+    assert(r.getAs[Long]("deff_ppm") ==
+      1000000L + (r.getAs[Long]("m_bar") - 1L) * icc)
+    assert(r.getAs[Long]("n_effective") <= r.getAs[Long]("n"))
+    assert(r.getAs[Long]("n_effective") >= 1L)
+  }
 }
