@@ -24,6 +24,12 @@ object EvalQueries extends QueryGroup {
   private val revE4Sql =
     "CAST(floor(l_extendedprice*100 + 0.5) AS BIGINT) * (100 - CAST(floor(l_discount*100 + 0.5) AS BIGINT))"
 
+  /** The shared whitespace tokenizer / polynomial hash, as DuckDB SQL
+    * (same forms every text oracle in this repo uses). */
+  private val duckTokens = "list_filter(str_split(text, ' '), t -> len(t) > 0)"
+  private val duckPolyHash =
+    "list_reduce(list_prepend(0::BIGINT, [ord(c)::BIGINT for c in str_split(tok,'')]), (h,c) -> (h*31+c) % 1000000007)"
+
   // ---------------------------------------------------------------- q372
 
   /** Run-length-encoding layout plan: for two candidate lineitem columns
@@ -587,5 +593,198 @@ object EvalQueries extends QueryGroup {
       FROM de
     """))
 
-  override def defs: Seq[QueryDef] = Seq(q372, q373, q374, q375, q376, q377)
+  // ---------------------------------------------------------------- q378
+
+  /** Semantic-cluster auto-labeling: each embedding cluster (the label
+    * column — in production the IVF cell assignment) gets its top-3
+    * discriminative tokens by keyness lift: share of the token inside
+    * the cluster vs its corpus share, exact ppm with a min-count floor.
+    * The human-readable name for an unsupervised cluster, cross-modal
+    * over documents ⋈ embeddings.
+    *
+    * Scale shape: the (id → cluster) map is cluster-assignment-sized
+    * and broadcasts onto the token explode; (cluster, token) and token
+    * marginals are two keyed aggs; ranking windows run per cluster over
+    * the vocabulary. */
+  private val q378 = QueryDef(
+    "q378_cluster_keyword_labels",
+    (spark, dir) => {
+      val labels = Tables.embeddings(spark, dir)
+        .select(col("vec_id"), col("label").cast("long").as("cluster"))
+      val tok = Tables.documents(spark, dir)
+        .select(col("doc_id"),
+          explode(graft.functions.expressions.tokens_native(col("text"))).as("token"))
+        .join(broadcast(labels), col("doc_id") === col("vec_id"))
+      val byCluster = tok.groupBy(col("cluster"), col("token")).agg(count(lit(1)).as("c_lt"))
+      val byToken = tok.groupBy(col("token")).agg(count(lit(1)).as("c_t"))
+      val perCluster = byCluster.groupBy(col("cluster")).agg(sum(col("c_lt")).as("t_l"))
+      val total = byToken.agg(sum(col("c_t")).as("t"))
+      val wr = Window.partitionBy(col("cluster"))
+        .orderBy(col("keyness_ppm").desc, col("token"))
+      byCluster.filter(col("c_lt") >= 5L)
+        .join(byToken, Seq("token"))
+        .join(perCluster, Seq("cluster"))
+        .crossJoin(broadcast(total))
+        .select(col("cluster"), col("token"), col("c_lt"),
+          expr("c_lt * t * 1000000 div (c_t * t_l)").as("keyness_ppm"))
+        .withColumn("rank", row_number().over(wr))
+        .filter(col("rank") <= 3)
+        .select(col("cluster"), col("rank"), col("token"), col("c_lt"), col("keyness_ppm"))
+        .orderBy(col("cluster"), col("rank"))
+    },
+    Some(s"""
+      WITH labels AS (
+        SELECT vec_id, CAST(label AS BIGINT) AS cluster FROM embeddings),
+      tok AS (
+        SELECT cluster, unnest($duckTokens) AS token
+        FROM documents JOIN labels ON doc_id = vec_id),
+      by_cluster AS (
+        SELECT cluster, token, CAST(count(*) AS BIGINT) AS c_lt
+        FROM tok GROUP BY 1, 2),
+      by_token AS (
+        SELECT token, CAST(count(*) AS BIGINT) AS c_t FROM tok GROUP BY 1),
+      per_cluster AS (
+        SELECT cluster, sum(c_lt) AS t_l FROM by_cluster GROUP BY 1),
+      total AS (SELECT sum(c_t) AS t FROM by_token),
+      keyed AS (
+        SELECT cluster, token, c_lt,
+          c_lt * t * 1000000 // (c_t * t_l) AS keyness_ppm
+        FROM by_cluster
+        JOIN by_token USING (token)
+        JOIN per_cluster USING (cluster)
+        CROSS JOIN total
+        WHERE c_lt >= 5)
+      SELECT cluster, rank, token, c_lt, keyness_ppm
+      FROM (
+        SELECT *, CAST(row_number() OVER (PARTITION BY cluster
+          ORDER BY keyness_ppm DESC, token) AS INTEGER) AS rank
+        FROM keyed)
+      WHERE rank <= 3
+      ORDER BY cluster, rank
+    """))
+
+  // ---------------------------------------------------------------- q379
+
+  /** SimHash threshold tuning: the Hamming-distance histogram of
+    * ADJACENT fingerprints in sorted order within 10-bit prefix blocks
+    * — the cheap empirical picture ("how far apart are neighboring
+    * documents?") that picks the near-dup cut before running the full
+    * pigeonhole banding of q22.
+    *
+    * Scale shape: sorting adjacency is blocked by the fingerprint's own
+    * top bits (the same prefix family LSH banding uses), so every
+    * window is a small partition; no global sort, no pairwise join —
+    * cost is one fingerprint pass + one windowed lag. */
+  private val q379 = QueryDef(
+    "q379_simhash_hamming_histogram",
+    (spark, dir) => {
+      val fp = graft.dedup.SimHash.fingerprints(Tables.documents(spark, dir), "doc_id", "text")
+      val w = Window.partitionBy(col("prefix")).orderBy(col("simhash"), col("doc_id"))
+      fp.withColumn("prefix", expr("simhash div 1048576")) // >> 20 of the 30-bit fp
+        .withColumn("prev", lag(col("simhash"), 1).over(w))
+        .filter(col("prev").isNotNull)
+        .select(expr("bit_count(simhash ^ prev)").cast("long").as("hamming"))
+        .groupBy(col("hamming")).agg(count(lit(1)).as("n_pairs"))
+        .orderBy(col("hamming"))
+    },
+    Some(s"""
+      WITH toks AS (
+        SELECT doc_id, unnest($duckTokens) AS tok FROM documents),
+      hashes AS (
+        SELECT doc_id, $duckPolyHash AS h FROM toks),
+      votes AS (
+        SELECT doc_id, t.b, sum(2 * ((h >> t.b) & 1) - 1) AS vote
+        FROM hashes CROSS JOIN (SELECT unnest(range(30)) AS b) t
+        GROUP BY doc_id, t.b),
+      fp AS (
+        SELECT doc_id,
+          CAST(sum(CASE WHEN vote >= 0 THEN (1::BIGINT << b) ELSE 0 END) AS BIGINT) AS simhash
+        FROM votes GROUP BY doc_id),
+      adj AS (
+        SELECT simhash,
+          lag(simhash) OVER (PARTITION BY simhash // 1048576
+            ORDER BY simhash, doc_id) AS prev
+        FROM fp)
+      SELECT CAST(bit_count(xor(simhash, prev)) AS BIGINT) AS hamming,
+        CAST(count(*) AS BIGINT) AS n_pairs
+      FROM adj WHERE prev IS NOT NULL
+      GROUP BY 1 ORDER BY 1
+    """))
+
+  // ---------------------------------------------------------------- q380
+
+  /** Water-filling source quotas: distribute a token... here document
+    * budget (60% of the corpus) across sources so that no source
+    * exceeds a common cap C, chosen as the LARGEST integer cap whose
+    * total allocation Σ min(nᵢ, C) fits the budget — the canonical
+    * fair-allocation rule for mixing over-represented web dumps down
+    * without starving small sources.
+    *
+    * Scale shape: per-source counts are vocabulary-sized; the cap
+    * search is a prefix-sum window over the sorted source table plus a
+    * one-row broadcast (no iteration, no driver logic) — exact integer
+    * arithmetic end to end. */
+  private val q380 = QueryDef(
+    "q380_water_filling_quota",
+    (spark, dir) => {
+      val src = Tables.documents(spark, dir)
+        .groupBy(col("source")).agg(count(lit(1)).as("n_docs"))
+      val tot = src.agg(sum(col("n_docs")).as("total"), count(lit(1)).as("k"))
+        .select(col("total"), col("k"), expr("total * 60 div 100").as("budget"))
+      val w = Window.orderBy(col("n_docs"), col("source"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val ranked = src.crossJoin(broadcast(tot))
+        .withColumn("rn", row_number().over(Window.orderBy(col("n_docs"), col("source"))).cast("long"))
+        .withColumn("cum", sum(col("n_docs")).over(w))
+      // i* = deepest position where capping AT that source's own count
+      // still fits; the cap then fills the remaining budget evenly
+      val star = ranked
+        .select(col("budget"), col("k"),
+          when(col("cum") - col("n_docs") + (col("k") - col("rn") + 1L) * col("n_docs")
+            <= col("budget"), col("rn")).otherwise(0L).as("feas_rn"),
+          when(col("cum") - col("n_docs") + (col("k") - col("rn") + 1L) * col("n_docs")
+            <= col("budget"), col("cum")).otherwise(0L).as("feas_cum"))
+        .groupBy(col("budget"), col("k"))
+        .agg(max(col("feas_rn")).as("i_star"), max(col("feas_cum")).as("cum_star"))
+        .select(col("k"),
+          when(col("i_star") === col("k"), lit(Long.MaxValue))
+            .otherwise(expr("(budget - cum_star) div (k - i_star)")).as("cap"))
+      ranked
+        .crossJoin(broadcast(star.select(col("cap"))))
+        .select(col("source"), col("n_docs"),
+          least(col("n_docs"), col("cap")).as("allocated"),
+          (col("n_docs") > col("cap")).as("capped"))
+        .orderBy(col("source"))
+    },
+    Some("""
+      WITH src AS (
+        SELECT source, CAST(count(*) AS BIGINT) AS n_docs
+        FROM documents GROUP BY 1),
+      tot AS (
+        SELECT sum(n_docs) AS total, CAST(count(*) AS BIGINT) AS k,
+          sum(n_docs) * 60 // 100 AS budget
+        FROM src),
+      ranked AS (
+        SELECT source, n_docs, budget, k,
+          CAST(row_number() OVER (ORDER BY n_docs, source) AS BIGINT) AS rn,
+          sum(n_docs) OVER (ORDER BY n_docs, source
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+        FROM src CROSS JOIN tot),
+      star AS (
+        SELECT budget, k,
+          coalesce(max(rn) FILTER (cum - n_docs + (k - rn + 1) * n_docs <= budget), 0) AS i_star,
+          coalesce(max(cum) FILTER (cum - n_docs + (k - rn + 1) * n_docs <= budget), 0) AS cum_star
+        FROM ranked GROUP BY 1, 2),
+      cap AS (
+        SELECT CASE WHEN i_star = k THEN 9223372036854775807
+                    ELSE (budget - cum_star) // (k - i_star) END AS cap
+        FROM star)
+      SELECT source, n_docs, least(n_docs, cap) AS allocated,
+        n_docs > cap AS capped
+      FROM ranked CROSS JOIN cap
+      ORDER BY source
+    """))
+
+  override def defs: Seq[QueryDef] =
+    Seq(q372, q373, q374, q375, q376, q377, q378, q379, q380)
 }

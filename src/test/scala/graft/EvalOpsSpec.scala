@@ -131,4 +131,59 @@ class EvalOpsSpec extends SparkSpec {
     assert(r.getAs[Long]("n_effective") <= r.getAs[Long]("n"))
     assert(r.getAs[Long]("n_effective") >= 1L)
   }
+
+  // ---------------------------------------------------------------- q378
+
+  test("cluster labels: three ranked keywords per cluster, floors respected") {
+    val rows = run("q378_cluster_keyword_labels").collect()
+    assert(rows.nonEmpty)
+    for ((_, g) <- rows.groupBy(_.getAs[Long]("cluster"))) {
+      val byRank = g.sortBy(_.getAs[Int]("rank"))
+      assert(byRank.map(_.getAs[Int]("rank")).toSeq == (1 to byRank.length))
+      val keys = byRank.map(_.getAs[Long]("keyness_ppm")).toSeq
+      assert(keys == keys.sorted.reverse)
+      assert(g.forall(_.getAs[Long]("c_lt") >= 5L))
+    }
+  }
+
+  // ---------------------------------------------------------------- q379
+
+  test("hamming histogram: pair count equals fingerprints minus prefix blocks") {
+    val rows = run("q379_simhash_hamming_histogram").collect()
+    assert(rows.nonEmpty)
+    assert(rows.forall { r =>
+      val h = r.getAs[Long]("hamming"); h >= 0L && h <= 30L
+    })
+    val fp = graft.dedup.SimHash.fingerprints(
+      Tables.documents(spark, sfMid), "doc_id", "text")
+    val nFp = fp.count()
+    val nPrefix = fp.select(expr("simhash div 1048576")).distinct().count()
+    assert(rows.map(_.getAs[Long]("n_pairs")).sum == nFp - nPrefix,
+      "every fingerprint except each block's first contributes one adjacent pair")
+  }
+
+  // ---------------------------------------------------------------- q380
+
+  test("water filling: budget respected, cap maximal, uncapped sources whole") {
+    val rows = run("q380_water_filling_quota").collect()
+    assert(rows.nonEmpty)
+    val total = rows.map(_.getAs[Long]("n_docs")).sum
+    val budget = total * 60L / 100L
+    val allocated = rows.map(_.getAs[Long]("allocated")).sum
+    assert(allocated <= budget)
+    for (r <- rows)
+      if (!r.getAs[Boolean]("capped"))
+        assert(r.getAs[Long]("allocated") == r.getAs[Long]("n_docs"))
+    val capped = rows.filter(_.getAs[Boolean]("capped"))
+    if (capped.nonEmpty) {
+      val caps = capped.map(_.getAs[Long]("allocated")).distinct
+      assert(caps.length == 1, "all capped sources share the common water level")
+      val cap = caps.head
+      // maximality: raising the cap by one doc per capped source must
+      // overflow the budget
+      val atPlusOne = rows.map(r =>
+        math.min(r.getAs[Long]("n_docs"), cap + 1L)).sum
+      assert(atPlusOne > budget)
+    }
+  }
 }
