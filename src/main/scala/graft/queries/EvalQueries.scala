@@ -65,11 +65,16 @@ object EvalQueries extends QueryGroup {
       val ord = Seq(col("l_orderkey"), col("l_linenumber"), col("l_suppkey"),
         col("price_c"), col("l_returnflag"))
       val w = Window.partitionBy(col("bkt")).orderBy(ord: _*)
-      val wAsc = Window.partitionBy(col("bkt")).orderBy(ord: _*)
-      val wDesc = Window.partitionBy(col("bkt")).orderBy(ord.map(_.desc): _*)
-      val within = li
+      val wAll = Window.partitionBy(col("bkt"))
+      // ONE window pass per consumer: lag for adjacency, row_number +
+      // partition count mark each bucket's first/last row — no second
+      // (descending) sort, no per-branch window spec
+      val marked = li
         .withColumn("p_rf", lag(col("l_returnflag"), 1).over(w))
         .withColumn("p_sk", lag(col("l_suppkey"), 1).over(w))
+        .withColumn("rn", row_number().over(w))
+        .withColumn("cnt", count(lit(1)).over(wAll))
+      val within = marked
         .agg(
           count(lit(1)).as("n_rows"),
           sum(when(col("p_rf").isNotNull && col("p_rf") =!= col("l_returnflag"), 1L)
@@ -78,15 +83,13 @@ object EvalQueries extends QueryGroup {
             .otherwise(0L)).as("sk_chg_w"),
           countDistinct(col("l_returnflag")).as("rf_distinct"),
           countDistinct(col("l_suppkey")).as("sk_distinct"))
-      val bounds = li
-        .withColumn("rn_a", row_number().over(wAsc))
-        .withColumn("rn_d", row_number().over(wDesc))
-        .filter(col("rn_a") === 1 || col("rn_d") === 1)
+      val bounds = marked
+        .filter(col("rn") === 1 || col("rn") === col("cnt"))
         .groupBy(col("bkt"))
-        .agg(max(when(col("rn_a") === 1, col("l_returnflag"))).as("first_rf"),
-          max(when(col("rn_d") === 1, col("l_returnflag"))).as("last_rf"),
-          max(when(col("rn_a") === 1, col("l_suppkey"))).as("first_sk"),
-          max(when(col("rn_d") === 1, col("l_suppkey"))).as("last_sk"))
+        .agg(max(when(col("rn") === 1, col("l_returnflag"))).as("first_rf"),
+          max(when(col("rn") === col("cnt"), col("l_returnflag"))).as("last_rf"),
+          max(when(col("rn") === 1, col("l_suppkey"))).as("first_sk"),
+          max(when(col("rn") === col("cnt"), col("l_suppkey"))).as("last_sk"))
       val wb = Window.orderBy(col("bkt"))
       val boundary = bounds
         .withColumn("p_rf", lag(col("last_rf"), 1).over(wb))
@@ -96,17 +99,22 @@ object EvalQueries extends QueryGroup {
             .otherwise(0L)).as("rf_chg_b"),
           sum(when(col("p_sk").isNotNull && col("p_sk") =!= col("first_sk"), 1L)
             .otherwise(0L)).as("sk_chg_b"))
-      val one = within.crossJoin(broadcast(boundary))
+      // explode, not union: a union of two projections would duplicate
+      // the whole fact subtree (4 corpus scans instead of 2)
+      within.crossJoin(broadcast(boundary))
         .select(col("n_rows"),
           (col("rf_chg_w") + col("rf_chg_b") + lit(1L)).as("rf_runs"),
           (col("sk_chg_w") + col("sk_chg_b") + lit(1L)).as("sk_runs"),
           col("rf_distinct"), col("sk_distinct"))
-      one.select(lit("l_returnflag").as("column_name"), col("n_rows"),
-          col("rf_runs").as("n_runs"), col("rf_distinct").as("n_distinct"),
-          expr("n_rows * 100 div rf_runs").as("rle_ratio_pct"))
-        .union(one.select(lit("l_suppkey").as("column_name"), col("n_rows"),
-          col("sk_runs").as("n_runs"), col("sk_distinct").as("n_distinct"),
-          expr("n_rows * 100 div sk_runs").as("rle_ratio_pct")))
+        .select(explode(array(
+          struct(lit("l_returnflag").as("column_name"), col("n_rows"),
+            col("rf_runs").as("n_runs"), col("rf_distinct").as("n_distinct")),
+          struct(lit("l_suppkey").as("column_name"), col("n_rows"),
+            col("sk_runs").as("n_runs"), col("sk_distinct").as("n_distinct"))))
+          .as("s"))
+        .select(col("s.column_name"), col("s.n_rows"), col("s.n_runs"),
+          col("s.n_distinct"),
+          expr("s.n_rows * 100 div s.n_runs").as("rle_ratio_pct"))
         .orderBy(col("column_name"))
     },
     Some("""
