@@ -5,6 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.Tables
+import graft.functions.Deterministic.cents
 
 /** Round-4 layout/eval/attribution operators: run-length-encoding layout
   * planning, graded-relevance retrieval evaluation, and Markov
@@ -793,6 +794,242 @@ object EvalQueries extends QueryGroup {
       ORDER BY source
     """))
 
+  // ---------------------------------------------------------------- q381
+
+  /** Distribution-free median confidence interval by order statistics:
+    * the median of order totals with the ~95% CI at ranks
+    * (n+1)/2 ∓ 0.98·⌊√n⌋ — no normality assumption, no resampling; the
+    * robust companion to the mean CIs of q322/q344.
+    *
+    * Scale shape: value-at-rank via the two-level histogram selection
+    * (RankSelect's pattern, inlined for data-dependent ranks): a coarse
+    * $10-bin histogram locates each target rank's bin (cumulative
+    * window over thousands of bins, not rows), then ONLY the selected
+    * bins' rows get the exact within-bin ranking. √n through one
+    * correctly-rounded IEEE sqrt — identical in both engines. */
+  private val q381 = QueryDef(
+    "q381_median_order_stat_ci",
+    (spark, dir) => {
+      val cents = Tables.orders(spark, dir)
+        .select(graft.functions.Deterministic.cents(col("o_totalprice")).as("v"))
+      val hist = cents.groupBy(expr("v div 1000").as("xb")).agg(count(lit(1)).as("cnt"))
+      val wCum = Window.orderBy(col("xb"))
+      val cum1 = hist.withColumn("cum", sum(col("cnt")).over(wCum))
+      val ranks = cum1.agg(sum(col("cnt")).as("n"))
+        .select(col("n"),
+          expr("(n + 1) div 2").as("med_r"),
+          expr("CAST(floor(sqrt(CAST(n AS DOUBLE)) * 98) AS BIGINT) div 100").as("d"))
+        .select(col("n"), col("med_r"),
+          greatest(col("med_r") - col("d"), lit(1L)).as("lo_r"),
+          least(col("med_r") + col("d"), col("n")).as("hi_r"))
+      val binsel = cum1.crossJoin(broadcast(ranks))
+        .groupBy(col("n"), col("med_r"), col("lo_r"), col("hi_r"))
+        .agg(
+          min(when(col("cum") >= col("med_r"), col("xb"))).as("bin_med"),
+          min(when(col("cum") >= col("lo_r"), col("xb"))).as("bin_lo"),
+          min(when(col("cum") >= col("hi_r"), col("xb"))).as("bin_hi"))
+      val pre = cum1.crossJoin(broadcast(binsel))
+        .groupBy(col("n"), col("med_r"), col("lo_r"), col("hi_r"),
+          col("bin_med"), col("bin_lo"), col("bin_hi"))
+        .agg(
+          max(when(col("xb") === col("bin_med"), col("cum") - col("cnt"))).as("before_med"),
+          max(when(col("xb") === col("bin_lo"), col("cum") - col("cnt"))).as("before_lo"),
+          max(when(col("xb") === col("bin_hi"), col("cum") - col("cnt"))).as("before_hi"))
+      val wBin = Window.partitionBy(col("xb")).orderBy(col("v"))
+      cents.crossJoin(broadcast(pre))
+        .withColumn("xb", expr("v div 1000"))
+        .filter(col("xb") === col("bin_med") || col("xb") === col("bin_lo") ||
+          col("xb") === col("bin_hi"))
+        .withColumn("rn", row_number().over(wBin).cast("long"))
+        .groupBy(col("n"), col("med_r"), col("lo_r"), col("hi_r"))
+        .agg(
+          min(when(col("xb") === col("bin_med") &&
+            col("before_med") + col("rn") >= col("med_r"), col("v"))).as("median_c"),
+          min(when(col("xb") === col("bin_lo") &&
+            col("before_lo") + col("rn") >= col("lo_r"), col("v"))).as("ci_lo_c"),
+          min(when(col("xb") === col("bin_hi") &&
+            col("before_hi") + col("rn") >= col("hi_r"), col("v"))).as("ci_hi_c"))
+        .select(col("n"), col("lo_r"), col("med_r"), col("hi_r"),
+          col("ci_lo_c"), col("median_c"), col("ci_hi_c"))
+    },
+    Some("""
+      WITH v AS (
+        SELECT CAST(floor(o_totalprice*100 + 0.5) AS BIGINT) AS v FROM orders),
+      hist AS (SELECT v // 1000 AS xb, CAST(count(*) AS BIGINT) AS cnt FROM v GROUP BY 1),
+      cum1 AS (
+        SELECT xb, cnt, sum(cnt) OVER (ORDER BY xb) AS cum FROM hist),
+      ranks AS (
+        SELECT n, med_r,
+          greatest(med_r - d, 1) AS lo_r, least(med_r + d, n) AS hi_r
+        FROM (
+          SELECT sum(cnt) AS n, (sum(cnt) + 1) // 2 AS med_r,
+            CAST(floor(sqrt(CAST(sum(cnt) AS DOUBLE)) * 98) AS BIGINT) // 100 AS d
+          FROM hist)),
+      binsel AS (
+        SELECT n, med_r, lo_r, hi_r,
+          min(CASE WHEN cum >= med_r THEN xb END) AS bin_med,
+          min(CASE WHEN cum >= lo_r THEN xb END) AS bin_lo,
+          min(CASE WHEN cum >= hi_r THEN xb END) AS bin_hi
+        FROM cum1 CROSS JOIN ranks
+        GROUP BY 1, 2, 3, 4),
+      pre AS (
+        SELECT n, med_r, lo_r, hi_r, bin_med, bin_lo, bin_hi,
+          max(CASE WHEN xb = bin_med THEN cum - cnt END) AS before_med,
+          max(CASE WHEN xb = bin_lo THEN cum - cnt END) AS before_lo,
+          max(CASE WHEN xb = bin_hi THEN cum - cnt END) AS before_hi
+        FROM cum1 CROSS JOIN binsel
+        GROUP BY 1, 2, 3, 4, 5, 6, 7),
+      fine AS (
+        SELECT v.v, v.v // 1000 AS xb, p.*,
+          CAST(row_number() OVER (PARTITION BY v.v // 1000 ORDER BY v.v) AS BIGINT) AS rn
+        FROM v CROSS JOIN pre p
+        WHERE v.v // 1000 IN (p.bin_med, p.bin_lo, p.bin_hi))
+      SELECT n, lo_r, med_r, hi_r,
+        min(CASE WHEN xb = bin_lo AND before_lo + rn >= lo_r THEN v END) AS ci_lo_c,
+        min(CASE WHEN xb = bin_med AND before_med + rn >= med_r THEN v END) AS median_c,
+        min(CASE WHEN xb = bin_hi AND before_hi + rn >= hi_r THEN v END) AS ci_hi_c
+      FROM fine
+      GROUP BY n, lo_r, med_r, hi_r
+    """))
+
+  // ---------------------------------------------------------------- q382
+
+  /** Mantel–Haenszel pooled odds ratio: does a deep discount (≥ 5%)
+    * associate with returns, CONTROLLING for brand? Per-brand 2×2
+    * tables pooled by the MH weights — the stratified-association
+    * estimator that a crude 2×2 (subject to brand confounding) cannot
+    * replace. Exact milli-scaled integer terms; output crude OR vs MH
+    * OR side by side.
+    *
+    * Scale shape: one fact scan → per-brand conditional counts
+    * (vocabulary-sized), pooled in a second one-row aggregate. */
+  private val q382 = QueryDef(
+    "q382_mantel_haenszel_or",
+    (spark, dir) => {
+      val strata = Tables.lineitem(spark, dir)
+        .join(broadcast(Tables.part(spark, dir).select(col("p_partkey"), col("p_brand"))),
+          col("l_partkey") === col("p_partkey"))
+        .select(col("p_brand"),
+          (cents(col("l_discount")) >= 5L).as("deep"),
+          (col("l_returnflag") === "R").as("ret"))
+        .groupBy(col("p_brand"))
+        .agg(
+          sum(when(col("deep") && col("ret"), 1L).otherwise(0L)).as("a"),
+          sum(when(col("deep") && !col("ret"), 1L).otherwise(0L)).as("b"),
+          sum(when(!col("deep") && col("ret"), 1L).otherwise(0L)).as("c"),
+          sum(when(!col("deep") && !col("ret"), 1L).otherwise(0L)).as("d"))
+      strata
+        .select(col("a"), col("b"), col("c"), col("d"),
+          (col("a") + col("b") + col("c") + col("d")).as("nk"))
+        .agg(
+          sum(col("a")).as("sa"), sum(col("b")).as("sb"),
+          sum(col("c")).as("sc"), sum(col("d")).as("sd"),
+          sum(expr("a * d * 1000 div nk")).as("r_m"),
+          sum(expr("b * c * 1000 div nk")).as("s_m"))
+        .select(col("sa"), col("sb"), col("sc"), col("sd"),
+          expr("sa * sd * 1000 div (sb * sc)").as("crude_or_milli"),
+          expr("r_m * 1000 div s_m").as("mh_or_milli"))
+    },
+    Some("""
+      WITH strata AS (
+        SELECT p_brand,
+          CAST(count(*) FILTER (deep AND ret) AS BIGINT) AS a,
+          CAST(count(*) FILTER (deep AND NOT ret) AS BIGINT) AS b,
+          CAST(count(*) FILTER (NOT deep AND ret) AS BIGINT) AS c,
+          CAST(count(*) FILTER (NOT deep AND NOT ret) AS BIGINT) AS d
+        FROM (
+          SELECT p_brand,
+            CAST(floor(l_discount*100 + 0.5) AS BIGINT) >= 5 AS deep,
+            l_returnflag = 'R' AS ret
+          FROM lineitem JOIN part ON l_partkey = p_partkey)
+        GROUP BY 1),
+      pooled AS (
+        SELECT sum(a) AS sa, sum(b) AS sb, sum(c) AS sc, sum(d) AS sd,
+          sum(a * d * 1000 // (a + b + c + d)) AS r_m,
+          sum(b * c * 1000 // (a + b + c + d)) AS s_m
+        FROM strata)
+      SELECT sa, sb, sc, sd,
+        sa * sd * 1000 // (sb * sc) AS crude_or_milli,
+        r_m * 1000 // s_m AS mh_or_milli
+      FROM pooled
+    """))
+
+  // ---------------------------------------------------------------- q383
+
+  /** Wald–Wolfowitz runs test on the daily-revenue sign sequence: are
+    * above-mean and below-mean days randomly interleaved, or does the
+    * series trend/cluster? R runs among n₁ above / n₂ below days vs the
+    * exact E[R] and Var[R], z in milli-units — the distribution-free
+    * trend alarm for a revenue stream.
+    *
+    * Scale shape: the day table is calendar-sized regardless of SF (the
+    * one global window here is over ~2.4 k days); above/below uses the
+    * exact cross-multiply rev·n > total, no mean division. All moments
+    * integer; the one square root is a correctly-rounded IEEE op on an
+    * exact integer. */
+  private val q383 = QueryDef(
+    "q383_runs_test_daily_revenue",
+    (spark, dir) => {
+      val daily = Tables.orders(spark, dir)
+        .groupBy(expr("CAST(o_orderdate AS DATE)").as("day"))
+        .agg(sum(cents(col("o_totalprice"))).as("rev_c"))
+      val tot = daily.agg(sum(col("rev_c")).as("total_c"), count(lit(1)).as("nd"))
+      val wd = Window.orderBy(col("day"))
+      val signed = daily.crossJoin(broadcast(tot))
+        // above the mean ⇔ rev·n_days > total — exact, no division
+        .withColumn("s", when(col("rev_c") * col("nd") > col("total_c"), 1L).otherwise(0L))
+        .withColumn("p", lag(col("s"), 1).over(wd))
+      signed.agg(
+          count(lit(1)).as("n"),
+          sum(col("s")).as("n1"),
+          (count(lit(1)) - sum(col("s"))).as("n2"),
+          (sum(when(col("p").isNotNull && col("p") =!= col("s"), 1L).otherwise(0L)) + lit(1L))
+            .as("runs"))
+        .select(col("n"), col("n1"), col("n2"), col("runs"),
+          expr("1000 + 2000 * n1 * n2 div n").as("e_milli"),
+          expr("(2 * n1 * n2 * (2 * n1 * n2 - n) * 1000000) div (n * n * (n - 1))").as("v_micro"))
+        .select(col("n"), col("n1"), col("n2"), col("runs"), col("e_milli"), col("v_micro"),
+          // sign-safe milli z (negative division is truncation-vs-floor
+          // territory — keep operands non-negative, q301's pattern)
+          expr("""CASE WHEN runs * 1000 >= e_milli
+                  THEN (runs * 1000 - e_milli) * 1000
+                       div CAST(floor(sqrt(CAST(v_micro AS DOUBLE))) AS BIGINT)
+                  ELSE -((e_milli - runs * 1000) * 1000
+                       div CAST(floor(sqrt(CAST(v_micro AS DOUBLE))) AS BIGINT)) END""")
+            .as("z_milli"))
+    },
+    Some("""
+      WITH daily AS (
+        SELECT CAST(o_orderdate AS DATE) AS day,
+          sum(CAST(floor(o_totalprice*100 + 0.5) AS BIGINT)) AS rev_c
+        FROM orders GROUP BY 1),
+      tot AS (SELECT sum(rev_c) AS total_c, CAST(count(*) AS BIGINT) AS nd FROM daily),
+      signed AS (
+        SELECT CASE WHEN rev_c * nd > total_c THEN 1 ELSE 0 END AS s,
+          lag(CASE WHEN rev_c * nd > total_c THEN 1 ELSE 0 END)
+            OVER (ORDER BY day) AS p
+        FROM daily CROSS JOIN tot),
+      m AS (
+        SELECT CAST(count(*) AS BIGINT) AS n,
+          CAST(sum(s) AS BIGINT) AS n1,
+          CAST(count(*) - sum(s) AS BIGINT) AS n2,
+          CAST(count(*) FILTER (p IS NOT NULL AND p <> s) + 1 AS BIGINT) AS runs
+        FROM signed),
+      em AS (
+        SELECT n, n1, n2, runs,
+          1000 + 2000 * n1 * n2 // n AS e_milli,
+          (2 * n1 * n2 * (2 * n1 * n2 - n) * 1000000) // (n * n * (n - 1)) AS v_micro
+        FROM m)
+      SELECT n, n1, n2, runs, e_milli, v_micro,
+        CASE WHEN runs * 1000 >= e_milli
+             THEN (runs * 1000 - e_milli) * 1000
+                  // CAST(floor(sqrt(CAST(v_micro AS DOUBLE))) AS BIGINT)
+             ELSE -((e_milli - runs * 1000) * 1000
+                  // CAST(floor(sqrt(CAST(v_micro AS DOUBLE))) AS BIGINT)) END AS z_milli
+      FROM em
+    """))
+
   override def defs: Seq[QueryDef] =
-    Seq(q372, q373, q374, q375, q376, q377, q378, q379, q380)
+    Seq(q372, q373, q374, q375, q376, q377, q378, q379, q380,
+      q381, q382, q383)
 }

@@ -186,4 +186,47 @@ class EvalOpsSpec extends SparkSpec {
       assert(atPlusOne > budget)
     }
   }
+
+  // ---------------------------------------------------------------- q381
+
+  test("median CI: two-level rank selection equals the directly sorted ranks") {
+    val r = run("q381_median_order_stat_ci").collect().head
+    assert(r.getAs[Long]("ci_lo_c") <= r.getAs[Long]("median_c"))
+    assert(r.getAs[Long]("median_c") <= r.getAs[Long]("ci_hi_c"))
+    // direct check at test scale: collect the sorted values and index
+    val sorted = Tables.orders(spark, sfMid)
+      .select(graft.functions.Deterministic.cents(col("o_totalprice")).as("v"))
+      .orderBy(col("v")).collect().map(_.getAs[Long]("v"))
+    def at(rank: Long) = sorted((rank - 1).toInt)
+    assert(r.getAs[Long]("median_c") == at(r.getAs[Long]("med_r")))
+    assert(r.getAs[Long]("ci_lo_c") == at(r.getAs[Long]("lo_r")))
+    assert(r.getAs[Long]("ci_hi_c") == at(r.getAs[Long]("hi_r")))
+  }
+
+  // ---------------------------------------------------------------- q382
+
+  test("mantel-haenszel: cells conserve the joined row count, ORs positive") {
+    val r = run("q382_mantel_haenszel_or").collect().head
+    val cells = r.getAs[Long]("sa") + r.getAs[Long]("sb") +
+      r.getAs[Long]("sc") + r.getAs[Long]("sd")
+    val joined = Tables.lineitem(spark, sfMid)
+      .join(Tables.part(spark, sfMid), col("l_partkey") === col("p_partkey"))
+      .count()
+    assert(cells == joined)
+    assert(r.getAs[Long]("crude_or_milli") > 0L)
+    assert(r.getAs[Long]("mh_or_milli") > 0L)
+  }
+
+  // ---------------------------------------------------------------- q383
+
+  test("runs test: run count bounds and z-sign consistency") {
+    val r = run("q383_runs_test_daily_revenue").collect().head
+    val (n, n1, n2) = (r.getAs[Long]("n"), r.getAs[Long]("n1"), r.getAs[Long]("n2"))
+    assert(n1 + n2 == n)
+    val runs = r.getAs[Long]("runs")
+    assert(runs >= 1L && runs <= n)
+    assert(runs <= 2L * math.min(n1, n2) + 1L, "max runs is 2·min(n1,n2)+1")
+    val z = r.getAs[Long]("z_milli")
+    assert((runs * 1000L >= r.getAs[Long]("e_milli")) == (z >= 0L))
+  }
 }
