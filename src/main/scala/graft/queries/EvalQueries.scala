@@ -1029,7 +1029,181 @@ object EvalQueries extends QueryGroup {
       FROM em
     """))
 
+  // ---------------------------------------------------------------- q384
+
+  /** Cohort half-life: for each monthly first-order cohort, the first
+    * month offset at which active customers fall below HALF the cohort
+    * — the one-number decay summary a full retention matrix (q71's
+    * day-level complement) buries in 80 columns. −1 marks cohorts that
+    * never decay below half inside the observation window.
+    *
+    * Scale shape: first-order month is one customer-keyed agg; the
+    * (cohort, offset) activity grid is bounded by months², not rows;
+    * the half-life min() folds the grid per cohort. */
+  private val q384 = QueryDef(
+    "q384_cohort_halflife",
+    (spark, dir) => {
+      val om = Tables.orders(spark, dir)
+        .select(col("o_custkey"),
+          ((year(col("o_orderdate")) - 1995) * 12 + month(col("o_orderdate")) - 1)
+            .cast("long").as("m"))
+      val first = om.groupBy(col("o_custkey")).agg(min(col("m")).as("cohort_m"))
+      val grid = om.join(first, Seq("o_custkey"))
+        .groupBy(col("cohort_m"), (col("m") - col("cohort_m")).as("offset"))
+        .agg(countDistinct(col("o_custkey")).as("active"))
+      val size = grid.filter(col("offset") === 0L)
+        .select(col("cohort_m").as("sc"), col("active").as("cohort_size"))
+      grid.join(size, col("cohort_m") === col("sc"))
+        .groupBy(col("cohort_m"), col("cohort_size"))
+        .agg(coalesce(
+          min(when(col("offset") > 0L && col("active") * 2L < col("cohort_size"),
+            col("offset"))), lit(-1L)).as("halflife_months"))
+        .filter(col("cohort_size") >= 20L)
+        .orderBy(col("cohort_m"))
+    },
+    Some("""
+      WITH om AS (
+        SELECT o_custkey,
+          CAST((year(o_orderdate) - 1995) * 12 + month(o_orderdate) - 1 AS BIGINT) AS m
+        FROM orders),
+      first AS (SELECT o_custkey, min(m) AS cohort_m FROM om GROUP BY 1),
+      grid AS (
+        SELECT cohort_m, m - cohort_m AS off_m,
+          CAST(count(DISTINCT o_custkey) AS BIGINT) AS active
+        FROM om JOIN first USING (o_custkey)
+        GROUP BY 1, 2),
+      size AS (SELECT cohort_m AS sc, active AS cohort_size FROM grid WHERE off_m = 0)
+      SELECT cohort_m, cohort_size,
+        coalesce(min(CASE WHEN off_m > 0 AND active * 2 < cohort_size
+                          THEN off_m END), -1) AS halflife_months
+      FROM grid JOIN size ON cohort_m = sc
+      GROUP BY 1, 2
+      HAVING cohort_size >= 20
+      ORDER BY cohort_m
+    """))
+
+  // ---------------------------------------------------------------- q385
+
+  /** Cochran–Armitage trend test: does the return rate move
+    * MONOTONICALLY with the discount level (0–10 cents of discount as
+    * ordered scores)? The z² statistic emitted in exact ppm as a pure
+    * integer ratio — U² and Var(U) both exceed 2^63 at sf0.1, so the
+    * final products run in decimal(38,0) (DuckDB's HUGEINT) and the
+    * square root is avoided entirely by reporting z² (χ² with 1 df).
+    *
+    * Scale shape: one fact scan to 11 level rows, then scalar algebra.
+    * trend_sign carries the direction the squared statistic drops. */
+  private val q385 = QueryDef(
+    "q385_cochran_armitage_trend",
+    (spark, dir) => {
+      val lv = Tables.lineitem(spark, dir)
+        .select(cents(col("l_discount")).as("w"),
+          when(col("l_returnflag") === "R", 1L).otherwise(0L).as("r"))
+        .groupBy(col("w"))
+        .agg(count(lit(1)).as("n_i"), sum(col("r")).as("a_i"))
+      lv.agg(
+          sum(col("n_i")).as("n"), sum(col("a_i")).as("a"),
+          sum(col("w") * col("n_i")).as("swn"),
+          sum(col("w") * col("a_i")).as("swa"),
+          sum(col("w") * col("w") * col("n_i")).as("sw2n"))
+        .select(col("n").as("n_total"), col("a").as("n_returned"),
+          (col("n") * col("swa") - col("a") * col("swn")).as("u"),
+          col("n"), col("a"), col("swn"), col("sw2n"))
+        .select(col("n_total"), col("n_returned"),
+          expr("CASE WHEN u > 0 THEN 1 WHEN u < 0 THEN -1 ELSE 0 END").as("trend_sign"),
+          expr("""CAST(
+            (CAST(u AS DECIMAL(38,0)) * CAST(u AS DECIMAL(38,0)) * 1000000) div
+            (CAST(a AS DECIMAL(38,0)) * (n - a) *
+             (CAST(n AS DECIMAL(38,0)) * sw2n - CAST(swn AS DECIMAL(38,0)) * swn) div n)
+            AS BIGINT)""").as("z2_ppm"))
+    },
+    Some("""
+      WITH lv AS (
+        SELECT CAST(floor(l_discount*100 + 0.5) AS BIGINT) AS w,
+          CAST(count(*) AS BIGINT) AS n_i,
+          CAST(count(*) FILTER (l_returnflag = 'R') AS BIGINT) AS a_i
+        FROM lineitem GROUP BY 1),
+      m AS (
+        SELECT sum(n_i) AS n, sum(a_i) AS a,
+          sum(w * n_i) AS swn, sum(w * a_i) AS swa,
+          sum(w * w * n_i) AS sw2n
+        FROM lv),
+      u AS (SELECT n, a, swn, sw2n, n * swa - a * swn AS u FROM m)
+      SELECT n AS n_total, a AS n_returned,
+        CASE WHEN u > 0 THEN 1 WHEN u < 0 THEN -1 ELSE 0 END AS trend_sign,
+        CAST((u * u * 1000000) //
+             (a * (n - a) * (n * sw2n - swn * swn) // n) AS BIGINT) AS z2_ppm
+      FROM u
+    """))
+
+  // ---------------------------------------------------------------- q386
+
+  /** Link prediction by neighbor-set Jaccard: the 20 supplier pairs NOT
+    * yet co-supplying that share the largest fraction of co-supply
+    * neighbors — "who should be trading partners next". Common-neighbor
+    * counting goes through a hub cap (wildcard nodes with degree > 64
+    * are excluded — q288's rationale: hub paths carry no signal and
+    * their Σdeg² explodes), then an anti-join removes existing edges.
+    *
+    * Scale shape: candidate generation is Σ_{x: deg ≤ 64} deg(x)² —
+    * bounded per node by the cap; the anti-join and top-k are standard
+    * shuffles; nothing quadratic in the node count. */
+  private val q386 = QueryDef(
+    "q386_link_prediction_jaccard",
+    (spark, dir) => {
+      val li = Tables.lineitem(spark, dir)
+        .filter(col("l_shipdate") >= "1995-01-01" && col("l_shipdate") < "1996-01-01")
+        .select(col("l_orderkey").as("ok"), col("l_suppkey").as("sk"))
+      val und = li.join(li.withColumnRenamed("sk", "sk2"), Seq("ok"))
+        .filter(col("sk") < col("sk2"))
+        .select(col("sk").as("a"), col("sk2").as("b")).distinct()
+      val adj = und.union(und.select(col("b").as("a"), col("a").as("b")))
+      val deg = adj.groupBy(col("a").as("node")).agg(count(lit(1)).as("deg"))
+      val small = adj.join(deg.filter(col("deg") <= 64L).select(col("node")),
+        col("b") === col("node")).select(col("a"), col("b"))
+      // wildcard join through low-degree x: (u,x),(v,x) → candidate (u,v)
+      val cn = small.select(col("a").as("u"), col("b").as("x"))
+        .join(small.select(col("a").as("v"), col("b").as("x")), Seq("x"))
+        .filter(col("u") < col("v"))
+        .groupBy(col("u"), col("v")).agg(count(lit(1)).as("cn"))
+      cn.join(und, col("u") === col("a") && col("v") === col("b"), "left_anti")
+        .join(deg.select(col("node").as("u"), col("deg").as("deg_u")), Seq("u"))
+        .join(deg.select(col("node").as("v"), col("deg").as("deg_v")), Seq("v"))
+        .select(col("u"), col("v"), col("cn"),
+          expr("cn * 1000000 div (deg_u + deg_v - cn)").as("jaccard_ppm"))
+        .orderBy(col("jaccard_ppm").desc, col("u"), col("v"))
+        .limit(20)
+    },
+    Some("""
+      WITH li AS (
+        SELECT l_orderkey AS ok, l_suppkey AS sk FROM lineitem
+        WHERE l_shipdate >= TIMESTAMP '1995-01-01'
+          AND l_shipdate < TIMESTAMP '1996-01-01'),
+      und AS (
+        SELECT DISTINCT x.sk AS a, y.sk AS b
+        FROM li x JOIN li y ON x.ok = y.ok AND x.sk < y.sk),
+      adj AS (SELECT a, b FROM und UNION ALL SELECT b, a FROM und),
+      deg AS (SELECT a AS node, CAST(count(*) AS BIGINT) AS deg FROM adj GROUP BY 1),
+      small AS (
+        SELECT adj.a, adj.b FROM adj JOIN deg ON adj.b = deg.node
+        WHERE deg.deg <= 64),
+      cn AS (
+        SELECT s1.a AS u, s2.a AS v, CAST(count(*) AS BIGINT) AS cn
+        FROM small s1 JOIN small s2 ON s1.b = s2.b AND s1.a < s2.a
+        GROUP BY 1, 2),
+      cand AS (
+        SELECT u, v, cn FROM cn
+        WHERE NOT EXISTS (SELECT 1 FROM und WHERE und.a = u AND und.b = v))
+      SELECT u, v, cn,
+        cn * 1000000 // (du.deg + dv.deg - cn) AS jaccard_ppm
+      FROM cand
+      JOIN deg du ON u = du.node
+      JOIN deg dv ON v = dv.node
+      ORDER BY jaccard_ppm DESC, u, v
+      LIMIT 20
+    """))
+
   override def defs: Seq[QueryDef] =
     Seq(q372, q373, q374, q375, q376, q377, q378, q379, q380,
-      q381, q382, q383)
+      q381, q382, q383, q384, q385, q386)
 }

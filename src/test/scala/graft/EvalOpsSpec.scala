@@ -229,4 +229,51 @@ class EvalOpsSpec extends SparkSpec {
     val z = r.getAs[Long]("z_milli")
     assert((runs * 1000L >= r.getAs[Long]("e_milli")) == (z >= 0L))
   }
+
+  // ---------------------------------------------------------------- q384
+
+  test("cohort halflife: positive offset or the -1 sentinel, sized cohorts only") {
+    val rows = run("q384_cohort_halflife").collect()
+    assert(rows.nonEmpty)
+    for (r <- rows) {
+      val h = r.getAs[Long]("halflife_months")
+      assert(h == -1L || h >= 1L)
+      assert(r.getAs[Long]("cohort_size") >= 20L)
+    }
+    val ms = rows.map(_.getAs[Long]("cohort_m")).toSeq
+    assert(ms == ms.sorted)
+  }
+
+  // ---------------------------------------------------------------- q385
+
+  test("trend test: z-squared non-negative, counts conserve") {
+    val r = run("q385_cochran_armitage_trend").collect().head
+    assert(r.getAs[Long]("z2_ppm") >= 0L)
+    assert(Set(-1, 1, 0).contains(r.getAs[Int]("trend_sign")))
+    assert(r.getAs[Long]("n_returned") <= r.getAs[Long]("n_total"))
+  }
+
+  // ---------------------------------------------------------------- q386
+
+  test("link prediction: candidates are true non-edges with valid jaccard") {
+    val rows = run("q386_link_prediction_jaccard").collect()
+    assert(rows.nonEmpty && rows.length <= 20)
+    // recompute the edge set independently
+    val li = Tables.lineitem(spark, sfMid)
+      .filter(col("l_shipdate") >= "1995-01-01" && col("l_shipdate") < "1996-01-01")
+      .select(col("l_orderkey").as("ok"), col("l_suppkey").as("sk"))
+    val edges = li.join(li.withColumnRenamed("sk", "sk2"), Seq("ok"))
+      .filter(col("sk") < col("sk2"))
+      .select(col("sk"), col("sk2")).distinct().collect()
+      .map(r => (r.getAs[Long]("sk"), r.getAs[Long]("sk2"))).toSet
+    for (r <- rows) {
+      val pair = (r.getAs[Long]("u"), r.getAs[Long]("v"))
+      assert(!edges.contains(pair), s"$pair is already an edge")
+      val j = r.getAs[Long]("jaccard_ppm")
+      assert(j > 0L && j <= 1000000L)
+      assert(r.getAs[Long]("cn") >= 1L)
+    }
+    val js = rows.map(_.getAs[Long]("jaccard_ppm")).toSeq
+    assert(js == js.sorted.reverse)
+  }
 }
