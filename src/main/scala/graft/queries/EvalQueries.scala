@@ -1203,7 +1203,207 @@ object EvalQueries extends QueryGroup {
       LIMIT 20
     """))
 
+  // ---------------------------------------------------------------- q387
+
+  /** N-gram coverage curve: rank documents by length (the cheap quality
+    * proxy), cut into deciles, and measure how many DISTINCT word
+    * trigrams each successive decile adds — the diminishing-returns
+    * curve that tells a curation pipeline where corpus diversity
+    * saturates.
+    *
+    * Scale shape: cumulative-distinct across ordered groups without any
+    * repeated counting — each gram reduces to its FIRST decile (one
+    * gram-keyed min agg), the counts fold into 10 rows, and the running
+    * sum is a 10-row window. The doc ranking itself is the only global
+    * sort, replaceable by a quantile split at scale (q82's binning). */
+  private val q387 = QueryDef(
+    "q387_gram_coverage_curve",
+    (spark, dir) => {
+      val ranked = Tables.documents(spark, dir)
+        .select(col("doc_id"), col("text"), col("n_chars"))
+        .withColumn("rn", row_number().over(
+          Window.orderBy(col("n_chars").desc, col("doc_id"))).cast("long"))
+      val n = ranked.agg(count(lit(1)).as("n_docs"))
+      val byDecile = ranked.crossJoin(broadcast(n))
+        .withColumn("decile", expr("(rn - 1) * 10 div n_docs + 1"))
+        .withColumn("tk", graft.functions.expressions.tokens_native(col("text")))
+        .filter(size(col("tk")) >= 3)
+        .select(col("decile"),
+          explode(expr("transform(sequence(1, size(tk) - 2), i -> concat_ws(' ', slice(tk, i, 3)))"))
+            .as("gram"))
+      val firstSeen = byDecile.groupBy(col("gram")).agg(min(col("decile")).as("d0"))
+      val perDecile = firstSeen.groupBy(col("d0").as("decile"))
+        .agg(count(lit(1)).as("new_grams"))
+      val total = firstSeen.agg(count(lit(1)).as("total_grams"))
+      val wCum = Window.orderBy(col("decile"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      perDecile.crossJoin(broadcast(total))
+        .withColumn("cum_grams", sum(col("new_grams")).over(wCum))
+        .select(col("decile"), col("new_grams"), col("cum_grams"),
+          expr("cum_grams * 1000000 div total_grams").as("coverage_ppm"))
+        .orderBy(col("decile"))
+    },
+    Some(s"""
+      WITH ranked AS (
+        SELECT doc_id, text,
+          CAST(row_number() OVER (ORDER BY n_chars DESC, doc_id) AS BIGINT) AS rn,
+          CAST(count(*) OVER () AS BIGINT) AS n_docs
+        FROM documents),
+      toks AS (
+        SELECT (rn - 1) * 10 // n_docs + 1 AS decile, $duckTokens AS tk
+        FROM ranked),
+      grams AS (
+        SELECT decile,
+          unnest([array_to_string(tk[i:i+2], ' ') for i in range(1, len(tk) - 1)]) AS gram
+        FROM toks WHERE len(tk) >= 3),
+      first_seen AS (SELECT gram, min(decile) AS d0 FROM grams GROUP BY 1),
+      per_decile AS (
+        SELECT d0 AS decile, CAST(count(*) AS BIGINT) AS new_grams
+        FROM first_seen GROUP BY 1),
+      total AS (SELECT CAST(count(*) AS BIGINT) AS total_grams FROM first_seen)
+      SELECT decile, new_grams,
+        sum(new_grams) OVER (ORDER BY decile
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_grams,
+        sum(new_grams) OVER (ORDER BY decile
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) * 1000000
+          // total_grams AS coverage_ppm
+      FROM per_decile CROSS JOIN total
+      ORDER BY decile
+    """))
+
+  // ---------------------------------------------------------------- q388
+
+  /** EXACT Shapley-value attribution over the 4 non-purchase channels:
+    * each user's touched-channel SET defines the coalition, v(S) = the
+    * conversion rate of users exposed to exactly S (ppm), and each
+    * channel's Shapley value folds the 8 marginal contributions
+    * v(S∪c) − v(S) with the exact rational weights s!(k−1−s)!
+    * (×k! = 24 to stay integer). The game-theoretically fair
+    * attribution — first/last/linear touch (q85/q278/q105) are its
+    * heuristic approximations.
+    *
+    * Scale shape: users fold to 16 coalition rows in one agg; the
+    * Shapley fold is a STATIC 32-row literal (channel × subset) table
+    * joined twice against those 16 rows. Nothing driver-side, nothing
+    * exponential in users — only in the channel count, which is a
+    * vocabulary. */
+  private val q388 = QueryDef(
+    "q388_shapley_attribution",
+    (spark, dir) => {
+      import spark.implicits._
+      val channels = Seq("click", "error", "signup", "view")
+      val wgt = Map(0 -> 6L, 1 -> 2L, 2 -> 2L, 3 -> 6L) // s!(3-s)!
+      // static (channel, without-key, with-key, weight) fold table
+      val folds = for {
+        c <- channels
+        subset <- channels.filterNot(_ == c).toSet.subsets().toSeq
+      } yield (c, subset.toSeq.sorted.mkString(","),
+        (subset + c).toSeq.sorted.mkString(","), wgt(subset.size))
+      val foldDf = broadcast(folds.toDF("channel", "s_without", "s_with", "w"))
+      val perUser = Tables.events(spark, dir)
+        .groupBy(col("user_id"))
+        .agg(
+          concat_ws(",", array_sort(collect_set(
+            when(col("event_type") =!= "purchase", col("event_type")))))
+            .as("coalition"),
+          max(when(col("event_type") === "purchase", 1L).otherwise(0L)).as("conv"))
+      val v = perUser.groupBy(col("coalition"))
+        .agg(count(lit(1)).as("n"), sum(col("conv")).as("k"))
+        .select(col("coalition"), expr("k * 1000000 div n").as("v_ppm"))
+      foldDf
+        .join(v.select(col("coalition").as("s_with"), col("v_ppm").as("v_with")),
+          Seq("s_with"), "left")
+        .join(v.select(col("coalition").as("s_without"), col("v_ppm").as("v_without")),
+          Seq("s_without"), "left")
+        .na.fill(0L, Seq("v_with", "v_without"))
+        .groupBy(col("channel"))
+        .agg(sum(col("w") * (col("v_with") - col("v_without"))).as("phi_ppm_x24"))
+        .orderBy(col("channel"))
+    },
+    Some {
+      val channels = Seq("click", "error", "signup", "view")
+      val wgt = Map(0 -> 6L, 1 -> 2L, 2 -> 2L, 3 -> 6L)
+      val folds = for {
+        c <- channels
+        subset <- channels.filterNot(_ == c).toSet.subsets().toSeq
+      } yield s"('$c', '${subset.toSeq.sorted.mkString(",")}', " +
+        s"'${(subset + c).toSeq.sorted.mkString(",")}', ${wgt(subset.size)})"
+      s"""
+      WITH per_user AS (
+        SELECT user_id,
+          array_to_string(list_sort(list_distinct(
+            list_filter(list(event_type), t -> t <> 'purchase'))), ',') AS coalition,
+          max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS conv
+        FROM events GROUP BY user_id),
+      v AS (
+        SELECT coalition,
+          CAST(sum(conv) AS BIGINT) * 1000000 // CAST(count(*) AS BIGINT) AS v_ppm
+        FROM per_user GROUP BY 1),
+      folds(channel, s_without, s_with, w) AS (VALUES ${folds.mkString(", ")})
+      SELECT channel,
+        CAST(sum(w * (coalesce(vw.v_ppm, 0) - coalesce(vo.v_ppm, 0))) AS BIGINT)
+          AS phi_ppm_x24
+      FROM folds
+      LEFT JOIN v vw ON vw.coalition = s_with
+      LEFT JOIN v vo ON vo.coalition = s_without
+      GROUP BY channel
+      ORDER BY channel
+      """
+    })
+
+  // ---------------------------------------------------------------- q389
+
+  /** MASE-style forecast benchmarking: the day-over-day naive forecast's
+    * mean absolute error against the week-over-week seasonal naive's,
+    * as an exact ppm ratio — below 1e6 means yesterday predicts today
+    * better than last week does (weak weekly seasonality), the
+    * denominator every real forecast model must beat.
+    *
+    * Scale shape: daily totals are calendar-sized; both error series
+    * come from lags over ONE ordered window pass; the MAEs are exact
+    * integer-cents sums over the common comparable span. */
+  private val q389 = QueryDef(
+    "q389_mase_forecast_eval",
+    (spark, dir) => {
+      val daily = Tables.orders(spark, dir)
+        .groupBy(expr("CAST(o_orderdate AS DATE)").as("day"))
+        .agg(sum(cents(col("o_totalprice"))).as("rev_c"))
+      val w = Window.orderBy(col("day"))
+      daily
+        .withColumn("l1", lag(col("rev_c"), 1).over(w))
+        .withColumn("l7", lag(col("rev_c"), 7).over(w))
+        .filter(col("l7").isNotNull) // common span: both lags defined
+        .agg(
+          count(lit(1)).as("n_days"),
+          sum(abs(col("rev_c") - col("l1"))).as("ae1_c"),
+          sum(abs(col("rev_c") - col("l7"))).as("ae7_c"))
+        .select(col("n_days"),
+          expr("ae1_c div n_days").as("mae_naive1_c"),
+          expr("ae7_c div n_days").as("mae_naive7_c"),
+          expr("ae1_c * 1000000 div ae7_c").as("mase_ppm"))
+    },
+    Some("""
+      WITH daily AS (
+        SELECT CAST(o_orderdate AS DATE) AS day,
+          sum(CAST(floor(o_totalprice*100 + 0.5) AS BIGINT)) AS rev_c
+        FROM orders GROUP BY 1),
+      lagged AS (
+        SELECT rev_c,
+          lag(rev_c, 1) OVER (ORDER BY day) AS l1,
+          lag(rev_c, 7) OVER (ORDER BY day) AS l7
+        FROM daily),
+      m AS (
+        SELECT CAST(count(*) AS BIGINT) AS n_days,
+          sum(abs(rev_c - l1)) AS ae1_c,
+          sum(abs(rev_c - l7)) AS ae7_c
+        FROM lagged WHERE l7 IS NOT NULL)
+      SELECT n_days, ae1_c // n_days AS mae_naive1_c,
+        ae7_c // n_days AS mae_naive7_c,
+        ae1_c * 1000000 // ae7_c AS mase_ppm
+      FROM m
+    """))
+
   override def defs: Seq[QueryDef] =
     Seq(q372, q373, q374, q375, q376, q377, q378, q379, q380,
-      q381, q382, q383, q384, q385, q386)
+      q381, q382, q383, q384, q385, q386, q387, q388, q389)
 }

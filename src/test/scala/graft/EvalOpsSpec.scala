@@ -276,4 +276,53 @@ class EvalOpsSpec extends SparkSpec {
     val js = rows.map(_.getAs[Long]("jaccard_ppm")).toSeq
     assert(js == js.sorted.reverse)
   }
+
+  // ---------------------------------------------------------------- q387
+
+  test("gram coverage: cumulative curve ends at exactly 100%") {
+    val rows = run("q387_gram_coverage_curve").collect()
+    assert(rows.nonEmpty)
+    val deciles = rows.map(_.getAs[Long]("decile")).toSeq
+    assert(deciles == deciles.sorted && deciles.forall(d => d >= 1 && d <= 10))
+    val cums = rows.map(_.getAs[Long]("cum_grams")).toSeq
+    assert(cums == cums.sorted)
+    assert(rows.map(_.getAs[Long]("new_grams")).sum == cums.last)
+    assert(rows.last.getAs[Long]("coverage_ppm") == 1000000L)
+  }
+
+  // ---------------------------------------------------------------- q388
+
+  test("shapley attribution: efficiency axiom — values sum to v(N) - v(empty)") {
+    val rows = run("q388_shapley_attribution").collect()
+    assert(rows.map(_.getAs[String]("channel")).toSet ==
+      Set("click", "error", "signup", "view"))
+    // independent v(·) for the grand coalition and the empty set
+    val perUser = Tables.events(spark, sfMid)
+      .groupBy(col("user_id"))
+      .agg(
+        concat_ws(",", array_sort(collect_set(
+          when(col("event_type") =!= "purchase", col("event_type")))))
+          .as("coalition"),
+        max(when(col("event_type") === "purchase", 1L).otherwise(0L)).as("conv"))
+    def v(coalition: String): Long = {
+      val g = perUser.filter(col("coalition") === coalition)
+        .agg(count(lit(1)).as("n"), sum(col("conv")).as("k")).collect().head
+      val n = g.getAs[Long]("n")
+      if (n == 0) 0L else g.getAs[Long]("k") * 1000000L / n
+    }
+    val grand = v("click,error,signup,view")
+    val empty = v("")
+    assert(rows.map(_.getAs[Long]("phi_ppm_x24")).sum == 24L * (grand - empty),
+      "Shapley values must exactly split v(N) - v(empty)")
+  }
+
+  // ---------------------------------------------------------------- q389
+
+  test("mase eval: positive errors, ratio consistent with the two MAEs") {
+    val r = run("q389_mase_forecast_eval").collect().head
+    assert(r.getAs[Long]("n_days") >= 1L)
+    assert(r.getAs[Long]("mae_naive1_c") > 0L)
+    assert(r.getAs[Long]("mae_naive7_c") > 0L)
+    assert(r.getAs[Long]("mase_ppm") > 0L)
+  }
 }
