@@ -38,7 +38,8 @@ object SparkEntry {
     ModelQueries,
     OlapQueries,
     TpchQueries,
-    EvalQueries)
+    EvalQueries,
+    SignalQueries)
 
   private lazy val all: Seq[QueryDef] = groups.flatMap(_.defs)
 

@@ -88,7 +88,8 @@ class QueriesSmokeSpec extends SparkSpec {
     "q372_rle_layout_plan", "q373_dcg_retrieval_eval",
     "q374_markov_removal_attribution", "q378_cluster_keyword_labels",
     "q380_water_filling_quota", "q381_median_order_stat_ci",
-    "q383_runs_test_daily_revenue", "q387_gram_coverage_curve")
+    "q383_runs_test_daily_revenue", "q387_gram_coverage_curve",
+    "q390_best_campaign_window")
 
   test("query constructors are lazy: warm construction launches zero jobs") {
     import org.apache.spark.scheduler.{SparkListener, SparkListenerJobStart}
