@@ -210,5 +210,246 @@ object SignalQueries extends QueryGroup {
       ORDER BY qty
     """))
 
-  override def defs: Seq[QueryDef] = Seq(q390, q391, q392)
+  // ---------------------------------------------------------------- q393
+
+  /** Positional phrase search: every occurrence of the corpus's most
+    * frequent word trigram, located through a POSITIONAL inverted index
+    * (token → (doc, pos) postings) — the IR primitive behind exact
+    * phrase queries, q63's index upgraded with positions. The phrase is
+    * data-derived (top trigram, count-desc/gram-asc tiebreak) so the
+    * query is self-contained at any SF.
+    *
+    * Scale shape: postings build is one explode; the phrase row is a
+    * one-row broadcast; matching is three postings self-joins on
+    * (doc, consecutive pos) — each join keyed, each side pre-filtered
+    * to ONE token by the broadcast, so the joined volume is the
+    * postings of three specific words, not the corpus. */
+  private val q393 = QueryDef(
+    "q393_phrase_search_positional",
+    (spark, dir) => {
+      val post = Tables.documents(spark, dir)
+        .select(col("doc_id"),
+          posexplode(graft.functions.expressions.tokens_native(col("text")))
+            .as(Seq("pos", "token")))
+      val grams = Tables.documents(spark, dir)
+        .withColumn("tk", graft.functions.expressions.tokens_native(col("text")))
+        .filter(size(col("tk")) >= 3)
+        .select(explode(expr(
+          "transform(sequence(1, size(tk) - 2), i -> concat_ws(' ', slice(tk, i, 3)))"))
+          .as("gram"))
+        .groupBy(col("gram")).agg(count(lit(1)).as("n"))
+      val top = grams.orderBy(col("n").desc, col("gram")).limit(1)
+        .select(split(col("gram"), " ").as("ws"), col("gram"))
+        .select(col("gram"), col("ws").getItem(0).as("w1"),
+          col("ws").getItem(1).as("w2"), col("ws").getItem(2).as("w3"))
+      val p1 = post.crossJoin(broadcast(top)).filter(col("token") === col("w1"))
+        .select(col("doc_id"), col("pos"), col("gram"), col("w2"), col("w3"))
+      val p2 = post.select(col("doc_id").as("d2"), col("pos").as("q2"),
+        col("token").as("t2"))
+      val p3 = post.select(col("doc_id").as("d3"), col("pos").as("q3"),
+        col("token").as("t3"))
+      p1.join(p2, col("doc_id") === col("d2") && col("q2") === col("pos") + 1 &&
+          col("t2") === col("w2"))
+        .join(p3, col("doc_id") === col("d3") && col("q3") === col("pos") + 2 &&
+          col("t3") === col("w3"))
+        .select(col("gram").as("phrase"), col("doc_id"), col("pos").cast("long").as("pos"))
+        .orderBy(col("doc_id"), col("pos"))
+    },
+    Some(s"""
+      WITH tk AS (
+        SELECT doc_id, list_filter(str_split(text, ' '), t -> len(t) > 0) AS tk
+        FROM documents),
+      grams AS (
+        SELECT unnest([array_to_string(t.tk[i:i+2], ' ')
+                       for i in range(1, len(t.tk) - 1)]) AS gram
+        FROM tk t WHERE len(t.tk) >= 3),
+      top AS (
+        SELECT gram, str_split(gram, ' ') AS ws
+        FROM (SELECT gram, count(*) AS n FROM grams GROUP BY 1
+              ORDER BY n DESC, gram LIMIT 1)),
+      post AS (
+        SELECT doc_id, CAST(i.i - 1 AS BIGINT) AS pos, tk[CAST(i.i AS INTEGER)] AS token
+        FROM tk, LATERAL (SELECT unnest(range(1, len(tk) + 1)) AS i) i)
+      SELECT top.gram AS phrase, p1.doc_id, p1.pos
+      FROM post p1
+      JOIN top ON p1.token = ws[1]
+      JOIN post p2 ON p2.doc_id = p1.doc_id AND p2.pos = p1.pos + 1
+                   AND p2.token = ws[2]
+      JOIN post p3 ON p3.doc_id = p1.doc_id AND p3.pos = p1.pos + 2
+                   AND p3.token = ws[3]
+      ORDER BY p1.doc_id, p1.pos
+    """))
+
+  // ---------------------------------------------------------------- q394
+
+  /** One real BPE training step: find the corpus's best character pair,
+    * MERGE it everywhere (the step q104's pair census stops short of),
+    * and emit the next round's top-5 pairs — demonstrating that
+    * tokenizer training iterates entirely inside the engine. Sequences
+    * are space-joined symbols; the merge is a literal left-to-right
+    * replace (identical semantics in both engines); round-2 pairs come
+    * from array adjacency, immune to overlap artifacts.
+    *
+    * Scale shape: everything runs on the word-frequency table (the
+    * vocabulary), not the corpus — one corpus scan feeds it; the merge
+    * pair is a one-row broadcast. */
+  private val q394 = QueryDef(
+    "q394_bpe_merge_step",
+    (spark, dir) => {
+      val words = Tables.documents(spark, dir)
+        .select(explode(graft.functions.expressions.tokens_native(col("text"))).as("w"))
+        .groupBy(col("w")).agg(count(lit(1)).as("f"))
+        // explicit substring chars: split(w, '') keeps a trailing empty
+        // string under Java's limit=-1 semantics, which DuckDB's
+        // str_split does not — substring indexing is identical in both
+        .withColumn("seq", expr(
+          "concat_ws(' ', transform(sequence(1, length(w)), i -> substring(w, i, 1)))"))
+      def pairCounts(df: org.apache.spark.sql.DataFrame) = df
+        .withColumn("a", split(col("seq"), " "))
+        .filter(size(col("a")) >= 2)
+        .select(col("f"), explode(expr(
+          "transform(sequence(1, size(a) - 1), i -> concat(a[i - 1], ' ', a[i]))"))
+          .as("pair"))
+        .groupBy(col("pair")).agg(sum(col("f")).as("n"))
+      val top1 = pairCounts(words)
+        .orderBy(col("n").desc, col("pair")).limit(1)
+        .select(col("pair").as("merge_pair"), col("n").as("merge_n"),
+          regexp_replace(col("pair"), " ", "").as("merged"))
+      val merged = words.crossJoin(broadcast(top1))
+        .withColumn("seq", expr("replace(seq, merge_pair, merged)"))
+      val round2 = pairCounts(merged.select(col("f"), col("seq")))
+        .withColumn("rk", row_number().over(
+          Window.orderBy(col("n").desc, col("pair"))).cast("long"))
+        .filter(col("rk") <= 5)
+        .select(lit(2L).as("round"), col("rk"), col("pair"), col("n"))
+      top1.select(lit(1L).as("round"), lit(1L).as("rk"),
+          col("merge_pair").as("pair"), col("merge_n").as("n"))
+        .union(round2)
+        .orderBy(col("round"), col("rk"))
+    },
+    Some("""
+      WITH words AS (
+        SELECT w, CAST(count(*) AS BIGINT) AS f,
+          array_to_string([substring(w, CAST(i AS INTEGER), 1)
+                           for i in range(1, len(w) + 1)], ' ') AS seq
+        FROM (SELECT unnest(list_filter(str_split(text, ' '), t -> len(t) > 0)) AS w
+              FROM documents)
+        GROUP BY w),
+      p1 AS (
+        SELECT pair, sum(f) AS n FROM (
+          SELECT f, a[i] || ' ' || a[i + 1] AS pair
+          FROM (SELECT f, str_split(seq, ' ') AS a FROM words),
+            LATERAL (SELECT unnest(range(1, len(a))) AS i) i
+          WHERE len(a) >= 2)
+        GROUP BY pair),
+      top1 AS (
+        SELECT pair AS merge_pair, n AS merge_n, replace(pair, ' ', '') AS merged
+        FROM p1 ORDER BY n DESC, pair LIMIT 1),
+      merged AS (
+        SELECT f, replace(seq, merge_pair, merged) AS seq
+        FROM words CROSS JOIN top1),
+      p2 AS (
+        SELECT pair, sum(f) AS n FROM (
+          SELECT f, a[i] || ' ' || a[i + 1] AS pair
+          FROM (SELECT f, str_split(seq, ' ') AS a FROM merged),
+            LATERAL (SELECT unnest(range(1, len(a))) AS i) i
+          WHERE len(a) >= 2)
+        GROUP BY pair),
+      r2 AS (
+        SELECT CAST(2 AS BIGINT) AS round, rk, pair, CAST(n AS BIGINT) AS n FROM (
+          SELECT pair, n,
+            CAST(row_number() OVER (ORDER BY n DESC, pair) AS BIGINT) AS rk
+          FROM p2)
+        WHERE rk <= 5)
+      SELECT CAST(1 AS BIGINT) AS round, CAST(1 AS BIGINT) AS rk,
+        merge_pair AS pair, CAST(merge_n AS BIGINT) AS n
+      FROM top1
+      UNION ALL
+      SELECT round, rk, pair, n FROM r2
+      ORDER BY round, rk
+    """))
+
+  // ---------------------------------------------------------------- q395
+
+  /** Markov stationarity distance: push the EMPIRICAL event-type
+    * distribution 8 power steps through the full first-order chain
+    * (purchase as an ordinary state — no absorption) and measure the
+    * total-variation distance to where it started, per state and in
+    * total — near-zero means the click-stream is already mixing at its
+    * stationary behavior; large means the observed mix is transient.
+    * q374's machinery transposed: row-vector · matrix instead of
+    * matrix · column-vector.
+    *
+    * Scale shape: same as q374 — the transition build scans events once
+    * and localCheckpoints a ≤6×6 table; 8 unrolled tiny join+agg steps. */
+  private val q395 = QueryDef(
+    "q395_markov_stationarity",
+    (spark, dir) => {
+      val ev = Tables.events(spark, dir)
+        .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+      val wU = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      val steps = ev
+        .withColumn("nxt", lead(col("event_type"), 1).over(wU))
+        .filter(col("nxt").isNotNull)
+        .select(col("event_type").as("src"), col("nxt").as("dst"))
+      val counts = steps.groupBy(col("src"), col("dst")).agg(count(lit(1)).as("n"))
+      val outs = counts.groupBy(col("src")).agg(sum(col("n")).as("tot"))
+      val trans = counts.join(outs, Seq("src"))
+        .select(col("src"), col("dst"), expr("n * 1000000 div tot").as("t_ppm"))
+        .localCheckpoint(true)
+      val emp = Tables.events(spark, dir)
+        .groupBy(col("event_type").as("state")).agg(count(lit(1)).as("c"))
+      val empTot = emp.agg(sum(col("c")).as("tc"))
+      val d0 = emp.crossJoin(broadcast(empTot))
+        .select(col("state"), expr("c * 1000000 div tc").as("d_ppm"))
+      var d = d0
+      for (_ <- 1 to 8) {
+        d = trans
+          .join(d.select(col("state").as("src"), col("d_ppm")), Seq("src"))
+          .groupBy(col("dst").as("state"))
+          .agg(expr("sum(d_ppm * t_ppm) div 1000000").as("d_ppm"))
+      }
+      d0.select(col("state"), col("d_ppm").as("empirical_ppm"))
+        .join(d.select(col("state"), col("d_ppm").as("evolved_ppm")), Seq("state"), "left")
+        .na.fill(0L, Seq("evolved_ppm"))
+        .select(col("state"), col("empirical_ppm"), col("evolved_ppm"),
+          abs(col("empirical_ppm") - col("evolved_ppm")).as("abs_diff_ppm"))
+        .orderBy(col("state"))
+    },
+    Some {
+      // unrolled row-vector power steps as chained CTEs
+      val stepCtes = (1 to 8).map { i =>
+        val prev = if (i == 1) "d0" else s"d${i - 1}"
+        s"""d$i AS (
+          SELECT t.dst AS state, sum(p.d_ppm * t.t_ppm) // 1000000 AS d_ppm
+          FROM trans t JOIN $prev p ON p.state = t.src
+          GROUP BY 1)"""
+      }.mkString(",\n")
+      s"""
+      WITH ev AS (
+        SELECT event_type,
+          lead(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS nxt
+        FROM events),
+      counts AS (
+        SELECT event_type AS src, nxt AS dst, CAST(count(*) AS BIGINT) AS n
+        FROM ev WHERE nxt IS NOT NULL GROUP BY 1, 2),
+      outs AS (SELECT src, sum(n) AS tot FROM counts GROUP BY 1),
+      trans AS (
+        SELECT counts.src, dst, n * 1000000 // tot AS t_ppm
+        FROM counts JOIN outs ON counts.src = outs.src),
+      emp AS (
+        SELECT event_type AS state, CAST(count(*) AS BIGINT) AS c
+        FROM events GROUP BY 1),
+      d0 AS (
+        SELECT state, c * 1000000 // (SELECT sum(c) FROM emp) AS d_ppm FROM emp),
+      $stepCtes
+      SELECT d0.state, d0.d_ppm AS empirical_ppm,
+        coalesce(d8.d_ppm, 0) AS evolved_ppm,
+        abs(d0.d_ppm - coalesce(d8.d_ppm, 0)) AS abs_diff_ppm
+      FROM d0 LEFT JOIN d8 USING (state)
+      ORDER BY d0.state
+      """
+    })
+
+  override def defs: Seq[QueryDef] = Seq(q390, q391, q392, q393, q394, q395)
 }

@@ -89,7 +89,8 @@ class QueriesSmokeSpec extends SparkSpec {
     "q374_markov_removal_attribution", "q378_cluster_keyword_labels",
     "q380_water_filling_quota", "q381_median_order_stat_ci",
     "q383_runs_test_daily_revenue", "q387_gram_coverage_curve",
-    "q390_best_campaign_window")
+    "q390_best_campaign_window", "q394_bpe_merge_step",
+    "q395_markov_stationarity")
 
   test("query constructors are lazy: warm construction launches zero jobs") {
     import org.apache.spark.scheduler.{SparkListener, SparkListenerJobStart}
@@ -116,9 +117,9 @@ class QueriesSmokeSpec extends SparkSpec {
       "q57_bloom_semi_join", "q44_tfidf_top_terms",
       "q34_csv_source_roundtrip", "q34_json_source_roundtrip",
       "q34_orc_source_roundtrip",
-      // q374 localCheckpoints the (bounded, ≤ 7×7-row) transition table
-      // so the 8-step unrolled iteration scans events exactly once
-      "q374_markov_removal_attribution")
+      // q374/q395 localCheckpoint the (bounded, ≤ 7×7-row) transition
+      // table so the 8-step unrolled iterations scan events exactly once
+      "q374_markov_removal_attribution", "q395_markov_stationarity")
     // the bus delivers only events posted after registration, so earlier
     // tests' jobs cannot leak into the count
     spark.sparkContext.addSparkListener(listener)

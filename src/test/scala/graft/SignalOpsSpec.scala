@@ -62,4 +62,50 @@ class SignalOpsSpec extends SparkSpec {
     val total = rows.map(_.getAs[Long]("n")).sum
     assert(total == Tables.lineitem(spark, sfMid).count())
   }
+
+  // ---------------------------------------------------------------- q393
+
+  test("phrase search: every hit really contains the phrase at that position") {
+    val rows = run("q393_phrase_search_positional").collect()
+    assert(rows.nonEmpty)
+    val phrase = rows.head.getAs[String]("phrase").split(" ")
+    val docs = rows.map(_.getAs[Long]("doc_id")).toSet
+    val texts = Tables.documents(spark, sfMid)
+      .filter(col("doc_id").isin(docs.toSeq: _*))
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        r.getAs[String]("text").split(" ").filter(_.nonEmpty)).toMap
+    for (r <- rows) {
+      val toks = texts(r.getAs[Long]("doc_id"))
+      val p = r.getAs[Long]("pos").toInt
+      assert(toks.slice(p, p + 3).sameElements(phrase),
+        s"doc ${r.getAs[Long]("doc_id")} pos $p does not hold the phrase")
+    }
+  }
+
+  // ---------------------------------------------------------------- q394
+
+  test("bpe merge: merged pair dominates and disappears from round 2") {
+    val rows = run("q394_bpe_merge_step").collect()
+    val r1 = rows.filter(_.getAs[Long]("round") == 1L)
+    val r2 = rows.filter(_.getAs[Long]("round") == 2L)
+    assert(r1.length == 1 && r2.nonEmpty)
+    val (mergePair, mergeN) = (r1.head.getAs[String]("pair"), r1.head.getAs[Long]("n"))
+    // a merge can only create pairs rarer than (or equal to) the one it fused
+    assert(r2.forall(_.getAs[Long]("n") <= mergeN))
+    assert(!r2.exists(_.getAs[String]("pair") == mergePair),
+      "the merged pair cannot survive its own merge")
+  }
+
+  // ---------------------------------------------------------------- q395
+
+  test("markov stationarity: evolved mass conserves to within floor bleed") {
+    val rows = run("q395_markov_stationarity").collect()
+    assert(rows.nonEmpty)
+    val evolved = rows.map(_.getAs[Long]("evolved_ppm")).sum
+    assert(evolved <= 1000000L && evolved >= 1000000L - 1000L,
+      s"8 integer power steps bleed at most ~states x 8 ppm, got $evolved")
+    for (r <- rows)
+      assert(r.getAs[Long]("abs_diff_ppm") ==
+        math.abs(r.getAs[Long]("empirical_ppm") - r.getAs[Long]("evolved_ppm")))
+  }
 }
