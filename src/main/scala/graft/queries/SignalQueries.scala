@@ -13,6 +13,9 @@ import graft.functions.Deterministic.cents
   */
 object SignalQueries extends QueryGroup {
 
+  /** The shared whitespace tokenizer, as DuckDB SQL. */
+  private val duckTokens = "list_filter(str_split(text, ' '), t -> len(t) > 0)"
+
   // ---------------------------------------------------------------- q390
 
   /** Best contiguous campaign window: the consecutive day span with the
@@ -451,5 +454,173 @@ object SignalQueries extends QueryGroup {
       """
     })
 
-  override def defs: Seq[QueryDef] = Seq(q390, q391, q392, q393, q394, q395)
+  // ---------------------------------------------------------------- q396
+
+  /** Rendezvous (highest-random-weight) sharding: every customer key
+    * scores each shard with a deterministic hash and lands on the
+    * argmax — then the audit re-runs with one shard ADDED and counts
+    * who moves. HRW's guarantee (only keys whose argmax becomes the new
+    * shard move, ≈ 1/(N+1) of them) is the property that makes
+    * rebalancing cheap; q312's consistent-hash ring is the other
+    * classic answer, this is the join-free one.
+    *
+    * Scale shape: explode keys × (N+1) shard ids (a constant fan-out),
+    * one max_by per key per scenario, vocabulary-sized shard census. */
+  private val q396 = QueryDef(
+    "q396_rendezvous_sharding",
+    (spark, dir) => {
+      // h(k, s): Knuth multiplier over the masked key, shard-salted
+      val keys = Tables.customer(spark, dir).select(col("c_custkey").as("k"))
+        .withColumn("s", explode(expr("sequence(0L, 8L)")))
+        // the key is PRE-HASHED before the per-shard multiplier (kept
+        // odd: even step) — raw small keys times M_s walk the 2^32 ring
+        // monotonically in s without wrapping, collapsing every argmax
+        // onto the largest shard id; the ×16+s fold breaks exact hash
+        // collisions between shards deterministically
+        .withColumn("kh", expr(
+          "((k % 2147483648) * 2654435761) % 4294967296 % 2147483648"))
+        .withColumn("h", expr(
+          "((kh * (2654435761 + s * 81006)) % 4294967296) * 16 + s"))
+      val assign = keys.groupBy(col("k"))
+        .agg(
+          max_by(col("s"), when(col("s") < 8L, col("h")).otherwise(lit(-1L)))
+            .as("shard8"),
+          max_by(col("s"), col("h")).as("shard9"))
+      assign.groupBy(col("shard9").as("shard"))
+        .agg(
+          sum(when(col("shard8") === col("shard9"), 1L).otherwise(0L)).as("n_stable"),
+          sum(when(col("shard8") =!= col("shard9"), 1L).otherwise(0L)).as("n_moved_in"))
+        .withColumn("n_after", col("n_stable") + col("n_moved_in"))
+        .orderBy(col("shard"))
+    },
+    Some("""
+      WITH keys AS (
+        SELECT c_custkey AS k, s.s,
+          (((((c_custkey % 2147483648) * 2654435761) % 4294967296 % 2147483648)
+            * (2654435761 + s.s * 81006)) % 4294967296) * 16 + s.s AS h
+        FROM customer, LATERAL (SELECT unnest(range(0, 9)) AS s) s),
+      assign AS (
+        SELECT k,
+          arg_max(s, CASE WHEN s < 8 THEN h ELSE -1 END) AS shard8,
+          arg_max(s, h) AS shard9
+        FROM keys GROUP BY k)
+      SELECT shard9 AS shard,
+        CAST(count(*) FILTER (shard8 = shard9) AS BIGINT) AS n_stable,
+        CAST(count(*) FILTER (shard8 <> shard9) AS BIGINT) AS n_moved_in,
+        CAST(count(*) AS BIGINT) AS n_after
+      FROM assign
+      GROUP BY shard9
+      ORDER BY shard
+    """))
+
+  // ---------------------------------------------------------------- q397
+
+  /** word2vec-style unigram^{3/4} sampling table: token pick
+    * probabilities proportional to f^{0.75}, the frequency flattening
+    * every embedding trainer uses for negative sampling.
+    * f^{3/4} = √(√(f³)) — two correctly-rounded IEEE square roots on an
+    * exact integer (f³ < 2^53 at verified scales), floored to milli
+    * units ONCE, so both engines produce identical weights with no
+    * pow()/log() in sight.
+    *
+    * Scale shape: the whole computation lives on the vocabulary table;
+    * the normalizing sum is a one-row broadcast. */
+  private val q397 = QueryDef(
+    "q397_unigram_sampling_table",
+    (spark, dir) => {
+      val freq = Tables.documents(spark, dir)
+        .select(explode(graft.functions.expressions.tokens_native(col("text"))).as("token"))
+        .groupBy(col("token")).agg(count(lit(1)).as("f"))
+        .withColumn("w_m", expr(
+          "CAST(floor(sqrt(sqrt(CAST(f * f * f AS DOUBLE))) * 1000) AS BIGINT)"))
+      val tot = freq.agg(sum(col("w_m")).as("tw"), sum(col("f")).as("tf"))
+      freq.crossJoin(broadcast(tot))
+        .select(col("token"), col("f"),
+          expr("f * 1000000 div tf").as("raw_ppm"),
+          expr("w_m * 1000000 div tw").as("sample_ppm"))
+        .orderBy(col("f").desc, col("token"))
+        .limit(20)
+    },
+    Some(s"""
+      WITH freq AS (
+        SELECT token, CAST(count(*) AS BIGINT) AS f,
+          CAST(floor(sqrt(sqrt(CAST(f * f * f AS DOUBLE))) * 1000) AS BIGINT) AS w_m
+        FROM (SELECT unnest($duckTokens) AS token FROM documents)
+        GROUP BY token),
+      tot AS (SELECT sum(w_m) AS tw, sum(f) AS tf FROM freq)
+      SELECT token, f,
+        f * 1000000 // tf AS raw_ppm,
+        w_m * 1000000 // tw AS sample_ppm
+      FROM freq CROSS JOIN tot
+      ORDER BY f DESC, token
+      LIMIT 20
+    """))
+
+  // ---------------------------------------------------------------- q398
+
+  /** Disparate-impact (80%-rule) audit: per customer nation, the rate
+    * of above-mean-value orders vs the LARGEST nation's rate, as an
+    * exact ppm ratio with the classic fourth-fifths flag — the fairness
+    * sanity check any scoring pipeline owes its selection step. The
+    * above-mean test is the cross-multiplied rev·n > total (no mean
+    * division), the reference group is data-derived (max population,
+    * nation-name tiebreak).
+    *
+    * Scale shape: one orders↔customer join (nation broadcast), a
+    * nation-keyed census, a one-row broadcast reference. */
+  private val q398 = QueryDef(
+    "q398_disparate_impact_audit",
+    (spark, dir) => {
+      val o = Tables.orders(spark, dir)
+        .select(col("o_custkey"), cents(col("o_totalprice")).as("v_c"))
+      val tot = o.agg(sum(col("v_c")).as("total_c"), count(lit(1)).as("n"))
+      val rates = o.crossJoin(broadcast(tot))
+        .withColumn("pos", when(col("v_c") * col("n") > col("total_c"), 1L).otherwise(0L))
+        .join(Tables.customer(spark, dir)
+          .join(broadcast(Tables.nation(spark, dir)),
+            col("c_nationkey") === col("n_nationkey"))
+          .select(col("c_custkey"), col("n_name")),
+          col("o_custkey") === col("c_custkey"))
+        .groupBy(col("n_name"))
+        .agg(count(lit(1)).as("n_orders"), sum(col("pos")).as("n_pos"))
+        .withColumn("rate_ppm", expr("n_pos * 1000000 div n_orders"))
+      val ref = rates
+        .orderBy(col("n_orders").desc, col("n_name")).limit(1)
+        .select(col("n_name").as("ref_nation"), col("rate_ppm").as("ref_ppm"))
+      rates.crossJoin(broadcast(ref))
+        .select(col("n_name"), col("n_orders"), col("rate_ppm"), col("ref_nation"),
+          expr("CASE WHEN ref_ppm = 0 THEN 1000000 " +
+            "ELSE rate_ppm * 1000000 div ref_ppm END").as("impact_ratio_ppm"))
+        .withColumn("below_four_fifths", col("impact_ratio_ppm") < 800000L)
+        .orderBy(col("n_name"))
+    },
+    Some("""
+      WITH o AS (
+        SELECT o_custkey, CAST(floor(o_totalprice*100 + 0.5) AS BIGINT) AS v_c
+        FROM orders),
+      tot AS (SELECT sum(v_c) AS total_c, CAST(count(*) AS BIGINT) AS n FROM o),
+      rates AS (
+        SELECT n_name, CAST(count(*) AS BIGINT) AS n_orders,
+          CAST(count(*) FILTER (v_c * n > total_c) AS BIGINT) AS n_pos,
+          CAST(count(*) FILTER (v_c * n > total_c) AS BIGINT) * 1000000
+            // CAST(count(*) AS BIGINT) AS rate_ppm
+        FROM o CROSS JOIN tot
+        JOIN customer ON o_custkey = c_custkey
+        JOIN nation ON c_nationkey = n_nationkey
+        GROUP BY n_name),
+      ref AS (
+        SELECT n_name AS ref_nation, rate_ppm AS ref_ppm
+        FROM rates ORDER BY n_orders DESC, n_name LIMIT 1)
+      SELECT n_name, n_orders, rate_ppm, ref_nation,
+        CASE WHEN ref_ppm = 0 THEN CAST(1000000 AS BIGINT)
+             ELSE rate_ppm * 1000000 // ref_ppm END AS impact_ratio_ppm,
+        (CASE WHEN ref_ppm = 0 THEN CAST(1000000 AS BIGINT)
+              ELSE rate_ppm * 1000000 // ref_ppm END) < 800000
+          AS below_four_fifths
+      FROM rates CROSS JOIN ref
+      ORDER BY n_name
+    """))
+
+  override def defs: Seq[QueryDef] =
+    Seq(q390, q391, q392, q393, q394, q395, q396, q397, q398)
 }

@@ -90,7 +90,8 @@ class QueriesSmokeSpec extends SparkSpec {
     "q380_water_filling_quota", "q381_median_order_stat_ci",
     "q383_runs_test_daily_revenue", "q387_gram_coverage_curve",
     "q390_best_campaign_window", "q394_bpe_merge_step",
-    "q395_markov_stationarity")
+    "q395_markov_stationarity", "q397_unigram_sampling_table",
+    "q398_disparate_impact_audit")
 
   test("query constructors are lazy: warm construction launches zero jobs") {
     import org.apache.spark.scheduler.{SparkListener, SparkListenerJobStart}

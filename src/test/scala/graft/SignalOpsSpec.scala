@@ -108,4 +108,47 @@ class SignalOpsSpec extends SparkSpec {
       assert(r.getAs[Long]("abs_diff_ppm") ==
         math.abs(r.getAs[Long]("empirical_ppm") - r.getAs[Long]("evolved_ppm")))
   }
+
+  // ---------------------------------------------------------------- q396
+
+  test("rendezvous sharding: adding a shard moves keys ONLY into it") {
+    val rows = run("q396_rendezvous_sharding").collect()
+    assert(rows.length == 9)
+    for (r <- rows; if r.getAs[Long]("shard") < 8L)
+      assert(r.getAs[Long]("n_moved_in") == 0L,
+        "HRW must never move a key between pre-existing shards")
+    val total = rows.map(_.getAs[Long]("n_after")).sum
+    assert(total == Tables.customer(spark, sfMid).count())
+    val moved = rows.find(_.getAs[Long]("shard") == 8L).get.getAs[Long]("n_moved_in")
+    // ≈ 1/9 of keys move; allow generous slack for the cheap hash family
+    assert(moved > total / 20 && moved < total / 4)
+  }
+
+  // ---------------------------------------------------------------- q397
+
+  test("unigram^0.75: flattening shrinks the head, ordering preserved") {
+    val rows = run("q397_unigram_sampling_table").collect()
+    assert(rows.nonEmpty)
+    val head = rows.head
+    assert(head.getAs[Long]("sample_ppm") < head.getAs[Long]("raw_ppm"),
+      "the most frequent token must lose mass under ^0.75 flattening")
+    val samples = rows.map(_.getAs[Long]("sample_ppm")).toSeq
+    assert(samples == samples.sorted.reverse, "x^0.75 is monotone in x")
+  }
+
+  // ---------------------------------------------------------------- q398
+
+  test("disparate impact: reference nation sits at exactly 1.0") {
+    val rows = run("q398_disparate_impact_audit").collect()
+    assert(rows.nonEmpty)
+    val ref = rows.head.getAs[String]("ref_nation")
+    val refRow = rows.find(_.getAs[String]("n_name") == ref).get
+    assert(refRow.getAs[Long]("impact_ratio_ppm") == 1000000L)
+    for (r <- rows) {
+      assert(r.getAs[Boolean]("below_four_fifths") ==
+        (r.getAs[Long]("impact_ratio_ppm") < 800000L))
+      assert(r.getAs[Long]("rate_ppm") >= 0L &&
+        r.getAs[Long]("rate_ppm") <= 1000000L)
+    }
+  }
 }
