@@ -621,6 +621,200 @@ object SignalQueries extends QueryGroup {
       ORDER BY n_name
     """))
 
+  // ---------------------------------------------------------------- q399
+
+  /** Instrumental-variable Wald estimator: the effect of a deep
+    * discount (≥ 5%) on line quantity, instrumented by the weekend
+    * placement of the order — ITT over first-stage as one exact
+    * cross-multiplied rational. Completes the causal toolkit next to
+    * DiD (q240), CUPED (q332) and AIPW (q356); the instrument's
+    * day-of-week comes from epoch-day arithmetic, not the engines'
+    * (incompatible) dayofweek conventions.
+    *
+    * Scale shape: one orderkey join, one conditional aggregate row;
+    * the Wald ratio is sign-safe integer division (q301's pattern). */
+  private val q399 = QueryDef(
+    "q399_iv_wald_estimator",
+    (spark, dir) => {
+      val o = Tables.orders(spark, dir)
+        .select(col("o_orderkey"),
+          graft.functions.Deterministic.epochS(col("o_orderdate")).as("od_s"))
+        // epoch-day mod 7 with 1970-01-01 = Thursday ⇒ 0 = Sunday
+        .withColumn("dow", expr("((od_s div 86400) + 4) % 7"))
+      val base = Tables.lineitem(spark, dir)
+        .select(col("l_orderkey"),
+          (cents(col("l_discount")) >= 5L).cast("long").as("x"),
+          floor(col("l_quantity") + 0.5).cast("long").as("y"))
+        .join(o.withColumn("z",
+          (col("dow") === 0L || col("dow") === 6L).cast("long")),
+          col("l_orderkey") === col("o_orderkey"))
+      base.agg(
+          sum(when(col("z") === 1L, 1L).otherwise(0L)).as("n1"),
+          sum(when(col("z") === 0L, 1L).otherwise(0L)).as("n0"),
+          sum(when(col("z") === 1L, col("y")).otherwise(0L)).as("sy1"),
+          sum(when(col("z") === 0L, col("y")).otherwise(0L)).as("sy0"),
+          sum(when(col("z") === 1L, col("x")).otherwise(0L)).as("sx1"),
+          sum(when(col("z") === 0L, col("x")).otherwise(0L)).as("sx0"))
+        .select(col("n1"), col("n0"),
+          (col("sy1") * col("n0") - col("sy0") * col("n1")).as("num"),
+          (col("sx1") * col("n0") - col("sx0") * col("n1")).as("den"))
+        .select(col("n1"), col("n0"), col("num"), col("den"),
+          expr("""CASE WHEN den = 0 THEN 0
+                  WHEN (num >= 0) = (den >= 0)
+                  THEN abs(num) * 1000 div abs(den)
+                  ELSE -(abs(num) * 1000 div abs(den)) END""").as("wald_milli"))
+    },
+    Some("""
+      WITH o AS (
+        SELECT o_orderkey,
+          CASE WHEN ((epoch_ms(o_orderdate) // 1000 // 86400) + 4) % 7 IN (0, 6)
+               THEN 1 ELSE 0 END AS z
+        FROM orders),
+      base AS (
+        SELECT z,
+          CASE WHEN CAST(floor(l_discount*100 + 0.5) AS BIGINT) >= 5
+               THEN 1 ELSE 0 END AS x,
+          CAST(floor(l_quantity + 0.5) AS BIGINT) AS y
+        FROM lineitem JOIN o ON l_orderkey = o_orderkey),
+      m AS (
+        SELECT
+          CAST(sum(CASE WHEN z = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+          CAST(sum(CASE WHEN z = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n0,
+          CAST(sum(CASE WHEN z = 1 THEN y ELSE 0 END) AS BIGINT) AS sy1,
+          CAST(sum(CASE WHEN z = 0 THEN y ELSE 0 END) AS BIGINT) AS sy0,
+          CAST(sum(CASE WHEN z = 1 THEN x ELSE 0 END) AS BIGINT) AS sx1,
+          CAST(sum(CASE WHEN z = 0 THEN x ELSE 0 END) AS BIGINT) AS sx0
+        FROM base),
+      d AS (
+        SELECT n1, n0, sy1 * n0 - sy0 * n1 AS num, sx1 * n0 - sx0 * n1 AS den
+        FROM m)
+      SELECT n1, n0, num, den,
+        CASE WHEN den = 0 THEN CAST(0 AS BIGINT)
+             WHEN (num >= 0) = (den >= 0)
+             THEN abs(num) * 1000 // abs(den)
+             ELSE -(abs(num) * 1000 // abs(den)) END AS wald_milli
+      FROM d
+    """))
+
+  // ---------------------------------------------------------------- q400
+
+  /** Catalog census: one heartbeat row per table — row count, distinct
+    * primary-key count, and the uniqueness verdict — across all ten
+    * tables in one query. The daily data-platform health panel; q317
+    * audits one table's key in depth, this sweeps the catalog (and
+    * exposes that lineitem's (orderkey, linenumber) is NOT unique in
+    * this data).
+    *
+    * Scale shape: ten independent single-row aggregates unioned — each
+    * a map-side-combined count over its own scan; no joins. */
+  private val q400 = QueryDef(
+    "q400_catalog_row_census",
+    (spark, dir) => {
+      def census(name: String, df: org.apache.spark.sql.DataFrame, pk: org.apache.spark.sql.Column) =
+        df.agg(count(lit(1)).as("n_rows"), countDistinct(pk).as("n_keys"))
+          .select(lit(name).as("table_name"), col("n_rows"), col("n_keys"),
+            (col("n_rows") === col("n_keys")).as("pk_unique"))
+      Seq(
+        census("customer", Tables.customer(spark, dir), col("c_custkey")),
+        census("documents", Tables.documents(spark, dir), col("doc_id")),
+        census("embeddings", Tables.embeddings(spark, dir), col("vec_id")),
+        census("events", Tables.events(spark, dir), col("event_id")),
+        census("lineitem", Tables.lineitem(spark, dir),
+          concat_ws("#", col("l_orderkey"), col("l_linenumber"))),
+        census("nation", Tables.nation(spark, dir), col("n_nationkey")),
+        census("orders", Tables.orders(spark, dir), col("o_orderkey")),
+        census("part", Tables.part(spark, dir), col("p_partkey")),
+        census("region", Tables.region(spark, dir), col("r_regionkey")),
+        census("supplier", Tables.supplier(spark, dir), col("s_suppkey")))
+        .reduce(_ union _)
+        .orderBy(col("table_name"))
+    },
+    Some("""
+      SELECT * FROM (
+        SELECT 'customer' AS table_name, CAST(count(*) AS BIGINT) AS n_rows,
+          CAST(count(DISTINCT c_custkey) AS BIGINT) AS n_keys,
+          count(*) = count(DISTINCT c_custkey) AS pk_unique FROM customer
+        UNION ALL SELECT 'documents', count(*), count(DISTINCT doc_id),
+          count(*) = count(DISTINCT doc_id) FROM documents
+        UNION ALL SELECT 'embeddings', count(*), count(DISTINCT vec_id),
+          count(*) = count(DISTINCT vec_id) FROM embeddings
+        UNION ALL SELECT 'events', count(*), count(DISTINCT event_id),
+          count(*) = count(DISTINCT event_id) FROM events
+        UNION ALL SELECT 'lineitem', count(*),
+          count(DISTINCT l_orderkey || '#' || l_linenumber),
+          count(*) = count(DISTINCT l_orderkey || '#' || l_linenumber) FROM lineitem
+        UNION ALL SELECT 'nation', count(*), count(DISTINCT n_nationkey),
+          count(*) = count(DISTINCT n_nationkey) FROM nation
+        UNION ALL SELECT 'orders', count(*), count(DISTINCT o_orderkey),
+          count(*) = count(DISTINCT o_orderkey) FROM orders
+        UNION ALL SELECT 'part', count(*), count(DISTINCT p_partkey),
+          count(*) = count(DISTINCT p_partkey) FROM part
+        UNION ALL SELECT 'region', count(*), count(DISTINCT r_regionkey),
+          count(*) = count(DISTINCT r_regionkey) FROM region
+        UNION ALL SELECT 'supplier', count(*), count(DISTINCT s_suppkey),
+          count(*) = count(DISTINCT s_suppkey) FROM supplier)
+      ORDER BY table_name
+    """))
+
+  // ---------------------------------------------------------------- q401
+
+  /** Day-of-week percentile envelope monitoring: each weekday's
+    * p10–p90 band of daily revenue, plus how many days broke out of
+    * their own weekday's band — the seasonal-aware alarm that a flat
+    * global threshold (q130's volume anomaly) would mistune for
+    * naturally-slow Sundays. Portably computed dow (epoch-day mod 7),
+    * exact rank selection per band.
+    *
+    * Scale shape: the day table is calendar-sized; per-dow rank
+    * selection runs on ≤ n/7 values per group via one cumulative
+    * window over the (dow, value) histogram. */
+  private val q401 = QueryDef(
+    "q401_dow_percentile_envelope",
+    (spark, dir) => {
+      val daily = Tables.orders(spark, dir)
+        .select(graft.functions.Deterministic.epochS(col("o_orderdate")).as("od_s"),
+          expr("CAST(o_orderdate AS DATE)").as("day"),
+          cents(col("o_totalprice")).as("v_c"))
+        .withColumn("dow", expr("((od_s div 86400) + 4) % 7"))
+        .groupBy(col("dow"), col("day"))
+        .agg(sum(col("v_c")).as("rev_c"))
+      val env = graft.operators.RankSelect
+        .percentiles(daily.select(col("dow"), col("rev_c")), "dow", "rev_c",
+          Seq(1000, 9000), binWidth = 100000L)
+        .select(col("dow"), col("n").as("n_days"),
+          col("p_1000").as("p10_c"), col("p_9000").as("p90_c"))
+      daily.join(env, Seq("dow"))
+        .groupBy(col("dow"), col("n_days"), col("p10_c"), col("p90_c"))
+        .agg(
+          sum(when(col("rev_c") < col("p10_c"), 1L).otherwise(0L)).as("n_below"),
+          sum(when(col("rev_c") > col("p90_c"), 1L).otherwise(0L)).as("n_above"))
+        .orderBy(col("dow"))
+    },
+    Some("""
+      WITH daily AS (
+        SELECT ((epoch_ms(o_orderdate) // 1000 // 86400) + 4) % 7 AS dow,
+          CAST(o_orderdate AS DATE) AS day,
+          sum(CAST(floor(o_totalprice*100 + 0.5) AS BIGINT)) AS rev_c
+        FROM orders GROUP BY 1, 2),
+      cum AS (
+        SELECT dow, rev_c, c,
+          sum(c) OVER (PARTITION BY dow ORDER BY rev_c) AS cum,
+          sum(c) OVER (PARTITION BY dow) AS n
+        FROM (SELECT dow, rev_c, count(*) AS c FROM daily GROUP BY 1, 2)),
+      env AS (
+        SELECT dow, CAST(max(n) AS BIGINT) AS n_days,
+          CAST(min(CASE WHEN cum * 10000 >= 1000 * n THEN rev_c END) AS BIGINT) AS p10_c,
+          CAST(min(CASE WHEN cum * 10000 >= 9000 * n THEN rev_c END) AS BIGINT) AS p90_c
+        FROM cum GROUP BY dow)
+      SELECT daily.dow, n_days, p10_c, p90_c,
+        CAST(count(*) FILTER (rev_c < p10_c) AS BIGINT) AS n_below,
+        CAST(count(*) FILTER (rev_c > p90_c) AS BIGINT) AS n_above
+      FROM daily JOIN env ON daily.dow = env.dow
+      GROUP BY daily.dow, n_days, p10_c, p90_c
+      ORDER BY daily.dow
+    """))
+
   override def defs: Seq[QueryDef] =
-    Seq(q390, q391, q392, q393, q394, q395, q396, q397, q398)
+    Seq(q390, q391, q392, q393, q394, q395, q396, q397, q398,
+      q399, q400, q401)
 }

@@ -151,4 +151,50 @@ class SignalOpsSpec extends SparkSpec {
         r.getAs[Long]("rate_ppm") <= 1000000L)
     }
   }
+
+  // ---------------------------------------------------------------- q399
+
+  test("iv wald: arms partition the joined lines, sign algebra holds") {
+    val r = run("q399_iv_wald_estimator").collect().head
+    val joined = Tables.lineitem(spark, sfMid)
+      .join(Tables.orders(spark, sfMid),
+        col("l_orderkey") === col("o_orderkey")).count()
+    assert(r.getAs[Long]("n1") + r.getAs[Long]("n0") == joined)
+    val (num, den, w) = (r.getAs[Long]("num"), r.getAs[Long]("den"),
+      r.getAs[Long]("wald_milli"))
+    if (den != 0L)
+      assert((w >= 0L) == ((num >= 0L) == (den >= 0L)))
+  }
+
+  // ---------------------------------------------------------------- q400
+
+  test("catalog census: ten tables, lineitem's composite key exposed as non-unique") {
+    val rows = run("q400_catalog_row_census").collect()
+    assert(rows.length == 10)
+    for (r <- rows) {
+      assert(r.getAs[Long]("n_keys") <= r.getAs[Long]("n_rows"))
+      assert(r.getAs[Boolean]("pk_unique") ==
+        (r.getAs[Long]("n_keys") == r.getAs[Long]("n_rows")))
+    }
+    val li = rows.find(_.getAs[String]("table_name") == "lineitem").get
+    assert(!li.getAs[Boolean]("pk_unique"),
+      "this dataset's (orderkey, linenumber) is known to collide")
+    assert(rows.find(_.getAs[String]("table_name") == "orders").get
+      .getAs[Boolean]("pk_unique"))
+  }
+
+  // ---------------------------------------------------------------- q401
+
+  test("dow envelope: breakout counts bounded by the band's tail mass") {
+    val rows = run("q401_dow_percentile_envelope").collect()
+    assert(rows.length == 7)
+    for (r <- rows) {
+      assert(r.getAs[Long]("p10_c") <= r.getAs[Long]("p90_c"))
+      val n = r.getAs[Long]("n_days")
+      // strictly-below-p10 mass is < 10% by the rank definition; same
+      // for strictly-above-p90
+      assert(r.getAs[Long]("n_below") * 10 <= n)
+      assert(r.getAs[Long]("n_above") * 10 <= n)
+    }
+  }
 }
