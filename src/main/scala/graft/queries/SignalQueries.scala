@@ -814,7 +814,167 @@ object SignalQueries extends QueryGroup {
       ORDER BY daily.dow
     """))
 
+  // ---------------------------------------------------------------- q402
+
+  /** Exact 0/1 knapsack for source selection: which of the ten biggest
+    * sources maximize DOCUMENT yield inside half the storage budget?
+    * Weights are 64-bucket byte shares; the DP over (item, capacity)
+    * unrolls into ten union+max steps on a ≤33-row table — dynamic
+    * programming as pure dataflow — and the exact optimum is reported
+    * against the density-greedy heuristic, optimality gap in ppm.
+    *
+    * Scale shape: the corpus folds to ten item rows ONCE
+    * (localCheckpoint — the ten unrolled steps must not rescan
+    * documents); every DP step is a tiny union + keyed max; the
+    * capacity grid is a 33-row literal. */
+  private val q402 = QueryDef(
+    "q402_knapsack_source_budget",
+    (spark, dir) => {
+      import spark.implicits._
+      val cap = 32L
+      val bySource = Tables.documents(spark, dir)
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("v"), sum(col("n_chars")).as("bytes"))
+      val top = bySource
+        .withColumn("rn", row_number().over(
+          Window.orderBy(col("bytes").desc, col("source"))).cast("long"))
+        .filter(col("rn") <= 10L)
+      val tot = top.agg(sum(col("bytes")).as("tot"))
+      val items = top.crossJoin(broadcast(tot))
+        .select(col("rn"), col("source"), col("v"),
+          expr("(bytes * 64 + tot - 1) div tot").as("wb"))
+        .localCheckpoint(true)
+      val grid = (0L to cap).toDF("c").withColumn("value", lit(0L))
+      var dp = grid
+      for (i <- 1 to 10) {
+        val it = broadcast(items.filter(col("rn") === i.toLong)
+          .select(col("wb"), col("v")))
+        val taken = dp.crossJoin(it)
+          .select((col("c") + col("wb")).as("c"), (col("value") + col("v")).as("value"))
+          .filter(col("c") <= cap)
+        dp = dp.union(taken).groupBy(col("c")).agg(max(col("value")).as("value"))
+      }
+      val best = dp.agg(max(col("value")).as("dp_best"))
+      val wG = Window.orderBy(expr("v * 1000000 div wb").desc, col("source"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val greedy = items
+        .withColumn("cumw", sum(col("wb")).over(wG))
+        .filter(col("cumw") <= cap)
+        .agg(coalesce(sum(col("v")), lit(0L)).as("greedy_v"))
+      best.crossJoin(broadcast(greedy))
+        .select(lit(cap).as("capacity"), col("dp_best"), col("greedy_v"),
+          expr("CASE WHEN dp_best = 0 THEN 0 " +
+            "ELSE (dp_best - greedy_v) * 1000000 div dp_best END").as("gap_ppm"))
+    },
+    Some {
+      val dpSteps = (1 to 10).map { i =>
+        val prev = if (i == 1) "dp0" else s"dp${i - 1}"
+        s"""dp$i AS (
+          SELECT c, max(value) AS value FROM (
+            SELECT c, value FROM $prev
+            UNION ALL
+            SELECT $prev.c + it.wb AS c, $prev.value + it.v AS value
+            FROM $prev CROSS JOIN (SELECT wb, v FROM items WHERE rn = $i) it
+            WHERE $prev.c + it.wb <= 32)
+          GROUP BY c)"""
+      }.mkString(",\n")
+      s"""
+      WITH by_source AS (
+        SELECT source, CAST(count(*) AS BIGINT) AS v, sum(n_chars) AS bytes
+        FROM documents GROUP BY 1),
+      top AS (
+        SELECT source, v, bytes,
+          CAST(row_number() OVER (ORDER BY bytes DESC, source) AS BIGINT) AS rn
+        FROM by_source QUALIFY rn <= 10),
+      tot AS (SELECT sum(bytes) AS tot FROM top),
+      items AS (
+        SELECT rn, source, v, (bytes * 64 + tot - 1) // tot AS wb
+        FROM top CROSS JOIN tot),
+      dp0 AS (SELECT unnest(range(0, 33)) AS c, CAST(0 AS BIGINT) AS value),
+      $dpSteps,
+      best AS (SELECT max(value) AS dp_best FROM dp10),
+      greedy AS (
+        SELECT coalesce(sum(v), 0) AS greedy_v FROM (
+          SELECT v, sum(wb) OVER (ORDER BY v * 1000000 // wb DESC, source
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cumw
+          FROM items)
+        WHERE cumw <= 32)
+      SELECT CAST(32 AS BIGINT) AS capacity, CAST(dp_best AS BIGINT) AS dp_best,
+        CAST(greedy_v AS BIGINT) AS greedy_v,
+        CASE WHEN dp_best = 0 THEN CAST(0 AS BIGINT)
+             ELSE CAST((dp_best - greedy_v) * 1000000 // dp_best AS BIGINT) END
+          AS gap_ppm
+      FROM best CROSS JOIN greedy
+      """
+    })
+
+  // ---------------------------------------------------------------- q403
+
+  /** Shard-packing feasibility bounds: pack documents (by size) into
+    * 64 KiB shards — the classic lower bounds (total/capacity fill
+    * bound; count of over-half items) against a measured
+    * sort-descending round-robin heuristic: makespan, overflowing
+    * shards, and the makespan/capacity ratio. The pre-flight answer to
+    * "how many output files will this need, and how bad is naive
+    * placement?".
+    *
+    * Scale shape: the doc ranking is the one global sort (replaceable
+    * by quantile binning at extreme scale, q82); the shard census is
+    * k-bins-sized. */
+  private val q403 = QueryDef(
+    "q403_shard_packing_bounds",
+    (spark, dir) => {
+      val cap = 65536L
+      val items = Tables.documents(spark, dir)
+        .select(col("doc_id"), col("n_chars").as("sz"))
+      val tot = items.agg(sum(col("sz")).as("total"), count(lit(1)).as("n_items"),
+        sum(when(col("sz") * 2L > lit(cap), 1L).otherwise(0L)).as("lb_half"))
+        .select(col("total"), col("n_items"), col("lb_half"),
+          expr(s"(total + ${cap - 1}) div $cap").as("lb_fill"))
+        .withColumn("k", greatest(col("lb_fill"), col("lb_half"), lit(1L)))
+      val ranked = items.crossJoin(broadcast(tot))
+        .withColumn("rn", row_number().over(
+          Window.orderBy(col("sz").desc, col("doc_id"))).cast("long"))
+        .withColumn("shard", expr("(rn - 1) % k"))
+      val loads = ranked.groupBy(col("shard"), col("k"), col("n_items"),
+          col("total"), col("lb_fill"), col("lb_half"))
+        .agg(sum(col("sz")).as("load"))
+      loads.groupBy(col("k"), col("n_items"), col("total"),
+          col("lb_fill"), col("lb_half"))
+        .agg(max(col("load")).as("makespan"),
+          sum(when(col("load") > lit(cap), 1L).otherwise(0L)).as("n_overflow"))
+        .select(col("n_items"), col("total"), col("lb_fill"), col("lb_half"),
+          col("k").as("k_shards"), col("makespan"), col("n_overflow"),
+          expr(s"makespan * 1000000 div $cap").as("makespan_ratio_ppm"))
+    },
+    Some("""
+      WITH items AS (SELECT doc_id, n_chars AS sz FROM documents),
+      tot AS (
+        SELECT sum(sz) AS total, CAST(count(*) AS BIGINT) AS n_items,
+          CAST(count(*) FILTER (sz * 2 > 65536) AS BIGINT) AS lb_half,
+          (sum(sz) + 65535) // 65536 AS lb_fill
+        FROM items),
+      k AS (
+        SELECT total, n_items, lb_half, lb_fill,
+          greatest(lb_fill, lb_half, 1) AS k
+        FROM tot),
+      ranked AS (
+        SELECT sz, k, n_items, total, lb_fill, lb_half,
+          (CAST(row_number() OVER (ORDER BY sz DESC, doc_id) AS BIGINT) - 1) % k
+            AS shard
+        FROM items CROSS JOIN k),
+      loads AS (
+        SELECT shard, k, n_items, total, lb_fill, lb_half, sum(sz) AS load
+        FROM ranked GROUP BY 1, 2, 3, 4, 5, 6)
+      SELECT n_items, total, lb_fill, lb_half, k AS k_shards,
+        max(load) AS makespan,
+        CAST(count(*) FILTER (load > 65536) AS BIGINT) AS n_overflow,
+        max(load) * 1000000 // 65536 AS makespan_ratio_ppm
+      FROM loads
+      GROUP BY n_items, total, lb_fill, lb_half, k
+    """))
+
   override def defs: Seq[QueryDef] =
     Seq(q390, q391, q392, q393, q394, q395, q396, q397, q398,
-      q399, q400, q401)
+      q399, q400, q401, q402, q403)
 }

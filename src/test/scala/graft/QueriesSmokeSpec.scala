@@ -91,7 +91,8 @@ class QueriesSmokeSpec extends SparkSpec {
     "q383_runs_test_daily_revenue", "q387_gram_coverage_curve",
     "q390_best_campaign_window", "q394_bpe_merge_step",
     "q395_markov_stationarity", "q397_unigram_sampling_table",
-    "q398_disparate_impact_audit")
+    "q398_disparate_impact_audit", "q402_knapsack_source_budget",
+    "q403_shard_packing_bounds")
 
   test("query constructors are lazy: warm construction launches zero jobs") {
     import org.apache.spark.scheduler.{SparkListener, SparkListenerJobStart}
@@ -120,7 +121,10 @@ class QueriesSmokeSpec extends SparkSpec {
       "q34_orc_source_roundtrip",
       // q374/q395 localCheckpoint the (bounded, ≤ 7×7-row) transition
       // table so the 8-step unrolled iterations scan events exactly once
-      "q374_markov_removal_attribution", "q395_markov_stationarity")
+      "q374_markov_removal_attribution", "q395_markov_stationarity",
+      // q402 localCheckpoints the ten-row knapsack item table so the
+      // ten unrolled DP steps never rescan documents
+      "q402_knapsack_source_budget")
     // the bus delivers only events posted after registration, so earlier
     // tests' jobs cannot leak into the count
     spark.sparkContext.addSparkListener(listener)

@@ -197,4 +197,40 @@ class SignalOpsSpec extends SparkSpec {
       assert(r.getAs[Long]("n_above") * 10 <= n)
     }
   }
+
+  // ---------------------------------------------------------------- q402
+
+  test("knapsack: DP optimum matches brute-force over all 2^10 subsets") {
+    val r = run("q402_knapsack_source_budget").collect().head
+    assert(r.getAs[Long]("dp_best") >= r.getAs[Long]("greedy_v"))
+    assert(r.getAs[Long]("gap_ppm") >= 0L)
+    // brute force the exact same bucketed instance
+    val bySource = Tables.documents(spark, sfMid)
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("v"), sum(col("n_chars")).as("bytes"))
+      .collect().map(x => (x.getAs[String]("source"),
+        x.getAs[Long]("v"), x.getAs[Long]("bytes")))
+      .sortBy(x => (-x._3, x._1)).take(10)
+    val tot = bySource.map(_._3).sum
+    val items = bySource.map { case (_, v, b) => (v, (b * 64 + tot - 1) / tot) }
+    val best = (0 until (1 << items.length)).map { mask =>
+      val picked = items.zipWithIndex.filter { case (_, i) => (mask & (1 << i)) != 0 }
+      val w = picked.map(_._1._2).sum
+      if (w <= 32) picked.map(_._1._1).sum else -1L
+    }.max
+    assert(r.getAs[Long]("dp_best") == best,
+      s"DP (${r.getAs[Long]("dp_best")}) must equal brute force ($best)")
+  }
+
+  // ---------------------------------------------------------------- q403
+
+  test("shard packing: makespan dominates the fill bound, k respects both LBs") {
+    val r = run("q403_shard_packing_bounds").collect().head
+    val k = r.getAs[Long]("k_shards")
+    assert(k == math.max(math.max(r.getAs[Long]("lb_fill"), r.getAs[Long]("lb_half")), 1L))
+    val total = r.getAs[Long]("total")
+    // average load is a floor on the max load
+    assert(r.getAs[Long]("makespan") >= (total + k - 1) / k)
+    assert(r.getAs[Long]("n_overflow") <= k)
+  }
 }
