@@ -39,7 +39,9 @@ object SparkEntry {
     OlapQueries,
     TpchQueries,
     EvalQueries,
-    SignalQueries)
+    SignalQueries,
+    LinkageQueries,
+    CalibrationQueries)
 
   private lazy val all: Seq[QueryDef] = groups.flatMap(_.defs)
 

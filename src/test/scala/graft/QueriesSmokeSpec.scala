@@ -92,7 +92,11 @@ class QueriesSmokeSpec extends SparkSpec {
     "q390_best_campaign_window", "q394_bpe_merge_step",
     "q395_markov_stationarity", "q397_unigram_sampling_table",
     "q398_disparate_impact_audit", "q402_knapsack_source_budget",
-    "q403_shard_packing_bounds")
+    "q403_shard_packing_bounds",
+    // round-7: q405's PAV triple join runs on ≤ 11 discount bins; q406's
+    // m/u denominators are one-row scalar aggregates
+    "q405_isotonic_return_curve", "q406_fellegi_sunter_weights",
+    "q407_roc_curve", "q408_brier_decomposition")
 
   test("query constructors are lazy: warm construction launches zero jobs") {
     import org.apache.spark.scheduler.{SparkListener, SparkListenerJobStart}
