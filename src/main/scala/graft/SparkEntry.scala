@@ -41,7 +41,8 @@ object SparkEntry {
     EvalQueries,
     SignalQueries,
     LinkageQueries,
-    CalibrationQueries)
+    CalibrationQueries,
+    OptimQueries)
 
   private lazy val all: Seq[QueryDef] = groups.flatMap(_.defs)
 

@@ -96,7 +96,10 @@ class QueriesSmokeSpec extends SparkSpec {
     // round-7: q405's PAV triple join runs on ≤ 11 discount bins; q406's
     // m/u denominators are one-row scalar aggregates
     "q405_isotonic_return_curve", "q406_fellegi_sunter_weights",
-    "q407_roc_curve", "q408_brier_decomposition")
+    "q407_roc_curve", "q408_brier_decomposition",
+    // q410's DP interval/level joins run on a ≤ 32-row histogram; q412's
+    // horizon origin is a one-row broadcast
+    "q410_v_optimal_histogram", "q412_successive_halving")
 
   test("query constructors are lazy: warm construction launches zero jobs") {
     import org.apache.spark.scheduler.{SparkListener, SparkListenerJobStart}
@@ -128,7 +131,10 @@ class QueriesSmokeSpec extends SparkSpec {
       "q374_markov_removal_attribution", "q395_markov_stationarity",
       // q402 localCheckpoints the ten-row knapsack item table so the
       // ten unrolled DP steps never rescan documents
-      "q402_knapsack_source_budget")
+      "q402_knapsack_source_budget",
+      // q411 localCheckpoints the co-order edge list (q75's pattern) so
+      // the three unrolled LPA rounds never rebuild the self-join
+      "q411_lpa_communities")
     // the bus delivers only events posted after registration, so earlier
     // tests' jobs cannot leak into the count
     spark.sparkContext.addSparkListener(listener)
