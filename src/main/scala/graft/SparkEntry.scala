@@ -42,7 +42,8 @@ object SparkEntry {
     SignalQueries,
     LinkageQueries,
     CalibrationQueries,
-    OptimQueries)
+    OptimQueries,
+    SequenceQueries)
 
   private lazy val all: Seq[QueryDef] = groups.flatMap(_.defs)
 

@@ -99,7 +99,9 @@ class QueriesSmokeSpec extends SparkSpec {
     "q407_roc_curve", "q408_brier_decomposition",
     // q410's DP interval/level joins run on a ≤ 32-row histogram; q412's
     // horizon origin is a one-row broadcast
-    "q410_v_optimal_histogram", "q412_successive_halving")
+    "q410_v_optimal_histogram", "q412_successive_halving",
+    // q415's six HITS max-normalizers are one-row broadcast scalars
+    "q415_hits_hub_authority")
 
   test("query constructors are lazy: warm construction launches zero jobs") {
     import org.apache.spark.scheduler.{SparkListener, SparkListenerJobStart}
@@ -132,9 +134,9 @@ class QueriesSmokeSpec extends SparkSpec {
       // q402 localCheckpoints the ten-row knapsack item table so the
       // ten unrolled DP steps never rescan documents
       "q402_knapsack_source_budget",
-      // q411 localCheckpoints the co-order edge list (q75's pattern) so
-      // the three unrolled LPA rounds never rebuild the self-join
-      "q411_lpa_communities")
+      // q411/q415 localCheckpoint their edge lists (q75's pattern) so
+      // the unrolled LPA/HITS rounds never rebuild the join
+      "q411_lpa_communities", "q415_hits_hub_authority")
     // the bus delivers only events posted after registration, so earlier
     // tests' jobs cannot leak into the count
     spark.sparkContext.addSparkListener(listener)
