@@ -43,7 +43,8 @@ object SparkEntry {
     LinkageQueries,
     CalibrationQueries,
     OptimQueries,
-    SequenceQueries)
+    SequenceQueries,
+    RetrievalQueries)
 
   private lazy val all: Seq[QueryDef] = groups.flatMap(_.defs)
 

@@ -101,7 +101,10 @@ class QueriesSmokeSpec extends SparkSpec {
     // horizon origin is a one-row broadcast
     "q410_v_optimal_histogram", "q412_successive_halving",
     // q415's six HITS max-normalizers are one-row broadcast scalars
-    "q415_hits_hub_authority")
+    "q415_hits_hub_authority",
+    // q416's corpus stats / q417's totals and k_max are one-row broadcast
+    // scalars; q418 joins 64-hash sketch rows (|sources|², vocabulary-sized)
+    "q416_bm25_ranking", "q417_bh_fdr_control", "q418_kmv_containment")
 
   test("query constructors are lazy: warm construction launches zero jobs") {
     import org.apache.spark.scheduler.{SparkListener, SparkListenerJobStart}
