@@ -44,7 +44,8 @@ object SparkEntry {
     CalibrationQueries,
     OptimQueries,
     SequenceQueries,
-    RetrievalQueries)
+    RetrievalQueries,
+    SynopsisQueries)
 
   private lazy val all: Seq[QueryDef] = groups.flatMap(_.defs)
 

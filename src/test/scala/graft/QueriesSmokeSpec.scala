@@ -104,7 +104,9 @@ class QueriesSmokeSpec extends SparkSpec {
     "q415_hits_hub_authority",
     // q416's corpus stats / q417's totals and k_max are one-row broadcast
     // scalars; q418 joins 64-hash sketch rows (|sources|², vocabulary-sized)
-    "q416_bm25_ranking", "q417_bh_fdr_control", "q418_kmv_containment")
+    "q416_bm25_ranking", "q417_bh_fdr_control", "q418_kmv_containment",
+    // q420's day-zero origin and q421's best-lag max are one-row broadcasts
+    "q420_haar_synopsis", "q421_lead_lag_xcorr")
 
   test("query constructors are lazy: warm construction launches zero jobs") {
     import org.apache.spark.scheduler.{SparkListener, SparkListenerJobStart}
