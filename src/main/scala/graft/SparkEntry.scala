@@ -45,7 +45,8 @@ object SparkEntry {
     OptimQueries,
     SequenceQueries,
     RetrievalQueries,
-    SynopsisQueries)
+    SynopsisQueries,
+    EstimatorQueries)
 
   private lazy val all: Seq[QueryDef] = groups.flatMap(_.defs)
 
