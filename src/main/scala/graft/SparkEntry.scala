@@ -46,7 +46,8 @@ object SparkEntry {
     SequenceQueries,
     RetrievalQueries,
     SynopsisQueries,
-    EstimatorQueries)
+    EstimatorQueries,
+    WinnowQueries)
 
   private lazy val all: Seq[QueryDef] = groups.flatMap(_.defs)
 
