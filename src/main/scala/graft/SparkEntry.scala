@@ -47,7 +47,8 @@ object SparkEntry {
     RetrievalQueries,
     SynopsisQueries,
     EstimatorQueries,
-    WinnowQueries)
+    WinnowQueries,
+    KeywordQueries)
 
   private lazy val all: Seq[QueryDef] = groups.flatMap(_.defs)
 

@@ -106,7 +106,13 @@ class QueriesSmokeSpec extends SparkSpec {
     // scalars; q418 joins 64-hash sketch rows (|sources|², vocabulary-sized)
     "q416_bm25_ranking", "q417_bh_fdr_control", "q418_kmv_containment",
     // q420's day-zero origin and q421's best-lag max are one-row broadcasts
-    "q420_haar_synopsis", "q421_lead_lag_xcorr")
+    "q420_haar_synopsis", "q421_lead_lag_xcorr",
+    // q422's sketch row, q423's stats/argmin rows and q424's day-zero
+    // origin are one-row broadcast scalars
+    "q422_ams_f2_sketch", "q423_join_order_enum", "q424_sax_motifs",
+    // q430 joins ≤ 512 candidates against the ≤ 256-row broadcast
+    // threshold table (depth-capped by construction)
+    "q430_fagin_ta_depth")
 
   test("query constructors are lazy: warm construction launches zero jobs") {
     import org.apache.spark.scheduler.{SparkListener, SparkListenerJobStart}
