@@ -48,7 +48,8 @@ object SparkEntry {
     SynopsisQueries,
     EstimatorQueries,
     WinnowQueries,
-    KeywordQueries)
+    KeywordQueries,
+    LayoutCurveQueries)
 
   private lazy val all: Seq[QueryDef] = groups.flatMap(_.defs)
 

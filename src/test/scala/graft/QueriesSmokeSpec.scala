@@ -112,7 +112,9 @@ class QueriesSmokeSpec extends SparkSpec {
     "q422_ams_f2_sketch", "q423_join_order_enum", "q424_sax_motifs",
     // q430 joins ≤ 512 candidates against the ≤ 256-row broadcast
     // threshold table (depth-capped by construction)
-    "q430_fagin_ta_depth")
+    "q430_fagin_ta_depth",
+    // q431's winner argmin is a one-row broadcast scalar
+    "q431_hilbert_z_locality")
 
   test("query constructors are lazy: warm construction launches zero jobs") {
     import org.apache.spark.scheduler.{SparkListener, SparkListenerJobStart}
