@@ -49,7 +49,8 @@ object SparkEntry {
     EstimatorQueries,
     WinnowQueries,
     KeywordQueries,
-    LayoutCurveQueries)
+    LayoutCurveQueries,
+    AccuracyQueries)
 
   private lazy val all: Seq[QueryDef] = groups.flatMap(_.defs)
 

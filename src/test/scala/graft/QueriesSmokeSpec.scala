@@ -114,7 +114,10 @@ class QueriesSmokeSpec extends SparkSpec {
     // threshold table (depth-capped by construction)
     "q430_fagin_ta_depth",
     // q431's winner argmin is a one-row broadcast scalar
-    "q431_hilbert_z_locality")
+    "q431_hilbert_z_locality",
+    // q434's rank thresholds join the histogram-sized cumulative by a
+    // broadcast >= condition (3 rows against <= 2338)
+    "q434_histogram_quantile_error")
 
   test("query constructors are lazy: warm construction launches zero jobs") {
     import org.apache.spark.scheduler.{SparkListener, SparkListenerJobStart}
