@@ -50,7 +50,8 @@ object SparkEntry {
     WinnowQueries,
     KeywordQueries,
     LayoutCurveQueries,
-    AccuracyQueries)
+    AccuracyQueries,
+    OlapPlanQueries)
 
   private lazy val all: Seq[QueryDef] = groups.flatMap(_.defs)
 

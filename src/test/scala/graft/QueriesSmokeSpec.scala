@@ -117,7 +117,12 @@ class QueriesSmokeSpec extends SparkSpec {
     "q431_hilbert_z_locality",
     // q434's rank thresholds join the histogram-sized cumulative by a
     // broadcast >= condition (3 rows against <= 2338)
-    "q434_histogram_quantile_error")
+    "q434_histogram_quantile_error",
+    // q437's day-zero origin and q438's allocation total are one-row
+    // broadcasts; q439's lattice search runs non-equi bitmask joins on
+    // the 8-row cuboid table
+    "q437_swag_sliding_max", "q438_neyman_allocation",
+    "q439_cube_materialize_greedy")
 
   test("query constructors are lazy: warm construction launches zero jobs") {
     import org.apache.spark.scheduler.{SparkListener, SparkListenerJobStart}
