@@ -51,7 +51,8 @@ object SparkEntry {
     KeywordQueries,
     LayoutCurveQueries,
     AccuracyQueries,
-    OlapPlanQueries)
+    OlapPlanQueries,
+    SchemaOpsQueries)
 
   private lazy val all: Seq[QueryDef] = groups.flatMap(_.defs)
 

@@ -122,7 +122,9 @@ class QueriesSmokeSpec extends SparkSpec {
     // broadcasts; q439's lattice search runs non-equi bitmask joins on
     // the 8-row cuboid table
     "q437_swag_sliding_max", "q438_neyman_allocation",
-    "q439_cube_materialize_greedy")
+    "q439_cube_materialize_greedy",
+    // q440/q441's certificate scalars are one-row broadcasts
+    "q440_inclusion_dependency_mining", "q441_session_stitch_certificate")
 
   test("query constructors are lazy: warm construction launches zero jobs") {
     import org.apache.spark.scheduler.{SparkListener, SparkListenerJobStart}
