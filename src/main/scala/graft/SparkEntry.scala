@@ -52,7 +52,8 @@ object SparkEntry {
     LayoutCurveQueries,
     AccuracyQueries,
     OlapPlanQueries,
-    SchemaOpsQueries)
+    SchemaOpsQueries,
+    SelectivityQueries)
 
   private lazy val all: Seq[QueryDef] = groups.flatMap(_.defs)
 

@@ -124,7 +124,10 @@ class QueriesSmokeSpec extends SparkSpec {
     "q437_swag_sliding_max", "q438_neyman_allocation",
     "q439_cube_materialize_greedy",
     // q440/q441's certificate scalars are one-row broadcasts
-    "q440_inclusion_dependency_mining", "q441_session_stitch_certificate")
+    "q440_inclusion_dependency_mining", "q441_session_stitch_certificate",
+    // q443's bands and q445's predicates join histogram/zone-sized sides
+    // by broadcast range conditions (5-6 literal rows)
+    "q443_histogram_selectivity_qerror", "q445_sortkey_zonemap_advisor")
 
   test("query constructors are lazy: warm construction launches zero jobs") {
     import org.apache.spark.scheduler.{SparkListener, SparkListenerJobStart}
