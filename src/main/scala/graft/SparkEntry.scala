@@ -53,7 +53,8 @@ object SparkEntry {
     AccuracyQueries,
     OlapPlanQueries,
     SchemaOpsQueries,
-    SelectivityQueries)
+    SelectivityQueries,
+    RewriteQueries)
 
   private lazy val all: Seq[QueryDef] = groups.flatMap(_.defs)
 

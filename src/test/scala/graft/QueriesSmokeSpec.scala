@@ -127,7 +127,9 @@ class QueriesSmokeSpec extends SparkSpec {
     "q440_inclusion_dependency_mining", "q441_session_stitch_certificate",
     // q443's bands and q445's predicates join histogram/zone-sized sides
     // by broadcast range conditions (5-6 literal rows)
-    "q443_histogram_selectivity_qerror", "q445_sortkey_zonemap_advisor")
+    "q443_histogram_selectivity_qerror", "q445_sortkey_zonemap_advisor",
+    // q448's sample-size normalizers are a one-row broadcast
+    "q448_cramer_von_mises")
 
   test("query constructors are lazy: warm construction launches zero jobs") {
     import org.apache.spark.scheduler.{SparkListener, SparkListenerJobStart}
