@@ -54,7 +54,8 @@ object SparkEntry {
     OlapPlanQueries,
     SchemaOpsQueries,
     SelectivityQueries,
-    RewriteQueries)
+    RewriteQueries,
+    MonitorQueries)
 
   private lazy val all: Seq[QueryDef] = groups.flatMap(_.defs)
 

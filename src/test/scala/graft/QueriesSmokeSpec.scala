@@ -129,7 +129,10 @@ class QueriesSmokeSpec extends SparkSpec {
     // by broadcast range conditions (5-6 literal rows)
     "q443_histogram_selectivity_qerror", "q445_sortkey_zonemap_advisor",
     // q448's sample-size normalizers are a one-row broadcast
-    "q448_cramer_von_mises")
+    "q448_cramer_von_mises",
+    // q449's t0/first-crossing scalars and q451's rank thresholds are
+    // one-row/3-row broadcasts against bounded sides
+    "q449_group_sequential_monitor", "q451_sharded_quantile_merge")
 
   test("query constructors are lazy: warm construction launches zero jobs") {
     import org.apache.spark.scheduler.{SparkListener, SparkListenerJobStart}
