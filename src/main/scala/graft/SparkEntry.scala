@@ -55,7 +55,8 @@ object SparkEntry {
     SchemaOpsQueries,
     SelectivityQueries,
     RewriteQueries,
-    MonitorQueries)
+    MonitorQueries,
+    TpchFinalQueries)
 
   private lazy val all: Seq[QueryDef] = groups.flatMap(_.defs)
 

@@ -132,7 +132,9 @@ class QueriesSmokeSpec extends SparkSpec {
     "q448_cramer_von_mises",
     // q449's t0/first-crossing scalars and q451's rank thresholds are
     // one-row/3-row broadcasts against bounded sides
-    "q449_group_sequential_monitor", "q451_sharded_quantile_merge")
+    "q449_group_sequential_monitor", "q451_sharded_quantile_merge",
+    // q454's stream-end anchor is a one-row broadcast
+    "q454_slo_burn_rate_alerts")
 
   test("query constructors are lazy: warm construction launches zero jobs") {
     import org.apache.spark.scheduler.{SparkListener, SparkListenerJobStart}
