@@ -56,7 +56,8 @@ object SparkEntry {
     SelectivityQueries,
     RewriteQueries,
     MonitorQueries,
-    TpchFinalQueries)
+    TpchFinalQueries,
+    ApproxQueries)
 
   private lazy val all: Seq[QueryDef] = groups.flatMap(_.defs)
 

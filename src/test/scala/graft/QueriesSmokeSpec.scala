@@ -134,7 +134,10 @@ class QueriesSmokeSpec extends SparkSpec {
     // one-row/3-row broadcasts against bounded sides
     "q449_group_sequential_monitor", "q451_sharded_quantile_merge",
     // q454's stream-end anchor is a one-row broadcast
-    "q454_slo_burn_rate_alerts")
+    "q454_slo_burn_rate_alerts",
+    // q456's tier explosion joins the 7-row per-mille list by broadcast
+    // range condition; its revenue total is a one-row broadcast
+    "q456_online_agg_convergence")
 
   test("query constructors are lazy: warm construction launches zero jobs") {
     import org.apache.spark.scheduler.{SparkListener, SparkListenerJobStart}
