@@ -57,7 +57,8 @@ object SparkEntry {
     RewriteQueries,
     MonitorQueries,
     TpchFinalQueries,
-    ApproxQueries)
+    ApproxQueries,
+    CertificateQueries)
 
   private lazy val all: Seq[QueryDef] = groups.flatMap(_.defs)
 

@@ -137,7 +137,9 @@ class QueriesSmokeSpec extends SparkSpec {
     "q454_slo_burn_rate_alerts",
     // q456's tier explosion joins the 7-row per-mille list by broadcast
     // range condition; its revenue total is a one-row broadcast
-    "q456_online_agg_convergence")
+    "q456_online_agg_convergence",
+    // q460's global-statistic rows are one-row broadcasts
+    "q460_nested_percentile_fallacy")
 
   test("query constructors are lazy: warm construction launches zero jobs") {
     import org.apache.spark.scheduler.{SparkListener, SparkListenerJobStart}
