@@ -58,7 +58,8 @@ object SparkEntry {
     MonitorQueries,
     TpchFinalQueries,
     ApproxQueries,
-    CertificateQueries)
+    CertificateQueries,
+    FreshnessQueries)
 
   private lazy val all: Seq[QueryDef] = groups.flatMap(_.defs)
 

@@ -139,7 +139,10 @@ class QueriesSmokeSpec extends SparkSpec {
     // range condition; its revenue total is a one-row broadcast
     "q456_online_agg_convergence",
     // q460's global-statistic rows are one-row broadcasts
-    "q460_nested_percentile_fallacy")
+    "q460_nested_percentile_fallacy",
+    // q462's access total and q463's day-zero origin are one-row
+    // broadcasts
+    "q462_static_cache_sweep", "q463_view_staleness_pricing")
 
   test("query constructors are lazy: warm construction launches zero jobs") {
     import org.apache.spark.scheduler.{SparkListener, SparkListenerJobStart}
