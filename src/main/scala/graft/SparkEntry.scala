@@ -59,7 +59,8 @@ object SparkEntry {
     TpchFinalQueries,
     ApproxQueries,
     CertificateQueries,
-    FreshnessQueries)
+    FreshnessQueries,
+    LatenessQueries)
 
   private lazy val all: Seq[QueryDef] = groups.flatMap(_.defs)
 

@@ -15,7 +15,7 @@ object GraphQueries extends QueryGroup {
 
   /** The q32-verified IVF build (quantize → seed id%k → one integer
     * Lloyd step), as DuckDB CTEs ending in `assigned(id, qv, cluster)`. */
-  private val duckIvfAssigned = """
+  private[queries] val duckIvfAssigned = """
       base AS (
         SELECT vec_id AS id, list_transform(embedding, x -> CAST(floor(x*512 + 0.5) AS BIGINT)) AS qv
         FROM embeddings),

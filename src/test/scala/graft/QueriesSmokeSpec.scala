@@ -142,7 +142,10 @@ class QueriesSmokeSpec extends SparkSpec {
     "q460_nested_percentile_fallacy",
     // q462's access total and q463's day-zero origin are one-row
     // broadcasts
-    "q462_static_cache_sweep", "q463_view_staleness_pricing")
+    "q462_static_cache_sweep", "q463_view_staleness_pricing",
+    // q464's stream-end anchor and q466's cell total are one-row
+    // broadcasts
+    "q464_watermark_laggards", "q466_ivf_cell_balance")
 
   test("query constructors are lazy: warm construction launches zero jobs") {
     import org.apache.spark.scheduler.{SparkListener, SparkListenerJobStart}
@@ -177,7 +180,9 @@ class QueriesSmokeSpec extends SparkSpec {
       "q402_knapsack_source_budget",
       // q411/q415 localCheckpoint their edge lists (q75's pattern) so
       // the unrolled LPA/HITS rounds never rebuild the join
-      "q411_lpa_communities", "q415_hits_hub_authority")
+      "q411_lpa_communities", "q415_hits_hub_authority",
+      // q466 builds the IVF index (centroid collect, the q32 pattern)
+      "q466_ivf_cell_balance")
     // the bus delivers only events posted after registration, so earlier
     // tests' jobs cannot leak into the count
     spark.sparkContext.addSparkListener(listener)
