@@ -60,7 +60,8 @@ object SparkEntry {
     ApproxQueries,
     CertificateQueries,
     FreshnessQueries,
-    LatenessQueries)
+    LatenessQueries,
+    ReplayQueries)
 
   private lazy val all: Seq[QueryDef] = groups.flatMap(_.defs)
 

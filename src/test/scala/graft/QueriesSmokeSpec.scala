@@ -145,7 +145,10 @@ class QueriesSmokeSpec extends SparkSpec {
     "q462_static_cache_sweep", "q463_view_staleness_pricing",
     // q464's stream-end anchor and q466's cell total are one-row
     // broadcasts
-    "q464_watermark_laggards", "q466_ivf_cell_balance")
+    "q464_watermark_laggards", "q466_ivf_cell_balance",
+    // q467's baseline/oracle scalars and q468's latest-month anchor are
+    // one-row broadcasts
+    "q467_bandit_replay_ope", "q468_storage_tiering_bill")
 
   test("query constructors are lazy: warm construction launches zero jobs") {
     import org.apache.spark.scheduler.{SparkListener, SparkListenerJobStart}
