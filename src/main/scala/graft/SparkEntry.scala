@@ -61,7 +61,8 @@ object SparkEntry {
     CertificateQueries,
     FreshnessQueries,
     LatenessQueries,
-    ReplayQueries)
+    ReplayQueries,
+    ServingQueries)
 
   private lazy val all: Seq[QueryDef] = groups.flatMap(_.defs)
 

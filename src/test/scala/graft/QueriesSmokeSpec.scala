@@ -148,7 +148,11 @@ class QueriesSmokeSpec extends SparkSpec {
     "q464_watermark_laggards", "q466_ivf_cell_balance",
     // q467's baseline/oracle scalars and q468's latest-month anchor are
     // one-row broadcasts
-    "q467_bandit_replay_ope", "q468_storage_tiering_bill")
+    "q467_bandit_replay_ope", "q468_storage_tiering_bill",
+    // q470's rank thresholds, q471's scatter scalars and q472's literal
+    // query ranges join bounded sides by broadcast
+    "q470_dkw_percentile_bands", "q471_lda_separability",
+    "q472_fenwick_range_serving")
 
   test("query constructors are lazy: warm construction launches zero jobs") {
     import org.apache.spark.scheduler.{SparkListener, SparkListenerJobStart}
