@@ -62,7 +62,8 @@ object SparkEntry {
     FreshnessQueries,
     LatenessQueries,
     ReplayQueries,
-    ServingQueries)
+    ServingQueries,
+    RichnessQueries)
 
   private lazy val all: Seq[QueryDef] = groups.flatMap(_.defs)
 

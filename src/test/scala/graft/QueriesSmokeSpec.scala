@@ -152,7 +152,9 @@ class QueriesSmokeSpec extends SparkSpec {
     // q470's rank thresholds, q471's scatter scalars and q472's literal
     // query ranges join bounded sides by broadcast
     "q470_dkw_percentile_bands", "q471_lda_separability",
-    "q472_fenwick_range_serving")
+    "q472_fenwick_range_serving",
+    // q475's true-distinct comparison side is a one-row broadcast
+    "q475_chao1_distinct_from_sample")
 
   test("query constructors are lazy: warm construction launches zero jobs") {
     import org.apache.spark.scheduler.{SparkListener, SparkListenerJobStart}
