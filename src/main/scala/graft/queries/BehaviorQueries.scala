@@ -849,7 +849,7 @@ object BehaviorQueries extends QueryGroup {
             AS purchase_cents,
           max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS closed
         FROM s GROUP BY 1, 2)
-      SELECT user_id, seg, n_events, build_cents, purchase_cents
+      SELECT user_id, CAST(seg AS BIGINT) AS seg, n_events, build_cents, purchase_cents
       FROM g WHERE closed = 1 ORDER BY user_id, seg
     """))
 
@@ -1318,7 +1318,7 @@ object BehaviorQueries extends QueryGroup {
     },
     Some {
       def block(w: Long) = s"""
-        SELECT $w AS window_s, nv.n_view, nc.n_click, np.n_purchase,
+        SELECT CAST($w AS BIGINT) AS window_s, nv.n_view, nc.n_click, np.n_purchase,
           CASE WHEN nv.n_view = 0 THEN NULL ELSE nc.n_click * 1000000 // nv.n_view END AS click_conv_ppm,
           CASE WHEN nc.n_click = 0 THEN NULL ELSE np.n_purchase * 1000000 // nc.n_click END AS purchase_conv_ppm
         FROM (SELECT count(*) AS n_view FROM v) nv,

@@ -64,7 +64,7 @@ object CalibrationQueries extends QueryGroup {
         FROM hist
         WINDOW w AS (ORDER BY score_q DESC
           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
-      SELECT score_q, cum_tp, cum_fp,
+      SELECT CAST(score_q AS BIGINT) AS score_q, cum_tp, cum_fp,
         CAST(cum_tp * 1000000 // pos AS BIGINT) AS tpr_ppm,
         CAST(cum_fp * 1000000 // neg AS BIGINT) AS fpr_ppm
       FROM cum CROSS JOIN tot

@@ -612,7 +612,8 @@ object DriftQueries extends QueryGroup {
         .select(col("day"), col("n_events"), col("cum"),
           min(col("cum")).over(ord).as("runmin"), col("total"))
         .select(col("day"), col("n_events"),
-          (col("cum") - least(col("runmin"), lit(0L))).as("cusum_scaled"),
+          (col("cum") - least(col("runmin"), lit(0L))).cast("long")
+            .as("cusum_scaled"),
           when(col("cum") - least(col("runmin"), lit(0L)) > col("total"), lit(1L))
             .otherwise(lit(0L)).as("is_alarm"))
         .orderBy(col("day"))
@@ -640,7 +641,7 @@ object DriftQueries extends QueryGroup {
           min(cum) OVER (ORDER BY day ROWS UNBOUNDED PRECEDING) AS runmin
         FROM c1)
       SELECT day, n_events,
-        CAST(cum - least(runmin, 0) AS DECIMAL(38,0)) AS cusum_scaled,
+        CAST(cum - least(runmin, 0) AS BIGINT) AS cusum_scaled,
         CAST(CASE WHEN cum - least(runmin, 0) > total THEN 1 ELSE 0 END AS BIGINT)
           AS is_alarm
       FROM c ORDER BY day

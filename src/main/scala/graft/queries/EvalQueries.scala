@@ -262,15 +262,15 @@ object EvalQueries extends QueryGroup {
           least(n_rel, 10) AS m
         FROM ranked WHERE rk <= 10
         GROUP BY q_id, q_label, n_rel)
-      SELECT q_id, q_label, n_rel, dcg_mu,
-        CASE WHEN (CASE WHEN m >= 10 THEN 7381 WHEN m = 9 THEN 7129 WHEN m = 8 THEN 6849
+      SELECT q_id, q_label, n_rel, CAST(dcg_mu AS BIGINT) AS dcg_mu,
+        CAST(CASE WHEN (CASE WHEN m >= 10 THEN 7381 WHEN m = 9 THEN 7129 WHEN m = 8 THEN 6849
                         WHEN m = 7 THEN 6534 WHEN m = 6 THEN 6174 WHEN m = 5 THEN 5754
                         WHEN m = 4 THEN 5250 WHEN m = 3 THEN 4620 WHEN m = 2 THEN 3780
                         WHEN m = 1 THEN 2520 ELSE 0 END) = 0 THEN CAST(0 AS BIGINT)
              ELSE dcg_mu * 1000000 // (CASE WHEN m >= 10 THEN 7381 WHEN m = 9 THEN 7129
                         WHEN m = 8 THEN 6849 WHEN m = 7 THEN 6534 WHEN m = 6 THEN 6174
                         WHEN m = 5 THEN 5754 WHEN m = 4 THEN 5250 WHEN m = 3 THEN 4620
-                        WHEN m = 2 THEN 3780 WHEN m = 1 THEN 2520 ELSE 0 END) END AS ndcg_ppm
+                        WHEN m = 2 THEN 3780 WHEN m = 1 THEN 2520 ELSE 0 END) END AS BIGINT) AS ndcg_ppm
       FROM dcg
       ORDER BY q_id
     """))
@@ -406,9 +406,9 @@ object EvalQueries extends QueryGroup {
         LEFT JOIN v8 USING (variant)
         WHERE v8.state = 'START' OR v8.state IS NULL),
       base AS (SELECT conv_ppm AS base_ppm FROM conv WHERE variant = 'none')
-      SELECT variant AS removed_channel, conv_ppm,
-        CASE WHEN base_ppm = 0 THEN CAST(0 AS BIGINT)
-             ELSE (base_ppm - conv_ppm) * 1000000 // base_ppm END AS removal_effect_ppm
+      SELECT variant AS removed_channel, CAST(conv_ppm AS BIGINT) AS conv_ppm,
+        CAST(CASE WHEN base_ppm = 0 THEN CAST(0 AS BIGINT)
+             ELSE (base_ppm - conv_ppm) * 1000000 // base_ppm END AS BIGINT) AS removal_effect_ppm
       FROM conv CROSS JOIN base
       ORDER BY removed_channel
       """
@@ -516,8 +516,8 @@ object EvalQueries extends QueryGroup {
     },
     Some("""
       SELECT lang, source, CAST(count(*) AS BIGINT) AS n_rows,
-        sum(n_chars) + count(*) * 64 AS est_bytes,
-        (sum(n_chars) + count(*) * 64 + 65535) // 65536 AS n_files,
+        CAST(sum(n_chars) + count(*) * 64 AS BIGINT) AS est_bytes,
+        CAST((sum(n_chars) + count(*) * 64 + 65535) // 65536 AS BIGINT) AS n_files,
         (sum(n_chars) + count(*) * 64) < 16384 AS small_file_risk
       FROM documents
       GROUP BY lang, source
@@ -597,8 +597,9 @@ object EvalQueries extends QueryGroup {
         SELECT k, n, m_bar, icc_ppm,
           1000000 + (m_bar - 1) * icc_ppm AS deff_ppm
         FROM icc)
-      SELECT k, n, m_bar, icc_ppm, deff_ppm,
-        n * 1000000 // deff_ppm AS n_effective
+      SELECT k, CAST(n AS BIGINT) AS n, CAST(m_bar AS BIGINT) AS m_bar,
+        CAST(icc_ppm AS BIGINT) AS icc_ppm, CAST(deff_ppm AS BIGINT) AS deff_ppm,
+        CAST(n * 1000000 // deff_ppm AS BIGINT) AS n_effective
       FROM de
     """))
 
@@ -663,7 +664,7 @@ object EvalQueries extends QueryGroup {
         JOIN per_cluster USING (cluster)
         CROSS JOIN total
         WHERE c_lt >= 5)
-      SELECT cluster, rank, token, c_lt, keyness_ppm
+      SELECT cluster, rank, token, c_lt, CAST(keyness_ppm AS BIGINT) AS keyness_ppm
       FROM (
         SELECT *, CAST(row_number() OVER (PARTITION BY cluster
           ORDER BY keyness_ppm DESC, token) AS INTEGER) AS rank
@@ -788,7 +789,7 @@ object EvalQueries extends QueryGroup {
         SELECT CASE WHEN i_star = k THEN 9223372036854775807
                     ELSE (budget - cum_star) // (k - i_star) END AS cap
         FROM star)
-      SELECT source, n_docs, least(n_docs, cap) AS allocated,
+      SELECT source, n_docs, CAST(least(n_docs, cap) AS BIGINT) AS allocated,
         n_docs > cap AS capped
       FROM ranked CROSS JOIN cap
       ORDER BY source
@@ -884,7 +885,8 @@ object EvalQueries extends QueryGroup {
           CAST(row_number() OVER (PARTITION BY v.v // 1000 ORDER BY v.v) AS BIGINT) AS rn
         FROM v CROSS JOIN pre p
         WHERE v.v // 1000 IN (p.bin_med, p.bin_lo, p.bin_hi))
-      SELECT n, lo_r, med_r, hi_r,
+      SELECT CAST(n AS BIGINT) AS n, CAST(lo_r AS BIGINT) AS lo_r,
+        CAST(med_r AS BIGINT) AS med_r, CAST(hi_r AS BIGINT) AS hi_r,
         min(CASE WHEN xb = bin_lo AND before_lo + rn >= lo_r THEN v END) AS ci_lo_c,
         min(CASE WHEN xb = bin_med AND before_med + rn >= med_r THEN v END) AS median_c,
         min(CASE WHEN xb = bin_hi AND before_hi + rn >= hi_r THEN v END) AS ci_hi_c
@@ -948,9 +950,10 @@ object EvalQueries extends QueryGroup {
           sum(a * d * 1000 // (a + b + c + d)) AS r_m,
           sum(b * c * 1000 // (a + b + c + d)) AS s_m
         FROM strata)
-      SELECT sa, sb, sc, sd,
-        sa * sd * 1000 // (sb * sc) AS crude_or_milli,
-        r_m * 1000 // s_m AS mh_or_milli
+      SELECT CAST(sa AS BIGINT) AS sa, CAST(sb AS BIGINT) AS sb,
+        CAST(sc AS BIGINT) AS sc, CAST(sd AS BIGINT) AS sd,
+        CAST(sa * sd * 1000 // (sb * sc) AS BIGINT) AS crude_or_milli,
+        CAST(r_m * 1000 // s_m AS BIGINT) AS mh_or_milli
       FROM pooled
     """))
 
@@ -1129,7 +1132,7 @@ object EvalQueries extends QueryGroup {
           sum(w * w * n_i) AS sw2n
         FROM lv),
       u AS (SELECT n, a, swn, sw2n, n * swa - a * swn AS u FROM m)
-      SELECT n AS n_total, a AS n_returned,
+      SELECT CAST(n AS BIGINT) AS n_total, CAST(a AS BIGINT) AS n_returned,
         CASE WHEN u > 0 THEN 1 WHEN u < 0 THEN -1 ELSE 0 END AS trend_sign,
         CAST((u * u * 1000000) //
              (a * (n - a) * (n * sw2n - swn * swn) // n) AS BIGINT) AS z2_ppm
@@ -1262,11 +1265,11 @@ object EvalQueries extends QueryGroup {
         FROM first_seen GROUP BY 1),
       total AS (SELECT CAST(count(*) AS BIGINT) AS total_grams FROM first_seen)
       SELECT decile, new_grams,
-        sum(new_grams) OVER (ORDER BY decile
-          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_grams,
-        sum(new_grams) OVER (ORDER BY decile
+        CAST(sum(new_grams) OVER (ORDER BY decile
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_grams,
+        CAST(sum(new_grams) OVER (ORDER BY decile
           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) * 1000000
-          // total_grams AS coverage_ppm
+          // total_grams AS BIGINT) AS coverage_ppm
       FROM per_decile CROSS JOIN total
       ORDER BY decile
     """))
@@ -1397,9 +1400,9 @@ object EvalQueries extends QueryGroup {
           sum(abs(rev_c - l1)) AS ae1_c,
           sum(abs(rev_c - l7)) AS ae7_c
         FROM lagged WHERE l7 IS NOT NULL)
-      SELECT n_days, ae1_c // n_days AS mae_naive1_c,
-        ae7_c // n_days AS mae_naive7_c,
-        ae1_c * 1000000 // ae7_c AS mase_ppm
+      SELECT n_days, CAST(ae1_c // n_days AS BIGINT) AS mae_naive1_c,
+        CAST(ae7_c // n_days AS BIGINT) AS mae_naive7_c,
+        CAST(ae1_c * 1000000 // ae7_c AS BIGINT) AS mase_ppm
       FROM m
     """))
 

@@ -122,8 +122,8 @@ object FreshnessQueries extends QueryGroup {
       SELECT CAST(k.k AS BIGINT) AS k, t.n_accesses, t.distinct_parts,
         CAST(sum(CASE WHEN freq.rk <= k.k THEN freq.f ELSE 0 END) AS BIGINT)
           AS hits,
-        sum(CASE WHEN freq.rk <= k.k THEN freq.f ELSE 0 END) * 1000000
-          // t.n_accesses AS hit_ppm
+        CAST(sum(CASE WHEN freq.rk <= k.k THEN freq.f ELSE 0 END) * 1000000
+          // t.n_accesses AS BIGINT) AS hit_ppm
       FROM freq CROSS JOIN tot t
       CROSS JOIN (SELECT unnest([16, 128, 1024]) AS k) k
       GROUP BY k.k, t.n_accesses, t.distinct_parts

@@ -111,7 +111,7 @@ object LatenessQueries extends QueryGroup {
         FROM documents)
       SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
         CAST(sum(ok) AS BIGINT) AS n_exact,
-        sum(ok) * 1000000 // count(*) AS roundtrip_ppm
+        CAST(sum(ok) * 1000000 // count(*) AS BIGINT) AS roundtrip_ppm
       FROM rt GROUP BY source
       ORDER BY source
     """))

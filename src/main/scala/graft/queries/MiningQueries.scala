@@ -179,7 +179,7 @@ object MiningQueries extends QueryGroup {
           sum(CASE WHEN f.first_doc = g.doc_id THEN 1 ELSE 0 END) AS n_novel
         FROM g JOIN f USING (g) GROUP BY g.doc_id)
       SELECT doc_id, n_grams, CAST(n_novel AS BIGINT) AS n_novel,
-        n_novel * 1000000 // n_grams AS novelty_ppm
+        CAST(n_novel * 1000000 // n_grams AS BIGINT) AS novelty_ppm
       FROM a ORDER BY doc_id
     """))
 

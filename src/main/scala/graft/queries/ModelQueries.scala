@@ -505,7 +505,7 @@ object ModelQueries extends QueryGroup {
         .orderBy(col("tbl"))
     },
     Some("""
-      SELECT tbl, n_rows, est_bytes,
+      SELECT tbl, n_rows, CAST(est_bytes AS BIGINT) AS est_bytes,
         CASE WHEN est_bytes <= 10485760 THEN 'broadcast' ELSE 'shuffle' END AS strategy
       FROM (
         SELECT 'region' AS tbl, CAST(count(*) AS BIGINT) AS n_rows,
@@ -1803,10 +1803,10 @@ object ModelQueries extends QueryGroup {
         WHERE ((doc_id % 2147483648) * 2654435761) % 4294967296 % 10000 < 5000)
       SELECT 's0_all' AS stage, CAST(count(*) AS BIGINT) AS n_docs,
         CAST(coalesce(sum(n_chars), 0) AS BIGINT) AS total_chars FROM d
-      UNION ALL SELECT 's1_exact_norm', count(*), coalesce(sum(n_chars), 0) FROM s1
-      UNION ALL SELECT 's2_template', count(*), coalesce(sum(n_chars), 0) FROM s2
-      UNION ALL SELECT 's3_lm_filter', count(*), coalesce(sum(n_chars), 0) FROM s3
-      UNION ALL SELECT 's4_sample', count(*), coalesce(sum(n_chars), 0) FROM s4
+      UNION ALL SELECT 's1_exact_norm', count(*), CAST(coalesce(sum(n_chars), 0) AS BIGINT) FROM s1
+      UNION ALL SELECT 's2_template', count(*), CAST(coalesce(sum(n_chars), 0) AS BIGINT) FROM s2
+      UNION ALL SELECT 's3_lm_filter', count(*), CAST(coalesce(sum(n_chars), 0) AS BIGINT) FROM s3
+      UNION ALL SELECT 's4_sample', count(*), CAST(coalesce(sum(n_chars), 0) AS BIGINT) FROM s4
       ORDER BY stage
     """))
 

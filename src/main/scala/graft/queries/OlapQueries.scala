@@ -1395,7 +1395,7 @@ object OlapQueries extends QueryGroup {
     "q338_pq_codebook",
     (spark, dir) => {
       val (_, _, best2) = pqParts(spark, dir)
-      best2.groupBy(col("s"), col("j"))
+      best2.groupBy(col("s").cast("long").as("s"), col("j").cast("long").as("j"))
         .agg(count(lit(1)).as("n_members"), sum(col("dist")).as("distortion"))
         .orderBy(col("s"), col("j"))
     },
@@ -2396,10 +2396,10 @@ object OlapQueries extends QueryGroup {
           CAST(sum(CASE WHEN y >= q90 THEN 9000 * (y - q90)
                         ELSE 1000 * (q90 - y) END) AS BIGINT) AS loss90
         FROM test, qs)
-      SELECT 5000 AS tau_bp, q50 AS forecast_cents, n_test,
+      SELECT CAST(5000 AS BIGINT) AS tau_bp, q50 AS forecast_cents, n_test,
         loss50 AS pinball_bp_cents FROM agg
       UNION ALL
-      SELECT 9000, q90, n_test, loss90 FROM agg
+      SELECT CAST(9000 AS BIGINT), q90, n_test, loss90 FROM agg
       ORDER BY tau_bp
     """))
 

@@ -181,7 +181,7 @@ object PlanningQueries extends QueryGroup {
       SELECT day, n_events, CAST(s7 AS BIGINT) AS trailing_sum,
         CASE WHEN CAST(7 * n_events - s7 AS HUGEINT) * (7 * n_events - s7)
                   > 4 * (7 * q7 - CAST(s7 AS HUGEINT) * s7)
-             THEN 1 ELSE 0 END AS is_anomaly
+             THEN CAST(1 AS BIGINT) ELSE CAST(0 AS BIGINT) END AS is_anomaly
       FROM f WHERE n7 = 7 ORDER BY day
     """))
 

@@ -207,8 +207,8 @@ object RelationalQueries extends QueryGroup {
       Tables.customer(spark, dir)
         .select(
           col("c_nationkey"), col("c_custkey"), col("c_acctbal"),
-          row_number().over(w).as("rn"),
-          rank().over(w).as("rnk"),
+          row_number().over(w).cast("long").as("rn"),
+          rank().over(w).cast("long").as("rnk"),
           lag(col("c_custkey"), 1, -1L).over(w).as("prev_custkey"),
           sum(cents(col("c_acctbal"))).over(w.rowsBetween(Window.unboundedPreceding, 0))
             .cast("double")./(lit(100d)).as("running_balance"))

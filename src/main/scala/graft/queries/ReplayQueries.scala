@@ -184,8 +184,8 @@ object ReplayQueries extends QueryGroup {
         CAST(sum(n_rows) AS BIGINT) AS n_rows,
         CAST(sum(est_bytes) AS BIGINT) AS est_bytes,
         CAST(sum(est_bytes * price_nano) AS BIGINT) AS bill_nano,
-        (sum(est_bytes * 100) - sum(est_bytes * price_nano)) * 1000000
-          // sum(est_bytes * 100) AS savings_ppm
+        CAST((sum(est_bytes * 100) - sum(est_bytes * price_nano)) * 1000000
+          // sum(est_bytes * 100) AS BIGINT) AS savings_ppm
       FROM tiered GROUP BY tier, price_nano
       ORDER BY tier
     """))

@@ -65,8 +65,8 @@ object RichnessQueries extends QueryGroup {
           AS n_bitmap,
         CAST(sum(bytes) AS BIGINT) AS hybrid_bytes,
         CAST(sum(n_values * 8) AS BIGINT) AS naive_bytes,
-        (sum(n_values * 8) - sum(bytes)) * 1000000 // sum(n_values * 8)
-          AS savings_ppm
+        CAST((sum(n_values * 8) - sum(bytes)) * 1000000 // sum(n_values * 8)
+          AS BIGINT) AS savings_ppm
       FROM planned GROUP BY month
       ORDER BY month LIMIT 24
     """))
@@ -115,7 +115,7 @@ object RichnessQueries extends QueryGroup {
         s"""SELECT '$label' AS rule, CAST(sum(nx) AS BIGINT) AS n,
           CAST(sum(mx) AS BIGINT) AS kept,
           CAST(sum(nx) - sum(mx) AS BIGINT) AS rows_to_delete,
-          (sum(nx) - sum(mx)) * 1000000 // sum(nx) AS g3_ppm,
+          CAST((sum(nx) - sum(mx)) * 1000000 // sum(nx) AS BIGINT) AS g3_ppm,
           CAST(CASE WHEN sum(mx) = sum(nx) THEN 1 ELSE 0 END AS BIGINT)
             AS holds_exactly
         FROM (

@@ -63,7 +63,8 @@ object SignalQueries extends QueryGroup {
           coalesce(date_add(col("d0"), 1), col("first_day")).as("start_day"),
           col("end_day"),
           (datediff(col("end_day"),
-            coalesce(date_add(col("d0"), 1), col("first_day"))) + 1).as("span_days"))
+            coalesce(date_add(col("d0"), 1), col("first_day"))) + 1)
+            .cast("long").as("span_days"))
     },
     Some("""
       WITH daily AS (
@@ -93,7 +94,7 @@ object SignalQueries extends QueryGroup {
         SELECT max(scored.day) AS d0 FROM scored CROSS JOIN e
         WHERE scored.p = e.m_at_end AND scored.day < e.end_day),
       f AS (SELECT min(day) AS first_day FROM daily)
-      SELECT best_v // nd AS best_sum_c,
+      SELECT CAST(best_v // nd AS BIGINT) AS best_sum_c,
         coalesce(d0 + 1, first_day) AS start_day,
         end_day,
         date_diff('day', coalesce(d0 + 1, first_day), end_day) + 1 AS span_days
@@ -446,9 +447,9 @@ object SignalQueries extends QueryGroup {
       d0 AS (
         SELECT state, c * 1000000 // (SELECT sum(c) FROM emp) AS d_ppm FROM emp),
       $stepCtes
-      SELECT d0.state, d0.d_ppm AS empirical_ppm,
-        coalesce(d8.d_ppm, 0) AS evolved_ppm,
-        abs(d0.d_ppm - coalesce(d8.d_ppm, 0)) AS abs_diff_ppm
+      SELECT d0.state, CAST(d0.d_ppm AS BIGINT) AS empirical_ppm,
+        CAST(coalesce(d8.d_ppm, 0) AS BIGINT) AS evolved_ppm,
+        CAST(abs(d0.d_ppm - coalesce(d8.d_ppm, 0)) AS BIGINT) AS abs_diff_ppm
       FROM d0 LEFT JOIN d8 USING (state)
       ORDER BY d0.state
       """
@@ -549,8 +550,8 @@ object SignalQueries extends QueryGroup {
         GROUP BY token),
       tot AS (SELECT sum(w_m) AS tw, sum(f) AS tf FROM freq)
       SELECT token, f,
-        f * 1000000 // tf AS raw_ppm,
-        w_m * 1000000 // tw AS sample_ppm
+        CAST(f * 1000000 // tf AS BIGINT) AS raw_ppm,
+        CAST(w_m * 1000000 // tw AS BIGINT) AS sample_ppm
       FROM freq CROSS JOIN tot
       ORDER BY f DESC, token
       LIMIT 20
@@ -966,10 +967,12 @@ object SignalQueries extends QueryGroup {
       loads AS (
         SELECT shard, k, n_items, total, lb_fill, lb_half, sum(sz) AS load
         FROM ranked GROUP BY 1, 2, 3, 4, 5, 6)
-      SELECT n_items, total, lb_fill, lb_half, k AS k_shards,
-        max(load) AS makespan,
+      SELECT n_items, CAST(total AS BIGINT) AS total,
+        CAST(lb_fill AS BIGINT) AS lb_fill, lb_half,
+        CAST(k AS BIGINT) AS k_shards,
+        CAST(max(load) AS BIGINT) AS makespan,
         CAST(count(*) FILTER (load > 65536) AS BIGINT) AS n_overflow,
-        max(load) * 1000000 // 65536 AS makespan_ratio_ppm
+        CAST(max(load) * 1000000 // 65536 AS BIGINT) AS makespan_ratio_ppm
       FROM loads
       GROUP BY n_items, total, lb_fill, lb_half, k
     """))

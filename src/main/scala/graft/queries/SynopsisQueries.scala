@@ -257,7 +257,7 @@ object SynopsisQueries extends QueryGroup {
       val best = lags.agg(max(col("cov_scaled")).as("best_cov"))
       lags.crossJoin(broadcast(best))
         .select(col("k").cast("long").as("lag_days"), col("n_days"),
-          col("cov_scaled"),
+          col("cov_scaled").cast("long").as("cov_scaled"),
           when(col("cov_scaled") === col("best_cov"), 1L).otherwise(0L)
             .as("is_best"))
         .orderBy(col("lag_days"))
@@ -291,7 +291,8 @@ object SynopsisQueries extends QueryGroup {
           CAST(n_days AS HUGEINT) * sxy - CAST(sx AS HUGEINT) * sy AS cov_scaled
         FROM lags),
       best AS (SELECT max(cov_scaled) AS best_cov FROM sc)
-      SELECT CAST(k AS BIGINT) AS lag_days, n_days, cov_scaled,
+      SELECT CAST(k AS BIGINT) AS lag_days, n_days,
+        CAST(cov_scaled AS BIGINT) AS cov_scaled,
         CAST(CASE WHEN cov_scaled = best_cov THEN 1 ELSE 0 END AS BIGINT)
           AS is_best
       FROM sc CROSS JOIN best

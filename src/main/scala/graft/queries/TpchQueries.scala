@@ -180,7 +180,7 @@ object TpchQueries extends QueryGroup {
       Tables.lineitem(spark, dir)
         .filter(col("l_shipdate") >= "1995-01-01" && col("l_shipdate") < "1997-01-01")
         .select(col("l_orderkey"), col("l_suppkey"),
-          year(col("l_shipdate")).as("l_year"),
+          year(col("l_shipdate")).cast("long").as("l_year"),
           revE4("l_extendedprice", "l_discount").as("rev_e4"))
         .join(broadcast(sup), col("l_suppkey") === col("s_suppkey"))
         .join(ord, col("l_orderkey") === col("o_orderkey"))
@@ -235,7 +235,7 @@ object TpchQueries extends QueryGroup {
           col("s_nationkey") === col("n_nationkey"))
         .select(col("s_suppkey"), col("n_name"))
       val o = Tables.orders(spark, dir)
-        .select(col("o_orderkey"), year(col("o_orderdate")).as("o_year"))
+        .select(col("o_orderkey"), year(col("o_orderdate")).cast("long").as("o_year"))
       Tables.lineitem(spark, dir)
         .select(col("l_orderkey"), col("l_partkey"), col("l_suppkey"),
           revE4("l_extendedprice", "l_discount").as("rev_e4"), qtyL.as("qty"))
@@ -354,7 +354,7 @@ object TpchQueries extends QueryGroup {
         JOIN nation ON s_nationkey = n_nationkey
         WHERE n_name = 'NATION_3'
         GROUP BY 1)
-      SELECT p_partkey, value_c
+      SELECT p_partkey, CAST(value_c AS BIGINT) AS value_c
       FROM per_part
       WHERE value_c * 1000 > (SELECT sum(value_c) FROM per_part)
       ORDER BY value_c DESC, p_partkey
@@ -394,8 +394,8 @@ object TpchQueries extends QueryGroup {
         .orderBy(col("band"))
     },
     Some("""
-      SELECT band, sum(critical) AS high_line_count,
-        sum(1 - critical) AS low_line_count
+      SELECT band, CAST(sum(critical) AS BIGINT) AS high_line_count,
+        CAST(sum(1 - critical) AS BIGINT) AS low_line_count
       FROM (
         SELECT CASE
             WHEN epoch_ms(l_shipdate)//1000 - epoch_ms(o_orderdate)//1000
@@ -442,7 +442,7 @@ object TpchQueries extends QueryGroup {
     Some(s"""
       SELECT CAST(promo_e4 AS DOUBLE)/10000 AS promo_revenue,
         CAST(total_e4 AS DOUBLE)/10000 AS total_revenue,
-        promo_e4 * 1000000 // total_e4 AS promo_ppm
+        CAST(promo_e4 * 1000000 // total_e4 AS BIGINT) AS promo_ppm
       FROM (
         SELECT sum(CASE WHEN p_type = 'PROMO' THEN $revE4Sql
                         ELSE CAST(0 AS BIGINT) END) AS promo_e4,
@@ -572,7 +572,8 @@ object TpchQueries extends QueryGroup {
     Some("""
       SELECT c_name, c_custkey, o_orderkey,
         epoch_ms(o_orderdate) // 1000 AS od_s,
-        CAST(floor(o_totalprice*100 + 0.5) AS BIGINT) AS price_c, sum_qty
+        CAST(floor(o_totalprice*100 + 0.5) AS BIGINT) AS price_c,
+        CAST(sum_qty AS BIGINT) AS sum_qty
       FROM (
         SELECT l_orderkey, sum(CAST(floor(l_quantity + 0.5) AS BIGINT)) AS sum_qty
         FROM lineitem GROUP BY 1 HAVING sum_qty > 250)

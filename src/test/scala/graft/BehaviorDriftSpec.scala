@@ -666,8 +666,7 @@ class BehaviorDriftSpec extends SparkSpec {
       (day, x, s, if (s > total) 1L else 0L)
     }
     val got = run("q176_cusum_drift").collect()
-      .map(r => (r.getLong(0), r.getLong(1),
-        BigInt(r.getDecimal(2).toBigInteger), r.getLong(3)))
+      .map(r => (r.getLong(0), r.getLong(1), BigInt(r.getLong(2)), r.getLong(3)))
     assert(got.toSeq == expected.toSeq)
     assert(got.map(_._4).sum > 0 || got.forall(_._4 == 0L)) // census is well-formed
   }

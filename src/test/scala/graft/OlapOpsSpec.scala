@@ -253,7 +253,7 @@ class OlapOpsSpec extends SparkSpec {
     assert(rows.nonEmpty)
     val nVecs = Tables.embeddings(spark, sfMid).count()
     // conservation: members across clusters = vectors, per subspace
-    val bySub = rows.groupBy(_.getAs[Int]("s")).view
+    val bySub = rows.groupBy(_.getAs[Long]("s")).view
       .mapValues(_.map(_.getAs[Long]("n_members")).sum).toMap
     assert(bySub.size == 8)
     assert(bySub.values.forall(_ == nVecs), s"$bySub vs $nVecs")

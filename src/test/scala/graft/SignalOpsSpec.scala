@@ -18,7 +18,7 @@ class SignalOpsSpec extends SparkSpec {
     val start = r.getAs[java.sql.Date]("start_day")
     val end = r.getAs[java.sql.Date]("end_day")
     assert(!start.after(end))
-    assert(r.getAs[Int]("span_days") >= 1)
+    assert(r.getAs[Long]("span_days") >= 1L)
     // independent recomputation of the span's above-mean sum
     val daily = Tables.orders(spark, sfMid)
       .groupBy(expr("CAST(o_orderdate AS DATE)").as("day"))

@@ -70,8 +70,7 @@ class SynopsisOpsSpec extends SparkSpec {
   test("lead-lag: full lag grid, best flag marks the covariance maximum") {
     val rows = run("q421_lead_lag_xcorr").orderBy(col("lag_days")).collect()
     assert(rows.map(_.getAs[Long]("lag_days")).toSeq == (-7L to 7L).toSeq)
-    val covs = rows.map(r => BigDecimal(
-      r.getAs[java.math.BigDecimal]("cov_scaled")))
+    val covs = rows.map(r => BigDecimal(r.getAs[Long]("cov_scaled")))
     val mx = covs.max
     for ((r, c) <- rows.zip(covs)) {
       assert(r.getAs[Long]("n_days") > 0L)

@@ -50,7 +50,7 @@ class TpchOpsSpec extends SparkSpec {
     for (r <- rows) {
       val pair = (r.getAs[String]("supp_nation"), r.getAs[String]("cust_nation"))
       assert(pair == ("NATION_1", "NATION_2") || pair == ("NATION_2", "NATION_1"))
-      assert(Set(1995, 1996).contains(r.getAs[Int]("l_year")))
+      assert(Set(1995L, 1996L).contains(r.getAs[Long]("l_year")))
       assert(r.getAs[Double]("revenue") > 0d)
     }
     // at most 2 pairs × 2 years
@@ -62,9 +62,9 @@ class TpchOpsSpec extends SparkSpec {
   test("q9 shape: one row per (nation, year), years within the data span") {
     val rows = run("q362_tpch_q9_product_profit").collect()
     assert(rows.nonEmpty)
-    val keys = rows.map(r => (r.getAs[String]("nation"), r.getAs[Int]("o_year")))
+    val keys = rows.map(r => (r.getAs[String]("nation"), r.getAs[Long]("o_year")))
     assert(keys.distinct.length == keys.length)
-    assert(keys.forall { case (_, y) => y >= 1995 && y <= 2001 })
+    assert(keys.forall { case (_, y) => y >= 1995L && y <= 2001L })
     // profit is a signed sum but must be finite and non-degenerate
     assert(rows.forall(r => !r.getAs[Double]("sum_profit").isNaN))
   }

@@ -27,6 +27,21 @@ def table_hash(rows, cols):
         h.update(("|".join(canon(row[i]) for i in order) + "\n").encode())
     return h.hexdigest()
 
+# DuckDB result types whose driver-side hash canonicalization diverges from
+# the int64/double the Spark side writes. DuckDB silently widens sum(BIGINT)
+# and bigint products to HUGEINT (int128); the local `str()` canon makes
+# int128 == int64, but the driver's does NOT — 32 queries shipped r4 with
+# values bit-identical yet driver hash-red for exactly this reason (see
+# VERDICT.md r4 headline). Fail loudly on any such output column so the
+# defect class is caught at dev time: the fix is always CAST(... AS BIGINT)
+# on the oracle's final wide expression.
+WIDE_TYPES = ("HUGEINT", "UHUGEINT", "UBIGINT", "DECIMAL")
+
+def described_types(con, sql):
+    """{col: duckdb type} via DESCRIBE (the DB-API cursor description only
+    exposes generic codes like NUMBER, which can't tell int64 from int128)."""
+    return {c: ty for c, ty, *_ in con.execute(f"DESCRIBE ({sql})").fetchall()}
+
 def main(out_dir, sf_dir):
     con = duckdb.connect()
     for t in ["region","nation","customer","supplier","part","orders",
@@ -42,16 +57,31 @@ def main(out_dir, sf_dir):
                 continue  # partial dev dump (Verify with query-name args)
             print(f"FAIL {name}: no spark output"); failed.append(name); continue
         try:
+            o_tmap = described_types(con, sql)
+            wide = [(c, ty) for c, ty in o_tmap.items()
+                    if any(w in ty for w in WIDE_TYPES)]
+            if wide:
+                print(f"FAIL {name}: oracle emits driver-unhashable wide types "
+                      f"{wide} — CAST the final expression(s) AS BIGINT")
+                failed.append(name); continue
             orc = con.execute(sql)
             o_cols = [d[0] for d in orc.description]
             o_rows = orc.fetchall()
         except Exception as e:
             print(f"FAIL {name}: oracle error {e}"); failed.append(name); continue
+        s_tmap = described_types(con, f"SELECT * FROM read_parquet({files!r})")
         sq = con.execute(f"SELECT * FROM read_parquet({files!r})")
         s_cols = [d[0] for d in sq.description]
         s_rows = sq.fetchall()
         if sorted(o_cols) != sorted(s_cols):
             print(f"FAIL {name}: cols spark={sorted(s_cols)} oracle={sorted(o_cols)}")
+            failed.append(name); continue
+        # types must map 1:1 by column name — a driver-side hash compares
+        # canonicalized values, and identical names with diverging types
+        # (e.g. BIGINT vs DOUBLE) hash differently even when values agree
+        tdiff = [(c, s_tmap[c], o_tmap[c]) for c in s_cols if s_tmap[c] != o_tmap[c]]
+        if tdiff:
+            print(f"FAIL {name}: type mismatch (col, spark, oracle): {tdiff}")
             failed.append(name); continue
         if len(o_rows) != len(s_rows):
             print(f"FAIL {name}: rows spark={len(s_rows)} oracle={len(o_rows)}")
