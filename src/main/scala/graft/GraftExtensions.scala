@@ -58,6 +58,8 @@ object GraftFunctions {
       CharShingleSet(args(0), intOf(args(1), "k"))),
     "graft_word_shingles" -> (args =>
       WordShingleSet(args(0), intOf(args(1), "k"))),
+    "graft_suffix_loop_period" -> (args =>
+      SuffixLoopPeriod(args(0), intOf(args(1), "maxP"))),
     // mergeable quantile sketch: graft_sketch_quantile(v, p [, k])
     "graft_sketch_quantile" -> (args =>
       graft.functions.QuantileSketch(args(0),

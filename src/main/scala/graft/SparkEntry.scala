@@ -63,7 +63,8 @@ object SparkEntry {
     LatenessQueries,
     ReplayQueries,
     ServingQueries,
-    RichnessQueries)
+    RichnessQueries,
+    PretrainPlanQueries)
 
   private lazy val all: Seq[QueryDef] = groups.flatMap(_.defs)
 

@@ -510,4 +510,62 @@ object GraftHash {
     }
     if (bestIdx < 0) ids(0) else ids(bestIdx)
   }
+
+  /** Smallest period p in [1, maxP] such that the document's LAST p
+    * tokens exactly repeat the p tokens immediately before them
+    * (tokens[n-2p, n-p) == tokens[n-p, n)); 0 when no period ≤ maxP
+    * fits. The degenerate-generation tail detector: model-written text
+    * that fell into a loop ("the the the", a repeating phrase) ends in
+    * exactly this pattern, which document-level duplicate-token
+    * fractions (Gopher repetition) dilute away on long texts.
+    * Tokenization matches tokensOf: space-split, empty tokens dropped.
+    * One pass to find at most 2·maxP token boundaries from the END, then
+    * ≤ maxP byte-range comparisons — never materializes the token array,
+    * so the kernel is O(suffix) regardless of document length. */
+  def suffixLoopPeriod(s: UTF8String, maxP: Int): Int = {
+    val bytes = s.getBytes
+    val n = bytes.length
+    val need = 2 * maxP
+    // token boundaries collected right-to-left: starts(0)/ends(0) is the
+    // LAST token
+    val starts = new Array[Int](need)
+    val ends = new Array[Int](need)
+    var found = 0
+    var i = n - 1
+    while (i >= 0 && found < need) {
+      while (i >= 0 && bytes(i) == ' ') i -= 1
+      if (i >= 0) {
+        val end = i + 1
+        while (i >= 0 && bytes(i) != ' ') i -= 1
+        starts(found) = i + 1
+        ends(found) = end
+        found += 1
+      }
+    }
+    var p = 1
+    while (p <= maxP) {
+      if (found >= 2 * p) {
+        // token t of the suffix (0-based from the end) must equal token
+        // t+p; comparing the two windows pairwise
+        var t = 0
+        var ok = true
+        while (t < p && ok) {
+          val aLen = ends(t) - starts(t)
+          val bLen = ends(t + p) - starts(t + p)
+          if (aLen != bLen) ok = false
+          else {
+            var j = 0
+            while (j < aLen && ok) {
+              if (bytes(starts(t) + j) != bytes(starts(t + p) + j)) ok = false
+              j += 1
+            }
+          }
+          t += 1
+        }
+        if (ok) return p
+      }
+      p += 1
+    }
+    0
+  }
 }

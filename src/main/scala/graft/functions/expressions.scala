@@ -296,6 +296,19 @@ object expressions {
     override protected def withNewChildInternal(c: Expression): NearestCentroid = copy(child = c)
   }
 
+  /** Smallest suffix loop period ≤ maxP (0 = no loop): the
+    * degenerate-generation tail detector. O(suffix) per row — boundaries
+    * are scanned from the document END, so long documents cost the same
+    * as short ones. */
+  case class SuffixLoopPeriod(child: Expression, maxP: Int) extends UnaryExpression {
+    override def dataType: DataType = IntegerType
+    override protected def nullSafeEval(v: Any): Any =
+      GraftHash.suffixLoopPeriod(v.asInstanceOf[org.apache.spark.unsafe.types.UTF8String], maxP)
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      defineCodeGen(ctx, ev, c => s"$G.suffixLoopPeriod($c, $maxP)")
+    override protected def withNewChildInternal(c: Expression): SuffixLoopPeriod = copy(child = c)
+  }
+
   // ---- Column-level API ----
 
   def poly_hash(c: Column): Column = Bridge.column(PolyHash(Bridge.expression(c)))
@@ -334,4 +347,6 @@ object expressions {
   def bloom_contains(bits: Column, key: Column, numHashes: Int): Column =
     Bridge.column(BloomContains(
       Bridge.expression(bits), Bridge.expression(key.cast("long")), numHashes))
+  def suffix_loop_period(c: Column, maxP: Int): Column =
+    Bridge.column(SuffixLoopPeriod(Bridge.expression(c), maxP))
 }

@@ -1,0 +1,506 @@
+package graft.queries
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** Round-5 pretraining-corpus planning operators: block-level exact
+  * dedup (the deletion ledger, not just the audit), iterated BPE merges,
+  * the degenerate-generation suffix-loop census, DSIR-style importance
+  * selection, prefix-cache savings planning, data-constrained multi-epoch
+  * token accounting, and the chunk-overlap sweep. All outputs integers /
+  * strings with total ORDER BYs for the oracle gate.
+  */
+object PretrainPlanQueries extends QueryGroup {
+
+  // ---------------------------------------------------------------- q476
+
+  /** Block-level exact-dedup DELETION ledger (Lee et al.'s "Deduplicating
+    * Training Data" applied at fixed granularity): documents split into
+    * non-overlapping 8-token blocks; every block instance whose content
+    * already occurred earlier in corpus order (doc_id, then block index)
+    * is deleted; the ledger reports, per source, how many blocks and
+    * characters the pass removes. The REMOVAL complement of q182's
+    * shingle-mass audit: q182 says how duplicated a source is, this says
+    * what the dedup pass actually deletes and keeps.
+    *
+    * Scale shape: blocks leave the scan as (md5, len) pairs — 16-byte
+    * digests shuffle, never text; one digest-keyed min to elect the
+    * survivor, one per-source rollup. Collisionless for practical
+    * purposes and identical on both engines (md5 of the same block
+    * string). Block index fits 10 bits (docs ≤ ~1k tokens), so the
+    * (doc, block) order key packs into one long. */
+  private val q476 = QueryDef(
+    "q476_block_dedup_ledger",
+    (spark, dir) => {
+      val blocks = Tables.documents(spark, dir)
+        .select(col("doc_id"), col("source"),
+          expr("filter(split(text, ' '), t -> t != '')").as("tk"))
+        .select(col("doc_id"), col("source"),
+          posexplode(expr(
+            "transform(sequence(0, CAST((size(tk)-1) DIV 8 AS INT)), " +
+              "b -> array_join(slice(tk, b*8 + 1, 8), ' '))")).as(Seq("b", "blk")))
+        .filter(col("blk") =!= "")
+        .select(col("source"), md5(col("blk")).as("d"),
+          length(col("blk")).cast("long").as("blen"),
+          (col("doc_id") * 1024L + col("b")).as("ord"))
+      val first = blocks.groupBy(col("d")).agg(min(col("ord")).as("keep_ord"))
+      blocks.join(first, Seq("d"))
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_blocks"),
+          sum(when(col("ord") =!= col("keep_ord"), 1L).otherwise(0L)).as("n_deleted"),
+          sum(when(col("ord") =!= col("keep_ord"), col("blen")).otherwise(0L))
+            .as("chars_deleted"),
+          sum(col("blen")).as("chars_total"))
+        .select(col("source"), col("n_blocks"), col("n_deleted"),
+          col("chars_deleted"),
+          expr("(chars_total - chars_deleted)").as("chars_kept"),
+          expr("n_deleted * 1000000 div n_blocks").as("deleted_ppm"))
+        .orderBy(col("source"))
+    },
+    Some("""
+      WITH tk AS (
+        SELECT doc_id, source,
+          list_filter(str_split(text, ' '), t -> len(t) > 0) AS tk
+        FROM documents),
+      blocks AS (
+        SELECT source, md5(blk) AS d, CAST(len(blk) AS BIGINT) AS blen,
+          doc_id * 1024 + b AS ord
+        FROM (
+          SELECT doc_id, source, b,
+            array_to_string(list_slice(tk, b*8 + 1, b*8 + 8), ' ') AS blk
+          FROM tk, LATERAL (SELECT unnest(range(0, (len(tk)-1) // 8 + 1)) AS b) g)
+        WHERE blk <> ''),
+      first AS (SELECT d, min(ord) AS keep_ord FROM blocks GROUP BY d)
+      SELECT source, CAST(count(*) AS BIGINT) AS n_blocks,
+        CAST(sum(CASE WHEN ord <> keep_ord THEN 1 ELSE 0 END) AS BIGINT)
+          AS n_deleted,
+        CAST(sum(CASE WHEN ord <> keep_ord THEN blen ELSE 0 END) AS BIGINT)
+          AS chars_deleted,
+        CAST(sum(blen) - sum(CASE WHEN ord <> keep_ord THEN blen ELSE 0 END)
+          AS BIGINT) AS chars_kept,
+        CAST(sum(CASE WHEN ord <> keep_ord THEN 1 ELSE 0 END) * 1000000
+          // count(*) AS BIGINT) AS deleted_ppm
+      FROM blocks JOIN first USING (d)
+      GROUP BY source
+      ORDER BY source
+    """))
+
+  // ---------------------------------------------------------------- q477
+
+  /** Three iterated BPE training rounds — argmax pair, merge EVERYWHERE,
+    * recount — emitting each round's chosen merge and the total symbol
+    * count after it: the compression trajectory a tokenizer trainer
+    * reads to decide when merges stop paying. Extends q394 (one merge +
+    * next-round candidates) to the actual training loop.
+    *
+    * Scale shape: every round runs on the word-FREQUENCY table (the
+    * vocabulary), not the corpus — one corpus scan feeds round 1; the
+    * argmax pair is a one-row broadcast; the vocabulary is persisted per
+    * round so round r's plan does not re-embed rounds 1..r−1 (the
+    * q415/q427 loop discipline). */
+  private val q477 = QueryDef(
+    "q477_bpe_merge_rounds",
+    (spark, dir) => {
+      def pairCounts(df: DataFrame) = df
+        .withColumn("a", split(col("seq"), " "))
+        .filter(size(col("a")) >= 2)
+        .select(col("f"), explode(expr(
+          "transform(sequence(1, size(a) - 1), i -> concat(a[i - 1], ' ', a[i]))"))
+          .as("pair"))
+        .groupBy(col("pair")).agg(sum(col("f")).as("n"))
+      var words = Tables.documents(spark, dir)
+        .select(explode(graft.functions.expressions.tokens_native(col("text"))).as("w"))
+        .groupBy(col("w")).agg(count(lit(1)).as("f"))
+        .withColumn("seq", expr(
+          "concat_ws(' ', transform(sequence(1, length(w)), i -> substring(w, i, 1)))"))
+        .select(col("f"), col("seq"))
+        .persist()
+      var out: DataFrame = null
+      for (round <- 1 to 3) {
+        val top1 = pairCounts(words)
+          .orderBy(col("n").desc, col("pair")).limit(1)
+          .select(col("pair").as("merge_pair"), col("n").as("merge_n"),
+            regexp_replace(col("pair"), " ", "").as("merged"))
+        words = words.crossJoin(broadcast(top1))
+          .withColumn("seq", expr("replace(seq, merge_pair, merged)"))
+          .select(col("f"), col("seq"))
+          .persist()
+        val row = words
+          .agg(sum(expr("f * size(split(seq, ' '))")).as("total_symbols_after"))
+          .crossJoin(broadcast(top1))
+          .select(lit(round.toLong).as("round"), col("merge_pair").as("pair"),
+            col("merge_n").as("n"), col("total_symbols_after"))
+        out = if (out == null) row else out.unionAll(row)
+      }
+      out.orderBy(col("round"))
+    },
+    Some {
+      def pairSql(src: String, out: String) = s"""
+      $out AS (
+        SELECT pair, sum(f) AS n FROM (
+          SELECT f, a[i] || ' ' || a[i + 1] AS pair
+          FROM (SELECT f, str_split(seq, ' ') AS a FROM $src),
+            LATERAL (SELECT unnest(range(1, len(a))) AS i) i
+          WHERE len(a) >= 2)
+        GROUP BY pair)"""
+      def topSql(p: String, t: String) = s"""
+      $t AS (
+        SELECT pair AS merge_pair, n AS merge_n, replace(pair, ' ', '') AS merged
+        FROM $p ORDER BY n DESC, pair LIMIT 1)"""
+      def mergeSql(w: String, t: String, out: String) = s"""
+      $out AS (
+        SELECT f, replace(seq, merge_pair, merged) AS seq
+        FROM $w CROSS JOIN $t)"""
+      def statSql(w: String, t: String, round: Int) = s"""
+      SELECT CAST($round AS BIGINT) AS round, merge_pair AS pair,
+        CAST(merge_n AS BIGINT) AS n,
+        (SELECT CAST(sum(f * len(str_split(seq, ' '))) AS BIGINT) FROM $w)
+          AS total_symbols_after
+      FROM $t"""
+      s"""
+      WITH w0 AS (
+        SELECT CAST(count(*) AS BIGINT) AS f,
+          array_to_string([substring(w, CAST(i AS INTEGER), 1)
+                           for i in range(1, len(w) + 1)], ' ') AS seq
+        FROM (SELECT unnest(list_filter(str_split(text, ' '), t -> len(t) > 0)) AS w
+              FROM documents)
+        GROUP BY w),
+      ${pairSql("w0", "p1")}, ${topSql("p1", "t1")}, ${mergeSql("w0", "t1", "w1")},
+      ${pairSql("w1", "p2")}, ${topSql("p2", "t2")}, ${mergeSql("w1", "t2", "w2")},
+      ${pairSql("w2", "p3")}, ${topSql("p3", "t3")}, ${mergeSql("w2", "t3", "w3")}
+      ${statSql("w1", "t1", 1)}
+      UNION ALL ${statSql("w2", "t2", 2)}
+      UNION ALL ${statSql("w3", "t3", 3)}
+      ORDER BY round
+      """
+    })
+
+  // ---------------------------------------------------------------- q478
+
+  /** Degenerate-generation suffix-loop census: a document whose LAST p
+    * tokens exactly repeat the p tokens before them (p ≤ 3) is flagged
+    * with its smallest loop period — the signature of model-written text
+    * that fell into a repetition loop, which Gopher-style whole-document
+    * duplicate-token fractions (q73) dilute away on long texts. Reported
+    * per source: docs at each period and the total looping rate.
+    *
+    * Scale shape: the period is a codegen'd O(suffix) kernel
+    * (GraftHash.suffixLoopPeriod — boundaries scanned from the document
+    * END, so cost is independent of document length); only (source,
+    * period) pairs shuffle into a ≤ sources × 4 census. HOF parity is
+    * asserted in KernelParitySpec; the oracle mirrors the HOF form. */
+  private val q478 = QueryDef(
+    "q478_suffix_loop_census",
+    (spark, dir) => {
+      Tables.documents(spark, dir)
+        .select(col("source"),
+          graft.functions.expressions.suffix_loop_period(col("text"), 3)
+            .cast("long").as("p"))
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(when(col("p") === 1L, 1L).otherwise(0L)).as("loop_p1"),
+          sum(when(col("p") === 2L, 1L).otherwise(0L)).as("loop_p2"),
+          sum(when(col("p") === 3L, 1L).otherwise(0L)).as("loop_p3"))
+        .select(col("source"), col("n_docs"), col("loop_p1"), col("loop_p2"),
+          col("loop_p3"),
+          expr("(loop_p1 + loop_p2 + loop_p3) * 1000000 div n_docs")
+            .as("loop_ppm"))
+        .orderBy(col("source"))
+    },
+    Some("""
+      WITH tk AS (
+        SELECT source, list_filter(str_split(text, ' '), t -> len(t) > 0) AS tk
+        FROM documents),
+      per AS (
+        SELECT source,
+          CASE
+            WHEN len(tk) >= 2 AND list_slice(tk, len(tk), len(tk))
+              = list_slice(tk, len(tk)-1, len(tk)-1) THEN 1
+            WHEN len(tk) >= 4 AND list_slice(tk, len(tk)-1, len(tk))
+              = list_slice(tk, len(tk)-3, len(tk)-2) THEN 2
+            WHEN len(tk) >= 6 AND list_slice(tk, len(tk)-2, len(tk))
+              = list_slice(tk, len(tk)-5, len(tk)-3) THEN 3
+            ELSE 0 END AS p
+        FROM tk)
+      SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+        CAST(sum(CASE WHEN p = 1 THEN 1 ELSE 0 END) AS BIGINT) AS loop_p1,
+        CAST(sum(CASE WHEN p = 2 THEN 1 ELSE 0 END) AS BIGINT) AS loop_p2,
+        CAST(sum(CASE WHEN p = 3 THEN 1 ELSE 0 END) AS BIGINT) AS loop_p3,
+        CAST(sum(CASE WHEN p > 0 THEN 1 ELSE 0 END) * 1000000 // count(*)
+          AS BIGINT) AS loop_ppm
+      FROM per GROUP BY source ORDER BY source
+    """))
+
+  // ---------------------------------------------------------------- q479
+
+  /** DSIR-style importance selection (Xie et al., data selection via
+    * importance resampling, arithmetic-mean variant): each document is
+    * scored by the mean over its bigrams of the target-domain/corpus
+    * frequency ratio (target = source 'src0'), and the top quarter of
+    * the corpus by score is selected; the readout is how the selection
+    * redistributes across sources — the document-level counterpart of
+    * q166's token-level source keyness.
+    *
+    * Scale shape: bigrams ship as md5 digests (never text); the two
+    * frequency tables are vocabulary-sized; the per-doc score is one
+    * digest-keyed join + per-doc mean; selection is one global
+    * row_number over (score, doc_id) — a single sort of doc-count rows,
+    * the unavoidable cost of an exact global quota (approximate quantile
+    * thresholds replace it at 100 TB). */
+  private val q479 = QueryDef(
+    "q479_dsir_selection",
+    (spark, dir) => {
+      val bi = Tables.documents(spark, dir)
+        .select(col("doc_id"), col("source"),
+          expr("filter(split(text, ' '), t -> t != '')").as("tk"))
+        .filter(size(col("tk")) >= 2)
+        .select(col("doc_id"), col("source"), explode(expr(
+          "transform(sequence(1, size(tk) - 1), i -> concat(tk[i - 1], ' ', tk[i]))"))
+          .as("bg"))
+        .select(col("doc_id"), col("source"), md5(col("bg")).as("d"))
+      val corpus = bi.groupBy(col("d")).agg(count(lit(1)).as("c_all"))
+      val target = bi.filter(col("source") === "src0")
+        .groupBy(col("d")).agg(count(lit(1)).as("c_t"))
+      val totals = bi.agg(count(lit(1)).as("n_all"))
+        .crossJoin(bi.filter(col("source") === "src0").agg(count(lit(1)).as("n_t")))
+      // single fused ratio — the staged ppm form floors rare-bigram
+      // corpus frequencies to 0 at large n_all and divides by zero;
+      // c_t·n_all·1000 ≤ 3·10⁵ · 3·10⁶ · 10³ ≈ 9·10¹⁴, no overflow
+      val ratio = corpus.join(target, Seq("d"), "left")
+        .crossJoin(broadcast(totals))
+        .select(col("d"),
+          expr("coalesce(c_t, 0) * n_all * 1000 div (c_all * n_t)")
+            .as("ratio_milli"))
+      val scored = bi.join(ratio, Seq("d"))
+        .groupBy(col("doc_id"), col("source"))
+        .agg(expr("sum(ratio_milli) div count(*)").as("score_milli"))
+      val n = scored.agg(count(lit(1)).as("n_scored"))
+      val sel = scored.crossJoin(broadcast(n))
+        .withColumn("rk", row_number().over(
+          Window.orderBy(col("score_milli").desc, col("doc_id"))).cast("long"))
+        .withColumn("selected", (col("rk") <= expr("n_scored div 4")).cast("long"))
+      sel.groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("selected")).as("n_selected"),
+          expr("sum(score_milli) div count(*)").as("avg_score_milli"))
+        .select(col("source"), col("n_docs"), col("n_selected"),
+          expr("n_selected * 1000000 div n_docs").as("selected_ppm"),
+          col("avg_score_milli"))
+        .orderBy(col("source"))
+    },
+    Some("""
+      WITH bi AS (
+        SELECT doc_id, source, md5(bg) AS d FROM (
+          SELECT doc_id, source, tk[i] || ' ' || tk[i + 1] AS bg
+          FROM (SELECT doc_id, source,
+                  list_filter(str_split(text, ' '), t -> len(t) > 0) AS tk
+                FROM documents),
+            LATERAL (SELECT unnest(range(1, len(tk))) AS i) g
+          WHERE len(tk) >= 2)),
+      corpus AS (SELECT d, CAST(count(*) AS BIGINT) AS c_all FROM bi GROUP BY d),
+      target AS (
+        SELECT d, CAST(count(*) AS BIGINT) AS c_t FROM bi
+        WHERE source = 'src0' GROUP BY d),
+      totals AS (
+        SELECT (SELECT CAST(count(*) AS BIGINT) FROM bi) AS n_all,
+          (SELECT CAST(count(*) AS BIGINT) FROM bi WHERE source = 'src0') AS n_t),
+      ratio AS (
+        SELECT d,
+          CAST(coalesce(c_t, 0) * n_all * 1000 // (c_all * n_t) AS BIGINT)
+            AS ratio_milli
+        FROM corpus LEFT JOIN target USING (d) CROSS JOIN totals),
+      scored AS (
+        SELECT doc_id, source, sum(ratio_milli) // count(*) AS score_milli
+        FROM bi JOIN ratio USING (d)
+        GROUP BY doc_id, source),
+      sel AS (
+        SELECT source, score_milli,
+          CASE WHEN row_number() OVER (ORDER BY score_milli DESC, doc_id)
+            <= (SELECT count(*) FROM scored) // 4 THEN 1 ELSE 0 END AS selected
+        FROM scored)
+      SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+        CAST(sum(selected) AS BIGINT) AS n_selected,
+        CAST(sum(selected) * 1000000 // count(*) AS BIGINT) AS selected_ppm,
+        CAST(sum(score_milli) // count(*) AS BIGINT) AS avg_score_milli
+      FROM sel GROUP BY source ORDER BY source
+    """))
+
+  // ---------------------------------------------------------------- q480
+
+  /** Prefix-cache savings planner: documents sharing an identical
+    * first-k-token prefix (k ∈ {4, 8, 16}) can reuse one KV-cache entry
+    * for it; for each k, the plan reports how many prefix groups of size
+    * ≥ 2 exist, the docs they cover, and the total prefix tokens saved
+    * ((size − 1)·k per group) against the eligible token mass — the
+    * inference-time decision of how much prefix caching is worth on a
+    * serving corpus. q177 detects templates for REMOVAL; this prices the
+    * cache REUSE of whatever remains.
+    *
+    * Scale shape: one scan per k is avoided by exploding the 3-value k
+    * grid on the scan; prefixes ship as md5 digests; two keyed aggs (by
+    * digest, then by k) end in a 3-row plan. */
+  private val q480 = QueryDef(
+    "q480_prefix_cache_plan",
+    (spark, dir) => {
+      val pref = Tables.documents(spark, dir)
+        .select(expr("filter(split(text, ' '), t -> t != '')").as("tk"))
+        .select(explode(expr("array(4, 8, 16)")).as("k"), col("tk"))
+        .filter(size(col("tk")) >= col("k"))
+        .select(col("k").cast("long").as("k"),
+          md5(expr("array_join(slice(tk, 1, k), ' ')")).as("d"),
+          size(col("tk")).cast("long").as("n_tok"))
+      pref.groupBy(col("k"), col("d"))
+        .agg(count(lit(1)).as("m"), sum(col("n_tok")).as("tok"))
+        .groupBy(col("k"))
+        .agg(count(lit(1)).as("n_prefixes"),
+          sum(when(col("m") >= 2L, 1L).otherwise(0L)).as("n_shared_prefixes"),
+          sum(when(col("m") >= 2L, col("m")).otherwise(0L)).as("n_docs_shared"),
+          sum(when(col("m") >= 2L, (col("m") - 1L) * col("k")).otherwise(0L))
+            .as("saved_tokens"),
+          sum(col("tok")).as("eligible_tokens"))
+        .select(col("k"), col("n_prefixes"), col("n_shared_prefixes"),
+          col("n_docs_shared"), col("saved_tokens"),
+          expr("saved_tokens * 1000000 div eligible_tokens").as("saved_ppm"))
+        .orderBy(col("k"))
+    },
+    Some("""
+      WITH tk AS (
+        SELECT list_filter(str_split(text, ' '), t -> len(t) > 0) AS tk
+        FROM documents),
+      pref AS (
+        SELECT CAST(k AS BIGINT) AS k,
+          md5(array_to_string(list_slice(tk, 1, CAST(k AS INTEGER)), ' ')) AS d,
+          CAST(len(tk) AS BIGINT) AS n_tok
+        FROM tk, LATERAL (SELECT unnest([4, 8, 16]) AS k) g
+        WHERE len(tk) >= k),
+      grp AS (
+        SELECT k, d, CAST(count(*) AS BIGINT) AS m, sum(n_tok) AS tok
+        FROM pref GROUP BY k, d)
+      SELECT k, CAST(count(*) AS BIGINT) AS n_prefixes,
+        CAST(sum(CASE WHEN m >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+          AS n_shared_prefixes,
+        CAST(sum(CASE WHEN m >= 2 THEN m ELSE 0 END) AS BIGINT) AS n_docs_shared,
+        CAST(sum(CASE WHEN m >= 2 THEN (m - 1) * k ELSE 0 END) AS BIGINT)
+          AS saved_tokens,
+        CAST(sum(CASE WHEN m >= 2 THEN (m - 1) * k ELSE 0 END) * 1000000
+          // sum(tok) AS BIGINT) AS saved_ppm
+      FROM grp GROUP BY k ORDER BY k
+    """))
+
+  // ---------------------------------------------------------------- q481
+
+  /** Data-constrained multi-epoch token accounting (Muennighoff et al.,
+    * "Scaling Data-Constrained Language Models"): repeating data decays
+    * in value, so with per-epoch utility decaying geometrically
+    * (r = 0.55, integer recurrence p₀=1000, pᵢ₊₁ = pᵢ·550÷1000), the
+    * EFFECTIVE token count of training e epochs over a source's
+    * deduplicated supply is U·(Σᵢ₍₀..e₋₁₎ pᵢ)÷1000. Per source: the
+    * unique-token supply after exact-duplicate removal and the effective
+    * tokens at 1, 2, and 4 epochs — the planning table for how long
+    * repeating each source keeps paying.
+    *
+    * Scale shape: dedup collapses to content digests (q20's discipline);
+    * token counts ride the codegen'd kernel; the epoch arithmetic is a
+    * per-source projection of integer constants. */
+  private val q481 = QueryDef(
+    "q481_epoch_decay_effective_tokens",
+    (spark, dir) => {
+      // cumulative utility per-mille at r=0.55: 1000, 1550, 1852, 2018
+      val docs = Tables.documents(spark, dir)
+        .select(col("doc_id"), col("source"), md5(col("text")).as("d"),
+          graft.functions.expressions.token_count(col("text")).cast("long")
+            .as("n_tok"))
+      val keep = docs.groupBy(col("d")).agg(min(col("doc_id")).as("keep_id"))
+      docs.join(keep.select(col("keep_id").as("doc_id")), Seq("doc_id"))
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_unique_docs"), sum(col("n_tok")).as("unique_tokens"))
+        .select(col("source"), col("n_unique_docs"), col("unique_tokens"),
+          col("unique_tokens").as("eff_epoch1"),
+          expr("unique_tokens * 1550 div 1000").as("eff_epoch2"),
+          expr("unique_tokens * 2018 div 1000").as("eff_epoch4"))
+        .orderBy(col("source"))
+    },
+    Some("""
+      WITH docs AS (
+        SELECT doc_id, source, md5(text) AS d,
+          CAST(len(list_filter(str_split(text, ' '), t -> len(t) > 0)) AS BIGINT)
+            AS n_tok
+        FROM documents),
+      keep AS (SELECT d, min(doc_id) AS keep_id FROM docs GROUP BY d)
+      SELECT source, CAST(count(*) AS BIGINT) AS n_unique_docs,
+        CAST(sum(n_tok) AS BIGINT) AS unique_tokens,
+        CAST(sum(n_tok) AS BIGINT) AS eff_epoch1,
+        CAST(sum(n_tok) * 1550 // 1000 AS BIGINT) AS eff_epoch2,
+        CAST(sum(n_tok) * 2018 // 1000 AS BIGINT) AS eff_epoch4
+      FROM docs JOIN keep ON docs.doc_id = keep.keep_id
+      GROUP BY source ORDER BY source
+    """))
+
+  // ---------------------------------------------------------------- q482
+
+  /** Chunk-overlap sweep: for sliding-window chunking configs
+    * (L, S) ∈ {(32,24), (64,48), (128,96)}, the CLOSED-FORM cost of
+    * chunking every document — chunks emitted, tokens covered (overlap
+    * re-reads included), and the duplication overhead vs the raw corpus:
+    * chunks(n) = 1 + ⌈max(0, n−L)/S⌉, covered = (chunks−1)·L +
+    * (n − S·(chunks−1)). The PLANNER for q103's materializer: pick the
+    * config before exploding 100 TB into windows.
+    *
+    * Scale shape: pure per-document arithmetic on the codegen'd token
+    * count — nothing explodes, nothing shuffles but the 3-row census. */
+  private val q482 = QueryDef(
+    "q482_chunk_overlap_sweep",
+    (spark, dir) => {
+      val grid = spark.range(1).select(explode(expr(
+        "array(named_struct('l', CAST(32 AS BIGINT), 's', CAST(24 AS BIGINT)), " +
+          "named_struct('l', CAST(64 AS BIGINT), 's', CAST(48 AS BIGINT)), " +
+          "named_struct('l', CAST(128 AS BIGINT), 's', CAST(96 AS BIGINT)))"))
+        .as("cfg"))
+        .select(col("cfg.l").as("l"), col("cfg.s").as("s"))
+      Tables.documents(spark, dir)
+        .select(graft.functions.expressions.token_count(col("text")).cast("long")
+          .as("n"))
+        .crossJoin(broadcast(grid))
+        .withColumn("chunks",
+          expr("1 + CASE WHEN n <= l THEN 0 ELSE (n - l + s - 1) div s END"))
+        .withColumn("covered",
+          expr("CASE WHEN n <= l THEN n ELSE (chunks - 1) * l + (n - s * (chunks - 1)) END"))
+        .groupBy(col("l"), col("s"))
+        .agg(sum(col("n")).as("total_tokens"),
+          sum(col("chunks")).as("n_chunks"),
+          sum(col("covered")).as("covered_tokens"))
+        .select(col("l"), col("s"), col("total_tokens"), col("n_chunks"),
+          col("covered_tokens"),
+          expr("(covered_tokens - total_tokens) * 1000000 div total_tokens")
+            .as("overhead_ppm"))
+        .orderBy(col("l"))
+    },
+    Some("""
+      WITH n AS (
+        SELECT CAST(len(list_filter(str_split(text, ' '), t -> len(t) > 0))
+          AS BIGINT) AS n
+        FROM documents),
+      cfg AS (SELECT * FROM (VALUES (CAST(32 AS BIGINT), CAST(24 AS BIGINT)),
+        (64, 48), (128, 96)) t(l, s)),
+      per AS (
+        SELECT n.n, l, s,
+          1 + CASE WHEN n <= l THEN 0 ELSE (n - l + s - 1) // s END AS chunks
+        FROM n CROSS JOIN cfg),
+      cov AS (
+        SELECT n, l, s, chunks,
+          CASE WHEN n <= l THEN n
+            ELSE (chunks - 1) * l + (n - s * (chunks - 1)) END AS covered
+        FROM per)
+      SELECT l, s, CAST(sum(n) AS BIGINT) AS total_tokens,
+        CAST(sum(chunks) AS BIGINT) AS n_chunks,
+        CAST(sum(covered) AS BIGINT) AS covered_tokens,
+        CAST((sum(covered) - sum(n)) * 1000000 // sum(n) AS BIGINT)
+          AS overhead_ppm
+      FROM cov GROUP BY l, s ORDER BY l
+    """))
+
+  def defs: Seq[QueryDef] = Seq(q476, q477, q478, q479, q480, q481, q482)
+}

@@ -259,6 +259,36 @@ class KernelParitySpec extends SparkSpec {
     assert(hof.head().getSeq[Long](0) === fast.head().getSeq[Long](0))
   }
 
+  test("SuffixLoopPeriod kernel == HOF list-slice comparisons") {
+    // the HOF form mirrors the DuckDB oracle of q478: smallest p ≤ 3
+    // with slice(tk, n-p+1, p) == slice(tk, n-2p+1, p)
+    val tk = expr("filter(split(text, ' '), t -> t != '')")
+    def eq(p: Int) =
+      expr(s"size(tk) >= ${2 * p} AND " +
+        s"slice(tk, size(tk) - ${p - 1}, $p) = slice(tk, size(tk) - ${2 * p - 1}, $p)")
+    val hof = when(eq(1), 1).when(eq(2), 2).when(eq(3), 3).otherwise(0)
+    val mismatches = docs
+      .select(col("text"), tk.as("tk"))
+      .select(hof.as("hof"), suffix_loop_period(col("text"), 3).as("fast"))
+      .filter(col("hof") =!= col("fast")).count()
+    assert(mismatches === 0)
+  }
+
+  test("SuffixLoopPeriod detects constructed loop tails") {
+    import spark.implicits._
+    val rows = Seq(
+      ("a b c the the", 1),        // single-token loop
+      ("x y a b a b", 2),          // phrase loop, period 2
+      ("p q r s t u r s t u", 0),  // period 4 > maxP → undetected
+      ("one two three", 0),        // no loop
+      ("go go", 1),                // whole doc is the loop
+      ("", 0))                     // empty
+      .toDF("text", "want")
+      .select(suffix_loop_period(col("text"), 3).as("got"), col("want"))
+      .collect()
+    rows.foreach(r => assert(r.getInt(0) == r.getInt(1), r.toString))
+  }
+
   test("BootstrapMoments skips null keys and values") {
     import spark.implicits._
     val df = Seq((Some(1L), Some(10L)), (None, Some(5L)), (Some(2L), None))
