@@ -1,6 +1,6 @@
 package graft.queries
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -502,5 +502,340 @@ object PretrainPlanQueries extends QueryGroup {
       FROM cov GROUP BY l, s ORDER BY l
     """))
 
-  def defs: Seq[QueryDef] = Seq(q476, q477, q478, q479, q480, q481, q482)
+  // ---------------------------------------------------------------- q483
+
+  /** Speculative-decoding acceptance estimate: with a bigram-argmax
+    * draft model (most frequent next token per head, corpus-trained),
+    * the acceptance rate is the share of real transitions whose next
+    * token IS the draft's argmax; expected tokens per verify step with a
+    * 4-token draft window follows the geometric chain 1 + a + a² + a³ +
+    * a⁴ (integer milli powers). Per source: how predictable its text is
+    * and the speculative speedup it would actually see — q79 BUILDS the
+    * bigram table, this prices the serving win of drafting with it.
+    *
+    * Scale shape: transitions ship as md5 digest pairs (never text);
+    * the draft table is vocabulary-sized (one rank per head); one
+    * digest-keyed join scores every transition; per-source rollup. */
+  private val q483 = QueryDef(
+    "q483_speculative_acceptance",
+    (spark, dir) => {
+      val trans = Tables.documents(spark, dir)
+        .select(col("source"), expr("filter(split(text, ' '), t -> t != '')").as("tk"))
+        .filter(size(col("tk")) >= 2)
+        .select(col("source"), explode(expr(
+          "transform(sequence(1, size(tk) - 1), " +
+            "i -> named_struct('h', tk[i - 1], 'n', tk[i]))")).as("p"))
+        .select(col("source"), md5(col("p.h")).as("h"), md5(col("p.n")).as("n"))
+      val draft = trans.groupBy(col("h"), col("n")).agg(count(lit(1)).as("c"))
+        .withColumn("rk", row_number().over(
+          Window.partitionBy(col("h")).orderBy(col("c").desc, col("n"))))
+        .filter(col("rk") === 1)
+        .select(col("h"), col("n").as("n_star"))
+      trans.join(draft, Seq("h"))
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_transitions"),
+          sum(when(col("n") === col("n_star"), 1L).otherwise(0L)).as("n_accepted"))
+        .select(col("source"), col("n_transitions"), col("n_accepted"),
+          expr("n_accepted * 1000000 div n_transitions").as("acc_ppm"))
+        .select(col("source"), col("n_transitions"), col("n_accepted"), col("acc_ppm"),
+          expr("acc_ppm div 1000").as("p1"))
+        .select(col("*"), expr("p1 * p1 div 1000").as("p2"))
+        .select(col("*"), expr("p2 * p1 div 1000").as("p3"))
+        .select(col("source"), col("n_transitions"), col("n_accepted"), col("acc_ppm"),
+          expr("1000 + p1 + p2 + p3 + p3 * p1 div 1000")
+            .as("tokens_per_step_milli"))
+        .orderBy(col("source"))
+    },
+    Some("""
+      WITH trans AS (
+        SELECT source, md5(tk[i]) AS h, md5(tk[i + 1]) AS n
+        FROM (SELECT source, list_filter(str_split(text, ' '), t -> len(t) > 0) AS tk
+              FROM documents),
+          LATERAL (SELECT unnest(range(1, len(tk))) AS i) g
+        WHERE len(tk) >= 2),
+      draft AS (
+        SELECT h, n AS n_star FROM (
+          SELECT h, n, row_number() OVER (PARTITION BY h
+            ORDER BY count(*) DESC, n) AS rk
+          FROM trans GROUP BY h, n)
+        WHERE rk = 1),
+      acc AS (
+        SELECT source, CAST(count(*) AS BIGINT) AS n_transitions,
+          CAST(sum(CASE WHEN trans.n = n_star THEN 1 ELSE 0 END) AS BIGINT)
+            AS n_accepted
+        FROM trans JOIN draft USING (h)
+        GROUP BY source),
+      p AS (
+        SELECT source, n_transitions, n_accepted,
+          CAST(n_accepted * 1000000 // n_transitions AS BIGINT) AS acc_ppm,
+          CAST(n_accepted * 1000000 // n_transitions // 1000 AS BIGINT) AS p1
+        FROM acc),
+      pp AS (SELECT *, CAST(p1 * p1 // 1000 AS BIGINT) AS p2 FROM p),
+      ppp AS (SELECT *, CAST(p2 * p1 // 1000 AS BIGINT) AS p3 FROM pp)
+      SELECT source, n_transitions, n_accepted, acc_ppm,
+        CAST(1000 + p1 + p2 + p3 + p3 * p1 // 1000 AS BIGINT)
+          AS tokens_per_step_milli
+      FROM ppp ORDER BY source
+    """))
+
+  // ---------------------------------------------------------------- q484
+
+  /** Maximal-marginal-relevance retrieval: from the top-20 candidates by
+    * quantized cosine to the query vector (vec_id 0), greedily select 5
+    * results maximizing relevance − max-similarity-to-already-selected
+    * (λ = ½, monotone-equivalent to the difference) — the result
+    * diversification that keeps near-duplicate passages from filling a
+    * RAG context window. q217 caps by a CATEGORY; this diversifies by
+    * CONTENT similarity.
+    *
+    * Scale shape: the only corpus-sized work is the top-20 scan (one
+    * codegen'd cosine per row + a global top-k); the 20×20 similarity
+    * grid and the 5 unrolled greedy rounds run on broadcast-sized
+    * frames. Integer milli scores; ties break on vec_id. */
+  private val q484 = QueryDef(
+    "q484_mmr_diversified_retrieval",
+    (spark, dir) => {
+      import graft.functions.expressions.quantized_cosine
+      val emb = Tables.embeddings(spark, dir).select(col("vec_id"), col("embedding"))
+      val q = emb.filter(col("vec_id") === 0L)
+        .select(col("embedding").as("q_emb"))
+      val cand = emb.filter(col("vec_id") =!= 0L)
+        .crossJoin(broadcast(q))
+        .select(col("vec_id"), col("embedding"),
+          quantized_cosine(col("embedding"), col("q_emb")).as("cos"))
+        .filter(col("cos").isNotNull) // zero-norm vectors: undefined cosine
+        .select(col("vec_id").as("a"), col("embedding").as("ea"),
+          expr("CAST(floor(cos * 1000 + 0.5) AS BIGINT)").as("rel"))
+        .orderBy(col("rel").desc, col("a")).limit(20)
+        .persist()
+      val sims = cand.select(col("a"), col("ea"))
+        .crossJoin(cand.select(col("a").as("b"), col("ea").as("eb")))
+        .filter(col("a") =!= col("b"))
+        .select(col("a"), col("b"),
+          quantized_cosine(col("ea"), col("eb")).as("cos"))
+        .select(col("a"), col("b"),
+          expr("CAST(floor(cos * 1000 + 0.5) AS BIGINT)").as("sim"))
+        .persist()
+      var sel = cand
+        .orderBy(col("rel").desc, col("a")).limit(1)
+        .select(col("a").as("vec_id"), lit(1L).as("rank"), col("rel"),
+          lit(0L).as("maxsim"))
+      for (r <- 2 to 5) {
+        val pick = cand
+          .join(sel.select(col("vec_id").as("a")), Seq("a"), "left_anti")
+          .join(sims.join(sel.select(col("vec_id").as("b")), Seq("b")), Seq("a"))
+          .groupBy(col("a"), col("rel")).agg(max(col("sim")).as("maxsim"))
+          .orderBy((col("rel") - col("maxsim")).desc, col("a")).limit(1)
+          .select(col("a").as("vec_id"), lit(r.toLong).as("rank"), col("rel"),
+            col("maxsim"))
+        sel = sel.unionAll(pick)
+      }
+      sel.select(col("rank"), col("vec_id"), col("rel"), col("maxsim"),
+          (col("rel") - col("maxsim")).as("mmr_milli"))
+        .orderBy(col("rank"))
+    },
+    Some {
+      def round(i: Int, prev: String) = s"""
+      c$i AS (
+        SELECT c.a, c.rel,
+          (SELECT max(s.sim) FROM sims s
+           WHERE s.a = c.a AND s.b IN (SELECT vec_id FROM $prev)) AS maxsim
+        FROM cand c WHERE c.a NOT IN (SELECT vec_id FROM $prev)),
+      pick$i AS (
+        SELECT a AS vec_id, CAST($i AS BIGINT) AS rank, rel, maxsim
+        FROM c$i ORDER BY rel - maxsim DESC, a LIMIT 1),
+      sel$i AS (SELECT * FROM $prev UNION ALL SELECT * FROM pick$i)"""
+      s"""
+      WITH v AS (
+        SELECT vec_id,
+          list_transform(embedding, x ->
+            CAST(floor(CAST(x AS DOUBLE) * 512 + 0.5) AS BIGINT)) AS qv
+        FROM embeddings),
+      n AS (
+        SELECT vec_id, qv,
+          CAST(list_sum(list_transform(qv, x -> x * x)) AS BIGINT) AS nsq
+        FROM v),
+      q AS (SELECT qv AS q_qv, nsq AS q_nsq FROM n WHERE vec_id = 0),
+      cand AS (
+        SELECT vec_id AS a, qv, nsq,
+          CAST(floor(
+            CAST(CAST(list_sum(list_transform(range(1, len(qv)+1),
+              i -> qv[i]*q_qv[i])) AS BIGINT) AS DOUBLE)
+            / sqrt(CAST(nsq AS DOUBLE)*CAST(q_nsq AS DOUBLE)) * 1000 + 0.5)
+            AS BIGINT) AS rel
+        FROM n CROSS JOIN q
+        WHERE vec_id <> 0 AND nsq > 0 AND q_nsq > 0
+        ORDER BY rel DESC, vec_id LIMIT 20),
+      sims AS (
+        SELECT x.a, y.a AS b,
+          CAST(floor(
+            CAST(CAST(list_sum(list_transform(range(1, len(x.qv)+1),
+              i -> x.qv[i]*y.qv[i])) AS BIGINT) AS DOUBLE)
+            / sqrt(CAST(x.nsq AS DOUBLE)*CAST(y.nsq AS DOUBLE)) * 1000 + 0.5)
+            AS BIGINT) AS sim
+        FROM cand x JOIN cand y ON x.a <> y.a),
+      sel1 AS (
+        SELECT a AS vec_id, CAST(1 AS BIGINT) AS rank, rel,
+          CAST(0 AS BIGINT) AS maxsim
+        FROM cand ORDER BY rel DESC, a LIMIT 1),
+      ${round(2, "sel1")},
+      ${round(3, "sel2")},
+      ${round(4, "sel3")},
+      ${round(5, "sel4")}
+      SELECT rank, vec_id, rel, maxsim, rel - maxsim AS mmr_milli
+      FROM sel5 ORDER BY rank
+      """
+    })
+
+  // ---------------------------------------------------------------- q485
+
+  /** Fill-in-the-middle split plan: every document with ≥ 3 tokens gets
+    * a deterministic hash-derived (prefix, middle, suffix) split (all
+    * three non-empty), the transform FIM-pretrained code/text models
+    * apply to part of the corpus; the plan reports eligibility and the
+    * mean span lengths per source — what the training pipeline needs to
+    * size the transformed stream before materializing it.
+    *
+    * Scale shape: pure per-document arithmetic on the codegen'd token
+    * count and the multiplicative hash — nothing explodes; one
+    * per-source rollup. */
+  private val q485 = QueryDef(
+    "q485_fim_split_plan",
+    (spark, dir) => {
+      val d = Tables.documents(spark, dir)
+        .select(col("source"),
+          graft.functions.expressions.token_count(col("text")).cast("long").as("n"),
+          graft.operators.Sampling.keyHash(col("doc_id")).as("h"))
+        .withColumn("a", when(col("n") >= 3L, lit(1L) + col("h") % (col("n") - 2L)))
+        .withColumn("b", when(col("n") >= 3L,
+          col("a") + 1L + expr("h div 97") % (col("n") - 1L - col("a"))))
+      d.groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(when(col("a").isNotNull, 1L).otherwise(0L)).as("n_eligible"),
+          sum(coalesce(col("a"), lit(0L))).as("sum_prefix"),
+          sum(coalesce(col("b") - col("a"), lit(0L))).as("sum_middle"),
+          sum(coalesce(col("n") - col("b"), lit(0L))).as("sum_suffix"))
+        .select(col("source"), col("n_docs"), col("n_eligible"),
+          expr("n_eligible * 1000000 div n_docs").as("fim_ppm"),
+          expr("CASE WHEN n_eligible = 0 THEN 0 " +
+            "ELSE sum_prefix * 1000 div n_eligible END").as("mean_prefix_milli"),
+          expr("CASE WHEN n_eligible = 0 THEN 0 " +
+            "ELSE sum_middle * 1000 div n_eligible END").as("mean_middle_milli"),
+          expr("CASE WHEN n_eligible = 0 THEN 0 " +
+            "ELSE sum_suffix * 1000 div n_eligible END").as("mean_suffix_milli"))
+        .orderBy(col("source"))
+    },
+    Some("""
+      WITH d AS (
+        SELECT source,
+          CAST(len(list_filter(str_split(text, ' '), t -> len(t) > 0)) AS BIGINT)
+            AS n,
+          CAST(((doc_id % 2147483648) * 2654435761) % 4294967296 AS BIGINT) AS h
+        FROM documents),
+      ab AS (
+        SELECT source, n, h,
+          CASE WHEN n >= 3 THEN 1 + h % (n - 2) END AS a
+        FROM d),
+      ab2 AS (
+        SELECT source, n, a,
+          CASE WHEN a IS NOT NULL THEN a + 1 + (h // 97) % (n - 1 - a) END AS b
+        FROM ab)
+      SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+        CAST(sum(CASE WHEN a IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+          AS n_eligible,
+        CAST(sum(CASE WHEN a IS NOT NULL THEN 1 ELSE 0 END) * 1000000
+          // count(*) AS BIGINT) AS fim_ppm,
+        CAST(CASE WHEN sum(CASE WHEN a IS NOT NULL THEN 1 ELSE 0 END) = 0 THEN 0
+          ELSE sum(coalesce(a, 0)) * 1000
+            // sum(CASE WHEN a IS NOT NULL THEN 1 ELSE 0 END) END AS BIGINT)
+          AS mean_prefix_milli,
+        CAST(CASE WHEN sum(CASE WHEN a IS NOT NULL THEN 1 ELSE 0 END) = 0 THEN 0
+          ELSE sum(coalesce(b - a, 0)) * 1000
+            // sum(CASE WHEN a IS NOT NULL THEN 1 ELSE 0 END) END AS BIGINT)
+          AS mean_middle_milli,
+        CAST(CASE WHEN sum(CASE WHEN a IS NOT NULL THEN 1 ELSE 0 END) = 0 THEN 0
+          ELSE sum(coalesce(n - b, 0)) * 1000
+            // sum(CASE WHEN a IS NOT NULL THEN 1 ELSE 0 END) END AS BIGINT)
+          AS mean_suffix_milli
+      FROM ab2 GROUP BY source ORDER BY source
+    """))
+
+  // ---------------------------------------------------------------- q486
+
+  /** Incremental LSH index maintenance: with the standing corpus
+    * (doc_id % 10 ≠ 0) already banded into q21's MinHash bucket index, a
+    * 10% delta batch arrives; per band, the audit reports the buckets
+    * the delta touches, the brand-new buckets it creates, and the
+    * candidate (delta × standing) pairs the insert triggers — the
+    * maintenance cost that decides between re-banding the lake and
+    * probing the standing index (q315's content-digest triage, lifted to
+    * NEAR-duplicate signatures).
+    *
+    * Scale shape: signatures come from the fused codegen'd kernel; the
+    * standing side collapses to a (band, bucket → count) index (longs
+    * only); the delta probes it with one keyed left join — delta-sized,
+    * never corpus × corpus. */
+  private val q486 = QueryDef(
+    "q486_lsh_delta_maintenance",
+    (spark, dir) => {
+      import graft.dedup.MinHashLSH
+      val cfg = MinHashLSH.Config()
+      val docs = Tables.documents(spark, dir)
+      def bandBuckets(df: DataFrame) = {
+        val buckets = array((0 until cfg.bands).map { b =>
+          (0 until cfg.rowsPerBand).foldLeft(lit(0L): Column)((acc, r) =>
+            ((acc * lit(1000000007L)) % lit(2147483647L)
+              + col("sig").getItem(b * cfg.rowsPerBand + r)) % lit(2147483647L))
+        }: _*)
+        MinHashLSH.signatures(df, "doc_id", "text", cfg)
+          .select(col("doc_id"), posexplode(buckets).as(Seq("band", "bucket")))
+          .select(col("doc_id"), col("band").cast("long").as("band"), col("bucket"))
+      }
+      val standing = bandBuckets(docs.filter(col("doc_id") % 10L =!= 0L))
+        .groupBy(col("band"), col("bucket")).agg(count(lit(1)).as("n_standing"))
+      val delta = bandBuckets(docs.filter(col("doc_id") % 10L === 0L))
+      delta.join(standing, Seq("band", "bucket"), "left")
+        .groupBy(col("band"))
+        .agg(countDistinct(col("doc_id")).as("delta_docs"),
+          countDistinct(col("bucket")).as("buckets_touched"),
+          countDistinct(when(col("n_standing").isNull, col("bucket")))
+            .as("new_buckets"),
+          sum(coalesce(col("n_standing"), lit(0L))).as("cand_pairs"))
+        .orderBy(col("band"))
+    },
+    Some("""
+      WITH toks AS (
+        SELECT doc_id, list_transform(list_filter(str_split(text, ' '), t -> len(t) > 0),
+          tok -> list_reduce(list_prepend(0::BIGINT, [ord(c)::BIGINT for c in str_split(tok,'')]), (h,c) -> (h*31+c) % 1000000007)) AS th
+        FROM documents),
+      shs AS (
+        SELECT doc_id, list_distinct([
+            ((th[i]*31 + th[i+1])*31 + th[i+2]) % 1000000007
+            for i in range(1, len(th)-1)]) AS sh
+        FROM toks WHERE len(th) >= 3),
+      sigs AS (
+        SELECT doc_id, t.j,
+          list_min(list_transform(sh, h -> (h*(2*t.j+1) + 7919*t.j) % 1000000007)) AS m
+        FROM shs CROSS JOIN (SELECT unnest(range(16)) AS j) t),
+      bands AS (
+        SELECT doc_id, CAST(j//4 AS BIGINT) AS band,
+          list_reduce(list_prepend(0::BIGINT, list(m ORDER BY j)),
+            (a,x) -> ((a*1000000007) % 2147483647 + x) % 2147483647) AS bucket
+        FROM sigs GROUP BY doc_id, j//4),
+      standing AS (
+        SELECT band, bucket, CAST(count(*) AS BIGINT) AS n_standing
+        FROM bands WHERE doc_id % 10 <> 0 GROUP BY band, bucket),
+      delta AS (SELECT * FROM bands WHERE doc_id % 10 = 0)
+      SELECT band,
+        CAST(count(DISTINCT delta.doc_id) AS BIGINT) AS delta_docs,
+        CAST(count(DISTINCT delta.bucket) AS BIGINT) AS buckets_touched,
+        CAST(count(DISTINCT CASE WHEN n_standing IS NULL THEN delta.bucket END)
+          AS BIGINT) AS new_buckets,
+        CAST(sum(coalesce(n_standing, 0)) AS BIGINT) AS cand_pairs
+      FROM delta LEFT JOIN standing USING (band, bucket)
+      GROUP BY band ORDER BY band
+    """))
+
+  def defs: Seq[QueryDef] =
+    Seq(q476, q477, q478, q479, q480, q481, q482, q483, q484, q485, q486)
 }

@@ -104,6 +104,73 @@ class PretrainPlanOpsSpec extends SparkSpec {
     }
   }
 
+  // ---------------------------------------------------------------- q483
+
+  test("speculative acceptance: rates bounded, speedup consistent with rate") {
+    val rows = run("q483_speculative_acceptance").collect()
+    assert(rows.nonEmpty)
+    for (r <- rows) {
+      val acc = r.getAs[Long]("acc_ppm")
+      assert(acc >= 0L && acc <= 1000000L)
+      assert(r.getAs[Long]("n_accepted") <= r.getAs[Long]("n_transitions"))
+      val tps = r.getAs[Long]("tokens_per_step_milli")
+      // 1 <= tokens/step <= 5 (4 drafts + 1 verified)
+      assert(tps >= 1000L && tps <= 5000L, s"tps=$tps")
+      // argmax drafting accepts at least at chance level for a
+      // non-degenerate bigram table; and a higher acceptance rate can
+      // only raise the expected tokens per step
+      val p1 = acc / 1000L
+      assert(tps == 1000L + p1 + p1 * p1 / 1000L + p1 * p1 / 1000L * p1 / 1000L +
+        p1 * p1 / 1000L * p1 / 1000L * p1 / 1000L)
+    }
+  }
+
+  // ---------------------------------------------------------------- q484
+
+  test("MMR: 5 distinct picks, first is max-relevance, scores well-formed") {
+    val rows = run("q484_mmr_diversified_retrieval").orderBy(col("rank")).collect()
+    assert(rows.map(_.getAs[Long]("rank")).toSeq == (1L to 5L).toSeq)
+    val ids = rows.map(_.getAs[Long]("vec_id"))
+    assert(ids.distinct.length == 5)
+    assert(rows.head.getAs[Long]("maxsim") == 0L)
+    // rank 1 has the globally maximal relevance among picks
+    assert(rows.head.getAs[Long]("rel") == rows.map(_.getAs[Long]("rel")).max)
+    for (r <- rows)
+      assert(r.getAs[Long]("mmr_milli") ==
+        r.getAs[Long]("rel") - r.getAs[Long]("maxsim"))
+  }
+
+  // ---------------------------------------------------------------- q485
+
+  test("FIM split: spans partition eligible docs exactly") {
+    val rows = run("q485_fim_split_plan").collect()
+    assert(rows.nonEmpty)
+    for (r <- rows) {
+      assert(r.getAs[Long]("n_eligible") <= r.getAs[Long]("n_docs"))
+      if (r.getAs[Long]("n_eligible") > 0) {
+        // every span non-empty → every mean ≥ 1 token
+        assert(r.getAs[Long]("mean_prefix_milli") >= 1000L)
+        assert(r.getAs[Long]("mean_middle_milli") >= 1000L)
+        assert(r.getAs[Long]("mean_suffix_milli") >= 1000L)
+      }
+    }
+  }
+
+  // ---------------------------------------------------------------- q486
+
+  test("LSH delta maintenance: 4 bands, touched bounds, pairs need standing buckets") {
+    val rows = run("q486_lsh_delta_maintenance").orderBy(col("band")).collect()
+    assert(rows.map(_.getAs[Long]("band")).toSeq == Seq(0L, 1L, 2L, 3L))
+    for (r <- rows) {
+      val touched = r.getAs[Long]("buckets_touched")
+      assert(touched <= r.getAs[Long]("delta_docs"), "one bucket per doc per band")
+      assert(r.getAs[Long]("new_buckets") <= touched)
+      // candidate pairs only arise from non-new buckets
+      if (r.getAs[Long]("new_buckets") == touched)
+        assert(r.getAs[Long]("cand_pairs") == 0L)
+    }
+  }
+
   // ---------------------------------------------------------------- q482
 
   test("chunk sweep: coverage >= corpus, overhead shrinks with window size") {
