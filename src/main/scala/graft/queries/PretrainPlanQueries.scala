@@ -836,6 +836,310 @@ object PretrainPlanQueries extends QueryGroup {
       GROUP BY band ORDER BY band
     """))
 
+  // ---------------------------------------------------------------- q487
+
+  /** Packing attention-waste audit: when q69's packed 512-token windows
+    * are trained WITHOUT document masking, attention burns FLOPs on
+    * cross-document pairs — per window, waste = (T² − Σᵢ lᵢ²)/T² where
+    * lᵢ is each document's token span inside the window (straddlers
+    * contribute their overlap). Reported per lang: windows, the exact
+    * quadratic masses, and the waste rate — the number that decides
+    * whether block-diagonal attention masking is worth implementing.
+    *
+    * Scale shape: q69's discipline — cumulative starts via a window
+    * partitioned by (lang, shard), never a global sort; each doc
+    * explodes into ⌈len/512⌉+1 overlap rows at most; two integer
+    * aggregates end lang-sized. */
+  private val q487 = QueryDef(
+    "q487_packing_attention_waste",
+    (spark, dir) => {
+      val w = Window.partitionBy(col("lang"), col("shard"))
+        .orderBy(col("doc_id"))
+      val spans = Tables.documents(spark, dir)
+        .select(col("doc_id"), col("lang"), (col("doc_id") % 4L).as("shard"),
+          graft.functions.expressions.token_count(col("text")).cast("long").as("len"))
+        .filter(col("len") >= 1L)
+        .withColumn("endp", sum(col("len")).over(w))
+        .withColumn("startp", col("endp") - col("len"))
+        .select(col("lang"), col("shard"), col("startp"), col("endp"),
+          explode(expr(
+            "sequence(startp div 512, (endp - 1) div 512)")).as("win"))
+        .select(col("lang"), col("shard"), col("win"),
+          (least(col("endp"), (col("win") + 1L) * 512L)
+            - greatest(col("startp"), col("win") * 512L)).as("l"))
+      spans.groupBy(col("lang"), col("shard"), col("win"))
+        .agg(sum(col("l")).as("t"), sum(col("l") * col("l")).as("s2"))
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_windows"),
+          sum(col("t") * col("t")).as("sum_t2"),
+          sum(col("s2")).as("sum_l2"))
+        .select(col("lang"), col("n_windows"), col("sum_t2"), col("sum_l2"),
+          expr("(sum_t2 - sum_l2) * 1000000 div sum_t2").as("waste_ppm"))
+        .orderBy(col("lang"))
+    },
+    Some("""
+      WITH d AS (
+        SELECT doc_id, lang, doc_id % 4 AS shard,
+          CAST(len(list_filter(str_split(text, ' '), t -> len(t) > 0)) AS BIGINT)
+            AS len
+        FROM documents),
+      pos AS (
+        SELECT lang, shard,
+          CAST(sum(len) OVER (PARTITION BY lang, shard ORDER BY doc_id
+            ROWS UNBOUNDED PRECEDING) AS BIGINT) AS endp,
+          CAST(sum(len) OVER (PARTITION BY lang, shard ORDER BY doc_id
+            ROWS UNBOUNDED PRECEDING) - len AS BIGINT) AS startp
+        FROM d WHERE len >= 1),
+      spans AS (
+        SELECT lang, shard, win,
+          least(endp, (win + 1) * 512) - greatest(startp, win * 512) AS l
+        FROM pos, LATERAL (SELECT unnest(range(startp // 512, (endp - 1) // 512 + 1))
+          AS win) g),
+      wins AS (
+        SELECT lang, shard, win, sum(l) AS t, sum(l * l) AS s2
+        FROM spans GROUP BY lang, shard, win)
+      SELECT lang, CAST(count(*) AS BIGINT) AS n_windows,
+        CAST(sum(t * t) AS BIGINT) AS sum_t2,
+        CAST(sum(s2) AS BIGINT) AS sum_l2,
+        CAST((sum(t * t) - sum(s2)) * 1000000 // sum(t * t) AS BIGINT)
+          AS waste_ppm
+      FROM wins GROUP BY lang ORDER BY lang
+    """))
+
+  // ---------------------------------------------------------------- q488
+
+  /** Paged KV-cache fragmentation plan (vLLM's PagedAttention layout):
+    * with KV pages of {16, 64, 256} tokens, each sequence wastes
+    * pages·page − len tokens of internal fragmentation but costs one
+    * page-table entry per page; the sweep reports both sides of the
+    * tradeoff corpus-wide — the serving-memory twin of q482's chunking
+    * sweep.
+    *
+    * Scale shape: pure per-document arithmetic on the codegen'd token
+    * count, one 3-row census. */
+  private val q488 = QueryDef(
+    "q488_paged_kv_fragmentation",
+    (spark, dir) => {
+      val grid = spark.range(1).select(explode(expr(
+        "array(CAST(16 AS BIGINT), CAST(64 AS BIGINT), CAST(256 AS BIGINT))"))
+        .as("page"))
+      Tables.documents(spark, dir)
+        .select(graft.functions.expressions.token_count(col("text")).cast("long")
+          .as("len"))
+        .filter(col("len") >= 1L)
+        .crossJoin(broadcast(grid))
+        .select(col("page"), col("len"),
+          expr("(len + page - 1) div page").as("pages"))
+        .groupBy(col("page"))
+        .agg(count(lit(1)).as("n_seqs"),
+          sum(col("len")).as("total_tokens"),
+          sum(col("pages")).as("page_table_entries"),
+          sum(col("pages") * col("page") - col("len")).as("frag_tokens"))
+        .select(col("page"), col("n_seqs"), col("total_tokens"),
+          col("page_table_entries"), col("frag_tokens"),
+          expr("frag_tokens * 1000000 div (total_tokens + frag_tokens)")
+            .as("frag_ppm"))
+        .orderBy(col("page"))
+    },
+    Some("""
+      WITH d AS (
+        SELECT CAST(len(list_filter(str_split(text, ' '), t -> len(t) > 0))
+          AS BIGINT) AS len
+        FROM documents),
+      g AS (
+        SELECT page, len, (len + page - 1) // page AS pages
+        FROM (SELECT len FROM d WHERE len >= 1),
+          LATERAL (SELECT unnest([CAST(16 AS BIGINT), 64, 256]) AS page) p)
+      SELECT page, CAST(count(*) AS BIGINT) AS n_seqs,
+        CAST(sum(len) AS BIGINT) AS total_tokens,
+        CAST(sum(pages) AS BIGINT) AS page_table_entries,
+        CAST(sum(pages * page - len) AS BIGINT) AS frag_tokens,
+        CAST(sum(pages * page - len) * 1000000
+          // (sum(len) + sum(pages * page - len)) AS BIGINT) AS frag_ppm
+      FROM g GROUP BY page ORDER BY page
+    """))
+
+  // ---------------------------------------------------------------- q489
+
+  /** Tokenizer merge TRANSFER eval: the 3 BPE merges learned on the
+    * training split (doc_id % 5 ≠ 0) are applied to both splits; per
+    * split the readout is symbols before/after and the reduction rate —
+    * if holdout reduction falls far below train reduction, the merges
+    * memorized the split instead of the language (q477 trains; this is
+    * its generalization audit).
+    *
+    * Scale shape: q477's loop on the train vocabulary only; applying
+    * the 3 learned merges to each split's vocabulary is three broadcast
+    * replaces. Split tables persist across the learn/apply phases. */
+  private val q489 = QueryDef(
+    "q489_merge_transfer_eval",
+    (spark, dir) => {
+      def vocab(df: DataFrame) = df
+        .select(explode(graft.functions.expressions.tokens_native(col("text"))).as("w"))
+        .groupBy(col("w")).agg(count(lit(1)).as("f"))
+        .withColumn("seq", expr(
+          "concat_ws(' ', transform(sequence(1, length(w)), i -> substring(w, i, 1)))"))
+        .select(col("f"), col("seq"))
+      def pairCounts(df: DataFrame) = df
+        .withColumn("a", split(col("seq"), " "))
+        .filter(size(col("a")) >= 2)
+        .select(col("f"), explode(expr(
+          "transform(sequence(1, size(a) - 1), i -> concat(a[i - 1], ' ', a[i]))"))
+          .as("pair"))
+        .groupBy(col("pair")).agg(sum(col("f")).as("n"))
+      val docs = Tables.documents(spark, dir)
+      var train = vocab(docs.filter(col("doc_id") % 5L =!= 0L)).persist()
+      var hold = vocab(docs.filter(col("doc_id") % 5L === 0L)).persist()
+      val before = (df: DataFrame) =>
+        df.agg(sum(expr("f * size(split(seq, ' '))")).as("v"))
+      val trainBefore = before(train)
+      val holdBefore = before(hold)
+      for (_ <- 1 to 3) {
+        val top1 = pairCounts(train)
+          .orderBy(col("n").desc, col("pair")).limit(1)
+          .select(col("pair").as("merge_pair"),
+            regexp_replace(col("pair"), " ", "").as("merged"))
+        train = train.crossJoin(broadcast(top1))
+          .withColumn("seq", expr("replace(seq, merge_pair, merged)"))
+          .select(col("f"), col("seq")).persist()
+        hold = hold.crossJoin(broadcast(top1))
+          .withColumn("seq", expr("replace(seq, merge_pair, merged)"))
+          .select(col("f"), col("seq")).persist()
+      }
+      def row(tag: String, b: DataFrame, after: DataFrame) =
+        b.select(col("v").as("symbols_before"))
+          .crossJoin(after.select(col("v").as("symbols_after")))
+          .select(lit(tag).as("split"), col("symbols_before"), col("symbols_after"),
+            expr("(symbols_before - symbols_after) * 1000000 div symbols_before")
+              .as("reduction_ppm"))
+      row("holdout", holdBefore, before(hold))
+        .unionAll(row("train", trainBefore, before(train)))
+        .orderBy(col("split"))
+    },
+    Some {
+      def vocabSql(pred: String, out: String) = s"""
+      $out AS (
+        SELECT CAST(count(*) AS BIGINT) AS f,
+          array_to_string([substring(w, CAST(i AS INTEGER), 1)
+                           for i in range(1, len(w) + 1)], ' ') AS seq
+        FROM (SELECT unnest(list_filter(str_split(text, ' '), t -> len(t) > 0)) AS w
+              FROM documents WHERE $pred)
+        GROUP BY w)"""
+      def pairSql(src: String, out: String) = s"""
+      $out AS (
+        SELECT pair, sum(f) AS n FROM (
+          SELECT f, a[i] || ' ' || a[i + 1] AS pair
+          FROM (SELECT f, str_split(seq, ' ') AS a FROM $src),
+            LATERAL (SELECT unnest(range(1, len(a))) AS i) i
+          WHERE len(a) >= 2)
+        GROUP BY pair)"""
+      def topSql(p: String, t: String) = s"""
+      $t AS (
+        SELECT pair AS merge_pair, replace(pair, ' ', '') AS merged
+        FROM $p ORDER BY n DESC, pair LIMIT 1)"""
+      def mergeSql(w: String, t: String, out: String) = s"""
+      $out AS (
+        SELECT f, replace(seq, merge_pair, merged) AS seq
+        FROM $w CROSS JOIN $t)"""
+      def symSql(w: String) =
+        s"(SELECT CAST(sum(f * len(str_split(seq, ' '))) AS BIGINT) FROM $w)"
+      s"""
+      WITH ${vocabSql("doc_id % 5 <> 0", "tr0")}, ${vocabSql("doc_id % 5 = 0", "ho0")},
+      ${pairSql("tr0", "p1")}, ${topSql("p1", "t1")},
+      ${mergeSql("tr0", "t1", "tr1")}, ${mergeSql("ho0", "t1", "ho1")},
+      ${pairSql("tr1", "p2")}, ${topSql("p2", "t2")},
+      ${mergeSql("tr1", "t2", "tr2")}, ${mergeSql("ho1", "t2", "ho2")},
+      ${pairSql("tr2", "p3")}, ${topSql("p3", "t3")},
+      ${mergeSql("tr2", "t3", "tr3")}, ${mergeSql("ho2", "t3", "ho3")}
+      SELECT 'holdout' AS split, ${symSql("ho0")} AS symbols_before,
+        ${symSql("ho3")} AS symbols_after,
+        (${symSql("ho0")} - ${symSql("ho3")}) * 1000000 // ${symSql("ho0")}
+          AS reduction_ppm
+      UNION ALL
+      SELECT 'train', ${symSql("tr0")}, ${symSql("tr3")},
+        (${symSql("tr0")} - ${symSql("tr3")}) * 1000000 // ${symSql("tr0")}
+      ORDER BY split
+      """
+    })
+
+  // ---------------------------------------------------------------- q490
+
+  /** Lexical-entropy junk filter: per document, the floor-log2 entropy
+    * proxy Σᵢ cᵢ·(⌊log2 n⌋ − ⌊log2 cᵢ⌋) over its token counts — 0 for a
+    * single repeated token, ≈ n·log2(n) for all-distinct text — bucketed
+    * into low/mid/high per source: the cheap gibberish/boilerplate
+    * filter (the C4-family pipelines gate on exactly this signal class)
+    * with pure integer arithmetic where true entropy would need
+    * portable logarithms.
+    *
+    * Scale shape: per-doc token counts are a (doc, token-digest) agg;
+    * the bitlength ladder is a codegen'd CASE; output is a per-source
+    * 3-bucket census. */
+  private val q490 = QueryDef(
+    "q490_lexical_entropy_filter",
+    (spark, dir) => {
+      def bitlen(c: String): String =
+        s"CASE WHEN $c >= 1024 THEN 10 WHEN $c >= 512 THEN 9 WHEN $c >= 256 THEN 8 " +
+          s"WHEN $c >= 128 THEN 7 WHEN $c >= 64 THEN 6 WHEN $c >= 32 THEN 5 " +
+          s"WHEN $c >= 16 THEN 4 WHEN $c >= 8 THEN 3 WHEN $c >= 4 THEN 2 " +
+          s"WHEN $c >= 2 THEN 1 ELSE 0 END"
+      val counts = Tables.documents(spark, dir)
+        .select(col("doc_id"), col("source"),
+          explode(expr("filter(split(text, ' '), t -> t != '')")).as("w"))
+        .groupBy(col("doc_id"), col("source"), md5(col("w")).as("d"))
+        .agg(count(lit(1)).as("c"))
+      val perDoc = counts.groupBy(col("doc_id"), col("source"))
+        .agg(sum(col("c")).as("n"),
+          sum(col("c") * expr(bitlen("c"))).as("sum_cb"))
+        .select(col("source"),
+          (col("n") * expr(bitlen("n")) - col("sum_cb")).as("h_scaled"),
+          col("n"))
+        // per-token entropy proxy in milli-bits
+        .select(col("source"), expr("h_scaled * 1000 div n").as("h_milli"))
+      perDoc.groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(when(col("h_milli") < 3000L, 1L).otherwise(0L)).as("n_low"),
+          sum(when(col("h_milli") >= 3000L && col("h_milli") < 6000L, 1L)
+            .otherwise(0L)).as("n_mid"),
+          sum(when(col("h_milli") >= 6000L, 1L).otherwise(0L)).as("n_high"))
+        .select(col("source"), col("n_docs"), col("n_low"), col("n_mid"),
+          col("n_high"),
+          expr("n_low * 1000000 div n_docs").as("low_ppm"))
+        .orderBy(col("source"))
+    },
+    Some {
+      def bitlen(c: String) =
+        s"""CASE WHEN $c >= 1024 THEN 10 WHEN $c >= 512 THEN 9 WHEN $c >= 256 THEN 8
+          WHEN $c >= 128 THEN 7 WHEN $c >= 64 THEN 6 WHEN $c >= 32 THEN 5
+          WHEN $c >= 16 THEN 4 WHEN $c >= 8 THEN 3 WHEN $c >= 4 THEN 2
+          WHEN $c >= 2 THEN 1 ELSE 0 END"""
+      s"""
+      WITH counts AS (
+        SELECT doc_id, source, md5(w) AS d, CAST(count(*) AS BIGINT) AS c
+        FROM (SELECT doc_id, source,
+                unnest(list_filter(str_split(text, ' '), t -> len(t) > 0)) AS w
+              FROM documents)
+        GROUP BY doc_id, source, md5(w)),
+      per AS (
+        SELECT doc_id, source, sum(c) AS n,
+          sum(c * (${bitlen("c")})) AS sum_cb
+        FROM counts GROUP BY doc_id, source),
+      h AS (
+        SELECT source,
+          CAST((n * (${bitlen("n")}) - sum_cb) * 1000 // n AS BIGINT) AS h_milli
+        FROM per)
+      SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+        CAST(sum(CASE WHEN h_milli < 3000 THEN 1 ELSE 0 END) AS BIGINT) AS n_low,
+        CAST(sum(CASE WHEN h_milli >= 3000 AND h_milli < 6000 THEN 1 ELSE 0 END)
+          AS BIGINT) AS n_mid,
+        CAST(sum(CASE WHEN h_milli >= 6000 THEN 1 ELSE 0 END) AS BIGINT) AS n_high,
+        CAST(sum(CASE WHEN h_milli < 3000 THEN 1 ELSE 0 END) * 1000000
+          // count(*) AS BIGINT) AS low_ppm
+      FROM h GROUP BY source ORDER BY source
+    """
+    })
+
   def defs: Seq[QueryDef] =
-    Seq(q476, q477, q478, q479, q480, q481, q482, q483, q484, q485, q486)
+    Seq(q476, q477, q478, q479, q480, q481, q482, q483, q484, q485, q486,
+      q487, q488, q489, q490)
 }

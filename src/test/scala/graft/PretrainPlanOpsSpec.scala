@@ -171,6 +171,57 @@ class PretrainPlanOpsSpec extends SparkSpec {
     }
   }
 
+  // ---------------------------------------------------------------- q487
+
+  test("packing attention waste: quadratic masses ordered, rate in range") {
+    val rows = run("q487_packing_attention_waste").collect()
+    assert(rows.nonEmpty)
+    for (r <- rows) {
+      // Σ l_i² <= (Σ l_i)² always; equality iff every window has 1 doc
+      assert(r.getAs[Long]("sum_l2") <= r.getAs[Long]("sum_t2"))
+      val w = r.getAs[Long]("waste_ppm")
+      assert(w >= 0L && w < 1000000L)
+      assert(r.getAs[Long]("n_windows") > 0L)
+    }
+  }
+
+  // ---------------------------------------------------------------- q488
+
+  test("paged KV: bigger pages mean fewer entries, more fragmentation") {
+    val rows = run("q488_paged_kv_fragmentation").orderBy(col("page")).collect()
+    assert(rows.map(_.getAs[Long]("page")).toSeq == Seq(16L, 64L, 256L))
+    val entries = rows.map(_.getAs[Long]("page_table_entries"))
+    assert(entries.sliding(2).forall { case Array(a, b) => b <= a })
+    val frag = rows.map(_.getAs[Long]("frag_tokens"))
+    assert(frag.sliding(2).forall { case Array(a, b) => b >= a })
+    // identity: entries*page = total + frag, per config
+    for (r <- rows)
+      assert(r.getAs[Long]("page_table_entries") * r.getAs[Long]("page")
+        == r.getAs[Long]("total_tokens") + r.getAs[Long]("frag_tokens"))
+  }
+
+  // ---------------------------------------------------------------- q489
+
+  test("merge transfer: reductions positive on both splits, trained merges shrink") {
+    val rows = run("q489_merge_transfer_eval").orderBy(col("split")).collect()
+    assert(rows.map(_.getAs[String]("split")).toSeq == Seq("holdout", "train"))
+    for (r <- rows) {
+      assert(r.getAs[Long]("symbols_after") < r.getAs[Long]("symbols_before"),
+        s"${r.getAs[String]("split")}: merges must shrink the split")
+      assert(r.getAs[Long]("reduction_ppm") > 0L)
+    }
+  }
+
+  // ---------------------------------------------------------------- q490
+
+  test("lexical entropy: buckets partition docs") {
+    val rows = run("q490_lexical_entropy_filter").collect()
+    assert(rows.nonEmpty)
+    for (r <- rows)
+      assert(r.getAs[Long]("n_low") + r.getAs[Long]("n_mid")
+        + r.getAs[Long]("n_high") == r.getAs[Long]("n_docs"))
+  }
+
   // ---------------------------------------------------------------- q482
 
   test("chunk sweep: coverage >= corpus, overhead shrinks with window size") {
