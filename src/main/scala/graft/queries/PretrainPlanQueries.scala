@@ -590,8 +590,9 @@ object PretrainPlanQueries extends QueryGroup {
     *
     * Scale shape: the only corpus-sized work is the top-20 scan (one
     * codegen'd cosine per row + a global top-k); the 20×20 similarity
-    * grid and the 5 unrolled greedy rounds run on broadcast-sized
-    * frames. Integer milli scores; ties break on vec_id. */
+    * grid is collected and the 5 greedy rounds run on the driver — a
+    * BOUNDED build (≤ 400 longs, the q32/IVF centroid-collect pattern),
+    * not a distributed loop. Integer milli scores; ties on vec_id. */
   private val q484 = QueryDef(
     "q484_mmr_diversified_retrieval",
     (spark, dir) => {
@@ -615,22 +616,29 @@ object PretrainPlanQueries extends QueryGroup {
           quantized_cosine(col("ea"), col("eb")).as("cos"))
         .select(col("a"), col("b"),
           expr("CAST(floor(cos * 1000 + 0.5) AS BIGINT)").as("sim"))
-        .persist()
-      var sel = cand
-        .orderBy(col("rel").desc, col("a")).limit(1)
-        .select(col("a").as("vec_id"), lit(1L).as("rank"), col("rel"),
-          lit(0L).as("maxsim"))
-      for (r <- 2 to 5) {
-        val pick = cand
-          .join(sel.select(col("vec_id").as("a")), Seq("a"), "left_anti")
-          .join(sims.join(sel.select(col("vec_id").as("b")), Seq("b")), Seq("a"))
-          .groupBy(col("a"), col("rel")).agg(max(col("sim")).as("maxsim"))
-          .orderBy((col("rel") - col("maxsim")).desc, col("a")).limit(1)
-          .select(col("a").as("vec_id"), lit(r.toLong).as("rank"), col("rel"),
-            col("maxsim"))
-        sel = sel.unionAll(pick)
+      // the candidate set is BOUNDED (20 rows + 380 sims) — the greedy
+      // rounds run on the driver over the collected grid (the q32/IVF
+      // bounded-broadcast-build pattern) instead of 5 chained tiny-join
+      // jobs, which cost ~5 scheduler round-trips for 20 rows of work
+      val candRows = cand.select(col("a"), col("rel")).collect()
+        .map(r => (r.getLong(0), r.getLong(1)))
+      val simMap = sims.collect()
+        .map(r => ((r.getLong(0), r.getLong(1)), r.getLong(2))).toMap
+      val picked = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Long, Long)]
+      for (rank <- 1L to 5L) {
+        val remaining = candRows.filterNot(c => picked.exists(_._2 == c._1))
+        val scoredRound = remaining.map { case (id, rel) =>
+          val maxsim =
+            if (picked.isEmpty) 0L
+            else picked.map(p => simMap.getOrElse((id, p._2), 0L)).max
+          (rel - maxsim, id, rel, maxsim)
+        }
+        val best = scoredRound.minBy { case (score, id, _, _) => (-score, id) }
+        picked += ((rank, best._2, best._3, best._4))
       }
-      sel.select(col("rank"), col("vec_id"), col("rel"), col("maxsim"),
+      import spark.implicits._
+      picked.toSeq.toDF("rank", "vec_id", "rel", "maxsim")
+        .select(col("rank"), col("vec_id"), col("rel"), col("maxsim"),
           (col("rel") - col("maxsim")).as("mmr_milli"))
         .orderBy(col("rank"))
     },
