@@ -1147,7 +1147,224 @@ object PretrainPlanQueries extends QueryGroup {
     """
     })
 
+  // ---------------------------------------------------------------- q491
+
+  /** Static-batching padding audit: serving batches of 8 formed in
+    * ARRIVAL order (doc_id) pad every member to the batch max; re-forming
+    * the same stream in LENGTH-sorted order collapses that padding. Both
+    * policies are costed exactly — the savings number that justifies a
+    * sorting/bucketing stage in front of a batch-inference fleet (q94
+    * BUILDS length buckets; this prices what they buy).
+    *
+    * Scale shape: one global row_number per policy over (key, doc_id) —
+    * the exact-audit cost; production replaces it with q94's sharded
+    * buckets. Everything after is a batch-keyed integer aggregate. */
+  private val q491 = QueryDef(
+    "q491_arrival_vs_sorted_batching",
+    (spark, dir) => {
+      val lens = Tables.documents(spark, dir)
+        .select(col("doc_id"),
+          graft.functions.expressions.token_count(col("text")).cast("long").as("len"))
+        .filter(col("len") >= 1L)
+      def policy(tag: String, order: Seq[org.apache.spark.sql.Column]) = lens
+        .withColumn("rn", row_number().over(Window.orderBy(order: _*)).cast("long"))
+        .select(col("len"), expr("(rn - 1) div 8").as("batch"))
+        .groupBy(col("batch"))
+        .agg(count(lit(1)).as("m"), max(col("len")).as("mx"), sum(col("len")).as("s"))
+        .agg(count(lit(1)).as("n_batches"),
+          sum(col("s")).as("total_tokens"),
+          sum(col("m") * col("mx") - col("s")).as("padding_tokens"))
+        .select(lit(tag).as("policy"), col("n_batches"), col("total_tokens"),
+          col("padding_tokens"),
+          expr("padding_tokens * 1000000 div (total_tokens + padding_tokens)")
+            .as("padding_ppm"))
+      policy("arrival", Seq(col("doc_id")))
+        .unionAll(policy("sorted", Seq(col("len"), col("doc_id"))))
+        .orderBy(col("policy"))
+    },
+    Some("""
+      WITH lens AS (
+        SELECT doc_id,
+          CAST(len(list_filter(str_split(text, ' '), t -> len(t) > 0)) AS BIGINT)
+            AS len
+        FROM documents),
+      f AS (SELECT * FROM lens WHERE len >= 1),
+      a AS (
+        SELECT len, (row_number() OVER (ORDER BY doc_id) - 1) // 8 AS batch
+        FROM f),
+      s AS (
+        SELECT len, (row_number() OVER (ORDER BY len, doc_id) - 1) // 8 AS batch
+        FROM f),
+      pa AS (
+        SELECT batch, count(*) AS m, max(len) AS mx, sum(len) AS s
+        FROM a GROUP BY batch),
+      ps AS (
+        SELECT batch, count(*) AS m, max(len) AS mx, sum(len) AS s
+        FROM s GROUP BY batch)
+      SELECT 'arrival' AS policy, CAST(count(*) AS BIGINT) AS n_batches,
+        CAST(sum(s) AS BIGINT) AS total_tokens,
+        CAST(sum(m * mx - s) AS BIGINT) AS padding_tokens,
+        CAST(sum(m * mx - s) * 1000000 // (sum(s) + sum(m * mx - s)) AS BIGINT)
+          AS padding_ppm
+      FROM pa
+      UNION ALL
+      SELECT 'sorted', CAST(count(*) AS BIGINT), CAST(sum(s) AS BIGINT),
+        CAST(sum(m * mx - s) AS BIGINT),
+        CAST(sum(m * mx - s) * 1000000 // (sum(s) + sum(m * mx - s)) AS BIGINT)
+      FROM ps
+      ORDER BY policy
+    """))
+
+  // ---------------------------------------------------------------- q492
+
+  /** HNSW level-assignment plan: each vector's level is the count of
+    * consecutive low set bits of its multiplicative hash (geometric(½),
+    * capped at 4 — the hash-derived stand-in for HNSW's −ln(U)·mL draw),
+    * and the plan reports nodes per level, nodes at-or-above (the upper
+    * search graphs), and link-slot memory at M = 16 — the sizing pass
+    * run before building the index that ANN serving actually uses.
+    *
+    * Scale shape: the level is a pure projection of the hash; two
+    * vocabulary-sized aggregates (≤ 5 level rows). */
+  private val q492 = QueryDef(
+    "q492_hnsw_level_plan",
+    (spark, dir) => {
+      val lvl = Tables.embeddings(spark, dir)
+        .select(graft.operators.Sampling.keyHash(col("vec_id")).as("h"))
+        .select(expr(
+          "CAST(CASE WHEN h % 2 = 0 THEN 0 WHEN h % 4 = 1 THEN 1 " +
+            "WHEN h % 8 = 3 THEN 2 WHEN h % 16 = 7 THEN 3 ELSE 4 END AS BIGINT)")
+          .as("level"))
+        .groupBy(col("level")).agg(count(lit(1)).as("n_nodes"))
+      val wCum = Window.orderBy(col("level").desc)
+        .rowsBetween(Window.unboundedPreceding, 0)
+      lvl
+        .withColumn("n_at_or_above", sum(col("n_nodes")).over(wCum))
+        .select(col("level"), col("n_nodes"), col("n_at_or_above"),
+          ((col("n_nodes") * (col("level") + 1L)) * 16L).as("link_slots"))
+        .orderBy(col("level"))
+    },
+    Some("""
+      WITH lvl AS (
+        SELECT CAST(CASE WHEN h % 2 = 0 THEN 0 WHEN h % 4 = 1 THEN 1
+            WHEN h % 8 = 3 THEN 2 WHEN h % 16 = 7 THEN 3 ELSE 4 END AS BIGINT)
+          AS level
+        FROM (SELECT ((vec_id % 2147483648) * 2654435761) % 4294967296 AS h
+              FROM embeddings)),
+      counts AS (SELECT level, CAST(count(*) AS BIGINT) AS n_nodes
+                 FROM lvl GROUP BY level)
+      SELECT level, n_nodes,
+        CAST(sum(n_nodes) OVER (ORDER BY level DESC
+          ROWS UNBOUNDED PRECEDING) AS BIGINT) AS n_at_or_above,
+        CAST(n_nodes * (level + 1) * 16 AS BIGINT) AS link_slots
+      FROM counts ORDER BY level
+    """))
+
+  // ---------------------------------------------------------------- q493
+
+  /** Int8 outlier-channel audit (the LLM.int8 phenomenon): embedding
+    * dimensions whose max |quantized value| is far above their mean
+    * |value| break symmetric int8 quantization and need a
+    * higher-precision path; the audit ranks the 8 worst channels by
+    * max-to-mean ratio. q127 profiles moments; this flags the channels
+    * a mixed-precision kernel must special-case.
+    *
+    * Scale shape: explode → per-dim (n, Σ|q|, max|q|) partials — dim
+    * -count rows shuffle, not corpus rows; the rank runs on ≤ dim rows. */
+  private val q493 = QueryDef(
+    "q493_int8_outlier_channels",
+    (spark, dir) => {
+      Tables.embeddings(spark, dir)
+        .select(posexplode(expr(
+          "transform(embedding, x -> abs(CAST(floor(CAST(x AS DOUBLE) * 512 + 0.5) AS BIGINT)))"))
+          .as(Seq("dim", "q")))
+        .groupBy(col("dim").cast("long").as("dim"))
+        .agg(count(lit(1)).as("n"), sum(col("q")).as("sum_q"), max(col("q")).as("max_q"))
+        .select(col("dim"), col("max_q"),
+          expr("sum_q * 1000 div n").as("mean_q_milli"),
+          expr("CASE WHEN sum_q = 0 THEN 0 ELSE max_q * 1000 * n div sum_q END")
+            .as("ratio_milli"))
+        .withColumn("rk", row_number().over(
+          Window.orderBy(col("ratio_milli").desc, col("dim"))).cast("long"))
+        .filter(col("rk") <= 8L)
+        .select(col("rk"), col("dim"), col("max_q"), col("mean_q_milli"),
+          col("ratio_milli"),
+          (col("ratio_milli") > 6000L).as("is_outlier"))
+        .orderBy(col("rk"))
+    },
+    Some("""
+      WITH q AS (
+        SELECT dim, abs(CAST(floor(CAST(x AS DOUBLE) * 512 + 0.5) AS BIGINT)) AS q
+        FROM (SELECT unnest(embedding) AS x,
+                unnest(range(0, len(embedding))) AS dim
+              FROM embeddings)),
+      per AS (
+        SELECT CAST(dim AS BIGINT) AS dim, CAST(count(*) AS BIGINT) AS n,
+          CAST(sum(q) AS BIGINT) AS sum_q, CAST(max(q) AS BIGINT) AS max_q
+        FROM q GROUP BY dim),
+      scored AS (
+        SELECT dim, max_q,
+          CAST(sum_q * 1000 // n AS BIGINT) AS mean_q_milli,
+          CAST(CASE WHEN sum_q = 0 THEN 0
+            ELSE max_q * 1000 * n // sum_q END AS BIGINT) AS ratio_milli
+        FROM per)
+      SELECT CAST(row_number() OVER (ORDER BY ratio_milli DESC, dim) AS BIGINT)
+          AS rk,
+        dim, max_q, mean_q_milli, ratio_milli, ratio_milli > 6000 AS is_outlier
+      FROM scored
+      QUALIFY rk <= 8
+      ORDER BY rk
+    """))
+
+  // ---------------------------------------------------------------- q494
+
+  /** Curation pass@k: with c of a source's n documents clearing the
+    * quality bar (n_chars ≥ 300), the chance a random k-sample contains
+    * at least one is 1 − C(n−c,k)/C(n,k) — evaluated EXACTLY as the
+    * fixed-order integer product Πᵢ (n−c−i)/(n−i) in ppm steps
+    * (identical floor sequence in both engines), for k ∈ {1, 5, 10}.
+    * The sampling-yield planner: how big a random probe must be before
+    * curation sees usable data from each source.
+    *
+    * Scale shape: one per-source (n, c) aggregate; the product chain is
+    * a k-step scalar projection. */
+  private val q494 = QueryDef(
+    "q494_curation_pass_at_k",
+    (spark, dir) => {
+      // p_0 = 1e6; p_{i+1} = p_i·max(n−c−i,0) div (n−i): P(no pass in k)
+      def chain(k: Int): String =
+        (0 until k).foldLeft("1000000") { (acc, i) =>
+          s"($acc * greatest(n - c - $i, 0) div (n - $i))"
+        }
+      val base = Tables.documents(spark, dir)
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n"),
+          sum(when(col("n_chars") >= 300L, 1L).otherwise(0L)).as("c"))
+      base.select(col("source"), col("n"), col("c"),
+          expr(s"1000000 - ${chain(1)}").as("pass_at_1_ppm"),
+          expr(s"1000000 - ${chain(5)}").as("pass_at_5_ppm"),
+          expr(s"1000000 - ${chain(10)}").as("pass_at_10_ppm"))
+        .orderBy(col("source"))
+    },
+    Some {
+      def chain(k: Int): String =
+        (0 until k).foldLeft("1000000") { (acc, i) =>
+          s"($acc * greatest(n - c - $i, 0) // (n - $i))"
+        }
+      s"""
+      WITH base AS (
+        SELECT source, CAST(count(*) AS BIGINT) AS n,
+          CAST(sum(CASE WHEN n_chars >= 300 THEN 1 ELSE 0 END) AS BIGINT) AS c
+        FROM documents GROUP BY source)
+      SELECT source, n, c,
+        CAST(1000000 - ${chain(1)} AS BIGINT) AS pass_at_1_ppm,
+        CAST(1000000 - ${chain(5)} AS BIGINT) AS pass_at_5_ppm,
+        CAST(1000000 - ${chain(10)} AS BIGINT) AS pass_at_10_ppm
+      FROM base ORDER BY source
+      """
+    })
+
   def defs: Seq[QueryDef] =
     Seq(q476, q477, q478, q479, q480, q481, q482, q483, q484, q485, q486,
-      q487, q488, q489, q490)
+      q487, q488, q489, q490, q491, q492, q493, q494)
 }

@@ -222,6 +222,68 @@ class PretrainPlanOpsSpec extends SparkSpec {
         + r.getAs[Long]("n_high") == r.getAs[Long]("n_docs"))
   }
 
+  // ---------------------------------------------------------------- q491
+
+  test("batching policies: sorted never pads more than arrival") {
+    val rows = run("q491_arrival_vs_sorted_batching").collect()
+    val byPolicy = rows.map(r => r.getAs[String]("policy") -> r).toMap
+    assert(byPolicy.keySet == Set("arrival", "sorted"))
+    assert(byPolicy("arrival").getAs[Long]("total_tokens")
+      == byPolicy("sorted").getAs[Long]("total_tokens"))
+    assert(byPolicy("arrival").getAs[Long]("n_batches")
+      == byPolicy("sorted").getAs[Long]("n_batches"))
+    // sorting by length is the padding-minimal contiguous grouping
+    assert(byPolicy("sorted").getAs[Long]("padding_tokens")
+      <= byPolicy("arrival").getAs[Long]("padding_tokens"))
+  }
+
+  // ---------------------------------------------------------------- q492
+
+  test("HNSW levels: counts conserve, upper levels geometric-ish") {
+    val rows = run("q492_hnsw_level_plan").orderBy(col("level")).collect()
+    assert(rows.map(_.getAs[Long]("level")).toSeq.forall(l => l >= 0L && l <= 4L))
+    val total = rows.map(_.getAs[Long]("n_nodes")).sum
+    // n_at_or_above at level 0 is the whole index
+    assert(rows.head.getAs[Long]("level") == 0L)
+    assert(rows.head.getAs[Long]("n_at_or_above") == total)
+    // at-or-above is non-increasing in level
+    val above = rows.map(_.getAs[Long]("n_at_or_above"))
+    assert(above.sliding(2).forall { case Array(a, b) => b <= a })
+    // level 0 holds roughly half the nodes (geometric(1/2) assignment)
+    assert(rows.head.getAs[Long]("n_nodes") * 3 > total,
+      "level 0 should hold ~half the nodes")
+  }
+
+  // ---------------------------------------------------------------- q493
+
+  test("int8 outliers: ranked by ratio, means consistent") {
+    val rows = run("q493_int8_outlier_channels").orderBy(col("rk")).collect()
+    assert(rows.length == 8)
+    val ratios = rows.map(_.getAs[Long]("ratio_milli"))
+    assert(ratios.sliding(2).forall { case Array(a, b) => b <= a })
+    for (r <- rows) {
+      // max >= mean always → ratio >= 1000
+      assert(r.getAs[Long]("ratio_milli") >= 1000L)
+      assert(r.getAs[Boolean]("is_outlier") == (r.getAs[Long]("ratio_milli") > 6000L))
+    }
+  }
+
+  // ---------------------------------------------------------------- q494
+
+  test("pass@k: monotone in k, exact at the k=1 closed form") {
+    val rows = run("q494_curation_pass_at_k").collect()
+    assert(rows.nonEmpty)
+    for (r <- rows) {
+      val (n, c) = (r.getAs[Long]("n"), r.getAs[Long]("c"))
+      val p1 = r.getAs[Long]("pass_at_1_ppm")
+      // k=1: exactly c/n in ppm (single floor)
+      assert(p1 == 1000000L - (1000000L * (n - c) / n))
+      assert(p1 <= r.getAs[Long]("pass_at_5_ppm"))
+      assert(r.getAs[Long]("pass_at_5_ppm") <= r.getAs[Long]("pass_at_10_ppm"))
+      assert(r.getAs[Long]("pass_at_10_ppm") <= 1000000L)
+    }
+  }
+
   // ---------------------------------------------------------------- q482
 
   test("chunk sweep: coverage >= corpus, overhead shrinks with window size") {
