@@ -154,7 +154,13 @@ class QueriesSmokeSpec extends SparkSpec {
     "q470_dkw_percentile_bands", "q471_lda_separability",
     "q472_fenwick_range_serving",
     // q475's true-distinct comparison side is a one-row broadcast
-    "q475_chao1_distinct_from_sample")
+    "q475_chao1_distinct_from_sample",
+    // round-5 pretrain planners: q477/q489's merge pair and q479's
+    // corpus totals are one-row broadcasts; q482/q488's config grids are
+    // 3-row broadcast literals
+    "q477_bpe_merge_rounds", "q479_dsir_selection",
+    "q482_chunk_overlap_sweep", "q488_paged_kv_fragmentation",
+    "q489_merge_transfer_eval")
 
   test("query constructors are lazy: warm construction launches zero jobs") {
     import org.apache.spark.scheduler.{SparkListener, SparkListenerJobStart}
@@ -191,7 +197,10 @@ class QueriesSmokeSpec extends SparkSpec {
       // the unrolled LPA/HITS rounds never rebuild the join
       "q411_lpa_communities", "q415_hits_hub_authority",
       // q466 builds the IVF index (centroid collect, the q32 pattern)
-      "q466_ivf_cell_balance")
+      "q466_ivf_cell_balance",
+      // q484 collects the bounded 20-candidate MMR grid (the q32
+      // centroid-collect pattern) and greedily selects on the driver
+      "q484_mmr_diversified_retrieval")
     // the bus delivers only events posted after registration, so earlier
     // tests' jobs cannot leak into the count
     spark.sparkContext.addSparkListener(listener)
