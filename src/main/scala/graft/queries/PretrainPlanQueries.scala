@@ -1364,7 +1364,240 @@ object PretrainPlanQueries extends QueryGroup {
       """
     })
 
+  // ---------------------------------------------------------------- q495
+
+  /** ANN confidence-routing margin census: for a 2% hash sample of
+    * queries, the gap between the best and second-best cosine decides
+    * whether the cheap index's answer can be trusted (wide margin) or
+    * the query must fall back to exact search (margin < 0.02) — the
+    * cascade-routing statistic serving stacks use to budget the exact
+    * tier. Reported as a 10-bucket margin histogram with the fallback
+    * flag per bucket.
+    *
+    * Scale shape: q25/q373's broadcast query-sample pattern — the
+    * corpus-sized work is one scan × |sample| codegen'd cosines; top-2
+    * per query via a partitioned rank, then a ≤ 10-row census. */
+  private val q495 = QueryDef(
+    "q495_ann_routing_margin",
+    (spark, dir) => {
+      val vecs = Tables.embeddings(spark, dir)
+        .select(col("vec_id"),
+          expr("transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 512 + 0.5) AS BIGINT))")
+            .as("qv"))
+        .withColumn("nsq", expr("aggregate(qv, 0L, (a, x) -> a + x * x)"))
+        .filter(col("nsq") > 0L)
+      val queries = vecs
+        .filter(graft.operators.Sampling.keyHash(col("vec_id")) % 10000L < 200L)
+        .select(col("vec_id").as("q_id"), col("qv").as("q_qv"), col("nsq").as("q_nsq"))
+      val byQ = Window.partitionBy(col("q_id"))
+        .orderBy(col("cos_milli").desc, col("vec_id"))
+      vecs.join(broadcast(queries), col("vec_id") =!= col("q_id"))
+        .withColumn("dot",
+          expr("aggregate(zip_with(qv, q_qv, (a, b) -> a * b), 0L, (a, x) -> a + x)"))
+        .withColumn("cos_milli", expr(
+          "CAST(floor(CAST(dot AS DOUBLE) / sqrt(CAST(nsq AS DOUBLE) * CAST(q_nsq AS DOUBLE)) * 1000 + 0.5) AS BIGINT)"))
+        .withColumn("rk", row_number().over(byQ))
+        .filter(col("rk") <= 2)
+        .groupBy(col("q_id"))
+        .agg(max(when(col("rk") === 1, col("cos_milli"))).as("c1"),
+          max(when(col("rk") === 2, col("cos_milli"))).as("c2"))
+        .filter(col("c2").isNotNull) // need ≥ 2 neighbors for a margin
+        .select(least(expr("(c1 - c2) div 10"), lit(9L)).as("bucket"))
+        .groupBy(col("bucket")).agg(count(lit(1)).as("n_queries"))
+        .select(col("bucket"), col("n_queries"),
+          (col("bucket") < 2L).as("is_fallback"))
+        .orderBy(col("bucket"))
+    },
+    Some("""
+      WITH v AS (
+        SELECT vec_id,
+          list_transform(embedding, x ->
+            CAST(floor(CAST(x AS DOUBLE) * 512 + 0.5) AS BIGINT)) AS qv
+        FROM embeddings),
+      n AS (
+        SELECT vec_id, qv,
+          CAST(list_sum(list_transform(qv, x -> x * x)) AS BIGINT) AS nsq
+        FROM v),
+      nn AS (SELECT * FROM n WHERE nsq > 0),
+      q AS (
+        SELECT vec_id AS q_id, qv AS q_qv, nsq AS q_nsq FROM nn
+        WHERE ((vec_id % 2147483648) * 2654435761) % 4294967296 % 10000 < 200),
+      scored AS (
+        SELECT q_id, nn.vec_id,
+          CAST(floor(
+            CAST(CAST(list_sum(list_transform(range(1, len(qv)+1),
+              i -> qv[i]*q_qv[i])) AS BIGINT) AS DOUBLE)
+            / sqrt(CAST(nsq AS DOUBLE)*CAST(q_nsq AS DOUBLE)) * 1000 + 0.5)
+            AS BIGINT) AS cos_milli
+        FROM nn CROSS JOIN q WHERE nn.vec_id <> q_id),
+      ranked AS (
+        SELECT q_id, cos_milli,
+          row_number() OVER (PARTITION BY q_id
+            ORDER BY cos_milli DESC, vec_id) AS rk
+        FROM scored),
+      margins AS (
+        SELECT q_id,
+          max(CASE WHEN rk = 1 THEN cos_milli END) AS c1,
+          max(CASE WHEN rk = 2 THEN cos_milli END) AS c2
+        FROM ranked WHERE rk <= 2 GROUP BY q_id),
+      buckets AS (
+        SELECT least((c1 - c2) // 10, 9) AS bucket
+        FROM margins WHERE c2 IS NOT NULL)
+      SELECT CAST(bucket AS BIGINT) AS bucket,
+        CAST(count(*) AS BIGINT) AS n_queries,
+        bucket < 2 AS is_fallback
+      FROM buckets GROUP BY bucket ORDER BY bucket
+    """))
+
+  // ---------------------------------------------------------------- q496
+
+  /** Filtered-ANN fetch amplification: vector search with a metadata
+    * predicate (label ≥ 5) must over-fetch by n_total/n_pass inside each
+    * index partition to surface k survivors; per sign-LSH bucket
+    * (4 planes → 16 partitions) the audit reports the predicate's local
+    * selectivity and the k=10 fetch budget — unreachable buckets
+    * (no survivors) flagged with −1. The planning input for pre- vs
+    * post-filtering in a vector store.
+    *
+    * Scale shape: the bucket is a codegen'd projection (q50's kernel);
+    * one (bucket)-keyed aggregate; a 16-row plan. */
+  private val q496 = QueryDef(
+    "q496_filtered_ann_amplification",
+    (spark, dir) => {
+      Tables.embeddings(spark, dir)
+        .select(graft.similarity.Knn.lshBucket(col("embedding"), 4).as("bucket"),
+          (col("label") >= 5).cast("long").as("pass"))
+        .groupBy(col("bucket"))
+        .agg(count(lit(1)).as("n_total"), sum(col("pass")).as("n_pass"))
+        .select(col("bucket").cast("long").as("bucket"), col("n_total"),
+          col("n_pass"),
+          expr("n_pass * 1000000 div n_total").as("sel_ppm"),
+          expr("CASE WHEN n_pass = 0 THEN -1 " +
+            "ELSE (10 * n_total + n_pass - 1) div n_pass END").as("fetch_k10"))
+        .orderBy(col("bucket"))
+    },
+    Some("""
+      WITH q AS (
+        SELECT vec_id, label,
+          list_transform(embedding, x -> CAST(floor(x*512 + 0.5) AS BIGINT)) AS qv
+        FROM embeddings),
+      proj AS (
+        SELECT vec_id, label, t.p,
+          list_sum(list_transform(range(1, len(qv)+1),
+            i -> qv[i] * ((t.p*2654435761 + (i-1)*40503) % 2001 - 1000))) AS pr
+        FROM q CROSS JOIN (SELECT unnest(range(4)) AS p) t),
+      buckets AS (
+        SELECT vec_id, max(label) AS label,
+          CAST(sum(CASE WHEN pr > 0 THEN (1::BIGINT << p) ELSE 0 END) AS BIGINT)
+            AS bucket
+        FROM proj GROUP BY vec_id),
+      agg AS (
+        SELECT bucket, CAST(count(*) AS BIGINT) AS n_total,
+          CAST(sum(CASE WHEN label >= 5 THEN 1 ELSE 0 END) AS BIGINT) AS n_pass
+        FROM buckets GROUP BY bucket)
+      SELECT bucket, n_total, n_pass,
+        CAST(n_pass * 1000000 // n_total AS BIGINT) AS sel_ppm,
+        CAST(CASE WHEN n_pass = 0 THEN -1
+          ELSE (10 * n_total + n_pass - 1) // n_pass END AS BIGINT) AS fetch_k10
+      FROM agg ORDER BY bucket
+    """))
+
+  // ---------------------------------------------------------------- q497
+
+  /** Bradley–Terry pairwise-preference ranking (the arena-leaderboard
+    * estimator): monthly brand revenue duels (a beats b in a month iff
+    * its revenue is strictly higher) feed 3 minorization rounds of the
+    * BT update sₐ = Wₐ / Σᵦ nₐᵦ/(sₐ+sᵦ) in exact ppm integer arithmetic
+    * (floor-stable in both engines, ε-floored at 1000 so winless
+    * entrants never divide by zero). Output: the leaderboard.
+    *
+    * Scale shape: duels collapse to a brand×brand table (≤ |brands|²
+    * rows) scanned once; the 3 unrolled rounds join score vectors of
+    * |brands| rows — q374's bounded-iteration discipline. */
+  private val q497 = QueryDef(
+    "q497_bradley_terry_arena",
+    (spark, dir) => {
+      import graft.functions.Deterministic.epochS
+      val rev = Tables.lineitem(spark, dir)
+        .select(col("l_orderkey"), col("l_partkey"),
+          expr("CAST(floor(l_extendedprice*100 + 0.5) AS BIGINT)").as("cents"))
+        .join(Tables.part(spark, dir).select(col("p_partkey"), col("p_brand")),
+          col("l_partkey") === col("p_partkey"))
+        .join(Tables.orders(spark, dir)
+          .select(col("o_orderkey"), epochS(col("o_orderdate")).as("es"))
+          .select(col("o_orderkey"), expr("es div 2592000").as("month")),
+          col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("month"), col("p_brand").as("brand"))
+        .agg(sum(col("cents")).as("r"))
+      val duels = rev.select(col("month"), col("brand").as("a"), col("r").as("ra"))
+        .join(rev.select(col("month"), col("brand").as("b"), col("r").as("rb")),
+          Seq("month"))
+        .filter(col("a") =!= col("b") && col("ra") =!= col("rb"))
+        .groupBy(col("a"), col("b"))
+        .agg(count(lit(1)).as("n"),
+          sum(when(col("ra") > col("rb"), 1L).otherwise(0L)).as("w"))
+        .localCheckpoint(true)
+      val wins = duels.groupBy(col("a")).agg(sum(col("w")).as("bigw"),
+        sum(col("n")).as("games"))
+      var s = wins.select(col("a"), lit(1000000L).as("s"))
+      for (_ <- 1 to 3) {
+        val denom = duels
+          .join(s.select(col("a"), col("s").as("sa")), Seq("a"))
+          .join(s.select(col("a").as("b"), col("s").as("sb")), Seq("b"))
+          .groupBy(col("a"))
+          .agg(sum(expr("n * 1000000 div (sa + sb)")).as("d"))
+        s = wins.join(denom, Seq("a"))
+          .select(col("a"),
+            greatest(expr("bigw * 1000000 div d"), lit(1000L)).as("s"))
+      }
+      wins.join(s, Seq("a"))
+        .select(col("a").as("brand"), col("games"), col("bigw").as("wins"),
+          col("s").as("score_ppm"))
+        .withColumn("rank", row_number().over(
+          Window.orderBy(col("score_ppm").desc, col("brand"))).cast("long"))
+        .orderBy(col("rank"))
+    },
+    Some {
+      def roundSql(prev: String, out: String) = s"""
+      d$out AS (
+        SELECT duels.a, sum(n * 1000000 // (sa.s + sb.s)) AS d
+        FROM duels
+        JOIN $prev sa ON sa.a = duels.a
+        JOIN $prev sb ON sb.a = duels.b
+        GROUP BY duels.a),
+      $out AS (
+        SELECT wins.a, greatest(wins.bigw * 1000000 // d.d, 1000) AS s
+        FROM wins JOIN d$out d ON d.a = wins.a)"""
+      s"""
+      WITH rev AS (
+        SELECT CAST(epoch_ms(o.o_orderdate) // 1000 // 2592000 AS BIGINT) AS month,
+          p.p_brand AS brand,
+          sum(CAST(floor(l.l_extendedprice*100 + 0.5) AS BIGINT)) AS r
+        FROM lineitem l
+        JOIN part p ON l.l_partkey = p.p_partkey
+        JOIN orders o ON l.l_orderkey = o.o_orderkey
+        GROUP BY month, p.p_brand),
+      duels AS (
+        SELECT x.brand AS a, y.brand AS b, CAST(count(*) AS BIGINT) AS n,
+          CAST(sum(CASE WHEN x.r > y.r THEN 1 ELSE 0 END) AS BIGINT) AS w
+        FROM rev x JOIN rev y ON x.month = y.month
+          AND x.brand <> y.brand AND x.r <> y.r
+        GROUP BY x.brand, y.brand),
+      wins AS (
+        SELECT a, sum(w) AS bigw, sum(n) AS games FROM duels GROUP BY a),
+      s0 AS (SELECT a, CAST(1000000 AS BIGINT) AS s FROM wins),
+      ${roundSql("s0", "s1")},
+      ${roundSql("s1", "s2")},
+      ${roundSql("s2", "s3")}
+      SELECT a AS brand, CAST(games AS BIGINT) AS games,
+        CAST(bigw AS BIGINT) AS wins, CAST(s AS BIGINT) AS score_ppm,
+        CAST(row_number() OVER (ORDER BY s DESC, a) AS BIGINT) AS rank
+      FROM wins JOIN s3 USING (a)
+      ORDER BY rank
+      """
+    })
+
   def defs: Seq[QueryDef] =
     Seq(q476, q477, q478, q479, q480, q481, q482, q483, q484, q485, q486,
-      q487, q488, q489, q490, q491, q492, q493, q494)
+      q487, q488, q489, q490, q491, q492, q493, q494, q495, q496, q497)
 }

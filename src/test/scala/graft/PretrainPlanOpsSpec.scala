@@ -284,6 +284,53 @@ class PretrainPlanOpsSpec extends SparkSpec {
     }
   }
 
+  // ---------------------------------------------------------------- q495
+
+  test("ANN routing margins: buckets valid, fallback flag matches bucket") {
+    val rows = run("q495_ann_routing_margin").collect()
+    assert(rows.nonEmpty)
+    for (r <- rows) {
+      val b = r.getAs[Long]("bucket")
+      assert(b >= 0L && b <= 9L)
+      assert(r.getAs[Boolean]("is_fallback") == (b < 2L))
+      assert(r.getAs[Long]("n_queries") > 0L)
+    }
+  }
+
+  // ---------------------------------------------------------------- q496
+
+  test("filtered ANN: selectivity and fetch budget consistent per bucket") {
+    val rows = run("q496_filtered_ann_amplification").collect()
+    assert(rows.nonEmpty && rows.length <= 16)
+    for (r <- rows) {
+      val (total, pass) = (r.getAs[Long]("n_total"), r.getAs[Long]("n_pass"))
+      assert(pass <= total)
+      if (pass == 0L) assert(r.getAs[Long]("fetch_k10") == -1L)
+      else {
+        // fetch >= 10 always; equality iff every candidate passes
+        assert(r.getAs[Long]("fetch_k10") >= 10L)
+        assert((r.getAs[Long]("fetch_k10") == 10L) == (pass == total))
+      }
+    }
+  }
+
+  // ---------------------------------------------------------------- q497
+
+  test("Bradley-Terry: ranks total, scores ordered, wins bounded by games") {
+    val rows = run("q497_bradley_terry_arena").orderBy(col("rank")).collect()
+    assert(rows.length > 1)
+    assert(rows.map(_.getAs[Long]("rank")).toSeq == (1L to rows.length).toSeq)
+    val scores = rows.map(_.getAs[Long]("score_ppm"))
+    assert(scores.sliding(2).forall { case Array(a, b) => b <= a })
+    for (r <- rows) {
+      assert(r.getAs[Long]("wins") <= r.getAs[Long]("games"))
+      assert(r.getAs[Long]("score_ppm") >= 1000L) // the epsilon floor
+    }
+    // the top brand must win more than half its duels (sanity of the
+    // preference aggregation)
+    assert(rows.head.getAs[Long]("wins") * 2 > rows.head.getAs[Long]("games"))
+  }
+
   // ---------------------------------------------------------------- q482
 
   test("chunk sweep: coverage >= corpus, overhead shrinks with window size") {

@@ -160,7 +160,9 @@ class QueriesSmokeSpec extends SparkSpec {
     // 3-row broadcast literals
     "q477_bpe_merge_rounds", "q479_dsir_selection",
     "q482_chunk_overlap_sweep", "q488_paged_kv_fragmentation",
-    "q489_merge_transfer_eval")
+    "q489_merge_transfer_eval",
+    // q495 probes the broadcast 2% query sample (q25/q373's shape)
+    "q495_ann_routing_margin")
 
   test("query constructors are lazy: warm construction launches zero jobs") {
     import org.apache.spark.scheduler.{SparkListener, SparkListenerJobStart}
@@ -200,7 +202,10 @@ class QueriesSmokeSpec extends SparkSpec {
       "q466_ivf_cell_balance",
       // q484 collects the bounded 20-candidate MMR grid (the q32
       // centroid-collect pattern) and greedily selects on the driver
-      "q484_mmr_diversified_retrieval")
+      "q484_mmr_diversified_retrieval",
+      // q497 localCheckpoints the ≤ |brands|² duel table so the 3
+      // unrolled Bradley-Terry rounds never rescan lineitem
+      "q497_bradley_terry_arena")
     // the bus delivers only events posted after registration, so earlier
     // tests' jobs cannot leak into the count
     spark.sparkContext.addSparkListener(listener)
