@@ -1597,7 +1597,169 @@ object PretrainPlanQueries extends QueryGroup {
       """
     })
 
+  // ---------------------------------------------------------------- q498
+
+  /** TTL-cache reuse-interval census: on the part-key access stream
+    * (access time = l_orderkey·8 + l_linenumber — monotone by
+    * construction, no global sort), the interval to each key's previous
+    * access decides whether a time-windowed cache of horizon T would
+    * have hit; the sweep over T ∈ {10⁴, 10⁵, 10⁶} key-space ticks
+    * reports exact hit rates — the TTL-cache twin of q462's static
+    * top-k sweep (that picks WHAT to pin; this prices HOW LONG entries
+    * stay useful).
+    *
+    * Scale shape: one keyed lag per key partition (parallel, no global
+    * window), interval histogram folds to a 3-row sweep. */
+  private val q498 = QueryDef(
+    "q498_ttl_cache_reuse_intervals",
+    (spark, dir) => {
+      val acc = Tables.lineitem(spark, dir)
+        .select(col("l_partkey").as("k"),
+          (col("l_orderkey") * 8L + col("l_linenumber")).as("t"))
+      val byKey = Window.partitionBy(col("k")).orderBy(col("t"))
+      val iv = acc
+        .withColumn("prev", lag(col("t"), 1).over(byKey))
+        .select(col("k"), (col("t") - col("prev")).as("interval"))
+      val grid = spark.range(1).select(explode(expr(
+        "array(CAST(10000 AS BIGINT), CAST(100000 AS BIGINT), CAST(1000000 AS BIGINT))"))
+        .as("ttl"))
+      iv.crossJoin(broadcast(grid))
+        .groupBy(col("ttl"))
+        .agg(count(lit(1)).as("n_accesses"),
+          sum(when(col("interval").isNull, 1L).otherwise(0L)).as("n_first"),
+          sum(when(col("interval").isNotNull && col("interval") <= col("ttl"), 1L)
+            .otherwise(0L)).as("n_hits"))
+        .select(col("ttl"), col("n_accesses"), col("n_first"), col("n_hits"),
+          expr("n_hits * 1000000 div n_accesses").as("hit_ppm"))
+        .orderBy(col("ttl"))
+    },
+    Some("""
+      WITH acc AS (
+        SELECT l_partkey AS k, l_orderkey * 8 + l_linenumber AS t
+        FROM lineitem),
+      iv AS (
+        SELECT k, t - lag(t, 1) OVER (PARTITION BY k ORDER BY t) AS interval
+        FROM acc),
+      g AS (
+        SELECT iv.*, ttl
+        FROM iv, LATERAL (SELECT unnest([CAST(10000 AS BIGINT), 100000, 1000000])
+          AS ttl) t)
+      SELECT ttl, CAST(count(*) AS BIGINT) AS n_accesses,
+        CAST(sum(CASE WHEN interval IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+          AS n_first,
+        CAST(sum(CASE WHEN interval IS NOT NULL AND interval <= ttl
+          THEN 1 ELSE 0 END) AS BIGINT) AS n_hits,
+        CAST(sum(CASE WHEN interval IS NOT NULL AND interval <= ttl
+          THEN 1 ELSE 0 END) * 1000000 // count(*) AS BIGINT) AS hit_ppm
+      FROM g GROUP BY ttl ORDER BY ttl
+    """))
+
+  // ---------------------------------------------------------------- q499
+
+  /** T5 span-corruption sizing plan: corrupting 15% of each document's
+    * tokens in mean-length-3 spans replaces each span with one sentinel —
+    * input length n − corrupted + spans, target length corrupted +
+    * spans + 1. The per-source closed-form totals size the denoising
+    * pretraining stream (and its sentinel-token budget) before any
+    * transform materializes.
+    *
+    * Scale shape: pure per-document arithmetic on the codegen'd token
+    * count; one per-source rollup. */
+  private val q499 = QueryDef(
+    "q499_span_corruption_plan",
+    (spark, dir) => {
+      Tables.documents(spark, dir)
+        .select(col("source"),
+          graft.functions.expressions.token_count(col("text")).cast("long").as("n"))
+        .filter(col("n") >= 7L) // need >= 1 corrupted span
+        .withColumn("corrupted", expr("n * 15 div 100"))
+        .withColumn("spans", expr("(corrupted + 2) div 3"))
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n")).as("total_tokens"),
+          sum(col("corrupted")).as("corrupted_tokens"),
+          sum(col("spans")).as("sentinel_tokens"),
+          sum(expr("n - corrupted + spans")).as("input_tokens"),
+          sum(expr("corrupted + spans + 1")).as("target_tokens"))
+        .orderBy(col("source"))
+    },
+    Some("""
+      WITH d AS (
+        SELECT source,
+          CAST(len(list_filter(str_split(text, ' '), t -> len(t) > 0)) AS BIGINT)
+            AS n
+        FROM documents),
+      p AS (
+        SELECT source, n, n * 15 // 100 AS corrupted,
+          (n * 15 // 100 + 2) // 3 AS spans
+        FROM d WHERE n >= 7)
+      SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+        CAST(sum(n) AS BIGINT) AS total_tokens,
+        CAST(sum(corrupted) AS BIGINT) AS corrupted_tokens,
+        CAST(sum(spans) AS BIGINT) AS sentinel_tokens,
+        CAST(sum(n - corrupted + spans) AS BIGINT) AS input_tokens,
+        CAST(sum(corrupted + spans + 1) AS BIGINT) AS target_tokens
+      FROM p GROUP BY source ORDER BY source
+    """))
+
+  // ---------------------------------------------------------------- q500
+
+  /** Checkpoint-interval planner (Young's approximation): with failure
+    * rate measured from the live error-event stream (MTBF = observed
+    * span ÷ error count) and checkpoint cost C = 60 s, the optimal
+    * interval is √(2·C·MTBF) — computed by exact integer isqrt (floor
+    * of the double sqrt, ±1-corrected, q470's discipline) — with the
+    * expected overhead C/T + T/(2·MTBF) in ppm. The fault-tolerance
+    * sizing every long training run does on the back of an envelope,
+    * done from measured data.
+    *
+    * Scale shape: one filtered scan folds to a single row of scalars. */
+  private val q500 = QueryDef(
+    "q500_checkpoint_interval_young",
+    (spark, dir) => {
+      import graft.functions.Deterministic.epochS
+      Tables.events(spark, dir)
+        .select(epochS(col("ts")).as("ts_s"), col("event_type"))
+        .agg(
+          sum(when(col("event_type") === "error", 1L).otherwise(0L)).as("n_errors"),
+          (max(col("ts_s")) - min(col("ts_s"))).as("span_s"))
+        .filter(col("n_errors") > 0L)
+        .withColumn("mtbf_s", expr("span_s div n_errors"))
+        .withColumn("tgt", expr("2 * 60 * mtbf_s"))
+        .withColumn("s0", expr("CAST(floor(sqrt(CAST(tgt AS DOUBLE))) AS BIGINT)"))
+        .withColumn("t_opt_s", expr(
+          "CASE WHEN (s0 + 1) * (s0 + 1) <= tgt THEN s0 + 1 " +
+            "WHEN s0 * s0 > tgt THEN s0 - 1 ELSE s0 END"))
+        .select(col("n_errors"), col("span_s"), col("mtbf_s"), col("t_opt_s"),
+          expr("60 * 1000000 div t_opt_s + t_opt_s * 1000000 div (2 * mtbf_s)")
+            .as("overhead_ppm"))
+    },
+    Some("""
+      WITH e AS (
+        SELECT CAST(sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_errors,
+          CAST(epoch_ms(max(ts)) // 1000 - epoch_ms(min(ts)) // 1000 AS BIGINT)
+            AS span_s
+        FROM events),
+      m AS (
+        SELECT n_errors, span_s, span_s // n_errors AS mtbf_s,
+          2 * 60 * (span_s // n_errors) AS tgt
+        FROM e WHERE n_errors > 0),
+      r AS (
+        SELECT *, CAST(floor(sqrt(CAST(tgt AS DOUBLE))) AS BIGINT) AS s0 FROM m),
+      t AS (
+        SELECT n_errors, span_s, mtbf_s,
+          CASE WHEN (s0 + 1) * (s0 + 1) <= tgt THEN s0 + 1
+               WHEN s0 * s0 > tgt THEN s0 - 1 ELSE s0 END AS t_opt_s
+        FROM r)
+      SELECT n_errors, span_s, mtbf_s, t_opt_s,
+        CAST(60 * 1000000 // t_opt_s + t_opt_s * 1000000 // (2 * mtbf_s)
+          AS BIGINT) AS overhead_ppm
+      FROM t
+    """))
+
   def defs: Seq[QueryDef] =
     Seq(q476, q477, q478, q479, q480, q481, q482, q483, q484, q485, q486,
-      q487, q488, q489, q490, q491, q492, q493, q494, q495, q496, q497)
+      q487, q488, q489, q490, q491, q492, q493, q494, q495, q496, q497,
+      q498, q499, q500)
 }

@@ -331,6 +331,48 @@ class PretrainPlanOpsSpec extends SparkSpec {
     assert(rows.head.getAs[Long]("wins") * 2 > rows.head.getAs[Long]("games"))
   }
 
+  // ---------------------------------------------------------------- q498
+
+  test("TTL cache: hit rate monotone in horizon, counts conserve") {
+    val rows = run("q498_ttl_cache_reuse_intervals").orderBy(col("ttl")).collect()
+    assert(rows.map(_.getAs[Long]("ttl")).toSeq == Seq(10000L, 100000L, 1000000L))
+    val hits = rows.map(_.getAs[Long]("n_hits"))
+    assert(hits.sliding(2).forall { case Array(a, b) => b >= a })
+    for (r <- rows) {
+      assert(r.getAs[Long]("n_first") + r.getAs[Long]("n_hits")
+        <= r.getAs[Long]("n_accesses"))
+      assert(r.getAs[Long]("n_first") > 0L, "every key has a first access")
+    }
+    // same stream each config
+    assert(rows.map(_.getAs[Long]("n_accesses")).distinct.length == 1)
+  }
+
+  // ---------------------------------------------------------------- q499
+
+  test("span corruption: sizing identities hold per source") {
+    val rows = run("q499_span_corruption_plan").collect()
+    assert(rows.nonEmpty)
+    for (r <- rows) {
+      val (tot, cor, sp) = (r.getAs[Long]("total_tokens"),
+        r.getAs[Long]("corrupted_tokens"), r.getAs[Long]("sentinel_tokens"))
+      assert(cor < tot)
+      assert(sp <= cor, "mean span 3 → spans <= corrupted")
+      assert(r.getAs[Long]("input_tokens") == tot - cor + sp)
+      assert(r.getAs[Long]("target_tokens") == cor + sp + r.getAs[Long]("n_docs"))
+    }
+  }
+
+  // ---------------------------------------------------------------- q500
+
+  test("Young interval: exact isqrt, overhead near the 2x-sqrt optimum") {
+    val r = run("q500_checkpoint_interval_young").collect().head
+    val mtbf = r.getAs[Long]("mtbf_s")
+    val t = r.getAs[Long]("t_opt_s")
+    // exact integer sqrt of 2*C*MTBF
+    assert(t * t <= 120L * mtbf && (t + 1) * (t + 1) > 120L * mtbf)
+    assert(r.getAs[Long]("overhead_ppm") > 0L)
+  }
+
   // ---------------------------------------------------------------- q482
 
   test("chunk sweep: coverage >= corpus, overhead shrinks with window size") {

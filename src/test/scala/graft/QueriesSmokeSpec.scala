@@ -162,7 +162,9 @@ class QueriesSmokeSpec extends SparkSpec {
     "q482_chunk_overlap_sweep", "q488_paged_kv_fragmentation",
     "q489_merge_transfer_eval",
     // q495 probes the broadcast 2% query sample (q25/q373's shape)
-    "q495_ann_routing_margin")
+    "q495_ann_routing_margin",
+    // q498's TTL grid is a 3-row broadcast literal
+    "q498_ttl_cache_reuse_intervals")
 
   test("query constructors are lazy: warm construction launches zero jobs") {
     import org.apache.spark.scheduler.{SparkListener, SparkListenerJobStart}
