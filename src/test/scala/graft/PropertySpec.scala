@@ -159,4 +159,25 @@ class PropertySpec extends SparkSpec {
       }
     }
   }
+
+  test("suffixLoopPeriod kernel == Scala token-slice reference on fuzzed docs") {
+    // small alphabet + variable whitespace maximizes accidental loops,
+    // empty tokens, and boundary cases
+    val tokGen = Gen.oneOf("a", "b", "ab", "ba", "aa", "", " ")
+    val docGen = Gen.listOfN(12, tokGen).map(_.mkString(" "))
+    def reference(text: String, maxP: Int): Int = {
+      val tk = text.split(" ").filter(_.nonEmpty).toSeq
+      val n = tk.length
+      (1 to maxP).find(p =>
+        n >= 2 * p && tk.slice(n - p, n) == tk.slice(n - 2 * p, n - p))
+        .getOrElse(0)
+    }
+    forSamples(Gen.listOfN(200, docGen)) { docs =>
+      import org.apache.spark.unsafe.types.UTF8String
+      for (d <- docs; maxP <- Seq(1, 3)) {
+        val got = functions.GraftHash.suffixLoopPeriod(UTF8String.fromString(d), maxP)
+        assert(got == reference(d, maxP), s"doc='$d' maxP=$maxP")
+      }
+    }
+  }
 }
