@@ -1758,8 +1758,266 @@ object PretrainPlanQueries extends QueryGroup {
       FROM t
     """))
 
+  // ---------------------------------------------------------------- q501
+
+  /** Semantic-cache hit sweep (the GPTCache decision): with the first
+    * 100 vectors as the cached set, a 2% query sample hits the cache
+    * when its best cosine to ANY cached entry clears the threshold —
+    * swept over {0.90, 0.95, 0.99} to price how aggressively semantic
+    * caching can deduplicate inference traffic before answer quality
+    * degrades.
+    *
+    * Scale shape: the cache is a broadcast ≤100-row side; one scan ×
+    * |cache| codegen'd cosines for the sample, one max per query, a
+    * 3-row sweep. */
+  private val q501 = QueryDef(
+    "q501_semantic_cache_hit_sweep",
+    (spark, dir) => {
+      val vecs = Tables.embeddings(spark, dir)
+        .select(col("vec_id"),
+          expr("transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 512 + 0.5) AS BIGINT))")
+            .as("qv"))
+        .withColumn("nsq", expr("aggregate(qv, 0L, (a, x) -> a + x * x)"))
+        .filter(col("nsq") > 0L)
+      val cache = vecs.filter(col("vec_id") < 100L)
+        .select(col("vec_id").as("c_id"), col("qv").as("c_qv"), col("nsq").as("c_nsq"))
+      val queries = vecs
+        .filter(col("vec_id") >= 100L)
+        .filter(graft.operators.Sampling.keyHash(col("vec_id")) % 10000L < 200L)
+      val best = queries.crossJoin(broadcast(cache))
+        .withColumn("dot",
+          expr("aggregate(zip_with(qv, c_qv, (a, b) -> a * b), 0L, (a, x) -> a + x)"))
+        .withColumn("cos_milli", expr(
+          "CAST(floor(CAST(dot AS DOUBLE) / sqrt(CAST(nsq AS DOUBLE) * CAST(c_nsq AS DOUBLE)) * 1000 + 0.5) AS BIGINT)"))
+        .groupBy(col("vec_id")).agg(max(col("cos_milli")).as("best_milli"))
+      val grid = spark.range(1).select(explode(expr(
+        "array(CAST(900 AS BIGINT), CAST(950 AS BIGINT), CAST(990 AS BIGINT))"))
+        .as("threshold_milli"))
+      best.crossJoin(broadcast(grid))
+        .groupBy(col("threshold_milli"))
+        .agg(count(lit(1)).as("n_queries"),
+          sum(when(col("best_milli") >= col("threshold_milli"), 1L).otherwise(0L))
+            .as("n_hits"))
+        .select(col("threshold_milli"), col("n_queries"), col("n_hits"),
+          expr("n_hits * 1000000 div n_queries").as("hit_ppm"))
+        .orderBy(col("threshold_milli"))
+    },
+    Some("""
+      WITH v AS (
+        SELECT vec_id,
+          list_transform(embedding, x ->
+            CAST(floor(CAST(x AS DOUBLE) * 512 + 0.5) AS BIGINT)) AS qv
+        FROM embeddings),
+      n AS (
+        SELECT vec_id, qv,
+          CAST(list_sum(list_transform(qv, x -> x * x)) AS BIGINT) AS nsq
+        FROM v),
+      nn AS (SELECT * FROM n WHERE nsq > 0),
+      cache AS (SELECT vec_id AS c_id, qv AS c_qv, nsq AS c_nsq FROM nn
+                WHERE vec_id < 100),
+      queries AS (
+        SELECT * FROM nn WHERE vec_id >= 100
+          AND ((vec_id % 2147483648) * 2654435761) % 4294967296 % 10000 < 200),
+      best AS (
+        SELECT vec_id, max(CAST(floor(
+            CAST(CAST(list_sum(list_transform(range(1, len(qv)+1),
+              i -> qv[i]*c_qv[i])) AS BIGINT) AS DOUBLE)
+            / sqrt(CAST(nsq AS DOUBLE)*CAST(c_nsq AS DOUBLE)) * 1000 + 0.5)
+            AS BIGINT)) AS best_milli
+        FROM queries CROSS JOIN cache
+        GROUP BY vec_id)
+      SELECT threshold_milli, CAST(count(*) AS BIGINT) AS n_queries,
+        CAST(sum(CASE WHEN best_milli >= threshold_milli THEN 1 ELSE 0 END)
+          AS BIGINT) AS n_hits,
+        CAST(sum(CASE WHEN best_milli >= threshold_milli THEN 1 ELSE 0 END)
+          * 1000000 // count(*) AS BIGINT) AS hit_ppm
+      FROM best, LATERAL (SELECT unnest([CAST(900 AS BIGINT), 950, 990])
+        AS threshold_milli) t
+      GROUP BY threshold_milli ORDER BY threshold_milli
+    """))
+
+  // ---------------------------------------------------------------- q502
+
+  /** Front-coding dictionary compression plan (the Lucene/FST term-dict
+    * layout): in the SORTED vocabulary, each term stores only its suffix
+    * after the longest common prefix with its predecessor (LCP capped at
+    * 7 so it fits a 3-bit header field). One row: terms, plain vs
+    * front-coded bytes (1-byte header per term), savings, mean LCP.
+    *
+    * Scale shape: vocabulary-sized sort (the dictionary build's
+    * inherent cost), one lag, a capped substring-equality ladder (pure
+    * codegen), one global fold. */
+  private val q502 = QueryDef(
+    "q502_front_coding_plan",
+    (spark, dir) => {
+      def lcpLadder(a: String, b: String): String =
+        (7 to 1 by -1).map(k =>
+          s"WHEN substring($a, 1, $k) = substring($b, 1, $k) THEN $k")
+          .mkString("CASE ", " ", " ELSE 0 END")
+      val vocab = Tables.documents(spark, dir)
+        .select(explode(graft.functions.expressions.tokens_native(col("text"))).as("w"))
+        .distinct()
+      val w = Window.orderBy(col("w"))
+      vocab
+        .withColumn("prev", lag(col("w"), 1).over(w))
+        .select(length(col("w")).cast("long").as("len"),
+          when(col("prev").isNull, 0L)
+            .otherwise(expr(lcpLadder("w", "prev")).cast("long")).as("lcp"))
+        .agg(count(lit(1)).as("n_terms"),
+          sum(col("len")).as("bytes_plain"),
+          (sum(col("len") - col("lcp")) + count(lit(1))).as("bytes_front"),
+          expr("sum(lcp) * 1000").as("lcp_sum_milli"))
+        .select(col("n_terms"), col("bytes_plain"), col("bytes_front"),
+          expr("(bytes_plain - bytes_front) * 1000000 div bytes_plain")
+            .as("savings_ppm"),
+          expr("lcp_sum_milli div n_terms").as("mean_lcp_milli"))
+    },
+    Some {
+      def lcpLadder(a: String, b: String): String =
+        (7 to 1 by -1).map(k =>
+          s"WHEN substring($a, 1, $k) = substring($b, 1, $k) THEN $k")
+          .mkString("CASE ", " ", " ELSE 0 END")
+      s"""
+      WITH vocab AS (
+        SELECT DISTINCT unnest(list_filter(str_split(text, ' '),
+          t -> len(t) > 0)) AS w
+        FROM documents),
+      lagged AS (
+        SELECT w, lag(w, 1) OVER (ORDER BY w) AS prev FROM vocab),
+      coded AS (
+        SELECT CAST(len(w) AS BIGINT) AS len,
+          CASE WHEN prev IS NULL THEN 0
+               ELSE ${lcpLadder("w", "prev")} END AS lcp
+        FROM lagged)
+      SELECT CAST(count(*) AS BIGINT) AS n_terms,
+        CAST(sum(len) AS BIGINT) AS bytes_plain,
+        CAST(sum(len - lcp) + count(*) AS BIGINT) AS bytes_front,
+        CAST((sum(len) - sum(len - lcp) - count(*)) * 1000000 // sum(len)
+          AS BIGINT) AS savings_ppm,
+        CAST(sum(lcp) * 1000 // count(*) AS BIGINT) AS mean_lcp_milli
+      FROM coded
+    """
+    })
+
+  // ---------------------------------------------------------------- q503
+
+  /** Clicks-over-expected-clicks position-bias correction: click rate
+    * per within-session position (rank by time, capped at 10) gives the
+    * position-bias curve; each user-bucket's COEC is actual clicks over
+    * the position-expected count — the normalization that separates
+    * "good content" from "shown first" (q105 attributes PURCHASE credit;
+    * this de-biases CLICK feedback).
+    *
+    * Scale shape: one per-user rank (parallel partitions), a ≤10-row
+    * broadcast bias curve, one bucket rollup. */
+  private val q503 = QueryDef(
+    "q503_coec_position_bias",
+    (spark, dir) => {
+      val byUser = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts"), col("event_id"))
+      val pos = Tables.events(spark, dir)
+        .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+        .withColumn("p", least(row_number().over(byUser).cast("long"), lit(10L)))
+        .select(col("user_id"), col("p"),
+          when(col("event_type") === "click", 1L).otherwise(0L).as("clk"))
+      val curve = pos.groupBy(col("p"))
+        .agg(count(lit(1)).as("n_p"), sum(col("clk")).as("c_p"))
+        .select(col("p"), expr("c_p * 1000000 div n_p").as("r_ppm"))
+      pos.join(broadcast(curve), Seq("p"))
+        .groupBy((col("user_id") % 10L).as("bucket"))
+        .agg(count(lit(1)).as("n_events"),
+          sum(col("clk")).as("n_clicks"),
+          expr("sum(r_ppm) div 1000").as("expected_clicks_milli"))
+        .select(col("bucket"), col("n_events"), col("n_clicks"),
+          col("expected_clicks_milli"),
+          expr("CASE WHEN expected_clicks_milli = 0 THEN 0 " +
+            "ELSE n_clicks * 1000000 div expected_clicks_milli END")
+            .as("coec_milli"))
+        .orderBy(col("bucket"))
+    },
+    Some("""
+      WITH pos AS (
+        SELECT user_id,
+          least(row_number() OVER (PARTITION BY user_id
+            ORDER BY ts, event_id), 10) AS p,
+          CASE WHEN event_type = 'click' THEN 1 ELSE 0 END AS clk
+        FROM events),
+      curve AS (
+        SELECT p, CAST(sum(clk) * 1000000 // count(*) AS BIGINT) AS r_ppm
+        FROM pos GROUP BY p)
+      SELECT CAST(user_id % 10 AS BIGINT) AS bucket,
+        CAST(count(*) AS BIGINT) AS n_events,
+        CAST(sum(clk) AS BIGINT) AS n_clicks,
+        CAST(sum(r_ppm) // 1000 AS BIGINT) AS expected_clicks_milli,
+        CAST(CASE WHEN sum(r_ppm) // 1000 = 0 THEN 0
+          ELSE sum(clk) * 1000000 // (sum(r_ppm) // 1000) END AS BIGINT)
+          AS coec_milli
+      FROM pos JOIN curve USING (p)
+      GROUP BY user_id % 10
+      ORDER BY bucket
+    """))
+
+  // ---------------------------------------------------------------- q504
+
+  /** Top-k churn monitor: the Jaccard overlap between the first and
+    * second half-year's top-32 part keys by revenue — how stable the
+    * head of the distribution is across a refresh window, the statistic
+    * that decides how often q462's pinned cache or a materialized top-k
+    * view must be rebuilt.
+    *
+    * Scale shape: two date-pruned scans fold to part-sized aggregates;
+    * two top-32 ranks; the overlap join touches ≤ 64 rows. */
+  private val q504 = QueryDef(
+    "q504_topk_churn_monitor",
+    (spark, dir) => {
+      def top32(lo: String, hi: String) = Tables.lineitem(spark, dir)
+        .filter(col("l_shipdate") >= lo && col("l_shipdate") < hi)
+        .groupBy(col("l_partkey"))
+        .agg(sum(expr("CAST(floor(l_extendedprice*100 + 0.5) AS BIGINT)")).as("r"))
+        .orderBy(col("r").desc, col("l_partkey")).limit(32)
+        .select(col("l_partkey"))
+      val a = top32("1995-01-01", "1995-07-01")
+      val b = top32("1995-07-01", "1996-01-01")
+      val inter = a.join(b, Seq("l_partkey")).agg(count(lit(1)).as("n_common"))
+      a.agg(count(lit(1)).as("n_h1"))
+        .crossJoin(broadcast(b.agg(count(lit(1)).as("n_h2"))))
+        .crossJoin(broadcast(inter))
+        .select(col("n_h1"), col("n_h2"), col("n_common"),
+          expr("n_common * 1000000 div (n_h1 + n_h2 - n_common)")
+            .as("jaccard_ppm"),
+          expr("(n_h1 - n_common) * 1000000 div n_h1").as("churn_ppm"))
+    },
+    Some("""
+      WITH h1 AS (
+        SELECT l_partkey FROM lineitem
+        WHERE l_shipdate >= TIMESTAMP '1995-01-01'
+          AND l_shipdate < TIMESTAMP '1995-07-01'
+        GROUP BY l_partkey
+        ORDER BY sum(CAST(floor(l_extendedprice*100 + 0.5) AS BIGINT)) DESC,
+          l_partkey
+        LIMIT 32),
+      h2 AS (
+        SELECT l_partkey FROM lineitem
+        WHERE l_shipdate >= TIMESTAMP '1995-07-01'
+          AND l_shipdate < TIMESTAMP '1996-01-01'
+        GROUP BY l_partkey
+        ORDER BY sum(CAST(floor(l_extendedprice*100 + 0.5) AS BIGINT)) DESC,
+          l_partkey
+        LIMIT 32),
+      i AS (SELECT CAST(count(*) AS BIGINT) AS n_common
+            FROM h1 JOIN h2 USING (l_partkey))
+      SELECT (SELECT CAST(count(*) AS BIGINT) FROM h1) AS n_h1,
+        (SELECT CAST(count(*) AS BIGINT) FROM h2) AS n_h2,
+        n_common,
+        CAST(n_common * 1000000 // ((SELECT count(*) FROM h1)
+          + (SELECT count(*) FROM h2) - n_common) AS BIGINT) AS jaccard_ppm,
+        CAST(((SELECT count(*) FROM h1) - n_common) * 1000000
+          // (SELECT count(*) FROM h1) AS BIGINT) AS churn_ppm
+      FROM i
+    """))
+
   def defs: Seq[QueryDef] =
     Seq(q476, q477, q478, q479, q480, q481, q482, q483, q484, q485, q486,
       q487, q488, q489, q490, q491, q492, q493, q494, q495, q496, q497,
-      q498, q499, q500)
+      q498, q499, q500, q501, q502, q503, q504)
 }

@@ -373,6 +373,57 @@ class PretrainPlanOpsSpec extends SparkSpec {
     assert(r.getAs[Long]("overhead_ppm") > 0L)
   }
 
+  // ---------------------------------------------------------------- q501
+
+  test("semantic cache: hit rate anti-monotone in threshold") {
+    val rows = run("q501_semantic_cache_hit_sweep").orderBy(col("threshold_milli")).collect()
+    assert(rows.map(_.getAs[Long]("threshold_milli")).toSeq == Seq(900L, 950L, 990L))
+    val hits = rows.map(_.getAs[Long]("n_hits"))
+    assert(hits.sliding(2).forall { case Array(a, b) => b <= a })
+    assert(rows.map(_.getAs[Long]("n_queries")).distinct.length == 1)
+    for (r <- rows) assert(r.getAs[Long]("hit_ppm") <= 1000000L)
+  }
+
+  // ---------------------------------------------------------------- q502
+
+  test("front coding: saves bytes iff LCP beats the header, bounds hold") {
+    val r = run("q502_front_coding_plan").collect().head
+    val (plain, front) = (r.getAs[Long]("bytes_plain"), r.getAs[Long]("bytes_front"))
+    val n = r.getAs[Long]("n_terms")
+    // front = plain - totalLcp + n; totalLcp = mean*n/1000
+    val totalLcp = r.getAs[Long]("mean_lcp_milli") * n / 1000L
+    assert(front <= plain + n)
+    assert(front >= plain - 7L * n) // LCP capped at 7
+    assert(r.getAs[Long]("savings_ppm") == (plain - front) * 1000000L / plain)
+    assert(totalLcp >= 0L)
+  }
+
+  // ---------------------------------------------------------------- q503
+
+  test("COEC: expectations calibrated — buckets average around 1.0") {
+    val rows = run("q503_coec_position_bias").collect()
+    assert(rows.length == 10)
+    // the bias curve is fitted on the SAME data, so total actual ==
+    // total expected up to integer floors; every bucket near 1000 milli
+    val totActual = rows.map(_.getAs[Long]("n_clicks")).sum
+    val totExpected = rows.map(_.getAs[Long]("expected_clicks_milli")).sum / 1000L
+    assert(math.abs(totActual - totExpected) <= rows.length,
+      s"actual=$totActual expected=$totExpected")
+  }
+
+  // ---------------------------------------------------------------- q504
+
+  test("top-k churn: overlap bounded, jaccard/churn consistent") {
+    val r = run("q504_topk_churn_monitor").collect().head
+    val (h1, h2, common) = (r.getAs[Long]("n_h1"), r.getAs[Long]("n_h2"),
+      r.getAs[Long]("n_common"))
+    assert(h1 == 32L && h2 == 32L)
+    assert(common >= 0L && common <= 32L)
+    assert(r.getAs[Long]("jaccard_ppm")
+      == common * 1000000L / (h1 + h2 - common))
+    assert(r.getAs[Long]("churn_ppm") == (h1 - common) * 1000000L / h1)
+  }
+
   // ---------------------------------------------------------------- q482
 
   test("chunk sweep: coverage >= corpus, overhead shrinks with window size") {

@@ -164,7 +164,10 @@ class QueriesSmokeSpec extends SparkSpec {
     // q495 probes the broadcast 2% query sample (q25/q373's shape)
     "q495_ann_routing_margin",
     // q498's TTL grid is a 3-row broadcast literal
-    "q498_ttl_cache_reuse_intervals")
+    "q498_ttl_cache_reuse_intervals",
+    // q501 probes the broadcast ≤100-row semantic cache + a 3-row
+    // threshold grid; q504's half-year counts are one-row broadcasts
+    "q501_semantic_cache_hit_sweep", "q504_topk_churn_monitor")
 
   test("query constructors are lazy: warm construction launches zero jobs") {
     import org.apache.spark.scheduler.{SparkListener, SparkListenerJobStart}
