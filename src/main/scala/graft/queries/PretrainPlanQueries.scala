@@ -2016,8 +2016,208 @@ object PretrainPlanQueries extends QueryGroup {
       FROM i
     """))
 
+  // ---------------------------------------------------------------- q505
+
+  /** Learned-index error census (the PGM/RMI primitive): over the sorted
+    * order-key column, each 4096-key segment predicts a key's position by
+    * linear interpolation between its endpoints; the segment's epsilon is
+    * the max |predicted − actual| — exactly the per-segment error bound a
+    * learned index stores to replace a B-tree level with arithmetic.
+    *
+    * Scale shape: the global sort IS the index build (inherent); after
+    * ranks, everything is segment-local — endpoint min/max, one
+    * interpolation projection, one max per segment. */
+  private val q505 = QueryDef(
+    "q505_learned_index_epsilon",
+    (spark, dir) => {
+      val ranked = Tables.orders(spark, dir)
+        .select(col("o_orderkey").as("k"))
+        .withColumn("rn", row_number().over(Window.orderBy(col("k"))).cast("long"))
+        .withColumn("seg", expr("(rn - 1) div 4096"))
+      val seg = Window.partitionBy(col("seg"))
+      ranked
+        .withColumn("k_min", min(col("k")).over(seg))
+        .withColumn("k_max", max(col("k")).over(seg))
+        .withColumn("rn_min", min(col("rn")).over(seg))
+        .withColumn("rn_max", max(col("rn")).over(seg))
+        .withColumn("pred", expr(
+          "CASE WHEN k_max = k_min THEN rn_min " +
+            "ELSE rn_min + (k - k_min) * (rn_max - rn_min) div (k_max - k_min) END"))
+        .groupBy(col("seg"))
+        .agg(count(lit(1)).as("n_keys"),
+          max(abs(col("rn") - col("pred"))).as("eps"))
+        .orderBy(col("seg"))
+    },
+    Some("""
+      WITH ranked AS (
+        SELECT o_orderkey AS k,
+          CAST(row_number() OVER (ORDER BY o_orderkey) AS BIGINT) AS rn
+        FROM orders),
+      seg AS (
+        SELECT k, rn, (rn - 1) // 4096 AS seg FROM ranked),
+      ends AS (
+        SELECT k, rn, seg,
+          min(k) OVER (PARTITION BY seg) AS k_min,
+          max(k) OVER (PARTITION BY seg) AS k_max,
+          min(rn) OVER (PARTITION BY seg) AS rn_min,
+          max(rn) OVER (PARTITION BY seg) AS rn_max
+        FROM seg),
+      pred AS (
+        SELECT seg, rn,
+          CASE WHEN k_max = k_min THEN rn_min
+            ELSE rn_min + (k - k_min) * (rn_max - rn_min) // (k_max - k_min) END
+            AS pred
+        FROM ends)
+      SELECT seg, CAST(count(*) AS BIGINT) AS n_keys,
+        CAST(max(abs(rn - pred)) AS BIGINT) AS eps
+      FROM pred GROUP BY seg ORDER BY seg
+    """))
+
+  // ---------------------------------------------------------------- q506
+
+  /** b-bit minwise hashing audit (Li & König): storing only the LOWEST
+    * BIT of each of the 16 minhash values shrinks signatures 64×, at the
+    * cost of chance collisions — corrected by Ĵ = 2·(match rate) − 1.
+    * For every LSH candidate pair, the audit reports the full-signature
+    * estimate next to the 1-bit corrected estimate and their gap — the
+    * measured price of the compressed signature store.
+    *
+    * Scale shape: q21's banded candidate generation (caps ON); both
+    * estimates come from one zip over the two 16-long signatures. */
+  private val q506 = QueryDef(
+    "q506_bbit_minhash_audit",
+    (spark, dir) => {
+      import graft.dedup.MinHashLSH
+      val cfg = MinHashLSH.Config()
+      val sigs = MinHashLSH.signatures(Tables.documents(spark, dir), "doc_id", "text", cfg)
+      val buckets = array((0 until cfg.bands).map { b =>
+        (0 until cfg.rowsPerBand).foldLeft(lit(0L): Column)((acc, r) =>
+          ((acc * lit(1000000007L)) % lit(2147483647L)
+            + col("sig").getItem(b * cfg.rowsPerBand + r)) % lit(2147483647L))
+      }: _*)
+      val banded = sigs
+        .select(col("doc_id"), col("sig"), posexplode(buckets).as(Seq("band", "bucket")))
+      val hot = banded.groupBy(col("band"), col("bucket")).count()
+        .filter(col("count") > 2).select(col("band"), col("bucket"))
+      val capped = banded.join(hot, Seq("band", "bucket"), "left_anti")
+      val pairs = capped.select(col("band"), col("bucket"), col("doc_id").as("doc_a"),
+          col("sig").as("sig_a"))
+        .join(capped.select(col("band"), col("bucket"), col("doc_id").as("doc_b"),
+          col("sig").as("sig_b")), Seq("band", "bucket"))
+        .filter(col("doc_a") < col("doc_b"))
+        .select(col("doc_a"), col("doc_b"), col("sig_a"), col("sig_b"))
+        .distinct()
+      pairs
+        .withColumn("full_matches", expr(
+          "aggregate(zip_with(sig_a, sig_b, (a, b) -> CASE WHEN a = b THEN 1L ELSE 0L END), 0L, (s, x) -> s + x)"))
+        .withColumn("bit_matches", expr(
+          "aggregate(zip_with(sig_a, sig_b, (a, b) -> CASE WHEN a % 2 = b % 2 THEN 1L ELSE 0L END), 0L, (s, x) -> s + x)"))
+        .select(col("doc_a"), col("doc_b"),
+          expr("full_matches * 1000000 div 16").as("est_full_ppm"),
+          expr("greatest(2 * bit_matches * 1000000 div 16 - 1000000, 0)")
+            .as("est_1bit_ppm"))
+        .withColumn("abs_gap_ppm", abs(col("est_full_ppm") - col("est_1bit_ppm")))
+        .orderBy(col("doc_a"), col("doc_b"))
+    },
+    Some("""
+      WITH toks AS (
+        SELECT doc_id, list_transform(list_filter(str_split(text, ' '), t -> len(t) > 0),
+          tok -> list_reduce(list_prepend(0::BIGINT, [ord(c)::BIGINT for c in str_split(tok,'')]), (h,c) -> (h*31+c) % 1000000007)) AS th
+        FROM documents),
+      shs AS (
+        SELECT doc_id, list_distinct([
+            ((th[i]*31 + th[i+1])*31 + th[i+2]) % 1000000007
+            for i in range(1, len(th)-1)]) AS sh
+        FROM toks WHERE len(th) >= 3),
+      sigs AS (
+        SELECT doc_id, t.j,
+          list_min(list_transform(sh, h -> (h*(2*t.j+1) + 7919*t.j) % 1000000007)) AS m
+        FROM shs CROSS JOIN (SELECT unnest(range(16)) AS j) t),
+      bands AS (
+        SELECT doc_id, j//4 AS band,
+          list_reduce(list_prepend(0::BIGINT, list(m ORDER BY j)),
+            (a,x) -> ((a*1000000007) % 2147483647 + x) % 2147483647) AS bucket
+        FROM sigs GROUP BY doc_id, j//4),
+      ok AS (
+        SELECT band, bucket FROM bands GROUP BY band, bucket HAVING count(*) <= 2),
+      bands_ok AS (SELECT b.* FROM bands b JOIN ok USING (band, bucket)),
+      cand AS (
+        SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        FROM bands_ok a JOIN bands_ok b
+          ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id),
+      m AS (
+        SELECT doc_a, doc_b,
+          CAST(sum(CASE WHEN sa.m = sb.m THEN 1 ELSE 0 END) AS BIGINT)
+            AS full_matches,
+          CAST(sum(CASE WHEN sa.m % 2 = sb.m % 2 THEN 1 ELSE 0 END) AS BIGINT)
+            AS bit_matches
+        FROM cand
+        JOIN sigs sa ON sa.doc_id = doc_a
+        JOIN sigs sb ON sb.doc_id = doc_b AND sa.j = sb.j
+        GROUP BY doc_a, doc_b)
+      SELECT doc_a, doc_b,
+        CAST(full_matches * 1000000 // 16 AS BIGINT) AS est_full_ppm,
+        CAST(greatest(2 * bit_matches * 1000000 // 16 - 1000000, 0) AS BIGINT)
+          AS est_1bit_ppm,
+        CAST(abs(full_matches * 1000000 // 16
+          - greatest(2 * bit_matches * 1000000 // 16 - 1000000, 0)) AS BIGINT)
+          AS abs_gap_ppm
+      FROM m ORDER BY doc_a, doc_b
+    """))
+
+  // ---------------------------------------------------------------- q507
+
+  /** Stratified-sampling variance certificate: with order priority as
+    * the stratification key and order value (KILOdollars, so n·Σy² stays
+    * in int64 at any tested SF) as the response, proportional-allocation variance
+    * Σ Wₕ Sₕ² is certified against the simple-random-sampling variance
+    * S² — the reduction_ppm is exactly what stratification buys an
+    * estimation pipeline before it commits to the sampling design
+    * (q438 allocates; this certifies the win).
+    *
+    * Scale shape: per-stratum integer moments (n, Σy, Σy²) — 5 partial
+    * rows cross the shuffle; the certificate is scalar arithmetic. */
+  private val q507 = QueryDef(
+    "q507_stratified_variance_certificate",
+    (spark, dir) => {
+      val strata = Tables.orders(spark, dir)
+        .select(col("o_orderpriority").as("h"),
+          expr("CAST(floor(o_totalprice / 1000) AS BIGINT)").as("y"))
+        .groupBy(col("h"))
+        .agg(count(lit(1)).as("n_h"), sum(col("y")).as("s_h"),
+          sum(col("y") * col("y")).as("q_h"))
+      // scaled within-stratum SS: n_h·q_h − s_h² over n_h → summed, and
+      // the pooled total the same way; all int64 under whole dollars
+      strata.agg(
+          sum(col("n_h")).as("n"), sum(col("s_h")).as("s"), sum(col("q_h")).as("q"),
+          sum(expr("(n_h * q_h - s_h * s_h) div n_h")).as("ss_within"))
+        .select(col("n"),
+          expr("(n * q - s * s) div n").as("ss_total"),
+          col("ss_within"))
+        .select(col("n"), col("ss_total"), col("ss_within"),
+          expr("(ss_total - ss_within) * 1000000 div ss_total")
+            .as("reduction_ppm"))
+    },
+    Some("""
+      WITH strata AS (
+        SELECT o_orderpriority AS h, CAST(count(*) AS BIGINT) AS n_h,
+          sum(CAST(floor(o_totalprice / 1000) AS BIGINT)) AS s_h,
+          sum(CAST(floor(o_totalprice / 1000) AS BIGINT)
+            * CAST(floor(o_totalprice / 1000) AS BIGINT)) AS q_h
+        FROM orders GROUP BY 1),
+      tot AS (
+        SELECT CAST(sum(n_h) AS BIGINT) AS n, CAST(sum(s_h) AS BIGINT) AS s,
+          CAST(sum(q_h) AS BIGINT) AS q,
+          CAST(sum((n_h * q_h - s_h * s_h) // n_h) AS BIGINT) AS ss_within
+        FROM strata)
+      SELECT n, CAST((n * q - s * s) // n AS BIGINT) AS ss_total, ss_within,
+        CAST(((n * q - s * s) // n - ss_within) * 1000000
+          // ((n * q - s * s) // n) AS BIGINT) AS reduction_ppm
+      FROM tot
+    """))
+
   def defs: Seq[QueryDef] =
     Seq(q476, q477, q478, q479, q480, q481, q482, q483, q484, q485, q486,
       q487, q488, q489, q490, q491, q492, q493, q494, q495, q496, q497,
-      q498, q499, q500, q501, q502, q503, q504)
+      q498, q499, q500, q501, q502, q503, q504, q505, q506, q507)
 }

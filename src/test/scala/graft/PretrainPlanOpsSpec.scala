@@ -424,6 +424,50 @@ class PretrainPlanOpsSpec extends SparkSpec {
     assert(r.getAs[Long]("churn_ppm") == (h1 - common) * 1000000L / h1)
   }
 
+  // ---------------------------------------------------------------- q505
+
+  test("learned index: epsilons bounded by segment width, keys conserve") {
+    val rows = run("q505_learned_index_epsilon").orderBy(col("seg")).collect()
+    assert(rows.nonEmpty)
+    val total = rows.map(_.getAs[Long]("n_keys")).sum
+    assert(total == Tables.orders(spark, sfMid).count())
+    for (r <- rows) {
+      // interpolation error cannot exceed the segment's key count
+      assert(r.getAs[Long]("eps") >= 0L)
+      assert(r.getAs[Long]("eps") < r.getAs[Long]("n_keys"))
+      assert(r.getAs[Long]("n_keys") <= 4096L)
+    }
+  }
+
+  // ---------------------------------------------------------------- q506
+
+  test("b-bit minhash: 1-bit estimate corrected, bounded, gap consistent") {
+    val rows = run("q506_bbit_minhash_audit").collect()
+    assert(rows.nonEmpty)
+    for (r <- rows) {
+      val full = r.getAs[Long]("est_full_ppm")
+      val bit = r.getAs[Long]("est_1bit_ppm")
+      assert(full >= 0L && full <= 1000000L)
+      assert(bit >= 0L && bit <= 1000000L)
+      assert(r.getAs[Long]("abs_gap_ppm") == math.abs(full - bit))
+      // matching full values force matching low bits, so bit-match
+      // count >= full-match count; the corrected estimate is monotone in
+      // it, hence bit >= max(2·full − 1e6, 0) (62500 = one exact 1/16)
+      assert(bit >= math.max(2L * full - 1000000L, 0L), s"full=$full bit=$bit")
+    }
+  }
+
+  // ---------------------------------------------------------------- q507
+
+  test("stratified variance: within <= total, reduction in [0, 1e6)") {
+    val r = run("q507_stratified_variance_certificate").collect().head
+    val (tot, within) = (r.getAs[Long]("ss_total"), r.getAs[Long]("ss_within"))
+    assert(within <= tot, "pooling can only add between-strata scatter")
+    val red = r.getAs[Long]("reduction_ppm")
+    assert(red >= 0L && red < 1000000L)
+    assert(red == (tot - within) * 1000000L / tot)
+  }
+
   // ---------------------------------------------------------------- q482
 
   test("chunk sweep: coverage >= corpus, overhead shrinks with window size") {
