@@ -2216,8 +2216,183 @@ object PretrainPlanQueries extends QueryGroup {
       FROM tot
     """))
 
+  // ---------------------------------------------------------------- q508
+
+  /** Pseudo-relevance-feedback query expansion (RM3-lite): the
+    * mid-frequency probe term (df closest to N/10, q416's selection)
+    * retrieves its top-10 documents by tf·⌊log2(N/df)⌋ relevance; the
+    * expansion model is the tf-mass distribution over those documents'
+    * OTHER terms, emitted as the top-5 expansion terms with ppm weights
+    * — the first-round relevance-feedback loop of every classic IR
+    * stack, run entirely inside the engine.
+    *
+    * Scale shape: postings aggregate once (vocabulary-sized df table);
+    * scoring touches only the probe term's postings; the feedback pass
+    * re-joins just 10 doc ids against the postings. */
+  private val q508 = QueryDef(
+    "q508_prf_query_expansion",
+    (spark, dir) => {
+      def bitlen(c: String): String =
+        s"CASE WHEN $c >= 1024 THEN 10 WHEN $c >= 512 THEN 9 WHEN $c >= 256 THEN 8 " +
+          s"WHEN $c >= 128 THEN 7 WHEN $c >= 64 THEN 6 WHEN $c >= 32 THEN 5 " +
+          s"WHEN $c >= 16 THEN 4 WHEN $c >= 8 THEN 3 WHEN $c >= 4 THEN 2 " +
+          s"WHEN $c >= 2 THEN 1 ELSE 0 END"
+      val posts = Tables.documents(spark, dir)
+        .select(col("doc_id"),
+          explode(graft.functions.expressions.tokens_native(col("text"))).as("term"))
+      val df = posts.groupBy(col("term"))
+        .agg(countDistinct(col("doc_id")).as("df"))
+      val nDocs = Tables.documents(spark, dir).agg(count(lit(1)).as("nn"))
+      val probe = df.crossJoin(broadcast(nDocs))
+        .orderBy(abs(col("df") * 10 - col("nn")), col("term")).limit(1)
+        .select(col("term"), col("df"), col("nn"))
+      val top10 = posts.join(broadcast(probe), Seq("term"))
+        .groupBy(col("doc_id"), col("df"), col("nn"))
+        .agg(count(lit(1)).as("tf"))
+        .select(col("doc_id"),
+          (col("tf") * expr(bitlen("(nn div df)"))).as("score"))
+        .orderBy(col("score").desc, col("doc_id")).limit(10)
+        .select(col("doc_id"))
+      val fb = posts.join(broadcast(top10), Seq("doc_id"))
+        .join(broadcast(probe.select(col("term"))), Seq("term"), "left_anti")
+        .groupBy(col("term")).agg(count(lit(1)).as("tf_mass"))
+      val total = fb.agg(sum(col("tf_mass")).as("total_mass"))
+      fb.crossJoin(broadcast(total))
+        .withColumn("rank", row_number().over(
+          Window.orderBy(col("tf_mass").desc, col("term"))).cast("long"))
+        .filter(col("rank") <= 5L)
+        .select(col("rank"), col("term"), col("tf_mass"),
+          expr("tf_mass * 1000000 div total_mass").as("weight_ppm"))
+        .orderBy(col("rank"))
+    },
+    Some {
+      def bitlen(c: String) =
+        s"""CASE WHEN $c >= 1024 THEN 10 WHEN $c >= 512 THEN 9 WHEN $c >= 256 THEN 8
+          WHEN $c >= 128 THEN 7 WHEN $c >= 64 THEN 6 WHEN $c >= 32 THEN 5
+          WHEN $c >= 16 THEN 4 WHEN $c >= 8 THEN 3 WHEN $c >= 4 THEN 2
+          WHEN $c >= 2 THEN 1 ELSE 0 END"""
+      s"""
+      WITH posts AS (
+        SELECT doc_id, unnest(list_filter(str_split(text, ' '), t -> len(t) > 0))
+          AS term
+        FROM documents),
+      df AS (
+        SELECT term, CAST(count(DISTINCT doc_id) AS BIGINT) AS df
+        FROM posts GROUP BY term),
+      nd AS (SELECT CAST(count(*) AS BIGINT) AS nn FROM documents),
+      probe AS (
+        SELECT term, df, nn FROM df CROSS JOIN nd
+        ORDER BY abs(df * 10 - nn), term LIMIT 1),
+      top10 AS (
+        SELECT doc_id FROM (
+          SELECT p.doc_id,
+            CAST(count(*) AS BIGINT) * (${bitlen("(nn // df)")}) AS score
+          FROM posts p JOIN probe USING (term)
+          GROUP BY p.doc_id, df, nn)
+        ORDER BY score DESC, doc_id LIMIT 10),
+      fb AS (
+        SELECT term, CAST(count(*) AS BIGINT) AS tf_mass
+        FROM posts JOIN top10 USING (doc_id)
+        WHERE term NOT IN (SELECT term FROM probe)
+        GROUP BY term),
+      tot AS (SELECT CAST(sum(tf_mass) AS BIGINT) AS total_mass FROM fb)
+      SELECT CAST(row_number() OVER (ORDER BY tf_mass DESC, term) AS BIGINT)
+          AS rank,
+        term, tf_mass,
+        CAST(tf_mass * 1000000 // total_mass AS BIGINT) AS weight_ppm
+      FROM fb CROSS JOIN tot
+      QUALIFY rank <= 5
+      ORDER BY rank
+    """
+    })
+
+  // ---------------------------------------------------------------- q509
+
+  /** Labeling-function diagnostics (the Snorkel triage table): three
+    * weak quality heuristics vote +1/0(abstain)/−1 per document —
+    * char-length, token-count, and type-token diversity — and each LF's
+    * coverage, overlap-with-any-other, and conflict-against-any-other
+    * rates are the numbers that decide which heuristics a label model
+    * can actually combine.
+    *
+    * Scale shape: all three votes are one codegen'd projection per doc;
+    * the diagnostic is a 3-row rollup of integer flags. */
+  private val q509 = QueryDef(
+    "q509_labeling_function_diagnostics",
+    (spark, dir) => {
+      val votes = Tables.documents(spark, dir)
+        .select(col("doc_id"), col("n_chars"),
+          graft.functions.expressions.token_count(col("text")).cast("long").as("tc"),
+          graft.functions.expressions.distinct_token_count(col("text")).cast("long")
+            .as("dtc"))
+        .select(col("doc_id"),
+          expr("CASE WHEN n_chars >= 400 THEN 1 WHEN n_chars < 100 THEN -1 ELSE 0 END")
+            .as("lf1"),
+          expr("CASE WHEN tc >= 80 THEN 1 WHEN tc < 20 THEN -1 ELSE 0 END")
+            .as("lf2"),
+          expr("CASE WHEN dtc * 2 >= tc THEN 1 WHEN dtc * 4 < tc THEN -1 ELSE 0 END")
+            .as("lf3"))
+      def diag(me: String, o1: String, o2: String, tag: String) = votes.agg(
+        count(lit(1)).as("n_docs"),
+        sum(when(col(me) =!= 0, 1L).otherwise(0L)).as("n_labeled"),
+        sum(when(col(me) =!= 0 && (col(o1) =!= 0 || col(o2) =!= 0), 1L)
+          .otherwise(0L)).as("n_overlap"),
+        sum(when(col(me) =!= 0 &&
+          ((col(o1) =!= 0 && col(o1) =!= col(me)) ||
+            (col(o2) =!= 0 && col(o2) =!= col(me))), 1L).otherwise(0L))
+          .as("n_conflict"))
+        .select(lit(tag).as("lf"), col("n_docs"), col("n_labeled"),
+          expr("n_labeled * 1000000 div n_docs").as("coverage_ppm"),
+          col("n_overlap"),
+          expr("n_overlap * 1000000 div n_docs").as("overlap_ppm"),
+          col("n_conflict"),
+          expr("n_conflict * 1000000 div n_docs").as("conflict_ppm"))
+      diag("lf1", "lf2", "lf3", "lf1_chars")
+        .unionAll(diag("lf2", "lf1", "lf3", "lf2_tokens"))
+        .unionAll(diag("lf3", "lf1", "lf2", "lf3_diversity"))
+        .orderBy(col("lf"))
+    },
+    Some {
+      def diag(me: String, o1: String, o2: String, tag: String) = s"""
+      SELECT '$tag' AS lf, CAST(count(*) AS BIGINT) AS n_docs,
+        CAST(sum(CASE WHEN $me <> 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_labeled,
+        CAST(sum(CASE WHEN $me <> 0 THEN 1 ELSE 0 END) * 1000000 // count(*)
+          AS BIGINT) AS coverage_ppm,
+        CAST(sum(CASE WHEN $me <> 0 AND ($o1 <> 0 OR $o2 <> 0) THEN 1 ELSE 0 END)
+          AS BIGINT) AS n_overlap,
+        CAST(sum(CASE WHEN $me <> 0 AND ($o1 <> 0 OR $o2 <> 0) THEN 1 ELSE 0 END)
+          * 1000000 // count(*) AS BIGINT) AS overlap_ppm,
+        CAST(sum(CASE WHEN $me <> 0 AND (($o1 <> 0 AND $o1 <> $me)
+          OR ($o2 <> 0 AND $o2 <> $me)) THEN 1 ELSE 0 END) AS BIGINT)
+          AS n_conflict,
+        CAST(sum(CASE WHEN $me <> 0 AND (($o1 <> 0 AND $o1 <> $me)
+          OR ($o2 <> 0 AND $o2 <> $me)) THEN 1 ELSE 0 END) * 1000000 // count(*)
+          AS BIGINT) AS conflict_ppm
+      FROM votes"""
+      s"""
+      WITH votes AS (
+        SELECT doc_id,
+          CASE WHEN n_chars >= 400 THEN 1 WHEN n_chars < 100 THEN -1 ELSE 0 END
+            AS lf1,
+          CASE WHEN tc >= 80 THEN 1 WHEN tc < 20 THEN -1 ELSE 0 END AS lf2,
+          CASE WHEN dtc * 2 >= tc THEN 1 WHEN dtc * 4 < tc THEN -1 ELSE 0 END
+            AS lf3
+        FROM (
+          SELECT doc_id, n_chars,
+            CAST(len(list_filter(str_split(text, ' '), t -> len(t) > 0))
+              AS BIGINT) AS tc,
+            CAST(len(list_distinct(list_filter(str_split(text, ' '),
+              t -> len(t) > 0))) AS BIGINT) AS dtc
+          FROM documents))
+      ${diag("lf1", "lf2", "lf3", "lf1_chars")}
+      UNION ALL ${diag("lf2", "lf1", "lf3", "lf2_tokens")}
+      UNION ALL ${diag("lf3", "lf1", "lf2", "lf3_diversity")}
+      ORDER BY lf
+      """
+    })
+
   def defs: Seq[QueryDef] =
     Seq(q476, q477, q478, q479, q480, q481, q482, q483, q484, q485, q486,
       q487, q488, q489, q490, q491, q492, q493, q494, q495, q496, q497,
-      q498, q499, q500, q501, q502, q503, q504, q505, q506, q507)
+      q498, q499, q500, q501, q502, q503, q504, q505, q506, q507, q508, q509)
 }

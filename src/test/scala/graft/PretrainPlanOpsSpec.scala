@@ -468,6 +468,35 @@ class PretrainPlanOpsSpec extends SparkSpec {
     assert(red == (tot - within) * 1000000L / tot)
   }
 
+  // ---------------------------------------------------------------- q508
+
+  test("PRF expansion: 5 ranked distinct terms, weights normalized, probe excluded") {
+    val rows = run("q508_prf_query_expansion").orderBy(col("rank")).collect()
+    assert(rows.map(_.getAs[Long]("rank")).toSeq == (1L to 5L).toSeq)
+    val terms = rows.map(_.getAs[String]("term"))
+    assert(terms.distinct.length == 5)
+    val masses = rows.map(_.getAs[Long]("tf_mass"))
+    assert(masses.sliding(2).forall { case Array(a, b) => b <= a })
+    // weights are shares of the full feedback mass → the top-5 can't
+    // exceed the whole
+    assert(rows.map(_.getAs[Long]("weight_ppm")).sum <= 1000000L)
+  }
+
+  // ---------------------------------------------------------------- q509
+
+  test("LF diagnostics: conflict <= overlap <= labeled <= docs, all three LFs") {
+    val rows = run("q509_labeling_function_diagnostics").collect()
+    assert(rows.map(_.getAs[String]("lf")).sorted.toSeq
+      == Seq("lf1_chars", "lf2_tokens", "lf3_diversity"))
+    for (r <- rows) {
+      assert(r.getAs[Long]("n_conflict") <= r.getAs[Long]("n_overlap"))
+      assert(r.getAs[Long]("n_overlap") <= r.getAs[Long]("n_labeled"))
+      assert(r.getAs[Long]("n_labeled") <= r.getAs[Long]("n_docs"))
+      assert(r.getAs[Long]("coverage_ppm")
+        == r.getAs[Long]("n_labeled") * 1000000L / r.getAs[Long]("n_docs"))
+    }
+  }
+
   // ---------------------------------------------------------------- q482
 
   test("chunk sweep: coverage >= corpus, overhead shrinks with window size") {

@@ -167,7 +167,9 @@ class QueriesSmokeSpec extends SparkSpec {
     "q498_ttl_cache_reuse_intervals",
     // q501 probes the broadcast ≤100-row semantic cache + a 3-row
     // threshold grid; q504's half-year counts are one-row broadcasts
-    "q501_semantic_cache_hit_sweep", "q504_topk_churn_monitor")
+    "q501_semantic_cache_hit_sweep", "q504_topk_churn_monitor",
+    // q508's corpus size and feedback-mass totals are one-row broadcasts
+    "q508_prf_query_expansion")
 
   test("query constructors are lazy: warm construction launches zero jobs") {
     import org.apache.spark.scheduler.{SparkListener, SparkListenerJobStart}
