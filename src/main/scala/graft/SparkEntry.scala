@@ -64,7 +64,8 @@ object SparkEntry {
     ReplayQueries,
     ServingQueries,
     RichnessQueries,
-    PretrainPlanQueries)
+    PretrainPlanQueries,
+    SystemsPlanQueries)
 
   private lazy val all: Seq[QueryDef] = groups.flatMap(_.defs)
 

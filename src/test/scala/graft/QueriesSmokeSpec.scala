@@ -169,7 +169,18 @@ class QueriesSmokeSpec extends SparkSpec {
     // threshold grid; q504's half-year counts are one-row broadcasts
     "q501_semantic_cache_hit_sweep", "q504_topk_churn_monitor",
     // q508's corpus size and feedback-mass totals are one-row broadcasts
-    "q508_prf_query_expansion")
+    "q508_prf_query_expansion",
+    // round-5 systems planners: q510/q511's latency totals, deadline
+    // rows and plain-p99 anchors are one-row/3-row broadcasts on the
+    // value-resolution-bounded CCDF; q512's config grid is a 4-row
+    // literal against the one-row corpus total; q514's rate stats and
+    // q515's region pair grid / order total are ≤ 10-row broadcasts
+    "q510_tail_hedging_policy", "q511_quorum_read_latency",
+    "q512_erasure_code_plan", "q514_backlog_catchup_plan",
+    "q515_replica_placement_plan",
+    // q517's GPU-demand total and q519's single-shard p99 anchor are
+    // one-row broadcasts
+    "q517_gang_schedule_fragmentation", "q519_fanout_tail_amplification")
 
   test("query constructors are lazy: warm construction launches zero jobs") {
     import org.apache.spark.scheduler.{SparkListener, SparkListenerJobStart}
