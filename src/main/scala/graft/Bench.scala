@@ -37,10 +37,14 @@ object Bench {
 
   private def cleanup(spark: SparkSession): Unit = {
     val persisted = spark.sparkContext.getPersistentRDDs
-    if (persisted.nonEmpty) {
+    if (persisted.nonEmpty)
       persisted.values.foreach(_.unpersist(blocking = false))
-      spark.catalog.clearCache()
-    }
+    // ALWAYS drop the SQL cache: a lazily-cached table registered by
+    // query N but never materialized has no persistent RDD yet, and
+    // would otherwise materialize inside query N+1's timing. clearCache
+    // on an empty cache is a no-op-cheap map clear — only System.gc()
+    // was the fixed-floor cost worth gating.
+    spark.catalog.clearCache()
     if (usedHeap - heapAfterGc > (2L << 30)) {
       System.gc() // don't charge query N for query N-1's garbage
       heapAfterGc = usedHeap

@@ -301,6 +301,10 @@ object expressions {
     * are scanned from the document END, so long documents cost the same
     * as short ones. */
   case class SuffixLoopPeriod(child: Expression, maxP: Int) extends UnaryExpression {
+    // fail at expression-BUILD time: a negative maxP would otherwise
+    // surface as a per-row NegativeArraySizeException at execution
+    require(maxP >= 0,
+      s"graft_suffix_loop_period: maxP must be >= 0, got $maxP")
     override def dataType: DataType = IntegerType
     override protected def nullSafeEval(v: Any): Any =
       GraftHash.suffixLoopPeriod(v.asInstanceOf[org.apache.spark.unsafe.types.UTF8String], maxP)

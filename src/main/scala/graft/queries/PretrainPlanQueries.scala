@@ -15,6 +15,21 @@ import graft.Tables
   */
 object PretrainPlanQueries extends QueryGroup {
 
+  /** Symbol-boundary-anchored BPE merge (q477/q489): pad the sequence
+    * with sentinel spaces and replace the space-delimited pair ' X Y '
+    * with ' XY ', so the pair can never match ACROSS symbol boundaries
+    * (plain `replace(seq, 'h e', 'he')` would fuse the tail of one
+    * symbol with the head of the next, e.g. symbols `th|e` matching
+    * merge 'h e'). The replace runs twice because adjacent occurrences
+    * share their boundary space — the first pass takes alternating
+    * matches, the second the remainder; two passes are always enough
+    * since survivors of pass one are separated by merged symbols. The
+    * DuckDB oracle applies the identical double replace. */
+  private val BoundedMergeExpr: String =
+    "trim(replace(replace(concat(' ', seq, ' '), " +
+      "concat(' ', merge_pair, ' '), concat(' ', merged, ' ')), " +
+      "concat(' ', merge_pair, ' '), concat(' ', merged, ' ')))"
+
   // ---------------------------------------------------------------- q476
 
   /** Block-level exact-dedup DELETION ledger (Lee et al.'s "Deduplicating
@@ -125,7 +140,7 @@ object PretrainPlanQueries extends QueryGroup {
           .select(col("pair").as("merge_pair"), col("n").as("merge_n"),
             regexp_replace(col("pair"), " ", "").as("merged"))
         words = words.crossJoin(broadcast(top1))
-          .withColumn("seq", expr("replace(seq, merge_pair, merged)"))
+          .withColumn("seq", expr(BoundedMergeExpr))
           .select(col("f"), col("seq"))
           .persist()
         val row = words
@@ -152,7 +167,9 @@ object PretrainPlanQueries extends QueryGroup {
         FROM $p ORDER BY n DESC, pair LIMIT 1)"""
       def mergeSql(w: String, t: String, out: String) = s"""
       $out AS (
-        SELECT f, replace(seq, merge_pair, merged) AS seq
+        SELECT f, trim(replace(replace(' ' || seq || ' ',
+            ' ' || merge_pair || ' ', ' ' || merged || ' '),
+            ' ' || merge_pair || ' ', ' ' || merged || ' ')) AS seq
         FROM $w CROSS JOIN $t)"""
       def statSql(w: String, t: String, round: Int) = s"""
       SELECT CAST($round AS BIGINT) AS round, merge_pair AS pair,
@@ -246,10 +263,12 @@ object PretrainPlanQueries extends QueryGroup {
     *
     * Scale shape: bigrams ship as md5 digests (never text); the two
     * frequency tables are vocabulary-sized; the per-doc score is one
-    * digest-keyed join + per-doc mean; selection is one global
-    * row_number over (score, doc_id) — a single sort of doc-count rows,
-    * the unavoidable cost of an exact global quota (approximate quantile
-    * thresholds replace it at 100 TB). */
+    * digest-keyed join + per-doc mean; selection is BIN-granular (the
+    * q64/q82 pattern): the quota threshold comes from a cumulative
+    * window over the score_milli HISTOGRAM — ≤ sources·1000 bins, since
+    * ratio_milli ≤ n_all·1000/n_t — and is broadcast back onto the
+    * scored docs. No corpus-sized sort anywhere; the boundary bin is
+    * selected whole (exact-to-the-bin, the documented semantics). */
   private val q479 = QueryDef(
     "q479_dsir_selection",
     (spark, dir) => {
@@ -277,11 +296,16 @@ object PretrainPlanQueries extends QueryGroup {
       val scored = bi.join(ratio, Seq("d"))
         .groupBy(col("doc_id"), col("source"))
         .agg(expr("sum(ratio_milli) div count(*)").as("score_milli"))
+      val hist = scored.groupBy(col("score_milli")).agg(count(lit(1)).as("c"))
+      val cum = hist.select(col("score_milli"),
+        sum(col("c")).over(Window.orderBy(col("score_milli").desc)
+          .rowsBetween(Window.unboundedPreceding, 0)).as("cum"))
       val n = scored.agg(count(lit(1)).as("n_scored"))
-      val sel = scored.crossJoin(broadcast(n))
-        .withColumn("rk", row_number().over(
-          Window.orderBy(col("score_milli").desc, col("doc_id"))).cast("long"))
-        .withColumn("selected", (col("rk") <= expr("n_scored div 4")).cast("long"))
+      val thr = cum.crossJoin(broadcast(n))
+        .filter(col("cum") >= expr("n_scored div 4"))
+        .agg(max(col("score_milli")).as("t"))
+      val sel = scored.crossJoin(broadcast(thr))
+        .withColumn("selected", (col("score_milli") >= col("t")).cast("long"))
       sel.groupBy(col("source"))
         .agg(count(lit(1)).as("n_docs"),
           sum(col("selected")).as("n_selected"),
@@ -316,11 +340,19 @@ object PretrainPlanQueries extends QueryGroup {
         SELECT doc_id, source, sum(ratio_milli) // count(*) AS score_milli
         FROM bi JOIN ratio USING (d)
         GROUP BY doc_id, source),
+      hist AS (
+        SELECT score_milli, CAST(count(*) AS BIGINT) AS c
+        FROM scored GROUP BY score_milli),
+      cum AS (
+        SELECT score_milli, sum(c) OVER (ORDER BY score_milli DESC) AS cum
+        FROM hist),
+      thr AS (
+        SELECT max(score_milli) AS t FROM cum
+        WHERE cum >= (SELECT count(*) FROM scored) // 4),
       sel AS (
         SELECT source, score_milli,
-          CASE WHEN row_number() OVER (ORDER BY score_milli DESC, doc_id)
-            <= (SELECT count(*) FROM scored) // 4 THEN 1 ELSE 0 END AS selected
-        FROM scored)
+          CASE WHEN score_milli >= t THEN 1 ELSE 0 END AS selected
+        FROM scored CROSS JOIN thr)
       SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
         CAST(sum(selected) AS BIGINT) AS n_selected,
         CAST(sum(selected) * 1000000 // count(*) AS BIGINT) AS selected_ppm,
@@ -1008,10 +1040,10 @@ object PretrainPlanQueries extends QueryGroup {
           .select(col("pair").as("merge_pair"),
             regexp_replace(col("pair"), " ", "").as("merged"))
         train = train.crossJoin(broadcast(top1))
-          .withColumn("seq", expr("replace(seq, merge_pair, merged)"))
+          .withColumn("seq", expr(BoundedMergeExpr))
           .select(col("f"), col("seq")).persist()
         hold = hold.crossJoin(broadcast(top1))
-          .withColumn("seq", expr("replace(seq, merge_pair, merged)"))
+          .withColumn("seq", expr(BoundedMergeExpr))
           .select(col("f"), col("seq")).persist()
       }
       def row(tag: String, b: DataFrame, after: DataFrame) =
@@ -1047,7 +1079,9 @@ object PretrainPlanQueries extends QueryGroup {
         FROM $p ORDER BY n DESC, pair LIMIT 1)"""
       def mergeSql(w: String, t: String, out: String) = s"""
       $out AS (
-        SELECT f, replace(seq, merge_pair, merged) AS seq
+        SELECT f, trim(replace(replace(' ' || seq || ' ',
+            ' ' || merge_pair || ' ', ' ' || merged || ' '),
+            ' ' || merge_pair || ' ', ' ' || merged || ' ')) AS seq
         FROM $w CROSS JOIN $t)"""
       def symSql(w: String) =
         s"(SELECT CAST(sum(f * len(str_split(seq, ' '))) AS BIGINT) FROM $w)"
@@ -1156,9 +1190,13 @@ object PretrainPlanQueries extends QueryGroup {
     * sorting/bucketing stage in front of a batch-inference fleet (q94
     * BUILDS length buckets; this prices what they buy).
     *
-    * Scale shape: one global row_number per policy over (key, doc_id) —
-    * the exact-audit cost; production replaces it with q94's sharded
-    * buckets. Everything after is a batch-keyed integer aggregate. */
+    * Scale shape: q94's sharded form — the serving fleet is modeled as
+    * 4 deterministic hash shards (`doc_id % 4`; the shard count is the
+    * parallelism dial, ∝ fleet size in production), each shard batches
+    * its own arrival stream independently (batches never span shards —
+    * exactly how a real router behaves), and the row_number runs WITHIN
+    * a shard. Padding sums are shard-additive, so the audit totals are
+    * exact; no global single-partition window anywhere. */
   private val q491 = QueryDef(
     "q491_arrival_vs_sorted_batching",
     (spark, dir) => {
@@ -1166,10 +1204,12 @@ object PretrainPlanQueries extends QueryGroup {
         .select(col("doc_id"),
           graft.functions.expressions.token_count(col("text")).cast("long").as("len"))
         .filter(col("len") >= 1L)
+        .withColumn("shard", expr("doc_id % 4"))
       def policy(tag: String, order: Seq[org.apache.spark.sql.Column]) = lens
-        .withColumn("rn", row_number().over(Window.orderBy(order: _*)).cast("long"))
-        .select(col("len"), expr("(rn - 1) div 8").as("batch"))
-        .groupBy(col("batch"))
+        .withColumn("rn", row_number().over(
+          Window.partitionBy(col("shard")).orderBy(order: _*)).cast("long"))
+        .select(col("len"), col("shard"), expr("(rn - 1) div 8").as("batch"))
+        .groupBy(col("shard"), col("batch"))
         .agg(count(lit(1)).as("m"), max(col("len")).as("mx"), sum(col("len")).as("s"))
         .agg(count(lit(1)).as("n_batches"),
           sum(col("s")).as("total_tokens"),
@@ -1190,17 +1230,21 @@ object PretrainPlanQueries extends QueryGroup {
         FROM documents),
       f AS (SELECT * FROM lens WHERE len >= 1),
       a AS (
-        SELECT len, (row_number() OVER (ORDER BY doc_id) - 1) // 8 AS batch
+        SELECT len, doc_id % 4 AS shard,
+          (row_number() OVER (PARTITION BY doc_id % 4 ORDER BY doc_id) - 1) // 8
+            AS batch
         FROM f),
       s AS (
-        SELECT len, (row_number() OVER (ORDER BY len, doc_id) - 1) // 8 AS batch
+        SELECT len, doc_id % 4 AS shard,
+          (row_number() OVER (PARTITION BY doc_id % 4 ORDER BY len, doc_id) - 1)
+            // 8 AS batch
         FROM f),
       pa AS (
-        SELECT batch, count(*) AS m, max(len) AS mx, sum(len) AS s
-        FROM a GROUP BY batch),
+        SELECT shard, batch, count(*) AS m, max(len) AS mx, sum(len) AS s
+        FROM a GROUP BY shard, batch),
       ps AS (
-        SELECT batch, count(*) AS m, max(len) AS mx, sum(len) AS s
-        FROM s GROUP BY batch)
+        SELECT shard, batch, count(*) AS m, max(len) AS mx, sum(len) AS s
+        FROM s GROUP BY shard, batch)
       SELECT 'arrival' AS policy, CAST(count(*) AS BIGINT) AS n_batches,
         CAST(sum(s) AS BIGINT) AS total_tokens,
         CAST(sum(m * mx - s) AS BIGINT) AS padding_tokens,
@@ -1331,10 +1375,16 @@ object PretrainPlanQueries extends QueryGroup {
   private val q494 = QueryDef(
     "q494_curation_pass_at_k",
     (spark, dir) => {
-      // p_0 = 1e6; p_{i+1} = p_i·max(n−c−i,0) div (n−i): P(no pass in k)
+      // p_0 = 1e6; p_{i+1} = p_i·max(n−c−i,0) div (n−i), but only while
+      // i < n: a source with fewer than k documents samples ALL of them
+      // (steps beyond n−1 multiply by 1), so n < k yields exactly
+      // 1000000 ppm when c ≥ 1 and 0 ppm when c = 0 — never the NULL
+      // that an unguarded (n − i) = 0 divisor produced ('all outputs
+      // integers' contract).
       def chain(k: Int): String =
         (0 until k).foldLeft("1000000") { (acc, i) =>
-          s"($acc * greatest(n - c - $i, 0) div (n - $i))"
+          s"($acc * (CASE WHEN n > $i THEN greatest(n - c - $i, 0) ELSE 1 END)" +
+            s" div (CASE WHEN n > $i THEN n - $i ELSE 1 END))"
         }
       val base = Tables.documents(spark, dir)
         .groupBy(col("source"))
@@ -1349,7 +1399,8 @@ object PretrainPlanQueries extends QueryGroup {
     Some {
       def chain(k: Int): String =
         (0 until k).foldLeft("1000000") { (acc, i) =>
-          s"($acc * greatest(n - c - $i, 0) // (n - $i))"
+          s"($acc * (CASE WHEN n > $i THEN greatest(n - c - $i, 0) ELSE 1 END)" +
+            s" // (CASE WHEN n > $i THEN n - $i ELSE 1 END))"
         }
       s"""
       WITH base AS (

@@ -60,10 +60,24 @@ class PretrainPlanOpsSpec extends SparkSpec {
   // ---------------------------------------------------------------- q479
 
   test("DSIR selection: quota respected globally, target source over-selected") {
-    val rows = run("q479_dsir_selection").collect()
+    val df = run("q479_dsir_selection")
+    // scale gate: the selection threshold must come from the score
+    // HISTOGRAM — no partition-less window may run over corpus rows
+    // (doc_id in its input means it sorts documents, not bins)
+    val corpusWindows = df.queryExecution.optimizedPlan.collect {
+      case w: org.apache.spark.sql.catalyst.plans.logical.Window
+        if w.partitionSpec.isEmpty &&
+          w.child.output.exists(_.name == "doc_id") => w
+    }
+    assert(corpusWindows.isEmpty,
+      "q479 plans a corpus-sized single-partition window (the r5 defect)")
+    val rows = df.collect()
     val total = rows.map(_.getAs[Long]("n_docs")).sum
     val selected = rows.map(_.getAs[Long]("n_selected")).sum
-    assert(selected == total / 4, s"quota: $selected of $total")
+    // bin-granular quota: the boundary score bin is selected whole, so
+    // the selection meets the quota and overshoots by less than one bin
+    assert(selected >= total / 4, s"quota: $selected of $total")
+    assert(selected <= total / 2, s"overshoot: $selected of $total")
     // the target domain must be selected at a rate above the corpus
     // average — that is the entire point of importance resampling
     val src0 = rows.find(_.getAs[String]("source") == "src0").get
@@ -225,7 +239,16 @@ class PretrainPlanOpsSpec extends SparkSpec {
   // ---------------------------------------------------------------- q491
 
   test("batching policies: sorted never pads more than arrival") {
-    val rows = run("q491_arrival_vs_sorted_batching").collect()
+    val df = run("q491_arrival_vs_sorted_batching")
+    // scale gate: both policies must rank WITHIN hash shards — zero
+    // partition-less windows anywhere in the plan (the r5 defect)
+    val globalWindows = df.queryExecution.optimizedPlan.collect {
+      case w: org.apache.spark.sql.catalyst.plans.logical.Window
+        if w.partitionSpec.isEmpty => w
+    }
+    assert(globalWindows.isEmpty,
+      "q491 plans a corpus-sized single-partition window (the r5 defect)")
+    val rows = df.collect()
     val byPolicy = rows.map(r => r.getAs[String]("policy") -> r).toMap
     assert(byPolicy.keySet == Set("arrival", "sorted"))
     assert(byPolicy("arrival").getAs[Long]("total_tokens")

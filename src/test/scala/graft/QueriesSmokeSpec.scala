@@ -22,6 +22,20 @@ class QueriesSmokeSpec extends SparkSpec {
     assert(SparkEntry.entry(spark).count() > 0)
   }
 
+  test("registry size matches the documented README count") {
+    // r4 and r5 both shipped a stale README count; parse the README so
+    // the doc and the registry CANNOT drift independently again
+    val readme = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get("README.md")), java.nio.charset.StandardCharsets.UTF_8)
+    val m = """\((\d+) query defs = (\d+) registered outputs""".r.findFirstMatchIn(readme)
+    assert(m.isDefined, "README no longer documents the query count in the " +
+      "'(N query defs = M registered outputs' form")
+    val documented = m.get.group(2).toInt
+    assert(SparkEntry.queries.size == documented,
+      s"README documents $documented registered outputs but SparkEntry has " +
+        s"${SparkEntry.queries.size} — update README.md (all 3 count sites)")
+  }
+
   test("every query has oracle SQL or is explicitly rows-only") {
     val missing = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
     assert(missing.isEmpty, s"queries without oracle: $missing")
@@ -180,7 +194,11 @@ class QueriesSmokeSpec extends SparkSpec {
     "q515_replica_placement_plan",
     // q517's GPU-demand total and q519's single-shard p99 anchor are
     // one-row broadcasts
-    "q517_gang_schedule_fragmentation", "q519_fanout_tail_amplification")
+    "q517_gang_schedule_fragmentation", "q519_fanout_tail_amplification",
+    // q520's demand/capacity totals and q521's CCDF grand total are
+    // one-row broadcast scalar aggregates cross-joined onto keyed aggs
+    // (the standard bounded pattern; added with the round-6 gate sweep)
+    "q520_load_shed_priority_plan", "q521_write_conflict_rate")
 
   test("query constructors are lazy: warm construction launches zero jobs") {
     import org.apache.spark.scheduler.{SparkListener, SparkListenerJobStart}
@@ -243,20 +261,101 @@ class QueriesSmokeSpec extends SparkSpec {
     } finally spark.sparkContext.removeSparkListener(listener)
   }
 
-  test("plan hygiene: no cartesian products, no unsanctioned nested loops") {
+  /** Partition-less logical Window nodes in a query's optimized plan.
+    * A `Window.orderBy(...)` with no partitionBy executes on ONE task —
+    * fine over a bounded frame (a histogram, a vocabulary, a calendar),
+    * a scale-killer over corpus rows. */
+  private def globalWindowCount(df: org.apache.spark.sql.DataFrame): Int =
+    df.queryExecution.optimizedPlan.collect {
+      case w: org.apache.spark.sql.catalyst.plans.logical.Window
+        if w.partitionSpec.isEmpty => w
+    }.size
+
+  // queries whose partition-less windows run over PROVABLY BOUNDED frames
+  // (per each query's scale-shape scaladoc): quantized-score histograms,
+  // vocabularies, calendar/day grids, config grids, sketch rows, CCDFs at
+  // value resolution — never corpus rows. Any query NOT in this list must
+  // plan zero partition-less windows.
+  private val boundedGlobalWindows: Set[String] = Set(
+    // quantized-score / value-resolution histograms (≤ ~1001–50k bins)
+    "q64_quality_threshold", "q82_decile_binning", "q479_dsir_selection",
+    "q120_ks_two_sample", "q139_norm_outliers", "q146_robust_outliers",
+    "q244_uplift_by_decile", "q247_wasserstein_drift",
+    "q299_rare_level_collapse_plan", "q336_median_of_means",
+    "q342_mean_excess_tail", "q354_t_closeness", "q381_median_order_stat_ci",
+    "q405_isotonic_return_curve", "q407_roc_curve", "q417_bh_fdr_control",
+    "q434_histogram_quantile_error", "q443_histogram_selectivity_qerror",
+    "q448_cramer_von_mises", "q451_sharded_quantile_merge",
+    "q456_online_agg_convergence", "q460_nested_percentile_fallacy",
+    "q470_dkw_percentile_bands", "q505_learned_index_epsilon",
+    "q520_load_shed_priority_plan",
+    // vocabulary / dictionary / codebook-sized frames (distinct tokens,
+    // terms, levels, channels, prefixes — never corpus rows)
+    "q122_vocab_coverage", "q222_good_turing_counts", "q301_zipf_slope",
+    "q338_pq_codebook", "q341_pq_adc_recall", "q387_gram_coverage_curve",
+    "q394_bpe_merge_step", "q428_rake_keyphrases", "q432_sstable_prefix_plan",
+    "q492_hnsw_level_plan", "q493_int8_outlier_channels",
+    "q502_front_coding_plan", "q508_prf_query_expansion",
+    // calendar / day / week grids (≤ a few thousand period rows)
+    "q130_volume_anomaly", "q140_wow_growth", "q161_new_category_drift",
+    "q176_cusum_drift", "q212_revenue_peaks", "q221_dau_mau_stickiness",
+    "q246_kmv_rolling_distinct", "q294_catalog_freshness",
+    "q303_seasonal_adjustment", "q307_revenue_drawdown",
+    "q383_runs_test_daily_revenue", "q389_mase_forecast_eval",
+    "q390_best_campaign_window", "q437_swag_sliding_max",
+    "q464_watermark_laggards",
+    // entity-dimension frames: customers/suppliers/parts/sources/segments
+    // (dimension-table-sized keyed aggregates, ranked once)
+    "q106_pareto_frontier", "q116_rfm_segmentation",
+    "q117_gini_concentration", "q134_conversion_latency",
+    "q147_reference_calibration", "q168_revenue_hierarchy",
+    "q174_hybrid_rrf", "q175_recency_weights", "q189_rbo_rank_agreement",
+    "q198_benford_audit", "q207_abc_xyz_classes", "q209_simpson_audit",
+    "q210_decile_mobility", "q213_seat_apportionment",
+    "q216_survival_life_table", "q217_diversified_topk",
+    "q228_session_timeout_census", "q236_discount_elasticity",
+    "q265_single_source_risk", "q312_consistent_hash_balance",
+    "q314_keyspace_density", "q334_kaplan_meier", "q348_max_coverage_greedy",
+    "q352_pinball_eval", "q372_rle_layout_plan", "q380_water_filling_quota",
+    "q402_knapsack_source_budget", "q403_shard_packing_bounds",
+    "q412_successive_halving", "q424_sax_motifs", "q430_fagin_ta_depth",
+    "q442_index_advisor", "q447_copeland_rank_fusion",
+    "q458_topk_merge_certificate", "q462_static_cache_sweep",
+    "q467_bandit_replay_ope", "q497_bradley_terry_arena",
+    "q70_mixture_sampling", "q90_revenue_share")
+
+  test("plan hygiene: no cartesian products, no unsanctioned nested loops, " +
+    "no unsanctioned partition-less windows") {
     // collect ALL offenders before judging — a fail-fast here hides every
     // offender after the first and turns fixing the list into whack-a-mole
     val cartesian = scala.collection.mutable.ListBuffer[String]()
     val nestedLoop = scala.collection.mutable.ListBuffer[String]()
+    val globalWindow = scala.collection.mutable.ListBuffer[String]()
     for ((name, fn) <- SparkEntry.queries.toSeq.sortBy(_._1)) {
-      val plan = fn(spark, sfDir).queryExecution.executedPlan.toString
+      val df = fn(spark, sfDir)
+      val plan = df.queryExecution.executedPlan.toString
       if (plan.contains("CartesianProduct")) cartesian += name
       if (!broadcastCrossJoins(name) && plan.contains("BroadcastNestedLoopJoin"))
         nestedLoop += name
+      if (!boundedGlobalWindows(name) && globalWindowCount(df) > 0)
+        globalWindow += name
     }
     assert(cartesian.isEmpty,
       s"CartesianProduct — a scale-killer — planned by: ${cartesian.mkString(", ")}")
     assert(nestedLoop.isEmpty,
       s"unsanctioned BroadcastNestedLoopJoin planned by: ${nestedLoop.mkString(", ")}")
+    assert(globalWindow.isEmpty,
+      s"unsanctioned partition-less Window (single-task sort at scale) " +
+        s"planned by: ${globalWindow.mkString(", ")}")
+  }
+
+  test("window gate canary: a corpus-sized global window IS detected") {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.functions._
+    val canary = Tables.documents(spark, sfDir)
+      .withColumn("rk", row_number().over(Window.orderBy(col("doc_id"))))
+    assert(globalWindowCount(canary) == 1,
+      "the partition-less-window detector failed to flag a deliberate " +
+        "corpus-sized row_number — the hygiene gate would be blind")
   }
 }
