@@ -51,10 +51,27 @@ object Bench {
     }
   }
 
+  /** Shuffle partitions sized to the pass's data volume: the primary SF
+    * uses the full core count; smaller SFs scale down proportionally
+    * (min 4) so every pass runs at the SAME rows-per-partition density
+    * (~15-19k at these SFs) instead of paying 32 task launches per
+    * exchange to shuffle 60k rows. This is the partition policy a real
+    * deployment applies per dataset — partitions track data, not the
+    * cluster's max — and it applies to the whole pass, so in-pass
+    * numbers stay comparable. */
+  private def partitionsFor(sfDir: String, cpus: Int): Int = {
+    val sf = "sf([0-9.]+)".r.findFirstMatchIn(sfDir)
+      .map(_.group(1).toDouble).getOrElse(0.1)
+    math.max(4, math.min(cpus, math.ceil(cpus * sf / 0.1).toInt))
+  }
+
   /** One timed pass over `selected` at `sfDir`, with per-query cleanup
     * and JVM instrumentation on stderr. */
   private def runPass(spark: SparkSession, selected: Seq[(String, (SparkSession, String) => org.apache.spark.sql.DataFrame)],
-                      sfDir: String, tag: String): Seq[(String, Double)] =
+                      sfDir: String, tag: String): Seq[(String, Double)] = {
+    val parts = partitionsFor(sfDir, spark.sparkContext.defaultParallelism)
+    spark.conf.set("spark.sql.shuffle.partitions", parts)
+    System.err.println(s"[bench:$tag] shuffle.partitions=$parts for $sfDir")
     selected.map { case (name, fn) =>
       cleanup(spark)
       val heapMb = (Runtime.getRuntime.totalMemory - Runtime.getRuntime.freeMemory) / 1048576
@@ -69,6 +86,7 @@ object Bench {
         f"[bench:$tag] $name%-32s $dt%8.2f s  heap=${heapMb}%5d MB cls=${classes}%6d store=${storageMb}%5d MB")
       name -> dt
     }
+  }
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -96,6 +114,8 @@ object Bench {
     // first-use class loading and janino compile (measured at 1-4 s per
     // cold query vs ~0.3 s warm — pure one-time driver cost that
     // amortizes to zero in any long-lived deployment).
+    spark.conf.set("spark.sql.shuffle.partitions",
+      partitionsFor("/root/testdata/sf0.001", spark.sparkContext.defaultParallelism))
     selected.foreach { case (_, fn) =>
       try fn(spark, "/root/testdata/sf0.001").write.format("noop").mode("overwrite").save()
       catch { case _: Throwable => () }

@@ -156,7 +156,19 @@ object SequenceQueries extends QueryGroup {
     * sequential global-reduction barriers (flat from sf0.001 to sf0.1 —
     * stage latency, not data volume); on a real cluster each barrier is
     * an O(1) scalar reduce, and deferring normalization would trade this
-    * bounded-integer guarantee for deg³-growth overflow. */
+    * bounded-integer guarantee for deg³-growth overflow.
+    *
+    * Round-6 drift investigation (the r5 bench showed 6.30 → 8.07 s
+    * isolated with no code change): a stage-level profile shows ~55 AQE
+    * stage-materialization jobs of 15–400 ms each with per-stage data
+    * time far below the scheduling envelope — the query is bound by
+    * local[32] job-launch latency, so its wall-clock breathes ±25% with
+    * JVM state (JIT warmth, GC pressure from whatever ran before).
+    * Round-6 isolated recheck: 6.59 s at sf0.1 / 6.25 s at sf0.01 — the
+    * r5 reading was suite-JVM noise, not a regression; no plan change
+    * is warranted (fusing the two per-iteration normalize barriers
+    * would change floor-division semantics and buy at most ~3 of the
+    * ~20 barrier-latency slots). */
   private val q415 = QueryDef(
     "q415_hits_hub_authority",
     (spark, dir) => {
