@@ -65,7 +65,8 @@ object SparkEntry {
     ServingQueries,
     RichnessQueries,
     PretrainPlanQueries,
-    SystemsPlanQueries)
+    SystemsPlanQueries,
+    ScalingPlanQueries)
 
   private lazy val all: Seq[QueryDef] = groups.flatMap(_.defs)
 

@@ -198,7 +198,18 @@ class QueriesSmokeSpec extends SparkSpec {
     // q520's demand/capacity totals and q521's CCDF grand total are
     // one-row broadcast scalar aggregates cross-joined onto keyed aggs
     // (the standard bounded pattern; added with the round-6 gate sweep)
-    "q520_load_shed_priority_plan", "q521_write_conflict_rate")
+    "q520_load_shed_priority_plan", "q521_write_conflict_rate",
+    // round-6 scaling planners: q523/q527's one-row scalar aggregates
+    // and 3-4-row literal grids; q525/q526's 2-3-row broadcast grids
+    // exploded onto per-doc/per-key arithmetic; q528's one-row corpus
+    // total onto the ≤ 1001-bin histogram
+    "q523_chinchilla_allocation", "q525_attention_window_coverage",
+    "q526_shuffle_spill_planner", "q527_mde_power_plan",
+    "q528_best_of_n_quality_gain",
+    // q532/q535's 3-row architecture/cap grids broadcast onto bounded
+    // censuses; q534's 24-row capacity ladder against the one-row total
+    "q532_kv_cache_capacity", "q534_lsm_write_amplification",
+    "q535_seqlen_curriculum_stages")
 
   test("query constructors are lazy: warm construction launches zero jobs") {
     import org.apache.spark.scheduler.{SparkListener, SparkListenerJobStart}
@@ -322,7 +333,11 @@ class QueriesSmokeSpec extends SparkSpec {
     "q442_index_advisor", "q447_copeland_rank_fusion",
     "q458_topk_merge_certificate", "q462_static_cache_sweep",
     "q467_bandit_replay_ope", "q497_bradley_terry_arena",
-    "q70_mixture_sampling", "q90_revenue_share")
+    "q70_mixture_sampling", "q90_revenue_share",
+    // round-6: q528's cumulative CDF runs over the ≤ 1001-bin quantized
+    // score histogram; q529's two lag windows run over the
+    // calendar-sized hour series (one row per observed hour)
+    "q528_best_of_n_quality_gain", "q529_autoscale_reactive_audit")
 
   test("plan hygiene: no cartesian products, no unsanctioned nested loops, " +
     "no unsanctioned partition-less windows") {
