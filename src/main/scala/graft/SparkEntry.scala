@@ -66,7 +66,8 @@ object SparkEntry {
     RichnessQueries,
     PretrainPlanQueries,
     SystemsPlanQueries,
-    ScalingPlanQueries)
+    ScalingPlanQueries,
+    PolicyPlanQueries)
 
   private lazy val all: Seq[QueryDef] = groups.flatMap(_.defs)
 

@@ -209,7 +209,10 @@ class QueriesSmokeSpec extends SparkSpec {
     // q532/q535's 3-row architecture/cap grids broadcast onto bounded
     // censuses; q534's 24-row capacity ladder against the one-row total
     "q532_kv_cache_capacity", "q534_lsm_write_amplification",
-    "q535_seqlen_curriculum_stages")
+    "q535_seqlen_curriculum_stages",
+    // q538's 4-row reserve grid broadcasts onto the calendar-sized
+    // (day, top1, top2) table
+    "q538_reserve_price_sweep")
 
   test("query constructors are lazy: warm construction launches zero jobs") {
     import org.apache.spark.scheduler.{SparkListener, SparkListenerJobStart}
