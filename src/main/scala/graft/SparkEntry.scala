@@ -67,7 +67,8 @@ object SparkEntry {
     PretrainPlanQueries,
     SystemsPlanQueries,
     ScalingPlanQueries,
-    PolicyPlanQueries)
+    PolicyPlanQueries,
+    EnginePlanQueries)
 
   private lazy val all: Seq[QueryDef] = groups.flatMap(_.defs)
 
