@@ -45,6 +45,10 @@ object expressions {
     * shingles; null for documents with fewer than k tokens. */
   case class MinHashSignature(child: Expression, numHashes: Int, shingleK: Int)
       extends UnaryExpression {
+    // fail at expression-BUILD time (SuffixLoopPeriod's discipline): a
+    // non-positive size would otherwise throw per row at execution
+    require(numHashes >= 1, s"graft_minhash: numHashes must be >= 1, got $numHashes")
+    require(shingleK >= 1, s"graft_minhash: shingleK must be >= 1, got $shingleK")
     override def dataType: DataType = ArrayType(LongType, containsNull = false)
     override def nullable: Boolean = true // short docs yield null
     override protected def nullSafeEval(v: Any): Any =
@@ -63,6 +67,8 @@ object expressions {
 
   /** SimHash fingerprint (token ±1 votes over `bits` bit positions). */
   case class SimHash64(child: Expression, bits: Int) extends UnaryExpression {
+    require(bits >= 1 && bits <= 64,
+      s"graft_simhash: bits must be in [1, 64], got $bits")
     override def dataType: DataType = LongType
     override protected def nullSafeEval(v: Any): Any =
       GraftHash.simhash(v.asInstanceOf[org.apache.spark.unsafe.types.UTF8String], bits)
@@ -94,6 +100,8 @@ object expressions {
     * null when neither string has any n-gram (undefined 0/0). */
   case class NGramJaccard(left: Expression, right: Expression, n: Int)
       extends BinaryExpression {
+    require(n >= 1 && n <= 8,
+      s"graft_ngram_jaccard: n must be in [1, 8] (grams pack into one long), got $n")
     override def dataType: DataType = DoubleType
     override def nullable: Boolean = true
     override protected def nullSafeEval(a: Any, b: Any): Any =
@@ -126,6 +134,8 @@ object expressions {
     * the quote/excerpt detector (ngram_jaccard's directional sibling). */
   case class NGramContainment(left: Expression, right: Expression, n: Int)
       extends BinaryExpression {
+    require(n >= 1 && n <= 8,
+      s"graft_ngram_containment: n must be in [1, 8] (grams pack into one long), got $n")
     override def dataType: DataType = DoubleType
     override def nullable: Boolean = true
     override protected def nullSafeEval(a: Any, b: Any): Any =
@@ -146,6 +156,8 @@ object expressions {
     * probe rides scan-time whole-stage codegen as a narrow filter. */
   case class BloomContains(left: Expression, right: Expression, numHashes: Int)
       extends BinaryExpression {
+    require(numHashes >= 1,
+      s"graft_bloom_contains: numHashes must be >= 1, got $numHashes")
     override def dataType: DataType = BooleanType
     override protected def nullSafeEval(bits: Any, key: Any): Any =
       GraftHash.bloomContains(
@@ -159,6 +171,8 @@ object expressions {
 
   /** Sign-LSH bucket id of an array<float> column. */
   case class SignLshBucket(child: Expression, planes: Int) extends UnaryExpression {
+    require(planes >= 1 && planes <= 63,
+      s"graft_lsh_bucket: planes must be in [1, 63] (bucket fits a long), got $planes")
     override def dataType: DataType = LongType
     override protected def nullSafeEval(v: Any): Any =
       GraftHash.signLshBucket(v.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData], planes)
@@ -209,6 +223,7 @@ object expressions {
     * one-pass replacement for array_distinct(shingleHashes), whose
     * per-position substr re-seek is quadratic in document length. */
   case class CharShingleSet(child: Expression, k: Int) extends UnaryExpression {
+    require(k >= 1, s"graft_char_shingles: k must be >= 1, got $k")
     override def dataType: DataType = ArrayType(LongType, containsNull = false)
     override protected def nullSafeEval(v: Any): Any =
       GraftHash.charShingleSet(v.asInstanceOf[org.apache.spark.unsafe.types.UTF8String], k)
@@ -221,6 +236,7 @@ object expressions {
     * one-pass replacement for the interpreted wordShingleSetHof, whose
     * per-character substr tokenization is quadratic per token. */
   case class WordShingleSet(child: Expression, k: Int) extends UnaryExpression {
+    require(k >= 1, s"graft_word_shingles: k must be >= 1, got $k")
     override def dataType: DataType = ArrayType(LongType, containsNull = false)
     override protected def nullSafeEval(v: Any): Any =
       GraftHash.wordShingleSet(v.asInstanceOf[org.apache.spark.unsafe.types.UTF8String], k)

@@ -291,8 +291,12 @@ object SignalQueries extends QueryGroup {
     * and emit the next round's top-5 pairs — demonstrating that
     * tokenizer training iterates entirely inside the engine. Sequences
     * are space-joined symbols; the merge is a literal left-to-right
-    * replace (identical semantics in both engines); round-2 pairs come
-    * from array adjacency, immune to overlap artifacts.
+    * replace (identical semantics in both engines) — safe WITHOUT
+    * q477's boundary anchoring because it runs exactly once on a
+    * sequence of single-character symbols, where the 'x y' pattern can
+    * only align on a symbol start (cross-boundary fusing needs a
+    * multi-char symbol, which exists only from round 2 on); round-2
+    * pairs come from array adjacency, immune to overlap artifacts.
     *
     * Scale shape: everything runs on the word-frequency table (the
     * vocabulary), not the corpus — one corpus scan feeds it; the merge

@@ -48,6 +48,33 @@ class ExtensionsSpec extends SparkSpec {
     assert(row.getLong(row.fieldIndex("ph")) === viaColumns)
   }
 
+  test("bad kernel parameters fail at expression build, not per row") {
+    // the r5 advice class: graft_suffix_loop_period(text, -1) used to
+    // throw NegativeArraySizeException PER ROW at execution; every
+    // parametered kernel now validates at build time with a named error
+    val cases = Seq(
+      "graft_suffix_loop_period(text, -1)" -> "maxP",
+      "graft_minhash(text, 0, 5)" -> "numHashes",
+      "graft_minhash(text, 16, 0)" -> "shingleK",
+      "graft_simhash(text, 65)" -> "bits",
+      "graft_simhash(text, 0)" -> "bits",
+      "graft_ngram_jaccard(text, text, 9)" -> "n must be in [1, 8]",
+      "graft_ngram_jaccard(text, text, 0)" -> "n must be in [1, 8]",
+      "graft_lsh_bucket(CAST(array(1.0) AS ARRAY<FLOAT>), 64)" -> "planes",
+      "graft_char_shingles(text, 0)" -> "k must be",
+      "graft_word_shingles(text, -3)" -> "k must be")
+    for ((exprSql, needle) <- cases) {
+      val e = intercept[Exception] {
+        spark.sql(s"SELECT $exprSql FROM ext_docs").queryExecution.analyzed
+      }
+      def messages(t: Throwable): Seq[String] =
+        if (t == null) Seq.empty
+        else Option(t.getMessage).toSeq ++ messages(t.getCause)
+      assert(messages(e).exists(_.contains(needle)),
+        s"$exprSql should fail mentioning '$needle', got: ${messages(e)}")
+    }
+  }
+
   test("a session built with GraftExtensions has the functions pre-registered") {
     spark.sparkContext // ensure shared context exists
     SparkSession.clearActiveSession()
