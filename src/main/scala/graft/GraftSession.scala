@@ -16,9 +16,19 @@ import org.apache.spark.sql.SparkSession
   */
 object GraftSession {
 
+  // Tables.table calls configure on every loader hit (so ad-hoc sessions
+  // are always correctly configured), which is thousands of calls per
+  // bench pass; each conf.set walks SQLConf validation, so short-circuit
+  // per session object. Weak keys are unnecessary: sessions here live
+  // for the process.
+  private val configured =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[Int]()
+
   /** Apply graft's standard SQL confs to an existing session (e.g. the
-    * driver-created one in Verify/Bench). Safe to call repeatedly. */
+    * driver-created one in Verify/Bench). Safe to call repeatedly —
+    * applies once per session instance. */
   def configure(spark: SparkSession): SparkSession = {
+    if (!configured.add(System.identityHashCode(spark))) return spark
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     // events.parquet stores TIMESTAMP(NANOS); Spark has no nanos timestamp
     // type, so read as long and convert (Tables.events).

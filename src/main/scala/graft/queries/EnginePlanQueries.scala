@@ -186,5 +186,193 @@ object EnginePlanQueries extends QueryGroup {
       FROM s
     """))
 
-  def defs: Seq[QueryDef] = Seq(q541, q542, q543)
+  // ------------------------------------------------------------ q544/q545
+
+  /** The shared exact-integer OLS fit: order value (whole dollars) on
+    * x1 = line-item count and x2 = total quantity, solved by Cramer's
+    * rule on the CENTERED 2×2 normal equations. Everything stays in
+    * 64-bit integers by construction: centered sums are O(n·cov) (the
+    * raw Σx·Σy cross terms ≤ ~4·10¹⁷ at sf0.1; at much larger n divide
+    * by n before the product), the determinant ≈ 10¹⁵, and the
+    * milli-betas divide by (det div 1000) instead of multiplying the
+    * ~10¹⁷ numerator by 1000. One row out: betas (milli), means, n. */
+  private def olsFit(spark: org.apache.spark.sql.SparkSession, dir: String) = {
+    val perOrder = Tables.lineitem(spark, dir)
+      .groupBy(col("l_orderkey").as("o_orderkey"))
+      .agg(count(lit(1)).as("x1"),
+        expr("CAST(sum(l_quantity) AS BIGINT)").as("x2"))
+      .join(Tables.orders(spark, dir)
+        .select(col("o_orderkey"),
+          expr("CAST(floor(o_totalprice + 0.5) AS BIGINT)").as("y")),
+        Seq("o_orderkey"))
+    perOrder.agg(count(lit(1)).as("n"),
+        sum(col("x1")).as("sx1"), sum(col("x2")).as("sx2"), sum(col("y")).as("sy"),
+        sum(expr("x1 * x1")).as("sx1x1"), sum(expr("x2 * x2")).as("sx2x2"),
+        sum(expr("x1 * x2")).as("sx1x2"), sum(expr("x1 * y")).as("sx1y"),
+        sum(expr("x2 * y")).as("sx2y"), sum(expr("y * y")).as("syy"))
+      .withColumn("cx1x1", expr("sx1x1 - sx1 * sx1 div n"))
+      .withColumn("cx2x2", expr("sx2x2 - sx2 * sx2 div n"))
+      .withColumn("cx1x2", expr("sx1x2 - sx1 * sx2 div n"))
+      .withColumn("cx1y", expr("sx1y - sx1 * sy div n"))
+      .withColumn("cx2y", expr("sx2y - sx2 * sy div n"))
+      .withColumn("det", expr("cx1x1 * cx2x2 - cx1x2 * cx1x2"))
+      .withColumn("beta1_milli",
+        expr("(cx1y * cx2x2 - cx2y * cx1x2) div greatest(det div 1000, 1)"))
+      .withColumn("beta2_milli",
+        expr("(cx2y * cx1x1 - cx1y * cx1x2) div greatest(det div 1000, 1)"))
+      .withColumn("beta0_milli",
+        expr("(sy * 1000 - beta1_milli * sx1 - beta2_milli * sx2) div n"))
+  }
+
+  private val olsFitSql: String = """
+      per AS (
+        SELECT l.o_orderkey, l.x1, l.x2,
+          CAST(floor(o.o_totalprice + 0.5) AS BIGINT) AS y
+        FROM (SELECT l_orderkey AS o_orderkey, CAST(count(*) AS BIGINT) AS x1,
+                CAST(sum(l_quantity) AS BIGINT) AS x2
+              FROM lineitem GROUP BY l_orderkey) l
+        JOIN orders o ON o.o_orderkey = l.o_orderkey),
+      sums AS (
+        SELECT CAST(count(*) AS BIGINT) AS n,
+          CAST(sum(x1) AS BIGINT) AS sx1, CAST(sum(x2) AS BIGINT) AS sx2,
+          CAST(sum(y) AS BIGINT) AS sy,
+          CAST(sum(x1 * x1) AS BIGINT) AS sx1x1,
+          CAST(sum(x2 * x2) AS BIGINT) AS sx2x2,
+          CAST(sum(x1 * x2) AS BIGINT) AS sx1x2,
+          CAST(sum(x1 * y) AS BIGINT) AS sx1y,
+          CAST(sum(x2 * y) AS BIGINT) AS sx2y,
+          CAST(sum(y * y) AS BIGINT) AS syy
+        FROM per),
+      cen AS (
+        SELECT *, sx1x1 - sx1 * sx1 // n AS cx1x1,
+          sx2x2 - sx2 * sx2 // n AS cx2x2,
+          sx1x2 - sx1 * sx2 // n AS cx1x2,
+          sx1y - sx1 * sy // n AS cx1y,
+          sx2y - sx2 * sy // n AS cx2y
+        FROM sums),
+      det AS (SELECT *, cx1x1 * cx2x2 - cx1x2 * cx1x2 AS det FROM cen),
+      fit AS (
+        SELECT *,
+          (cx1y * cx2x2 - cx2y * cx1x2) // greatest(det // 1000, 1)
+            AS beta1_milli,
+          (cx2y * cx1x1 - cx1y * cx1x2) // greatest(det // 1000, 1)
+            AS beta2_milli
+        FROM det),
+      fit0 AS (
+        SELECT *,
+          (sy * 1000 - beta1_milli * sx1 - beta2_milli * sx2) // n
+            AS beta0_milli
+        FROM fit)"""
+
+  /** Exact-integer OLS by normal equations: order value regressed on
+    * line-item count and total quantity, Cramer-solved on centered sums
+    * (see olsFit), then a SECOND pass scores every order with the
+    * broadcast milli-betas for SSE, with SST taken about the floored
+    * mean (exact: Σy² − 2m·Σy + n·m², every term < 10¹⁶) and R² in ppm
+    * by dividing SSE by (SST div 10⁶) — division-first keeps every
+    * intermediate in range, identically in both engines. In-engine
+    * model TRAINING with a bit-exact certificate, where q141/q186 fit
+    * single-feature trends.
+    *
+    * Scale shape: two corpus folds (sufficient statistics, then
+    * residuals against the one-row broadcast fit); no windows. */
+  private val q544 = QueryDef(
+    "q544_ols_normal_equations",
+    (spark, dir) => {
+      val fit = olsFit(spark, dir)
+      val perOrder = Tables.lineitem(spark, dir)
+        .groupBy(col("l_orderkey").as("o_orderkey"))
+        .agg(count(lit(1)).as("x1"),
+          expr("CAST(sum(l_quantity) AS BIGINT)").as("x2"))
+        .join(Tables.orders(spark, dir)
+          .select(col("o_orderkey"),
+            expr("CAST(floor(o_totalprice + 0.5) AS BIGINT)").as("y")),
+          Seq("o_orderkey"))
+      perOrder.crossJoin(broadcast(fit))
+        .withColumn("r", expr(
+          "(y * 1000 - (beta0_milli + beta1_milli * x1 + beta2_milli * x2)) div 1000"))
+        .groupBy(col("n"), col("beta0_milli"), col("beta1_milli"),
+          col("beta2_milli"), col("sy"), col("syy"))
+        .agg(sum(expr("r * r")).as("sse"))
+        .withColumn("m", expr("sy div n"))
+        .withColumn("sst", expr("syy - 2 * m * sy + n * m * m"))
+        .select(col("n").as("n_orders"), col("beta0_milli"), col("beta1_milli"),
+          col("beta2_milli"), col("sse"), col("sst"),
+          expr("1000000 - sse div greatest(sst div 1000000, 1)").as("r2_ppm"))
+    },
+    Some(s"""
+      WITH $olsFitSql,
+      scored AS (
+        SELECT f.n, f.beta0_milli, f.beta1_milli, f.beta2_milli, f.sy, f.syy,
+          (p.y * 1000 - (f.beta0_milli + f.beta1_milli * p.x1
+            + f.beta2_milli * p.x2)) // 1000 AS r
+        FROM per p CROSS JOIN fit0 f),
+      agg AS (
+        SELECT n, beta0_milli, beta1_milli, beta2_milli, sy, syy,
+          CAST(sum(r * r) AS BIGINT) AS sse
+        FROM scored
+        GROUP BY n, beta0_milli, beta1_milli, beta2_milli, sy, syy),
+      m AS (SELECT *, sy // n AS m FROM agg)
+      SELECT n AS n_orders, beta0_milli, beta1_milli, beta2_milli, sse,
+        syy - 2 * m * sy + n * m * m AS sst,
+        CAST(1000000 - sse // greatest((syy - 2 * m * sy + n * m * m)
+          // 1000000, 1) AS BIGINT) AS r2_ppm
+      FROM m
+    """))
+
+  /** OLS segment-bias audit: score every order with q544's broadcast
+    * fit and roll residuals up by customer market segment — a model
+    * whose residual MEAN differs by segment is systematically over- or
+    * under-pricing that segment (the fairness readout run on every
+    * production regression; q209's Simpson audit is the univariate
+    * cousin). Residuals in whole dollars, means in milli.
+    *
+    * Scale shape: the fit is a one-row broadcast; orders join customers
+    * on the dimension key; one per-segment rollup. */
+  private val q545 = QueryDef(
+    "q545_ols_segment_residual_audit",
+    (spark, dir) => {
+      val fit = olsFit(spark, dir)
+        .select(col("beta0_milli"), col("beta1_milli"), col("beta2_milli"))
+      val perOrder = Tables.lineitem(spark, dir)
+        .groupBy(col("l_orderkey").as("o_orderkey"))
+        .agg(count(lit(1)).as("x1"),
+          expr("CAST(sum(l_quantity) AS BIGINT)").as("x2"))
+        .join(Tables.orders(spark, dir)
+          .select(col("o_orderkey"), col("o_custkey"),
+            expr("CAST(floor(o_totalprice + 0.5) AS BIGINT)").as("y")),
+          Seq("o_orderkey"))
+        .join(Tables.customer(spark, dir)
+          .select(col("c_custkey").as("o_custkey"), col("c_mktsegment")),
+          Seq("o_custkey"))
+      perOrder.crossJoin(broadcast(fit))
+        .withColumn("r", expr(
+          "(y * 1000 - (beta0_milli + beta1_milli * x1 + beta2_milli * x2)) div 1000"))
+        .groupBy(col("c_mktsegment"))
+        .agg(count(lit(1)).as("n_orders"), sum(col("r")).as("sum_residual"),
+          sum(when(col("r") > 0L, 1L).otherwise(0L)).as("n_over"))
+        .select(col("c_mktsegment"), col("n_orders"), col("sum_residual"),
+          expr("sum_residual * 1000 div n_orders").as("mean_residual_milli"),
+          expr("n_over * 1000000 div n_orders").as("over_ppm"))
+        .orderBy(col("c_mktsegment"))
+    },
+    Some(s"""
+      WITH $olsFitSql,
+      scored AS (
+        SELECT c.c_mktsegment,
+          (p.y * 1000 - (f.beta0_milli + f.beta1_milli * p.x1
+            + f.beta2_milli * p.x2)) // 1000 AS r
+        FROM per p
+        JOIN orders o ON o.o_orderkey = p.o_orderkey
+        JOIN customer c ON c.c_custkey = o.o_custkey
+        CROSS JOIN fit0 f)
+      SELECT c_mktsegment, CAST(count(*) AS BIGINT) AS n_orders,
+        CAST(sum(r) AS BIGINT) AS sum_residual,
+        CAST(sum(r) * 1000 // count(*) AS BIGINT) AS mean_residual_milli,
+        CAST(sum(CASE WHEN r > 0 THEN 1 ELSE 0 END) * 1000000 // count(*)
+          AS BIGINT) AS over_ppm
+      FROM scored GROUP BY c_mktsegment ORDER BY c_mktsegment
+    """))
+
+  def defs: Seq[QueryDef] = Seq(q541, q542, q543, q544, q545)
 }

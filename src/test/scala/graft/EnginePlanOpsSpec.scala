@@ -42,6 +42,36 @@ class EnginePlanOpsSpec extends SparkSpec {
     assert(phiSum == 6L * (r7 - r0), s"efficiency: $phiSum vs ${6L * (r7 - r0)}")
   }
 
+  // ---------------------------------------------------------------- q544
+
+  test("OLS: positive fit, quantity drives price, R2 meaningful") {
+    val r = run("q544_ols_normal_equations").collect().head
+    assert(r.getAs[Long]("n_orders") > 0L)
+    // more quantity must predict more revenue on TPC-H-shaped data
+    assert(r.getAs[Long]("beta2_milli") > 0L,
+      s"beta2 ${r.getAs[Long]("beta2_milli")}")
+    assert(r.getAs[Long]("sse") >= 0L)
+    assert(r.getAs[Long]("sse") <= r.getAs[Long]("sst"),
+      "the fitted model cannot be worse than the mean (up to rounding)")
+    val r2 = r.getAs[Long]("r2_ppm")
+    assert(r2 > 0L && r2 <= 1000000L, s"r2_ppm $r2")
+  }
+
+  // ---------------------------------------------------------------- q545
+
+  test("OLS audit: residuals sum to ~zero overall, segments partition orders") {
+    val fitRow = run("q544_ols_normal_equations").collect().head
+    val rows = run("q545_ols_segment_residual_audit").collect()
+    assert(rows.nonEmpty)
+    assert(rows.map(_.getAs[Long]("n_orders")).sum == fitRow.getAs[Long]("n_orders"))
+    for (r <- rows) assert(r.getAs[Long]("over_ppm") <= 1000000L)
+    // OLS residuals sum to zero by construction; milli-beta rounding
+    // leaves at most ~1 dollar per order of drift
+    val total = rows.map(_.getAs[Long]("sum_residual")).sum
+    assert(math.abs(total) <= fitRow.getAs[Long]("n_orders"),
+      s"residual drift $total over ${fitRow.getAs[Long]("n_orders")} orders")
+  }
+
   // ---------------------------------------------------------------- q543
 
   test("salting plan: caps respected, replicas consistent") {

@@ -212,7 +212,9 @@ class QueriesSmokeSpec extends SparkSpec {
     "q535_seqlen_curriculum_stages",
     // q538's 4-row reserve grid broadcasts onto the calendar-sized
     // (day, top1, top2) table
-    "q538_reserve_price_sweep")
+    "q538_reserve_price_sweep",
+    // q544/q545 score orders against the one-row broadcast OLS fit
+    "q544_ols_normal_equations", "q545_ols_segment_residual_audit")
 
   test("query constructors are lazy: warm construction launches zero jobs") {
     import org.apache.spark.scheduler.{SparkListener, SparkListenerJobStart}
