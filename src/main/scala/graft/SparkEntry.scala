@@ -68,7 +68,8 @@ object SparkEntry {
     SystemsPlanQueries,
     ScalingPlanQueries,
     PolicyPlanQueries,
-    EnginePlanQueries)
+    EnginePlanQueries,
+    CapacityPlanQueries)
 
   private lazy val all: Seq[QueryDef] = groups.flatMap(_.defs)
 

@@ -214,7 +214,12 @@ class QueriesSmokeSpec extends SparkSpec {
     // (day, top1, top2) table
     "q538_reserve_price_sweep",
     // q544/q545 score orders against the one-row broadcast OLS fit
-    "q544_ols_normal_equations", "q545_ols_segment_residual_audit")
+    "q544_ols_normal_equations", "q545_ols_segment_residual_audit",
+    // q546's 3-row utilization grid on the per-type CV table; q547's
+    // weight total is a one-row broadcast; q548 probes the broadcast 2%
+    // sample (q25/q495's shape)
+    "q546_kingman_queue_wait", "q547_class_balanced_weights",
+    "q548_knn_label_noise")
 
   test("query constructors are lazy: warm construction launches zero jobs") {
     import org.apache.spark.scheduler.{SparkListener, SparkListenerJobStart}
