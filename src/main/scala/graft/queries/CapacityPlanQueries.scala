@@ -245,5 +245,276 @@ object CapacityPlanQueries extends QueryGroup {
       FROM a GROUP BY p_label ORDER BY label
     """))
 
-  def defs: Seq[QueryDef] = Seq(q546, q547, q548)
+  // ---------------------------------------------------------------- q549
+
+  /** Speculative-decoding draft-length sweep (Leviathan et al.'s
+    * planning equation): with per-source acceptance rate a measured the
+    * q483 way (bigram-argmax draft vs actual next token), a draft of
+    * length k yields E[tokens/step] = Σᵢ₌₀..k aⁱ but costs k draft
+    * passes at ~10% of a target pass — so the NET speedup
+    * E_k/(1 + 0.1·k) peaks at a k that depends on a. Swept over
+    * k ∈ {2, 4, 8} per source; aⁱ accumulates by repeated milli
+    * truncation, identically in both engines. q483 fixes k = 4; this
+    * finds the k worth running.
+    *
+    * Scale shape: q483's digest-pair machinery (vocabulary-sized draft
+    * table, corpus-row join) feeding a per-source scalar sweep. */
+  private val q549 = QueryDef(
+    "q549_specdec_draft_length_sweep",
+    (spark, dir) => {
+      val spark0 = spark
+      import spark0.implicits._
+      val grid = Seq(2L, 4L, 8L).toDF("k")
+      val trans = Tables.documents(spark, dir)
+        .select(col("source"), expr("filter(split(text, ' '), t -> t != '')").as("tk"))
+        .filter(size(col("tk")) >= 2)
+        .select(col("source"), explode(expr(
+          "transform(sequence(1, size(tk) - 1), " +
+            "i -> named_struct('h', tk[i - 1], 'n', tk[i]))")).as("p"))
+        .select(col("source"), md5(col("p.h")).as("h"), md5(col("p.n")).as("n"))
+      val draft = trans.groupBy(col("h"), col("n")).agg(count(lit(1)).as("c"))
+        .withColumn("rk", row_number().over(
+          Window.partitionBy(col("h")).orderBy(col("c").desc, col("n"))))
+        .filter(col("rk") === 1)
+        .select(col("h"), col("n").as("n_star"))
+      val acc = trans.join(draft, Seq("h"))
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_transitions"),
+          sum(when(col("n") === col("n_star"), 1L).otherwise(0L)).as("n_accepted"))
+        .select(col("source"), col("n_transitions"),
+          expr("n_accepted * 1000 div n_transitions").as("a_milli"))
+      // E_k·1000 = 1000 + a + a² + … + a^k, powers by milli truncation
+      val e = (1 to 8).foldLeft(acc.withColumn("p1", col("a_milli"))
+          .withColumn("e1", expr("1000 + a_milli"))) { (df, i) =>
+        if (i == 1) df
+        else df.withColumn(s"p$i", expr(s"p${i - 1} * a_milli div 1000"))
+          .withColumn(s"e$i", expr(s"e${i - 1} + p$i"))
+      }
+      e.crossJoin(broadcast(grid))
+        .select(col("source"), col("k"), col("a_milli"),
+          expr("CASE k WHEN 2 THEN e2 WHEN 4 THEN e4 ELSE e8 END")
+            .as("tokens_per_step_milli"))
+        .select(col("source"), col("k"), col("a_milli"),
+          col("tokens_per_step_milli"),
+          expr("tokens_per_step_milli * 1000 div (1000 + k * 100)")
+            .as("net_speedup_milli"))
+        .orderBy(col("source"), col("k"))
+    },
+    Some {
+      s"""
+      WITH grid(k) AS (VALUES (CAST(2 AS BIGINT)), (CAST(4 AS BIGINT)),
+        (CAST(8 AS BIGINT))),
+      trans AS (
+        SELECT source, md5(tk[i]) AS h, md5(tk[i + 1]) AS n
+        FROM (SELECT source,
+                list_filter(str_split(text, ' '), t -> len(t) > 0) AS tk
+              FROM documents),
+          LATERAL (SELECT unnest(range(1, len(tk))) AS i) g
+        WHERE len(tk) >= 2),
+      counts AS (
+        SELECT h, n, count(*) AS c FROM trans GROUP BY h, n),
+      draft AS (
+        SELECT h, n AS n_star FROM (
+          SELECT h, n, row_number() OVER (PARTITION BY h
+            ORDER BY c DESC, n) AS rk
+          FROM counts)
+        WHERE rk = 1),
+      acc AS (
+        SELECT source, CAST(count(*) AS BIGINT) AS n_transitions,
+          CAST(sum(CASE WHEN t.n = d.n_star THEN 1 ELSE 0 END) * 1000
+            // count(*) AS BIGINT) AS a_milli
+        FROM trans t JOIN draft d USING (h)
+        GROUP BY source),
+      p1 AS (SELECT source, a_milli, CAST(1000 + a_milli AS BIGINT) AS e1,
+               a_milli AS p1 FROM acc),
+      ${(2 to 8).map(i =>
+        s"p$i AS (SELECT *, p${i - 1} * a_milli // 1000 AS p$i," +
+          s" e${i - 1} + p${i - 1} * a_milli // 1000 AS e$i" +
+          s" FROM p${i - 1})").mkString(",\n      ")}
+      SELECT source, k, a_milli,
+        CAST(CASE k WHEN 2 THEN e2 WHEN 4 THEN e4 ELSE e8 END AS BIGINT)
+          AS tokens_per_step_milli,
+        CAST((CASE k WHEN 2 THEN e2 WHEN 4 THEN e4 ELSE e8 END) * 1000
+          // (1000 + k * 100) AS BIGINT) AS net_speedup_milli
+      FROM p8 CROSS JOIN grid ORDER BY source, k
+    """
+    })
+
+  // ---------------------------------------------------------------- q550
+
+  /** Training shuffle-quality audit: a data loader reading a
+    * source-CLUSTERED layout (how crawl corpora arrive on disk) feeds
+    * batches of 32 that see 1–2 sources each — gradient steps whip
+    * between domains; a hash-shuffled order restores per-batch source
+    * diversity. Both policies priced exactly: mean and worst distinct-
+    * source count per batch, per shard. The number that justifies the
+    * shuffle stage every training pipeline pays for.
+    *
+    * Scale shape: q491's shard discipline — batch ranks run WITHIN
+    * doc_id%4 hash shards under both orderings; per-batch distinct
+    * counts are keyed aggregates. */
+  private val q550 = QueryDef(
+    "q550_shuffle_quality_audit",
+    (spark, dir) => {
+      val docs = Tables.documents(spark, dir)
+        .select(col("doc_id"), col("source"), (col("doc_id") % 4L).as("shard"),
+          graft.operators.Sampling.keyHash(col("doc_id")).as("hh"))
+      def policy(tag: String, order: Seq[org.apache.spark.sql.Column]) = docs
+        .withColumn("rn", row_number().over(
+          Window.partitionBy(col("shard")).orderBy(order: _*)).cast("long"))
+        .select(col("shard"), col("source"), expr("(rn - 1) div 32").as("batch"))
+        .groupBy(col("shard"), col("batch"))
+        .agg(countDistinct(col("source")).as("ds"))
+        .groupBy(col("shard"))
+        .agg(count(lit(1)).as("n_batches"), sum(col("ds")).as("sds"),
+          min(col("ds")).as("min_distinct_sources"))
+        .select(lit(tag).as("policy"), col("shard"), col("n_batches"),
+          expr("sds * 1000 div n_batches").as("mean_distinct_sources_milli"),
+          col("min_distinct_sources"))
+      policy("clustered", Seq(col("source"), col("doc_id")))
+        .unionAll(policy("hashed", Seq(col("hh"), col("doc_id"))))
+        .orderBy(col("policy"), col("shard"))
+    },
+    Some("""
+      WITH docs AS (
+        SELECT doc_id, source, doc_id % 4 AS shard,
+          (doc_id % 2147483648) * 2654435761 % 4294967296 AS hh
+        FROM documents),
+      c AS (
+        SELECT shard, source,
+          (row_number() OVER (PARTITION BY shard ORDER BY source, doc_id) - 1)
+            // 32 AS batch
+        FROM docs),
+      h AS (
+        SELECT shard, source,
+          (row_number() OVER (PARTITION BY shard ORDER BY hh, doc_id) - 1)
+            // 32 AS batch
+        FROM docs),
+      cb AS (
+        SELECT shard, batch, CAST(count(DISTINCT source) AS BIGINT) AS ds
+        FROM c GROUP BY shard, batch),
+      hb AS (
+        SELECT shard, batch, CAST(count(DISTINCT source) AS BIGINT) AS ds
+        FROM h GROUP BY shard, batch)
+      SELECT 'clustered' AS policy, shard, CAST(count(*) AS BIGINT) AS n_batches,
+        CAST(sum(ds) * 1000 // count(*) AS BIGINT)
+          AS mean_distinct_sources_milli,
+        min(ds) AS min_distinct_sources
+      FROM cb GROUP BY shard
+      UNION ALL
+      SELECT 'hashed', shard, CAST(count(*) AS BIGINT),
+        CAST(sum(ds) * 1000 // count(*) AS BIGINT), min(ds)
+      FROM hb GROUP BY shard
+      ORDER BY policy, shard
+    """))
+
+  // ---------------------------------------------------------------- q551
+
+  /** AGM worst-case join-bound audit: for the triangle query on the
+    * co-supply graph, the AGM bound says NO instance exceeds m^{3/2}
+    * results, while the binary-join plan materializes the wedge
+    * intermediate Σ C(d,2) — this audit reports all three (wedges,
+    * AGM ceiling via exact isqrt of m³, actual triangles) and their
+    * ratios, i.e. exactly how much a worst-case-optimal join would save
+    * over the pairwise plan on THIS graph. The theory-to-practice
+    * readout behind WCOJ engines; q95 counts the triangles, this prices
+    * the plan that finds them.
+    *
+    * Scale shape: one distinct-edge build (the q95 co-supply pairs),
+    * a degree fold, scalar bound math — wedges come from ΣC(d,2), never
+    * from materializing wedge rows. */
+  private val q551 = QueryDef(
+    "q551_agm_bound_audit",
+    (spark, dir) => {
+      val li = Tables.lineitem(spark, dir)
+        .filter(col("l_shipdate") >= "1995-01-01" && col("l_shipdate") < "1996-01-01")
+        .select(col("l_orderkey").as("ok"), col("l_suppkey").as("sk"))
+        .distinct()
+      val pairs = li
+        .join(li.withColumnRenamed("sk", "sk2"), Seq("ok"))
+        .filter(col("sk") < col("sk2"))
+        .select(col("sk").as("a"), col("sk2").as("b"))
+        .distinct()
+        .persist()
+      val deg = pairs.select(col("a").as("node"))
+        .union(pairs.select(col("b").as("node")))
+        .groupBy(col("node")).agg(count(lit(1)).as("d"))
+      val oriented = pairs
+        .join(deg.select(col("node").as("a"), col("d").as("da")), Seq("a"))
+        .join(deg.select(col("node").as("b"), col("d").as("db")), Seq("b"))
+        .select(
+          when(struct(col("da"), col("a")) < struct(col("db"), col("b")),
+            col("a")).otherwise(col("b")).as("u"),
+          when(struct(col("da"), col("a")) < struct(col("db"), col("b")),
+            col("b")).otherwise(col("a")).as("v"))
+        .persist()
+      val wedgeRows = oriented
+        .join(oriented.select(col("u"), col("v").as("w")), Seq("u"))
+        .filter(col("v") =!= col("w"))
+        .select(col("v").as("u"), col("w").as("v"))
+      val tri = wedgeRows.join(oriented, Seq("u", "v"), "left_semi")
+        .agg(count(lit(1)).as("n_triangles"))
+      val stats = pairs.agg(count(lit(1)).as("m"))
+        .crossJoin(deg.agg(sum(expr("d * (d - 1) div 2")).as("wedges")))
+        .crossJoin(broadcast(tri))
+      stats
+        .withColumn("m3", expr("m * m * m"))
+        .withColumn("s0", expr("CAST(floor(sqrt(CAST(m3 AS DOUBLE))) AS BIGINT)"))
+        .withColumn("agm_bound", expr(
+          "CASE WHEN (s0 + 1) * (s0 + 1) <= m3 THEN s0 + 1" +
+            " WHEN s0 * s0 > m3 THEN s0 - 1 ELSE s0 END"))
+        .select(col("m"), col("wedges"), col("agm_bound"), col("n_triangles"),
+          expr("wedges * 1000 div greatest(agm_bound, 1)")
+            .as("wedge_over_agm_milli"),
+          expr("n_triangles * 1000000 div greatest(wedges, 1)")
+            .as("triangle_per_wedge_ppm"))
+    },
+    Some("""
+      WITH li AS (
+        SELECT DISTINCT l_orderkey AS ok, l_suppkey AS sk FROM lineitem
+        WHERE l_shipdate >= TIMESTAMP '1995-01-01'
+          AND l_shipdate < TIMESTAMP '1996-01-01'),
+      pairs AS (
+        SELECT DISTINCT x.sk AS a, y.sk AS b
+        FROM li x JOIN li y ON x.ok = y.ok AND x.sk < y.sk),
+      deg AS (
+        SELECT node, CAST(count(*) AS BIGINT) AS d
+        FROM (SELECT a AS node FROM pairs UNION ALL SELECT b FROM pairs)
+        GROUP BY node),
+      oriented AS (
+        SELECT CASE WHEN (da.d, p.a) < (db.d, p.b) THEN p.a ELSE p.b END AS u,
+          CASE WHEN (da.d, p.a) < (db.d, p.b) THEN p.b ELSE p.a END AS v
+        FROM pairs p
+        JOIN deg da ON da.node = p.a
+        JOIN deg db ON db.node = p.b),
+      wedges AS (
+        SELECT o1.v AS u, o2.v AS v
+        FROM oriented o1 JOIN oriented o2 ON o1.u = o2.u AND o1.v <> o2.v),
+      tri AS (
+        SELECT CAST(count(*) AS BIGINT) AS n_triangles
+        FROM wedges w
+        WHERE EXISTS (SELECT 1 FROM oriented o
+                      WHERE o.u = w.u AND o.v = w.v)),
+      stats AS (
+        SELECT (SELECT CAST(count(*) AS BIGINT) FROM pairs) AS m,
+          (SELECT CAST(sum(d * (d - 1) // 2) AS BIGINT) FROM deg) AS wedges,
+          (SELECT n_triangles FROM tri) AS n_triangles),
+      b AS (
+        SELECT *, m * m * m AS m3,
+          CAST(floor(sqrt(CAST(m * m * m AS DOUBLE))) AS BIGINT) AS s0
+        FROM stats),
+      agm AS (
+        SELECT m, wedges, n_triangles,
+          CASE WHEN (s0 + 1) * (s0 + 1) <= m3 THEN s0 + 1
+               WHEN s0 * s0 > m3 THEN s0 - 1 ELSE s0 END AS agm_bound
+        FROM b)
+      SELECT m, wedges, agm_bound, n_triangles,
+        CAST(wedges * 1000 // greatest(agm_bound, 1) AS BIGINT)
+          AS wedge_over_agm_milli,
+        CAST(n_triangles * 1000000 // greatest(wedges, 1) AS BIGINT)
+          AS triangle_per_wedge_ppm
+      FROM agm
+    """))
+
+  def defs: Seq[QueryDef] = Seq(q546, q547, q548, q549, q550, q551)
 }

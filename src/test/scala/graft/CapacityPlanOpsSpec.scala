@@ -49,6 +49,57 @@ class CapacityPlanOpsSpec extends SparkSpec {
     }, "bigger classes must not get bigger weights")
   }
 
+  // ---------------------------------------------------------------- q549
+
+  test("spec-dec sweep: tokens/step monotone in k, net speedup peaks") {
+    val rows = run("q549_specdec_draft_length_sweep").collect()
+    val bySrc = rows.groupBy(_.getAs[String]("source"))
+    assert(bySrc.nonEmpty)
+    for ((_, rs) <- bySrc) {
+      val byK = rs.sortBy(_.getAs[Long]("k"))
+      assert(byK.map(_.getAs[Long]("k")).toSeq == Seq(2L, 4L, 8L))
+      // a longer draft can only add accepted tokens
+      val tps = byK.map(_.getAs[Long]("tokens_per_step_milli"))
+      assert(tps.sliding(2).forall { case Array(a, b) => b >= a }, tps.toSeq.toString)
+      // E_k is bounded by k+1 target-equivalents
+      byK.foreach(r => assert(r.getAs[Long]("tokens_per_step_milli")
+        <= (r.getAs[Long]("k") + 1L) * 1000L))
+      // net speedup must beat vanilla decoding somewhere only if
+      // acceptance is decent; it must always be positive
+      assert(byK.forall(_.getAs[Long]("net_speedup_milli") > 0L))
+    }
+  }
+
+  // ---------------------------------------------------------------- q550
+
+  test("shuffle audit: hashing recovers the diversity clustering destroys") {
+    val rows = run("q550_shuffle_quality_audit").collect()
+    val byPolicy = rows.groupBy(_.getAs[String]("policy"))
+    assert(byPolicy.keySet == Set("clustered", "hashed"))
+    val cl = byPolicy("clustered").map(_.getAs[Long]("mean_distinct_sources_milli"))
+    val ha = byPolicy("hashed").map(_.getAs[Long]("mean_distinct_sources_milli"))
+    // per shard, hashed batches must see at least 2x the sources
+    assert(ha.min >= 2L * cl.max,
+      s"hashed ${ha.toSeq} should dominate clustered ${cl.toSeq}")
+    // batch counts match across policies per shard
+    assert(byPolicy("clustered").map(_.getAs[Long]("n_batches")).sum
+      == byPolicy("hashed").map(_.getAs[Long]("n_batches")).sum)
+  }
+
+  // ---------------------------------------------------------------- q551
+
+  test("AGM audit: actual <= AGM ceiling, wedges dominate triangles") {
+    val r = run("q551_agm_bound_audit").collect().head
+    val m = r.getAs[Long]("m")
+    val agm = r.getAs[Long]("agm_bound")
+    // the bound is exactly floor(m^1.5)
+    assert(agm * agm <= m * m * m && (agm + 1) * (agm + 1) > m * m * m)
+    // AGM is a worst-case ceiling: the real instance must respect it
+    assert(r.getAs[Long]("n_triangles") <= agm)
+    // every triangle closes a wedge
+    assert(r.getAs[Long]("n_triangles") <= r.getAs[Long]("wedges"))
+  }
+
   // ---------------------------------------------------------------- q548
 
   test("kNN noise: consensus and noise complementary, rates bounded") {

@@ -219,7 +219,10 @@ class QueriesSmokeSpec extends SparkSpec {
     // weight total is a one-row broadcast; q548 probes the broadcast 2%
     // sample (q25/q495's shape)
     "q546_kingman_queue_wait", "q547_class_balanced_weights",
-    "q548_knn_label_noise")
+    "q548_knn_label_noise",
+    // q549's 3-row draft-length grid on the per-source acceptance table;
+    // q551's triangle/edge/wedge scalars are one-row broadcasts
+    "q549_specdec_draft_length_sweep", "q551_agm_bound_audit")
 
   test("query constructors are lazy: warm construction launches zero jobs") {
     import org.apache.spark.scheduler.{SparkListener, SparkListenerJobStart}
