@@ -69,7 +69,8 @@ object SparkEntry {
     ScalingPlanQueries,
     PolicyPlanQueries,
     EnginePlanQueries,
-    CapacityPlanQueries)
+    CapacityPlanQueries,
+    OpsPlanQueries)
 
   private lazy val all: Seq[QueryDef] = groups.flatMap(_.defs)
 

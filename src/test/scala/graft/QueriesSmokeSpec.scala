@@ -222,7 +222,10 @@ class QueriesSmokeSpec extends SparkSpec {
     "q548_knn_label_noise",
     // q549's 3-row draft-length grid on the per-source acceptance table;
     // q551's triangle/edge/wedge scalars are one-row broadcasts
-    "q549_specdec_draft_length_sweep", "q551_agm_bound_audit")
+    "q549_specdec_draft_length_sweep", "q551_agm_bound_audit",
+    // q552's 3-row ratio grid + day-count total on the calendar-sized
+    // day table; q553's order/revenue totals are one-row broadcasts
+    "q552_newsvendor_stock_plan", "q553_corruption_blast_radius")
 
   test("query constructors are lazy: warm construction launches zero jobs") {
     import org.apache.spark.scheduler.{SparkListener, SparkListenerJobStart}
@@ -349,8 +352,10 @@ class QueriesSmokeSpec extends SparkSpec {
     "q70_mixture_sampling", "q90_revenue_share",
     // round-6: q528's cumulative CDF runs over the ≤ 1001-bin quantized
     // score histogram; q529's two lag windows run over the
-    // calendar-sized hour series (one row per observed hour)
-    "q528_best_of_n_quality_gain", "q529_autoscale_reactive_audit")
+    // calendar-sized hour series (one row per observed hour); q552's
+    // demand-quantile cumulative runs over the per-day demand table
+    "q528_best_of_n_quality_gain", "q529_autoscale_reactive_audit",
+    "q552_newsvendor_stock_plan")
 
   test("plan hygiene: no cartesian products, no unsanctioned nested loops, " +
     "no unsanctioned partition-less windows") {
