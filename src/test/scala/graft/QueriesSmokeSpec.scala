@@ -225,7 +225,11 @@ class QueriesSmokeSpec extends SparkSpec {
     "q549_specdec_draft_length_sweep", "q551_agm_bound_audit",
     // q552's 3-row ratio grid + day-count total on the calendar-sized
     // day table; q553's order/revenue totals are one-row broadcasts
-    "q552_newsvendor_stock_plan", "q553_corruption_blast_radius")
+    "q552_newsvendor_stock_plan", "q553_corruption_blast_radius",
+    // q555's 3-row capacity-factor grid lands on 256 routing cells;
+    // q556/q557 broadcast 3-row rate/threshold grids onto keyed series
+    "q555_moe_capacity_overflow", "q556_shaper_backlog_audit",
+    "q557_peeking_inflation_audit")
 
   test("query constructors are lazy: warm construction launches zero jobs") {
     import org.apache.spark.scheduler.{SparkListener, SparkListenerJobStart}
