@@ -70,7 +70,8 @@ object SparkEntry {
     PolicyPlanQueries,
     EnginePlanQueries,
     CapacityPlanQueries,
-    OpsPlanQueries)
+    OpsPlanQueries,
+    CensusPlanQueries)
 
   private lazy val all: Seq[QueryDef] = groups.flatMap(_.defs)
 
