@@ -71,7 +71,9 @@ object SparkEntry {
     EnginePlanQueries,
     CapacityPlanQueries,
     OpsPlanQueries,
-    CensusPlanQueries)
+    CensusPlanQueries,
+    ReliabilityPlanQueries,
+    InferencePlanQueries)
 
   private lazy val all: Seq[QueryDef] = groups.flatMap(_.defs)
 

@@ -229,7 +229,14 @@ class QueriesSmokeSpec extends SparkSpec {
     // q555's 3-row capacity-factor grid lands on 256 routing cells;
     // q556/q557 broadcast 3-row rate/threshold grids onto keyed series
     "q555_moe_capacity_overflow", "q556_shaper_backlog_audit",
-    "q557_peeking_inflation_audit")
+    "q557_peeking_inflation_audit",
+    // q563 re-enters the scan with ONE-ROW broadcast sides only (the
+    // (k+1)-th priority tau and the true total); the lit-key equi-join
+    // constant-folds to a trivially-true BNLJ, which is O(n) here
+    "q563_priority_sampling_audit",
+    // q564's ppm share divides the <=64x64 mixing cells by a one-row
+    // edge-total broadcast
+    "q564_degree_mixing_matrix")
 
   test("query constructors are lazy: warm construction launches zero jobs") {
     import org.apache.spark.scheduler.{SparkListener, SparkListenerJobStart}
@@ -359,7 +366,9 @@ class QueriesSmokeSpec extends SparkSpec {
     // calendar-sized hour series (one row per observed hour); q552's
     // demand-quantile cumulative runs over the per-day demand table
     "q528_best_of_n_quality_gain", "q529_autoscale_reactive_audit",
-    "q552_newsvendor_stock_plan")
+    "q552_newsvendor_stock_plan",
+    // q566's ranking window runs over exactly 32 replicate-mean rows
+    "q566_poisson_bootstrap_ci")
 
   test("plan hygiene: no cartesian products, no unsanctioned nested loops, " +
     "no unsanctioned partition-less windows") {
