@@ -73,7 +73,8 @@ object SparkEntry {
     OpsPlanQueries,
     CensusPlanQueries,
     ReliabilityPlanQueries,
-    InferencePlanQueries)
+    InferencePlanQueries,
+    ProjectionPlanQueries)
 
   private lazy val all: Seq[QueryDef] = groups.flatMap(_.defs)
 

@@ -236,7 +236,11 @@ class QueriesSmokeSpec extends SparkSpec {
     "q563_priority_sampling_audit",
     // q564's ppm share divides the <=64x64 mixing cells by a one-row
     // edge-total broadcast
-    "q564_degree_mixing_matrix")
+    "q564_degree_mixing_matrix",
+    // q567 measures distortion on a BOUNDED 20-probe panel (190 pairs,
+    // the q484 bounded-grid precedent) + a 3-row dim grid; q569's 3-row
+    // arm grid lands on the 32-cell (arm16 x half) table
+    "q567_jl_projection_distortion", "q569_winners_curse_audit")
 
   test("query constructors are lazy: warm construction launches zero jobs") {
     import org.apache.spark.scheduler.{SparkListener, SparkListenerJobStart}
