@@ -74,7 +74,8 @@ object SparkEntry {
     CensusPlanQueries,
     ReliabilityPlanQueries,
     InferencePlanQueries,
-    ProjectionPlanQueries)
+    ProjectionPlanQueries,
+    AccessPlanQueries)
 
   private lazy val all: Seq[QueryDef] = groups.flatMap(_.defs)
 

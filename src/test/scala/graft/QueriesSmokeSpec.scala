@@ -240,7 +240,12 @@ class QueriesSmokeSpec extends SparkSpec {
     // q567 measures distortion on a BOUNDED 20-probe panel (190 pairs,
     // the q484 bounded-grid precedent) + a 3-row dim grid; q569's 3-row
     // arm grid lands on the 32-cell (arm16 x half) table
-    "q567_jl_projection_distortion", "q569_winners_curse_audit")
+    "q567_jl_projection_distortion", "q569_winners_curse_audit",
+    // q570: 3-row cap grid + one-row population totals onto the scan;
+    // q571: 780 pairs of a 40-term TakeOrdered panel; q572: one-row
+    // query-vector broadcast (the q25 precedent) + two 10-row top-k sets
+    "q570_length_biased_ht_correction", "q571_posting_intersection_advisor",
+    "q572_maxsim_late_interaction")
 
   test("query constructors are lazy: warm construction launches zero jobs") {
     import org.apache.spark.scheduler.{SparkListener, SparkListenerJobStart}
