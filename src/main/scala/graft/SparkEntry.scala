@@ -75,7 +75,8 @@ object SparkEntry {
     ReliabilityPlanQueries,
     InferencePlanQueries,
     ProjectionPlanQueries,
-    AccessPlanQueries)
+    AccessPlanQueries,
+    SelectionPlanQueries)
 
   private lazy val all: Seq[QueryDef] = groups.flatMap(_.defs)
 

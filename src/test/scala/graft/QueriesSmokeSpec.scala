@@ -245,7 +245,9 @@ class QueriesSmokeSpec extends SparkSpec {
     // q571: 780 pairs of a 40-term TakeOrdered panel; q572: one-row
     // query-vector broadcast (the q25 precedent) + two 10-row top-k sets
     "q570_length_biased_ht_correction", "q571_posting_intersection_advisor",
-    "q572_maxsim_late_interaction")
+    "q572_maxsim_late_interaction",
+    // q574's 3-row band grid lands on the scan
+    "q574_cascade_routing_frontier")
 
   test("query constructors are lazy: warm construction launches zero jobs") {
     import org.apache.spark.scheduler.{SparkListener, SparkListenerJobStart}
@@ -376,8 +378,9 @@ class QueriesSmokeSpec extends SparkSpec {
     // demand-quantile cumulative runs over the per-day demand table
     "q528_best_of_n_quality_gain", "q529_autoscale_reactive_audit",
     "q552_newsvendor_stock_plan",
-    // q566's ranking window runs over exactly 32 replicate-mean rows
-    "q566_poisson_bootstrap_ci")
+    // q566's ranking window runs over exactly 32 replicate-mean rows;
+    // q573's IPF totals are global windows over the 25-cell raking table
+    "q566_poisson_bootstrap_ci", "q573_ipf_raking")
 
   test("plan hygiene: no cartesian products, no unsanctioned nested loops, " +
     "no unsanctioned partition-less windows") {
