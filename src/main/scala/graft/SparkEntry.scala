@@ -76,7 +76,8 @@ object SparkEntry {
     InferencePlanQueries,
     ProjectionPlanQueries,
     AccessPlanQueries,
-    SelectionPlanQueries)
+    SelectionPlanQueries,
+    EstimationPlanQueries)
 
   private lazy val all: Seq[QueryDef] = groups.flatMap(_.defs)
 

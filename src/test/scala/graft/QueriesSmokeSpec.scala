@@ -247,7 +247,10 @@ class QueriesSmokeSpec extends SparkSpec {
     "q570_length_biased_ht_correction", "q571_posting_intersection_advisor",
     "q572_maxsim_late_interaction",
     // q574's 3-row band grid lands on the scan
-    "q574_cascade_routing_frontier")
+    "q574_cascade_routing_frontier",
+    // q577: 3-row rate grid + one-row truth; q578: the <=8-factor one-row
+    // pivot broadcasts onto the handful of test cohorts
+    "q577_german_tank_estimate", "q578_chain_ladder_ltv")
 
   test("query constructors are lazy: warm construction launches zero jobs") {
     import org.apache.spark.scheduler.{SparkListener, SparkListenerJobStart}
@@ -379,8 +382,11 @@ class QueriesSmokeSpec extends SparkSpec {
     "q528_best_of_n_quality_gain", "q529_autoscale_reactive_audit",
     "q552_newsvendor_stock_plan",
     // q566's ranking window runs over exactly 32 replicate-mean rows;
-    // q573's IPF totals are global windows over the 25-cell raking table
-    "q566_poisson_bootstrap_ci", "q573_ipf_raking")
+    // q573's IPF totals are global windows over the 25-cell raking table;
+    // q576's moments run over 16 shard rows; q578's cutoff over the
+    // calendar-bounded (cohort, age) triangle
+    "q566_poisson_bootstrap_ci", "q573_ipf_raking",
+    "q576_control_variate_audit", "q578_chain_ladder_ltv")
 
   test("plan hygiene: no cartesian products, no unsanctioned nested loops, " +
     "no unsanctioned partition-less windows") {
