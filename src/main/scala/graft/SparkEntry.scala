@@ -77,7 +77,8 @@ object SparkEntry {
     ProjectionPlanQueries,
     AccessPlanQueries,
     SelectionPlanQueries,
-    EstimationPlanQueries)
+    EstimationPlanQueries,
+    FidelityPlanQueries)
 
   private lazy val all: Seq[QueryDef] = groups.flatMap(_.defs)
 

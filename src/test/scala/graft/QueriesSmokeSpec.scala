@@ -250,7 +250,10 @@ class QueriesSmokeSpec extends SparkSpec {
     "q574_cascade_routing_frontier",
     // q577: 3-row rate grid + one-row truth; q578: the <=8-factor one-row
     // pivot broadcasts onto the handful of test cohorts
-    "q577_german_tank_estimate", "q578_chain_ladder_ltv")
+    "q577_german_tank_estimate", "q578_chain_ladder_ltv",
+    // q579's 5-row sketch-depth grid lands on the vocabulary-sized term
+    // table; q580's corpus total is a one-row broadcast onto the cells
+    "q579_countsketch_bias_audit", "q580_hellinger_drift_census")
 
   test("query constructors are lazy: warm construction launches zero jobs") {
     import org.apache.spark.scheduler.{SparkListener, SparkListenerJobStart}
