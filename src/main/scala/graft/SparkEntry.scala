@@ -78,7 +78,8 @@ object SparkEntry {
     AccessPlanQueries,
     SelectionPlanQueries,
     EstimationPlanQueries,
-    FidelityPlanQueries)
+    FidelityPlanQueries,
+    ValuationPlanQueries)
 
   private lazy val all: Seq[QueryDef] = groups.flatMap(_.defs)
 

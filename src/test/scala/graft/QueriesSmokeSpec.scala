@@ -253,7 +253,12 @@ class QueriesSmokeSpec extends SparkSpec {
     "q577_german_tank_estimate", "q578_chain_ladder_ltv",
     // q579's 5-row sketch-depth grid lands on the vocabulary-sized term
     // table; q580's corpus total is a one-row broadcast onto the cells
-    "q579_countsketch_bias_audit", "q580_hellinger_drift_census")
+    "q579_countsketch_bias_audit", "q580_hellinger_drift_census",
+    // q582's located bin re-enters pass 2 as a one-row broadcast; q583
+    // broadcasts the 10-probe panel (q25 precedent); q584's slope /
+    // conformal thresholds are one-row / 3-row broadcasts onto the scan
+    "q582_two_pass_exact_median", "q583_knn_shapley_valuation",
+    "q584_conformal_coverage_audit")
 
   test("query constructors are lazy: warm construction launches zero jobs") {
     import org.apache.spark.scheduler.{SparkListener, SparkListenerJobStart}
@@ -389,7 +394,10 @@ class QueriesSmokeSpec extends SparkSpec {
     // q576's moments run over 16 shard rows; q578's cutoff over the
     // calendar-bounded (cohort, age) triangle
     "q566_poisson_bootstrap_ci", "q573_ipf_raking",
-    "q576_control_variate_audit", "q578_chain_ladder_ltv")
+    "q576_control_variate_audit", "q578_chain_ladder_ltv",
+    // q582's cumulatives run over <=1024 coarse bins and the <=65536
+    // cent values of ONE bin; q584's over the residual-value histogram
+    "q582_two_pass_exact_median", "q584_conformal_coverage_audit")
 
   test("plan hygiene: no cartesian products, no unsanctioned nested loops, " +
     "no unsanctioned partition-less windows") {
