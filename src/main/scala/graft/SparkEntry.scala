@@ -79,7 +79,8 @@ object SparkEntry {
     SelectionPlanQueries,
     EstimationPlanQueries,
     FidelityPlanQueries,
-    ValuationPlanQueries)
+    ValuationPlanQueries,
+    RobustnessPlanQueries)
 
   private lazy val all: Seq[QueryDef] = groups.flatMap(_.defs)
 

@@ -258,7 +258,11 @@ class QueriesSmokeSpec extends SparkSpec {
     // broadcasts the 10-probe panel (q25 precedent); q584's slope /
     // conformal thresholds are one-row / 3-row broadcasts onto the scan
     "q582_two_pass_exact_median", "q583_knn_shapley_valuation",
-    "q584_conformal_coverage_audit")
+    "q584_conformal_coverage_audit",
+    // q585/q586: 3-row and 39-cell grids onto one scan + one-row clean
+    // mean; q587: everything lives on the <=11 discount cells
+    "q585_estimator_breakdown_audit", "q586_quantile_regression_grid",
+    "q587_placebo_rd_audit")
 
   test("query constructors are lazy: warm construction launches zero jobs") {
     import org.apache.spark.scheduler.{SparkListener, SparkListenerJobStart}
