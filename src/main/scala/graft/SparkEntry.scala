@@ -80,7 +80,8 @@ object SparkEntry {
     EstimationPlanQueries,
     FidelityPlanQueries,
     ValuationPlanQueries,
-    RobustnessPlanQueries)
+    RobustnessPlanQueries,
+    CausalPlanQueries)
 
   private lazy val all: Seq[QueryDef] = groups.flatMap(_.defs)
 

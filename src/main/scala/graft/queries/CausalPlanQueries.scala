@@ -1,0 +1,372 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** Round-6 batch 16: observational-data machinery — confounded-logging
+  * recovery by stratification, pooling bias in retrieval evaluation,
+  * and local clustering structure. All outputs integers / strings with
+  * total ORDER BYs for the oracle gate.
+  */
+object CausalPlanQueries extends QueryGroup {
+
+  // ---------------------------------------------------------------- q588
+
+  /** Confounded-logging recovery audit: simulate a biased logging
+    * policy — treatment probability rises with the order's price
+    * decile (10%…82%, hash-deterministic) — on an outcome (net
+    * revenue) that ALSO rises with the decile, while the treatment
+    * itself does nothing. The naive treated-vs-control contrast then
+    * reports a large phantom effect (it reads the confounder);
+    * propensity stratification (the plug-in IPW) collapses it toward
+    * zero; and trimming the non-overlap deciles (propensity outside
+    * [10%, 90%]) documents the positivity price. The table every
+    * logged-policy analysis should produce before claiming an effect.
+    *
+    * Scale shape: deciles come from the q82 histogram discipline
+    * (cumulative window over the quantized value histogram, broadcast
+    * thresholds); everything else folds to 10 decile × 2 arm cells in
+    * one aggregate; estimators are arithmetic over those 20 cells. */
+  private val q588 = QueryDef(
+    "q588_confounded_logging_audit",
+    (spark, dir) => {
+      import graft.functions.Deterministic.cents
+      import graft.operators.Sampling
+      import org.apache.spark.sql.expressions.Window
+      val base = Tables.orders(spark, dir)
+        .select(cents(col("o_totalprice")).as("y"),
+          Sampling.keyHash(col("o_orderkey"), 2246822519L).as("h2"))
+      // price decile via the q82 histogram discipline: the cumulative
+      // runs over the VALUE histogram (value-resolution-bounded), never
+      // a corpus-sized row sort; ties share a bin-granular decile
+      val hist = base.groupBy(col("y")).agg(count(lit(1)).as("c"))
+        .withColumn("cum", sum(col("c")).over(Window.orderBy(col("y"))
+          .rowsBetween(Window.unboundedPreceding, 0)))
+        .withColumn("n_all", expr("sum(c) OVER ()"))
+        .select(col("y"),
+          expr("least((cum - c) * 10 div n_all, 9)").as("decile"))
+      val withD = base.join(hist, Seq("y"))
+      val cells = withD
+        .withColumn("t", expr(
+          "CASE WHEN (h2 div 4096) * 1000000 < (100000 + 80000 * decile) * 1048576 " +
+            "THEN 1 ELSE 0 END"))
+        .groupBy(col("decile"), col("t"))
+        .agg(count(lit(1)).as("n"), sum(col("y")).as("s"))
+        .persist()
+      val byD = cells.groupBy(col("decile")).agg(
+        sum(col("n")).as("n_d"),
+        expr("sum(CASE WHEN t = 1 THEN n ELSE 0 END)").as("nt"),
+        expr("sum(CASE WHEN t = 1 THEN s ELSE 0 END)").as("st"),
+        expr("sum(CASE WHEN t = 0 THEN n ELSE 0 END)").as("nc"),
+        expr("sum(CASE WHEN t = 0 THEN s ELSE 0 END)").as("sc"))
+        .withColumn("prop_ppm", expr("nt * 1000000 div n_d"))
+        .withColumn("gap_d", expr(
+          "st div greatest(nt, 1) - sc div greatest(nc, 1)"))
+        .persist()
+      val naive = cells.agg(expr(
+        """sum(CASE WHEN t = 1 THEN s ELSE 0 END)
+             div greatest(sum(CASE WHEN t = 1 THEN n ELSE 0 END), 1)
+         - sum(CASE WHEN t = 0 THEN s ELSE 0 END)
+             div greatest(sum(CASE WHEN t = 0 THEN n ELSE 0 END), 1)""")
+        .as("est"), expr("CAST(10 AS BIGINT)").as("n_deciles_used"))
+        .select(lit("naive").as("estimator"), col("est"), col("n_deciles_used"))
+      val strat = byD.agg(
+        expr("sum(n_d * gap_d) div sum(n_d)").as("est"),
+        count(lit(1)).as("n_deciles_used"))
+        .select(lit("stratified").as("estimator"), col("est"), col("n_deciles_used"))
+      val trimmed = byD
+        .filter(col("prop_ppm") >= 100000L && col("prop_ppm") <= 900000L)
+        .agg(expr("sum(n_d * gap_d) div sum(n_d)").as("est"),
+          count(lit(1)).as("n_deciles_used"))
+        .select(lit("stratified_trimmed").as("estimator"), col("est"),
+          col("n_deciles_used"))
+      naive.union(strat).union(trimmed)
+        .select(col("estimator"), col("est").as("est_diff_cents"),
+          col("n_deciles_used"))
+        .orderBy(col("estimator"))
+    },
+    Some("""
+      WITH base AS (
+        SELECT CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS y,
+          ((o_orderkey % 2147483648) * 2246822519) % 4294967296 AS h2
+        FROM orders),
+      hist AS (
+        SELECT y,
+          least((sum(c) OVER (ORDER BY y ROWS UNBOUNDED PRECEDING) - c)
+            * 10 // sum(c) OVER (), 9) AS decile
+        FROM (SELECT y, CAST(count(*) AS BIGINT) AS c FROM base GROUP BY y)),
+      wd AS (SELECT b.y, b.h2, h.decile FROM base b JOIN hist h USING (y)),
+      cells AS (
+        SELECT decile,
+          CASE WHEN (h2 // 4096) * 1000000
+            < (100000 + 80000 * decile) * 1048576 THEN 1 ELSE 0 END AS t,
+          CAST(count(*) AS BIGINT) AS n, CAST(sum(y) AS BIGINT) AS s
+        FROM wd GROUP BY 1, 2),
+      byd AS (
+        SELECT decile, CAST(sum(n) AS BIGINT) AS n_d,
+          CAST(sum(CASE WHEN t = 1 THEN n ELSE 0 END) AS BIGINT) AS nt,
+          CAST(sum(CASE WHEN t = 1 THEN s ELSE 0 END) AS BIGINT) AS st,
+          CAST(sum(CASE WHEN t = 0 THEN n ELSE 0 END) AS BIGINT) AS nc,
+          CAST(sum(CASE WHEN t = 0 THEN s ELSE 0 END) AS BIGINT) AS sc
+        FROM cells GROUP BY decile),
+      byd2 AS (
+        SELECT *, CAST(nt * 1000000 // n_d AS BIGINT) AS prop_ppm,
+          CAST(st // greatest(nt, 1) - sc // greatest(nc, 1) AS BIGINT) AS gap_d
+        FROM byd),
+      est AS (
+        SELECT 'naive' AS estimator,
+          CAST(sum(CASE WHEN t = 1 THEN s ELSE 0 END)
+              // greatest(sum(CASE WHEN t = 1 THEN n ELSE 0 END), 1)
+            - sum(CASE WHEN t = 0 THEN s ELSE 0 END)
+              // greatest(sum(CASE WHEN t = 0 THEN n ELSE 0 END), 1)
+            AS BIGINT) AS est_diff_cents,
+          CAST(10 AS BIGINT) AS n_deciles_used
+        FROM cells
+        UNION ALL
+        SELECT 'stratified',
+          CAST(sum(n_d * gap_d) // sum(n_d) AS BIGINT),
+          CAST(count(*) AS BIGINT)
+        FROM byd2
+        UNION ALL
+        SELECT 'stratified_trimmed',
+          CAST(sum(n_d * gap_d) // sum(n_d) AS BIGINT),
+          CAST(count(*) AS BIGINT)
+        FROM byd2 WHERE prop_ppm BETWEEN 100000 AND 900000)
+      SELECT estimator, est_diff_cents, n_deciles_used
+      FROM est ORDER BY estimator
+    """))
+
+  // ---------------------------------------------------------------- q589
+
+  /** Pooling-bias retrieval evaluation: judge two rankers — the flat
+    * dot product and MaxSim late interaction (q572's pair) — against
+    * (a) FULL same-label relevance and (b) a judgment pool built from
+    * only ONE system's top-10 (how real IR test collections are made
+    * when assessors are scarce). The pooling system keeps its measured
+    * precision; the un-pooled system's unique relevant hits are
+    * unjudged and silently counted wrong, so its pooled score drops —
+    * the bias that makes new systems look worse on old collections.
+    * Averaged over a 5-probe panel.
+    *
+    * Scale shape: both scores are one panel-broadcast pass (q572's
+    * expressions); top-10s are per-probe windows over TakeOrdered-
+    * bounded candidates; the final readout is arithmetic on 2×5
+    * (system, probe) cells. */
+  private val q589 = QueryDef(
+    "q589_pooling_bias_eval",
+    (spark, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val qv = "transform(embedding, x -> CAST(floor(x * 512 + 0.5) AS BIGINT))"
+      val base = Tables.embeddings(spark, dir)
+        .select(col("vec_id"), col("label").cast("long").as("label"),
+          expr(qv).as("v"))
+      val probes = base.filter(col("vec_id") < 5L)
+        .select(col("vec_id").as("pid"), col("label").as("plabel"), col("v").as("pv"))
+      val scored = base.filter(col("vec_id") >= 5L)
+        .crossJoin(broadcast(probes))
+        .select(col("pid"), col("vec_id"), col("plabel"),
+          when(col("label") === col("plabel"), 1L).otherwise(0L).as("rel"),
+          expr("""aggregate(sequence(1, 64), 0L, (s, t) -> s +
+              element_at(pv, t) * element_at(v, t))""").as("dot"),
+          expr("""aggregate(sequence(0, 3), 0L, (acc, j) -> acc +
+              array_max(slice(transform(sequence(0, 15), p ->
+                aggregate(sequence(1, 16), 0L, (s, t) -> s +
+                  element_at(pv, CAST((p div 4) * 16 + t AS INT))
+                  * element_at(v, (p % 4) * 16 + t))), j * 4 + 1, 4)))""")
+            .as("maxsim"))
+        .persist()
+      val byP = Window.partitionBy(col("pid"))
+      val ranked = scored
+        .withColumn("rk_dot", row_number().over(
+          byP.orderBy(col("dot").desc, col("vec_id"))))
+        .withColumn("rk_ms", row_number().over(
+          byP.orderBy(col("maxsim").desc, col("vec_id"))))
+        .filter(col("rk_dot") <= 10 || col("rk_ms") <= 10)
+      // the pool is DOT's top-10: a hit is judged-relevant only if
+      // relevant AND inside the pool
+      val marked = ranked
+        .withColumn("pooled_rel", expr("rel * CASE WHEN rk_dot <= 10 THEN 1 ELSE 0 END"))
+      val perSys = marked.agg(
+          sum(when(col("rk_dot") <= 10, col("rel")).otherwise(0L)).as("dot_full"),
+          sum(when(col("rk_dot") <= 10, col("pooled_rel")).otherwise(0L)).as("dot_pooled"),
+          sum(when(col("rk_ms") <= 10, col("rel")).otherwise(0L)).as("ms_full"),
+          sum(when(col("rk_ms") <= 10, col("pooled_rel")).otherwise(0L)).as("ms_pooled"),
+          countDistinct(col("pid")).as("n_probes"))
+      perSys.select(expr("""stack(2,
+          'dot', dot_full, dot_pooled,
+          'maxsim', ms_full, ms_pooled) AS (system, full_hits, pooled_hits)"""),
+          col("n_probes"))
+        .select(col("system"), col("n_probes"),
+          expr("full_hits * 1000000 div (n_probes * 10)").as("p10_full_ppm"),
+          expr("pooled_hits * 1000000 div (n_probes * 10)").as("p10_pooled_ppm"),
+          expr("(full_hits - pooled_hits) * 1000000 div (n_probes * 10)")
+            .as("pool_bias_ppm"))
+        .orderBy(col("system"))
+    },
+    Some("""
+      WITH base AS (
+        SELECT vec_id, CAST(label AS BIGINT) AS label,
+          list_transform(embedding, x -> CAST(floor(x * 512 + 0.5) AS BIGINT)) AS v
+        FROM embeddings),
+      probes AS (SELECT vec_id AS pid, label AS plabel, v AS pv
+                 FROM base WHERE vec_id < 5),
+      scored AS (
+        SELECT p.pid, b.vec_id,
+          CASE WHEN b.label = p.plabel THEN 1 ELSE 0 END AS rel,
+          CAST(list_sum(list_transform(range(1, 65), t ->
+            p.pv[CAST(t AS INTEGER)] * b.v[CAST(t AS INTEGER)])) AS BIGINT)
+            AS dot,
+          CAST(list_sum(list_transform(range(0, 4), j ->
+            list_max(list_slice(
+              list_transform(range(0, 16), q ->
+                CAST(list_sum(list_transform(range(1, 17), t ->
+                  p.pv[CAST((q // 4) * 16 + t AS INTEGER)]
+                  * b.v[CAST((q % 4) * 16 + t AS INTEGER)])) AS BIGINT)),
+              CAST(j * 4 + 1 AS INTEGER), CAST(j * 4 + 4 AS INTEGER)))))
+            AS BIGINT) AS maxsim
+        FROM base b CROSS JOIN probes p WHERE b.vec_id >= 5),
+      ranked AS (
+        SELECT *,
+          row_number() OVER (PARTITION BY pid ORDER BY dot DESC, vec_id)
+            AS rk_dot,
+          row_number() OVER (PARTITION BY pid ORDER BY maxsim DESC, vec_id)
+            AS rk_ms
+        FROM scored),
+      marked AS (
+        SELECT *, rel * CASE WHEN rk_dot <= 10 THEN 1 ELSE 0 END AS pooled_rel
+        FROM ranked WHERE rk_dot <= 10 OR rk_ms <= 10),
+      agg AS (
+        SELECT
+          CAST(sum(CASE WHEN rk_dot <= 10 THEN rel ELSE 0 END) AS BIGINT)
+            AS dot_full,
+          CAST(sum(CASE WHEN rk_dot <= 10 THEN pooled_rel ELSE 0 END) AS BIGINT)
+            AS dot_pooled,
+          CAST(sum(CASE WHEN rk_ms <= 10 THEN rel ELSE 0 END) AS BIGINT)
+            AS ms_full,
+          CAST(sum(CASE WHEN rk_ms <= 10 THEN pooled_rel ELSE 0 END) AS BIGINT)
+            AS ms_pooled,
+          CAST(count(DISTINCT pid) AS BIGINT) AS n_probes
+        FROM marked),
+      s AS (
+        SELECT 'dot' AS system, n_probes, dot_full AS full_hits,
+          dot_pooled AS pooled_hits FROM agg
+        UNION ALL SELECT 'maxsim', n_probes, ms_full, ms_pooled FROM agg)
+      SELECT system, n_probes,
+        CAST(full_hits * 1000000 // (n_probes * 10) AS BIGINT) AS p10_full_ppm,
+        CAST(pooled_hits * 1000000 // (n_probes * 10) AS BIGINT)
+          AS p10_pooled_ppm,
+        CAST((full_hits - pooled_hits) * 1000000 // (n_probes * 10) AS BIGINT)
+          AS pool_bias_ppm
+      FROM s ORDER BY system
+    """))
+
+  // ---------------------------------------------------------------- q590
+
+  /** Local clustering coefficient census on the supplier co-purchase
+    * BACKBONE (edges = top-quartile co-occurrence weights — the raw
+    * co-purchase graph is a near-clique at any TPC-H scale, so the
+    * weight threshold, read off the weight histogram and therefore
+    * self-normalizing across scale factors, is what leaves structure
+    * to measure): per node, LCC = triangles/C(deg,2) — how much of
+    * each supplier's neighborhood trades among itself — reported as a
+    * deciles-of-LCC histogram. Local structure is what global triangle
+    * counts hide: a high-triangle graph can still have hub nodes with
+    * near-zero local closure, and those hubs are where join-key skew
+    * and community-detection failure concentrate.
+    *
+    * Scale shape: the supplier projection is bounded by the supplier
+    * dimension (edges ≤ |S|²/2, with |S| ~10⁴ at TPC-H scale — the
+    * projection, not the order fact, is the working set); triangles
+    * per node come from the degree-ordered wedge join (the q exact-
+    * triangle discipline); the census lands on ≤ 11 LCC decile rows. */
+  private val q590 = QueryDef(
+    "q590_local_clustering_census",
+    (spark, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val pairs = Tables.orders(spark, dir)
+        .filter(col("o_orderdate") >= "1995-01-01" && col("o_orderdate") < "1996-01-01")
+        .select(col("o_orderkey").as("ok"))
+        .join(Tables.lineitem(spark, dir)
+          .select(col("l_orderkey").as("ok"), col("l_suppkey").as("s")), Seq("ok"))
+        .select(col("ok"), col("s")).distinct()
+      // the raw co-purchase graph is a near-clique at any TPC-H scale —
+      // keep only the BACKBONE (top-quartile co-occurrence weights, the
+      // threshold from the weight histogram so it self-normalizes
+      // across scale factors) or LCC degenerates to 1 everywhere
+      val weighted = pairs.as("a").join(pairs.as("b"),
+          col("a.ok") === col("b.ok") && col("a.s") < col("b.s"))
+        .groupBy(col("a.s").as("u"), col("b.s").as("v"))
+        .agg(count(lit(1)).as("w")).persist()
+      val thr = weighted.groupBy(col("w")).agg(count(lit(1)).as("c"))
+        .withColumn("cum", sum(col("c")).over(Window.orderBy(col("w"))
+          .rowsBetween(Window.unboundedPreceding, 0)))
+        .withColumn("np", expr("sum(c) OVER ()"))
+        .filter(expr("cum * 4 >= 3 * np"))
+        .agg(min(col("w")).as("w_thr"))
+      val edges = weighted.crossJoin(broadcast(thr))
+        .filter(col("w") >= col("w_thr"))
+        .select(col("u"), col("v")).persist()
+      val sym = edges.union(edges.select(col("v").as("u"), col("u").as("v")))
+      val deg = sym.groupBy(col("u")).agg(count(lit(1)).as("d"))
+      // triangles per node: for each wedge (u-v, u-w) with v < w, check
+      // the closing edge (v, w); every triangle is counted once per node
+      val wedges = sym.as("e1").join(sym.as("e2"),
+          col("e1.u") === col("e2.u") && col("e1.v") < col("e2.v"))
+        .select(col("e1.u").as("u"), col("e1.v").as("x"), col("e2.v").as("y"))
+      val tri = wedges.join(edges.select(col("u").as("x"), col("v").as("y")),
+          Seq("x", "y"))
+        .groupBy(col("u")).agg(count(lit(1)).as("t"))
+      val lcc = deg.join(tri, Seq("u"), "left")
+        .select(col("u"), col("d"),
+          coalesce(col("t"), lit(0L)).as("t"))
+        .filter(col("d") >= 2L)
+        .select(col("u"),
+          expr("t * 2000 div (d * (d - 1))").as("lcc_milli"))
+      lcc.groupBy(expr("least(lcc_milli div 100, 10)").as("lcc_decile"))
+        .agg(count(lit(1)).as("n_nodes"),
+          expr("sum(lcc_milli) div count(1)").as("avg_lcc_milli"))
+        .orderBy(col("lcc_decile"))
+    },
+    Some("""
+      WITH pairs AS (
+        SELECT DISTINCT o.o_orderkey AS ok, l.l_suppkey AS s
+        FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+        WHERE o.o_orderdate >= TIMESTAMP '1995-01-01'
+          AND o.o_orderdate < TIMESTAMP '1996-01-01'),
+      weighted AS (
+        SELECT a.s AS u, b.s AS v, CAST(count(*) AS BIGINT) AS w
+        FROM pairs a JOIN pairs b ON a.ok = b.ok AND a.s < b.s
+        GROUP BY 1, 2),
+      thr AS (
+        SELECT CAST(min(w) AS BIGINT) AS w_thr
+        FROM (SELECT w,
+                sum(c) OVER (ORDER BY w ROWS UNBOUNDED PRECEDING) AS cum,
+                sum(c) OVER () AS np
+              FROM (SELECT w, CAST(count(*) AS BIGINT) AS c
+                    FROM weighted GROUP BY w))
+        WHERE cum * 4 >= 3 * np),
+      edges AS (
+        SELECT u, v FROM weighted CROSS JOIN thr WHERE w >= w_thr),
+      sym AS (SELECT u, v FROM edges UNION ALL SELECT v, u FROM edges),
+      deg AS (SELECT u, CAST(count(*) AS BIGINT) AS d FROM sym GROUP BY u),
+      wedges AS (
+        SELECT e1.u, e1.v AS x, e2.v AS y
+        FROM sym e1 JOIN sym e2 ON e1.u = e2.u AND e1.v < e2.v),
+      tri AS (
+        SELECT w.u, CAST(count(*) AS BIGINT) AS t
+        FROM wedges w JOIN edges e ON e.u = w.x AND e.v = w.y
+        GROUP BY w.u),
+      lcc AS (
+        SELECT deg.u,
+          CAST(coalesce(t, 0) * 2000 // (d * (d - 1)) AS BIGINT) AS lcc_milli
+        FROM deg LEFT JOIN tri USING (u)
+        WHERE d >= 2)
+      SELECT least(lcc_milli // 100, 10) AS lcc_decile,
+        CAST(count(*) AS BIGINT) AS n_nodes,
+        CAST(sum(lcc_milli) // count(*) AS BIGINT) AS avg_lcc_milli
+      FROM lcc GROUP BY 1 ORDER BY 1
+    """))
+
+  def defs: Seq[QueryDef] = Seq(q588, q589, q590)
+}

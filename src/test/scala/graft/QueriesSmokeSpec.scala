@@ -262,7 +262,10 @@ class QueriesSmokeSpec extends SparkSpec {
     // q585/q586: 3-row and 39-cell grids onto one scan + one-row clean
     // mean; q587: everything lives on the <=11 discount cells
     "q585_estimator_breakdown_audit", "q586_quantile_regression_grid",
-    "q587_placebo_rd_audit")
+    "q587_placebo_rd_audit",
+    // q589 broadcasts the 5-probe panel (q25 precedent); q590's backbone
+    // threshold is a one-row broadcast onto the weighted edge list
+    "q589_pooling_bias_eval", "q590_local_clustering_census")
 
   test("query constructors are lazy: warm construction launches zero jobs") {
     import org.apache.spark.scheduler.{SparkListener, SparkListenerJobStart}
@@ -400,8 +403,11 @@ class QueriesSmokeSpec extends SparkSpec {
     "q566_poisson_bootstrap_ci", "q573_ipf_raking",
     "q576_control_variate_audit", "q578_chain_ladder_ltv",
     // q582's cumulatives run over <=1024 coarse bins and the <=65536
-    // cent values of ONE bin; q584's over the residual-value histogram
-    "q582_two_pass_exact_median", "q584_conformal_coverage_audit")
+    // cent values of ONE bin; q584's over the residual-value histogram;
+    // q588's decile thresholds over the order-value histogram (q82);
+    // q590's backbone threshold over the co-occurrence weight histogram
+    "q582_two_pass_exact_median", "q584_conformal_coverage_audit",
+    "q588_confounded_logging_audit", "q590_local_clustering_census")
 
   test("plan hygiene: no cartesian products, no unsanctioned nested loops, " +
     "no unsanctioned partition-less windows") {
