@@ -81,7 +81,8 @@ object SparkEntry {
     FidelityPlanQueries,
     ValuationPlanQueries,
     RobustnessPlanQueries,
-    CausalPlanQueries)
+    CausalPlanQueries,
+    TopologyPlanQueries)
 
   private lazy val all: Seq[QueryDef] = groups.flatMap(_.defs)
 

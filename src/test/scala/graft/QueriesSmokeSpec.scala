@@ -265,7 +265,10 @@ class QueriesSmokeSpec extends SparkSpec {
     "q587_placebo_rd_audit",
     // q589 broadcasts the 5-probe panel (q25 precedent); q590's backbone
     // threshold is a one-row broadcast onto the weighted edge list
-    "q589_pooling_bias_eval", "q590_local_clustering_census")
+    "q589_pooling_bias_eval", "q590_local_clustering_census",
+    // q592/q593 reuse the backbone's one-row threshold broadcast; q593
+    // adds 3-row club cutoffs and one-row graph totals
+    "q592_percolation_robustness", "q593_rich_club_coefficient")
 
   test("query constructors are lazy: warm construction launches zero jobs") {
     import org.apache.spark.scheduler.{SparkListener, SparkListenerJobStart}
@@ -301,6 +304,9 @@ class QueriesSmokeSpec extends SparkSpec {
       // q411/q415 localCheckpoint their edge lists (q75's pattern) so
       // the unrolled LPA/HITS rounds never rebuild the join
       "q411_lpa_communities", "q415_hits_hub_authority",
+      // q592 runs q56's iterate-to-fixpoint connected components on the
+      // bounded percolated backbone (localCheckpoint per round)
+      "q592_percolation_robustness",
       // q466 builds the IVF index (centroid collect, the q32 pattern)
       "q466_ivf_cell_balance",
       // q484 collects the bounded 20-candidate MMR grid (the q32
@@ -407,7 +413,12 @@ class QueriesSmokeSpec extends SparkSpec {
     // q588's decile thresholds over the order-value histogram (q82);
     // q590's backbone threshold over the co-occurrence weight histogram
     "q582_two_pass_exact_median", "q584_conformal_coverage_audit",
-    "q588_confounded_logging_audit", "q590_local_clustering_census")
+    "q588_confounded_logging_audit", "q590_local_clustering_census",
+    // q591's DRF capacities/denominators over 20 tenant rows; q592/q593
+    // reuse q590's weight-histogram threshold window (q593 also cuts on
+    // the degree histogram)
+    "q591_drf_allocation_plan", "q592_percolation_robustness",
+    "q593_rich_club_coefficient")
 
   test("plan hygiene: no cartesian products, no unsanctioned nested loops, " +
     "no unsanctioned partition-less windows") {
