@@ -82,7 +82,8 @@ object SparkEntry {
     ValuationPlanQueries,
     RobustnessPlanQueries,
     CausalPlanQueries,
-    TopologyPlanQueries)
+    TopologyPlanQueries,
+    ProtocolPlanQueries)
 
   private lazy val all: Seq[QueryDef] = groups.flatMap(_.defs)
 

@@ -268,7 +268,10 @@ class QueriesSmokeSpec extends SparkSpec {
     "q589_pooling_bias_eval", "q590_local_clustering_census",
     // q592/q593 reuse the backbone's one-row threshold broadcast; q593
     // adds 3-row club cutoffs and one-row graph totals
-    "q592_percolation_robustness", "q593_rich_club_coefficient")
+    "q592_percolation_robustness", "q593_rich_club_coefficient",
+    // q594's 3-rate grid lands on 16 client rows; q596's merge bound is
+    // a one-row broadcast onto the 10-row audited panel
+    "q594_secure_agg_dropout", "q596_mergeable_topk_audit")
 
   test("query constructors are lazy: warm construction launches zero jobs") {
     import org.apache.spark.scheduler.{SparkListener, SparkListenerJobStart}
@@ -418,7 +421,9 @@ class QueriesSmokeSpec extends SparkSpec {
     // reuse q590's weight-histogram threshold window (q593 also cuts on
     // the degree histogram)
     "q591_drf_allocation_plan", "q592_percolation_robustness",
-    "q593_rich_club_coefficient")
+    "q593_rich_club_coefficient",
+    // q595's decile thresholds over the order-value histogram (q82)
+    "q595_front_door_adjustment")
 
   test("plan hygiene: no cartesian products, no unsanctioned nested loops, " +
     "no unsanctioned partition-less windows") {
