@@ -83,7 +83,8 @@ object SparkEntry {
     RobustnessPlanQueries,
     CausalPlanQueries,
     TopologyPlanQueries,
-    ProtocolPlanQueries)
+    ProtocolPlanQueries,
+    DecisionPlanQueries)
 
   private lazy val all: Seq[QueryDef] = groups.flatMap(_.defs)
 

@@ -271,7 +271,12 @@ class QueriesSmokeSpec extends SparkSpec {
     "q592_percolation_robustness", "q593_rich_club_coefficient",
     // q594's 3-rate grid lands on 16 client rows; q596's merge bound is
     // a one-row broadcast onto the 10-row audited panel
-    "q594_secure_agg_dropout", "q596_mergeable_topk_audit")
+    "q594_secure_agg_dropout", "q596_mergeable_topk_audit",
+    // q597's 3-regime grid onto the threshold cells; q598 broadcasts the
+    // 10-row centroid table (q25 precedent); q599's 2-row alpha grid
+    // onto ~80 month cells
+    "q597_cost_threshold_chooser", "q598_nearest_centroid_confusion",
+    "q599_dp_geometric_utility")
 
   test("query constructors are lazy: warm construction launches zero jobs") {
     import org.apache.spark.scheduler.{SparkListener, SparkListenerJobStart}
@@ -422,8 +427,9 @@ class QueriesSmokeSpec extends SparkSpec {
     // the degree histogram)
     "q591_drf_allocation_plan", "q592_percolation_robustness",
     "q593_rich_club_coefficient",
-    // q595's decile thresholds over the order-value histogram (q82)
-    "q595_front_door_adjustment")
+    // q595's decile thresholds over the order-value histogram (q82);
+    // q597's confusion cumulatives over the <= ~80 length buckets
+    "q595_front_door_adjustment", "q597_cost_threshold_chooser")
 
   test("plan hygiene: no cartesian products, no unsanctioned nested loops, " +
     "no unsanctioned partition-less windows") {
