@@ -107,8 +107,15 @@ object CapacityPlanQueries extends QueryGroup {
     * literals (computed once at plan build, identical in both engines)
     * and each row multiplies the constants for its n's set bits with
     * ppm truncation per step — bit-identical everywhere, no pow().
+    * The ten set-bit steps chain through ten NAMED columns (bp0..bp9,
+    * each referencing its predecessor exactly once — the q549 linear
+    * pattern), not a nested fold: a fold that embeds the accumulator
+    * in both CASE branches doubles the expression per level, and ten
+    * levels is a 2¹⁰-leaf, ~87 KB expression both engines must parse
+    * and codegen (measured: that compile bomb, not data, made the
+    * round-6 form the suite's slowest query at 9.85 s).
     *
-    * Scale shape: one per-label count, ten-branch scalar projection,
+    * Scale shape: one per-label count, ten linear scalar steps,
     * one-row weight-total broadcast for normalization. */
   private val q547 = QueryDef(
     "q547_class_balanced_weights",
@@ -117,15 +124,19 @@ object CapacityPlanQueries extends QueryGroup {
         math.round(math.pow(0.999, math.pow(2.0, i.toDouble)) * 1e6)
       }
       // p = β^min(n,1023) in ppm via set-bit product, truncating per step
-      val chain = (0 until 10).foldLeft("CAST(1000000 AS BIGINT)") { (acc, i) =>
-        s"(CASE WHEN nc % ${1L << (i + 1)} >= ${1L << i} " +
-          s"THEN ($acc * ${betaPow(i)}) div 1000000 ELSE $acc END)"
-      }
-      val counts = Tables.embeddings(spark, dir)
+      val base = Tables.embeddings(spark, dir)
         .groupBy(col("label").cast("long").as("label"))
         .agg(count(lit(1)).as("n_vectors"))
         .withColumn("nc", expr("least(n_vectors, 1023)"))
-        .withColumn("beta_pow_ppm", expr(chain))
+        .withColumn("bp0", expr(
+          s"CASE WHEN nc % 2 >= 1 THEN (CAST(1000000 AS BIGINT) * ${betaPow(0)}) " +
+            "div 1000000 ELSE CAST(1000000 AS BIGINT) END"))
+      val counts = (1 until 10).foldLeft(base) { (df, i) =>
+        df.withColumn(s"bp$i", expr(
+          s"CASE WHEN nc % ${1L << (i + 1)} >= ${1L << i} " +
+            s"THEN (bp${i - 1} * ${betaPow(i)}) div 1000000 ELSE bp${i - 1} END"))
+      }
+        .withColumn("beta_pow_ppm", col("bp9"))
         .withColumn("eff_number_milli", expr("1000000 - beta_pow_ppm"))
         .withColumn("raw_w", expr("1000000000 div greatest(eff_number_milli, 1)"))
       val tot = counts.agg(sum(col("raw_w")).as("wt"))
@@ -139,18 +150,27 @@ object CapacityPlanQueries extends QueryGroup {
       val betaPow: IndexedSeq[Long] = (0 until 10).map { i =>
         math.round(math.pow(0.999, math.pow(2.0, i.toDouble)) * 1e6)
       }
-      val chain = (0 until 10).foldLeft("CAST(1000000 AS BIGINT)") { (acc, i) =>
-        s"(CASE WHEN nc % ${1L << (i + 1)} >= ${1L << i} " +
-          s"THEN ($acc * ${betaPow(i)}) // 1000000 ELSE $acc END)"
-      }
+      // ten-step CTE chain mirroring the ten named columns: each step
+      // references its predecessor ONCE, so the SQL stays linear too
+      val steps = (1 until 10).map { i =>
+        s"""s$i AS (SELECT * REPLACE (
+             CAST(CASE WHEN nc % ${1L << (i + 1)} >= ${1L << i}
+               THEN (bp * ${betaPow(i)}) // 1000000 ELSE bp END AS BIGINT)
+             AS bp) FROM s${i - 1})"""
+      }.mkString(",\n      ")
       s"""
       WITH counts AS (
         SELECT CAST(label AS BIGINT) AS label,
           CAST(count(*) AS BIGINT) AS n_vectors
         FROM embeddings GROUP BY label),
       c2 AS (SELECT *, least(n_vectors, 1023) AS nc FROM counts),
-      p AS (SELECT label, n_vectors, CAST($chain AS BIGINT) AS beta_pow_ppm
-            FROM c2),
+      s0 AS (SELECT *,
+          CAST(CASE WHEN nc % 2 >= 1
+            THEN (CAST(1000000 AS BIGINT) * ${betaPow(0)}) // 1000000
+            ELSE CAST(1000000 AS BIGINT) END AS BIGINT) AS bp
+        FROM c2),
+      $steps,
+      p AS (SELECT label, n_vectors, bp AS beta_pow_ppm FROM s9),
       e AS (
         SELECT *, 1000000 - beta_pow_ppm AS eff_number_milli,
           1000000000 // greatest(1000000 - beta_pow_ppm, 1) AS raw_w
@@ -165,16 +185,26 @@ object CapacityPlanQueries extends QueryGroup {
   // ---------------------------------------------------------------- q548
 
   /** kNN label-noise census (confident-learning's neighborhood form):
-    * for a 2% hash sample of vectors, find each probe's exact 5 nearest
-    * neighbors by quantized cosine and count how many share its label —
-    * a label whose neighborhoods disagree with it is either noisy or
-    * genuinely overlapping, and its consensus ppm is the cleaning
-    * budget's target order. q137 scores CLUSTER purity around learned
-    * centroids; this scores the raw metric neighborhoods.
+    * for a FIXED 64-probe panel (the hash-smallest vec_ids — the same
+    * probes at every scale factor and on every engine), find each
+    * probe's exact 5 nearest neighbors by quantized cosine and count
+    * how many share its label — a label whose neighborhoods disagree
+    * with it is either noisy or genuinely overlapping, and its
+    * consensus ppm is the cleaning budget's target order. q137 scores
+    * CLUSTER purity around learned centroids; this scores the raw
+    * metric neighborhoods.
     *
-    * Scale shape: q25/q495's broadcast-probe pattern — corpus × |2%
-    * sample| codegen'd cosines, top-5 per probe via a probe-partitioned
-    * rank, label-sized rollup. */
+    * Scale shape: q25/q495's broadcast-probe pattern with a fixed probe
+    * BUDGET, not a fraction (a 2% sample grows candidate pairs as
+    * N²/50 — quadratic; 64 probes keep the pair count linear in N).
+    * The probe panel itself is a bounded-heap top-k over the key hash
+    * (≤64 rows cross the shuffle), and top-5-per-probe is the
+    * [[graft.functions.TopKPairs]] bounded-heap aggregate — map-side
+    * partials carry ≤5 rows per probe into the exchange, never a
+    * corpus-sized window partition. Neighbor label agreement rides in
+    * the heap id's low bit (id = vec_id·2 + agree, monotone in vec_id,
+    * so ties still break by vec_id exactly like the oracle's
+    * row_number). */
   private val q548 = QueryDef(
     "q548_knn_label_noise",
     (spark, dir) => {
@@ -184,23 +214,31 @@ object CapacityPlanQueries extends QueryGroup {
             .as("qv"))
         .withColumn("nsq", expr("aggregate(qv, 0L, (a, x) -> a + x * x)"))
         .filter(col("nsq") > 0L)
+      val probeIds = vecs
+        .agg(graft.functions.TopKAggregate.topk_pairs(
+          -graft.operators.Sampling.keyHash(col("vec_id")).cast("double"),
+          col("vec_id"), 64).as("top"))
+        .select(explode(col("top")).as("t"))
+        .select(col("t").getField("id").as("p_id"))
       val probes = vecs
-        .filter(graft.operators.Sampling.keyHash(col("vec_id")) % 10000L < 200L)
-        .select(col("vec_id").as("p_id"), col("label").as("p_label"),
+        .join(broadcast(probeIds), col("vec_id") === col("p_id"))
+        .select(col("p_id"), col("label").as("p_label"),
           col("qv").as("p_qv"), col("nsq").as("p_nsq"))
-      val byProbe = Window.partitionBy(col("p_id"))
-        .orderBy(col("cos_milli").desc, col("vec_id"))
       vecs.join(broadcast(probes), col("vec_id") =!= col("p_id"))
         .withColumn("dot",
           expr("aggregate(zip_with(qv, p_qv, (a, b) -> a * b), 0L, (a, x) -> a + x)"))
         .withColumn("cos_milli", expr(
           "CAST(floor(CAST(dot AS DOUBLE) / sqrt(CAST(nsq AS DOUBLE)" +
             " * CAST(p_nsq AS DOUBLE)) * 1000 + 0.5) AS BIGINT)"))
-        .withColumn("rk", row_number().over(byProbe))
-        .filter(col("rk") <= 5)
         .groupBy(col("p_id"), col("p_label"))
-        .agg(sum(when(col("label") === col("p_label"), 1L).otherwise(0L))
-          .as("agree"))
+        .agg(graft.functions.TopKAggregate.topk_pairs(
+          col("cos_milli").cast("double"),
+          col("vec_id") * lit(2L) +
+            when(col("label") === col("p_label"), 1L).otherwise(0L),
+          5).as("top5"))
+        .select(col("p_id"), col("p_label"),
+          expr("CAST(size(filter(top5, e -> e.id % 2 = 1)) AS BIGINT)")
+            .as("agree"))
         .groupBy(col("p_label"))
         .agg(count(lit(1)).as("n_probes"), sum(col("agree")).as("agree_total"))
         .select(col("p_label").as("label"), col("n_probes"),
@@ -223,7 +261,8 @@ object CapacityPlanQueries extends QueryGroup {
       probes AS (
         SELECT vec_id AS p_id, label AS p_label, qv AS p_qv, nsq AS p_nsq
         FROM nn
-        WHERE (vec_id % 2147483648) * 2654435761 % 4294967296 % 10000 < 200),
+        ORDER BY (vec_id % 2147483648) * 2654435761 % 4294967296, vec_id
+        LIMIT 64),
       s AS (
         SELECT p.p_id, p.p_label, nn.label,
           row_number() OVER (PARTITION BY p.p_id ORDER BY

@@ -150,13 +150,20 @@ object CausalPlanQueries extends QueryGroup {
     * Averaged over a 5-probe panel.
     *
     * Scale shape: both scores are one panel-broadcast pass (q572's
-    * expressions); top-10s are per-probe windows over TakeOrdered-
-    * bounded candidates; the final readout is arithmetic on 2×5
-    * (system, probe) cells. */
+    * expressions); both per-probe top-10s come from the
+    * [[graft.functions.TopKPairs]] bounded-heap aggregate in a SINGLE
+    * groupBy pass — map-side partials carry ≤10 rows per (probe,
+    * ranking) into the exchange, never a corpus-sized window partition
+    * (the round-6 form ranked the full scored corpus inside each of 5
+    * probe partitions, twice). Neighbor relevance rides in the heap
+    * id's low bit (id = vec_id·2 + rel, monotone in vec_id, so ties
+    * break by vec_id exactly like the oracle's row_number), and the
+    * pool test is an array-membership check between the two ≤10-entry
+    * top lists. The final readout is arithmetic on 2×5 (system, probe)
+    * cells. */
   private val q589 = QueryDef(
     "q589_pooling_bias_eval",
     (spark, dir) => {
-      import org.apache.spark.sql.expressions.Window
       val qv = "transform(embedding, x -> CAST(floor(x * 512 + 0.5) AS BIGINT))"
       val base = Tables.embeddings(spark, dir)
         .select(col("vec_id"), col("label").cast("long").as("label"),
@@ -175,24 +182,30 @@ object CausalPlanQueries extends QueryGroup {
                   element_at(pv, CAST((p div 4) * 16 + t AS INT))
                   * element_at(v, (p % 4) * 16 + t))), j * 4 + 1, 4)))""")
             .as("maxsim"))
-        .persist()
-      val byP = Window.partitionBy(col("pid"))
-      val ranked = scored
-        .withColumn("rk_dot", row_number().over(
-          byP.orderBy(col("dot").desc, col("vec_id"))))
-        .withColumn("rk_ms", row_number().over(
-          byP.orderBy(col("maxsim").desc, col("vec_id"))))
-        .filter(col("rk_dot") <= 10 || col("rk_ms") <= 10)
+      // both rankings' top-10s in ONE bounded-heap pass (≤10 rows per
+      // probe per ranking cross the shuffle); rel packed into the id
+      val packed = col("vec_id") * lit(2L) + col("rel")
+      val top = scored.groupBy(col("pid")).agg(
+        graft.functions.TopKAggregate.topk_pairs(
+          col("dot").cast("double"), packed, 10).as("top_dot"),
+        graft.functions.TopKAggregate.topk_pairs(
+          col("maxsim").cast("double"), packed, 10).as("top_ms"))
       // the pool is DOT's top-10: a hit is judged-relevant only if
-      // relevant AND inside the pool
-      val marked = ranked
-        .withColumn("pooled_rel", expr("rel * CASE WHEN rk_dot <= 10 THEN 1 ELSE 0 END"))
-      val perSys = marked.agg(
-          sum(when(col("rk_dot") <= 10, col("rel")).otherwise(0L)).as("dot_full"),
-          sum(when(col("rk_dot") <= 10, col("pooled_rel")).otherwise(0L)).as("dot_pooled"),
-          sum(when(col("rk_ms") <= 10, col("rel")).otherwise(0L)).as("ms_full"),
-          sum(when(col("rk_ms") <= 10, col("pooled_rel")).otherwise(0L)).as("ms_pooled"),
-          countDistinct(col("pid")).as("n_probes"))
+      // relevant AND inside the pool (dot's pooled == dot's full)
+      val perSys = top.select(
+          expr("CAST(size(filter(top_dot, e -> e.id % 2 = 1)) AS BIGINT)")
+            .as("dot_rel"),
+          expr("CAST(size(filter(top_ms, e -> e.id % 2 = 1)) AS BIGINT)")
+            .as("ms_rel"),
+          expr("""CAST(size(filter(top_ms, e -> e.id % 2 = 1 AND
+              array_contains(transform(top_dot, x -> x.id), e.id)))
+            AS BIGINT)""").as("ms_in_pool"))
+        .agg(
+          sum(col("dot_rel")).as("dot_full"),
+          sum(col("dot_rel")).as("dot_pooled"),
+          sum(col("ms_rel")).as("ms_full"),
+          sum(col("ms_in_pool")).as("ms_pooled"),
+          count(lit(1)).as("n_probes"))
       perSys.select(expr("""stack(2,
           'dot', dot_full, dot_pooled,
           'maxsim', ms_full, ms_pooled) AS (system, full_hits, pooled_hits)"""),
@@ -278,8 +291,10 @@ object CausalPlanQueries extends QueryGroup {
     * Scale shape: the supplier projection is bounded by the supplier
     * dimension (edges ≤ |S|²/2, with |S| ~10⁴ at TPC-H scale — the
     * projection, not the order fact, is the working set); triangles
-    * per node come from the degree-ordered wedge join (the q exact-
-    * triangle discipline); the census lands on ≤ 11 LCC decile rows. */
+    * per node come from the degree-ordered oriented wedge join (the
+    * q95 exact-triangle discipline: orient low→high by (degree, id),
+    * count each triangle once at its apex, explode the 3 endpoints for
+    * per-node credit); the census lands on ≤ 11 LCC decile rows. */
   private val q590 = QueryDef(
     "q590_local_clustering_census",
     (spark, dir) => {
@@ -309,13 +324,30 @@ object CausalPlanQueries extends QueryGroup {
         .select(col("u"), col("v")).persist()
       val sym = edges.union(edges.select(col("v").as("u"), col("u").as("v")))
       val deg = sym.groupBy(col("u")).agg(count(lit(1)).as("d"))
-      // triangles per node: for each wedge (u-v, u-w) with v < w, check
-      // the closing edge (v, w); every triangle is counted once per node
-      val wedges = sym.as("e1").join(sym.as("e2"),
-          col("e1.u") === col("e2.u") && col("e1.v") < col("e2.v"))
-        .select(col("e1.u").as("u"), col("e1.v").as("x"), col("e2.v").as("y"))
-      val tri = wedges.join(edges.select(col("u").as("x"), col("v").as("y")),
-          Seq("x", "y"))
+      // triangles per node via the q95 degree-ordered discipline: orient
+      // each edge low→high by (degree, id) so out-degree is O(√m) and
+      // wedges are bounded at O(m^1.5) — an UNORIENTED wedge join
+      // enumerates Σ C(deg,2), which one high-degree hub blows up to
+      // O(deg²) rows from a single key. Each triangle survives as
+      // exactly ONE matched wedge (apex = its (degree, id)-smallest
+      // node); exploding the 3 endpoints then credits every node once
+      // per incident triangle — 3·Δ rows, vastly fewer than Σ deg².
+      val oriented = edges
+        .join(deg.select(col("u"), col("d").as("du")), Seq("u"))
+        .join(deg.select(col("u").as("v"), col("d").as("dv")), Seq("v"))
+        .select(
+          when(struct(col("du"), col("u")) < struct(col("dv"), col("v")),
+            col("u")).otherwise(col("v")).as("u"),
+          when(struct(col("du"), col("u")) < struct(col("dv"), col("v")),
+            col("v")).otherwise(col("u")).as("v"))
+        .persist()
+      val wedges = oriented.as("e1")
+        .join(oriented.as("e2"), col("e1.u") === col("e2.u")
+          && col("e1.v") =!= col("e2.v"))
+        .select(col("e1.u").as("apex"), col("e1.v").as("x"), col("e2.v").as("y"))
+      val tri = wedges
+        .join(oriented.select(col("u").as("x"), col("v").as("y")), Seq("x", "y"))
+        .select(explode(array(col("apex"), col("x"), col("y"))).as("u"))
         .groupBy(col("u")).agg(count(lit(1)).as("t"))
       val lcc = deg.join(tri, Seq("u"), "left")
         .select(col("u"), col("d"),
@@ -350,13 +382,19 @@ object CausalPlanQueries extends QueryGroup {
         SELECT u, v FROM weighted CROSS JOIN thr WHERE w >= w_thr),
       sym AS (SELECT u, v FROM edges UNION ALL SELECT v, u FROM edges),
       deg AS (SELECT u, CAST(count(*) AS BIGINT) AS d FROM sym GROUP BY u),
-      wedges AS (
-        SELECT e1.u, e1.v AS x, e2.v AS y
-        FROM sym e1 JOIN sym e2 ON e1.u = e2.u AND e1.v < e2.v),
+      o AS (
+        SELECT CASE WHEN (du.d, e.u) < (dv.d, e.v) THEN e.u ELSE e.v END AS u,
+               CASE WHEN (du.d, e.u) < (dv.d, e.v) THEN e.v ELSE e.u END AS v
+        FROM edges e JOIN deg du ON du.u = e.u JOIN deg dv ON dv.u = e.v),
+      matched AS (
+        SELECT w.apex, w.x, w.y
+        FROM (SELECT e1.u AS apex, e1.v AS x, e2.v AS y
+              FROM o e1 JOIN o e2 ON e1.u = e2.u AND e1.v <> e2.v) w
+        JOIN o ON o.u = w.x AND o.v = w.y),
       tri AS (
-        SELECT w.u, CAST(count(*) AS BIGINT) AS t
-        FROM wedges w JOIN edges e ON e.u = w.x AND e.v = w.y
-        GROUP BY w.u),
+        SELECT node AS u, CAST(count(*) AS BIGINT) AS t
+        FROM (SELECT unnest([apex, x, y]) AS node FROM matched)
+        GROUP BY node),
       lcc AS (
         SELECT deg.u,
           CAST(coalesce(t, 0) * 2000 // (d * (d - 1)) AS BIGINT) AS lcc_milli

@@ -181,16 +181,18 @@ object EvalQueries extends QueryGroup {
   /** Graded-relevance retrieval evaluation: DCG@10 with HARMONIC
     * discount (gain/rank instead of gain/log₂(rank+1) — scaled by
     * LCM(1..10) = 2520 it stays in exact integers, where the log form
-    * would hash-diverge between engines). Queries are a ~2% hash sample
-    * of the embedding table; a candidate is relevant iff it shares the
-    * query's label; ndcg_ppm normalizes by the ideal DCG for the
-    * query's actual relevant-candidate count.
+    * would hash-diverge between engines). Queries are a fixed
+    * 64-query panel (the hash-smallest vec_ids); a candidate is
+    * relevant iff it shares the query's label; ndcg_ppm normalizes by
+    * the ideal DCG for the query's actual relevant-candidate count.
     *
     * Scale shape: q235's eval harness — broadcast quantized query
-    * vectors, codegen'd integer dot products on one corpus scan, ONE
-    * window partitioned per query for both the rank and the
-    * relevant-count (same partitioning, no extra shuffle). Eval cost is
-    * sample × corpus; the sample rate is the dial. */
+    * vectors (a fixed BUDGET, not a fraction: a fraction grows
+    * candidate pairs quadratically), codegen'd integer dot products on
+    * one corpus scan, top-10 per query via the [[graft.functions
+    * .TopKPairs]] bounded heap (≤10 rows per query cross the shuffle)
+    * with n_rel aggregated alongside in the same pass — never a
+    * corpus-sized window partition. */
   private val q373 = QueryDef(
     "q373_dcg_retrieval_eval",
     (spark, dir) => {
@@ -206,25 +208,34 @@ object EvalQueries extends QueryGroup {
             .as("qv"))
         .withColumn("nsq", expr("aggregate(qv, 0L, (a, x) -> a + x * x)"))
         .filter(col("nsq") > 0L)
-      val queries = vecs
-        .filter(graft.operators.Sampling.keyHash(col("vec_id")) % 10000L < 200L)
-        .select(col("vec_id").as("q_id"), col("label").as("q_label"),
+      val queryIds = vecs
+        .agg(graft.functions.TopKAggregate.topk_pairs(
+          -graft.operators.Sampling.keyHash(col("vec_id")).cast("double"),
+          col("vec_id"), 64).as("top"))
+        .select(explode(col("top")).as("t"))
+        .select(col("t").getField("id").as("q_id"))
+      val queries = vecs.join(broadcast(queryIds), col("vec_id") === col("q_id"))
+        .select(col("q_id"), col("label").as("q_label"),
           col("qv").as("q_qv"), col("nsq").as("q_nsq"))
-      val byQ = Window.partitionBy(col("q_id"))
-        .orderBy(col("cosine").desc, col("vec_id"))
-      val allQ = Window.partitionBy(col("q_id"))
       vecs.join(broadcast(queries), col("vec_id") =!= col("q_id"))
         .withColumn("dot",
           expr("aggregate(zip_with(qv, q_qv, (a, b) -> a * b), 0L, (a, x) -> a + x)"))
         .withColumn("cosine", col("dot").cast("double") /
           sqrt(col("nsq").cast("double") * col("q_nsq").cast("double")))
         .withColumn("rel", when(col("label") === col("q_label"), 1L).otherwise(0L))
-        .withColumn("n_rel", sum(col("rel")).over(allQ))
-        .withColumn("rk", row_number().over(byQ).cast("long"))
-        .filter(col("rk") <= 10L)
-        .groupBy(col("q_id"), col("q_label"), col("n_rel"))
-        .agg(sum(when(col("rel") === 1L, expr("2520 DIV rk")).otherwise(0L))
-          .as("dcg_mu"))
+        // top-10 per query via the bounded heap (≤10 rows per query
+        // cross the shuffle — never a corpus-sized window partition);
+        // rel rides in the id's low bit, n_rel aggregates alongside
+        .groupBy(col("q_id"), col("q_label"))
+        .agg(graft.functions.TopKAggregate.topk_pairs(
+            col("cosine"), col("vec_id") * lit(2L) + col("rel"), 10).as("top10"),
+          sum(col("rel")).as("n_rel"))
+        // DCG by one fold over the rank-sorted array: gain 2520/k at
+        // each relevant position k
+        .withColumn("dcg_mu", expr(
+          """aggregate(top10, named_struct('k', 0L, 's', 0L),
+               (a, e) -> named_struct('k', a.k + 1L,
+                 's', a.s + IF(e.id % 2 = 1, 2520 DIV (a.k + 1L), 0L))).s"""))
         .withColumn("m", least(col("n_rel"), lit(10L)))
         .select(col("q_id"), col("q_label"), col("n_rel"), col("dcg_mu"),
           expr(s"CASE WHEN ($idealCase) = 0 THEN 0 " +
@@ -244,7 +255,8 @@ object EvalQueries extends QueryGroup {
       q AS (
         SELECT vec_id AS q_id, label AS q_label, qv AS q_qv, nsq AS q_nsq
         FROM nn
-        WHERE ((vec_id % 2147483648) * 2654435761) % 4294967296 % 10000 < 200),
+        ORDER BY ((vec_id % 2147483648) * 2654435761) % 4294967296, vec_id
+        LIMIT 64),
       scored AS (
         SELECT nn.vec_id, q_id, q_label,
           CASE WHEN nn.label = q_label THEN 1 ELSE 0 END AS rel,

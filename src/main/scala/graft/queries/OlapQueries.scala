@@ -1619,9 +1619,11 @@ object OlapQueries extends QueryGroup {
     * neighborhood survives 64 floats → 8 codes.
     *
     * Scale shape: the LUT is queries×8×4 rows broadcast; ADC touches
-    * each (vector, subspace) code exactly once per query; the exact
-    * side is the audit's ground truth (at 100 TB it would be sampled,
-    * as q250/q170 do). */
+    * each (vector, subspace) code exactly once per query; both top-10s
+    * come from the [[graft.functions.TopKPairs]] bounded heap (≤10
+    * rows per query cross the shuffle — never a corpus-sized window
+    * partition); the exact side is the audit's ground truth (at 100 TB
+    * it would be sampled, as q250/q170 do). */
   private val q341 = QueryDef(
     "q341_pq_adc_recall",
     (spark, dir) => {
@@ -1633,25 +1635,28 @@ object OlapQueries extends QueryGroup {
       val qsub = sub.join(broadcast(qids), col("vec_id") === col("qid"))
         .select(col("qid"), col("s"), col("x").as("qx"))
       val sq = "aggregate(zip_with(qx, %s, (a, b) -> (a-b)*(a-b)), 0L, (p, q) -> p + q)"
-      val exact = qsub.join(sub, Seq("s"))
+      // top-10 per query via the TopKPairs bounded heap (nearest = max
+      // of the negated distance; ties by vec_id like the oracle's
+      // row_number) — ≤10 rows per query cross the shuffle, never a
+      // corpus-sized window partition
+      def top10(scored: DataFrame, dist: String): DataFrame = scored
+        .groupBy(col("qid"))
+        .agg(graft.functions.TopKAggregate.topk_pairs(
+          -col(dist).cast("double"), col("vec_id"), 10).as("top"))
+        .select(col("qid"), explode(col("top")).as("t"))
+        .select(col("qid"), col("t").getField("id").as("vec_id"))
+      val exact = top10(qsub.join(sub, Seq("s"))
         .filter(col("vec_id") =!= col("qid"))
         .withColumn("d8", expr(sq.format("x")))
-        .groupBy(col("qid"), col("vec_id")).agg(sum(col("d8")).as("dtot"))
-        .withColumn("rn", row_number().over(
-          Window.partitionBy(col("qid")).orderBy(col("dtot"), col("vec_id"))))
-        .filter(col("rn") <= 10)
+        .groupBy(col("qid"), col("vec_id")).agg(sum(col("d8")).as("dtot")), "dtot")
       val lut = qsub.join(broadcast(cents1), Seq("s"))
         .withColumn("lutd", expr(sq.format("c")))
         .select(col("qid"), col("s"), col("j"), col("lutd"))
-      val adc = codes.select(col("vec_id"), col("s"), col("j"))
+      val adc = top10(codes.select(col("vec_id"), col("s"), col("j"))
         .join(broadcast(lut), Seq("s", "j"))
         .filter(col("vec_id") =!= col("qid"))
-        .groupBy(col("qid"), col("vec_id")).agg(sum(col("lutd")).as("dadc"))
-        .withColumn("rn", row_number().over(
-          Window.partitionBy(col("qid")).orderBy(col("dadc"), col("vec_id"))))
-        .filter(col("rn") <= 10)
-      exact.select(col("qid"), col("vec_id"))
-        .join(adc.select(col("qid"), col("vec_id")), Seq("qid", "vec_id"), "left_semi")
+        .groupBy(col("qid"), col("vec_id")).agg(sum(col("lutd")).as("dadc")), "dadc")
+      exact.join(adc, Seq("qid", "vec_id"), "left_semi")
         .groupBy(col("qid")).agg(count(lit(1)).as("n_hits"))
         .select(col("qid"), col("n_hits"),
           expr("n_hits * 1000000 div 10").as("recall_ppm"))

@@ -1417,17 +1417,20 @@ object PretrainPlanQueries extends QueryGroup {
 
   // ---------------------------------------------------------------- q495
 
-  /** ANN confidence-routing margin census: for a 2% hash sample of
-    * queries, the gap between the best and second-best cosine decides
+  /** ANN confidence-routing margin census: for a fixed 64-query panel
+    * (the hash-smallest vec_ids — the same queries at every scale
+    * factor), the gap between the best and second-best cosine decides
     * whether the cheap index's answer can be trusted (wide margin) or
     * the query must fall back to exact search (margin < 0.02) — the
     * cascade-routing statistic serving stacks use to budget the exact
     * tier. Reported as a 10-bucket margin histogram with the fallback
     * flag per bucket.
     *
-    * Scale shape: q25/q373's broadcast query-sample pattern — the
-    * corpus-sized work is one scan × |sample| codegen'd cosines; top-2
-    * per query via a partitioned rank, then a ≤ 10-row census. */
+    * Scale shape: q25/q548's broadcast query-panel pattern with a fixed
+    * probe BUDGET (a fraction sample grows candidate pairs
+    * quadratically); top-2 per query via the [[graft.functions
+    * .TopKPairs]] bounded heap — ≤2 rows per query cross the shuffle,
+    * never a corpus-sized window partition — then a ≤ 10-row census. */
   private val q495 = QueryDef(
     "q495_ann_routing_margin",
     (spark, dir) => {
@@ -1437,21 +1440,26 @@ object PretrainPlanQueries extends QueryGroup {
             .as("qv"))
         .withColumn("nsq", expr("aggregate(qv, 0L, (a, x) -> a + x * x)"))
         .filter(col("nsq") > 0L)
-      val queries = vecs
-        .filter(graft.operators.Sampling.keyHash(col("vec_id")) % 10000L < 200L)
-        .select(col("vec_id").as("q_id"), col("qv").as("q_qv"), col("nsq").as("q_nsq"))
-      val byQ = Window.partitionBy(col("q_id"))
-        .orderBy(col("cos_milli").desc, col("vec_id"))
+      val queryIds = vecs
+        .agg(graft.functions.TopKAggregate.topk_pairs(
+          -graft.operators.Sampling.keyHash(col("vec_id")).cast("double"),
+          col("vec_id"), 64).as("top"))
+        .select(explode(col("top")).as("t"))
+        .select(col("t").getField("id").as("q_id"))
+      val queries = vecs.join(broadcast(queryIds), col("vec_id") === col("q_id"))
+        .select(col("q_id"), col("qv").as("q_qv"), col("nsq").as("q_nsq"))
       vecs.join(broadcast(queries), col("vec_id") =!= col("q_id"))
         .withColumn("dot",
           expr("aggregate(zip_with(qv, q_qv, (a, b) -> a * b), 0L, (a, x) -> a + x)"))
         .withColumn("cos_milli", expr(
           "CAST(floor(CAST(dot AS DOUBLE) / sqrt(CAST(nsq AS DOUBLE) * CAST(q_nsq AS DOUBLE)) * 1000 + 0.5) AS BIGINT)"))
-        .withColumn("rk", row_number().over(byQ))
-        .filter(col("rk") <= 2)
         .groupBy(col("q_id"))
-        .agg(max(when(col("rk") === 1, col("cos_milli"))).as("c1"),
-          max(when(col("rk") === 2, col("cos_milli"))).as("c2"))
+        .agg(graft.functions.TopKAggregate.topk_pairs(
+          col("cos_milli").cast("double"), col("vec_id"), 2).as("top2"))
+        .select(
+          expr("CAST(top2[0].score AS BIGINT)").as("c1"),
+          expr("CASE WHEN size(top2) > 1 THEN CAST(top2[1].score AS BIGINT) END")
+            .as("c2"))
         .filter(col("c2").isNotNull) // need ≥ 2 neighbors for a margin
         .select(least(expr("(c1 - c2) div 10"), lit(9L)).as("bucket"))
         .groupBy(col("bucket")).agg(count(lit(1)).as("n_queries"))
@@ -1472,7 +1480,8 @@ object PretrainPlanQueries extends QueryGroup {
       nn AS (SELECT * FROM n WHERE nsq > 0),
       q AS (
         SELECT vec_id AS q_id, qv AS q_qv, nsq AS q_nsq FROM nn
-        WHERE ((vec_id % 2147483648) * 2654435761) % 4294967296 % 10000 < 200),
+        ORDER BY ((vec_id % 2147483648) * 2654435761) % 4294967296, vec_id
+        LIMIT 64),
       scored AS (
         SELECT q_id, nn.vec_id,
           CAST(floor(

@@ -285,51 +285,64 @@ object QuantQueries extends QueryGroup {
     """))
 
   /** Retrieval-quality audit: mean-average-precision@10 of label-match
-    * retrieval over a deterministic ~4% hash sample of query vectors.
-    * For each sampled query, the corpus ranks by quantized cosine
-    * (q25's kernel arithmetic), relevance = same label, and
-    * AP = (Σ_{k rel} P@k) / hits with every P@k an exact integer ppm
-    * division — the ranking-metric companion to q170/q173 (recall) and
-    * q174 (fusion): recall says how many neighbors survive, MAP says
-    * whether they surface at the top.
+    * retrieval over a fixed 64-query panel (the hash-smallest vec_ids
+    * — the same queries at every scale factor). For each query, the
+    * corpus ranks by quantized cosine (q25's kernel arithmetic),
+    * relevance = same label, and AP = (Σ_{k rel} P@k) / hits with
+    * every P@k an exact integer ppm division — the ranking-metric
+    * companion to q170/q173 (recall) and q174 (fusion): recall says
+    * how many neighbors survive, MAP says whether they surface at the
+    * top.
     *
-    * Scale shape: the sampled queries broadcast onto ONE corpus scan
-    * (q89's pattern — no pairwise corpus join); ranking windows
-    * partition per query over its own top candidates. Eval cost scales
-    * with sample × corpus, the knob being the hash threshold. */
+    * Scale shape: the query panel broadcasts onto ONE corpus scan
+    * (q89's pattern — no pairwise corpus join); the panel is a fixed
+    * BUDGET, not a fraction (a fraction grows candidate pairs
+    * quadratically), and top-10 per query is the [[graft.functions
+    * .TopKPairs]] bounded heap — ≤10 rows per query cross the shuffle,
+    * never a corpus-sized window partition. Relevance rides in the
+    * heap id's low bit (id = vec_id·2 + rel, monotone in vec_id, so
+    * ties break exactly like the oracle's row_number), and P@k /
+    * AP fold sequentially over the rank-sorted ≤10-entry array. */
   private val q235 = QueryDef(
     "q235_map_at_10",
     (spark, dir) => {
-      import org.apache.spark.sql.expressions.Window
       val vecs = Tables.embeddings(spark, dir)
         .select(col("vec_id"), col("label").cast("long").as("label"),
           expr("transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 512 + 0.5) AS BIGINT))")
             .as("qv"))
         .withColumn("nsq", expr("aggregate(qv, 0L, (a, x) -> a + x * x)"))
         .filter(col("nsq") > 0L)
-      val queries = vecs
-        .filter(graft.operators.Sampling.keyHash(col("vec_id")) % 10000L < 400L)
-        .select(col("vec_id").as("q_id"), col("label").as("q_label"),
+      val queryIds = vecs
+        .agg(graft.functions.TopKAggregate.topk_pairs(
+          -graft.operators.Sampling.keyHash(col("vec_id")).cast("double"),
+          col("vec_id"), 64).as("top"))
+        .select(explode(col("top")).as("t"))
+        .select(col("t").getField("id").as("q_id"))
+      val queries = vecs.join(broadcast(queryIds), col("vec_id") === col("q_id"))
+        .select(col("q_id"), col("label").as("q_label"),
           col("qv").as("q_qv"), col("nsq").as("q_nsq"))
-      val byQ = Window.partitionBy(col("q_id"))
-        .orderBy(col("cosine").desc, col("vec_id"))
-      val cumRel = Window.partitionBy(col("q_id")).orderBy(col("rk"))
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
       vecs.join(broadcast(queries), col("vec_id") =!= col("q_id"))
         .withColumn("dot",
           expr("aggregate(zip_with(qv, q_qv, (a, b) -> a * b), 0L, (a, x) -> a + x)"))
         .withColumn("cosine", col("dot").cast("double") /
           sqrt(col("nsq").cast("double") * col("q_nsq").cast("double")))
-        .withColumn("rk", row_number().over(byQ).cast("long"))
-        .filter(col("rk") <= 10L)
         .withColumn("rel", when(col("label") === col("q_label"), 1L).otherwise(0L))
-        .withColumn("hits_k", sum(col("rel")).over(cumRel))
         .groupBy(col("q_id"), col("q_label"))
-        .agg(sum(col("rel")).as("hits"),
-          sum(when(col("rel") === 1L, expr("hits_k * 1000000 DIV rk"))
-            .otherwise(0L)).as("sum_prec"))
-        .select(col("q_id"), col("q_label"), col("hits"),
-          expr("CAST(CASE WHEN hits = 0 THEN 0 ELSE sum_prec DIV hits END AS BIGINT)")
+        .agg(graft.functions.TopKAggregate.topk_pairs(
+          col("cosine"), col("vec_id") * lit(2L) + col("rel"), 10).as("top10"))
+        // AP by one sequential fold over the rank-sorted array:
+        // k = position, h = cumulative hits, s = Σ_{k rel} P@k (ppm)
+        .withColumn("acc", expr(
+          """aggregate(top10,
+               named_struct('k', 0L, 'h', 0L, 's', 0L),
+               (a, e) -> named_struct(
+                 'k', a.k + 1L,
+                 'h', a.h + e.id % 2,
+                 's', a.s + IF(e.id % 2 = 1,
+                        (a.h + 1L) * 1000000 DIV (a.k + 1L), 0L)))"""))
+        .select(col("q_id"), col("q_label"),
+          expr("acc.h").as("hits"),
+          expr("CAST(CASE WHEN acc.h = 0 THEN 0 ELSE acc.s DIV acc.h END AS BIGINT)")
             .as("ap_ppm"))
         .orderBy(col("q_id"))
     },
@@ -346,7 +359,8 @@ object QuantQueries extends QueryGroup {
       q AS (
         SELECT vec_id AS q_id, label AS q_label, qv AS q_qv, nsq AS q_nsq
         FROM nn
-        WHERE ((vec_id % 2147483648) * 2654435761) % 4294967296 % 10000 < 400),
+        ORDER BY ((vec_id % 2147483648) * 2654435761) % 4294967296, vec_id
+        LIMIT 64),
       s AS (
         SELECT q.q_id, q.q_label, nn.vec_id, nn.label,
           CAST(CAST(list_sum(list_transform(range(1, len(nn.qv) + 1),

@@ -111,5 +111,9 @@ class CapacityPlanOpsSpec extends SparkSpec {
       assert(c + r.getAs[Long]("noise_estimate_ppm") == 1000000L)
       assert(r.getAs[Long]("n_probes") > 0L)
     }
+    // the probe panel is a fixed BUDGET (64), not a fraction: candidate
+    // pairs stay linear in N instead of N²/50
+    assert(rows.map(_.getAs[Long]("n_probes")).sum <= 64L,
+      "probe budget exceeded — the fixed-panel selection regressed")
   }
 }

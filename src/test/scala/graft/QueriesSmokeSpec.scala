@@ -352,6 +352,59 @@ class QueriesSmokeSpec extends SparkSpec {
         if w.partitionSpec.isEmpty => w
     }.size
 
+  /** Windows PARTITIONED — but by keys that all originate on the
+    * broadcast side of a join below them. The partition count is then
+    * bounded by the broadcast row count (a probe panel, a grid, a
+    * one-row total), so with corpus rows flowing through the join each
+    * partition is corpus-sized: the same single-task sort the
+    * partition-less gate catches, hidden behind a constant-cardinality
+    * key (the round-6 q589/q548 escape). Detected on the OPTIMIZED
+    * logical plan: trace each window's partition attributes down
+    * through projections/aggregates; if they all land on a side whose
+    * join hint is BROADCAST, the window is flagged. */
+  private def broadcastKeyedWindowCount(df: org.apache.spark.sql.DataFrame): Int = {
+    import org.apache.spark.sql.catalyst.expressions.{Alias, Attribute, AttributeSet}
+    import org.apache.spark.sql.catalyst.plans.logical._
+    def retrace(wanted: AttributeSet,
+                outs: Seq[org.apache.spark.sql.catalyst.expressions.NamedExpression]): AttributeSet =
+      outs.collect {
+        case a: Alias if wanted.contains(a.toAttribute) => a.child.references
+        case a: Attribute if wanted.contains(a) => AttributeSet(a)
+      }.foldLeft(AttributeSet.empty)(_ ++ _)
+    def fromBroadcast(node: LogicalPlan, wanted: AttributeSet): Boolean =
+      if (wanted.isEmpty) false
+      else node match {
+        case p: Project   => fromBroadcast(p.child, retrace(wanted, p.projectList))
+        case a: Aggregate => fromBroadcast(a.child, retrace(wanted, a.aggregateExpressions))
+        case j: Join =>
+          val leftB = j.hint.leftHint.exists(_.strategy.contains(BROADCAST))
+          val rightB = j.hint.rightHint.exists(_.strategy.contains(BROADCAST))
+          if (leftB && wanted.subsetOf(j.left.outputSet)) true
+          else if (rightB && wanted.subsetOf(j.right.outputSet)) true
+          else j.children.find(c => wanted.subsetOf(c.outputSet))
+            .exists(fromBroadcast(_, wanted))
+        case u: UnaryNode => fromBroadcast(u.child, wanted)
+        case other => other.children.find(c => wanted.subsetOf(c.outputSet))
+          .exists(fromBroadcast(_, wanted))
+      }
+    df.queryExecution.optimizedPlan.collect {
+      case w: Window if w.partitionSpec.nonEmpty &&
+        fromBroadcast(w.child, AttributeSet(w.partitionSpec.flatMap(_.references))) => w
+    }.size
+  }
+
+  /** Node count of the largest single expression tree in the optimized
+    * plan. A builder that folds an accumulator into BOTH branches of a
+    * conditional doubles the tree per step — ten steps is a 2¹⁰-leaf
+    * expression that Catalyst (and the oracle engine) must parse,
+    * optimize and codegen; that compile bomb made round-6's q547 the
+    * suite's slowest query with a handful of data rows. */
+  private def maxExpressionNodes(df: org.apache.spark.sql.DataFrame): Int = {
+    val sizes = df.queryExecution.optimizedPlan.flatMap(_.expressions.map(
+      _.collect { case _ => 1 }.size))
+    if (sizes.isEmpty) 0 else sizes.max
+  }
+
   // queries whose partition-less windows run over PROVABLY BOUNDED frames
   // (per each query's scale-shape scaladoc): quantized-score histograms,
   // vocabularies, calendar/day grids, config grids, sketch rows, CCDFs at
@@ -431,13 +484,47 @@ class QueriesSmokeSpec extends SparkSpec {
     // q597's confusion cumulatives over the <= ~80 length buckets
     "q595_front_door_adjustment", "q597_cost_threshold_chooser")
 
+  // windows partitioned by a BROADCAST-side key where the rows under
+  // each partition are themselves bounded (audited per query below) —
+  // not corpus-sized. The flag fires because the partition KEY
+  // originates on a broadcast side; these are fine because the window
+  // INPUT is already an aggregate/panel far smaller than the corpus.
+  private val boundedBroadcastKeyedWindows: Set[String] = Set(
+    // windows over DIMENSION-sized keyed aggregates (the corpus is
+    // collapsed by a groupBy before the window): q168 runs over the
+    // 25-row nation revenue grid, q205 over the supplier-per-nation
+    // aggregate, q217 over the part-brand aggregate
+    "q168_revenue_hierarchy", "q205_hhi_concentration",
+    "q217_diversified_topk",
+    // q378's keyness rank runs over the (cluster, token) aggregate — a
+    // vocabulary-per-cluster frame (the sanctioned q122 class)
+    "q378_cluster_keyword_labels",
+    // q510's as-of running min runs over the latency CCDF (value-
+    // resolution histogram) unioned with the ≤ 2·|CCDF|·3 probe grid;
+    // q585's trimmed-mean cutoffs run over the per-rate value histogram
+    // (the q64 class)
+    "q510_tail_hedging_policy", "q585_estimator_breakdown_audit",
+    // bounded panels/grids: q567 ranks the 190 pairwise ratios of a
+    // 20-vector panel per dprime; q569 ranks ≤ 16 arm cells per grid row
+    "q567_jl_projection_distortion", "q569_winners_curse_audit",
+    // q583: exact KNN-Shapley assigns a value to EVERY train point via
+    // a rank-indexed recursion (suffix sum over the full distance
+    // ranking) — the per-test global sort IS the algorithm's output
+    // size, bounded only by the 10-test panel. At 100 TB the suffix
+    // sum would move to the q96 two-level distributed prefix form;
+    // the window form is kept for the exact 10-probe audit.
+    "q583_knn_shapley_valuation")
+
   test("plan hygiene: no cartesian products, no unsanctioned nested loops, " +
-    "no unsanctioned partition-less windows") {
+    "no unsanctioned partition-less or broadcast-keyed windows, " +
+    "no expression compile bombs") {
     // collect ALL offenders before judging — a fail-fast here hides every
     // offender after the first and turns fixing the list into whack-a-mole
     val cartesian = scala.collection.mutable.ListBuffer[String]()
     val nestedLoop = scala.collection.mutable.ListBuffer[String]()
     val globalWindow = scala.collection.mutable.ListBuffer[String]()
+    val broadcastWindow = scala.collection.mutable.ListBuffer[String]()
+    val exprBomb = scala.collection.mutable.ListBuffer[String]()
     for ((name, fn) <- SparkEntry.queries.toSeq.sortBy(_._1)) {
       val df = fn(spark, sfDir)
       val plan = df.queryExecution.executedPlan.toString
@@ -446,6 +533,10 @@ class QueriesSmokeSpec extends SparkSpec {
         nestedLoop += name
       if (!boundedGlobalWindows(name) && globalWindowCount(df) > 0)
         globalWindow += name
+      if (!boundedBroadcastKeyedWindows(name) && broadcastKeyedWindowCount(df) > 0)
+        broadcastWindow += name
+      val nodes = maxExpressionNodes(df)
+      if (nodes > 4000) exprBomb += s"$name($nodes)"
     }
     assert(cartesian.isEmpty,
       s"CartesianProduct — a scale-killer — planned by: ${cartesian.mkString(", ")}")
@@ -454,6 +545,14 @@ class QueriesSmokeSpec extends SparkSpec {
     assert(globalWindow.isEmpty,
       s"unsanctioned partition-less Window (single-task sort at scale) " +
         s"planned by: ${globalWindow.mkString(", ")}")
+    assert(broadcastWindow.isEmpty,
+      s"Window partitioned only by broadcast-side keys (bounded partition " +
+        s"count over corpus rows = corpus-sized single-task partitions) " +
+        s"planned by: ${broadcastWindow.mkString(", ")}")
+    assert(exprBomb.isEmpty,
+      s"expression tree over the 4000-node budget (compile bomb — an " +
+        s"accumulator folded into both branches of a conditional?) " +
+        s"planned by: ${exprBomb.mkString(", ")}")
   }
 
   test("window gate canary: a corpus-sized global window IS detected") {
@@ -464,5 +563,42 @@ class QueriesSmokeSpec extends SparkSpec {
     assert(globalWindowCount(canary) == 1,
       "the partition-less-window detector failed to flag a deliberate " +
         "corpus-sized row_number — the hygiene gate would be blind")
+  }
+
+  test("broadcast-keyed window canary: a 5-probe corpus window IS detected") {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.functions._
+    // the round-6 q589 shape: corpus × broadcast probe panel, then a
+    // window partitioned ONLY by the probe id — 5 partitions, each
+    // corpus-sized
+    val probes = Tables.embeddings(spark, sfDir)
+      .filter(col("vec_id") < 5).select(col("vec_id").as("pid"))
+    val canary = Tables.embeddings(spark, sfDir).crossJoin(broadcast(probes))
+      .withColumn("rk", row_number().over(
+        Window.partitionBy(col("pid")).orderBy(col("vec_id"))))
+    assert(broadcastKeyedWindowCount(canary) == 1,
+      "the broadcast-keyed-window detector failed to flag a deliberate " +
+        "probe-partitioned corpus window — the round-6 escape would recur")
+    // and a window keyed by a STREAM-side column must NOT be flagged
+    val fine = Tables.embeddings(spark, sfDir).crossJoin(broadcast(probes))
+      .withColumn("rk", row_number().over(
+        Window.partitionBy(col("label")).orderBy(col("vec_id"))))
+    assert(broadcastKeyedWindowCount(fine) == 0,
+      "the broadcast-keyed-window detector must not flag stream-side keys")
+  }
+
+  test("expression-bomb canary: an exponential CASE fold IS detected") {
+    import org.apache.spark.sql.functions._
+    // the round-6 q547 shape: a fold that embeds the accumulator in BOTH
+    // branches — 2¹⁰ leaves after ten levels
+    val chain = (0 until 10).foldLeft("CAST(1000000 AS BIGINT)") { (acc, i) =>
+      s"(CASE WHEN nc % ${1L << (i + 1)} >= ${1L << i} " +
+        s"THEN ($acc * 999) div 1000 ELSE $acc END)"
+    }
+    val canary = Tables.embeddings(spark, sfDir)
+      .select(col("vec_id").as("nc")).withColumn("bomb", expr(chain))
+    assert(maxExpressionNodes(canary) > 4000,
+      "the expression-node counter failed to flag a deliberate " +
+        "2^10-leaf CASE fold — the compile-bomb gate would be blind")
   }
 }
