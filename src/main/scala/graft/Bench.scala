@@ -96,6 +96,12 @@ object Bench {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.ui.enabled", "false")
       .config("spark.serializer", "org.apache.spark.serializer.KryoSerializer")
+      // the generated-class cache defaults to 100 entries; ~600 distinct
+      // queries × several codegen stages each would evict continuously,
+      // re-running janino on plans the warm-up pass already compiled.
+      // Sized to hold the whole suite — the same conf any long-lived
+      // Spark service with a wide query population runs with.
+      .config("spark.sql.codegen.cache.maxEntries", "10000")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     GraftSession.configure(spark)

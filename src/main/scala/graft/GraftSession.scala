@@ -19,16 +19,24 @@ object GraftSession {
   // Tables.table calls configure on every loader hit (so ad-hoc sessions
   // are always correctly configured), which is thousands of calls per
   // bench pass; each conf.set walks SQLConf validation, so short-circuit
-  // per session object. Weak keys are unnecessary: sessions here live
-  // for the process.
-  private val configured =
-    java.util.concurrent.ConcurrentHashMap.newKeySet[Int]()
+  // per session object. Keyed on the session itself through weak
+  // references — identityHashCode is NOT unique and is reused after GC,
+  // so a long-lived process creating many sessions (tests, notebooks)
+  // could silently skip configuring a fresh session that collides with
+  // a dead one's hash, leaving ANSI on / nanosAsLong off and changing
+  // query semantics. SparkSession does not override equals, so a
+  // WeakHashMap compares keys by reference, which is exactly the
+  // per-instance memo needed; dead sessions un-memo themselves.
+  private val configured: java.util.Set[SparkSession] =
+    java.util.Collections.synchronizedSet(
+      java.util.Collections.newSetFromMap(
+        new java.util.WeakHashMap[SparkSession, java.lang.Boolean]()))
 
   /** Apply graft's standard SQL confs to an existing session (e.g. the
     * driver-created one in Verify/Bench). Safe to call repeatedly —
     * applies once per session instance. */
   def configure(spark: SparkSession): SparkSession = {
-    if (!configured.add(System.identityHashCode(spark))) return spark
+    if (!configured.add(spark)) return spark
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     // events.parquet stores TIMESTAMP(NANOS); Spark has no nanos timestamp
     // type, so read as long and convert (Tables.events).
@@ -59,6 +67,10 @@ object GraftSession {
       .config("spark.sql.shuffle.partitions", cores.toString)
       .config("spark.ui.enabled", "false")
       .config("spark.serializer", "org.apache.spark.serializer.KryoSerializer")
+      // generated-class cache sized for the full query population (the
+      // 100-entry default evicts continuously under ~600 queries; static
+      // conf, so it must be set at session build — see Bench)
+      .config("spark.sql.codegen.cache.maxEntries", "10000")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     configure(spark)

@@ -19,15 +19,22 @@ object Tables {
   // builders over 10 tables would pay ~2 driver jobs apiece before any
   // action runs. Caching the DataFrame (plans are immutable) makes every
   // builder after the first a pure plan-graph construction — asserted by
-  // the laziness gate in QueriesSmokeSpec.
+  // the laziness gate in QueriesSmokeSpec. The outer map holds the
+  // session by WEAK reference (reference-compared — SparkSession does
+  // not override equals): identityHashCode keys are reused after GC, so
+  // a long-lived multi-session process could both leak dead sessions'
+  // plans and serve a new session another session's DataFrames.
   private val cache =
-    new java.util.concurrent.ConcurrentHashMap[(Int, String), DataFrame]()
+    new java.util.WeakHashMap[SparkSession,
+      java.util.concurrent.ConcurrentHashMap[String, DataFrame]]()
 
   def table(spark: SparkSession, dir: String, name: String): DataFrame = {
     GraftSession.configure(spark)
-    cache.computeIfAbsent(
-      (System.identityHashCode(spark), s"$dir/$name.parquet"),
-      key => spark.read.parquet(key._2))
+    val perSession = cache.synchronized {
+      cache.computeIfAbsent(spark,
+        _ => new java.util.concurrent.ConcurrentHashMap[String, DataFrame]())
+    }
+    perSession.computeIfAbsent(s"$dir/$name.parquet", spark.read.parquet(_))
   }
 
   /** `events` with its TIMESTAMP(NANOS) column converted to a proper

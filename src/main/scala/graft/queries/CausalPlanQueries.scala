@@ -294,7 +294,13 @@ object CausalPlanQueries extends QueryGroup {
     * per node come from the degree-ordered oriented wedge join (the
     * q95 exact-triangle discipline: orient low→high by (degree, id),
     * count each triangle once at its apex, explode the 3 endpoints for
-    * per-node credit); the census lands on ≤ 11 LCC decile rows. */
+    * per-node credit); the census lands on ≤ 11 LCC decile rows.
+    *
+    * SCALING (round-7 probe, largest testdata = sf0.1, oriented form):
+    * 2.28 s at sf0.01 → 5.40 s at sf0.1 (10× data, 2.37× time ≈
+    * exponent 0.37) — the heaviest step is the co-purchase projection,
+    * whose output is supplier-dimension-bounded, so the slope flattens
+    * as SF grows past the dimension's saturation. */
   private val q590 = QueryDef(
     "q590_local_clustering_census",
     (spark, dir) => {

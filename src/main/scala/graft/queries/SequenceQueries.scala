@@ -168,7 +168,12 @@ object SequenceQueries extends QueryGroup {
     * r5 reading was suite-JVM noise, not a regression; no plan change
     * is warranted (fusing the two per-iteration normalize barriers
     * would change floor-division semantics and buy at most ~3 of the
-    * ~20 barrier-latency slots). */
+    * ~20 barrier-latency slots).
+    *
+    * SCALING (round-7 probe, largest testdata = sf0.1): 5.36 s at
+    * sf0.01 -> 6.47 s at sf0.1 (10x data, 1.21x time) - the unrolled
+    * HITS rounds' barrier latency dominates; the co-supply edge list
+    * is supplier-dimension-bounded. */
   private val q415 = QueryDef(
     "q415_hits_hub_authority",
     (spark, dir) => {

@@ -835,7 +835,18 @@ object SystemsPlanQueries extends QueryGroup {
     * Scale shape: q105's coarse-bucket discipline — writes meet only
     * writes from their own or the previous day bucket (never a full
     * per-part history), so the self-join is (part, day)-local; one
-    * rollup per lag rides an explode. */
+    * rollup per lag rides an explode.
+    *
+    * TIMING note (round-7 root-cause of the r5→r6 1.82 s → 2.96 s
+    * drift, no code change): the dominant term was GENERATED-CLASS
+    * CACHE THRASH — Spark's codegen cache defaults to 100 entries, so
+    * a 599-query suite evicts continuously and q521 re-ran janino on
+    * plans the warm-up had already compiled. With the cache sized to
+    * the suite (spark.sql.codegen.cache.maxEntries=10000, Bench.scala)
+    * q521 is back to 1.83 s in-suite at sf0.1. The secondary term
+    * (~0.4 s, measured with/without the guard) was the r6
+    * always-clearCache honesty change; both effects were measurement
+    * protocol, not plan regressions. */
   private val q521 = QueryDef(
     "q521_write_conflict_rate",
     (spark, dir) => {

@@ -170,7 +170,12 @@ object TopologyPlanQueries extends QueryGroup {
     * Dedup.connectedComponents runs one keyed join + min-aggregate per
     * round with localCheckpoint lineage truncation (the q56 precedent,
     * eager-sanctioned); nothing touches fact-table rows after the
-    * backbone fold. */
+    * backbone fold.
+    *
+    * SCALING (round-7 probe, largest testdata = sf0.1): 4.57 s at
+    * sf0.01 → 6.36 s at sf0.1 (10× data, 1.39× time) — the CC
+    * fixpoint's iteration barriers dominate; the percolated backbone
+    * is supplier-dimension-bounded. */
   private val q592 = QueryDef(
     "q592_percolation_robustness",
     (spark, dir) => {
@@ -242,7 +247,11 @@ object TopologyPlanQueries extends QueryGroup {
     * Scale shape: degrees fold from the (bounded) backbone; the club
     * cutoff comes from the degree histogram (value-resolution
     * cumulative, sanctioned); membership joins and the within-club
-    * edge count stay on the backbone's node/edge tables. */
+    * edge count stay on the backbone's node/edge tables.
+    *
+    * SCALING (round-7 probe, largest testdata = sf0.1): 1.91 s at
+    * sf0.01 → 2.93 s at sf0.1 (10× data, 1.53× time) — sublinear, as
+    * the backbone/degree-histogram working-set claim predicts. */
   private val q593 = QueryDef(
     "q593_rich_club_coefficient",
     (spark, dir) => {
