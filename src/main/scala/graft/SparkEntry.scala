@@ -84,7 +84,15 @@ object SparkEntry {
     CausalPlanQueries,
     TopologyPlanQueries,
     ProtocolPlanQueries,
-    DecisionPlanQueries)
+    DecisionPlanQueries,
+    CentralityPlanQueries,
+    BipartitePlanQueries,
+    BatchPlanQueries,
+    QueuePlanQueries,
+    TrendPlanQueries,
+    EconPlanQueries,
+    DisclosurePlanQueries,
+    ScanPlanQueries)
 
   private lazy val all: Seq[QueryDef] = groups.flatMap(_.defs)
 

@@ -1,0 +1,297 @@
+package graft.queries
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** Round-7 batch 1: node-importance analytics on the supplier co-purchase
+  * graph — truncated Katz centrality (walk-count power series), a k-truss
+  * edge-support census (the edge-level cohesion statistic k-core cannot
+  * see), and landmark-restricted harmonic closeness. All three ride the
+  * repo's established graph discipline: year-filtered co-supply edges,
+  * keyed join + aggregate rounds with per-round persists (the q415/q427
+  * precedent), degree-oriented triangle enumeration (q95/q590), and
+  * bounded-round BFS — never a node-set broadcast or an unoriented wedge
+  * join. Outputs are exact integers with total ORDER BYs for the oracle
+  * gate.
+  */
+object CentralityPlanQueries extends QueryGroup {
+
+  /** The co-purchase supplier edge list for one order-year (the q427
+    * refresh-window discipline): suppliers co-appearing on an order.
+    * Symmetric (both directions) — callers canonicalize as needed. */
+  private def coSupplyEdges(spark: org.apache.spark.sql.SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(spark, dir)
+      .filter(col("l_shipdate") >= "1995-01-01" && col("l_shipdate") < "1996-01-01")
+      .select(col("l_orderkey").as("ok"), col("l_suppkey").as("sk"))
+    val pairs = li
+      .join(li.withColumnRenamed("sk", "sk2"), Seq("ok"))
+      .filter(col("sk") < col("sk2"))
+      .select(col("sk").as("src"), col("sk2").as("dst"))
+      .distinct()
+    pairs.union(pairs.select(col("dst").as("src"), col("src").as("dst")))
+  }
+
+  // ---------------------------------------------------------------- q600
+
+  /** Truncated Katz centrality: x(v) = Σ_{k=1..4} αᵏ·walks_k(v), the
+    * walk-count power series that generalizes degree (k = 1) toward
+    * eigenvector centrality (k → ∞). α = 1/8 keeps the series
+    * contracting on this graph (max degree < 8⁻¹-radius would be ideal;
+    * truncation at 4 makes the statistic well-defined regardless), and
+    * 8ᵏ divisors make every term an exact integer milli: term_k =
+    * walks_k·1000 div 8ᵏ. walks_{k+1}(v) = Σ_{u→v} walks_k(u) is one
+    * keyed join + sum per round.
+    *
+    * Scale shape: 4 rounds of edge ⋈ walk-vector (the q415 unrolled-
+    * iteration pattern, per-round persist so round r never re-embeds
+    * round 1's subtree); the vector is supplier-dimension-sized, the
+    * edge list co-purchase-projection-sized; readout is a top-10
+    * TakeOrdered. Walk counts stay far under 2⁶³: deg ≤ |S| and 4
+    * levels bound walks by |S|⁴ ≈ 10¹⁶ at SF100. */
+  private val q600 = QueryDef(
+    "q600_katz_centrality",
+    (spark, dir) => {
+      val edges = coSupplyEdges(spark, dir).persist()
+      var walks = edges.groupBy(col("dst").as("node"))
+        .agg(count(lit(1)).as("w")).persist() // walks_1 = in-degree
+      var katz = walks.select(col("node"), expr("w * 1000 div 8").as("katz_milli"),
+        col("w").as("w1"))
+      for (k <- 2 to 4) {
+        walks = edges
+          .join(walks.withColumnRenamed("node", "src"), Seq("src"))
+          .groupBy(col("dst").as("node")).agg(sum(col("w")).as("w"))
+          .persist()
+        val divisor = math.pow(8, k).toLong
+        katz = katz.join(walks.select(col("node"), col("w").as(s"w$k")), Seq("node"))
+          .withColumn("katz_milli",
+            col("katz_milli") + expr(s"w$k * 1000 div $divisor"))
+      }
+      katz.select(col("node").as("supplier"), col("katz_milli"),
+          col("w1").as("walks_1"), col("w4").as("walks_4"))
+        .orderBy(col("katz_milli").desc, col("supplier"))
+        .limit(10)
+    },
+    Some("""
+      WITH li AS (
+        SELECT l_orderkey AS ok, l_suppkey AS sk FROM lineitem
+        WHERE l_shipdate >= TIMESTAMP '1995-01-01'
+          AND l_shipdate < TIMESTAMP '1996-01-01'),
+      p AS (
+        SELECT DISTINCT a.sk AS src, b.sk AS dst
+        FROM li a JOIN li b ON a.ok = b.ok AND a.sk < b.sk),
+      e AS (SELECT src, dst FROM p UNION ALL SELECT dst, src FROM p),
+      k1 AS (SELECT dst AS node, CAST(count(*) AS BIGINT) AS w FROM e GROUP BY dst),
+      k2 AS (SELECT e.dst AS node, CAST(sum(k1.w) AS BIGINT) AS w
+             FROM e JOIN k1 ON k1.node = e.src GROUP BY e.dst),
+      k3 AS (SELECT e.dst AS node, CAST(sum(k2.w) AS BIGINT) AS w
+             FROM e JOIN k2 ON k2.node = e.src GROUP BY e.dst),
+      k4 AS (SELECT e.dst AS node, CAST(sum(k3.w) AS BIGINT) AS w
+             FROM e JOIN k3 ON k3.node = e.src GROUP BY e.dst)
+      SELECT k1.node AS supplier,
+        CAST(k1.w * 1000 // 8 + k2.w * 1000 // 64 + k3.w * 1000 // 512
+          + k4.w * 1000 // 4096 AS BIGINT) AS katz_milli,
+        k1.w AS walks_1, k4.w AS walks_4
+      FROM k1 JOIN k2 USING (node) JOIN k3 USING (node) JOIN k4 USING (node)
+      ORDER BY katz_milli DESC, supplier LIMIT 10
+    """))
+
+  // ---------------------------------------------------------------- q601
+
+  /** k-truss edge-support census on the co-purchase BACKBONE (q590's
+    * top-quartile weight threshold — the raw projection is a
+    * near-clique): support(e) = triangles containing e. An edge in the
+    * k-truss has support ≥ k−2, so the census of edges by support
+    * directly reads off the truss-candidate sizes for k ∈ {3, 4, 5} —
+    * the edge-level cohesion ladder that k-core (q558, node-level)
+    * cannot see: a hub node survives coring on degree alone, but its
+    * spokes die in the truss because spoke edges close no triangles.
+    *
+    * Scale shape: triangles enumerate ONCE via the q95/q590 oriented
+    * discipline (low→high by (degree, id), wedges ≤ O(m^1.5)); each
+    * matched triangle explodes to its 3 canonical edges (3·Δ rows) and
+    * a keyed count gives per-edge support; the census lands on ≤ a few
+    * dozen support buckets. */
+  private val q601 = QueryDef(
+    "q601_ktruss_support_census",
+    (spark, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      // backbone by co-occurrence weight (q590's histogram threshold)
+      val li = Tables.lineitem(spark, dir)
+        .filter(col("l_shipdate") >= "1995-01-01" && col("l_shipdate") < "1996-01-01")
+        .select(col("l_orderkey").as("ok"), col("l_suppkey").as("s"))
+        .distinct()
+      val w = li.as("a").join(li.as("b"),
+          col("a.ok") === col("b.ok") && col("a.s") < col("b.s"))
+        .groupBy(col("a.s").as("u"), col("b.s").as("v"))
+        .agg(count(lit(1)).as("w")).persist()
+      val thr = w.groupBy(col("w")).agg(count(lit(1)).as("c"))
+        .withColumn("cum", sum(col("c")).over(Window.orderBy(col("w"))
+          .rowsBetween(Window.unboundedPreceding, 0)))
+        .withColumn("np", expr("sum(c) OVER ()"))
+        .filter(expr("cum * 4 >= 3 * np"))
+        .agg(min(col("w")).as("w_thr"))
+      val edges = w.crossJoin(broadcast(thr))
+        .filter(col("w") >= col("w_thr"))
+        .select(col("u"), col("v")).persist()
+      val symB = edges.union(edges.select(col("v").as("u"), col("u").as("v")))
+      val deg = symB.groupBy(col("u")).agg(count(lit(1)).as("d"))
+      val oriented = edges
+        .join(deg.select(col("u"), col("d").as("du")), Seq("u"))
+        .join(deg.select(col("u").as("v"), col("d").as("dv")), Seq("v"))
+        .select(
+          when(struct(col("du"), col("u")) < struct(col("dv"), col("v")),
+            col("u")).otherwise(col("v")).as("u"),
+          when(struct(col("du"), col("u")) < struct(col("dv"), col("v")),
+            col("v")).otherwise(col("u")).as("v"))
+        .persist()
+      val tri = oriented.as("e1")
+        .join(oriented.as("e2"), col("e1.u") === col("e2.u")
+          && col("e1.v") =!= col("e2.v"))
+        .select(col("e1.u").as("apex"), col("e1.v").as("x"), col("e2.v").as("y"))
+        .join(oriented.select(col("u").as("x"), col("v").as("y")), Seq("x", "y"))
+      // explode each triangle to its 3 edges, canonicalized u < v by id
+      val support = tri.select(explode(array(
+          struct(least(col("apex"), col("x")).as("u"),
+            greatest(col("apex"), col("x")).as("v")),
+          struct(least(col("apex"), col("y")).as("u"),
+            greatest(col("apex"), col("y")).as("v")),
+          struct(least(col("x"), col("y")).as("u"),
+            greatest(col("x"), col("y")).as("v")))).as("e"))
+        .select(col("e.u").as("u"), col("e.v").as("v"))
+        .groupBy(col("u"), col("v")).agg(count(lit(1)).as("support"))
+      val all = edges.join(support, Seq("u", "v"), "left")
+        .select(coalesce(col("support"), lit(0L)).as("support"))
+      all.groupBy(col("support")).agg(count(lit(1)).as("n_edges"))
+        .crossJoin(broadcast(all.agg(count(lit(1)).as("m"))))
+        .select(col("support"), col("n_edges"),
+          expr("n_edges * 1000000 div m").as("edge_share_ppm"))
+        .orderBy(col("support"))
+    },
+    Some("""
+      WITH li AS (
+        SELECT DISTINCT l_orderkey AS ok, l_suppkey AS s FROM lineitem
+        WHERE l_shipdate >= TIMESTAMP '1995-01-01'
+          AND l_shipdate < TIMESTAMP '1996-01-01'),
+      w AS (
+        SELECT a.s AS u, b.s AS v, CAST(count(*) AS BIGINT) AS w
+        FROM li a JOIN li b ON a.ok = b.ok AND a.s < b.s GROUP BY 1, 2),
+      thr AS (
+        SELECT CAST(min(w) AS BIGINT) AS w_thr
+        FROM (SELECT w, sum(c) OVER (ORDER BY w ROWS UNBOUNDED PRECEDING)
+                AS cum, sum(c) OVER () AS np
+              FROM (SELECT w, CAST(count(*) AS BIGINT) AS c FROM w GROUP BY w))
+        WHERE cum * 4 >= 3 * np),
+      edges AS (SELECT u, v FROM w CROSS JOIN thr WHERE w >= w_thr),
+      sym AS (SELECT u, v FROM edges UNION ALL SELECT v, u FROM edges),
+      deg AS (SELECT u, CAST(count(*) AS BIGINT) AS d FROM sym GROUP BY u),
+      o AS (
+        SELECT CASE WHEN (du.d, e.u) < (dv.d, e.v) THEN e.u ELSE e.v END AS u,
+               CASE WHEN (du.d, e.u) < (dv.d, e.v) THEN e.v ELSE e.u END AS v
+        FROM edges e JOIN deg du ON du.u = e.u JOIN deg dv ON dv.u = e.v),
+      tri AS (
+        SELECT t.apex, t.x, t.y
+        FROM (SELECT e1.u AS apex, e1.v AS x, e2.v AS y
+              FROM o e1 JOIN o e2 ON e1.u = e2.u AND e1.v <> e2.v) t
+        JOIN o ON o.u = t.x AND o.v = t.y),
+      te AS (
+        SELECT least(apex, x) AS u, greatest(apex, x) AS v FROM tri
+        UNION ALL SELECT least(apex, y), greatest(apex, y) FROM tri
+        UNION ALL SELECT least(x, y), greatest(x, y) FROM tri),
+      sup AS (
+        SELECT e.u, e.v, CAST(coalesce(s.c, 0) AS BIGINT) AS support
+        FROM edges e LEFT JOIN (
+          SELECT u, v, count(*) AS c FROM te GROUP BY u, v) s
+          ON s.u = e.u AND s.v = e.v),
+      m AS (SELECT CAST(count(*) AS BIGINT) AS m FROM sup)
+      SELECT support, CAST(count(*) AS BIGINT) AS n_edges,
+        CAST(count(*) * 1000000 // max(m.m) AS BIGINT) AS edge_share_ppm
+      FROM sup CROSS JOIN m GROUP BY support ORDER BY support
+    """))
+
+  // ---------------------------------------------------------------- q602
+
+  /** Landmark-restricted harmonic closeness: for 4 landmark suppliers
+    * (smallest ids with any edge — the q427 panel), H(l) =
+    * Σ_{v ≠ l} 2520/d(l, v) over the ≤ 3-hop BFS ball (2520 =
+    * LCM(1..9) keeps every reciprocal an exact integer; nodes beyond
+    * the horizon contribute 0, making this the truncated-harmonic
+    * variant used when full BFS is unaffordable). Harmonic closeness
+    * handles disconnected graphs where classic closeness degenerates —
+    * the standard centrality for supplier-risk ranking on sparse
+    * backbones.
+    *
+    * Scale shape: BFS state is keyed by (landmark, node) — 4× the
+    * supplier dimension, never corpus-sized; 3 relaxation rounds of
+    * edge ⋈ frontier with per-round persists (q427's exact loop shape,
+    * widened by the landmark key); readout is 4 rows. */
+  private val q602 = QueryDef(
+    "q602_harmonic_closeness_landmarks",
+    (spark, dir) => {
+      val edges = coSupplyEdges(spark, dir).persist()
+      val lm = edges.select(col("src").as("lm")).distinct()
+        .orderBy(col("lm")).limit(4)
+      var dist = Tables.supplier(spark, dir).select(col("s_suppkey").as("node"))
+        .crossJoin(broadcast(lm))
+        .select(col("lm"), col("node"),
+          when(col("lm") === col("node"), 0L).otherwise(9999L).as("d"))
+        .persist()
+      for (_ <- 1 to 3) {
+        val relax = edges
+          .join(dist.withColumnRenamed("node", "src"), Seq("src"))
+          .filter(col("d") < 9999L)
+          .groupBy(col("lm"), col("dst").as("node")).agg(min(col("d") + 1L).as("nd"))
+        dist = dist.join(relax, Seq("lm", "node"), "left")
+          .select(col("lm"), col("node"),
+            least(col("d"), coalesce(col("nd"), lit(9999L))).as("d"))
+          .persist()
+      }
+      dist.filter(col("node") =!= col("lm"))
+        .groupBy(col("lm").as("landmark"))
+        .agg(sum(when(col("d") < 9999L, expr("2520 div d")).otherwise(0L))
+            .as("harmonic_2520"),
+          sum(when(col("d") < 9999L, 1L).otherwise(0L)).as("n_reached"))
+        .orderBy(col("landmark"))
+    },
+    Some("""
+      WITH li AS (
+        SELECT l_orderkey AS ok, l_suppkey AS sk FROM lineitem
+        WHERE l_shipdate >= TIMESTAMP '1995-01-01'
+          AND l_shipdate < TIMESTAMP '1996-01-01'),
+      p AS (
+        SELECT DISTINCT a.sk AS src, b.sk AS dst
+        FROM li a JOIN li b ON a.ok = b.ok AND a.sk < b.sk),
+      e AS (SELECT src, dst FROM p UNION ALL SELECT dst, src FROM p),
+      lm AS (SELECT DISTINCT src AS lm FROM e ORDER BY lm LIMIT 4),
+      d0 AS (
+        SELECT lm.lm, s.s_suppkey AS node,
+          CASE WHEN lm.lm = s.s_suppkey THEN 0 ELSE 9999 END AS d
+        FROM supplier s CROSS JOIN lm),
+      d1 AS (
+        SELECT d0.lm, d0.node,
+          least(d0.d, coalesce(min(CASE WHEN s.d < 9999 THEN s.d + 1 END), 9999)) AS d
+        FROM d0 LEFT JOIN e ON e.dst = d0.node
+          LEFT JOIN d0 s ON s.lm = d0.lm AND s.node = e.src
+        GROUP BY d0.lm, d0.node, d0.d),
+      d2 AS (
+        SELECT d1.lm, d1.node,
+          least(d1.d, coalesce(min(CASE WHEN s.d < 9999 THEN s.d + 1 END), 9999)) AS d
+        FROM d1 LEFT JOIN e ON e.dst = d1.node
+          LEFT JOIN d1 s ON s.lm = d1.lm AND s.node = e.src
+        GROUP BY d1.lm, d1.node, d1.d),
+      d3 AS (
+        SELECT d2.lm, d2.node,
+          least(d2.d, coalesce(min(CASE WHEN s.d < 9999 THEN s.d + 1 END), 9999)) AS d
+        FROM d2 LEFT JOIN e ON e.dst = d2.node
+          LEFT JOIN d2 s ON s.lm = d2.lm AND s.node = e.src
+        GROUP BY d2.lm, d2.node, d2.d)
+      SELECT lm AS landmark,
+        CAST(sum(CASE WHEN d < 9999 THEN 2520 // d ELSE 0 END) AS BIGINT)
+          AS harmonic_2520,
+        CAST(sum(CASE WHEN d < 9999 THEN 1 ELSE 0 END) AS BIGINT) AS n_reached
+      FROM d3 WHERE node <> lm GROUP BY lm ORDER BY landmark
+    """))
+
+  override def defs: Seq[QueryDef] = Seq(q600, q601, q602)
+}

@@ -276,7 +276,23 @@ class QueriesSmokeSpec extends SparkSpec {
     // 10-row centroid table (q25 precedent); q599's 2-row alpha grid
     // onto ~80 month cells
     "q597_cost_threshold_chooser", "q598_nearest_centroid_confusion",
-    "q599_dp_geometric_utility")
+    "q599_dp_geometric_utility",
+    // round-7: bounded-frame broadcast crossJoins — q601's one-row
+    // backbone threshold; q602's 4-landmark panel; q604's per-relation
+    // one-row count pairs; q606/q610/q612/q618/q619/q620/q622's ≤4-row
+    // parameter grids (+ one-row mean/ref/total broadcasts); q609's
+    // one-row span/bottleneck rows; q611's day-pair inequality join on
+    // the calendar-bounded day grid plus one-row moment broadcasts;
+    // q615's one-row baseline; q616's 66-combo simplex grid and one-row
+    // argmin; q617's one-row horizon/total; q623's one-row best
+    "q601_ktruss_support_census", "q602_harmonic_closeness_landmarks",
+    "q604_yannakakis_reduction_audit", "q606_loss_scale_range_audit",
+    "q609_tandem_bottleneck", "q610_deadline_backlog_audit",
+    "q611_mann_kendall_trend", "q612_page_hinkley_drift",
+    "q615_event_study_did", "q616_synthetic_control_grid",
+    "q617_competing_risks_cif", "q618_contribution_clipping_audit",
+    "q619_subsampling_amplification", "q620_cell_suppression_plan",
+    "q622_rowgroup_sizing_sweep", "q623_predicate_order_audit")
 
   test("query constructors are lazy: warm construction launches zero jobs") {
     import org.apache.spark.scheduler.{SparkListener, SparkListenerJobStart}
@@ -482,7 +498,13 @@ class QueriesSmokeSpec extends SparkSpec {
     "q593_rich_club_coefficient",
     // q595's decile thresholds over the order-value histogram (q82);
     // q597's confusion cumulatives over the <= ~80 length buckets
-    "q595_front_door_adjustment", "q597_cost_threshold_chooser")
+    "q595_front_door_adjustment", "q597_cost_threshold_chooser",
+    // round-7: q601 reuses q590's co-occurrence weight-histogram
+    // threshold window; q613's lag/lead run over the calendar-bounded
+    // day series (the q130 class); q617's at-risk cumulative runs over
+    // the ≤ ~120-row weekly exit histogram
+    "q601_ktruss_support_census", "q613_turning_point_test",
+    "q617_competing_risks_cif")
 
   // windows partitioned by a BROADCAST-side key where the rows under
   // each partition are themselves bounded (audited per query below) —
@@ -513,7 +535,13 @@ class QueriesSmokeSpec extends SparkSpec {
     // size, bounded only by the 10-test panel. At 100 TB the suffix
     // sum would move to the q96 two-level distributed prefix form;
     // the window form is kept for the exact 10-probe audit.
-    "q583_knn_shapley_valuation")
+    "q583_knn_shapley_valuation",
+    // round-7: q610/q612's running sum+min and q622's group-assignment
+    // cumulative partition by a ≤4-row broadcast grid key, but their
+    // window INPUT is the calendar-bounded day series / day histogram
+    // (grid × ~550 rows), never corpus rows
+    "q610_deadline_backlog_audit", "q612_page_hinkley_drift",
+    "q622_rowgroup_sizing_sweep")
 
   test("plan hygiene: no cartesian products, no unsanctioned nested loops, " +
     "no unsanctioned partition-less or broadcast-keyed windows, " +
