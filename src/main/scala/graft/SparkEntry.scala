@@ -92,7 +92,11 @@ object SparkEntry {
     TrendPlanQueries,
     EconPlanQueries,
     DisclosurePlanQueries,
-    ScanPlanQueries)
+    ScanPlanQueries,
+    AlignmentPlanQueries,
+    SequentialTestPlanQueries,
+    CohesionPlanQueries,
+    InventoryPlanQueries)
 
   private lazy val all: Seq[QueryDef] = groups.flatMap(_.defs)
 

@@ -292,7 +292,17 @@ class QueriesSmokeSpec extends SparkSpec {
     "q615_event_study_did", "q616_synthetic_control_grid",
     "q617_competing_risks_cif", "q618_contribution_clipping_audit",
     "q619_subsampling_amplification", "q620_cell_suppression_plan",
-    "q622_rowgroup_sizing_sweep", "q623_predicate_order_audit")
+    "q622_rowgroup_sizing_sweep", "q623_predicate_order_audit",
+    // round-7 batch 2: q625's one-row centroid pair + one-row test
+    // moments; q626's one-row 10-centroid panel and ≤100-row picked
+    // set; q627's ≤10-row centroid table, 3-row budget grid, one-row
+    // totals; q628's one-row margin totals and k_max; q631's one-row
+    // weight threshold + 3-row cutoff grid; q632's one-row brand count
+    // and outdegree totals; q635's one-row pooled-sd broadcast
+    "q625_bbse_label_shift", "q626_acquisition_overlap",
+    "q627_pruning_class_drift", "q628_by_vs_bh_fdr",
+    "q631_core_periphery_fit", "q632_tournament_cycle_census",
+    "q635_risk_pooling_audit")
 
   test("query constructors are lazy: warm construction launches zero jobs") {
     import org.apache.spark.scheduler.{SparkListener, SparkListenerJobStart}
@@ -504,7 +514,16 @@ class QueriesSmokeSpec extends SparkSpec {
     // day series (the q130 class); q617's at-risk cumulative runs over
     // the ≤ ~120-row weekly exit histogram
     "q601_ktruss_support_census", "q613_turning_point_test",
-    "q617_competing_risks_cif")
+    "q617_competing_risks_cif",
+    // q627's pruning threshold runs over the quantized own-centroid
+    // distance histogram (the q64 value-resolution class); q630's LLR
+    // cumulative and day ranks run over the calendar-bounded day
+    // series; q631's backbone/degree cutoffs run over weight/degree
+    // histograms (the q590/q593 class)
+    "q627_pruning_class_drift", "q630_sprt_purchase_share",
+    "q631_core_periphery_fit",
+    // q628 ranks the 25-brand statistic grid (q417's exact shape)
+    "q628_by_vs_bh_fdr")
 
   // windows partitioned by a BROADCAST-side key where the rows under
   // each partition are themselves bounded (audited per query below) —
@@ -541,7 +560,10 @@ class QueriesSmokeSpec extends SparkSpec {
     // window INPUT is the calendar-bounded day series / day histogram
     // (grid × ~550 rows), never corpus rows
     "q610_deadline_backlog_audit", "q612_page_hinkley_drift",
-    "q622_rowgroup_sizing_sweep")
+    "q622_rowgroup_sizing_sweep",
+    // q627's kept-total window partitions by the 3-row budget grid key
+    // over the ≤ 10-label retention cells — 30 rows total
+    "q627_pruning_class_drift")
 
   test("plan hygiene: no cartesian products, no unsanctioned nested loops, " +
     "no unsanctioned partition-less or broadcast-keyed windows, " +
