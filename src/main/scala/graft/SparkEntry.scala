@@ -96,7 +96,8 @@ object SparkEntry {
     AlignmentPlanQueries,
     SequentialTestPlanQueries,
     CohesionPlanQueries,
-    InventoryPlanQueries)
+    InventoryPlanQueries,
+    RobustLocationPlanQueries)
 
   private lazy val all: Seq[QueryDef] = groups.flatMap(_.defs)
 

@@ -302,7 +302,11 @@ class QueriesSmokeSpec extends SparkSpec {
     "q625_bbse_label_shift", "q626_acquisition_overlap",
     "q627_pruning_class_drift", "q628_by_vs_bh_fdr",
     "q631_core_periphery_fit", "q632_tournament_cycle_census",
-    "q635_risk_pooling_audit")
+    "q635_risk_pooling_audit",
+    // q636–q638: calendar-bounded day-grid pair joins (≤ ~730 rows a
+    // side) plus one-row mean/median/sd broadcasts — the q611 class
+    "q636_hodges_lehmann_location", "q637_siegel_repeated_median",
+    "q638_pairwise_difference_scale")
 
   test("query constructors are lazy: warm construction launches zero jobs") {
     import org.apache.spark.scheduler.{SparkListener, SparkListenerJobStart}
@@ -523,7 +527,13 @@ class QueriesSmokeSpec extends SparkSpec {
     "q627_pruning_class_drift", "q630_sprt_purchase_share",
     "q631_core_periphery_fit",
     // q628 ranks the 25-brand statistic grid (q417's exact shape)
-    "q628_by_vs_bh_fdr")
+    "q628_by_vs_bh_fdr",
+    // q636–q638: cumulative medians/quartiles over VALUE histograms of
+    // day-pair statistics (Walsh averages, slopes, |diffs|) — pair
+    // counts are calendar²-bounded and the histograms value-resolution
+    // (the q64/q82 class)
+    "q636_hodges_lehmann_location", "q637_siegel_repeated_median",
+    "q638_pairwise_difference_scale")
 
   // windows partitioned by a BROADCAST-side key where the rows under
   // each partition are themselves bounded (audited per query below) —
