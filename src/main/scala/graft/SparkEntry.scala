@@ -97,7 +97,8 @@ object SparkEntry {
     SequentialTestPlanQueries,
     CohesionPlanQueries,
     InventoryPlanQueries,
-    RobustLocationPlanQueries)
+    RobustLocationPlanQueries,
+    ExperimentPlanQueries)
 
   private lazy val all: Seq[QueryDef] = groups.flatMap(_.defs)
 

@@ -306,7 +306,10 @@ class QueriesSmokeSpec extends SparkSpec {
     // q636–q638: calendar-bounded day-grid pair joins (≤ ~730 rows a
     // side) plus one-row mean/median/sd broadcasts — the q611 class
     "q636_hodges_lehmann_location", "q637_siegel_repeated_median",
-    "q638_pairwise_difference_scale")
+    "q638_pairwise_difference_scale",
+    // q639's 16-row split grid broadcasts onto one orders scan (all 16
+    // null splits computed in one pass); q640's one-row margin totals
+    "q639_aa_calibration_audit", "q640_fixed_sequence_gatekeeping")
 
   test("query constructors are lazy: warm construction launches zero jobs") {
     import org.apache.spark.scheduler.{SparkListener, SparkListenerJobStart}
@@ -533,7 +536,10 @@ class QueriesSmokeSpec extends SparkSpec {
     // counts are calendar²-bounded and the histograms value-resolution
     // (the q64/q82 class)
     "q636_hodges_lehmann_location", "q637_siegel_repeated_median",
-    "q638_pairwise_difference_scale")
+    "q638_pairwise_difference_scale",
+    // q640's sequence rank and running-min gate run over the 25-brand
+    // statistic grid (the q417/q628 class)
+    "q640_fixed_sequence_gatekeeping")
 
   // windows partitioned by a BROADCAST-side key where the rows under
   // each partition are themselves bounded (audited per query below) —
