@@ -160,7 +160,16 @@ object CausalPlanQueries extends QueryGroup {
     * break by vec_id exactly like the oracle's row_number), and the
     * pool test is an array-membership check between the two ≤10-entry
     * top lists. The final readout is arithmetic on 2×5 (system, probe)
-    * cells. */
+    * cells.
+    *
+    * TIMING note (round 7): ~3.7 s isolated at sf0.1 vs ~7.4 s late in
+    * the 641-query suite (recheck in the same JVM stays at 7.4 s, so
+    * it is not cross-query cache state): the nested MaxSim lambda runs
+    * on Spark's INTERPRETED higher-order-function path, and after ~50k
+    * generated classes load, its call sites go megamorphic — a
+    * one-JVM-many-queries artifact that a per-job cluster deployment
+    * does not see. The plan itself is bounded-heap (no windows) and
+    * the data side is corpus × 5 probes. */
   private val q589 = QueryDef(
     "q589_pooling_bias_eval",
     (spark, dir) => {
