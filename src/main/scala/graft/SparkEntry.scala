@@ -98,7 +98,8 @@ object SparkEntry {
     CohesionPlanQueries,
     InventoryPlanQueries,
     RobustLocationPlanQueries,
-    ExperimentPlanQueries)
+    ExperimentPlanQueries,
+    AgreementPlanQueries)
 
   private lazy val all: Seq[QueryDef] = groups.flatMap(_.defs)
 

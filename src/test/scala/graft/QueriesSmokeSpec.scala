@@ -309,7 +309,11 @@ class QueriesSmokeSpec extends SparkSpec {
     "q638_pairwise_difference_scale",
     // q639's 16-row split grid broadcasts onto one orders scan (all 16
     // null splits computed in one pass); q640's one-row margin totals
-    "q639_aa_calibration_audit", "q640_fixed_sequence_gatekeeping")
+    "q639_aa_calibration_audit", "q640_fixed_sequence_gatekeeping",
+    // q642/q643's one-row n/moment broadcasts and the dense
+    // brand×12-month grid build; q644's one-row limits broadcast
+    "q642_kendall_w_concordance", "q643_cronbach_alpha",
+    "q644_bland_altman_agreement")
 
   test("query constructors are lazy: warm construction launches zero jobs") {
     import org.apache.spark.scheduler.{SparkListener, SparkListenerJobStart}
