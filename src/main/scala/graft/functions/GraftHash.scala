@@ -568,4 +568,76 @@ object GraftHash {
     }
     0
   }
+
+  /** Flat integer dot product of two quantized array<long> vectors in
+    * one fused loop — the codegen replacement for the interpreted
+    * `aggregate(sequence(1, n), 0L, (s, t) -> s + a[t]·b[t])` HOF
+    * (q572/q589's retrieval scorer). Lengths must match — indexing
+    * UnsafeArrayData past its end reads arbitrary memory (cosineQ's
+    * contract), so fail loudly instead. */
+  def dotLong(a: ArrayData, b: ArrayData): Long = {
+    val n = a.numElements()
+    if (b.numElements() != n)
+      throw new IllegalArgumentException(
+        s"long_dot: vector lengths differ ($n vs ${b.numElements()})")
+    var dot = 0L
+    var i = 0
+    while (i < n) { dot += a.getLong(i) * b.getLong(i); i += 1 }
+    dot
+  }
+
+  /** Squared L2 distance Σ(aᵢ−bᵢ)² of two quantized array<long>
+    * vectors in one fused loop — the codegen replacement for the
+    * interpreted difference-square aggregate HOF (q583's kNN-Shapley
+    * distance pass). Lengths must match (dotLong's contract). */
+  def l2sqLong(a: ArrayData, b: ArrayData): Long = {
+    val n = a.numElements()
+    if (b.numElements() != n)
+      throw new IllegalArgumentException(
+        s"l2sq_long: vector lengths differ ($n vs ${b.numElements()})")
+    var acc = 0L
+    var i = 0
+    while (i < n) { val d = a.getLong(i) - b.getLong(i); acc += d * d; i += 1 }
+    acc
+  }
+
+  /** Late-interaction MaxSim over quantized array<long> vectors: split
+    * both vectors into `blocks` equal sub-vectors ("token vectors",
+    * ColBERT's granularity at miniature scale) and return
+    * Σ_q max_d ⟨query-block q, doc-block d⟩ — each query token scored
+    * by its best-matching document token. One fused blocks²·dim loop
+    * per row, replacing q572/q589's three nested interpreted lambdas
+    * (transform∘aggregate∘array_max∘slice), whose call sites go
+    * megamorphic once a wide suite loads ~50k generated classes
+    * (CausalPlanQueries q589 TIMING note). Block maxima are taken over
+    * exact block dots, so the result is bit-identical to the HOF form. */
+  def maxSimBlocks(q: ArrayData, v: ArrayData, blocks: Int): Long = {
+    val n = q.numElements()
+    if (v.numElements() != n)
+      throw new IllegalArgumentException(
+        s"maxsim_blocks: vector lengths differ ($n vs ${v.numElements()})")
+    if (blocks < 1 || n % blocks != 0)
+      throw new IllegalArgumentException(
+        s"maxsim_blocks: $blocks blocks do not evenly divide dim $n")
+    val dim = n / blocks
+    var total = 0L
+    var qb = 0
+    while (qb < blocks) {
+      var best = Long.MinValue
+      var db = 0
+      while (db < blocks) {
+        var dot = 0L
+        var t = 0
+        while (t < dim) {
+          dot += q.getLong(qb * dim + t) * v.getLong(db * dim + t)
+          t += 1
+        }
+        if (dot > best) best = dot
+        db += 1
+      }
+      total += best
+      qb += 1
+    }
+    total
+  }
 }

@@ -329,6 +329,54 @@ object expressions {
     override protected def withNewChildInternal(c: Expression): SuffixLoopPeriod = copy(child = c)
   }
 
+  /** Flat integer dot product of two quantized array<long> vectors —
+    * one fused codegen loop instead of the interpreted
+    * aggregate-over-sequence HOF. */
+  case class LongDot(left: Expression, right: Expression) extends BinaryExpression {
+    override def dataType: DataType = LongType
+    override protected def nullSafeEval(a: Any, b: Any): Any =
+      GraftHash.dotLong(
+        a.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData],
+        b.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData])
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      defineCodeGen(ctx, ev, (a, b) => s"$G.dotLong($a, $b)")
+    override protected def withNewChildrenInternal(l: Expression, r: Expression): LongDot =
+      copy(left = l, right = r)
+  }
+
+  /** Squared L2 distance of two quantized array<long> vectors — one
+    * fused codegen loop instead of the interpreted difference-square
+    * aggregate HOF. */
+  case class L2SqLong(left: Expression, right: Expression) extends BinaryExpression {
+    override def dataType: DataType = LongType
+    override protected def nullSafeEval(a: Any, b: Any): Any =
+      GraftHash.l2sqLong(
+        a.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData],
+        b.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData])
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      defineCodeGen(ctx, ev, (a, b) => s"$G.l2sqLong($a, $b)")
+    override protected def withNewChildrenInternal(l: Expression, r: Expression): L2SqLong =
+      copy(left = l, right = r)
+  }
+
+  /** Late-interaction MaxSim (Σ_q max_d block-dot) of two quantized
+    * array<long> vectors split into `blocks` token sub-vectors — the
+    * fused replacement for q572/q589's three nested interpreted
+    * lambdas; bit-identical to the HOF form (KernelParitySpec). */
+  case class MaxSimBlocks(left: Expression, right: Expression, blocks: Int)
+      extends BinaryExpression {
+    require(blocks >= 1, s"graft_maxsim: blocks must be >= 1, got $blocks")
+    override def dataType: DataType = LongType
+    override protected def nullSafeEval(a: Any, b: Any): Any =
+      GraftHash.maxSimBlocks(
+        a.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData],
+        b.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData], blocks)
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      defineCodeGen(ctx, ev, (a, b) => s"$G.maxSimBlocks($a, $b, $blocks)")
+    override protected def withNewChildrenInternal(l: Expression, r: Expression): MaxSimBlocks =
+      copy(left = l, right = r)
+  }
+
   // ---- Column-level API ----
 
   def poly_hash(c: Column): Column = Bridge.column(PolyHash(Bridge.expression(c)))
@@ -369,4 +417,10 @@ object expressions {
       Bridge.expression(bits), Bridge.expression(key.cast("long")), numHashes))
   def suffix_loop_period(c: Column, maxP: Int): Column =
     Bridge.column(SuffixLoopPeriod(Bridge.expression(c), maxP))
+  def l2sq_long(a: Column, b: Column): Column =
+    Bridge.column(L2SqLong(Bridge.expression(a), Bridge.expression(b)))
+  def long_dot(a: Column, b: Column): Column =
+    Bridge.column(LongDot(Bridge.expression(a), Bridge.expression(b)))
+  def maxsim_blocks(a: Column, b: Column, blocks: Int): Column =
+    Bridge.column(MaxSimBlocks(Bridge.expression(a), Bridge.expression(b), blocks))
 }

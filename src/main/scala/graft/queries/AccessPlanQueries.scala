@@ -172,9 +172,11 @@ object AccessPlanQueries extends QueryGroup {
     * rewards overall alignment — the divergence between the two lists
     * is exactly what late interaction buys.
     *
-    * Scale shape: the 16 subvector dots are one in-row nested-HOF
-    * expression over quantized ints (corpus-safe single pass); the
-    * query row is a one-row broadcast (the q25 precedent); both
+    * Scale shape: the 16 subvector dots are one fused codegen'd
+    * kernel per row ([[graft.functions.expressions.maxsim_blocks]],
+    * promoted from the interpreted nested-HOF form in round 8 —
+    * HOF bit-parity in KernelParitySpec; corpus-safe single pass);
+    * the query row is a one-row broadcast (the q25 precedent); both
     * top-10s are TakeOrdered, and the membership check joins two
     * 10-row sets. */
   private val q572 = QueryDef(
@@ -189,15 +191,9 @@ object AccessPlanQueries extends QueryGroup {
       val scored = base.filter(col("vec_id") =!= 0L)
         .crossJoin(broadcast(query))
         .select(col("vec_id"), col("label"), col("qlabel"),
-          expr("""transform(sequence(0, 15), p ->
-              aggregate(sequence(1, 16), 0L, (s, t) -> s +
-                element_at(qvec, CAST((p div 4) * 16 + t AS INT))
-                * element_at(v, (p % 4) * 16 + t)))""").as("dots16"),
-          expr("""aggregate(sequence(1, 64), 0L, (s, t) -> s +
-              element_at(qvec, t) * element_at(v, t))""").as("dot"))
-        .select(col("vec_id"), col("label"), col("qlabel"), col("dot"),
-          expr("""aggregate(sequence(0, 3), 0L, (acc, j) -> acc +
-              array_max(slice(dots16, j * 4 + 1, 4)))""").as("maxsim_q"))
+          graft.functions.expressions.long_dot(col("qvec"), col("v")).as("dot"),
+          graft.functions.expressions.maxsim_blocks(col("qvec"), col("v"), 4)
+            .as("maxsim_q"))
         .persist()
       val dotTop = scored.orderBy(col("dot").desc, col("vec_id")).limit(10)
         .select(col("vec_id"), lit(1L).as("in_dot_top10"))

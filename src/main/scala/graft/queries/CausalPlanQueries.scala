@@ -162,14 +162,16 @@ object CausalPlanQueries extends QueryGroup {
     * top lists. The final readout is arithmetic on 2×5 (system, probe)
     * cells.
     *
-    * TIMING note (round 7): ~3.7 s isolated at sf0.1 vs ~7.4 s late in
-    * the 641-query suite (recheck in the same JVM stays at 7.4 s, so
-    * it is not cross-query cache state): the nested MaxSim lambda runs
-    * on Spark's INTERPRETED higher-order-function path, and after ~50k
-    * generated classes load, its call sites go megamorphic — a
-    * one-JVM-many-queries artifact that a per-job cluster deployment
-    * does not see. The plan itself is bounded-heap (no windows) and
-    * the data side is corpus × 5 probes. */
+    * TIMING note (round 7 → 8): the round-7 residual 4–7 s was the
+    * nested MaxSim lambda on Spark's INTERPRETED higher-order-function
+    * path going megamorphic after ~50k generated classes load in a
+    * wide suite. Round 8 promoted both scorers to fused codegen'd
+    * Catalyst kernels — [[graft.functions.expressions.long_dot]] and
+    * [[graft.functions.expressions.maxsim_blocks]] (the
+    * CharShingleSet/WordShingleSet precedent) — so the scoring
+    * projection now rides whole-stage codegen; bit-parity with the HOF
+    * forms is asserted in KernelParitySpec, and the oracle is
+    * unchanged. */
   private val q589 = QueryDef(
     "q589_pooling_bias_eval",
     (spark, dir) => {
@@ -183,13 +185,8 @@ object CausalPlanQueries extends QueryGroup {
         .crossJoin(broadcast(probes))
         .select(col("pid"), col("vec_id"), col("plabel"),
           when(col("label") === col("plabel"), 1L).otherwise(0L).as("rel"),
-          expr("""aggregate(sequence(1, 64), 0L, (s, t) -> s +
-              element_at(pv, t) * element_at(v, t))""").as("dot"),
-          expr("""aggregate(sequence(0, 3), 0L, (acc, j) -> acc +
-              array_max(slice(transform(sequence(0, 15), p ->
-                aggregate(sequence(1, 16), 0L, (s, t) -> s +
-                  element_at(pv, CAST((p div 4) * 16 + t AS INT))
-                  * element_at(v, (p % 4) * 16 + t))), j * 4 + 1, 4)))""")
+          graft.functions.expressions.long_dot(col("pv"), col("v")).as("dot"),
+          graft.functions.expressions.maxsim_blocks(col("pv"), col("v"), 4)
             .as("maxsim"))
       // both rankings' top-10s in ONE bounded-heap pass (≤10 rows per
       // probe per ranking cross the shuffle); rel packed into the id

@@ -131,8 +131,9 @@ object DecisionPlanQueries extends QueryGroup {
     * broadcast join.
     *
     * Scale shape: centroids fold in one keyed aggregate to 10×64
-    * integers and broadcast; classification is an in-row HOF argmax
-    * over the 10 centroid rows after a label-grid broadcast join;
+    * integers and broadcast; classification is an in-row argmax over
+    * the 10 centroid rows after a label-grid broadcast join (the dot
+    * is the fused codegen'd long_dot kernel, promoted round 8);
     * the confusion census is one (true, predicted) fold. */
   private val q598 = QueryDef(
     "q598_nearest_centroid_confusion",
@@ -155,8 +156,7 @@ object DecisionPlanQueries extends QueryGroup {
       val scored = base.filter(col("is_test") === 1L)
         .join(broadcast(centroids))
         .select(col("vec_id"), col("label"), col("clabel"),
-          expr("""aggregate(sequence(1, 64), 0L, (s, t) -> s +
-              element_at(v, t) * element_at(cv, t))""").as("dot"))
+          graft.functions.expressions.long_dot(col("v"), col("cv")).as("dot"))
         .groupBy(col("vec_id"), col("label"))
         .agg(max(struct(col("dot"), (-col("clabel")).as("neg"),
           col("clabel"))).as("best"))

@@ -105,7 +105,8 @@ object ValuationPlanQueries extends QueryGroup {
     * mean value in nano units.
     *
     * Scale shape: distances are one panel-broadcast pass (10 probes ×
-    * corpus — the q25 precedent); ranking and the suffix sum are
+    * corpus — the q25 precedent; the squared-L2 is the fused codegen'd
+    * l2sq_long kernel, promoted round 8); ranking and the suffix sum are
     * windows PARTITIONED per test point; the final average is a keyed
     * fold over train ids. */
   private val q583 = QueryDef(
@@ -123,9 +124,7 @@ object ValuationPlanQueries extends QueryGroup {
       val ranked = train.crossJoin(broadcast(tests))
         .select(col("tid"), col("vec_id"), col("label"),
           when(col("label") === col("tlabel"), 1L).otherwise(0L).as("a"),
-          expr("""aggregate(sequence(1, 64), 0L, (acc, t) -> acc +
-              (element_at(v, t) - element_at(tv, t))
-            * (element_at(v, t) - element_at(tv, t)))""").as("d2"))
+          graft.functions.expressions.l2sq_long(col("v"), col("tv")).as("d2"))
         .withColumn("i", row_number().over(byTest.orderBy(col("d2"), col("vec_id"))))
         .withColumn("nn", count(lit(1)).over(byTest))
         .withColumn("a_next", lead(col("a"), 1).over(

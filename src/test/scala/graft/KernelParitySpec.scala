@@ -289,6 +289,63 @@ class KernelParitySpec extends SparkSpec {
     rows.foreach(r => assert(r.getInt(0) == r.getInt(1), r.toString))
   }
 
+  test("LongDot / L2SqLong / MaxSimBlocks kernels == interpreted HOF forms") {
+    // the HOF strings are the exact expressions the kernels replaced in
+    // q572/q589 (dot, maxsim) and q583 (squared L2) — and what the
+    // DuckDB oracles still mirror, so parity here keeps the promoted
+    // fast path inside the correctness gate
+    val emb = Tables.embeddings(spark, sfDir)
+      .select(col("vec_id"),
+        expr("transform(embedding, x -> CAST(floor(x * 512 + 0.5) AS BIGINT))")
+          .as("v"))
+    val probes = emb.filter(col("vec_id") < 5L)
+      .select(col("vec_id").as("pid"), col("v").as("pv"))
+    val pairs = emb.crossJoin(broadcast(probes))
+    val mismatches = pairs.select(
+        expr("""aggregate(sequence(1, 64), 0L, (s, t) -> s +
+            element_at(pv, t) * element_at(v, t))""").as("dot_hof"),
+        long_dot(col("pv"), col("v")).as("dot_fast"),
+        expr("""aggregate(sequence(1, 64), 0L, (acc, t) -> acc +
+            (element_at(v, t) - element_at(pv, t))
+          * (element_at(v, t) - element_at(pv, t)))""").as("l2_hof"),
+        l2sq_long(col("v"), col("pv")).as("l2_fast"),
+        expr("""aggregate(sequence(0, 3), 0L, (acc, j) -> acc +
+            array_max(slice(transform(sequence(0, 15), p ->
+              aggregate(sequence(1, 16), 0L, (s, t) -> s +
+                element_at(pv, CAST((p div 4) * 16 + t AS INT))
+                * element_at(v, (p % 4) * 16 + t))), j * 4 + 1, 4)))""")
+          .as("ms_hof"),
+        maxsim_blocks(col("pv"), col("v"), 4).as("ms_fast"))
+      .filter(col("dot_hof") =!= col("dot_fast") ||
+        col("l2_hof") =!= col("l2_fast") ||
+        col("ms_hof") =!= col("ms_fast"))
+      .count()
+    assert(mismatches === 0)
+  }
+
+  test("LongDot / L2SqLong / MaxSimBlocks fail loudly on bad shapes") {
+    import spark.implicits._
+    val df = Seq((Seq(1L, 2L, 3L, 4L), Seq(1L, 2L))).toDF("a", "b")
+    for (c <- Seq(long_dot(col("a"), col("b")), l2sq_long(col("a"), col("b")),
+        maxsim_blocks(col("a"), col("b"), 2))) {
+      val e = intercept[Exception] { df.select(c).collect() }
+      assert(e.getMessage != null)
+    }
+    // blocks must divide the dimension — caught per row with a clear
+    // message, never a silent partial read
+    val sq = Seq((Seq(1L, 2L, 3L), Seq(4L, 5L, 6L))).toDF("a", "b")
+    val e2 = intercept[Exception] {
+      sq.select(maxsim_blocks(col("a"), col("b"), 2)).collect()
+    }
+    assert(e2.getMessage != null)
+    // build-time guard on a nonsensical block count
+    assertThrows[IllegalArgumentException] {
+      graft.functions.expressions.MaxSimBlocks(
+        org.apache.spark.sql.catalyst.expressions.Literal(1L),
+        org.apache.spark.sql.catalyst.expressions.Literal(1L), 0)
+    }
+  }
+
   test("BootstrapMoments skips null keys and values") {
     import spark.implicits._
     val df = Seq((Some(1L), Some(10L)), (None, Some(5L)), (Some(2L), None))
