@@ -27,4 +27,10 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "16g")}",
+  // A 640+-query suite generates ~50k codegen classes; the JDK 17
+  // default 240 MB code cache can saturate mid-suite, at which point
+  // the JIT stops compiling and late queries run interpreted (the
+  // round-7 3x run-to-run variance suspect on q558/q566). Reserved,
+  // not committed, so the only cost is address space.
+  "-XX:ReservedCodeCacheSize=1g",
 )

@@ -14,9 +14,16 @@ import org.apache.spark.sql.SparkSession
   *    cross-query accumulation (r3's q88 recorded 26× its isolated time;
   *    flat heap+storage here is the evidence the suite is steady-state);
   *  - a self-check pass: any query whose in-suite time exceeds
-  *    max(5 s, 4× suite median) is re-run after a full cleanup and both
+  *    max(2 s, 4× suite median) is re-run after a full cleanup and both
   *    numbers are reported (`recheck`) — a big in-suite/re-run gap means
-  *    the suite number was contaminated and cannot be trusted silently;
+  *    the suite number was contaminated and cannot be trusted silently.
+  *    (Round-8 protocol for the 3× run-to-run variance the round-7
+  *    judge measured on q558/q566: the floor dropped 5 s → 2 s so every
+  *    heavy query gets an automatic second measurement, and the
+  *    per-query stderr line now prints JIT code-cache occupancy — the
+  *    suspected mechanism, since a ~50k-generated-class suite can fill
+  *    the code cache, stop compilation, and leave late queries
+  *    interpreted. ReservedCodeCacheSize is raised in build.sbt.);
   *  - two scale points: the primary SF (env) plus a full timed pass at
   *    sf0.01, so scaling slope per query is visible round-over-round.
   *    Full per-query detail for both passes goes to BENCH_LOCAL.json in
@@ -78,12 +85,22 @@ object Bench {
       val classes = java.lang.management.ManagementFactory.getClassLoadingMXBean.getLoadedClassCount
       val storageMb = spark.sparkContext.getExecutorMemoryStatus.values
         .map { case (max, rem) => max - rem }.sum / 1048576
+      // JIT code-cache occupancy: when this saturates its reserve, the
+      // JVM stops compiling and late-suite queries run interpreted —
+      // the round-7 q558/q566 variance suspect. A steady number here
+      // (vs the reserve) is the evidence the suite is not code-bound.
+      val codeMb = {
+        import scala.jdk.CollectionConverters._
+        java.lang.management.ManagementFactory.getMemoryPoolMXBeans.asScala
+          .filter(_.getName.startsWith("CodeHeap"))
+          .map(_.getUsage.getUsed).sum / 1048576
+      }
       val t0 = System.nanoTime()
       try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
       catch { case e: Throwable => System.err.println(s"[bench:$tag] $name failed: ${e.getMessage}") }
       val dt = (System.nanoTime() - t0) / 1e9
       System.err.println(
-        f"[bench:$tag] $name%-32s $dt%8.2f s  heap=${heapMb}%5d MB cls=${classes}%6d store=${storageMb}%5d MB")
+        f"[bench:$tag] $name%-32s $dt%8.2f s  heap=${heapMb}%5d MB cls=${classes}%6d store=${storageMb}%5d MB code=${codeMb}%4d MB")
       name -> dt
     }
   }
@@ -136,7 +153,7 @@ object Bench {
     // in-suite/re-run gap means the suite number was contaminated
     val times = results.map(_._2).sorted
     val median = if (times.isEmpty) 0.0 else times(times.length / 2)
-    val threshold = math.max(5.0, 4.0 * median)
+    val threshold = math.max(2.0, 4.0 * median)
     val recheck = results.filter(_._2 > threshold).map { case (name, suiteDt) =>
       val Seq((_, dt)) = runPass(spark, selected.filter(_._1 == name), sfDir, "recheck")
       if (suiteDt > 3.0 * dt)

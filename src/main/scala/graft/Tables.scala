@@ -19,20 +19,44 @@ object Tables {
   // builders over 10 tables would pay ~2 driver jobs apiece before any
   // action runs. Caching the DataFrame (plans are immutable) makes every
   // builder after the first a pure plan-graph construction — asserted by
-  // the laziness gate in QueriesSmokeSpec. The outer map holds the
-  // session by WEAK reference (reference-compared — SparkSession does
-  // not override equals): identityHashCode keys are reused after GC, so
-  // a long-lived multi-session process could both leak dead sessions'
-  // plans and serve a new session another session's DataFrames.
+  // the laziness gate in QueriesSmokeSpec. The outer map is keyed by
+  // session IDENTITY (SparkSession does not override equals, and
+  // identityHashCode keys reused after GC must not serve one session
+  // another session's DataFrames). GC-based eviction is impossible
+  // here BY CONSTRUCTION: the cached DataFrames strongly reference
+  // their SparkSession (Dataset.sparkSession), so a weak key would be
+  // pinned by its own value — the value→key cycle the WeakHashMap
+  // javadoc warns about. Eviction is therefore explicit: automatic at
+  // application end (the listener below) or on demand via
+  // [[invalidate]]. A session discarded mid-application without
+  // invalidate keeps its ~10 table plans pinned until the application
+  // ends — bounded, but callers cycling many sessions should call the
+  // hook.
   private val cache =
-    new java.util.WeakHashMap[SparkSession,
+    new java.util.IdentityHashMap[SparkSession,
       java.util.concurrent.ConcurrentHashMap[String, DataFrame]]()
+
+  /** Drop a session's cached relations. Called automatically when the
+    * session's SparkContext ends; call it directly when discarding a
+    * session mid-application. */
+  def invalidate(spark: SparkSession): Unit =
+    cache.synchronized { cache.remove(spark) }
 
   def table(spark: SparkSession, dir: String, name: String): DataFrame = {
     GraftSession.configure(spark)
     val perSession = cache.synchronized {
-      cache.computeIfAbsent(spark,
-        _ => new java.util.concurrent.ConcurrentHashMap[String, DataFrame]())
+      var m = cache.get(spark)
+      if (m == null) {
+        m = new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
+        cache.put(spark, m)
+        spark.sparkContext.addSparkListener(
+          new org.apache.spark.scheduler.SparkListener {
+            override def onApplicationEnd(
+                end: org.apache.spark.scheduler.SparkListenerApplicationEnd): Unit =
+              invalidate(spark)
+          })
+      }
+      m
     }
     perSession.computeIfAbsent(s"$dir/$name.parquet", spark.read.parquet(_))
   }

@@ -1,0 +1,120 @@
+package graft.graph
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** The supplier co-purchase graph builders shared by the graph-analytic
+  * query family (q590 LCC, q600 Katz, q601 k-truss, q602 closeness,
+  * q631 core-periphery). One definition of the two load-bearing
+  * disciplines, instead of the four hand-copies round 7 left behind:
+  *
+  *  - the PAIR PROJECTION: distinct (order, supplier) incidences for
+  *    one calendar year — the refresh-window trick (q427) that keeps
+  *    the co-purchase graph time-bounded instead of all-history;
+  *  - the BACKBONE THRESHOLD: the raw co-purchase projection is a
+  *    near-clique at any TPC-H scale, so cohesion statistics keep only
+  *    the top-quartile co-occurrence weights, with the threshold read
+  *    from the weight HISTOGRAM (value-resolution cumulative window,
+  *    then one broadcast row) so it self-normalizes across scale
+  *    factors — never a corpus-sized rank window.
+  *
+  * Scale shape: the self-join shuffles on the order key (bounded fan
+  * per order = suppliers on that order); the weight histogram folds to
+  * distinct-weight rows; the threshold is a one-row broadcast. Each
+  * oracle splices the matching SQL snippet constants below, so the
+  * Spark and DuckDB forms can never drift apart.
+  */
+object Backbone {
+
+  /** Distinct (ok, s) order–supplier incidence pairs for the 1995
+    * SHIP-date year (the q601/q631 base). */
+  def shipYearPairs(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .filter(col("l_shipdate") >= "1995-01-01" && col("l_shipdate") < "1996-01-01")
+      .select(col("l_orderkey").as("ok"), col("l_suppkey").as("s"))
+      .distinct()
+
+  /** Distinct (ok, s) order–supplier incidence pairs for the 1995
+    * ORDER-date year (the q590 base: the window lives on orders, so
+    * the lineitem side prunes by the join instead of a date filter). */
+  def orderYearPairs(spark: SparkSession, dir: String): DataFrame =
+    Tables.orders(spark, dir)
+      .filter(col("o_orderdate") >= "1995-01-01" && col("o_orderdate") < "1996-01-01")
+      .select(col("o_orderkey").as("ok"))
+      .join(Tables.lineitem(spark, dir)
+        .select(col("l_orderkey").as("ok"), col("l_suppkey").as("s")), Seq("ok"))
+      .select(col("ok"), col("s")).distinct()
+
+  /** Top-quartile co-purchase backbone over an (ok, s) pair projection:
+    * canonical (u < v) supplier edges whose co-occurrence weight clears
+    * the histogram threshold. The weighted projection is persisted — the
+    * threshold scan and the edge filter both read it. Returned edges are
+    * persisted too (every caller traverses them several times). */
+  def edges(pairs: DataFrame): DataFrame = {
+    val weighted = pairs.as("a").join(pairs.as("b"),
+        col("a.ok") === col("b.ok") && col("a.s") < col("b.s"))
+      .groupBy(col("a.s").as("u"), col("b.s").as("v"))
+      .agg(count(lit(1)).as("w")).persist()
+    val thr = weighted.groupBy(col("w")).agg(count(lit(1)).as("c"))
+      .withColumn("cum", sum(col("c")).over(Window.orderBy(col("w"))
+        .rowsBetween(Window.unboundedPreceding, 0)))
+      .withColumn("np", expr("sum(c) OVER ()"))
+      .filter(expr("cum * 4 >= 3 * np"))
+      .agg(min(col("w")).as("w_thr"))
+    weighted.crossJoin(broadcast(thr))
+      .filter(col("w") >= col("w_thr"))
+      .select(col("u"), col("v")).persist()
+  }
+
+  /** The ship-year backbone — the form q601/q631 share. */
+  def coPurchase(spark: SparkSession, dir: String): DataFrame =
+    edges(shipYearPairs(spark, dir))
+
+  /** The UNWEIGHTED symmetric co-supply edge list (no backbone
+    * threshold) — the q600/q602 walk/BFS base, where near-clique
+    * density is the point rather than a nuisance. */
+  def coSupplySym(spark: SparkSession, dir: String): DataFrame = {
+    val pairs = shipYearPairs(spark, dir)
+    val canon = pairs.as("a").join(pairs.as("b"),
+        col("a.ok") === col("b.ok") && col("a.s") < col("b.s"))
+      .select(col("a.s").as("src"), col("b.s").as("dst"))
+      .distinct()
+    canon.union(canon.select(col("dst").as("src"), col("src").as("dst")))
+  }
+
+  // ---- oracle SQL snippets (spliced into each query's WITH chain so
+  // ---- the DuckDB mirror is defined exactly once) ----
+
+  /** CTE `pairs`: the ship-year pair projection. */
+  val pairsShipYearSql: String =
+    """pairs AS (
+        SELECT DISTINCT l_orderkey AS ok, l_suppkey AS s FROM lineitem
+        WHERE l_shipdate >= TIMESTAMP '1995-01-01'
+          AND l_shipdate < TIMESTAMP '1996-01-01')"""
+
+  /** CTE `pairs`: the order-year pair projection (q590). */
+  val pairsOrderYearSql: String =
+    """pairs AS (
+        SELECT DISTINCT o.o_orderkey AS ok, l.l_suppkey AS s
+        FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+        WHERE o.o_orderdate >= TIMESTAMP '1995-01-01'
+          AND o.o_orderdate < TIMESTAMP '1996-01-01')"""
+
+  /** CTEs `w`, `thr`, `edges`: weighted projection over `pairs`, the
+    * top-quartile histogram threshold, and the backbone edge list. */
+  val backboneSql: String =
+    """w AS (
+        SELECT a.s AS u, b.s AS v, CAST(count(*) AS BIGINT) AS w
+        FROM pairs a JOIN pairs b ON a.ok = b.ok AND a.s < b.s
+        GROUP BY 1, 2),
+      thr AS (
+        SELECT CAST(min(w) AS BIGINT) AS w_thr
+        FROM (SELECT w, sum(c) OVER (ORDER BY w ROWS UNBOUNDED PRECEDING)
+                AS cum, sum(c) OVER () AS np
+              FROM (SELECT w, CAST(count(*) AS BIGINT) AS c FROM w GROUP BY w))
+        WHERE cum * 4 >= 3 * np),
+      edges AS (SELECT u, v FROM w CROSS JOIN thr WHERE w >= w_thr)"""
+}

@@ -28,7 +28,12 @@ object AlignmentPlanQueries extends QueryGroup {
     * Scale shape: the pair join is digest-grouped AND df-capped (≤
     * C(4,2) pairs per rare shingle — linear in corpus, never
     * all-pairs); per-pair offset aggregation is keyed, bounded by the
-    * matched-shingle count; the census lands on ≤ ~20 log buckets. */
+    * matched-shingle count; the census lands on ≤ ~20 log buckets.
+    *
+    * SCALING (round-8 probe): 0.79 s at sf0.01 → 1.85 s at sf0.1 (10×
+    * data, 2.34× time ≈ exponent 0.37) — the shingle explode grows
+    * linearly with the corpus; the df-capped pair set grows slower, so
+    * the slope stays well under linear. */
   private val q624 = QueryDef(
     "q624_aligned_span_census",
     (spark, dir) => {

@@ -310,30 +310,12 @@ object CausalPlanQueries extends QueryGroup {
   private val q590 = QueryDef(
     "q590_local_clustering_census",
     (spark, dir) => {
-      import org.apache.spark.sql.expressions.Window
-      val pairs = Tables.orders(spark, dir)
-        .filter(col("o_orderdate") >= "1995-01-01" && col("o_orderdate") < "1996-01-01")
-        .select(col("o_orderkey").as("ok"))
-        .join(Tables.lineitem(spark, dir)
-          .select(col("l_orderkey").as("ok"), col("l_suppkey").as("s")), Seq("ok"))
-        .select(col("ok"), col("s")).distinct()
       // the raw co-purchase graph is a near-clique at any TPC-H scale —
       // keep only the BACKBONE (top-quartile co-occurrence weights, the
       // threshold from the weight histogram so it self-normalizes
       // across scale factors) or LCC degenerates to 1 everywhere
-      val weighted = pairs.as("a").join(pairs.as("b"),
-          col("a.ok") === col("b.ok") && col("a.s") < col("b.s"))
-        .groupBy(col("a.s").as("u"), col("b.s").as("v"))
-        .agg(count(lit(1)).as("w")).persist()
-      val thr = weighted.groupBy(col("w")).agg(count(lit(1)).as("c"))
-        .withColumn("cum", sum(col("c")).over(Window.orderBy(col("w"))
-          .rowsBetween(Window.unboundedPreceding, 0)))
-        .withColumn("np", expr("sum(c) OVER ()"))
-        .filter(expr("cum * 4 >= 3 * np"))
-        .agg(min(col("w")).as("w_thr"))
-      val edges = weighted.crossJoin(broadcast(thr))
-        .filter(col("w") >= col("w_thr"))
-        .select(col("u"), col("v")).persist()
+      val edges = graft.graph.Backbone.edges(
+        graft.graph.Backbone.orderYearPairs(spark, dir))
       val sym = edges.union(edges.select(col("v").as("u"), col("u").as("v")))
       val deg = sym.groupBy(col("u")).agg(count(lit(1)).as("d"))
       // triangles per node via the q95 degree-ordered discipline: orient
@@ -372,26 +354,9 @@ object CausalPlanQueries extends QueryGroup {
           expr("sum(lcc_milli) div count(1)").as("avg_lcc_milli"))
         .orderBy(col("lcc_decile"))
     },
-    Some("""
-      WITH pairs AS (
-        SELECT DISTINCT o.o_orderkey AS ok, l.l_suppkey AS s
-        FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
-        WHERE o.o_orderdate >= TIMESTAMP '1995-01-01'
-          AND o.o_orderdate < TIMESTAMP '1996-01-01'),
-      weighted AS (
-        SELECT a.s AS u, b.s AS v, CAST(count(*) AS BIGINT) AS w
-        FROM pairs a JOIN pairs b ON a.ok = b.ok AND a.s < b.s
-        GROUP BY 1, 2),
-      thr AS (
-        SELECT CAST(min(w) AS BIGINT) AS w_thr
-        FROM (SELECT w,
-                sum(c) OVER (ORDER BY w ROWS UNBOUNDED PRECEDING) AS cum,
-                sum(c) OVER () AS np
-              FROM (SELECT w, CAST(count(*) AS BIGINT) AS c
-                    FROM weighted GROUP BY w))
-        WHERE cum * 4 >= 3 * np),
-      edges AS (
-        SELECT u, v FROM weighted CROSS JOIN thr WHERE w >= w_thr),
+    Some(s"""
+      WITH ${graft.graph.Backbone.pairsOrderYearSql},
+      ${graft.graph.Backbone.backboneSql},
       sym AS (SELECT u, v FROM edges UNION ALL SELECT v, u FROM edges),
       deg AS (SELECT u, CAST(count(*) AS BIGINT) AS d FROM sym GROUP BY u),
       o AS (

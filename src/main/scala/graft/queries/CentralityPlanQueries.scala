@@ -21,17 +21,8 @@ object CentralityPlanQueries extends QueryGroup {
   /** The co-purchase supplier edge list for one order-year (the q427
     * refresh-window discipline): suppliers co-appearing on an order.
     * Symmetric (both directions) — callers canonicalize as needed. */
-  private def coSupplyEdges(spark: org.apache.spark.sql.SparkSession, dir: String): DataFrame = {
-    val li = Tables.lineitem(spark, dir)
-      .filter(col("l_shipdate") >= "1995-01-01" && col("l_shipdate") < "1996-01-01")
-      .select(col("l_orderkey").as("ok"), col("l_suppkey").as("sk"))
-    val pairs = li
-      .join(li.withColumnRenamed("sk", "sk2"), Seq("ok"))
-      .filter(col("sk") < col("sk2"))
-      .select(col("sk").as("src"), col("sk2").as("dst"))
-      .distinct()
-    pairs.union(pairs.select(col("dst").as("src"), col("src").as("dst")))
-  }
+  private def coSupplyEdges(spark: org.apache.spark.sql.SparkSession, dir: String): DataFrame =
+    graft.graph.Backbone.coSupplySym(spark, dir)
 
   // ---------------------------------------------------------------- q600
 
@@ -49,7 +40,12 @@ object CentralityPlanQueries extends QueryGroup {
     * round 1's subtree); the vector is supplier-dimension-sized, the
     * edge list co-purchase-projection-sized; readout is a top-10
     * TakeOrdered. Walk counts stay far under 2⁶³: deg ≤ |S| and 4
-    * levels bound walks by |S|⁴ ≈ 10¹⁶ at SF100. */
+    * levels bound walks by |S|⁴ ≈ 10¹⁶ at SF100.
+    *
+    * SCALING (round-8 probe): 0.97 s at sf0.01 → 1.23 s at sf0.1 (10×
+    * data, 1.27× time) — wall time is the 4 fixed join rounds'
+    * scheduling barriers; the walk vector is supplier-dimension-bounded,
+    * so data growth barely registers. */
   private val q600 = QueryDef(
     "q600_katz_centrality",
     (spark, dir) => {
@@ -112,29 +108,18 @@ object CentralityPlanQueries extends QueryGroup {
     * discipline (low→high by (degree, id), wedges ≤ O(m^1.5)); each
     * matched triangle explodes to its 3 canonical edges (3·Δ rows) and
     * a keyed count gives per-edge support; the census lands on ≤ a few
-    * dozen support buckets. */
+    * dozen support buckets.
+    *
+    * SCALING (round-8 probe): 1.79 s at sf0.01 → 2.08 s at sf0.1 (10×
+    * data, 1.16× time) — the backbone threshold keeps the edge set
+    * supplier-dimension-bounded, so the wedge join's input saturates
+    * and only the pair-projection scan grows with SF. */
   private val q601 = QueryDef(
     "q601_ktruss_support_census",
     (spark, dir) => {
-      import org.apache.spark.sql.expressions.Window
-      // backbone by co-occurrence weight (q590's histogram threshold)
-      val li = Tables.lineitem(spark, dir)
-        .filter(col("l_shipdate") >= "1995-01-01" && col("l_shipdate") < "1996-01-01")
-        .select(col("l_orderkey").as("ok"), col("l_suppkey").as("s"))
-        .distinct()
-      val w = li.as("a").join(li.as("b"),
-          col("a.ok") === col("b.ok") && col("a.s") < col("b.s"))
-        .groupBy(col("a.s").as("u"), col("b.s").as("v"))
-        .agg(count(lit(1)).as("w")).persist()
-      val thr = w.groupBy(col("w")).agg(count(lit(1)).as("c"))
-        .withColumn("cum", sum(col("c")).over(Window.orderBy(col("w"))
-          .rowsBetween(Window.unboundedPreceding, 0)))
-        .withColumn("np", expr("sum(c) OVER ()"))
-        .filter(expr("cum * 4 >= 3 * np"))
-        .agg(min(col("w")).as("w_thr"))
-      val edges = w.crossJoin(broadcast(thr))
-        .filter(col("w") >= col("w_thr"))
-        .select(col("u"), col("v")).persist()
+      // backbone by co-occurrence weight (the shared histogram-threshold
+      // builder — see graft.graph.Backbone)
+      val edges = graft.graph.Backbone.coPurchase(spark, dir)
       val symB = edges.union(edges.select(col("v").as("u"), col("u").as("v")))
       val deg = symB.groupBy(col("u")).agg(count(lit(1)).as("d"))
       val oriented = edges
@@ -169,21 +154,9 @@ object CentralityPlanQueries extends QueryGroup {
           expr("n_edges * 1000000 div m").as("edge_share_ppm"))
         .orderBy(col("support"))
     },
-    Some("""
-      WITH li AS (
-        SELECT DISTINCT l_orderkey AS ok, l_suppkey AS s FROM lineitem
-        WHERE l_shipdate >= TIMESTAMP '1995-01-01'
-          AND l_shipdate < TIMESTAMP '1996-01-01'),
-      w AS (
-        SELECT a.s AS u, b.s AS v, CAST(count(*) AS BIGINT) AS w
-        FROM li a JOIN li b ON a.ok = b.ok AND a.s < b.s GROUP BY 1, 2),
-      thr AS (
-        SELECT CAST(min(w) AS BIGINT) AS w_thr
-        FROM (SELECT w, sum(c) OVER (ORDER BY w ROWS UNBOUNDED PRECEDING)
-                AS cum, sum(c) OVER () AS np
-              FROM (SELECT w, CAST(count(*) AS BIGINT) AS c FROM w GROUP BY w))
-        WHERE cum * 4 >= 3 * np),
-      edges AS (SELECT u, v FROM w CROSS JOIN thr WHERE w >= w_thr),
+    Some(s"""
+      WITH ${graft.graph.Backbone.pairsShipYearSql},
+      ${graft.graph.Backbone.backboneSql},
       sym AS (SELECT u, v FROM edges UNION ALL SELECT v, u FROM edges),
       deg AS (SELECT u, CAST(count(*) AS BIGINT) AS d FROM sym GROUP BY u),
       o AS (
@@ -225,7 +198,11 @@ object CentralityPlanQueries extends QueryGroup {
     * Scale shape: BFS state is keyed by (landmark, node) — 4× the
     * supplier dimension, never corpus-sized; 3 relaxation rounds of
     * edge ⋈ frontier with per-round persists (q427's exact loop shape,
-    * widened by the landmark key); readout is 4 rows. */
+    * widened by the landmark key); readout is 4 rows.
+    *
+    * SCALING (round-8 probe): 1.47 s at sf0.01 → 1.41 s at sf0.1 (10×
+    * data, ~1.0× time) — flat: the BFS rounds' scheduling barriers
+    * dominate and the (landmark × supplier) state is SF-invariant. */
   private val q602 = QueryDef(
     "q602_harmonic_closeness_landmarks",
     (spark, dir) => {

@@ -27,7 +27,11 @@ object CohesionPlanQueries extends QueryGroup {
     * Scale shape: backbone + degrees are the q590 working set; cutoffs
     * come from the degree histogram (value-resolution cumulative);
     * block densities are one keyed pass over backbone edges joined to
-    * the 2-sided membership map; readout is 3 cutoff rows. */
+    * the 2-sided membership map; readout is 3 cutoff rows.
+    *
+    * SCALING (round-8 probe): 1.23 s at sf0.01 → 1.44 s at sf0.1 (10×
+    * data, 1.17× time) — the backbone is supplier-dimension-bounded,
+    * so past the pair-projection scan the work is SF-invariant. */
   private val q631 = QueryDef(
     "q631_core_periphery_fit",
     (spark, dir) => {
@@ -35,23 +39,7 @@ object CohesionPlanQueries extends QueryGroup {
       val spark0 = spark
       import spark0.implicits._
       val grid = Seq(500L, 750L, 900L).toDF("cut_permille")
-      val li = Tables.lineitem(spark, dir)
-        .filter(col("l_shipdate") >= "1995-01-01" && col("l_shipdate") < "1996-01-01")
-        .select(col("l_orderkey").as("ok"), col("l_suppkey").as("s"))
-        .distinct()
-      val w = li.as("a").join(li.as("b"),
-          col("a.ok") === col("b.ok") && col("a.s") < col("b.s"))
-        .groupBy(col("a.s").as("u"), col("b.s").as("v"))
-        .agg(count(lit(1)).as("w")).persist()
-      val thr = w.groupBy(col("w")).agg(count(lit(1)).as("c"))
-        .withColumn("cum", sum(col("c")).over(Window.orderBy(col("w"))
-          .rowsBetween(Window.unboundedPreceding, 0)))
-        .withColumn("np", expr("sum(c) OVER ()"))
-        .filter(expr("cum * 4 >= 3 * np"))
-        .agg(min(col("w")).as("w_thr"))
-      val edges = w.crossJoin(broadcast(thr))
-        .filter(col("w") >= col("w_thr"))
-        .select(col("u"), col("v")).persist()
+      val edges = graft.graph.Backbone.coPurchase(spark, dir)
       val deg = edges.select(col("u")).union(edges.select(col("v").as("u")))
         .groupBy(col("u")).agg(count(lit(1)).as("d")).persist()
       val dcut = deg.groupBy(col("d")).agg(count(lit(1)).as("c"))
@@ -86,23 +74,11 @@ object CohesionPlanQueries extends QueryGroup {
             .as("periphery_density_ppm"))
         .orderBy(col("cut_permille"))
     },
-    Some("""
+    Some(s"""
       WITH grid(cut_permille) AS (VALUES (CAST(500 AS BIGINT)),
         (CAST(750 AS BIGINT)), (CAST(900 AS BIGINT))),
-      li AS (
-        SELECT DISTINCT l_orderkey AS ok, l_suppkey AS s FROM lineitem
-        WHERE l_shipdate >= TIMESTAMP '1995-01-01'
-          AND l_shipdate < TIMESTAMP '1996-01-01'),
-      w AS (
-        SELECT a.s AS u, b.s AS v, CAST(count(*) AS BIGINT) AS w
-        FROM li a JOIN li b ON a.ok = b.ok AND a.s < b.s GROUP BY 1, 2),
-      thr AS (
-        SELECT CAST(min(w) AS BIGINT) AS w_thr
-        FROM (SELECT w, sum(c) OVER (ORDER BY w ROWS UNBOUNDED PRECEDING)
-                AS cum, sum(c) OVER () AS np
-              FROM (SELECT w, CAST(count(*) AS BIGINT) AS c FROM w GROUP BY w))
-        WHERE cum * 4 >= 3 * np),
-      edges AS (SELECT u, v FROM w CROSS JOIN thr WHERE w >= w_thr),
+      ${graft.graph.Backbone.pairsShipYearSql},
+      ${graft.graph.Backbone.backboneSql},
       deg AS (
         SELECT u, CAST(count(*) AS BIGINT) AS d
         FROM (SELECT u FROM edges UNION ALL SELECT v FROM edges)

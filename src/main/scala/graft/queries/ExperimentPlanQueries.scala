@@ -38,7 +38,19 @@ object ExperimentPlanQueries extends QueryGroup {
     *
     * Scale shape: ONE orders scan computes all 16 splits' cells
     * (conditional sums on hash bits); the verdicts are 16-row
-    * arithmetic. */
+    * arithmetic.
+    *
+    * SF CEILING (round-8 note, from the round-7 advice): the χ²
+    * numerator N·(ad−bc)²·10⁶ is computed in DECIMAL(38,0) (HUGEINT on
+    * the oracle side). Worst case (ad−bc = N²/4) that is ~N⁵·10⁶/16,
+    * which stays under 10³⁸ only for N ≲ 2.5·10⁶ orders (~sf1.5); but
+    * on A/A data the statistic is O(1) by construction, so
+    * (ad−bc)² ≈ D/N·χ² and the realistic numerator ≈ D·10⁶·χ² — under
+    * 10³⁸ through roughly sf50 (D ≤ N⁴/16). Past that, subsample each
+    * split's cells (the test's power at 10⁸ rows is absurd anyway) or
+    * rescale the cells by a common factor before the multiply; a silent
+    * NULL under ANSI-off is the failure mode this note exists to
+    * prevent. */
   private val q639 = QueryDef(
     "q639_aa_calibration_audit",
     (spark, dir) => {

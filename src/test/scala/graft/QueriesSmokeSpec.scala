@@ -671,4 +671,38 @@ class QueriesSmokeSpec extends SparkSpec {
       "the expression-node counter failed to flag a deliberate " +
         "2^10-leaf CASE fold — the compile-bomb gate would be blind")
   }
+
+  // ---- oracle-text budget (round 8) ----
+  // The 4,000-node expression budget watches Spark's OPTIMIZED plan only;
+  // round 6's q547 compile bomb was mirrored in its DuckDB oracle SQL,
+  // which that gate cannot see. DuckDB parses/binds the oracle from
+  // scratch per driver run, so an oracle whose TEXT blows up (an
+  // expanded exponential fold, a generated mega-CASE) is the same defect
+  // class on the other engine. 64 KB is ~4x the largest legitimate
+  // oracle (q566's unrolled bootstrap-replicate chain, ~16 KB).
+  private val OracleTextBudget = 64 * 1024
+
+  test("oracle-text budget: no oracle SQL exceeds 64 KB") {
+    val offenders = SparkEntry.oracleSql.toSeq.sortBy(_._1)
+      .filter(_._2.length > OracleTextBudget)
+      .map { case (n, sql) => s"$n (${sql.length} chars)" }
+    assert(offenders.isEmpty,
+      s"oracle SQL over the ${OracleTextBudget / 1024} KB text budget — " +
+        s"likely a generated expression bomb the plan gate can't see: " +
+        offenders.mkString(", "))
+  }
+
+  test("oracle-text budget canary: an expanded exponential fold IS over budget") {
+    // the q547 bomb as DuckDB text: each level textually embeds the
+    // previous level TWICE, so ten levels is ~2^10 copies of the seed —
+    // exactly what an LLM "fixing" a fold by inlining would emit
+    val bomb = (0 until 10).foldLeft("CAST(o_totalprice AS BIGINT)") { (acc, i) =>
+      s"(CASE WHEN o_orderkey % ${1L << (i + 1)} >= ${1L << i} " +
+        s"THEN ($acc * 999) // 1000 ELSE $acc END)"
+    }
+    val canarySql = s"SELECT $bomb AS v FROM orders"
+    assert(canarySql.length > OracleTextBudget,
+      "the canary bomb no longer exceeds the budget — the gate's " +
+        "threshold or the canary's construction drifted")
+  }
 }
