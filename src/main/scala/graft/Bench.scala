@@ -26,6 +26,19 @@ import org.apache.spark.sql.SparkSession
   *    interpreted. ReservedCodeCacheSize is raised in build.sbt.);
   *  - two scale points: the primary SF (env) plus a full timed pass at
   *    sf0.01, so scaling slope per query is visible round-over-round.
+  *
+  * Floor decomposition (round-8, graft.PlanProbe over an 80-query warm
+  * sample): planning (analyze+optimize+physical) is 0.052 s/query;
+  * execution is 0.217 s/query at sf0.01 and 0.234 s/query at sf0.001 —
+  * identical within noise, so the execution term is SCHEDULING, not
+  * data. Of it, ~0.046 s/query is AQE's one re-plan barrier per
+  * exchange (0.171 s/query with adaptive off); the residual ~0.12 is
+  * job+stage launch at local[32]. The sf0.01 floor is launch-bound:
+  * pushing it lower means fewer exchanges per query, not faster
+  * operators. AQE stays ON — the per-exchange barrier is exactly what
+  * buys skew-join handling and partition coalescing at the 100 TB
+  * target, and benching with a different conf than production would
+  * report a machine we don't ship.
   *    Full per-query detail for both passes goes to BENCH_LOCAL.json in
   *    the repo (the stdout line must stay within the driver's output
   *    window, so it carries the primary per-query map + both totals).

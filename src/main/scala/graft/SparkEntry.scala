@@ -99,7 +99,12 @@ object SparkEntry {
     InventoryPlanQueries,
     RobustLocationPlanQueries,
     ExperimentPlanQueries,
-    AgreementPlanQueries)
+    AgreementPlanQueries,
+    CachePlanQueries,
+    FusionPlanQueries,
+    NominalAssocPlanQueries,
+    DedupPolicyPlanQueries,
+    EncodingPlanQueries)
 
   private lazy val all: Seq[QueryDef] = groups.flatMap(_.defs)
 

@@ -13,16 +13,6 @@ import graft.Tables
   */
 object AgreementPlanQueries extends QueryGroup {
 
-  private def isqrtSql(v: String): String =
-    s"""(CASE
-        WHEN (CAST(floor(sqrt(CAST(($v) AS DOUBLE))) AS BIGINT) + 1)
-           * (CAST(floor(sqrt(CAST(($v) AS DOUBLE))) AS BIGINT) + 1) <= ($v)
-          THEN CAST(floor(sqrt(CAST(($v) AS DOUBLE))) AS BIGINT) + 1
-        WHEN CAST(floor(sqrt(CAST(($v) AS DOUBLE))) AS BIGINT)
-           * CAST(floor(sqrt(CAST(($v) AS DOUBLE))) AS BIGINT) > ($v)
-          THEN CAST(floor(sqrt(CAST(($v) AS DOUBLE))) AS BIGINT) - 1
-        ELSE CAST(floor(sqrt(CAST(($v) AS DOUBLE))) AS BIGINT) END)"""
-
   /** Dense (month, brand, revenue-cents) cells for 1995 — zero-filled
     * so every (month, brand) exists (rank/variance statistics are
     * wrong on ragged grids). */
@@ -213,7 +203,7 @@ object AgreementPlanQueries extends QueryGroup {
           expr("""CAST((n * ss - CAST(s AS DECIMAL(38,0)) * s)
             DIV (CAST(n AS DECIMAL(38,0)) * n) AS BIGINT)""").as("v"))
         .select(col("n"), col("bias"),
-          expr(s"${isqrtSql("v")}").as("sd"))
+          expr(s"${SqlMacros.isqrt("v")}").as("sd"))
         .select(col("n"), col("bias"), col("sd"),
           expr("bias - 1960 * sd div 1000").as("loa_low"),
           expr("bias + 1960 * sd div 1000").as("loa_high"))
@@ -244,7 +234,7 @@ object AgreementPlanQueries extends QueryGroup {
             // (CAST(count(*) AS HUGEINT) * count(*)) AS BIGINT) AS v
         FROM diffs),
       lim AS (
-        SELECT n, bias, ${isqrtSql("v")} AS sd FROM mom),
+        SELECT n, bias, ${SqlMacros.isqrt("v")} AS sd FROM mom),
       lim2 AS (
         SELECT n, bias, sd,
           bias - 1960 * sd // 1000 AS loa_low,

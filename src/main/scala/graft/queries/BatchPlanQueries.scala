@@ -15,16 +15,6 @@ object BatchPlanQueries extends QueryGroup {
   /** Exact integer sqrt both engines agree on (FidelityPlanQueries
     * precedent): floor(libm sqrt) is within ±1 for v < 2⁵², one CASE
     * fix-up makes it exact. */
-  private def isqrtSql(v: String): String =
-    s"""(CASE
-        WHEN (CAST(floor(sqrt(CAST(($v) AS DOUBLE))) AS BIGINT) + 1)
-           * (CAST(floor(sqrt(CAST(($v) AS DOUBLE))) AS BIGINT) + 1) <= ($v)
-          THEN CAST(floor(sqrt(CAST(($v) AS DOUBLE))) AS BIGINT) + 1
-        WHEN CAST(floor(sqrt(CAST(($v) AS DOUBLE))) AS BIGINT)
-           * CAST(floor(sqrt(CAST(($v) AS DOUBLE))) AS BIGINT) > ($v)
-          THEN CAST(floor(sqrt(CAST(($v) AS DOUBLE))) AS BIGINT) - 1
-        ELSE CAST(floor(sqrt(CAST(($v) AS DOUBLE))) AS BIGINT) END)"""
-
   // ---------------------------------------------------------------- q605
 
   /** Critical batch size by the gradient-noise-scale identity
@@ -192,7 +182,7 @@ object BatchPlanQueries extends QueryGroup {
         .select(col("decile"), col("s").as("step"), col("total_tokens"),
           col("steps"), col("warmup"),
           expr(s"""CASE WHEN s <= warmup THEN 1000 * s div warmup
-                   ELSE ${isqrtSql("1000000 * warmup div s")} END""")
+                   ELSE ${SqlMacros.isqrt("1000000 * warmup div s")} END""")
             .as("lr_milli"))
         .orderBy(col("decile"))
     },
@@ -214,7 +204,7 @@ object BatchPlanQueries extends QueryGroup {
         total_tokens, CAST(steps AS BIGINT) AS steps,
         CAST(warmup AS BIGINT) AS warmup,
         CAST(CASE WHEN s <= warmup THEN 1000 * s // warmup
-             ELSE ${isqrtSql("1000000 * warmup // s")} END AS BIGINT)
+             ELSE ${SqlMacros.isqrt("1000000 * warmup // s")} END AS BIGINT)
           AS lr_milli
       FROM g ORDER BY decile
     """))

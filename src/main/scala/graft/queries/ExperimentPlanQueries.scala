@@ -14,16 +14,6 @@ import graft.Tables
   */
 object ExperimentPlanQueries extends QueryGroup {
 
-  private def isqrtSql(v: String): String =
-    s"""(CASE
-        WHEN (CAST(floor(sqrt(CAST(($v) AS DOUBLE))) AS BIGINT) + 1)
-           * (CAST(floor(sqrt(CAST(($v) AS DOUBLE))) AS BIGINT) + 1) <= ($v)
-          THEN CAST(floor(sqrt(CAST(($v) AS DOUBLE))) AS BIGINT) + 1
-        WHEN CAST(floor(sqrt(CAST(($v) AS DOUBLE))) AS BIGINT)
-           * CAST(floor(sqrt(CAST(($v) AS DOUBLE))) AS BIGINT) > ($v)
-          THEN CAST(floor(sqrt(CAST(($v) AS DOUBLE))) AS BIGINT) - 1
-        ELSE CAST(floor(sqrt(CAST(($v) AS DOUBLE))) AS BIGINT) END)"""
-
   // ---------------------------------------------------------------- q639
 
   /** A/A harness calibration: run the two-proportion z-test on 16

@@ -13,16 +13,6 @@ object FidelityPlanQueries extends QueryGroup {
 
   /** Exact integer sqrt both engines agree on: floor(libm sqrt) is
     * within ±1 for v < 2⁵², so one CASE fix-up makes it exact. */
-  private def isqrtSql(v: String): String =
-    s"""(CASE
-        WHEN (CAST(floor(sqrt(CAST(($v) AS DOUBLE))) AS BIGINT) + 1)
-           * (CAST(floor(sqrt(CAST(($v) AS DOUBLE))) AS BIGINT) + 1) <= ($v)
-          THEN CAST(floor(sqrt(CAST(($v) AS DOUBLE))) AS BIGINT) + 1
-        WHEN CAST(floor(sqrt(CAST(($v) AS DOUBLE))) AS BIGINT)
-           * CAST(floor(sqrt(CAST(($v) AS DOUBLE))) AS BIGINT) > ($v)
-          THEN CAST(floor(sqrt(CAST(($v) AS DOUBLE))) AS BIGINT) - 1
-        ELSE CAST(floor(sqrt(CAST(($v) AS DOUBLE))) AS BIGINT) END)"""
-
   // ---------------------------------------------------------------- q579
 
   /** CountSketch vs Count-Min bias audit: build both sketches over the
@@ -142,7 +132,7 @@ object FidelityPlanQueries extends QueryGroup {
           expr("n * 1000000 div n_src").as("p_ppm"),
           expr("n_lang * 1000000 div n_all").as("q_ppm"))
         .groupBy(col("source"), col("n_src"))
-        .agg(sum(expr(isqrtSql("p_ppm * q_ppm"))).as("bc_ppm"))
+        .agg(sum(expr(SqlMacros.isqrt("p_ppm * q_ppm"))).as("bc_ppm"))
         .select(col("source"), col("n_src").as("n_docs"),
           expr("least(bc_ppm, 1000000)").as("bc_ppm"),
           expr("greatest(1000000 - bc_ppm, 0)").as("hellinger_sq_ppm"))
@@ -165,7 +155,7 @@ object FidelityPlanQueries extends QueryGroup {
         CROSS JOIN tot),
       bc AS (
         SELECT source, n_src,
-          CAST(sum(${isqrtSql("p_ppm * q_ppm")}) AS BIGINT) AS bc_ppm
+          CAST(sum(${SqlMacros.isqrt("p_ppm * q_ppm")}) AS BIGINT) AS bc_ppm
         FROM p GROUP BY 1, 2)
       SELECT source, n_src AS n_docs,
         CAST(least(bc_ppm, 1000000) AS BIGINT) AS bc_ppm,

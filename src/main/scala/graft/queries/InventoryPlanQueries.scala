@@ -12,16 +12,6 @@ import graft.Tables
   */
 object InventoryPlanQueries extends QueryGroup {
 
-  private def isqrtSql(v: String): String =
-    s"""(CASE
-        WHEN (CAST(floor(sqrt(CAST(($v) AS DOUBLE))) AS BIGINT) + 1)
-           * (CAST(floor(sqrt(CAST(($v) AS DOUBLE))) AS BIGINT) + 1) <= ($v)
-          THEN CAST(floor(sqrt(CAST(($v) AS DOUBLE))) AS BIGINT) + 1
-        WHEN CAST(floor(sqrt(CAST(($v) AS DOUBLE))) AS BIGINT)
-           * CAST(floor(sqrt(CAST(($v) AS DOUBLE))) AS BIGINT) > ($v)
-          THEN CAST(floor(sqrt(CAST(($v) AS DOUBLE))) AS BIGINT) - 1
-        ELSE CAST(floor(sqrt(CAST(($v) AS DOUBLE))) AS BIGINT) END)"""
-
   /** One order-year of (brand, day, units) demand. */
   private def demand(spark: org.apache.spark.sql.SparkSession, dir: String) =
     Tables.lineitem(spark, dir)
@@ -63,7 +53,7 @@ object InventoryPlanQueries extends QueryGroup {
       byBrand.select(col("brand"), col("d_units"), col("unit_price_cents"),
           col("h_cents"),
           // EOQ = isqrt(2·D·S/H), S = 10000 cents
-          expr(s"${isqrtSql("2 * d_units * 10000 div h_cents")}").as("eoq_units"))
+          expr(s"${SqlMacros.isqrt("2 * d_units * 10000 div h_cents")}").as("eoq_units"))
         .select(col("brand"), col("d_units"), col("unit_price_cents"),
           col("h_cents"), col("eoq_units"),
           expr("CASE WHEN eoq_units > 0 THEN d_units div eoq_units ELSE 0 END")
@@ -86,7 +76,7 @@ object InventoryPlanQueries extends QueryGroup {
         FROM b),
       e AS (
         SELECT brand, d_units, unit_price_cents, h_cents,
-          ${isqrtSql("2 * d_units * 10000 // h_cents")} AS eoq_units
+          ${SqlMacros.isqrt("2 * d_units * 10000 // h_cents")} AS eoq_units
         FROM p)
       SELECT brand, d_units, unit_price_cents, h_cents,
         CAST(eoq_units AS BIGINT) AS eoq_units,
@@ -124,7 +114,7 @@ object InventoryPlanQueries extends QueryGroup {
           expr("(365 * ss - s * s) div (365 * 365)").as("var_daily"))
       val rop = mom.select(col("brand"), col("s").as("annual_units"),
         col("mu_daily"), col("var_daily"),
-        expr(s"7 * mu_daily + 1645 * ${isqrtSql("7 * var_daily")} div 1000")
+        expr(s"7 * mu_daily + 1645 * ${SqlMacros.isqrt("7 * var_daily")} div 1000")
           .as("reorder_point"))
       val weekly = byDay
         .groupBy(col("brand"), expr("day div 7").as("wk"))
@@ -165,7 +155,7 @@ object InventoryPlanQueries extends QueryGroup {
         FROM d GROUP BY brand),
       rop AS (
         SELECT brand, s AS annual_units, mu_daily, var_daily,
-          CAST(7 * mu_daily + 1645 * ${isqrtSql("7 * var_daily")} // 1000
+          CAST(7 * mu_daily + 1645 * ${SqlMacros.isqrt("7 * var_daily")} // 1000
             AS BIGINT) AS reorder_point
         FROM mom),
       wk AS (
@@ -221,13 +211,13 @@ object InventoryPlanQueries extends QueryGroup {
         .agg(sum(col("dq")).as("s"), sum(expr("dq * dq")).as("ss"))
         .select(col("nat"),
           expr("(365 * ss - s * s) * 10000 div (365 * 365)").as("v"))
-        .select(col("nat"), expr(s"${isqrtSql("v")}").as("sd"))
+        .select(col("nat"), expr(s"${SqlMacros.isqrt("v")}").as("sd"))
       val sumSd = perNat.agg(sum(col("sd")).as("sum_sd"),
         count(lit(1)).as("n_nations"))
       val pooled = cells.groupBy(col("day")).agg(sum(col("dq")).as("dq"))
         .agg(sum(col("dq")).as("s"), sum(expr("dq * dq")).as("ss"))
         .select(expr("(365 * ss - s * s) * 10000 div (365 * 365)").as("v"))
-        .select(expr(s"${isqrtSql("v")}").as("pooled_sd"))
+        .select(expr(s"${SqlMacros.isqrt("v")}").as("pooled_sd"))
       sumSd.crossJoin(broadcast(pooled))
         .select(col("n_nations"), col("sum_sd").as("sum_sd_centi"),
           col("pooled_sd").as("pooled_sd_centi"),
@@ -246,12 +236,12 @@ object InventoryPlanQueries extends QueryGroup {
           AND o_orderdate < TIMESTAMP '1996-01-01'
         GROUP BY 1, 2),
       pn AS (
-        SELECT nat, ${isqrtSql("(365 * sum(dq * dq) - sum(dq) * sum(dq)) * 10000 // (365 * 365)")} AS sd
+        SELECT nat, ${SqlMacros.isqrt("(365 * sum(dq * dq) - sum(dq) * sum(dq)) * 10000 // (365 * 365)")} AS sd
         FROM cells GROUP BY nat),
       ss AS (SELECT CAST(sum(sd) AS BIGINT) AS sum_sd,
              CAST(count(*) AS BIGINT) AS n_nations FROM pn),
       pool AS (
-        SELECT ${isqrtSql("(365 * sum(dq * dq) - sum(dq) * sum(dq)) * 10000 // (365 * 365)")}
+        SELECT ${SqlMacros.isqrt("(365 * sum(dq * dq) - sum(dq) * sum(dq)) * 10000 // (365 * 365)")}
           AS pooled_sd
         FROM (SELECT day, CAST(sum(dq) AS BIGINT) AS dq
               FROM cells GROUP BY day))

@@ -13,16 +13,6 @@ import graft.Tables
   */
 object SequentialTestPlanQueries extends QueryGroup {
 
-  private def isqrtSql(v: String): String =
-    s"""(CASE
-        WHEN (CAST(floor(sqrt(CAST(($v) AS DOUBLE))) AS BIGINT) + 1)
-           * (CAST(floor(sqrt(CAST(($v) AS DOUBLE))) AS BIGINT) + 1) <= ($v)
-          THEN CAST(floor(sqrt(CAST(($v) AS DOUBLE))) AS BIGINT) + 1
-        WHEN CAST(floor(sqrt(CAST(($v) AS DOUBLE))) AS BIGINT)
-           * CAST(floor(sqrt(CAST(($v) AS DOUBLE))) AS BIGINT) > ($v)
-          THEN CAST(floor(sqrt(CAST(($v) AS DOUBLE))) AS BIGINT) - 1
-        ELSE CAST(floor(sqrt(CAST(($v) AS DOUBLE))) AS BIGINT) END)"""
-
   // ---------------------------------------------------------------- q628
 
   /** Benjamini–Yekutieli vs BH on the same 25 brand return-rate
@@ -164,9 +154,9 @@ object SequentialTestPlanQueries extends QueryGroup {
         .withColumn("v", expr("CAST((n * ss - CAST(s AS DECIMAL(38,0)) * s) DIV (CAST(n AS DECIMAL(38,0)) * n) AS BIGINT)"))
         .withColumn("r", col("mx") - col("mn"))
       m.select(col("source"), col("n"), col("v").as("variance"), col("r").as("range_x"),
-          expr(s"${isqrtSql("2 * v * 4094 div (1000 * n)")}").as("eb_term1"),
+          expr(s"${SqlMacros.isqrt("2 * v * 4094 div (1000 * n)")}").as("eb_term1"),
           expr("3 * r * 4094 div (1000 * n)").as("eb_term2"),
-          expr(s"${isqrtSql("r * r * 4094 div (2000 * n)")}").as("hoeffding_radius"))
+          expr(s"${SqlMacros.isqrt("r * r * 4094 div (2000 * n)")}").as("hoeffding_radius"))
         .select(col("source"), col("n"), col("variance"), col("range_x"),
           (col("eb_term1") + col("eb_term2")).as("bernstein_radius"),
           col("hoeffding_radius"),
@@ -189,9 +179,9 @@ object SequentialTestPlanQueries extends QueryGroup {
         FROM m),
       t AS (
         SELECT source, n, v AS variance, r AS range_x,
-          ${isqrtSql("2 * v * 4094 // (1000 * n)")} AS eb1,
+          ${SqlMacros.isqrt("2 * v * 4094 // (1000 * n)")} AS eb1,
           3 * r * 4094 // (1000 * n) AS eb2,
-          ${isqrtSql("r * r * 4094 // (2000 * n)")} AS hoeffding_radius
+          ${SqlMacros.isqrt("r * r * 4094 // (2000 * n)")} AS hoeffding_radius
         FROM v)
       SELECT source, n, variance, range_x,
         CAST(eb1 + eb2 AS BIGINT) AS bernstein_radius,

@@ -14,16 +14,6 @@ import graft.Tables
   */
 object TrendPlanQueries extends QueryGroup {
 
-  private def isqrtSql(v: String): String =
-    s"""(CASE
-        WHEN (CAST(floor(sqrt(CAST(($v) AS DOUBLE))) AS BIGINT) + 1)
-           * (CAST(floor(sqrt(CAST(($v) AS DOUBLE))) AS BIGINT) + 1) <= ($v)
-          THEN CAST(floor(sqrt(CAST(($v) AS DOUBLE))) AS BIGINT) + 1
-        WHEN CAST(floor(sqrt(CAST(($v) AS DOUBLE))) AS BIGINT)
-           * CAST(floor(sqrt(CAST(($v) AS DOUBLE))) AS BIGINT) > ($v)
-          THEN CAST(floor(sqrt(CAST(($v) AS DOUBLE))) AS BIGINT) - 1
-        ELSE CAST(floor(sqrt(CAST(($v) AS DOUBLE))) AS BIGINT) END)"""
-
   /** Daily revenue series (exact cents), one row per order day. */
   private def dailyRevenue(spark: org.apache.spark.sql.SparkSession, dir: String) =
     Tables.orders(spark, dir)
@@ -60,8 +50,8 @@ object TrendPlanQueries extends QueryGroup {
         .select(col("n").as("n_days"), col("s_stat"),
           expr("(n * (n - 1) * (2 * n + 5) - tie18) div 18").as("var_s"))
         .select(col("n_days"), col("s_stat"), col("var_s"),
-          expr(s"""CASE WHEN s_stat > 0 THEN (s_stat - 1) * 1000 div ${isqrtSql("var_s")}
-                   WHEN s_stat < 0 THEN (s_stat + 1) * 1000 div ${isqrtSql("var_s")}
+          expr(s"""CASE WHEN s_stat > 0 THEN (s_stat - 1) * 1000 div ${SqlMacros.isqrt("var_s")}
+                   WHEN s_stat < 0 THEN (s_stat + 1) * 1000 div ${SqlMacros.isqrt("var_s")}
                    ELSE 0 END""").as("z_milli"))
         .select(col("n_days"), col("s_stat"), col("var_s"), col("z_milli"),
           when(col("z_milli") > 1960L, "increasing")
@@ -91,8 +81,8 @@ object TrendPlanQueries extends QueryGroup {
         FROM s CROSS JOIN n CROSS JOIN ties),
       z AS (
         SELECT n_days, s_stat, var_s,
-          CAST(CASE WHEN s_stat > 0 THEN (s_stat - 1) * 1000 // ${isqrtSql("var_s")}
-               WHEN s_stat < 0 THEN (s_stat + 1) * 1000 // ${isqrtSql("var_s")}
+          CAST(CASE WHEN s_stat > 0 THEN (s_stat - 1) * 1000 // ${SqlMacros.isqrt("var_s")}
+               WHEN s_stat < 0 THEN (s_stat + 1) * 1000 // ${SqlMacros.isqrt("var_s")}
                ELSE 0 END AS BIGINT) AS z_milli
         FROM v)
       SELECT n_days, s_stat, var_s, z_milli,
@@ -210,7 +200,7 @@ object TrendPlanQueries extends QueryGroup {
           // n = interior + 2 endpoints; E·3 = 2(n−2) = 2·n_interior
           expr("2 * n_interior div 3").as("expected_turning"),
           expr(s"""(3 * n_turning - 2 * n_interior) * 1000
-                   div ${isqrtSql("(16 * (n_interior + 2) - 29) div 10")}""")
+                   div ${SqlMacros.isqrt("(16 * (n_interior + 2) - 29) div 10")}""")
             .as("z_milli"))
         .select(col("n_interior"), col("n_turning"), col("expected_turning"),
           col("z_milli"),
@@ -242,10 +232,10 @@ object TrendPlanQueries extends QueryGroup {
       SELECT n_interior, n_turning,
         CAST(2 * n_interior // 3 AS BIGINT) AS expected_turning,
         CAST((3 * n_turning - 2 * n_interior) * 1000
-          // ${isqrtSql("(16 * (n_interior + 2) - 29) // 10")} AS BIGINT)
+          // ${SqlMacros.isqrt("(16 * (n_interior + 2) - 29) // 10")} AS BIGINT)
           AS z_milli,
         CASE WHEN abs((3 * n_turning - 2 * n_interior) * 1000
-          // ${isqrtSql("(16 * (n_interior + 2) - 29) // 10")}) > 1960
+          // ${SqlMacros.isqrt("(16 * (n_interior + 2) - 29) // 10")}) > 1960
           THEN 'non_random' ELSE 'consistent_with_random' END AS verdict
       FROM a
     """))

@@ -313,7 +313,18 @@ class QueriesSmokeSpec extends SparkSpec {
     // q642/q643's one-row n/moment broadcasts and the dense
     // brand×12-month grid build; q644's one-row limits broadcast
     "q642_kendall_w_concordance", "q643_cronbach_alpha",
-    "q644_bland_altman_agreement")
+    "q644_bland_altman_agreement",
+    // round-8: bounded broadcast grids and panels. q645/q647's 3-row
+    // k/TTL grids over one scan; q648's 3-row depth grid over 8 probe
+    // rows; q649/q650's 5/8-probe quantized panels (the q25 precedent);
+    // q651/q652's one-row marginal/total broadcasts over the bounded
+    // contingency; q653's one-row margins per contingency; q659's
+    // one-row median broadcast over the 365-day series
+    "q645_prefix_cache_reuse", "q647_ttl_staleness_audit",
+    "q648_cascade_recall_sweep", "q649_reciprocal_rank_fusion",
+    "q650_rank_disagreement_footrule", "q651_gk_lambda_direction",
+    "q652_gk_tau_direction", "q653_cramers_v_battery",
+    "q659_runs_test_daily_orders")
 
   test("query constructors are lazy: warm construction launches zero jobs") {
     import org.apache.spark.scheduler.{SparkListener, SparkListenerJobStart}
@@ -543,7 +554,13 @@ class QueriesSmokeSpec extends SparkSpec {
     "q638_pairwise_difference_scale",
     // q640's sequence rank and running-min gate run over the 25-brand
     // statistic grid (the q417/q628 class)
-    "q640_fixed_sequence_gatekeeping")
+    "q640_fixed_sequence_gatekeeping",
+    // round-8: q646's share-of-total runs over the ≤ ~35-row log₂ gap
+    // bucket census (the q64/q82 value-histogram class)
+    "q646_reuse_distance_census",
+    // round-8: q659's median rank, total count, and run-boundary lag all
+    // run over the ≤ 365-row daily series (the q99/q636 calendar class)
+    "q659_runs_test_daily_orders")
 
   // windows partitioned by a BROADCAST-side key where the rows under
   // each partition are themselves bounded (audited per query below) —
