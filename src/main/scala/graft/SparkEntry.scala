@@ -104,7 +104,8 @@ object SparkEntry {
     FusionPlanQueries,
     NominalAssocPlanQueries,
     DedupPolicyPlanQueries,
-    EncodingPlanQueries)
+    EncodingPlanQueries,
+    MultimodalPlanQueries)
 
   private lazy val all: Seq[QueryDef] = groups.flatMap(_.defs)
 

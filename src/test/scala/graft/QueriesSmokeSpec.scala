@@ -324,7 +324,9 @@ class QueriesSmokeSpec extends SparkSpec {
     "q648_cascade_recall_sweep", "q649_reciprocal_rank_fusion",
     "q650_rank_disagreement_footrule", "q651_gk_lambda_direction",
     "q652_gk_tau_direction", "q653_cramers_v_battery",
-    "q659_runs_test_daily_orders")
+    "q659_runs_test_daily_orders",
+    // q660's one-row probe-vector broadcast (the q25/q572 panel class)
+    "q660_multimodal_feature_ann")
 
   test("query constructors are lazy: warm construction launches zero jobs") {
     import org.apache.spark.scheduler.{SparkListener, SparkListenerJobStart}
