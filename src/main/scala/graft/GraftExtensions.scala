@@ -60,6 +60,10 @@ object GraftFunctions {
       WordShingleSet(args(0), intOf(args(1), "k"))),
     "graft_suffix_loop_period" -> (args =>
       SuffixLoopPeriod(args(0), intOf(args(1), "maxP"))),
+    "graft_long_dot" -> (args => LongDot(args(0), args(1))),
+    "graft_l2sq" -> (args => L2SqLong(args(0), args(1))),
+    "graft_maxsim" -> (args =>
+      MaxSimBlocks(args(0), args(1), intOf(args(2), "blocks"))),
     // mergeable quantile sketch: graft_sketch_quantile(v, p [, k])
     "graft_sketch_quantile" -> (args =>
       graft.functions.QuantileSketch(args(0),

@@ -105,7 +105,8 @@ object SparkEntry {
     NominalAssocPlanQueries,
     DedupPolicyPlanQueries,
     EncodingPlanQueries,
-    MultimodalPlanQueries)
+    MultimodalPlanQueries,
+    SeriesDependencePlanQueries)
 
   private lazy val all: Seq[QueryDef] = groups.flatMap(_.defs)
 

@@ -85,6 +85,41 @@ object Backbone {
     canon.union(canon.select(col("dst").as("src"), col("src").as("dst")))
   }
 
+  /** Symmetric degrees of a canonical (u < v) edge list: one row per
+    * node with its undirected degree. */
+  def symDegrees(edges: DataFrame): DataFrame =
+    edges.union(edges.select(col("v").as("u"), col("u").as("v")))
+      .groupBy(col("u")).agg(count(lit(1)).as("d"))
+
+  /** Degree-oriented edge list (the q95 exact-triangle discipline):
+    * re-orient each canonical edge low→high by (degree, id), so
+    * out-degree is O(√m) and the wedge join is bounded at O(m^1.5) —
+    * an UNORIENTED wedge join enumerates Σ C(deg, 2), which one
+    * high-degree hub blows up to O(deg²) rows from a single key.
+    * Persisted: every caller joins it against itself. */
+  def orientByDegree(edges: DataFrame, deg: DataFrame): DataFrame =
+    edges
+      .join(deg.select(col("u"), col("d").as("du")), Seq("u"))
+      .join(deg.select(col("u").as("v"), col("d").as("dv")), Seq("v"))
+      .select(
+        when(struct(col("du"), col("u")) < struct(col("dv"), col("v")),
+          col("u")).otherwise(col("v")).as("u"),
+        when(struct(col("du"), col("u")) < struct(col("dv"), col("v")),
+          col("v")).otherwise(col("u")).as("v"))
+      .persist()
+
+  /** Every triangle exactly once as (apex, x, y): matched wedges of the
+    * oriented list — the apex is the triangle's (degree, id)-smallest
+    * node, so no triangle is double-counted and the output is 3·Δ rows
+    * after any endpoint explode. */
+  def triangles(oriented: DataFrame): DataFrame =
+    oriented.as("e1")
+      .join(oriented.as("e2"), col("e1.u") === col("e2.u")
+        && col("e1.v") =!= col("e2.v"))
+      .select(col("e1.u").as("apex"), col("e1.v").as("x"), col("e2.v").as("y"))
+      .join(oriented.select(col("u").as("x"), col("v").as("y")), Seq("x", "y"))
+      .select(col("apex"), col("x"), col("y"))
+
   // ---- oracle SQL snippets (spliced into each query's WITH chain so
   // ---- the DuckDB mirror is defined exactly once) ----
 
@@ -102,6 +137,23 @@ object Backbone {
         FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
         WHERE o.o_orderdate >= TIMESTAMP '1995-01-01'
           AND o.o_orderdate < TIMESTAMP '1996-01-01')"""
+
+  /** CTEs `sym`, `deg`, `o`, `tri`: symmetric degrees over `edges`,
+    * the degree-oriented edge list, and each triangle once as
+    * (apex, x, y) — the oracle mirror of [[symDegrees]] /
+    * [[orientByDegree]] / [[triangles]]. */
+  val orientedTrianglesSql: String =
+    """sym AS (SELECT u, v FROM edges UNION ALL SELECT v, u FROM edges),
+      deg AS (SELECT u, CAST(count(*) AS BIGINT) AS d FROM sym GROUP BY u),
+      o AS (
+        SELECT CASE WHEN (du.d, e.u) < (dv.d, e.v) THEN e.u ELSE e.v END AS u,
+               CASE WHEN (du.d, e.u) < (dv.d, e.v) THEN e.v ELSE e.u END AS v
+        FROM edges e JOIN deg du ON du.u = e.u JOIN deg dv ON dv.u = e.v),
+      tri AS (
+        SELECT w.apex, w.x, w.y
+        FROM (SELECT e1.u AS apex, e1.v AS x, e2.v AS y
+              FROM o e1 JOIN o e2 ON e1.u = e2.u AND e1.v <> e2.v) w
+        JOIN o ON o.u = w.x AND o.v = w.y)"""
 
   /** CTEs `w`, `thr`, `edges`: weighted projection over `pairs`, the
     * top-quartile histogram threshold, and the backbone edge list. */

@@ -316,31 +316,13 @@ object CausalPlanQueries extends QueryGroup {
       // across scale factors) or LCC degenerates to 1 everywhere
       val edges = graft.graph.Backbone.edges(
         graft.graph.Backbone.orderYearPairs(spark, dir))
-      val sym = edges.union(edges.select(col("v").as("u"), col("u").as("v")))
-      val deg = sym.groupBy(col("u")).agg(count(lit(1)).as("d"))
-      // triangles per node via the q95 degree-ordered discipline: orient
-      // each edge low→high by (degree, id) so out-degree is O(√m) and
-      // wedges are bounded at O(m^1.5) — an UNORIENTED wedge join
-      // enumerates Σ C(deg,2), which one high-degree hub blows up to
-      // O(deg²) rows from a single key. Each triangle survives as
-      // exactly ONE matched wedge (apex = its (degree, id)-smallest
-      // node); exploding the 3 endpoints then credits every node once
-      // per incident triangle — 3·Δ rows, vastly fewer than Σ deg².
-      val oriented = edges
-        .join(deg.select(col("u"), col("d").as("du")), Seq("u"))
-        .join(deg.select(col("u").as("v"), col("d").as("dv")), Seq("v"))
-        .select(
-          when(struct(col("du"), col("u")) < struct(col("dv"), col("v")),
-            col("u")).otherwise(col("v")).as("u"),
-          when(struct(col("du"), col("u")) < struct(col("dv"), col("v")),
-            col("v")).otherwise(col("u")).as("v"))
-        .persist()
-      val wedges = oriented.as("e1")
-        .join(oriented.as("e2"), col("e1.u") === col("e2.u")
-          && col("e1.v") =!= col("e2.v"))
-        .select(col("e1.u").as("apex"), col("e1.v").as("x"), col("e2.v").as("y"))
-      val tri = wedges
-        .join(oriented.select(col("u").as("x"), col("v").as("y")), Seq("x", "y"))
+      val deg = graft.graph.Backbone.symDegrees(edges)
+      // triangles per node via the shared degree-ordered discipline
+      // (graph.Backbone.orientByDegree/triangles — each triangle once
+      // at its apex; exploding the 3 endpoints credits every node once
+      // per incident triangle, 3·Δ rows, vastly fewer than Σ deg²)
+      val tri = graft.graph.Backbone
+        .triangles(graft.graph.Backbone.orientByDegree(edges, deg))
         .select(explode(array(col("apex"), col("x"), col("y"))).as("u"))
         .groupBy(col("u")).agg(count(lit(1)).as("t"))
       val lcc = deg.join(tri, Seq("u"), "left")
@@ -357,25 +339,15 @@ object CausalPlanQueries extends QueryGroup {
     Some(s"""
       WITH ${graft.graph.Backbone.pairsOrderYearSql},
       ${graft.graph.Backbone.backboneSql},
-      sym AS (SELECT u, v FROM edges UNION ALL SELECT v, u FROM edges),
-      deg AS (SELECT u, CAST(count(*) AS BIGINT) AS d FROM sym GROUP BY u),
-      o AS (
-        SELECT CASE WHEN (du.d, e.u) < (dv.d, e.v) THEN e.u ELSE e.v END AS u,
-               CASE WHEN (du.d, e.u) < (dv.d, e.v) THEN e.v ELSE e.u END AS v
-        FROM edges e JOIN deg du ON du.u = e.u JOIN deg dv ON dv.u = e.v),
-      matched AS (
-        SELECT w.apex, w.x, w.y
-        FROM (SELECT e1.u AS apex, e1.v AS x, e2.v AS y
-              FROM o e1 JOIN o e2 ON e1.u = e2.u AND e1.v <> e2.v) w
-        JOIN o ON o.u = w.x AND o.v = w.y),
-      tri AS (
+      ${graft.graph.Backbone.orientedTrianglesSql},
+      tn AS (
         SELECT node AS u, CAST(count(*) AS BIGINT) AS t
-        FROM (SELECT unnest([apex, x, y]) AS node FROM matched)
+        FROM (SELECT unnest([apex, x, y]) AS node FROM tri)
         GROUP BY node),
       lcc AS (
         SELECT deg.u,
           CAST(coalesce(t, 0) * 2000 // (d * (d - 1)) AS BIGINT) AS lcc_milli
-        FROM deg LEFT JOIN tri USING (u)
+        FROM deg LEFT JOIN tn USING (u)
         WHERE d >= 2)
       SELECT least(lcc_milli // 100, 10) AS lcc_decile,
         CAST(count(*) AS BIGINT) AS n_nodes,

@@ -120,22 +120,9 @@ object CentralityPlanQueries extends QueryGroup {
       // backbone by co-occurrence weight (the shared histogram-threshold
       // builder — see graft.graph.Backbone)
       val edges = graft.graph.Backbone.coPurchase(spark, dir)
-      val symB = edges.union(edges.select(col("v").as("u"), col("u").as("v")))
-      val deg = symB.groupBy(col("u")).agg(count(lit(1)).as("d"))
-      val oriented = edges
-        .join(deg.select(col("u"), col("d").as("du")), Seq("u"))
-        .join(deg.select(col("u").as("v"), col("d").as("dv")), Seq("v"))
-        .select(
-          when(struct(col("du"), col("u")) < struct(col("dv"), col("v")),
-            col("u")).otherwise(col("v")).as("u"),
-          when(struct(col("du"), col("u")) < struct(col("dv"), col("v")),
-            col("v")).otherwise(col("u")).as("v"))
-        .persist()
-      val tri = oriented.as("e1")
-        .join(oriented.as("e2"), col("e1.u") === col("e2.u")
-          && col("e1.v") =!= col("e2.v"))
-        .select(col("e1.u").as("apex"), col("e1.v").as("x"), col("e2.v").as("y"))
-        .join(oriented.select(col("u").as("x"), col("v").as("y")), Seq("x", "y"))
+      val deg = graft.graph.Backbone.symDegrees(edges)
+      val tri = graft.graph.Backbone
+        .triangles(graft.graph.Backbone.orientByDegree(edges, deg))
       // explode each triangle to its 3 edges, canonicalized u < v by id
       val support = tri.select(explode(array(
           struct(least(col("apex"), col("x")).as("u"),
@@ -157,17 +144,7 @@ object CentralityPlanQueries extends QueryGroup {
     Some(s"""
       WITH ${graft.graph.Backbone.pairsShipYearSql},
       ${graft.graph.Backbone.backboneSql},
-      sym AS (SELECT u, v FROM edges UNION ALL SELECT v, u FROM edges),
-      deg AS (SELECT u, CAST(count(*) AS BIGINT) AS d FROM sym GROUP BY u),
-      o AS (
-        SELECT CASE WHEN (du.d, e.u) < (dv.d, e.v) THEN e.u ELSE e.v END AS u,
-               CASE WHEN (du.d, e.u) < (dv.d, e.v) THEN e.v ELSE e.u END AS v
-        FROM edges e JOIN deg du ON du.u = e.u JOIN deg dv ON dv.u = e.v),
-      tri AS (
-        SELECT t.apex, t.x, t.y
-        FROM (SELECT e1.u AS apex, e1.v AS x, e2.v AS y
-              FROM o e1 JOIN o e2 ON e1.u = e2.u AND e1.v <> e2.v) t
-        JOIN o ON o.u = t.x AND o.v = t.y),
+      ${graft.graph.Backbone.orientedTrianglesSql},
       te AS (
         SELECT least(apex, x) AS u, greatest(apex, x) AS v FROM tri
         UNION ALL SELECT least(apex, y), greatest(apex, y) FROM tri

@@ -40,6 +40,22 @@ class ExtensionsSpec extends SparkSpec {
     assert(agg.getSeq[Long](0).length === 1)
     assert(agg.getSeq[Long](0).head > 0)
     assert(agg.getInt(1) > 0)
+    // round-8 vector kernels: dot with itself == ||v||², self-L2 == 0,
+    // self-MaxSim == Σ_q max_d ⟨block q, block d⟩ (NOT the flat dot:
+    // with monotone values every query block's best match is the
+    // largest doc block, so MaxSim(v, v) ≥ dot(v, v))
+    val vec = spark.sql("""
+      SELECT graft_long_dot(v, v) AS dd, graft_l2sq(v, v) AS zz,
+             graft_maxsim(v, v, 4) AS ms
+      FROM (SELECT sequence(1L, 64L) AS v)
+    """).head()
+    assert(vec.getLong(0) === (1L to 64L).map(x => x * x).sum)
+    assert(vec.getLong(1) === 0L)
+    val blocks = (0 until 4).map(q => (1L to 16L).map(t => 16L * q + t))
+    val expectedMs = blocks.map(bq =>
+      blocks.map(bd => bq.zip(bd).map { case (a, b) => a * b }.sum).max).sum
+    assert(vec.getLong(2) === expectedMs)
+    assert(vec.getLong(2) >= vec.getLong(0))
     // kernel-vs-column-API agreement on the same data
     import org.apache.spark.sql.functions._
     val viaColumns = Tables.documents(spark, "/root/testdata/sf0.001")
@@ -62,7 +78,8 @@ class ExtensionsSpec extends SparkSpec {
       "graft_ngram_jaccard(text, text, 0)" -> "n must be in [1, 8]",
       "graft_lsh_bucket(CAST(array(1.0) AS ARRAY<FLOAT>), 64)" -> "planes",
       "graft_char_shingles(text, 0)" -> "k must be",
-      "graft_word_shingles(text, -3)" -> "k must be")
+      "graft_word_shingles(text, -3)" -> "k must be",
+      "graft_maxsim(array(1L), array(1L), 0)" -> "blocks")
     for ((exprSql, needle) <- cases) {
       val e = intercept[Exception] {
         spark.sql(s"SELECT $exprSql FROM ext_docs").queryExecution.analyzed

@@ -326,7 +326,10 @@ class QueriesSmokeSpec extends SparkSpec {
     "q652_gk_tau_direction", "q653_cramers_v_battery",
     "q659_runs_test_daily_orders",
     // q660's one-row probe-vector broadcast (the q25/q572 panel class)
-    "q660_multimodal_feature_ann")
+    "q660_multimodal_feature_ann",
+    // q662's one-row breakpoint broadcast; q663's two one-row median
+    // broadcasts (the q64 threshold class)
+    "q662_sax_motif_census", "q663_blomqvist_beta")
 
   test("query constructors are lazy: warm construction launches zero jobs") {
     import org.apache.spark.scheduler.{SparkListener, SparkListenerJobStart}
@@ -562,7 +565,11 @@ class QueriesSmokeSpec extends SparkSpec {
     "q646_reuse_distance_census",
     // round-8: q659's median rank, total count, and run-boundary lag all
     // run over the ≤ 365-row daily series (the q99/q636 calendar class)
-    "q659_runs_test_daily_orders")
+    "q659_runs_test_daily_orders",
+    // q662's breakpoint ranks and word leads run over the ≤ 73-segment
+    // PAA frame (calendar class); q663's medians run over the ≤ ~6k-bin
+    // $100 price histogram and ≤ ~10-bin count histogram (q64/q636)
+    "q662_sax_motif_census", "q663_blomqvist_beta")
 
   // windows partitioned by a BROADCAST-side key where the rows under
   // each partition are themselves bounded (audited per query below) —
