@@ -28,7 +28,13 @@ import org.apache.spark.sql.SparkSession
   *    that was the round-7 variance mechanism. With the raise, the
   *    round-8 pass fired zero contamination warnings and the worst
   *    in-suite/re-run gap on the heavy tail dropped to ~1.7×
-  *    (scheduler + GC noise), from 3.6× in round 7.);
+  *    (scheduler + GC noise), from 3.6× in round 7. Residual noise
+  *    profile across two full same-code round-8 passes: of 111
+  *    queries over 1 s, the cross-pass ratio has median 1.18×, p90
+  *    1.64×, and 19 exceed 1.5× — all in the 0.5–3.5 s range where
+  *    one mistimed GC or straggler task dominates. That is the floor
+  *    local[32] offers; the recheck map is the per-round instrument
+  *    for telling such noise from a real regression.);
   *  - two scale points: the primary SF (env) plus a full timed pass at
   *    sf0.01, so scaling slope per query is visible round-over-round.
   *

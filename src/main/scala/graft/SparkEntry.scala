@@ -106,7 +106,8 @@ object SparkEntry {
     DedupPolicyPlanQueries,
     EncodingPlanQueries,
     MultimodalPlanQueries,
-    SeriesDependencePlanQueries)
+    SeriesDependencePlanQueries,
+    RampPlanQueries)
 
   private lazy val all: Seq[QueryDef] = groups.flatMap(_.defs)
 

@@ -36,11 +36,14 @@ object EncodingPlanQueries extends QueryGroup {
   private val q657 = QueryDef(
     "q657_varint_posting_size",
     (spark, dir) => {
+      // no .distinct() needed: array_distinct dedupes tokens WITHIN a
+      // document and doc_id separates documents, so (token, doc_id) is
+      // already unique — a distinct here would buy nothing but a full
+      // extra shuffle of the exploded stream
       val postings = Tables.documents(spark, dir)
         .select(col("doc_id"),
           explode(expr("array_distinct(filter(split(text, ' '), t -> t != ''))"))
             .as("token"))
-        .distinct()
       val w = Window.partitionBy(col("token")).orderBy(col("doc_id"))
       val gaps = postings
         .withColumn("gap",

@@ -328,8 +328,9 @@ class QueriesSmokeSpec extends SparkSpec {
     // q660's one-row probe-vector broadcast (the q25/q572 panel class)
     "q660_multimodal_feature_ann",
     // q662's one-row breakpoint broadcast; q663's two one-row median
-    // broadcasts (the q64 threshold class)
-    "q662_sax_motif_census", "q663_blomqvist_beta")
+    // broadcasts (the q64 threshold class); q664's one-row margin-total
+    // broadcast over the 25 brand cells (the q640 class)
+    "q662_sax_motif_census", "q663_blomqvist_beta", "q664_holm_stepdown")
 
   test("query constructors are lazy: warm construction launches zero jobs") {
     import org.apache.spark.scheduler.{SparkListener, SparkListenerJobStart}
@@ -569,7 +570,10 @@ class QueriesSmokeSpec extends SparkSpec {
     // q662's breakpoint ranks and word leads run over the ≤ 73-segment
     // PAA frame (calendar class); q663's medians run over the ≤ ~6k-bin
     // $100 price histogram and ≤ ~10-bin count histogram (q64/q636)
-    "q662_sax_motif_census", "q663_blomqvist_beta")
+    "q662_sax_motif_census", "q663_blomqvist_beta",
+    // q664's evidence ranking and stop-gate running min work on the
+    // 25-brand statistic grid (the q417/q628/q640 class)
+    "q664_holm_stepdown")
 
   // windows partitioned by a BROADCAST-side key where the rows under
   // each partition are themselves bounded (audited per query below) —
