@@ -99,7 +99,12 @@ object EncodingPlanQueries extends QueryGroup {
     * l_partkey, l_suppkey) — this testdata repeats line numbers within
     * an order, and including the flag in the tie-break makes any
     * fully-tied rows carry EQUAL flags, so the flag sequence (and the
-    * run count) is permutation-invariant on both engines. */
+    * run count) is permutation-invariant on both engines.
+    *
+    * SCALING (round-8 probe): 0.29 s at sf0.01 → 1.09 s at sf0.1 (10×
+    * data, 3.7× time ≈ exponent 0.57) — the per-order window sorts
+    * grow with the corpus but partitions stay ≤ 7 rows, so the slope
+    * stays sublinear. */
   private val q658 = QueryDef(
     "q658_rle_run_census",
     (spark, dir) => {

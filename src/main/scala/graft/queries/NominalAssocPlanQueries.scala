@@ -166,7 +166,11 @@ object NominalAssocPlanQueries extends QueryGroup {
     *
     * Scale shape: three independent scans, each folding to a
     * dimension-bounded contingency; margins join back on the bounded
-    * cells (broadcast); readout is 3 rows. */
+    * cells (broadcast); readout is 3 rows.
+    *
+    * SCALING (round-8 probe): 1.05 s at sf0.01 → 1.47 s at sf0.1 (10×
+    * data, 1.4× time) — three scans' worth of fixed job launches
+    * dominate; the contingency arithmetic is SF-invariant. */
   private val q653 = QueryDef(
     "q653_cramers_v_battery",
     (spark, dir) => {

@@ -118,7 +118,11 @@ object SeriesDependencePlanQueries extends QueryGroup {
     * price median is bin-granular over the ≤ ~6k-bin $100 histogram
     * and the count median over the ≤ ~10-bin count histogram (the
     * q64/q636 value-histogram class); quadrant counting is one scan
-    * against the broadcast medians; readout is 1 row. */
+    * against the broadcast medians; readout is 1 row.
+    *
+    * SCALING (round-8 probe): 0.32 s at sf0.01 → 0.85 s at sf0.1 (10×
+    * data, 2.6× time ≈ exponent 0.42) — the orders⋈lineitem fold is
+    * the only corpus-sized stage; the median histograms saturate. */
   private val q663 = QueryDef(
     "q663_blomqvist_beta",
     (spark, dir) => {
