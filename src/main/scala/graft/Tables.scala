@@ -32,33 +32,46 @@ object Tables {
   // invalidate keeps its ~10 table plans pinned until the application
   // ends — bounded, but callers cycling many sessions should call the
   // hook.
-  private val cache =
-    new java.util.IdentityHashMap[SparkSession,
-      java.util.concurrent.ConcurrentHashMap[String, DataFrame]]()
+  private final class Entry(
+      val tables: java.util.concurrent.ConcurrentHashMap[String, DataFrame],
+      val listener: org.apache.spark.scheduler.SparkListener)
 
-  /** Drop a session's cached relations. Called automatically when the
-    * session's SparkContext ends; call it directly when discarding a
-    * session mid-application. */
-  def invalidate(spark: SparkSession): Unit =
-    cache.synchronized { cache.remove(spark) }
+  private val cache = new java.util.IdentityHashMap[SparkSession, Entry]()
+
+  /** Drop a session's cached relations AND the listener registered for
+    * it — the listener's closure strongly captures the session, so
+    * leaving it on the SparkContext would pin a session per invalidate
+    * call for callers cycling many sessions over one long-lived
+    * context. Called automatically when the session's SparkContext
+    * ends; call it directly when discarding a session mid-application. */
+  def invalidate(spark: SparkSession): Unit = {
+    val entry = cache.synchronized { cache.remove(spark) }
+    if (entry != null)
+      // the bus tolerates removal during its own dispatch (the
+      // application-end path arrives FROM this listener); a stopped
+      // context just no-ops
+      try spark.sparkContext.removeSparkListener(entry.listener)
+      catch { case _: IllegalStateException => () }
+  }
 
   def table(spark: SparkSession, dir: String, name: String): DataFrame = {
     GraftSession.configure(spark)
     val perSession = cache.synchronized {
-      var m = cache.get(spark)
-      if (m == null) {
-        m = new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
-        cache.put(spark, m)
-        spark.sparkContext.addSparkListener(
-          new org.apache.spark.scheduler.SparkListener {
-            override def onApplicationEnd(
-                end: org.apache.spark.scheduler.SparkListenerApplicationEnd): Unit =
-              invalidate(spark)
-          })
+      var e = cache.get(spark)
+      if (e == null) {
+        val listener = new org.apache.spark.scheduler.SparkListener {
+          override def onApplicationEnd(
+              end: org.apache.spark.scheduler.SparkListenerApplicationEnd): Unit =
+            invalidate(spark)
+        }
+        e = new Entry(
+          new java.util.concurrent.ConcurrentHashMap[String, DataFrame](), listener)
+        cache.put(spark, e)
+        spark.sparkContext.addSparkListener(listener)
       }
-      m
+      e
     }
-    perSession.computeIfAbsent(s"$dir/$name.parquet", spark.read.parquet(_))
+    perSession.tables.computeIfAbsent(s"$dir/$name.parquet", spark.read.parquet(_))
   }
 
   /** `events` with its TIMESTAMP(NANOS) column converted to a proper

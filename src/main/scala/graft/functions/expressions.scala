@@ -1,6 +1,7 @@
 package graft.functions
 
 import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.graftbridge.Bridge
@@ -329,10 +330,28 @@ object expressions {
     override protected def withNewChildInternal(c: Expression): SuffixLoopPeriod = copy(child = c)
   }
 
+  /** Analysis-time rejection for the quantized-vector kernels: without
+    * a declared input contract, graft_long_dot over strings or
+    * array<int> surfaces as a per-row ClassCastException at EXECUTION
+    * time (round-8 advice). AbstractDataType is private[sql], so the
+    * check is a direct checkInputDataTypes override. */
+  private def checkLongArrayInputs(fname: String, children: Expression*): TypeCheckResult =
+    children.collectFirst {
+      case e if (e.dataType match {
+        case ArrayType(LongType, _) => false
+        case _ => true
+      }) =>
+        TypeCheckResult.TypeCheckFailure(
+          s"$fname requires array<bigint> arguments, got " +
+            children.map(_.dataType.catalogString).mkString(", "))
+    }.getOrElse(TypeCheckResult.TypeCheckSuccess)
+
   /** Flat integer dot product of two quantized array<long> vectors —
     * one fused codegen loop instead of the interpreted
     * aggregate-over-sequence HOF. */
   case class LongDot(left: Expression, right: Expression) extends BinaryExpression {
+    override def checkInputDataTypes(): TypeCheckResult =
+      checkLongArrayInputs("graft_long_dot", left, right)
     override def dataType: DataType = LongType
     override protected def nullSafeEval(a: Any, b: Any): Any =
       GraftHash.dotLong(
@@ -348,6 +367,8 @@ object expressions {
     * fused codegen loop instead of the interpreted difference-square
     * aggregate HOF. */
   case class L2SqLong(left: Expression, right: Expression) extends BinaryExpression {
+    override def checkInputDataTypes(): TypeCheckResult =
+      checkLongArrayInputs("graft_l2sq", left, right)
     override def dataType: DataType = LongType
     override protected def nullSafeEval(a: Any, b: Any): Any =
       GraftHash.l2sqLong(
@@ -366,6 +387,8 @@ object expressions {
   case class MaxSimBlocks(left: Expression, right: Expression, blocks: Int)
       extends BinaryExpression {
     require(blocks >= 1, s"graft_maxsim: blocks must be >= 1, got $blocks")
+    override def checkInputDataTypes(): TypeCheckResult =
+      checkLongArrayInputs("graft_maxsim", left, right)
     override def dataType: DataType = LongType
     override protected def nullSafeEval(a: Any, b: Any): Any =
       GraftHash.maxSimBlocks(

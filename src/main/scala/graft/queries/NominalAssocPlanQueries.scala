@@ -99,12 +99,18 @@ object NominalAssocPlanQueries extends QueryGroup {
       val ct = Tables.documents(spark, dir)
         .groupBy(col("source"), col("lang"))
         .agg(count(lit(1)).as("n")).persist()
+      // quadratic-sum and ppm terms in DECIMAL(38,0) (HUGEINT on the
+      // oracle side): sx·10⁶ in raw BIGINT wraps past ~3·10⁶ docs per
+      // class under ANSI-off (the q653 discipline; round-8 advice).
+      // Exact while Σn²·10⁶ < 10³⁸ — N ≲ 10¹⁶ rows; the hits_ppm
+      // readouts themselves stay ≤ N·10⁶, BIGINT-safe to N ≈ 9·10¹².
       def tauOf(x: String, y: String, tag: String) = {
         val model = ct.groupBy(col(x))
-          .agg(sum(col("n") * col("n")).as("sx"), sum(col("n")).as("nx"))
+          .agg(sum(col("n").cast("decimal(38,0)") * col("n")).as("sx"),
+            sum(col("n")).as("nx"))
           .agg(sum(expr("sx * 1000000 div nx")).as("model_hits_ppm"))
         val base = ct.groupBy(col(y)).agg(sum(col("n")).as("m"))
-          .agg(sum(col("m") * col("m")).as("sy"))
+          .agg(sum(col("m").cast("decimal(38,0)") * col("m")).as("sy"))
         val n = ct.agg(sum(col("n")).as("n_total"))
         model.crossJoin(base).crossJoin(n)
           .select(lit(tag).as("direction"), col("n_total"),
@@ -112,7 +118,7 @@ object NominalAssocPlanQueries extends QueryGroup {
             col("model_hits_ppm"))
           .select(col("direction"), col("n_total"), col("base_hits_ppm"),
             col("model_hits_ppm"),
-            expr("""(model_hits_ppm - base_hits_ppm) * 1000000
+            expr("""CAST(model_hits_ppm - base_hits_ppm AS DECIMAL(38,0)) * 1000000
                 div (n_total * 1000000 - base_hits_ppm)""").as("tau_ppm"))
       }
       tauOf("source", "lang", "source_to_lang")
@@ -126,27 +132,29 @@ object NominalAssocPlanQueries extends QueryGroup {
       tot AS (SELECT CAST(sum(n) AS BIGINT) AS n_total FROM ct),
       s2l AS (
         SELECT 'source_to_lang' AS direction, t.n_total,
-          (SELECT CAST(sum(m * m) * 1000000 // t.n_total AS BIGINT) FROM
+          (SELECT CAST(sum(CAST(m AS HUGEINT) * m) * 1000000 // t.n_total
+             AS BIGINT) FROM
             (SELECT CAST(sum(n) AS BIGINT) AS m FROM ct GROUP BY lang))
             AS base_hits_ppm,
           (SELECT CAST(sum(sx * 1000000 // nx) AS BIGINT) FROM
-            (SELECT CAST(sum(n * n) AS BIGINT) AS sx,
+            (SELECT sum(CAST(n AS HUGEINT) * n) AS sx,
                     CAST(sum(n) AS BIGINT) AS nx
              FROM ct GROUP BY source)) AS model_hits_ppm
         FROM tot t),
       l2s AS (
         SELECT 'lang_to_source' AS direction, t.n_total,
-          (SELECT CAST(sum(m * m) * 1000000 // t.n_total AS BIGINT) FROM
+          (SELECT CAST(sum(CAST(m AS HUGEINT) * m) * 1000000 // t.n_total
+             AS BIGINT) FROM
             (SELECT CAST(sum(n) AS BIGINT) AS m FROM ct GROUP BY source))
             AS base_hits_ppm,
           (SELECT CAST(sum(sx * 1000000 // nx) AS BIGINT) FROM
-            (SELECT CAST(sum(n * n) AS BIGINT) AS sx,
+            (SELECT sum(CAST(n AS HUGEINT) * n) AS sx,
                     CAST(sum(n) AS BIGINT) AS nx
              FROM ct GROUP BY lang)) AS model_hits_ppm
         FROM tot t),
       u AS (SELECT * FROM s2l UNION ALL SELECT * FROM l2s)
       SELECT direction, n_total, base_hits_ppm, model_hits_ppm,
-        CAST((model_hits_ppm - base_hits_ppm) * 1000000
+        CAST(CAST(model_hits_ppm - base_hits_ppm AS HUGEINT) * 1000000
           // (n_total * 1000000 - base_hits_ppm) AS BIGINT) AS tau_ppm
       FROM u ORDER BY direction
     """))

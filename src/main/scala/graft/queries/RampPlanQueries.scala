@@ -45,7 +45,18 @@ object RampPlanQueries extends QueryGroup {
     * Scale shape: q640's corpus fold to 25 brand cells; ranking, the
     * broadcast critical-value grid join, and the stop-gate running
     * min all work on the 25-row statistic grid (the sanctioned
-    * q417/q628 class); readout is 25 rows. */
+    * q417/q628 class); readout is 25 rows.
+    *
+    * SF CEILING (round-9 note, from the round-8 advice — q639's class):
+    * the χ² numerator (ta+tb)·(ad−bc)²·10⁶ is computed in
+    * DECIMAL(38,0) (HUGEINT on the oracle side). Worst case
+    * (ad−bc = N²/4) that is ~N⁵·10⁶/16 — under 10³⁸ only for
+    * N ≲ 2.5·10⁶ lineitems; realistically the per-brand return split
+    * keeps ad−bc ≈ N²·δ with δ ≈ 1–2%, stretching the bound to roughly
+    * N ≲ 10⁸ (between sf10 and sf100 on this fold). Past that, rescale
+    * the four cells by a common factor (the statistic is
+    * scale-invariant up to the ppm floor) before the multiply; the
+    * failure mode prevented is a silent NULL under ANSI-off. */
   private val q664 = QueryDef(
     "q664_holm_stepdown",
     (spark, dir) => {

@@ -346,6 +346,26 @@ class KernelParitySpec extends SparkSpec {
     }
   }
 
+  test("LongDot / L2SqLong / MaxSimBlocks reject wrong TYPES at analysis time") {
+    import spark.implicits._
+    // round-8 advice: misuse on strings / array<int> must be an
+    // ANALYSIS error (checkInputDataTypes), not a per-row
+    // ClassCastException mid-job
+    val strings = Seq(("ab", "cd")).toDF("a", "b")
+    val ints = Seq((Seq(1, 2), Seq(3, 4))).toDF("a", "b")
+    for {
+      df <- Seq(strings, ints)
+      c <- Seq(long_dot(col("a"), col("b")), l2sq_long(col("a"), col("b")),
+        maxsim_blocks(col("a"), col("b"), 2))
+    } {
+      val e = intercept[org.apache.spark.sql.AnalysisException] {
+        df.select(c).queryExecution.analyzed
+      }
+      assert(e.getMessage.contains("array<bigint>"),
+        s"expected the kernel's type message, got: ${e.getMessage}")
+    }
+  }
+
   test("BootstrapMoments skips null keys and values") {
     import spark.implicits._
     val df = Seq((Some(1L), Some(10L)), (None, Some(5L)), (Some(2L), None))
