@@ -33,4 +33,8 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   // round-7 3x run-to-run variance suspect on q558/q566). Reserved,
   // not committed, so the only cost is address space.
   "-XX:ReservedCodeCacheSize=1g",
+  // Bench's per-query safepoint accounting (round-9 spike forensics)
+  // reads the HotSpot runtime MBean, which lives in an unexported
+  // sun.management package on JDK 17.
+  "--add-exports", "java.management/sun.management=ALL-UNNAMED",
 )
