@@ -171,7 +171,25 @@ object Bench {
                       sfDir: String, tag: String): Seq[(String, QueryStats)] = {
     val parts = partitionsFor(sfDir, spark.sparkContext.defaultParallelism)
     spark.conf.set("spark.sql.shuffle.partitions", parts)
-    System.err.println(s"[bench:$tag] shuffle.partitions=$parts for $sfDir")
+    // AQE regime knob for controlled A/Bs (round-9). MEASURED, full
+    // 665-query sf0.01 passes on one machine, fresh JVM each:
+    //   adaptive OFF  243.2 s, then 216.7 s   (two runs, same code)
+    //   adaptive ON   214.2 s
+    // i.e. the regimes are within cross-JVM noise of each other and the
+    // round-8 PlanProbe extrapolation ("AQE's re-plan barrier is
+    // ~0.05 s/query of pure floor") does NOT hold at suite level — the
+    // barrier cost is repaid by coalescing 4-partition shuffles to 1-2
+    // tasks. AQE therefore stays ON unconditionally (scale honesty: the
+    // 100 TB deployment runs it on), and the 29 s spread between the
+    // two OFF runs is a measured bound on cross-JVM total variance that
+    // future "regression" readings must clear before they count.
+    sys.env.get("SPARK_GRAFT_AQE") match {
+      case Some("on")  => spark.conf.set("spark.sql.adaptive.enabled", "true")
+      case Some("off") => spark.conf.set("spark.sql.adaptive.enabled", "false")
+      case _           => () // GraftSession default: on
+    }
+    System.err.println(s"[bench:$tag] shuffle.partitions=$parts " +
+      s"adaptive=${spark.conf.get("spark.sql.adaptive.enabled")} for $sfDir")
     selected.map { case (name, fn) =>
       cleanup(spark)
       val heapMb = (Runtime.getRuntime.totalMemory - Runtime.getRuntime.freeMemory) / 1048576
