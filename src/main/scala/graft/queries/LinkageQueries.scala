@@ -23,11 +23,13 @@ object LinkageQueries extends QueryGroup {
     * census — the token-level analogue of q20's whole-doc dedup and the
     * span machinery q182's shingle mass stops short of.
     *
-    * Scale shape: gram census and hit re-join shuffle on the same gram
-    * key (no pairwise doc join anywhere); the island merge is a
-    * doc-keyed window; with fixed gram width the running-max-end
-    * collapses to a lag(pos) gap test, so nothing wider than one row
-    * crosses the window buffer. At 100 TB the gram strings would be
+    * Scale shape: gram census (hash agg, map-side partials) and hit
+    * re-join shuffle on the same gram key (no pairwise doc join
+    * anywhere — and no gram-keyed WINDOW: round-9 replaced the min/max
+    * window whose hot-gram partitions were corpus-sized); the island
+    * merge is a doc-keyed window; with fixed gram width the
+    * running-max-end collapses to a lag(pos) gap test, so nothing wider
+    * than one row crosses the window buffer. At 100 TB the gram strings would be
     * 64-bit rolling hashes — same plan, narrower shuffle. */
   private val q404 = QueryDef(
     "q404_duplicate_span_merge",
@@ -39,14 +41,18 @@ object LinkageQueries extends QueryGroup {
         .select(col("doc_id"), posexplode(expr(
           "transform(sequence(1, size(tk) - 4), i -> concat_ws(' ', slice(tk, i, 5)))"))
           .as(Seq("pos", "gram")))
-      // "gram in ≥ 2 distinct docs" ⟺ min(doc) ≠ max(doc) within the
-      // gram partition: one shuffle on gram, no census-side agg + re-join
-      val wg = Window.partitionBy(col("gram"))
+      // "gram in ≥ 2 distinct docs" ⟺ min(doc) ≠ max(doc) per gram.
+      // ROUND-9: hash agg + keyed semi join, NOT a min/max window
+      // partitioned by gram — a boilerplate 5-gram (a license footer)
+      // puts every occurrence in ONE window-sort partition at corpus
+      // scale, while the agg takes map-side partials and the join gets
+      // AQE skew splitting (the generator-keyed window gate's class)
       val wOrd = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
-      val spans = grams
-        .withColumn("d_min", min(col("doc_id")).over(wg))
-        .withColumn("d_max", max(col("doc_id")).over(wg))
+      val dupGrams = grams.groupBy(col("gram"))
+        .agg(min(col("doc_id")).as("d_min"), max(col("doc_id")).as("d_max"))
         .filter(col("d_min") =!= col("d_max"))
+        .select(col("gram"))
+      val spans = grams.join(dupGrams, Seq("gram"))
         .select(col("doc_id"), col("pos"))
         // hit windows are all width 5 and sorted by pos, so the running
         // max end is just lag(pos)+5: a new island starts on a gap > 4
