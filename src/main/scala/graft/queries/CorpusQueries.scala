@@ -1329,7 +1329,95 @@ object CorpusQueries extends QueryGroup {
       """
     })
 
+  // ---------------------------------------------------------------- q666
+
+  /** End-to-end dedup curator pipeline in ONE plan (round-9, the
+    * round-8 judge's task 5): LSH candidate pairs (q21's verified
+    * arithmetic, template-bucket cap ON) → connected components (q56's
+    * min-label propagation) → KEEP-LONGEST survivor adjudication per
+    * cluster (max n_chars, tie min doc_id — q654's policy, now on the
+    * REAL near-dup clusters instead of token-head proxies) →
+    * retained-bytes census by cluster size. Singletons (docs in no
+    * candidate pair) are their own component and always survive, so
+    * the census books the whole corpus: Σ n_docs = |documents| and
+    * removed_chars is the exact byte saving the dedup run would buy.
+    *
+    * Scale shape: every stage is the already-audited scale path — LSH
+    * bands are bucket-capped before the pair join (never all-pairs),
+    * CC iterates on the candidate-pair subgraph only (pair set ≪
+    * corpus; labels only decrease → order-independent fixpoint), the
+    * survivor pick is a max-of-struct aggregate inside the component
+    * fold (no window, no second pass), and the census folds to ≤
+    * max-cluster-size rows. The survivor-id checksum uses the
+    * flag-packing trick (−doc_id in the struct) so ties break to the
+    * SMALLEST id under max(); the oracle reproduces it with q654's
+    * join-back (DuckDB max_by takes no struct ordering key). */
+  private val q666 = QueryDef(
+    "q666_dedup_pipeline_census",
+    (spark, dir) => {
+      val docs = Tables.documents(spark, dir).select(col("doc_id"), col("n_chars"))
+      val pairs = MinHashLSH.nearDuplicates(Tables.documents(spark, dir),
+        "doc_id", "text", minJaccard = 0.0, maxBucketSize = Some(2))
+      val comps = Dedup.connectedComponents(pairs, "doc_a", "doc_b")
+        .select(col("v").as("doc_id"), col("component"))
+      val members = docs.join(comps, Seq("doc_id"), "left")
+        .select(col("doc_id"), col("n_chars"),
+          coalesce(col("component"), col("doc_id")).as("component"))
+      val clusters = members.groupBy(col("component"))
+        .agg(count(lit(1)).as("sz"),
+          sum(col("n_chars")).as("chars_total"),
+          max(struct(col("n_chars"), (-col("doc_id")).as("nid"))).as("pick"))
+        .select(col("sz"), col("chars_total"),
+          col("pick.n_chars").as("kept_chars"),
+          (-col("pick.nid")).as("survivor_id"))
+      clusters.groupBy(col("sz"))
+        .agg(count(lit(1)).as("n_clusters"),
+          sum(col("chars_total")).as("chars_total"),
+          sum(col("kept_chars")).as("kept_chars"),
+          sum(col("survivor_id")).as("survivor_id_sum"))
+        .select(col("sz").as("cluster_size"), col("n_clusters"),
+          (col("sz") * col("n_clusters")).as("n_docs"),
+          col("chars_total"), col("kept_chars"),
+          (col("chars_total") - col("kept_chars")).as("removed_chars"),
+          col("survivor_id_sum"))
+        .orderBy(col("cluster_size"))
+    },
+    Some(s"""
+      WITH RECURSIVE $duckMinhashCand,
+      edges AS (
+        SELECT doc_a AS src, doc_b AS dst FROM cand
+        UNION
+        SELECT doc_b, doc_a FROM cand),
+      reach AS (
+        SELECT src AS v, src AS r FROM edges
+        UNION
+        SELECT e.dst AS v, reach.r FROM edges e JOIN reach ON reach.v = e.src),
+      comp AS (
+        SELECT v AS doc_id, min(r) AS component FROM reach GROUP BY v),
+      members AS (
+        SELECT d.doc_id, d.n_chars, coalesce(c.component, d.doc_id) AS component
+        FROM documents d LEFT JOIN comp c ON c.doc_id = d.doc_id),
+      cl0 AS (
+        SELECT component, CAST(count(*) AS BIGINT) AS sz,
+          CAST(sum(n_chars) AS BIGINT) AS chars_total,
+          CAST(max(n_chars) AS BIGINT) AS kept_chars
+        FROM members GROUP BY component),
+      cl AS (
+        SELECT c0.component, c0.sz, c0.chars_total, c0.kept_chars,
+          CAST(min(m.doc_id) AS BIGINT) AS survivor_id
+        FROM cl0 c0 JOIN members m
+          ON m.component = c0.component AND m.n_chars = c0.kept_chars
+        GROUP BY 1, 2, 3, 4)
+      SELECT sz AS cluster_size, CAST(count(*) AS BIGINT) AS n_clusters,
+        CAST(sz * count(*) AS BIGINT) AS n_docs,
+        CAST(sum(chars_total) AS BIGINT) AS chars_total,
+        CAST(sum(kept_chars) AS BIGINT) AS kept_chars,
+        CAST(sum(chars_total) - sum(kept_chars) AS BIGINT) AS removed_chars,
+        CAST(sum(survivor_id) AS BIGINT) AS survivor_id_sum
+      FROM cl GROUP BY sz ORDER BY sz
+    """))
+
   def defs: Seq[QueryDef] =
     Seq(q56, q57, q58, q59, q60, q61, q62, q63, q64, q65, q66, q82, q157, q165, q172,
-      q174, q182, q189, q215, q222, q227, q238, q239, q248)
+      q174, q182, q189, q215, q222, q227, q238, q239, q248, q666)
 }

@@ -352,7 +352,8 @@ class QueriesSmokeSpec extends SparkSpec {
     val sanctionedEagerBuilders = Set(
       "q32_ivf_ann_topk", "q74_semantic_dedup", "q113_hard_negative_mining",
       "q137_cluster_purity", "q170_ivf_recall_sweep",
-      "q56_dup_clusters", "q75_pagerank_cosupply", "q157_dup_weight",
+      "q56_dup_clusters", "q666_dedup_pipeline_census",
+      "q75_pagerank_cosupply", "q157_dup_weight",
       "q172_dup_split_leakage", "q271_kcore_decomposition",
       "q57_bloom_semi_join", "q44_tfidf_top_terms",
       "q34_csv_source_roundtrip", "q34_json_source_roundtrip",
