@@ -107,7 +107,12 @@ object SparkEntry {
     EncodingPlanQueries,
     MultimodalPlanQueries,
     SeriesDependencePlanQueries,
-    RampPlanQueries)
+    RampPlanQueries,
+    CorpusGrowthPlanQueries,
+    RoughnessPlanQueries,
+    StylePlanQueries,
+    StreamCodecPlanQueries,
+    ExtremesPlanQueries)
 
   private lazy val all: Seq[QueryDef] = groups.flatMap(_.defs)
 

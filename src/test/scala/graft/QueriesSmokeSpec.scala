@@ -330,7 +330,17 @@ class QueriesSmokeSpec extends SparkSpec {
     // q662's one-row breakpoint broadcast; q663's two one-row median
     // broadcasts (the q64 threshold class); q664's one-row margin-total
     // broadcast over the 25 brand cells (the q640 class)
-    "q662_sax_motif_census", "q663_blomqvist_beta", "q664_holm_stepdown")
+    "q662_sax_motif_census", "q663_blomqvist_beta", "q664_holm_stepdown",
+    // round-9: bounded broadcast grids over one scan. q667's 4-row
+    // prefix grid + one-row corpus-size broadcast; q670/q671's 5-row
+    // lag/block grids over the calendar-sized daily table; q672's
+    // one-row customer-count broadcast onto the value histograms;
+    // q673's 8-row top-word panel; q677's 3-row bits-budget grid;
+    // q680's one-row threshold/day-count broadcasts (the q64 class)
+    "q667_heaps_vocab_growth", "q670_variogram_madogram",
+    "q671_aggregated_variance_hurst", "q672_empirical_copula_grid",
+    "q673_stylometric_fingerprint", "q677_bloom_fpr_empirical",
+    "q680_extremal_index_clusters")
 
   test("query constructors are lazy: warm construction launches zero jobs") {
     import org.apache.spark.scheduler.{SparkListener, SparkListenerJobStart}
@@ -612,7 +622,16 @@ class QueriesSmokeSpec extends SparkSpec {
     "q662_sax_motif_census", "q663_blomqvist_beta",
     // q664's evidence ranking and stop-gate running min work on the
     // 25-brand statistic grid (the q417/q628/q640 class)
-    "q664_holm_stepdown")
+    "q664_holm_stepdown",
+    // round-9: q672's quintile cutoffs run over the two VALUE-domain
+    // histograms (order-count: tens of bins; spend dollars: bounded by
+    // the granulated dollar domain — the q64/q663 class); q679's three
+    // lag windows and q681's running prior-max run over the calendar-
+    // sized daily series (the q130/q383 class); q680's threshold
+    // cumulative runs over the daily-revenue value histogram and its
+    // run-detection lag/cumsum over the ≤ calendar exceedance days
+    "q672_empirical_copula_grid", "q679_sign_transfer_contingency",
+    "q680_extremal_index_clusters", "q681_record_breaking_census")
 
   // windows partitioned by a BROADCAST-side key where the rows under
   // each partition are themselves bounded (audited per query below) —
