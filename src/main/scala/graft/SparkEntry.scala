@@ -112,7 +112,9 @@ object SparkEntry {
     RoughnessPlanQueries,
     StylePlanQueries,
     StreamCodecPlanQueries,
-    ExtremesPlanQueries)
+    ExtremesPlanQueries,
+    HygieneBalancePlanQueries,
+    ConductancePlanQueries)
 
   private lazy val all: Seq[QueryDef] = groups.flatMap(_.defs)
 

@@ -240,5 +240,84 @@ object ExtremesPlanQueries extends QueryGroup {
       FROM marked GROUP BY 1 ORDER BY yr
     """))
 
-  override def defs: Seq[QueryDef] = Seq(q679, q680, q681)
+  // ---------------------------------------------------------------- q684
+
+  /** Lead-change census on the cumulative view-vs-purchase race: per
+    * calendar year, how many days does the running
+    * view-minus-purchase total lead on each side, and how often does
+    * the lead FLIP? The arcsine law says a fair race spends most time
+    * on one side and flips rarely (flips ~ √n, time-in-lead U-shaped),
+    * so "views led 95% of days" is NOT trend evidence by itself — this
+    * census gives the flip count that actually is. Zero-margin days
+    * are their own band; a flip is two consecutive nonzero-margin days
+    * with opposite sign.
+    *
+    * Scale shape: events fold once to the calendar-sized daily table;
+    * the running margin and the flip lag run over that bounded series
+    * (the q130/q383 calendar class); readout is one row per year. */
+  private val q684 = QueryDef(
+    "q684_lead_change_census",
+    (spark, dir) => {
+      val wd = Window.orderBy(col("day"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val daily = Tables.events(spark, dir)
+        .filter(col("ts").isNotNull)
+        .groupBy(expr("CAST(ts AS DATE)").as("day"))
+        .agg((sum(when(col("event_type") === "view", 1L).otherwise(0L))
+          - sum(when(col("event_type") === "purchase", 1L).otherwise(0L)))
+          .as("margin"))
+        .withColumn("cum", sum(col("margin")).over(wd))
+      val flips = daily.filter(col("cum") =!= 0L)
+        .withColumn("prev_sign",
+          lag(signum(col("cum")).cast("long"), 1).over(Window.orderBy(col("day"))))
+        .withColumn("flip",
+          when(col("prev_sign").isNotNull
+            && col("prev_sign") =!= signum(col("cum")).cast("long"), 1L)
+            .otherwise(0L))
+        .select(col("day"), col("flip"))
+      daily.join(flips, Seq("day"), "left")
+        .groupBy(expr("CAST(year(day) AS BIGINT)").as("yr"))
+        .agg(count(lit(1)).as("n_days"),
+          sum(when(col("cum") > 0L, 1L).otherwise(0L)).as("days_view_lead"),
+          sum(when(col("cum") < 0L, 1L).otherwise(0L)).as("days_buy_lead"),
+          sum(when(col("cum") === 0L, 1L).otherwise(0L)).as("days_tied"),
+          sum(coalesce(col("flip"), lit(0L))).as("lead_changes"),
+          max(abs(col("cum"))).as("max_abs_margin"))
+        .select(col("yr"), col("n_days"), col("days_view_lead"),
+          col("days_buy_lead"), col("days_tied"), col("lead_changes"),
+          col("max_abs_margin"))
+        .orderBy(col("yr"))
+    },
+    Some("""
+      WITH daily AS (
+        SELECT CAST(ts AS DATE) AS day,
+          CAST(sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END)
+            - sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+            AS BIGINT) AS margin
+        FROM events WHERE ts IS NOT NULL GROUP BY 1),
+      cums AS (
+        SELECT day, sum(margin) OVER (ORDER BY day
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+        FROM daily),
+      flips AS (
+        SELECT day,
+          CASE WHEN lag(sign(cum)) OVER (ORDER BY day) IS NOT NULL
+            AND lag(sign(cum)) OVER (ORDER BY day) <> sign(cum)
+            THEN 1 ELSE 0 END AS flip
+        FROM cums WHERE cum <> 0)
+      SELECT CAST(year(c.day) AS BIGINT) AS yr,
+        CAST(count(*) AS BIGINT) AS n_days,
+        CAST(sum(CASE WHEN cum > 0 THEN 1 ELSE 0 END) AS BIGINT)
+          AS days_view_lead,
+        CAST(sum(CASE WHEN cum < 0 THEN 1 ELSE 0 END) AS BIGINT)
+          AS days_buy_lead,
+        CAST(sum(CASE WHEN cum = 0 THEN 1 ELSE 0 END) AS BIGINT)
+          AS days_tied,
+        CAST(sum(coalesce(flip, 0)) AS BIGINT) AS lead_changes,
+        CAST(max(abs(cum)) AS BIGINT) AS max_abs_margin
+      FROM cums c LEFT JOIN flips f ON f.day = c.day
+      GROUP BY 1 ORDER BY yr
+    """))
+
+  override def defs: Seq[QueryDef] = Seq(q679, q680, q681, q684)
 }

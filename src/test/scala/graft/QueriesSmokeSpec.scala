@@ -340,7 +340,13 @@ class QueriesSmokeSpec extends SparkSpec {
     "q667_heaps_vocab_growth", "q670_variogram_madogram",
     "q671_aggregated_variance_hurst", "q672_empirical_copula_grid",
     "q673_stylometric_fingerprint", "q677_bloom_fpr_empirical",
-    "q680_extremal_index_clusters")
+    "q680_extremal_index_clusters",
+    // q683's one-row corpus-total broadcast and dim×dim (sources ×
+    // languages) densifying cross; q685-q687 inherit Backbone.edges'
+    // one-row weight-threshold broadcast (the q590/q601 class), q687
+    // adds its 5-row sweep grid and one-row node count
+    "q683_language_evenness", "q685_partition_conductance",
+    "q686_nation_homophily", "q687_conductance_sweep")
 
   test("query constructors are lazy: warm construction launches zero jobs") {
     import org.apache.spark.scheduler.{SparkListener, SparkListenerJobStart}
@@ -631,7 +637,13 @@ class QueriesSmokeSpec extends SparkSpec {
     // cumulative runs over the daily-revenue value histogram and its
     // run-detection lag/cumsum over the ≤ calendar exceedance days
     "q672_empirical_copula_grid", "q679_sign_transfer_contingency",
-    "q680_extremal_index_clusters", "q681_record_breaking_census")
+    "q680_extremal_index_clusters", "q681_record_breaking_census",
+    // q684's running margin + flip lag run over the calendar-sized
+    // daily series (the q130/q383 class); q685/q686 inherit Backbone's
+    // weight-histogram threshold window (the q590/q601 class); q687
+    // adds the degree-histogram cumulative (value-resolution)
+    "q684_lead_change_census", "q685_partition_conductance",
+    "q686_nation_homophily", "q687_conductance_sweep")
 
   // windows partitioned by a BROADCAST-side key where the rows under
   // each partition are themselves bounded (audited per query below) —
