@@ -55,7 +55,10 @@ object ConductancePlanQueries extends QueryGroup {
     * Scale shape: Backbone's keyed self-join builds the edges; nation
     * labels broadcast (dimension table); everything else is a
     * nation-keyed fold of the labeled symmetric edge list plus a
-    * one-row 2m broadcast. */
+    * one-row 2m broadcast.
+    *
+    * SCALING (round-9 probe): 1.06 s at sf0.01 → 1.26 s at sf0.1 (10×
+    * data, exponent ≈0.07 — backbone-build barriers dominate). */
   private val q685 = QueryDef(
     "q685_partition_conductance",
     (spark, dir) => {
@@ -149,7 +152,11 @@ object ConductancePlanQueries extends QueryGroup {
     * degree histogram (value-domain cumulative) crossed with a 5-row
     * grid; per-threshold membership is an edge-to-degree keyed join
     * against the 5-row broadcast grid — ≤ 5× the symmetric edge list
-    * crosses the shuffle, and the readout folds to 5 rows. */
+    * crosses the shuffle, and the readout folds to 5 rows.
+    *
+    * SCALING (round-9 probe): 3.05 s at sf0.01 → 1.72 s at sf0.1 (10×
+    * data, FASTER warm) — stage-barrier and backbone-build bound, not
+    * data-bound; the suite's AQE/launch floor dominates at these SFs. */
   private val q687 = QueryDef(
     "q687_conductance_sweep",
     (spark, dir) => {

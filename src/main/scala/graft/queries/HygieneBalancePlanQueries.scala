@@ -32,7 +32,11 @@ object HygieneBalancePlanQueries extends QueryGroup {
     * Scale shape: digest-keyed hash aggs only (the q20 exact-dedup
     * class): per-(digest, lang) counts fold into per-digest majority
     * stats; a second digest-keyed distinct-source agg joins on the
-    * digest. No text beyond the 32-byte digest crosses a shuffle. */
+    * digest. No text beyond the 32-byte digest crosses a shuffle.
+    *
+    * SCALING (round-9 probe): 0.35 s at sf0.01 → 0.96 s at sf0.1 (10×
+    * data, exponent ≈0.44 — md5-of-text scan bound, embarrassingly
+    * parallel). */
   private val q682 = QueryDef(
     "q682_dup_label_conflicts",
     (spark, dir) => {
