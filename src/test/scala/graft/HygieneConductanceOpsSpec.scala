@@ -22,6 +22,23 @@ class HygieneConductanceOpsSpec extends SparkSpec {
     assert(relabel <= docs)
   }
 
+  test("q666: the curator census books the whole corpus exactly once") {
+    val rows = run("q666_dedup_pipeline_census").collect()
+    val nDocs = SparkEntry.queries("q682_dup_label_conflicts")(spark, sfMid)
+      .collect().head.getAs[Long]("n_docs")
+    assert(rows.map(_.getAs[Long]("n_docs")).sum == nDocs,
+      "every document lands in exactly one cluster-size band")
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_docs")
+        == r.getAs[Long]("cluster_size") * r.getAs[Long]("n_clusters"))
+      assert(r.getAs[Long]("removed_chars")
+        == r.getAs[Long]("chars_total") - r.getAs[Long]("kept_chars"))
+      if (r.getAs[Long]("cluster_size") == 1L)
+        assert(r.getAs[Long]("removed_chars") == 0L,
+          "singletons always survive whole")
+    }
+  }
+
   test("q683: both segregation indices are valid ppm per language") {
     val rows = run("q683_language_evenness").collect()
     assert(rows.nonEmpty)
