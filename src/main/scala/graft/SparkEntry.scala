@@ -114,7 +114,8 @@ object SparkEntry {
     StreamCodecPlanQueries,
     ExtremesPlanQueries,
     HygieneBalancePlanQueries,
-    ConductancePlanQueries)
+    ConductancePlanQueries,
+    WarehousePlanQueries)
 
   private lazy val all: Seq[QueryDef] = groups.flatMap(_.defs)
 

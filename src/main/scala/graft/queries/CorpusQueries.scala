@@ -1417,7 +1417,113 @@ object CorpusQueries extends QueryGroup {
       FROM cl GROUP BY sz ORDER BY sz
     """))
 
+  // ---------------------------------------------------------------- q688
+
+  /** Blocking-quality audit (record-linkage's standard pair of metrics,
+    * here for dedup blocking): for three candidate blocking schemes —
+    * 4-token head, 16-char length bucket, language — the REDUCTION
+    * RATIO (how much of the N²/2 pair space the scheme never looks at)
+    * and PAIRS COMPLETENESS (how many reference near-dup pairs, q21's
+    * capped-LSH verified set, land in the same block). The
+    * recall-vs-cost frontier every blocking choice trades on: lang
+    * blocks are cheap but coarse, head blocks sharp but brittle.
+    *
+    * Scale shape: candidate-pair counts are Σ C(n_b, 2) over the
+    * block-size aggregate — the pairs themselves are NEVER
+    * materialized; the reference set is the bucket-capped LSH pair
+    * list (bounded ≪ corpus²), joined twice against the doc→block map
+    * on doc keys. DECIMAL widening on the N²-scaled reduction ratio. */
+  private val q688 = QueryDef(
+    "q688_blocking_quality_audit",
+    (spark, dir) => {
+      val d = Tables.documents(spark, dir)
+        .select(col("doc_id"), col("lang"), col("n_chars"),
+          expr("array_join(slice(filter(split(text, ' '), t -> t != ''), 1, 4), ' ')")
+            .as("head4"))
+      val blocks = d.select(lit("a_head4").as("scheme"), col("doc_id"),
+          col("head4").as("bkey"))
+        .unionAll(d.select(lit("b_len16").as("scheme"), col("doc_id"),
+          expr("CAST(n_chars div 16 AS STRING)").as("bkey")))
+        .unionAll(d.select(lit("c_lang").as("scheme"), col("doc_id"),
+          col("lang").as("bkey")))
+      val perScheme = blocks.groupBy(col("scheme"), col("bkey"))
+        .agg(count(lit(1)).as("nb"))
+        .groupBy(col("scheme"))
+        .agg(count(lit(1)).as("n_blocks"), max(col("nb")).as("max_block"),
+          sum(expr("nb * (nb - 1) div 2")).as("cand_pairs"))
+      val nAll = d.agg(expr("count(1) * (count(1) - 1) div 2").as("all_pairs"))
+      val truth = MinHashLSH.nearDuplicates(Tables.documents(spark, dir),
+          "doc_id", "text", minJaccard = 0.0, maxBucketSize = Some(2))
+        .select(col("doc_a"), col("doc_b")).distinct().persist()
+      val tTotal = truth.agg(count(lit(1)).as("truth_pairs"))
+      val coBlocked = truth
+        .join(blocks.select(col("scheme"), col("doc_id").as("doc_a"),
+          col("bkey").as("ka")), Seq("doc_a"))
+        .join(blocks.select(col("scheme"), col("doc_id").as("doc_b"),
+          col("bkey").as("kb")), Seq("scheme", "doc_b"))
+        .filter(col("ka") === col("kb"))
+        .groupBy(col("scheme")).agg(count(lit(1)).as("truth_co_blocked"))
+      perScheme.join(coBlocked, Seq("scheme"), "left")
+        .crossJoin(broadcast(nAll)).crossJoin(broadcast(tTotal))
+        .select(col("scheme"), col("n_blocks"), col("max_block"),
+          col("cand_pairs"),
+          expr("CAST(CAST(all_pairs - cand_pairs AS DECIMAL(38,0)) * 1000000" +
+            " div all_pairs AS BIGINT)").as("reduction_ppm"),
+          col("truth_pairs"),
+          coalesce(col("truth_co_blocked"), lit(0L)).as("truth_co_blocked"),
+          expr("CASE WHEN truth_pairs > 0 THEN" +
+            " coalesce(truth_co_blocked, 0) * 1000000 div truth_pairs" +
+            " ELSE 0 END").as("completeness_ppm"))
+        .orderBy(col("scheme"))
+    },
+    Some(s"""
+      WITH $duckMinhashCand,
+      d AS (
+        SELECT doc_id, lang, n_chars,
+          array_to_string(list_slice(
+            list_filter(str_split(text, ' '), t -> len(t) > 0), 1, 4), ' ')
+            AS head4
+        FROM documents),
+      blocks AS (
+        SELECT 'a_head4' AS scheme, doc_id, head4 AS bkey FROM d
+        UNION ALL
+        SELECT 'b_len16', doc_id, CAST(n_chars // 16 AS VARCHAR) FROM d
+        UNION ALL
+        SELECT 'c_lang', doc_id, lang FROM d),
+      per_scheme AS (
+        SELECT scheme, CAST(count(*) AS BIGINT) AS n_blocks,
+          CAST(max(nb) AS BIGINT) AS max_block,
+          CAST(sum(nb * (nb - 1) // 2) AS BIGINT) AS cand_pairs
+        FROM (SELECT scheme, bkey, CAST(count(*) AS BIGINT) AS nb
+              FROM blocks GROUP BY scheme, bkey)
+        GROUP BY scheme),
+      n_all AS (
+        SELECT CAST(count(*) * (count(*) - 1) // 2 AS BIGINT) AS all_pairs
+        FROM d),
+      truth AS (SELECT DISTINCT doc_a, doc_b FROM cand),
+      t_total AS (SELECT CAST(count(*) AS BIGINT) AS truth_pairs FROM truth),
+      co AS (
+        SELECT ba.scheme, CAST(count(*) AS BIGINT) AS truth_co_blocked
+        FROM truth t
+        JOIN blocks ba ON ba.doc_id = t.doc_a
+        JOIN blocks bb ON bb.doc_id = t.doc_b AND bb.scheme = ba.scheme
+        WHERE ba.bkey = bb.bkey
+        GROUP BY ba.scheme)
+      SELECT scheme, n_blocks, max_block, cand_pairs,
+        CAST(CAST(all_pairs - cand_pairs AS HUGEINT) * 1000000 // all_pairs
+          AS BIGINT) AS reduction_ppm,
+        truth_pairs,
+        CAST(coalesce(truth_co_blocked, 0) AS BIGINT) AS truth_co_blocked,
+        CAST(CASE WHEN truth_pairs > 0
+          THEN coalesce(truth_co_blocked, 0) * 1000000 // truth_pairs
+          ELSE 0 END AS BIGINT) AS completeness_ppm
+      FROM per_scheme
+      LEFT JOIN co USING (scheme)
+      CROSS JOIN n_all CROSS JOIN t_total
+      ORDER BY scheme
+    """))
+
   def defs: Seq[QueryDef] =
     Seq(q56, q57, q58, q59, q60, q61, q62, q63, q64, q65, q66, q82, q157, q165, q172,
-      q174, q182, q189, q215, q222, q227, q238, q239, q248, q666)
+      q174, q182, q189, q215, q222, q227, q238, q239, q248, q666, q688)
 }

@@ -346,7 +346,11 @@ class QueriesSmokeSpec extends SparkSpec {
     // one-row weight-threshold broadcast (the q590/q601 class), q687
     // adds its 5-row sweep grid and one-row node count
     "q683_language_evenness", "q685_partition_conductance",
-    "q686_nation_homophily", "q687_conductance_sweep")
+    "q686_nation_homophily", "q687_conductance_sweep",
+    // q688's one-row all-pairs/truth-total broadcasts over the 3-scheme
+    // readout; q689's 8-row view/query panels, one-row base count, and
+    // the 28-row pair enumeration (bounded lattice by construction)
+    "q688_blocking_quality_audit", "q689_view_selection_exact")
 
   test("query constructors are lazy: warm construction launches zero jobs") {
     import org.apache.spark.scheduler.{SparkListener, SparkListenerJobStart}
