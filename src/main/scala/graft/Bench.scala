@@ -250,7 +250,13 @@ object Bench {
       // re-running janino on plans the warm-up pass already compiled.
       // Sized to hold the whole suite — the same conf any long-lived
       // Spark service with a wide query population runs with.
-      .config("spark.sql.codegen.cache.maxEntries", "10000")
+      // Round-9 resize: 690 queries × 5-20 codegen stages ≈ 3.5k-14k
+      // entries, so the former 10k bound could START evicting exactly
+      // in late-suite/recheck territory (the round-9 closing pass saw
+      // rechecks run SLOWER than their in-suite primaries — q590
+      // 11.8 s vs 7.6 s — the signature of end-of-pass recompilation
+      // pressure). 30k holds 2× the worst-case suite.
+      .config("spark.sql.codegen.cache.maxEntries", "30000")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     GraftSession.configure(spark)
