@@ -21,8 +21,10 @@ object Verify {
       .config("spark.ui.enabled", "false")
       .config("spark.serializer", "org.apache.spark.serializer.KryoSerializer")
       // generated-class cache sized for the full query population (the
-      // 100-entry default evicts continuously under ~600 queries)
-      .config("spark.sql.codegen.cache.maxEntries", "10000")
+      // 100-entry default evicts continuously under ~600 queries; 10k
+      // started evicting at 690 queries × 5-20 stages — the Bench A/B
+      // that root-caused the round-9 late-suite slowdown)
+      .config("spark.sql.codegen.cache.maxEntries", "30000")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     GraftSession.configure(spark)
