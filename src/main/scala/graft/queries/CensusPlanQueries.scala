@@ -260,5 +260,117 @@ object CensusPlanQueries extends QueryGroup {
     """
     })
 
-  def defs: Seq[QueryDef] = Seq(q558, q559, q560)
+  // ---------------------------------------------------------------- q691
+
+  /** Densest-subgraph peeling (Bahmani et al.'s MapReduce relaxation of
+    * Charikar's greedy): each of 4 rounds deletes every node whose
+    * degree is at most the CURRENT average (d·n > 2m keeps a node — the
+    * cross-multiplied form needs no division and no divide-by-zero
+    * guard), and the census reports the (nodes, edges, avg-degree)
+    * trajectory. The round with the highest average degree is a
+    * 2-approximate densest subgraph — the densest trading community on
+    * the q558 customer–supplier graph, and the onion layer community
+    * detection should be seeded from. q558's k-core uses a FIXED
+    * degree bar; this one adapts the bar to the surviving graph, which
+    * is what makes it a density maximizer rather than a core filter.
+    *
+    * Scale shape: q558's edge discipline — one keyed degree aggregate
+    * plus two keyed semijoins per round and a one-row (n, 2m)
+    * broadcast for the adaptive bar; no node-sized broadcasts. Unlike
+    * q558, each round's survivor list feeds a SCALAR broadcast, and
+    * Spark fires every broadcast future eagerly at action start — with
+    * lazy persists, round r's bar would recompute the whole uncached
+    * r-deep join lineage concurrently (measured: 26 s at sf0.1). Each
+    * round is therefore localCheckpoint'ed (the q415/q374/q402
+    * sanctioned pattern): lineage truncates, the bar reads the
+    * materialized round, and the query lands at ~3 s. Four rounds is
+    * the fixed audit budget. */
+  private val q691 = QueryDef(
+    "q691_densest_subgraph_peel",
+    (spark, dir) => {
+      val base = Tables.orders(spark, dir)
+        .filter(col("o_orderdate") >= "1995-01-01" && col("o_orderdate") < "1996-01-01")
+        .select(col("o_orderkey").as("ok"), col("o_custkey").as("c"))
+        .join(Tables.lineitem(spark, dir)
+          .select(col("l_orderkey").as("ok"), col("l_suppkey").as("s")), Seq("ok"))
+        .select(col("c"), col("s")).distinct()
+      var edges = base
+        .select((col("c") * 2L).as("u"), (col("s") * 2L + 1L).as("v"))
+        .union(base.select((col("s") * 2L + 1L).as("u"), (col("c") * 2L).as("v")))
+        .localCheckpoint(true)
+      def census(r: Int, e: DataFrame): DataFrame =
+        e.agg(countDistinct(col("u")).as("nodes"),
+            expr("count(1) div 2").as("edges"),
+            expr("count(1) * 1000 div greatest(count(DISTINCT u), 1)")
+              .as("avg_deg_milli"))
+          .select(lit(r.toLong).as("round"), col("nodes"), col("edges"),
+            col("avg_deg_milli"))
+      var out = census(0, edges)
+      for (r <- 1 to 4) {
+        val bar = edges.agg(countDistinct(col("u")).as("n"),
+          count(lit(1)).as("m2"))
+        val keep = edges.groupBy(col("u")).agg(count(lit(1)).as("d"))
+          .crossJoin(broadcast(bar))
+          .filter(col("d") * col("n") > col("m2")).select(col("u"))
+        edges = edges
+          .join(keep, Seq("u"))
+          .join(keep.withColumnRenamed("u", "v"), Seq("v"))
+          .select(col("u"), col("v")).localCheckpoint(true)
+        out = out.union(census(r, edges))
+      }
+      out.orderBy(col("round"))
+    },
+    Some("""
+      WITH b AS (
+        SELECT DISTINCT o.o_custkey AS c, l.l_suppkey AS s
+        FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+        WHERE o.o_orderdate >= TIMESTAMP '1995-01-01'
+          AND o.o_orderdate < TIMESTAMP '1996-01-01'),
+      e0 AS (SELECT c*2 AS u, s*2+1 AS v FROM b
+             UNION ALL SELECT s*2+1, c*2 FROM b),
+      t0 AS (SELECT count(DISTINCT u) AS n, count(*) AS m2 FROM e0),
+      k1 AS (SELECT u FROM e0 GROUP BY u
+             HAVING count(*) * (SELECT n FROM t0) > (SELECT m2 FROM t0)),
+      e1 AS (SELECT e.u, e.v FROM e0 e JOIN k1 a ON e.u = a.u
+             JOIN k1 c ON e.v = c.u),
+      t1 AS (SELECT count(DISTINCT u) AS n, count(*) AS m2 FROM e1),
+      k2 AS (SELECT u FROM e1 GROUP BY u
+             HAVING count(*) * (SELECT n FROM t1) > (SELECT m2 FROM t1)),
+      e2 AS (SELECT e.u, e.v FROM e1 e JOIN k2 a ON e.u = a.u
+             JOIN k2 c ON e.v = c.u),
+      t2 AS (SELECT count(DISTINCT u) AS n, count(*) AS m2 FROM e2),
+      k3 AS (SELECT u FROM e2 GROUP BY u
+             HAVING count(*) * (SELECT n FROM t2) > (SELECT m2 FROM t2)),
+      e3 AS (SELECT e.u, e.v FROM e2 e JOIN k3 a ON e.u = a.u
+             JOIN k3 c ON e.v = c.u),
+      t3 AS (SELECT count(DISTINCT u) AS n, count(*) AS m2 FROM e3),
+      k4 AS (SELECT u FROM e3 GROUP BY u
+             HAVING count(*) * (SELECT n FROM t3) > (SELECT m2 FROM t3)),
+      e4 AS (SELECT e.u, e.v FROM e3 e JOIN k4 a ON e.u = a.u
+             JOIN k4 c ON e.v = c.u),
+      rounds AS (
+        SELECT CAST(0 AS BIGINT) AS round, CAST(count(DISTINCT u) AS BIGINT)
+            AS nodes, CAST(count(*) // 2 AS BIGINT) AS edges,
+          CAST(count(*) * 1000 // greatest(count(DISTINCT u), 1) AS BIGINT)
+            AS avg_deg_milli FROM e0
+        UNION ALL SELECT 1, CAST(count(DISTINCT u) AS BIGINT),
+          CAST(count(*) // 2 AS BIGINT),
+          CAST(count(*) * 1000 // greatest(count(DISTINCT u), 1) AS BIGINT)
+          FROM e1
+        UNION ALL SELECT 2, CAST(count(DISTINCT u) AS BIGINT),
+          CAST(count(*) // 2 AS BIGINT),
+          CAST(count(*) * 1000 // greatest(count(DISTINCT u), 1) AS BIGINT)
+          FROM e2
+        UNION ALL SELECT 3, CAST(count(DISTINCT u) AS BIGINT),
+          CAST(count(*) // 2 AS BIGINT),
+          CAST(count(*) * 1000 // greatest(count(DISTINCT u), 1) AS BIGINT)
+          FROM e3
+        UNION ALL SELECT 4, CAST(count(DISTINCT u) AS BIGINT),
+          CAST(count(*) // 2 AS BIGINT),
+          CAST(count(*) * 1000 // greatest(count(DISTINCT u), 1) AS BIGINT)
+          FROM e4)
+      SELECT round, nodes, edges, avg_deg_milli FROM rounds ORDER BY round
+    """))
+
+  def defs: Seq[QueryDef] = Seq(q558, q559, q560, q691)
 }

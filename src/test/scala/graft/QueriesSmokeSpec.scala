@@ -350,7 +350,10 @@ class QueriesSmokeSpec extends SparkSpec {
     // q688's one-row all-pairs/truth-total broadcasts over the 3-scheme
     // readout; q689's 8-row view/query panels, one-row base count, and
     // the 28-row pair enumeration (bounded lattice by construction)
-    "q688_blocking_quality_audit", "q689_view_selection_exact")
+    "q688_blocking_quality_audit", "q689_view_selection_exact",
+    // q691's adaptive density bar is a one-row (n, 2m) broadcast per
+    // peeling round (the q558 loop with q421's scalar-broadcast step)
+    "q691_densest_subgraph_peel")
 
   test("query constructors are lazy: warm construction launches zero jobs") {
     import org.apache.spark.scheduler.{SparkListener, SparkListenerJobStart}
@@ -397,7 +400,12 @@ class QueriesSmokeSpec extends SparkSpec {
       "q484_mmr_diversified_retrieval",
       // q497 localCheckpoints the ≤ |brands|² duel table so the 3
       // unrolled Bradley-Terry rounds never rescan lineitem
-      "q497_bradley_terry_arena")
+      "q497_bradley_terry_arena",
+      // q691 localCheckpoints each peeling round: its adaptive density
+      // bar is a scalar broadcast per round, and Spark's eager
+      // broadcast futures would otherwise recompute every uncached
+      // round lineage concurrently (measured 26 s -> ~3 s at sf0.1)
+      "q691_densest_subgraph_peel")
     // the bus delivers only events posted after registration, so earlier
     // tests' jobs cannot leak into the count
     spark.sparkContext.addSparkListener(listener)

@@ -47,6 +47,27 @@ class WarehouseOpsSpec extends SparkSpec {
     }
   }
 
+  test("q691: peeling shrinks the graph; the density readout reconciles") {
+    val rows = run("q691_densest_subgraph_peel").collect()
+      .sortBy(_.getAs[Long]("round"))
+    assert(rows.length == 5)
+    rows.sliding(2).foreach { case Array(a, b) =>
+      assert(b.getAs[Long]("nodes") <= a.getAs[Long]("nodes"))
+      assert(b.getAs[Long]("edges") <= a.getAs[Long]("edges"))
+    }
+    rows.foreach { r =>
+      val n = r.getAs[Long]("nodes"); val m = r.getAs[Long]("edges")
+      // avg_deg_milli is exactly 2m·1000 div max(n,1) — no drift between
+      // the census columns (density can legitimately rise then FALL:
+      // batch peeling overshoots past the 2-approx optimum, which is
+      // precisely why the whole trajectory is reported)
+      assert(r.getAs[Long]("avg_deg_milli") == 2 * m * 1000 / math.max(n, 1L))
+    }
+    assert(rows.head.getAs[Long]("nodes") > 0L)
+    // the graph never densifies by deletion alone past round 0's edge set
+    assert(rows.last.getAs[Long]("edges") <= rows.head.getAs[Long]("edges"))
+  }
+
   test("q690: uniqueness counts nest and precision is a valid ppm") {
     val r = run("q690_kmap_uniqueness_audit").collect().head
     assert(r.getAs[Long]("n_sample") <= r.getAs[Long]("n_pop"))
