@@ -284,7 +284,10 @@ object CensusPlanQueries extends QueryGroup {
     * round is therefore localCheckpoint'ed (the q415/q374/q402
     * sanctioned pattern): lineage truncates, the bar reads the
     * materialized round, and the query lands at ~3 s. Four rounds is
-    * the fixed audit budget. */
+    * the fixed audit budget.
+    *
+    * SCALING (round-9 probe): 2.33 s at sf0.01 → 2.65 s at sf0.1 (10×
+    * data, exponent ≈0.06 — round-barrier bound, like q558). */
   private val q691 = QueryDef(
     "q691_densest_subgraph_peel",
     (spark, dir) => {
