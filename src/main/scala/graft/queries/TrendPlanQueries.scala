@@ -240,5 +240,78 @@ object TrendPlanQueries extends QueryGroup {
       FROM a
     """))
 
-  override def defs: Seq[QueryDef] = Seq(q611, q612, q613)
+  // ---------------------------------------------------------------- q692
+
+  /** Top-k rank-churn series: the 1995 monthly top-10 brands by
+    * revenue, and between every consecutive month pair, how many of the
+    * top 10 survived, entered, and what the deepest surviving rank move
+    * was. q189's RBO scores ONE ranking pair and q650's footrule one
+    * probe; this is the TURNOVER TIME SERIES — a leaderboards/feeds
+    * owner reads the churn column to size cache invalidation and to
+    * tell seasonal reshuffles from a stable head.
+    *
+    * Scale shape: lineitem folds once to (month, brand) revenue cents
+    * (keyed agg, map-side partials); the rank window partitions by
+    * month over the ≤|brands| aggregate rows per month (dimension-
+    * bounded partitions, never corpus rows); the month-to-month
+    * overlap is a keyed self-join of two 120-row top-k lists. */
+  private val q692 = QueryDef(
+    "q692_topk_rank_churn",
+    (spark, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      import graft.functions.Deterministic.cents
+      val w = Window.partitionBy(col("m"))
+        .orderBy(col("rev").desc, col("p_brand"))
+      val topk = Tables.lineitem(spark, dir)
+        .filter(col("l_shipdate") >= "1995-01-01" && col("l_shipdate") < "1996-01-01")
+        .join(broadcast(Tables.part(spark, dir)
+          .select(col("p_partkey"), col("p_brand"))),
+          col("l_partkey") === col("p_partkey"))
+        .groupBy(expr("CAST(month(l_shipdate) AS BIGINT)").as("m"), col("p_brand"))
+        .agg(sum(cents(col("l_extendedprice"))).as("rev"))
+        .withColumn("rk", row_number().over(w).cast("long"))
+        .filter(col("rk") <= 10)
+        .select(col("m"), col("p_brand"), col("rk"))
+      val a = topk.select(col("m"), col("p_brand"), col("rk").as("rk_a"))
+      val b = topk.select((col("m") - 1L).as("m"), col("p_brand"),
+        col("rk").as("rk_b"))
+      a.join(b, Seq("m", "p_brand"))
+        .groupBy(col("m"))
+        .agg(count(lit(1)).as("survivors"),
+          max(abs(col("rk_a") - col("rk_b"))).as("max_rank_move"))
+        .select(col("m").as("month"), lit(10L).as("k"), col("survivors"),
+          (lit(10L) - col("survivors")).as("churned"),
+          expr("(10 - survivors) * 1000000 div 10").as("churn_ppm"),
+          col("max_rank_move"))
+        .orderBy(col("month"))
+    },
+    Some("""
+      WITH rev AS (
+        SELECT CAST(month(l_shipdate) AS BIGINT) AS m, p.p_brand,
+          sum(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)) AS rev
+        FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+        WHERE l_shipdate >= TIMESTAMP '1995-01-01'
+          AND l_shipdate < TIMESTAMP '1996-01-01'
+        GROUP BY 1, 2),
+      ranked AS (
+        SELECT m, p_brand,
+          row_number() OVER (PARTITION BY m ORDER BY rev DESC, p_brand)
+            AS rk
+        FROM rev),
+      topk AS (SELECT m, p_brand, rk FROM ranked WHERE rk <= 10),
+      paired AS (
+        -- label each consecutive pair by its EARLIER month (a is the
+        -- later list, so the pair key is a.m - 1), matching Spark
+        SELECT a.m - 1 AS m, b.rk AS rk_a, a.rk AS rk_b
+        FROM topk a JOIN topk b
+          ON b.m = a.m - 1 AND b.p_brand = a.p_brand)
+      SELECT m AS month, CAST(10 AS BIGINT) AS k,
+        CAST(count(*) AS BIGINT) AS survivors,
+        CAST(10 - count(*) AS BIGINT) AS churned,
+        CAST((10 - count(*)) * 1000000 // 10 AS BIGINT) AS churn_ppm,
+        CAST(max(abs(rk_a - rk_b)) AS BIGINT) AS max_rank_move
+      FROM paired GROUP BY m ORDER BY month
+    """))
+
+  override def defs: Seq[QueryDef] = Seq(q611, q612, q613, q692)
 }

@@ -165,4 +165,20 @@ class TrendEconOpsSpec extends SparkSpec {
     rows.filterNot(_.getAs[Boolean]("is_best"))
       .foreach(r => assert(r.getAs[Long]("overhead_ppm") >= 0L))
   }
+
+  test("q692: churn bookkeeping — survivors + churned = k, valid ranks") {
+    val rows = SparkEntry.queries("q692_topk_rank_churn")(spark, sfMid)
+      .collect().sortBy(_.getAs[Long]("month"))
+    assert(rows.length == 11, "11 consecutive 1995 month pairs")
+    rows.foreach { r =>
+      assert(r.getAs[Long]("survivors") + r.getAs[Long]("churned")
+        == r.getAs[Long]("k"))
+      assert(r.getAs[Long]("churn_ppm")
+        == r.getAs[Long]("churned") * 1000000L / r.getAs[Long]("k"))
+      // two ranks within the same top-10 differ by at most k-1
+      assert(r.getAs[Long]("max_rank_move") <= r.getAs[Long]("k") - 1)
+      assert(r.getAs[Long]("survivors") >= 1L,
+        "a fully reshuffled top-10 month pair would be generator-suspect")
+    }
+  }
 }
