@@ -115,7 +115,8 @@ object SparkEntry {
     ExtremesPlanQueries,
     HygieneBalancePlanQueries,
     ConductancePlanQueries,
-    WarehousePlanQueries)
+    WarehousePlanQueries,
+    RankTestPlanQueries)
 
   private lazy val all: Seq[QueryDef] = groups.flatMap(_.defs)
 

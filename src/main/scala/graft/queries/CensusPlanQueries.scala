@@ -67,24 +67,24 @@ object CensusPlanQueries extends QueryGroup {
       out.orderBy(col("round"))
     },
     Some("""
-      WITH b AS (
+      WITH b AS MATERIALIZED (
         SELECT DISTINCT o.o_custkey AS c, l.l_suppkey AS s
         FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
         WHERE o.o_orderdate >= TIMESTAMP '1995-01-01'
           AND o.o_orderdate < TIMESTAMP '1996-01-01'),
-      e0 AS (SELECT c*2 AS u, s*2+1 AS v FROM b
+      e0 AS MATERIALIZED (SELECT c*2 AS u, s*2+1 AS v FROM b
              UNION ALL SELECT s*2+1, c*2 FROM b),
-      k1 AS (SELECT u FROM e0 GROUP BY u HAVING count(*) >= 3),
-      e1 AS (SELECT e.u, e.v FROM e0 e JOIN k1 a ON e.u = a.u
+      k1 AS MATERIALIZED (SELECT u FROM e0 GROUP BY u HAVING count(*) >= 3),
+      e1 AS MATERIALIZED (SELECT e.u, e.v FROM e0 e JOIN k1 a ON e.u = a.u
              JOIN k1 c ON e.v = c.u),
-      k2 AS (SELECT u FROM e1 GROUP BY u HAVING count(*) >= 3),
-      e2 AS (SELECT e.u, e.v FROM e1 e JOIN k2 a ON e.u = a.u
+      k2 AS MATERIALIZED (SELECT u FROM e1 GROUP BY u HAVING count(*) >= 3),
+      e2 AS MATERIALIZED (SELECT e.u, e.v FROM e1 e JOIN k2 a ON e.u = a.u
              JOIN k2 c ON e.v = c.u),
-      k3 AS (SELECT u FROM e2 GROUP BY u HAVING count(*) >= 3),
-      e3 AS (SELECT e.u, e.v FROM e2 e JOIN k3 a ON e.u = a.u
+      k3 AS MATERIALIZED (SELECT u FROM e2 GROUP BY u HAVING count(*) >= 3),
+      e3 AS MATERIALIZED (SELECT e.u, e.v FROM e2 e JOIN k3 a ON e.u = a.u
              JOIN k3 c ON e.v = c.u),
-      k4 AS (SELECT u FROM e3 GROUP BY u HAVING count(*) >= 3),
-      e4 AS (SELECT e.u, e.v FROM e3 e JOIN k4 a ON e.u = a.u
+      k4 AS MATERIALIZED (SELECT u FROM e3 GROUP BY u HAVING count(*) >= 3),
+      e4 AS MATERIALIZED (SELECT e.u, e.v FROM e3 e JOIN k4 a ON e.u = a.u
              JOIN k4 c ON e.v = c.u)
       SELECT CAST(0 AS BIGINT) AS round,
         CAST(count(DISTINCT u) AS BIGINT) AS nodes,
@@ -324,34 +324,34 @@ object CensusPlanQueries extends QueryGroup {
       out.orderBy(col("round"))
     },
     Some("""
-      WITH b AS (
+      WITH b AS MATERIALIZED (
         SELECT DISTINCT o.o_custkey AS c, l.l_suppkey AS s
         FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
         WHERE o.o_orderdate >= TIMESTAMP '1995-01-01'
           AND o.o_orderdate < TIMESTAMP '1996-01-01'),
-      e0 AS (SELECT c*2 AS u, s*2+1 AS v FROM b
+      e0 AS MATERIALIZED (SELECT c*2 AS u, s*2+1 AS v FROM b
              UNION ALL SELECT s*2+1, c*2 FROM b),
-      t0 AS (SELECT count(DISTINCT u) AS n, count(*) AS m2 FROM e0),
-      k1 AS (SELECT u FROM e0 GROUP BY u
+      t0 AS MATERIALIZED (SELECT count(DISTINCT u) AS n, count(*) AS m2 FROM e0),
+      k1 AS MATERIALIZED (SELECT u FROM e0 GROUP BY u
              HAVING count(*) * (SELECT n FROM t0) > (SELECT m2 FROM t0)),
-      e1 AS (SELECT e.u, e.v FROM e0 e JOIN k1 a ON e.u = a.u
+      e1 AS MATERIALIZED (SELECT e.u, e.v FROM e0 e JOIN k1 a ON e.u = a.u
              JOIN k1 c ON e.v = c.u),
-      t1 AS (SELECT count(DISTINCT u) AS n, count(*) AS m2 FROM e1),
-      k2 AS (SELECT u FROM e1 GROUP BY u
+      t1 AS MATERIALIZED (SELECT count(DISTINCT u) AS n, count(*) AS m2 FROM e1),
+      k2 AS MATERIALIZED (SELECT u FROM e1 GROUP BY u
              HAVING count(*) * (SELECT n FROM t1) > (SELECT m2 FROM t1)),
-      e2 AS (SELECT e.u, e.v FROM e1 e JOIN k2 a ON e.u = a.u
+      e2 AS MATERIALIZED (SELECT e.u, e.v FROM e1 e JOIN k2 a ON e.u = a.u
              JOIN k2 c ON e.v = c.u),
-      t2 AS (SELECT count(DISTINCT u) AS n, count(*) AS m2 FROM e2),
-      k3 AS (SELECT u FROM e2 GROUP BY u
+      t2 AS MATERIALIZED (SELECT count(DISTINCT u) AS n, count(*) AS m2 FROM e2),
+      k3 AS MATERIALIZED (SELECT u FROM e2 GROUP BY u
              HAVING count(*) * (SELECT n FROM t2) > (SELECT m2 FROM t2)),
-      e3 AS (SELECT e.u, e.v FROM e2 e JOIN k3 a ON e.u = a.u
+      e3 AS MATERIALIZED (SELECT e.u, e.v FROM e2 e JOIN k3 a ON e.u = a.u
              JOIN k3 c ON e.v = c.u),
-      t3 AS (SELECT count(DISTINCT u) AS n, count(*) AS m2 FROM e3),
-      k4 AS (SELECT u FROM e3 GROUP BY u
+      t3 AS MATERIALIZED (SELECT count(DISTINCT u) AS n, count(*) AS m2 FROM e3),
+      k4 AS MATERIALIZED (SELECT u FROM e3 GROUP BY u
              HAVING count(*) * (SELECT n FROM t3) > (SELECT m2 FROM t3)),
-      e4 AS (SELECT e.u, e.v FROM e3 e JOIN k4 a ON e.u = a.u
+      e4 AS MATERIALIZED (SELECT e.u, e.v FROM e3 e JOIN k4 a ON e.u = a.u
              JOIN k4 c ON e.v = c.u),
-      rounds AS (
+      rounds AS MATERIALIZED (
         SELECT CAST(0 AS BIGINT) AS round, CAST(count(DISTINCT u) AS BIGINT)
             AS nodes, CAST(count(*) // 2 AS BIGINT) AS edges,
           CAST(count(*) * 1000 // greatest(count(DISTINCT u), 1) AS BIGINT)

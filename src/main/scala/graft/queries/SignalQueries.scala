@@ -874,7 +874,7 @@ object SignalQueries extends QueryGroup {
     Some {
       val dpSteps = (1 to 10).map { i =>
         val prev = if (i == 1) "dp0" else s"dp${i - 1}"
-        s"""dp$i AS (
+        s"""dp$i AS MATERIALIZED (
           SELECT c, max(value) AS value FROM (
             SELECT c, value FROM $prev
             UNION ALL
@@ -884,7 +884,7 @@ object SignalQueries extends QueryGroup {
           GROUP BY c)"""
       }.mkString(",\n")
       s"""
-      WITH by_source AS (
+      WITH by_source AS MATERIALIZED (
         SELECT source, CAST(count(*) AS BIGINT) AS v, sum(n_chars) AS bytes
         FROM documents GROUP BY 1),
       top AS (
@@ -892,10 +892,10 @@ object SignalQueries extends QueryGroup {
           CAST(row_number() OVER (ORDER BY bytes DESC, source) AS BIGINT) AS rn
         FROM by_source QUALIFY rn <= 10),
       tot AS (SELECT sum(bytes) AS tot FROM top),
-      items AS (
+      items AS MATERIALIZED (
         SELECT rn, source, v, (bytes * 64 + tot - 1) // tot AS wb
         FROM top CROSS JOIN tot),
-      dp0 AS (SELECT unnest(range(0, 33)) AS c, CAST(0 AS BIGINT) AS value),
+      dp0 AS MATERIALIZED (SELECT unnest(range(0, 33)) AS c, CAST(0 AS BIGINT) AS value),
       $dpSteps,
       best AS (SELECT max(value) AS dp_best FROM dp10),
       greedy AS (

@@ -40,12 +40,16 @@ object WarehousePlanQueries extends QueryGroup {
       val li = Tables.lineitem(spark, dir)
         .select(col("l_partkey").as("p"), col("l_returnflag").as("f"),
           expr("CAST(year(l_shipdate) AS BIGINT)").as("y"))
+      // 8-row lattice, but derived from a full-lineitem cube pass and
+      // referenced three times below (queries + both pair sides):
+      // checkpoint so the cube runs once (q687's degree-table pattern).
       val views = li.cube(col("p"), col("f"), col("y"))
         .agg(grouping(col("p")).as("gp"), grouping(col("f")).as("gf"),
           grouping(col("y")).as("gy"))
         .select(expr("CAST(4 * (1 - gp) + 2 * (1 - gf) + (1 - gy) AS BIGINT)")
           .as("vm"))
         .groupBy(col("vm")).agg(count(lit(1)).as("sz"))
+        .localCheckpoint(true)
       val base = li.agg(count(lit(1)).as("base_rows"))
       val queries = views.select(col("vm").as("qm"))
       val pairs = views.select(col("vm").as("vm1"), col("sz").as("s1"))

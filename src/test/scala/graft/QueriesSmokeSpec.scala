@@ -353,7 +353,12 @@ class QueriesSmokeSpec extends SparkSpec {
     "q688_blocking_quality_audit", "q689_view_selection_exact",
     // q691's adaptive density bar is a one-row (n, 2m) broadcast per
     // peeling round (the q558 loop with q421's scalar-broadcast step)
-    "q691_densest_subgraph_peel")
+    "q691_densest_subgraph_peel",
+    // round-10 rank tests: one-row/histogram-sized broadcasts (N totals,
+    // the H/z stat row) plus q694's ≤55×55 ordered-pair self-join over
+    // the bounded (band, bps) joint histogram — pairs of CELLS
+    "q693_kruskal_wallis", "q694_jonckheere_terpstra",
+    "q695_mood_scale_test")
 
   test("query constructors are lazy: warm construction launches zero jobs") {
     import org.apache.spark.scheduler.{SparkListener, SparkListenerJobStart}
@@ -405,7 +410,11 @@ class QueriesSmokeSpec extends SparkSpec {
       // bar is a scalar broadcast per round, and Spark's eager
       // broadcast futures would otherwise recompute every uncached
       // round lineage concurrently (measured 26 s -> ~3 s at sf0.1)
-      "q691_densest_subgraph_peel")
+      "q691_densest_subgraph_peel",
+      // q689 localCheckpoints the 8-row view-size lattice so the
+      // full-lineitem cube pass runs once, not once per downstream
+      // reference (round-9 advice)
+      "q689_view_selection_exact")
     // the bus delivers only events posted after registration, so earlier
     // tests' jobs cannot leak into the count
     spark.sparkContext.addSparkListener(listener)
@@ -532,6 +541,10 @@ class QueriesSmokeSpec extends SparkSpec {
   // value resolution — never corpus rows. Any query NOT in this list must
   // plan zero partition-less windows.
   private val boundedGlobalWindows: Set[String] = Set(
+    // round-10 rank tests: doubled-rank cumulative over the ≤50-row
+    // quantity value histogram (the q324 histogram-rank class, global
+    // because the test pools all groups into one ranking)
+    "q693_kruskal_wallis", "q695_mood_scale_test",
     // quantized-score / value-resolution histograms (≤ ~1001–50k bins)
     "q64_quality_threshold", "q82_decile_binning", "q479_dsir_selection",
     "q120_ks_two_sample", "q139_norm_outliers", "q146_robust_outliers",

@@ -1,0 +1,60 @@
+package graft
+
+/** Semantics of the round-10 rank-test batch: Kruskal–Wallis (q693),
+  * Jonckheere–Terpstra (q694), Mood's squared-rank scale test (q695).
+  * Each test pins an EXACT algebraic identity of the rank calculus, not
+  * just shape — the identities hold for any data, so a regression in
+  * the histogram-rank plumbing cannot hide behind plausible numbers. */
+class RankTestOpsSpec extends SparkSpec {
+
+  private val sfMid = "/root/testdata/sf0.01"
+
+  private def run(name: String) = SparkEntry.queries(name)(spark, sfMid)
+
+  test("q693: doubled-rank sums close the N(N+1) identity; H is sane") {
+    val rows = run("q693_kruskal_wallis").collect()
+    assert(rows.length == 3)
+    assert(rows.map(_.getAs[String]("flag")).toSet == Set("A", "N", "R"))
+    val nTotal = rows.head.getAs[Long]("n_total")
+    assert(rows.map(_.getAs[Long]("n")).sum == nTotal)
+    // sum over everyone of the doubled tie-averaged rank is exactly
+    // 2·(1+2+…+N) = N(N+1) — tie averaging redistributes, never leaks
+    val r2Total = rows.map(_.getAs[Long]("r2_sum")).sum
+    assert(r2Total == nTotal * (nTotal + 1),
+      s"doubled ranks leaked: $r2Total vs ${nTotal * (nTotal + 1)}")
+    val h = rows.head.getAs[Double]("h_stat")
+    assert(!h.isNaN && !h.isInfinite && h >= 0.0, s"H = $h")
+    assert(rows.map(_.getAs[Double]("h_stat")).distinct.length == 1)
+  }
+
+  test("q694: JT sits inside [0, 2·E0] and the z is finite") {
+    val r = run("q694_jonckheere_terpstra").collect().head
+    val jt2 = r.getAs[Long]("jt2")
+    val e2 = r.getAs[Long]("e2")
+    assert(e2 > 0)
+    assert(jt2 >= 0 && jt2 <= 2 * e2, s"jt2 $jt2 outside [0, ${2 * e2}]")
+    val z = r.getAs[Double]("z_stat")
+    assert(!z.isNaN && !z.isInfinite)
+    // quantity and discount are independent in the generator: the
+    // standardized trend must be modest (|z| < 6 is ~10⁻⁸ tail room)
+    assert(math.abs(z) < 6.0, s"independent columns gave |z| = $z")
+  }
+
+  test("q695: dispersion shares bracket ppm parity and close exactly") {
+    val rows = run("q695_mood_scale_test").collect()
+    assert(rows.length == 2)
+    assert(rows.map(_.getAs[String]("status")).toSet == Set("F", "O"))
+    val disp = rows.map(_.getAs[Long]("disp_ppm"))
+    assert(disp.min <= 1000000L && 1000000L <= disp.max,
+      s"shares ${disp.toSeq} don't bracket parity")
+    // Σ n_j·disp_j = N·10⁶ − (floor slack < Σ n_j): the exact-mean
+    // identity E[M_j] = n_j·S/N, surviving the per-group floor
+    val n = rows.map(_.getAs[Long]("n"))
+    val nTotal = n.sum
+    val weighted = rows.map(r =>
+      r.getAs[Long]("n") * r.getAs[Long]("disp_ppm")).sum
+    assert(weighted <= nTotal * 1000000L &&
+      weighted > nTotal * 1000000L - nTotal,
+      s"weighted shares $weighted vs ${nTotal * 1000000L}")
+  }
+}

@@ -8,8 +8,32 @@ the values with columns sorted by name.
 
 Usage: python3 tools/compare.py <verify_out_dir> <sf_dir>
 """
-import sys, json, glob, hashlib
+import sys, json, glob, hashlib, threading, time
 import duckdb
+
+# Per-oracle wall-time budget (seconds). A pathological oracle (e.g. a
+# multi-referenced non-MATERIALIZED CTE chain that DuckDB 1.0 inlines
+# combinatorially — the q691 incident that emptied CORRECTNESS_r09) must
+# fail as ONE red row, not hang the whole gate. Override: --budget N.
+ORACLE_BUDGET_S = 60.0
+
+def run_budgeted(con, sql, budget_s):
+    """Execute sql; interrupt() from a watchdog if it exceeds budget_s.
+    Returns (cols, rows) or raises (duckdb raises InterruptException)."""
+    done = threading.Event()
+    def watchdog():
+        if not done.wait(budget_s):
+            con.interrupt()
+    t = threading.Thread(target=watchdog, daemon=True)
+    t.start()
+    t0 = time.monotonic()
+    try:
+        cur = con.execute(sql)
+        cols = [d[0] for d in cur.description]
+        rows = cur.fetchall()
+        return cols, rows, time.monotonic() - t0
+    finally:
+        done.set()
 
 def canon(v):
     if v is None:
@@ -50,6 +74,9 @@ def main(out_dir, sf_dir):
     oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
     failed = []
     present_only = "--present-only" in sys.argv
+    budget = ORACLE_BUDGET_S
+    if "--budget" in sys.argv:
+        budget = float(sys.argv[sys.argv.index("--budget") + 1])
     for name, sql in sorted(oracle.items()):
         files = glob.glob(f"{out_dir}/{name}/*.parquet")
         if not files:
@@ -64,9 +91,14 @@ def main(out_dir, sf_dir):
                 print(f"FAIL {name}: oracle emits driver-unhashable wide types "
                       f"{wide} — CAST the final expression(s) AS BIGINT")
                 failed.append(name); continue
-            orc = con.execute(sql)
-            o_cols = [d[0] for d in orc.description]
-            o_rows = orc.fetchall()
+            o_cols, o_rows, took = run_budgeted(con, sql, budget)
+            if took > budget * 0.5:
+                print(f"WARN {name}: oracle took {took:.1f}s "
+                      f"(>{budget * 0.5:.0f}s, budget {budget:.0f}s)")
+        except duckdb.InterruptException:
+            print(f"FAIL {name}: oracle exceeded {budget:.0f}s wall-time budget "
+                  f"(suspect a multi-referenced non-MATERIALIZED CTE)")
+            failed.append(name); continue
         except Exception as e:
             print(f"FAIL {name}: oracle error {e}"); failed.append(name); continue
         s_tmap = described_types(con, f"SELECT * FROM read_parquet({files!r})")
