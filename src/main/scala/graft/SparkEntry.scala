@@ -116,7 +116,8 @@ object SparkEntry {
     HygieneBalancePlanQueries,
     ConductancePlanQueries,
     WarehousePlanQueries,
-    RankTestPlanQueries)
+    RankTestPlanQueries,
+    LexiconPlanQueries)
 
   private lazy val all: Seq[QueryDef] = groups.flatMap(_.defs)
 

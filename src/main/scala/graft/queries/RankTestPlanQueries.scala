@@ -277,5 +277,145 @@ object RankTestPlanQueries extends QueryGroup {
       FROM groups CROSS JOIN s ORDER BY status
     """))
 
-  def defs: Seq[QueryDef] = Seq(q693, q694, q695)
+  // ---------------------------------------------------------------- q696
+
+  // z = (L − b·k(k+1)²/4) / sqrt(b·k²(k+1)(k²−1)/144), evaluated once
+  // over exact integers (L, b, k) — the shared-expression discipline.
+  private val pageCastExprs: Seq[String] = Seq(
+    "CAST(l_stat AS DOUBLE) AS fl", "CAST(n_blocks AS DOUBLE) AS fb",
+    "CAST(k_treat AS DOUBLE) AS fk")
+  private val pageZExpr: String =
+    """(fl - fb*fk*(fk+1.0)*(fk+1.0)/4.0)
+       / sqrt(fb*fk*fk*(fk+1.0)*(fk*fk-1.0)/144.0) AS z_stat"""
+
+  /** Page's L trend test: across the 25 nation blocks, do the six full
+    * order years (1995–2000) show a MONOTONE revenue trend? Within each
+    * block the six year-revenues are ranked (deterministic year
+    * tiebreak — cents totals tie with probability ~0) and
+    * L = Σ_j j·R_j weights the per-year rank sums by the hypothesized
+    * order; the ordered alternative is what Friedman's unordered χ²
+    * (and q642's W) cannot see.
+    *
+    * Scale shape: the orders⋈customer key join is the only row-scale
+    * work, folded immediately to the 25×6 (nation, year) revenue
+    * panel; the rank window partitions by nation over 6-row frames;
+    * the L fold and z readout are one-row. Exact integers throughout —
+    * cents revenue, integer ranks, integer L. */
+  private val q696 = QueryDef(
+    "q696_pages_l_trend",
+    (spark, dir) => {
+      import graft.functions.Deterministic.cents
+      val panel = Tables.orders(spark, dir)
+        .filter(year(col("o_orderdate")).between(1995, 2000))
+        .join(Tables.customer(spark, dir),
+          col("o_custkey") === col("c_custkey"))
+        .groupBy(col("c_nationkey").as("nat"),
+          year(col("o_orderdate")).cast("long").as("yr"))
+        .agg(sum(cents(col("o_totalprice"))).as("rev"))
+      val wr = Window.partitionBy(col("nat"))
+        .orderBy(col("rev"), col("yr"))
+      val ranked = panel.select(col("nat"), col("yr"),
+        rank().over(wr).cast("long").as("r"))
+      val perYear = ranked.groupBy(col("yr"))
+        .agg(sum(col("r")).as("r_sum"), count(lit(1)).as("n_blocks"))
+      val l = perYear
+        .agg(sum((col("yr") - 1994) * col("r_sum")).as("l_stat"),
+          max(col("n_blocks")).as("n_blocks"),
+          count(lit(1)).as("k_treat"))
+      perYear.select(col("yr"), col("r_sum"))
+        .crossJoin(broadcast(l
+          .selectExpr(Seq("l_stat") ++ pageCastExprs: _*)
+          .selectExpr("l_stat", pageZExpr)))
+        .orderBy(col("yr"))
+    },
+    Some(s"""
+      WITH panel AS (
+        SELECT c_nationkey AS nat, CAST(year(o_orderdate) AS BIGINT) AS yr,
+          CAST(sum(CAST(floor(o_totalprice*100 + 0.5) AS BIGINT)) AS BIGINT)
+            AS rev
+        FROM orders JOIN customer ON o_custkey = c_custkey
+        WHERE year(o_orderdate) BETWEEN 1995 AND 2000
+        GROUP BY nat, yr),
+      ranked AS (
+        SELECT nat, yr,
+          CAST(rank() OVER (PARTITION BY nat ORDER BY rev, yr) AS BIGINT)
+            AS r
+        FROM panel),
+      per_year AS (
+        SELECT yr, CAST(sum(r) AS BIGINT) AS r_sum,
+          CAST(count(*) AS BIGINT) AS n_blocks
+        FROM ranked GROUP BY yr),
+      l AS (
+        SELECT CAST(sum((yr - 1994) * r_sum) AS BIGINT) AS l_stat,
+          CAST(max(n_blocks) AS BIGINT) AS n_blocks,
+          CAST(count(*) AS BIGINT) AS k_treat
+        FROM per_year),
+      z AS (
+        SELECT l_stat, ${pageCastExprs.mkString(", ")} FROM l),
+      stat AS (SELECT l_stat, $pageZExpr FROM z)
+      SELECT yr, r_sum, l_stat, z_stat
+      FROM per_year CROSS JOIN stat ORDER BY yr
+    """))
+
+  // ---------------------------------------------------------------- q697
+
+  /** Cochran's Q: do the three order years 1995–1997 differ in the
+    * FRACTION of customers active in them, treating each customer as
+    * their own control (a blocked McNemar for k > 2 — q426's pairwise
+    * form can't see three-way patterns)? x_ij ∈ {0,1} = customer i
+    * ordered in year j; Q = (k−1)(k·ΣG_j² − (ΣG_j)²) / (kΣL_i − ΣL_i²)
+    * — every term an exact integer fold; concordant all-0/all-k blocks
+    * cancel algebraically, so the customer universe needs no trimming.
+    *
+    * Scale shape: one distinct-projection of orders to (custkey, year)
+    * — the only row-scale shuffle; G_j is a 3-row fold, the L_i moments
+    * fold customer-keyed then reduce; readout is q_ppm on 3 rows. */
+  private val q697 = QueryDef(
+    "q697_cochran_q",
+    (spark, dir) => {
+      val flags = Tables.orders(spark, dir)
+        .filter(year(col("o_orderdate")).between(1995, 1997))
+        .select(col("o_custkey").as("cust"),
+          year(col("o_orderdate")).cast("long").as("yr"))
+        .distinct()
+      val gj = flags.groupBy(col("yr")).agg(count(lit(1)).as("g"))
+      val li = flags.groupBy(col("cust")).agg(count(lit(1)).as("l"))
+        .agg(sum(col("l")).as("l_sum"),
+          sum(col("l") * col("l")).as("l2_sum"),
+          sum(when(col("l") < 3, 1L).otherwise(0L)).as("discordant"))
+      val q = gj.agg(sum(col("g")).as("g_sum"),
+          sum(dec(col("g")) * col("g")).as("g2_sum"))
+        .crossJoin(li)
+        .select(col("discordant"),
+          expr("""CAST((3 - 1) * (3 * g2_sum - CAST(g_sum AS DECIMAL(38,0)) * g_sum)
+              * 1000000 div (3 * l_sum - l2_sum) AS BIGINT)""")
+            .as("q_ppm"))
+      gj.select(col("yr"), col("g"))
+        .crossJoin(broadcast(q))
+        .orderBy(col("yr"))
+    },
+    Some("""
+      WITH flags AS (
+        SELECT DISTINCT o_custkey AS cust,
+          CAST(year(o_orderdate) AS BIGINT) AS yr
+        FROM orders WHERE year(o_orderdate) BETWEEN 1995 AND 1997),
+      gj AS (SELECT yr, CAST(count(*) AS BIGINT) AS g
+             FROM flags GROUP BY yr),
+      li AS (
+        SELECT CAST(sum(l) AS BIGINT) AS l_sum,
+          CAST(sum(l * l) AS BIGINT) AS l2_sum,
+          CAST(sum(CASE WHEN l < 3 THEN 1 ELSE 0 END) AS BIGINT)
+            AS discordant
+        FROM (SELECT cust, count(*) AS l FROM flags GROUP BY cust)),
+      q AS (
+        SELECT discordant,
+          CAST((3 - 1) * (3 * sum(CAST(g AS HUGEINT) * g)
+              - CAST(sum(g) AS HUGEINT) * sum(g))
+            * 1000000 // (3 * l_sum - l2_sum) AS BIGINT) AS q_ppm
+        FROM gj CROSS JOIN li GROUP BY discordant, l_sum, l2_sum)
+      SELECT yr, g, discordant, q_ppm
+      FROM gj CROSS JOIN q ORDER BY yr
+    """))
+
+  def defs: Seq[QueryDef] = Seq(q693, q694, q695, q696, q697)
 }

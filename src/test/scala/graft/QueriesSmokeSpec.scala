@@ -358,7 +358,10 @@ class QueriesSmokeSpec extends SparkSpec {
     // the H/z stat row) plus q694's ≤55×55 ordered-pair self-join over
     // the bounded (band, bps) joint histogram — pairs of CELLS
     "q693_kruskal_wallis", "q694_jonckheere_terpstra",
-    "q695_mood_scale_test")
+    "q695_mood_scale_test",
+    // q696/q697's one-row statistic broadcasts onto the 6-year / 3-year
+    // rank-sum panels (the q664 class)
+    "q696_pages_l_trend", "q697_cochran_q")
 
   test("query constructors are lazy: warm construction launches zero jobs") {
     import org.apache.spark.scheduler.{SparkListener, SparkListenerJobStart}

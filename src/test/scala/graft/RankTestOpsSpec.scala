@@ -40,6 +40,36 @@ class RankTestOpsSpec extends SparkSpec {
     assert(math.abs(z) < 6.0, s"independent columns gave |z| = $z")
   }
 
+  test("q696: rank sums close the b·k(k+1)/2 identity; z is finite") {
+    val rows = run("q696_pages_l_trend").collect()
+    assert(rows.length == 6)
+    assert(rows.map(_.getAs[Long]("yr")).toSeq
+      == (1995L to 2000L).toSeq)
+    // every block hands out ranks 1..k exactly once
+    val rTotal = rows.map(_.getAs[Long]("r_sum")).sum
+    assert(rTotal % (6 * 7 / 2) == 0, s"rank total $rTotal not b·21")
+    val b = rTotal / 21
+    assert(b >= 20 && b <= 25, s"blocks $b") // 25 nations, some may be empty
+    val l = rows.head.getAs[Long]("l_stat")
+    // L is bounded by the perfectly anti-monotone and monotone layouts
+    assert(l >= b * (1 * 6 + 2 * 5 + 3 * 4 + 4 * 3 + 5 * 2 + 6 * 1))
+    assert(l <= b * (1 * 1 + 2 * 2 + 3 * 3 + 4 * 4 + 5 * 5 + 6 * 6))
+    val z = rows.head.getAs[Double]("z_stat")
+    assert(!z.isNaN && !z.isInfinite)
+  }
+
+  test("q697: year actives are plausible and Q is a nonneg ppm") {
+    val rows = run("q697_cochran_q").collect()
+    assert(rows.length == 3)
+    assert(rows.map(_.getAs[Long]("yr")).toSeq == Seq(1995L, 1996L, 1997L))
+    rows.foreach { r =>
+      assert(r.getAs[Long]("g") > 0)
+      assert(r.getAs[Long]("q_ppm") >= 0)
+      assert(r.getAs[Long]("discordant") >= 0)
+    }
+    assert(rows.map(_.getAs[Long]("q_ppm")).distinct.length == 1)
+  }
+
   test("q695: dispersion shares bracket ppm parity and close exactly") {
     val rows = run("q695_mood_scale_test").collect()
     assert(rows.length == 2)
