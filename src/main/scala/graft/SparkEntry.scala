@@ -117,7 +117,8 @@ object SparkEntry {
     ConductancePlanQueries,
     WarehousePlanQueries,
     RankTestPlanQueries,
-    LexiconPlanQueries)
+    LexiconPlanQueries,
+    GraphProbePlanQueries)
 
   private lazy val all: Seq[QueryDef] = groups.flatMap(_.defs)
 

@@ -16,7 +16,10 @@ class QueriesSmokeSpec extends SparkSpec {
     "q361_tpch_q7_volume_shipping",
     // sf0.001's 10 suppliers form a near-complete co-supply graph —
     // there may be no non-edge left to predict
-    "q386_link_prediction_jaccard")
+    "q386_link_prediction_jaccard",
+    // q699 shares q386's candidate machinery (hub-capped common
+    // neighbors, anti-joined against existing edges) — same emptiness
+    "q699_resource_allocation_links")
 
   test("entry (flagship) returns rows") {
     assert(SparkEntry.entry(spark).count() > 0)
@@ -361,7 +364,9 @@ class QueriesSmokeSpec extends SparkSpec {
     "q695_mood_scale_test",
     // q696/q697's one-row statistic broadcasts onto the 6-year / 3-year
     // rank-sum panels (the q664 class)
-    "q696_pages_l_trend", "q697_cochran_q")
+    "q696_pages_l_trend", "q697_cochran_q",
+    // q701's one-row seed/source broadcasts onto the per-sweep readout
+    "q701_two_sweep_diameter")
 
   test("query constructors are lazy: warm construction launches zero jobs") {
     import org.apache.spark.scheduler.{SparkListener, SparkListenerJobStart}
@@ -417,7 +422,12 @@ class QueriesSmokeSpec extends SparkSpec {
       // q689 localCheckpoints the 8-row view-size lattice so the
       // full-lineitem cube pass runs once, not once per downstream
       // reference (round-9 advice)
-      "q689_view_selection_exact")
+      "q689_view_selection_exact",
+      // q700 checkpoints the ≤625-row nation edge set + each closure
+      // doubling; q701 checkpoints each node-sized BFS round — nested
+      // persisted AQE plans made AQE's per-stage explain render
+      // combinatorially expensive (measured 700+ s driver CPU)
+      "q700_scc_bowtie", "q701_two_sweep_diameter")
     // the bus delivers only events posted after registration, so earlier
     // tests' jobs cannot leak into the count
     spark.sparkContext.addSparkListener(listener)
