@@ -118,7 +118,8 @@ object SparkEntry {
     WarehousePlanQueries,
     RankTestPlanQueries,
     LexiconPlanQueries,
-    GraphProbePlanQueries)
+    GraphProbePlanQueries,
+    StructurePlanQueries)
 
   private lazy val all: Seq[QueryDef] = groups.flatMap(_.defs)
 

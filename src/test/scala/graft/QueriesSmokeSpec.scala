@@ -366,7 +366,12 @@ class QueriesSmokeSpec extends SparkSpec {
     // rank-sum panels (the q664 class)
     "q696_pages_l_trend", "q697_cochran_q",
     // q701's one-row seed/source broadcasts onto the per-sweep readout
-    "q701_two_sweep_diameter")
+    "q701_two_sweep_diameter",
+    // q702's one-row theta/totals broadcasts onto the 6-term panel;
+    // q703's one-row unitig census onto the degree histogram; q704's
+    // one-row full-prefix NDV onto the 6-permutation panel
+    "q702_maxscore_pruning_audit", "q703_debruijn_branching",
+    "q704_sortkey_order_advisor")
 
   test("query constructors are lazy: warm construction launches zero jobs") {
     import org.apache.spark.scheduler.{SparkListener, SparkListenerJobStart}
@@ -556,8 +561,11 @@ class QueriesSmokeSpec extends SparkSpec {
   private val boundedGlobalWindows: Set[String] = Set(
     // round-10 rank tests: doubled-rank cumulative over the ≤50-row
     // quantity value histogram (the q324 histogram-rank class, global
-    // because the test pools all groups into one ranking)
+    // because the test pools all groups into one ranking); q702's
+    // cum-UB split over the 6-term panel; q704's rank over the
+    // 6-permutation panel
     "q693_kruskal_wallis", "q695_mood_scale_test",
+    "q702_maxscore_pruning_audit", "q704_sortkey_order_advisor",
     // quantized-score / value-resolution histograms (≤ ~1001–50k bins)
     "q64_quality_threshold", "q82_decile_binning", "q479_dsir_selection",
     "q120_ks_two_sample", "q139_norm_outliers", "q146_robust_outliers",
