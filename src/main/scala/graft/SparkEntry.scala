@@ -119,7 +119,8 @@ object SparkEntry {
     RankTestPlanQueries,
     LexiconPlanQueries,
     GraphProbePlanQueries,
-    StructurePlanQueries)
+    StructurePlanQueries,
+    SeriesCodecPlanQueries)
 
   private lazy val all: Seq[QueryDef] = groups.flatMap(_.defs)
 

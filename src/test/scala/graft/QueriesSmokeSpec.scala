@@ -371,7 +371,13 @@ class QueriesSmokeSpec extends SparkSpec {
     // q703's one-row unitig census onto the degree histogram; q704's
     // one-row full-prefix NDV onto the 6-permutation panel
     "q702_maxscore_pruning_audit", "q703_debruijn_branching",
-    "q704_sortkey_order_advisor")
+    "q704_sortkey_order_advisor",
+    // q705's 12×12 banded cell join + one-row lockstep broadcast;
+    // q706's one-row universe broadcast; q707's histogram-sized
+    // convolution crosses (≤ distinct-daily-count rows per side) and
+    // one-row total/quantile broadcasts
+    "q705_banded_dtw_revenue", "q706_elias_fano_plan",
+    "q707_leadtime_demand_quantiles")
 
   test("query constructors are lazy: warm construction launches zero jobs") {
     import org.apache.spark.scheduler.{SparkListener, SparkListenerJobStart}
@@ -432,7 +438,10 @@ class QueriesSmokeSpec extends SparkSpec {
       // doubling; q701 checkpoints each node-sized BFS round — nested
       // persisted AQE plans made AQE's per-stage explain render
       // combinatorially expensive (measured 700+ s driver CPU)
-      "q700_scc_bowtie", "q701_two_sweep_diameter")
+      "q700_scc_bowtie", "q701_two_sweep_diameter",
+      // q705 checkpoints the ≤78-cell banded cost grid + each ≤12-row
+      // DP diagonal (the q691/q700 flat-plan discipline)
+      "q705_banded_dtw_revenue")
     // the bus delivers only events posted after registration, so earlier
     // tests' jobs cannot leak into the count
     spark.sparkContext.addSparkListener(listener)
@@ -566,6 +575,9 @@ class QueriesSmokeSpec extends SparkSpec {
     // 6-permutation panel
     "q693_kruskal_wallis", "q695_mood_scale_test",
     "q702_maxscore_pruning_audit", "q704_sortkey_order_advisor",
+    // q707's lead windows over the ~2,500-row densified calendar and
+    // quantile cumulative over the bounded demand support
+    "q707_leadtime_demand_quantiles",
     // quantized-score / value-resolution histograms (≤ ~1001–50k bins)
     "q64_quality_threshold", "q82_decile_binning", "q479_dsir_selection",
     "q120_ks_two_sample", "q139_norm_outliers", "q146_robust_outliers",
