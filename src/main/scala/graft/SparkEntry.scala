@@ -120,7 +120,8 @@ object SparkEntry {
     LexiconPlanQueries,
     GraphProbePlanQueries,
     StructurePlanQueries,
-    SeriesCodecPlanQueries)
+    SeriesCodecPlanQueries,
+    DensityEvalPlanQueries)
 
   private lazy val all: Seq[QueryDef] = groups.flatMap(_.defs)
 

@@ -1523,7 +1523,94 @@ object CorpusQueries extends QueryGroup {
       ORDER BY scheme
     """))
 
+  // ---------------------------------------------------------------- q709
+
+  /** Shared-span localization for near-duplicate pairs: q21's LSH
+    * candidates say two docs overlap — this says WHERE. Positional
+    * token trigrams (same base-31 fold as the LSH shingles) match
+    * between the pair's texts; matches on the same alignment diagonal
+    * (posA − posB) at consecutive positions form runs, and the longest
+    * run + 2 is the longest contiguous shared token span. The operator
+    * a curation pipeline runs after dedup flags a pair and before
+    * deciding cut-vs-drop: a 90% span is a mirror, a 10-token span is
+    * a shared quote.
+    *
+    * Scale shape: pairs come from the capped LSH join (bucket-bounded);
+    * positional trigrams explode only the PAIRED docs' texts (semijoin
+    * first — the corpus never explodes); run detection is a
+    * gaps-and-islands window partitioned by (pair, diagonal), whose
+    * input is per-pair matched positions, document-length-bounded. */
+  private val q709 = QueryDef(
+    "q709_dup_span_localization",
+    (spark, dir) => {
+      import graft.text.TextFunctions
+      val docs = Tables.documents(spark, dir)
+      val pairs = MinHashLSH.nearDuplicates(docs, "doc_id", "text",
+          minJaccard = 0.0, maxBucketSize = Some(2))
+        .select(col("doc_a"), col("doc_b"))
+      val ids = pairs.select(col("doc_a").as("doc_id"))
+        .union(pairs.select(col("doc_b").as("doc_id"))).distinct()
+      val tri = docs.join(ids, Seq("doc_id")) // semijoin: paired docs only
+        .select(col("doc_id"), TextFunctions.tokenHashes(col("text")).as("th"))
+        .filter(size(col("th")) >= 3)
+        .select(col("doc_id"), explode(expr(
+          """transform(sequence(1, size(th) - 2), i -> struct(
+             CAST(i AS BIGINT) AS pos,
+             ((element_at(th, i) * 31 + element_at(th, i + 1)) * 31
+               + element_at(th, i + 2)) % 1000000007 AS h))""")).as("t"))
+        .select(col("doc_id"), col("t.pos").as("pos"), col("t.h").as("h"))
+      val matches = pairs
+        .join(tri.select(col("doc_id").as("doc_a"), col("pos").as("pa"),
+          col("h")), Seq("doc_a"))
+        .join(tri.select(col("doc_id").as("doc_b"), col("pos").as("pb"),
+          col("h")), Seq("doc_b", "h"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("doc_a"), col("doc_b"), col("diag"))
+        .orderBy(col("pa"))
+      val runs = matches
+        .select(col("doc_a"), col("doc_b"), (col("pa") - col("pb")).as("diag"),
+          col("pa"))
+        .distinct()
+        .withColumn("grp", col("pa") - row_number().over(w))
+        .groupBy(col("doc_a"), col("doc_b"), col("diag"), col("grp"))
+        .agg(count(lit(1)).as("run"))
+      runs.groupBy(col("doc_a"), col("doc_b"))
+        .agg((max(col("run")) + 2).as("longest_span_tokens"),
+          sum(col("run")).as("matched_trigrams"),
+          countDistinct(col("diag")).as("n_diagonals"))
+        .orderBy(col("doc_a"), col("doc_b"))
+    },
+    Some(s"""
+      WITH $duckMinhashCand,
+      tri AS MATERIALIZED (
+        SELECT doc_id, CAST(i AS BIGINT) AS pos,
+          ((th[i]*31 + th[i+1])*31 + th[i+2]) % 1000000007 AS h
+        FROM toks, LATERAL unnest(range(1, len(th) - 1)) AS u(i)
+        WHERE len(th) >= 3
+          AND doc_id IN (SELECT doc_a FROM cand
+                         UNION SELECT doc_b FROM cand)),
+      matches AS MATERIALIZED (
+        SELECT DISTINCT c.doc_a, c.doc_b, a.pos AS pa, a.pos - b.pos AS diag
+        FROM cand c
+        JOIN tri a ON a.doc_id = c.doc_a
+        JOIN tri b ON b.doc_id = c.doc_b AND b.h = a.h),
+      runs AS (
+        SELECT doc_a, doc_b, diag, CAST(count(*) AS BIGINT) AS run
+        FROM (
+          SELECT doc_a, doc_b, diag, pa,
+            pa - row_number() OVER (PARTITION BY doc_a, doc_b, diag
+              ORDER BY pa) AS grp
+          FROM matches)
+        GROUP BY doc_a, doc_b, diag, grp)
+      SELECT doc_a, doc_b,
+        CAST(max(run) + 2 AS BIGINT) AS longest_span_tokens,
+        CAST(sum(run) AS BIGINT) AS matched_trigrams,
+        CAST(count(DISTINCT diag) AS BIGINT) AS n_diagonals
+      FROM runs GROUP BY doc_a, doc_b
+      ORDER BY doc_a, doc_b
+    """))
+
   def defs: Seq[QueryDef] =
     Seq(q56, q57, q58, q59, q60, q61, q62, q63, q64, q65, q66, q82, q157, q165, q172,
-      q174, q182, q189, q215, q222, q227, q238, q239, q248, q666, q688)
+      q174, q182, q189, q215, q222, q227, q238, q239, q248, q666, q688, q709)
 }

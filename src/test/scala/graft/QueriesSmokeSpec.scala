@@ -377,7 +377,10 @@ class QueriesSmokeSpec extends SparkSpec {
     // convolution crosses (≤ distinct-daily-count rows per side) and
     // one-row total/quantile broadcasts
     "q705_banded_dtw_revenue", "q706_elias_fano_plan",
-    "q707_leadtime_demand_quantiles")
+    "q707_leadtime_demand_quantiles",
+    // q708's 9-row offset grid shift-joins; q710's 2-row class panel
+    // and one-row pos/neg moment cross
+    "q708_grid_density_census", "q710_delong_paired_auc")
 
   test("query constructors are lazy: warm construction launches zero jobs") {
     import org.apache.spark.scheduler.{SparkListener, SparkListenerJobStart}
@@ -741,12 +744,19 @@ class QueriesSmokeSpec extends SparkSpec {
     "q622_rowgroup_sizing_sweep",
     // q627's kept-total window partitions by the 3-row budget grid key
     // over the ≤ 10-label retention cells — 30 rows total
-    "q627_pruning_class_drift")
+    "q627_pruning_class_drift",
+    // q710's placement cumulative partitions by the 2-row class panel
+    // over value-resolution marginals (≤ |values| rows per class)
+    "q710_delong_paired_auc")
 
   // windows whose partition key traces to a generator output but whose
   // window INPUT is already a per-key aggregate (or otherwise bounded),
   // so each partition holds far-sub-corpus rows — audited per query
   private val boundedGeneratorKeyedWindows: Set[String] = Set(
+    // q709's gaps-and-islands runs partition by (pair, diagonal) whose
+    // input is the matched positions of ONE near-dup pair — bounded by
+    // document length, never corpus-sized
+    "q709_dup_span_localization",
     // bigram/transition RANKING over per-(head, next) COUNT aggregates:
     // one row per distinct continuation, so a partition is at most
     // vocabulary-sized (the q122 class), never corpus-sized — the
