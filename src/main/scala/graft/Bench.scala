@@ -341,8 +341,11 @@ object Bench {
         f""""primary":${qmap(dts)},""" +
         f""""secondary_sf":"$secondaryDir","secondary_total":$secTotal%.3f,"secondary":${qmap(secDts)},""" +
         f""""recheck":${if (recheck.isEmpty) "{}" else recheck.map { case (k, v) => f""""$k":$v%.3f""" }.mkString("{", ",", "}")}}"""
-    try java.nio.file.Files.writeString(java.nio.file.Paths.get("BENCH_LOCAL.json"), detail + "\n")
-    catch { case e: Throwable => System.err.println(s"[bench] BENCH_LOCAL.json write failed: ${e.getMessage}") }
+    // only FULL passes may overwrite the committed record — a dev-loop
+    // partial run (named-query args) clobbered the round-9 detail once
+    if (args.isEmpty)
+      try java.nio.file.Files.writeString(java.nio.file.Paths.get("BENCH_LOCAL.json"), detail + "\n")
+      catch { case e: Throwable => System.err.println(s"[bench] BENCH_LOCAL.json write failed: ${e.getMessage}") }
     println(f"""{"metric":"total","value":$total%.3f,"adjusted":$adjusted%.3f,"unit":"sec","queries":${qmap(dts)},"sf":"$sfDir"$secPart$recheckPart}""")
     spark.stop()
   }

@@ -59,5 +59,90 @@ object LexiconPlanQueries extends QueryGroup {
       FROM tf GROUP BY source ORDER BY source
     """))
 
-  def defs: Seq[QueryDef] = Seq(q698)
+  // ---------------------------------------------------------------- q711
+
+  /** TextTiling-lite topic-shift census: slice each document into
+    * 32-token blocks, measure lexical cohesion between ADJACENT blocks
+    * as squared cosine over term-frequency vectors (squared keeps the
+    * arithmetic exact — dot²·10⁶ div (‖b‖²·‖b+1‖²), no sqrt), and call
+    * a block boundary a TOPIC SHIFT when cohesion falls below 0.2
+    * (cos < 0.45). The per-source shift density separates single-topic
+    * sources from scrapbook ones — the structure signal next to
+    * q698's repetitiveness and q667's vocabulary growth, and the
+    * chunking-boundary prior a RAG splitter wants (q103/q482 split by
+    * LENGTH; this says where meaning actually turns).
+    *
+    * Scale shape: one positional explode+groupBy to (doc, block, term)
+    * counts — the row-scale shuffle, map-side combined; cohesion is a
+    * (doc, term)-keyed adjacent-block self-join on the tf table; the
+    * census folds to sources. Exact: block mass ≤ 32 ⇒ dot ≤ 1024,
+    * dot²·10⁶ ≤ 10¹², BIGINT-safe at any SF. */
+  private val q711 = QueryDef(
+    "q711_texttiling_shift_census",
+    (spark, dir) => {
+      val tf = Tables.documents(spark, dir)
+        .select(col("doc_id"), col("source"),
+          posexplode(graft.text.TextFunctions.tokens(col("text")))
+            .as(Seq("pos", "tok")))
+        .groupBy(col("doc_id"), col("source"),
+          expr("pos div 32").as("blk"), col("tok"))
+        .agg(count(lit(1)).as("tf"))
+      val norms = tf.groupBy(col("doc_id"), col("source"), col("blk"))
+        .agg(sum(col("tf") * col("tf")).as("nrm"))
+      val dots = tf.select(col("doc_id"), col("blk"), col("tok"),
+          col("tf").as("tf1"))
+        .join(tf.select(col("doc_id"), (col("blk") - 1).as("blk"),
+          col("tok"), col("tf").as("tf2")), Seq("doc_id", "blk", "tok"))
+        .groupBy(col("doc_id"), col("blk"))
+        .agg(sum(col("tf1") * col("tf2")).as("dot"))
+      val pairs = norms
+        .join(norms.select(col("doc_id"), (col("blk") - 1).as("blk"),
+          col("nrm").as("nrm2")), Seq("doc_id", "blk"))
+        .join(dots, Seq("doc_id", "blk"), "left")
+        .select(col("source"),
+          expr("coalesce(dot, 0) * coalesce(dot, 0) * 1000000" +
+            " div (nrm * nrm2)").as("cos2_ppm"))
+      pairs.groupBy(col("source"))
+        .agg(count(lit(1)).as("n_pairs"),
+          sum(when(col("cos2_ppm") < 200000, 1L).otherwise(0L))
+            .as("n_shifts"))
+        .select(col("source"), col("n_pairs"), col("n_shifts"),
+          expr("n_shifts * 1000000 div n_pairs").as("shift_ppm"))
+        .orderBy(col("source"))
+    },
+    Some("""
+      WITH tf AS MATERIALIZED (
+        SELECT doc_id, source, (i - 1) // 32 AS blk, l[i] AS tok,
+          CAST(count(*) AS BIGINT) AS tf
+        FROM (SELECT doc_id, source,
+                list_filter(str_split(text, ' '), t -> len(t) > 0) AS l
+              FROM documents),
+          LATERAL unnest(range(1, len(l) + 1)) AS u(i)
+        GROUP BY doc_id, source, blk, tok),
+      norms AS MATERIALIZED (
+        SELECT doc_id, source, blk, CAST(sum(tf * tf) AS BIGINT) AS nrm
+        FROM tf GROUP BY doc_id, source, blk),
+      dots AS MATERIALIZED (
+        SELECT a.doc_id, a.blk, CAST(sum(a.tf * b.tf) AS BIGINT) AS dot
+        FROM (SELECT doc_id, blk, tok, tf FROM tf) a
+        JOIN (SELECT doc_id, blk - 1 AS blk, tok, tf FROM tf) b
+          ON a.doc_id = b.doc_id AND a.blk = b.blk AND a.tok = b.tok
+        GROUP BY a.doc_id, a.blk),
+      pairs AS (
+        SELECT n1.source,
+          coalesce(dot, 0) * coalesce(dot, 0) * 1000000
+            // (n1.nrm * n2.nrm) AS cos2_ppm
+        FROM norms n1
+        JOIN (SELECT doc_id, blk - 1 AS blk, nrm FROM norms) n2
+          ON n1.doc_id = n2.doc_id AND n1.blk = n2.blk
+        LEFT JOIN dots ON dots.doc_id = n1.doc_id AND dots.blk = n1.blk)
+      SELECT source, CAST(count(*) AS BIGINT) AS n_pairs,
+        CAST(sum(CASE WHEN cos2_ppm < 200000 THEN 1 ELSE 0 END)
+          AS BIGINT) AS n_shifts,
+        CAST(sum(CASE WHEN cos2_ppm < 200000 THEN 1 ELSE 0 END) * 1000000
+          // count(*) AS BIGINT) AS shift_ppm
+      FROM pairs GROUP BY source ORDER BY source
+    """))
+
+  def defs: Seq[QueryDef] = Seq(q698, q711)
 }

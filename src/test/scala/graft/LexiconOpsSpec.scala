@@ -5,6 +5,20 @@ class LexiconOpsSpec extends SparkSpec {
 
   private val sfMid = "/root/testdata/sf0.01"
 
+  test("q711: shift shares are valid ppm over nonempty pair panels") {
+    val rows = SparkEntry.queries("q711_texttiling_shift_census")(
+      spark, sfMid).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val pairs = r.getAs[Long]("n_pairs")
+      val shifts = r.getAs[Long]("n_shifts")
+      val ppm = r.getAs[Long]("shift_ppm")
+      assert(pairs > 0)
+      assert(shifts >= 0 && shifts <= pairs)
+      assert(ppm == shifts * 1000000L / pairs, "ppm must be the floored share")
+    }
+  }
+
   test("q698: spectrum moments are consistent and K is positive") {
     val rows = SparkEntry.queries("q698_yules_k")(spark, sfMid).collect()
     assert(rows.nonEmpty)
