@@ -76,13 +76,13 @@ object ReplayQueries extends QueryGroup {
           col("oracle_fixed_arm_ppm"))
     },
     Some("""
-      WITH logged AS (
+      WITH logged AS MATERIALIZED (
         SELECT l.l_orderkey,
           max(struct_pack(c := CAST(floor(l.l_extendedprice * 100 + 0.5)
             AS BIGINT), b := p.p_brand)) AS top
         FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
         GROUP BY l.l_orderkey),
-      rewards AS (
+      rewards AS MATERIALIZED (
         SELECT strftime(o.o_orderdate, '%Y-%m') AS month,
           lg.top.b AS action,
           CAST(count(*) AS BIGINT) AS n,
@@ -90,11 +90,11 @@ object ReplayQueries extends QueryGroup {
             > 25148209 THEN 1 ELSE 0 END) AS BIGINT) AS r
         FROM orders o JOIN logged lg ON o.o_orderkey = lg.l_orderkey
         GROUP BY 1, 2),
-      best AS (
+      best AS MATERIALIZED (
         SELECT month, action AS best_action,
           row_number() OVER (PARTITION BY month ORDER BY r DESC, action) AS rk
         FROM rewards QUALIFY rk = 1),
-      policy AS (
+      policy AS MATERIALIZED (
         SELECT month, lag(best_action) OVER (ORDER BY month) AS policy_action
         FROM best QUALIFY policy_action IS NOT NULL),
       replay AS (
