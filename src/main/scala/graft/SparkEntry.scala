@@ -121,7 +121,8 @@ object SparkEntry {
     GraphProbePlanQueries,
     StructurePlanQueries,
     SeriesCodecPlanQueries,
-    DensityEvalPlanQueries)
+    DensityEvalPlanQueries,
+    InspectionPlanQueries)
 
   private lazy val all: Seq[QueryDef] = groups.flatMap(_.defs)
 

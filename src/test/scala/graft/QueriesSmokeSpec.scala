@@ -380,7 +380,10 @@ class QueriesSmokeSpec extends SparkSpec {
     "q707_leadtime_demand_quantiles",
     // q708's 9-row offset grid shift-joins; q710's 2-row class panel
     // and one-row pos/neg moment cross
-    "q708_grid_density_census", "q710_delong_paired_auc")
+    "q708_grid_density_census", "q710_delong_paired_auc",
+    // q712's 10-row pool grid × one-row rate/argmin; q713's 3-row
+    // width grid over the fingerprint projection
+    "q712_dorfman_pooling_plan", "q713_fingerprint_truncation_audit")
 
   test("query constructors are lazy: warm construction launches zero jobs") {
     import org.apache.spark.scheduler.{SparkListener, SparkListenerJobStart}
