@@ -122,7 +122,8 @@ object SparkEntry {
     StructurePlanQueries,
     SeriesCodecPlanQueries,
     DensityEvalPlanQueries,
-    InspectionPlanQueries)
+    InspectionPlanQueries,
+    SequenceCostPlanQueries)
 
   private lazy val all: Seq[QueryDef] = groups.flatMap(_.defs)
 

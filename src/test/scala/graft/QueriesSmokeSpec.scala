@@ -383,7 +383,10 @@ class QueriesSmokeSpec extends SparkSpec {
     "q708_grid_density_census", "q710_delong_paired_auc",
     // q712's 10-row pool grid × one-row rate/argmin; q713's 3-row
     // width grid over the fingerprint projection
-    "q712_dorfman_pooling_plan", "q713_fingerprint_truncation_audit")
+    "q712_dorfman_pooling_plan", "q713_fingerprint_truncation_audit",
+    // q715's one-row boundary-breaks broadcast onto the one-row
+    // in-block fold
+    "q715_natural_runs_census")
 
   test("query constructors are lazy: warm construction launches zero jobs") {
     import org.apache.spark.scheduler.{SparkListener, SparkListenerJobStart}
@@ -581,6 +584,9 @@ class QueriesSmokeSpec extends SparkSpec {
     // 6-permutation panel
     "q693_kruskal_wallis", "q695_mood_scale_test",
     "q702_maxscore_pruning_audit", "q704_sortkey_order_advisor",
+    // q715's boundary stitch over the blocks-summary table (corpus /
+    // 8192 rows — the q372 bucket-boundary pass)
+    "q715_natural_runs_census",
     // q707's lead windows over the ~2,500-row densified calendar and
     // quantile cumulative over the bounded demand support
     "q707_leadtime_demand_quantiles",
