@@ -417,5 +417,108 @@ object RankTestPlanQueries extends QueryGroup {
       FROM gj CROSS JOIN q ORDER BY yr
     """))
 
-  def defs: Seq[QueryDef] = Seq(q693, q694, q695, q696, q697)
+  // ---------------------------------------------------------------- q716
+
+  // z = (w2p − S2/2) / sqrt(Var), doubled statistic: W⁺ counts doubled
+  // tie-averaged ranks of |d|; E[2W⁺] = Σ2r/2 = S2/2·… kept exact and
+  // evaluated once as one shared IEEE text.
+  private val wilcoxonCastExprs: Seq[String] = Seq(
+    "CAST(w2p AS DOUBLE) AS fw", "CAST(s2 AS DOUBLE) AS fs2",
+    "CAST(s2sq AS DOUBLE) AS fs2sq")
+  private val wilcoxonZExpr: String =
+    // E[2W⁺] = S2/2 under H0 (each |d| rank joins W⁺ w.p. ½);
+    // Var(2W⁺) = Σ (2r)²/4 = s2sq/4 → z = (w − S/2)/sqrt(s2sq/4)
+    "(fw - fs2/2.0) / sqrt(fs2sq/4.0) AS z_stat"
+
+  /** Wilcoxon signed-rank test on the (nation, month) revenue panel:
+    * did revenue shift from 1995 to 1996, pairing each cell with
+    * itself? The paired complement of q695/q693's independent-sample
+    * tests — differences d = rev₉₆ − rev₉₅ per cell, zero diffs
+    * dropped (Wilcoxon's convention), |d| ranked with tie-averaged
+    * doubled ranks from the value histogram, W⁺ = Σ 2r over positive
+    * d. Under H0 each rank joins W⁺ independently w.p. ½, so
+    * E[2W⁺] = S/2 and Var(2W⁺) = Σ(2r)²/4 EXACTLY — ties included, no
+    * lookup-table approximation.
+    *
+    * Scale shape: the orders⋈customer join folds once to the ≤25×12
+    * panel; everything after runs on ≤300 rows (bounded global rank
+    * window, sanctioned); moments are decimal(38,0). */
+  private val q716 = QueryDef(
+    "q716_wilcoxon_signed_rank",
+    (spark, dir) => {
+      import graft.functions.Deterministic.cents
+      val panel = Tables.orders(spark, dir)
+        .filter(year(col("o_orderdate")).isin(1995, 1996))
+        .join(Tables.customer(spark, dir),
+          col("o_custkey") === col("c_custkey"))
+        .groupBy(col("c_nationkey").as("nat"),
+          month(col("o_orderdate")).cast("long").as("m"),
+          year(col("o_orderdate")).cast("long").as("yr"))
+        .agg(sum(cents(col("o_totalprice"))).as("rev"))
+      val diffs = panel.groupBy(col("nat"), col("m"))
+        .agg(sum(when(col("yr") === 1996, col("rev")).otherwise(0L))
+          .as("r96"),
+          sum(when(col("yr") === 1995, col("rev")).otherwise(0L))
+            .as("r95"))
+        .select((col("r96") - col("r95")).as("d"))
+        .filter(col("d") =!= 0)
+        .select(abs(col("d")).as("ad"),
+          when(col("d") > 0, 1L).otherwise(0L).as("pos"))
+      val w = Window.orderBy(col("ad"))
+      val vh = diffs.groupBy(col("ad"))
+        .agg(count(lit(1)).as("c"), sum(col("pos")).as("p"))
+        .select(col("ad"), col("c"), col("p"),
+          (lit(2) * (sum(col("c")).over(w) - col("c")) + col("c") + 1)
+            .as("r2"))
+      vh.agg(sum(col("c")).as("n_pairs"),
+          sum(dec(col("p")) * col("r2")).as("w2p"),
+          sum(dec(col("c")) * col("r2")).as("s2"),
+          sum(dec(col("c")) * col("r2") * col("r2")).as("s2sq"))
+        .selectExpr("n_pairs", "CAST(w2p AS BIGINT) AS w2p_out",
+          "CAST(s2 AS BIGINT) AS s2_out",
+          "w2p", "s2", "s2sq")
+        .selectExpr(Seq("n_pairs", "w2p_out", "s2_out")
+          ++ wilcoxonCastExprs: _*)
+        .selectExpr("n_pairs", "w2p_out AS w2_plus", "s2_out AS s2_total",
+          wilcoxonZExpr)
+    },
+    Some(s"""
+      WITH panel AS MATERIALIZED (
+        SELECT c_nationkey AS nat, CAST(month(o_orderdate) AS BIGINT) AS m,
+          CAST(year(o_orderdate) AS BIGINT) AS yr,
+          CAST(sum(CAST(floor(o_totalprice*100 + 0.5) AS BIGINT))
+            AS BIGINT) AS rev
+        FROM orders JOIN customer ON o_custkey = c_custkey
+        WHERE year(o_orderdate) IN (1995, 1996)
+        GROUP BY nat, m, yr),
+      diffs AS (
+        SELECT abs(d) AS ad,
+          CAST(CASE WHEN d > 0 THEN 1 ELSE 0 END AS BIGINT) AS pos
+        FROM (
+          SELECT sum(CASE WHEN yr = 1996 THEN rev ELSE 0 END)
+            - sum(CASE WHEN yr = 1995 THEN rev ELSE 0 END) AS d
+          FROM panel GROUP BY nat, m)
+        WHERE d <> 0),
+      vh AS MATERIALIZED (
+        SELECT ad, c, p, 2*(sum(c) OVER (ORDER BY ad) - c) + c + 1 AS r2
+        FROM (SELECT ad, CAST(count(*) AS BIGINT) AS c,
+                CAST(sum(pos) AS BIGINT) AS p
+              FROM diffs GROUP BY ad)),
+      m AS (
+        SELECT CAST(sum(c) AS BIGINT) AS n_pairs,
+          sum(CAST(p AS HUGEINT) * r2) AS w2p,
+          sum(CAST(c AS HUGEINT) * r2) AS s2,
+          sum(CAST(c AS HUGEINT) * r2 * r2) AS s2sq
+        FROM vh),
+      casted AS (
+        SELECT n_pairs, CAST(w2p AS BIGINT) AS w2p_out,
+          CAST(s2 AS BIGINT) AS s2_out,
+          ${wilcoxonCastExprs.mkString(", ")}
+        FROM m)
+      SELECT n_pairs, w2p_out AS w2_plus, s2_out AS s2_total,
+        $wilcoxonZExpr
+      FROM casted
+    """))
+
+  def defs: Seq[QueryDef] = Seq(q693, q694, q695, q696, q697, q716)
 }

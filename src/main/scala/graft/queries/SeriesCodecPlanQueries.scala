@@ -301,5 +301,92 @@ object SeriesCodecPlanQueries extends QueryGroup {
       FROM qe ORDER BY variant
     """))
 
-  def defs: Seq[QueryDef] = Seq(q705, q706, q707)
+  // ---------------------------------------------------------------- q717
+
+  /** Theil's U forecast-error decomposition for the lag-12 naive
+    * forecast (each 1996 month predicted by its 1995 sibling): MSE
+    * splits EXACTLY into bias (mean shift), variance (amplitude
+    * mismatch) and covariance (phase/noise) shares — the triage that
+    * says whether a bad forecast needs recentering, rescaling, or a
+    * better model. Revenue in floored kilodollars keeps every moment
+    * BIGINT-safe (Σf² < 2⁶³ to ~sf300 — the q664 ceiling note); the
+    * two σ's come from the shared ±1-corrected isqrt macro (n-scaled,
+    * so no division before the final ppm), and the three shares use
+    * ONE common floored denominator n·Σe².
+    *
+    * Scale shape: orders fold once to 24 monthly rows; everything
+    * after is a one-row moment fold. */
+  private val q717 = QueryDef(
+    "q717_theil_u_decomposition",
+    (spark, dir) => {
+      val monthly = Tables.orders(spark, dir)
+        .filter(col("o_orderdate") >= "1995-01-01" &&
+          col("o_orderdate") < "1997-01-01")
+        .groupBy(year(col("o_orderdate")).cast("long").as("yr"),
+          month(col("o_orderdate")).cast("long").as("m"))
+        .agg(sum(expr("CAST(floor(o_totalprice) AS BIGINT) div 1000"))
+          .as("rev"))
+      val pairs = monthly.groupBy(col("m"))
+        .agg(sum(when(col("yr") === 1995, col("rev")).otherwise(0L))
+          .as("f"),
+          sum(when(col("yr") === 1996, col("rev")).otherwise(0L))
+            .as("a"))
+      val mo = pairs.agg(count(lit(1)).as("n"),
+        sum(col("f")).as("sf"), sum(col("a")).as("sa"),
+        sum(col("f") * col("f")).as("sff"),
+        sum(col("a") * col("a")).as("saa"),
+        sum(col("f") * col("a")).as("sfa"),
+        sum((col("f") - col("a")) * (col("f") - col("a"))).as("see"))
+      mo.selectExpr("n", "see",
+          s"${SqlMacros.isqrt("n * sff - sf * sf")} AS sig_f_n",
+          s"${SqlMacros.isqrt("n * saa - sa * sa")} AS sig_a_n",
+          "n * sfa - sf * sa AS cov_n2", "sf - sa AS bias_n")
+        .selectExpr("n", "see AS sse",
+          "(bias_n * bias_n) * 1000000 div (n * see) AS um_ppm",
+          "((sig_f_n - sig_a_n) * (sig_f_n - sig_a_n)) * 1000000" +
+            " div (n * see) AS us_ppm",
+          "2 * (sig_f_n * sig_a_n - cov_n2) * 1000000" +
+            " div (n * see) AS uc_ppm")
+    },
+    Some(s"""
+      WITH monthly AS (
+        SELECT CAST(year(o_orderdate) AS BIGINT) AS yr,
+          CAST(month(o_orderdate) AS BIGINT) AS m,
+          CAST(sum(CAST(floor(o_totalprice) AS BIGINT) // 1000)
+            AS BIGINT) AS rev
+        FROM orders
+        WHERE o_orderdate >= TIMESTAMP '1995-01-01'
+          AND o_orderdate < TIMESTAMP '1997-01-01'
+        GROUP BY yr, m),
+      pairs AS (
+        SELECT m,
+          CAST(sum(CASE WHEN yr = 1995 THEN rev ELSE 0 END) AS BIGINT)
+            AS f,
+          CAST(sum(CASE WHEN yr = 1996 THEN rev ELSE 0 END) AS BIGINT)
+            AS a
+        FROM monthly GROUP BY m),
+      mo AS (
+        SELECT CAST(count(*) AS BIGINT) AS n,
+          CAST(sum(f) AS BIGINT) AS sf, CAST(sum(a) AS BIGINT) AS sa,
+          CAST(sum(f * f) AS BIGINT) AS sff,
+          CAST(sum(a * a) AS BIGINT) AS saa,
+          CAST(sum(f * a) AS BIGINT) AS sfa,
+          CAST(sum((f - a) * (f - a)) AS BIGINT) AS see
+        FROM pairs),
+      sig AS (
+        SELECT n, see,
+          ${SqlMacros.isqrt("n * sff - sf * sf")} AS sig_f_n,
+          ${SqlMacros.isqrt("n * saa - sa * sa")} AS sig_a_n,
+          n * sfa - sf * sa AS cov_n2, sf - sa AS bias_n
+        FROM mo)
+      SELECT n, see AS sse,
+        (bias_n * bias_n) * 1000000 // (n * see) AS um_ppm,
+        ((sig_f_n - sig_a_n) * (sig_f_n - sig_a_n)) * 1000000
+          // (n * see) AS us_ppm,
+        2 * (sig_f_n * sig_a_n - cov_n2) * 1000000
+          // (n * see) AS uc_ppm
+      FROM sig
+    """))
+
+  def defs: Seq[QueryDef] = Seq(q705, q706, q707, q717)
 }

@@ -585,8 +585,9 @@ class QueriesSmokeSpec extends SparkSpec {
     "q693_kruskal_wallis", "q695_mood_scale_test",
     "q702_maxscore_pruning_audit", "q704_sortkey_order_advisor",
     // q715's boundary stitch over the blocks-summary table (corpus /
-    // 8192 rows — the q372 bucket-boundary pass)
-    "q715_natural_runs_census",
+    // 8192 rows — the q372 bucket-boundary pass); q716's |d| rank
+    // cumulative over the ≤300-row panel-difference histogram
+    "q715_natural_runs_census", "q716_wilcoxon_signed_rank",
     // q707's lead windows over the ~2,500-row densified calendar and
     // quantile cumulative over the bounded demand support
     "q707_leadtime_demand_quantiles",

@@ -70,6 +70,20 @@ class RankTestOpsSpec extends SparkSpec {
     assert(rows.map(_.getAs[Long]("q_ppm")).distinct.length == 1)
   }
 
+  test("q716: doubled ranks close n(n+1) and W+ sits inside its range") {
+    val r = run("q716_wilcoxon_signed_rank").collect().head
+    val n = r.getAs[Long]("n_pairs")
+    val w2 = r.getAs[Long]("w2_plus")
+    val s2 = r.getAs[Long]("s2_total")
+    assert(n > 0)
+    assert(s2 == n * (n + 1), s"doubled ranks leaked: $s2 vs ${n * (n + 1)}")
+    assert(w2 >= 0 && w2 <= s2)
+    val z = r.getAs[Double]("z_stat")
+    assert(!z.isNaN && !z.isInfinite)
+    // 1995 vs 1996 revenue cells are generator-stationary: |z| modest
+    assert(math.abs(z) < 6.0, s"stationary panel gave |z| = $z")
+  }
+
   test("q695: dispersion shares bracket ppm parity and close exactly") {
     val rows = run("q695_mood_scale_test").collect()
     assert(rows.length == 2)

@@ -31,6 +31,19 @@ class SeriesCodecOpsSpec extends SparkSpec {
     }
   }
 
+  test("q717: the MSE decomposition closes within isqrt slack") {
+    val r = run("q717_theil_u_decomposition").collect().head
+    val um = r.getAs[Long]("um_ppm")
+    val us = r.getAs[Long]("us_ppm")
+    val uc = r.getAs[Long]("uc_ppm")
+    assert(um >= 0 && us >= 0)
+    assert(uc >= -5000, s"covariance share pathological: $uc")
+    val total = um + us + uc
+    assert(math.abs(total - 1000000L) < 5000,
+      s"UM+US+UC = $total should close to 1e6 within floor/isqrt slack")
+    assert(r.getAs[Long]("sse") > 0)
+  }
+
   test("q707: quantiles are ordered and both variants present") {
     val rows = run("q707_leadtime_demand_quantiles").collect()
     assert(rows.length == 2)
