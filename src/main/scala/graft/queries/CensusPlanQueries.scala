@@ -31,7 +31,12 @@ object CensusPlanQueries extends QueryGroup {
     * preserved by node-peeling, so undirected edges = rows div 2
     * exactly. Four rounds is the audit's fixed budget — the spec
     * asserts the trajectory is monotone and stops early only if a
-    * round is already a fixpoint.
+    * round is already a fixpoint. Each round's surviving edge frame is
+    * `localCheckpoint(true)` (q691/q701 discipline): the original
+    * 5-deep nested-persist chain made AQE's onUpdatePlan explain-string
+    * render combinatorially expensive and was the suite's #1 cost
+    * (28 s driver-pass vs ~5 s clean); the checkpoint cuts the lineage
+    * so each round's plan is flat.
     *
     * SCALING (round-7 probe, largest testdata = sf0.1): 6.15 s at
     * sf0.01 -> 5.23 s at sf0.1 (10x data, 0.85x time) - wall time is
@@ -61,7 +66,7 @@ object CensusPlanQueries extends QueryGroup {
         edges = edges
           .join(keep, Seq("u"))
           .join(keep.withColumnRenamed("u", "v"), Seq("v"))
-          .select(col("u"), col("v")).persist()
+          .select(col("u"), col("v")).localCheckpoint(true)
         out = out.union(census(r, edges))
       }
       out.orderBy(col("round"))

@@ -36,8 +36,9 @@ object CentralityPlanQueries extends QueryGroup {
     * keyed join + sum per round.
     *
     * Scale shape: 4 rounds of edge ⋈ walk-vector (the q415 unrolled-
-    * iteration pattern, per-round persist so round r never re-embeds
-    * round 1's subtree); the vector is supplier-dimension-sized, the
+    * iteration pattern, per-round localCheckpoint so round r never
+    * re-embeds round 1's subtree and AQE never sees a nested-persist
+    * plan stack — q691/q701 discipline); the vector is supplier-dimension-sized, the
     * edge list co-purchase-projection-sized; readout is a top-10
     * TakeOrdered. Walk counts stay far under 2⁶³: deg ≤ |S| and 4
     * levels bound walks by |S|⁴ ≈ 10¹⁶ at SF100.
@@ -51,14 +52,14 @@ object CentralityPlanQueries extends QueryGroup {
     (spark, dir) => {
       val edges = coSupplyEdges(spark, dir).persist()
       var walks = edges.groupBy(col("dst").as("node"))
-        .agg(count(lit(1)).as("w")).persist() // walks_1 = in-degree
+        .agg(count(lit(1)).as("w")).localCheckpoint(true) // walks_1 = in-degree
       var katz = walks.select(col("node"), expr("w * 1000 div 8").as("katz_milli"),
         col("w").as("w1"))
       for (k <- 2 to 4) {
         walks = edges
           .join(walks.withColumnRenamed("node", "src"), Seq("src"))
           .groupBy(col("dst").as("node")).agg(sum(col("w")).as("w"))
-          .persist()
+          .localCheckpoint(true)
         val divisor = math.pow(8, k).toLong
         katz = katz.join(walks.select(col("node"), col("w").as(s"w$k")), Seq("node"))
           .withColumn("katz_milli",
@@ -174,8 +175,10 @@ object CentralityPlanQueries extends QueryGroup {
     *
     * Scale shape: BFS state is keyed by (landmark, node) — 4× the
     * supplier dimension, never corpus-sized; 3 relaxation rounds of
-    * edge ⋈ frontier with per-round persists (q427's exact loop shape,
-    * widened by the landmark key); readout is 4 rows.
+    * edge ⋈ frontier with per-round localCheckpoint (q691/q701
+    * discipline — the original per-round persist stacked 5 nested
+    * persisted AQE frames and drove the consistent r9/r10 1.6× drift
+    * via onUpdatePlan's explain render); readout is 4 rows.
     *
     * SCALING (round-8 probe): 1.47 s at sf0.01 → 1.41 s at sf0.1 (10×
     * data, ~1.0× time) — flat: the BFS rounds' scheduling barriers
@@ -190,7 +193,7 @@ object CentralityPlanQueries extends QueryGroup {
         .crossJoin(broadcast(lm))
         .select(col("lm"), col("node"),
           when(col("lm") === col("node"), 0L).otherwise(9999L).as("d"))
-        .persist()
+        .localCheckpoint(true)
       for (_ <- 1 to 3) {
         val relax = edges
           .join(dist.withColumnRenamed("node", "src"), Seq("src"))
@@ -199,7 +202,7 @@ object CentralityPlanQueries extends QueryGroup {
         dist = dist.join(relax, Seq("lm", "node"), "left")
           .select(col("lm"), col("node"),
             least(col("d"), coalesce(col("nd"), lit(9999L))).as("d"))
-          .persist()
+          .localCheckpoint(true)
       }
       dist.filter(col("node") =!= col("lm"))
         .groupBy(col("lm").as("landmark"))

@@ -132,7 +132,7 @@ object PretrainPlanQueries extends QueryGroup {
         .withColumn("seq", expr(
           "concat_ws(' ', transform(sequence(1, length(w)), i -> substring(w, i, 1)))"))
         .select(col("f"), col("seq"))
-        .persist()
+        .localCheckpoint(true)
       var out: DataFrame = null
       for (round <- 1 to 3) {
         val top1 = pairCounts(words)
@@ -142,7 +142,7 @@ object PretrainPlanQueries extends QueryGroup {
         words = words.crossJoin(broadcast(top1))
           .withColumn("seq", expr(BoundedMergeExpr))
           .select(col("f"), col("seq"))
-          .persist()
+          .localCheckpoint(true)
         val row = words
           .agg(sum(expr("f * size(split(seq, ' '))")).as("total_symbols_after"))
           .crossJoin(broadcast(top1))
@@ -1028,8 +1028,8 @@ object PretrainPlanQueries extends QueryGroup {
           .as("pair"))
         .groupBy(col("pair")).agg(sum(col("f")).as("n"))
       val docs = Tables.documents(spark, dir)
-      var train = vocab(docs.filter(col("doc_id") % 5L =!= 0L)).persist()
-      var hold = vocab(docs.filter(col("doc_id") % 5L === 0L)).persist()
+      var train = vocab(docs.filter(col("doc_id") % 5L =!= 0L)).localCheckpoint(true)
+      var hold = vocab(docs.filter(col("doc_id") % 5L === 0L)).localCheckpoint(true)
       val before = (df: DataFrame) =>
         df.agg(sum(expr("f * size(split(seq, ' '))")).as("v"))
       val trainBefore = before(train)
@@ -1041,10 +1041,10 @@ object PretrainPlanQueries extends QueryGroup {
             regexp_replace(col("pair"), " ", "").as("merged"))
         train = train.crossJoin(broadcast(top1))
           .withColumn("seq", expr(BoundedMergeExpr))
-          .select(col("f"), col("seq")).persist()
+          .select(col("f"), col("seq")).localCheckpoint(true)
         hold = hold.crossJoin(broadcast(top1))
           .withColumn("seq", expr(BoundedMergeExpr))
-          .select(col("f"), col("seq")).persist()
+          .select(col("f"), col("seq")).localCheckpoint(true)
       }
       def row(tag: String, b: DataFrame, after: DataFrame) =
         b.select(col("v").as("symbols_before"))

@@ -26,9 +26,12 @@ object RankTestPlanQueries extends QueryGroup {
   // ---------------------------------------------------------------- q693
 
   // H = (3·T/(N(N+1)) − 3(N+1)) / (1 − TT/(N³−N)), T = Σ_j ⌊s2_j²/n_j⌋
-  // (s2_j = doubled-rank sum of group j; the ⌊·⌋ is the identical div
-  // both engines floor), TT = Σ_v (t³−t) the tie correction. One
-  // expression text, evaluated over exact integers on both sides.
+  // (s2_j = doubled-rank sum of group j; the ⌊·⌋ is exact integer floor
+  // on both sides — Spark folds it in decimal(38,0) via the
+  // subtract-remainder form (s2²−s2²%n)/n because `div`'s BIGINT result
+  // would overflow at s2²/n ≈ 1.3N³ > 2⁶³, i.e. N ≈ 2·10⁶ ≈ sf0.3;
+  // DuckDB's HUGEINT `//` is exact natively), TT = Σ_v (t³−t) the tie
+  // correction. One expression text, evaluated over exact integers.
   private val kwCastExprs: Seq[String] = Seq(
     "CAST(n_total AS DOUBLE) AS fn",
     "CAST(t_sum AS DOUBLE) AS ft",
@@ -46,8 +49,11 @@ object RankTestPlanQueries extends QueryGroup {
     * only row-scale shuffle, map-side combined; ranks come from the
     * ≤50-row value histogram (bounded global window, sanctioned); the
     * per-group moment fold and the one-row H are dimension-sized.
-    * Exact while s2_j² < 10³⁸ (s2_j ≤ 2N² → N ≲ 7·10⁹ rows) and the
-    * emitted r2_sum < 2⁶³ (N ≲ 2·10⁹ — the q664 SF-ceiling note). */
+    * Exactness ceiling (binding constraints): s2_j² must fit
+    * decimal(38,0)/HUGEINT (s2_j ≈ 0.67N² → N ≲ 4·10⁹) and the
+    * emitted r2_sum = s2_j must fit BIGINT (N ≲ 3.7·10⁹) — both
+    * ≈ sf500. The T-fold itself stays in decimal(38,0) end-to-end
+    * (T ≈ 1.3N³ fits to N ≈ 4·10¹²), never BIGINT. */
   private val q693 = QueryDef(
     "q693_kruskal_wallis",
     (spark, dir) => {
@@ -66,7 +72,12 @@ object RankTestPlanQueries extends QueryGroup {
           sum(dec(col("cnt")) * col("r2")).as("s2"))
       val t = groups
         .agg(sum(col("n")).as("n_total"),
-          sum(expr("s2 * s2 div n")).as("t_sum"))
+          // exact ⌊s2²/n⌋ in decimal(38,0): subtract the remainder, then
+          // the division is exact (no rounding); `div` would emit BIGINT
+          // and overflow at N ≈ 2·10⁶ (≈ sf0.3) while decimal carries
+          // T ≈ 1.3N³ to N ≈ 4·10¹²
+          sum(expr("CAST((s2*s2 - (s2*s2) % n) / n AS DECIMAL(38,0))"))
+            .as("t_sum"))
       val tt = vh.agg(
         sum(dec(col("c")) * col("c") * col("c") - col("c")).as("tt_sum"))
       groups.select(col("flag"), col("n"),
@@ -106,10 +117,17 @@ object RankTestPlanQueries extends QueryGroup {
 
   // z = (jt2 − e2) / (2·sqrt(var)), var the Hollander–Wolfe
   // tie-corrected variance assembled from three exact integer pieces.
+  // vb = g3·t3 and vc = g2·t2 are cast to DOUBLE factor-by-factor and
+  // multiplied in IEEE: the exact decimal product vb ≈ N⁶/3000 breaches
+  // decimal(38,0)/HUGEINT around sf2-3, while the factors g3 ≈ N³/25 and
+  // t3 ≈ N³/120 each fit to N ≈ 10¹³. For factors < 2⁵³ the IEEE product
+  // rounds identically to casting the exact product, so tested SFs are
+  // bit-identical either way; both engines share this expression text.
   private val jtCastExprs: Seq[String] = Seq(
     "CAST(jt2 AS DOUBLE) AS fjt2", "CAST(e2 AS DOUBLE) AS fe2",
-    "CAST(va AS DOUBLE) AS fva", "CAST(vb AS DOUBLE) AS fvb",
-    "CAST(vc AS DOUBLE) AS fvc",
+    "CAST(va AS DOUBLE) AS fva",
+    "CAST(g3 AS DOUBLE) * CAST(t3 AS DOUBLE) AS fvb",
+    "CAST(g2 AS DOUBLE) * CAST(t2 AS DOUBLE) AS fvc",
     "CAST(n_total AS DOUBLE) AS fn")
   private val jtZExpr: String =
     """(fjt2 - fe2) / (2.0*sqrt(fva/72.0
@@ -128,7 +146,10 @@ object RankTestPlanQueries extends QueryGroup {
     *
     * Scale shape: one groupBy to the ≤55-cell joint histogram (the only
     * row-scale shuffle), one broadcast self-join over the bounded
-    * cells, dimension-sized moment folds. Exact while N³ < 10³⁸. */
+    * cells, dimension-sized moment folds. Exactness ceiling (binding
+    * constraints): the emitted jt2 ≈ 0.8N² and e2 ≈ 0.4N² must fit
+    * BIGINT → N ≲ 3·10⁹ ≈ sf500; the decimal moment folds (va terms
+    * ≈ 2N³, g3/t3 ≈ N³/25) hold far beyond that (N ≲ 10¹²). */
   private val q694 = QueryDef(
     "q694_jonckheere_terpstra",
     (spark, dir) => {
@@ -168,7 +189,7 @@ object RankTestPlanQueries extends QueryGroup {
           "CAST(e2 AS BIGINT) AS e2", "n_total",
           "CAST(n_total AS DECIMAL(38,0)) * (n_total-1) * (2*n_total+5)" +
             " - g25 - t25 AS va",
-          "g3 * t3 AS vb", "g2 * t2 AS vc")
+          "g3", "t3", "g2", "t2")
         .selectExpr(Seq("jt2", "e2", "n_total") ++ jtCastExprs: _*)
         .selectExpr("jt2", "e2", "n_total", jtZExpr)
     },
@@ -203,7 +224,7 @@ object RankTestPlanQueries extends QueryGroup {
           n_total,
           CAST(n_total AS HUGEINT)*(n_total-1)*(2*n_total+5)
             - g25 - t25 AS va,
-          g3 * t3 AS vb, g2 * t2 AS vc
+          g3, t3, g2, t2
         FROM jt CROSS JOIN e CROSS JOIN gm CROSS JOIN th),
       casted AS (
         SELECT jt2, e2, n_total, ${jtCastExprs.mkString(", ")} FROM raw)

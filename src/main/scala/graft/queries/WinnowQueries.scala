@@ -216,12 +216,14 @@ object WinnowQueries extends QueryGroup {
       val lm = edges.select(col("src").as("node")).distinct()
         .orderBy(col("node")).limit(4)
       // each round reads the previous round's dist twice (frontier expand
-      // + the min-merge join) — persist per round, as in q415's normalize,
-      // or round r's plan re-embeds 2^r copies of round 1's subtree
+      // + the min-merge join) — localCheckpoint per round (q691/q701
+      // discipline: per-round persist would both re-embed round 1's
+      // subtree AND stack nested persisted AQE frames whose onUpdatePlan
+      // explain render grows combinatorially)
       var dist = Tables.supplier(spark, dir).select(col("s_suppkey").as("node"))
         .join(broadcast(lm.withColumn("zero", lit(0L))), Seq("node"), "left")
         .select(col("node"), coalesce(col("zero"), lit(9999L)).as("d"))
-        .persist()
+        .localCheckpoint(true)
       for (_ <- 1 to 3) {
         val byNbr = edges
           .join(dist.withColumnRenamed("node", "src"), Seq("src"))
@@ -230,7 +232,7 @@ object WinnowQueries extends QueryGroup {
         dist = dist.join(byNbr, Seq("node"), "left")
           .select(col("node"),
             least(col("d"), coalesce(col("nd"), lit(9999L))).as("d"))
-          .persist()
+          .localCheckpoint(true)
       }
       dist.groupBy(when(col("d") === 9999L, -1L).otherwise(col("d")).as("dist"))
         .agg(count(lit(1)).as("n_nodes"))

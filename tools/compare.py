@@ -23,7 +23,13 @@ def run_budgeted(con, sql, budget_s):
     done = threading.Event()
     def watchdog():
         if not done.wait(budget_s):
-            con.interrupt()
+            # re-check AFTER the wait times out: the query may have finished
+            # in the gap between wait() expiring and us firing — a stray
+            # interrupt() would then land on the NEXT statement on this
+            # connection (the spark-side read_parquet) and kill the gate run
+            # instead of producing one red row
+            if not done.is_set():
+                con.interrupt()
     t = threading.Thread(target=watchdog, daemon=True)
     t.start()
     t0 = time.monotonic()
@@ -34,6 +40,19 @@ def run_budgeted(con, sql, budget_s):
         return cols, rows, time.monotonic() - t0
     finally:
         done.set()
+        t.join(timeout=1.0)  # watchdog is either parked in wait() or done
+
+
+def retry_on_stray_interrupt(fn):
+    """The done.is_set() re-check shrinks the race window but can't close it
+    (TOCTOU between is_set() and interrupt()). Any statement that runs right
+    after a budgeted call retries once on InterruptException — a stray
+    interrupt from the previous query's watchdog is absorbed; a real second
+    interrupt (impossible: one watchdog per budgeted call) would re-raise."""
+    try:
+        return fn()
+    except duckdb.InterruptException:
+        return fn()
 
 def canon(v):
     if v is None:
@@ -84,7 +103,9 @@ def main(out_dir, sf_dir):
                 continue  # partial dev dump (Verify with query-name args)
             print(f"FAIL {name}: no spark output"); failed.append(name); continue
         try:
-            o_tmap = described_types(con, sql)
+            # retry: a stray interrupt from the PREVIOUS query's watchdog
+            # (budget race) must not turn into a false red row here
+            o_tmap = retry_on_stray_interrupt(lambda: described_types(con, sql))
             wide = [(c, ty) for c, ty in o_tmap.items()
                     if any(w in ty for w in WIDE_TYPES)]
             if wide:
@@ -101,8 +122,10 @@ def main(out_dir, sf_dir):
             failed.append(name); continue
         except Exception as e:
             print(f"FAIL {name}: oracle error {e}"); failed.append(name); continue
-        s_tmap = described_types(con, f"SELECT * FROM read_parquet({files!r})")
-        sq = con.execute(f"SELECT * FROM read_parquet({files!r})")
+        s_tmap = retry_on_stray_interrupt(
+            lambda: described_types(con, f"SELECT * FROM read_parquet({files!r})"))
+        sq = retry_on_stray_interrupt(
+            lambda: con.execute(f"SELECT * FROM read_parquet({files!r})"))
         s_cols = [d[0] for d in sq.description]
         s_rows = sq.fetchall()
         if sorted(o_cols) != sorted(s_cols):
