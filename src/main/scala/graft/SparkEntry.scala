@@ -123,7 +123,9 @@ object SparkEntry {
     SeriesCodecPlanQueries,
     DensityEvalPlanQueries,
     InspectionPlanQueries,
-    SequenceCostPlanQueries)
+    SequenceCostPlanQueries,
+    EngineSurfacePlanQueries,
+    EngineSurfacePlanQueries2)
 
   private lazy val all: Seq[QueryDef] = groups.flatMap(_.defs)
 

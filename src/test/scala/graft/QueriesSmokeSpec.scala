@@ -39,6 +39,34 @@ class QueriesSmokeSpec extends SparkSpec {
         s"${SparkEntry.queries.size} — update README.md (all 3 count sites)")
   }
 
+  test("source lint: no .persist() inside a for/while loop (q558/q602 " +
+    "landmine — per-round persists stack nested persisted AQE frames " +
+    "whose onUpdatePlan explain render grows combinatorially; iterative " +
+    "round frames must use localCheckpoint(true) instead)") {
+    import scala.jdk.CollectionConverters._
+    val loopOpen = """\b(for|while)\s*\(""".r
+    val offenders = scala.collection.mutable.ListBuffer[String]()
+    val root = java.nio.file.Paths.get("src/main/scala")
+    java.nio.file.Files.walk(root).iterator().asScala
+      .filter(p => p.toString.endsWith(".scala"))
+      .foreach { p =>
+        val lines = java.nio.file.Files.readAllLines(p).asScala
+        var depth = 0
+        val loopDepths = scala.collection.mutable.Stack[Int]()
+        for ((l, i) <- lines.zipWithIndex) {
+          val isLoop = loopOpen.findFirstIn(l).isDefined && l.contains("{")
+          if (isLoop) loopDepths.push(depth + 1)
+          depth += l.count(_ == '{') - l.count(_ == '}')
+          while (loopDepths.nonEmpty && depth < loopDepths.top) loopDepths.pop()
+          if (l.contains(".persist()") && loopDepths.nonEmpty)
+            offenders += s"$p:${i + 1}"
+        }
+      }
+    assert(offenders.isEmpty,
+      s"persist() inside an iteration loop — use localCheckpoint(true) " +
+        s"(the q691/q701 discipline): ${offenders.mkString(", ")}")
+  }
+
   test("every query has oracle SQL or is explicitly rows-only") {
     val missing = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
     assert(missing.isEmpty, s"queries without oracle: $missing")
@@ -450,7 +478,16 @@ class QueriesSmokeSpec extends SparkSpec {
       "q700_scc_bowtie", "q701_two_sweep_diameter",
       // q705 checkpoints the ≤78-cell banded cost grid + each ≤12-row
       // DP diagonal (the q691/q700 flat-plan discipline)
-      "q705_banded_dtw_revenue")
+      "q705_banded_dtw_revenue",
+      // round-11 persist-in-loop retrofits (the q558 landmine sweep):
+      // each iterative round frame moved from .persist() to
+      // localCheckpoint(true) — q558's 4 edge-peeling rounds, q600's 3
+      // walk-vector rounds, q602/q427's 3 BFS relaxation rounds, and
+      // q477/q489's 3 vocabulary-sized BPE merge rounds. All per-round
+      // frames are dimension-bounded (node/vocab-sized), never corpus
+      "q558_kcore_peeling", "q600_katz_centrality",
+      "q602_harmonic_closeness_landmarks", "q427_landmark_bfs_layers",
+      "q477_bpe_merge_rounds", "q489_merge_transfer_eval")
     // the bus delivers only events posted after registration, so earlier
     // tests' jobs cannot leak into the count
     spark.sparkContext.addSparkListener(listener)
