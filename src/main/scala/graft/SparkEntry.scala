@@ -125,7 +125,8 @@ object SparkEntry {
     InspectionPlanQueries,
     SequenceCostPlanQueries,
     EngineSurfacePlanQueries,
-    EngineSurfacePlanQueries2)
+    EngineSurfacePlanQueries2,
+    EngineSurfacePlanQueries3)
 
   private lazy val all: Seq[QueryDef] = groups.flatMap(_.defs)
 
