@@ -126,7 +126,8 @@ object SparkEntry {
     SequenceCostPlanQueries,
     EngineSurfacePlanQueries,
     EngineSurfacePlanQueries2,
-    EngineSurfacePlanQueries3)
+    EngineSurfacePlanQueries3,
+    EngineSurfacePlanQueries4)
 
   private lazy val all: Seq[QueryDef] = groups.flatMap(_.defs)
 
