@@ -127,7 +127,8 @@ object SparkEntry {
     EngineSurfacePlanQueries,
     EngineSurfacePlanQueries2,
     EngineSurfacePlanQueries3,
-    EngineSurfacePlanQueries4)
+    EngineSurfacePlanQueries4,
+    CuratorPlanQueries)
 
   private lazy val all: Seq[QueryDef] = groups.flatMap(_.defs)
 

@@ -487,7 +487,11 @@ class QueriesSmokeSpec extends SparkSpec {
       // frames are dimension-bounded (node/vocab-sized), never corpus
       "q558_kcore_peeling", "q600_katz_centrality",
       "q602_harmonic_closeness_landmarks", "q427_landmark_bfs_layers",
-      "q477_bpe_merge_rounds", "q489_merge_transfer_eval")
+      "q477_bpe_merge_rounds", "q489_merge_transfer_eval",
+      // q738 localCheckpoints the <=625-cell trade matrix so the top-4
+      // selections and the 24-permutation scoring never re-run the
+      // orders||lineitem fact join
+      "q738_dedicated_lane_assignment")
     // the bus delivers only events posted after registration, so earlier
     // tests' jobs cannot leak into the count
     spark.sparkContext.addSparkListener(listener)
@@ -614,6 +618,9 @@ class QueriesSmokeSpec extends SparkSpec {
   // value resolution — never corpus rows. Any query NOT in this list must
   // plan zero partition-less windows.
   private val boundedGlobalWindows: Set[String] = Set(
+    // q738's row_number ranks the ≤25-row per-nation trade totals to
+    // pick the 4 lanes — dimension-bounded
+    "q738_dedicated_lane_assignment",
     // round-10 rank tests: doubled-rank cumulative over the ≤50-row
     // quantity value histogram (the q324 histogram-rank class, global
     // because the test pools all groups into one ranking); q702's
