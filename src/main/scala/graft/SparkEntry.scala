@@ -128,6 +128,7 @@ object SparkEntry {
     EngineSurfacePlanQueries2,
     EngineSurfacePlanQueries3,
     EngineSurfacePlanQueries4,
+    EngineSurfacePlanQueries5,
     CuratorPlanQueries)
 
   private lazy val all: Seq[QueryDef] = groups.flatMap(_.defs)
