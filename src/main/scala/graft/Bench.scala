@@ -256,7 +256,7 @@ object Bench {
       // rechecks run SLOWER than their in-suite primaries — q590
       // 11.8 s vs 7.6 s — the signature of end-of-pass recompilation
       // pressure). 30k holds 2× the worst-case suite.
-      .config("spark.sql.codegen.cache.maxEntries", "30000")
+      .config("spark.sql.codegen.cache.maxEntries", "40000")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     GraftSession.configure(spark)

@@ -24,7 +24,7 @@ object Verify {
       // 100-entry default evicts continuously under ~600 queries; 10k
       // started evicting at 690 queries × 5-20 stages — the Bench A/B
       // that root-caused the round-9 late-suite slowdown)
-      .config("spark.sql.codegen.cache.maxEntries", "30000")
+      .config("spark.sql.codegen.cache.maxEntries", "40000")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     GraftSession.configure(spark)

@@ -85,6 +85,10 @@ class QueriesSmokeSpec extends SparkSpec {
   // (query vectors, centroid tables, corpus-size literals, global
   // thresholds) — the only sanctioned nested-loop shape
   private val broadcastCrossJoins = Set(
+    // round-11: q733 zips each source's share map against the broadcast
+    // ONE-ROW global share map; q740 folds the vocab against the
+    // broadcast one-row corpus total
+    "q733_map_lang_drift", "q740_shannon_code_budget",
     "q216_survival_life_table",
     "q25_knn_bruteforce", "q32_ivf_ann_topk", "q50_lsh_ann_topk",
     "q64_quality_threshold", "q72_time_decay", "q82_decile_binning",
@@ -491,7 +495,14 @@ class QueriesSmokeSpec extends SparkSpec {
       // q738 localCheckpoints the <=625-cell trade matrix so the top-4
       // selections and the 24-permutation scoring never re-run the
       // orders||lineitem fact join
-      "q738_dedicated_lane_assignment")
+      "q738_dedicated_lane_assignment",
+      // q728 reads documents.parquet DIRECTLY (the _metadata column is
+      // the point — Tables' cached reader can't expose it), so each
+      // construction fires the file-listing job Tables otherwise caches;
+      // q732's stat.crosstab is an EAGER API by design (it returns a
+      // materialized local pivot) — both touch one bounded file / a
+      // 3x2 grid, not per-row eagerness
+      "q728_file_provenance_metadata", "q732_crosstab_contingency")
     // the bus delivers only events posted after registration, so earlier
     // tests' jobs cannot leak into the count
     spark.sparkContext.addSparkListener(listener)
