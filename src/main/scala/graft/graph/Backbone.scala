@@ -125,14 +125,14 @@ object Backbone {
 
   /** CTE `pairs`: the ship-year pair projection. */
   val pairsShipYearSql: String =
-    """pairs AS (
+    """pairs AS MATERIALIZED (
         SELECT DISTINCT l_orderkey AS ok, l_suppkey AS s FROM lineitem
         WHERE l_shipdate >= TIMESTAMP '1995-01-01'
           AND l_shipdate < TIMESTAMP '1996-01-01')"""
 
   /** CTE `pairs`: the order-year pair projection (q590). */
   val pairsOrderYearSql: String =
-    """pairs AS (
+    """pairs AS MATERIALIZED (
         SELECT DISTINCT o.o_orderkey AS ok, l.l_suppkey AS s
         FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
         WHERE o.o_orderdate >= TIMESTAMP '1995-01-01'
@@ -143,13 +143,13 @@ object Backbone {
     * (apex, x, y) — the oracle mirror of [[symDegrees]] /
     * [[orientByDegree]] / [[triangles]]. */
   val orientedTrianglesSql: String =
-    """sym AS (SELECT u, v FROM edges UNION ALL SELECT v, u FROM edges),
-      deg AS (SELECT u, CAST(count(*) AS BIGINT) AS d FROM sym GROUP BY u),
-      o AS (
+    """sym AS MATERIALIZED (SELECT u, v FROM edges UNION ALL SELECT v, u FROM edges),
+      deg AS MATERIALIZED (SELECT u, CAST(count(*) AS BIGINT) AS d FROM sym GROUP BY u),
+      o AS MATERIALIZED (
         SELECT CASE WHEN (du.d, e.u) < (dv.d, e.v) THEN e.u ELSE e.v END AS u,
                CASE WHEN (du.d, e.u) < (dv.d, e.v) THEN e.v ELSE e.u END AS v
         FROM edges e JOIN deg du ON du.u = e.u JOIN deg dv ON dv.u = e.v),
-      tri AS (
+      tri AS MATERIALIZED (
         SELECT w.apex, w.x, w.y
         FROM (SELECT e1.u AS apex, e1.v AS x, e2.v AS y
               FROM o e1 JOIN o e2 ON e1.u = e2.u AND e1.v <> e2.v) w
@@ -158,7 +158,7 @@ object Backbone {
   /** CTEs `w`, `thr`, `edges`: weighted projection over `pairs`, the
     * top-quartile histogram threshold, and the backbone edge list. */
   val backboneSql: String =
-    """w AS (
+    """w AS MATERIALIZED (
         SELECT a.s AS u, b.s AS v, CAST(count(*) AS BIGINT) AS w
         FROM pairs a JOIN pairs b ON a.ok = b.ok AND a.s < b.s
         GROUP BY 1, 2),
@@ -168,5 +168,5 @@ object Backbone {
                 AS cum, sum(c) OVER () AS np
               FROM (SELECT w, CAST(count(*) AS BIGINT) AS c FROM w GROUP BY w))
         WHERE cum * 4 >= 3 * np),
-      edges AS (SELECT u, v FROM w CROSS JOIN thr WHERE w >= w_thr)"""
+      edges AS MATERIALIZED (SELECT u, v FROM w CROSS JOIN thr WHERE w >= w_thr)"""
 }

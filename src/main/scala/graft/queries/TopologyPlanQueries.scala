@@ -38,13 +38,16 @@ object TopologyPlanQueries extends QueryGroup {
       .select(col("u"), col("v")).persist()
   }
 
+  // pairs/weighted MATERIALIZED: weighted is referenced by thr AND edges,
+  // and DuckDB 1.0 inlines non-materialized CTEs — re-running the pairs
+  // self-join once per reference (part of q592's 32 s sf0.1 oracle creep)
   private val backboneSql: String = """
-      pairs AS (
+      pairs AS MATERIALIZED (
         SELECT DISTINCT o.o_orderkey AS ok, l.l_suppkey AS s
         FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
         WHERE o.o_orderdate >= TIMESTAMP '1995-01-01'
           AND o.o_orderdate < TIMESTAMP '1996-01-01'),
-      weighted AS (
+      weighted AS MATERIALIZED (
         SELECT a.s AS u, b.s AS v, CAST(count(*) AS BIGINT) AS w
         FROM pairs a JOIN pairs b ON a.ok = b.ok AND a.s < b.s
         GROUP BY 1, 2),
