@@ -36,6 +36,46 @@ class StatefulStreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming session_window honors a DYNAMIC per-event gap " +
+    "(views cool off in 5 min, purchases hold 30) — q730's batch twin") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    case class TEvt(user_id: String, event_type: String, t: Timestamp)
+    val input = MemoryStream[(String, String, Timestamp)](spark)
+    val gap = when(col("event_type") === "view", lit("5 minutes"))
+      .otherwise(lit("30 minutes"))
+    val q = input.toDF().toDF("user_id", "event_type", "t")
+      .withWatermark("t", "10 seconds")
+      .groupBy(session_window(col("t"), gap), col("user_id"))
+      .agg(count(lit(1)).as("sz"))
+      .select(col("user_id"), col("sz"))
+      .writeStream.format("memory").queryName("dyn_sessions")
+      .outputMode("append").start()
+    try {
+      input.addData(
+        // u1 views: 4-min gap merges (< 5), 6-min gap splits (> 5)
+        ("u1", "view", ts("2024-01-01 10:00:00")),
+        ("u1", "view", ts("2024-01-01 10:04:00")),
+        ("u1", "view", ts("2024-01-01 10:10:00")),
+        // u2 purchases: a 20-min gap would have split under the view
+        // gap but merges under the 30-min purchase gap
+        ("u2", "purchase", ts("2024-01-01 10:00:00")),
+        ("u2", "purchase", ts("2024-01-01 10:20:00")))
+      q.processAllAvailable()
+      // advance the watermark far past every session end so append emits
+      input.addData(("u9", "view", ts("2024-01-01 13:00:00")))
+      q.processAllAvailable()
+      val out = spark.table("dyn_sessions")
+        .filter(col("user_id") =!= "u9")
+        .as[(String, Long)].collect().groupBy(_._1).view
+        .mapValues(_.map(_._2).sorted.toSeq).toMap
+      assert(out("u1") === Seq(1L, 2L),
+        "view gap (5 min) should merge the 4-min pair and split the 6-min")
+      assert(out("u2") === Seq(2L),
+        "purchase gap (30 min) should merge the 20-min pair")
+    } finally q.stop()
+  }
+
   test("flatMapGroupsWithState sessions close on event-time gap and emit one summary") {
     import spark.implicits._
     val input = MemoryStream[Evt](spark)
