@@ -314,8 +314,7 @@ object CausalPlanQueries extends QueryGroup {
       // keep only the BACKBONE (top-quartile co-occurrence weights, the
       // threshold from the weight histogram so it self-normalizes
       // across scale factors) or LCC degenerates to 1 everywhere
-      val edges = graft.graph.Backbone.edges(
-        graft.graph.Backbone.orderYearPairs(spark, dir))
+      val edges = graft.graph.Backbone.orderYearBackbone(spark, dir)
       val deg = graft.graph.Backbone.symDegrees(edges)
       // triangles per node via the shared degree-ordered discipline
       // (graph.Backbone.orientByDegree/triangles — each triangle once

@@ -199,7 +199,8 @@ object EngineSurfacePlanQueries2 extends QueryGroup {
           explode(split(col("text"), " ")).as("w"))
         .filter(length(col("w")) > 0)
         .select(col("source"),
-          when(expr("doc_id div 20") % 2L === 1L, initcap(col("w")))
+          when(expr("doc_id div 20") % 2L === 1L,
+            concat(upper(substring(col("w"), 1, 1)), expr("substring(w, 2)")))
             .otherwise(col("w")).as("tok"))
         .groupBy(col("source"))
         .agg(countDistinct(col("tok")).as("n_exact"),

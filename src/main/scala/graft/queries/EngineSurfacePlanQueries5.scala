@@ -78,8 +78,10 @@ object EngineSurfacePlanQueries5 extends QueryGroup {
     * budget line: encoded bits vs the 8·chars baseline.
     *
     * Scale shape: corpus folds to the vocabulary once; everything after
-    * is vocab-sized. Code lengths cap far below 62, so power(2, L) is
-    * exact IEEE both sides. */
+    * is vocab-sized. Code lengths stay far below 62, so len(bin(.)) is
+    * exact both sides; kraft_mu is an integer shift 2^(20−L) with an
+    * explicit L > 20 → 0 guard on BOTH sides (a float 2^−L cast would
+    * truncate in Spark but round in DuckDB once L ≥ 21). */
   private val q740 = QueryDef(
     "q740_shannon_code_budget",
     (spark, dir) => {
@@ -96,7 +98,9 @@ object EngineSurfacePlanQueries5 extends QueryGroup {
         .groupBy(col("len"))
         .agg(count(lit(1)).as("n_tokens"), sum(col("f")).as("mass"),
           sum(col("f") * col("len")).as("encoded_bits"),
-          sum(expr("CAST(1048576 / power(2, len) AS BIGINT)"))
+          sum(expr("""CASE WHEN len > 20 THEN CAST(0 AS BIGINT)
+                      ELSE shiftleft(CAST(1 AS BIGINT),
+                                     CAST(20 - len AS INT)) END"""))
             .as("kraft_mu"))
         .orderBy(col("len"))
     },
@@ -115,7 +119,8 @@ object EngineSurfacePlanQueries5 extends QueryGroup {
       SELECT len, CAST(count(*) AS BIGINT) AS n_tokens,
         CAST(sum(f) AS BIGINT) AS mass,
         CAST(sum(f * len) AS BIGINT) AS encoded_bits,
-        CAST(sum(CAST(1048576 / power(2, len) AS BIGINT)) AS BIGINT)
+        CAST(sum(CASE WHEN len > 20 THEN 0
+                      ELSE (CAST(1 AS BIGINT) << (20 - len)) END) AS BIGINT)
           AS kraft_mu
       FROM c GROUP BY len ORDER BY len
     """))

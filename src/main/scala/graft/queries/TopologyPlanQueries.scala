@@ -15,52 +15,18 @@ import graft.Tables
 object TopologyPlanQueries extends QueryGroup {
 
   /** q590's supplier co-purchase backbone (top-quartile co-occurrence
-    * weights), shared by the percolation and rich-club audits. */
-  private def backbone(spark: SparkSession, dir: String): DataFrame = {
-    val pairs = Tables.orders(spark, dir)
-      .filter(col("o_orderdate") >= "1995-01-01" && col("o_orderdate") < "1996-01-01")
-      .select(col("o_orderkey").as("ok"))
-      .join(Tables.lineitem(spark, dir)
-        .select(col("l_orderkey").as("ok"), col("l_suppkey").as("s")), Seq("ok"))
-      .select(col("ok"), col("s")).distinct()
-    val weighted = pairs.as("a").join(pairs.as("b"),
-        col("a.ok") === col("b.ok") && col("a.s") < col("b.s"))
-      .groupBy(col("a.s").as("u"), col("b.s").as("v"))
-      .agg(count(lit(1)).as("w")).persist()
-    val thr = weighted.groupBy(col("w")).agg(count(lit(1)).as("c"))
-      .withColumn("cum", sum(col("c")).over(Window.orderBy(col("w"))
-        .rowsBetween(Window.unboundedPreceding, 0)))
-      .withColumn("np", expr("sum(c) OVER ()"))
-      .filter(expr("cum * 4 >= 3 * np"))
-      .agg(min(col("w")).as("w_thr"))
-    weighted.crossJoin(broadcast(thr))
-      .filter(col("w") >= col("w_thr"))
-      .select(col("u"), col("v")).persist()
-  }
+    * weights), shared by the percolation and rich-club audits — the
+    * memoized graph.Backbone order-year build (one checkpointed
+    * materialization per run across q590/q592/q593). */
+  private def backbone(spark: SparkSession, dir: String): DataFrame =
+    graft.graph.Backbone.orderYearBackbone(spark, dir)
 
-  // pairs/weighted MATERIALIZED: weighted is referenced by thr AND edges,
-  // and DuckDB 1.0 inlines non-materialized CTEs — re-running the pairs
-  // self-join once per reference (part of q592's 32 s sf0.1 oracle creep)
-  private val backboneSql: String = """
-      pairs AS MATERIALIZED (
-        SELECT DISTINCT o.o_orderkey AS ok, l.l_suppkey AS s
-        FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
-        WHERE o.o_orderdate >= TIMESTAMP '1995-01-01'
-          AND o.o_orderdate < TIMESTAMP '1996-01-01'),
-      weighted AS MATERIALIZED (
-        SELECT a.s AS u, b.s AS v, CAST(count(*) AS BIGINT) AS w
-        FROM pairs a JOIN pairs b ON a.ok = b.ok AND a.s < b.s
-        GROUP BY 1, 2),
-      thr AS (
-        SELECT CAST(min(w) AS BIGINT) AS w_thr
-        FROM (SELECT w,
-                sum(c) OVER (ORDER BY w ROWS UNBOUNDED PRECEDING) AS cum,
-                sum(c) OVER () AS np
-              FROM (SELECT w, CAST(count(*) AS BIGINT) AS c
-                    FROM weighted GROUP BY w))
-        WHERE cum * 4 >= 3 * np),
-      edges AS (
-        SELECT u, v FROM weighted CROSS JOIN thr WHERE w >= w_thr)"""
+  /** Oracle mirror: the shared order-year pairs + backbone CTE chain
+    * (graph.Backbone owns the single definition, so the Spark and
+    * DuckDB forms cannot drift). */
+  private val backboneSql: String =
+    s"""${graft.graph.Backbone.pairsOrderYearSql},
+      ${graft.graph.Backbone.backboneSql}"""
 
   // ---------------------------------------------------------------- q591
 

@@ -26,7 +26,11 @@ class EngineBehaviorSpec extends SparkSpec {
       .agg(count(lit(1)), sum(col("o_totalprice"))).collect().head
     assert(m("n") == direct.getLong(0),
       "observed row count diverged from a direct count")
-    assert(m("mass") == direct.getDouble(1))
+    // Observation merges per-task sums in completion order; double
+    // addition is non-associative, so compare with a relative epsilon
+    val mass = m("mass").asInstanceOf[Double]
+    assert(math.abs(mass - direct.getDouble(1)) <=
+      1e-9 * math.max(1.0, math.abs(direct.getDouble(1))))
     // observe sees PRE-filter rows (it sits below the filter): with a
     // positive-price table the two coincide; the point is the metric
     // arrived without a second job
