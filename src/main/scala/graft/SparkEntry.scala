@@ -129,7 +129,8 @@ object SparkEntry {
     EngineSurfacePlanQueries3,
     EngineSurfacePlanQueries4,
     EngineSurfacePlanQueries5,
-    CuratorPlanQueries)
+    CuratorPlanQueries,
+    SuffixDedupQueries)
 
   private lazy val all: Seq[QueryDef] = groups.flatMap(_.defs)
 
