@@ -30,10 +30,14 @@ object AlignmentPlanQueries extends QueryGroup {
     * all-pairs); per-pair offset aggregation is keyed, bounded by the
     * matched-shingle count; the census lands on ≤ ~20 log buckets.
     *
-    * SCALING (round-8 probe): 0.79 s at sf0.01 → 1.85 s at sf0.1 (10×
-    * data, 2.34× time ≈ exponent 0.37) — the shingle explode grows
-    * linearly with the corpus; the df-capped pair set grows slower, so
-    * the slope stays well under linear. */
+    * SCALING (round-12 probe, solo): 1.31 s at sf0.01 → 2.21 s at
+    * sf0.1 (10× data, 1.7× time ≈ exponent 0.23) — the shingle explode
+    * grows linearly with the corpus; the df-capped pair set grows
+    * slower, so the slope stays well under linear. Round-12 moved the
+    * gram digest from md5 to the codegen'd 64-bit xxhash64 (the scale
+    * design this scaladoc always named: 8-byte keys shuffle instead of
+    * 32-char hex, and the hash itself is ~10× cheaper) — 3.7 → 2.2 s
+    * solo at sf0.1; the oracle keeps md5, digests are internal. */
   private val q624 = QueryDef(
     "q624_aligned_span_census",
     (spark, dir) => {
@@ -44,7 +48,7 @@ object AlignmentPlanQueries extends QueryGroup {
         .select(col("doc_id"), explode(expr(
           """transform(sequence(1, size(tk) - 2), i ->
                named_struct('pos', CAST(i AS BIGINT),
-                 'g', md5(concat(tk[i - 1], ' ', tk[i], ' ', tk[i + 1]))))"""))
+                 'g', xxhash64(tk[i - 1], tk[i], tk[i + 1])))"""))
           .as("s"))
         .select(col("doc_id"), col("s.pos").as("pos"), col("s.g").as("g"))
       val rare = sh.groupBy(col("g"))

@@ -23,9 +23,14 @@ object RobustnessPlanQueries extends QueryGroup {
     * KPI this engine reports should also ship its robust twin.
     *
     * Scale shape: corruption is a per-row hash predicate (HIGH bits);
-    * the trimmed mean and median come from cumulative windows over the
-    * exact value histogram (value-resolution-bounded, the q64 class),
-    * never a row sort; the 3-rate grid broadcasts onto the scan. */
+    * the three cut values (p10, median, p90) come from the q582
+    * TWO-PASS decomposition — a 65 536-cent coarse histogram locates
+    * each target's bucket (cumulative windows over BINS, a few
+    * thousand rows), then one filtered re-scan refines at value
+    * resolution inside the ≤ bucket-sized world — never a
+    * row-resolution histogram sort (cents here are near-distinct, so
+    * the old value histogram WAS a row sort: 4.8 s solo at sf0.1,
+    * round-12 probe); the 3-rate grid broadcasts onto the scan. */
   private val q585 = QueryDef(
     "q585_estimator_breakdown_audit",
     (spark, dir) => {
@@ -44,20 +49,42 @@ object RobustnessPlanQueries extends QueryGroup {
         .select(col("rate_ppm"),
           when(expr("u * 1000000 < rate_ppm * 1048576"), col("v") * 100L)
             .otherwise(col("v")).as("w"))
-      val hist = dirty.groupBy(col("rate_ppm"), col("w"))
+      // q582 two-pass order statistics: targets are "min w with
+      // cum*10 >= q*n" for q = 1 (p10), 5 (lower median), 9 (p90) —
+      // pass 1 locates each target's 65 536-cent bucket, pass 2
+      // refines at value resolution inside that one bucket
+      val qgrid = Seq(1L, 5L, 9L).toDF("q")
+      val coarse = dirty.groupBy(col("rate_ppm"), expr("w div 65536").as("bin"))
         .agg(count(lit(1)).as("c"))
         .withColumn("cum", sum(col("c")).over(
-          Window.partitionBy(col("rate_ppm")).orderBy(col("w"))
+          Window.partitionBy(col("rate_ppm")).orderBy(col("bin"))
             .rowsBetween(Window.unboundedPreceding, 0)))
         .withColumn("n", sum(col("c")).over(Window.partitionBy(col("rate_ppm"))))
-      val med = hist.filter(expr("cum * 2 >= n"))
-        .groupBy(col("rate_ppm")).agg(min(col("w")).as("median_v"))
-      // 10%-trimmed: drop the histogram mass outside [p10, p90] cutoffs,
+      val target = coarse.crossJoin(broadcast(qgrid))
+        .filter(expr("cum * 10 >= q * n"))
+        .groupBy(col("rate_ppm"), col("q"))
+        .agg(min(struct(col("bin"), (col("cum") - col("c")).as("rows_before"),
+          col("n"))).as("t"))
+        .select(col("rate_ppm"), col("q"), col("t.bin").as("tbin"),
+          col("t.rows_before").as("rows_before"), col("t.n").as("n"))
+      val cuts = dirty
+        .join(broadcast(target), Seq("rate_ppm"))
+        .filter(expr("w div 65536 = tbin"))
+        .groupBy(col("rate_ppm"), col("q"), col("rows_before"), col("n"), col("w"))
+        .agg(count(lit(1)).as("vc"))
+        .withColumn("vcum", sum(col("vc")).over(
+          Window.partitionBy(col("rate_ppm"), col("q")).orderBy(col("w"))
+            .rowsBetween(Window.unboundedPreceding, 0)))
+        .filter(expr("(rows_before + vcum) * 10 >= q * n"))
+        .groupBy(col("rate_ppm"), col("q")).agg(min(col("w")).as("cut_v"))
+      val med = cuts.filter(col("q") === 5L)
+        .select(col("rate_ppm"), col("cut_v").as("median_v"))
+      // 10%-trimmed: drop the mass outside [p10, p90] cutoffs,
       // bin-granular (boundary values kept whole — documented rounding)
-      val lo = hist.filter(expr("cum * 10 >= n"))
-        .groupBy(col("rate_ppm")).agg(min(col("w")).as("lo_v"))
-      val hi = hist.filter(expr("cum * 10 >= 9 * n"))
-        .groupBy(col("rate_ppm")).agg(min(col("w")).as("hi_v"))
+      val lo = cuts.filter(col("q") === 1L)
+        .select(col("rate_ppm"), col("cut_v").as("lo_v"))
+      val hi = cuts.filter(col("q") === 9L)
+        .select(col("rate_ppm"), col("cut_v").as("hi_v"))
       val trimmed = dirty.join(lo, Seq("rate_ppm")).join(hi, Seq("rate_ppm"))
         .filter(col("w") >= col("lo_v") && col("w") <= col("hi_v"))
         .groupBy(col("rate_ppm")).agg(expr("sum(w) div count(1)").as("trimmed_mean"))
