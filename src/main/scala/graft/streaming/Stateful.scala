@@ -2,8 +2,9 @@ package graft.streaming
 
 import org.apache.spark.sql.{DataFrame, Dataset, Encoders}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode,
-  StatefulProcessor, TimeMode, TimerValues, TTLConfig, ValueState}
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, ListState,
+  MapState, OutputMode, StatefulProcessor, TimeMode, TimerValues, TTLConfig,
+  ValueState}
 
 /** Stateful streaming operators beyond the reference's windowed
   * aggregation (SURVEY.md §2.6 W8 notes these as the available-if-needed
@@ -109,5 +110,79 @@ object Stateful {
     orders.selectExpr("user_id", "total_amount").as[(String, Double)]
       .groupByKey(_._1)
       .transformWithState(new RunningTotalProcessor, TimeMode.None(), OutputMode.Update())
+  }
+
+  final case class ActivitySnapshot(user_id: String, n_orders: Long,
+                                    recent_kept: Long, recent_sum_cents: Long,
+                                    n_types: Long, type_total: Long)
+
+  /** The full Spark 4 state-v2 variable surface in one processor — the
+    * three typed state shapes a real migration off
+    * (flat)mapGroupsWithState reaches for:
+    *
+    *  - `ValueState[Long]`  "count"  — lifetime order count, optionally
+    *    TTL'd (processing-time expiry; the "forget inactive users
+    *    without a timer per key" shape);
+    *  - `ListState[Long]`   "recent" — the last `recentCap` amounts in
+    *    cents, trimmed on every batch (bounded by construction — the
+    *    state-store analogue of a ring buffer);
+    *  - `MapState[String, Long]` "types" — per-event-type counts (a
+    *    keyed sub-aggregate INSIDE the key's state, which a ValueState
+    *    of a map would rewrite wholesale on every update).
+    *
+    * Emits one snapshot per touched user per batch. */
+  class UserActivityProcessor(recentCap: Int, countTtl: Option[java.time.Duration])
+      extends StatefulProcessor[String, (String, String, Long), ActivitySnapshot] {
+    @transient private var count: ValueState[Long] = _
+    @transient private var recent: ListState[Long] = _
+    @transient private var types: MapState[String, Long] = _
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit = {
+      val ttl = countTtl.map(TTLConfig(_)).getOrElse(TTLConfig.NONE)
+      count = getHandle.getValueState[Long]("count", Encoders.scalaLong, ttl)
+      recent = getHandle.getListState[Long]("recent", Encoders.scalaLong, TTLConfig.NONE)
+      types = getHandle.getMapState[String, Long](
+        "types", Encoders.STRING, Encoders.scalaLong, TTLConfig.NONE)
+    }
+    override def handleInputRows(key: String, rows: Iterator[(String, String, Long)],
+                                 timerValues: TimerValues): Iterator[ActivitySnapshot] = {
+      val batch = rows.toSeq
+      val n = (if (count.exists()) count.get() else 0L) + batch.size
+      count.update(n)
+      val kept = (recent.get().toSeq ++ batch.map(_._3)).takeRight(recentCap)
+      recent.put(kept.toArray)
+      batch.groupBy(_._2).foreach { case (t, xs) =>
+        val prev = if (types.containsKey(t)) types.getValue(t) else 0L
+        types.updateValue(t, prev + xs.size)
+      }
+      val typePairs = types.iterator().toSeq
+      Iterator.single(ActivitySnapshot(key, n, kept.size.toLong, kept.sum,
+        typePairs.size.toLong, typePairs.map(_._2).sum))
+    }
+  }
+
+  /** Per-user activity snapshots over (user_id, event_type,
+    * amount_cents) rows via transformWithState with all three state-v2
+    * variable types; `countTtl` puts a processing-time TTL on the
+    * lifetime counter only. RocksDB re-pinned exactly as
+    * [[runningTotals]] (transformWithState supports only RocksDB). */
+  def userActivity(events: DataFrame, recentCap: Int = 3,
+                   countTtl: Option[java.time.Duration] = None): Dataset[ActivitySnapshot] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    // changelog checkpointing: commit appends a changelog instead of
+    // uploading a full RocksDB snapshot per partition per batch — the
+    // production configuration for any non-trivial state size
+    spark.conf.set(
+      "spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled", "true")
+    // TTL requires processing-time semantics; without TTL, TimeMode.None
+    // skips the timer column families entirely
+    val mode = if (countTtl.isDefined) TimeMode.ProcessingTime() else TimeMode.None()
+    events.selectExpr("user_id", "event_type", "amount_cents")
+      .as[(String, String, Long)]
+      .groupByKey(_._1)
+      .transformWithState(new UserActivityProcessor(recentCap, countTtl), mode,
+        OutputMode.Update())
   }
 }

@@ -103,6 +103,92 @@ class StatefulStreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  case class Act(user_id: String, event_type: String, amount_cents: Long)
+
+  test("state-v2: ValueState + ListState + MapState all survive a " +
+    "stop → restart from the same checkpoint") {
+    import spark.implicits._
+    import graft.streaming.Stateful.ActivitySnapshot
+    val cp = java.nio.file.Files.createTempDirectory("graft-sv2-cp").toString
+    val prev = spark.conf.get("spark.sql.streaming.stateStore.providerClass")
+    val input = MemoryStream[Act](spark)
+    // memory sink cannot recover a checkpoint (update mode); foreachBatch
+    // can — collect every emitted snapshot
+    val buf = new java.util.concurrent.ConcurrentLinkedQueue[ActivitySnapshot]()
+    def start() = Stateful.userActivity(input.toDF(), recentCap = 3)
+      .writeStream
+      .foreachBatch((df: org.apache.spark.sql.Dataset[ActivitySnapshot], _: Long) =>
+        df.collect().foreach(buf.add))
+      .option("checkpointLocation", cp).outputMode("update").start()
+    try {
+      val q1 = start()
+      try {
+        input.addData(Act("u1", "view", 100L), Act("u1", "view", 200L),
+          Act("u1", "purchase", 1000L), Act("u2", "view", 7L))
+        q1.processAllAvailable()
+      } finally q1.stop()
+
+      // restart from the SAME checkpoint: every state variable must
+      // come back — the counter, the trimmed list, and the type map
+      val q2 = start()
+      try {
+        input.addData(Act("u1", "purchase", 3000L))
+        q2.processAllAvailable()
+        val u1 = buf.toArray(Array.empty[ActivitySnapshot])
+          .filter(_.user_id == "u1").maxBy(_.n_orders)
+        assert(u1.n_orders === 4L, "ValueState count must include pre-restart batches")
+        assert(u1.recent_kept === 3L, "ListState must stay trimmed to the cap")
+        assert(u1.recent_sum_cents === 200L + 1000L + 3000L,
+          "ListState must hold the last 3 amounts across the restart")
+        assert(u1.n_types === 2L, "MapState must still know both event types")
+        assert(u1.type_total === 4L, "MapState totals must include pre-restart counts")
+      } finally q2.stop()
+    } finally spark.conf.set("spark.sql.streaming.stateStore.providerClass", prev)
+  }
+
+  test("state-v2 TTL: the TTL'd ValueState expires while the non-TTL " +
+    "list and map states persist") {
+    import spark.implicits._
+    import graft.streaming.Stateful.ActivitySnapshot
+    val prev = spark.conf.get("spark.sql.streaming.stateStore.providerClass")
+    val input = MemoryStream[Act](spark)
+    val buf = new java.util.concurrent.ConcurrentLinkedQueue[ActivitySnapshot]()
+    // TTL ⇒ TimeMode.ProcessingTime ⇒ the operator requests a batch after
+    // EVERY batch (to advance expiry), so noNewData never latches and
+    // processAllAvailable would block forever — poll the sink instead
+    def await(cond: => Boolean): Unit = {
+      val deadline = System.nanoTime() + 60L * 1000 * 1000 * 1000
+      while (!cond) {
+        assert(System.nanoTime() < deadline, "timed out waiting for a snapshot")
+        Thread.sleep(50)
+      }
+    }
+    val q = Stateful.userActivity(input.toDF(), recentCap = 5,
+        countTtl = Some(java.time.Duration.ofMillis(300)))
+      .writeStream
+      .foreachBatch((df: org.apache.spark.sql.Dataset[ActivitySnapshot], _: Long) =>
+        df.collect().foreach(buf.add))
+      .outputMode("update").start()
+    try {
+      input.addData(Act("u1", "view", 10L))
+      await(buf.size() >= 1)
+      Thread.sleep(1500) // processing time passes the 300 ms TTL
+      input.addData(Act("u1", "purchase", 20L))
+      await(buf.size() >= 2)
+      val last = buf.toArray(Array.empty[ActivitySnapshot])
+        .maxBy(_.recent_sum_cents) // sums grow monotonically: 10 then 30
+      assert(last.n_orders === 1L,
+        "the TTL'd counter must have expired between the batches")
+      assert(last.recent_kept === 2L && last.recent_sum_cents === 30L,
+        "the non-TTL ListState must retain both amounts")
+      assert(last.n_types === 2L && last.type_total === 2L,
+        "the non-TTL MapState must retain both event types")
+    } finally {
+      q.stop()
+      spark.conf.set("spark.sql.streaming.stateStore.providerClass", prev)
+    }
+  }
+
   test("transformWithState keeps per-key running totals across batches") {
     import spark.implicits._
     // graft pins the reference's HDFS-backed provider globally;
