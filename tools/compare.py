@@ -96,6 +96,14 @@ def main(out_dir, sf_dir):
     budget = ORACLE_BUDGET_S
     if "--budget" in sys.argv:
         budget = float(sys.argv[sys.argv.index("--budget") + 1])
+    # --budget-out FILE: dump the slowest-10 oracle wall times (plus every
+    # >50% warning) so per-round artifacts make oracle-cost creep visible
+    # round-over-round instead of resurfacing as a gate timeout (the q691
+    # incident class)
+    budget_out = None
+    if "--budget-out" in sys.argv:
+        budget_out = sys.argv[sys.argv.index("--budget-out") + 1]
+    oracle_times = {}
     for name, sql in sorted(oracle.items()):
         files = glob.glob(f"{out_dir}/{name}/*.parquet")
         if not files:
@@ -113,6 +121,7 @@ def main(out_dir, sf_dir):
                       f"{wide} — CAST the final expression(s) AS BIGINT")
                 failed.append(name); continue
             o_cols, o_rows, took = run_budgeted(con, sql, budget)
+            oracle_times[name] = round(took, 3)
             if took > budget * 0.5:
                 print(f"WARN {name}: oracle took {took:.1f}s "
                       f"(>{budget * 0.5:.0f}s, budget {budget:.0f}s)")
@@ -155,6 +164,19 @@ def main(out_dir, sf_dir):
             failed.append(name); continue
         print(f"PASS {name} ({len(o_rows)} rows)")
     print(f"\n{len(oracle)-len(failed)}/{len(oracle)} passed")
+    if budget_out is not None:
+        slowest = sorted(oracle_times.items(), key=lambda kv: -kv[1])[:10]
+        with open(budget_out, "w") as f:
+            json.dump({
+                "sf_dir": sf_dir,
+                "budget_s": budget,
+                "n_oracles_timed": len(oracle_times),
+                "total_oracle_s": round(sum(oracle_times.values()), 3),
+                "warned_over_half_budget": sorted(
+                    n for n, t in oracle_times.items() if t > budget * 0.5),
+                "slowest10": [{"query": n, "oracle_s": t} for n, t in slowest],
+            }, f, indent=1)
+        print(f"budget report -> {budget_out}")
     return 1 if failed else 0
 
 if __name__ == "__main__":
