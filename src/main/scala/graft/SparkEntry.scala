@@ -130,7 +130,9 @@ object SparkEntry {
     EngineSurfacePlanQueries4,
     EngineSurfacePlanQueries5,
     CuratorPlanQueries,
-    SuffixDedupQueries)
+    SuffixDedupQueries,
+    EngineSurfacePlanQueries6,
+    MatcherPlanQueries)
 
   private lazy val all: Seq[QueryDef] = groups.flatMap(_.defs)
 

@@ -1,0 +1,94 @@
+package graft.queries
+
+import graft.Tables
+
+/** Round-12 engine surface: Spark 4's recursive CTE (`WITH RECURSIVE`,
+  * new in Spark 4.0) driving a genuinely sequential computation — the
+  * class of logic (state feeding nonlinearly into the next step) that
+  * windows cannot express and that the repo's unrolled-loop queries
+  * (q374/q402/q477) hand-build; the recursion is the declarative form.
+  */
+object EngineSurfacePlanQueries6 extends QueryGroup {
+
+  // ---------------------------------------------------------------- q745
+
+  /** Recursive-CTE inventory simulation: monthly 1995 demand folds from
+    * lineitem; stock starts at 2× average monthly demand; each month
+    * ships min(stock, demand), loses the shortfall, and places a
+    * 2×-average reorder (arriving next month) whenever the month ends
+    * below one average. The carryover is max/min/CASE on the previous
+    * month's state — NOT window-expressible — so the 12-step recursion
+    * is the honest declarative form, and a LINEAR one (one row per
+    * step; no walk explosion, the trap that makes recursive closure on
+    * a cyclic graph blow up under UNION ALL).
+    *
+    * Scale shape: the one corpus-scale operation is the demand fold
+    * (map-side combined group-by to 12 rows); the recursion iterates
+    * 12 times over one row joined to the 12-row demand CTE. At 100 TB
+    * the recursion cost is unchanged — it is dimension-sized by
+    * construction. */
+  private val q745 = QueryDef(
+    "q745_recursive_inventory_sim",
+    (spark, dir) => {
+      Tables.lineitem(spark, dir).createOrReplaceTempView("graft_q745_li")
+      spark.sql("""
+        WITH RECURSIVE
+        demand AS (
+          SELECT CAST(month(l_shipdate) AS BIGINT) AS m,
+            CAST(sum(CAST(floor(l_quantity + 0.5) AS BIGINT)) AS BIGINT) AS d
+          FROM graft_q745_li
+          WHERE l_shipdate >= TIMESTAMP '1995-01-01'
+            AND l_shipdate < TIMESTAMP '1996-01-01'
+          GROUP BY 1),
+        init AS (SELECT CAST(sum(d) div 12 AS BIGINT) AS avg_d FROM demand),
+        rec(m, stock_start, shipped, lost, stock_end, on_order) AS (
+          SELECT CAST(0 AS BIGINT), CAST(0 AS BIGINT), CAST(0 AS BIGINT),
+                 CAST(0 AS BIGINT), 2 * avg_d, CAST(0 AS BIGINT)
+          FROM init
+          UNION ALL
+          SELECT d.m,
+            r.stock_end + r.on_order,
+            least(r.stock_end + r.on_order, d.d),
+            d.d - least(r.stock_end + r.on_order, d.d),
+            r.stock_end + r.on_order - least(r.stock_end + r.on_order, d.d),
+            CASE WHEN r.stock_end + r.on_order
+                      - least(r.stock_end + r.on_order, d.d) < i.avg_d
+                 THEN i.avg_d * 2 ELSE CAST(0 AS BIGINT) END
+          FROM rec r JOIN demand d ON d.m = r.m + 1 CROSS JOIN init i
+          WHERE r.m < 12)
+        SELECT m, stock_start, shipped, lost, stock_end, on_order
+        FROM rec WHERE m >= 1 ORDER BY m
+      """)
+    },
+    Some("""
+      WITH RECURSIVE
+      demand AS MATERIALIZED (
+        SELECT CAST(month(l_shipdate) AS BIGINT) AS m,
+          CAST(sum(CAST(floor(l_quantity + 0.5) AS BIGINT)) AS BIGINT) AS d
+        FROM lineitem
+        WHERE l_shipdate >= TIMESTAMP '1995-01-01'
+          AND l_shipdate < TIMESTAMP '1996-01-01'
+        GROUP BY 1),
+      init AS MATERIALIZED (
+        SELECT CAST(sum(d) // 12 AS BIGINT) AS avg_d FROM demand),
+      rec(m, stock_start, shipped, lost, stock_end, on_order) AS (
+        SELECT CAST(0 AS BIGINT), CAST(0 AS BIGINT), CAST(0 AS BIGINT),
+               CAST(0 AS BIGINT), 2 * avg_d, CAST(0 AS BIGINT)
+        FROM init
+        UNION ALL
+        SELECT d.m,
+          r.stock_end + r.on_order,
+          least(r.stock_end + r.on_order, d.d),
+          d.d - least(r.stock_end + r.on_order, d.d),
+          r.stock_end + r.on_order - least(r.stock_end + r.on_order, d.d),
+          CASE WHEN r.stock_end + r.on_order
+                    - least(r.stock_end + r.on_order, d.d) < i.avg_d
+               THEN i.avg_d * 2 ELSE CAST(0 AS BIGINT) END
+        FROM rec r JOIN demand d ON d.m = r.m + 1 CROSS JOIN init i
+        WHERE r.m < 12)
+      SELECT m, stock_start, shipped, lost, stock_end, on_order
+      FROM rec WHERE m >= 1 ORDER BY m
+    """))
+
+  override def defs: Seq[QueryDef] = Seq(q745)
+}

@@ -370,5 +370,114 @@ object SuffixDedupQueries extends QueryGroup {
       ORDER BY t.source
     """))
 
-  override def defs: Seq[QueryDef] = Seq(q742, q743, q744)
+  // ---------------------------------------------------------------- q748
+
+  /** Cross-source repeat leakage: which source PAIRS share a maximal
+    * repeat — benchmark/eval contamination at substring granularity
+    * (q230 sees whole-doc and shingle-set overlap; this names the
+    * shared verbatim spans). Per unordered source pair: the distinct
+    * shared repeats and their token mass.
+    *
+    * Scale shape: runs entirely on the memoized maxdig fold (repeat
+    * inventory, corpus-bounded by candidacy); the pair join is keyed on
+    * the repeat digest, whose per-digest source list is bounded by the
+    * source dimension — never a document pair join. */
+  private val q748 = QueryDef(
+    "q748_repeat_source_leakage",
+    (spark, dir) => {
+      val (_, _, _, _, maxdig) = repeatFrames(spark, dir)
+      val bySrc = maxdig.select(col("source"), col("dig"), col("len_p")).distinct()
+      bySrc.as("a").join(bySrc.as("b"),
+          col("a.dig") === col("b.dig") && col("a.source") < col("b.source"))
+        .select(col("a.source").as("src_a"), col("b.source").as("src_b"),
+          col("a.dig").as("dig"), col("a.len_p").as("len_p"))
+        .distinct()
+        .groupBy(col("src_a"), col("src_b"))
+        .agg(count(lit(1)).as("n_shared_repeats"),
+          sum(col("len_p")).as("leaked_tokens"),
+          max(col("len_p")).as("longest_shared"))
+        .orderBy(col("src_a"), col("src_b"))
+    },
+    Some(s"""
+      WITH $repeatSql,
+      by_src AS (SELECT DISTINCT source, dig, len_p FROM maxdig),
+      pairs AS (
+        SELECT DISTINCT a.source AS src_a, b.source AS src_b, a.dig, a.len_p
+        FROM by_src a JOIN by_src b
+          ON a.dig = b.dig AND a.source < b.source)
+      SELECT src_a, src_b, CAST(count(*) AS BIGINT) AS n_shared_repeats,
+        CAST(sum(len_p) AS BIGINT) AS leaked_tokens,
+        CAST(max(len_p) AS BIGINT) AS longest_shared
+      FROM pairs GROUP BY src_a, src_b
+      ORDER BY src_a, src_b
+    """))
+
+  // ---------------------------------------------------------------- q750
+
+  /** Dedup impact projection: what the variable-span deletion pass
+    * would DO to each source before anyone runs it — tokens before and
+    * after deleting every duplicated span, the per-source deletion
+    * share, and the documents the pass would gut below a 10-token floor
+    * (candidates for whole-doc drop instead of span surgery). The
+    * what-if readout a curator reads before committing a dedup run at
+    * 100 TB.
+    *
+    * Scale shape: per-document span-union coverage via the doc-keyed
+    * window (bounded by document length) over the memoized lenp fold;
+    * everything after is a source-keyed rollup. */
+  private val q750 = QueryDef(
+    "q750_dedup_impact_projection",
+    (spark, dir) => {
+      val (tk, tot, lenp, _, _) = repeatFrames(spark, dir)
+      val wDoc = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+      val docCov = lenp
+        .withColumn("end", col("pos") + col("len_p") - 1L)
+        .withColumn("prev_end", max(col("end"))
+          .over(wDoc.rowsBetween(Window.unboundedPreceding, -1)))
+        .select(col("doc_id"), greatest(lit(0L),
+          col("end") - greatest(coalesce(col("prev_end"), lit(0L)),
+            col("pos") - 1L)).as("covered"))
+        .groupBy(col("doc_id")).agg(sum(col("covered")).as("cov"))
+      val perDoc = tk
+        .select(col("doc_id"), col("source"), size(col("tk")).cast("long").as("n_tok"))
+        .join(docCov, Seq("doc_id"), "left")
+        .select(col("source"), col("n_tok"),
+          coalesce(col("cov"), lit(0L)).as("cov"))
+      perDoc.groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_tok")).as("tokens_before"),
+          sum(col("n_tok") - col("cov")).as("tokens_after"),
+          sum(when(col("n_tok") - col("cov") < 10L, 1L).otherwise(0L))
+            .as("docs_below_floor"))
+        .withColumn("deleted_ppm",
+          expr("(tokens_before - tokens_after) * 1000000 div tokens_before"))
+        .orderBy(col("source"))
+    },
+    Some(s"""
+      WITH $repeatSql,
+      doc_cov AS (
+        SELECT doc_id, CAST(sum(covered) AS BIGINT) AS cov
+        FROM (
+          SELECT doc_id,
+            greatest(0, (pos + len_p - 1) - greatest(coalesce(
+              max(pos + len_p - 1) OVER (PARTITION BY doc_id ORDER BY pos
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0), pos - 1))
+              AS covered
+          FROM lenp)
+        GROUP BY doc_id),
+      per_doc AS (
+        SELECT t.source, CAST(len(t.tk) AS BIGINT) AS n_tok,
+          coalesce(c.cov, 0) AS cov
+        FROM tk t LEFT JOIN doc_cov c USING (doc_id))
+      SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+        CAST(sum(n_tok) AS BIGINT) AS tokens_before,
+        CAST(sum(n_tok - cov) AS BIGINT) AS tokens_after,
+        CAST(sum(CASE WHEN n_tok - cov < 10 THEN 1 ELSE 0 END) AS BIGINT)
+          AS docs_below_floor,
+        CAST((sum(n_tok) - sum(n_tok - cov)) * 1000000 // sum(n_tok)
+          AS BIGINT) AS deleted_ppm
+      FROM per_doc GROUP BY source ORDER BY source
+    """))
+
+  override def defs: Seq[QueryDef] = Seq(q742, q743, q744, q748, q750)
 }

@@ -1,0 +1,104 @@
+package graft
+
+import org.apache.spark.sql.Row
+
+/** Semantic invariants for the round-12 batch-2 queries (q745–q750)
+  * beyond the DuckDB hash gate: conservation laws the numbers must obey
+  * whatever the data says. */
+class Round12OpsSpec extends SparkSpec {
+
+  private val sfDir = "/root/testdata/sf0.01"
+  private def run(name: String) = SparkEntry.queries(name)(spark, sfDir).collect()
+
+  test("q745: the recursion conserves stock — every month's start equals " +
+    "the prior end plus the arriving reorder, nothing goes negative") {
+    val rows = run("q745_recursive_inventory_sim")
+      .map(r => (r.getAs[Long]("m"), r.getAs[Long]("stock_start"),
+        r.getAs[Long]("shipped"), r.getAs[Long]("lost"),
+        r.getAs[Long]("stock_end"), r.getAs[Long]("on_order"))).sortBy(_._1)
+    assert(rows.length == 12 && rows.map(_._1).toSeq == (1L to 12L))
+    for ((m, start, shipped, lost, end, _) <- rows) {
+      assert(start >= 0 && shipped >= 0 && lost >= 0 && end >= 0, s"month $m")
+      assert(end == start - shipped, s"month $m: stock must balance")
+      assert(shipped <= start, s"month $m: cannot ship more than held")
+    }
+    for (((_, _, _, _, end, onOrder), (_, start2, _, _, _, _)) <- rows.zip(rows.tail))
+      assert(start2 == end + onOrder,
+        "next month must start at prior end + arriving reorder")
+  }
+
+  test("q746: phrase hits exist, respect doc multiplicity, and every " +
+    "reported phrase is from the dictionary") {
+    val dict = Set("hash join", "table scan", "sort merge join",
+      "slow query", "fast vector scan")
+    val rows = run("q746_blocklist_phrase_match")
+    assert(rows.nonEmpty, "2-token phrases over this vocabulary must hit")
+    for (r <- rows) {
+      assert(dict.contains(r.getAs[String]("phrase")))
+      assert(r.getAs[Long]("n_docs") <= r.getAs[Long]("n_hits"))
+      assert(r.getAs[Long]("n_docs") >= 1L)
+    }
+    assert(rows.exists(_.getAs[String]("phrase") == "hash join"),
+      "the highest-frequency bigram phrase must appear")
+  }
+
+  test("q747: grid refinement can only split cells — n_fine ≥ n_coarse, " +
+    "both bounded by the vector count") {
+    for (r <- run("q747_box_counting_dimension")) {
+      val (nv, nc, nf) = (r.getAs[Long]("n_vectors"),
+        r.getAs[Long]("n_coarse"), r.getAs[Long]("n_fine"))
+      assert(nc <= nf, "halving the cell width cannot merge cells")
+      assert(nf <= nv && nc <= nv)
+      assert(r.getAs[Long]("refine_ratio_ppm") >= 1000000L)
+    }
+  }
+
+  test("q748: leakage pairs are canonical and mass-consistent with the " +
+    "K=8 repeat floor and M=24 cap") {
+    for (r <- run("q748_repeat_source_leakage")) {
+      assert(r.getAs[String]("src_a") < r.getAs[String]("src_b"))
+      val n = r.getAs[Long]("n_shared_repeats")
+      val mass = r.getAs[Long]("leaked_tokens")
+      assert(mass >= n * 8 && mass <= n * 24,
+        "every shared repeat is 8..24 tokens by construction")
+      assert(r.getAs[Long]("longest_shared") <= 24L)
+    }
+  }
+
+  test("q749: every non-terminal prefix has a child, and terminals sum " +
+    "to the ≤6-char vocabulary") {
+    val rows = run("q749_trie_fanout_census").map(r =>
+      (r.getAs[Long]("d"), r.getAs[Long]("n_nodes"),
+        r.getAs[Long]("n_terminals"), r.getAs[Long]("n_child"))).sortBy(_._1)
+    assert(rows.map(_._1).toSeq == (1L to 6L))
+    for ((d, nodes, terms, child) <- rows if d < 6)
+      assert(child >= nodes - terms,
+        s"depth $d: each of the ${nodes - terms} non-terminal prefixes " +
+          "must contribute at least one depth-(d+1) node")
+    import org.apache.spark.sql.functions._
+    val vocabLe6 = Tables.documents(spark, sfDir)
+      .select(explode(split(col("text"), " ")).as("w"))
+      .filter(length(col("w")).between(1, 6))
+      .select(col("w")).distinct().count()
+    assert(rows.map(_._3).sum == vocabLe6,
+      "terminals across depths 1..6 must enumerate the ≤6-char vocabulary")
+  }
+
+  test("q750: deletion conserves tokens and matches q742's per-source " +
+    "coverage exactly") {
+    val impact = run("q750_dedup_impact_projection")
+      .map(r => r.getAs[String]("source") ->
+        (r.getAs[Long]("tokens_before"), r.getAs[Long]("tokens_after"))).toMap
+    val census = run("q742_maximal_repeat_census")
+      .map(r => r.getAs[String]("source") ->
+        (r.getAs[Long]("tokens"), r.getAs[Long]("dup_tokens"))).toMap
+    assert(impact.keySet == census.keySet)
+    for ((src, (before, after)) <- impact) {
+      val (tokens, dup) = census(src)
+      assert(before == tokens, s"$src: totals must agree with q742")
+      assert(before - after == dup,
+        s"$src: deleted mass must equal q742's span coverage")
+      assert(after >= 0 && after <= before)
+    }
+  }
+}
