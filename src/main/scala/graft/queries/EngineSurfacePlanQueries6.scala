@@ -90,5 +90,74 @@ object EngineSurfacePlanQueries6 extends QueryGroup {
       FROM rec WHERE m >= 1 ORDER BY m
     """))
 
-  override def defs: Seq[QueryDef] = Seq(q745)
+  // ---------------------------------------------------------------- q751
+
+  /** SQL-defined functions (Spark 4 `CREATE FUNCTION ... RETURN`):
+    * a scalar UDF (`graft_band`: log₂ price band via the exact bin()
+    * bit-length trick) and a TABLE function (`graft_band_bounds`: the
+    * [2^(b−1), 2^b) boundary table, generated — not stored) drive an
+    * order-value band census. The point is the abstraction is FREE:
+    * SQL UDFs inline into the plan and stay inside whole-stage codegen
+    * (unlike a JVM/Python UDF, which walls off the operator), so the
+    * reusable definition costs nothing at 100 TB. DuckDB's twin is
+    * `CREATE MACRO` / `CREATE MACRO ... AS TABLE`; the gate oracle
+    * inlines the same expressions (compare.py DESCRIBEs the oracle, so
+    * it must stay a single statement).
+    *
+    * Scale shape: one orders scan folding to ≤ ~40 band rows; the
+    * bounds table is generated (≤ 62 rows) and broadcast. */
+  private val q751 = QueryDef(
+    "q751_sql_udf_band_census",
+    (spark, dir) => {
+      Tables.orders(spark, dir).createOrReplaceTempView("graft_q751_ord")
+      spark.sql("""CREATE OR REPLACE TEMPORARY FUNCTION graft_band(v BIGINT)
+        RETURNS BIGINT RETURN CAST(length(bin(v)) AS BIGINT)""")
+      spark.sql("""CREATE OR REPLACE TEMPORARY FUNCTION graft_share_ppm(
+        a BIGINT, b BIGINT) RETURNS BIGINT RETURN a * 1000000 div b""")
+      spark.sql("""CREATE OR REPLACE TEMPORARY FUNCTION graft_band_bounds(
+          maxb BIGINT) RETURNS TABLE(band BIGINT, lo BIGINT, hi BIGINT)
+        RETURN SELECT i AS band,
+          shiftleft(CAST(1 AS BIGINT), CAST(i - 1 AS INT)) AS lo,
+          shiftleft(CAST(1 AS BIGINT), CAST(i AS INT)) - 1 AS hi
+        FROM (SELECT explode(sequence(CAST(1 AS BIGINT), maxb)) AS i)""")
+      spark.sql("""
+        WITH cents AS (
+          SELECT CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS v
+          FROM graft_q751_ord),
+        census AS (
+          SELECT graft_band(v) AS band, CAST(count(*) AS BIGINT) AS n,
+            CAST(sum(v) AS BIGINT) AS mass
+          FROM cents GROUP BY 1),
+        tot AS (SELECT CAST(sum(n) AS BIGINT) AS nt FROM census)
+        SELECT c.band, b.lo AS band_lo_cents, b.hi AS band_hi_cents,
+          c.n, c.mass, graft_share_ppm(c.n, t.nt) AS share_ppm
+        FROM census c JOIN graft_band_bounds(CAST(62 AS BIGINT)) b
+          ON b.band = c.band
+        CROSS JOIN tot t
+        ORDER BY c.band
+      """)
+    },
+    Some("""
+      WITH cents AS (
+        SELECT CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS v
+        FROM orders),
+      census AS (
+        SELECT CAST(len(bin(v)) AS BIGINT) AS band,
+          CAST(count(*) AS BIGINT) AS n, CAST(sum(v) AS BIGINT) AS mass
+        FROM cents GROUP BY 1),
+      bounds AS (
+        SELECT CAST(i AS BIGINT) AS band,
+          CAST(1 AS BIGINT) << CAST(i - 1 AS INTEGER) AS lo,
+          (CAST(1 AS BIGINT) << CAST(i AS INTEGER)) - 1 AS hi
+        FROM (SELECT unnest(range(1, 63)) AS i)),
+      tot AS (SELECT CAST(sum(n) AS BIGINT) AS nt FROM census)
+      SELECT c.band, b.lo AS band_lo_cents, b.hi AS band_hi_cents,
+        c.n, c.mass,
+        CAST(c.n * 1000000 // t.nt AS BIGINT) AS share_ppm
+      FROM census c JOIN bounds b ON b.band = c.band
+      CROSS JOIN tot t
+      ORDER BY c.band
+    """))
+
+  override def defs: Seq[QueryDef] = Seq(q745, q751)
 }

@@ -89,6 +89,9 @@ class QueriesSmokeSpec extends SparkSpec {
     // ONE-ROW global share map; q740 folds the vocab against the
     // broadcast one-row corpus total
     "q733_map_lang_drift", "q740_shannon_code_budget",
+    // round-12: q751 crosses the ≤40-row band census against the
+    // broadcast ONE-ROW total for the share denominator
+    "q751_sql_udf_band_census",
     "q216_survival_life_table",
     "q25_knn_bruteforce", "q32_ivf_ann_topk", "q50_lsh_ann_topk",
     "q64_quality_threshold", "q72_time_decay", "q82_decile_binning",

@@ -84,6 +84,24 @@ class Round12OpsSpec extends SparkSpec {
       "terminals across depths 1..6 must enumerate the ≤6-char vocabulary")
   }
 
+  test("q751: SQL UDFs inline — no JVM-UDF wall in the plan — and the " +
+    "band law n·lo ≤ mass ≤ n·hi holds with shares summing to ~1e6") {
+    val df = SparkEntry.queries("q751_sql_udf_band_census")(spark, sfDir)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("BatchEvalPython") && !plan.contains("ScalaUDF"),
+      "a SQL-defined function must inline into the plan, not wall it off")
+    val rows = df.collect()
+    for (r <- rows) {
+      val (lo, hi, n, mass) = (r.getAs[Long]("band_lo_cents"),
+        r.getAs[Long]("band_hi_cents"), r.getAs[Long]("n"), r.getAs[Long]("mass"))
+      assert(n * lo <= mass && mass <= n * hi,
+        s"band [$lo,$hi]: mass $mass must sit inside the band envelope")
+    }
+    val shares = rows.map(_.getAs[Long]("share_ppm")).sum
+    assert(shares > 999900L && shares <= 1000000L,
+      s"floor-divided shares must sum to just under 1e6, got $shares")
+  }
+
   test("q750: deletion conserves tokens and matches q742's per-source " +
     "coverage exactly") {
     val impact = run("q750_dedup_impact_projection")
