@@ -132,7 +132,8 @@ object SparkEntry {
     CuratorPlanQueries,
     SuffixDedupQueries,
     EngineSurfacePlanQueries6,
-    MatcherPlanQueries)
+    MatcherPlanQueries,
+    SpatialPlanQueries)
 
   private lazy val all: Seq[QueryDef] = groups.flatMap(_.defs)
 

@@ -92,6 +92,9 @@ class QueriesSmokeSpec extends SparkSpec {
     // round-12: q751 crosses the ≤40-row band census against the
     // broadcast ONE-ROW total for the share denominator
     "q751_sql_udf_band_census",
+    // q752 crosses the ≤5-row band census against the broadcast ONE-ROW
+    // candidate/point totals
+    "q752_grid_neighbor_join",
     "q216_survival_life_table",
     "q25_knn_bruteforce", "q32_ivf_ann_topk", "q50_lsh_ann_topk",
     "q64_quality_threshold", "q72_time_decay", "q82_decile_binning",
@@ -505,7 +508,11 @@ class QueriesSmokeSpec extends SparkSpec {
       // q732's stat.crosstab is an EAGER API by design (it returns a
       // materialized local pivot) — both touch one bounded file / a
       // 3x2 grid, not per-row eagerness
-      "q728_file_provenance_metadata", "q732_crosstab_contingency")
+      "q728_file_provenance_metadata", "q732_crosstab_contingency",
+      // q753's SET VAR binds a data-derived parameter — the one-row
+      // threshold fold runs when the variable is assigned, which IS the
+      // construction step of a parameterized EXECUTE IMMEDIATE
+      "q753_execute_immediate_params")
     // the bus delivers only events posted after registration, so earlier
     // tests' jobs cannot leak into the count
     spark.sparkContext.addSparkListener(listener)

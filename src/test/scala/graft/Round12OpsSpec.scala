@@ -84,6 +84,46 @@ class Round12OpsSpec extends SparkSpec {
       "terminals across depths 1..6 must enumerate the ≤6-char vocabulary")
   }
 
+  test("q752: the 3×3 grid blocking misses NO neighbor pair — band " +
+    "counts equal the all-pairs brute force") {
+    import org.apache.spark.sql.functions._
+    // reconstruct the xorshift coordinates in Scala
+    def mix(k: Long, m1: Long, m2: Long): Long = {
+      val a = ((k % 2147483648L) * m1) % 4294967296L
+      val a2 = (((a ^ (a / 65536)) % 2147483648L) * m2) % 4294967296L
+      (a2 ^ (a2 / 65536)) % 1000000L
+    }
+    val ids = Tables.customer(spark, sfDir)
+      .select(col("c_custkey")).collect().map(_.getLong(0))
+    val pts = ids.map(k => (k, mix(k, 2246822519L, 2654435761L),
+      mix(k, 2654435761L, 2246822519L)))
+    val brute = scala.collection.mutable.Map[Long, Long]()
+    for (i <- pts.indices; j <- (i + 1) until pts.length) {
+      val d = math.max(math.abs(pts(i)._2 - pts(j)._2),
+        math.abs(pts(i)._3 - pts(j)._3))
+      if (d <= 20000) {
+        val band = d * 5 / 20001
+        brute(band) = brute.getOrElse(band, 0L) + 1
+      }
+    }
+    val got = run("q752_grid_neighbor_join")
+      .map(r => r.getAs[Long]("band") -> r.getAs[Long]("n_pairs")).toMap
+    assert(got == brute.toMap,
+      s"grid join must be exact: got $got, brute force ${brute.toMap}")
+    assert(brute.values.sum > 0, "the fixture must produce neighbor pairs")
+  }
+
+  test("q753: the parameterized census partitions all orders and the " +
+    "above-mean share stays a proper fraction") {
+    val rows = run("q753_execute_immediate_params")
+    val total = Tables.orders(spark, sfDir).count()
+    assert(rows.map(_.getAs[Long]("n_orders")).sum == total)
+    for (r <- rows) {
+      assert(r.getAs[Long]("n_above_mean") <= r.getAs[Long]("n_orders"))
+      assert(r.getAs[Long]("above_ppm") <= 1000000L)
+    }
+  }
+
   test("q751: SQL UDFs inline — no JVM-UDF wall in the plan — and the " +
     "band law n·lo ≤ mass ≤ n·hi holds with shares summing to ~1e6") {
     val df = SparkEntry.queries("q751_sql_udf_band_census")(spark, sfDir)
