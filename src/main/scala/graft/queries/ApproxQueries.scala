@@ -286,5 +286,91 @@ object ApproxQueries extends QueryGroup {
       ORDER BY us.arm
     """))
 
-  override def defs: Seq[QueryDef] = Seq(q455, q456, q457)
+  // ---------------------------------------------------------------- q754
+
+  /** Join-size estimation by Count-Min inner product (Cormode &
+    * Muthukrishnan §4.3): |A ⋈ B| on a key equals the inner product of
+    * the two frequency vectors, and the CMS estimate min_i Σ_b
+    * cmsA[i][b]·cmsB[i][b] NEVER underestimates — the property the
+    * optimizer needs to bound a join before running it. A = view
+    * events, B = purchase events, keyed by user (genuinely
+    * many-to-many). Reported per hash row plus the min and the exact
+    * truth, with the overestimate in ppm.
+    *
+    * Scale shape: each sketch is one scan folding straight to d×w =
+    * 4×256 cells (map-side combined — the scan never materializes
+    * per-user counts); the estimate is a (row, bucket)-keyed join of
+    * two 1024-cell tables; the exact inner product folds per-user
+    * counts (user-dimension-bounded) once, for the audit only. */
+  private val q754 = QueryDef(
+    "q754_cms_join_size_estimate",
+    (spark, dir) => {
+      val spark0 = spark
+      import spark0.implicits._
+      val mults = Seq(2246822519L, 2654435761L, 2971215073L, 40503L)
+        .zipWithIndex.map { case (m, i) => (i.toLong, m) }
+        .toDF("i", "mult")
+      def sketch(tpe: String, cname: String) = Tables.events(spark, dir)
+        .filter(col("event_type") === tpe)
+        .select(col("user_id"))
+        .crossJoin(broadcast(mults))
+        .select(col("i"),
+          expr("(((user_id % 2147483648) * mult) % 4294967296) div 16777216")
+            .as("b"))
+        .groupBy(col("i"), col("b")).agg(count(lit(1)).as(cname))
+      val est = sketch("view", "ca").join(sketch("purchase", "cb"), Seq("i", "b"))
+        .groupBy(col("i")).agg(sum(col("ca") * col("cb")).as("row_estimate"))
+      val exact = Tables.events(spark, dir)
+        .filter(col("event_type").isin("view", "purchase"))
+        .groupBy(col("user_id"))
+        .agg(sum(when(col("event_type") === "view", 1L).otherwise(0L)).as("fa"),
+          sum(when(col("event_type") === "purchase", 1L).otherwise(0L)).as("fb"))
+        .agg(sum(col("fa") * col("fb")).as("exact_join_size"))
+      val best = est.agg(min(col("row_estimate")).as("cms_estimate"))
+      est.crossJoin(broadcast(best)).crossJoin(broadcast(exact))
+        .select(col("i"), col("row_estimate"), col("cms_estimate"),
+          col("exact_join_size"),
+          expr("(cms_estimate - exact_join_size) * 1000000 div exact_join_size")
+            .as("overestimate_ppm"))
+        .orderBy(col("i"))
+    },
+    Some("""
+      WITH mults(i, mult) AS (VALUES
+        (CAST(0 AS BIGINT), CAST(2246822519 AS BIGINT)),
+        (CAST(1 AS BIGINT), CAST(2654435761 AS BIGINT)),
+        (CAST(2 AS BIGINT), CAST(2971215073 AS BIGINT)),
+        (CAST(3 AS BIGINT), CAST(40503 AS BIGINT))),
+      ska AS MATERIALIZED (
+        SELECT i, (((user_id % 2147483648) * mult) % 4294967296) // 16777216
+          AS b, CAST(count(*) AS BIGINT) AS ca
+        FROM events CROSS JOIN mults
+        WHERE event_type = 'view' GROUP BY 1, 2),
+      skb AS MATERIALIZED (
+        SELECT i, (((user_id % 2147483648) * mult) % 4294967296) // 16777216
+          AS b, CAST(count(*) AS BIGINT) AS cb
+        FROM events CROSS JOIN mults
+        WHERE event_type = 'purchase' GROUP BY 1, 2),
+      est AS MATERIALIZED (
+        SELECT i, CAST(sum(ca * cb) AS BIGINT) AS row_estimate
+        FROM ska JOIN skb USING (i, b) GROUP BY i),
+      best AS (SELECT CAST(min(row_estimate) AS BIGINT) AS cms_estimate
+               FROM est),
+      ex AS (
+        SELECT CAST(sum(fa * fb) AS BIGINT) AS exact_join_size
+        FROM (
+          SELECT user_id,
+            CAST(sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END)
+              AS BIGINT) AS fa,
+            CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+              AS BIGINT) AS fb
+          FROM events WHERE event_type IN ('view', 'purchase')
+          GROUP BY user_id))
+      SELECT i, row_estimate, cms_estimate, exact_join_size,
+        CAST((cms_estimate - exact_join_size) * 1000000 // exact_join_size
+          AS BIGINT) AS overestimate_ppm
+      FROM est CROSS JOIN best CROSS JOIN ex
+      ORDER BY i
+    """))
+
+  override def defs: Seq[QueryDef] = Seq(q455, q456, q457, q754)
 }

@@ -95,6 +95,9 @@ class QueriesSmokeSpec extends SparkSpec {
     // q752 crosses the ≤5-row band census against the broadcast ONE-ROW
     // candidate/point totals
     "q752_grid_neighbor_join",
+    // q754 fans the scan out over the broadcast 4-row hash-multiplier
+    // grid (the sketch build) and crosses two one-row totals at the end
+    "q754_cms_join_size_estimate",
     "q216_survival_life_table",
     "q25_knn_bruteforce", "q32_ivf_ann_topk", "q50_lsh_ann_topk",
     "q64_quality_threshold", "q72_time_decay", "q82_decile_binning",

@@ -142,6 +142,22 @@ class Round12OpsSpec extends SparkSpec {
       s"floor-divided shares must sum to just under 1e6, got $shares")
   }
 
+  test("q754: the CMS inner product NEVER underestimates the join size, " +
+    "and the min over rows is the tightest row") {
+    val rows = run("q754_cms_join_size_estimate")
+    assert(rows.length == 4)
+    val exact = rows.head.getAs[Long]("exact_join_size")
+    val est = rows.head.getAs[Long]("cms_estimate")
+    for (r <- rows) {
+      assert(r.getAs[Long]("row_estimate") >= exact,
+        "a CMS row estimate must upper-bound the true inner product")
+      assert(r.getAs[Long]("row_estimate") >= est)
+      assert(r.getAs[Long]("overestimate_ppm") >= 0L)
+    }
+    assert(rows.map(_.getAs[Long]("row_estimate")).min == est)
+    assert(exact > 0, "views and purchases must co-occur on some user")
+  }
+
   test("q750: deletion conserves tokens and matches q742's per-source " +
     "coverage exactly") {
     val impact = run("q750_dedup_impact_projection")
