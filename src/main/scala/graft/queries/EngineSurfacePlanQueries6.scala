@@ -23,23 +23,28 @@ object EngineSurfacePlanQueries6 extends QueryGroup {
     * a cyclic graph blow up under UNION ALL).
     *
     * Scale shape: the one corpus-scale operation is the demand fold
-    * (map-side combined group-by to 12 rows); the recursion iterates
-    * 12 times over one row joined to the 12-row demand CTE. At 100 TB
-    * the recursion cost is unchanged — it is dimension-sized by
+    * (map-side combined group-by to 12 rows), materialized ONCE with
+    * an eager localCheckpoint before the recursion — Spark's recursive
+    * step re-executes its whole subtree on every iteration, so an inline
+    * demand CTE would re-scan the fact table 12 times (measured:
+    * 4.3 s → 0.3 s solo at sf0.1); the recursion then iterates 12
+    * times over one row joined to the 12 checkpointed rows. At 100 TB
+    * the recursion cost is unchanged — dimension-sized by
     * construction. */
   private val q745 = QueryDef(
     "q745_recursive_inventory_sim",
     (spark, dir) => {
-      Tables.lineitem(spark, dir).createOrReplaceTempView("graft_q745_li")
+      import org.apache.spark.sql.functions._
+      Tables.lineitem(spark, dir)
+        .filter(col("l_shipdate") >= "1995-01-01" && col("l_shipdate") < "1996-01-01")
+        .select(expr("CAST(month(l_shipdate) AS BIGINT)").as("m"),
+          expr("CAST(floor(l_quantity + 0.5) AS BIGINT)").as("q"))
+        .groupBy(col("m")).agg(sum(col("q")).as("d"))
+        .localCheckpoint(true)
+        .createOrReplaceTempView("graft_q745_demand")
       spark.sql("""
         WITH RECURSIVE
-        demand AS (
-          SELECT CAST(month(l_shipdate) AS BIGINT) AS m,
-            CAST(sum(CAST(floor(l_quantity + 0.5) AS BIGINT)) AS BIGINT) AS d
-          FROM graft_q745_li
-          WHERE l_shipdate >= TIMESTAMP '1995-01-01'
-            AND l_shipdate < TIMESTAMP '1996-01-01'
-          GROUP BY 1),
+        demand AS (SELECT m, d FROM graft_q745_demand),
         init AS (SELECT CAST(sum(d) div 12 AS BIGINT) AS avg_d FROM demand),
         rec(m, stock_start, shipped, lost, stock_end, on_order) AS (
           SELECT CAST(0 AS BIGINT), CAST(0 AS BIGINT), CAST(0 AS BIGINT),

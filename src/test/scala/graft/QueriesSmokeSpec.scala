@@ -515,7 +515,11 @@ class QueriesSmokeSpec extends SparkSpec {
       // q753's SET VAR binds a data-derived parameter — the one-row
       // threshold fold runs when the variable is assigned, which IS the
       // construction step of a parameterized EXECUTE IMMEDIATE
-      "q753_execute_immediate_params")
+      "q753_execute_immediate_params",
+      // q745 localCheckpoints the 12-row monthly demand table before the
+      // recursion — Spark's recursive step re-executes its subtree per
+      // iteration, so an inline demand CTE re-scans the fact table 12×
+      "q745_recursive_inventory_sim")
     // the bus delivers only events posted after registration, so earlier
     // tests' jobs cannot leak into the count
     spark.sparkContext.addSparkListener(listener)
