@@ -133,7 +133,8 @@ object SparkEntry {
     SuffixDedupQueries,
     EngineSurfacePlanQueries6,
     MatcherPlanQueries,
-    SpatialPlanQueries)
+    SpatialPlanQueries,
+    TransportPlanQueries)
 
   private lazy val all: Seq[QueryDef] = groups.flatMap(_.defs)
 

@@ -98,6 +98,12 @@ class QueriesSmokeSpec extends SparkSpec {
     // q754 fans the scan out over the broadcast 4-row hash-multiplier
     // grid (the sketch build) and crosses two one-row totals at the end
     "q754_cms_join_size_estimate",
+    // q756 crosses each level's key set against its broadcast one-row
+    // count (the bin-domain scalar) and the final one-row leftover;
+    // q757 crosses the 6 bit planes against the one-row direct sum
+    "q756_bbhash_level_census", "q757_bit_sliced_index_sum",
+    // q755 builds the 10×10 kernel grid as a literal range cross
+    "q755_sinkhorn_length_transport",
     "q216_survival_life_table",
     "q25_knn_bruteforce", "q32_ivf_ann_topk", "q50_lsh_ann_topk",
     "q64_quality_threshold", "q72_time_decay", "q82_decile_binning",
@@ -519,7 +525,10 @@ class QueriesSmokeSpec extends SparkSpec {
       // q745 localCheckpoints the 12-row monthly demand table before the
       // recursion — Spark's recursive step re-executes its subtree per
       // iteration, so an inline demand CTE re-scans the fact table 12×
-      "q745_recursive_inventory_sim")
+      "q745_recursive_inventory_sim",
+      // q756 localCheckpoints each level's surviving key set (the
+      // 4-level unrolled peel — bounded, keys shrink geometrically)
+      "q756_bbhash_level_census")
     // the bus delivers only events posted after registration, so earlier
     // tests' jobs cannot leak into the count
     spark.sparkContext.addSparkListener(listener)
@@ -649,6 +658,9 @@ class QueriesSmokeSpec extends SparkSpec {
     // q738's row_number ranks the ≤25-row per-nation trade totals to
     // pick the 4 lanes — dimension-bounded
     "q738_dedicated_lane_assignment",
+    // q757's sum() OVER () folds the 6-row bit-plane table into the
+    // reconstructed total — bit-width-bounded
+    "q757_bit_sliced_index_sum",
     // round-10 rank tests: doubled-rank cumulative over the ≤50-row
     // quantity value histogram (the q324 histogram-rank class, global
     // because the test pools all groups into one ranking); q702's

@@ -158,6 +158,43 @@ class Round12OpsSpec extends SparkSpec {
     assert(exact > 0, "views and purchases must co-occur on some user")
   }
 
+  test("q755: Sinkhorn's column-last scaling leaves small row-marginal " +
+    "error after 3 rounds and positive transported mass everywhere") {
+    for (r <- run("q755_sinkhorn_length_transport")) {
+      val a = r.getAs[Long]("a_mass")
+      assert(r.getAs[Long]("row_mass") > 0)
+      assert(math.abs(r.getAs[Long]("marginal_err")) * 10 <= a,
+        s"after 3 rounds each row marginal must be within 10% of its " +
+          s"target (a=$a, err=${r.getAs[Long]("marginal_err")})")
+      assert(r.getAs[Long]("row_cost") >= 0)
+    }
+  }
+
+  test("q756: the level peel conserves keys (in − resolved = next " +
+    "level's in) and resolves ≈1/e per level under the mixed hash") {
+    val rows = run("q756_bbhash_level_census")
+      .map(r => (r.getAs[Long]("level"), r.getAs[Long]("keys_in"),
+        r.getAs[Long]("resolved"), r.getAs[Long]("unresolved"))).sortBy(_._1)
+    assert(rows.map(_._1).toSeq == (0L to 3L))
+    for (((_, in, res, _), (_, in2, _, _)) <- rows.zip(rows.tail))
+      assert(in2 == in - res, "colliding keys must all reach the next level")
+    val (_, lin, lres, unresolved) = rows.last
+    assert(unresolved == lin - lres)
+    for ((l, in, res, _) <- rows)
+      assert(res * 100 >= in * 25 && res * 100 <= in * 50,
+        s"level $l: a real hash resolves ~37% at gamma=1, got $res/$in")
+  }
+
+  test("q757: the bit-sliced popcounts reconstruct the exact column sum") {
+    val rows = run("q757_bit_sliced_index_sum")
+    assert(rows.length == 6)
+    val rec = rows.head.getAs[Long]("reconstructed_sum")
+    assert(rows.forall(_.getAs[Long]("direct_sum") == rec),
+      "the BSI identity must hold: sum of 2^b * popcount_b = sum(v)")
+    assert(rows.map(r => r.getAs[Long]("weighted")).sum == rec)
+    for (r <- rows) assert(r.getAs[Long]("density_ppm") <= 1000000L)
+  }
+
   test("q750: deletion conserves tokens and matches q742's per-source " +
     "coverage exactly") {
     val impact = run("q750_dedup_impact_projection")
