@@ -134,7 +134,8 @@ object SparkEntry {
     EngineSurfacePlanQueries6,
     MatcherPlanQueries,
     SpatialPlanQueries,
-    TransportPlanQueries)
+    TransportPlanQueries,
+    EvalPlanQueries2)
 
   private lazy val all: Seq[QueryDef] = groups.flatMap(_.defs)
 

@@ -104,6 +104,9 @@ class QueriesSmokeSpec extends SparkSpec {
     "q756_bbhash_level_census", "q757_bit_sliced_index_sum",
     // q755 builds the 10×10 kernel grid as a literal range cross
     "q755_sinkhorn_length_transport",
+    // q758 crosses the 10 gold-label rows against the one-row global
+    // P/R/F1; q759 crosses the key domain against its one-row count
+    "q758_bcubed_clustering_eval", "q759_pointer_doubling_contraction",
     "q216_survival_life_table",
     "q25_knn_bruteforce", "q32_ivf_ann_topk", "q50_lsh_ann_topk",
     "q64_quality_threshold", "q72_time_decay", "q82_decile_binning",
@@ -528,7 +531,10 @@ class QueriesSmokeSpec extends SparkSpec {
       "q745_recursive_inventory_sim",
       // q756 localCheckpoints each level's surviving key set (the
       // 4-level unrolled peel — bounded, keys shrink geometrically)
-      "q756_bbhash_level_census")
+      "q756_bbhash_level_census",
+      // q759 localCheckpoints each doubled map (5 rounds, key-domain
+      // bounded — the pointer-doubling frames)
+      "q759_pointer_doubling_contraction")
     // the bus delivers only events posted after registration, so earlier
     // tests' jobs cannot leak into the count
     spark.sparkContext.addSparkListener(listener)

@@ -195,6 +195,31 @@ class Round12OpsSpec extends SparkSpec {
     for (r <- rows) assert(r.getAs[Long]("density_ppm") <= 1000000L)
   }
 
+  test("q758: B-cubed metrics are proper fractions, gold masses " +
+    "partition the corpus, and F1 sits between P and R") {
+    val rows = run("q758_bcubed_clustering_eval")
+    val p = rows.head.getAs[Long]("precision_ppm")
+    val rcl = rows.head.getAs[Long]("recall_ppm")
+    val f1 = rows.head.getAs[Long]("f1_ppm")
+    assert(p > 0 && p <= 1000000L && rcl > 0 && rcl <= 1000000L)
+    assert(f1 >= math.min(p, rcl) - 1 && f1 <= math.max(p, rcl) + 1,
+      "harmonic mean must sit between its arguments")
+    assert(rows.map(_.getAs[Long]("n_gold")).sum ==
+      Tables.embeddings(spark, sfDir).count())
+    for (r <- rows) assert(r.getAs[Long]("label_recall_ppm") <= 1000000L)
+  }
+
+  test("q759: pointer doubling only contracts — the image size is " +
+    "non-increasing and steps double each round") {
+    val rows = run("q759_pointer_doubling_contraction")
+      .map(r => (r.getAs[Long]("round"), r.getAs[Long]("steps"),
+        r.getAs[Long]("image_size"))).sortBy(_._1)
+    assert(rows.map(_._1).toSeq == (0L to 5L))
+    for ((rnd, steps, _) <- rows) assert(steps == (1L << rnd))
+    for (((_, _, a), (_, _, b)) <- rows.zip(rows.tail))
+      assert(b <= a, "composing f with itself cannot grow the image")
+  }
+
   test("q750: deletion conserves tokens and matches q742's per-source " +
     "coverage exactly") {
     val impact = run("q750_dedup_impact_projection")
