@@ -78,8 +78,18 @@ object Bench {
 
   private def cleanup(spark: SparkSession): Unit = {
     val persisted = spark.sparkContext.getPersistentRDDs
+    // Round-13 measurement fix (ADVICE high): NEVER unpersist a
+    // locally-checkpointed RDD — unpersisting one deletes its blocks
+    // irrecoverably, so the cross-query memos (graph.Backbone,
+    // SuffixDedupQueries) would throw CHECKPOINT_RDD_BLOCK_ID_NOT_FOUND
+    // in every consumer after the first, and the swallowed exception
+    // recorded time-to-failure as the query time (the r12 BENCH_LOCAL
+    // numbers for q592/q593/q602/q631/q685/q687/q743/q744/q748/q750
+    // were failure times). The memos are deliberate cross-query state —
+    // the bench charges the build to the first consumer and the memo
+    // hit to the rest, which is the deployment behavior being measured.
     if (persisted.nonEmpty)
-      persisted.values.foreach(_.unpersist(blocking = false))
+      persisted.values.filter(!_.isCheckpointed).foreach(_.unpersist(blocking = false))
     // ALWAYS drop the SQL cache: a lazily-cached table registered by
     // query N but never materialized has no persistent RDD yet, and
     // would otherwise materialize inside query N+1's timing. clearCache

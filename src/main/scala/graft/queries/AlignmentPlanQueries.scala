@@ -37,7 +37,13 @@ object AlignmentPlanQueries extends QueryGroup {
     * gram digest from md5 to the codegen'd 64-bit xxhash64 (the scale
     * design this scaladoc always named: 8-byte keys shuffle instead of
     * 32-char hex, and the hash itself is ~10× cheaper) — 3.7 → 2.2 s
-    * solo at sf0.1; the oracle keeps md5, digests are internal. */
+    * solo at sf0.1; the oracle keeps md5, digests are internal. Gate
+    * caveat (r13, ADVICE): the two engines no longer share a
+    * collision-equivalence relation on grams — a 64-bit xxhash64
+    * collision among corpus 3-grams (odds ~n²/2⁶⁵) would perturb the
+    * df-capped rare-gram sets and diverge the census; accepted as
+    * negligible at any realistic corpus gram count vs the 10× kernel
+    * win, and the gate would fail loudly, not silently. */
   private val q624 = QueryDef(
     "q624_aligned_span_census",
     (spark, dir) => {

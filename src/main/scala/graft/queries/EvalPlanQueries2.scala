@@ -39,7 +39,10 @@ object EvalPlanQueries2 extends QueryGroup {
                    x -> CAST(floor(CAST(x AS DOUBLE) * 5) AS BIGINT)))""")
             .as("c"))
         .groupBy(col("c"), col("g")).agg(count(lit(1)).as("n"))
-        .persist()
+      // No persist (r13, ADVICE low): the identical aggregate subtree is
+      // deduped by exchange reuse within the one plan (ReusedExchange in
+      // plans/r13/q758_after.txt), so a cache here only leaked blocks in
+      // Verify, which has no per-query cleanup.
       val byC = cells.groupBy(col("c")).agg(sum(col("n")).as("nc"))
       val byG = cells.groupBy(col("g")).agg(sum(col("n")).as("ng"))
       val tot = cells.agg(sum(col("n")).as("nt"))

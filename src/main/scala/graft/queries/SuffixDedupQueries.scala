@@ -85,9 +85,11 @@ object SuffixDedupQueries extends QueryGroup {
     * session, dir) — the graph.Backbone discipline: q742/q743/q744 all
     * consume (lenp, maxdig), so the corpus-scanning part of the fold
     * runs once per session and is `localCheckpoint(true)`-materialized
-    * (flat lineage, candidate-bounded rows), not rebuilt per query. */
-  private val memo = new java.util.concurrent.ConcurrentHashMap[
-    String, (org.apache.spark.sql.DataFrame, org.apache.spark.sql.DataFrame)]()
+    * (flat lineage, candidate-bounded rows), not rebuilt per query.
+    * Round-13: self-healing [[graft.CkptMemo]] — a cached pair whose
+    * checkpoint blocks were dropped is rebuilt, never returned dead. */
+  private val memo = new graft.CkptMemo[
+    (org.apache.spark.sql.DataFrame, org.apache.spark.sql.DataFrame)]()
 
   /** The Spark mirror of [[repeatSql]]: (tk, tot, lenp, maximal,
     * maxdig) DataFrames. ext persists only while lenp and maxdig are
@@ -99,9 +101,8 @@ object SuffixDedupQueries extends QueryGroup {
         graft.functions.expressions.tokens_native(col("text")).as("tk"))
     val totOut = tkOut.groupBy(col("source"))
       .agg(count(lit(1)).as("n_docs"), sum(size(col("tk")).cast("long")).as("tokens"))
-    val (lenpC, maxdigC) = memo.computeIfAbsent(
-      s"${spark.sparkContext.applicationId}|${System.identityHashCode(spark)}|$dir",
-      _ => buildRepeatTables(spark, dir))
+    val (lenpC, maxdigC) = memo.getOrBuild(spark, dir)(
+      buildRepeatTables(spark, dir))(p => Seq(p._1, p._2))
     val maximal = lenpC.join(
         lenpC.select(col("doc_id"), (col("pos") + 1L).as("pos"),
           (col("len_p") - 1L).as("cover_len")),
