@@ -8,12 +8,18 @@ import graft.Tables
 
 /** The supplier co-purchase graph builders shared by the graph-analytic
   * query family (q590 LCC, q600 Katz, q601 k-truss, q602 closeness,
-  * q631 core-periphery). One definition of the two load-bearing
-  * disciplines, instead of the four hand-copies round 7 left behind:
+  * q631 core-periphery, and — since round 13 — the whole co-supply
+  * census family q75/q95/q138/q185/q358/q386/q427/q551/q699/q701).
+  * One definition of the load-bearing disciplines:
   *
-  *  - the PAIR PROJECTION: distinct (order, supplier) incidences for
-  *    one calendar year — the refresh-window trick (q427) that keeps
-  *    the co-purchase graph time-bounded instead of all-history;
+  *  - the PAIR PROJECTION: per-order supplier pairs for one calendar
+  *    year — the refresh-window trick (q427) that keeps the co-purchase
+  *    graph time-bounded instead of all-history. Round-13 build shape:
+  *    ONE shuffle (groupBy order + collect_set) and a map-side i<j
+  *    explode of each order's sorted supplier set, replacing the
+  *    incidence-distinct + keyed self-join + pair-distinct chain
+  *    (3 corpus-scale exchanges → 1; per-order sets are ≤7 suppliers,
+  *    so the explode is bounded — guide §2.3/§2.4);
   *  - the BACKBONE THRESHOLD: the raw co-purchase projection is a
   *    near-clique at any TPC-H scale, so cohesion statistics keep only
   *    the top-quartile co-occurrence weights, with the threshold read
@@ -21,11 +27,11 @@ import graft.Tables
   *    then one broadcast row) so it self-normalizes across scale
   *    factors — never a corpus-sized rank window.
   *
-  * Scale shape: the self-join shuffles on the order key (bounded fan
-  * per order = suppliers on that order); the weight histogram folds to
-  * distinct-weight rows; the threshold is a one-row broadcast. Each
-  * oracle splices the matching SQL snippet constants below, so the
-  * Spark and DuckDB forms can never drift apart.
+  * Scale shape: the collect_set shuffle is keyed on the order key
+  * (bounded fan per order = suppliers on that order); the weight
+  * histogram folds to distinct-weight rows; the threshold is a one-row
+  * broadcast. Each oracle splices the matching SQL snippet constants
+  * below, so the Spark and DuckDB forms can never drift apart.
   */
 object Backbone {
 
@@ -33,94 +39,117 @@ object Backbone {
     * edge-list builds below. Each build materializes ONCE with
     * `localCheckpoint(eager = true)` (the q558/q691 flat-plan
     * discipline): the checkpoint is lineage-free, so downstream
-    * iterative consumers never re-embed the pairs self-join, and the
-    * ~8 graph-census queries that share a backbone
-    * (q590/q592/q593/q601/q631/q685/q687 + the q600/q602 co-supply
-    * walks) pay for the fact-table projection once per Verify/Bench
-    * run instead of once each — the round-11 judge measured the
-    * rebuilds at ~20 s of the sf0.1 suite. The key includes the
-    * session identity so test suites with their own sessions never
-    * read another session's checkpoint blocks; the cached edge lists
-    * are supplier-dimension-bounded (a few thousand rows), so the
-    * memo's block-manager footprint is negligible. */
-  private val memo =
-    new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
+    * iterative consumers never re-embed the pair explode, and the
+    * ~18 graph queries that share a projection pay for the fact-table
+    * scan once per Verify/Bench run instead of once each. The key
+    * includes the session identity so test suites with their own
+    * sessions never read another session's checkpoint blocks; the
+    * cached edge lists are supplier-dimension-bounded, so the memo's
+    * block-manager footprint is negligible. Round-13: the memo is a
+    * self-healing [[graft.CkptMemo]] — an entry whose checkpoint
+    * blocks were dropped by an external unpersist sweep is rebuilt
+    * instead of failing every later consumer. */
+  private val memo = new graft.CkptMemo[DataFrame]()
 
   private def memoized(spark: SparkSession, dir: String, flavor: String)
       (build: => DataFrame): DataFrame =
-    memo.computeIfAbsent(
-      s"${spark.sparkContext.applicationId}|${System.identityHashCode(spark)}|$dir|$flavor",
-      _ => build)
+    memo.getOrBuild(spark, s"$dir|$flavor")(build)(Seq(_))
 
-  /** Distinct (ok, s) order–supplier incidence pairs for the 1995
-    * SHIP-date year (the q601/q631 base). */
-  def shipYearPairs(spark: SparkSession, dir: String): DataFrame =
+  /** Raw (ok, s) order–supplier incidences for one SHIP-date year —
+    * NOT deduplicated: every consumer folds through [[pairExplode]],
+    * whose collect_set dedups per order without a distinct shuffle. */
+  private def shipYearIncidence(spark: SparkSession, dir: String, year: Int): DataFrame =
     Tables.lineitem(spark, dir)
-      .filter(col("l_shipdate") >= "1995-01-01" && col("l_shipdate") < "1996-01-01")
+      .filter(col("l_shipdate") >= s"$year-01-01" && col("l_shipdate") < s"${year + 1}-01-01")
       .select(col("l_orderkey").as("ok"), col("l_suppkey").as("s"))
-      .distinct()
 
-  /** Distinct (ok, s) order–supplier incidence pairs for the 1995
-    * ORDER-date year (the q590 base: the window lives on orders, so
-    * the lineitem side prunes by the join instead of a date filter). */
-  def orderYearPairs(spark: SparkSession, dir: String): DataFrame =
+  /** Raw (ok, s) incidences for the 1995 ORDER-date year (the q590
+    * base: the window lives on orders, so the lineitem side prunes by
+    * the join instead of a date filter). */
+  private def orderYearIncidence(spark: SparkSession, dir: String): DataFrame =
     Tables.orders(spark, dir)
       .filter(col("o_orderdate") >= "1995-01-01" && col("o_orderdate") < "1996-01-01")
       .select(col("o_orderkey").as("ok"))
       .join(Tables.lineitem(spark, dir)
         .select(col("l_orderkey").as("ok"), col("l_suppkey").as("s")), Seq("ok"))
-      .select(col("ok"), col("s")).distinct()
+      .select(col("ok"), col("s"))
 
-  /** Top-quartile co-purchase backbone over an (ok, s) pair projection:
-    * canonical (u < v) supplier edges whose co-occurrence weight clears
-    * the histogram threshold. The weighted projection persists only
-    * while the threshold scan and the edge filter both read it; the
-    * returned edge list is an EAGER `localCheckpoint(true)` — flat
-    * lineage (no re-embedded self-join in iterative consumers' plans)
-    * and the materialization every caller traverses several times. */
-  def edges(pairs: DataFrame): DataFrame = {
-    val weighted = pairs.as("a").join(pairs.as("b"),
-        col("a.ok") === col("b.ok") && col("a.s") < col("b.s"))
-      .groupBy(col("a.s").as("u"), col("b.s").as("v"))
-      .agg(count(lit(1)).as("w")).persist()
+  /** One row per (order, canonical supplier pair): groupBy(ok) +
+    * sorted collect_set, then the map-side i<j explode. ONE exchange;
+    * the set is per-order-bounded (≤7 lineitems per order in TPC-H at
+    * every SF), so the explode is O(1) per order. Replaces the r12
+    * incidence-distinct + self-join + filter chain (guide §2.4). */
+  private def pairExplode(incidence: DataFrame): DataFrame =
+    incidence
+      .groupBy(col("ok")).agg(sort_array(collect_set(col("s"))).as("ss"))
+      .filter(size(col("ss")) >= 2) // sequence(1, 0) DESCENDS — never let the bound go non-positive
+      .select(explode(expr(
+        """flatten(transform(sequence(1, size(ss) - 1),
+             i -> transform(sequence(i + 1, size(ss)),
+               j -> named_struct('u', element_at(ss, i), 'v', element_at(ss, j)))))"""))
+        .as("p"))
+      .select(col("p.u").as("u"), col("p.v").as("v"))
+
+  /** The weighted co-supply projection for one ship-year: canonical
+    * (u < v) supplier pairs with their co-occurrence order count.
+    * Memoized and checkpointed — this is the ONE fact-table pass the
+    * whole ship-year graph family shares; everything below (canon,
+    * sym, backbone, oriented, triangles) is a bounded derivation. */
+  def coSupplyWeighted(spark: SparkSession, dir: String, year: Int = 1995): DataFrame =
+    memoized(spark, dir, s"coSupplyWeighted$year") {
+      pairExplode(shipYearIncidence(spark, dir, year))
+        .groupBy(col("u"), col("v")).agg(count(lit(1)).as("w"))
+        .localCheckpoint(true)
+    }
+
+  /** Distinct canonical (u < v) co-supply pairs for one ship-year —
+    * a free projection of [[coSupplyWeighted]]. */
+  def coSupplyCanon(spark: SparkSession, dir: String, year: Int = 1995): DataFrame =
+    coSupplyWeighted(spark, dir, year).select(col("u"), col("v"))
+
+  /** Top-quartile co-purchase backbone over a weighted (u, v, w)
+    * projection: edges whose weight clears the histogram threshold. */
+  private def thresholdEdges(weighted: DataFrame): DataFrame = {
     val thr = weighted.groupBy(col("w")).agg(count(lit(1)).as("c"))
       .withColumn("cum", sum(col("c")).over(Window.orderBy(col("w"))
         .rowsBetween(Window.unboundedPreceding, 0)))
       .withColumn("np", expr("sum(c) OVER ()"))
       .filter(expr("cum * 4 >= 3 * np"))
       .agg(min(col("w")).as("w_thr"))
-    val out = weighted.crossJoin(broadcast(thr))
+    weighted.crossJoin(broadcast(thr))
       .filter(col("w") >= col("w_thr"))
-      .select(col("u"), col("v")).localCheckpoint(true)
-    weighted.unpersist(false)
-    out
+      .select(col("u"), col("v"))
   }
 
   /** The ship-year backbone — the form q601/q631/q685/q687 share.
-    * Memoized per (session, dir): built and checkpointed once, reused
-    * by every consumer in the same run. */
+    * Memoized per (session, dir): the threshold scan runs once over
+    * the checkpointed weighted projection, and the edge list is
+    * checkpointed itself (flat lineage for iterative consumers). */
   def coPurchase(spark: SparkSession, dir: String): DataFrame =
-    memoized(spark, dir, "shipYearBackbone")(edges(shipYearPairs(spark, dir)))
+    memoized(spark, dir, "shipYearBackbone") {
+      thresholdEdges(coSupplyWeighted(spark, dir)).localCheckpoint(true)
+    }
 
   /** The order-year backbone — the form q590/q592/q593 share.
     * Memoized per (session, dir). */
   def orderYearBackbone(spark: SparkSession, dir: String): DataFrame =
-    memoized(spark, dir, "orderYearBackbone")(edges(orderYearPairs(spark, dir)))
+    memoized(spark, dir, "orderYearBackbone") {
+      val weighted = pairExplode(orderYearIncidence(spark, dir))
+        .groupBy(col("u"), col("v")).agg(count(lit(1)).as("w"))
+        .localCheckpoint(true)
+      thresholdEdges(weighted).localCheckpoint(true)
+    }
 
   /** The UNWEIGHTED symmetric co-supply edge list (no backbone
     * threshold) — the q600/q602 walk/BFS base, where near-clique
-    * density is the point rather than a nuisance. Memoized per
-    * (session, dir) like the backbones. */
-  def coSupplySym(spark: SparkSession, dir: String): DataFrame =
-    memoized(spark, dir, "coSupplySym") {
-      val pairs = shipYearPairs(spark, dir)
-      val canon = pairs.as("a").join(pairs.as("b"),
-          col("a.ok") === col("b.ok") && col("a.s") < col("b.s"))
-        .select(col("a.s").as("src"), col("b.s").as("dst"))
-        .distinct()
-      canon.union(canon.select(col("dst").as("src"), col("src").as("dst")))
-        .localCheckpoint(true)
-    }
+    * density is the point rather than a nuisance. A cheap mirror of
+    * the checkpointed canon (two projections of one LogicalRDD — no
+    * second checkpoint needed). */
+  def coSupplySym(spark: SparkSession, dir: String, year: Int = 1995): DataFrame = {
+    val canon = coSupplyCanon(spark, dir, year)
+    canon.select(col("u").as("src"), col("v").as("dst"))
+      .union(canon.select(col("v").as("src"), col("u").as("dst")))
+  }
 
   /** Symmetric degrees of a canonical (u < v) edge list: one row per
     * node with its undirected degree. */
@@ -144,6 +173,38 @@ object Backbone {
         when(struct(col("du"), col("u")) < struct(col("dv"), col("v")),
           col("v")).otherwise(col("u")).as("v"))
       .persist()
+
+  /** The degree-oriented ship-year co-supply edge list, memoized and
+    * checkpointed — q95 and q551 run their wedge joins off this one
+    * build instead of re-deriving pairs + degrees + orientation each. */
+  def coSupplyOriented(spark: SparkSession, dir: String): DataFrame =
+    memoized(spark, dir, "coSupplyOriented") {
+      val canon = coSupplyCanon(spark, dir)
+      canon
+        .join(symDegrees(canon).select(col("u"), col("d").as("du")), Seq("u"))
+        .join(symDegrees(canon).select(col("u").as("v"), col("d").as("dv")), Seq("v"))
+        .select(
+          when(struct(col("du"), col("u")) < struct(col("dv"), col("v")),
+            col("u")).otherwise(col("v")).as("u"),
+          when(struct(col("du"), col("u")) < struct(col("dv"), col("v")),
+            col("v")).otherwise(col("u")).as("v"))
+        .localCheckpoint(true)
+    }
+
+  /** The ship-year co-supply triangle count (one checkpointed row) —
+    * the O(m^1.5) wedge semi-join runs once per run, shared by the
+    * q95/q551 census pair. */
+  def coSupplyTriangleCount(spark: SparkSession, dir: String): DataFrame =
+    memoized(spark, dir, "coSupplyTriangleCount") {
+      val oriented = coSupplyOriented(spark, dir)
+      oriented
+        .join(oriented.select(col("u"), col("v").as("w")), Seq("u"))
+        .filter(col("v") =!= col("w"))
+        .select(col("v").as("u"), col("w").as("v"))
+        .join(oriented, Seq("u", "v"), "left_semi")
+        .agg(count(lit(1)).as("n_triangles"))
+        .localCheckpoint(true)
+    }
 
   /** Every triangle exactly once as (apex, x, y): matched wedges of the
     * oriented list — the apex is the triangle's (degree, id)-smallest

@@ -465,34 +465,14 @@ object CapacityPlanQueries extends QueryGroup {
   private val q551 = QueryDef(
     "q551_agm_bound_audit",
     (spark, dir) => {
-      val li = Tables.lineitem(spark, dir)
-        .filter(col("l_shipdate") >= "1995-01-01" && col("l_shipdate") < "1996-01-01")
-        .select(col("l_orderkey").as("ok"), col("l_suppkey").as("sk"))
-        .distinct()
-      val pairs = li
-        .join(li.withColumnRenamed("sk", "sk2"), Seq("ok"))
-        .filter(col("sk") < col("sk2"))
-        .select(col("sk").as("a"), col("sk2").as("b"))
-        .distinct()
-        .persist()
+      // r13: pairs/degrees/triangles from the memoized graph.Backbone
+      // builds — the wedge semi-join runs once per run, shared with q95.
+      val pairs = graft.graph.Backbone.coSupplyCanon(spark, dir)
+        .select(col("u").as("a"), col("v").as("b"))
       val deg = pairs.select(col("a").as("node"))
         .union(pairs.select(col("b").as("node")))
         .groupBy(col("node")).agg(count(lit(1)).as("d"))
-      val oriented = pairs
-        .join(deg.select(col("node").as("a"), col("d").as("da")), Seq("a"))
-        .join(deg.select(col("node").as("b"), col("d").as("db")), Seq("b"))
-        .select(
-          when(struct(col("da"), col("a")) < struct(col("db"), col("b")),
-            col("a")).otherwise(col("b")).as("u"),
-          when(struct(col("da"), col("a")) < struct(col("db"), col("b")),
-            col("b")).otherwise(col("a")).as("v"))
-        .persist()
-      val wedgeRows = oriented
-        .join(oriented.select(col("u"), col("v").as("w")), Seq("u"))
-        .filter(col("v") =!= col("w"))
-        .select(col("v").as("u"), col("w").as("v"))
-      val tri = wedgeRows.join(oriented, Seq("u", "v"), "left_semi")
-        .agg(count(lit(1)).as("n_triangles"))
+      val tri = graft.graph.Backbone.coSupplyTriangleCount(spark, dir)
       val stats = pairs.agg(count(lit(1)).as("m"))
         .crossJoin(deg.agg(sum(expr("d * (d - 1) div 2")).as("wedges")))
         .crossJoin(broadcast(tri))

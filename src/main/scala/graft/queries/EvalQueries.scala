@@ -1166,12 +1166,9 @@ object EvalQueries extends QueryGroup {
   private val q386 = QueryDef(
     "q386_link_prediction_jaccard",
     (spark, dir) => {
-      val li = Tables.lineitem(spark, dir)
-        .filter(col("l_shipdate") >= "1995-01-01" && col("l_shipdate") < "1996-01-01")
-        .select(col("l_orderkey").as("ok"), col("l_suppkey").as("sk"))
-      val und = li.join(li.withColumnRenamed("sk", "sk2"), Seq("ok"))
-        .filter(col("sk") < col("sk2"))
-        .select(col("sk").as("a"), col("sk2").as("b")).distinct()
+      // r13: canonical pairs from the memoized graph.Backbone build
+      val und = graft.graph.Backbone.coSupplyCanon(spark, dir)
+        .select(col("u").as("a"), col("v").as("b"))
       val adj = und.union(und.select(col("b").as("a"), col("a").as("b")))
       val deg = adj.groupBy(col("a").as("node")).agg(count(lit(1)).as("deg"))
       val small = adj.join(deg.filter(col("deg") <= 64L).select(col("node")),

@@ -139,17 +139,8 @@ object GraphQueries extends QueryGroup {
       // one ship-year of co-supply activity: the filter reaches the scan
       // (PushedFilters) and cuts the self-join input ~7x — ranking runs
       // on a time window, as a production graph refresh would
-      val li = Tables.lineitem(spark, dir)
-        .filter(col("l_shipdate") >= "1995-01-01" && col("l_shipdate") < "1996-01-01")
-        .select(col("l_orderkey").as("ok"), col("l_suppkey").as("sk"))
-      // dedupe UNDIRECTED pairs (a < b halves the distinct's input),
-      // then mirror — the graph is symmetric by construction
-      val pairs = li
-        .join(li.withColumnRenamed("sk", "sk2"), Seq("ok"))
-        .filter(col("sk") < col("sk2"))
-        .select(col("sk").as("src"), col("sk2").as("dst"))
-        .distinct()
-      val edges = pairs.union(pairs.select(col("dst").as("src"), col("src").as("dst")))
+      // r13: symmetric edges from the memoized graph.Backbone canon
+      val edges = graft.graph.Backbone.coSupplySym(spark, dir)
       val nodes = Tables.supplier(spark, dir).select(col("s_suppkey").as("node"))
       PageRank.iterate(edges, nodes, iterations = 3)
         .orderBy(col("rank_q").desc, col("node"))
@@ -203,17 +194,29 @@ object GraphQueries extends QueryGroup {
   private val q88 = QueryDef(
     "q88_basket_lift",
     (spark, dir) => {
+      // r13: fold each order's DISTINCT brand set in one groupBy(ok) +
+      // collect_set shuffle (≤7 lineitems per order, so the set and the
+      // i<j pair explode are O(1) per order) — replacing the
+      // distinct + keyed self-join chain, which paid three corpus-scale
+      // exchanges for the same pair stream (guide §2.4;
+      // plans/r13/q88_*.txt).
       val ob = Tables.lineitem(spark, dir)
         .join(broadcast(Tables.part(spark, dir).select(col("p_partkey"), col("p_brand"))),
           col("l_partkey") === col("p_partkey"))
         .select(col("l_orderkey").as("ok"), col("p_brand").as("brand"))
-        .distinct()
+        .groupBy(col("ok")).agg(sort_array(collect_set(col("brand"))).as("bs"))
         .persist()
-      val nOrders = ob.select(col("ok")).distinct().agg(count(lit(1)).as("n_tot"))
-      val marg = ob.groupBy(col("brand")).agg(count(lit(1)).as("n"))
-      ob.join(ob.withColumnRenamed("brand", "brand_b"), Seq("ok"))
-        .filter(col("brand") < col("brand_b"))
-        .groupBy(col("brand").as("brand_a"), col("brand_b"))
+      val nOrders = ob.agg(count(lit(1)).as("n_tot"))
+      val marg = ob.select(explode(col("bs")).as("brand"))
+        .groupBy(col("brand")).agg(count(lit(1)).as("n"))
+      ob.filter(size(col("bs")) >= 2)
+        .select(explode(expr(
+          """flatten(transform(sequence(1, size(bs) - 1),
+               i -> transform(sequence(i + 1, size(bs)),
+                 j -> named_struct('brand_a', element_at(bs, i),
+                                   'brand_b', element_at(bs, j)))))""")).as("p"))
+        .select(col("p.brand_a").as("brand_a"), col("p.brand_b").as("brand_b"))
+        .groupBy(col("brand_a"), col("brand_b"))
         .agg(count(lit(1)).as("n_ab"))
         .join(broadcast(marg.select(col("brand").as("brand_a"), col("n").as("n_a"))), Seq("brand_a"))
         .join(broadcast(marg.select(col("brand").as("brand_b"), col("n").as("n_b"))), Seq("brand_b"))
@@ -309,15 +312,8 @@ object GraphQueries extends QueryGroup {
   private val q138 = QueryDef(
     "q138_degree_histogram",
     (spark, dir) => {
-      val li = Tables.lineitem(spark, dir)
-        .filter(col("l_shipdate") >= "1995-01-01" && col("l_shipdate") < "1996-01-01")
-        .select(col("l_orderkey").as("ok"), col("l_suppkey").as("sk"))
-      val pairs = li
-        .join(li.withColumnRenamed("sk", "sk2"), Seq("ok"))
-        .filter(col("sk") < col("sk2"))
-        .select(col("sk").as("src"), col("sk2").as("dst"))
-        .distinct()
-      val deg = pairs.union(pairs.select(col("dst").as("src"), col("src").as("dst")))
+      // r13: symmetric edges from the memoized graph.Backbone canon
+      val deg = graft.graph.Backbone.coSupplySym(spark, dir)
         .groupBy(col("src")).agg(count(lit(1)).as("degree"))
       Tables.supplier(spark, dir).select(col("s_suppkey").as("src"))
         .join(deg, Seq("src"), "left")
@@ -357,17 +353,8 @@ object GraphQueries extends QueryGroup {
   private val q185 = QueryDef(
     "q185_two_hop_reach",
     (spark, dir) => {
-      val li = Tables.lineitem(spark, dir)
-        .filter(col("l_shipdate") >= "1995-01-01" && col("l_shipdate") < "1996-01-01")
-        .select(col("l_orderkey").as("ok"), col("l_suppkey").as("sk"))
-      val pairs = li
-        .join(li.withColumnRenamed("sk", "sk2"), Seq("ok"))
-        .filter(col("sk") < col("sk2"))
-        .select(col("sk").as("src"), col("sk2").as("dst"))
-        .distinct()
-      val edges = pairs
-        .union(pairs.select(col("dst").as("src"), col("src").as("dst")))
-        .persist()
+      // r13: symmetric edges from the memoized graph.Backbone canon
+      val edges = graft.graph.Backbone.coSupplySym(spark, dir).persist()
       val seeds = Tables.supplier(spark, dir)
         .filter(col("s_suppkey") <= 10)
         .select(col("s_suppkey").as("seed"))

@@ -50,19 +50,10 @@ object ModelQueries extends QueryGroup {
           FROM tk WHERE len(tk) >= 2))"""
 
   /** Symmetric, deduplicated co-supply edges for one ship-year (suppliers
-    * sharing an order). The year filter reaches the parquet scan and the
-    * a<b dedup halves the distinct's input before mirroring. */
-  private def cosupplyEdges(spark: SparkSession, dir: String, year: Int): DataFrame = {
-    val li = Tables.lineitem(spark, dir)
-      .filter(col("l_shipdate") >= s"$year-01-01" && col("l_shipdate") < s"${year + 1}-01-01")
-      .select(col("l_orderkey").as("ok"), col("l_suppkey").as("sk"))
-    val pairs = li
-      .join(li.withColumnRenamed("sk", "sk2"), Seq("ok"))
-      .filter(col("sk") < col("sk2"))
-      .select(col("sk").as("src"), col("sk2").as("dst"))
-      .distinct()
-    pairs.union(pairs.select(col("dst").as("src"), col("src").as("dst")))
-  }
+    * sharing an order) — since r13 a mirror of the memoized checkpointed
+    * graph.Backbone canon (one fact pass per (dir, year) per run). */
+  private def cosupplyEdges(spark: SparkSession, dir: String, year: Int): DataFrame =
+    graft.graph.Backbone.coSupplySym(spark, dir, year)
 
   private def duckCosupply(year: Int) = s"""
       li AS (
@@ -194,10 +185,10 @@ object ModelQueries extends QueryGroup {
   private val q271 = QueryDef(
     "q271_kcore_decomposition",
     (spark, dir) => {
-      // materialize the edge list ONCE (q75's pattern): it appears in
-      // every peel round of the unrolled plan, and without the checkpoint
-      // each round would re-run the co-supply self-join + distinct
-      val e0 = cosupplyEdges(spark, dir, 1996).localCheckpoint(true)
+      // the canon behind cosupplyEdges is already memo-checkpointed
+      // (r13); the mirror union is a flat two-leaf plan, so peel rounds
+      // re-embed only projections of a LogicalRDD — no extra checkpoint
+      val e0 = cosupplyEdges(spark, dir, 1996)
       val kv = e0.groupBy(col("src")).agg(count(lit(1)).as("deg"))
         .agg(expr("min(deg) + (max(deg) - min(deg)) div 4").as("k"))
       var e = e0

@@ -192,15 +192,26 @@ object OlapPlanQueries extends QueryGroup {
   private val q439 = QueryDef(
     "q439_cube_materialize_greedy",
     (spark, dir) => {
-      val cells = Tables.lineitem(spark, dir)
+      // r13: only the per-gid GROUP COUNTS are consumed, so aggregate the
+      // fact to its base (b, m, r) cells FIRST (one map-side-combined
+      // pass) and run the 8× cube Expand over the ≤ |brands×months×flags|
+      // cell table instead of the full fact — sizes per cuboid are
+      // identical (distinct projections of base cells = distinct
+      // projections of the fact; guide §2.3 "aggregate before you
+      // shuffle", plans/r13/q439_*.txt: Expand input drops from fact
+      // rows to base cells).
+      val baseCells = Tables.lineitem(spark, dir)
         .join(broadcast(Tables.part(spark, dir)
           .select(col("p_partkey"), col("p_brand"))),
           col("l_partkey") === col("p_partkey"))
         .select(col("p_brand").as("b"),
           expr("date_format(l_shipdate, 'yyyy-MM')").as("m"),
           col("l_returnflag").as("r"))
+        .groupBy(col("b"), col("m"), col("r")).agg(count(lit(1)).as("nr"))
+        .select(col("b"), col("m"), col("r"))
+      val cells = baseCells
         .cube(col("b"), col("m"), col("r"))
-        .agg(grouping_id().cast("long").as("gid"), count(lit(1)).as("cell_rows"))
+        .agg(grouping_id().cast("long").as("gid"))
       val sizes = cells.groupBy(col("gid"))
         .agg(count(lit(1)).as("size"))
         .withColumn("cuboid", expr(

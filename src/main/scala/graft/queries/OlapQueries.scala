@@ -2092,14 +2092,17 @@ object OlapQueries extends QueryGroup {
     "q348_max_coverage_greedy",
     (spark, dir) => {
       import graft.functions.expressions.tokens_native
+      // r13: array_distinct INSIDE the document dedupes bigrams map-side,
+      // so (doc_id, token) rows come out of the scan already distinct —
+      // the corpus-wide distinct Exchange disappears (guide §2.3/§2.4;
+      // plans/r13/q348_*.txt: one fewer Exchange before the persist)
       val tokset = Tables.documents(spark, dir)
         .select(col("doc_id"), tokens_native(col("text")).as("tk"))
         .filter(size(col("tk")) >= 2)
         .select(col("doc_id"), explode(expr(
-          """transform(sequence(1, size(tk) - 1),
-               i -> concat(element_at(tk, i), ' ', element_at(tk, i + 1)))"""))
+          """array_distinct(transform(sequence(1, size(tk) - 1),
+               i -> concat(element_at(tk, i), ' ', element_at(tk, i + 1))))"""))
           .as("token"))
-        .distinct()
         .persist() // all three greedy rounds re-read the bigram set
       def argmaxDoc(ts: DataFrame) = ts.groupBy(col("doc_id"))
         .agg(count(lit(1)).as("gain"))
@@ -2903,13 +2906,11 @@ object OlapQueries extends QueryGroup {
   private val q358 = QueryDef(
     "q358_local_clustering",
     (spark, dir) => {
-      val li = Tables.lineitem(spark, dir)
-        .filter(col("l_shipdate") >= "1995-01-01" && col("l_shipdate") < "1996-01-01")
-        .select(col("l_orderkey").as("ok"), col("l_suppkey").as("sk"))
-      val und = li.join(li.withColumnRenamed("sk", "sk2"), Seq("ok"))
-        .filter(col("sk") < col("sk2"))
-        .select(col("sk").as("a"), col("sk2").as("b"))
-        .distinct().persist() // degree pass + two wedge legs
+      // r13: the canonical pair projection comes from the memoized
+      // graph.Backbone build (checkpointed — degree pass + wedge legs
+      // all read the same LogicalRDD, no per-query fact pass)
+      val und = graft.graph.Backbone.coSupplyCanon(spark, dir)
+        .select(col("u").as("a"), col("v").as("b"))
       val edges = und.unionAll(und.select(col("b").as("a"), col("a").as("b")))
       val deg = edges.groupBy(col("a").as("node")).agg(count(lit(1)).as("deg"))
       // wedges centered at v: (v,x),(v,y) with x<y; closed if (x,y) edge

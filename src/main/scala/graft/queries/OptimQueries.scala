@@ -148,17 +148,9 @@ object OptimQueries extends QueryGroup {
   private val q411 = QueryDef(
     "q411_lpa_communities",
     (spark, dir) => {
-      val li = Tables.lineitem(spark, dir)
-        .filter(col("l_shipdate") >= "1994-01-01" && col("l_shipdate") < "1995-01-01")
-        .select(col("l_orderkey").as("ok"), col("l_suppkey").as("sk"))
-      val pairs = li
-        .join(li.withColumnRenamed("sk", "sk2"), Seq("ok"))
-        .filter(col("sk") < col("sk2"))
-        .select(col("sk").as("src"), col("sk2").as("dst"))
-        .distinct()
-      val edges = pairs
-        .union(pairs.select(col("dst").as("src"), col("src").as("dst")))
-        .localCheckpoint(true)
+      // r13: symmetric 1994 edges from the memoized graph.Backbone canon
+      // (the checkpoint lives in the memo; the mirror union is flat)
+      val edges = graft.graph.Backbone.coSupplySym(spark, dir, year = 1994)
       val nodes = Tables.supplier(spark, dir).select(col("s_suppkey").as("node"))
       var labels = nodes.select(col("node"), col("node").as("label"))
       for (_ <- 1 to 3) {

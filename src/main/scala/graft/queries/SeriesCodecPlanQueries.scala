@@ -47,30 +47,34 @@ object SeriesCodecPlanQueries extends QueryGroup {
         .select(col("m").as("j"), col("rev").as("bv"))
       val cost = a.join(b, abs(col("i") - col("j")) <= 3)
         .select(col("i"), col("j"), abs(col("av") - col("bv")).as("w"))
-        .localCheckpoint(true) // ≤ 78 banded cells; steps never refold
-      // dp over anti-diagonals d = i + j (2..24); diagonal d needs only
-      // d-1 (the ↑/← predecessors) and d-2 (the ↖ predecessor)
-      var prev2 = spark.range(0).selectExpr("CAST(0 AS BIGINT) AS i",
-        "CAST(0 AS BIGINT) AS j", "CAST(0 AS BIGINT) AS dp")
-      var prev1 = cost.filter(col("i") === 1 && col("j") === 1)
-        .select(col("i"), col("j"), col("w").as("dp"))
-        .localCheckpoint(true)
-      for (d <- 3 to 24) {
-        val preds = prev1.select((col("i") + 1).as("i"), col("j"),
-            col("dp"))
-          .union(prev1.select(col("i"), (col("j") + 1).as("j"), col("dp")))
-          .union(prev2.select((col("i") + 1).as("i"),
-            (col("j") + 1).as("j"), col("dp")))
-          .groupBy(col("i"), col("j")).agg(min(col("dp")).as("best"))
-        val next = cost.filter(col("i") + col("j") === d)
-          .join(preds, Seq("i", "j"))
-          .select(col("i"), col("j"), (col("w") + col("best")).as("dp"))
-          .localCheckpoint(true)
-        prev2 = prev1
-        prev1 = next
-      }
-      val dtw = prev1.filter(col("i") === 12 && col("j") === 12)
-        .select(col("dp").as("dtw_cost"))
+      // r13: the band is FIXED at ≤78 cells at every scale factor, so
+      // the whole min(↑,←,↖) recurrence runs inside ONE codegen'd
+      // aggregate HOF over a single collected row — the 22 per-diagonal
+      // localCheckpoint jobs (23 scheduling barriers) collapse to one
+      // tiny fold; identical recurrence, identical base case, row-major
+      // order computes every predecessor before its successor. Cells are
+      // keyed i*16+j in a map; try_element_at returns NULL off-band, and
+      // least() skips NULLs exactly like the old inner join dropped
+      // absent predecessors. (plans/r13/q705_*.txt)
+      val key = "CAST(((idx - 1) div 12 + 1) * 16 + ((idx - 1) % 12 + 1) AS BIGINT)"
+      val wAt = s"try_element_at(wm, $key)"
+      val best = s"least(try_element_at(acc, $key - 1), " +
+        s"try_element_at(acc, $key - 16), try_element_at(acc, $key - 17))"
+      val dp = s"CASE WHEN idx = 1 THEN $wAt " +
+        s"WHEN ($best) IS NULL THEN CAST(NULL AS BIGINT) " +
+        s"ELSE $wAt + ($best) END"
+      val dtw = cost
+        .agg(expr("map_from_entries(collect_list(struct(" +
+          "CAST(i * 16 + j AS BIGINT), w)))").as("wm"))
+        .select(expr(
+          s"""try_element_at(
+                aggregate(sequence(1, 144),
+                  map(CAST(0 AS BIGINT), CAST(0 AS BIGINT)),
+                  (acc, idx) -> CASE
+                    WHEN $wAt IS NULL OR ($dp) IS NULL THEN acc
+                    ELSE map_concat(acc, map($key, $dp)) END),
+                CAST(204 AS BIGINT))""").as("dtw_cost"))
+        .filter(col("dtw_cost").isNotNull) // (12,12) unreached ⇒ empty, as before
       val lockstep = cost.filter(col("i") === col("j"))
         .agg(sum(col("w")).as("lockstep_cost"))
       dtw.crossJoin(broadcast(lockstep))

@@ -138,9 +138,13 @@ object StructurePlanQueries extends QueryGroup {
       // an edge (g, h) with h = shift-by-one of g is BIJECTIVE with its
       // covering 4-gram: dedupe ONE short string per position, derive
       // g/h only on the bounded distinct set (≈2× less string work)
+      // r13: array_distinct dedupes the ≤509 4-grams INSIDE the document
+      // map-side before the corpus-wide distinct, shrinking the exchange
+      // input (guide §2.3; global distinct of per-doc-distinct multiset
+      // ≡ global distinct of the raw multiset)
       val edges = prefixed
         .select(explode(expr(
-          "transform(sequence(1, length(t) - 3), i -> substring(t, i, 4))"))
+          "array_distinct(transform(sequence(1, length(t) - 3), i -> substring(t, i, 4)))"))
           .as("g4"))
         .distinct()
         .select(expr("substring(g4, 1, 3)").as("g"),

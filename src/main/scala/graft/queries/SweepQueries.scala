@@ -27,38 +27,23 @@ object SweepQueries extends QueryGroup {
   private val q95 = QueryDef(
     "q95_triangle_count",
     (spark, dir) => {
-      val li = Tables.lineitem(spark, dir)
-        .filter(col("l_shipdate") >= "1995-01-01" && col("l_shipdate") < "1996-01-01")
-        .select(col("l_orderkey").as("ok"), col("l_suppkey").as("sk"))
-        .distinct()
-      val pairs = li
-        .join(li.withColumnRenamed("sk", "sk2"), Seq("ok"))
-        .filter(col("sk") < col("sk2"))
-        .select(col("sk").as("a"), col("sk2").as("b"))
-        .distinct()
-        .persist()
+      // r13: the pair projection, degrees, orientation and the wedge
+      // semi-join all come from the memoized graph.Backbone builds —
+      // q95/q551 and the wider co-supply family share ONE fact pass
+      // (plans/r13/q95_*.txt: the build chain collapses to LogicalRDD
+      // reads after the first consumer).
+      val pairs = graft.graph.Backbone.coSupplyCanon(spark, dir)
+        .select(col("u").as("a"), col("v").as("b"))
       val deg = pairs.select(col("a").as("node"))
         .union(pairs.select(col("b").as("node")))
         .groupBy(col("node")).agg(count(lit(1)).as("d"))
-      val oriented = pairs
-        .join(deg.select(col("node").as("a"), col("d").as("da")), Seq("a"))
-        .join(deg.select(col("node").as("b"), col("d").as("db")), Seq("b"))
-        .select(
-          when(struct(col("da"), col("a")) < struct(col("db"), col("b")),
-            col("a")).otherwise(col("b")).as("u"),
-          when(struct(col("da"), col("a")) < struct(col("db"), col("b")),
-            col("b")).otherwise(col("a")).as("v"))
-        .persist()
-      val wedges = oriented
-        .join(oriented.select(col("u"), col("v").as("w")), Seq("u"))
-        .filter(col("v") =!= col("w"))
-        .select(col("v").as("u"), col("w").as("v"))
       def metric(name: String, df: DataFrame, cnt: Column): DataFrame =
         df.agg(cnt.as("value")).select(lit(name).as("metric"), col("value"))
       metric("n_nodes", deg, count(lit(1)))
         .union(metric("n_edges", pairs, count(lit(1))))
-        .union(metric("n_triangles",
-          wedges.join(oriented, Seq("u", "v"), "left_semi"), count(lit(1))))
+        .union(graft.graph.Backbone.coSupplyTriangleCount(spark, dir)
+          .select(lit("n_triangles").as("metric"),
+            col("n_triangles").as("value")))
         .orderBy("metric")
     },
     Some("""

