@@ -110,4 +110,21 @@ object MinHashLSH {
                      maxBucketSize: Option[Int] = None): DataFrame =
     candidatePairs(signatures(docs, idCol, textCol, cfg), idCol, cfg, maxBucketSize)
       .filter(col("est_jaccard") >= minJaccard)
+
+  /** Per-(application, session, dir, params) memo of the corpus
+    * candidate-pair set (r13, the graph.Backbone discipline): nine
+    * queries consume `nearDuplicates(documents, "doc_id", "text",
+    * minJaccard = 0.0, maxBucketSize = Some(2))` VERBATIM, so the
+    * signature pass + bucket join runs once per run and every consumer
+    * reads the checkpointed bucket-capped pair list (bounded ≪ corpus²
+    * by the cap). Self-healing [[graft.CkptMemo]]: an entry whose
+    * checkpoint blocks were dropped is rebuilt, never returned dead. */
+  private val pairMemo = new graft.CkptMemo[DataFrame]()
+
+  def corpusNearDuplicates(spark: org.apache.spark.sql.SparkSession, dir: String,
+                           minJaccard: Double = 0.0,
+                           maxBucketSize: Int = 2): DataFrame =
+    pairMemo.getOrBuild(spark, s"$dir|$minJaccard|$maxBucketSize")(
+      nearDuplicates(graft.Tables.documents(spark, dir), "doc_id", "text",
+        minJaccard, Config(), Some(maxBucketSize)).localCheckpoint(true))(Seq(_))
 }

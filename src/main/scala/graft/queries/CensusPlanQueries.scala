@@ -329,16 +329,28 @@ object CensusPlanQueries extends QueryGroup {
           .select(lit(r.toLong).as("round"), col("nodes"), col("edges"),
             col("avg_deg_milli"))
       var out = census(0, edges)
+      // r13 fixpoint shortcut (q558's discipline): peeling only removes
+      // edges, and the adaptive bar is a pure function of the surviving
+      // edge set — an unchanged edge count proves the set, the bar, and
+      // every later round identical, so the remaining census rows read
+      // the same checkpointed frame for free.
+      var eCount = edges.count()
+      var fixed = false
       for (r <- 1 to 4) {
-        val bar = edges.agg(countDistinct(col("u")).as("n"),
-          count(lit(1)).as("m2"))
-        val keep = edges.groupBy(col("u")).agg(count(lit(1)).as("d"))
-          .crossJoin(broadcast(bar))
-          .filter(col("d") * col("n") > col("m2")).select(col("u"))
-        edges = edges
-          .join(keep, Seq("u"))
-          .join(keep.withColumnRenamed("u", "v"), Seq("v"))
-          .select(col("u"), col("v")).localCheckpoint(true)
+        if (!fixed) {
+          val bar = edges.agg(countDistinct(col("u")).as("n"),
+            count(lit(1)).as("m2"))
+          val keep = edges.groupBy(col("u")).agg(count(lit(1)).as("d"))
+            .crossJoin(broadcast(bar))
+            .filter(col("d") * col("n") > col("m2")).select(col("u"))
+          edges = edges
+            .join(keep, Seq("u"))
+            .join(keep.withColumnRenamed("u", "v"), Seq("v"))
+            .select(col("u"), col("v")).localCheckpoint(true)
+          val n = edges.count()
+          fixed = n == eCount
+          eCount = n
+        }
         out = out.union(census(r, edges))
       }
       out.orderBy(col("round"))

@@ -62,8 +62,7 @@ object CorpusQueries extends QueryGroup {
   private val q56 = QueryDef(
     "q56_dup_clusters",
     (spark, dir) => {
-      val pairs = MinHashLSH.nearDuplicates(Tables.documents(spark, dir),
-        "doc_id", "text", minJaccard = 0.0, maxBucketSize = Some(2))
+      val pairs = MinHashLSH.corpusNearDuplicates(spark, dir)
       val comps = Dedup.connectedComponents(pairs, "doc_a", "doc_b")
         .select(col("v").as("doc_id"), col("component"))
       val sizes = comps.groupBy("component").agg(count(lit(1)).as("cluster_size"))
@@ -323,15 +322,21 @@ object CorpusQueries extends QueryGroup {
   private val q64 = QueryDef(
     "q64_quality_threshold",
     (spark, dir) => {
+      // r13: binned feeds three consumers (histogram, total, the final
+      // broadcast-join back) and qualityFeatures is the expensive
+      // per-doc kernel — persist the narrow (doc_id, qs) projection so
+      // the kernel runs once, and fold the total from the bin histogram
+      // instead of a third corpus pass
       val binned = Tables.documents(spark, dir)
         .select(col("doc_id"),
           floor(qualityFeatures(col("text")).getField("quality_score") * 1000 + 0.5)
             .cast("long").as("qs"))
+        .persist()
       val hist = binned.groupBy(col("qs")).agg(count(lit(1)).as("c"))
       val cum = hist.select(col("qs"),
         sum(col("c")).over(org.apache.spark.sql.expressions.Window
           .orderBy(col("qs")).rowsBetween(Long.MinValue, 0)).as("cum"))
-      val tot = binned.agg(count(lit(1)).as("n"))
+      val tot = hist.agg(sum(col("c")).as("n"))
       val thr = cum.crossJoin(broadcast(tot))
         .filter(col("cum") >= ceil(lit(0.75) * col("n")))
         .agg(min(col("qs")).as("t"))
@@ -381,15 +386,21 @@ object CorpusQueries extends QueryGroup {
   private val q82 = QueryDef(
     "q82_decile_binning",
     (spark, dir) => {
+      // r13: binned feeds three consumers (histogram, total, the final
+      // broadcast-join back) and qualityFeatures is the expensive
+      // per-doc kernel — persist the narrow (doc_id, qs) projection so
+      // the kernel runs once, and fold the total from the bin histogram
+      // instead of a third corpus pass
       val binned = Tables.documents(spark, dir)
         .select(col("doc_id"),
           floor(qualityFeatures(col("text")).getField("quality_score") * 1000 + 0.5)
             .cast("long").as("qs"))
+        .persist()
       val hist = binned.groupBy(col("qs")).agg(count(lit(1)).as("c"))
       val cum = hist.select(col("qs"),
         sum(col("c")).over(org.apache.spark.sql.expressions.Window
           .orderBy(col("qs")).rowsBetween(Long.MinValue, 0)).as("cum"))
-      val tot = binned.agg(count(lit(1)).as("n"))
+      val tot = hist.agg(sum(col("c")).as("n"))
       val binDecile = cum.crossJoin(broadcast(tot))
         .select(col("qs"), expr("CAST((10 * cum + n - 1) DIV n AS BIGINT)").as("decile"))
       binned.join(broadcast(binDecile), Seq("qs"))
@@ -519,8 +530,7 @@ object CorpusQueries extends QueryGroup {
   private val q157 = QueryDef(
     "q157_dup_weight",
     (spark, dir) => {
-      val pairs = MinHashLSH.nearDuplicates(Tables.documents(spark, dir),
-        "doc_id", "text", minJaccard = 0.0, maxBucketSize = Some(2))
+      val pairs = MinHashLSH.corpusNearDuplicates(spark, dir)
       val comps = Dedup.connectedComponents(pairs, "doc_a", "doc_b")
         .select(col("v").as("doc_id"), col("component"))
       val sized = comps.join(
@@ -574,8 +584,7 @@ object CorpusQueries extends QueryGroup {
     "q165_minhash_fidelity",
     (spark, dir) => {
       import graft.text.TextFunctions.wordShingleSet
-      val cand = MinHashLSH.nearDuplicates(Tables.documents(spark, dir),
-        "doc_id", "text", minJaccard = 0.0, maxBucketSize = Some(2))
+      val cand = MinHashLSH.corpusNearDuplicates(spark, dir)
         .select(col("doc_a"), col("doc_b"),
           (expr("CAST(est_jaccard * 16 AS BIGINT)") * 62500L).as("est_ppm"))
         .persist()
@@ -652,8 +661,7 @@ object CorpusQueries extends QueryGroup {
   private val q172 = QueryDef(
     "q172_dup_split_leakage",
     (spark, dir) => {
-      val pairs = MinHashLSH.nearDuplicates(Tables.documents(spark, dir),
-        "doc_id", "text", minJaccard = 0.0, maxBucketSize = Some(2))
+      val pairs = MinHashLSH.corpusNearDuplicates(spark, dir)
         .select(col("doc_a"), col("doc_b"))
         .persist()
       val comps = Dedup.connectedComponents(pairs, "doc_a", "doc_b")
@@ -1356,8 +1364,7 @@ object CorpusQueries extends QueryGroup {
     "q666_dedup_pipeline_census",
     (spark, dir) => {
       val docs = Tables.documents(spark, dir).select(col("doc_id"), col("n_chars"))
-      val pairs = MinHashLSH.nearDuplicates(Tables.documents(spark, dir),
-        "doc_id", "text", minJaccard = 0.0, maxBucketSize = Some(2))
+      val pairs = MinHashLSH.corpusNearDuplicates(spark, dir)
       val comps = Dedup.connectedComponents(pairs, "doc_a", "doc_b")
         .select(col("v").as("doc_id"), col("component"))
       val members = docs.join(comps, Seq("doc_id"), "left")
@@ -1446,14 +1453,14 @@ object CorpusQueries extends QueryGroup {
           expr("CAST(n_chars div 16 AS STRING)").as("bkey")))
         .unionAll(d.select(lit("c_lang").as("scheme"), col("doc_id"),
           col("lang").as("bkey")))
+        .persist() // r13: three consumers (size census + both truth legs)
       val perScheme = blocks.groupBy(col("scheme"), col("bkey"))
         .agg(count(lit(1)).as("nb"))
         .groupBy(col("scheme"))
         .agg(count(lit(1)).as("n_blocks"), max(col("nb")).as("max_block"),
           sum(expr("nb * (nb - 1) div 2")).as("cand_pairs"))
       val nAll = d.agg(expr("count(1) * (count(1) - 1) div 2").as("all_pairs"))
-      val truth = MinHashLSH.nearDuplicates(Tables.documents(spark, dir),
-          "doc_id", "text", minJaccard = 0.0, maxBucketSize = Some(2))
+      val truth = MinHashLSH.corpusNearDuplicates(spark, dir)
         .select(col("doc_a"), col("doc_b")).distinct().persist()
       val tTotal = truth.agg(count(lit(1)).as("truth_pairs"))
       val coBlocked = truth
@@ -1545,8 +1552,7 @@ object CorpusQueries extends QueryGroup {
     (spark, dir) => {
       import graft.text.TextFunctions
       val docs = Tables.documents(spark, dir)
-      val pairs = MinHashLSH.nearDuplicates(docs, "doc_id", "text",
-          minJaccard = 0.0, maxBucketSize = Some(2))
+      val pairs = MinHashLSH.corpusNearDuplicates(spark, dir)
         .select(col("doc_a"), col("doc_b"))
       val ids = pairs.select(col("doc_a").as("doc_id"))
         .union(pairs.select(col("doc_b").as("doc_id"))).distinct()

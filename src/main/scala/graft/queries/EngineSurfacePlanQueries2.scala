@@ -202,8 +202,15 @@ object EngineSurfacePlanQueries2 extends QueryGroup {
           when(expr("doc_id div 20") % 2L === 1L,
             concat(upper(substring(col("w"), 1, 1)), expr("substring(w, 2)")))
             .otherwise(col("w")).as("tok"))
+        // r13: dedupe (source, tok) FIRST (one map-side-combined
+        // aggregate over the token stream), then count over the
+        // deduplicated set — the former two-countDistinct aggregate
+        // Expand-doubled the full corpus token stream through the
+        // exchange; counting distinct of a coarser equivalence over an
+        // already-distinct set is the same number (guide §2.3).
+        .groupBy(col("source"), col("tok")).agg(count(lit(1)).as("n"))
         .groupBy(col("source"))
-        .agg(countDistinct(col("tok")).as("n_exact"),
+        .agg(count(lit(1)).as("n_exact"),
           countDistinct(expr("collate(tok, 'UTF8_LCASE')")).as("n_ci"))
         .orderBy(col("source"))
     },

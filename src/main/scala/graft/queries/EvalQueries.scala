@@ -330,37 +330,45 @@ object EvalQueries extends QueryGroup {
         .localCheckpoint(true)
       // 5 variants keyed by the removed channel ('none' = base chain);
       // removal drops every edge touching the channel — a filter over
-      // the checkpointed table, not a new scan
+      // the ≤49-entry transition array, not a new scan.
+      //
+      // r13: the chain is FIXED at ≤7×7 states at every scale factor,
+      // so the whole 8-step × 5-variant power iteration runs inside one
+      // codegen'd aggregate HOF over the collected transition array —
+      // the former plan nested 8 rounds × (join + agg + right-join)
+      // per variant into one enormous lazy plan (16+ joins, heavy
+      // planning + AQE barriers). Recurrence, flooring order
+      // (Σ products, then ONE div 1e6), missing-state defaults and the
+      // states domain are identical. (plans/r13/q374_*.txt)
       val variants = Seq("none", "click", "view", "signup", "error")
-      val trans = variants.map { rm =>
-        val t = if (rm == "none") baseT
-        else baseT.filter(col("src") =!= rm && col("dst") =!= rm)
-        t.withColumn("variant", lit(rm))
-      }.reduce(_ union _)
-      val states = Seq("START", "click", "view", "signup", "error")
-      val init = {
+      val transRow = baseT
+        .agg(collect_list(struct(col("src"), col("dst"), col("t_ppm"))).as("tr"))
+      val statesArr = "array('START', 'click', 'view', 'signup', 'error')"
+      val iterExpr = s"""
+        aggregate(sequence(1, 8),
+          map_from_arrays($statesArr,
+            transform($statesArr, s -> CAST(0 AS BIGINT))),
+          (v, step) -> map_from_arrays($statesArr,
+            transform($statesArr, s ->
+              aggregate(
+                filter(tarr, e -> e.src = s),
+                CAST(0 AS BIGINT),
+                (acc, e) -> acc + e.t_ppm *
+                  (CASE WHEN e.dst = 'purchase' THEN CAST(1000000 AS BIGINT)
+                        ELSE coalesce(try_element_at(v, e.dst),
+                                      CAST(0 AS BIGINT)) END),
+                t -> t div 1000000))),
+          v -> try_element_at(v, 'START'))"""
+      val conv = {
         import spark.implicits._
-        variants.flatMap(v => states.map(s => (v, s)))
-          .toDF("variant", "state")
-          .withColumn("v_ppm", lit(0L))
+        variants.toDF("variant")
       }
-      var vec: DataFrame = init
-      for (_ <- 1 to 8) {
-        // v'(s) = Σ_t T(s→t)·v(t) div 1e6, plus the absorbed mass of a
-        // direct purchase edge (v(purchase) ≡ 1e6 ⇒ T(s→purchase) itself)
-        vec = trans
-          .join(vec.select(col("variant"), col("state").as("dst"), col("v_ppm")),
-            Seq("variant", "dst"), "left")
-          .select(col("variant"), col("src"),
-            (col("t_ppm") * when(col("dst") === "purchase", lit(1000000L))
-              .otherwise(coalesce(col("v_ppm"), lit(0L)))).as("m"))
-          .groupBy(col("variant"), col("src").as("state"))
-          .agg(expr("sum(m) div 1000000").as("v_ppm"))
-          .join(init.select(col("variant"), col("state")), Seq("variant", "state"), "right")
-          .na.fill(0L, Seq("v_ppm"))
-      }
-      val conv = vec.filter(col("state") === "START")
-        .select(col("variant"), col("v_ppm").as("conv_ppm"))
+        .crossJoin(broadcast(transRow))
+        .withColumn("tarr", expr(
+          """CASE WHEN variant = 'none' THEN tr
+             ELSE filter(tr, e -> e.src != variant AND e.dst != variant)
+             END"""))
+        .select(col("variant"), expr(iterExpr).as("conv_ppm"))
       val base = conv.filter(col("variant") === "none")
         .select(col("conv_ppm").as("base_ppm"))
       conv.crossJoin(broadcast(base))

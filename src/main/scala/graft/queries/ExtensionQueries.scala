@@ -44,8 +44,7 @@ object ExtensionQueries extends QueryGroup {
   private val q21 = QueryDef(
     "q21_dedup_minhash_lsh",
     (spark, dir) => {
-      MinHashLSH.nearDuplicates(Tables.documents(spark, dir), "doc_id", "text",
-        minJaccard = 0.0, maxBucketSize = Some(2))
+      MinHashLSH.corpusNearDuplicates(spark, dir)
         .orderBy("doc_a", "doc_b")
     },
     Some(s"""
@@ -376,8 +375,7 @@ object ExtensionQueries extends QueryGroup {
   private val q258 = QueryDef(
     "q258_lsh_transitivity",
     (spark, dir) => {
-      val e = MinHashLSH.nearDuplicates(Tables.documents(spark, dir),
-          "doc_id", "text", minJaccard = 0.0, maxBucketSize = Some(2))
+      val e = MinHashLSH.corpusNearDuplicates(spark, dir)
         .select(col("doc_a").as("a"), col("doc_b").as("b"))
       val deg = e.select(col("a").as("v")).unionAll(e.select(col("b").as("v")))
         .groupBy(col("v")).agg(count(lit(1)).as("d"))

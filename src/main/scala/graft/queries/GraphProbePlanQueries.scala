@@ -121,7 +121,14 @@ object GraphProbePlanQueries extends QueryGroup {
         .distinct()
         .localCheckpoint(true) // ≤ 625 rows; rounds never rescan facts
       var reach = base
-      for (_ <- 1 to 5) {
+      // r13 fixpoint shortcut: doubling only ADDS pairs, so an unchanged
+      // pair count proves the closure is complete and the remaining
+      // rounds are provable no-ops (the count rides the materialized
+      // checkpoint — one cheap job per live round; the nation closure
+      // saturates in 2-3 doublings, not 5)
+      var rCount = base.count()
+      var fixed = false
+      for (_ <- 1 to 5 if !fixed) {
         reach = reach
           .union(reach.join(
             reach.select(col("src").as("mid"), col("dst").as("d2")),
@@ -129,6 +136,9 @@ object GraphProbePlanQueries extends QueryGroup {
             .select(col("src"), col("d2").as("dst")))
           .distinct()
           .localCheckpoint(true)
+        val n = reach.count()
+        fixed = n == rCount
+        rCount = n
       }
       val nodes = base.select(col("src").as("node"))
         .union(base.select(col("dst").as("node"))).distinct()

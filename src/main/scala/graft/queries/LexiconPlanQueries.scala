@@ -80,28 +80,40 @@ object LexiconPlanQueries extends QueryGroup {
   private val q711 = QueryDef(
     "q711_texttiling_shift_census",
     (spark, dir) => {
-      val tf = Tables.documents(spark, dir)
-        .select(col("doc_id"), col("source"),
-          posexplode(graft.text.TextFunctions.tokens(col("text")))
-            .as(Seq("pos", "tok")))
-        .groupBy(col("doc_id"), col("source"),
-          expr("pos div 32").as("blk"), col("tok"))
-        .agg(count(lit(1)).as("tf"))
-      val norms = tf.groupBy(col("doc_id"), col("source"), col("blk"))
-        .agg(sum(col("tf") * col("tf")).as("nrm"))
-      val dots = tf.select(col("doc_id"), col("blk"), col("tok"),
-          col("tf").as("tf1"))
-        .join(tf.select(col("doc_id"), (col("blk") - 1).as("blk"),
-          col("tok"), col("tf").as("tf2")), Seq("doc_id", "blk", "tok"))
-        .groupBy(col("doc_id"), col("blk"))
-        .agg(sum(col("tf1") * col("tf2")).as("dot"))
-      val pairs = norms
-        .join(norms.select(col("doc_id"), (col("blk") - 1).as("blk"),
-          col("nrm").as("nrm2")), Seq("doc_id", "blk"))
-        .join(dots, Seq("doc_id", "blk"), "left")
+      // r13: the whole block-cohesion computation runs INSIDE the row
+      // (per-doc block tf maps + adjacent dot/norm folds in codegen'd
+      // HOFs) — the former plan shuffled a corpus-scale (doc, blk, tok)
+      // tf table and self-joined it twice just to pair structures the
+      // document row already held adjacently. Same tf counts, same
+      // dot/norm integers, same pair set (docs under 33 tokens have no
+      // adjacent pair and are pruned at the scan). Only the ≤(len/32)
+      // cohesion rows per doc ever leave the scan task (guide §2.3/§8;
+      // plans/r13/q711_*.txt).
+      val bm = expr("""
+        transform(sequence(0, (size(tk) - 1) div 32),
+          b -> aggregate(slice(tk, b * 32 + 1, 32),
+            map_filter(map('', CAST(0 AS BIGINT)), (k, v) -> false),
+            (m, t) -> map_concat(map_filter(m, (k, v) -> k != t),
+              map(t, coalesce(try_element_at(m, t), CAST(0 AS BIGINT)) + 1))))""")
+      val pairs = Tables.documents(spark, dir)
         .select(col("source"),
-          expr("coalesce(dot, 0) * coalesce(dot, 0) * 1000000" +
-            " div (nrm * nrm2)").as("cos2_ppm"))
+          graft.text.TextFunctions.tokens(col("text")).as("tk"))
+        .filter(size(col("tk")) >= 33)
+        .withColumn("bm", bm)
+        .select(col("source"), explode(expr("""
+          transform(sequence(1, (size(tk) - 1) div 32), b ->
+            named_struct(
+              'dot', aggregate(map_keys(element_at(bm, CAST(b AS INT))),
+                CAST(0 AS BIGINT),
+                (acc, t) -> acc + element_at(element_at(bm, CAST(b AS INT)), t) *
+                  coalesce(try_element_at(element_at(bm, CAST(b + 1 AS INT)), t),
+                           CAST(0 AS BIGINT))),
+              'nrm', aggregate(map_values(element_at(bm, CAST(b AS INT))),
+                CAST(0 AS BIGINT), (acc, v) -> acc + v * v),
+              'nrm2', aggregate(map_values(element_at(bm, CAST(b + 1 AS INT))),
+                CAST(0 AS BIGINT), (acc, v) -> acc + v * v)))""")).as("p"))
+        .select(col("source"),
+          expr("p.dot * p.dot * 1000000 div (p.nrm * p.nrm2)").as("cos2_ppm"))
       pairs.groupBy(col("source"))
         .agg(count(lit(1)).as("n_pairs"),
           sum(when(col("cos2_ppm") < 200000, 1L).otherwise(0L))

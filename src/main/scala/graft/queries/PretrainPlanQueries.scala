@@ -261,7 +261,8 @@ object PretrainPlanQueries extends QueryGroup {
     * redistributes across sources — the document-level counterpart of
     * q166's token-level source keyness.
     *
-    * Scale shape: bigrams ship as md5 digests (never text); the two
+    * Scale shape: bigrams ship as 8-byte xxhash64 digests (never
+    * text; r13 — the oracle keeps md5, digests are internal); the two
     * frequency tables are vocabulary-sized; the per-doc score is one
     * digest-keyed join + per-doc mean; selection is BIN-granular (the
     * q64/q82 pattern): the quota threshold comes from a cumulative
@@ -277,14 +278,23 @@ object PretrainPlanQueries extends QueryGroup {
           expr("filter(split(text, ' '), t -> t != '')").as("tk"))
         .filter(size(col("tk")) >= 2)
         .select(col("doc_id"), col("source"), explode(expr(
-          "transform(sequence(1, size(tk) - 1), i -> concat(tk[i - 1], ' ', tk[i]))"))
-          .as("bg"))
-        .select(col("doc_id"), col("source"), md5(col("bg")).as("d"))
+          // r13: 8-byte codegen'd xxhash64 digests instead of 32-hex md5
+          // (tokens are space-free, so the two-arg hash keys the same
+          // bigram identity; internal only — the q624 collision-odds
+          // precedent, the oracle keeps md5) — 4× narrower shuffle keys
+          // for the three digest-keyed aggregates/joins below
+          "transform(sequence(1, size(tk) - 1), i -> xxhash64(tk[i - 1], tk[i]))"))
+          .as("d"))
+        // r13: the bigram stream feeds 4 consumers (corpus, target,
+        // totals, the per-doc score join) — persist it, or the scan +
+        // explode + hash runs once per consumer
+        .persist()
       val corpus = bi.groupBy(col("d")).agg(count(lit(1)).as("c_all"))
       val target = bi.filter(col("source") === "src0")
         .groupBy(col("d")).agg(count(lit(1)).as("c_t"))
-      val totals = bi.agg(count(lit(1)).as("n_all"))
-        .crossJoin(bi.filter(col("source") === "src0").agg(count(lit(1)).as("n_t")))
+      // both corpus totals in ONE pass over the cached stream
+      val totals = bi.agg(count(lit(1)).as("n_all"),
+        sum(when(col("source") === "src0", 1L).otherwise(0L)).as("n_t"))
       // single fused ratio — the staged ppm form floors rare-bigram
       // corpus frequencies to 0 at large n_all and divides by zero;
       // c_t·n_all·1000 ≤ 3·10⁵ · 3·10⁶ · 10³ ≈ 9·10¹⁴, no overflow

@@ -35,28 +35,36 @@ object SegmentQueries extends QueryGroup {
     (spark, dir) => {
       val width = 2
       val maxDf = 20
-      val segs = Tables.documents(spark, dir)
+      // r13 (guide §8 — decide with small rows, move big rows never):
+      // the document KEEPS its segment array in-row; only 16-byte
+      // digests leave the scan for the df count, only the (small)
+      // dropped-index sets come back, and reassembly filters the in-row
+      // array by index. The former plan shuffled the segment TEXT twice
+      // (freq-join + per-doc collect_list/sort). Same df rule, same
+      // segment order, identical output rows. (plans/r13/q92_*.txt)
+      val docsSeg = Tables.documents(spark, dir)
         .select(col("doc_id"), TextFunctions.tokens(col("text")).as("w"))
         .filter(size(col("w")) > 0)
-        .select(col("doc_id"), posexplode(expr(
+        .select(col("doc_id"), expr(
           s"transform(sequence(0, (size(w)-1) div $width)," +
-            s" i -> array_join(slice(w, i*$width+1, $width), ' '))"))
-          .as(Seq("seg_idx", "segment")))
-        .withColumn("h", md5(col("segment")))
-        .persist()
-      val freq = segs.groupBy(col("h"))
-        .agg(countDistinct(col("doc_id")).as("nd"))
-      segs
-        .join(freq, Seq("h"))
-        .withColumn("keep", col("nd") < lit(maxDf))
-        .groupBy(col("doc_id"))
-        .agg(sort_array(collect_list(struct(col("seg_idx"), col("segment"),
-          col("keep")))).as("a"))
+            s" i -> array_join(slice(w, i*$width+1, $width), ' '))").as("sa"))
+        .persist() // read twice: the digest explode + the reassembly
+      val segd = docsSeg
         .select(col("doc_id"),
-          expr("array_join(transform(filter(a, x -> x.keep), x -> x.segment), ' ')")
+          posexplode(expr("transform(sa, s -> md5(s))")).as(Seq("seg_idx", "h")))
+      val freq = segd.groupBy(col("h"))
+        .agg(countDistinct(col("doc_id")).as("nd"))
+      val dropped = segd
+        .join(freq.filter(col("nd") >= lit(maxDf)).select(col("h")), Seq("h"))
+        .groupBy(col("doc_id")).agg(collect_set(col("seg_idx")).as("drop_idx"))
+      docsSeg.join(dropped, Seq("doc_id"), "left")
+        .withColumn("di", coalesce(col("drop_idx"), expr("CAST(array() AS ARRAY<INT>)")))
+        .select(col("doc_id"),
+          expr("array_join(filter(sa, (s, i) -> NOT array_contains(di, i)), ' ')")
             .as("kept_text"),
-          expr("size(filter(a, x -> x.keep))").cast("long").as("n_kept"),
-          expr("size(filter(a, x -> NOT x.keep))").cast("long").as("n_dropped"))
+          expr("size(filter(sa, (s, i) -> NOT array_contains(di, i)))")
+            .cast("long").as("n_kept"),
+          expr("size(di)").cast("long").as("n_dropped"))
         .orderBy("doc_id")
     },
     Some("""

@@ -156,23 +156,34 @@ object SelectivityQueries extends QueryGroup {
       val docs = Tables.documents(spark, dir)
         .select(col("doc_id"), col("source"), col("text"),
           length(col("text")).cast("long").as("len"))
-      val bounds = docs
-        .select(col("doc_id"), col("source"), col("text"), col("len"),
-          explode(expr("sequence(8L, len)")).as("i"))
-        .withColumn("h", poly_hash(expr("substring(text, CAST(i - 7 AS INT), 8)")))
-        .filter(expr("(((h % 2147483648) * 2654435761L) % 4294967296) % 64 = 0") &&
-          col("i") < col("len")) // the len sentinel below covers a final boundary
-        .select(col("doc_id"), col("source"), col("text"), col("i"))
-        .unionAll(docs.select(col("doc_id"), col("source"), col("text"),
-          col("len").as("i")))
-      val wDoc = Window.partitionBy(col("doc_id")).orderBy(col("i"))
-      val chunks = bounds
-        .withColumn("start", coalesce(lag(col("i"), 1).over(wDoc) + 1L, lit(1L)))
-        .filter(col("i") >= col("start")) // guards empty docs
-        .withColumn("clen", col("i") - col("start") + 1L)
-        .withColumn("chash",
-          poly_hash(expr("substring(text, CAST(start AS INT), CAST(clen AS INT))")))
-        .select(col("source"), col("chash"), col("clen"))
+      // r13: boundary detection AND chunk assembly run inside the row
+      // (per-doc arrays + codegen'd lambdas) — the former plan exploded
+      // one row PER CHARACTER through an exchange and re-sorted them in
+      // a per-doc window just to recover adjacency the row already had.
+      // Same boundary test, same sentinel/empty-doc semantics, chunk
+      // rows out are identical; only the ~len/64 chunk rows ever leave
+      // the scan task (guide §2.3/§2.4; plans/r13/q444_*.txt: the
+      // per-char Generate + window Exchange+Sort are gone).
+      val boundSeq = when(col("len") >= 8L, sequence(lit(8L), col("len")))
+        .otherwise(expr("CAST(array() AS ARRAY<BIGINT>)"))
+      val internal = filter(
+        transform(boundSeq, i => struct(i.as("i"),
+          poly_hash(substring(col("text"), (i - 7L).cast("int"), lit(8))).as("h"))),
+        s => (s("h") % 2147483648L * 2654435761L % 4294967296L % 64L === 0L)
+          && s("i") < col("len"))
+      val bArr = concat(transform(internal, s => s("i")), array(col("len")))
+      val chunkArr = transform(
+        filter(
+          transform(sequence(lit(1), size(bArr)), k => struct(
+            when(k === 1, 1L).otherwise(element_at(bArr, k - 1) + 1L).as("start"),
+            element_at(bArr, k).as("i"))),
+          s => s("i") >= s("start")), // guards empty docs
+        s => struct((s("i") - s("start") + 1L).as("clen"),
+          poly_hash(substring(col("text"), s("start").cast("int"),
+            (s("i") - s("start") + 1L).cast("int"))).as("chash")))
+      val chunks = docs
+        .select(col("source"), explode(chunkArr).as("c"))
+        .select(col("source"), col("c.chash").as("chash"), col("c.clen").as("clen"))
       val base = chunks.groupBy(col("source"))
         .agg(count(lit(1)).as("n_chunks"), sum(col("clen")).as("chars_total"))
       val uniq = chunks.groupBy(col("source"), col("chash"))

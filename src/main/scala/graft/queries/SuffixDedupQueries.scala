@@ -86,56 +86,91 @@ object SuffixDedupQueries extends QueryGroup {
     * consume (lenp, maxdig), so the corpus-scanning part of the fold
     * runs once per session and is `localCheckpoint(true)`-materialized
     * (flat lineage, candidate-bounded rows), not rebuilt per query.
-    * Round-13: self-healing [[graft.CkptMemo]] — a cached pair whose
-    * checkpoint blocks were dropped is rebuilt, never returned dead. */
-  private val memo = new graft.CkptMemo[
-    (org.apache.spark.sql.DataFrame, org.apache.spark.sql.DataFrame)]()
+    * Round-13: self-healing [[graft.CkptMemo]] — a cached tuple whose
+    * checkpoint blocks were dropped is rebuilt, never returned dead.
+    * The tuple adds docStats (doc_id, source, n_tok) so q742/q750 skip
+    * the per-query re-tokenize pass for totals. */
+  private val memo = new graft.CkptMemo[(org.apache.spark.sql.DataFrame,
+    org.apache.spark.sql.DataFrame, org.apache.spark.sql.DataFrame)]()
 
-  /** The Spark mirror of [[repeatSql]]: (tk, tot, lenp, maximal,
-    * maxdig) DataFrames. ext persists only while lenp and maxdig are
-    * checkpointed from it, bounded at (candidates × (M−K+1)) digest
-    * rows. */
+  /** The Spark mirror of [[repeatSql]]: (docStats, tot, lenp, maximal,
+    * maxdig) DataFrames, all riding the memoized checkpointed build. */
   private def repeatFrames(spark: org.apache.spark.sql.SparkSession, dir: String) = {
-    val tkOut = Tables.documents(spark, dir)
-      .select(col("doc_id"), col("source"),
-        graft.functions.expressions.tokens_native(col("text")).as("tk"))
-    val totOut = tkOut.groupBy(col("source"))
-      .agg(count(lit(1)).as("n_docs"), sum(size(col("tk")).cast("long")).as("tokens"))
-    val (lenpC, maxdigC) = memo.getOrBuild(spark, dir)(
-      buildRepeatTables(spark, dir))(p => Seq(p._1, p._2))
+    val (docStatsC, lenpC, maxdigC) = memo.getOrBuild(spark, dir)(
+      buildRepeatTables(spark, dir))(p => Seq(p._1, p._2, p._3))
+    val totOut = docStatsC.groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_tok")).as("tokens"))
     val maximal = lenpC.join(
         lenpC.select(col("doc_id"), (col("pos") + 1L).as("pos"),
           (col("len_p") - 1L).as("cover_len")),
         Seq("doc_id", "pos"), "left")
       .filter(col("cover_len").isNull || col("len_p") > col("cover_len"))
       .select(col("doc_id"), col("source"), col("pos"), col("len_p"))
-    (tkOut, totOut, lenpC, maximal, maxdigC)
+    (docStatsC, totOut, lenpC, maximal, maxdigC)
   }
 
-  /** One-time build of the checkpointed (lenp, maxdig) pair. */
+  /** One-time build of the checkpointed (docStats, lenp, maxdig) triple.
+    *
+    * Round-13 digest rewrite (guide §2.3 "narrower types" / §1.2
+    * per-task work): the duplicate-detection fold now runs on 8-byte
+    * chained-xxhash64 digests — per token a single xxhash64, per
+    * position/length one more chain step on precomputed token hashes —
+    * instead of md5 over a re-concatenated token string per (pos, L)
+    * (which re-built and re-hashed up to 24 tokens of text 17 times per
+    * candidate and shuffled 32-char hex keys). The OUTPUT digest (q743's
+    * `dig` column) stays md5-of-token-slice, recomputed for the
+    * candidate-bounded maximal rows only, so results are bit-identical
+    * to the oracle. Gate caveat (the q624 precedent): the engines no
+    * longer share a collision-equivalence relation on internal grams —
+    * a 64-bit chain collision (odds ~n²/2⁶⁵) would perturb dup8/dupd
+    * membership and fail the gate loudly, never silently. */
   private def buildRepeatTables(spark: org.apache.spark.sql.SparkSession, dir: String) = {
     val tk = Tables.documents(spark, dir)
       .select(col("doc_id"), col("source"),
         graft.functions.expressions.tokens_native(col("text")).as("tk"))
-    val pos8 = tk.filter(size(col("tk")) >= K)
+    val docStats = tk
+      .select(col("doc_id"), col("source"), size(col("tk")).cast("long").as("n_tok"))
+      .localCheckpoint(true)
+    val tkh = tk.select(col("doc_id"), col("source"),
+      expr("transform(tk, t -> xxhash64(t))").as("hs"))
+    // chain fold of the K token hashes starting at 1-based position p
+    def chainK(p: String) =
+      s"aggregate(slice(hs, $p, $K), CAST(0 AS BIGINT), (a, h) -> xxhash64(a, h))"
+    val pos8 = tkh.filter(size(col("hs")) >= K)
       .select(col("doc_id"), col("source"),
         posexplode(expr(
-          s"transform(sequence(1, size(tk) - ${K - 1}), " +
-            s"i -> md5(concat_ws(' ', slice(tk, i, $K))))")).as(Seq("p0", "g8")))
+          s"transform(sequence(1, size(hs) - ${K - 1}), i -> ${chainK("i")})"))
+          .as(Seq("p0", "g8")))
       .select(col("doc_id"), col("source"),
         (col("p0") + 1L).cast("long").as("pos"), col("g8"))
     val dup8 = pos8.groupBy(col("g8")).agg(count(lit(1)).as("c"))
       .filter(col("c") >= 2L).select(col("g8"))
     val cand = pos8.join(dup8, Seq("g8"))
       .select(col("doc_id"), col("source"), col("pos"))
+    // one incremental chain per candidate: digest(pos, L+1) extends
+    // digest(pos, L) by one xxhash64 step — O(M) per candidate, not
+    // O(M²) string bytes
+    val extArr =
+      s"""CASE WHEN least($M, size(hs) - CAST(pos AS INT) + 1) <= $K
+            THEN array(named_struct('l', CAST($K AS BIGINT),
+                                    'dig', ${chainK("CAST(pos AS INT)")}))
+            ELSE aggregate(
+              sequence($K + 1, least($M, size(hs) - CAST(pos AS INT) + 1)),
+              named_struct(
+                'd', ${chainK("CAST(pos AS INT)")},
+                'out', array(named_struct('l', CAST($K AS BIGINT),
+                                          'dig', ${chainK("CAST(pos AS INT)")}))),
+              (st, L) -> named_struct(
+                'd', xxhash64(st.d, element_at(hs, CAST(pos AS INT) + L - 1)),
+                'out', concat(st.out, array(named_struct(
+                  'l', CAST(L AS BIGINT),
+                  'dig', xxhash64(st.d, element_at(hs, CAST(pos AS INT) + L - 1)))))),
+              st -> st.out)
+          END"""
     val ext = cand
-      .join(tk.select(col("doc_id"), col("tk")), Seq("doc_id"))
+      .join(tkh.select(col("doc_id"), col("hs")), Seq("doc_id"))
       .select(col("doc_id"), col("source"), col("pos"),
-        explode(expr(
-          s"""transform(sequence($K, least($M, size(tk) - CAST(pos AS INT) + 1)),
-              L -> struct(CAST(L AS BIGINT) AS l,
-                md5(concat_ws(' ', slice(tk, CAST(pos AS INT), L))) AS dig))"""))
-          .as("e"))
+        explode(expr(extArr)).as("e"))
       .select(col("doc_id"), col("source"), col("pos"),
         col("e.l").as("l"), col("e.dig").as("dig"))
       .persist()
@@ -151,14 +186,16 @@ object SuffixDedupQueries extends QueryGroup {
         Seq("doc_id", "pos"), "left")
       .filter(col("cover_len").isNull || col("len_p") > col("cover_len"))
       .select(col("doc_id"), col("source"), col("pos"), col("len_p"))
+    // q743 reports the repeat's digest: md5 of the actual token slice
+    // (the oracle's definition), computed for the maximal rows only
     val maxdig = maximal
-      .join(ext.select(col("doc_id"), col("pos"), col("l"), col("dig")),
-        Seq("doc_id", "pos"))
-      .filter(col("l") === col("len_p"))
-      .select(col("source"), col("len_p"), col("dig"))
+      .join(tk.select(col("doc_id"), col("tk")), Seq("doc_id"))
+      .select(col("source"), col("len_p"),
+        expr("md5(concat_ws(' ', slice(tk, CAST(pos AS INT), CAST(len_p AS INT))))")
+          .as("dig"))
       .localCheckpoint(true)
     ext.unpersist(false)
-    (lenp, maxdig)
+    (docStats, lenp, maxdig)
   }
 
   // ---------------------------------------------------------------- q742
@@ -298,7 +335,13 @@ object SuffixDedupQueries extends QueryGroup {
   private val q744 = QueryDef(
     "q744_block_vs_span_recall",
     (spark, dir) => {
-      val (tk, tot, lenp, _, _) = repeatFrames(spark, dir)
+      val (_, tot, lenp, _, _) = repeatFrames(spark, dir)
+      // the block ledger needs the token arrays themselves — the one
+      // q74x consumer that re-tokenizes (its block digests are its own
+      // corpus pass by definition)
+      val tk = Tables.documents(spark, dir)
+        .select(col("doc_id"), col("source"),
+          graft.functions.expressions.tokens_native(col("text")).as("tk"))
       // q476's pass, in tokens: non-overlapping K-blocks, survivor =
       // smallest (doc, block) order key per content digest
       val blocks = tk.filter(size(col("tk")) >= 1)
@@ -429,7 +472,7 @@ object SuffixDedupQueries extends QueryGroup {
   private val q750 = QueryDef(
     "q750_dedup_impact_projection",
     (spark, dir) => {
-      val (tk, tot, lenp, _, _) = repeatFrames(spark, dir)
+      val (docStats, _, lenp, _, _) = repeatFrames(spark, dir)
       val wDoc = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
       val docCov = lenp
         .withColumn("end", col("pos") + col("len_p") - 1L)
@@ -439,8 +482,9 @@ object SuffixDedupQueries extends QueryGroup {
           col("end") - greatest(coalesce(col("prev_end"), lit(0L)),
             col("pos") - 1L)).as("covered"))
         .groupBy(col("doc_id")).agg(sum(col("covered")).as("cov"))
-      val perDoc = tk
-        .select(col("doc_id"), col("source"), size(col("tk")).cast("long").as("n_tok"))
+      // r13: per-doc token counts ride the memoized docStats checkpoint —
+      // this query no longer re-tokenizes the corpus at all
+      val perDoc = docStats
         .join(docCov, Seq("doc_id"), "left")
         .select(col("source"), col("n_tok"),
           coalesce(col("cov"), lit(0L)).as("cov"))

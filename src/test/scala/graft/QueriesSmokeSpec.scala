@@ -532,6 +532,11 @@ class QueriesSmokeSpec extends SparkSpec {
       // q756 localCheckpoints each level's surviving key set (the
       // 4-level unrolled peel — bounded, keys shrink geometrically)
       "q756_bbhash_level_census",
+      // q755 (r13) localCheckpoints the ≤10-row dual length histogram —
+      // the ONE corpus scan both Sinkhorn vector chains read (6+
+      // references; without the eager checkpoint each reference
+      // re-scans + re-explodes the documents table)
+      "q755_sinkhorn_length_transport",
       // q759 localCheckpoints each doubled map (5 rounds, key-domain
       // bounded — the pointer-doubling frames)
       "q759_pointer_doubling_contraction")
