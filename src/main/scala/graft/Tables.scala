@@ -98,4 +98,18 @@ object Tables {
   def lineitem(spark: SparkSession, dir: String): DataFrame   = table(spark, dir, "lineitem")
   def documents(spark: SparkSession, dir: String): DataFrame  = table(spark, dir, "documents")
   def embeddings(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "embeddings")
+
+  /** Fan CPU-heavy per-row kernel work out across the session's cores
+    * when the scan under-splits (r13, guide §2.5 "unsplittable input:
+    * repartition immediately after the read"): every test-corpus table
+    * is ONE parquet row group, so a scan is one split — and one task —
+    * regardless of split confs, which serializes expensive text/hash
+    * kernels on a 32-core host. The round-robin pays one tiny shuffle
+    * of the input rows. At production scale the scan already carries at
+    * least the cluster's parallelism and this is a no-op — the check is
+    * on the actual scan partition count, not a constant. */
+  def fanOut(df: DataFrame): DataFrame = {
+    val p = df.sparkSession.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions < p) df.repartition(p) else df
+  }
 }

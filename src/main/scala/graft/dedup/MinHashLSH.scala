@@ -125,6 +125,6 @@ object MinHashLSH {
                            minJaccard: Double = 0.0,
                            maxBucketSize: Int = 2): DataFrame =
     pairMemo.getOrBuild(spark, s"$dir|$minJaccard|$maxBucketSize")(
-      nearDuplicates(graft.Tables.documents(spark, dir), "doc_id", "text",
+      nearDuplicates(graft.Tables.fanOut(graft.Tables.documents(spark, dir)), "doc_id", "text",
         minJaccard, Config(), Some(maxBucketSize)).localCheckpoint(true))(Seq(_))
 }

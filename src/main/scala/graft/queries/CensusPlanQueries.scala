@@ -60,28 +60,17 @@ object CensusPlanQueries extends QueryGroup {
             expr("count(1) div 2").as("edges"))
           .select(lit(r.toLong).as("round"), col("nodes"), col("edges"))
       var out = census(0, edges)
-      // r13 fixpoint shortcut: peeling only REMOVES edges, so an
-      // unchanged edge count after a round proves the set is identical
-      // and every later round is identical too — the remaining rounds'
-      // census rows read the same checkpointed frame instead of paying
-      // a degree aggregate + two semijoins + checkpoint each for a
-      // provable no-op (the count rides the already-materialized
-      // checkpoint, one cheap job per live round).
-      var eCount = -1L
-      var fixed = false
+      // (r13 note: a count-based fixpoint shortcut was tried and
+      // REVERTED — this graph never reaches a fixpoint within the 4
+      // audited rounds at any test SF, so the two extra count barriers
+      // per round cost ~65% more wall time and saved nothing.)
       for (r <- 1 to 4) {
-        if (!fixed) {
-          if (eCount < 0) eCount = edges.count()
-          val keep = edges.groupBy(col("u")).agg(count(lit(1)).as("d"))
-            .filter(col("d") >= 3L).select(col("u"))
-          edges = edges
-            .join(keep, Seq("u"))
-            .join(keep.withColumnRenamed("u", "v"), Seq("v"))
-            .select(col("u"), col("v")).localCheckpoint(true)
-          val nCount = edges.count()
-          fixed = nCount == eCount
-          eCount = nCount
-        }
+        val keep = edges.groupBy(col("u")).agg(count(lit(1)).as("d"))
+          .filter(col("d") >= 3L).select(col("u"))
+        edges = edges
+          .join(keep, Seq("u"))
+          .join(keep.withColumnRenamed("u", "v"), Seq("v"))
+          .select(col("u"), col("v")).localCheckpoint(true)
         out = out.union(census(r, edges))
       }
       out.orderBy(col("round"))
@@ -329,28 +318,19 @@ object CensusPlanQueries extends QueryGroup {
           .select(lit(r.toLong).as("round"), col("nodes"), col("edges"),
             col("avg_deg_milli"))
       var out = census(0, edges)
-      // r13 fixpoint shortcut (q558's discipline): peeling only removes
-      // edges, and the adaptive bar is a pure function of the surviving
-      // edge set — an unchanged edge count proves the set, the bar, and
-      // every later round identical, so the remaining census rows read
-      // the same checkpointed frame for free.
-      var eCount = edges.count()
-      var fixed = false
+      // (r13 note: a count-based fixpoint shortcut was tried and
+      // REVERTED — the adaptive bar keeps peeling at every test SF, so
+      // the extra count barriers only added wall time.)
       for (r <- 1 to 4) {
-        if (!fixed) {
-          val bar = edges.agg(countDistinct(col("u")).as("n"),
-            count(lit(1)).as("m2"))
-          val keep = edges.groupBy(col("u")).agg(count(lit(1)).as("d"))
-            .crossJoin(broadcast(bar))
-            .filter(col("d") * col("n") > col("m2")).select(col("u"))
-          edges = edges
-            .join(keep, Seq("u"))
-            .join(keep.withColumnRenamed("u", "v"), Seq("v"))
-            .select(col("u"), col("v")).localCheckpoint(true)
-          val n = edges.count()
-          fixed = n == eCount
-          eCount = n
-        }
+        val bar = edges.agg(countDistinct(col("u")).as("n"),
+          count(lit(1)).as("m2"))
+        val keep = edges.groupBy(col("u")).agg(count(lit(1)).as("d"))
+          .crossJoin(broadcast(bar))
+          .filter(col("d") * col("n") > col("m2")).select(col("u"))
+        edges = edges
+          .join(keep, Seq("u"))
+          .join(keep.withColumnRenamed("u", "v"), Seq("v"))
+          .select(col("u"), col("v")).localCheckpoint(true)
         out = out.union(census(r, edges))
       }
       out.orderBy(col("round"))

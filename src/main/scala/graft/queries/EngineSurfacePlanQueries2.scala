@@ -194,7 +194,7 @@ object EngineSurfacePlanQueries2 extends QueryGroup {
   private val q727 = QueryDef(
     "q727_collation_ci_distinct",
     (spark, dir) => {
-      Tables.documents(spark, dir)
+      Tables.fanOut(Tables.documents(spark, dir))
         .select(col("source"), col("doc_id"),
           explode(split(col("text"), " ")).as("w"))
         .filter(length(col("w")) > 0)

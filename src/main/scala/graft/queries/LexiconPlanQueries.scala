@@ -95,7 +95,7 @@ object LexiconPlanQueries extends QueryGroup {
             map_filter(map('', CAST(0 AS BIGINT)), (k, v) -> false),
             (m, t) -> map_concat(map_filter(m, (k, v) -> k != t),
               map(t, coalesce(try_element_at(m, t), CAST(0 AS BIGINT)) + 1))))""")
-      val pairs = Tables.documents(spark, dir)
+      val pairs = Tables.fanOut(Tables.documents(spark, dir))
         .select(col("source"),
           graft.text.TextFunctions.tokens(col("text")).as("tk"))
         .filter(size(col("tk")) >= 33)

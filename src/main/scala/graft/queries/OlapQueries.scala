@@ -2096,7 +2096,7 @@ object OlapQueries extends QueryGroup {
       // so (doc_id, token) rows come out of the scan already distinct —
       // the corpus-wide distinct Exchange disappears (guide §2.3/§2.4;
       // plans/r13/q348_*.txt: one fewer Exchange before the persist)
-      val tokset = Tables.documents(spark, dir)
+      val tokset = Tables.fanOut(Tables.documents(spark, dir))
         .select(col("doc_id"), tokens_native(col("text")).as("tk"))
         .filter(size(col("tk")) >= 2)
         .select(col("doc_id"), explode(expr(

@@ -273,7 +273,7 @@ object PretrainPlanQueries extends QueryGroup {
   private val q479 = QueryDef(
     "q479_dsir_selection",
     (spark, dir) => {
-      val bi = Tables.documents(spark, dir)
+      val bi = Tables.fanOut(Tables.documents(spark, dir))
         .select(col("doc_id"), col("source"),
           expr("filter(split(text, ' '), t -> t != '')").as("tk"))
         .filter(size(col("tk")) >= 2)

@@ -42,7 +42,7 @@ object SegmentQueries extends QueryGroup {
       // array by index. The former plan shuffled the segment TEXT twice
       // (freq-join + per-doc collect_list/sort). Same df rule, same
       // segment order, identical output rows. (plans/r13/q92_*.txt)
-      val docsSeg = Tables.documents(spark, dir)
+      val docsSeg = Tables.fanOut(Tables.documents(spark, dir))
         .select(col("doc_id"), TextFunctions.tokens(col("text")).as("w"))
         .filter(size(col("w")) > 0)
         .select(col("doc_id"), expr(

@@ -146,24 +146,26 @@ object SelectivityQueries extends QueryGroup {
     * chunks are stored once (q425 fingerprints for SEARCH; this chunks
     * for STORAGE).
     *
-    * Scale shape: boundary detection explodes to one row per character
-    * but is per-document local (no shuffle until the per-source fold);
-    * chunk assembly is a per-document window over boundary rows
-    * (~len/64 per doc); dedup is one hash-keyed distinct. */
+    * Scale shape (r13): boundary detection is an in-row
+    * transform+filter (no per-character rows); only ~len/64 boundary
+    * rows reach the per-document assembly window; dedup is one
+    * hash-keyed distinct. */
   private val q444 = QueryDef(
     "q444_content_defined_chunking",
     (spark, dir) => {
-      val docs = Tables.documents(spark, dir)
+      val docs = Tables.fanOut(Tables.documents(spark, dir))
         .select(col("doc_id"), col("source"), col("text"),
           length(col("text")).cast("long").as("len"))
-      // r13: boundary detection AND chunk assembly run inside the row
-      // (per-doc arrays + codegen'd lambdas) — the former plan exploded
-      // one row PER CHARACTER through an exchange and re-sorted them in
-      // a per-doc window just to recover adjacency the row already had.
-      // Same boundary test, same sentinel/empty-doc semantics, chunk
-      // rows out are identical; only the ~len/64 chunk rows ever leave
-      // the scan task (guide §2.3/§2.4; plans/r13/q444_*.txt: the
-      // per-char Generate + window Exchange+Sort are gone).
+      // r13: boundary detection runs inside the row (one codegen'd
+      // transform+filter per document — the former plan exploded one row
+      // PER CHARACTER through the Generate), so only the ~len/64
+      // boundary rows reach the per-doc assembly window. Same boundary
+      // test, same sentinel/empty-doc semantics, identical chunk rows.
+      // (First attempt assembled chunks in-row too, but every
+      // element_at(bArr, k) re-inlined — and re-evaluated — the whole
+      // boundary scan per chunk element: O(len·chunks) per doc, measured
+      // 1.8 s → 25 s at sf0.1. Explode the array once instead; the
+      // window input is boundary-sized, which was the actual win.)
       val boundSeq = when(col("len") >= 8L, sequence(lit(8L), col("len")))
         .otherwise(expr("CAST(array() AS ARRAY<BIGINT>)"))
       val internal = filter(
@@ -172,18 +174,16 @@ object SelectivityQueries extends QueryGroup {
         s => (s("h") % 2147483648L * 2654435761L % 4294967296L % 64L === 0L)
           && s("i") < col("len"))
       val bArr = concat(transform(internal, s => s("i")), array(col("len")))
-      val chunkArr = transform(
-        filter(
-          transform(sequence(lit(1), size(bArr)), k => struct(
-            when(k === 1, 1L).otherwise(element_at(bArr, k - 1) + 1L).as("start"),
-            element_at(bArr, k).as("i"))),
-          s => s("i") >= s("start")), // guards empty docs
-        s => struct((s("i") - s("start") + 1L).as("clen"),
-          poly_hash(substring(col("text"), s("start").cast("int"),
-            (s("i") - s("start") + 1L).cast("int"))).as("chash")))
-      val chunks = docs
-        .select(col("source"), explode(chunkArr).as("c"))
-        .select(col("source"), col("c.chash").as("chash"), col("c.clen").as("clen"))
+      val bounds = docs
+        .select(col("doc_id"), col("source"), col("text"), explode(bArr).as("i"))
+      val wDoc = Window.partitionBy(col("doc_id")).orderBy(col("i"))
+      val chunks = bounds
+        .withColumn("start", coalesce(lag(col("i"), 1).over(wDoc) + 1L, lit(1L)))
+        .filter(col("i") >= col("start")) // guards empty docs
+        .withColumn("clen", col("i") - col("start") + 1L)
+        .withColumn("chash",
+          poly_hash(expr("substring(text, CAST(start AS INT), CAST(clen AS INT))")))
+        .select(col("source"), col("chash"), col("clen"))
       val base = chunks.groupBy(col("source"))
         .agg(count(lit(1)).as("n_chunks"), sum(col("clen")).as("chars_total"))
       val uniq = chunks.groupBy(col("source"), col("chash"))

@@ -130,7 +130,7 @@ object StructurePlanQueries extends QueryGroup {
   private val q703 = QueryDef(
     "q703_debruijn_branching",
     (spark, dir) => {
-      val prefixed = Tables.documents(spark, dir)
+      val prefixed = Tables.fanOut(Tables.documents(spark, dir))
         .select(substring(col("text"), 1, 512).as("t"))
         // guard: sequence(1, 0) DESCENDS in Spark — never let the
         // bound go non-positive

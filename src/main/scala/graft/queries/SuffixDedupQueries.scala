@@ -131,54 +131,68 @@ object SuffixDedupQueries extends QueryGroup {
     val docStats = tk
       .select(col("doc_id"), col("source"), size(col("tk")).cast("long").as("n_tok"))
       .localCheckpoint(true)
-    val tkh = tk.select(col("doc_id"), col("source"),
-      expr("transform(tk, t -> xxhash64(t))").as("hs"))
+    // the corpus parquet is a single row group at every test SF, so the
+    // scan is ONE split and every per-doc kernel below would run on one
+    // task — fan out to the session's core count first (guide §2.5,
+    // unsplittable input: "repartition immediately after the read"; at
+    // real scale the scan already exceeds the core count and the
+    // round-robin is a cheap rebalance of the hash arrays)
+    val tkh = Tables.fanOut(tk)
+      .select(col("doc_id"), col("source"),
+        expr("transform(tk, t -> xxhash64(t))").as("hs"))
     // chain fold of the K token hashes starting at 1-based position p
     def chainK(p: String) =
       s"aggregate(slice(hs, $p, $K), CAST(0 AS BIGINT), (a, h) -> xxhash64(a, h))"
+    // the digest stream carries no source string — (doc_id, pos, dig)
+    // only; source re-attaches once at the candidate-bounded lenp fold
+    // from the checkpointed docStats (guide §2.3 project-before-exchange)
     val pos8 = tkh.filter(size(col("hs")) >= K)
-      .select(col("doc_id"), col("source"),
+      .select(col("doc_id"),
         posexplode(expr(
           s"transform(sequence(1, size(hs) - ${K - 1}), i -> ${chainK("i")})"))
           .as(Seq("p0", "g8")))
-      .select(col("doc_id"), col("source"),
-        (col("p0") + 1L).cast("long").as("pos"), col("g8"))
+      .select(col("doc_id"), (col("p0") + 1L).cast("long").as("pos"), col("g8"))
     val dup8 = pos8.groupBy(col("g8")).agg(count(lit(1)).as("c"))
       .filter(col("c") >= 2L).select(col("g8"))
-    val cand = pos8.join(dup8, Seq("g8"))
-      .select(col("doc_id"), col("source"), col("pos"))
+    // candidate positions grouped per doc: the extension join moves ONE
+    // row per document instead of one per candidate position
+    val candByDoc = pos8.join(dup8, Seq("g8"))
+      .groupBy(col("doc_id"))
+      .agg(sort_array(collect_list(col("pos"))).as("ps"))
     // one incremental chain per candidate: digest(pos, L+1) extends
     // digest(pos, L) by one xxhash64 step — O(M) per candidate, not
     // O(M²) string bytes
-    val extArr =
-      s"""CASE WHEN least($M, size(hs) - CAST(pos AS INT) + 1) <= $K
-            THEN array(named_struct('l', CAST($K AS BIGINT),
-                                    'dig', ${chainK("CAST(pos AS INT)")}))
+    def extAt(pos: String) =
+      s"""CASE WHEN least($M, size(hs) - CAST($pos AS INT) + 1) <= $K
+            THEN array(named_struct('pos', $pos, 'l', CAST($K AS BIGINT),
+                                    'dig', ${chainK(s"CAST($pos AS INT)")}))
             ELSE aggregate(
-              sequence($K + 1, least($M, size(hs) - CAST(pos AS INT) + 1)),
+              sequence($K + 1, least($M, size(hs) - CAST($pos AS INT) + 1)),
               named_struct(
-                'd', ${chainK("CAST(pos AS INT)")},
-                'out', array(named_struct('l', CAST($K AS BIGINT),
-                                          'dig', ${chainK("CAST(pos AS INT)")}))),
+                'd', ${chainK(s"CAST($pos AS INT)")},
+                'out', array(named_struct('pos', $pos, 'l', CAST($K AS BIGINT),
+                                          'dig', ${chainK(s"CAST($pos AS INT)")}))),
               (st, L) -> named_struct(
-                'd', xxhash64(st.d, element_at(hs, CAST(pos AS INT) + L - 1)),
-                'out', concat(st.out, array(named_struct(
+                'd', xxhash64(st.d, element_at(hs, CAST($pos AS INT) + L - 1)),
+                'out', concat(st.out, array(named_struct('pos', $pos,
                   'l', CAST(L AS BIGINT),
-                  'dig', xxhash64(st.d, element_at(hs, CAST(pos AS INT) + L - 1)))))),
+                  'dig', xxhash64(st.d, element_at(hs, CAST($pos AS INT) + L - 1)))))),
               st -> st.out)
           END"""
-    val ext = cand
+    val ext = candByDoc
       .join(tkh.select(col("doc_id"), col("hs")), Seq("doc_id"))
-      .select(col("doc_id"), col("source"), col("pos"),
-        explode(expr(extArr)).as("e"))
-      .select(col("doc_id"), col("source"), col("pos"),
+      .select(col("doc_id"),
+        explode(expr(s"flatten(transform(ps, p -> ${extAt("p")}))")).as("e"))
+      .select(col("doc_id"), col("e.pos").as("pos"),
         col("e.l").as("l"), col("e.dig").as("dig"))
       .persist()
     val dupd = ext.groupBy(col("dig")).agg(count(lit(1)).as("c"))
       .filter(col("c") >= 2L).select(col("dig"))
     val lenp = ext.join(dupd, Seq("dig"))
-      .groupBy(col("doc_id"), col("source"), col("pos"))
+      .groupBy(col("doc_id"), col("pos"))
       .agg(max(col("l")).as("len_p"))
+      .join(docStats.select(col("doc_id"), col("source")), Seq("doc_id"))
+      .select(col("doc_id"), col("source"), col("pos"), col("len_p"))
       .localCheckpoint(true)
     val maximal = lenp.join(
         lenp.select(col("doc_id"), (col("pos") + 1L).as("pos"),

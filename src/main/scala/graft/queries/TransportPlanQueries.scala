@@ -38,7 +38,7 @@ object TransportPlanQueries extends QueryGroup {
       // per-source hist() scanned + exploded documents twice); each
       // source's rows are recovered by filtering its count > 0, which is
       // exactly the membership the per-source GROUP BY produced.
-      val hists = Tables.documents(spark, dir)
+      val hists = Tables.fanOut(Tables.documents(spark, dir))
         .filter(col("source").isin("src0", "src1"))
         .select(col("source"),
           explode(graft.functions.expressions.tokens_native(col("text")))
