@@ -78,18 +78,20 @@ object Bench {
 
   private def cleanup(spark: SparkSession): Unit = {
     val persisted = spark.sparkContext.getPersistentRDDs
-    // Round-13 measurement fix (ADVICE high): NEVER unpersist a
-    // locally-checkpointed RDD — unpersisting one deletes its blocks
-    // irrecoverably, so the cross-query memos (graph.Backbone,
-    // SuffixDedupQueries) would throw CHECKPOINT_RDD_BLOCK_ID_NOT_FOUND
-    // in every consumer after the first, and the swallowed exception
-    // recorded time-to-failure as the query time (the r12 BENCH_LOCAL
-    // numbers for q592/q593/q602/q631/q685/q687/q743/q744/q748/q750
-    // were failure times). The memos are deliberate cross-query state —
-    // the bench charges the build to the first consumer and the memo
-    // hit to the rest, which is the deployment behavior being measured.
-    if (persisted.nonEmpty)
-      persisted.values.filter(!_.isCheckpointed).foreach(_.unpersist(blocking = false))
+    // Round-13 kept checkpointed RDDs alive so the cross-query memos
+    // (graph.Backbone, dedup.MinHashLSH, SuffixDedupQueries) survive —
+    // unpersisting one deletes its blocks irrecoverably and every later
+    // consumer fails with CHECKPOINT_RDD_BLOCK_ID_NOT_FOUND (the r12
+    // failure-time corruption). Round-14 (r13 ADVICE medium): exempt
+    // ONLY the checkpointed RDDs a live memo entry actually owns — each
+    // query's internal localCheckpoint(true) frames are per-query state
+    // and must not pin block-manager memory for the rest of the suite.
+    if (persisted.nonEmpty) {
+      val owned = CkptMemo.liveRddIds
+      persisted.values
+        .filter(r => !r.isCheckpointed || !owned.contains(r.id))
+        .foreach(_.unpersist(blocking = false))
+    }
     // ALWAYS drop the SQL cache: a lazily-cached table registered by
     // query N but never materialized has no persistent RDD yet, and
     // would otherwise materialize inside query N+1's timing. clearCache
@@ -156,7 +158,7 @@ object Bench {
 
   private final case class QueryStats(
       dt: Double, gcMs: Long, gcN: Long, spMs: Long, jobs: Int, stages: Int,
-      taskMs: Long, timeline: Seq[StageRec])
+      taskMs: Long, timeline: Seq[StageRec], storeMb: Long = 0L, failed: Boolean = false)
 
   private def fmtTimeline(tl: Seq[StageRec]): String =
     tl.map(s => s"s${s.id}:${s.wallMs}ms/${s.tasks}t/${s.taskMs}tms").mkString(" ")
@@ -222,8 +224,13 @@ object Bench {
       val taskMs0 = tracker.taskMs.get()
       tracker.timeline.clear()
       val t0 = System.nanoTime()
-      try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-      catch { case e: Throwable => System.err.println(s"[bench:$tag] $name failed: ${e.getMessage}") }
+      // A query that throws must never masquerade as a fast run (the r12
+      // failure-time corruption): the failure is recorded in the stats
+      // and surfaced in the output JSON's "errors" list.
+      val failed =
+        try { fn(spark, sfDir).write.format("noop").mode("overwrite").save(); false }
+        catch { case e: Throwable =>
+          System.err.println(s"[bench:$tag] $name FAILED: ${e.getMessage}"); true }
       val dt = (System.nanoTime() - t0) / 1e9
       val (gc1, gcN1) = gcStats
       val sp1 = safepointMs
@@ -238,7 +245,7 @@ object Bench {
       val st = QueryStats(dt, gc1 - gc0, gcN1 - gcN0,
         if (sp0 >= 0 && sp1 >= 0) sp1 - sp0 else -1L,
         tracker.jobs.get() - jobs0, tracker.stages.get() - stages0,
-        tracker.taskMs.get() - taskMs0, tl)
+        tracker.taskMs.get() - taskMs0, tl, storageMb, failed)
       System.err.println(
         f"[bench:$tag] $name%-32s $dt%8.2f s  heap=${heapMb}%5d MB cls=${classes}%6d " +
           f"store=${storageMb}%5d MB code=${codeMb}%4d MB gc=${st.gcMs}%4d ms/${st.gcN}%2d " +
@@ -304,6 +311,11 @@ object Bench {
     val median = if (times.isEmpty) 0.0 else times(times.length / 2)
     val threshold = math.max(2.0, 4.0 * median)
     val recheck = results.filter(_._2.dt > threshold).map { case (name, suiteSt) =>
+      // An isolated re-run must re-pay any shared memo build it uses —
+      // otherwise the first memo consumer's build-inclusive in-suite
+      // time would be REPLACED by a warm-memo recheck and the build
+      // would silently vanish from adjusted_total (r13 judge hole #2).
+      CkptMemo.invalidateAll()
       val Seq((_, st)) = runPass(spark, selected.filter(_._1 == name), sfDir, "recheck")
       if (suiteSt.dt > 3.0 * st.dt) {
         System.err.println(f"[bench] WARNING: $name in-suite ${suiteSt.dt}%.2f s vs re-run ${st.dt}%.2f s " +
@@ -343,11 +355,25 @@ object Bench {
       if (recheck.isEmpty) ""
       else recheck.map { case (k, v) => f""""${shortName(k)}":$v%.3f""" }
         .mkString(""","recheck":{""", ",", "}")
+    // failed queries are flagged, never silently timed (r13 judge hole #4)
+    val errors = results.filter(_._2.failed).map(_._1)
+    val errPart =
+      if (errors.isEmpty) ""
+      else errors.map(n => s""""${shortName(n)}"""").mkString(""","errors":[""", ",", "]")
+    // block-manager storage creep across the suite: each query's post-
+    // cleanup storage reading should stay flat now that cleanup sweeps
+    // every non-memo checkpoint (r13 judge hole #3 / verdict #6)
+    val storePeak = (0L +: results.map(_._2.storeMb)).max
+    System.err.println(
+      f"[bench] storage post-cleanup MB: first=${results.headOption.map(_._2.storeMb).getOrElse(0L)} " +
+        f"peak=$storePeak last=${results.lastOption.map(_._2.storeMb).getOrElse(0L)} " +
+        f"(flat ⇒ no cross-query block-manager creep)")
     // full two-SF per-query detail for the repo (committed per round)
     val dts = results.map { case (n, st) => n -> st.dt }
     val secDts = secondary.map { case (n, st) => n -> st.dt }
     val detail =
       f"""{"primary_sf":"$sfDir","primary_total":$total%.3f,"adjusted_total":$adjusted%.3f,""" +
+        f""""store_peak_mb":$storePeak,"errors":${errors.map(n => s""""$n"""").mkString("[", ",", "]")},""" +
         f""""primary":${qmap(dts)},""" +
         f""""secondary_sf":"$secondaryDir","secondary_total":$secTotal%.3f,"secondary":${qmap(secDts)},""" +
         f""""recheck":${if (recheck.isEmpty) "{}" else recheck.map { case (k, v) => f""""$k":$v%.3f""" }.mkString("{", ",", "}")}}"""
@@ -356,7 +382,16 @@ object Bench {
     if (args.isEmpty)
       try java.nio.file.Files.writeString(java.nio.file.Paths.get("BENCH_LOCAL.json"), detail + "\n")
       catch { case e: Throwable => System.err.println(s"[bench] BENCH_LOCAL.json write failed: ${e.getMessage}") }
-    println(f"""{"metric":"total","value":$total%.3f,"adjusted":$adjusted%.3f,"unit":"sec","queries":${qmap(dts)},"sf":"$sfDir"$secPart$recheckPart}""")
+    // Truncation hardening (r13 judge hole #5): the driver's stdout
+    // capture window keeps the TAIL of the output, and BENCH_r12's
+    // ~13 KB line was clipped from the head mid-JSON and never parsed.
+    // The queries map must stay on the line (driver contract), so the
+    // small load-bearing fields — totals, recheck, errors — are ALSO
+    // emitted after it: a head-clipped capture still ends with
+    // ...,"recheck":{...},"value":N,"adjusted":N} and the totals are
+    // recoverable by regex even when the line is no longer valid JSON.
+    println(
+      f"""{"metric":"total","unit":"sec","queries":${qmap(dts)},"sf":"$sfDir"$secPart$errPart$recheckPart,"value":$total%.3f,"adjusted":$adjusted%.3f}""")
     spark.stop()
   }
 }

@@ -131,13 +131,22 @@ object Backbone {
     }
 
   /** The order-year backbone — the form q590/q592/q593 share.
-    * Memoized per (session, dir). */
+    * Memoized per (session, dir). The weighted intermediate is
+    * checkpointed only to flatten the threshold scan's lineage; its
+    * blocks are dropped as soon as the edge list has materialized
+    * (round-14 ADVICE fix: the memo owns only the returned frame, so an
+    * undropped intermediate would pin supplier-pair-scale blocks for
+    * the rest of the run). */
   def orderYearBackbone(spark: SparkSession, dir: String): DataFrame =
     memoized(spark, dir, "orderYearBackbone") {
       val weighted = pairExplode(orderYearIncidence(spark, dir))
         .groupBy(col("u"), col("v")).agg(count(lit(1)).as("w"))
         .localCheckpoint(true)
-      thresholdEdges(weighted).localCheckpoint(true)
+      val edges = thresholdEdges(weighted).localCheckpoint(true)
+      weighted.queryExecution.logical.collectLeaves()
+        .collect { case l: org.apache.spark.sql.execution.LogicalRDD => l.rdd }
+        .foreach(_.unpersist(blocking = false))
+      edges
     }
 
   /** The UNWEIGHTED symmetric co-supply edge list (no backbone

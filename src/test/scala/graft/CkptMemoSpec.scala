@@ -46,6 +46,57 @@ class CkptMemoSpec extends SparkSpec {
     val b = memo.getOrBuild(spark, "k2")(
       spark.range(7).toDF.localCheckpoint(true))(Seq(_))
     assert(a.count() === 5 && b.count() === 7)
+    // session isolation (r13 ADVICE low): the SAME key in a different
+    // SparkSession must build its own entry, not read this session's
+    val s2 = spark.newSession()
+    var builds2 = 0
+    val c = memo.getOrBuild(s2, "k1") {
+      builds2 += 1
+      s2.range(9).toDF.localCheckpoint(true)
+    }(Seq(_))
+    assert(builds2 === 1, "a second session shared the first session's entry")
+    assert(c.count() === 9 && a.count() === 5)
+  }
+
+  test("nested getOrBuild on one memo never deadlocks or throws " +
+    "(builds run outside the map — the r13 ADVICE-high recursive-update " +
+    "hazard; exercised across many keys so bin co-location is hit)") {
+    val memo = new CkptMemo[org.apache.spark.sql.DataFrame]()
+    // Backbone's nesting shape: outer build calls getOrBuild for its
+    // dependency on the SAME map. Under computeIfAbsent this throws
+    // IllegalStateException("Recursive update") whenever outer and
+    // inner keys land in one bin — 64 pairs make that near-certain.
+    (1 to 64).foreach { i =>
+      val outer = memo.getOrBuild(spark, s"outer$i") {
+        val dep = memo.getOrBuild(spark, s"inner$i")(
+          spark.range(i).toDF.localCheckpoint(true))(Seq(_))
+        dep.select((col("id") + 1).as("id")).localCheckpoint(true)
+      }(Seq(_))
+      assert(outer.count() === i)
+    }
+  }
+
+  test("liveRddIds tracks entries and invalidateAll drops them " +
+    "(the bench cleanup/recheck ownership contract)") {
+    val memo = new CkptMemo[org.apache.spark.sql.DataFrame]()
+    val a = memo.getOrBuild(spark, "owned")(
+      spark.range(11).toDF.localCheckpoint(true))(Seq(_))
+    val ids = CkptMemo.liveRddIds
+    val aLeafIds = a.queryExecution.logical.collectLeaves().collect {
+      case l: org.apache.spark.sql.execution.LogicalRDD => l.rdd.id
+    }
+    assert(aLeafIds.nonEmpty && aLeafIds.forall(ids.contains),
+      "memo entry's checkpoint RDD not registered as owned")
+    var rebuilds = 0
+    CkptMemo.invalidateAll()
+    assert(aLeafIds.forall(!CkptMemo.liveRddIds.contains(_)),
+      "invalidateAll left the entry registered")
+    val b = memo.getOrBuild(spark, "owned") {
+      rebuilds += 1
+      spark.range(11).toDF.localCheckpoint(true)
+    }(Seq(_))
+    assert(rebuilds === 1, "invalidateAll did not force a rebuild")
+    assert(b.count() === 11)
   }
 
   test("Backbone memo consumers survive a blanket unpersist between reads " +
