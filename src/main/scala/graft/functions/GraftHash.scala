@@ -640,4 +640,149 @@ object GraftHash {
     }
     total
   }
+
+  // ---- maximal-repeat extension kernels (SuffixDedupQueries) ----
+  //
+  // All three mirror Spark's own xxhash64 semantics exactly so they are
+  // bit-compatible with the HOF forms they replace (KernelParitySpec):
+  //   xxhash64(s: string)   = XXH64(bytes, seed 42)
+  //   xxhash64(a, h: long)  = hashLong(h, hashLong(a, 42))
+  // and the chain digest of a gram is fold(hs, 0L, (a, h) -> xxhash64(a, h)).
+
+  private val XxSeed = 42L
+
+  @inline private def xxChain(a: Long, h: Long): Long =
+    org.apache.spark.sql.catalyst.expressions.XXH64.hashLong(h,
+      org.apache.spark.sql.catalyst.expressions.XXH64.hashLong(a, XxSeed))
+
+  /** xxhash64 of every non-empty single-space-delimited token, in one
+    * byte scan — the fused form of
+    * `transform(filter(split(text,' '), t -> t != ''), t -> xxhash64(t))`,
+    * which tokenizes interpreted and allocates a UTF8String per token. */
+  def tokenXxHashes(s: UTF8String): ArrayData = {
+    val n = s.numBytes
+    val base = s.getBaseObject
+    val off = s.getBaseOffset
+    val out = new java.util.ArrayList[java.lang.Long](16)
+    var start = 0
+    var i = 0
+    while (i <= n) {
+      val boundary = i == n || (s.getByte(i) & 0xff) == ' '
+      if (boundary) {
+        if (i > start)
+          out.add(org.apache.spark.sql.catalyst.expressions.XXH64
+            .hashUnsafeBytes(base, off + start, i - start, XxSeed))
+        start = i + 1
+      }
+      i += 1
+    }
+    val arr = new Array[Long](out.size)
+    var j = 0
+    while (j < arr.length) { arr(j) = out.get(j); j += 1 }
+    new GenericArrayData(arr)
+  }
+
+  /** Two-argument xxhash64 of every adjacent token pair, in one byte
+    * scan — the fused form of
+    * `transform(sequence(1, size(tk) - 1), i -> xxhash64(tk[i-1], tk[i]))`
+    * (the q479 bigram-digest hot path). SQL's xxhash64(t1, t2) hashes
+    * the children sequentially from seed 42, so the pair digest is
+    * XXH64(t2bytes, XXH64(t1bytes, 42)). Empty for < 2 tokens. */
+  def bigramXxHashes(s: UTF8String): ArrayData = {
+    val n = s.numBytes
+    val base = s.getBaseObject
+    val off = s.getBaseOffset
+    // token extents first (cheap, reuses no allocation per token)
+    val starts = new java.util.ArrayList[Integer](16)
+    val ends = new java.util.ArrayList[Integer](16)
+    var start = 0
+    var i = 0
+    while (i <= n) {
+      val boundary = i == n || (s.getByte(i) & 0xff) == ' '
+      if (boundary) {
+        if (i > start) { starts.add(start); ends.add(i) }
+        start = i + 1
+      }
+      i += 1
+    }
+    val nt = starts.size
+    if (nt < 2) return new GenericArrayData(Array.emptyLongArray)
+    val out = new Array[Long](nt - 1)
+    var t = 0
+    while (t < nt - 1) {
+      val h1 = org.apache.spark.sql.catalyst.expressions.XXH64
+        .hashUnsafeBytes(base, off + starts.get(t), ends.get(t) - starts.get(t), XxSeed)
+      out(t) = org.apache.spark.sql.catalyst.expressions.XXH64
+        .hashUnsafeBytes(base, off + starts.get(t + 1), ends.get(t + 1) - starts.get(t + 1), h1)
+      t += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  /** Chained k-gram digests at every 1-based position p ∈ [1, n−k+1]:
+    * element p−1 is fold(hs[p−1..p+k−2], 0L, xxChain) — the fused form
+    * of `transform(sequence(1, size(hs)-k+1), i -> aggregate(slice(hs,
+    * i, k), 0L, (a,h) -> xxhash64(a,h)))`. Empty when n < k. */
+  def gramChainDigests(hs: ArrayData, k: Int): ArrayData = {
+    require(k >= 1, s"gram_chain_digests: k must be >= 1, got $k")
+    val n = hs.numElements()
+    if (n < k) return new GenericArrayData(Array.emptyLongArray)
+    val out = new Array[Long](n - k + 1)
+    var p = 0
+    while (p < out.length) {
+      var a = 0L
+      var t = 0
+      while (t < k) { a = xxChain(a, hs.getLong(p + t)); t += 1 }
+      out(p) = a
+      p += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  /** Extension digests for the candidate 1-based positions `ps`: for
+    * each p, one (pos, l, dig) struct per length l ∈ [k, min(m,
+    * n−p+1)], where dig chains hs[p−1..p+l−2] — the fused O(Σ lmax)
+    * form of the interpreted aggregate-over-sequence HOF that rebuilt
+    * a struct array by concat per step (O(M²) allocation per
+    * candidate). Candidates always satisfy n−p+1 ≥ k (they carry a
+    * duplicated k-gram); a shorter tail still emits the k-length row,
+    * matching the HOF's CASE arm. */
+  def repeatExtensions(hs: ArrayData, ps: ArrayData, k: Int, m: Int): ArrayData = {
+    require(k >= 1 && m >= k, s"repeat_extensions: need 1 <= k <= m, got k=$k m=$m")
+    val n = hs.numElements()
+    val nc = ps.numElements()
+    // exact output size so no builder resizing
+    var total = 0
+    var c = 0
+    while (c < nc) {
+      val p = ps.getLong(c).toInt
+      val lmax = math.min(m, n - p + 1)
+      total += math.max(1, lmax - k + 1)
+      c += 1
+    }
+    val out = new Array[Any](total)
+    var w = 0
+    c = 0
+    while (c < nc) {
+      val p = ps.getLong(c)
+      val pi = p.toInt
+      val lmax = math.min(m, n - pi + 1)
+      var a = 0L
+      var t = 0
+      while (t < math.min(k, lmax)) { a = xxChain(a, hs.getLong(pi - 1 + t)); t += 1 }
+      out(w) = new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+        Array[Any](p, k.toLong, a))
+      w += 1
+      var l = k + 1
+      while (l <= lmax) {
+        a = xxChain(a, hs.getLong(pi + l - 2))
+        out(w) = new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+          Array[Any](p, l.toLong, a))
+        w += 1
+        l += 1
+      }
+      c += 1
+    }
+    new GenericArrayData(out)
+  }
 }

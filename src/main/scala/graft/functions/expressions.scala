@@ -400,6 +400,66 @@ object expressions {
       copy(left = l, right = r)
   }
 
+  /** xxhash64 of every token in one byte scan — the fused
+    * `transform(tokens, t -> xxhash64(t))` (SuffixDedupQueries hot path). */
+  case class TokenXxHashes(child: Expression) extends UnaryExpression {
+    override def dataType: DataType = ArrayType(LongType, containsNull = false)
+    override protected def nullSafeEval(v: Any): Any =
+      GraftHash.tokenXxHashes(v.asInstanceOf[org.apache.spark.unsafe.types.UTF8String])
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      defineCodeGen(ctx, ev, c => s"$G.tokenXxHashes($c)")
+    override protected def withNewChildInternal(c: Expression): TokenXxHashes = copy(child = c)
+  }
+
+  /** Two-argument xxhash64 of every adjacent token pair in one byte
+    * scan — the fused q479 bigram digest. */
+  case class BigramXxHashes(child: Expression) extends UnaryExpression {
+    override def dataType: DataType = ArrayType(LongType, containsNull = false)
+    override protected def nullSafeEval(v: Any): Any =
+      GraftHash.bigramXxHashes(v.asInstanceOf[org.apache.spark.unsafe.types.UTF8String])
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      defineCodeGen(ctx, ev, c => s"$G.bigramXxHashes($c)")
+    override protected def withNewChildInternal(c: Expression): BigramXxHashes = copy(child = c)
+  }
+
+  /** Chained k-gram xxhash64 digests at every position of an
+    * array<long> of token hashes — the fused per-position
+    * aggregate-over-slice HOF (SuffixDedupQueries pos8). */
+  case class GramChainDigests(child: Expression, k: Int) extends UnaryExpression {
+    require(k >= 1, s"graft_gram_chain: k must be >= 1, got $k")
+    override def checkInputDataTypes(): TypeCheckResult =
+      checkLongArrayInputs("graft_gram_chain", child)
+    override def dataType: DataType = ArrayType(LongType, containsNull = false)
+    override protected def nullSafeEval(v: Any): Any =
+      GraftHash.gramChainDigests(v.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData], k)
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      defineCodeGen(ctx, ev, c => s"$G.gramChainDigests($c, $k)")
+    override protected def withNewChildInternal(c: Expression): GramChainDigests = copy(child = c)
+  }
+
+  /** (pos, l, dig) extension rows for candidate positions `right` over
+    * token hashes `left`, l ∈ [k, min(m, n−pos+1)] — the fused form of
+    * SuffixDedupQueries' interpreted extension fold (the round-13
+    * suite's single largest task-CPU sink at ~97 s per sf0.1 build). */
+  case class RepeatExtensions(left: Expression, right: Expression, k: Int, m: Int)
+      extends BinaryExpression {
+    require(k >= 1 && m >= k, s"graft_repeat_ext: need 1 <= k <= m, got k=$k m=$m")
+    override def checkInputDataTypes(): TypeCheckResult =
+      checkLongArrayInputs("graft_repeat_ext", left, right)
+    override def dataType: DataType = ArrayType(StructType(Seq(
+      StructField("pos", LongType, nullable = false),
+      StructField("l", LongType, nullable = false),
+      StructField("dig", LongType, nullable = false))), containsNull = false)
+    override protected def nullSafeEval(a: Any, b: Any): Any =
+      GraftHash.repeatExtensions(
+        a.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData],
+        b.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData], k, m)
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      defineCodeGen(ctx, ev, (a, b) => s"$G.repeatExtensions($a, $b, $k, $m)")
+    override protected def withNewChildrenInternal(l: Expression, r: Expression): RepeatExtensions =
+      copy(left = l, right = r)
+  }
+
   // ---- Column-level API ----
 
   def poly_hash(c: Column): Column = Bridge.column(PolyHash(Bridge.expression(c)))
@@ -446,4 +506,10 @@ object expressions {
     Bridge.column(LongDot(Bridge.expression(a), Bridge.expression(b)))
   def maxsim_blocks(a: Column, b: Column, blocks: Int): Column =
     Bridge.column(MaxSimBlocks(Bridge.expression(a), Bridge.expression(b), blocks))
+  def token_xxhashes(c: Column): Column = Bridge.column(TokenXxHashes(Bridge.expression(c)))
+  def bigram_xxhashes(c: Column): Column = Bridge.column(BigramXxHashes(Bridge.expression(c)))
+  def gram_chain_digests(c: Column, k: Int): Column =
+    Bridge.column(GramChainDigests(Bridge.expression(c), k))
+  def repeat_extensions(hs: Column, ps: Column, k: Int, m: Int): Column =
+    Bridge.column(RepeatExtensions(Bridge.expression(hs), Bridge.expression(ps), k, m))
 }

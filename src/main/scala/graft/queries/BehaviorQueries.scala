@@ -71,11 +71,15 @@ object BehaviorQueries extends QueryGroup {
     * bin-granularity pattern — the cumulative window runs over BINS,
     * never customers, so there is no global sort and no per-row window
     * at any scale). */
-  private def quartileMap(cust: DataFrame, n: DataFrame, dim: String): DataFrame = {
+  private def quartileMap(cust: DataFrame, dim: String): DataFrame = {
     val hist = cust.groupBy(col(dim)).agg(count(lit(1)).as("c"))
     val w = Window.orderBy(col(dim)).rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    hist.select(col(dim), sum(col("c")).over(w).as("cum"))
-      .crossJoin(broadcast(n))
+    // r14: the customer total is Σc over the SAME bin histogram, read
+    // with a full-frame window (`sum(c) OVER ()`, the Backbone
+    // threshold pattern) — the separate count aggregate and its three
+    // broadcast-exchange jobs disappear; value identical by definition.
+    hist.select(col(dim), sum(col("c")).over(w).as("cum"),
+        expr("sum(c) OVER ()").as("n"))
       .select(col(dim), expr("CAST((4 * cum + n - 1) DIV n AS BIGINT)").as(s"${dim}_q"))
   }
 
@@ -109,11 +113,10 @@ object BehaviorQueries extends QueryGroup {
           col("f_orders"),
           expr("mon_cents div 10000").as("m_hund"))
         .persist()
-      val n = cust.agg(count(lit(1)).as("n"))
       cust
-        .join(broadcast(quartileMap(cust, n, "r_days")), Seq("r_days"))
-        .join(broadcast(quartileMap(cust, n, "f_orders")), Seq("f_orders"))
-        .join(broadcast(quartileMap(cust, n, "m_hund")), Seq("m_hund"))
+        .join(broadcast(quartileMap(cust, "r_days")), Seq("r_days"))
+        .join(broadcast(quartileMap(cust, "f_orders")), Seq("f_orders"))
+        .join(broadcast(quartileMap(cust, "m_hund")), Seq("m_hund"))
         .select(col("r_days_q").as("r_score"), col("f_orders_q").as("f_score"),
           col("m_hund_q").as("m_score"))
         .groupBy(col("r_score"), col("f_score"), col("m_score"))

@@ -1239,17 +1239,29 @@ object EvalQueries extends QueryGroup {
   private val q387 = QueryDef(
     "q387_gram_coverage_curve",
     (spark, dir) => {
+      // r14: (1) the ranking window carries only (doc_id, n_chars) —
+      // the former form sorted full TEXT through the single-partition
+      // rank window; the doc→decile map (doc-count rows, two narrow
+      // longs) broadcast-joins back onto the gram stream (guide §2.3
+      // project-before-exchange). (2) trigram identity is internal, so
+      // the re-concatenated trigram STRINGS become 8-byte chained-
+      // xxhash64 digests from the fused kernel (narrower gram-keyed
+      // shuffle, codegen'd scan; a collision would perturb the counts
+      // and fail the oracle gate loudly — the q479/q624 precedent).
       val ranked = Tables.documents(spark, dir)
-        .select(col("doc_id"), col("text"), col("n_chars"))
+        .select(col("doc_id"), col("n_chars"))
         .withColumn("rn", row_number().over(
           Window.orderBy(col("n_chars").desc, col("doc_id"))).cast("long"))
       val n = ranked.agg(count(lit(1)).as("n_docs"))
-      val byDecile = ranked.crossJoin(broadcast(n))
-        .withColumn("decile", expr("(rn - 1) * 10 div n_docs + 1"))
-        .withColumn("tk", graft.functions.expressions.tokens_native(col("text")))
-        .filter(size(col("tk")) >= 3)
+      val deciles = ranked.crossJoin(broadcast(n))
+        .select(col("doc_id"), expr("(rn - 1) * 10 div n_docs + 1").as("decile"))
+      val byDecile = Tables.fanOut(Tables.documents(spark, dir))
+        .select(col("doc_id"),
+          graft.functions.expressions.token_xxhashes(col("text")).as("hs"))
+        .join(broadcast(deciles), Seq("doc_id"))
+        .filter(size(col("hs")) >= 3)
         .select(col("decile"),
-          explode(expr("transform(sequence(1, size(tk) - 2), i -> concat_ws(' ', slice(tk, i, 3)))"))
+          explode(graft.functions.expressions.gram_chain_digests(col("hs"), 3))
             .as("gram"))
       val firstSeen = byDecile.groupBy(col("gram")).agg(min(col("decile")).as("d0"))
       val perDecile = firstSeen.groupBy(col("d0").as("decile"))

@@ -34,12 +34,21 @@ object LinkageQueries extends QueryGroup {
   private val q404 = QueryDef(
     "q404_duplicate_span_merge",
     (spark, dir) => {
-      val tk = Tables.documents(spark, dir)
+      // r14 (this query's own scale note, now executed): gram identity
+      // is internal, so the 5-gram STRINGS (re-concatenated per position
+      // by an interpreted transform, then shuffled twice as ~30-byte
+      // keys) become 8-byte chained-xxhash64 digests from the fused
+      // GramChainDigests kernel — narrower shuffles, codegen'd scan.
+      // A digest collision would perturb the census and fail the oracle
+      // gate loudly (the q479/q624 precedent). fanOut: the single-row-
+      // group corpus parquet otherwise runs the whole gram explode on
+      // ONE task (guide §2.5).
+      val tk = Tables.fanOut(Tables.documents(spark, dir))
         .select(col("doc_id"), col("source"),
-          graft.functions.expressions.tokens_native(col("text")).as("tk"))
+          graft.functions.expressions.token_xxhashes(col("text")).as("tk"))
       val grams = tk.filter(size(col("tk")) >= 5)
-        .select(col("doc_id"), posexplode(expr(
-          "transform(sequence(1, size(tk) - 4), i -> concat_ws(' ', slice(tk, i, 5)))"))
+        .select(col("doc_id"), posexplode(
+          graft.functions.expressions.gram_chain_digests(col("tk"), 5))
           .as(Seq("pos", "gram")))
       // "gram in ≥ 2 distinct docs" ⟺ min(doc) ≠ max(doc) per gram.
       // ROUND-9: hash agg + keyed semi join, NOT a min/max window

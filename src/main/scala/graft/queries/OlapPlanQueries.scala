@@ -212,44 +212,57 @@ object OlapPlanQueries extends QueryGroup {
       val cells = baseCells
         .cube(col("b"), col("m"), col("r"))
         .agg(grouping_id().cast("long").as("gid"))
-      val sizes = cells.groupBy(col("gid"))
+      // r14: the greedy lattice search ran as ~10 tiny broadcast
+      // joins/aggregates over an 8-row table — each its own job +
+      // broadcast exchange, pure scheduling floor. The lattice is 8
+      // rows BY CONSTRUCTION (3 cube bits), so both greedy rounds fold
+      // into one expression over the collected lattice array (the
+      // q374/q395 bounded-iteration discipline). Benefit arithmetic,
+      // subset test (S ⊆ T ⟺ t.gid & (7 − s.gid) = 0), tiebreaks
+      // (benefit desc, size, cuboid) and the output rows are identical.
+      val sizesRow = cells.groupBy(col("gid"))
         .agg(count(lit(1)).as("size"))
         .withColumn("cuboid", expr(
           """concat(CASE WHEN gid div 4 % 2 = 0 THEN 'b' ELSE '-' END,
                     CASE WHEN gid div 2 % 2 = 0 THEN 'm' ELSE '-' END,
                     CASE WHEN gid % 2 = 0 THEN 'r' ELSE '-' END)"""))
-        .persist() // the 8-row lattice feeds both greedy rounds
-      val base = sizes.filter(col("gid") === 0L)
-        .select(col("size").as("base_size"))
-      // round 1: benefit of each candidate against the base-only plan
-      val ben1 = sizes.crossJoin(broadcast(base))
-        .join(broadcast(sizes.select(col("gid").as("gs"))),
-          expr("gid & (7 - gs) = 0")) // S ⊆ T: T's absent dims ⊆ S's
-        .groupBy(col("gid"), col("cuboid"), col("size"))
-        .agg(sum(greatest(expr("base_size - size"), lit(0L))).as("benefit1"))
-      val pick1 = ben1.filter(col("gid") =!= 0L)
-        .orderBy(col("benefit1").desc, col("size"), col("cuboid")).limit(1)
-        .select(col("gid").as("p1"), col("size").as("p1_size"))
-      // round 2: costs now min(base, pick1 where answerable)
-      val costs1 = sizes.select(col("gid").as("gs"))
-        .crossJoin(broadcast(base)).crossJoin(broadcast(pick1))
-        .withColumn("cost", when(expr("p1 & (7 - gs) = 0"),
-          least(col("base_size"), col("p1_size"))).otherwise(col("base_size")))
-        .select(col("gs"), col("cost"))
-      val ben2 = sizes.crossJoin(broadcast(pick1))
-        .join(broadcast(costs1), expr("gid & (7 - gs) = 0"))
-        .groupBy(col("gid"), col("cuboid"), col("size"), col("p1"))
-        .agg(sum(greatest(col("cost") - col("size"), lit(0L))).as("benefit2"))
-      val pick2 = ben2.filter(col("gid") =!= 0L && col("gid") =!= col("p1"))
-        .orderBy(col("benefit2").desc, col("size"), col("cuboid")).limit(1)
-        .select(col("gid").as("p2"))
-      ben1.join(broadcast(ben2.select(col("gid"), col("benefit2"))), Seq("gid"))
-        .crossJoin(broadcast(pick1.select(col("p1").as("p1_pick"))))
-        .crossJoin(broadcast(pick2))
-        .select(col("cuboid"), col("gid"), col("size"),
-          col("benefit1"), col("benefit2"),
-          when(col("gid") === col("p1_pick"), 1L)
-            .when(col("gid") === col("p2"), 2L).otherwise(0L).as("picked_round"))
+        .agg(sort_array(collect_list(struct(col("gid"), col("cuboid"), col("size"))))
+          .as("sz"))
+      val pickCmp =
+        """(l, r) -> CASE WHEN l.ben > r.ben THEN -1 WHEN l.ben < r.ben THEN 1
+                     WHEN l.size < r.size THEN -1 WHEN l.size > r.size THEN 1
+                     WHEN l.cuboid < r.cuboid THEN -1 WHEN l.cuboid > r.cuboid THEN 1
+                     ELSE 0 END"""
+      sizesRow
+        .withColumn("base_size", expr("element_at(filter(sz, e -> e.gid = 0), 1).size"))
+        // round 1: benefit(t) = |{s : S ⊆ T}| · max(0, base − size(t))
+        .withColumn("ben1", expr("""
+          transform(sz, t -> named_struct(
+            'gid', t.gid, 'cuboid', t.cuboid, 'size', t.size,
+            'ben', CAST(size(filter(sz, s -> (t.gid & (7 - s.gid)) = 0)) AS BIGINT)
+                   * greatest(base_size - t.size, CAST(0 AS BIGINT))))"""))
+        .withColumn("p1s", expr(
+          s"element_at(array_sort(filter(ben1, t -> t.gid != 0), $pickCmp), 1)"))
+        // round 2: each query S is now costed at min(base, pick1) when
+        // pick1 answers it; benefit(t) folds over the lattice
+        .withColumn("full", expr("""
+          transform(ben1, t -> named_struct(
+            'gid', t.gid, 'cuboid', t.cuboid, 'size', t.size, 'benefit1', t.ben,
+            'ben', aggregate(sz, CAST(0 AS BIGINT), (acc, s) ->
+              acc + (CASE WHEN (t.gid & (7 - s.gid)) = 0 THEN
+                greatest((CASE WHEN (p1s.gid & (7 - s.gid)) = 0
+                          THEN least(base_size, p1s.size) ELSE base_size END)
+                         - t.size, CAST(0 AS BIGINT))
+                ELSE CAST(0 AS BIGINT) END))))"""))
+        .withColumn("p2gid", expr(
+          s"""element_at(array_sort(
+                filter(full, t -> t.gid != 0 AND t.gid != p1s.gid), $pickCmp), 1).gid"""))
+        .select(explode(col("full")).as("t"), col("p1s"), col("p2gid"))
+        .select(col("t.cuboid").as("cuboid"), col("t.gid").as("gid"),
+          col("t.size").as("size"), col("t.benefit1").as("benefit1"),
+          col("t.ben").as("benefit2"),
+          when(col("t.gid") === col("p1s.gid"), 1L)
+            .when(col("t.gid") === col("p2gid"), 2L).otherwise(0L).as("picked_round"))
         .orderBy(col("gid"))
     },
     Some("""

@@ -2091,30 +2091,41 @@ object OlapQueries extends QueryGroup {
   private val q348 = QueryDef(
     "q348_max_coverage_greedy",
     (spark, dir) => {
-      import graft.functions.expressions.tokens_native
-      // r13: array_distinct INSIDE the document dedupes bigrams map-side,
-      // so (doc_id, token) rows come out of the scan already distinct —
-      // the corpus-wide distinct Exchange disappears (guide §2.3/§2.4;
-      // plans/r13/q348_*.txt: one fewer Exchange before the persist)
-      val tokset = Tables.fanOut(Tables.documents(spark, dir))
-        .select(col("doc_id"), tokens_native(col("text")).as("tk"))
-        .filter(size(col("tk")) >= 2)
-        .select(col("doc_id"), explode(expr(
-          """array_distinct(transform(sequence(1, size(tk) - 1),
-               i -> concat(element_at(tk, i), ' ', element_at(tk, i + 1))))"""))
-          .as("token"))
-        .persist() // all three greedy rounds re-read the bigram set
-      def argmaxDoc(ts: DataFrame) = ts.groupBy(col("doc_id"))
-        .agg(count(lit(1)).as("gain"))
+      // r14 rewrite (guide §2.3/§2.4 + §8 "decide with small rows"):
+      // bigram identity is INTERNAL — only per-doc set sizes reach the
+      // output — so each document folds to ONE row carrying its
+      // distinct bigram-digest array (full-64-bit two-arg xxhash64
+      // pairs: collision odds ~|bigrams|²/2⁶⁵; the vocabulary is
+      // ~31 words ⇒ ≤ ~10³ distinct bigrams corpus-wide, and a
+      // collision would perturb the gains and fail the oracle gate
+      // loudly — the q479/q624 precedent). The covered set is a
+      // ONE-ROW broadcast array, each greedy round a codegen'd
+      // array_except size per doc + a 1-row argmax: the exploded
+      // (doc, bigram-string) stream, its persist, the corpus-wide
+      // groupBys and the three string-keyed anti-join shuffles of the
+      // r13 form all disappear (plans/r14/q348_*.txt).
+      import graft.functions.expressions.bigram_xxhashes
+      val docsets = Tables.fanOut(Tables.documents(spark, dir))
+        .select(col("doc_id"),
+          array_distinct(bigram_xxhashes(col("text"))).as("bg"))
+        .filter(size(col("bg")) >= 1)
+        .persist() // all three greedy rounds re-read the per-doc sets
+      def argmaxDoc(gains: DataFrame) = gains
+        .filter(col("gain") >= 1L) // a fully-covered doc is not a candidate
         .orderBy(col("gain").desc, col("doc_id")).limit(1)
-      val d1 = argmaxDoc(tokset)
-      val cov1 = tokset.join(broadcast(d1), Seq("doc_id")).select(col("token"))
-      val rest2 = tokset.join(broadcast(cov1), Seq("token"), "left_anti")
-      val d2 = argmaxDoc(rest2)
-      val cov2 = cov1.unionAll(
-        rest2.join(broadcast(d2), Seq("doc_id")).select(col("token")))
-      val rest3 = tokset.join(broadcast(cov2), Seq("token"), "left_anti")
-      val d3 = argmaxDoc(rest3)
+      val d1 = argmaxDoc(docsets
+        .select(col("doc_id"), size(col("bg")).cast("long").as("gain")))
+      val cov1 = docsets.join(broadcast(d1.select(col("doc_id"))), Seq("doc_id"))
+        .select(col("bg").as("cov"))
+      val d2 = argmaxDoc(docsets.crossJoin(broadcast(cov1))
+        .select(col("doc_id"),
+          size(array_except(col("bg"), col("cov"))).cast("long").as("gain")))
+      val cov2 = docsets.join(broadcast(d2.select(col("doc_id"))), Seq("doc_id"))
+        .crossJoin(broadcast(cov1))
+        .select(array_union(col("cov"), col("bg")).as("cov"))
+      val d3 = argmaxDoc(docsets.crossJoin(broadcast(cov2))
+        .select(col("doc_id"),
+          size(array_except(col("bg"), col("cov"))).cast("long").as("gain")))
       val rounds = d1.withColumn("round", lit(1))
         .unionAll(d2.withColumn("round", lit(2)))
         .unionAll(d3.withColumn("round", lit(3)))

@@ -273,22 +273,24 @@ object PretrainPlanQueries extends QueryGroup {
   private val q479 = QueryDef(
     "q479_dsir_selection",
     (spark, dir) => {
+      // r13: 8-byte xxhash64 bigram digests instead of 32-hex md5
+      // (tokens are space-free, so the two-arg hash keys the same
+      // bigram identity; internal only — the q624 collision-odds
+      // precedent, the oracle keeps md5) — 4× narrower shuffle keys
+      // for the three digest-keyed aggregates/joins below.
+      // r14, the two verdict-#1 fixes: (1) the r13 `.persist()` of this
+      // stream is REVERTED — the r13 driver measured the persisted form
+      // at 3.0–3.3 s vs the 1.9 s pre-persist baseline: at 4 consumers
+      // the cache round-trips cost more than re-running the scan kernel
+      // (the q64/q82 persist-vs-recompute call; guide §5). (2) The
+      // digest itself is the fused BigramXxHashes kernel — bit-identical
+      // to transform(sequence(...), i -> xxhash64(tk[i-1], tk[i]))
+      // (KernelParitySpec) but one codegen'd byte scan instead of an
+      // interpreted split+filter+transform chain, so the 4 recomputes
+      // stay cheap.
       val bi = Tables.fanOut(Tables.documents(spark, dir))
         .select(col("doc_id"), col("source"),
-          expr("filter(split(text, ' '), t -> t != '')").as("tk"))
-        .filter(size(col("tk")) >= 2)
-        .select(col("doc_id"), col("source"), explode(expr(
-          // r13: 8-byte codegen'd xxhash64 digests instead of 32-hex md5
-          // (tokens are space-free, so the two-arg hash keys the same
-          // bigram identity; internal only — the q624 collision-odds
-          // precedent, the oracle keeps md5) — 4× narrower shuffle keys
-          // for the three digest-keyed aggregates/joins below
-          "transform(sequence(1, size(tk) - 1), i -> xxhash64(tk[i - 1], tk[i]))"))
-          .as("d"))
-        // r13: the bigram stream feeds 4 consumers (corpus, target,
-        // totals, the per-doc score join) — persist it, or the scan +
-        // explode + hash runs once per consumer
-        .persist()
+          explode(graft.functions.expressions.bigram_xxhashes(col("text"))).as("d"))
       val corpus = bi.groupBy(col("d")).agg(count(lit(1)).as("c_all"))
       val target = bi.filter(col("source") === "src0")
         .groupBy(col("d")).agg(count(lit(1)).as("c_t"))

@@ -410,16 +410,39 @@ object SignalQueries extends QueryGroup {
       val empTot = emp.agg(sum(col("c")).as("tc"))
       val d0 = emp.crossJoin(broadcast(empTot))
         .select(col("state"), expr("c * 1000000 div tc").as("d_ppm"))
-      var d = d0
-      for (_ <- 1 to 8) {
-        d = trans
-          .join(d.select(col("state").as("src"), col("d_ppm")), Seq("src"))
-          .groupBy(col("dst").as("state"))
-          .agg(expr("sum(d_ppm * t_ppm) div 1000000").as("d_ppm"))
-      }
-      d0.select(col("state"), col("d_ppm").as("empirical_ppm"))
-        .join(d.select(col("state"), col("d_ppm").as("evolved_ppm")), Seq("state"), "left")
-        .na.fill(0L, Seq("evolved_ppm"))
+      // r14: the chain is state-dimension-bounded (≤ 6×6 entries) at
+      // every scale factor, so the 8 row-vector power steps fold into
+      // ONE expression over the two collected arrays — the q374
+      // discipline (r13) transposed. The former dataflow unrolled 8×
+      // (join + keyed agg) over tiny tables: ~16 scheduling barriers
+      // of pure floor. Recurrence, flooring order (Σ products, then ONE
+      // div 1e6), and the missing-state→0 default are identical: a
+      // state with no incoming edge folds to 0, exactly what the old
+      // left-join + na.fill(0) produced. (plans/r14/q395_*.txt)
+      val transRow = trans
+        .agg(collect_list(struct(col("src"), col("dst"), col("t_ppm"))).as("tarr"))
+      val d0Row = d0
+        .agg(sort_array(collect_list(struct(col("state"), col("d_ppm")))).as("d0arr"))
+      val iterExpr = """
+        aggregate(sequence(1, 8),
+          map_from_arrays(transform(d0arr, e -> e.state),
+                          transform(d0arr, e -> e.d_ppm)),
+          (v, step) -> map_from_arrays(
+            transform(d0arr, e -> e.state),
+            transform(d0arr, e ->
+              aggregate(
+                filter(tarr, t -> t.dst = e.state),
+                CAST(0 AS BIGINT),
+                (acc, t) -> acc + coalesce(try_element_at(v, t.src),
+                                           CAST(0 AS BIGINT)) * t.t_ppm,
+                s -> s div 1000000))),
+          v -> v)"""
+      d0Row.crossJoin(broadcast(transRow))
+        .select(explode(col("d0arr")).as("e"), expr(iterExpr).as("ev"))
+        .select(col("e.state").as("state"),
+          col("e.d_ppm").as("empirical_ppm"),
+          expr("coalesce(try_element_at(ev, e.state), CAST(0 AS BIGINT))")
+            .as("evolved_ppm"))
         .select(col("state"), col("empirical_ppm"), col("evolved_ppm"),
           abs(col("empirical_ppm") - col("evolved_ppm")).as("abs_diff_ppm"))
         .orderBy(col("state"))

@@ -137,19 +137,26 @@ object SuffixDedupQueries extends QueryGroup {
     // unsplittable input: "repartition immediately after the read"; at
     // real scale the scan already exceeds the core count and the
     // round-robin is a cheap rebalance of the hash arrays)
-    val tkh = Tables.fanOut(tk)
+    //
+    // Round-14 codegen rewrite (r13 verdict #1): the three per-document
+    // kernels — token xxhashes, per-position K-gram chain digests, and
+    // the candidate extension fold — move from interpreted HOF chains
+    // (transform/aggregate lambdas never enter whole-stage codegen, and
+    // the extension fold rebuilt its output array by concat per step:
+    // O(M²) allocations per candidate, ~97 s of task CPU at sf0.1) to
+    // fused GraftHash kernels behind codegen'd Expressions. Digest
+    // arithmetic is IDENTICAL (same xxhash64 chain — KernelParitySpec
+    // asserts bit-parity with the HOF forms), so dup8/dupd membership
+    // and every downstream result are unchanged.
+    val tkh = Tables.fanOut(Tables.documents(spark, dir))
       .select(col("doc_id"), col("source"),
-        expr("transform(tk, t -> xxhash64(t))").as("hs"))
-    // chain fold of the K token hashes starting at 1-based position p
-    def chainK(p: String) =
-      s"aggregate(slice(hs, $p, $K), CAST(0 AS BIGINT), (a, h) -> xxhash64(a, h))"
+        graft.functions.expressions.token_xxhashes(col("text")).as("hs"))
     // the digest stream carries no source string — (doc_id, pos, dig)
     // only; source re-attaches once at the candidate-bounded lenp fold
     // from the checkpointed docStats (guide §2.3 project-before-exchange)
     val pos8 = tkh.filter(size(col("hs")) >= K)
       .select(col("doc_id"),
-        posexplode(expr(
-          s"transform(sequence(1, size(hs) - ${K - 1}), i -> ${chainK("i")})"))
+        posexplode(graft.functions.expressions.gram_chain_digests(col("hs"), K))
           .as(Seq("p0", "g8")))
       .select(col("doc_id"), (col("p0") + 1L).cast("long").as("pos"), col("g8"))
     val dup8 = pos8.groupBy(col("g8")).agg(count(lit(1)).as("c"))
@@ -159,30 +166,11 @@ object SuffixDedupQueries extends QueryGroup {
     val candByDoc = pos8.join(dup8, Seq("g8"))
       .groupBy(col("doc_id"))
       .agg(sort_array(collect_list(col("pos"))).as("ps"))
-    // one incremental chain per candidate: digest(pos, L+1) extends
-    // digest(pos, L) by one xxhash64 step — O(M) per candidate, not
-    // O(M²) string bytes
-    def extAt(pos: String) =
-      s"""CASE WHEN least($M, size(hs) - CAST($pos AS INT) + 1) <= $K
-            THEN array(named_struct('pos', $pos, 'l', CAST($K AS BIGINT),
-                                    'dig', ${chainK(s"CAST($pos AS INT)")}))
-            ELSE aggregate(
-              sequence($K + 1, least($M, size(hs) - CAST($pos AS INT) + 1)),
-              named_struct(
-                'd', ${chainK(s"CAST($pos AS INT)")},
-                'out', array(named_struct('pos', $pos, 'l', CAST($K AS BIGINT),
-                                          'dig', ${chainK(s"CAST($pos AS INT)")}))),
-              (st, L) -> named_struct(
-                'd', xxhash64(st.d, element_at(hs, CAST($pos AS INT) + L - 1)),
-                'out', concat(st.out, array(named_struct('pos', $pos,
-                  'l', CAST(L AS BIGINT),
-                  'dig', xxhash64(st.d, element_at(hs, CAST($pos AS INT) + L - 1)))))),
-              st -> st.out)
-          END"""
     val ext = candByDoc
       .join(tkh.select(col("doc_id"), col("hs")), Seq("doc_id"))
       .select(col("doc_id"),
-        explode(expr(s"flatten(transform(ps, p -> ${extAt("p")}))")).as("e"))
+        explode(graft.functions.expressions.repeat_extensions(
+          col("hs"), col("ps"), K, M)).as("e"))
       .select(col("doc_id"), col("e.pos").as("pos"),
         col("e.l").as("l"), col("e.dig").as("dig"))
       .persist()

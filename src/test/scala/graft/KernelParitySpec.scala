@@ -366,6 +366,86 @@ class KernelParitySpec extends SparkSpec {
     }
   }
 
+  test("TokenXxHashes kernel == HOF transform(tokens, xxhash64)") {
+    val mismatches = docs
+      .select(
+        expr("transform(filter(split(text, ' '), t -> t != ''), t -> xxhash64(t))").as("hof"),
+        token_xxhashes(col("text")).as("fast"))
+      .filter(col("hof") =!= col("fast")).count()
+    assert(mismatches === 0)
+  }
+
+  test("BigramXxHashes kernel == HOF xxhash64(tk[i-1], tk[i]) pairing") {
+    val mismatches = docs
+      .select(col("text"),
+        expr("filter(split(text, ' '), t -> t != '')").as("tk"))
+      .select(
+        when(size(col("tk")) >= 2, expr(
+          "transform(sequence(1, size(tk) - 1), i -> xxhash64(tk[i - 1], tk[i]))"))
+          .otherwise(expr("CAST(array() AS ARRAY<BIGINT>)")).as("hof"),
+        bigram_xxhashes(col("text")).as("fast"))
+      .filter(col("hof") =!= col("fast")).count()
+    assert(mismatches === 0)
+    import spark.implicits._
+    val edge = Seq("", "solo", "  two  tokens  ").toDF("text")
+      .select(bigram_xxhashes(col("text")).as("h"))
+      .collect().map(_.getSeq[Long](0).length)
+    assert(edge.toSeq === Seq(0, 0, 1))
+  }
+
+  test("GramChainDigests kernel == HOF per-position aggregate chain") {
+    for (k <- Seq(2, 8)) {
+      val mismatches = docs
+        .select(token_xxhashes(col("text")).as("hs"))
+        .filter(size(col("hs")) >= k)
+        .select(
+          expr(s"""transform(sequence(1, size(hs) - ${k - 1}),
+                     i -> aggregate(slice(hs, i, $k), CAST(0 AS BIGINT),
+                       (a, h) -> xxhash64(a, h)))""").as("hof"),
+          gram_chain_digests(col("hs"), k).as("fast"))
+        .filter(col("hof") =!= col("fast")).count()
+      assert(mismatches === 0, s"k=$k")
+    }
+  }
+
+  test("RepeatExtensions kernel == the interpreted extension-fold HOF " +
+    "(the r13 SuffixDedup hot path, bit-for-bit)") {
+    val K = 8; val M = 24
+    def chainK(p: String) =
+      s"aggregate(slice(hs, $p, $K), CAST(0 AS BIGINT), (a, h) -> xxhash64(a, h))"
+    def extAt(pos: String) =
+      s"""CASE WHEN least($M, size(hs) - CAST($pos AS INT) + 1) <= $K
+            THEN array(named_struct('pos', $pos, 'l', CAST($K AS BIGINT),
+                                    'dig', ${chainK(s"CAST($pos AS INT)")}))
+            ELSE aggregate(
+              sequence($K + 1, least($M, size(hs) - CAST($pos AS INT) + 1)),
+              named_struct(
+                'd', ${chainK(s"CAST($pos AS INT)")},
+                'out', array(named_struct('pos', $pos, 'l', CAST($K AS BIGINT),
+                                          'dig', ${chainK(s"CAST($pos AS INT)")}))),
+              (st, L) -> named_struct(
+                'd', xxhash64(st.d, element_at(hs, CAST($pos AS INT) + L - 1)),
+                'out', concat(st.out, array(named_struct('pos', $pos,
+                  'l', CAST(L AS BIGINT),
+                  'dig', xxhash64(st.d, element_at(hs, CAST($pos AS INT) + L - 1)))))),
+              st -> st.out)
+          END"""
+    // every position of every doc is a "candidate" here — a superset of
+    // what SuffixDedupQueries feeds the kernel, including tails where
+    // lmax < K (the CASE's first arm)
+    val mismatches = docs
+      .select(token_xxhashes(col("text")).as("hs"))
+      .filter(size(col("hs")) >= K)
+      .select(col("hs"),
+        expr(s"transform(sequence(1, size(hs) - ${K - 1}), i -> CAST(i AS BIGINT))")
+          .as("ps"))
+      .select(
+        expr(s"flatten(transform(ps, p -> ${extAt("p")}))").as("hof"),
+        repeat_extensions(col("hs"), col("ps"), K, M).as("fast"))
+      .filter(col("hof") =!= col("fast")).count()
+    assert(mismatches === 0)
+  }
+
   test("BootstrapMoments skips null keys and values") {
     import spark.implicits._
     val df = Seq((Some(1L), Some(10L)), (None, Some(5L)), (Some(2L), None))
